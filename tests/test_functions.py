@@ -1,0 +1,288 @@
+"""Golden tests for the scalar expression library (SURVEY.md §2.6).
+
+Expectations from FIXTURES.md's frozen-clock table
+(now = 2026-01-01T00:00:00Z) and the reference sources cited in each
+function's docstring.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+import delta_data_pipelines_spark.functions as fn
+
+NOW = datetime(2026, 1, 1, 0, 0, 0)
+def now_col():
+    return F.lit("2026-01-01 00:00:00").cast("timestamp")
+
+
+def one(spark, expr, value=None):
+    df = spark.range(1)
+    if value is not None:
+        df = df.select(F.lit(value).alias("v"))
+    return df.select(expr.alias("out")).first()["out"]
+
+
+# ---- F1 digits -------------------------------------------------------------
+
+
+def test_persian_digits(spark):
+    assert one(spark, fn.persian_to_english_digits("v"), "۰۱۲۳۴۵۶۷۸۹ و ۴۲") == "0123456789 و 42"
+
+
+# ---- F2 toman --------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "text,amount",
+    [
+        ("۲.۵ میلیارد تومان", 2_000_000_000),  # first int only
+        ("۵۰۰ میلیون", 500_000_000),
+        ("۱۲ هزار", 12_000),
+        ("۴۲", 42),
+        ("توافقی", None),
+        ("بدون قیمت", None),
+    ],
+)
+def test_parse_toman_amount(spark, text, amount):
+    assert one(spark, fn.parse_toman_amount("v"), text) == amount
+
+
+def test_toman_mode(spark):
+    assert one(spark, fn.toman_mode("v"), "توافقی") == "توافقی"
+    assert one(spark, fn.toman_mode("v"), "۵۰۰ میلیون") is None
+
+
+# ---- F3-F8 numeric coercions ----------------------------------------------
+
+
+def test_safe_int(spark):
+    assert one(spark, fn.safe_int("v"), "12.7") == 12
+    assert one(spark, fn.safe_int("v"), "abc") == 0
+    assert one(spark, fn.safe_int(F.lit(None).cast("string"), default=7)) == 7
+
+
+def test_try_parse_float(spark):
+    assert one(spark, fn.try_parse_float("v"), "۱٬۲۳۴.۵") == 1234.5
+    assert one(spark, fn.try_parse_float("v"), "‎1,000") == 1000.0
+    assert one(spark, fn.try_parse_float("v"), "nope") is None
+
+
+def test_parse_price(spark):
+    assert one(spark, fn.parse_price("v"), "۱۲۳abc456") == 123456.0
+    assert one(spark, fn.parse_price("v"), "تماس") is None
+
+
+def test_more_than(spark):
+    assert one(spark, fn.normalize_more_than_value("v"), "بیشتر از ۵") == "5+"
+    assert one(spark, fn.normalize_more_than_value("v"), "۳") == "3"
+    assert one(spark, fn.more_than_plus_one("v"), "بیشتر از ۵") == "6"
+    assert one(spark, fn.more_than_plus_one("v"), "۳") == "۳".translate(
+        str.maketrans("۰۱۲۳۴۵۶۷۸۹", "0123456789")
+    )
+
+
+# ---- F9 relative dates ------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "text,expected,variant",
+    [
+        ("۲ روز پیش", NOW - timedelta(days=2), "divar"),
+        ("لحظاتی پیش", NOW, "divar"),
+        ("دقایقی پیش", NOW - timedelta(minutes=5), "divar"),
+        ("۳ ماه پیش", NOW - timedelta(days=90), "divar"),
+        ("۱ هفته پیش", NOW - timedelta(weeks=1), "divar"),
+        ("۴ ساعت پیش", NOW - timedelta(hours=4), "divar"),
+        ("چیز دیگر", NOW, "divar"),
+        ("ساعاتی پیش", NOW - timedelta(hours=2), "sheypoor"),
+        ("۲ روز پیش", NOW - timedelta(days=2), "sheypoor"),
+        # sheypoor has no hour-unit branch: digit+ساعت falls to now
+        ("۴ ساعت پیش", NOW, "sheypoor"),
+    ],
+)
+def test_text_to_date(spark, text, expected, variant):
+    got = one(spark, fn.text_to_date("v", now=now_col(), variant=variant), text)
+    assert got == expected
+
+
+# ---- F11/F12 timezones -------------------------------------------------------
+
+
+def test_iran_to_utc_iso(spark):
+    got = one(
+        spark,
+        fn.iran_datetime_to_utc_iso(F.lit("2026-01-01 12:00:00").cast("timestamp")),
+    )
+    assert got == "2026-01-01T08:30:00+00:00"
+
+
+def test_watermark_with_overlap(spark):
+    got = one(
+        spark,
+        fn.watermark_with_overlap(
+            F.lit("2026-01-01 10:00:00").cast("timestamp"), now=now_col()
+        ),
+    )
+    # UTC → Tehran (+3:30) − 1h overlap
+    assert got == datetime(2026, 1, 1, 12, 30)
+    fallback = one(
+        spark,
+        fn.watermark_with_overlap(F.lit(None).cast("timestamp"), now=now_col()),
+    )
+    assert fallback == NOW - timedelta(days=1)
+
+
+# ---- F13 age → build year ----------------------------------------------------
+
+
+@pytest.mark.parametrize("age,expected", [(35, 1374), (25, 1384), (10, 1404), (None, None)])
+def test_age_to_build_year(spark, age, expected):
+    col = F.lit(age).cast("string") if age is not None else F.lit(None).cast("string")
+    assert one(spark, fn.age_to_build_year(col, now=now_col())) == expected
+
+
+# ---- F14/F15 ------------------------------------------------------------------
+
+
+def test_try_parse_datetime(spark):
+    assert one(spark, fn.try_parse_datetime("v"), "2024-01-0512:30:00") == datetime(
+        2024, 1, 5, 12, 30, 0
+    )
+    assert one(spark, fn.try_parse_datetime("v"), "2024-01-05 12:30:00") == datetime(
+        2024, 1, 5, 12, 30, 0
+    )
+
+
+def test_clamp_timestamp(spark):
+    got = one(
+        spark,
+        fn.clamp_timestamp(
+            F.lit("2025-12-01 00:00:00").cast("timestamp"),
+            limit="2025-11-04 00:00:00",
+            reset="2025-10-21 00:00:00",
+        ),
+    )
+    assert got == datetime(2025, 10, 21)
+
+
+# ---- F17-F32 strings ----------------------------------------------------------
+
+
+def test_clean_text(spark):
+    assert one(spark, fn.clean_text("v"), "  تک‌برگ  ") == "تک برگ"
+
+
+def test_to_slug(spark):
+    assert one(spark, fn.to_slug("v"), "Tehran، Vanak") == "tehran"
+    assert one(spark, fn.to_slug("v"), "New City Center") == "new-city-center"
+
+
+def test_normalize_property_type(spark):
+    assert one(spark, fn.normalize_property_type("v"), "زمین صنعتی") == "باغ باغچه و زمین"
+    assert one(spark, fn.normalize_property_type("v"), "مشارکت در ساخت") is None
+    assert one(spark, fn.normalize_property_type("v"), "آپارتمان مسکونی") == "آپارتمان مسکونی"
+
+
+def test_normalize_deed_type(spark):
+    assert one(spark, fn.normalize_deed_type("v"), "سند: تک‌برگ") == "تک برگ"
+    assert one(spark, fn.normalize_deed_type("v"), "قولنامه") == "قولنامه ای"
+
+
+def test_map_enum(spark):
+    m = {"personal": "شخصی", "premium-panel": "مشاور املاک"}
+    assert one(spark, fn.map_enum("v", m), "personal") == "شخصی"
+    assert one(spark, fn.map_enum("v", m, default="?"), "other") == "?"
+
+
+def test_price_mode(spark):
+    assert one(spark, fn.price_mode_from_title("v"), "ودیعه رایگان") == "مجانی"
+    assert one(spark, fn.price_mode_from_title("v"), "اجاره توافقی") == "توافقی"
+    assert one(spark, fn.price_mode_from_title("v"), "قیمت مقطوع") == "مقطوع"
+
+
+def test_feature_presence(spark):
+    assert one(spark, fn.feature_presence("v", "پارکینگ"), "پارکینگ ندارد") is False
+    assert one(spark, fn.feature_presence("v", "پارکینگ"), "پارکینگ") is True
+    assert one(spark, fn.feature_presence("v", "پارکینگ"), "آسانسور") is None
+
+
+def test_rent_type(spark):
+    df = lambda c, r: one(  # noqa: E731
+        spark, fn.rent_type(F.lit(c).cast("double"), F.lit(r).cast("double"))
+    )
+    assert df(100.0, None) == "full_credit"
+    assert df(100.0, 10.0) == "rent_credit"
+    assert df(None, 10.0) == "full_rent"
+
+
+def test_floor_regex(spark):
+    assert one(spark, fn.floor_of("v"), "۳ از ۵") == 3
+    assert one(spark, fn.total_floors_of("v"), "۳ از ۵") == 5
+
+
+def test_rooms(spark):
+    assert one(spark, fn.normalize_rooms("v"), "بدون اتاق") == "0"
+    assert one(spark, fn.normalize_rooms("v"), "+۴") == "5"
+    assert one(spark, fn.normalize_rooms("v"), "۲") == "2"
+
+
+def test_construction_year(spark):
+    assert one(spark, fn.normalize_construction_year("v"), "قبل از ۱۳۷۰") == -1370
+    assert one(spark, fn.normalize_construction_year("v"), "۱۳۹۵") == 1395
+
+
+def test_url_ops(spark):
+    assert (
+        one(spark, fn.token_to_url("v", "https://example.test/v8/posts/"), "AZxyz123")
+        == "https://example.test/v8/posts/AZxyz123"
+    )
+    assert one(spark, fn.fix_url("v"), "https://example.test/posts/AZxyz123") == "AZxyz123"
+    assert (
+        one(spark, fn.relative_to_absolute_url("v", "https://cdn.test"), "/media/1.jpg")
+        == "https://cdn.test/media/1.jpg"
+    )
+
+
+# ---- F33+ JSON nav -------------------------------------------------------------
+
+
+def test_json_path(spark):
+    assert one(spark, fn.json_path("v", "$.seo.geo.lat"), '{"seo":{"geo":{"lat":35.7}}}') == "35.7"
+
+
+def test_section_widgets_and_map(spark):
+    data = [
+        (
+            [
+                {
+                    "section_name": "LIST_DATA",
+                    "widgets": [
+                        {"widget_type": "UNEXPANDABLE_ROW", "data": {"title": "متراژ", "value": "۷۵"}},
+                        {"widget_type": "UNEXPANDABLE_ROW", "data": {"title": "اتاق", "value": "۲"}},
+                        {"widget_type": "GROUP_INFO_ROW", "data": {"title": "x", "value": "y"}},
+                    ],
+                }
+            ],
+        )
+    ]
+    schema = (
+        "sections array<struct<section_name:string,"
+        "widgets:array<struct<widget_type:string,data:struct<title:string,value:string>>>>>"
+    )
+    df = spark.createDataFrame(data, schema)
+    widgets = fn.section_widgets("sections", "LIST_DATA")
+    got = df.select(fn.widgets_to_map(widgets).alias("m")).first()["m"]
+    assert got == {"متراژ": "۷۵", "اتاق": "۲"}
+    first = df.select(
+        fn.first_widget_value(widgets, title="اتاق")["value"].alias("v")
+    ).first()["v"]
+    assert first == "۲"
+
+
+def test_next_data_json(spark):
+    html = '<html><script id="__NEXT_DATA__" type="application/json">{"buildId":"abc"}</script></html>'
+    assert one(spark, fn.next_data_json("v"), html) == '{"buildId":"abc"}'
