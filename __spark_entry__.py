@@ -25,9 +25,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _modules():
-    from delta_data_pipelines_spark.queries import search_index
+    from delta_data_pipelines_spark.queries import relational, search_index
 
-    return [search_index]
+    return [search_index, relational]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
