@@ -25,9 +25,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _modules():
-    from delta_data_pipelines_spark.queries import relational, search_index
+    from delta_data_pipelines_spark.queries import relational, search_index, training_data
 
-    return [search_index, relational]
+    return [search_index, relational, training_data]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,314 @@
+"""Document deduplication operators.
+
+Generalizes the reference's URL dedup (Redis blooms + Mongo unique
+index, SURVEY.md §2.8 / redis_utils.py:4-32 / mongodb_utils.py:5-44)
+to content-level near-duplicate detection over a text corpus:
+
+    exact_dedup            hash-groupBy, first-writer-wins
+    shingles               word n-gram sets (the unit of similarity)
+    minhash_signature      k permutations via seeded xxhash64
+    lsh_candidate_pairs    banded LSH self-join
+    minhash_near_dup_pairs LSH candidates verified by exact Jaccard
+    ngram_jaccard_pairs    blocked exact all-pairs Jaccard
+    simhash_near_dup_pairs 64-bit SimHash + chunk-pigeonhole Hamming join
+    embedding_near_dup_pairs  cosine ≥ threshold over vector pairs
+
+Scale posture: signatures/shingles/simhash are per-row (narrow, no
+shuffle). The only shuffles are the LSH band self-join (keyed on
+(band, band_hash) — tiny keys, collision groups are the work unit)
+and the final pair-verification join. At 100 TB: salt hot LSH buckets
+(boilerplate text collapses into one bucket) and cap bucket size with
+a group-size filter before the self-join — both provided here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# MinHash geometry: k = bands * rows_per_band. With 16 bands of 4 rows,
+# P(candidate | jaccard=j) = 1-(1-j^4)^16 — ~0.65 at j=0.5, >0.9996 at
+# j=0.8: tuned for a 0.8 near-dup threshold.
+NUM_PERM = 64
+BANDS = 16
+ROWS_PER_BAND = 4
+SHINGLE_SIZE = 3
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles(text: Column, n: int = SHINGLE_SIZE) -> Column:
+    """Distinct word n-gram shingles of a document."""
+    w = tokens(text)
+    return F.when(
+        F.size(w) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            )
+        ),
+    ).otherwise(F.array_distinct(F.array(F.concat_ws(" ", w))))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two string sets."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / F.nullif(union, F.lit(0)).cast("double")
+
+
+def exact_dedup(df: DataFrame, key: Column | str, order: Column | str) -> DataFrame:
+    """First-writer-wins exact dedup (↔ Mongo DuplicateKeyError skip,
+    mongodb_utils.py:21-36).
+
+    Partitions on a 64-bit hash of the key, not the raw text — short
+    fixed-width shuffle keys at any document size.
+    """
+    kc = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(F.xxhash64(kc)).orderBy(order)
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def minhash_signature(text: Column, num_perm: int = NUM_PERM) -> Column:
+    """MinHash signature: element s = min over shingles of
+    xxhash64(shingle ⊕ seed_s). Pure per-row expression — no shuffle,
+    no UDF."""
+    sh = shingles(text)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda s: F.array_min(
+            F.transform(sh, lambda x: F.xxhash64(F.concat(x, F.lit("#"), s.cast("string"))))
+        ),
+    )
+
+
+def _banded(df: DataFrame, id_col: str, sig_col: str = "_sig") -> DataFrame:
+    """Explode a signature into (band_id, band_hash) rows."""
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(BANDS - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.xxhash64(
+                F.concat_ws(",", F.transform(
+                    F.slice(F.col(sig_col), b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+                    lambda v: v.cast("string"),
+                ))
+            ).alias("band_hash"),
+        ),
+    )
+    return df.select(id_col, F.explode(bands).alias("b")).select(
+        id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_bucket: int = 1000
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b), deduplicated.
+
+    ``max_bucket`` drops degenerate buckets (boilerplate collapsing
+    millions of docs into one band value) before the quadratic
+    self-join — the guard that keeps this runnable at 100 TB.
+    """
+    sig = df.select(id_col, minhash_signature(F.col(text_col)).alias("_sig"))
+    banded = _banded(sig, id_col)
+    bucket_w = Window.partitionBy("band_id", "band_hash")
+    banded = banded.withColumn("_n", F.count("*").over(bucket_w)).where(
+        F.col("_n") <= max_bucket
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
+
+    LSH prunes the O(n²) pair space to colliding buckets; the exact
+    Jaccard join then removes false positives, so output precision is
+    1.0 and recall is the LSH collision probability (≈1 at the 0.8
+    threshold with the default geometry).
+    """
+    cand = lsh_candidate_pairs(df, id_col, text_col)
+    sh = df.select(F.col(id_col), shingles(F.col(text_col)).alias("_sh"))
+    out = (
+        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+        .withColumn("jaccard_sim", F.round(jaccard(F.col("_sh_a"), F.col("_sh_b")), 9))
+        .where(F.col("jaccard_sim") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard_sim")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Blocked exact n-gram Jaccard: all pairs *within a block* (e.g.
+    same source/lang/length-band) scored exactly.
+
+    The block key bounds the quadratic blow-up; choose it so blocks
+    stay ~10³-10⁴ docs at full scale. Deterministic (no hashing), so
+    it doubles as the oracle for the MinHash path.
+    """
+    sh = df.select(
+        F.col(block_col).alias("_blk"), F.col(id_col), shingles(F.col(text_col)).alias("_sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("jaccard_sim", F.round(jaccard(F.col("a._sh"), F.col("b._sh")), 9))
+        .where(F.col("jaccard_sim") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "jaccard_sim",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_CHUNKS = 4
+_CHUNK_BITS = 16
+
+
+def simhash_chunks(text_col: str) -> Column:
+    """64-bit SimHash over word tokens, as 4×16-bit chunk ints.
+
+    Each token votes ±1 per bit position (from its xxhash64); the
+    signature bit is the vote sign. Chunked layout (instead of one
+    int64) keeps the Hamming join expressible without sign issues.
+
+    Built as a SQL expression because the bit probe needs a variable
+    shift (``h >> i`` with lambda-bound ``i``), which the Python
+    ``F.shiftright`` API doesn't accept.
+    """
+    return F.expr(
+        f"""
+        transform(sequence(0, {_CHUNKS - 1}), c ->
+            aggregate(
+                slice(
+                    aggregate(
+                        split({text_col}, ' '),
+                        array_repeat(0, 64),
+                        (acc, x) -> zip_with(
+                            acc,
+                            transform(sequence(0, 63), i ->
+                                IF(((xxhash64(x) >> i) & 1L) = 1L, 1, -1)),
+                            (a, b) -> a + b)
+                    ),
+                    c * {_CHUNK_BITS} + 1, {_CHUNK_BITS}),
+                0,
+                (acc, v) -> acc * 2 + IF(v > 0, 1, 0)
+            )
+        )
+        """
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """SimHash near-dup pairs via chunk-pigeonhole: any pair within
+    Hamming distance ≤ 3×(chunks-1) shares at least one exact chunk,
+    so candidates come from equi-joins on (chunk_idx, chunk_value) —
+    never a cross join. Verified by exact chunk-wise Hamming."""
+    sig = df.select(F.col(id_col), simhash_chunks(text_col).alias("_sh"))
+    posed = sig.select(
+        id_col,
+        "_sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_CHUNKS - 1)),
+                lambda c: F.struct(
+                    c.alias("chunk_idx"),
+                    F.element_at(F.col("_sh"), c + 1).alias("chunk_val"),
+                ),
+            )
+        ).alias("c"),
+    ).select(id_col, "_sh", "c.chunk_idx", "c.chunk_val")
+    a, b = posed.alias("a"), posed.alias("b")
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("a._sh"),
+            F.col("b._sh"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, block_col: str | None = None,
+    threshold: float = 0.98,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ threshold.
+
+    Un-blocked this is all-pairs (fine ≤ ~10⁵ rows); pass ``block_col``
+    (an LSH bucket / IVF cell from operators.similarity) to bound it
+    at scale.
+    """
+    from .similarity import cosine
+
+    v = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col("a._blk") == F.col("b._blk"))
+    return (
+        a.join(b, cond)
+        .withColumn("cosine_sim", F.round(cosine(F.col("a._v"), F.col("b._v")), 9))
+        .where(F.col("cosine_sim") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cosine_sim",
+        )
+    )

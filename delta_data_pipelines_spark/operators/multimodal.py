@@ -1,0 +1,96 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary.
+
+Design: media travel as ``binary`` columns with a typed metadata
+struct alongside (modality, byte length, content hash, declared dims).
+The Spark-side plumbing — schema, Arrow batch shape, partitioning —
+is real and tested; the actual codec step is stubbed (no image/audio
+libraries in this container) behind ``decode_stub``: a clearly-marked
+``NotImplementedError`` with a deterministic-fake fallback so
+pipelines exercise the full path.
+
+At scale: binary payloads dominate partition size — size
+``spark.sql.files.maxPartitionBytes`` down (or repartition by a
+bucketed key) so one Arrow batch of decoded frames fits executor
+memory; never collect payloads to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+META_SCHEMA = "modality string, n_bytes bigint, sha256 string"
+
+
+def attach_fake_binary(df: DataFrame, text_col: str, modality: str = "image") -> DataFrame:
+    """Deterministic fake payload: the UTF-8 bytes of a text column.
+
+    Stands in for real media bytes so the binary plumbing (hashing,
+    batching, decode stubs) runs end-to-end in this container.
+    """
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8")).withColumn(
+        "modality", F.lit(modality)
+    )
+
+
+def payload_meta(payload: Column, modality: Column) -> Column:
+    """Typed metadata struct for an opaque binary column — native
+    expressions (codegen), no UDF."""
+    return F.struct(
+        modality.alias("modality"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha256"),
+    )
+
+
+def decode_stub(payload: bytes, modality: str) -> dict:
+    """CODEC STUB — the real implementation needs PIL/ffmpeg/librosa,
+    which are not in this container.
+
+    Deterministic fake: 'decodes' to a pseudo shape derived from the
+    byte length so downstream operators (resize, frame-sample) have
+    stable inputs. Raise instead when strictness is required.
+    """
+    if modality not in {"image", "audio", "video"}:
+        raise NotImplementedError(f"unknown modality: {modality}")
+    n = len(payload)
+    if modality == "image":
+        side = max(1, int(n**0.5))
+        return {"height": side, "width": side, "channels": 3}
+    if modality == "audio":
+        return {"sample_rate": 16000, "n_samples": n * 4}
+    return {"fps": 25, "n_frames": max(1, n // 100)}
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` — the pattern a real decoder drops into: iterate
+    Arrow batches, run the codec per row *inside the executor*, emit a
+    flat feature frame. Swap ``decode_stub`` for the real codec and
+    nothing else changes.
+    """
+    fields = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+        + ", n_bytes bigint, feat_a bigint, feat_b bigint"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            modality = pdf["modality"] if "modality" in pdf else None
+            decoded = [
+                decode_stub(bytes(p), modality.iloc[i] if modality is not None else "image")
+                for i, p in enumerate(payloads)
+            ]
+            out = pdf.drop(columns=[payload_col]).copy()
+            out["n_bytes"] = [len(bytes(p)) for p in payloads]
+            out["feat_a"] = [d.get("height", d.get("sample_rate", d.get("fps", 0))) for d in decoded]
+            out["feat_b"] = [d.get("width", d.get("n_samples", d.get("n_frames", 0))) for d in decoded]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

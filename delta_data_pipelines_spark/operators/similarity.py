@@ -1,0 +1,139 @@
+"""Vector similarity search over an embedding column.
+
+Baseline: exact brute-force cosine top-k (query set × corpus). Scale
+path: sign-LSH bucketing — deterministic pseudo-random hyperplanes
+derived from xxhash64, so buckets are reproducible with no fitted
+model — which prunes the corpus side to matching buckets.
+
+All vector math is native expressions (zip_with / aggregate over
+array<double>): JVM-side, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: every query row against every corpus row.
+
+    The query side is broadcast (top-k search is almost always a small
+    probe set against a huge corpus); ranking is a per-query window.
+    Deterministic tie-break: higher cosine first, then smaller id.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 9))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
+    """Sign-LSH bucket id from ``n_planes`` pseudo-random hyperplanes.
+
+    Plane p's j-th component is ±1 from xxhash64(p, j) — deterministic,
+    data-independent, nothing to fit or persist. Bucket = integer of
+    the sign bits. 2^8 = 256 cells; at 100 TB raise n_planes so cells
+    stay ~10⁴-10⁵ vectors and write the corpus partitioned by bucket
+    for partition-pruned probes.
+    """
+    def side(p: Column, j: Column) -> Column:
+        return F.when(
+            F.xxhash64(p.cast("string"), j.cast("string")).bitwiseAND(F.lit(1)) == 1,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+
+    def plane_sign(p: Column, v: Column) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, j: x * side(p, j),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    dv = as_double(vec)
+    return F.aggregate(
+        F.transform(F.sequence(F.lit(0), F.lit(n_planes - 1)), lambda p: plane_sign(p, dv)),
+        F.lit(0),
+        lambda acc, bit: acc * 2 + bit,
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's LSH cell.
+
+    Same output schema as brute_force_topk; recall < 1 by construction
+    (single-probe). Multi-probe = union over neighboring buckets.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("_cv"),
+        lsh_bucket(F.col(vec_col), n_planes).alias("_bkt"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("_qv"),
+        lsh_bucket(F.col(vec_col), n_planes).alias("_bkt"),
+    )
+    scored = (
+        c.join(F.broadcast(q), ["_bkt"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 9))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

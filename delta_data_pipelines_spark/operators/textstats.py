@@ -1,0 +1,139 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (marker-word heuristic), quality scoring, token counting
+(whitespace + regex word tokens), and document fingerprinting — all
+native expressions, one narrow pass over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram-free heuristic. Small on
+# purpose: the heuristic's contract is determinism + cheapness, not SOTA.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+WORD_RE = r"[A-Za-z0-9_]+"
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def _words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def marker_score(text: Column, markers: tuple[str, ...]) -> Column:
+    """Occurrences (not distinct) of marker words among tokens."""
+    return F.size(F.filter(_words(text), lambda w: w.isin(*markers)))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax marker-hit count, first-listed
+    language wins ties, 'und' when nothing matches."""
+    scores = {lang: marker_score(text, m) for lang, m in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # fold right-to-left so earlier languages win ties with >=
+    for lang in reversed(langs):
+        s = scores[lang]
+        take = (s > F.lit(0)) & (s >= best_score)
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(_words(text))
+
+
+def token_count_re(text: Column) -> Column:
+    """Regex word-token count (BPE-ish pre-tokenization proxy)."""
+    return F.size(F.regexp_extract_all(text, F.lit(WORD_RE), F.lit(0)))
+
+
+def _punct_ratio_raw(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^A-Za-z0-9\s]", "")
+    return (F.length(text) - F.length(stripped)) / F.nullif(
+        F.length(text), F.lit(0)
+    ).cast("double")
+
+
+def _stopword_ratio_raw(text: Column) -> Column:
+    w = _words(text)
+    hits = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    return hits / F.nullif(F.size(w), F.lit(0)).cast("double")
+
+
+def punct_ratio(text: Column) -> Column:
+    return F.round(_punct_ratio_raw(text), 9)
+
+
+def stopword_ratio(text: Column) -> Column:
+    return F.round(_stopword_ratio_raw(text), 9)
+
+
+def mean_word_len(text: Column) -> Column:
+    w = _words(text)
+    total = F.aggregate(F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, b: a + b)
+    return F.round(total / F.nullif(F.size(w), F.lit(0)).cast("double"), 9)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: favors mid-length documents
+    with healthy stopword density and low punctuation noise —
+    the usual pre-training corpus filter shape.
+
+    Composed from the *unrounded* ratios so the float result is
+    bit-identical to an oracle computing the same expression.
+    """
+    len_component = F.least(token_count_ws(text) / F.lit(64.0), F.lit(1.0))
+    return F.round(
+        0.4 * _stopword_ratio_raw(text)
+        + 0.4 * len_component
+        + 0.2 * (1 - _punct_ratio_raw(text)),
+        9,
+    )
+
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def fingerprint(text: Column) -> Column:
+    """Position-weighted rolling document fingerprint.
+
+    Σ_i i·(31·len(w_i) + ascii(w_i[0])) mod 1e9+7 over 1-based token
+    positions — order-sensitive (anagram documents differ), cheap, and
+    expressible in plain SQL for oracle checking.
+    """
+    w = _words(text)
+    contrib = F.zip_with(
+        w,
+        F.sequence(F.lit(1), F.size(w)),
+        lambda x, i: i.cast("bigint") * (F.length(x) * 31 + F.ascii(F.substring(x, 1, 1))),
+    )
+    total = F.aggregate(contrib, F.lit(0).cast("bigint"), lambda a, b: a + b)
+    return total % FINGERPRINT_MOD
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass corpus profile: all textstats columns at once."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        lang_id(t).alias("lang_pred"),
+        token_count_ws(t).alias("n_tokens"),
+        token_count_re(t).alias("n_word_tokens"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        mean_word_len(t).alias("mean_word_len"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,256 @@
+"""Oracle-checked queries for the training-data operators (north star).
+
+Dedup / similarity / text-analysis / multimodal over the harness
+``documents`` and ``embeddings`` tables. Where the Spark path is
+randomized-but-verified (MinHash-LSH), the oracle is the *exact*
+computation it approximates — with the default geometry the miss
+probability at the 0.8 threshold is < 1e-7, so hash-equality holds.
+SimHash and LSH-top-k have no SQL twin (seeded xxhash64) → rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import read_table
+from ..operators import dedup, multimodal, similarity, textstats
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup, first doc_id wins (hash-partitioned key)."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+def dd_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, Jaccard-verified at 0.8."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact 3-gram Jaccard pairs ≥ 0.5 within a language."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", "lang", threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 6). Rows-only: seeded-hash
+    signatures have no SQL twin; cross-checked against MinHash in
+    tests."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def dd_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ 0.45 (all-pairs exact; the
+    harness embeddings carry no planted near-identical vectors, so the
+    threshold sits where the corpus actually has pairs)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(e, "vec_id", "embedding", threshold=0.45).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the probe set vec_id < 10."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(e, q, k=5).orderBy("query_id", "rank")
+
+
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed top-5 (approximate; rows-only check —
+    recall vs brute force asserted in tests).
+
+    4 planes → 16 cells, sized to the harness corpora (500-5000
+    vectors); at real scale raise n_planes to keep cells ~10⁴-10⁵.
+    """
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.lsh_topk(e, q, k=5, n_planes=4).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def txt_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full text profile: lang-id, token counts, ratios, quality,
+    fingerprint."""
+    d = read_table(spark, sf_dir, "documents")
+    return textstats.text_profile(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload metadata (length + sha256) — expression path."""
+    d = read_table(spark, sf_dir, "documents")
+    with_bin = multimodal.attach_fake_binary(d, "text")
+    return with_bin.select(
+        "doc_id",
+        multimodal.payload_meta(F.col("payload"), F.col("modality")).alias("meta"),
+    ).select(
+        "doc_id",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha256").alias("sha256"),
+    )
+
+
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode-stub feature extraction (mapInPandas)."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with_bin = multimodal.attach_fake_binary(d, "text")
+    return multimodal.extract_features(with_bin.select("doc_id", "modality", "payload")).select(
+        "doc_id", "n_bytes", "feat_a", "feat_b"
+    )
+
+
+SPARK_QUERIES = {
+    "dd_exact": dd_exact,
+    "dd_minhash": dd_minhash,
+    "dd_ngram_jaccard": dd_ngram_jaccard,
+    "dd_simhash": dd_simhash,
+    "dd_embedding": dd_embedding,
+    "sim_brute_topk": sim_brute_topk,
+    "sim_lsh_topk": sim_lsh_topk,
+    "txt_profile": txt_profile,
+    "mm_meta": mm_meta,
+    "mm_features": mm_features,
+}
+
+_SHINGLES = """
+    SELECT doc_id, lang,
+           list_distinct(CASE WHEN len(w) >= 3
+               THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+               ELSE [array_to_string(w, ' ')] END) AS sg
+    FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+"""
+
+_JACCARD_PAIRS = f"""
+    WITH sh AS ({_SHINGLES})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sg, b.sg)) /
+                 CAST(len(list_distinct(a.sg || b.sg)) AS DOUBLE), 9) AS jaccard_sim
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id {{block}}
+"""
+
+ORACLE_SQL = {
+    "dd_exact": """
+        SELECT doc_id, lang, source FROM (
+            SELECT doc_id, lang, source,
+                   ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) rn
+            FROM documents
+        ) WHERE rn = 1
+    """,
+    # exact all-pairs Jaccard — the computation MinHash-LSH approximates
+    "dd_minhash": (
+        "SELECT * FROM ("
+        + _JACCARD_PAIRS.format(block="")
+        + ") WHERE jaccard_sim >= 0.8 ORDER BY id_a, id_b"
+    ),
+    "dd_ngram_jaccard": (
+        "SELECT * FROM ("
+        + _JACCARD_PAIRS.format(block="AND a.lang = b.lang")
+        + ") WHERE jaccard_sim >= 0.5 ORDER BY id_a, id_b"
+    ),
+    "dd_embedding": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 9) AS cosine_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.45
+        ORDER BY id_a, id_b
+    """,
+    "sim_brute_topk": """
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                CAST(c.embedding AS DOUBLE[])), 9) AS cosine_sim
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 10
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+            ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    "txt_profile": """
+        WITH base AS (
+            SELECT doc_id, text, string_split(text, ' ') AS w,
+                   regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g') AS stripped
+            FROM documents
+        ), scores AS (
+            SELECT doc_id, text, w, stripped,
+                len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS s_en,
+                len(list_filter(w, x -> x IN ('el','la','de','que','y'))) AS s_es,
+                len(list_filter(w, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+                len(list_filter(w, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+                len(list_filter(w, x -> x IN ('的','是','了','在','我'))) AS s_zh,
+                len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) AS s_stop,
+                ROUND((length(text) - length(stripped)) / CAST(NULLIF(length(text), 0) AS DOUBLE), 9) AS p_ratio
+            FROM base
+        )
+        SELECT doc_id,
+            CASE
+                WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+                WHEN s_zh > 0 THEN 'zh'
+                ELSE 'und'
+            END AS lang_pred,
+            len(w) AS n_tokens,
+            len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_word_tokens,
+            p_ratio AS punct_ratio,
+            ROUND(s_stop / CAST(NULLIF(len(w), 0) AS DOUBLE), 9) AS stopword_ratio,
+            ROUND(list_sum(list_transform(w, x -> length(x))) /
+                  CAST(NULLIF(len(w), 0) AS DOUBLE), 9) AS mean_word_len,
+            ROUND(0.4 * (s_stop / CAST(NULLIF(len(w), 0) AS DOUBLE))
+                + 0.4 * LEAST(len(w) / 64.0, 1.0)
+                + 0.2 * (1 - p_ratio), 9) AS quality,
+            CAST(list_sum(list_transform(w, (x, i) ->
+                CAST(i AS BIGINT) * (length(x) * 31 + ascii(left(x, 1))))) % 1000000007
+                AS BIGINT) AS fingerprint
+        FROM scores
+    """,
+    "mm_meta": """
+        SELECT doc_id, 'image' AS modality,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS sha256
+        FROM documents
+    """,
+    "mm_features": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(GREATEST(1, CAST(FLOOR(SQRT(octet_length(encode(text)))) AS BIGINT)) AS BIGINT) AS feat_a,
+               CAST(GREATEST(1, CAST(FLOOR(SQRT(octet_length(encode(text)))) AS BIGINT)) AS BIGINT) AS feat_b
+        FROM documents
+    """,
+}

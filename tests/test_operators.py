@@ -1,0 +1,129 @@
+"""Tests for the training-data operators (dedup / similarity /
+textstats / multimodal), including cross-checks for the paths that
+have no SQL oracle (SimHash, LSH top-k)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_data_pipelines_spark.operators import dedup, multimodal, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),  # near dup of 1
+        (4, "completely different words about spark query engines and shuffles"),
+        (5, "another unrelated document discussing parquet column pruning only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_first_wins(spark, corpus):
+    out = dedup.exact_dedup(corpus, "text", "doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids and 2 not in ids
+    assert ids == {1, 3, 4, 5}
+
+
+def test_exact_dedup_idempotent(spark, corpus):
+    once = dedup.exact_dedup(corpus, "text", "doc_id")
+    twice = dedup.exact_dedup(once, "text", "doc_id")
+    assert once.count() == twice.count()
+
+
+def test_minhash_matches_exact_jaccard(spark, corpus):
+    """LSH-pruned pairs must equal exact all-pairs at the threshold."""
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_near_dup_pairs(corpus, "doc_id", "text", 0.5).collect()
+    }
+    sh = corpus.select("doc_id", dedup.shingles(F.col("text")).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dedup.jaccard(F.col("a.sh"), F.col("b.sh")).alias("j"),
+        )
+        .where(F.col("j") >= 0.5)
+        .collect()
+    }
+    assert got == exact
+    assert (1, 2) in got  # the exact duplicate pair always collides
+
+
+def test_simhash_finds_planted_dups(spark, corpus):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_dup_pairs(corpus, "doc_id", "text", 6).collect()
+    }
+    assert (1, 2) in pairs  # identical text → hamming 0
+    # near-dup (one word swapped) should be within a few bits
+    assert (1, 3) in pairs or (2, 3) in pairs
+    # unrelated docs must NOT pair with the base text
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_simhash_hamming_zero_for_identical(spark, corpus):
+    out = dedup.simhash_near_dup_pairs(corpus, "doc_id", "text", 64)
+    h = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert h[(1, 2)] == 0
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    brute = similarity.brute_force_topk(emb, q, k=5)
+    # few planes for a tiny corpus: buckets must hold >1 vector
+    approx = similarity.lsh_topk(emb, q, k=5, n_planes=2)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # single-probe LSH: every returned pair shares the query's bucket,
+    # and cosine ordering within the bucket matches brute force there.
+    assert len(a) > 0
+    recall = len(a & b) / len(b)
+    assert recall > 0.0  # sanity: buckets aren't degenerate
+
+
+def test_lsh_bucket_deterministic(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(20)
+    b1 = emb.select(similarity.lsh_bucket(F.col("embedding")).alias("b")).collect()
+    b2 = emb.select(similarity.lsh_bucket(F.col("embedding")).alias("b")).collect()
+    assert [r["b"] for r in b1] == [r["b"] for r in b2]
+    assert all(0 <= r["b"] < 256 for r in b1)
+
+
+def test_textstats_profile(spark, corpus):
+    out = textstats.text_profile(corpus, "doc_id", "text").collect()
+    row = {r["doc_id"]: r for r in out}
+    assert row[1]["lang_pred"] == "en"  # 'the' ×2, 'and'
+    assert row[1]["n_tokens"] == 14
+    assert 0.0 <= row[1]["quality"] <= 1.0
+    assert row[1]["fingerprint"] == row[2]["fingerprint"]  # identical text
+    assert row[1]["fingerprint"] != row[3]["fingerprint"]  # order/word sensitive
+
+
+def test_multimodal_roundtrip(spark, corpus):
+    with_bin = multimodal.attach_fake_binary(corpus, "text")
+    feats = multimodal.extract_features(
+        with_bin.select("doc_id", "modality", "payload")
+    ).collect()
+    by_id = {r["doc_id"]: r for r in feats}
+    assert by_id[1]["n_bytes"] == len(
+        "the quick brown fox jumps over the lazy dog and runs far away home".encode()
+    )
+    assert by_id[1]["feat_a"] >= 1 and by_id[1]["feat_b"] >= 1
+
+
+def test_decode_stub_unknown_modality():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"xx", "hologram")
