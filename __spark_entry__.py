@@ -25,9 +25,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _modules():
-    from delta_data_pipelines_spark.queries import relational, search_index, training_data
+    from delta_data_pipelines_spark.queries import (
+        relational,
+        scalar,
+        search_index,
+        streaming_q,
+        training_data,
+    )
 
-    return [search_index, relational, training_data]
+    return [search_index, relational, training_data, scalar, streaming_q]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,23 @@
+"""Versioned-table storage layer.
+
+Delta Lake is not available in this environment, so the engine carries
+its own minimal transactional table format — parquet data files plus a
+JSON commit log — providing the semantics the reference gets from its
+stores:
+
+    MERGE (insert-if-absent / upsert)  ↔ Mongo unique-index insert
+                                         (mongodb_utils.py:5-44)
+    version history + RESTORE          ↔ MinIO last-data/old-data
+                                         rotation + rollback
+                                         (price_prediction_data_pipeline.py:140-177,228-268)
+    DEEP CLONE + validate + keep-N     ↔ mongodump backup/restore/
+                                         validate/prune (utils_of_backup.py:43-164)
+    watermark state table              ↔ incremental lower-bound fetch
+                                         (sql_search_incremental_dag.py:118-140)
+
+On a real cluster the same API would be backed by Delta/Iceberg; the
+interface is deliberately shaped so that swap is mechanical.
+"""
+
+from .table import VersionedTable  # noqa: F401
+from .watermark import WatermarkStore  # noqa: F401

@@ -1,0 +1,190 @@
+"""Parquet-backed versioned table with a JSON commit log.
+
+Layout:
+    <root>/_log.json          ordered list of committed versions
+    <root>/v=0000NN/*.parquet immutable data snapshot for version NN
+
+Commits are write-new-dir + atomic log swap (tmp file + ``os.replace``),
+so readers always see a complete version. Every mutating op is a full
+snapshot — simple, correct, and at the reference's table sizes (≤ a few
+GB) cheap; the API mirrors Delta so a log-structured incremental
+backend can replace snapshots without touching callers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Commit:
+    version: int
+    action: str
+    ts: float
+    metrics: dict[str, Any]
+
+
+class VersionedTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---- log ------------------------------------------------------------
+
+    @property
+    def _log_path(self) -> str:
+        return os.path.join(self.root, "_log.json")
+
+    def history(self) -> list[Commit]:
+        if not os.path.exists(self._log_path):
+            return []
+        with open(self._log_path) as f:
+            return [Commit(**e) for e in json.load(f)]
+
+    def latest_version(self) -> int | None:
+        h = self.history()
+        return h[-1].version if h else None
+
+    def _commit(self, action: str, df: DataFrame, metrics: dict[str, Any]) -> Commit:
+        history = self.history()
+        version = (history[-1].version + 1) if history else 0
+        data_dir = os.path.join(self.root, f"v={version:06d}")
+        df.write.mode("overwrite").parquet(data_dir)
+        entry = Commit(version=version, action=action, ts=time.time(), metrics=metrics)
+        tmp = self._log_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump([e.__dict__ for e in history] + [entry.__dict__], f, indent=1)
+        os.replace(tmp, self._log_path)
+        return entry
+
+    def _data_dir(self, version: int) -> str:
+        return os.path.join(self.root, f"v={version:06d}")
+
+    # ---- reads ----------------------------------------------------------
+
+    def exists(self) -> bool:
+        return self.latest_version() is not None
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read the latest snapshot, or time-travel to ``version``."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise FileNotFoundError(f"table {self.root} has no commits")
+        known = {c.version for c in self.history()}
+        if version not in known:
+            raise ValueError(f"version {version} not in {sorted(known)}")
+        return self.spark.read.parquet(self._data_dir(version))
+
+    # ---- writes ---------------------------------------------------------
+
+    def overwrite(self, df: DataFrame) -> Commit:
+        return self._commit("overwrite", df, {"rows": df.count()})
+
+    def append(self, df: DataFrame) -> Commit:
+        if self.exists():
+            df = self.read().unionByName(df)
+        return self._commit("append", df, {"rows": df.count()})
+
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        when_matched: str = "ignore",
+    ) -> Commit:
+        """MERGE INTO this table USING source ON keys.
+
+        ``when_matched='ignore'``  — insert-if-absent, the Mongo
+        unique-index semantics (DuplicateKeyError → skip,
+        mongodb_utils.py:21-36). Re-running the same batch is a no-op:
+        the exactly-once effect the reference builds from at-least-once
+        delivery + downstream dedup (SURVEY §2.9 ST4).
+
+        ``when_matched='update'`` — upsert: source row replaces target.
+
+        Null-key source rows are dropped first (mongodb_utils.py:24-26),
+        and the source is deduplicated on the keys so one batch can't
+        insert the same key twice.
+        """
+        if when_matched not in {"ignore", "update"}:
+            raise ValueError(when_matched)
+        for k in keys:
+            source = source.where(F.col(k).isNotNull())
+        source = source.dropDuplicates(keys)
+
+        if not self.exists():
+            return self._commit("merge", source, {"inserted": source.count(), "updated": 0})
+
+        target = self.read()
+        inserted = source.join(target.select(*keys), keys, "left_anti")
+        n_inserted = inserted.count()
+        if when_matched == "update":
+            kept = target.join(source.select(*keys), keys, "left_anti")
+            updated = source.join(target.select(*keys), keys, "left_semi")
+            n_updated = updated.count()
+            out = kept.unionByName(updated).unionByName(inserted)
+        else:
+            n_updated = 0
+            out = target.unionByName(inserted)
+        return self._commit("merge", out, {"inserted": n_inserted, "updated": n_updated})
+
+    def delete_where(self, condition) -> Commit:
+        """Predicate DELETE (↔ delete_many, S11:
+        del_unuse_record_in_mrestate.py:11-19)."""
+        target = self.read()
+        kept = target.where(~condition | condition.isNull())
+        return self._commit("delete", kept, {"rows": kept.count()})
+
+    # ---- rotation / rollback / backup -----------------------------------
+
+    def restore(self, version: int) -> Commit:
+        """RESTORE TABLE TO VERSION AS OF — the rollback the reference
+        hand-rolls with last-data/old-data object juggling
+        (price_prediction_data_pipeline.py:228-268)."""
+        df = self.read(version)
+        return self._commit("restore", df, {"restored_from": version})
+
+    def clone(self, dest_root: str) -> "VersionedTable":
+        """DEEP CLONE (↔ weekly mongodump backup, utils_of_backup.py:43-76):
+        copies the latest snapshot into a fresh single-version table."""
+        dest = VersionedTable(self.spark, dest_root)
+        dest.overwrite(self.read())
+        return dest
+
+    def validate_against(self, other: "VersionedTable") -> dict[str, Any]:
+        """Backup validation (↔ utils_of_backup.py:105-141): schema-set
+        equality + nonempty + row-count match."""
+        a, b = self.read(), other.read()
+        ok_schema = set(a.columns) == set(b.columns)
+        ca, cb = a.count(), b.count()
+        return {
+            "schema_match": ok_schema,
+            "rows_src": ca,
+            "rows_dst": cb,
+            "ok": ok_schema and ca == cb and cb > 0,
+        }
+
+    def vacuum(self, keep_last: int = 3) -> list[int]:
+        """Drop all but the last N snapshots (↔ keep-last-3 backup
+        retention, utils_of_backup.py:155-164). The log keeps only the
+        surviving versions; time travel beyond them is gone."""
+        history = self.history()
+        if len(history) <= keep_last:
+            return []
+        drop, keep = history[:-keep_last], history[-keep_last:]
+        for c in drop:
+            shutil.rmtree(self._data_dir(c.version), ignore_errors=True)
+        tmp = self._log_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump([e.__dict__ for e in keep], f, indent=1)
+        os.replace(tmp, self._log_path)
+        return [c.version for c in drop]

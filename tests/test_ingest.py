@@ -1,0 +1,292 @@
+"""Pipeline golden tests: tiny raw-payload fixtures per site →
+canonical rows (SURVEY.md §5 plan), plus crawl-side dedup logic and
+the streaming fetch pipeline end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_data_pipelines_spark.ingest import crawl, registry, transform
+from delta_data_pipelines_spark.schemas import (
+    LISTING_COLUMNS,
+    SEEN_URLS_SCHEMA,
+    URL_QUEUE_SCHEMA,
+)
+from delta_data_pipelines_spark.storage import VersionedTable
+
+def NOW():
+    return F.lit("2026-01-01 00:00:00").cast("timestamp")
+
+DIVAR_SCHEMA = """
+content_url string,
+data struct<
+  analytics: struct<cat2:string, cat3:string, city:string>,
+  webengage: struct<district:string, business_type:string, credit:double, rent:double>,
+  seo: struct<post_seo_schema: struct<description:string, image:array<string>,
+    geo: struct<latitude:double, longitude:double>>>,
+  share: struct<title:string>,
+  city: struct<second_slug:string>,
+  sections: array<struct<section_name:string, widgets: array<struct<
+    widget_type:string,
+    data: struct<title:string, value:string, subtitle:string,
+      location: struct<fuzzy_data: struct<point: struct<latitude:double, longitude:double>,
+        radius:double>, exact_data: struct<latitude:double, longitude:double>>>>>>>
+>
+"""
+
+
+@pytest.fixture(scope="module")
+def divar_raw(spark):
+    payload = {
+        "analytics": {"cat2": "residential-sell", "cat3": "apartment-sell", "city": "tehran"},
+        "webengage": {"district": "vanak", "business_type": "personal", "credit": None, "rent": None},
+        "seo": {
+            "post_seo_schema": {
+                "description": "apartment description",
+                "image": ["https://img/1.jpg", "https://img/2.jpg", "https://img/1.jpg"],
+                "geo": {"latitude": 35.7, "longitude": 51.4},
+            }
+        },
+        "share": {"title": "آپارتمان ۷۵ متری"},
+        "city": {"second_slug": None},
+        "sections": [
+            {
+                "section_name": "TITLE",
+                "widgets": [
+                    {
+                        "widget_type": "LEGEND_TITLE_ROW",
+                        "data": {"title": None, "value": None, "subtitle": "۲ روز پیش در تهران", "location": None},
+                    }
+                ],
+            },
+            {
+                "section_name": "LIST_DATA",
+                "widgets": [
+                    {"widget_type": "UNEXPANDABLE_ROW", "data": {"title": "متراژ", "value": "۷۵", "subtitle": None, "location": None}},
+                    {"widget_type": "UNEXPANDABLE_ROW", "data": {"title": "اتاق", "value": "۲", "subtitle": None, "location": None}},
+                    {"widget_type": "UNEXPANDABLE_ROW", "data": {"title": "قیمت کل", "value": "۵٬۲۰۰٬۰۰۰٬۰۰۰ تومان", "subtitle": None, "location": None}},
+                    {"widget_type": "UNEXPANDABLE_ROW", "data": {"title": "طبقه", "value": "۳ از ۵", "subtitle": None, "location": None}},
+                ],
+            },
+        ],
+    }
+    return spark.createDataFrame([("https://divar.example/v/abc", payload)], DIVAR_SCHEMA)
+
+
+def test_divar_transform(spark, divar_raw):
+    from delta_data_pipelines_spark.ingest.transformers import divar
+
+    out = divar.transform(divar_raw, now=NOW())
+    assert out.columns == LISTING_COLUMNS
+    row = out.first()
+    assert row["content_url"] == "https://divar.example/v/abc"
+    assert row["cat3_slug"] == "apartment-sell"
+    assert row["city_slug"] == "tehran"
+    assert row["user_type"] == "شخصی"
+    assert row["building_size"] == 75.0
+    assert row["rooms_count"] == 2
+    assert row["price_value"] == 5_200_000_000
+    assert row["floor"] == 3 and row["total_floors_count"] == 5
+    assert str(row["created_at_month"]) == "2025-12-30 00:00:00"
+    assert row["location_latitude"] == 35.7
+    assert row["images"] == ["https://img/1.jpg", "https://img/2.jpg"]  # ordered dedup
+    assert row["source"] == "divar"
+
+
+SHEYPOOR_SCHEMA = """
+content_url string,
+data struct<
+  attributes: struct<title:string, location:string, timePassedLabel:string,
+    categories: array<struct<name:string>>,
+    price: array<struct<label:string, amount:string>>,
+    images: struct<thumbnails: struct<round:string>>>,
+  fullAttributes: array<struct<key:string, value:string>>,
+  geo: struct<lat:double, lon:double>,
+  description: string
+>
+"""
+
+
+def test_sheypoor_transform(spark):
+    from delta_data_pipelines_spark.ingest.transformers import sheypoor
+
+    payload = {
+        "attributes": {
+            "title": "رهن و اجاره آپارتمان",
+            "location": "تهران، ونک",
+            "timePassedLabel": "ساعاتی پیش",
+            "categories": [{"name": "املاک"}, {"name": "اجاره مسکونی"}],
+            "price": [
+                {"label": "ودیعه", "amount": "۵۰۰٬۰۰۰٬۰۰۰"},
+                {"label": "اجاره ماهیانه", "amount": "۲۰٬۰۰۰٬۰۰۰"},
+            ],
+            "images": {"thumbnails": {"round": "https://img/round.jpg"}},
+        },
+        "fullAttributes": [{"key": "متراژ", "value": "۸۰"}, {"key": "تعداد اتاق", "value": "۲"}],
+        "geo": {"lat": 35.75, "lon": 51.41},
+        "description": "desc",
+    }
+    raw = spark.createDataFrame([("https://sheypoor.example/v/1", payload)], SHEYPOOR_SCHEMA)
+    row = sheypoor.transform(raw, now=NOW()).first()
+    assert row["city_slug"] == "تهران"
+    assert row["neighborhood_slug"] == "ونک"
+    assert row["credit_value"] == 500_000_000.0
+    assert row["rent_value"] == 20_000_000.0
+    assert row["rent_type"] == "rent_credit"
+    assert row["building_size"] == 80.0
+    assert str(row["created_at_month"]) == "2025-12-31 22:00:00"  # ساعاتی پیش → −2h
+    assert row["image"] == "https://img/round.jpg"
+
+
+MRESTATE_SCHEMA = """
+content_url string,
+data struct<pageProps: struct<data: struct<
+  breadcrumb: array<struct<name:string>>,
+  data: struct<city:string, neighbourhood:string, date_publish:string,
+    is_owner:boolean, creator_properties: struct<real_estate:string, consultant:string>,
+    more_description:string, title:string, price_rent:bigint, price_sell:bigint,
+    price_mortgage:bigint, area:double, num_bedrooms:int, year_constructed:int,
+    latitude:double, longitude:double,
+    more_details: struct<floor:int, balcony:boolean, elevator:boolean,
+      storeHouse:boolean, parking:int, security:boolean, pool:boolean,
+      jacuzzi:boolean, sauna:boolean>,
+    list_image: array<struct<url:string>>>>>>
+"""
+
+
+def test_mrestate_transform(spark):
+    from delta_data_pipelines_spark.ingest.transformers import mrestate
+
+    payload = {
+        "pageProps": {
+            "data": {
+                "breadcrumb": [{"name": "خانه"}, {"name": "تهران"}, {"name": "آپارتمان"}],
+                "data": {
+                    "city": "Tehran",
+                    "neighbourhood": "Saadat Abad",
+                    "date_publish": "۳ روز پیش",
+                    "is_owner": True,
+                    "creator_properties": {"real_estate": None, "consultant": None},
+                    "more_description": "desc",
+                    "title": "apt",
+                    "price_rent": 0,
+                    "price_sell": 9_000_000_000,
+                    "price_mortgage": 0,
+                    "area": 120.0,
+                    "num_bedrooms": 3,
+                    "year_constructed": 1398,
+                    "latitude": 35.78,
+                    "longitude": 51.39,
+                    "more_details": {
+                        "floor": 4, "balcony": True, "elevator": True, "storeHouse": True,
+                        "parking": 2, "security": True, "pool": False, "jacuzzi": False,
+                        "sauna": False,
+                    },
+                    "list_image": [{"url": "/media/a.jpg"}, {"url": "https://cdn/b.jpg"}],
+                },
+            }
+        }
+    }
+    raw = spark.createDataFrame([("https://mrestate.example/p/9", payload)], MRESTATE_SCHEMA)
+    row = mrestate.transform(raw, now=NOW()).first()
+    assert row["user_type"] == "شخصی"
+    assert row["price_value"] == 9_000_000_000
+    assert row["has_parking"] is True
+    assert row["floor"] == 4
+    assert str(row["created_at_month"]) == "2025-12-29 00:00:00"
+    assert row["images"] == ["https://mrestate.example/media/a.jpg", "https://cdn/b.jpg"]
+    assert row["bread_crumb"] == "خانه\n/\nتهران\n/\nآپارتمان"
+
+
+KILID_HTML = """
+<html><body>
+<nav>
+ <a class="breadcrumb" href="/">خانه</a>
+ <a class="breadcrumb" href="/buy">خرید</a>
+ <a class="breadcrumb" href="/tehran">تهران</a>
+ <a class="breadcrumb" href="/apt">آپارتمان</a>
+ <a class="breadcrumb" href="/vnk">ونک</a>
+</nav>
+<h1 class="title">آپارتمان ۹۵ متری ونک</h1>
+<div><span class="price-label">قیمت کل</span><span class="price-value">۸.۵ میلیارد تومان</span></div>
+<div>سند: تک‌برگ</div>
+<span class="publish-date">۱ هفته پیش</span>
+<div class="area">۹۵ متر</div>
+<div class="rooms">۲</div>
+<p class="description">توضیحات ملک</p>
+</body></html>
+"""
+
+
+def test_kilid_transform(spark):
+    from delta_data_pipelines_spark.ingest.transformers import kilid
+
+    raw = spark.createDataFrame(
+        [("https://kilid.example/l/77", KILID_HTML, "BUY", "APARTMENT", "RESIDENTIAL")],
+        "content_url string, html_content string, listingType string, propertyType string, landuseType string",
+    )
+    row = kilid.transform(raw, now=NOW()).first()
+    assert row["cat1_slug"] == "buy"
+    assert row["title"] == "آپارتمان ۹۵ متری ونک"
+    assert row["price_value"] == 8_000_000_000  # first int of ۸.۵ میلیارد
+    assert row["rent_value"] is None  # BUY nulls rent fields
+    assert row["deed_type"] == "تک برگ"
+    assert row["building_size"] == 95.0
+    assert row["rooms_count"] == 2
+    assert row["city_slug"] == "تهران"
+    assert str(row["created_at_month"]) == "2025-12-25 00:00:00"
+
+
+def test_registry_dispatch_and_union(spark, divar_raw):
+    out = transform("divar", divar_raw)
+    assert out.columns == LISTING_COLUMNS
+    with pytest.raises(KeyError):
+        transform("nope", divar_raw)
+
+
+def test_crawl_dedup_and_publish(spark, tmp_path):
+    seen_t = VersionedTable(spark, str(tmp_path / "seen"))
+    queue_t = VersionedTable(spark, str(tmp_path / "queue"))
+    seen_t.overwrite(
+        spark.createDataFrame([("divar", "u1"), ("divar", "u2")], SEEN_URLS_SCHEMA)
+    )
+    urls = spark.createDataFrame([("u1",), ("u3",), ("u4",)], "content_url string")
+    new, dup = crawl.partition_new(urls, seen_t.read(), "divar")
+    assert {r["content_url"] for r in new.collect()} == {"u3", "u4"}
+    assert {r["content_url"] for r in dup.collect()} == {"u1"}
+    assert crawl.dup_ratio(urls, seen_t.read(), "divar") == pytest.approx(1 / 3)
+    assert crawl.publish(queue_t, new, "divar") == 2
+    assert crawl.publish(queue_t, new, "divar") == 0  # idempotent
+    assert crawl.mark_seen(seen_t, new, "divar") == 2
+    assert crawl.dup_ratio(urls, seen_t.read(), "divar") == 1.0
+
+
+def test_streaming_fetch_pipeline(spark, tmp_path, divar_raw):
+    """queue dir → readStream → divar transform → MERGE sink, twice:
+    the second delivery must not duplicate rows (ST4)."""
+    from delta_data_pipelines_spark.ingest.transformers import divar
+    from delta_data_pipelines_spark.streaming import queue_stream, run_fetch_pipeline
+
+    qdir = str(tmp_path / "landing")
+    divar_raw.write.mode("overwrite").parquet(qdir)
+    listings = VersionedTable(spark, str(tmp_path / "listings"))
+
+    stream = queue_stream(spark, qdir, divar_raw.schema, max_files_per_trigger=1)
+    q = run_fetch_pipeline(
+        stream, lambda df: divar.transform(df, now=NOW()), listings,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert listings.read().count() == 1
+
+    # redeliver the same payload in a new file → merge no-ops
+    divar_raw.write.mode("append").parquet(qdir)
+    stream2 = queue_stream(spark, qdir, divar_raw.schema)
+    q2 = run_fetch_pipeline(
+        stream2, lambda df: divar.transform(df, now=NOW()), listings,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert listings.read().count() == 1
+    assert listings.read().first()["city_slug"] == "tehran"

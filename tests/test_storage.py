@@ -1,0 +1,104 @@
+"""Storage-layer tests: MERGE idempotency, time travel, rotation,
+backup clone/validate, vacuum retention, watermark semantics —
+the property tests SURVEY.md §5 calls for."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from delta_data_pipelines_spark.storage import VersionedTable, WatermarkStore
+
+SCHEMA = "content_url string, title string, price long"
+
+
+def rows(spark, data):
+    return spark.createDataFrame(data, SCHEMA)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return VersionedTable(spark, str(tmp_path / "t"))
+
+
+def test_merge_insert_if_absent_idempotent(spark, table):
+    batch = rows(spark, [("u1", "a", 10), ("u2", "b", 20)])
+    c1 = table.merge(batch, keys=["content_url"])
+    assert c1.metrics == {"inserted": 2, "updated": 0}
+    # re-delivering the same batch (at-least-once) inserts nothing
+    c2 = table.merge(batch, keys=["content_url"])
+    assert c2.metrics == {"inserted": 0, "updated": 0}
+    assert table.read().count() == 2
+
+
+def test_merge_skips_null_keys_and_batch_dups(spark, table):
+    batch = rows(spark, [(None, "x", 1), ("u1", "a", 10), ("u1", "a2", 11)])
+    c = table.merge(batch, keys=["content_url"])
+    assert c.metrics["inserted"] == 1
+    assert table.read().count() == 1
+
+
+def test_merge_upsert(spark, table):
+    table.merge(rows(spark, [("u1", "old", 10)]), keys=["content_url"])
+    c = table.merge(
+        rows(spark, [("u1", "new", 99), ("u2", "b", 20)]),
+        keys=["content_url"],
+        when_matched="update",
+    )
+    assert c.metrics == {"inserted": 1, "updated": 1}
+    got = {r["content_url"]: r["title"] for r in table.read().collect()}
+    assert got == {"u1": "new", "u2": "b"}
+
+
+def test_time_travel_and_restore(spark, table):
+    table.overwrite(rows(spark, [("u1", "v0", 1)]))
+    table.overwrite(rows(spark, [("u2", "v1", 2)]))
+    assert table.read(0).first()["content_url"] == "u1"
+    assert table.read().first()["content_url"] == "u2"
+    table.restore(0)
+    assert table.read().first()["content_url"] == "u1"
+    assert table.latest_version() == 2  # restore is a new commit
+
+
+def test_delete_where(spark, table):
+    from pyspark.sql import functions as F
+
+    table.overwrite(rows(spark, [("u1", None, 1), ("u2", "b", 2)]))
+    table.delete_where(F.col("title").isNull())
+    got = [r["content_url"] for r in table.read().collect()]
+    assert got == ["u2"]
+
+
+def test_clone_and_validate(spark, table, tmp_path):
+    table.overwrite(rows(spark, [("u1", "a", 1), ("u2", "b", 2)]))
+    backup = table.clone(str(tmp_path / "backup"))
+    report = table.validate_against(backup)
+    assert report["ok"] and report["rows_src"] == report["rows_dst"] == 2
+
+
+def test_vacuum_keeps_last_n(spark, table):
+    for i in range(5):
+        table.overwrite(rows(spark, [(f"u{i}", "x", i)]))
+    dropped = table.vacuum(keep_last=3)
+    assert dropped == [0, 1]
+    assert [c.version for c in table.history()] == [2, 3, 4]
+    with pytest.raises(ValueError):
+        table.read(0)
+    assert table.read(4).first()["content_url"] == "u4"
+
+
+def test_watermark_lifecycle(spark, tmp_path):
+    wm = WatermarkStore(spark, str(tmp_path / "wm"))
+    now = datetime(2026, 1, 2, 12, 0, 0)
+    # absent → now - 1 day fallback
+    assert wm.lower_bound("idx", now=now) == now - timedelta(days=1)
+    wm.advance("idx", datetime(2026, 1, 2, 10, 0, 0))
+    # present → wm - 1h overlap
+    assert wm.lower_bound("idx", now=now) == datetime(2026, 1, 2, 9, 0, 0)
+    # monotonic: stale advance ignored
+    wm.advance("idx", datetime(2026, 1, 1, 0, 0, 0))
+    assert wm.get("idx") == datetime(2026, 1, 2, 10, 0, 0)
+    # independent pipelines
+    wm.advance("other", datetime(2026, 1, 2, 11, 0, 0))
+    assert wm.get("idx") == datetime(2026, 1, 2, 10, 0, 0)

@@ -43,7 +43,11 @@ def _norm_value(v):
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_value(x) for x in v) + "]"
     if hasattr(v, "isoformat"):
-        return v.isoformat(sep=" ").replace("+00:00", "")
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            return v.isoformat(sep=" ").replace("+00:00", "")
+        return v.isoformat()
     return str(v)
 
 
