@@ -1,0 +1,109 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the `noop` sink (a bare .count()
+lets Spark skip projection work, under-measuring scans).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # flagship multi-CTE pivot + 5-join search-index rebuild
+    "search_index_full",
+    "search_index_incremental",
+    # relational core
+    "j_dim_chain",
+    "a_eav_pivot",
+    "m_melt_eav",
+    "d_anti_join",
+    "w_batch_ids",
+    # training-data operators
+    "dd_exact",
+    "dd_minhash",
+    "sim_brute_topk",
+    "txt_profile",
+    # streaming semantics (batch-mode windowed agg)
+    "st_windowed_counts",
+    # scalar expression throughput
+    "f_string_ops",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("delta-data-pipelines-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    registry = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # JVM/codegen warmup on the smallest SF so per-query numbers reflect
+    # the plan, not first-run JIT.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        try:
+            registry["search_index_full"](spark, warm_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception:
+            pass
+
+    for name in HEADLINE:
+        fn = registry.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # record failures, keep benching
+            timings[name] = -1.0
+            print(f"BENCH-FAIL {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

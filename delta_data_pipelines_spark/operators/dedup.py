@@ -72,16 +72,50 @@ def exact_dedup(df: DataFrame, key: Column | str, order: Column | str) -> DataFr
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
 
-def minhash_signature(text: Column, num_perm: int = NUM_PERM) -> Column:
-    """MinHash signature: element s = min over shingles of
-    xxhash64(shingle ⊕ seed_s). Pure per-row expression — no shuffle,
-    no UDF."""
-    sh = shingles(text)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda s: F.array_min(
-            F.transform(sh, lambda x: F.xxhash64(F.concat(x, F.lit("#"), s.cast("string"))))
-        ),
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the scan gave us
+    fewer partitions than cores.
+
+    CPU-heavy per-row operators (signature hashing) otherwise run on
+    however many splits the file scan produced — a 30 MB parquet is ONE
+    split, serializing the whole corpus onto one core. At 100 TB the
+    scan already yields thousands of splits and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = NUM_PERM
+) -> DataFrame:
+    """(id, _hs hashed shingle set, _sig minhash signature) per doc.
+
+    Two-stage hashing: each shingle is hashed ONCE to int64
+    (``xxhash64(shingle)``), then the k permutations re-hash that int64
+    with the permutation index as seed material (``xxhash64(h, s)``) —
+    k×|shingles| fixed-width integer hashes instead of k×|shingles|
+    string concat+hash. The stages are separate projections so the
+    hashed-shingle array is materialized per row, not re-evaluated
+    inside the permutation lambda (a nested expression would recompute
+    it k times). Downstream Jaccard verification runs on ``_hs``
+    directly — set identity survives hashing (64-bit collisions are
+    ~|sh|²/2⁶⁴ ≈ 0), and intersecting long arrays beats strings.
+    """
+    sh = _spread(df.select(id_col, F.col(text_col))).select(
+        id_col, shingles(F.col(text_col)).alias("_sh")
+    )
+    hashed = sh.select(
+        id_col, F.transform("_sh", lambda x: F.xxhash64(x)).alias("_hs")
+    )
+    return hashed.select(
+        id_col,
+        "_hs",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda s: F.array_min(F.transform("_hs", lambda h: F.xxhash64(h, s))),
+        ).alias("_sig"),
     )
 
 
@@ -104,17 +138,13 @@ def _banded(df: DataFrame, id_col: str, sig_col: str = "_sig") -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_bucket: int = 1000
-) -> DataFrame:
-    """Banded-LSH candidate pairs (id_a < id_b), deduplicated.
+def _candidates(banded: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
+    """Distinct (id_a < id_b) pairs from (band_id, band_hash) buckets.
 
     ``max_bucket`` drops degenerate buckets (boilerplate collapsing
     millions of docs into one band value) before the quadratic
     self-join — the guard that keeps this runnable at 100 TB.
     """
-    sig = df.select(id_col, minhash_signature(F.col(text_col)).alias("_sig"))
-    banded = _banded(sig, id_col)
     bucket_w = Window.partitionBy("band_id", "band_hash")
     banded = banded.withColumn("_n", F.count("*").over(bucket_w)).where(
         F.col("_n") <= max_bucket
@@ -136,22 +166,33 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_bucket: int = 1000
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b), deduplicated."""
+    sig = minhash_signatures(df, id_col, text_col).select(id_col, "_sig")
+    return _candidates(_banded(sig, id_col), id_col, max_bucket)
+
+
 def minhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
 
     LSH prunes the O(n²) pair space to colliding buckets; the exact
-    Jaccard join then removes false positives, so output precision is
-    1.0 and recall is the LSH collision probability (≈1 at the 0.8
-    threshold with the default geometry).
+    Jaccard join (over the hashed shingle sets — see
+    ``minhash_signatures``) then removes false positives, so output
+    precision is 1.0 and recall is the LSH collision probability (≈1
+    at the 0.8 threshold with the default geometry).
     """
-    cand = lsh_candidate_pairs(df, id_col, text_col)
-    sh = df.select(F.col(id_col), shingles(F.col(text_col)).alias("_sh"))
+    base = minhash_signatures(df, id_col, text_col)
+    cand = _candidates(_banded(base.select(id_col, "_sig"), id_col), id_col, max_bucket)
+    hs = base.select(id_col, "_hs")
     out = (
-        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
-        .withColumn("jaccard_sim", F.round(jaccard(F.col("_sh_a"), F.col("_sh_b")), 9))
+        cand.join(hs.withColumnRenamed(id_col, "id_a").withColumnRenamed("_hs", "_hs_a"), "id_a")
+        .join(hs.withColumnRenamed(id_col, "id_b").withColumnRenamed("_hs", "_hs_b"), "id_b")
+        .withColumn("jaccard_sim", F.round(jaccard(F.col("_hs_a"), F.col("_hs_b")), 9))
         .where(F.col("jaccard_sim") >= threshold)
     )
     return out.select("id_a", "id_b", "jaccard_sim")
@@ -171,7 +212,7 @@ def ngram_jaccard_pairs(
     stay ~10³-10⁴ docs at full scale. Deterministic (no hashing), so
     it doubles as the oracle for the MinHash path.
     """
-    sh = df.select(
+    sh = _spread(df.select(block_col, id_col, text_col)).select(
         F.col(block_col).alias("_blk"), F.col(id_col), shingles(F.col(text_col)).alias("_sh")
     )
     a, b = sh.alias("a"), sh.alias("b")
@@ -240,7 +281,9 @@ def simhash_near_dup_pairs(
     Hamming distance ≤ 3×(chunks-1) shares at least one exact chunk,
     so candidates come from equi-joins on (chunk_idx, chunk_value) —
     never a cross join. Verified by exact chunk-wise Hamming."""
-    sig = df.select(F.col(id_col), simhash_chunks(text_col).alias("_sh"))
+    sig = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col), simhash_chunks(text_col).alias("_sh")
+    )
     posed = sig.select(
         id_col,
         "_sh",
@@ -293,7 +336,7 @@ def embedding_near_dup_pairs(
     """
     from .similarity import cosine
 
-    v = df.select(
+    v = _spread(df).select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
