@@ -1,9 +1,14 @@
 """Streaming-semantics queries, batch twins (SURVEY §2.9).
 
-The streaming pipeline's windowed aggregate (streaming.pipeline.
-windowed_event_counts) is one expression usable in both batch and
-streaming mode; the batch run is what the oracle checks — tumbling
-windows reduce to time_bucket in SQL.
+Every streaming operator here is ONE expression usable in both batch
+and streaming mode (the streaming runs are exercised in
+tests/test_streaming.py); the batch run is what the oracle checks:
+
+    tumbling window  → time_bucket
+    sliding window   → time_bucket × unnested slide offsets
+    session window   → gaps-and-islands (lag + running sum)
+    stream dedup     → DISTINCT ON key
+    stateful totals  → plain GROUP BY (the state's fixed point)
 """
 
 from __future__ import annotations
@@ -11,7 +16,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import read_table
-from ..streaming.pipeline import windowed_event_counts
+from ..streaming.pipeline import (
+    dedup_events,
+    session_event_stats,
+    sliding_event_counts,
+    windowed_event_counts,
+)
+from ..streaming.stateful import running_user_totals_batch
 
 
 def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -19,7 +30,33 @@ def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(e, window="5 minutes", watermark="10 minutes")
 
 
-SPARK_QUERIES = {"st_windowed_counts": st_windowed_counts}
+def st_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return sliding_event_counts(e, window="10 minutes", slide="5 minutes")
+
+
+def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return session_event_stats(e, gap="10 minutes")
+
+
+def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return dedup_events(e, keys=["event_id"]).select("event_id", "user_id", "event_type")
+
+
+def st_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return running_user_totals_batch(e)
+
+
+SPARK_QUERIES = {
+    "st_windowed_counts": st_windowed_counts,
+    "st_sliding_counts": st_sliding_counts,
+    "st_session_windows": st_session_windows,
+    "st_dedup": st_dedup,
+    "st_running_totals": st_running_totals,
+}
 
 ORACLE_SQL = {
     "st_windowed_counts": """
@@ -29,5 +66,45 @@ ORACLE_SQL = {
                ROUND(SUM(value), 6) AS total_value
         FROM events
         GROUP BY 1, 2
+    """,
+    # every event belongs to the slide-bucket window and the one before
+    "st_sliding_counts": """
+        SELECT time_bucket(INTERVAL '5 minutes', ts) - to_minutes(5 * k) AS window_start,
+               event_type,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 6) AS total_value
+        FROM events CROSS JOIN (VALUES (0), (1)) offs(k)
+        GROUP BY 1, 2
+    """,
+    "st_session_windows": """
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w > INTERVAL '10 minutes'
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+            SELECT user_id, ts, value,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT MIN(ts) AS session_start, user_id,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS total_value
+        FROM sess GROUP BY user_id, sid
+    """,
+    "st_dedup": """
+        SELECT event_id, user_id, event_type FROM (
+            SELECT event_id, user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "st_running_totals": """
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS total_value
+        FROM events GROUP BY user_id
     """,
 }

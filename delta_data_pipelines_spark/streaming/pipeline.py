@@ -87,3 +87,61 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window aggregate: each event lands in window/slide
+    overlapping windows (epoch-aligned, like the tumbling case)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_event_stats(
+    events: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-user session windows: a session closes after ``gap`` of
+    inactivity. ``session_window`` keeps this a single shuffle on
+    (user_id) — state is per-key and bounded by the watermark in
+    streaming mode. Batch twin = gaps-and-islands SQL."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_events(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once projection of an at-least-once stream: drop
+    re-deliveries by key (↔ ST4's Mongo-unique-index boundary). In
+    streaming mode the watermark bounds the dedup state; in batch it
+    is a plain dropDuplicates."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)

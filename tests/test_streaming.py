@@ -1,0 +1,160 @@
+"""Real Structured Streaming runs (readStream → availableNow) for the
+operators whose batch twins the oracle checks — proving the same
+expressions hold under micro-batch execution, watermarks, and state."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from delta_data_pipelines_spark.streaming.pipeline import (
+    dedup_events,
+    windowed_event_counts,
+)
+from delta_data_pipelines_spark.streaming.stateful import (
+    running_user_totals,
+    running_user_totals_batch,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    from delta_data_pipelines_spark.catalog import read_table
+
+    return read_table(spark, SF_DIR, "events")
+
+
+def _stream_from(spark, df, tmp_path, name, files=3):
+    """Materialize df as `files` parquet files and open a bounded
+    file-source stream over them (one file per micro-batch)."""
+    data_dir = str(tmp_path / name)
+    df.repartition(files).write.mode("overwrite").parquet(data_dir)
+    return (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+
+
+def _stream_time_ordered(spark, df, tmp_path, name, slices=3):
+    """Like _stream_from, but slices rows by event time and stamps file
+    mtimes in slice order, so micro-batches arrive in event-time order
+    (the file source schedules oldest-mtime first). Needed for
+    watermarked tests: random file order would deliver early events
+    after the watermark already passed them."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    data_dir = str(tmp_path / name)
+    os.makedirs(data_dir, exist_ok=True)
+    sliced = df.withColumn("_slice", F.ntile(slices).over(Window.orderBy("ts")))
+    base = 1_600_000_000
+    for i in range(1, slices + 1):
+        part_dir = str(tmp_path / f"{name}_part{i}")
+        sliced.where(F.col("_slice") == i).drop("_slice").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        (src,) = glob.glob(os.path.join(part_dir, "*.parquet"))
+        dst = os.path.join(data_dir, f"{i:03d}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (base + i, base + i))
+    return (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(data_dir)
+    )
+
+
+def _drain(stream_df, tmp_path, name, mode="append"):
+    """Run a streaming query to completion, collecting every batch."""
+    batches: list[pd.DataFrame] = []
+
+    def sink(batch_df, epoch_id):
+        batches.append(batch_df.toPandas())
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return pd.concat(batches) if batches else pd.DataFrame()
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    e = _events(spark)
+    batch = windowed_event_counts(e).toPandas()
+    stream = _stream_time_ordered(spark, e, tmp_path, "ev_win")
+    got = _drain(windowed_event_counts(stream), tmp_path, "win")
+    # append mode emits a window exactly once, after the watermark
+    # passes its end — so every emitted window must carry the complete
+    # (= batch) counts, and all but the last watermark-width of
+    # windows must have emitted.
+    key = ["window_start", "event_type"]
+    merged = batch.merge(got, on=key, suffixes=("_b", "_s"))
+    assert len(got) > 0.9 * len(batch)
+    assert len(merged) == len(got)
+    assert (merged["n_b"] == merged["n_s"]).all()
+    assert (merged["total_value_b"] - merged["total_value_s"]).abs().max() < 1e-6
+
+
+def test_stateful_running_totals_converge_to_batch(spark, tmp_path):
+    e = _events(spark).select("user_id", "ts", "value")
+    stream = _stream_from(spark, e, tmp_path, "ev_state")
+    got = _drain(running_user_totals(stream), tmp_path, "state", mode="update")
+    assert len(got) > 0
+    # update mode re-emits a key each batch it changes in: final state
+    # per user = last emission. groupby.last keeps emission order.
+    final = got.groupby("user_id").last().reset_index()
+    expect = running_user_totals_batch(e).toPandas()
+    m = expect.merge(final, on="user_id", suffixes=("_b", "_s"))
+    assert len(m) == len(expect)
+    assert (m["n_events_b"] == m["n_events_s"]).all()
+    assert (m["total_value_b"] - m["total_value_s"]).abs().max() < 1e-6
+
+
+def test_stream_dedup_drops_redelivery(spark, tmp_path):
+    e = _events(spark).select("event_id", "ts", "user_id", "event_type").limit(200)
+    doubled = e.union(e)  # at-least-once re-delivery (same event time →
+    # same time slice, i.e. re-delivered within the watermark, which is
+    # the window dropDuplicatesWithinWatermark guarantees)
+    stream = _stream_time_ordered(spark, doubled, tmp_path, "ev_dup", slices=4)
+    got = _drain(dedup_events(stream, keys=["event_id"]), tmp_path, "dedup")
+    assert len(got) == 200
+    assert got["event_id"].is_unique
+
+
+def test_fetch_pipeline_merge_idempotent(spark, tmp_path):
+    """queue stream → transformer → MERGE sink: re-running the same
+    queue contents must not create duplicate listings (ST4)."""
+    from delta_data_pipelines_spark.storage import VersionedTable
+    from delta_data_pipelines_spark.streaming.pipeline import (
+        queue_stream,
+        run_fetch_pipeline,
+    )
+
+    msgs = spark.createDataFrame(
+        [(f"https://example.com/ad/{i % 5}", "divar") for i in range(20)],
+        "content_url string, site string",
+    )
+    qdir = str(tmp_path / "queue")
+    msgs.repartition(2).write.mode("overwrite").parquet(qdir)
+    listings = VersionedTable(spark, str(tmp_path / "listings"))
+
+    for attempt in range(2):  # second run = full re-delivery
+        q = run_fetch_pipeline(
+            queue_stream(spark, qdir, msgs.schema, max_files_per_trigger=1),
+            lambda df: df,
+            listings,
+            str(tmp_path / f"ckpt_fetch_{attempt}"),
+        )
+        q.awaitTermination(120)
+    assert listings.read().count() == 5
