@@ -30,10 +30,11 @@ def _modules():
         scalar,
         search_index,
         streaming_q,
+        tpch,
         training_data,
     )
 
-    return [search_index, relational, training_data, scalar, streaming_q]
+    return [search_index, relational, training_data, scalar, streaming_q, tpch]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

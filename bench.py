@@ -22,6 +22,10 @@ HEADLINE = [
     # flagship multi-CTE pivot + 5-join search-index rebuild
     "search_index_full",
     "search_index_incremental",
+    # TPC-H-shaped scan/join/agg throughput
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
     # relational core
     "j_dim_chain",
     "a_eav_pivot",

@@ -28,6 +28,11 @@ def persian_to_english_digits(col: Column | str) -> Column:
     return F.translate(_c(col), PERSIAN_DIGITS, ENGLISH_DIGITS)
 
 
+def english_to_persian_digits(col: Column | str) -> Column:
+    """Inverse of F1 — used to synthesize Persian fixtures/outputs."""
+    return F.translate(_c(col), ENGLISH_DIGITS, PERSIAN_DIGITS)
+
+
 def safe_int(col: Column | str, default: int = 0) -> Column:
     """F3 — int(float(v)) with default on failure
     (utils_of_searchengine.py:64-68).

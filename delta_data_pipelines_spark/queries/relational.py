@@ -341,6 +341,47 @@ def m_rename_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — ROLLUP (absent in the reference, free in Spark): subtotal
+    rows per (returnflag), (returnflag, linestatus), and grand total.
+    One shuffle; partial aggregation applies per grouping set."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        )
+    )
+
+
+def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — CUBE over (orderstatus, orderpriority): all 4 grouping
+    sets in one pass."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+        )
+    )
+
+
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — explicit GROUPING SETS: the named subtotal combinations
+    only (by-flag and by-status, no cross/grand total)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
 SPARK_QUERIES = {
     "p_filter_project": p_filter_project,
     "p_null_membership": p_null_membership,
@@ -363,6 +404,9 @@ SPARK_QUERIES = {
     "so_except": so_except,
     "m_melt_eav": m_melt_eav,
     "m_rename_reorder": m_rename_reorder,
+    "a_rollup": a_rollup,
+    "a_cube": a_cube,
+    "a_grouping_sets": a_grouping_sets,
 }
 
 ORACLE_SQL = {
@@ -506,5 +550,22 @@ ORACLE_SQL = {
         SELECT CAST(p_partkey AS BIGINT) AS Id, p_name AS Title, 1247 AS StatusId,
                CAST(p_retailprice AS DOUBLE) AS Price, CAST(p_size AS INTEGER) AS Size
         FROM part
+    """,
+    "a_rollup": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "a_cube": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "a_grouping_sets": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
     """,
 }

@@ -81,6 +81,70 @@ def f_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f_toman_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — parse_toman_amount on synthesized Persian money text.
+
+    Each order gets a deterministic Persian-digit amount string with a
+    scale word chosen by key: میلیارد(×1e9)/میلیون(×1e6)/هزار(×1e3)/
+    توافقی(negotiable → NULL). The oracle computes the expected long
+    straight from the numbers, so the whole fa-digit + regex + scale
+    chain is what's under test.
+    """
+    from ..functions.fa import english_to_persian_digits
+    from ..functions.money import parse_toman_amount, toman_mode
+
+    o = read_table(spark, sf_dir, "orders")
+    n = (F.col("o_orderkey") % 900 + 1).cast("string")
+    fa_n = english_to_persian_digits(n)
+    cls = F.col("o_orderkey") % 4
+    text = (
+        F.when(cls == 0, F.concat(fa_n, F.lit(" میلیارد تومان")))
+        .when(cls == 1, F.concat(fa_n, F.lit(" میلیون تومان")))
+        .when(cls == 2, F.concat(fa_n, F.lit(" هزار تومان")))
+        .otherwise(F.lit("توافقی"))
+    )
+    return o.select(
+        "o_orderkey",
+        parse_toman_amount(text).alias("toman"),
+        toman_mode(text).alias("mode"),
+    )
+
+
+def f_relative_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 — text_to_date on synthesized relative-Persian phrases with a
+    frozen clock (divar variant: divar_transformer.py:32-56)."""
+    from ..functions.dates import text_to_date
+    from ..functions.fa import english_to_persian_digits
+
+    now = F.lit("2024-06-01 12:00:00").cast("timestamp")
+    o = read_table(spark, sf_dir, "orders")
+    n = (F.col("o_orderkey") % 24 + 1).cast("string")
+    fa_n = english_to_persian_digits(n)
+    cls = F.col("o_orderkey") % 6
+    text = (
+        F.when(cls == 0, F.lit("لحظاتی پیش"))
+        .when(cls == 1, F.lit("دقایقی پیش"))
+        .when(cls == 2, F.concat(fa_n, F.lit(" روز پیش")))
+        .when(cls == 3, F.concat(fa_n, F.lit(" هفته پیش")))
+        .when(cls == 4, F.concat(fa_n, F.lit(" ماه پیش")))
+        .otherwise(F.concat(fa_n, F.lit(" ساعت پیش")))
+    )
+    return o.select("o_orderkey", text_to_date(text, now=now).alias("published_at"))
+
+
+def f_age_build_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 — age→Jalali build year bucketing with a frozen clock
+    (utils_of_searchengine.py:71-91)."""
+    from ..functions.dates import age_to_build_year
+
+    now = F.lit("2024-06-01 12:00:00").cast("timestamp")
+    o = read_table(spark, sf_dir, "orders")
+    age = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("string")).otherwise(
+        (F.col("o_orderkey") % 45).cast("string")
+    )
+    return o.select("o_orderkey", age_to_build_year(age, now=now).alias("build_year"))
+
+
 SPARK_QUERIES = {
     "f_translate": f_translate,
     "f_regex_extract_cast": f_regex_extract_cast,
@@ -88,6 +152,9 @@ SPARK_QUERIES = {
     "f_case_buckets": f_case_buckets,
     "f_json_navigation": f_json_navigation,
     "f_string_ops": f_string_ops,
+    "f_toman_parse": f_toman_parse,
+    "f_relative_dates": f_relative_dates,
+    "f_age_build_year": f_age_build_year,
 }
 
 ORACLE_SQL = {
@@ -124,6 +191,40 @@ ORACLE_SQL = {
         SELECT event_id,
                TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
         FROM events
+    """,
+    "f_toman_parse": """
+        SELECT o_orderkey,
+               CASE o_orderkey % 4
+                    WHEN 0 THEN (o_orderkey % 900 + 1) * 1000000000
+                    WHEN 1 THEN (o_orderkey % 900 + 1) * 1000000
+                    WHEN 2 THEN (o_orderkey % 900 + 1) * 1000
+                    ELSE NULL END AS toman,
+               CASE WHEN o_orderkey % 4 = 3 THEN 'توافقی' ELSE NULL END AS mode
+        FROM orders
+    """,
+    "f_relative_dates": """
+        SELECT o_orderkey,
+               CASE o_orderkey % 6
+                    WHEN 0 THEN TIMESTAMP '2024-06-01 12:00:00'
+                    WHEN 1 THEN TIMESTAMP '2024-06-01 12:00:00' - INTERVAL '5 minutes'
+                    WHEN 2 THEN TIMESTAMP '2024-06-01 12:00:00'
+                         - to_days(CAST(o_orderkey % 24 + 1 AS INTEGER))
+                    WHEN 3 THEN TIMESTAMP '2024-06-01 12:00:00'
+                         - to_days(CAST((o_orderkey % 24 + 1) * 7 AS INTEGER))
+                    WHEN 4 THEN TIMESTAMP '2024-06-01 12:00:00'
+                         - to_days(CAST((o_orderkey % 24 + 1) * 30 AS INTEGER))
+                    ELSE TIMESTAMP '2024-06-01 12:00:00'
+                         - to_hours(CAST(o_orderkey % 24 + 1 AS INTEGER))
+               END AS published_at
+        FROM orders
+    """,
+    "f_age_build_year": """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    WHEN o_orderkey % 45 > 30 THEN 2024 - 621 - 31
+                    WHEN o_orderkey % 45 > 20 THEN 2024 - 621 - 21
+                    ELSE 1404 END AS build_year
+        FROM orders
     """,
     "f_string_ops": """
         SELECT p_partkey,

@@ -1,0 +1,146 @@
+"""TPC-H-shaped throughput queries over the harness star schema.
+
+The reference's relational surface is dimension-lookup joins + one
+pivot (SURVEY §2.3-2.4); these queries are the scale-stress versions
+the 100 TB story needs: wide scans with tight projections, multi-way
+joins with broadcastable dims, and large hash aggregations.
+
+Plan notes (verified via .explain):
+  - q1 is a two-phase hash agg (partial → final) over a 4-column scan;
+    column pruning reaches the parquet reader (ReadSchema 4/16 cols).
+  - q3/q5 broadcast every dimension side (customer at sf0.1 is ~15k
+    rows; at 100 TB switch to shuffle join for customer — Spark's AQE
+    does this automatically past the broadcast threshold).
+  - money sums run in DECIMAL(18,2): exact, associative, and identical
+    across engines — float sums would differ by partial-agg order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import read_table
+
+
+def _dec(col: str):
+    return F.col(col).cast("decimal(18,2)")
+
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: the canonical scan+agg throughput probe."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+                .cast("decimal(18,4)")
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority: fact-fact join with a broadcast dim filter."""
+    c = read_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1997-03-15"))
+    l = read_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1997-03-15"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+                .cast("decimal(18,4)")
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(20)
+    )
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume: the full dim-chain join
+    (region→nation→{customer,supplier}→orders→lineitem)."""
+    r = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = read_table(spark, sf_dir, "nation")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+                .cast("decimal(18,4)")
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+SPARK_QUERIES = {
+    "tpch_q1": tpch_q1,
+    "tpch_q3": tpch_q3,
+    "tpch_q5": tpch_q5,
+}
+
+_DISC = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+)
+
+ORACLE_SQL = {
+    "tpch_q1": f"""
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+               SUM({_DISC}) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "tpch_q3": f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               SUM({_DISC}) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-03-15'
+          AND l_shipdate  > TIMESTAMP '1997-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 20
+    """,
+    "tpch_q5": f"""
+        SELECT n_name, SUM({_DISC}) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC
+    """,
+}
