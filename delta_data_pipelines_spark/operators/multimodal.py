@@ -94,3 +94,77 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame, target_h: int, target_w: int, payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched image resize (stubbed codec).
+
+    Real version: decode → PIL/cv2 resize → re-encode, same signature.
+    The stub keeps the geometry math real — output dims, aspect-aware
+    scale factor — from the fake-decoded source dims, so the plumbing
+    (batch shape, schema, per-row compute placement) is fully
+    exercised and oracle-checkable.
+    """
+    id_fields = [f.name for f in df.schema.fields if f.name != payload_col]
+    out_schema = (
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.name != payload_col
+        )
+        + ", src_h bigint, src_w bigint, out_h bigint, out_w bigint, scale double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_stub(bytes(p), "image") for p in pdf[payload_col]]
+            out = pdf[id_fields].copy()
+            out["src_h"] = [d["height"] for d in decoded]
+            out["src_w"] = [d["width"] for d in decoded]
+            # fit-inside scaling, aspect preserved
+            scales = [
+                min(target_h / d["height"], target_w / d["width"]) for d in decoded
+            ]
+            out["out_h"] = [max(1, int(d["height"] * s)) for d, s in zip(decoded, scales)]
+            out["out_w"] = [max(1, int(d["width"] * s)) for d, s in zip(decoded, scales)]
+            out["scale"] = [round(s, 9) for s in scales]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame, every: int = 4, payload_col: str = "payload"
+) -> DataFrame:
+    """Frame sampling for video payloads: one output row per kept
+    frame (every ``every``-th), exploded executor-side.
+
+    Output cardinality = Σ ceil(n_frames/every) — never collected to
+    the driver; at scale, partition count follows the input and the
+    explode is pipelined (no shuffle).
+    """
+    id_fields = [f.name for f in df.schema.fields if f.name != payload_col]
+    out_schema = (
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.name != payload_col
+        )
+        + ", frame_idx bigint, n_frames bigint"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in enumerate(pdf[payload_col]):
+                d = decode_stub(bytes(p), "video")
+                base = {k: pdf[k].iloc[i] for k in id_fields}
+                for idx in range(0, d["n_frames"], every):
+                    rows.append({**base, "frame_idx": idx, "n_frames": d["n_frames"]})
+            yield pd.DataFrame(
+                rows, columns=id_fields + ["frame_idx", "n_frames"]
+            ) if rows else pd.DataFrame(columns=id_fields + ["frame_idx", "n_frames"])
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -128,6 +128,26 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub-codec image resize geometry via mapInPandas (fit-inside
+    224x224, aspect preserved). The fake decode derives square source
+    dims from the payload byte length, so the oracle can recompute the
+    whole geometry in SQL."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with_bin = multimodal.attach_fake_binary(d, "text")
+    return multimodal.resize_images(
+        with_bin.select("doc_id", "payload"), target_h=224, target_w=224
+    )
+
+
+def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub-codec video frame sampling: every 4th frame, exploded
+    executor-side (one row per kept frame)."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with_bin = multimodal.attach_fake_binary(d, "text", modality="video")
+    return multimodal.sample_frames(with_bin.select("doc_id", "payload"), every=4)
+
+
 SPARK_QUERIES = {
     "dd_exact": dd_exact,
     "dd_minhash": dd_minhash,
@@ -139,6 +159,8 @@ SPARK_QUERIES = {
     "txt_profile": txt_profile,
     "mm_meta": mm_meta,
     "mm_features": mm_features,
+    "mm_resize": mm_resize,
+    "mm_frames": mm_frames,
 }
 
 _SHINGLES = """
@@ -252,5 +274,29 @@ ORACLE_SQL = {
                CAST(GREATEST(1, CAST(FLOOR(SQRT(octet_length(encode(text)))) AS BIGINT)) AS BIGINT) AS feat_a,
                CAST(GREATEST(1, CAST(FLOOR(SQRT(octet_length(encode(text)))) AS BIGINT)) AS BIGINT) AS feat_b
         FROM documents
+    """,
+    # fake image decode: square side = max(1, trunc(sqrt(n_bytes)));
+    # fit-inside 224x224 with truncating int() like the Python stub
+    "mm_resize": """
+        WITH src AS (
+            SELECT doc_id,
+                   GREATEST(1, CAST(TRUNC(SQRT(octet_length(encode(text)))) AS BIGINT)) AS s
+            FROM documents
+        )
+        SELECT doc_id, s AS src_h, s AS src_w,
+               GREATEST(1, CAST(TRUNC(s * LEAST(224.0 / s, 224.0 / s)) AS BIGINT)) AS out_h,
+               GREATEST(1, CAST(TRUNC(s * LEAST(224.0 / s, 224.0 / s)) AS BIGINT)) AS out_w,
+               ROUND(LEAST(224.0 / s, 224.0 / s), 9) AS scale
+        FROM src
+    """,
+    "mm_frames": """
+        WITH src AS (
+            SELECT doc_id,
+                   GREATEST(1, octet_length(encode(text)) // 100) AS nf
+            FROM documents
+        )
+        SELECT doc_id, CAST(UNNEST(range(0, nf, 4)) AS BIGINT) AS frame_idx,
+               CAST(nf AS BIGINT) AS n_frames
+        FROM src
     """,
 }

@@ -127,3 +127,25 @@ def test_multimodal_roundtrip(spark, corpus):
 def test_decode_stub_unknown_modality():
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"xx", "hologram")
+
+
+def test_multimodal_resize_geometry(spark, corpus):
+    with_bin = multimodal.attach_fake_binary(corpus, "text")
+    out = multimodal.resize_images(
+        with_bin.select("doc_id", "payload"), target_h=224, target_w=224
+    ).collect()
+    for r in out:
+        assert max(r["out_h"], r["out_w"]) <= 224
+        assert r["src_h"] >= 1 and r["scale"] > 0
+
+
+def test_multimodal_frame_sampling(spark, corpus):
+    with_bin = multimodal.attach_fake_binary(corpus, "text", modality="video")
+    out = multimodal.sample_frames(
+        with_bin.select("doc_id", "payload"), every=2
+    ).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    for doc_id, idxs in by_doc.items():
+        assert sorted(idxs) == list(range(0, max(idxs) + 1, 2))
