@@ -1,0 +1,11 @@
+"""Composed pipelines (SURVEY §3's entry-point paths as Spark jobs)."""
+
+from .maintenance import normalize_listings, rebuild_seen_urls
+from .price_dataset import build_price_dataset, publish_dataset
+
+__all__ = [
+    "build_price_dataset",
+    "publish_dataset",
+    "normalize_listings",
+    "rebuild_seen_urls",
+]

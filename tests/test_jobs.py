@@ -1,0 +1,85 @@
+"""Job-pipeline tests: price-dataset rotation/rollback and the
+maintenance normalize pass."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_data_pipelines_spark.jobs import (
+    build_price_dataset,
+    normalize_listings,
+    publish_dataset,
+    rebuild_seen_urls,
+)
+from delta_data_pipelines_spark.storage import VersionedTable
+
+SCHEMA = (
+    "content_url string, cat1_slug string, cat3_slug string, title string, "
+    "description string, price_value long, construction_year int, "
+    "land_size string, post_token string"
+)
+
+
+def listings(spark):
+    return spark.createDataFrame(
+        [
+            ("u1", "real-estate", "apartment-sell", "t۱", "d", 100, 1400, "۱۲۳", None),
+            ("u2", "real-estate", "apartment-sell", "t2", "d", 200, -1370, "80", None),
+            ("u3", "real-estate", "apartment-rent", "t3", "d", 300, 1390, "90", None),
+            ("u4", "real-estate", "apartment-sell", "t4", "d", None, 1395, "70", None),
+            (None, "real-estate", "apartment-sell", "t5", "d", 500, 1380, "60", "tok5"),
+        ],
+        SCHEMA,
+    )
+
+
+def test_build_price_dataset_filters_and_fixes(spark):
+    out = build_price_dataset(listings(spark)).collect()
+    urls = {r["content_url"] for r in out}
+    assert urls == {"u1", "u2", None}  # rent + null-price rows dropped
+    assert "title" not in out[0].asDict()
+    years = {r["content_url"]: r["construction_year"] for r in out}
+    assert years["u2"] == 1369  # -1370 fixed
+
+
+def test_publish_dataset_rolls_back_on_validation_failure(spark, tmp_path):
+    table = VersionedTable(spark, str(tmp_path / "ds"))
+    good = build_price_dataset(listings(spark))
+    info = publish_dataset(table, good)
+    assert info["rows"] == 3
+
+    bad = good.limit(0)  # fails nonempty validation
+    with pytest.raises(ValueError):
+        publish_dataset(table, bad)
+    # rolled back to the good version
+    assert table.read().count() == 3
+
+
+def test_publish_dataset_rolls_back_on_downstream_failure(spark, tmp_path):
+    table = VersionedTable(spark, str(tmp_path / "ds2"))
+    good = build_price_dataset(listings(spark))
+    publish_dataset(table, good)
+
+    def exploding_model(df):
+        raise RuntimeError("retrain failed")
+
+    with pytest.raises(RuntimeError):
+        publish_dataset(table, good.where(F.col("price_value") > 100),
+                        downstream=exploding_model)
+    assert table.read().count() == 3  # previous version restored
+
+
+def test_normalize_listings(spark):
+    out = {r["content_url"]: r for r in normalize_listings(listings(spark)).collect()}
+    # content_url backfilled from post_token
+    assert "https://divar.ir/v/tok5" in out
+    # Persian digits folded in title, numeric string re-coerced
+    assert out["u1"]["title"] == "t1"
+    assert out["u1"]["land_size"] == 123.0
+
+
+def test_rebuild_seen_urls(spark):
+    seen = rebuild_seen_urls(listings(spark)).collect()
+    assert {r["content_url"] for r in seen} == {"u1", "u2", "u3", "u4"}
+    assert all(r["site"] == "real-estate" for r in seen)
