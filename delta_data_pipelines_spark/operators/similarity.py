@@ -101,6 +101,81 @@ def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "_v",
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (ties → smaller
+    centroid id). One narrow pass: vectors × broadcast(centroids) +
+    per-vector argmax window."""
+    c = centroids.select(
+        F.col("cid"), F.col("cv")
+    )
+    scored = vectors.join(F.broadcast(c)).withColumn(
+        "_sim", cosine(F.col(vec_col), F.col("cv"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: inverted-file cells from deterministic
+    centroids (the ``n_cells`` lowest-id corpus vectors — nothing to
+    fit, fully reproducible), queries probe their ``nprobe`` nearest
+    cells only.
+
+    At 100 TB: centroids come from a sampled k-means and the corpus is
+    *written partitioned by cell*, so a probe is partition-pruned I/O —
+    the assignment pass here (corpus × broadcast centroids) is the
+    expensive one-off build step, amortized across all queries.
+    Same output schema as brute_force_topk; recall < 1 by construction.
+    """
+    cent = corpus.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
+    )
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    q = queries.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+
+    c_cells = ivf_assign(c, cent, id_col).withColumnRenamed(id_col, "neighbor_id")
+    # query-side: keep nprobe nearest cells instead of 1
+    qs = q.join(F.broadcast(cent)).withColumn(
+        "_sim", cosine(F.col("_v"), F.col("cv"))
+    )
+    wq = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cid"))
+    q_cells = (
+        qs.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= nprobe)
+        .select(F.col(id_col).alias("query_id"), F.col("_v").alias("_qv"), "cid")
+    )
+    scored = (
+        c_cells.join(q_cells, "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("_qv"), F.col("_v")), 9))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

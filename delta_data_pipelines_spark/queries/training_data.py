@@ -87,6 +87,17 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(e, q, k=5, n_planes=4).orderBy("query_id", "rank")
 
 
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: 16 deterministic centroid cells, probe
+    the 2 nearest — fully oracle-checkable because centroid choice is
+    data-deterministic (lowest 16 vec_ids)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.ivf_topk(e, q, k=5, n_cells=16, nprobe=2).orderBy(
+        "query_id", "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -156,6 +167,7 @@ SPARK_QUERIES = {
     "dd_embedding": dd_embedding,
     "sim_brute_topk": sim_brute_topk,
     "sim_lsh_topk": sim_lsh_topk,
+    "sim_ivf_topk": sim_ivf_topk,
     "txt_profile": txt_profile,
     "mm_meta": mm_meta,
     "mm_features": mm_features,
@@ -214,6 +226,36 @@ ORACLE_SQL = {
                                                 CAST(c.embedding AS DOUBLE[])), 9) AS cosine_sim
             FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
             WHERE q.vec_id < 10
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+            ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    "sim_ivf_topk": """
+        WITH cent AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id < 16
+        ), vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), assign AS (
+            SELECT vec_id, v, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS rn
+            FROM vecs CROSS JOIN cent
+        ), cell AS (
+            SELECT vec_id AS neighbor_id, v, cid FROM assign WHERE rn = 1
+        ), probe AS (
+            SELECT vec_id AS query_id, v AS qv, cid FROM assign
+            WHERE rn <= 2 AND vec_id < 10
+        ), scored AS (
+            SELECT query_id, neighbor_id,
+                   ROUND(list_cosine_similarity(qv, v), 9) AS cosine_sim
+            FROM probe JOIN cell USING (cid)
+            WHERE query_id <> neighbor_id
         ), ranked AS (
             SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id

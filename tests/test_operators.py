@@ -94,6 +94,17 @@ def test_lsh_topk_recall(spark):
     assert recall > 0.0  # sanity: buckets aren't degenerate
 
 
+def test_ivf_topk_recall_beats_single_cell(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    brute = similarity.brute_force_topk(emb, q, k=5)
+    ivf = similarity.ivf_topk(emb, q, k=5, n_cells=8, nprobe=2)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    assert len(a) == len(b)  # every query still gets k results
+    assert len(a & b) / len(b) >= 0.3  # multi-probe keeps usable recall
+
+
 def test_lsh_bucket_deterministic(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(20)
     b1 = emb.select(similarity.lsh_bucket(F.col("embedding")).alias("b")).collect()
