@@ -186,7 +186,16 @@ def minhash_near_dup_pairs(
     precision is 1.0 and recall is the LSH collision probability (≈1
     at the 0.8 threshold with the default geometry).
     """
-    base = minhash_signatures(df, id_col, text_col)
+    from pyspark.storagelevel import StorageLevel
+
+    # Both the banding arm and the verify arm consume the signature
+    # base; unpersisted, Spark recomputes the whole shingle+hash pass
+    # per arm (~2× cost). Persisting = the "stage signatures to a
+    # table" step a 100 TB run does explicitly; the ContextCleaner
+    # unpersists once the result frame is dereferenced.
+    base = minhash_signatures(df, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cand = _candidates(_banded(base.select(id_col, "_sig"), id_col), id_col, max_bucket)
     hs = base.select(id_col, "_hs")
     out = (
