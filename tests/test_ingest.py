@@ -290,3 +290,35 @@ def test_streaming_fetch_pipeline(spark, tmp_path, divar_raw):
     q2.awaitTermination(120)
     assert listings.read().count() == 1
     assert listings.read().first()["city_slug"] == "tehran"
+
+
+def test_csv_round_trip(spark, tmp_path):
+    from delta_data_pipelines_spark.ingest.tabular import read_csv, write_csv
+
+    df = spark.range(0, 50).selectExpr("id", "CAST(id * 1.5 AS DOUBLE) AS price")
+    out = str(tmp_path / "csv")
+    write_csv(df, out, single_file=True)
+    back = read_csv(spark, out, schema="id long, price double")
+    assert back.count() == 50
+    assert back.schema.simpleString() == "struct<id:bigint,price:double>"
+
+
+def test_pandas_to_spark_schema(spark):
+    import pandas as pd
+
+    from delta_data_pipelines_spark.ingest.tabular import pandas_to_spark
+
+    pdf = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    df = pandas_to_spark(spark, pdf, schema="a long, b string")
+    assert [tuple(r) for r in df.orderBy("a").collect()] == [(1, "x"), (2, "y")]
+
+
+def test_read_excel_raises_without_engine(spark, tmp_path):
+    import pytest as _pytest
+
+    from delta_data_pipelines_spark.ingest.tabular import read_excel
+
+    fake = tmp_path / "x.xlsx"
+    fake.write_bytes(b"PK\x03\x04 not a real workbook")
+    with _pytest.raises(Exception):
+        read_excel(spark, str(fake))
