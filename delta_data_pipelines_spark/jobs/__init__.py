@@ -9,3 +9,7 @@ __all__ = [
     "normalize_listings",
     "rebuild_seen_urls",
 ]
+
+from .incremental_index import run_incremental  # noqa: E402
+
+__all__.append("run_incremental")

@@ -83,3 +83,31 @@ def test_rebuild_seen_urls(spark):
     seen = rebuild_seen_urls(listings(spark)).collect()
     assert {r["content_url"] for r in seen} == {"u1", "u2", "u3", "u4"}
     assert all(r["site"] == "real-estate" for r in seen)
+
+
+def test_incremental_index_convergence(spark, tmp_path):
+    """Two incremental runs: the second re-reads the overlap window and
+    upserts it without growing the table; the watermark is monotonic."""
+    from datetime import datetime
+
+    from delta_data_pipelines_spark.jobs import run_incremental
+    from delta_data_pipelines_spark.storage import WatermarkStore
+
+    sf = "/root/testdata/sf0.001"
+    index = VersionedTable(spark, str(tmp_path / "idx"))
+    wm = WatermarkStore(spark, str(tmp_path / "wm"))
+    now = datetime(2026, 1, 1)
+
+    r1 = run_incremental(spark, sf, index, wm, now=now)
+    assert r1["inserted"] > 0 and r1["updated"] == 0
+    total = index.read().count()
+    assert total == r1["inserted"]
+    assert r1["watermark"] is not None
+
+    # second run: only the 1h-overlap boundary rows come back, all as
+    # updates (idempotent); row count must not change.
+    r2 = run_incremental(spark, sf, index, wm, now=now)
+    assert r2["inserted"] == 0
+    assert index.read().count() == total
+    assert r2["watermark"] >= r1["watermark"]
+    assert r2["lower_bound"] > r1["lower_bound"]

@@ -1,0 +1,66 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises (pushdown, broadcast dims, no stray shuffles/cross joins)
+are asserted so a refactor can't silently lose them."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return entry.queries()
+
+
+def plan_of(spark, registry, name: str) -> str:
+    return str(
+        registry[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, registry):
+    plan = plan_of(spark, registry, "p_filter_project")
+    assert "PushedFilters: [" in plan
+    # the equality filter must be pushed, not just IsNotNull
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(l_returnflag,R\)", plan), plan
+
+
+def test_column_pruning_reaches_scan(spark, registry):
+    plan = plan_of(spark, registry, "tpch_q1")
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    read_cols = m.group(1).split(",")
+    assert len(read_cols) <= 6, read_cols  # 6 of 11 lineitem columns
+
+
+def test_dim_chain_joins_all_broadcast(spark, registry):
+    plan = plan_of(spark, registry, "j_dim_chain")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q5_broadcasts_every_dim(spark, registry):
+    plan = plan_of(spark, registry, "tpch_q5")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q1_partial_aggregation(spark, registry):
+    plan = plan_of(spark, registry, "tpch_q1")
+    # two-phase agg: partial (before exchange) + final
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_flagship_has_no_cross_join(spark, registry):
+    plan = plan_of(spark, registry, "search_index_full")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
