@@ -30,11 +30,20 @@ def _modules():
         scalar,
         search_index,
         streaming_q,
+        temporal_q,
         tpch,
         training_data,
     )
 
-    return [search_index, relational, training_data, scalar, streaming_q, tpch]
+    return [
+        search_index,
+        relational,
+        training_data,
+        scalar,
+        streaming_q,
+        tpch,
+        temporal_q,
+    ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,114 @@
+"""Temporal joins Spark lacks as primitives: as-of and range joins.
+
+The reference has no temporal joins (its only joins are dim lookups,
+SURVEY §2.3), but a training-data pipeline correlating event streams
+needs both. Neither is implemented as an actual range/theta join —
+that degenerates under skew:
+
+- ``asof_join`` uses the union+window formulation: tag both sides,
+  union, and carry the most recent right-side payload forward with
+  ``last(ignorenulls)`` over (key ORDER BY ts). One shuffle on the
+  key, linear in rows, no pair blow-up — the pattern that survives a
+  key with 10⁸ rows where a range join would emit 10¹⁶ candidates.
+
+- ``range_join`` is an equi-join on the key with the interval as a
+  post-join predicate (hash/SMJ on the key, never a cross product);
+  callers bound per-key cardinality the same way the dedup operators
+  do (block keys or salting for hot keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    payload_cols: list[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """For every left row: the most recent right row with
+    ``right.ts <= left.ts`` on the same key (point-in-time join).
+
+    Output: all left columns + ``payload_cols`` (null when no right
+    row precedes) + ``matched_ts`` (the matched right timestamp).
+    ``tolerance_seconds`` nulls matches older than the window.
+    """
+    lcols = left.columns
+    l = left.withColumn("_side", F.lit(1))
+    for c in payload_cols:
+        l = l.withColumn(f"_p_{c}", F.lit(None).cast(right.schema[c].dataType))
+    l = l.withColumn("_rts", F.lit(None).cast("timestamp"))
+
+    r = right.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        F.col(ts).alias("_rts"),
+    )
+    for c in lcols:
+        if c not in {key, ts}:
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+
+    unioned = l.select(
+        *lcols, "_side", *[f"_p_{c}" for c in payload_cols], "_rts"
+    ).unionByName(r.select(*lcols, "_side", *[f"_p_{c}" for c in payload_cols], "_rts"))
+
+    # right rows (_side=0) sort before left rows at equal ts → "<=".
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        "_side",
+        *[
+            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in payload_cols
+        ],
+        F.last("_rts", ignorenulls=True).over(w).alias("matched_ts"),
+    ).where(F.col("_side") == 1)
+
+    in_window: Column = F.lit(True)
+    if tolerance_seconds is not None:
+        in_window = F.col("matched_ts") >= (
+            F.col(ts) - F.make_dt_interval(secs=F.lit(tolerance_seconds))
+        )
+    out = carried.select(
+        *lcols,
+        *[
+            F.when(in_window, F.col(f"_m_{c}")).alias(c_out)
+            for c, c_out in zip(payload_cols, payload_cols)
+        ],
+        F.when(in_window, F.col("matched_ts")).alias("matched_ts"),
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: int,
+    upper_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Pairs on the same key with ``right.ts - left.ts`` inside
+    [lower, upper] seconds. Equi-join on the key; the interval is a
+    cheap post-join filter."""
+    lo = F.make_dt_interval(secs=F.lit(lower_seconds))
+    hi = F.make_dt_interval(secs=F.lit(upper_seconds))
+    cond = (
+        (left[key] == right[key])
+        & (right[right_ts] >= left[left_ts] + lo)
+        & (right[right_ts] <= left[left_ts] + hi)
+    )
+    return left.join(right, cond, how).drop(right[key])

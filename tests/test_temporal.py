@@ -1,0 +1,83 @@
+"""As-of / range join unit tests: tie-at-equal-ts semantics, no-match
+nulls, tolerance windows, interval bounds."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from delta_data_pipelines_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 10:00:00")),
+            (2, 10, _ts("2024-01-01 12:00:00")),
+            (3, 20, _ts("2024-01-01 09:00:00")),  # before any right row
+            (4, 30, _ts("2024-01-01 10:30:00")),  # key with no right rows
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 09:30:00"), 1.0),
+            (10, _ts("2024-01-01 10:00:00"), 2.0),  # equal-ts: counts (<=)
+            (10, _ts("2024-01-01 11:00:00"), 3.0),
+            (20, _ts("2024-01-01 09:30:00"), 9.0),
+        ],
+        "user_id long, ts timestamp, err_value double",
+    )
+    return left, right
+
+
+def test_asof_join_semantics(spark):
+    left, right = _frames(spark)
+    out = {
+        r["event_id"]: r
+        for r in asof_join(
+            left, right, key="user_id", ts="ts", payload_cols=["err_value"]
+        ).collect()
+    }
+    assert out[1]["err_value"] == 2.0  # equal ts matches (<=)
+    assert out[2]["err_value"] == 3.0  # latest preceding
+    assert out[3]["err_value"] is None and out[3]["matched_ts"] is None
+    assert out[4]["err_value"] is None
+    assert len(out) == 4  # every left row survives
+
+
+def test_asof_join_tolerance(spark):
+    left, right = _frames(spark)
+    out = {
+        r["event_id"]: r
+        for r in asof_join(
+            left,
+            right,
+            key="user_id",
+            ts="ts",
+            payload_cols=["err_value"],
+            tolerance_seconds=1800,
+        ).collect()
+    }
+    assert out[1]["err_value"] == 2.0  # 0s old — inside window
+    assert out[2]["err_value"] is None  # 1h old > 30min tolerance
+
+
+def test_range_join_bounds(spark):
+    left, right = _frames(spark)
+    out = range_join(
+        left,
+        right.withColumnRenamed("ts", "r_ts"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="r_ts",
+        lower_seconds=0,
+        upper_seconds=3600,
+    ).collect()
+    got = {(r["event_id"], r["err_value"]) for r in out}
+    # event 1 at 10:00 → right rows at 10:00 (0s) and 11:00 (3600s incl.);
+    # event 3 (user 20, 09:00) → right row at 09:30
+    assert got == {(1, 2.0), (1, 3.0), (3, 9.0)}
