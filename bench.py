@@ -39,6 +39,10 @@ HEADLINE = [
     "txt_profile",
     # streaming semantics (batch-mode windowed agg)
     "st_windowed_counts",
+    # temporal joins
+    "t_asof_join",
+    # ANN scale path
+    "sim_ivf_topk",
     # scalar expression throughput
     "f_string_ops",
 ]

@@ -145,6 +145,56 @@ def f_age_build_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", age_to_build_year(age, now=now).alias("build_year"))
 
 
+def f_enum_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19/F20/F25/F26/F27 — Persian enum/label normalization chains on
+    synthesized inputs; the oracle recomputes expectations from the key
+    classes directly."""
+    from ..functions.fa import english_to_persian_digits
+    from ..functions.text import (
+        floor_of,
+        normalize_deed_type,
+        normalize_property_type,
+        normalize_rooms,
+        rent_type,
+        total_floors_of,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    prop = (
+        F.when(k % 4 == 0, F.lit("آپارتمان"))
+        .when(k % 4 == 1, F.lit("مشارکت در ساخت"))
+        .when(k % 4 == 2, F.lit("زمین کشاورزی"))
+        .otherwise(F.lit("سوله صنعتی"))
+    )
+    deed = (
+        F.when(k % 3 == 0, F.lit("سند: تک برگ دارد"))
+        .when(k % 3 == 1, F.lit("قولنامه دست دوم"))
+        .otherwise(F.lit("شش دانگ"))
+    )
+    rooms = (
+        F.when(k % 5 == 0, F.lit("بدون اتاق"))
+        .when(k % 5 == 1, F.concat(F.lit("+"), english_to_persian_digits((k % 4 + 1).cast("string"))))
+        .otherwise(english_to_persian_digits((k % 4 + 1).cast("string")))
+    )
+    floor_txt = F.concat(
+        english_to_persian_digits((k % 10).cast("string")),
+        F.lit(" از "),
+        english_to_persian_digits((k % 10 + 5).cast("string")),
+    )
+    credit = F.when(k % 2 == 0, (k % 7) * 1000.0).otherwise(F.lit(0.0))
+    rent = F.when(k % 3 == 0, (k % 5) * 500.0).otherwise(F.lit(0.0))
+    return o.select(
+        "o_orderkey",
+        normalize_property_type(prop).alias("prop_type"),
+        normalize_deed_type(deed).alias("deed"),
+        normalize_rooms(rooms).alias("rooms"),
+        floor_of(floor_txt).alias("floor"),
+        total_floors_of(floor_txt).alias("total_floors"),
+        rent_type(credit, rent).alias("rent_kind"),
+    )
+
+
 SPARK_QUERIES = {
     "f_translate": f_translate,
     "f_regex_extract_cast": f_regex_extract_cast,
@@ -155,6 +205,7 @@ SPARK_QUERIES = {
     "f_toman_parse": f_toman_parse,
     "f_relative_dates": f_relative_dates,
     "f_age_build_year": f_age_build_year,
+    "f_enum_normalize": f_enum_normalize,
 }
 
 ORACLE_SQL = {
@@ -224,6 +275,35 @@ ORACLE_SQL = {
                     WHEN o_orderkey % 45 > 30 THEN 2024 - 621 - 31
                     WHEN o_orderkey % 45 > 20 THEN 2024 - 621 - 21
                     ELSE 1404 END AS build_year
+        FROM orders
+    """,
+    "f_enum_normalize": """
+        SELECT o_orderkey,
+               CASE o_orderkey % 4
+                    WHEN 0 THEN 'آپارتمان'
+                    WHEN 1 THEN NULL                 -- مشارکت → dropped
+                    ELSE 'باغ باغچه و زمین'          -- زمین / صنعتی
+               END AS prop_type,
+               CASE o_orderkey % 3
+                    WHEN 0 THEN 'تک برگ'
+                    WHEN 1 THEN 'قولنامه ای'
+                    ELSE 'شش دانگ'
+               END AS deed,
+               CASE WHEN o_orderkey % 5 = 0 THEN '0'
+                    WHEN o_orderkey % 5 = 1 THEN CAST(o_orderkey % 4 + 2 AS VARCHAR)
+                    ELSE CAST(o_orderkey % 4 + 1 AS VARCHAR)
+               END AS rooms,
+               CAST(o_orderkey % 10 AS INTEGER) AS floor,
+               CAST(o_orderkey % 10 + 5 AS INTEGER) AS total_floors,
+               CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 7 <> 0
+                         AND NOT (o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0)
+                         THEN 'full_credit'
+                    WHEN o_orderkey % 2 = 0 AND o_orderkey % 7 <> 0
+                         THEN 'rent_credit'
+                    WHEN o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+                         THEN 'full_rent'
+                    ELSE NULL
+               END AS rent_kind
         FROM orders
     """,
     "f_string_ops": """

@@ -37,7 +37,7 @@ def _stream_from(spark, df, tmp_path, name, files=3):
     )
 
 
-def _stream_time_ordered(spark, df, tmp_path, name, slices=3):
+def _stream_time_ordered(spark, df, tmp_path, name, slices=3, ts_col="ts"):
     """Like _stream_from, but slices rows by event time and stamps file
     mtimes in slice order, so micro-batches arrive in event-time order
     (the file source schedules oldest-mtime first). Needed for
@@ -52,7 +52,7 @@ def _stream_time_ordered(spark, df, tmp_path, name, slices=3):
 
     data_dir = str(tmp_path / name)
     os.makedirs(data_dir, exist_ok=True)
-    sliced = df.withColumn("_slice", F.ntile(slices).over(Window.orderBy("ts")))
+    sliced = df.withColumn("_slice", F.ntile(slices).over(Window.orderBy(ts_col)))
     base = 1_600_000_000
     for i in range(1, slices + 1):
         part_dir = str(tmp_path / f"{name}_part{i}")
@@ -158,3 +158,42 @@ def test_fetch_pipeline_merge_idempotent(spark, tmp_path):
         )
         q.awaitTermination(120)
     assert listings.read().count() == 5
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: clicks ⋈ errors within 10 min,
+    per user — must equal the batch range join once both streams drain."""
+    from pyspark.sql import functions as F
+
+    e = _events(spark)
+    clicks_b = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors_b = (
+        e.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+        .withColumnRenamed("ts", "err_ts")
+        .withColumnRenamed("user_id", "err_user_id")
+    )
+    cond_b = (
+        (F.col("user_id") == F.col("err_user_id"))
+        & (F.col("err_ts") >= F.col("ts"))
+        & (F.col("err_ts") <= F.col("ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    expect = {
+        (r["event_id"], r["err_ts"])
+        for r in clicks_b.join(errors_b, cond_b).collect()
+    }
+
+    clicks_s = _stream_time_ordered(spark, clicks_b, tmp_path, "ss_clicks").withWatermark(
+        "ts", "30 minutes"
+    )
+    errors_s = _stream_time_ordered(
+        spark, errors_b, tmp_path, "ss_errors", ts_col="err_ts"
+    ).withWatermark("err_ts", "30 minutes")
+    joined = clicks_s.join(errors_s, cond_b)
+    got_df = _drain(joined, tmp_path, "ssj")
+    got = {tuple(x) for x in got_df[["event_id", "err_ts"]].itertuples(index=False)}
+    assert len(expect) > 0
+    assert got == expect
