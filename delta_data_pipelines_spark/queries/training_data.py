@@ -159,6 +159,55 @@ def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(with_bin.select("doc_id", "payload"), every=4)
 
 
+def txt_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 docs per source by quality score (corpus balancing /
+    per-domain caps — the standard pre-training selection shape).
+    One shuffle on source; rank window inside each group."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", textstats.quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("source", "doc_id", "quality", "rnk")
+    )
+
+
+def txt_enum_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21 scale path: language code → name via a broadcast-joined
+    mapping table, unmapped codes pass through."""
+    from ..operators.enums import enum_lookup, mapping_table
+
+    d = read_table(spark, sf_dir, "documents")
+    m = mapping_table(
+        spark,
+        {"en": "english", "es": "spanish", "de": "german", "fr": "french"},
+    )
+    return enum_lookup(
+        d.select("doc_id", "lang"), "lang", m, out_col="lang_name", keep_unmapped=True
+    )
+
+
+def txt_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length distribution (exact percentiles): the corpus
+    diagnostics pass run before choosing length filters. Exact
+    percentile needs a per-group sort — fine for diagnostics; switch to
+    approx_percentile at 100 TB (single pass, no sort)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
 SPARK_QUERIES = {
     "dd_exact": dd_exact,
     "dd_minhash": dd_minhash,
@@ -173,6 +222,9 @@ SPARK_QUERIES = {
     "mm_features": mm_features,
     "mm_resize": mm_resize,
     "mm_frames": mm_frames,
+    "txt_topk_per_source": txt_topk_per_source,
+    "txt_enum_lookup": txt_enum_lookup,
+    "txt_length_quantiles": txt_length_quantiles,
 }
 
 _SHINGLES = """
@@ -315,6 +367,44 @@ ORACLE_SQL = {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                CAST(GREATEST(1, CAST(FLOOR(SQRT(octet_length(encode(text)))) AS BIGINT)) AS BIGINT) AS feat_a,
                CAST(GREATEST(1, CAST(FLOOR(SQRT(octet_length(encode(text)))) AS BIGINT)) AS BIGINT) AS feat_b
+        FROM documents
+    """,
+    "txt_topk_per_source": """
+        WITH base AS (
+            SELECT doc_id, source, string_split(text, ' ') AS w,
+                   regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g') AS stripped, text
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, source,
+                   ROUND(
+                     0.4 * (len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it')))
+                            / CAST(NULLIF(len(w), 0) AS DOUBLE))
+                   + 0.4 * LEAST(len(w) / 64.0, 1.0)
+                   + 0.2 * (1 - (length(text) - length(stripped))
+                            / CAST(NULLIF(length(text), 0) AS DOUBLE)), 9) AS quality
+            FROM base
+        ), ranked AS (
+            SELECT source, doc_id, quality,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY quality DESC, doc_id) AS rnk
+            FROM scored
+        )
+        SELECT source, doc_id, quality, CAST(rnk AS INTEGER) AS rnk
+        FROM ranked WHERE rnk <= 3
+    """,
+    "txt_length_quantiles": """
+        SELECT lang,
+               ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+               ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+               ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
+               COUNT(*) AS n
+        FROM documents GROUP BY lang
+    """,
+    "txt_enum_lookup": """
+        SELECT doc_id, lang,
+               CASE lang WHEN 'en' THEN 'english' WHEN 'es' THEN 'spanish'
+                         WHEN 'de' THEN 'german' WHEN 'fr' THEN 'french'
+                         ELSE lang END AS lang_name
         FROM documents
     """,
     # fake image decode: square side = max(1, trunc(sqrt(n_bytes)));

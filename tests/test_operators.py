@@ -160,3 +160,22 @@ def test_multimodal_frame_sampling(spark, corpus):
         by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
     for doc_id, idxs in by_doc.items():
         assert sorted(idxs) == list(range(0, max(idxs) + 1, 2))
+
+
+def test_enum_lookup_modes(spark):
+    from delta_data_pipelines_spark.operators.enums import enum_lookup, mapping_table
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "zz")], "id long, code string")
+    m = mapping_table(spark, {"a": "alpha", "b": "beta"})
+    passthrough = {
+        r["id"]: r["code_mapped"]
+        for r in enum_lookup(df, "code", m, keep_unmapped=True).collect()
+    }
+    assert passthrough == {1: "alpha", 2: "beta", 3: "zz"}
+    defaulted = {
+        r["id"]: r["code_mapped"]
+        for r in enum_lookup(df, "code", m, default="unknown").collect()
+    }
+    assert defaulted[3] == "unknown"
+    plain = {r["id"]: r["code_mapped"] for r in enum_lookup(df, "code", m).collect()}
+    assert plain[3] is None
