@@ -322,3 +322,24 @@ def test_read_excel_raises_without_engine(spark, tmp_path):
     fake.write_bytes(b"PK\x03\x04 not a real workbook")
     with _pytest.raises(Exception):
         read_excel(spark, str(fake))
+
+
+def test_xml_results_to_rows(spark):
+    from delta_data_pipelines_spark.ingest.xml_source import xml_results_to_rows
+
+    xml = (
+        "<results>"
+        "<result><id>a1</id><listingType>BUY</listingType>"
+        "<propertyType>APARTMENT</propertyType><landuseType>RES</landuseType></result>"
+        "<result><id>a2</id><listingType>RENT</listingType>"
+        "<propertyType>VILLA</propertyType><landuseType>RES</landuseType></result>"
+        "</results>"
+    )
+    df = spark.createDataFrame(
+        [("p1", xml), ("p2", "not xml at all <<<")], "page string, xml_body string"
+    )
+    out = xml_results_to_rows(df).collect()
+    assert {(r["page"], r["listing_id"], r["listing_type"]) for r in out} == {
+        ("p1", "a1", "BUY"),
+        ("p1", "a2", "RENT"),
+    }  # malformed payload contributes zero rows
