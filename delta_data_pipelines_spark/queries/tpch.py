@@ -94,10 +94,32 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast revenue change: the pure scan-throughput probe — every
+    predicate pushes to the parquet reader, output is one row."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (_dec("l_extendedprice") * _dec("l_discount")).cast("decimal(18,4)")
+            ).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 SPARK_QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
     "tpch_q5": tpch_q5,
+    "tpch_q6": tpch_q6,
 }
 
 _DISC = (
@@ -129,6 +151,16 @@ ORACLE_SQL = {
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, l_orderkey
         LIMIT 20
+    """,
+    "tpch_q6": """
+        SELECT SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
     """,
     "tpch_q5": f"""
         SELECT n_name, SUM({_DISC}) AS revenue

@@ -19,9 +19,11 @@ def registry():
 
 
 def plan_of(spark, registry, name: str) -> str:
-    return str(
-        registry[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
-    )
+    # formatted mode prints PushedFilters/ReadSchema on their own lines
+    # (plain toString truncates long scan lines before they appear)
+    qe = registry[name](spark, SF)._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return str(qe.explainString(mode))
 
 
 def test_filter_pushdown_reaches_scan(spark, registry):
@@ -33,7 +35,7 @@ def test_filter_pushdown_reaches_scan(spark, registry):
 
 def test_column_pruning_reaches_scan(spark, registry):
     plan = plan_of(spark, registry, "tpch_q1")
-    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m, plan
     read_cols = m.group(1).split(",")
     assert len(read_cols) <= 6, read_cols  # 6 of 11 lineitem columns
@@ -64,3 +66,15 @@ def test_flagship_has_no_cross_join(spark, registry):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_incremental_watermark_pushdown(spark, registry):
+    plan = plan_of(spark, registry, "search_index_incremental")
+    # the watermark predicate must reach the orders scan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(o_orderdate", plan), plan
+
+
+def test_q6_all_predicates_pushed(spark, registry):
+    plan = plan_of(spark, registry, "tpch_q6")
+    for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity"):
+        assert frag in plan, plan
