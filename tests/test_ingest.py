@@ -343,3 +343,23 @@ def test_xml_results_to_rows(spark):
         ("p1", "a1", "BUY"),
         ("p1", "a2", "RENT"),
     }  # malformed payload contributes zero rows
+
+
+def test_html_udf_class_extraction(spark):
+    from delta_data_pipelines_spark.ingest.html_udf import extract_class_texts
+
+    html = (
+        '<div class="price-label">rent</div>'
+        '<div class="price-value"><b>۵ میلیون</b> تومان</div>'
+        '<span class="price-label">deposit</span>'
+        "<p>noise</p>"
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, "<broken <<< markup")], "doc_id long, html string"
+    )
+    out = extract_class_texts(df, "html", ["price-label", "price-value"], "doc_id")
+    rows = {(r["doc_id"], r["css_class"]): r["texts"] for r in out.collect()}
+    assert rows[(1, "price-label")] == ["rent", "deposit"]
+    # nested tags: text inside <b> still belongs to the outer class div
+    assert rows[(1, "price-value")] == ["۵ میلیون", "تومان"]
+    assert rows[(2, "price-label")] == []  # malformed → empty, no crash
