@@ -218,19 +218,32 @@ def ngram_jaccard_pairs(
     same source/lang/length-band) scored exactly.
 
     The block key bounds the quadratic blow-up; choose it so blocks
-    stay ~10³-10⁴ docs at full scale. Deterministic (no hashing), so
-    it doubles as the oracle for the MinHash path.
+    stay ~10³-10⁴ docs at full scale. The pairwise Jaccard runs on
+    64-bit-hashed shingle sets — set identity survives hashing
+    (collisions ≈ |sh|²/2⁶⁴), and intersecting longs is ~4× cheaper
+    than strings at sf0.1.
     """
     sh = _spread(df.select(block_col, id_col, text_col)).select(
-        F.col(block_col).alias("_blk"), F.col(id_col), shingles(F.col(text_col)).alias("_sh")
+        F.col(block_col).alias("_blk"),
+        F.col(id_col),
+        F.transform(shingles(F.col(text_col)), lambda x: F.xxhash64(x)).alias("_sh"),
     )
+    sh = sh.withColumn("_sz", F.size("_sh"))
     a, b = sh.alias("a"), sh.alias("b")
+    # length filter (standard set-similarity-join prune): Jaccard ≥ t
+    # requires min(|a|,|b|) / max(|a|,|b|) ≥ t — checked on two ints
+    # before the expensive intersect.
+    size_ok = (
+        F.least(F.col("a._sz"), F.col("b._sz"))
+        >= F.greatest(F.col("a._sz"), F.col("b._sz")) * F.lit(threshold)
+    )
     return (
         a.join(
             b,
             (F.col("a._blk") == F.col("b._blk"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .where(size_ok)
         .withColumn("jaccard_sim", F.round(jaccard(F.col("a._sh"), F.col("b._sh")), 9))
         .where(F.col("jaccard_sim") >= threshold)
         .select(
@@ -343,12 +356,26 @@ def embedding_near_dup_pairs(
     (an LSH bucket / IVF cell from operators.similarity) to bound it
     at scale.
     """
-    from .similarity import cosine
+    from .similarity import dot, norm
 
-    v = _spread(df).select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+    # Normalize each vector ONCE (O(n·d)); the O(n²) pair loop is then
+    # a bare dot product instead of dot + two norms + sqrt per pair.
+    raw = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    v = (
+        _spread(df)
+        .select(
+            F.col(id_col),
+            raw.alias("_r"),
+            *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+        )
+        # norm materialized as a column: inside the transform lambda it
+        # would be recomputed per vector element (O(d²) per row)
+        .withColumn("_n", F.nullif(norm(F.col("_r")), F.lit(0.0)))
+        .select(
+            id_col,
+            F.transform("_r", lambda x: x / F.col("_n")).alias("_v"),
+            *( ["_blk"] if block_col else [] ),
+        )
     )
     a, b = v.alias("a"), v.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -356,7 +383,7 @@ def embedding_near_dup_pairs(
         cond = cond & (F.col("a._blk") == F.col("b._blk"))
     return (
         a.join(b, cond)
-        .withColumn("cosine_sim", F.round(cosine(F.col("a._v"), F.col("b._v")), 9))
+        .withColumn("cosine_sim", F.round(dot(F.col("a._v"), F.col("b._v")), 9))
         .where(F.col("cosine_sim") >= threshold)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
