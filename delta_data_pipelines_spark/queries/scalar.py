@@ -70,6 +70,21 @@ def f_json_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F33 the fast way: one from_json parse into a typed struct, then
+    struct field access — parses the document once regardless of how
+    many fields are read (get_json_object re-parses per call)."""
+    e = read_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id", F.from_json(F.col("props"), "k long").alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k_value"),
+        (F.col("p.k") % 10).alias("k_mod"),
+    )
+
+
 def f_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17/F18/F31 — trim/lower/slug/substring/concat family."""
     p = read_table(spark, sf_dir, "part")
@@ -201,6 +216,7 @@ SPARK_QUERIES = {
     "f_date_arithmetic": f_date_arithmetic,
     "f_case_buckets": f_case_buckets,
     "f_json_navigation": f_json_navigation,
+    "f_json_struct": f_json_struct,
     "f_string_ops": f_string_ops,
     "f_toman_parse": f_toman_parse,
     "f_relative_dates": f_relative_dates,
@@ -276,6 +292,12 @@ ORACLE_SQL = {
                     WHEN o_orderkey % 45 > 20 THEN 2024 - 621 - 21
                     ELSE 1404 END AS build_year
         FROM orders
+    """,
+    "f_json_struct": """
+        SELECT event_id,
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+        FROM events
     """,
     "f_enum_normalize": """
         SELECT o_orderkey,

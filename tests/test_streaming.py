@@ -197,3 +197,25 @@ def test_stream_stream_interval_join(spark, tmp_path):
     got = {tuple(x) for x in got_df[["event_id", "err_ts"]].itertuples(index=False)}
     assert len(expect) > 0
     assert got == expect
+
+
+def test_continuous_rollup_converges_to_batch(spark, tmp_path):
+    """Streaming rollup table (update-mode MERGE per micro-batch) must
+    equal the batch windowed aggregate once the source drains."""
+    from delta_data_pipelines_spark.storage import VersionedTable
+    from delta_data_pipelines_spark.streaming.rollup import run_rollup
+
+    e = _events(spark)
+    stream = _stream_time_ordered(spark, e, tmp_path, "ev_rollup")
+    rollup = VersionedTable(spark, str(tmp_path / "rollup"))
+    q = run_rollup(stream, rollup, str(tmp_path / "ckpt_rollup"))
+    q.awaitTermination(120)
+
+    got = rollup.read().toPandas().set_index(["window_start", "event_type"])
+    expect = (
+        windowed_event_counts(e).toPandas().set_index(["window_start", "event_type"])
+    )
+    assert len(got) == len(expect)
+    joined = expect.join(got, lsuffix="_b", rsuffix="_s")
+    assert (joined["n_b"] == joined["n_s"]).all()
+    assert (joined["total_value_b"] - joined["total_value_s"]).abs().max() < 1e-6
