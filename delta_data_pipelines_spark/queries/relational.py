@@ -341,6 +341,35 @@ def m_rename_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 via the groupBy().pivot() API (the EAV pivot's other form).
+    Explicit pivot values skip the extra distinct-scan pass Spark
+    otherwise runs to discover them — required practice at scale."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")))
+        .select(
+            "l_orderkey",
+            F.col("A").alias("qty_a"),
+            F.col("N").alias("qty_n"),
+            F.col("R").alias("qty_r"),
+        )
+    )
+
+
+def m_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 via the native unpivot/melt API (the stack() form's twin)."""
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    return li.select("l_orderkey", "l_quantity", "l_discount", "l_tax").unpivot(
+        "l_orderkey",
+        ["l_quantity", "l_discount", "l_tax"],
+        "attribute",
+        "value",
+    )
+
+
 def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 — ROLLUP (absent in the reference, free in Spark): subtotal
     rows per (returnflag), (returnflag, linestatus), and grand total.
@@ -407,6 +436,8 @@ SPARK_QUERIES = {
     "a_rollup": a_rollup,
     "a_cube": a_cube,
     "a_grouping_sets": a_grouping_sets,
+    "a_dynamic_pivot": a_dynamic_pivot,
+    "m_unpivot": m_unpivot,
 }
 
 ORACLE_SQL = {
@@ -550,6 +581,28 @@ ORACLE_SQL = {
         SELECT CAST(p_partkey AS BIGINT) AS Id, p_name AS Title, 1247 AS StatusId,
                CAST(p_retailprice AS DOUBLE) AS Price, CAST(p_size AS INTEGER) AS Size
         FROM part
+    """,
+    "a_dynamic_pivot": """
+        SELECT l_orderkey,
+               SUM(CASE WHEN l_returnflag = 'A'
+                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_a,
+               SUM(CASE WHEN l_returnflag = 'N'
+                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_n,
+               SUM(CASE WHEN l_returnflag = 'R'
+                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_r
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "m_unpivot": """
+        SELECT l_orderkey, attribute, value FROM (
+            SELECT l_orderkey, 'l_quantity' AS attribute, l_quantity AS value
+            FROM lineitem WHERE l_linenumber = 1
+            UNION ALL
+            SELECT l_orderkey, 'l_discount', l_discount
+            FROM lineitem WHERE l_linenumber = 1
+            UNION ALL
+            SELECT l_orderkey, 'l_tax', l_tax
+            FROM lineitem WHERE l_linenumber = 1
+        )
     """,
     "a_rollup": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
