@@ -1,7 +1,19 @@
-"""Structured Streaming pipelines (SURVEY.md §2.9)."""
+"""Structured Streaming pipelines (SURVEY.md §2.9).
+
+    pipeline   queue micro-batches, windows (tumbling/sliding/session),
+               stream dedup, fetch pipeline with MERGE sink
+    stateful   applyInPandasWithState per-key running aggregates
+    rollup     continuous aggregates (windowed counts MERGEd into a
+               versioned table per micro-batch)
+"""
 
 from .pipeline import (  # noqa: F401
+    dedup_events,
     queue_stream,
     run_fetch_pipeline,
+    session_event_stats,
+    sliding_event_counts,
     windowed_event_counts,
 )
+from .rollup import run_rollup  # noqa: F401
+from .stateful import running_user_totals, running_user_totals_batch  # noqa: F401
