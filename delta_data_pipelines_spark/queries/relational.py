@@ -370,6 +370,18 @@ def m_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per group (two-phase: partial distinct
+    then count). The approximate twin (approx_count_distinct, HLL —
+    one pass, fixed memory, the 100 TB default) is tolerance-tested in
+    tests/test_operators.py since HLL estimates differ per engine."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 — ROLLUP (absent in the reference, free in Spark): subtotal
     rows per (returnflag), (returnflag, linestatus), and grand total.
@@ -438,6 +450,7 @@ SPARK_QUERIES = {
     "a_grouping_sets": a_grouping_sets,
     "a_dynamic_pivot": a_dynamic_pivot,
     "m_unpivot": m_unpivot,
+    "a_count_distinct": a_count_distinct,
 }
 
 ORACLE_SQL = {
@@ -581,6 +594,11 @@ ORACLE_SQL = {
         SELECT CAST(p_partkey AS BIGINT) AS Id, p_name AS Title, 1247 AS StatusId,
                CAST(p_retailprice AS DOUBLE) AS Price, CAST(p_size AS INTEGER) AS Size
         FROM part
+    """,
+    "a_count_distinct": """
+        SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus
     """,
     "a_dynamic_pivot": """
         SELECT l_orderkey,

@@ -78,3 +78,27 @@ def test_q6_all_predicates_pushed(spark, registry):
     plan = plan_of(spark, registry, "tpch_q6")
     for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity"):
         assert frag in plan, plan
+
+
+def test_partitioned_layout_prunes_directories(spark, tmp_path):
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.storage.partitioned import (
+        read_day_range,
+        write_partitioned_by_day,
+    )
+
+    e = read_table(spark, SF, "events").select("event_id", "ts", "value")
+    path = str(tmp_path / "events_by_day")
+    write_partitioned_by_day(e, path, "ts")
+
+    pruned = read_day_range(spark, path, "2024-01-02", "2024-01-03")
+    plan = str(pruned._jdf.queryExecution().executedPlan().toString())
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "p_date" in m.group(1), plan
+
+    # pruning must not change results vs a full-scan filter
+    from pyspark.sql import functions as F
+
+    expect = e.where(F.to_date("ts").between("2024-01-02", "2024-01-03")).count()
+    assert pruned.count() == expect
+    assert expect > 0
