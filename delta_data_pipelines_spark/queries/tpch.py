@@ -115,11 +115,39 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority buckets: fact-fact join + conditional-count
+    aggregation (the CASE-inside-SUM shape, like the EAV pivot)."""
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+                ).otherwise(0)
+            ).alias("high_line_count"),
+            F.sum(
+                F.when(
+                    ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+                ).otherwise(0)
+            ).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 SPARK_QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
     "tpch_q5": tpch_q5,
     "tpch_q6": tpch_q6,
+    "tpch_q12": tpch_q12,
 }
 
 _DISC = (
@@ -151,6 +179,18 @@ ORACLE_SQL = {
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, l_orderkey
         LIMIT 20
+    """,
+    "tpch_q12": """
+        SELECT l_returnflag,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
     """,
     "tpch_q6": """
         SELECT SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -179,3 +179,16 @@ def test_enum_lookup_modes(spark):
     assert defaulted[3] == "unknown"
     plain = {r["id"]: r["code_mapped"] for r in enum_lookup(df, "code", m).collect()}
     assert plain[3] is None
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    from delta_data_pipelines_spark.catalog import read_table
+
+    o = read_table(spark, SF, "orders")
+    got = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.05).alias("approx"),
+    ).collect()
+    assert len(got) > 0
+    for r in got:
+        assert abs(r["approx"] - r["exact"]) <= max(2, 0.15 * r["exact"]), r
