@@ -1,0 +1,88 @@
+"""Crawl pagination loop (SURVEY §2.1 S1-S4, §2.8 D4).
+
+Reference loops: divar walks a cursor through pages 0..50
+(divar_crawler.py:84-181), sheypoor carries a server cursor
+(sheypoor_crawler.py:72-155), kilid crosses {BUY,RENT}×9 cities
+(kilid_crawler.py:36-276), mrestate pages a Next.js data URL
+(mrestate_crawler.py:13-191). All four stop early when a page's
+duplicate ratio crosses the site threshold (≥0.5 divar, ≥0.3 others)
+or a page comes back empty.
+
+The page fetch is inherently sequential driver code (each page's
+cursor comes from the previous response) — kept as a generator the
+caller supplies. Everything per page is DataFrame logic via
+ingest.crawl: dup-ratio probe, anti-join split, queue MERGE,
+seen MERGE.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+
+from ..storage import VersionedTable
+from .crawl import dup_ratio, mark_seen, partition_new, publish
+
+
+def run_crawl(
+    pages: Iterator[DataFrame] | Callable[[], Iterator[DataFrame]],
+    site: str,
+    seen: VersionedTable,
+    queue: VersionedTable,
+    max_pages: int = 50,
+    dup_stop_ratio: float = 0.5,
+) -> dict:
+    """Drain a page iterator into the queue with early stopping.
+
+    Per page: probe the dup ratio against the seen table → stop when
+    ≥ ``dup_stop_ratio`` (D4, after still enqueuing that page's new
+    URLs, matching the reference which publishes before stopping,
+    divar_crawler.py:144-164) → anti-join split → MERGE new URLs into
+    the queue and the seen table.
+
+    Returns crawl metrics (pages walked, urls seen/new, stop reason).
+    """
+    if callable(pages):
+        pages = pages()
+    n_pages = 0
+    n_urls = 0
+    n_new = 0
+    stop = "max_pages"
+    seen_df = seen.read() if seen.exists() else None
+
+    for page in pages:
+        if n_pages >= max_pages:
+            stop = "max_pages"
+            break
+        n_pages += 1
+        total = page.count()
+        if total == 0:
+            stop = "empty_page"
+            break
+        n_urls += total
+
+        if seen_df is None:
+            ratio = 0.0
+            new = page
+        else:
+            ratio = dup_ratio(page, seen_df, site)
+            new, _ = partition_new(page, seen_df, site)
+
+        n_new += publish(queue, new, site)
+        mark_seen(seen, page, site)
+        seen_df = seen.read()
+
+        if ratio >= dup_stop_ratio:
+            stop = "dup_ratio"
+            break
+    else:
+        stop = "exhausted"
+
+    return {
+        "site": site,
+        "pages": n_pages,
+        "urls": n_urls,
+        "new": n_new,
+        "stopped_by": stop,
+    }

@@ -363,3 +363,34 @@ def test_html_udf_class_extraction(spark):
     # nested tags: text inside <b> still belongs to the outer class div
     assert rows[(1, "price-value")] == ["۵ میلیون", "تومان"]
     assert rows[(2, "price-label")] == []  # malformed → empty, no crash
+
+
+def test_run_crawl_dup_ratio_early_stop(spark, tmp_path):
+    from delta_data_pipelines_spark.ingest.paginate import run_crawl
+    from delta_data_pipelines_spark.storage import VersionedTable
+
+    seen = VersionedTable(spark, str(tmp_path / "seen"))
+    queue = VersionedTable(spark, str(tmp_path / "queue"))
+
+    def urls(lo, hi):
+        return spark.createDataFrame(
+            [(f"https://d/{i}",) for i in range(lo, hi)], "content_url string"
+        )
+
+    # crawl 1: three fresh pages, exhausts the iterator
+    m1 = run_crawl(iter([urls(0, 10), urls(10, 20), urls(20, 30)]),
+                   "divar", seen, queue, dup_stop_ratio=0.5)
+    assert m1["stopped_by"] == "exhausted"
+    assert m1["new"] == 30 and queue.read().count() == 30
+
+    # crawl 2: first page 100% already-seen → publishes nothing new,
+    # stops on dup ratio without touching the second page
+    m2 = run_crawl(iter([urls(0, 10), urls(100, 110)]),
+                   "divar", seen, queue, dup_stop_ratio=0.5)
+    assert m2["stopped_by"] == "dup_ratio"
+    assert m2["pages"] == 1 and m2["new"] == 0
+    assert queue.read().count() == 30
+
+    # crawl 3: empty page stops immediately
+    m3 = run_crawl(iter([urls(0, 0)]), "divar", seen, queue)
+    assert m3["stopped_by"] == "empty_page"
