@@ -394,3 +394,23 @@ def test_run_crawl_dup_ratio_early_stop(spark, tmp_path):
     # crawl 3: empty page stops immediately
     m3 = run_crawl(iter([urls(0, 0)]), "divar", seen, queue)
     assert m3["stopped_by"] == "empty_page"
+
+
+def test_fetch_stage_errors_as_data(spark):
+    from delta_data_pipelines_spark.ingest.fetch import fetch_stage
+
+    def _fake_fetch(url):  # closure → pickled by value for executors
+        if url.endswith("/bad"):
+            raise ValueError("HTTP 500")
+        return f"<html>{url}</html>"
+
+    urls = spark.createDataFrame(
+        [("https://d/1",), ("https://d/bad",), ("https://d/3",)],
+        "content_url string",
+    )
+    out = {r["content_url"]: r for r in fetch_stage(urls, _fake_fetch).collect()}
+    assert out["https://d/1"]["body"] == "<html>https://d/1</html>"
+    assert out["https://d/1"]["fetch_error"] is None
+    assert out["https://d/bad"]["body"] is None
+    assert "HTTP 500" in out["https://d/bad"]["fetch_error"]
+    assert len(out) == 3  # failures never drop rows
