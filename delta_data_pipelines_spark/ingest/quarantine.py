@@ -1,0 +1,58 @@
+"""Permissive parsing with error quarantine (SURVEY §4 failure row).
+
+Reference behavior: per-row try/except-continue in every transformer
+(divar_transformer.py:14-20) and explicit error rows in kilid
+(kilid_transformer.py:525-532) — bad payloads are skipped or logged,
+never fatal.
+
+Engine shape: parse JSON payloads in PERMISSIVE mode with a
+``_corrupt_record`` column, then split the batch into (clean,
+quarantined). The quarantine table keeps the raw payload + error
+context for replay after a parser fix — rows are data, not log lines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def parse_with_quarantine(
+    df: DataFrame, json_col: str, schema: StructType | str
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined) split of a raw-JSON column.
+
+    clean: parsed struct column ``parsed`` (corrupt column dropped).
+    quarantined: original rows + ``error`` context, ready to append to
+    a quarantine table and replay later.
+
+    Corruption is detected via the PERMISSIVE-mode corrupt-record
+    channel (an all-null struct is NOT proof of corruption — a valid
+    payload can legitimately miss every field; missing fields stay
+    clean and the conform step fills them).
+    """
+    if isinstance(schema, StructType):
+        schema = schema.simpleString()[len("struct<") : -1].replace(":", " ")
+    full_schema = f"{schema}, {CORRUPT_COL} string"
+    parsed = df.withColumn(
+        "parsed",
+        F.from_json(
+            F.col(json_col),
+            full_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ),
+    )
+    bad = F.col(f"parsed.{CORRUPT_COL}").isNotNull()
+    clean = parsed.where(~bad & F.col(json_col).isNotNull()).withColumn(
+        "parsed", F.col("parsed").dropFields(CORRUPT_COL)
+    )
+    quarantined = (
+        parsed.where(bad)
+        .drop("parsed")
+        .withColumn("error", F.lit("unparseable json"))
+        .withColumn("quarantined_at", F.current_timestamp())
+    )
+    return clean, quarantined

@@ -414,3 +414,26 @@ def test_fetch_stage_errors_as_data(spark):
     assert out["https://d/bad"]["body"] is None
     assert "HTTP 500" in out["https://d/bad"]["fetch_error"]
     assert len(out) == 3  # failures never drop rows
+
+
+def test_parse_with_quarantine(spark):
+    from delta_data_pipelines_spark.ingest.quarantine import parse_with_quarantine
+
+    raw = spark.createDataFrame(
+        [
+            (1, '{"price": 100, "title": "ok"}'),
+            (2, "{{{ not json"),
+            (3, '{"price": 250}'),  # missing field → typed NULL, still clean
+            (4, None),  # null payload: neither clean nor quarantined
+        ],
+        "id long, payload string",
+    )
+    clean, quarantined = parse_with_quarantine(
+        raw, "payload", "price long, title string"
+    )
+    c = {r["id"]: r["parsed"] for r in clean.collect()}
+    assert set(c) == {1, 3}
+    assert c[1]["price"] == 100 and c[3]["title"] is None
+    q = quarantined.collect()
+    assert [r["id"] for r in q] == [2]
+    assert q[0]["payload"] == "{{{ not json"  # raw kept for replay
