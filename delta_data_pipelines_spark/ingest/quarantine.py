@@ -34,9 +34,13 @@ def parse_with_quarantine(
     payload can legitimately miss every field; missing fields stay
     clean and the conform step fills them).
     """
-    if isinstance(schema, StructType):
-        schema = schema.simpleString()[len("struct<") : -1].replace(":", " ")
-    full_schema = f"{schema}, {CORRUPT_COL} string"
+    from pyspark.sql.types import StringType, StructField
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    full_schema = StructType(
+        list(schema.fields) + [StructField(CORRUPT_COL, StringType())]
+    )
     parsed = df.withColumn(
         "parsed",
         F.from_json(

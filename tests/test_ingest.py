@@ -437,3 +437,38 @@ def test_parse_with_quarantine(spark):
     q = quarantined.collect()
     assert [r["id"] for r in q] == [2]
     assert q[0]["payload"] == "{{{ not json"  # raw kept for replay
+
+
+def test_fetcher_path_end_to_end(spark, divar_raw, tmp_path):
+    """The full SURVEY §3.2 path in one run: url queue → executor-side
+    fetch → permissive parse w/ quarantine → site transform → conform
+    → idempotent MERGE into listings."""
+    from delta_data_pipelines_spark.ingest.fetch import fetch_stage
+    from delta_data_pipelines_spark.ingest.quarantine import parse_with_quarantine
+    from delta_data_pipelines_spark.ingest.transformers import divar
+
+    payload_json = divar_raw.select(F.to_json("data").alias("j")).first()["j"]
+    data_schema = divar_raw.schema["data"].dataType
+
+    urls = spark.createDataFrame(
+        [("https://divar.example/v/abc",), ("https://divar.example/v/broken",)],
+        "content_url string",
+    )
+
+    def fake_fetch(url):  # closure → pickled by value
+        return "{{{ corrupt" if url.endswith("broken") else payload_json
+
+    fetched = fetch_stage(urls, fake_fetch)
+    clean, quarantined = parse_with_quarantine(fetched, "body", data_schema)
+    assert quarantined.count() == 1  # the broken payload, kept for replay
+
+    raw = clean.select("content_url", F.col("parsed").alias("data"))
+    canonical = divar.transform(raw, now=NOW())
+    assert canonical.columns == LISTING_COLUMNS
+
+    listings = VersionedTable(spark, str(tmp_path / "listings_e2e"))
+    for _ in range(2):  # re-delivery: second MERGE inserts nothing
+        listings.merge(canonical, keys=["content_url"])
+    final = listings.read().collect()
+    assert len(final) == 1
+    assert final[0]["price_value"] == 5_200_000_000
