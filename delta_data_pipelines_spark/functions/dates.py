@@ -122,6 +122,31 @@ def clamp_timestamp(col: Column | str, limit: str, reset: str) -> Column:
     return F.when(c > F.lit(limit).cast("timestamp"), F.lit(reset).cast("timestamp")).otherwise(c)
 
 
+def days_ago_and_street(
+    col: Column | str, now: Column | None = None
+) -> Column:
+    """F16 — combined extractor for "N روز/هفته/ماه پیش، street"
+    (map_divar_data_to_delta.py:26-41): relative-age prefix → absolute
+    timestamp, the segment after "، " → street name.
+
+    Returns struct(published_at timestamp, street string); texts with
+    no age prefix get published_at = now, no "، " → street NULL.
+    """
+    if now is None:
+        now = F.current_timestamp()
+    t = persian_to_english_digits(F.trim(_c(col)))
+    head = F.split(t, "، ")[0]
+    street = F.when(t.contains("، "), F.trim(F.substring_index(t, "، ", -1)))
+    n = F.coalesce(F.regexp_extract(head, r"(\d+)", 1).try_cast("int"), F.lit(0))
+    published = (
+        F.when(head.contains("روز"), _minus_days(now, n))
+        .when(head.contains("هفته"), _minus_days(now, n * 7))
+        .when(head.contains("ماه"), _minus_days(now, n * 30))
+        .otherwise(now)
+    )
+    return F.struct(published.alias("published_at"), street.alias("street"))
+
+
 def watermark_with_overlap(
     col: Column | str,
     overlap_hours: int = 1,

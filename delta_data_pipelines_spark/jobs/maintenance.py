@@ -75,6 +75,35 @@ def rebuild_seen_urls(listings: DataFrame, site_col: str = "cat1_slug") -> DataF
     )
 
 
+def check_url(
+    url: str,
+    queue: VersionedTable,
+    seen: VersionedTable,
+    listings: VersionedTable,
+) -> dict:
+    """D7 — cross-store consistency probe: where does one URL live?
+    (↔ scripts/check_url_in_bf_and_db.py:17-63 probing Mongo + bloom +
+    RabbitMQ). Three point lookups; at scale each is a data-skipped
+    scan of a key-sorted table."""
+    def present(t: VersionedTable) -> bool:
+        if not t.exists():
+            return False
+        return not t.read().where(F.col("content_url") == url).isEmpty()
+
+    state = {
+        "url": url,
+        "in_queue": present(queue),
+        "in_seen": present(seen),
+        "in_listings": present(listings),
+    }
+    # consistent end states: everywhere, or seen+queued but not yet
+    # fetched, or nowhere. Seen-without-queue means a dropped publish.
+    state["consistent"] = (
+        state["in_seen"] or not (state["in_queue"] or state["in_listings"])
+    )
+    return state
+
+
 def run_normalize(table: VersionedTable) -> dict:
     """Apply the normalize pass in place (new table version)."""
     commit = table.overwrite(normalize_listings(table.read()))

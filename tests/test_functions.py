@@ -286,3 +286,25 @@ def test_section_widgets_and_map(spark):
 def test_next_data_json(spark):
     html = '<html><script id="__NEXT_DATA__" type="application/json">{"buildId":"abc"}</script></html>'
     assert one(spark, fn.next_data_json("v"), html) == '{"buildId":"abc"}'
+
+
+def test_days_ago_and_street(spark):
+    from delta_data_pipelines_spark.functions.dates import days_ago_and_street
+
+    now = F.lit("2024-06-01 12:00:00").cast("timestamp")
+    df = spark.createDataFrame(
+        [
+            (1, "۲ روز پیش، ولیعصر"),
+            (2, "۱ هفته پیش"),
+            (3, "لحظاتی پیش، ونک"),
+        ],
+        "id long, t string",
+    )
+    out = {r["id"]: r["r"] for r in df.select(
+        "id", days_ago_and_street(F.col("t"), now=now).alias("r")).collect()}
+    assert str(out[1]["published_at"]) == "2024-05-30 12:00:00"
+    assert out[1]["street"] == "ولیعصر"
+    assert str(out[2]["published_at"]) == "2024-05-25 12:00:00"
+    assert out[2]["street"] is None
+    assert str(out[3]["published_at"]) == "2024-06-01 12:00:00"
+    assert out[3]["street"] == "ونک"

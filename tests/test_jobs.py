@@ -111,3 +111,24 @@ def test_incremental_index_convergence(spark, tmp_path):
     assert index.read().count() == total
     assert r2["watermark"] >= r1["watermark"]
     assert r2["lower_bound"] > r1["lower_bound"]
+
+
+def test_check_url_consistency_probe(spark, tmp_path):
+    from delta_data_pipelines_spark.jobs.maintenance import check_url
+
+    queue = VersionedTable(spark, str(tmp_path / "q"))
+    seen = VersionedTable(spark, str(tmp_path / "s"))
+    lst = VersionedTable(spark, str(tmp_path / "l"))
+    queue.overwrite(spark.createDataFrame([("u1",)], "content_url string"))
+    seen.overwrite(spark.createDataFrame([("u1",), ("u2",)], "content_url string"))
+    lst.overwrite(spark.createDataFrame([("u2",)], "content_url string"))
+
+    r1 = check_url("u1", queue, seen, lst)
+    assert r1["in_queue"] and r1["in_seen"] and not r1["in_listings"]
+    assert r1["consistent"]
+    r3 = check_url("u3", queue, seen, lst)
+    assert not any([r3["in_queue"], r3["in_seen"], r3["in_listings"]])
+    assert r3["consistent"]
+    # listed but never marked seen → inconsistent (dropped publish)
+    lst.merge(spark.createDataFrame([("u4",)], "content_url string"), keys=["content_url"])
+    assert not check_url("u4", queue, seen, lst)["consistent"]
