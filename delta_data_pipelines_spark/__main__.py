@@ -1,0 +1,90 @@
+"""CLI entry points — the engine's replacement for the reference's
+Airflow DAG triggers.
+
+    python -m delta_data_pipelines_spark search-index [--sf-dir D] [--out DIR]
+    python -m delta_data_pipelines_spark incremental-index --state DIR [--sf-dir D]
+    python -m delta_data_pipelines_spark price-dataset --listings DIR --out DIR
+    python -m delta_data_pipelines_spark bench
+
+Each command builds the tuned session (session.get_spark), runs one
+job, and prints a one-line JSON result.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="delta_data_pipelines_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    si = sub.add_parser("search-index", help="full search-index rebuild")
+    si.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    si.add_argument("--out", default=None, help="write result parquet here")
+
+    inc = sub.add_parser("incremental-index", help="watermarked incremental index")
+    inc.add_argument("--state", required=True, help="state directory (index + watermarks)")
+    inc.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+
+    pd_ = sub.add_parser("price-dataset", help="versioned ML dataset publish")
+    pd_.add_argument("--listings", required=True, help="listings parquet dir")
+    pd_.add_argument("--out", required=True, help="dataset table root")
+
+    sub.add_parser("bench", help="run the bench harness")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "bench":
+        import subprocess
+
+        return subprocess.call(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")]
+        )
+
+    from .session import get_spark
+
+    spark = get_spark(f"ddp-{args.cmd}")
+
+    if args.cmd == "search-index":
+        from .queries.search_index import search_index_full
+
+        df = search_index_full(spark, args.sf_dir)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+        else:
+            n = df.count()
+        print(json.dumps({"job": "search-index", "rows": n, "out": args.out}))
+        return 0
+
+    if args.cmd == "incremental-index":
+        from .jobs import run_incremental
+        from .storage import VersionedTable, WatermarkStore
+
+        index = VersionedTable(spark, os.path.join(args.state, "index"))
+        wm = WatermarkStore(spark, os.path.join(args.state, "watermarks"))
+        res = run_incremental(spark, args.sf_dir, index, wm)
+        print(json.dumps({"job": "incremental-index", **{
+            k: (str(v) if not isinstance(v, (int, float, type(None))) else v)
+            for k, v in res.items()}}))
+        return 0
+
+    if args.cmd == "price-dataset":
+        from .jobs import build_price_dataset, publish_dataset
+        from .storage import VersionedTable
+
+        listings = spark.read.parquet(args.listings)
+        table = VersionedTable(spark, args.out)
+        res = publish_dataset(table, build_price_dataset(listings))
+        print(json.dumps({"job": "price-dataset", **res}))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
