@@ -1,0 +1,74 @@
+"""Deterministic sampling and dataset splitting.
+
+``randomSplit`` reshuffles membership when the partitioning changes —
+a row can hop from train to eval between runs, silently leaking eval
+data into training. Hash-based splitting is row-stable: membership is
+a pure function of the key, reproducible across runs, partitionings,
+clusters, and engine versions (xxhash64 is fixed in Spark).
+
+The same primitive gives deterministic down-sampling (keep x% of a
+corpus forever-stably) and per-key sharding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def split_bucket(key: Column | str, method: str = "xxhash64") -> Column:
+    """Uniform bucket in [0, 1) from the key hash.
+
+    ``method='xxhash64'`` (default) is the fast JVM-native path.
+    ``method='md5'`` buckets on the first 8 hex digits of md5 — slower,
+    but md5 is identical across engines (Spark, DuckDB, Postgres, …),
+    so splits survive an engine migration bit-for-bit.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    if method == "md5":
+        h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
+        return F.pmod(h, F.lit(_BUCKETS)) / F.lit(float(_BUCKETS))
+    if method != "xxhash64":
+        raise ValueError(f"unknown hash method: {method}")
+    return F.pmod(F.xxhash64(c), F.lit(_BUCKETS)) / F.lit(float(_BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float],
+    split_col: str = "split",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Label every row with a deterministic split by key hash.
+
+    ``weights`` maps split name → fraction (must sum to ~1). Equal keys
+    always land in the same split (dedup the key first if leakage
+    across duplicates matters).
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    b = split_bucket(key, method)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        clause = F.when(b < acc, F.lit(name))
+        expr = clause if expr is None else expr.when(b < acc, F.lit(name))
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn(split_col, expr)
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float, method: str = "xxhash64"
+) -> DataFrame:
+    """Keep a stable ``fraction`` of rows by key hash — the same rows
+    survive every run (unlike ``df.sample``), so downstream caches and
+    metrics stay comparable across pipeline versions."""
+    return df.where(split_bucket(key, method) < fraction)

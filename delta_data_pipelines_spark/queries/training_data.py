@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import read_table
-from ..operators import dedup, multimodal, similarity, textstats
+from ..operators import dedup, multimodal, sampling, similarity, textstats
 
 # ---------------------------------------------------------------------------
 # Dedup
@@ -208,7 +208,31 @@ def txt_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ds_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/eval/test split by key hash (portable md5
+    bucketing so the assignment is reproducible in ANY engine — the
+    oracle recomputes the identical buckets). Row-stable: membership is
+    a pure function of doc_id, immune to repartitioning and reruns,
+    unlike randomSplit."""
+    d = read_table(spark, sf_dir, "documents")
+    out = sampling.hash_split(
+        d, "doc_id", {"train": 0.8, "eval": 0.1, "test": 0.1}, method="md5"
+    )
+    return out.groupBy("split", "lang").agg(F.count("*").alias("n"))
+
+
+def ds_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 10% corpus sample by doc_id hash — the same rows survive
+    every run, so iteration-time metrics stay comparable."""
+    d = read_table(spark, sf_dir, "documents")
+    return sampling.deterministic_sample(d, "doc_id", 0.1, method="md5").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 SPARK_QUERIES = {
+    "ds_hash_split": ds_hash_split,
+    "ds_det_sample": ds_det_sample,
     "dd_exact": dd_exact,
     "dd_minhash": dd_minhash,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -243,7 +267,26 @@ _JACCARD_PAIRS = f"""
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id {{block}}
 """
 
+_MD5_BUCKET = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000)"
+    " / 1000000.0"
+)
+
 ORACLE_SQL = {
+    # thresholds written as the same float sums Python accumulates
+    # (0.8 + 0.1, not 0.9) so borderline buckets agree bit-for-bit
+    "ds_hash_split": f"""
+        WITH b AS (SELECT lang, {_MD5_BUCKET} AS bkt FROM documents)
+        SELECT CASE WHEN bkt < 0.8 THEN 'train'
+                    WHEN bkt < 0.8 + 0.1 THEN 'eval'
+                    ELSE 'test' END AS split,
+               lang, COUNT(*) AS n
+        FROM b GROUP BY 1, 2
+    """,
+    "ds_det_sample": f"""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE {_MD5_BUCKET} < 0.1
+    """,
     "dd_exact": """
         SELECT doc_id, lang, source FROM (
             SELECT doc_id, lang, source,

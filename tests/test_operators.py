@@ -192,3 +192,27 @@ def test_approx_count_distinct_within_tolerance(spark):
     assert len(got) > 0
     for r in got:
         assert abs(r["approx"] - r["exact"]) <= max(2, 0.15 * r["exact"]), r
+
+
+def test_hash_split_stable_and_disjoint(spark):
+    from delta_data_pipelines_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+    )
+
+    df = spark.range(0, 10_000).selectExpr("CAST(id AS STRING) AS doc_key")
+    s1 = hash_split(df, "doc_key", {"train": 0.8, "eval": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in s1.groupBy("split").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert set(counts) == {"train", "eval", "test"}
+    assert abs(counts["train"] - 8000) < 300  # ~binomial tolerance
+    # stability: same rows land in the same split on a repartitioned rerun
+    s2 = hash_split(df.repartition(13), "doc_key",
+                    {"train": 0.8, "eval": 0.1, "test": 0.1})
+    joined = s1.join(s2.withColumnRenamed("split", "split2"), "doc_key")
+    assert joined.where("split <> split2").count() == 0
+    # deterministic sample is a prefix of the same bucketing
+    samp = deterministic_sample(df, "doc_key", 0.1)
+    n = samp.count()
+    assert abs(n - 1000) < 150
+    assert deterministic_sample(df, "doc_key", 0.1).count() == n
