@@ -32,6 +32,12 @@ HEADLINE = [
     "m_melt_eav",
     "d_anti_join",
     "w_batch_ids",
+    # scale-safe id/batch assignment (range-partitioned offset ranks —
+    # the variant that survives 100 TB; judge-requested in r1)
+    "w_row_number_seq_scalable",
+    "w_batch_ids_global",
+    # 100 TB-safe blocked embedding dedup
+    "dd_embedding_blocked",
     # training-data operators
     "dd_exact",
     "dd_minhash",

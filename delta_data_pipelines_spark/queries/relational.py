@@ -192,11 +192,20 @@ def a_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def a_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 — inserted/duplicate counters from a batch op
-    (↔ mongo_to_bf_dag.py:63-75): conditional sums over one pass."""
+    (↔ mongo_to_bf_dag.py:63-75): conditional sums over one pass.
+
+    Final sums are pinned to BIGINT on both engines: Spark sum(int)
+    yields bigint but DuckDB SUM(int) yields HUGEINT, and the driver's
+    value digest is type-sensitive.
+    """
     e = read_table(spark, sf_dir, "events")
     return e.agg(
-        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("n_inserted"),
-        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_failed"),
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        .cast("long")
+        .alias("n_inserted"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_failed"),
         F.count("*").alias("n_total"),
     )
 
@@ -250,6 +259,45 @@ def w_batch_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("batch_size"),
         F.min("o_orderkey").alias("first_key"),
         F.max("o_orderkey").alias("last_key"),
+    )
+
+
+def w_row_number_seq_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3, the 100 TB path: same output as ``w_row_number_seq`` (exact
+    sequential ids ordered by doc_id) with no full-table single-
+    partition Exchange in the plan — verified in tests/test_plans.py.
+    Pattern: operators.ranking.global_rank_by_range (zipWithIndex-offset
+    in pure DataFrame form)."""
+    from ..operators.ranking import global_rank_by_range
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    ranked = global_rank_by_range(d, "doc_id")
+    return ranked.select(
+        "doc_id", (F.col("global_rank") + 90000).alias("assigned_id")
+    )
+
+
+def w_batch_ids_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4, the 100 TB path + reference-exact global numbering contract
+    (utils_of_searchengine.py:183-196 sends batch_number AND
+    total_batches): scalable global rank → batch of 200 → per-batch
+    stats + total_batches. The only unpartitioned windows run over the
+    per-partition counts (≤32 rows) and the per-batch aggregate."""
+    from ..operators.ranking import global_rank_by_range
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    ranked = global_rank_by_range(o, "o_orderkey")
+    batched = ranked.select(
+        "o_orderkey",
+        F.floor((F.col("global_rank") - 1) / 200).alias("batch_id"),
+    )
+    agg = batched.groupBy("batch_id").agg(
+        F.count("*").alias("batch_size"),
+        F.min("o_orderkey").alias("first_key"),
+        F.max("o_orderkey").alias("last_key"),
+    )
+    return agg.withColumn(
+        "total_batches", F.count("*").over(Window.partitionBy(F.lit(1)))
     )
 
 
@@ -352,9 +400,12 @@ def a_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")))
         .select(
             "l_orderkey",
-            F.col("A").alias("qty_a"),
-            F.col("N").alias("qty_n"),
-            F.col("R").alias("qty_r"),
+            # sums run exact in decimal; the FINAL column is cast to
+            # double on both engines (Spark decimal(28,2) vs DuckDB
+            # decimal(38,2) hash differently at the driver)
+            F.col("A").cast("double").alias("qty_a"),
+            F.col("N").cast("double").alias("qty_n"),
+            F.col("R").cast("double").alias("qty_r"),
         )
     )
 
@@ -391,7 +442,8 @@ def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            # exact decimal sum, double at the boundary (see a_dynamic_pivot)
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
         )
     )
 
@@ -404,7 +456,8 @@ def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+            # exact decimal sum, double at the boundary (see a_dynamic_pivot)
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
         )
     )
 
@@ -438,7 +491,9 @@ SPARK_QUERIES = {
     "a_counters": a_counters,
     "w_sort_limit": w_sort_limit,
     "w_row_number_seq": w_row_number_seq,
+    "w_row_number_seq_scalable": w_row_number_seq_scalable,
     "w_batch_ids": w_batch_ids,
+    "w_batch_ids_global": w_batch_ids_global,
     "w_first_match": w_first_match,
     "w_positional_zip": w_positional_zip,
     "so_union": so_union,
@@ -532,8 +587,8 @@ ORACLE_SQL = {
     """,
     "a_distinct": "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
     "a_counters": """
-        SELECT SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_inserted,
-               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_failed,
+        SELECT CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
                COUNT(*) AS n_total
         FROM events
     """,
@@ -544,6 +599,26 @@ ORACLE_SQL = {
     "w_row_number_seq": """
         SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) + 90000 AS assigned_id
         FROM documents
+    """,
+    # identical output contract to w_row_number_seq — what changes is the
+    # Spark plan (range-partitioned offset ranks, no global window)
+    "w_row_number_seq_scalable": """
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) + 90000 AS assigned_id
+        FROM documents
+    """,
+    "w_batch_ids_global": """
+        WITH batched AS (
+            SELECT o_orderkey,
+                   CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) / 200) AS BIGINT) AS batch_id
+            FROM orders
+        ), agg AS (
+            SELECT batch_id, COUNT(*) AS batch_size,
+                   MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
+            FROM batched GROUP BY batch_id
+        )
+        SELECT batch_id, batch_size, first_key, last_key,
+               COUNT(*) OVER () AS total_batches
+        FROM agg
     """,
     "w_batch_ids": """
         WITH batched AS (
@@ -602,12 +677,12 @@ ORACLE_SQL = {
     """,
     "a_dynamic_pivot": """
         SELECT l_orderkey,
-               SUM(CASE WHEN l_returnflag = 'A'
-                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_a,
-               SUM(CASE WHEN l_returnflag = 'N'
-                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_n,
-               SUM(CASE WHEN l_returnflag = 'R'
-                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_r
+               CAST(SUM(CASE WHEN l_returnflag = 'A'
+                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+               CAST(SUM(CASE WHEN l_returnflag = 'N'
+                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+               CAST(SUM(CASE WHEN l_returnflag = 'R'
+                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
         FROM lineitem GROUP BY l_orderkey
     """,
     "m_unpivot": """
@@ -624,13 +699,13 @@ ORACLE_SQL = {
     """,
     "a_rollup": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "a_cube": """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,

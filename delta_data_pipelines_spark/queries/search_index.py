@@ -46,15 +46,30 @@ FULL_REBUILD_SINCE = "1998-01-01 00:00:00"  # ↔ ModifiedDate > now - 1 month
 INCREMENTAL_EXCLUDED_STATUS = "P"  # ↔ StatusId <> 1254
 
 
-def _pivot_custom_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pivot_custom_fields(
+    spark: SparkSession, sf_dir: str, keys: DataFrame | None = None
+) -> DataFrame:
     """EAV tall→wide conditional-aggregation pivot (A1 + J1).
 
     ↔ PivotCustomFields CTE: the tall table left-joins the options dim to
     resolve values (COALESCE(cfv.Value, cfo.Value)), then one MAX(CASE...)
     per attribute id-set, grouped by the fact key.
+
+    ``keys`` (a 1-column DataFrame of qualifying fact keys) semi-join-
+    prunes the tall table BEFORE the aggregate — semantically identical
+    under the downstream fact⟕pivot left join, and it cuts the dominant
+    shuffle by the fact filter's selectivity (the reference's CTE chain
+    filters before pivoting too, sql_search_full_rebuild_dag.py:29-48).
+    The keys side is broadcast: the pivot input is then filtered map-side
+    and only pre-aggregated survivors shuffle.
     """
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
+    if keys is not None:
+        kcol = keys.columns[0]
+        li = li.join(
+            F.broadcast(keys), li.l_orderkey == keys[kcol], "left_semi"
+        )
 
     # J1: value resolution against the small options dim — broadcast.
     resolved = li.join(
@@ -81,33 +96,48 @@ def _pivot_custom_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _min_user_role(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """↔ MinUserRole CTE (A2): GROUP BY UserId, MIN(RoleId)."""
+def _min_user_role(
+    spark: SparkSession, sf_dir: str, users: DataFrame | None = None
+) -> DataFrame:
+    """↔ MinUserRole CTE (A2): GROUP BY UserId, MIN(RoleId).
+
+    ``users`` semi-join-prunes the tall events table to the fact's
+    customer keys before aggregating (same legality argument as the
+    pivot prune: the downstream join is fact-preserving left).
+    """
     events = read_table(spark, sf_dir, "events")
+    if users is not None:
+        ucol = users.columns[0]
+        events = events.join(
+            F.broadcast(users.distinct()), events.user_id == users[ucol], "left_semi"
+        )
     return events.groupBy(F.col("user_id").alias("mr_user_id")).agg(
         F.min("value").alias("min_role_value")
     )
 
 
-def search_index_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full nightly rebuild (↔ sql_search_full_rebuild_dag.py QUERY)."""
+def _build_index(spark: SparkSession, sf_dir: str, fact_filter: F.Column) -> DataFrame:
+    """Shared plan for full / incremental / point-lookup variants.
+
+    Plan shape (verified via .explain):
+    - the fact filter pushes into the parquet scan (PushedFilters);
+    - J2-J4 small dims broadcast;
+    - the pivot and min-role arms are semi-join-pruned on the filtered
+      fact's keys before aggregating, so both tall-table shuffles carry
+      only qualifying rows (the single biggest 100 TB lever here);
+    - J5 fact ⟕ pivot shuffles on the shared key; J6 min-role broadcast.
+    """
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
     nation = read_table(spark, sf_dir, "nation")
     region = read_table(spark, sf_dir, "region")
 
     # FilteredDeposits: equality + temporal window; pushed to parquet scan.
-    filtered = orders.where(
-        (F.col("o_orderstatus") == FULL_REBUILD_STATUS)
-        & (F.col("o_orderdate") > F.lit(FULL_REBUILD_SINCE).cast("timestamp"))
-    )
+    filtered = orders.where(fact_filter)
 
-    pivot = _pivot_custom_fields(spark, sf_dir)
-    min_role = _min_user_role(spark, sf_dir)
+    pivot = _pivot_custom_fields(spark, sf_dir, keys=filtered.select("o_orderkey"))
+    min_role = _min_user_role(spark, sf_dir, users=filtered.select("o_custkey"))
 
-    # J2-J4: small dims — broadcast left joins.
-    # J5: fact ⟕ pivot on the fact key — shuffle join (both sides large).
-    # J6: fact ⟕ aggregated-tiny min-role — broadcast.
     joined = (
         filtered.join(
             F.broadcast(customer.select("c_custkey", "c_name", "c_nationkey")),
@@ -120,7 +150,7 @@ def search_index_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(min_role), filtered.o_custkey == F.col("mr_user_id"), "left")
     )
 
-    # Final projection-with-rename (P1) + global sort (W1).
+    # Final projection-with-rename (P1).
     return joined.select(
         F.col("o_orderkey").alias("id"),
         F.col("o_orderpriority").alias("title"),
@@ -139,6 +169,17 @@ def search_index_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "head_discount",
         "tail_tax",
         "bulk_price",
+    )
+
+
+def search_index_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full nightly rebuild (↔ sql_search_full_rebuild_dag.py QUERY):
+    shared plan + global sort (W1)."""
+    return _build_index(
+        spark,
+        sf_dir,
+        (F.col("o_orderstatus") == FULL_REBUILD_STATUS)
+        & (F.col("o_orderdate") > F.lit(FULL_REBUILD_SINCE).cast("timestamp")),
     ).orderBy(F.col("id").desc())
 
 
@@ -152,61 +193,30 @@ def search_index_incremental(
     production path reads the watermark from the state table
     (storage.watermark) shifted back 1 h for overlap (ST3).
     """
-    orders = read_table(spark, sf_dir, "orders")
-    customer = read_table(spark, sf_dir, "customer")
-    nation = read_table(spark, sf_dir, "nation")
-    region = read_table(spark, sf_dir, "region")
-
-    filtered = orders.where(
+    return _build_index(
+        spark,
+        sf_dir,
         (F.col("o_orderstatus") != INCREMENTAL_EXCLUDED_STATUS)
-        & (F.col("o_orderdate") > F.lit(watermark).cast("timestamp"))
-    )
-
-    pivot = _pivot_custom_fields(spark, sf_dir)
-    min_role = _min_user_role(spark, sf_dir)
-
-    joined = (
-        filtered.join(
-            F.broadcast(customer.select("c_custkey", "c_name", "c_nationkey")),
-            filtered.o_custkey == F.col("c_custkey"),
-            "left",
-        )
-        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey, "left")
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
-        .join(pivot, filtered.o_orderkey == F.col("pv_orderkey"), "left")
-        .join(F.broadcast(min_role), filtered.o_custkey == F.col("mr_user_id"), "left")
-    )
-    return joined.select(
-        F.col("o_orderkey").alias("id"),
-        F.col("o_orderpriority").alias("title"),
-        F.col("c_name").alias("category_link"),
-        F.col("n_name").alias("nation_name"),
-        F.col("r_name").alias("region_name"),
-        F.col("o_orderstatus").alias("status"),
-        F.col("o_orderdate").alias("modified_date"),
-        F.col("o_totalprice").alias("price"),
-        F.col("min_role_value").alias("role_value"),
-        "returned_price",
-        "accepted_price",
-        "neutral_price",
-        "open_qty",
-        "filled_qty",
-        "head_discount",
-        "tail_tax",
-        "bulk_price",
+        & (F.col("o_orderdate") > F.lit(watermark).cast("timestamp")),
     ).orderBy(F.col("id").desc())
 
 
 def fetch_by_id(spark: SparkSession, sf_dir: str, order_id: int | None = None) -> DataFrame:
-    """Point lookup (↔ fetch_deposit_by_id.py:20-75): same plan, Id = :id.
+    """Point lookup (↔ fetch_deposit_by_id.py:20-75) — ONE plan, one job.
 
-    With no explicit id, looks up the first qualifying id so the query
-    returns exactly one row at every scale factor.
+    Explicit id: the equality goes into the fact filter itself, so it
+    pushes to the parquet scan AND the semi-join prunes both tall arms
+    down to that single key's rows. Default (no id): "first qualifying
+    row" = ascending sort + limit 1 → TakeOrderedAndProject, no second
+    execution and no driver-side ``.first()`` (ids are unique, so this
+    equals the old min-id filter).
     """
-    full = search_index_full(spark, sf_dir)
-    if order_id is None:
-        return full.where(F.col("id") == full.select(F.min("id")).first()[0])
-    return full.where(F.col("id") == order_id)
+    base = (F.col("o_orderstatus") == FULL_REBUILD_STATUS) & (
+        F.col("o_orderdate") > F.lit(FULL_REBUILD_SINCE).cast("timestamp")
+    )
+    if order_id is not None:
+        return _build_index(spark, sf_dir, base & (F.col("o_orderkey") == order_id))
+    return _build_index(spark, sf_dir, base).orderBy("id").limit(1)
 
 
 _PIVOT_SQL = """
@@ -263,11 +273,10 @@ def _oracle(filter_clause: str) -> str:
 
 
 def _oracle_point(filter_clause: str) -> str:
+    # ids are unique, so "row with MIN(id)" == ascending sort + LIMIT 1
+    # (mirrors the Spark side's single-plan TakeOrderedAndProject).
     inner = _oracle(filter_clause)
-    return (
-        f"SELECT * FROM ({inner}) q"
-        f" WHERE q.id = (SELECT MIN(id) FROM ({inner}) q2)"
-    )
+    return f"SELECT * FROM ({inner}) q ORDER BY q.id LIMIT 1"
 
 
 SPARK_QUERIES = {

@@ -63,7 +63,7 @@ ORACLE_SQL = {
         SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
                event_type,
                COUNT(*) AS n,
-               ROUND(SUM(value), 6) AS total_value
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 6) AS DOUBLE) AS total_value
         FROM events
         GROUP BY 1, 2
     """,
@@ -72,7 +72,7 @@ ORACLE_SQL = {
         SELECT time_bucket(INTERVAL '5 minutes', ts) - to_minutes(5 * k) AS window_start,
                event_type,
                COUNT(*) AS n,
-               ROUND(SUM(value), 6) AS total_value
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 6) AS DOUBLE) AS total_value
         FROM events CROSS JOIN (VALUES (0), (1)) offs(k)
         GROUP BY 1, 2
     """,
@@ -92,7 +92,7 @@ ORACLE_SQL = {
         )
         SELECT MIN(ts) AS session_start, user_id,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 6) AS total_value
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 6) AS DOUBLE) AS total_value
         FROM sess GROUP BY user_id, sid
     """,
     "st_dedup": """
@@ -104,7 +104,7 @@ ORACLE_SQL = {
     """,
     "st_running_totals": """
         SELECT user_id, COUNT(*) AS n_events,
-               ROUND(SUM(value), 6) AS total_value
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 6) AS DOUBLE) AS total_value
         FROM events GROUP BY user_id
     """,
 }

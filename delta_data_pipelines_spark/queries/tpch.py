@@ -34,12 +34,15 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.where(F.col("l_shipdate") <= F.lit("2001-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
+            # sums run exact in decimal (associative, engine-identical);
+            # FINAL columns are cast to double so the driver's
+            # type-sensitive digest sees the same float64 on both sides
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(
                 (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
                 .cast("decimal(18,4)")
-            ).alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -59,7 +62,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
                 .cast("decimal(18,4)")
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(20)
@@ -88,7 +91,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
                 .cast("decimal(18,4)")
-            ).alias("revenue")
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.col("revenue").desc())
     )
@@ -109,7 +112,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(
                 (_dec("l_extendedprice") * _dec("l_discount")).cast("decimal(18,4)")
-            ).alias("revenue"),
+            ).cast("double").alias("revenue"),
             F.count("*").alias("n"),
         )
     )
@@ -131,12 +134,12 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(
                     F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
                 ).otherwise(0)
-            ).alias("high_line_count"),
+            ).cast("long").alias("high_line_count"),
             F.sum(
                 F.when(
                     ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
                 ).otherwise(0)
-            ).alias("low_line_count"),
+            ).cast("long").alias("low_line_count"),
         )
         .orderBy("l_returnflag")
     )
@@ -158,9 +161,9 @@ _DISC = (
 ORACLE_SQL = {
     "tpch_q1": f"""
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-               SUM({_DISC}) AS sum_disc_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM({_DISC}) AS DOUBLE) AS sum_disc_price,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -169,7 +172,7 @@ ORACLE_SQL = {
     """,
     "tpch_q3": f"""
         SELECT l_orderkey, o_orderdate, o_orderpriority,
-               SUM({_DISC}) AS revenue
+               CAST(SUM({_DISC}) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -182,10 +185,10 @@ ORACLE_SQL = {
     """,
     "tpch_q12": """
         SELECT l_returnflag,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -193,8 +196,8 @@ ORACLE_SQL = {
         ORDER BY l_returnflag
     """,
     "tpch_q6": """
-        SELECT SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                        CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS revenue,
+        SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
                COUNT(*) AS n
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -203,7 +206,7 @@ ORACLE_SQL = {
           AND l_quantity < 24
     """,
     "tpch_q5": f"""
-        SELECT n_name, SUM({_DISC}) AS revenue
+        SELECT n_name, CAST(SUM({_DISC}) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN supplier ON l_suppkey = s_suppkey

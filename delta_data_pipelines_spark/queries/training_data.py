@@ -63,6 +63,26 @@ def dd_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dd_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, the 100 TB path: block by deterministic IVF
+    cell (16 lowest-vec_id centroids, same cells as sim_ivf_topk) so
+    the pair join is per-cell instead of all-pairs. Candidate pairs
+    split across cells are skipped by construction (recall<1, standard
+    IVF trade-off); the oracle mirrors the same blocking, so the check
+    is exact."""
+    e = read_table(spark, sf_dir, "embeddings")
+    cent = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"),
+        similarity.as_double(F.col("embedding")).alias("cv"),
+    )
+    vecs = e.select("vec_id", similarity.as_double(F.col("embedding")).alias("_av"))
+    cells = similarity.ivf_assign(vecs, cent, "vec_id", "_av").select("vec_id", "cid")
+    blocked = e.join(cells, "vec_id")
+    return dedup.embedding_near_dup_pairs(
+        blocked, "vec_id", "embedding", block_col="cid", threshold=0.45
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -238,6 +258,7 @@ SPARK_QUERIES = {
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_simhash": dd_simhash,
     "dd_embedding": dd_embedding,
+    "dd_embedding_blocked": dd_embedding_blocked,
     "sim_brute_topk": sim_brute_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
@@ -312,6 +333,28 @@ ORACLE_SQL = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.45
+        ORDER BY id_a, id_b
+    """,
+    # same deterministic IVF cells as sim_ivf_topk's oracle; pairs are
+    # compared only within a cell, mirroring the Spark-side blocking
+    "dd_embedding_blocked": """
+        WITH cent AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id < 16
+        ), vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), assign AS (
+            SELECT vec_id, v, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS rn
+            FROM vecs CROSS JOIN cent
+        ), cell AS (
+            SELECT vec_id, v, cid FROM assign WHERE rn = 1
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.v, b.v), 9) AS cosine_sim
+        FROM cell a JOIN cell b ON a.vec_id < b.vec_id AND a.cid = b.cid
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.45
         ORDER BY id_a, id_b
     """,
     "sim_brute_topk": """

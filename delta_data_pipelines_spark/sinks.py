@@ -21,6 +21,7 @@ from collections.abc import Callable, Iterator
 from typing import Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 PostFn = Callable[[list[dict[str, Any]], int], None]
 
@@ -53,6 +54,56 @@ def send_batches(
             post(buf, n + 1)
 
     df.foreachPartition(_run)
+
+
+GlobalPostFn = Callable[[list[dict[str, Any]], int, int], None]
+
+
+def send_batches_global(
+    df: DataFrame,
+    post: GlobalPostFn,
+    order_col: str,
+    batch_size: int = 200,
+) -> None:
+    """S14 with the reference's EXACT numbering contract: every POST
+    carries a globally sequential 1-based ``batch_number`` and the
+    dataset-wide ``total_batches`` (utils_of_searchengine.py:183-196).
+
+    ``post(rows, batch_number, total_batches)`` runs on executors.
+    Rows are ordered by ``order_col`` (must be unique); batch N holds
+    rows (N-1)*batch_size+1 .. N*batch_size of that order, exactly as
+    the reference's ``i//200`` slicing. Scalable: the global rank is
+    the range-partitioned offset pattern (operators.ranking) — no
+    single-partition shuffle of the data; one extra count() job
+    computes total_batches up front (the price of the global header).
+
+    Use :func:`send_batches` (per-partition numbering) when the
+    consumer doesn't need the global header — it skips the rank
+    shuffle and the count entirely.
+    """
+    from .operators.ranking import global_rank_by_range
+
+    total_rows = df.count()
+    total_batches = -(-total_rows // batch_size)  # ceil
+    ranked = global_rank_by_range(df, order_col)
+    batched = ranked.withColumn(
+        "_batch",
+        (F.floor((F.col("global_rank") - 1) / batch_size) + 1).cast("long"),
+    )
+
+    def _run(partition: Iterator[Any]) -> None:
+        groups: dict[int, list[tuple[int, dict[str, Any]]]] = {}
+        for row in partition:
+            d = row.asDict(recursive=True)
+            bno = int(d.pop("_batch"))
+            rank = int(d.pop("global_rank"))
+            groups.setdefault(bno, []).append((rank, d))
+        for bno in sorted(groups):
+            rows = [d for _, d in sorted(groups[bno], key=lambda t: t[0])]
+            post(rows, bno, total_batches)
+
+    # co-locate each batch in one task so every POST is one whole batch
+    batched.repartition("_batch").foreachPartition(_run)
 
 
 def file_post(out_dir: str) -> PostFn:

@@ -29,9 +29,13 @@ class WatermarkStore:
     def get(self, pipeline: str) -> datetime | None:
         if not self.table.exists():
             return None
+        from pyspark.sql import functions as F
+
+        # column expression, not an interpolated SQL string: a pipeline
+        # name containing a quote must select nothing, not break parsing
         rows = (
             self.table.read()
-            .where(f"pipeline = '{pipeline}'")
+            .where(F.col("pipeline") == F.lit(pipeline))
             .select("last_modified")
             .collect()
         )

@@ -79,7 +79,9 @@ def windowed_event_counts(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .agg(F.count("*").alias("n"), F.round(F.sum(F.col("value").cast("decimal(20,6)")), 6)
+            .cast("double")
+            .alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
@@ -100,7 +102,9 @@ def sliding_event_counts(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .agg(F.count("*").alias("n"), F.round(F.sum(F.col("value").cast("decimal(20,6)")), 6)
+            .cast("double")
+            .alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
@@ -122,7 +126,9 @@ def session_event_stats(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum(F.col("value").cast("decimal(20,6)")), 6)
+            .cast("double")
+            .alias("total_value"))
         .select(
             F.col("w.start").alias("session_start"),
             "user_id",

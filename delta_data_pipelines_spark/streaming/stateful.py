@@ -53,7 +53,12 @@ def running_user_totals_batch(events: DataFrame) -> DataFrame:
     stream converges to once the source drains. Oracle-checkable."""
     from pyspark.sql import functions as F
 
+    # sum runs exact in decimal so the result is partial-agg-order
+    # independent (a float sum would drift vs the oracle), then lands
+    # back in the OUT_SCHEMA double
     return events.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 6).alias("total_value"),
+        F.round(F.sum(F.col("value").cast("decimal(20,6)")), 6)
+        .cast("double")
+        .alias("total_value"),
     )

@@ -472,3 +472,60 @@ def test_fetcher_path_end_to_end(spark, divar_raw, tmp_path):
     final = listings.read().collect()
     assert len(final) == 1
     assert final[0]["price_value"] == 5_200_000_000
+
+
+# ---------------------------------------------------------------------------
+# S13 — JDBC source option contract (no DB server in container)
+# ---------------------------------------------------------------------------
+
+
+def test_jdbc_options_pushdown_query():
+    from delta_data_pipelines_spark.ingest.jdbc import build_jdbc_options
+
+    opts = build_jdbc_options(
+        url="jdbc:sqlserver://db:1433;databaseName=search",
+        query="SELECT Id, Title FROM Deposits WHERE StatusId = 1247",
+        user="svc",
+        password="x",
+        driver="com.microsoft.sqlserver.jdbc.SQLServerDriver",
+        fetchsize=5000,
+    )
+    assert opts["query"].startswith("SELECT Id, Title")
+    assert opts["fetchsize"] == "5000"
+    assert opts["driver"].endswith("SQLServerDriver")
+    assert "dbtable" not in opts
+
+
+def test_jdbc_options_partitioned_read():
+    from delta_data_pipelines_spark.ingest.jdbc import build_jdbc_options
+
+    opts = build_jdbc_options(
+        url="jdbc:sqlserver://db:1433",
+        table="(SELECT Id, ModifiedDate FROM Deposits) src",
+        partition_column="Id",
+        lower_bound=1,
+        upper_bound=1_000_000,
+        num_partitions=64,
+    )
+    assert opts["dbtable"].endswith(" src")
+    assert opts["partitionColumn"] == "Id"
+    assert (opts["lowerBound"], opts["upperBound"], opts["numPartitions"]) == (
+        "1",
+        "1000000",
+        "64",
+    )
+
+
+def test_jdbc_options_validation():
+    import pytest as _pytest
+
+    from delta_data_pipelines_spark.ingest.jdbc import build_jdbc_options
+
+    with _pytest.raises(ValueError):
+        build_jdbc_options(url="jdbc:x")  # neither table nor query
+    with _pytest.raises(ValueError):
+        build_jdbc_options(url="jdbc:x", table="t", query="SELECT 1")
+    with _pytest.raises(ValueError):
+        build_jdbc_options(url="jdbc:x", query="SELECT 1", partition_column="Id")
+    with _pytest.raises(ValueError):
+        build_jdbc_options(url="jdbc:x", table="t", partition_column="Id")

@@ -80,6 +80,45 @@ def test_q6_all_predicates_pushed(spark, registry):
         assert frag in plan, plan
 
 
+def test_scalable_rank_has_no_full_table_single_partition_exchange(spark, registry):
+    """w_row_number_seq_scalable: the big-table window must run over
+    range partitions (parallel); the only SinglePartition exchange
+    allowed is the one feeding the tiny per-partition-counts window
+    (O(partitions) rows, after a HashAggregate)."""
+    plan = plan_of(spark, registry, "w_row_number_seq_scalable")
+    assert "rangepartitioning" in plan.lower(), plan
+    # the full-table window is partitioned by _pid, not global
+    assert re.search(r"Window \[row_number\(\).*partitionBy.*_pid", plan) or \
+        "_pid" in plan, plan
+    # at most one SinglePartition exchange (the ≤32-row offsets side)
+    assert plan.count("SinglePartition") <= 1, plan
+
+
+def test_batch_ids_global_parallel_plan(spark, registry):
+    plan = plan_of(spark, registry, "w_batch_ids_global")
+    assert "rangepartitioning" in plan.lower(), plan
+    # two tiny unpartitioned windows allowed: partition offsets (≤32
+    # rows) and total_batches over the per-batch aggregate
+    assert plan.count("SinglePartition") <= 2, plan
+
+
+def test_flagship_pivot_is_semi_join_pruned(spark, registry):
+    """The EAV pivot arm must aggregate only keys surviving the fact
+    filter — a LeftSemi join below the pivot's HashAggregate."""
+    plan = plan_of(spark, registry, "search_index_full")
+    assert "LeftSemi" in plan, plan
+
+
+def test_fetch_by_id_single_plan(spark, registry):
+    """Point lookup is ONE plan — "first qualifying row" compiles to
+    TakeOrderedAndProject (sort+limit fused, no full sort), with no
+    pre-resolved literal id from a separate driver-side execution."""
+    plan = plan_of(spark, registry, "search_index_fetch_by_id")
+    assert "TakeOrderedAndProject" in plan, plan
+    df = registry["search_index_fetch_by_id"](spark, SF)
+    assert df.count() == 1
+
+
 def test_partitioned_layout_prunes_directories(spark, tmp_path):
     from delta_data_pipelines_spark.catalog import read_table
     from delta_data_pipelines_spark.storage.partitioned import (

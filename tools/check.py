@@ -30,16 +30,24 @@ TABLES = (
 
 
 def _norm_value(v):
+    # Type-faithful normalization: the driver's digest distinguishes
+    # int vs float vs Decimal (and Decimal scale), so the local mirror
+    # must too — coercing 123.0 -> "123" masked 4 driver hash-fails in
+    # round 1. Each numeric class gets a distinct prefix.
+    import decimal as _decimal
+
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return str(v).lower()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(round(v, 9))
-    if isinstance(v, bool):
-        return str(v).lower()
+        return "f:" + repr(round(v, 9))
+    if isinstance(v, int):
+        return "i:" + str(v)
+    if isinstance(v, _decimal.Decimal):
+        return "d:" + str(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_value(x) for x in v) + "]"
     if hasattr(v, "isoformat"):
