@@ -63,20 +63,23 @@ _PRIORITY = [
     # streaming batch-twins (ST5) — ungated in r1
     "st_windowed_counts", "st_sliding_counts", "st_session_windows",
     "st_dedup", "st_running_totals",
-    # TPC-H throughput probes — ungated in r1
+    # TPC-H throughput probes — q1/3/5/6/12 ungated in r1, q4/10/14/18 new
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q12",
+    "tpch_q4", "tpch_q10", "tpch_q14", "tpch_q18",
     # temporal joins — ungated in r1
     "t_asof_join", "t_asof_join_tolerance", "t_range_join",
     # round-1 hash-fails, fixed this round (SUM output-type casts)
     "a_counters", "a_rollup", "a_cube", "a_dynamic_pivot",
     # new scale-safe variants (round 2)
     "w_row_number_seq_scalable", "w_batch_ids_global", "dd_embedding_blocked",
-    # training-data first-class components
+    # new round-2 curation operators
+    "dd_cluster", "td_curate",
+    # training-data first-class components (r1-green entries like
+    # txt_enum_lookup / p_filter_project ride past the window — their
+    # CORRECTNESS_r01 rows stand)
     "dd_exact", "dd_minhash", "dd_ngram_jaccard", "dd_embedding",
     "sim_brute_topk", "sim_ivf_topk", "txt_profile", "txt_topk_per_source",
-    "txt_enum_lookup", "txt_length_quantiles", "ds_hash_split", "ds_det_sample",
-    # sole-evidence relational families
-    "p_filter_project", "j_dim_chain", "a_eav_pivot", "m_melt_eav",
+    "ds_hash_split", "ds_det_sample",
 ]
 
 

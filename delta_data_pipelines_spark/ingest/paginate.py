@@ -20,9 +20,47 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..storage import VersionedTable
 from .crawl import dup_ratio, mark_seen, partition_new, publish
+
+
+def ensure_source_order(
+    pages: Iterator[DataFrame], order_col: str, descending: bool = True
+) -> Iterator[DataFrame]:
+    """W2 — the ``sort=searchDate_desc`` contract pushed to the source
+    API (kilid_crawler.py:147): newest-first pages are what make the
+    dup-ratio early stop *sound* (once a page is mostly seen, all later
+    pages are older, hence seen too).
+
+    The reference trusts the API; here the pushed-down order is a
+    VERIFIED contract: each page's newest ``order_col`` value must not
+    exceed the previous page's oldest (descending; mirrored when
+    ascending). A violating source raises immediately instead of
+    silently breaking the early stop. One tiny min/max aggregate per
+    page — O(page), no extra shuffle.
+    """
+    prev_edge = None
+    for i, page in enumerate(pages):
+        row = page.agg(
+            F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+        ).first()
+        lo, hi = row["lo"], row["hi"]
+        if lo is not None and prev_edge is not None:
+            if descending and hi > prev_edge:
+                raise ValueError(
+                    f"source order violated at page {i}: {order_col}={hi!r} "
+                    f"newer than previous page's oldest {prev_edge!r}"
+                )
+            if not descending and lo < prev_edge:
+                raise ValueError(
+                    f"source order violated at page {i}: {order_col}={lo!r} "
+                    f"older than previous page's newest {prev_edge!r}"
+                )
+        if lo is not None:
+            prev_edge = lo if descending else hi
+        yield page
 
 
 def run_crawl(
@@ -32,6 +70,7 @@ def run_crawl(
     queue: VersionedTable,
     max_pages: int = 50,
     dup_stop_ratio: float = 0.5,
+    order_col: str | None = None,
 ) -> dict:
     """Drain a page iterator into the queue with early stopping.
 
@@ -41,10 +80,15 @@ def run_crawl(
     divar_crawler.py:144-164) → anti-join split → MERGE new URLs into
     the queue and the seen table.
 
+    ``order_col`` enables the W2 source-order contract check (pages
+    must arrive newest-first on that column; see ensure_source_order).
+
     Returns crawl metrics (pages walked, urls seen/new, stop reason).
     """
     if callable(pages):
         pages = pages()
+    if order_col is not None:
+        pages = ensure_source_order(pages, order_col, descending=True)
     n_pages = 0
     n_urls = 0
     n_new = 0

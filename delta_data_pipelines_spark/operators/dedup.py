@@ -391,3 +391,80 @@ def embedding_near_dup_pairs(
             "cosine_sim",
         )
     )
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (member, cluster_id).
+
+    The pair operators above answer "which docs are near-dups of each
+    other"; corpus curation needs "which GROUP does each doc belong to"
+    (keep one representative per group). This is connected components
+    via iterative min-label propagation: every node starts labeled with
+    itself, each round takes the min label over its neighbors, stop at
+    fixpoint. cluster_id = the smallest member id — deterministic, no
+    randomness.
+
+    Scale posture: rounds needed = component diameter, and near-dup
+    components are shallow (cliques/chains of a handful of docs), so
+    this converges in 2-4 rounds in practice; each round is one
+    join + groupBy on (src) — no all-pairs anywhere. Labels persist
+    per round and unpersist after (lineage would otherwise grow
+    exponentially). GraphFrames does the same thing; this stays
+    dependency-free.
+    """
+    # persist: the symmetric union reads `pairs` twice, and every
+    # propagation round joins against edges — without these the
+    # upstream pair computation (LSH join + Jaccard verify) re-runs
+    # once per union arm and once per round
+    pairs = pairs.persist()
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        fwd.union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        prop = (
+            edges.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "_new")
+            .join(labels, "node")
+            .where(F.col("_new") != F.col("label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    # labels is persisted and already materialized by the convergence
+    # count, so the inputs can be released
+    edges.unpersist()
+    pairs.unpersist()
+    return labels.select(F.col("node").alias("member_id"), F.col("label").alias("cluster_id"))

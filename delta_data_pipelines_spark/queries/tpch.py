@@ -145,12 +145,120 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (q4 shape, adapted: the harness lineitem
+    has no commit/receipt dates, so "late line" = shipped after more
+    than 60 days): EXISTS semi-join + count by priority."""
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    late = l.select("l_orderkey", "l_shipdate")
+    joined = o.join(
+        late,
+        (o.o_orderkey == late.l_orderkey)
+        & (late.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        "left_semi",
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue: top 20 customers by lost revenue —
+    fact-fact join + broadcast dims + TakeOrdered(20)."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    l = read_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_mktsegment")
+        .agg(
+            F.sum(
+                (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect: conditional revenue share over one month —
+    CASE-inside-SUM ratio, both sums exact decimal then one double
+    division (identical across engines)."""
+    p = read_table(spark, sf_dir, "part")
+    l = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    disc = (
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("decimal(18,4)")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )).cast("double")
+                / F.sum(disc).cast("double"),
+                9,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (q18): HAVING on an aggregated fact,
+    then join back to orders/customer. The inner agg's output is tiny
+    after the HAVING filter → broadcast to the join."""
+    l = read_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_sumq"))
+        .where(F.col("_sumq") > 150)
+    )
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_sumq").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
 SPARK_QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
     "tpch_q5": tpch_q5,
     "tpch_q6": tpch_q6,
     "tpch_q12": tpch_q12,
+    "tpch_q4": tpch_q4,
+    "tpch_q10": tpch_q10,
+    "tpch_q14": tpch_q14,
+    "tpch_q18": tpch_q18,
 }
 
 _DISC = (
@@ -217,5 +325,54 @@ ORACLE_SQL = {
           AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name
         ORDER BY revenue DESC
+    """,
+    "tpch_q4": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate <  TIMESTAMP '1996-10-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "tpch_q10": f"""
+        SELECT c_custkey, c_name, n_name, c_mktsegment,
+               CAST(SUM({_DISC}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY c_custkey, c_name, n_name, c_mktsegment
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "tpch_q14": f"""
+        SELECT ROUND(100.0 *
+               CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_DISC}
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+               CAST(SUM({_DISC}) AS DOUBLE), 9) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+    "tpch_q18": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(big._sumq AS DOUBLE) AS sum_qty
+        FROM orders
+        JOIN (
+            SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS _sumq
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+        ) big ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
     """,
 }

@@ -63,6 +63,42 @@ def dd_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dd_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS, not just pairs: connected components over the
+    MinHash-verified pair set (min-label propagation, converges in
+    diameter rounds — near-dup components are shallow). cluster_id =
+    smallest member doc_id; the curation step keeps that member."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.8)
+    return dedup.near_dup_clusters(pairs).orderBy("member_id")
+
+
+def td_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation pipeline in one plan: exact dedup
+    → quality filter (≥0.5) → deterministic hash split → per-(split,
+    lang) counts + mean quality. Every stage is the scale-safe variant
+    (hash-partitioned dedup, pure-function split, exact decimal mean).
+    """
+    from ..operators.textstats import quality_score
+
+    d = read_table(spark, sf_dir, "documents")
+    deduped = dedup.exact_dedup(d, "text", "doc_id")
+    scored = deduped.withColumn("quality", quality_score(F.col("text")))
+    kept = scored.where(F.col("quality") >= 0.5)
+    split = sampling.hash_split(
+        kept, "doc_id", {"train": 0.8, "eval": 0.1, "test": 0.1}, method="md5"
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        # mean from an exact decimal sum → identical float on both engines
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,9)")).cast("double")
+            / F.count("*"),
+            9,
+        ).alias("avg_quality"),
+    )
+
+
 def dd_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup, the 100 TB path: block by deterministic IVF
     cell (16 lowest-vec_id centroids, same cells as sim_ivf_topk) so
@@ -259,6 +295,8 @@ SPARK_QUERIES = {
     "dd_simhash": dd_simhash,
     "dd_embedding": dd_embedding,
     "dd_embedding_blocked": dd_embedding_blocked,
+    "dd_cluster": dd_cluster,
+    "td_curate": td_curate,
     "sim_brute_topk": sim_brute_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
@@ -335,6 +373,63 @@ ORACLE_SQL = {
                                      CAST(b.embedding AS DOUBLE[])) >= 0.45
         ORDER BY id_a, id_b
     """,
+    # connected components over the exact-Jaccard pair set (what the
+    # MinHash pairs approximate, same ≥0.8 threshold as dd_minhash):
+    # recursive closure over symmetric edges, cluster = min reachable id
+    "dd_cluster": (
+        "WITH RECURSIVE pairs AS (SELECT * FROM ("
+        + _JACCARD_PAIRS.format(block="")
+        + """) WHERE jaccard_sim >= 0.8
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ), nodes AS (
+            SELECT DISTINCT src AS node FROM edges
+        ), reach(node, root) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT node AS member_id, MIN(root) AS cluster_id
+        FROM reach GROUP BY node ORDER BY member_id
+    """
+    ),
+    "td_curate": """
+        WITH deduped AS (
+            SELECT doc_id, lang, text FROM (
+                SELECT doc_id, lang, text,
+                       ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) rn
+                FROM documents
+            ) WHERE rn = 1
+        ), base AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS w,
+                   regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g') AS stripped,
+                   text
+            FROM deduped
+        ), scored AS (
+            SELECT doc_id, lang,
+                   ROUND(
+                     0.4 * (len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it')))
+                            / CAST(NULLIF(len(w), 0) AS DOUBLE))
+                   + 0.4 * LEAST(len(w) / 64.0, 1.0)
+                   + 0.2 * (1 - (length(text) - length(stripped))
+                            / CAST(NULLIF(length(text), 0) AS DOUBLE)), 9) AS quality
+            FROM base
+        ), kept AS (
+            SELECT doc_id, lang, quality FROM scored WHERE quality >= 0.5
+        ), split AS (
+            SELECT lang, quality,
+                   CASE WHEN bkt < 0.8 THEN 'train'
+                        WHEN bkt < 0.8 + 0.1 THEN 'eval'
+                        ELSE 'test' END AS split
+            FROM (SELECT *, {md5} AS bkt FROM kept)
+        )
+        SELECT split, lang, COUNT(*) AS n_docs,
+               ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DOUBLE)
+                     / COUNT(*), 9) AS avg_quality
+        FROM split GROUP BY split, lang
+    """.replace("{md5}", _MD5_BUCKET),
     # same deterministic IVF cells as sim_ivf_topk's oracle; pairs are
     # compared only within a cell, mirroring the Spark-side blocking
     "dd_embedding_blocked": """

@@ -529,3 +529,51 @@ def test_jdbc_options_validation():
         build_jdbc_options(url="jdbc:x", query="SELECT 1", partition_column="Id")
     with _pytest.raises(ValueError):
         build_jdbc_options(url="jdbc:x", table="t", partition_column="Id")
+
+
+# ---------------------------------------------------------------------------
+# W2 — source-order (sort pushed to API) verified contract
+# ---------------------------------------------------------------------------
+
+
+def test_ensure_source_order_passes_ordered_pages(spark):
+    from delta_data_pipelines_spark.ingest.paginate import ensure_source_order
+
+    pages = [
+        spark.createDataFrame([(9,), (8,)], "ts int"),
+        spark.createDataFrame([(7,), (5,)], "ts int"),
+        spark.createDataFrame([(5,), (4,)], "ts int"),  # ties at the edge OK
+    ]
+    out = list(ensure_source_order(iter(pages), "ts", descending=True))
+    assert len(out) == 3
+
+
+def test_ensure_source_order_raises_on_violation(spark):
+    import pytest as _pytest
+
+    from delta_data_pipelines_spark.ingest.paginate import ensure_source_order
+
+    pages = [
+        spark.createDataFrame([(9,), (8,)], "ts int"),
+        spark.createDataFrame([(10,), (7,)], "ts int"),  # 10 is newer than 8
+    ]
+    with _pytest.raises(ValueError, match="source order violated"):
+        list(ensure_source_order(iter(pages), "ts", descending=True))
+
+
+def test_ensure_source_order_ascending(spark):
+    import pytest as _pytest
+
+    from delta_data_pipelines_spark.ingest.paginate import ensure_source_order
+
+    ok = [
+        spark.createDataFrame([(1,), (2,)], "ts int"),
+        spark.createDataFrame([(2,), (3,)], "ts int"),
+    ]
+    assert len(list(ensure_source_order(iter(ok), "ts", descending=False))) == 2
+    bad = [
+        spark.createDataFrame([(5,)], "ts int"),
+        spark.createDataFrame([(4,)], "ts int"),
+    ]
+    with _pytest.raises(ValueError):
+        list(ensure_source_order(iter(bad), "ts", descending=False))

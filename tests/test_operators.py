@@ -216,3 +216,32 @@ def test_hash_split_stable_and_disjoint(spark):
     n = samp.count()
     assert abs(n - 1000) < 150
     assert deterministic_sample(df, "doc_key", 0.1).count() == n
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components)
+# ---------------------------------------------------------------------------
+
+
+def test_near_dup_clusters_chain_and_clique(spark):
+    """A 4-node chain (1-2-3-4), a 2-clique (10-11), and an isolated
+    pair (20-21) must produce 3 components labeled by their min id —
+    the chain proves multi-hop propagation, not just direct neighbors."""
+    from delta_data_pipelines_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    out = {r["member_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_near_dup_clusters_order_insensitive(spark):
+    """Edge direction must not matter (pairs arrive as id_a < id_b but
+    the component is undirected)."""
+    from delta_data_pipelines_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame([(5, 9), (3, 9)], "id_a bigint, id_b bigint")
+    out = {r["member_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+    assert out == {3: 3, 5: 3, 9: 3}
