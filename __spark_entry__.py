@@ -63,9 +63,10 @@ _PRIORITY = [
     # streaming batch-twins (ST5) — ungated in r1
     "st_windowed_counts", "st_sliding_counts", "st_session_windows",
     "st_dedup", "st_running_totals",
-    # TPC-H throughput probes — q1/3/5/6/12 ungated in r1, q4/10/14/18 new
+    # TPC-H throughput probes — q1/3/5/6/12 ungated in r1, rest new in r2
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q12",
     "tpch_q4", "tpch_q10", "tpch_q14", "tpch_q18",
+    "tpch_q2", "tpch_q13", "tpch_q16", "tpch_q19", "tpch_q22",
     # temporal joins — ungated in r1
     "t_asof_join", "t_asof_join_tolerance", "t_range_join",
     # round-1 hash-fails, fixed this round (SUM output-type casts)
@@ -75,11 +76,11 @@ _PRIORITY = [
     # new round-2 curation operators
     "dd_cluster", "td_curate",
     # training-data first-class components (r1-green entries like
-    # txt_enum_lookup / p_filter_project ride past the window — their
-    # CORRECTNESS_r01 rows stand)
-    "dd_exact", "dd_minhash", "dd_ngram_jaccard", "dd_embedding",
-    "sim_brute_topk", "sim_ivf_topk", "txt_profile", "txt_topk_per_source",
-    "ds_hash_split", "ds_det_sample",
+    # dd_exact / dd_embedding / ds_hash_split ride past the window —
+    # their CORRECTNESS_r01 rows stand; these five stay in-window as
+    # the headline near-dup/similarity/text representatives)
+    "dd_minhash", "sim_brute_topk", "sim_ivf_topk", "txt_profile",
+    "txt_topk_per_source",
 ]
 
 

@@ -377,6 +377,10 @@ def embedding_near_dup_pairs(
             *( ["_blk"] if block_col else [] ),
         )
     )
+    # Both self-join arms read v; without a persist the full upstream
+    # (blocking join / IVF assignment / normalization) re-runs per arm.
+    # Local stand-in for staging the normalized vectors to a table.
+    v = v.persist()
     a, b = v.alias("a"), v.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:

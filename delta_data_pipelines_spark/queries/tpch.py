@@ -249,6 +249,147 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (q2 shape): correlated MIN subquery →
+    aggregate + join-back on (key, min_value). lineitem stands in for
+    partsupp (the harness has no partsupp table); the min is an exact
+    DECIMAL so the equality join-back never hits float-tie ambiguity.
+    Plan: broadcast the filtered part dim into the fact BEFORE the
+    aggregate so the min runs over the pruned rows only."""
+    p = read_table(spark, sf_dir, "part").where(F.col("p_size") < 10)
+    s = read_table(spark, sf_dir, "supplier")
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", _dec("l_extendedprice").alias("price")
+    )
+    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_suppkey", "price", "p_name"
+    )
+    minp = lp.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("price").alias("min_price")
+    )
+    return (
+        lp.join(
+            F.broadcast(minp),
+            (lp.l_partkey == minp.m_partkey) & (lp.price == minp.min_price),
+        )
+        .join(F.broadcast(s), lp.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_name",
+            F.col("min_price").cast("double").alias("min_price"),
+        )
+        .distinct()
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (q13): LEFT OUTER join with an
+    ON-clause filter (zero-order customers must survive), then a
+    double aggregation — count per customer, histogram over counts."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    counts = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-part relationship count (q16): DISTINCT aggregate over
+    an anti-joined fact — NOT IN (negative-balance suppliers) becomes
+    a broadcast left-anti join, never a per-row subquery."""
+    p = read_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").startswith("MEDIUM"))
+        & F.col("p_size").isin(1, 4, 7, 10, 14, 19, 25, 28, 38, 47)
+    )
+    excl = (
+        read_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    ps = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(excl), ps.l_suppkey == excl.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (q19): OR-of-ANDs disjunctive predicate over
+    a broadcast join — the classic test that a disjunction still
+    prunes (each arm's part filters reach the broadcast build side;
+    the residual runs post-join in codegen, no fallback to NLJ)."""
+    p = read_table(spark, sf_dir, "part")
+    l = read_table(spark, sf_dir, "lineitem")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        j.where(
+            arm("Brand#12", 5, 1, 11)
+            | arm("Brand#23", 10, 10, 20)
+            | arm("Brand#34", 15, 20, 30)
+        ).agg(
+            F.sum(
+                (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales opportunity (q22 shape): scalar AVG subquery
+    threshold + anti-join. The average is compared multiplied through
+    (acctbal·N > ΣacctbalX) so every operand stays an exact DECIMAL —
+    no float division whose rounding could flip borderline rows
+    between engines. Anti-join target: customers with no URGENT order
+    (the harness assigns every customer ≥1 order, so plain q22's
+    "no orders at all" would be vacuous)."""
+    c = read_table(spark, sf_dir, "customer")
+    thr = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(_dec("c_acctbal")).alias("_total"),
+            F.count("*").alias("_n"),
+        )
+    )
+    urgent = (
+        read_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .where(_dec("c_acctbal") * F.col("_n") > F.col("_total"))
+        .join(F.broadcast(urgent), c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 SPARK_QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
@@ -259,6 +400,11 @@ SPARK_QUERIES = {
     "tpch_q10": tpch_q10,
     "tpch_q14": tpch_q14,
     "tpch_q18": tpch_q18,
+    "tpch_q2": tpch_q2,
+    "tpch_q13": tpch_q13,
+    "tpch_q16": tpch_q16,
+    "tpch_q19": tpch_q19,
+    "tpch_q22": tpch_q22,
 }
 
 _DISC = (
@@ -374,5 +520,71 @@ ORACLE_SQL = {
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 100
+    """,
+    "tpch_q2": """
+        WITH lp AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) AS price, p_name
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size < 10
+        ), m AS (
+            SELECT l_partkey AS m_partkey, MIN(price) AS min_price
+            FROM lp GROUP BY l_partkey
+        )
+        SELECT DISTINCT lp.l_partkey AS p_partkey, p_name, s_name,
+               CAST(m.min_price AS DOUBLE) AS min_price
+        FROM lp
+        JOIN m ON lp.l_partkey = m.m_partkey AND lp.price = m.min_price
+        JOIN supplier ON lp.l_suppkey = s_suppkey
+        ORDER BY p_partkey, s_name
+    """,
+    "tpch_q13": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                AND o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "tpch_q16": """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND p_type NOT LIKE 'MEDIUM%'
+          AND p_size IN (1, 4, 7, 10, 14, 19, 25, 28, 38, 47)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "tpch_q19": f"""
+        SELECT CAST(SUM({_DISC}) AS DOUBLE) AS revenue, COUNT(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "tpch_q22": """
+        SELECT c_mktsegment, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE CAST(c_acctbal AS DECIMAL(18,2))
+              * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+              > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                 FROM customer WHERE c_acctbal > 0)
+          AND c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
     """,
 }
