@@ -40,15 +40,25 @@ def table_path(sf_dir: str, name: str) -> str:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one harness table.
 
-    ``events.parquet`` carries TIMESTAMP(NANOS) which vanilla Spark
-    rejects; read nanos as long (runtime-settable legacy conf) and
-    truncate to microseconds — the same micros DuckDB sees.
+    ``events.parquet`` carries TIMESTAMP(NANOS). Depending on the Spark
+    version this surfaces three ways, and we normalize all of them to a
+    session-TZ ``TIMESTAMP`` (the session TZ is pinned UTC, so the
+    values are identical to the micros DuckDB sees):
+
+    * Spark ≥4.1 reads nanos natively as ``TIMESTAMP_NTZ`` — cast to
+      ``timestamp`` (event-time watermarks reject NTZ).
+    * older Spark rejects nanos unless ``nanosAsLong`` is set, yielding
+      ``bigint`` — truncate to micros and rebuild the timestamp.
+    * a build that already yields ``timestamp`` passes through.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
+        dtypes = dict(df.dtypes)
+        if dtypes.get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif dtypes.get("ts") == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

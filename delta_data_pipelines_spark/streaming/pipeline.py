@@ -26,6 +26,19 @@ from pyspark.sql.types import StructType
 from ..storage import VersionedTable
 
 
+def _with_event_time(events: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to session-TZ ``TIMESTAMP``.
+
+    Spark ≥4.1 reads parquet TIMESTAMP(NANOS) as ``TIMESTAMP_NTZ``,
+    which ``withWatermark`` rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+    The session TZ is pinned UTC, so the cast is value-identical; for a
+    column that is already ``timestamp`` this is a no-op in the plan.
+    """
+    if dict(events.dtypes).get(col) == "timestamp_ntz":
+        return events.withColumn(col, F.col(col).cast("timestamp"))
+    return events
+
+
 def queue_stream(
     spark: SparkSession,
     data_dir: str,
@@ -77,7 +90,8 @@ def windowed_event_counts(
     DataFrame: same expression, so the batch twin is oracle-checkable.
     """
     return (
-        events.withWatermark("ts", watermark)
+        _with_event_time(events)
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum(F.col("value").cast("decimal(20,6)")), 6)
             .cast("double")
@@ -100,7 +114,8 @@ def sliding_event_counts(
     """Sliding-window aggregate: each event lands in window/slide
     overlapping windows (epoch-aligned, like the tumbling case)."""
     return (
-        events.withWatermark("ts", watermark)
+        _with_event_time(events)
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum(F.col("value").cast("decimal(20,6)")), 6)
             .cast("double")
@@ -124,7 +139,8 @@ def session_event_stats(
     (user_id) — state is per-key and bounded by the watermark in
     streaming mode. Batch twin = gaps-and-islands SQL."""
     return (
-        events.withWatermark("ts", watermark)
+        _with_event_time(events)
+        .withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"), F.round(F.sum(F.col("value").cast("decimal(20,6)")), 6)
             .cast("double")
@@ -149,5 +165,9 @@ def dedup_events(
     is a plain dropDuplicates."""
     keys = keys or ["event_id"]
     if events.isStreaming:
-        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+        return (
+            _with_event_time(events)
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys)
+        )
     return events.dropDuplicates(keys)

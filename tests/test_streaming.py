@@ -9,6 +9,8 @@ import pytest
 
 from delta_data_pipelines_spark.streaming.pipeline import (
     dedup_events,
+    session_event_stats,
+    sliding_event_counts,
     windowed_event_counts,
 )
 from delta_data_pipelines_spark.streaming.stateful import (
@@ -103,6 +105,37 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path):
     assert len(got) > 0.9 * len(batch)
     assert len(merged) == len(got)
     assert (merged["n_b"] == merged["n_s"]).all()
+    assert (merged["total_value_b"] - merged["total_value_s"]).abs().max() < 1e-6
+
+
+def test_sliding_counts_stream_matches_batch(spark, tmp_path):
+    e = _events(spark)
+    batch = sliding_event_counts(e).toPandas()
+    stream = _stream_time_ordered(spark, e, tmp_path, "ev_slide")
+    got = _drain(sliding_event_counts(stream), tmp_path, "slide")
+    key = ["window_start", "event_type"]
+    merged = batch.merge(got, on=key, suffixes=("_b", "_s"))
+    # append emits a window once its end passes the watermark; the last
+    # watermark-width of overlapping windows may be withheld at drain.
+    assert len(got) > 0.9 * len(batch)
+    assert len(merged) == len(got)
+    assert (merged["n_b"] == merged["n_s"]).all()
+    assert (merged["total_value_b"] - merged["total_value_s"]).abs().max() < 1e-6
+
+
+def test_session_windows_stream_matches_batch(spark, tmp_path):
+    e = _events(spark)
+    batch = session_event_stats(e).toPandas()
+    stream = _stream_time_ordered(spark, e, tmp_path, "ev_sess")
+    got = _drain(session_event_stats(stream), tmp_path, "sess")
+    key = ["session_start", "user_id"]
+    merged = batch.merge(got, on=key, suffixes=("_b", "_s"))
+    # sessions merge across micro-batches in the state store; each is
+    # emitted once closed (gap + watermark past). Emitted sessions must
+    # be byte-identical to the batch gaps-and-islands result.
+    assert len(got) > 0.9 * len(batch)
+    assert len(merged) == len(got)
+    assert (merged["n_events_b"] == merged["n_events_s"]).all()
     assert (merged["total_value_b"] - merged["total_value_s"]).abs().max() < 1e-6
 
 
