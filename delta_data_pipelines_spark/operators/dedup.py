@@ -35,6 +35,25 @@ ROWS_PER_BAND = 4
 SHINGLE_SIZE = 3
 
 
+def _materialize_and_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize ``out`` with an eager localCheckpoint, then unpersist
+    the staged intermediates it was built from.
+
+    A bare ``.persist()`` pins blocks in the CacheManager for the whole
+    session (repeated invocations — exactly what bench loops do —
+    accumulate cache without bound). localCheckpoint severs the lineage
+    so the intermediates are safe to release immediately, and its blocks
+    are reclaimed by the ContextCleaner once the result is dereferenced.
+    On a real cluster the equivalent staging step writes the pair table
+    to storage instead (localCheckpoint is not fault-tolerant — a lost
+    executor cannot recompute truncated lineage).
+    """
+    result = out.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return result
+
+
 def tokens(text: Column) -> Column:
     return F.split(text, " ")
 
@@ -191,8 +210,7 @@ def minhash_near_dup_pairs(
     # Both the banding arm and the verify arm consume the signature
     # base; unpersisted, Spark recomputes the whole shingle+hash pass
     # per arm (~2× cost). Persisting = the "stage signatures to a
-    # table" step a 100 TB run does explicitly; the ContextCleaner
-    # unpersists once the result frame is dereferenced.
+    # table" step a 100 TB run does explicitly.
     base = minhash_signatures(df, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -204,7 +222,7 @@ def minhash_near_dup_pairs(
         .withColumn("jaccard_sim", F.round(jaccard(F.col("_hs_a"), F.col("_hs_b")), 9))
         .where(F.col("jaccard_sim") >= threshold)
     )
-    return out.select("id_a", "id_b", "jaccard_sim")
+    return _materialize_and_release(out.select("id_a", "id_b", "jaccard_sim"), base)
 
 
 def ngram_jaccard_pairs(
@@ -385,7 +403,7 @@ def embedding_near_dup_pairs(
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = cond & (F.col("a._blk") == F.col("b._blk"))
-    return (
+    out = (
         a.join(b, cond)
         .withColumn("cosine_sim", F.round(dot(F.col("a._v"), F.col("b._v")), 9))
         .where(F.col("cosine_sim") >= threshold)
@@ -395,6 +413,7 @@ def embedding_near_dup_pairs(
             "cosine_sim",
         )
     )
+    return _materialize_and_release(out, v)
 
 
 def near_dup_clusters(
@@ -420,6 +439,11 @@ def near_dup_clusters(
     per round and unpersist after (lineage would otherwise grow
     exponentially). GraphFrames does the same thing; this stays
     dependency-free.
+
+    Raises RuntimeError if the fixpoint is not reached within
+    ``max_iter`` rounds (component diameter > max_iter): returning the
+    partially-propagated labels would silently split deep components —
+    exactly the shape templated boilerplate produces at 100 TB.
     """
     # persist: the symmetric union reads `pairs` twice, and every
     # propagation round joins against edges — without these the
@@ -439,6 +463,7 @@ def near_dup_clusters(
         .persist()
     )
     labels.count()
+    changed = 0
     for _ in range(max_iter):
         prop = (
             edges.join(
@@ -467,8 +492,16 @@ def near_dup_clusters(
         labels = new_labels
         if changed == 0:
             break
-    # labels is persisted and already materialized by the convergence
-    # count, so the inputs can be released
-    edges.unpersist()
-    pairs.unpersist()
-    return labels.select(F.col("node").alias("member_id"), F.col("label").alias("cluster_id"))
+    if changed != 0:
+        for df in (labels, edges, pairs):
+            df.unpersist()
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing): a component's diameter "
+            f"exceeds max_iter; raise max_iter for deep chain-shaped "
+            f"components instead of accepting split clusters"
+        )
+    out = labels.select(
+        F.col("node").alias("member_id"), F.col("label").alias("cluster_id")
+    )
+    return _materialize_and_release(out, labels, edges, pairs)
