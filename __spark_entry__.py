@@ -56,31 +56,37 @@ def _modules():
 _PRIORITY = [
     # flagship
     "search_index_full", "search_index_incremental", "search_index_fetch_by_id",
-    # scalar-function library (F1-F37 families) — ungated in r1
-    "f_translate", "f_regex_extract_cast", "f_date_arithmetic", "f_case_buckets",
-    "f_json_navigation", "f_json_struct", "f_string_ops", "f_toman_parse",
-    "f_relative_dates", "f_age_build_year", "f_enum_normalize",
-    # streaming batch-twins (ST5) — ungated in r1
+    # scalar-function library representatives (the thrice-proven
+    # f_regex_extract_cast / f_case_buckets / f_toman_parse /
+    # f_age_build_year / f_json_struct rotated out in r5 — driver-green
+    # r2-r4, mirror keeps checking them)
+    "f_translate", "f_date_arithmetic", "f_json_navigation",
+    "f_string_ops", "f_relative_dates", "f_enum_normalize",
+    # streaming batch-twins (ST5)
     "st_windowed_counts", "st_sliding_counts", "st_session_windows",
     "st_dedup", "st_running_totals",
-    # TPC-H throughput probes — q1/3/5/6/12 ungated in r1, rest new in r2
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q12",
-    "tpch_q4", "tpch_q10", "tpch_q14", "tpch_q18",
-    "tpch_q2", "tpch_q13", "tpch_q16", "tpch_q19", "tpch_q22",
-    # temporal joins — ungated in r1
+    # TPC-H throughput probes (q6/q12/q13/q14/q16/q18/q19/q22 rotated
+    # out in r5 — driver-green r2-r4; q4 stays: interval fix this round)
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q4", "tpch_q10", "tpch_q2",
+    # temporal joins
     "t_asof_join", "t_asof_join_tolerance", "t_range_join",
-    # round-1 hash-fails, fixed this round (SUM output-type casts)
+    # grouping/pivot family
     "a_counters", "a_rollup", "a_cube", "a_dynamic_pivot",
-    # new scale-safe variants (round 2)
+    # scale-safe variants
     "w_row_number_seq_scalable", "w_batch_ids_global", "dd_embedding_blocked",
-    # new round-2 curation operators
+    # curation operators
     "dd_cluster", "td_curate",
-    # training-data first-class components (r1-green entries like
-    # dd_exact / dd_embedding / ds_hash_split ride past the window —
-    # their CORRECTNESS_r01 rows stand; these five stay in-window as
-    # the headline near-dup/similarity/text representatives)
+    # training-data headline components
     "dd_minhash", "sim_brute_topk", "sim_ivf_topk", "txt_profile",
     "txt_topk_per_source",
+    # r5 rotation: families whose only driver row was round 1 — fresh
+    # oracle rows for dedup/sampling/multimodal/join/text/projection/
+    # set-op representatives
+    "dd_exact", "dd_ngram_jaccard", "dd_embedding",
+    "ds_hash_split", "ds_det_sample",
+    "mm_meta", "mm_features", "mm_resize", "mm_frames",
+    "j_dim_chain", "txt_length_quantiles",
+    "p_filter_project", "so_union",
 ]
 
 

@@ -3,10 +3,18 @@
 
 Prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": 0.1}
+     "queries": {"q1": sec, ...}, "sf": 0.1,
+     "runs": 3, "spread": {"q1": [min, max], ...}}
 
 Each query is forced end-to-end with the `noop` sink (a bare .count()
 lets Spark skip projection work, under-measuring scans).
+
+Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3); "queries"
+reports the per-query MEDIAN and "value" the sum of medians. Single
+passes proved untrustworthy: the same byte-identical queries swung
+4-6× between rounds 2-4, which made any real regression undetectable.
+"spread" ([min, max] per query) is the noise bound — a regression is
+real only if the new median clears the old max.
 """
 
 from __future__ import annotations
@@ -76,10 +84,14 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    import statistics
+
     import __spark_entry__ as entrymod
 
     registry = entrymod.queries()
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
 
     # JVM/codegen warmup on the smallest SF so per-query numbers reflect
     # the plan, not first-run JIT.
@@ -96,12 +108,17 @@ def main() -> int:
         fn = registry.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
+        samples: list[float] = []
         try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(samples), 3)
+            spread[name] = [round(min(samples), 3), round(max(samples), 3)]
         except Exception as exc:  # record failures, keep benching
             timings[name] = -1.0
+            spread[name] = []
             print(f"BENCH-FAIL {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -113,6 +130,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": runs,
+                "spread": spread,
             }
         )
     )

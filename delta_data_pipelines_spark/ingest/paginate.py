@@ -38,29 +38,45 @@ def ensure_source_order(
     VERIFIED contract: each page's newest ``order_col`` value must not
     exceed the previous page's oldest (descending; mirrored when
     ascending). A violating source raises immediately instead of
-    silently breaking the early stop. One tiny min/max aggregate per
-    page — O(page), no extra shuffle.
+    silently breaking the early stop.
+
+    Each page is persisted before the min/max probe, so the page is
+    evaluated exactly ONCE: the probe materializes the cache and the
+    consumer reads the same materialized rows. (An unpersisted page
+    would be computed twice — once for the probe, once on consumption —
+    and with a non-deterministic source the verified edge could belong
+    to different data than what gets published.) The cache is released
+    as soon as the consumer asks for the next page.
     """
     prev_edge = None
-    for i, page in enumerate(pages):
-        row = page.agg(
-            F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
-        ).first()
-        lo, hi = row["lo"], row["hi"]
-        if lo is not None and prev_edge is not None:
-            if descending and hi > prev_edge:
-                raise ValueError(
-                    f"source order violated at page {i}: {order_col}={hi!r} "
-                    f"newer than previous page's oldest {prev_edge!r}"
-                )
-            if not descending and lo < prev_edge:
-                raise ValueError(
-                    f"source order violated at page {i}: {order_col}={lo!r} "
-                    f"older than previous page's newest {prev_edge!r}"
-                )
-        if lo is not None:
-            prev_edge = lo if descending else hi
-        yield page
+    live = None
+    try:
+        for i, page in enumerate(pages):
+            page = page.persist()
+            live = page
+            row = page.agg(
+                F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+            ).first()
+            lo, hi = row["lo"], row["hi"]
+            if lo is not None and prev_edge is not None:
+                if descending and hi > prev_edge:
+                    raise ValueError(
+                        f"source order violated at page {i}: {order_col}={hi!r} "
+                        f"newer than previous page's oldest {prev_edge!r}"
+                    )
+                if not descending and lo < prev_edge:
+                    raise ValueError(
+                        f"source order violated at page {i}: {order_col}={lo!r} "
+                        f"older than previous page's newest {prev_edge!r}"
+                    )
+            if lo is not None:
+                prev_edge = lo if descending else hi
+            yield page
+            page.unpersist()
+            live = None
+    finally:
+        if live is not None:
+            live.unpersist()
 
 
 def run_crawl(

@@ -204,6 +204,11 @@ def minhash_near_dup_pairs(
     ``minhash_signatures``) then removes false positives, so output
     precision is 1.0 and recall is the LSH collision probability (≈1
     at the 0.8 threshold with the default geometry).
+
+    Executes EAGERLY: the full LSH + verify job runs at call time and
+    the returned DataFrame reads the materialized result (see
+    ``_materialize_and_release``) — this is not a lazy plan you can
+    ``explain``/``limit`` cheaply.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -373,6 +378,8 @@ def embedding_near_dup_pairs(
     Un-blocked this is all-pairs (fine ≤ ~10⁵ rows); pass ``block_col``
     (an LSH bucket / IVF cell from operators.similarity) to bound it
     at scale.
+
+    Executes EAGERLY at call time (see ``_materialize_and_release``).
     """
     from .similarity import dot, norm
 
@@ -435,16 +442,27 @@ def near_dup_clusters(
     Scale posture: rounds needed = component diameter, and near-dup
     components are shallow (cliques/chains of a handful of docs), so
     this converges in 2-4 rounds in practice; each round is one
-    join + groupBy on (src) — no all-pairs anywhere. Labels persist
-    per round and unpersist after (lineage would otherwise grow
-    exponentially). GraphFrames does the same thing; this stays
-    dependency-free.
+    join + groupBy on (src) — no all-pairs anywhere. Each round's
+    labels are localCheckpoint-ed to SEVER lineage, not merely
+    persisted: the round expression references the previous labels
+    twice (propagate + changed-count), so an unbroken logical plan
+    doubles per round — 2^rounds nodes, a driver-heap OOM by round
+    ~12 even on 10 rows. Checkpointing keeps every round's plan O(1);
+    GraphFrames' connected components checkpoints the same way.
 
     Raises RuntimeError if the fixpoint is not reached within
     ``max_iter`` rounds (component diameter > max_iter): returning the
     partially-propagated labels would silently split deep components —
     exactly the shape templated boilerplate produces at 100 TB.
+    ``max_iter`` must be ≥ 1 (ValueError otherwise — zero rounds can
+    never converge and would skip the convergence check entirely).
+
+    Executes EAGERLY — label propagation is inherently iterative
+    (one Spark job per round), so the result is materialized at call
+    time (see ``_materialize_and_release``).
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     # persist: the symmetric union reads `pairs` twice, and every
     # propagation round joins against edges — without these the
     # upstream pair computation (LSH join + Jaccard verify) re-runs
@@ -460,9 +478,8 @@ def near_dup_clusters(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     changed = 0
     for _ in range(max_iter):
         prop = (
@@ -480,7 +497,7 @@ def near_dup_clusters(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.withColumnRenamed("label", "_new")
@@ -488,7 +505,6 @@ def near_dup_clusters(
             .where(F.col("_new") != F.col("label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

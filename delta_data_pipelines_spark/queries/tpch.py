@@ -155,10 +155,13 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = read_table(spark, sf_dir, "lineitem")
     late = l.select("l_orderkey", "l_shipdate")
+    # INTERVAL arithmetic, not date_add: o_orderdate is a TIMESTAMP and
+    # date_add would truncate to DATE, diverging from the oracle's
+    # `+ INTERVAL 60 DAY` on intraday timestamps.
     joined = o.join(
         late,
         (o.o_orderkey == late.l_orderkey)
-        & (late.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        & (late.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
         "left_semi",
     )
     return (

@@ -17,7 +17,18 @@ stores:
 
 On a real cluster the same API would be backed by Delta/Iceberg; the
 interface is deliberately shaped so that swap is mechanical.
+``DELTA_AVAILABLE`` is the feature probe for that seam: when the
+environment gains ``delta-spark``, VersionedTable becomes a thin
+adapter over DeltaTable (merge/restoreToVersion/clone/vacuum map 1:1)
+and tests gated on the probe activate.
 """
+
+try:  # pragma: no cover - absent in this container, probe documents the seam
+    import delta  # noqa: F401
+
+    DELTA_AVAILABLE = True
+except ImportError:
+    DELTA_AVAILABLE = False
 
 from .table import VersionedTable  # noqa: F401
 from .watermark import WatermarkStore  # noqa: F401

@@ -561,6 +561,34 @@ def test_ensure_source_order_raises_on_violation(spark):
         list(ensure_source_order(iter(pages), "ts", descending=True))
 
 
+def test_ensure_source_order_evaluates_each_page_once(spark):
+    """W2 at scale: the order probe must not double-compute pages.
+    The page is persisted, the min/max probe materializes the cache,
+    and the consumer reads the SAME materialized rows — an accumulator
+    in the page's lineage must tick exactly once per row."""
+    from delta_data_pipelines_spark.ingest.paginate import ensure_source_order
+
+    sc = spark.sparkContext
+    acc = sc.accumulator(0)
+
+    def page_of(rows):
+        def tick(r):
+            acc.add(1)
+            return r
+
+        return spark.createDataFrame(
+            sc.parallelize(rows, 2).map(tick), "ts int, url string"
+        )
+
+    pages = [
+        page_of([(9, "a"), (8, "b")]),
+        page_of([(7, "c"), (6, "d")]),
+    ]
+    for page in ensure_source_order(iter(pages), "ts", descending=True):
+        page.collect()  # consumer publishes the page
+    assert acc.value == 4  # probe + publish share one evaluation per row
+
+
 def test_ensure_source_order_ascending(spark):
     import pytest as _pytest
 

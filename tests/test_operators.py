@@ -245,3 +245,108 @@ def test_near_dup_clusters_order_insensitive(spark):
     pairs = spark.createDataFrame([(5, 9), (3, 9)], "id_a bigint, id_b bigint")
     out = {r["member_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
     assert out == {3: 3, 5: 3, 9: 3}
+
+
+def test_near_dup_clusters_raises_when_diameter_exceeds_max_iter(spark):
+    """A 10-node chain has diameter 9: min-label propagation cannot
+    reach fixpoint in 3 rounds, and the contract is to RAISE, not to
+    return silently split clusters."""
+    from delta_data_pipelines_spark.operators.dedup import near_dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(chain, max_iter=3)
+    # the same chain converges when max_iter covers the diameter
+    out = {
+        r["member_id"]: r["cluster_id"]
+        for r in near_dup_clusters(chain, max_iter=12).collect()
+    }
+    assert set(out.values()) == {1} and len(out) == 10
+
+
+def test_near_dup_clusters_rejects_nonpositive_max_iter(spark):
+    """max_iter=0 would skip every propagation round AND the
+    convergence check — must be a ValueError up front."""
+    from delta_data_pipelines_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="max_iter"):
+            near_dup_clusters(pairs, max_iter=bad)
+
+
+def _persistent_rdd_count(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_dedup_builders_do_not_accumulate_cache(spark, corpus):
+    """The staged persists inside minhash_near_dup_pairs /
+    embedding_near_dup_pairs / near_dup_clusters must be released after
+    materialization: repeated invocations (the bench loop shape) must
+    not grow the set of pinned RDDs without bound. localCheckpoint
+    blocks of results still referenced are reclaimed by the
+    ContextCleaner after GC, so the count must return to (near)
+    baseline once references drop."""
+    import gc
+    import time
+
+    from delta_data_pipelines_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        minhash_near_dup_pairs,
+        near_dup_clusters,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5]) for i in range(12)],
+        "doc_id long, vec array<double>",
+    )
+
+    def invoke_once():
+        pairs = minhash_near_dup_pairs(corpus, "doc_id", "text", 0.5)
+        pairs.count()
+        near_dup_clusters(pairs).count()
+        embedding_near_dup_pairs(vecs, "doc_id", "vec", threshold=0.99).count()
+
+    def settle(target: int) -> int:
+        """Drop refs, then drive Python + JVM GC until the async
+        ContextCleaner reclaims dereferenced checkpoint blocks."""
+        n = _persistent_rdd_count(spark)
+        for _ in range(40):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            n = _persistent_rdd_count(spark)
+            if n <= target:
+                break
+            time.sleep(0.5)
+        return n
+
+    invoke_once()  # warm: one invocation's reclaimable footprint
+    baseline = settle(0)
+    for _ in range(3):
+        invoke_once()
+    after = settle(baseline)
+    # staged persists are explicitly unpersisted and result checkpoints
+    # are GC-reclaimable, so repeated invocations settle back to the
+    # single-invocation footprint. A reverted unpersist fix pins >=4
+    # RDDs per invocation STRONGLY in the CacheManager (no GC can
+    # reclaim them) and this grows without bound.
+    assert after <= baseline + 4, (baseline, after)
+
+
+def test_pair_builders_execute_eagerly(spark, corpus):
+    """Pinned API semantics: the near-dup pair/cluster builders
+    materialize at CALL time (localCheckpoint severs lineage so the
+    staged persists can be released). Building the DataFrame must
+    therefore run Spark jobs before any action is invoked."""
+    from delta_data_pipelines_spark.operators.dedup import minhash_near_dup_pairs
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    out = minhash_near_dup_pairs(corpus, "doc_id", "text", 0.5)
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after > before  # job(s) ran during construction
+    # and the returned frame is the materialized result, not the plan:
+    # consuming it twice is cheap and stable
+    assert out.count() == out.count()

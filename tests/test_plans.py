@@ -87,9 +87,13 @@ def test_scalable_rank_has_no_full_table_single_partition_exchange(spark, regist
     (O(partitions) rows, after a HashAggregate)."""
     plan = plan_of(spark, registry, "w_row_number_seq_scalable")
     assert "rangepartitioning" in plan.lower(), plan
-    # the full-table window is partitioned by _pid, not global
-    assert re.search(r"Window \[row_number\(\).*partitionBy.*_pid", plan) or \
-        "_pid" in plan, plan
+    # the full-table window is partitioned by _pid, not global: the
+    # windowspecdefinition's FIRST argument must be the partition key
+    # (a global window would read `windowspecdefinition(doc_id ... )`
+    # with no partition column and this regex would not match)
+    assert re.search(
+        r"row_number\(\) windowspecdefinition\(_pid#\d+,", plan
+    ), plan
     # at most one SinglePartition exchange (the ≤32-row offsets side)
     assert plan.count("SinglePartition") <= 1, plan
 

@@ -107,3 +107,38 @@ def test_jaccard_bounds_symmetry_identity(spark, texts):
         for k in range(n):
             assert 0.0 <= j[(i, k)] <= 1.0  # bounds
             assert abs(j[(i, k)] - j[(k, i)]) < 1e-12  # symmetry
+
+
+def test_tpch_q4_interval_preserves_time_of_day(spark, tmp_path):
+    """q4's late-line cutoff must be o_orderdate + INTERVAL 60 DAYS on
+    the FULL timestamp: for an order placed at 12:00, a line shipped 60
+    days later at 11:00 is on time. date_add would truncate the cutoff
+    to midnight and wrongly flag it late — this pins the interval
+    semantics the DuckDB oracle uses (queries/tpch.py ORACLE_SQL q4)."""
+    import datetime as dt
+
+    from delta_data_pipelines_spark.queries.tpch import tpch_q4
+
+    od = dt.datetime(1996, 7, 1, 12, 0, 0)
+    orders = spark.createDataFrame(
+        [(1, od, "1-URGENT"), (2, od, "2-HIGH")],
+        "o_orderkey long, o_orderdate timestamp, o_orderpriority string",
+    )
+    lines = spark.createDataFrame(
+        [
+            # order 1: shipped 59d23h after order — before the intraday
+            # cutoff (1996-08-30 12:00), NOT late; past midnight of the
+            # truncated cutoff, so the date_add bug would count it
+            (1, od + dt.timedelta(days=60, hours=-1)),
+            # order 2: shipped 60d1h after — late under both readings
+            (2, od + dt.timedelta(days=60, hours=1)),
+        ],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    orders.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    lines.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r["o_orderpriority"]: r["order_count"]
+        for r in tpch_q4(spark, str(tmp_path)).collect()
+    }
+    assert got == {"2-HIGH": 1}

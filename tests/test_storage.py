@@ -8,7 +8,11 @@ from datetime import datetime, timedelta
 
 import pytest
 
-from delta_data_pipelines_spark.storage import VersionedTable, WatermarkStore
+from delta_data_pipelines_spark.storage import (
+    DELTA_AVAILABLE,
+    VersionedTable,
+    WatermarkStore,
+)
 
 SCHEMA = "content_url string, title string, price long"
 
@@ -102,3 +106,19 @@ def test_watermark_lifecycle(spark, tmp_path):
     # independent pipelines
     wm.advance("other", datetime(2026, 1, 2, 11, 0, 0))
     assert wm.get("idx") == datetime(2026, 1, 2, 10, 0, 0)
+
+
+def test_delta_probe_is_boolean():
+    """The delta-spark seam: DELTA_AVAILABLE documents whether the real
+    Delta backend can replace the parquet+JSON-log VersionedTable."""
+    assert isinstance(DELTA_AVAILABLE, bool)
+
+
+@pytest.mark.skipif(not DELTA_AVAILABLE, reason="delta-spark not installed")
+def test_delta_adapter_surface():
+    """When the container gains delta-spark, VersionedTable becomes a
+    thin adapter — every op it models must exist on DeltaTable."""
+    from delta.tables import DeltaTable
+
+    for op in ("merge", "restoreToVersion", "vacuum", "history"):
+        assert hasattr(DeltaTable, op), op
