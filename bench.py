@@ -34,6 +34,9 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    # heaviest of the r5 additions that completed the 22-query suite:
+    # double fact-fact semi/anti self-join (waiting suppliers)
+    "tpch_q21",
     # relational core
     "j_dim_chain",
     "a_eav_pivot",
@@ -51,6 +54,8 @@ HEADLINE = [
     "dd_minhash",
     "sim_brute_topk",
     "txt_profile",
+    # Gopher-style repetition gate (r5)
+    "td_gopher_filter",
     # streaming semantics (batch-mode windowed agg)
     "st_windowed_counts",
     # temporal joins

@@ -103,6 +103,53 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def _dup_token_ratio_raw(text: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token —
+    the Gopher-style token-repetition signal (templated/boilerplate
+    text scores high)."""
+    w = _words(text)
+    return (F.size(w) - F.size(F.array_distinct(w))) / F.nullif(
+        F.size(w), F.lit(0)
+    ).cast("double")
+
+
+def dup_token_ratio(text: Column) -> Column:
+    return F.round(_dup_token_ratio_raw(text), 9)
+
+
+def bigrams(text: Column) -> Column:
+    """Adjacent word bigrams (order-sensitive, with repeats)."""
+    w = _words(text)
+    return F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _top_bigram_ratio_raw(text: Column) -> Column:
+    """Fraction of bigrams taken by the single most frequent bigram —
+    the Gopher top-n-gram repetition filter. Per-row O(distinct×n)
+    array work: documents are short (≤ a few hundred tokens), so this
+    stays cheap and embarrassingly parallel; no shuffle, no explode."""
+    bg = bigrams(text)
+    counts = F.transform(
+        F.array_distinct(bg), lambda d: F.size(F.filter(bg, lambda x: x == d))
+    )
+    return F.coalesce(
+        F.array_max(counts) / F.nullif(F.size(bg), F.lit(0)).cast("double"),
+        F.lit(0.0),
+    )
+
+
+def top_bigram_ratio(text: Column) -> Column:
+    return F.round(_top_bigram_ratio_raw(text), 9)
+
+
 FINGERPRINT_MOD = 1_000_000_007
 
 

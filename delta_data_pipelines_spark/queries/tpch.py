@@ -393,6 +393,288 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping (q7): bidirectional nation-pair revenue by ship
+    year. The two nation lookups are filtered to the wanted pair BEFORE
+    joining supplier/customer, so the broadcast dims prune the fact
+    join to the two nations' rows; the pair disjunction then only
+    removes the two same-nation combinations."""
+    n = read_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = read_table(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            n.select(F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation"))
+        ),
+        F.col("s_nationkey") == F.col("_snk"),
+    )
+    c = read_table(spark, sf_dir, "customer").join(
+        F.broadcast(
+            n.select(F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation"))
+        ),
+        F.col("c_nationkey") == F.col("_cnk"),
+    )
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+                .cast("decimal(18,4)")
+            ).cast("double").alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (q8): NATION_3's share of PROMO-part
+    revenue among EUROPE customers by order year. The share division
+    runs AFTER exact-decimal numerator/denominator sums; both sides
+    round to 9 digits so float division is engine-identical."""
+    r = read_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n_all = read_table(spark, sf_dir, "nation")
+    cn = n_all.join(
+        F.broadcast(r), n_all.n_regionkey == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("_cnk"))
+    c = read_table(spark, sf_dir, "customer").join(
+        F.broadcast(cn), F.col("c_nationkey") == F.col("_cnk")
+    )
+    sn = n_all.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    s = read_table(spark, sf_dir, "supplier").join(
+        F.broadcast(sn), F.col("s_nationkey") == F.col("_snk")
+    )
+    p = read_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    l = read_table(spark, sf_dir, "lineitem")
+    vol = (
+        (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+        .cast("decimal(18,4)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol)
+                    .otherwise(F.lit(0).cast("decimal(18,4)"))
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                9,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (q9): profit per supplier nation per order
+    year over widget parts. The harness has no partsupp, so supply
+    cost = p_retailprice * quantity * 0.5 (2dp price × integer qty ×
+    exact 0.50 stays within DECIMAL(18,4) — no rounding divergence)."""
+    p = read_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    sn = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("nation")
+    )
+    s = read_table(spark, sf_dir, "supplier").join(
+        F.broadcast(sn), F.col("s_nationkey") == F.col("_snk")
+    )
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    amount = (
+        (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+        .cast("decimal(18,4)")
+        - (
+            _dec("p_retailprice") * _dec("l_quantity") * F.lit(0.5).cast("decimal(18,2)")
+        ).cast("decimal(18,4)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock (q11): per-part inventory value with a
+    HAVING-above-global-fraction threshold. lineitem stands in for
+    partsupp (value = Σ price×qty); the scalar total broadcasts via
+    crossJoin and the comparison stays exact DECIMAL×DECIMAL —
+    0.0001 is DECIMAL(4,4), so no float threshold wobble."""
+    nat = read_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2", "NATION_3")
+    )
+    s = read_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey
+    ).select("s_suppkey")
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (_dec("l_extendedprice") * _dec("l_quantity")).cast("decimal(18,4)").alias("_val"),
+    )
+    lv = l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+    per_part = lv.groupBy("l_partkey").agg(F.sum("_val").alias("_pval"))
+    total = lv.agg(F.sum("_val").alias("_tval"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("_pval") > F.col("_tval") * F.lit(0.0001).cast("decimal(4,4)"))
+        .select("l_partkey", F.col("_pval").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (q15): quarterly revenue per supplier, return the
+    supplier(s) at the max. The max-revenue scalar joins back by exact
+    DECIMAL equality — the float-tie trap the view version of q15 is
+    famous for never arises."""
+    l = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+            .cast("decimal(18,4)")
+        ).alias("_rev")
+    )
+    top = rev.agg(F.max("_rev").alias("_max_rev"))
+    s = read_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .where(F.col("_rev") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("_rev").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (q17): lines below 20% of their
+    part's average quantity. The correlated AVG becomes a per-part
+    aggregate joined back; `qty < 0.2 * avg` is multiplied through to
+    `5 * qty * n < sum_qty` so every operand stays an exact DECIMAL
+    (quantities are integers — no division anywhere)."""
+    p = read_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#12")
+    l = read_table(spark, sf_dir, "lineitem")
+    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "l_partkey", _dec("l_quantity").alias("_qty"), _dec("l_extendedprice").alias("_price")
+    )
+    stats = lp.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("_qty").alias("_sum_qty"), F.count("*").alias("_n")
+    )
+    return (
+        lp.join(F.broadcast(stats), lp.l_partkey == stats._pk)
+        .where(F.col("_qty") * F.lit(5) * F.col("_n") < F.col("_sum_qty"))
+        .agg(
+            F.round(F.sum("_price").cast("double") / 7.0, 9).alias("avg_yearly"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part promotion (q20): suppliers in four nations who shipped more
+    than 60 units of cold parts during 1996 — the nested IN-subqueries
+    become aggregate → threshold → LEFT SEMI joins, no correlated
+    execution anywhere."""
+    parts = read_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("cold%")
+    ).select("p_partkey")
+    l = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    shipped = (
+        l.join(F.broadcast(parts), l.l_partkey == parts.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_qty"))
+        .where(F.col("_qty") > 60)
+        .select("l_suppkey")
+    )
+    nat = read_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2", "NATION_3")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(nat), s.s_nationkey == nat.n_nationkey, "left_semi")
+        .join(shipped, s.s_suppkey == shipped.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waiting suppliers (q21): suppliers whose line was the ONLY late
+    line in a multi-supplier finished order. "Late" reuses the q4
+    adaptation (shipped > order date + 60 days, INTERVAL arithmetic on
+    the full timestamp). EXISTS(another supplier in the order) is a
+    LEFT SEMI self-join; NOT EXISTS(another LATE supplier) a LEFT
+    ANTI — both on l_orderkey, never correlated per row."""
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    l = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = l.join(o, l.l_orderkey == o.o_orderkey).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    others = l.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    waiting = (
+        late.join(
+            others,
+            (F.col("_ok2") == F.col("l_orderkey")) & (F.col("_sk2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("_ok3") == F.col("l_orderkey")) & (F.col("_sk3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 SPARK_QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
@@ -408,6 +690,14 @@ SPARK_QUERIES = {
     "tpch_q16": tpch_q16,
     "tpch_q19": tpch_q19,
     "tpch_q22": tpch_q22,
+    "tpch_q7": tpch_q7,
+    "tpch_q8": tpch_q8,
+    "tpch_q9": tpch_q9,
+    "tpch_q11": tpch_q11,
+    "tpch_q15": tpch_q15,
+    "tpch_q17": tpch_q17,
+    "tpch_q20": tpch_q20,
+    "tpch_q21": tpch_q21,
 }
 
 _DISC = (
@@ -589,5 +879,148 @@ ORACLE_SQL = {
           )
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
+    """,
+    "tpch_q7": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM({_DISC}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+          AND n2.n_name IN ('NATION_1', 'NATION_2')
+          AND n1.n_name <> n2.n_name
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "tpch_q8": f"""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               ROUND(
+                 CAST(SUM(CASE WHEN n1.n_name = 'NATION_3' THEN {_DISC}
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(SUM({_DISC}) AS DOUBLE), 9) AS mkt_share
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region   ON n2.n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    "tpch_q9": f"""
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(
+                 {_DISC}
+                 - CAST(CAST(p_retailprice AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(0.5 AS DECIMAL(18,2)) AS DECIMAL(18,4))
+               ) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY n_name, o_year
+        ORDER BY n_name, o_year DESC
+    """,
+    "tpch_q11": """
+        WITH lv AS (
+            SELECT l_partkey,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS _val
+            FROM lineitem
+            WHERE l_suppkey IN (
+                SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
+            )
+        )
+        SELECT l_partkey, CAST(SUM(_val) AS DOUBLE) AS part_value
+        FROM lv
+        GROUP BY l_partkey
+        HAVING SUM(_val) > (SELECT SUM(_val) FROM lv) * CAST(0.0001 AS DECIMAL(4,4))
+        ORDER BY part_value DESC, l_partkey
+    """,
+    "tpch_q15": f"""
+        WITH rev AS (
+            SELECT l_suppkey AS supplier_no, SUM({_DISC}) AS _rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(_rev AS DOUBLE) AS total_revenue
+        FROM rev JOIN supplier ON supplier_no = s_suppkey
+        WHERE _rev = (SELECT MAX(_rev) FROM rev)
+        ORDER BY s_suppkey
+    """,
+    "tpch_q17": """
+        WITH lp AS (
+            SELECT l_partkey,
+                   CAST(l_quantity AS DECIMAL(18,2)) AS _qty,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) AS _price
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#12'
+        ), stats AS (
+            SELECT l_partkey AS _pk, SUM(_qty) AS _sum_qty, COUNT(*) AS _n
+            FROM lp GROUP BY l_partkey
+        )
+        SELECT ROUND(CAST(SUM(_price) AS DOUBLE) / 7.0, 9) AS avg_yearly,
+               COUNT(*) AS n
+        FROM lp JOIN stats ON lp.l_partkey = stats._pk
+        WHERE _qty * 5 * _n < _sum_qty
+    """,
+    "tpch_q20": """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_nationkey IN (
+            SELECT n_nationkey FROM nation
+            WHERE n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
+        )
+        AND s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'cold%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 60
+        )
+        ORDER BY s_name
+    """,
+    "tpch_q21": """
+        WITH late AS (
+            SELECT l_orderkey, l_suppkey
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM late l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
     """,
 }

@@ -166,6 +166,56 @@ def txt_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.text_profile(d, "doc_id", "text")
 
 
+def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: token-repeat
+    fraction and most-frequent-bigram fraction. Pure per-row array
+    expressions — no explode, no shuffle; the whole profile is one
+    narrow projection over the scan."""
+    d = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        textstats.token_count_ws(t).alias("n_tokens"),
+        textstats.dup_token_ratio(t).alias("dup_token_ratio"),
+        textstats.top_bigram_ratio(t).alias("top_bigram_ratio"),
+    )
+
+
+def td_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pre-training quality gate (the Gopher-rules shape):
+    length window + token-repetition cap + top-bigram cap + composite
+    quality floor, applied on UNROUNDED signals (both engines compute
+    the same int-ratio doubles, so thresholds can't flip rows).
+    Returns the kept docs with their rounded signals."""
+    d = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    sig = d.select(
+        "doc_id",
+        "source",
+        textstats.token_count_ws(t).alias("n_tokens"),
+        textstats._dup_token_ratio_raw(t).alias("_dup"),
+        textstats._top_bigram_ratio_raw(t).alias("_topbg"),
+        textstats.quality_score(t).alias("quality"),
+    )
+    return (
+        sig.where(
+            F.col("n_tokens").between(10, 10000)
+            & (F.col("_dup") <= 0.55)
+            & (F.col("_topbg") <= 0.05)
+            & (F.col("quality") >= 0.4)
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round("_dup", 9).alias("dup_token_ratio"),
+            F.round("_topbg", 9).alias("top_bigram_ratio"),
+            "quality",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -308,6 +358,8 @@ SPARK_QUERIES = {
     "txt_topk_per_source": txt_topk_per_source,
     "txt_enum_lookup": txt_enum_lookup,
     "txt_length_quantiles": txt_length_quantiles,
+    "txt_repetition": txt_repetition,
+    "td_gopher_filter": td_gopher_filter,
 }
 
 _SHINGLES = """
@@ -587,6 +639,64 @@ ORACLE_SQL = {
                          WHEN 'de' THEN 'german' WHEN 'fr' THEN 'french'
                          ELSE lang END AS lang_name
         FROM documents
+    """,
+    "txt_repetition": """
+        WITH b AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), c AS (
+            SELECT doc_id, w,
+                   CASE WHEN len(w) >= 2
+                        THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                        ELSE [] END AS bg
+            FROM b
+        )
+        SELECT doc_id,
+               len(w) AS n_tokens,
+               ROUND((len(w) - len(list_distinct(w)))
+                     / CAST(NULLIF(len(w), 0) AS DOUBLE), 9) AS dup_token_ratio,
+               ROUND(COALESCE(
+                   CAST(list_max(list_transform(list_distinct(bg),
+                        d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE)
+                   / NULLIF(len(bg), 0), 0.0), 9) AS top_bigram_ratio
+        FROM c
+    """,
+    "td_gopher_filter": """
+        WITH b AS (
+            SELECT doc_id, source, text, string_split(text, ' ') AS w,
+                   regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g') AS stripped
+            FROM documents
+        ), c AS (
+            SELECT *, CASE WHEN len(w) >= 2
+                           THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                           ELSE [] END AS bg
+            FROM b
+        ), sig AS (
+            SELECT doc_id, source, len(w) AS n_tokens,
+                   (len(w) - len(list_distinct(w)))
+                       / CAST(NULLIF(len(w), 0) AS DOUBLE) AS _dup,
+                   COALESCE(
+                       CAST(list_max(list_transform(list_distinct(bg),
+                            d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE)
+                       / NULLIF(len(bg), 0), 0.0) AS _topbg,
+                   ROUND(0.4 * (len(list_filter(w, x -> x IN
+                             ('the','a','of','and','to','in','is','it')))
+                             / CAST(NULLIF(len(w), 0) AS DOUBLE))
+                       + 0.4 * LEAST(len(w) / 64.0, 1.0)
+                       + 0.2 * (1 - (length(text) - length(stripped))
+                             / CAST(NULLIF(length(text), 0) AS DOUBLE)),
+                       9) AS quality
+            FROM c
+        )
+        SELECT doc_id, source, n_tokens,
+               ROUND(_dup, 9) AS dup_token_ratio,
+               ROUND(_topbg, 9) AS top_bigram_ratio,
+               quality
+        FROM sig
+        WHERE n_tokens BETWEEN 10 AND 10000
+          AND _dup <= 0.55
+          AND _topbg <= 0.05
+          AND quality >= 0.4
+        ORDER BY doc_id
     """,
     # fake image decode: square side = max(1, trunc(sqrt(n_bytes)));
     # fit-inside 224x224 with truncating int() like the Python stub

@@ -350,3 +350,47 @@ def test_pair_builders_execute_eagerly(spark, corpus):
     # and the returned frame is the materialized result, not the plan:
     # consuming it twice is cheap and stable
     assert out.count() == out.count()
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style filters)
+# ---------------------------------------------------------------------------
+
+
+def test_dup_token_ratio_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # all distinct -> 0
+            (2, "a a a a"),          # one distinct of four -> 0.75
+            (3, "a b a b"),          # two distinct of four -> 0.5
+            (4, "solo"),             # single token -> 0
+        ],
+        "id long, t string",
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in df.select(
+            "id", textstats.dup_token_ratio(F.col("t")).alias("v")
+        ).collect()
+    }
+    assert got == {1: 0.0, 2: 0.75, 3: 0.5, 4: 0.0}
+
+
+def test_top_bigram_ratio_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # 3 bigrams, all unique -> 1/3
+            (2, "x y x y x"),    # bigrams: xy yx xy yx -> 2/4
+            (3, "solo"),         # no bigrams -> 0.0
+        ],
+        "id long, t string",
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in df.select(
+            "id", textstats.top_bigram_ratio(F.col("t")).alias("v")
+        ).collect()
+    }
+    assert abs(got[1] - 1 / 3) < 1e-8
+    assert got[2] == 0.5
+    assert got[3] == 0.0
