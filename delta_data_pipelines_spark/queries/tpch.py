@@ -624,7 +624,9 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = read_table(spark, sf_dir, "supplier")
     return (
         s.join(F.broadcast(nat), s.s_nationkey == nat.n_nationkey, "left_semi")
-        .join(shipped, s.s_suppkey == shipped.l_suppkey, "left_semi")
+        # qualifying-supplier set is bounded by supplier cardinality —
+        # broadcast it rather than shuffling the supplier dim
+        .join(F.broadcast(shipped), s.s_suppkey == shipped.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_name")
     )

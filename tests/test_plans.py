@@ -145,3 +145,42 @@ def test_partitioned_layout_prunes_directories(spark, tmp_path):
     expect = e.where(F.to_date("ts").between("2024-01-02", "2024-01-03")).count()
     assert pruned.count() == expect
     assert expect > 0
+
+
+def test_q21_semi_anti_never_cartesian(spark, registry):
+    """The double EXISTS/NOT EXISTS compiles to semi/anti joins on the
+    order key — a correlated or cross-join fallback would be fatal at
+    fact×fact scale."""
+    plan = plan_of(spark, registry, "tpch_q21")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_q17_threshold_stays_decimal(spark, registry):
+    """The multiplied-through avg-quantity threshold must run in
+    decimal arithmetic — a Cast to double inside the filter would
+    reintroduce the float-boundary divergence."""
+    plan = plan_of(spark, registry, "tpch_q17")
+    # Catalyst fuses the threshold into the join condition
+    m = re.search(r"Join condition: [^\n]*_qty[^\n]*", plan)
+    assert m, plan
+    assert "as double" not in m.group(0), m.group(0)
+
+
+def test_q11_scalar_total_is_broadcast(spark, registry):
+    """The HAVING-fraction total is a 1-row broadcast (BNLJ with a
+    singleton build side), never a shuffle or a driver collect."""
+    plan = plan_of(spark, registry, "tpch_q11")
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_profile_is_single_pass(spark, registry):
+    """txt_repetition is a pure per-row projection: no shuffle, no
+    join, no explode — the whole profile must be scan → project."""
+    plan = plan_of(spark, registry, "txt_repetition")
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan  # no explode
+    assert "Join" not in plan
