@@ -59,16 +59,27 @@ def tokens(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = SHINGLE_SIZE) -> Column:
-    """Distinct word n-gram shingles of a document."""
+    """Distinct word n-gram shingles of a document.
+
+    Built by iterated ``zip_with(acc, slice(w, k, …), concat)`` so the
+    token array is only ever a DIRECT child expression — evaluated
+    once per row. The index-lambda form (``transform(sequence, i ->
+    concat_ws(slice(w, i, n)))``) re-evaluates the ``split`` inside
+    the lambda once per shingle position: O(n²) re-splitting per row,
+    measured several× slower on the signature pass. zip_with pads the
+    shorter side with null (concat_ws skips nulls), so the junk tail
+    entries are sliced off before dedup."""
     w = tokens(text)
+    acc = w
+    for k in range(2, n + 1):
+        acc = F.zip_with(
+            acc,
+            F.slice(w, k, F.greatest(F.size(w) - (k - 1), F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     return F.when(
         F.size(w) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-            )
-        ),
+        F.array_distinct(F.slice(acc, 1, F.size(w) - (n - 1))),
     ).otherwise(F.array_distinct(F.array(F.concat_ws(" ", w))))
 
 

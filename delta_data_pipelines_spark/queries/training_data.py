@@ -327,6 +327,46 @@ def ds_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("split", "lang").agg(F.count("*").alias("n"))
 
 
+def td_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit — the decontamination pass every
+    LLM data pipeline runs before trusting an eval split: deterministic
+    md5 split (same buckets as ds_hash_split), MinHash-LSH near-dup
+    pairs over the whole corpus, then pairs that straddle the
+    train/test boundary. Output: each contaminated test doc with its
+    train-side near-duplicate and the exact Jaccard. Scale posture:
+    the LSH pair set is the only heavy stage (banded, bucket-capped);
+    the split-label joins are by doc_id on the tiny pair set."""
+    d = read_table(spark, sf_dir, "documents")
+    splits = sampling.hash_split(
+        d, "doc_id", {"train": 0.8, "eval": 0.1, "test": 0.1}, method="md5"
+    ).select("doc_id", "split")
+    pairs = dedup.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.8)
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(
+            ((F.col("split_a") == "train") & (F.col("split_b") == "test"))
+            | ((F.col("split_a") == "test") & (F.col("split_b") == "train"))
+        )
+        .select(
+            F.when(F.col("split_a") == "test", F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("test_doc_id"),
+            F.when(F.col("split_a") == "train", F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("train_doc_id"),
+            "jaccard_sim",
+        )
+        .orderBy("test_doc_id", "train_doc_id")
+    )
+
+
 def ds_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable 10% corpus sample by doc_id hash — the same rows survive
     every run, so iteration-time metrics stay comparable."""
@@ -360,6 +400,7 @@ SPARK_QUERIES = {
     "txt_length_quantiles": txt_length_quantiles,
     "txt_repetition": txt_repetition,
     "td_gopher_filter": td_gopher_filter,
+    "td_decontaminate": td_decontaminate,
 }
 
 _SHINGLES = """
@@ -405,6 +446,28 @@ ORACLE_SQL = {
             FROM documents
         ) WHERE rn = 1
     """,
+    "td_decontaminate": (
+        "WITH pairs AS (SELECT * FROM ("
+        + _JACCARD_PAIRS.format(block="")
+        + f""") WHERE jaccard_sim >= 0.8
+        ), s AS (
+            SELECT doc_id,
+                   CASE WHEN bkt < 0.8 THEN 'train'
+                        WHEN bkt < 0.8 + 0.1 THEN 'eval'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, {_MD5_BUCKET} AS bkt FROM documents)
+        )
+        SELECT CASE WHEN sa.split = 'test' THEN p.id_a ELSE p.id_b END AS test_doc_id,
+               CASE WHEN sa.split = 'train' THEN p.id_a ELSE p.id_b END AS train_doc_id,
+               p.jaccard_sim
+        FROM pairs p
+        JOIN s sa ON p.id_a = sa.doc_id
+        JOIN s sb ON p.id_b = sb.doc_id
+        WHERE (sa.split = 'train' AND sb.split = 'test')
+           OR (sa.split = 'test' AND sb.split = 'train')
+        ORDER BY test_doc_id, train_doc_id
+    """
+    ),
     # exact all-pairs Jaccard — the computation MinHash-LSH approximates
     "dd_minhash": (
         "SELECT * FROM ("
