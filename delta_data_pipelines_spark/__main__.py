@@ -34,6 +34,10 @@ def main(argv: list[str] | None = None) -> int:
     pd_.add_argument("--listings", required=True, help="listings parquet dir")
     pd_.add_argument("--out", required=True, help="dataset table root")
 
+    cc = sub.add_parser("curate-corpus", help="quality-gate + dedup + split publish")
+    cc.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    cc.add_argument("--out", required=True, help="curated corpus table root")
+
     sub.add_parser("bench", help="run the bench harness")
 
     args = p.parse_args(argv)
@@ -71,6 +75,17 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"job": "incremental-index", **{
             k: (str(v) if not isinstance(v, (int, float, type(None))) else v)
             for k, v in res.items()}}))
+        return 0
+
+    if args.cmd == "curate-corpus":
+        from .catalog import read_table
+        from .jobs import publish_corpus
+        from .storage import VersionedTable
+
+        docs = read_table(spark, args.sf_dir, "documents")
+        table = VersionedTable(spark, args.out)
+        res = publish_corpus(table, docs)
+        print(json.dumps({"job": "curate-corpus", **res}))
         return 0
 
     if args.cmd == "price-dataset":

@@ -13,3 +13,7 @@ __all__ = [
 from .incremental_index import run_incremental  # noqa: E402
 
 __all__.append("run_incremental")
+
+from .curate_corpus import curate_corpus, publish_corpus  # noqa: E402
+
+__all__ += ["curate_corpus", "publish_corpus"]

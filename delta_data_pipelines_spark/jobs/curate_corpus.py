@@ -1,0 +1,128 @@
+"""End-to-end training-corpus curation job (north-star path).
+
+The training-data analog of the reference's dataset pipelines
+(``price_prediction_data_pipeline.py``'s filter → publish → validate →
+rollback shape, applied to a document corpus): quality-gate →
+exact dedup → near-dup collapse → deterministic split, published to a
+versioned table with per-stage metrics.
+
+Every stage is the scale-safe variant: the quality gate is one narrow
+expression pass (no shuffle), exact dedup hash-partitions on
+``xxhash64(text)``, near-dup collapse is banded MinHash-LSH with
+bucket caps, and the split is a pure function of ``doc_id`` (stable
+under reruns, repartitioning, and engine versions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import dedup, sampling
+from ..operators.textstats import (
+    _dup_token_ratio_raw,
+    _top_bigram_ratio_raw,
+    quality_score,
+    token_count_ws,
+)
+from ..storage import VersionedTable
+
+DEFAULT_SPLITS = {"train": 0.8, "eval": 0.1, "test": 0.1}
+
+
+def quality_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 10_000,
+    dup_token_cap: float = 0.55,
+    top_bigram_cap: float = 0.05,
+    quality_floor: float = 0.4,
+) -> DataFrame:
+    """Gopher-rules gate: length window + repetition caps + composite
+    quality floor, evaluated on unrounded signals in one projection."""
+    t = F.col(text_col)
+    return (
+        docs.withColumn("_ntok", token_count_ws(t))
+        .withColumn("_dup", _dup_token_ratio_raw(t))
+        .withColumn("_topbg", _top_bigram_ratio_raw(t))
+        .withColumn("quality", quality_score(t))
+        .where(
+            F.col("_ntok").between(min_tokens, max_tokens)
+            & (F.col("_dup") <= dup_token_cap)
+            & (F.col("_topbg") <= top_bigram_cap)
+            & (F.col("quality") >= quality_floor)
+        )
+        .drop("_ntok", "_dup", "_topbg")
+    )
+
+
+def collapse_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Keep one representative per near-dup cluster (the smallest id,
+    matching ``near_dup_clusters``' deterministic labeling). Docs in no
+    cluster pass through. NOTE: runs the LSH + clustering jobs eagerly
+    (see operators.dedup)."""
+    pairs = dedup.minhash_near_dup_pairs(docs, id_col, text_col, threshold)
+    clusters = dedup.near_dup_clusters(pairs)
+    return (
+        docs.join(
+            clusters, docs[id_col] == clusters.member_id, "left"
+        )
+        .where(
+            F.col("cluster_id").isNull()
+            | (F.col("member_id") == F.col("cluster_id"))
+        )
+        .drop("member_id", "cluster_id")
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    splits: dict[str, float] | None = None,
+    **gate_kwargs,
+) -> DataFrame:
+    """quality gate → exact dedup → near-dup collapse → md5 split."""
+    gated = quality_gate(docs, text_col, **gate_kwargs)
+    exact = dedup.exact_dedup(gated, text_col, id_col)
+    uniq = collapse_near_dups(exact, id_col, text_col)
+    return sampling.hash_split(
+        uniq, id_col, splits or DEFAULT_SPLITS, method="md5"
+    )
+
+
+def publish_corpus(
+    table: VersionedTable,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    splits: dict[str, float] | None = None,
+    **gate_kwargs,
+) -> dict:
+    """Run the curation pipeline and publish with stage metrics.
+
+    Mirrors ``publish_dataset``'s versioned-commit shape: an empty
+    curated corpus fails validation and nothing is committed."""
+    n_in = docs.count()
+    curated = curate_corpus(docs, id_col, text_col, splits, **gate_kwargs)
+    curated = curated.localCheckpoint(eager=True)  # metrics + write share one run
+    n_out = curated.count()
+    if n_out == 0:
+        raise ValueError("curation produced an empty corpus; not publishing")
+    commit = table.overwrite(curated)
+    per_split = {
+        r["split"]: r["n"]
+        for r in curated.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    return {
+        "version": commit.version,
+        "rows_in": n_in,
+        "rows_out": n_out,
+        "splits": per_split,
+    }

@@ -132,3 +132,44 @@ def test_check_url_consistency_probe(spark, tmp_path):
     # listed but never marked seen → inconsistent (dropped publish)
     lst.merge(spark.createDataFrame([("u4",)], "content_url string"), keys=["content_url"])
     assert not check_url("u4", queue, seen, lst)["consistent"]
+
+
+def test_curate_corpus_end_to_end(spark, tmp_path):
+    """North-star curation job: gate → exact dedup → near-dup collapse
+    → split → versioned publish, with per-stage metrics."""
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.jobs import publish_corpus
+    from delta_data_pipelines_spark.storage import VersionedTable
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    table = VersionedTable(spark, str(tmp_path / "corpus"))
+    res = publish_corpus(table, docs)
+    assert res["rows_out"] > 0
+    assert res["rows_in"] >= res["rows_out"]
+    assert set(res["splits"]) <= {"train", "eval", "test"}
+    assert sum(res["splits"].values()) == res["rows_out"]
+
+    out = table.read()
+    # no exact dups survive
+    assert out.select("text").distinct().count() == out.count()
+    # every survivor passes the gate thresholds
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.operators.textstats import (
+        _dup_token_ratio_raw,
+        _top_bigram_ratio_raw,
+        token_count_ws,
+    )
+
+    bad = out.where(
+        ~token_count_ws(F.col("text")).between(10, 10000)
+        | (_dup_token_ratio_raw(F.col("text")) > 0.55)
+        | (_top_bigram_ratio_raw(F.col("text")) > 0.05)
+        | (F.col("quality") < 0.4)
+    ).count()
+    assert bad == 0
+    # deterministic: a rerun publishes the identical corpus
+    res2 = publish_corpus(table, docs)
+    assert res2["rows_out"] == res["rows_out"]
+    assert res2["splits"] == res["splits"]
+    assert res2["version"] == res["version"] + 1

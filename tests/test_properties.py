@@ -142,3 +142,45 @@ def test_tpch_q4_interval_preserves_time_of_day(spark, tmp_path):
         for r in tpch_q4(spark, str(tmp_path)).collect()
     }
     assert got == {"2-HIGH": 1}
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abc"), min_size=1, max_size=12).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_repetition_signals_match_python_model(spark, texts):
+    """dup_token_ratio and top_bigram_ratio (sorted-run-fold form) must
+    equal the obvious Counter-based model on arbitrary token streams —
+    tiny alphabet forces heavy repetition, exercising run merging."""
+    from collections import Counter
+
+    from delta_data_pipelines_spark.operators.textstats import (
+        dup_token_ratio,
+        top_bigram_ratio,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, t string")
+    got = {
+        r["id"]: (r["d"], r["b"])
+        for r in df.select(
+            "id",
+            dup_token_ratio(F.col("t")).alias("d"),
+            top_bigram_ratio(F.col("t")).alias("b"),
+        ).collect()
+    }
+    for i, s in enumerate(texts):
+        toks = s.split(" ")
+        dup = (len(toks) - len(set(toks))) / len(toks)
+        if len(toks) < 2:
+            top = 0.0
+        else:
+            c = Counter(zip(toks, toks[1:]))
+            top = max(c.values()) / (len(toks) - 1)
+        assert abs(got[i][0] - dup) < 1e-8, (s, got[i][0], dup)
+        assert abs(got[i][1] - top) < 1e-8, (s, got[i][1], top)
