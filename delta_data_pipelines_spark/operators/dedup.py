@@ -206,7 +206,7 @@ def lsh_candidate_pairs(
 
 def minhash_near_dup_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8,
-    max_bucket: int = 1000,
+    max_bucket: int = 1000, materialize: bool = True,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
 
@@ -216,10 +216,14 @@ def minhash_near_dup_pairs(
     precision is 1.0 and recall is the LSH collision probability (≈1
     at the 0.8 threshold with the default geometry).
 
-    Executes EAGERLY: the full LSH + verify job runs at call time and
-    the returned DataFrame reads the materialized result (see
-    ``_materialize_and_release``) — this is not a lazy plan you can
-    ``explain``/``limit`` cheaply.
+    With ``materialize=True`` (default) this executes EAGERLY: the
+    full LSH + verify job runs at call time, the signature base is
+    staged (persisted) across the band/verify arms and released after
+    (see ``_materialize_and_release``) — not a lazy plan you can
+    ``explain``/``limit`` cheaply. ``materialize=False`` returns the
+    lazy plan with NO persists: composition-friendly (explain/schema
+    cost nothing), but the shingle+signature pass recomputes once per
+    consuming arm — persist upstream or accept ~2× compute.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -227,9 +231,9 @@ def minhash_near_dup_pairs(
     # base; unpersisted, Spark recomputes the whole shingle+hash pass
     # per arm (~2× cost). Persisting = the "stage signatures to a
     # table" step a 100 TB run does explicitly.
-    base = minhash_signatures(df, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    base = minhash_signatures(df, id_col, text_col)
+    if materialize:
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     cand = _candidates(_banded(base.select(id_col, "_sig"), id_col), id_col, max_bucket)
     hs = base.select(id_col, "_hs")
     out = (
@@ -237,8 +241,11 @@ def minhash_near_dup_pairs(
         .join(hs.withColumnRenamed(id_col, "id_b").withColumnRenamed("_hs", "_hs_b"), "id_b")
         .withColumn("jaccard_sim", F.round(jaccard(F.col("_hs_a"), F.col("_hs_b")), 9))
         .where(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
     )
-    return _materialize_and_release(out.select("id_a", "id_b", "jaccard_sim"), base)
+    if not materialize:
+        return out
+    return _materialize_and_release(out, base)
 
 
 def ngram_jaccard_pairs(
@@ -382,7 +389,7 @@ def simhash_near_dup_pairs(
 
 def embedding_near_dup_pairs(
     df: DataFrame, id_col: str, vec_col: str, block_col: str | None = None,
-    threshold: float = 0.98,
+    threshold: float = 0.98, materialize: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ threshold.
 
@@ -390,7 +397,10 @@ def embedding_near_dup_pairs(
     (an LSH bucket / IVF cell from operators.similarity) to bound it
     at scale.
 
-    Executes EAGERLY at call time (see ``_materialize_and_release``).
+    ``materialize=True`` (default) executes EAGERLY at call time (see
+    ``_materialize_and_release``); ``materialize=False`` returns the
+    lazy plan with no persists — the normalization pass then recomputes
+    once per self-join arm.
     """
     from .similarity import dot, norm
 
@@ -416,7 +426,8 @@ def embedding_near_dup_pairs(
     # Both self-join arms read v; without a persist the full upstream
     # (blocking join / IVF assignment / normalization) re-runs per arm.
     # Local stand-in for staging the normalized vectors to a table.
-    v = v.persist()
+    if materialize:
+        v = v.persist()
     a, b = v.alias("a"), v.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
@@ -431,6 +442,8 @@ def embedding_near_dup_pairs(
             "cosine_sim",
         )
     )
+    if not materialize:
+        return out
     return _materialize_and_release(out, v)
 
 

@@ -327,6 +327,25 @@ def ds_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("split", "lang").agg(F.count("*").alias("n"))
 
 
+def txt_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top-50 tokens by term frequency
+    with document frequency — the explode→groupBy shape (map-side
+    partial aggregation collapses each partition's token stream before
+    the shuffle, so the exchange carries one row per (partition,
+    distinct token), not per occurrence)."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("n").desc(), "token")
+        .limit(50)
+    )
+
+
 def td_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination audit — the decontamination pass every
     LLM data pipeline runs before trusting an eval split: deterministic
@@ -401,6 +420,7 @@ SPARK_QUERIES = {
     "txt_repetition": txt_repetition,
     "td_gopher_filter": td_gopher_filter,
     "td_decontaminate": td_decontaminate,
+    "txt_vocab_topk": txt_vocab_topk,
 }
 
 _SHINGLES = """
@@ -445,6 +465,14 @@ ORACLE_SQL = {
                    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) rn
             FROM documents
         ) WHERE rn = 1
+    """,
+    "txt_vocab_topk": """
+        SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS doc_freq
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 50
     """,
     "td_decontaminate": (
         "WITH pairs AS (SELECT * FROM ("

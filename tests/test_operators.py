@@ -284,14 +284,13 @@ def _persistent_rdd_count(spark) -> int:
 def test_dedup_builders_do_not_accumulate_cache(spark, corpus):
     """The staged persists inside minhash_near_dup_pairs /
     embedding_near_dup_pairs / near_dup_clusters must be released after
-    materialization: repeated invocations (the bench loop shape) must
-    not grow the set of pinned RDDs without bound. localCheckpoint
-    blocks of results still referenced are reclaimed by the
-    ContextCleaner after GC, so the count must return to (near)
-    baseline once references drop."""
-    import gc
-    import time
-
+    materialization. A leaked ``.persist()`` registers the plan in the
+    CacheManager with STRONG references (no GC ever reclaims it; the
+    bench loop accumulates it without bound), so after any number of
+    invocations the CacheManager must be empty. localCheckpoint blocks
+    are deliberately exempt: they are weakly referenced and the
+    ContextCleaner reclaims them after GC — asserting on those would
+    race the cleaner."""
     from delta_data_pipelines_spark.operators.dedup import (
         embedding_near_dup_pairs,
         minhash_near_dup_pairs,
@@ -302,37 +301,15 @@ def test_dedup_builders_do_not_accumulate_cache(spark, corpus):
         [(i, [float(i % 3), 1.0, 0.5]) for i in range(12)],
         "doc_id long, vec array<double>",
     )
-
-    def invoke_once():
+    cache_manager = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()  # isolate from other tests' leftovers
+    assert cache_manager.isEmpty()
+    for _ in range(3):
         pairs = minhash_near_dup_pairs(corpus, "doc_id", "text", 0.5)
         pairs.count()
         near_dup_clusters(pairs).count()
         embedding_near_dup_pairs(vecs, "doc_id", "vec", threshold=0.99).count()
-
-    def settle(target: int) -> int:
-        """Drop refs, then drive Python + JVM GC until the async
-        ContextCleaner reclaims dereferenced checkpoint blocks."""
-        n = _persistent_rdd_count(spark)
-        for _ in range(40):
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-            n = _persistent_rdd_count(spark)
-            if n <= target:
-                break
-            time.sleep(0.5)
-        return n
-
-    invoke_once()  # warm: one invocation's reclaimable footprint
-    baseline = settle(0)
-    for _ in range(3):
-        invoke_once()
-    after = settle(baseline)
-    # staged persists are explicitly unpersisted and result checkpoints
-    # are GC-reclaimable, so repeated invocations settle back to the
-    # single-invocation footprint. A reverted unpersist fix pins >=4
-    # RDDs per invocation STRONGLY in the CacheManager (no GC can
-    # reclaim them) and this grows without bound.
-    assert after <= baseline + 4, (baseline, after)
+        assert cache_manager.isEmpty(), "a staged persist leaked"
 
 
 def test_pair_builders_execute_eagerly(spark, corpus):
@@ -342,13 +319,11 @@ def test_pair_builders_execute_eagerly(spark, corpus):
     therefore run Spark jobs before any action is invoked."""
     from delta_data_pipelines_spark.operators.dedup import minhash_near_dup_pairs
 
-    tracker = spark.sparkContext.statusTracker()
-    before = len(tracker.getJobIdsForGroup(None))
     out = minhash_near_dup_pairs(corpus, "doc_id", "text", 0.5)
-    after = len(tracker.getJobIdsForGroup(None))
-    assert after > before  # job(s) ran during construction
-    # and the returned frame is the materialized result, not the plan:
-    # consuming it twice is cheap and stable
+    # the returned frame is the materialized result (a bare scan of the
+    # checkpointed RDD — the LSH joins are gone from the plan), not the
+    # live query tree; consuming it twice is cheap and stable
+    assert "Join" not in out._jdf.queryExecution().optimizedPlan().toString()
     assert out.count() == out.count()
 
 
@@ -394,3 +369,23 @@ def test_top_bigram_ratio_known_values(spark):
     assert abs(got[1] - 1 / 3) < 1e-8
     assert got[2] == 0.5
     assert got[3] == 0.0
+
+
+def test_pair_builders_lazy_opt_out(spark, corpus):
+    """materialize=False returns a LAZY plan (no jobs at construction,
+    no persists left behind) that evaluates to the same pairs."""
+    from delta_data_pipelines_spark.operators.dedup import minhash_near_dup_pairs
+
+    cache_manager = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    lazy = minhash_near_dup_pairs(corpus, "doc_id", "text", 0.5, materialize=False)
+    # structurally lazy: the plan is the live query tree (LSH joins
+    # still visible), not a bare scan of a checkpointed result RDD
+    # (which is what the eager path collapses to)
+    assert "Join" in lazy._jdf.queryExecution().optimizedPlan().toString()
+    assert cache_manager.isEmpty()  # and nothing was staged/persisted
+    eager = minhash_near_dup_pairs(corpus, "doc_id", "text", 0.5)
+    assert "Join" not in eager._jdf.queryExecution().optimizedPlan().toString()
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    assert sorted(map(key, lazy.collect())) == sorted(map(key, eager.collect()))
+    assert cache_manager.isEmpty()  # lazy consumption left no cache either
