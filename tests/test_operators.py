@@ -389,3 +389,19 @@ def test_pair_builders_lazy_opt_out(spark, corpus):
     key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
     assert sorted(map(key, lazy.collect())) == sorted(map(key, eager.collect()))
     assert cache_manager.isEmpty()  # lazy consumption left no cache either
+
+
+def test_dedup_builders_empty_inputs(spark):
+    """Zero-row corpora must flow through every builder without error:
+    empty pair sets, empty cluster maps — not exceptions."""
+    from delta_data_pipelines_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        near_dup_clusters,
+        simhash_near_dup_pairs,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    pairs = minhash_near_dup_pairs(empty, "doc_id", "text", 0.5)
+    assert pairs.count() == 0
+    assert near_dup_clusters(pairs).count() == 0
+    assert simhash_near_dup_pairs(empty, "doc_id", "text").count() == 0

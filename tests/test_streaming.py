@@ -279,3 +279,34 @@ def test_continuous_rollup_converges_to_batch(spark, tmp_path):
     joined = expect.join(got, lsuffix="_b", rsuffix="_s")
     assert (joined["n_b"] == joined["n_s"]).all()
     assert (joined["total_value_b"] - joined["total_value_s"]).abs().max() < 1e-6
+
+
+def test_streaming_curation_matches_batch_gate(spark, tmp_path):
+    """Streaming quality gate + dedup must converge to the batch gate's
+    kept-set (by content), and a full re-delivery must not grow the
+    corpus (idempotent MERGE on content hash)."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.jobs.curate_corpus import quality_gate
+    from delta_data_pipelines_spark.storage import VersionedTable
+    from delta_data_pipelines_spark.streaming.curate import run_streaming_curation
+
+    docs = read_table(spark, SF_DIR, "documents")
+    expect = {
+        r["k"]
+        for r in quality_gate(docs)
+        .select(F.xxhash64("text").alias("k"))
+        .distinct()
+        .collect()
+    }
+
+    corpus = VersionedTable(spark, str(tmp_path / "corpus"))
+    for attempt in range(2):  # second run = full re-delivery
+        stream = _stream_from(spark, docs, tmp_path, "cur_docs")
+        q = run_streaming_curation(
+            stream, corpus, str(tmp_path / f"ckpt_cur_{attempt}")
+        )
+        q.awaitTermination(120)
+        got = {r["_content_key"] for r in corpus.read().select("_content_key").collect()}
+        assert got == expect, attempt
