@@ -115,27 +115,37 @@ def run_crawl(
         if n_pages >= max_pages:
             stop = "max_pages"
             break
-        n_pages += 1
-        total = page.count()
-        if total == 0:
-            stop = "empty_page"
-            break
-        n_urls += total
+        # One page feeds five consumers (count, dup probe, anti-join
+        # split, queue MERGE, seen MERGE); persist so the SOURCE
+        # evaluates once per page — with a remote/non-deterministic
+        # source, re-evaluation could publish different rows than the
+        # ones probed. (Pages from ensure_source_order arrive already
+        # persisted; re-persist/unpersist is a no-op there.)
+        page = page.persist()
+        try:
+            n_pages += 1
+            total = page.count()
+            if total == 0:
+                stop = "empty_page"
+                break
+            n_urls += total
 
-        if seen_df is None:
-            ratio = 0.0
-            new = page
-        else:
-            ratio = dup_ratio(page, seen_df, site)
-            new, _ = partition_new(page, seen_df, site)
+            if seen_df is None:
+                ratio = 0.0
+                new = page
+            else:
+                ratio = dup_ratio(page, seen_df, site)
+                new, _ = partition_new(page, seen_df, site)
 
-        n_new += publish(queue, new, site)
-        mark_seen(seen, page, site)
-        seen_df = seen.read()
+            n_new += publish(queue, new, site)
+            mark_seen(seen, page, site)
+            seen_df = seen.read()
 
-        if ratio >= dup_stop_ratio:
-            stop = "dup_ratio"
-            break
+            if ratio >= dup_stop_ratio:
+                stop = "dup_ratio"
+                break
+        finally:
+            page.unpersist()
     else:
         stop = "exhausted"
 

@@ -605,3 +605,32 @@ def test_ensure_source_order_ascending(spark):
     ]
     with _pytest.raises(ValueError):
         list(ensure_source_order(iter(bad), "ts", descending=False))
+
+
+def test_run_crawl_evaluates_each_page_source_once(spark, tmp_path):
+    """run_crawl fans one page into five consumers; the page must be
+    persisted so the SOURCE lineage executes exactly once per page."""
+    from delta_data_pipelines_spark.ingest.paginate import run_crawl
+    from delta_data_pipelines_spark.storage import VersionedTable
+
+    sc = spark.sparkContext
+    acc = sc.accumulator(0)
+
+    def page_of(rows):
+        def tick(r):
+            acc.add(1)
+            return r
+
+        return spark.createDataFrame(
+            sc.parallelize(rows, 2).map(tick), "content_url string, site string"
+        )
+
+    pages = [
+        page_of([(f"https://x/{i}", "divar") for i in range(4)]),
+        page_of([(f"https://x/{i + 4}", "divar") for i in range(4)]),
+    ]
+    seen = VersionedTable(spark, str(tmp_path / "seen"))
+    queue = VersionedTable(spark, str(tmp_path / "queue"))
+    res = run_crawl(iter(pages), "divar", seen, queue)
+    assert res["pages"] == 2 and res["new"] == 8
+    assert acc.value == 8  # every row computed exactly once
