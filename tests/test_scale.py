@@ -60,3 +60,34 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_minhash_dedup_scales_with_replicated_corpus(spark):
+    """Replicate the corpus 10x with distinct ids: every text then has
+    >=9 identical partners, the worst-case pair density for LSH. All
+    C(10,2)=45 identical pairs per distinct text must be found (LSH
+    recall is 1.0 for identical docs), and clustering must put all 10
+    copies of a text into one cluster."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.operators import dedup
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    big = d
+    for i in range(1, 10):
+        big = big.union(
+            d.select((F.col("doc_id") + 100000 * i).alias("doc_id"), "text")
+        )
+    n_docs = big.count()
+    n_distinct = d.select("text").distinct().count()
+    pairs = dedup.minhash_near_dup_pairs(big, "doc_id", "text", threshold=0.8)
+    # identical copies alone contribute 45 pairs per distinct text
+    assert pairs.count() >= 45 * n_distinct
+    clusters = dedup.near_dup_clusters(pairs)
+    assert clusters.count() == n_docs  # every doc is in some cluster
+    # all 10 copies of a text share one cluster: cluster count can't
+    # exceed the number of distinct texts
+    assert clusters.select("cluster_id").distinct().count() <= n_distinct
