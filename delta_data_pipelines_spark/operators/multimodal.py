@@ -24,6 +24,14 @@ from pyspark.sql import functions as F
 
 META_SCHEMA = "modality string, n_bytes bigint, sha256 string"
 
+try:  # pragma: no cover - absent in this container; probe documents the seam
+    from PIL import Image as _PILImage  # noqa: N813
+
+    CODEC_AVAILABLE = True
+except ImportError:
+    _PILImage = None
+    CODEC_AVAILABLE = False
+
 
 def attach_fake_binary(df: DataFrame, text_col: str, modality: str = "image") -> DataFrame:
     """Deterministic fake payload: the UTF-8 bytes of a text column.
@@ -65,13 +73,32 @@ def decode_stub(payload: bytes, modality: str) -> dict:
     return {"fps": 25, "n_frames": max(1, n // 100)}
 
 
-def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def decode_image(payload: bytes, modality: str = "image") -> dict:
+    """Real image decode when Pillow is importable (``CODEC_AVAILABLE``),
+    the deterministic stub otherwise. Pass as ``decoder=`` to
+    extract_features / resize_images to activate the real path — the
+    Arrow plumbing is identical either way."""
+    if not CODEC_AVAILABLE:
+        return decode_stub(payload, modality)
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        return {
+            "height": im.height,
+            "width": im.width,
+            "channels": len(im.getbands()),
+        }
+
+
+def extract_features(
+    df: DataFrame, payload_col: str = "payload", decoder=decode_stub
+) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     ``mapInPandas`` — the pattern a real decoder drops into: iterate
     Arrow batches, run the codec per row *inside the executor*, emit a
-    flat feature frame. Swap ``decode_stub`` for the real codec and
-    nothing else changes.
+    flat feature frame. Pass ``decoder=decode_image`` (or any
+    ``(bytes, modality) -> dict``) and nothing else changes.
     """
     fields = [f for f in df.schema.fields if f.name != payload_col]
     out_schema = (
@@ -84,7 +111,7 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             payloads = pdf[payload_col]
             modality = pdf["modality"] if "modality" in pdf else None
             decoded = [
-                decode_stub(bytes(p), modality.iloc[i] if modality is not None else "image")
+                decoder(bytes(p), modality.iloc[i] if modality is not None else "image")
                 for i, p in enumerate(payloads)
             ]
             out = pdf.drop(columns=[payload_col]).copy()
@@ -97,15 +124,18 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def resize_images(
-    df: DataFrame, target_h: int, target_w: int, payload_col: str = "payload"
+    df: DataFrame,
+    target_h: int,
+    target_w: int,
+    payload_col: str = "payload",
+    decoder=decode_stub,
 ) -> DataFrame:
-    """Arrow-batched image resize (stubbed codec).
+    """Arrow-batched image resize (stubbed codec by default).
 
-    Real version: decode → PIL/cv2 resize → re-encode, same signature.
-    The stub keeps the geometry math real — output dims, aspect-aware
-    scale factor — from the fake-decoded source dims, so the plumbing
-    (batch shape, schema, per-row compute placement) is fully
-    exercised and oracle-checkable.
+    Pass ``decoder=decode_image`` when Pillow is present for real
+    source dims. The geometry math — output dims, aspect-aware scale
+    factor — is real either way, so the plumbing (batch shape, schema,
+    per-row compute placement) is fully exercised and oracle-checkable.
     """
     id_fields = [f.name for f in df.schema.fields if f.name != payload_col]
     out_schema = (
@@ -119,7 +149,7 @@ def resize_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [decode_stub(bytes(p), "image") for p in pdf[payload_col]]
+            decoded = [decoder(bytes(p), "image") for p in pdf[payload_col]]
             out = pdf[id_fields].copy()
             out["src_h"] = [d["height"] for d in decoded]
             out["src_w"] = [d["width"] for d in decoded]

@@ -405,3 +405,34 @@ def test_dedup_builders_empty_inputs(spark):
     assert pairs.count() == 0
     assert near_dup_clusters(pairs).count() == 0
     assert simhash_near_dup_pairs(empty, "doc_id", "text").count() == 0
+
+
+def test_codec_probe_and_stub_fallback():
+    """decode_image is the real-codec seam: with Pillow absent it
+    degrades to the deterministic stub; the probe is a plain bool."""
+    assert isinstance(multimodal.CODEC_AVAILABLE, bool)
+    if not multimodal.CODEC_AVAILABLE:
+        assert multimodal.decode_image(b"abcdefghij") == multimodal.decode_stub(
+            b"abcdefghij", "image"
+        )
+
+
+@pytest.mark.skipif(
+    not multimodal.CODEC_AVAILABLE, reason="Pillow not installed"
+)
+def test_real_image_decode_via_pillow(spark):
+    """When Pillow exists, decode_image reads real dimensions and the
+    resize pipeline consumes them through the same Arrow plumbing."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (40, 30)).save(buf, format="PNG")
+    png = buf.getvalue()
+    assert multimodal.decode_image(png) == {"height": 30, "width": 40, "channels": 3}
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    row = multimodal.resize_images(
+        df, 224, 224, decoder=multimodal.decode_image
+    ).first()
+    assert (row["src_h"], row["src_w"]) == (30, 40)
