@@ -1,0 +1,122 @@
+"""Incremental near-duplicate dedup at ingest.
+
+The reference dedups incoming URLs against accumulated state (Redis
+blooms + Mongo unique index, SURVEY §2.8); this is the content-level
+analog for a training corpus: each micro-batch of documents is
+near-dup-checked against EVERYTHING ingested so far without ever
+recomputing the corpus — the accumulated state is a banded MinHash
+signature table on storage, not in the streaming state store, so it
+scales with the corpus (partitionable by band hash) and survives
+restarts for free.
+
+Per micro-batch:
+
+    1. in-batch collapse: LSH pairs within the batch → connected
+       components → keep the min-id representative
+    2. cross-batch filter: the survivors' (band_id, band_hash) rows
+       join the signature table (stream-static equi-join — the same
+       banded-LSH candidate generation as batch), candidates verified
+       by exact Jaccard against the stored hashed-shingle sets
+    3. survivors MERGE into the corpus; signatures of ALL batch docs
+       (kept AND dropped) MERGE into the signature tables — dropped
+       docs must stay matchable so transitive chains (A~B, B~C with
+       A,B,C in different batches) collapse exactly like batch
+       connected components
+
+Equivalence to the batch pipeline (``near_dup_clusters`` keeping the
+min-id member) holds when each cluster's minimum id arrives first
+(e.g. id-ordered ingest); under arbitrary arrival the kept
+representative is the first-arrived member instead — same cardinality,
+different choice. Tested in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import (
+    _banded,
+    jaccard,
+    minhash_near_dup_pairs,
+    minhash_signatures,
+    near_dup_clusters,
+)
+from ..storage import VersionedTable
+
+
+def run_incremental_neardup(
+    docs_stream: DataFrame,
+    state_dir: str,
+    corpus: VersionedTable,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> StreamingQuery:
+    """docs stream → in-batch collapse → vs-corpus LSH filter → MERGE."""
+    spark = docs_stream.sparkSession
+    sig_table = VersionedTable(spark, f"{state_dir}/signatures")
+    hs_table = VersionedTable(spark, f"{state_dir}/shingle_sets")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.dropDuplicates([id_col])
+        if batch.isEmpty():
+            return
+        # 1. in-batch near-dup collapse (same operators as the batch job)
+        pairs = minhash_near_dup_pairs(batch, id_col, text_col, threshold)
+        clusters = near_dup_clusters(pairs)
+        reps = (
+            batch.join(clusters, batch[id_col] == clusters.member_id, "left")
+            .where(
+                F.col("cluster_id").isNull()
+                | (F.col("member_id") == F.col("cluster_id"))
+            )
+            .drop("member_id", "cluster_id")
+        )
+        # 2. cross-batch filter against the accumulated signature table
+        sigs = minhash_signatures(batch, id_col, text_col).localCheckpoint(
+            eager=True
+        )
+        banded = _banded(sigs.select(id_col, "_sig"), id_col)
+        if sig_table.exists():
+            cand = (
+                banded.withColumnRenamed(id_col, "new_id")
+                .join(
+                    sig_table.read().withColumnRenamed(id_col, "old_id"),
+                    ["band_id", "band_hash"],
+                )
+                .select("new_id", "old_id")
+                .distinct()
+            )
+            dup_ids = (
+                cand.join(
+                    sigs.select(
+                        F.col(id_col).alias("new_id"), F.col("_hs").alias("_hs_new")
+                    ),
+                    "new_id",
+                )
+                .join(
+                    hs_table.read().select(
+                        F.col(id_col).alias("old_id"), F.col("_hs").alias("_hs_old")
+                    ),
+                    "old_id",
+                )
+                .where(jaccard(F.col("_hs_new"), F.col("_hs_old")) >= threshold)
+                .select(F.col("new_id").alias(id_col))
+                .distinct()
+            )
+            reps = reps.join(dup_ids, id_col, "left_anti")
+        # 3. publish survivors; remember EVERY batch doc's signatures
+        corpus.merge(reps, keys=[id_col])
+        sig_table.merge(banded, keys=[id_col, "band_id"])
+        hs_table.merge(sigs.select(id_col, "_hs"), keys=[id_col])
+
+    return (
+        docs_stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -310,3 +310,44 @@ def test_streaming_curation_matches_batch_gate(spark, tmp_path):
         q.awaitTermination(120)
         got = {r["_content_key"] for r in corpus.read().select("_content_key").collect()}
         assert got == expect, attempt
+
+
+def test_incremental_neardup_converges_to_batch(spark, tmp_path):
+    """Streaming near-dup dedup against the accumulated signature table
+    must keep exactly the batch pipeline's representatives when cluster
+    minima arrive first (id-ordered ingest), including transitive
+    chains that span micro-batches."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.operators import dedup
+    from delta_data_pipelines_spark.storage import VersionedTable
+    from delta_data_pipelines_spark.streaming.neardup import run_incremental_neardup
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # batch reference: clusters over the whole corpus, keep min-id member
+    pairs = dedup.minhash_near_dup_pairs(docs, "doc_id", "text", 0.8)
+    clusters = dedup.near_dup_clusters(pairs)
+    expect = {
+        r["doc_id"]
+        for r in docs.join(clusters, docs.doc_id == clusters.member_id, "left")
+        .where(
+            F.col("cluster_id").isNull()
+            | (F.col("member_id") == F.col("cluster_id"))
+        )
+        .select("doc_id")
+        .collect()
+    }
+
+    # id-ordered arrival: slice stream by doc_id (reuses the mtime
+    # sequencing helper with doc_id as the "time" column)
+    stream = _stream_time_ordered(
+        spark, docs, tmp_path, "nd_docs", slices=3, ts_col="doc_id"
+    )
+    corpus = VersionedTable(spark, str(tmp_path / "nd_corpus"))
+    q = run_incremental_neardup(
+        stream, str(tmp_path / "nd_state"), corpus, str(tmp_path / "ckpt_nd")
+    )
+    q.awaitTermination(180)
+    got = {r["doc_id"] for r in corpus.read().select("doc_id").collect()}
+    assert got == expect
