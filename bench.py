@@ -56,6 +56,8 @@ HEADLINE = [
     "txt_profile",
     # Gopher-style repetition gate (r5)
     "td_gopher_filter",
+    # corpus vocabulary stats — explode -> partial-agg groupBy shape (r5)
+    "txt_vocab_topk",
     # streaming semantics (batch-mode windowed agg)
     "st_windowed_counts",
     # temporal joins
@@ -115,6 +117,10 @@ def main() -> int:
             continue
         samples: list[float] = []
         try:
+            # untimed warmup: first execution pays codegen/JIT/scan-cache
+            # costs that would otherwise land in the first sample and
+            # drag the median around under background load
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             for _ in range(runs):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
