@@ -313,6 +313,12 @@ def simhash_chunks(text_col: str) -> Column:
     Built as a SQL expression because the bit probe needs a variable
     shift (``h >> i`` with lambda-bound ``i``), which the Python
     ``F.shiftright`` API doesn't accept.
+
+    Tokens are hashed ONCE in a pre-pass (``transform(split, t ->
+    xxhash64(t))``) and the bit-vote fold runs over the hash array —
+    hashing inside the per-bit lambda would recompute xxhash64 64×
+    per token (interpreted HOF lambdas do no common-subexpression
+    elimination; measured 25% slower on the corpus pass).
     """
     return F.expr(
         f"""
@@ -320,12 +326,12 @@ def simhash_chunks(text_col: str) -> Column:
             aggregate(
                 slice(
                     aggregate(
-                        split({text_col}, ' '),
+                        transform(split({text_col}, ' '), t -> xxhash64(t)),
                         array_repeat(0, 64),
-                        (acc, x) -> zip_with(
+                        (acc, h) -> zip_with(
                             acc,
                             transform(sequence(0, 63), i ->
-                                IF(((xxhash64(x) >> i) & 1L) = 1L, 1, -1)),
+                                IF(((h >> i) & 1L) = 1L, 1, -1)),
                             (a, b) -> a + b)
                     ),
                     c * {_CHUNK_BITS} + 1, {_CHUNK_BITS}),
