@@ -351,3 +351,55 @@ def test_incremental_neardup_converges_to_batch(spark, tmp_path):
     q.awaitTermination(180)
     got = {r["doc_id"] for r in corpus.read().select("doc_id").collect()}
     assert got == expect
+
+
+def test_fetch_pipeline_checkpoint_resume(spark, tmp_path):
+    """Restart recovery (ST1/ST4): a drained query restarted with the
+    SAME checkpoint must process only files that arrived after the
+    first run — no reprocessing — and converge to the full result."""
+    import os
+    import time
+
+    from delta_data_pipelines_spark.storage import VersionedTable
+    from delta_data_pipelines_spark.streaming.pipeline import (
+        queue_stream,
+        run_fetch_pipeline,
+    )
+
+    qdir = str(tmp_path / "queue")
+    os.makedirs(qdir)
+    schema = "content_url string, site string"
+
+    def land(i, urls):
+        spark.createDataFrame(urls, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(qdir)
+        time.sleep(0.05)
+
+    land(0, [(f"https://a/{i}", "divar") for i in range(3)])
+    listings = VersionedTable(spark, str(tmp_path / "listings"))
+    seen_batches: list[int] = []
+
+    def counting_transformer(df):
+        seen_batches.append(df.count())
+        return df
+
+    ckpt = str(tmp_path / "ckpt_resume")  # SAME checkpoint across runs
+    q = run_fetch_pipeline(
+        queue_stream(spark, qdir, spark.createDataFrame([], schema).schema,
+                     max_files_per_trigger=None),
+        counting_transformer, listings, ckpt)
+    q.awaitTermination(120)
+    assert listings.read().count() == 3
+    rows_first_run = sum(seen_batches)
+
+    # new data lands while the query is DOWN; restart from checkpoint
+    land(1, [(f"https://b/{i}", "divar") for i in range(2)])
+    q = run_fetch_pipeline(
+        queue_stream(spark, qdir, spark.createDataFrame([], schema).schema,
+                     max_files_per_trigger=None),
+        counting_transformer, listings, ckpt)
+    q.awaitTermination(120)
+    assert listings.read().count() == 5
+    # only the 2 new rows flowed through the restarted query
+    assert sum(seen_batches) - rows_first_run == 2
