@@ -24,10 +24,20 @@ Per micro-batch:
        connected components
 
 Equivalence to the batch pipeline (``near_dup_clusters`` keeping the
-min-id member) holds when each cluster's minimum id arrives first
-(e.g. id-ordered ingest); under arbitrary arrival the kept
-representative is the first-arrived member instead — same cardinality,
-different choice. Tested in tests/test_streaming.py.
+min-id member) holds when every component arrives as a CONNECTED
+PREFIX — each member after the first is similar to some already-
+arrived member — with the minimum id first; id-ordered ingest of this
+corpus satisfies that and the test asserts exact set equality. Under
+arbitrary arrival two invariants still hold — kept docs are pairwise
+non-near-dup (every kept doc was checked against all earlier arrivals)
+and every dropped doc has a similarity path to a kept doc — but the
+representative is the first arrival rather than the min id, and
+chain-shaped components can retain one extra representative per
+disconnected arrival prefix: if A~B and B~C but not A~C, arrival order
+(C, A, B) keeps both C and A — the bridge B hadn't arrived when A was
+checked. A periodic batch ``near_dup_clusters`` sweep over the corpus
+is the standard compaction for that residue. Tested in
+tests/test_streaming.py.
 """
 
 from __future__ import annotations
