@@ -403,3 +403,58 @@ def test_fetch_pipeline_checkpoint_resume(spark, tmp_path):
     assert listings.read().count() == 5
     # only the 2 new rows flowed through the restarted query
     assert sum(seen_batches) - rows_first_run == 2
+
+
+def test_incremental_neardup_chain_residue_under_adversarial_order(spark, tmp_path):
+    """The documented arbitrary-arrival semantics: for a chain A~B~C
+    (not A~C) arriving (C, A, B), the bridge B is dropped but BOTH
+    endpoints stay — kept docs are pairwise non-near-dup and every
+    dropped doc is similar to a kept one."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from delta_data_pipelines_spark.operators import dedup
+    from delta_data_pipelines_spark.storage import VersionedTable
+    from delta_data_pipelines_spark.streaming.neardup import run_incremental_neardup
+
+    words = [f"w{i}" for i in range(50)]
+    a_text = " ".join(words)
+    b_text = " ".join(words[:-3] + ["x1", "x2", "x3"])          # ~A at tail
+    c_text = " ".join(["y1", "y2", "y3"] + words[3:-3] + ["x1", "x2", "x3"])
+    docs = spark.createDataFrame(
+        [(1, a_text), (2, b_text), (3, c_text)], "doc_id long, text string"
+    )
+    # precondition: the pair graph is exactly the A-B, B-C chain
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_near_dup_pairs(docs, "doc_id", "text", 0.8).collect()
+    }
+    assert pairs == {(1, 2), (2, 3)}
+
+    # stream in adversarial order C, A, B (one file per micro-batch,
+    # mtime-sequenced so the file source delivers in that order)
+    data_dir = str(tmp_path / "chain_docs")
+    os.makedirs(data_dir)
+    for i, doc_id in enumerate([3, 1, 2]):
+        part = str(tmp_path / f"chain_{doc_id}")
+        docs.where(f"doc_id = {doc_id}").coalesce(1).write.mode("overwrite").parquet(part)
+        (src,) = glob.glob(os.path.join(part, "*.parquet"))
+        dst = os.path.join(data_dir, f"{i:03d}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+        _time.sleep(0.02)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(data_dir)
+    )
+    corpus = VersionedTable(spark, str(tmp_path / "chain_corpus"))
+    q = run_incremental_neardup(
+        stream, str(tmp_path / "chain_state"), corpus, str(tmp_path / "ckpt_chain")
+    )
+    q.awaitTermination(180)
+    kept = {r["doc_id"] for r in corpus.read().collect()}
+    assert kept == {3, 1}  # both endpoints kept, bridge B dropped
