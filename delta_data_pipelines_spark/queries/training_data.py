@@ -10,7 +10,7 @@ SimHash and LSH-top-k have no SQL twin (seeded xxhash64) → rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import read_table
@@ -346,6 +346,45 @@ def txt_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def txt_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most characteristic term per document by tf-idf — the classic
+    double aggregation (term counts per doc, document frequency per
+    term) joined back and ranked per doc. ln() runs on the same
+    integer inputs in both engines, so the rounded score is
+    engine-identical; ties break on the token for determinism."""
+    d = read_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # O(1) scalar; embedded as a literal like the
+    # reference embeds its watermark bounds
+    terms = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = terms.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = terms.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_score").desc(), F.col("token")
+    )
+    return (
+        tf.join(df_, "token")
+        .withColumn(
+            "_score",
+            F.col("tf")
+            * F.log((F.lit(n_docs) + 1.0) / (F.col("doc_freq") + 1.0)),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "doc_freq",
+            F.round("_score", 9).alias("tfidf"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def td_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination audit — the decontamination pass every
     LLM data pipeline runs before trusting an eval split: deterministic
@@ -421,6 +460,7 @@ SPARK_QUERIES = {
     "td_gopher_filter": td_gopher_filter,
     "td_decontaminate": td_decontaminate,
     "txt_vocab_topk": txt_vocab_topk,
+    "txt_tfidf_top_term": txt_tfidf_top_term,
 }
 
 _SHINGLES = """
@@ -473,6 +513,32 @@ ORACLE_SQL = {
         GROUP BY token
         ORDER BY n DESC, token
         LIMIT 50
+    """,
+    "txt_tfidf_top_term": """
+        WITH terms AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf
+            FROM terms GROUP BY doc_id, token
+        ), df AS (
+            SELECT token, COUNT(DISTINCT doc_id) AS doc_freq
+            FROM terms GROUP BY token
+        ), scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf, df.doc_freq,
+                   tf.tf * ln(((SELECT COUNT(*) FROM documents) + 1.0)
+                              / (df.doc_freq + 1.0)) AS _score
+            FROM tf JOIN df ON tf.token = df.token
+        )
+        SELECT doc_id, token, tf, doc_freq, ROUND(_score, 9) AS tfidf
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY _score DESC, token
+            ) AS _rn
+            FROM scored
+        )
+        WHERE _rn = 1
+        ORDER BY doc_id
     """,
     "td_decontaminate": (
         "WITH pairs AS (SELECT * FROM ("
