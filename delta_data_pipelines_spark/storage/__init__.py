@@ -30,5 +30,6 @@ try:  # pragma: no cover - absent in this container, probe documents the seam
 except ImportError:
     DELTA_AVAILABLE = False
 
+from .bucketed import BucketedTable  # noqa: F401
 from .table import VersionedTable  # noqa: F401
 from .watermark import WatermarkStore  # noqa: F401

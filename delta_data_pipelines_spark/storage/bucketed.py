@@ -1,0 +1,310 @@
+"""Hash-bucketed versioned table: partition-scoped MERGE.
+
+``VersionedTable`` rewrites the whole snapshot on every commit — fine
+for the reference's batch jobs (tables ≤ a few GB), but a streaming
+job that MERGEs accumulated state every micro-batch (the incremental
+near-dup signature tables) would pay O(corpus) write cost per batch:
+O(n²) total ingest work. This table fixes the write path the way
+Delta/Iceberg do — data is laid out in hash buckets and a commit
+rewrites ONLY the buckets the batch touches:
+
+    <root>/_log.json               commit log; each entry carries a
+                                   MANIFEST {bucket -> version} naming
+                                   the version that owns each bucket's
+                                   current data
+    <root>/v=0000NN/_bucket=K/...  immutable per-bucket parquet
+
+A read unions the manifest's (version, bucket) leaf directories; a
+MERGE buckets the source by ``pmod(xxhash64(key), n_buckets)``, joins
+only against the touched buckets' data, writes one new directory per
+touched bucket, and points the new manifest's untouched buckets at
+their existing directories. Per-batch write cost is
+O(batch + touched_buckets_size), independent of table size — the same
+contract as the reference's Mongo unique-index insert
+(mongodb_utils.py:21-36), which touches only the batch's keys.
+
+Correctness requires the bucket key to be a subset of the merge keys:
+rows that can match (equal on all keys) then always share a bucket, so
+a bucket-scoped anti-join sees every possible match.
+
+On a real cluster the same API maps onto Delta MERGE with a bucketed
+layout (or dynamic partition overwrite); ``storage.DELTA_AVAILABLE``
+marks that seam.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class BucketedCommit:
+    version: int
+    action: str
+    ts: float
+    metrics: dict[str, Any]
+    manifest: dict[str, int] = field(default_factory=dict)
+
+
+class BucketedTable:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        bucket_key: str,
+        n_buckets: int = 16,
+    ):
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        self.spark = spark
+        self.root = root
+        self.bucket_key = bucket_key
+        self.n_buckets = n_buckets
+        os.makedirs(root, exist_ok=True)
+
+    # ---- log ------------------------------------------------------------
+
+    @property
+    def _log_path(self) -> str:
+        return os.path.join(self.root, "_log.json")
+
+    def history(self) -> list[BucketedCommit]:
+        if not os.path.exists(self._log_path):
+            return []
+        with open(self._log_path) as f:
+            return [BucketedCommit(**e) for e in json.load(f)]
+
+    def latest_version(self) -> int | None:
+        h = self.history()
+        return h[-1].version if h else None
+
+    def exists(self) -> bool:
+        return self.latest_version() is not None
+
+    def _write_log(self, entries: list[BucketedCommit]) -> None:
+        tmp = self._log_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump([e.__dict__ for e in entries], f, indent=1)
+        os.replace(tmp, self._log_path)
+
+    def _version_dir(self, version: int) -> str:
+        return os.path.join(self.root, f"v={version:06d}")
+
+    def _bucket_dir(self, version: int, bucket: int) -> str:
+        return os.path.join(self._version_dir(version), f"_bucket={bucket}")
+
+    # ---- bucketing ------------------------------------------------------
+
+    def _bucket_col(self):
+        return F.pmod(F.xxhash64(F.col(self.bucket_key)), F.lit(self.n_buckets))
+
+    def _write_buckets(self, df: DataFrame, version: int) -> list[int]:
+        """Write df (with its _bucket column) under v=NN/_bucket=K; one
+        Spark job for all buckets. Returns the bucket ids written."""
+        vdir = self._version_dir(version)
+        (
+            df.repartition("_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(vdir)
+        )
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(vdir)
+            if d.startswith("_bucket=")
+        )
+
+    def _commit(
+        self,
+        action: str,
+        df_bucketed: DataFrame,
+        manifest_base: dict[str, int],
+        metrics: dict[str, Any],
+    ) -> BucketedCommit:
+        history = self.history()
+        version = (history[-1].version + 1) if history else 0
+        written = self._write_buckets(df_bucketed, version)
+        manifest = dict(manifest_base)
+        manifest.update({str(b): version for b in written})
+        entry = BucketedCommit(
+            version=version,
+            action=action,
+            ts=time.time(),
+            metrics={**metrics, "buckets_written": len(written)},
+            manifest=manifest,
+        )
+        self._write_log(history + [entry])
+        return entry
+
+    # ---- reads ----------------------------------------------------------
+
+    def _manifest(self, version: int | None = None) -> dict[str, int]:
+        h = self.history()
+        if not h:
+            raise FileNotFoundError(f"table {self.root} has no commits")
+        if version is None:
+            return h[-1].manifest
+        for c in h:
+            if c.version == version:
+                return c.manifest
+        raise ValueError(f"version {version} not in {[c.version for c in h]}")
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read the latest state, or time-travel to ``version`` — unions
+        the manifest's per-bucket leaf dirs; the internal bucket id is
+        not a data column."""
+        manifest = self._manifest(version)
+        paths = [self._bucket_dir(v, int(b)) for b, v in manifest.items()]
+        return self.spark.read.parquet(*paths)
+
+    def read_buckets(self, buckets: list[int]) -> DataFrame:
+        """Bucket-pruned scan: only the named buckets' files are read —
+        the layout-as-plan lever for key-range probes."""
+        manifest = self._manifest()
+        paths = [
+            self._bucket_dir(v, int(b))
+            for b, v in manifest.items()
+            if int(b) in set(buckets)
+        ]
+        if not paths:
+            return self.read().limit(0)
+        return self.spark.read.parquet(*paths)
+
+    # ---- writes ---------------------------------------------------------
+
+    def overwrite(self, df: DataFrame) -> BucketedCommit:
+        """Full rewrite (all buckets); resets the manifest."""
+        out = df.withColumn("_bucket", self._bucket_col())
+        return self._commit("overwrite", out, {}, {"rows": df.count()})
+
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        when_matched: str = "ignore",
+    ) -> BucketedCommit:
+        """Partition-scoped MERGE: same semantics as
+        ``VersionedTable.merge`` (insert-if-absent / upsert, null keys
+        dropped, source deduplicated on keys) but only the buckets the
+        source touches are read, joined, and rewritten."""
+        if when_matched not in {"ignore", "update"}:
+            raise ValueError(when_matched)
+        if self.bucket_key not in keys:
+            raise ValueError(
+                f"bucket key {self.bucket_key!r} must be one of the merge "
+                f"keys {keys} (rows that match must share a bucket)"
+            )
+        for k in keys:
+            source = source.where(F.col(k).isNotNull())
+        source = source.dropDuplicates(keys).withColumn(
+            "_bucket", self._bucket_col()
+        )
+        touched = sorted(
+            r[0] for r in source.select("_bucket").distinct().collect()
+        )
+        if not touched:  # all-null-key batch
+            base = self._manifest() if self.exists() else {}
+            history = self.history()
+            version = (history[-1].version + 1) if history else 0
+            entry = BucketedCommit(
+                version=version,
+                action="merge",
+                ts=time.time(),
+                metrics={"inserted": 0, "updated": 0, "buckets_written": 0},
+                manifest=base,
+            )
+            self._write_log(history + [entry])
+            return entry
+
+        if not self.exists():
+            return self._commit(
+                "merge", source, {}, {"inserted": source.count(), "updated": 0}
+            )
+
+        manifest = self._manifest()
+        existing = [b for b in touched if str(b) in manifest]
+        if existing:
+            target = self.read_buckets(existing).withColumn(
+                "_bucket", self._bucket_col()
+            )
+        else:
+            target = source.limit(0)
+        inserted = source.join(target.select(*keys), keys, "left_anti")
+        n_inserted = inserted.count()
+        if when_matched == "update":
+            kept = target.join(source.select(*keys), keys, "left_anti")
+            updated = source.join(target.select(*keys), keys, "left_semi")
+            n_updated = updated.count()
+            out = kept.unionByName(updated).unionByName(inserted)
+        else:
+            n_updated = 0
+            out = target.unionByName(inserted)
+        return self._commit(
+            "merge", out, manifest, {"inserted": n_inserted, "updated": n_updated}
+        )
+
+    def delete_where(self, condition) -> BucketedCommit:
+        """Predicate DELETE, scoped to the buckets that actually hold
+        matching rows — untouched buckets keep their manifest pointers."""
+        manifest = self._manifest()
+        full = self.read().withColumn("_bucket", self._bucket_col())
+        hit = full.where(condition)
+        touched = sorted(r[0] for r in hit.select("_bucket").distinct().collect())
+        if not touched:
+            history = self.history()
+            version = (history[-1].version + 1) if history else 0
+            entry = BucketedCommit(
+                version=version,
+                action="delete",
+                ts=time.time(),
+                metrics={"deleted": 0, "buckets_written": 0},
+                manifest=manifest,
+            )
+            self._write_log(history + [entry])
+            return entry
+        sub = self.read_buckets(touched).withColumn("_bucket", self._bucket_col())
+        kept = sub.where(~condition | condition.isNull())
+        n_del = sub.count() - kept.count()
+        entry = self._commit("delete", kept, manifest, {"deleted": n_del})
+        # a touched bucket may end up empty (every row deleted): the
+        # write produced no dir for it, so drop it from the manifest
+        # rather than leaving a pointer at the pre-delete data
+        vdir_written = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self._version_dir(entry.version))
+            if d.startswith("_bucket=")
+        }
+        emptied = [b for b in touched if b not in vdir_written]
+        if emptied:
+            history = self.history()
+            for b in emptied:
+                history[-1].manifest.pop(str(b), None)
+            self._write_log(history)
+        return entry
+
+    # ---- retention ------------------------------------------------------
+
+    def vacuum(self, keep_last: int = 3) -> list[int]:
+        """Drop history beyond the last N commits, deleting version dirs
+        no surviving manifest references (a dir stays on disk as long as
+        ANY retained commit's manifest points a bucket at it)."""
+        history = self.history()
+        if len(history) <= keep_last:
+            return []
+        drop, keep = history[:-keep_last], history[-keep_last:]
+        live = {v for c in keep for v in c.manifest.values()}
+        removed = []
+        for c in drop:
+            if c.version not in live:
+                shutil.rmtree(self._version_dir(c.version), ignore_errors=True)
+                removed.append(c.version)
+        self._write_log(keep)
+        return removed

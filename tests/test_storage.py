@@ -122,3 +122,114 @@ def test_delta_adapter_surface():
 
     for op in ("merge", "restoreToVersion", "vacuum", "history"):
         assert hasattr(DeltaTable, op), op
+
+
+# ---------------------------------------------------------------------------
+# BucketedTable: partition-scoped merges
+# ---------------------------------------------------------------------------
+
+
+def _bucket_dirs(bt, version):
+    import os
+
+    vdir = bt._version_dir(version)
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(vdir)
+        if d.startswith("_bucket=")
+    )
+
+
+@pytest.fixture()
+def btable(spark, tmp_path):
+    from delta_data_pipelines_spark.storage import BucketedTable
+
+    return BucketedTable(
+        spark, str(tmp_path / "bt"), bucket_key="content_url", n_buckets=8
+    )
+
+
+def test_bucketed_merge_semantics_match_versioned(spark, btable):
+    batch = rows(spark, [("u1", "a", 10), ("u2", "b", 20)])
+    c1 = btable.merge(batch, keys=["content_url"])
+    assert c1.metrics["inserted"] == 2 and c1.metrics["updated"] == 0
+    # idempotent re-delivery
+    c2 = btable.merge(batch, keys=["content_url"])
+    assert c2.metrics["inserted"] == 0
+    assert btable.read().count() == 2
+    # null keys dropped, in-batch dups collapsed
+    c3 = btable.merge(
+        rows(spark, [(None, "x", 1), ("u3", "c", 30), ("u3", "c2", 31)]),
+        keys=["content_url"],
+    )
+    assert c3.metrics["inserted"] == 1
+    # upsert
+    c4 = btable.merge(
+        rows(spark, [("u1", "NEW", 99)]), keys=["content_url"], when_matched="update"
+    )
+    assert c4.metrics == {"inserted": 0, "updated": 1, "buckets_written": 1}
+    got = {r["content_url"]: r["title"] for r in btable.read().collect()}
+    assert got == {"u1": "NEW", "u2": "b", "u3": "c"}
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, btable):
+    """The 100 TB contract: per-merge write cost is bounded by the
+    batch's buckets, NOT the table size (↔ the Mongo unique-index
+    insert touches only the batch's keys, mongodb_utils.py:21-36)."""
+    seed = rows(spark, [(f"u{i}", "x", i) for i in range(200)])
+    c0 = btable.overwrite(seed)
+    assert len(_bucket_dirs(btable, c0.version)) == 8  # all buckets live
+    c1 = btable.merge(rows(spark, [("new-a", "y", 1)]), keys=["content_url"])
+    # a 1-row batch touches exactly 1 bucket: 1 dir written, 7 pointers
+    # in the manifest still name v0 dirs
+    assert c1.metrics["buckets_written"] == 1
+    assert _bucket_dirs(btable, c1.version) == [
+        int(b) for b, v in c1.manifest.items() if v == c1.version
+    ]
+    assert sum(1 for v in c1.manifest.values() if v == c0.version) == 7
+    assert btable.read().count() == 201
+    # and the rewritten bucket carried its prior rows forward
+    c2 = btable.merge(rows(spark, [("new-a", "z", 2)]), keys=["content_url"])
+    assert c2.metrics["inserted"] == 0
+
+
+def test_bucketed_merge_requires_bucket_key_in_keys(spark, btable):
+    with pytest.raises(ValueError, match="bucket key"):
+        btable.merge(rows(spark, [("u1", "a", 1)]), keys=["title"])
+
+
+def test_bucketed_time_travel_and_vacuum_keeps_live_dirs(spark, btable):
+    import os
+
+    c0 = btable.overwrite(rows(spark, [(f"u{i}", "x", i) for i in range(50)]))
+    for i in range(4):
+        btable.merge(rows(spark, [(f"n{i}", "y", i)]), keys=["content_url"])
+    assert btable.read(c0.version).count() == 50  # time travel
+    assert btable.read().count() == 54
+    removed = btable.vacuum(keep_last=2)
+    # v0 holds buckets still referenced by the last manifests: kept
+    assert c0.version not in removed
+    assert os.path.isdir(btable._version_dir(c0.version))
+    assert btable.read().count() == 54
+
+
+def test_bucketed_delete_scoped_and_empty_bucket_dropped(spark, btable):
+    from pyspark.sql import functions as F
+
+    btable.overwrite(rows(spark, [("u1", "kill", 1), ("u2", "keep", 2)]))
+    c = btable.delete_where(F.col("title") == "kill")
+    assert c.metrics["deleted"] == 1
+    got = [r["content_url"] for r in btable.read().collect()]
+    assert got == ["u2"]
+
+
+def test_bucketed_read_buckets_prunes(spark, btable):
+    btable.overwrite(rows(spark, [(f"u{i}", "x", i) for i in range(100)]))
+    import pyspark.sql.functions as F
+
+    full = btable.read().withColumn(
+        "_b", F.pmod(F.xxhash64(F.col("content_url")), F.lit(8))
+    )
+    per = {r["_b"]: r["n"] for r in full.groupBy("_b").agg(F.count("*").alias("n")).collect()}
+    got = btable.read_buckets([0, 1]).count()
+    assert got == per.get(0, 0) + per.get(1, 0)
