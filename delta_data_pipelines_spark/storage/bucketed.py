@@ -59,16 +59,47 @@ class BucketedTable:
         self,
         spark: SparkSession,
         root: str,
-        bucket_key: str,
-        n_buckets: int = 16,
+        bucket_key: str | None = None,
+        n_buckets: int | None = None,
     ):
-        if n_buckets < 1:
-            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        """Open or create a bucketed table.
+
+        The bucket geometry is part of the table (persisted in
+        ``_meta.json`` at creation): reopening loads it, and passing a
+        CONFLICTING ``bucket_key``/``n_buckets`` raises — a resume with
+        a different bucket count would route keys to the wrong
+        directories and silently corrupt merges.
+        """
         self.spark = spark
         self.root = root
-        self.bucket_key = bucket_key
-        self.n_buckets = n_buckets
         os.makedirs(root, exist_ok=True)
+        meta_path = os.path.join(root, "_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            for arg, stored, name in (
+                (bucket_key, meta["bucket_key"], "bucket_key"),
+                (n_buckets, meta["n_buckets"], "n_buckets"),
+            ):
+                if arg is not None and arg != stored:
+                    raise ValueError(
+                        f"table {root} was created with {name}={stored!r}; "
+                        f"got {name}={arg!r}"
+                    )
+            self.bucket_key = meta["bucket_key"]
+            self.n_buckets = meta["n_buckets"]
+        else:
+            if bucket_key is None:
+                raise ValueError(f"bucket_key required to create table {root}")
+            n_buckets = 16 if n_buckets is None else n_buckets
+            if n_buckets < 1:
+                raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+            self.bucket_key = bucket_key
+            self.n_buckets = n_buckets
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"bucket_key": bucket_key, "n_buckets": n_buckets}, f)
+            os.replace(tmp, meta_path)
 
     # ---- log ------------------------------------------------------------
 

@@ -6,8 +6,10 @@ analog for a training corpus: each micro-batch of documents is
 near-dup-checked against EVERYTHING ingested so far without ever
 recomputing the corpus — the accumulated state is a banded MinHash
 signature table on storage, not in the streaming state store, so it
-scales with the corpus (partitionable by band hash) and survives
-restarts for free.
+scales with the corpus and survives restarts for free. The state
+tables are hash-bucketed (``storage.BucketedTable``), so the per-batch
+state MERGE rewrites only the buckets the batch touches — without
+that, merge-as-full-rewrite makes total ingest work O(n²).
 
 Per micro-batch:
 
@@ -42,7 +44,7 @@ tests/test_streaming.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -53,22 +55,47 @@ from ..operators.dedup import (
     minhash_signatures,
     near_dup_clusters,
 )
-from ..storage import VersionedTable
+from ..storage import BucketedTable, VersionedTable
 
 
 def run_incremental_neardup(
     docs_stream: DataFrame,
     state_dir: str,
-    corpus: VersionedTable,
+    corpus: VersionedTable | BucketedTable,
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    max_bucket: int = 1000,
+    n_state_buckets: int = 64,
 ) -> StreamingQuery:
-    """docs stream → in-batch collapse → vs-corpus LSH filter → MERGE."""
+    """docs stream → in-batch collapse → vs-corpus LSH filter → MERGE.
+
+    The signature/shingle state tables are hash-bucketed
+    (``BucketedTable``) so each micro-batch's MERGE rewrites only the
+    buckets its doc ids land in — per-batch write cost is
+    O(batch + corpus/n_state_buckets · touched), not O(corpus). Size
+    ``n_state_buckets`` ≈ corpus_size / target_bucket_size (100 MB-1 GB
+    buckets at scale) so the per-batch rewrite stays batch-proportional.
+
+    ``max_bucket`` caps the per-(band_id, band_hash) fan-out on the
+    ACCUMULATED signature side of the stream-static candidate join —
+    the same degenerate-bucket guard as the batch path
+    (operators.dedup._candidates): one boilerplate band value collecting
+    millions of corpus docs would otherwise make every future batch's
+    join unbounded. Docs matchable only through a dropped bucket may
+    survive as extra representatives; the periodic
+    ``near_dup_clusters`` compaction sweep collapses them.
+    """
     spark = docs_stream.sparkSession
-    sig_table = VersionedTable(spark, f"{state_dir}/signatures")
-    hs_table = VersionedTable(spark, f"{state_dir}/shingle_sets")
+    sig_table = BucketedTable(
+        spark, f"{state_dir}/signatures", bucket_key=id_col,
+        n_buckets=n_state_buckets,
+    )
+    hs_table = BucketedTable(
+        spark, f"{state_dir}/shingle_sets", bucket_key=id_col,
+        n_buckets=n_state_buckets,
+    )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         batch = batch_df.dropDuplicates([id_col])
@@ -91,10 +118,19 @@ def run_incremental_neardup(
         )
         banded = _banded(sigs.select(id_col, "_sig"), id_col)
         if sig_table.exists():
+            # degenerate-bucket guard on the accumulated side (the
+            # batch path's _candidates cap, applied stream-static)
+            bucket_w = Window.partitionBy("band_id", "band_hash")
+            sig_src = (
+                sig_table.read()
+                .withColumn("_bn", F.count("*").over(bucket_w))
+                .where(F.col("_bn") <= max_bucket)
+                .drop("_bn")
+            )
             cand = (
                 banded.withColumnRenamed(id_col, "new_id")
                 .join(
-                    sig_table.read().withColumnRenamed(id_col, "old_id"),
+                    sig_src.withColumnRenamed(id_col, "old_id"),
                     ["band_id", "band_hash"],
                 )
                 .select("new_id", "old_id")

@@ -233,3 +233,17 @@ def test_bucketed_read_buckets_prunes(spark, btable):
     per = {r["_b"]: r["n"] for r in full.groupBy("_b").agg(F.count("*").alias("n")).collect()}
     got = btable.read_buckets([0, 1]).count()
     assert got == per.get(0, 0) + per.get(1, 0)
+
+
+def test_bucketed_geometry_persisted_and_conflicts_raise(spark, tmp_path):
+    from delta_data_pipelines_spark.storage import BucketedTable
+
+    BucketedTable(spark, str(tmp_path / "g"), bucket_key="content_url", n_buckets=4)
+    # reopen with no args: geometry loaded from _meta.json
+    re = BucketedTable(spark, str(tmp_path / "g"))
+    assert (re.bucket_key, re.n_buckets) == ("content_url", 4)
+    # conflicting geometry would corrupt the layout: refuse
+    with pytest.raises(ValueError, match="n_buckets"):
+        BucketedTable(spark, str(tmp_path / "g"), bucket_key="content_url", n_buckets=8)
+    with pytest.raises(ValueError, match="bucket_key"):
+        BucketedTable(spark, str(tmp_path / "g2"))  # new table needs a key

@@ -289,7 +289,7 @@ def test_streaming_curation_matches_batch_gate(spark, tmp_path):
 
     from delta_data_pipelines_spark.catalog import read_table
     from delta_data_pipelines_spark.jobs.curate_corpus import quality_gate
-    from delta_data_pipelines_spark.storage import VersionedTable
+    from delta_data_pipelines_spark.storage import BucketedTable
     from delta_data_pipelines_spark.streaming.curate import run_streaming_curation
 
     docs = read_table(spark, SF_DIR, "documents")
@@ -301,7 +301,11 @@ def test_streaming_curation_matches_batch_gate(spark, tmp_path):
         .collect()
     }
 
-    corpus = VersionedTable(spark, str(tmp_path / "corpus"))
+    # bucketed corpus: the unbounded-stream configuration (per-batch
+    # MERGE rewrites only touched buckets, not the whole table)
+    corpus = BucketedTable(
+        spark, str(tmp_path / "corpus"), bucket_key="_content_key", n_buckets=8
+    )
     for attempt in range(2):  # second run = full re-delivery
         stream = _stream_from(spark, docs, tmp_path, "cur_docs")
         q = run_streaming_curation(
@@ -458,3 +462,16 @@ def test_incremental_neardup_chain_residue_under_adversarial_order(spark, tmp_pa
     q.awaitTermination(180)
     kept = {r["doc_id"] for r in corpus.read().collect()}
     assert kept == {3, 1}  # both endpoints kept, bridge B dropped
+
+    # bounded state writes: each 1-doc batch's state MERGE rewrote
+    # exactly ONE bucket of the signature/shingle tables, never the
+    # accumulated table (the 100 TB ingest-cost contract)
+    from delta_data_pipelines_spark.storage import BucketedTable
+
+    for name in ("signatures", "shingle_sets"):
+        t = BucketedTable(
+            spark, str(tmp_path / "chain_state" / name), bucket_key="doc_id"
+        )
+        merges = [c for c in t.history() if c.action == "merge"]
+        assert len(merges) == 3
+        assert all(c.metrics["buckets_written"] == 1 for c in merges)
