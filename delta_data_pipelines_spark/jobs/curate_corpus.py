@@ -36,11 +36,21 @@ def quality_gate(
     min_tokens: int = 10,
     max_tokens: int = 10_000,
     dup_token_cap: float = 0.55,
-    top_bigram_cap: float = 0.05,
+    top_bigram_cap: float = 0.2,
     quality_floor: float = 0.4,
 ) -> DataFrame:
     """Gopher-rules gate: length window + repetition caps + composite
-    quality floor, evaluated on unrounded signals in one projection."""
+    quality floor, evaluated on unrounded signals in one projection.
+
+    ``top_bigram_cap`` bounds the OCCURRENCE fraction of the most
+    frequent bigram (Gopher's published filter caps its CHARACTER
+    fraction at 0.20; the occurrence form at the same 0.20 is the
+    length-insensitive analog). A doc with n tokens has
+    top_bigram_ratio >= 1/(n-1), so the cap must satisfy
+    cap >= 1/(min_tokens-1) or short documents are unconditionally
+    rejected regardless of content — at 0.2 every doc with >= 6 tokens
+    can pass, keeping the min_tokens=10 floor reachable (a 0.05 cap
+    silently rejected everything under 21 tokens)."""
     t = F.col(text_col)
     return (
         docs.withColumn("_ntok", token_count_ws(t))

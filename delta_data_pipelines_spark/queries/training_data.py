@@ -201,7 +201,9 @@ def td_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.where(
             F.col("n_tokens").between(10, 10000)
             & (F.col("_dup") <= 0.55)
-            & (F.col("_topbg") <= 0.05)
+            # 0.2 keeps the cap satisfiable for short docs: ratio >=
+            # 1/(n_tokens-1), so 0.05 would reject every 10-20-token doc
+            & (F.col("_topbg") <= 0.2)
             & (F.col("quality") >= 0.4)
         )
         .select(
@@ -851,7 +853,7 @@ ORACLE_SQL = {
         FROM sig
         WHERE n_tokens BETWEEN 10 AND 10000
           AND _dup <= 0.55
-          AND _topbg <= 0.05
+          AND _topbg <= 0.2
           AND quality >= 0.4
         ORDER BY doc_id
     """,

@@ -164,7 +164,7 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     bad = out.where(
         ~token_count_ws(F.col("text")).between(10, 10000)
         | (_dup_token_ratio_raw(F.col("text")) > 0.55)
-        | (_top_bigram_ratio_raw(F.col("text")) > 0.05)
+        | (_top_bigram_ratio_raw(F.col("text")) > 0.2)
         | (F.col("quality") < 0.4)
     ).count()
     assert bad == 0
@@ -173,3 +173,17 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     assert res2["rows_out"] == res["rows_out"]
     assert res2["splits"] == res["splits"]
     assert res2["version"] == res["version"] + 1
+
+
+def test_quality_gate_short_docs_can_pass(spark):
+    """Regression: a doc with n tokens has top_bigram_ratio >= 1/(n-1),
+    so a cap below 1/(min_tokens-1) rejects EVERY short doc regardless
+    of content. The default cap (0.2) must keep a clean 10-token doc."""
+    from delta_data_pipelines_spark.jobs.curate_corpus import quality_gate
+
+    clean10 = "the a of and to w1 w2 w3 w4 w5"  # 10 distinct tokens,
+    # half stopwords, no punctuation: every non-bigram signal is healthy
+    docs = spark.createDataFrame([(1, clean10)], "doc_id long, text string")
+    assert quality_gate(docs).count() == 1
+    # the old 0.05 default was unsatisfiable at this length (1/9 > 0.05)
+    assert quality_gate(docs, top_bigram_cap=0.05).count() == 0
