@@ -258,7 +258,10 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     partsupp (the harness has no partsupp table); the min is an exact
     DECIMAL so the equality join-back never hits float-tie ambiguity.
     Plan: broadcast the filtered part dim into the fact BEFORE the
-    aggregate so the min runs over the pruned rows only."""
+    aggregate so the min runs over the pruned rows only. The per-partkey
+    min side is NOT hinted — it scales with the fact table, so a forced
+    broadcast would OOM at 100x; AQE promotes it to broadcast at runtime
+    whenever it is actually small (it is at test SFs)."""
     p = read_table(spark, sf_dir, "part").where(F.col("p_size") < 10)
     s = read_table(spark, sf_dir, "supplier")
     l = read_table(spark, sf_dir, "lineitem").select(
@@ -272,7 +275,7 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lp.join(
-            F.broadcast(minp),
+            minp,
             (lp.l_partkey == minp.m_partkey) & (lp.price == minp.min_price),
         )
         .join(F.broadcast(s), lp.l_suppkey == s.s_suppkey)
@@ -580,7 +583,9 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     part's average quantity. The correlated AVG becomes a per-part
     aggregate joined back; `qty < 0.2 * avg` is multiplied through to
     `5 * qty * n < sum_qty` so every operand stays an exact DECIMAL
-    (quantities are integers — no division anywhere)."""
+    (quantities are integers — no division anywhere). The per-part
+    stats side carries one row per qualifying partkey — SF-proportional,
+    so no broadcast hint: AQE picks broadcast only while it fits."""
     p = read_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#12")
     l = read_table(spark, sf_dir, "lineitem")
     lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
@@ -590,7 +595,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_qty").alias("_sum_qty"), F.count("*").alias("_n")
     )
     return (
-        lp.join(F.broadcast(stats), lp.l_partkey == stats._pk)
+        lp.join(stats, lp.l_partkey == stats._pk)
         .where(F.col("_qty") * F.lit(5) * F.col("_n") < F.col("_sum_qty"))
         .agg(
             F.round(F.sum("_price").cast("double") / 7.0, 9).alias("avg_yearly"),
@@ -624,9 +629,10 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = read_table(spark, sf_dir, "supplier")
     return (
         s.join(F.broadcast(nat), s.s_nationkey == nat.n_nationkey, "left_semi")
-        # qualifying-supplier set is bounded by supplier cardinality —
-        # broadcast it rather than shuffling the supplier dim
-        .join(F.broadcast(shipped), s.s_suppkey == shipped.l_suppkey, "left_semi")
+        # the qualifying-supplier set grows with SF (it's an aggregate
+        # of lineitem), so it is not hinted: AQE broadcasts it at
+        # runtime while it fits, falls back to shuffle join beyond that
+        .join(shipped, s.s_suppkey == shipped.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_name")
     )
@@ -668,10 +674,12 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = read_table(spark, sf_dir, "supplier")
     return (
-        waiting.groupBy("l_suppkey")
+        # group by s_name AFTER the supplier join — the oracle groups by
+        # name, so grouping by suppkey and projecting the name would
+        # diverge if two suppliers ever shared a name
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
-        .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )

@@ -184,3 +184,18 @@ def test_repetition_profile_is_single_pass(spark, registry):
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan  # no explode
     assert "Join" not in plan
+
+
+@pytest.mark.parametrize("q", ["tpch_q2", "tpch_q17", "tpch_q20"])
+def test_sf_proportional_sides_not_force_broadcast(spark, registry, q):
+    """q2's per-partkey mins, q17's per-part stats and q20's qualifying
+    suppliers all scale with the fact table: a forced broadcast hint
+    would OOM at 100x instead of degrading to a shuffle join. The hint
+    is gone — AQE owns the strategy (broadcasting at runtime only while
+    the side actually fits) — and the equi-joins never degenerate into
+    cross products."""
+    plan = plan_of(spark, registry, q)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # AQE present to do the runtime promotion the hint used to force
+    assert "AdaptiveSparkPlan" in plan, plan
