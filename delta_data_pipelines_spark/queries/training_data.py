@@ -353,10 +353,13 @@ def txt_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     double aggregation (term counts per doc, document frequency per
     term) joined back and ranked per doc. ln() runs on the same
     integer inputs in both engines, so the rounded score is
-    engine-identical; ties break on the token for determinism."""
+    engine-identical; ties break on the token for determinism.
+
+    n_docs is a 1-row aggregate broadcast-cross-joined into the plan
+    (the tpch_q15 pattern) — NOT a driver-side d.count(), which would
+    be a second full corpus scan per invocation."""
     d = read_table(spark, sf_dir, "documents")
-    n_docs = d.count()  # O(1) scalar; embedded as a literal like the
-    # reference embeds its watermark bounds
+    n_docs = d.agg(F.count("*").alias("_n_docs"))
     terms = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
@@ -369,11 +372,13 @@ def txt_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "_score",
             F.col("tf")
-            * F.log((F.lit(n_docs) + 1.0) / (F.col("doc_freq") + 1.0)),
+            * F.log((F.col("_n_docs") + 1.0) / (F.col("doc_freq") + 1.0)),
         )
+        .drop("_n_docs")
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select(

@@ -199,3 +199,25 @@ def test_sf_proportional_sides_not_force_broadcast(spark, registry, q):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     # AQE present to do the runtime promotion the hint used to force
     assert "AdaptiveSparkPlan" in plan, plan
+
+
+def test_tfidf_construction_is_lazy(spark, registry):
+    """Regression: txt_tfidf_top_term used to run a driver-side
+    d.count() while BUILDING the plan — an extra full corpus scan per
+    invocation. n_docs is now a 1-row aggregate cross-joined into the
+    plan, so constructing the DataFrame must launch no more jobs than a
+    bare read_table (parquet schema inference is the only one)."""
+    from delta_data_pipelines_spark.catalog import read_table
+
+    sc = spark.sparkContext
+    try:
+        sc.setJobGroup("tfidf-base", "schema-inference baseline")
+        read_table(spark, SF, "documents")
+        base = len(sc.statusTracker().getJobIdsForGroup("tfidf-base"))
+        sc.setJobGroup("tfidf-construct", "plan construction only")
+        df = registry["txt_tfidf_top_term"](spark, SF)
+        jobs = len(sc.statusTracker().getJobIdsForGroup("tfidf-construct"))
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert jobs <= base, (jobs, base)  # no count job, only schema read
+    assert df.columns == ["doc_id", "token", "tf", "doc_freq", "tfidf"]
