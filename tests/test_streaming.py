@@ -91,18 +91,42 @@ def _drain(stream_df, tmp_path, name, mode="append"):
     return pd.concat(batches) if batches else pd.DataFrame()
 
 
+def _expected_emitted(spark, batch_pdf, window_minutes, watermark_minutes):
+    """Append mode emits a window exactly once, when the final
+    watermark (max event time − watermark delay) passes its END. The
+    expected emitted set is therefore DERIVED from the batch twin, not
+    a fixed ratio — a ratio bound silently flakes when the data's
+    event-time span approaches the watermark width."""
+    from datetime import timedelta
+
+    from delta_data_pipelines_spark.streaming.pipeline import _with_event_time
+    from pyspark.sql import functions as F
+
+    e = _with_event_time(_events(spark))
+    max_ts = e.agg(F.max("ts")).first()[0]
+    cutoff = max_ts - timedelta(minutes=watermark_minutes)
+    width = timedelta(minutes=window_minutes)
+    return {
+        (r.window_start, r.event_type)
+        for r in batch_pdf.itertuples(index=False)
+        if r.window_start + width <= cutoff  # window_end <= watermark
+    }
+
+
 def test_windowed_counts_stream_matches_batch(spark, tmp_path):
     e = _events(spark)
     batch = windowed_event_counts(e).toPandas()
     stream = _stream_time_ordered(spark, e, tmp_path, "ev_win")
     got = _drain(windowed_event_counts(stream), tmp_path, "win")
-    # append mode emits a window exactly once, after the watermark
-    # passes its end — so every emitted window must carry the complete
-    # (= batch) counts, and all but the last watermark-width of
-    # windows must have emitted.
+    # exact completeness: emitted windows == batch windows whose end
+    # the final watermark passed (nothing missing, nothing early)
+    expected = _expected_emitted(spark, batch, window_minutes=5, watermark_minutes=10)
+    got_keys = {(r.window_start, r.event_type) for r in got.itertuples(index=False)}
+    assert len(expected) > 0
+    assert got_keys == expected
+    # and every emitted window carries the complete (= batch) values
     key = ["window_start", "event_type"]
     merged = batch.merge(got, on=key, suffixes=("_b", "_s"))
-    assert len(got) > 0.9 * len(batch)
     assert len(merged) == len(got)
     assert (merged["n_b"] == merged["n_s"]).all()
     assert (merged["total_value_b"] - merged["total_value_s"]).abs().max() < 1e-6
@@ -113,11 +137,12 @@ def test_sliding_counts_stream_matches_batch(spark, tmp_path):
     batch = sliding_event_counts(e).toPandas()
     stream = _stream_time_ordered(spark, e, tmp_path, "ev_slide")
     got = _drain(sliding_event_counts(stream), tmp_path, "slide")
+    expected = _expected_emitted(spark, batch, window_minutes=10, watermark_minutes=10)
+    got_keys = {(r.window_start, r.event_type) for r in got.itertuples(index=False)}
+    assert len(expected) > 0
+    assert got_keys == expected
     key = ["window_start", "event_type"]
     merged = batch.merge(got, on=key, suffixes=("_b", "_s"))
-    # append emits a window once its end passes the watermark; the last
-    # watermark-width of overlapping windows may be withheld at drain.
-    assert len(got) > 0.9 * len(batch)
     assert len(merged) == len(got)
     assert (merged["n_b"] == merged["n_s"]).all()
     assert (merged["total_value_b"] - merged["total_value_s"]).abs().max() < 1e-6
