@@ -38,6 +38,16 @@ def main(argv: list[str] | None = None) -> int:
     cc.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     cc.add_argument("--out", required=True, help="curated corpus table root")
 
+    cn = sub.add_parser(
+        "compact-neardups",
+        help="periodic sweep: collapse near-dup residue left by "
+        "incremental ingest under out-of-order arrival",
+    )
+    cn.add_argument("--state", required=True, help="incremental-neardup state dir")
+    cn.add_argument("--corpus", required=True, help="corpus table root")
+    cn.add_argument("--id-col", default="doc_id")
+    cn.add_argument("--threshold", type=float, default=0.8)
+
     sub.add_parser("bench", help="run the bench harness")
 
     args = p.parse_args(argv)
@@ -86,6 +96,17 @@ def main(argv: list[str] | None = None) -> int:
         table = VersionedTable(spark, args.out)
         res = publish_corpus(table, docs)
         print(json.dumps({"job": "curate-corpus", **res}))
+        return 0
+
+    if args.cmd == "compact-neardups":
+        from .storage import open_table
+        from .streaming.neardup import compact_neardup_residue
+
+        corpus = open_table(spark, args.corpus)
+        res = compact_neardup_residue(
+            spark, args.state, corpus, id_col=args.id_col, threshold=args.threshold
+        )
+        print(json.dumps({"job": "compact-neardups", **res}))
         return 0
 
     if args.cmd == "price-dataset":

@@ -33,3 +33,14 @@ except ImportError:
 from .bucketed import BucketedTable  # noqa: F401
 from .table import VersionedTable  # noqa: F401
 from .watermark import WatermarkStore  # noqa: F401
+
+
+def open_table(spark, root: str):
+    """Open an existing table by path, dispatching on layout: a
+    ``_meta.json`` (bucket geometry) marks a BucketedTable, anything
+    else is a plain VersionedTable."""
+    import os
+
+    if os.path.exists(os.path.join(root, "_meta.json")):
+        return BucketedTable(spark, root)
+    return VersionedTable(spark, root)

@@ -37,9 +37,9 @@ representative is the first arrival rather than the min id, and
 chain-shaped components can retain one extra representative per
 disconnected arrival prefix: if A~B and B~C but not A~C, arrival order
 (C, A, B) keeps both C and A — the bridge B hadn't arrived when A was
-checked. A periodic batch ``near_dup_clusters`` sweep over the corpus
-is the standard compaction for that residue. Tested in
-tests/test_streaming.py.
+checked. ``compact_neardup_residue`` below is the standard compaction
+for that residue (also exposed as the ``compact-neardups`` CLI
+command). Tested in tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -50,6 +50,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.dedup import (
     _banded,
+    _candidates,
     jaccard,
     minhash_near_dup_pairs,
     minhash_signatures,
@@ -166,3 +167,74 @@ def run_incremental_neardup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_neardup_residue(
+    spark,
+    state_dir: str,
+    corpus: VersionedTable | BucketedTable,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> dict:
+    """The periodic batch sweep the module docstring names: collapse the
+    chain residue incremental ingest leaves under adversarial arrival.
+
+    For a chain A~B~C (not A~C) arriving (C, A, B), ingest keeps both
+    endpoints — the bridge B hadn't arrived when A was checked. The
+    endpoints are NOT near-dups of each other, so a sweep over the
+    corpus alone cannot see the component; connectivity runs through
+    DROPPED docs. That is exactly why ingest merges every batch doc's
+    signatures (kept AND dropped) into the state tables: this sweep
+    rebuilds the pair graph from the ACCUMULATED signature/shingle
+    state (the same banded-LSH candidates + exact-Jaccard verify as the
+    batch path), takes connected components, and keeps the smallest
+    kept member per component — the batch pipeline's deterministic
+    representative rule restricted to docs still in the corpus.
+
+    Scale posture: the candidate join is the batch `_candidates` shape
+    (bucket-capped banded self-join over the state table, never
+    all-pairs); the corpus rewrite only happens when residue was
+    actually found.
+    """
+    sig_table = BucketedTable(spark, f"{state_dir}/signatures")
+    hs_table = BucketedTable(spark, f"{state_dir}/shingle_sets")
+    if not sig_table.exists() or not corpus.exists():
+        return {"pairs": 0, "removed": 0, "rows_after": 0}
+
+    cand = _candidates(sig_table.read(), id_col, max_bucket)
+    hs = hs_table.read()
+    pairs = (
+        cand.join(
+            hs.select(F.col(id_col).alias("id_a"), F.col("_hs").alias("_hs_a")),
+            "id_a",
+        )
+        .join(
+            hs.select(F.col(id_col).alias("id_b"), F.col("_hs").alias("_hs_b")),
+            "id_b",
+        )
+        .withColumn("jaccard_sim", jaccard(F.col("_hs_a"), F.col("_hs_b")))
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+    clusters = near_dup_clusters(pairs)
+    kept = corpus.read()
+    members = clusters.join(
+        kept.select(F.col(id_col).alias("member_id")), "member_id"
+    )
+    min_w = Window.partitionBy("cluster_id")
+    residue = (
+        members.withColumn("_min_kept", F.min("member_id").over(min_w))
+        .where(F.col("member_id") != F.col("_min_kept"))
+        .select(F.col("member_id").alias(id_col))
+    )
+    n_pairs = clusters.count()
+    n_removed = residue.count()
+    if n_removed:
+        out = kept.join(residue, id_col, "left_anti").localCheckpoint(eager=True)
+        corpus.overwrite(out)
+    return {
+        "pairs": n_pairs,
+        "removed": n_removed,
+        "rows_after": kept.count() - n_removed,
+    }

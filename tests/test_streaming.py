@@ -500,3 +500,18 @@ def test_incremental_neardup_chain_residue_under_adversarial_order(spark, tmp_pa
         merges = [c for c in t.history() if c.action == "merge"]
         assert len(merges) == 3
         assert all(c.metrics["buckets_written"] == 1 for c in merges)
+
+    # the documented compaction: the sweep rebuilds the pair graph from
+    # the ACCUMULATED state (connectivity runs through dropped bridge
+    # B), so the {1,2,3} component collapses to its smallest kept
+    # member — exactly the batch pipeline's representative
+    from delta_data_pipelines_spark.streaming.neardup import (
+        compact_neardup_residue,
+    )
+
+    res = compact_neardup_residue(spark, str(tmp_path / "chain_state"), corpus)
+    assert res["removed"] == 1
+    assert {r["doc_id"] for r in corpus.read().collect()} == {1}
+    # idempotent: a second sweep finds nothing
+    res2 = compact_neardup_residue(spark, str(tmp_path / "chain_state"), corpus)
+    assert res2["removed"] == 0
