@@ -453,6 +453,32 @@ def embedding_near_dup_pairs(
     return _materialize_and_release(out, v)
 
 
+def _tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, list[int]]:
+    """localCheckpoint(eager) + the ids of the persistent RDDs the
+    checkpoint registered, so the caller can release them
+    DETERMINISTICALLY once the next round no longer needs them.
+
+    A localCheckpoint's blocks are only weakly referenced: without an
+    explicit release they linger until driver GC runs the
+    ContextCleaner — across many rounds/invocations on large pair sets
+    that is executor storage held hostage to GC timing."""
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint(eager=True)
+    after = sc._jsc.getPersistentRDDs().keySet().toArray()
+    return out, [i for i in after if i not in before]
+
+
+def _release_rdd_ids(spark_session, ids: list[int]) -> None:
+    """Unpersist persistent RDDs by id (safe for locally-checkpointed
+    RDDs we will never read again — the blocks ARE the data)."""
+    m = spark_session.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        rdd = m.get(i)
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
 def near_dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -478,7 +504,12 @@ def near_dup_clusters(
     twice (propagate + changed-count), so an unbroken logical plan
     doubles per round — 2^rounds nodes, a driver-heap OOM by round
     ~12 even on 10 rows. Checkpointing keeps every round's plan O(1);
-    GraphFrames' connected components checkpoints the same way.
+    GraphFrames' connected components checkpoints the same way. Each
+    superseded round's checkpoint blocks are unpersisted explicitly the
+    moment the next round is materialized (checkpoint blocks are only
+    weakly referenced — left alone they linger until driver GC runs the
+    ContextCleaner), so executor storage holds at most two rounds of
+    labels at any time, regardless of round count or invocation count.
 
     Raises RuntimeError if the fixpoint is not reached within
     ``max_iter`` rounds (component diameter > max_iter): returning the
@@ -504,11 +535,11 @@ def near_dup_clusters(
         .distinct()
         .persist()
     )
-    labels = (
+    spark = pairs.sparkSession
+    labels, label_blocks = _tracked_local_checkpoint(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     changed = 0
     for _ in range(max_iter):
@@ -519,7 +550,7 @@ def near_dup_clusters(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        new_labels, new_blocks = _tracked_local_checkpoint(
             labels.join(prop, "node", "left")
             .select(
                 "node",
@@ -527,7 +558,6 @@ def near_dup_clusters(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.withColumnRenamed("label", "_new")
@@ -535,11 +565,15 @@ def near_dup_clusters(
             .where(F.col("_new") != F.col("label"))
             .count()
         )
-        labels = new_labels
+        # previous round's checkpoint blocks are dead from here: release
+        # them now instead of waiting for driver GC + ContextCleaner
+        _release_rdd_ids(spark, label_blocks)
+        labels, label_blocks = new_labels, new_blocks
         if changed == 0:
             break
     if changed != 0:
-        for df in (labels, edges, pairs):
+        _release_rdd_ids(spark, label_blocks)
+        for df in (edges, pairs):
             df.unpersist()
         raise RuntimeError(
             f"near_dup_clusters did not converge in {max_iter} rounds "
@@ -550,4 +584,6 @@ def near_dup_clusters(
     out = labels.select(
         F.col("node").alias("member_id"), F.col("label").alias("cluster_id")
     )
-    return _materialize_and_release(out, labels, edges, pairs)
+    result = _materialize_and_release(out, edges, pairs)
+    _release_rdd_ids(spark, label_blocks)  # final round's blocks, post-copy
+    return result

@@ -436,3 +436,21 @@ def test_real_image_decode_via_pillow(spark):
         df, 224, 224, decoder=multimodal.decode_image
     ).first()
     assert (row["src_h"], row["src_w"]) == (30, 40)
+
+
+def test_near_dup_clusters_releases_round_checkpoint_blocks(spark):
+    """Each propagation round localCheckpoints its labels; superseded
+    rounds' blocks must be released deterministically, not left for
+    driver GC. A 10-round chain would otherwise leave ~11 persistent
+    RDDs; only the result's own checkpoint (plus at most the final
+    round) may remain."""
+    from delta_data_pipelines_spark.operators.dedup import near_dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)], "id_a bigint, id_b bigint"
+    )
+    before = _persistent_rdd_count(spark)
+    out = near_dup_clusters(chain, max_iter=12)
+    assert out.count() == 10
+    after = _persistent_rdd_count(spark)
+    assert after - before <= 2, (before, after)
