@@ -56,18 +56,21 @@ def _modules():
 _PRIORITY = [
     # flagship
     "search_index_full", "search_index_incremental", "search_index_fetch_by_id",
-    # scalar-function library representatives (the thrice-proven
-    # f_regex_extract_cast / f_case_buckets / f_toman_parse /
-    # f_age_build_year / f_json_struct rotated out in r5 — driver-green
-    # r2-r4, mirror keeps checking them)
-    "f_translate", "f_date_arithmetic", "f_json_navigation",
-    "f_string_ops", "f_relative_dates", "f_enum_normalize",
-    # streaming batch-twins (ST5)
-    "st_windowed_counts", "st_sliding_counts", "st_session_windows",
-    "st_dedup", "st_running_totals",
-    # TPC-H throughput probes (q6/q12/q13/q14/q16/q18/q19/q22 rotated
-    # out in r5 — driver-green r2-r4; q4 stays: interval fix this round)
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q4", "tpch_q10", "tpch_q2",
+    # r6 rotation: the 13 queries added in r5 that have never held a
+    # driver CORRECTNESS row (mirror-verified r5) — completing
+    # cumulative driver coverage of every oracle-able query. Rotated
+    # out to make room: the twice-plus-proven f_* scalar reps (driver-
+    # green r2-r5), st_sliding/session/running (r1+r5), tpch_q1/q3/q5/
+    # q10 (r2-r5); the mirror keeps checking all of them.
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
+    "tpch_q15", "tpch_q17", "tpch_q20", "tpch_q21",
+    "txt_repetition", "txt_vocab_topk", "txt_tfidf_top_term",
+    "td_gopher_filter", "td_decontaminate",
+    # streaming batch-twins (ST5) — representatives
+    "st_windowed_counts", "st_dedup",
+    # TPC-H: q2/q17/q20 changed this round (broadcast hints dropped),
+    # q21 regrouped, q4 keeps its interval-parity row warm
+    "tpch_q4", "tpch_q2",
     # temporal joins
     "t_asof_join", "t_asof_join_tolerance", "t_range_join",
     # grouping/pivot family
@@ -79,9 +82,7 @@ _PRIORITY = [
     # training-data headline components
     "dd_minhash", "sim_brute_topk", "sim_ivf_topk", "txt_profile",
     "txt_topk_per_source",
-    # r5 rotation: families whose only driver row was round 1 — fresh
-    # oracle rows for dedup/sampling/multimodal/join/text/projection/
-    # set-op representatives
+    # dedup/sampling/multimodal/join/text/projection/set-op reps
     "dd_exact", "dd_ngram_jaccard", "dd_embedding",
     "ds_hash_split", "ds_det_sample",
     "mm_meta", "mm_features", "mm_resize", "mm_frames",
