@@ -73,13 +73,45 @@ def decode_stub(payload: bytes, modality: str) -> dict:
     return {"fps": 25, "n_frames": max(1, n // 100)}
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png_header(payload: bytes, modality: str = "image") -> dict:
+    """Vendored pure-stdlib PNG dimension decode: signature + IHDR.
+
+    The PNG container puts IHDR first with fixed layout (width, height,
+    bit depth, color type — RFC 2083 §4.1.1), so REAL dimensions of any
+    real PNG are readable with ``struct`` alone, no codec library.
+    Raises ValueError for non-PNG payloads (callers fall back to the
+    stub); pixel decode still needs a real codec (``CODEC_AVAILABLE``).
+    """
+    import struct
+
+    if modality != "image":
+        raise ValueError(f"PNG decoder got modality {modality!r}")
+    if len(payload) < 26 or bytes(payload[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    length, ctype = struct.unpack(">I4s", bytes(payload[8:16]))
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError("malformed PNG: IHDR chunk not first")
+    w, h, _bit_depth, color_type = struct.unpack(">IIBB", bytes(payload[16:26]))
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    return {"height": h, "width": w, "channels": channels}
+
+
 def decode_image(payload: bytes, modality: str = "image") -> dict:
-    """Real image decode when Pillow is importable (``CODEC_AVAILABLE``),
-    the deterministic stub otherwise. Pass as ``decoder=`` to
-    extract_features / resize_images to activate the real path — the
-    Arrow plumbing is identical either way."""
+    """Real image decode: Pillow when importable (``CODEC_AVAILABLE``),
+    else the vendored PNG header parse for real PNG bytes, else the
+    deterministic stub. Pass as ``decoder=`` to extract_features /
+    resize_images — the Arrow plumbing is identical either way."""
     if not CODEC_AVAILABLE:
-        return decode_stub(payload, modality)
+        try:
+            return decode_png_header(payload, modality)
+        except ValueError:
+            return decode_stub(payload, modality)
     import io
 
     with _PILImage.open(io.BytesIO(payload)) as im:

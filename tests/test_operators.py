@@ -454,3 +454,46 @@ def test_near_dup_clusters_releases_round_checkpoint_blocks(spark):
     assert out.count() == 10
     after = _persistent_rdd_count(spark)
     assert after - before <= 2, (before, after)
+
+
+def test_real_png_dimensions_via_vendored_header_decode(spark):
+    """The NON-skipped sibling of the Pillow test: a real (valid) PNG
+    built with stdlib-only bytes flows through decode_image and the
+    resize pipeline with its REAL dimensions — no codec library needed
+    for the container format. Passes identically with or without
+    Pillow installed (both paths read the same IHDR truth)."""
+    import struct
+    import zlib
+
+    def tiny_png(w, h):
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+        raw = b"".join(b"\x00" + b"\x7f" * (3 * w) for _ in range(h))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    png = tiny_png(40, 30)
+    assert multimodal.decode_image(png) == {
+        "height": 30, "width": 40, "channels": 3,
+    }
+    # non-PNG bytes still degrade to the deterministic stub
+    assert multimodal.decode_image(b"not a png") == multimodal.decode_stub(
+        b"not a png", "image"
+    )
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    row = multimodal.resize_images(
+        df, 224, 224, decoder=multimodal.decode_image
+    ).first()
+    assert (row["src_h"], row["src_w"]) == (30, 40)
+    assert (row["out_h"], row["out_w"]) == (168, 224)  # fit-inside, aspect kept
