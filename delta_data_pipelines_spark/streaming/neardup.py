@@ -69,6 +69,7 @@ def run_incremental_neardup(
     threshold: float = 0.8,
     max_bucket: int = 1000,
     n_state_buckets: int = 64,
+    state_keep_last: int = 3,
 ) -> StreamingQuery:
     """docs stream → in-batch collapse → vs-corpus LSH filter → MERGE.
 
@@ -159,6 +160,12 @@ def run_incremental_neardup(
         corpus.merge(reps, keys=[id_col])
         sig_table.merge(banded, keys=[id_col, "band_id"])
         hs_table.merge(sigs.select(id_col, "_hs"), keys=[id_col])
+        # retention: superseded bucket dirs would otherwise accumulate
+        # one generation per micro-batch, forever; state tables need no
+        # deep time travel, so prune beyond the last few commits
+        # (manifest-referenced dirs are always kept)
+        sig_table.vacuum(keep_last=state_keep_last)
+        hs_table.vacuum(keep_last=state_keep_last)
 
     return (
         docs_stream.writeStream.foreachBatch(sink)
