@@ -72,3 +72,41 @@ def deterministic_sample(
     survive every run (unlike ``df.sample``), so downstream caches and
     metrics stay comparable across pipeline versions."""
     return df.where(split_bucket(key, method) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus mixing /
+    reweighting step of a pre-training pipeline (up/down-weight sources
+    to target proportions) with hash-stable membership per key.
+
+    The rates ride in as a broadcast-joined mapping table keyed on the
+    stratum, not a CASE chain: thousands of sources stay one tiny
+    broadcast, and unlisted strata fall back to ``default_rate``.
+    Membership is ``split_bucket(key) < rate`` — a pure function of the
+    key, so re-runs, repartitions, and engine migrations (md5 mode)
+    keep the exact same rows, and a stratum's sample is a SUPERSET of
+    any lower rate's (rate changes shrink/grow monotonically).
+    """
+    for k, v in rates.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {v}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    spark = df.sparkSession
+    rt = spark.createDataFrame(
+        [(k, float(v)) for k, v in rates.items()],
+        f"{strata_col} string, _rate double",
+    )
+    return (
+        df.join(F.broadcast(rt), strata_col, "left")
+        .withColumn("_rate", F.coalesce(F.col("_rate"), F.lit(float(default_rate))))
+        .where(split_bucket(key, method) < F.col("_rate"))
+        .drop("_rate")
+    )

@@ -212,3 +212,39 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — the redaction stage every published training corpus
+# runs. Regexes are kept to the syntax subset Java regex and RE2
+# (DuckDB) interpret identically, so the oracle can mirror the scrub.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # name -> (pattern, replacement token)
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b(\d{1,3}\.)(\d{1,3}\.)(\d{1,3}\.)\d{1,3}\b", "<IP>"),
+    # phones: international/dashed/spaced digit runs, 9+ digits total;
+    # the char class has no '.', so IPv4s never match as phones
+    "phone": (r"\+?\d[\d()\- ]{7,}\d", "<PHONE>"),
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category match counts on the ORIGINAL text (audit metric)."""
+    return {
+        name: F.regexp_count(text, F.lit(pat))
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails, IPv4s, then phones with typed placeholder tokens.
+
+    Order matters only in that earlier replacements cannot create later
+    matches (placeholders contain no digits or '@'); each category is a
+    single native regexp_replace — one codegen'd projection, no UDF."""
+    out = text
+    for _name, (pat, token) in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, token)
+    return out

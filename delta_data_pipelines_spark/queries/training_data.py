@@ -432,6 +432,41 @@ def td_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ds_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing / source reweighting: per-source deterministic
+    sampling rates (up-weight src0, down-weight the long tail) with
+    md5-stable membership — the rates ride in as a broadcast mapping
+    table, so thousands of sources stay one tiny broadcast join."""
+    d = read_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        d,
+        "doc_id",
+        "source",
+        {"src0": 0.5, "src1": 0.25, "src2": 0.25},
+        default_rate=0.1,
+        method="md5",
+    ).select("doc_id", "lang", "source")
+
+
+def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + audit counts — the scrub stage every published
+    training corpus runs (emails / IPv4s / phone numbers → typed
+    placeholder tokens). One codegen'd projection of native
+    regexp_replace/regexp_count calls, no UDF; regex syntax restricted
+    to the subset Java and RE2 read identically so the oracle mirrors
+    the scrub byte-for-byte."""
+    d = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    counts = textstats.pii_counts(t)
+    return d.select(
+        "doc_id",
+        textstats.scrub_pii(t).alias("clean_text"),
+        counts["email"].cast("long").alias("n_emails"),
+        counts["ipv4"].cast("long").alias("n_ipv4"),
+        counts["phone"].cast("long").alias("n_phones"),
+    )
+
+
 def ds_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable 10% corpus sample by doc_id hash — the same rows survive
     every run, so iteration-time metrics stay comparable."""
@@ -444,6 +479,8 @@ def ds_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPARK_QUERIES = {
     "ds_hash_split": ds_hash_split,
     "ds_det_sample": ds_det_sample,
+    "ds_stratified_sample": ds_stratified_sample,
+    "txt_pii_scrub": txt_pii_scrub,
     "dd_exact": dd_exact,
     "dd_minhash": dd_minhash,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -505,6 +542,30 @@ ORACLE_SQL = {
     "ds_det_sample": f"""
         SELECT doc_id, lang, source, n_chars FROM documents
         WHERE {_MD5_BUCKET} < 0.1
+    """,
+    "ds_stratified_sample": f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE {_MD5_BUCKET} < CASE source
+            WHEN 'src0' THEN 0.5
+            WHEN 'src1' THEN 0.25
+            WHEN 'src2' THEN 0.25
+            ELSE 0.1 END
+    """,
+    "txt_pii_scrub": """
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   '\\b(\\d{1,3}\\.)(\\d{1,3}\\.)(\\d{1,3}\\.)\\d{1,3}\\b',
+                   '<IP>', 'g'),
+                   '\\+?\\d[\\d()\\- ]{7,}\\d', '<PHONE>', 'g') AS clean_text,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(text,
+                   '\\b(\\d{1,3}\\.)(\\d{1,3}\\.)(\\d{1,3}\\.)\\d{1,3}\\b')) AS n_ipv4,
+               len(regexp_extract_all(text,
+                   '\\+?\\d[\\d()\\- ]{7,}\\d')) AS n_phones
+        FROM documents
     """,
     "dd_exact": """
         SELECT doc_id, lang, source FROM (

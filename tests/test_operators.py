@@ -497,3 +497,71 @@ def test_real_png_dimensions_via_vendored_header_decode(spark):
     ).first()
     assert (row["src_h"], row["src_w"]) == (30, 40)
     assert (row["out_h"], row["out_w"]) == (168, 224)  # fit-inside, aspect kept
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    """Planted-PII behavioral test (the harness corpus is PII-free, so
+    the registry query proves engine parity while this proves the
+    semantics): emails/IPv4s/phones redact to typed tokens, clean text
+    is untouched, counts audit the original."""
+    from delta_data_pipelines_spark.operators import textstats
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "contact john.doe+x@example.co.uk or +1 (415) 555-0100 now"),
+        (2, "server at 192.168.0.1 port 8080"),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = textstats.pii_counts(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            textstats.scrub_pii(F.col("text")).alias("clean"),
+            *[v.alias(k) for k, v in counts.items()],
+        ).collect()
+    }
+    assert out[1]["clean"] == "contact <EMAIL> or <PHONE> now"
+    assert (out[1]["email"], out[1]["phone"], out[1]["ipv4"]) == (1, 1, 0)
+    assert out[2]["clean"] == "server at <IP> port 8080"
+    assert (out[2]["email"], out[2]["phone"], out[2]["ipv4"]) == (0, 0, 1)
+    assert out[3]["clean"] == rows[2][1]
+    assert (out[3]["email"], out[3]["phone"], out[3]["ipv4"]) == (0, 0, 0)
+
+
+def test_stratified_sample_rates_and_stability(spark):
+    """Per-stratum deterministic sampling: rate-1.0 strata keep all
+    rows, rate-0 strata vanish, unlisted strata get the default, the
+    SAME rows survive a rerun, and a lower rate's sample is a subset
+    of a higher rate's (monotone bucket threshold)."""
+    from delta_data_pipelines_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(300)], "k long, src string"
+    )
+    kept = sampling.stratified_sample(
+        df, "k", "src", {"s0": 1.0, "s1": 0.0}, default_rate=0.5
+    )
+    per = {r["src"]: r["n"] for r in kept.groupBy("src").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert per["s0"] == 100
+    assert "s1" not in per
+    assert 20 < per.get("s2", 0) < 80  # ~half of 100, hash-uniform
+    # stability: rerun keeps the identical row set
+    k1 = {r["k"] for r in kept.collect()}
+    k2 = {r["k"] for r in sampling.stratified_sample(
+        df, "k", "src", {"s0": 1.0, "s1": 0.0}, default_rate=0.5
+    ).collect()}
+    assert k1 == k2
+    # monotone: 0.2 sample of s2 is a subset of the 0.5 sample
+    low = {r["k"] for r in sampling.stratified_sample(
+        df, "k", "src", {"s0": 1.0, "s1": 0.0}, default_rate=0.2
+    ).where("src = 's2'").collect()}
+    high = {r["k"] for r in kept.where("src = 's2'").collect()}
+    assert low <= high
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rate"):
+        sampling.stratified_sample(df, "k", "src", {"s0": 1.5})
