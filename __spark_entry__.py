@@ -66,6 +66,9 @@ _PRIORITY = [
     "tpch_q15", "tpch_q17", "tpch_q20", "tpch_q21",
     "txt_repetition", "txt_vocab_topk", "txt_tfidf_top_term",
     "td_gopher_filter", "td_decontaminate",
+    # r6 additions — never driver-seen; rotated out for them:
+    # txt_length_quantiles and j_dim_chain (driver-green r1 + r5)
+    "ds_stratified_sample", "txt_pii_scrub",
     # streaming batch-twins (ST5) — representatives
     "st_windowed_counts", "st_dedup",
     # TPC-H: q2/q17/q20 changed this round (broadcast hints dropped),
@@ -86,7 +89,6 @@ _PRIORITY = [
     "dd_exact", "dd_ngram_jaccard", "dd_embedding",
     "ds_hash_split", "ds_det_sample",
     "mm_meta", "mm_features", "mm_resize", "mm_frames",
-    "j_dim_chain", "txt_length_quantiles",
     "p_filter_project", "so_union",
 ]
 
