@@ -67,8 +67,11 @@ _PRIORITY = [
     "txt_repetition", "txt_vocab_topk", "txt_tfidf_top_term",
     "td_gopher_filter", "td_decontaminate",
     # r6 additions — never driver-seen; rotated out for them:
-    # txt_length_quantiles and j_dim_chain (driver-green r1 + r5)
+    # txt_length_quantiles, j_dim_chain, mm_resize, mm_frames,
+    # dd_embedding, ds_det_sample (all driver-green r1 + r5)
     "ds_stratified_sample", "txt_pii_scrub",
+    "td_pack_sequences", "sk_kmv_distinct", "txt_boilerplate",
+    "t_scd2_intervals",
     # streaming batch-twins (ST5) — representatives
     "st_windowed_counts", "st_dedup",
     # TPC-H: q2/q17/q20 changed this round (broadcast hints dropped),
@@ -85,10 +88,10 @@ _PRIORITY = [
     # training-data headline components
     "dd_minhash", "sim_brute_topk", "sim_ivf_topk", "txt_profile",
     "txt_topk_per_source",
-    # dedup/sampling/multimodal/join/text/projection/set-op reps
-    "dd_exact", "dd_ngram_jaccard", "dd_embedding",
-    "ds_hash_split", "ds_det_sample",
-    "mm_meta", "mm_features", "mm_resize", "mm_frames",
+    # dedup/sampling/multimodal/projection/set-op reps
+    "dd_exact", "dd_ngram_jaccard",
+    "ds_hash_split",
+    "mm_meta", "mm_features",
     "p_filter_project", "so_union",
 ]
 

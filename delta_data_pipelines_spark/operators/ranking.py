@@ -42,3 +42,42 @@ def global_rank_by_range(df: DataFrame, key: str, n_parts: int = 32) -> DataFram
         .withColumn("global_rank", F.col("_off") + F.col("_rn"))
         .drop("_pid", "_rn", "_off")
     )
+
+
+def global_cumsum_by_range(
+    df: DataFrame, key: str, val: str, n_parts: int = 32
+) -> DataFrame:
+    """Exact exclusive prefix sum of ``val`` in global ``key`` order,
+    scalably (the running-offset twin of :func:`global_rank_by_range`).
+
+    ``SUM(val) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING)`` is a
+    single-partition window — the same scale killer as a global
+    row_number. Range-partition on the key instead: cumsum locally in
+    parallel, then add each partition's cumulative predecessor total.
+    The only unpartitioned window runs over per-partition totals
+    (≤ ``n_parts`` rows).
+
+    Returns ``df`` plus ``cum_before`` — the sum of ``val`` over all
+    strictly earlier keys (0 for the first row).
+    """
+    parts = df.repartitionByRange(n_parts, key).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parts.withColumn(
+        "_cum_local", F.coalesce(F.sum(val).over(w_local), F.lit(0))
+    )
+    totals = local.groupBy("_pid").agg(F.sum(val).alias("_tot"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
+    ).select("_pid", "_off")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("cum_before", F.col("_off") + F.col("_cum_local"))
+        .drop("_pid", "_cum_local", "_off")
+    )

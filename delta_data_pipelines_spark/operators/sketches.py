@@ -1,0 +1,129 @@
+"""Mergeable cardinality sketches for corpus-scale distinct counts.
+
+``COUNT(DISTINCT token)`` over a 100 TB corpus shuffles every distinct
+value; Spark's built-in ``approx_count_distinct`` (HLL++) avoids that
+but its register layout is engine-private — no cross-engine oracle can
+check it. The KMV (k-minimum-values) sketch gives both: keep the k
+smallest *portable* hash values (md5 is bit-identical in Spark, DuckDB,
+Postgres, …) and estimate distinct = (k-1) / kth_smallest_normalized.
+
+Properties that matter at 100 TB:
+- sketches MERGE: bottom-k of a union = bottom-k of the concatenated
+  bottom-ks, so per-partition / per-day sketches roll up without
+  touching raw data (:func:`kmv_sketch` is that form — the shuffle
+  carries one k-element array per (partition, group), never the
+  distinct values themselves);
+- the estimate is deterministic (no seed), so an oracle recomputes it
+  exactly — unlike HLL, sampling, or anything seeded per-run.
+
+The reference has no sketches (its largest distinct count fit in one
+MongoDB index scan — mongodb_utils.py:21-36); this is north-star
+surface for the LLM-corpus use case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HASH_SPACE = float(2**32)
+
+
+def portable_hash(c: Column) -> Column:
+    """Uniform bigint in [0, 2^32) from the first 8 hex digits of md5 —
+    the same cross-engine trick as sampling.split_bucket(method='md5')."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate next to the exact count.
+
+    Dedups (group, value), hashes each distinct value portably, keeps
+    the k smallest per group (ties broken on the value for
+    determinism), and estimates distinct = (k-1) · 2³² / kth_hash.
+    Groups with fewer than k distinct values short-circuit to the exact
+    count (the standard KMV small-set rule).
+
+    Output: group cols + ``n_exact`` (exact distinct), ``kth_hash``
+    (the sketch boundary, null for small groups) and ``n_est`` (the
+    estimate). This form carries the exact count next to the sketch so
+    correctness checks and recall tests can measure the estimator's
+    error on real data; it shuffles the distinct (group, value) pairs
+    to do so. The production path at 100 TB is :func:`kmv_sketch`,
+    whose shuffle carries only k-element arrays.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    distinct = df.select(*group_cols, value_col).distinct()
+    hashed = distinct.select(
+        *group_cols, portable_hash(F.col(value_col)).alias("_h"), value_col
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_h", value_col)
+    ranked = hashed.withColumn("_rn", F.row_number().over(w))
+    per_group = ranked.groupBy(*group_cols).agg(
+        F.count("*").alias("n_exact"),
+        F.max(F.when(F.col("_rn") == k, F.col("_h"))).alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("n_exact") >= k,
+        F.round(
+            F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.col("kth_hash"), 6
+        ),
+    ).otherwise(F.col("n_exact").cast("double"))
+    return per_group.withColumn("n_est", est)
+
+
+def _bottom_k(arr: Column, k: int) -> Column:
+    return F.slice(F.array_sort(arr), 1, k)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group mergeable KMV sketch — the 100 TB form.
+
+    Two-phase, all JVM-native: (1) per input partition, dedup values
+    locally and keep the k smallest hashes as ONE array per
+    (partition, group) — the only rows that reach the shuffle; (2)
+    merge arrays per group by concat → sort → slice (associative, so
+    any tree of merges gives the identical sketch). Duplicate values
+    across partitions collapse on merge because equal values hash
+    equally (``array_distinct`` after concat).
+
+    Output: group cols + ``sketch`` (ascending bottom-k hash array) +
+    ``n_est``. The estimate equals :func:`kmv_distinct`'s whenever the
+    group has ≥ k distinct values (asserted in tests); below k the
+    sketch holds all distinct hashes and the estimate is their count
+    (exact up to md5 collisions).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    hashed = df.select(
+        *group_cols, portable_hash(F.col(value_col)).alias("_h")
+    )
+    partial = (
+        hashed.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid", *group_cols)
+        .agg(_bottom_k(F.collect_set("_h"), k).alias("_bk"))
+    )
+    merged = partial.groupBy(*group_cols).agg(
+        _bottom_k(
+            F.array_distinct(F.flatten(F.collect_list("_bk"))), k
+        ).alias("sketch")
+    )
+    kth = F.element_at(F.col("sketch"), k)
+    est = F.when(
+        F.size("sketch") >= k,
+        F.round(F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / kth, 6),
+    ).otherwise(F.size("sketch").cast("double"))
+    return merged.withColumn("n_est", est)

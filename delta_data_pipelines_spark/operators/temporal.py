@@ -112,3 +112,33 @@ def range_join(
         & (right[right_ts] <= left[left_ts] + hi)
     )
     return left.join(right, cond, how).drop(right[key])
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from a change log.
+
+    Each change row opens a validity interval that closes when the
+    next change for the same key arrives: ``valid_from = ts``,
+    ``valid_to = lead(ts)`` (null = still current). The as-of joins
+    above consume exactly this shape, and a point-in-time snapshot is
+    ``WHERE valid_from <= T AND (valid_to IS NULL OR T < valid_to)``.
+
+    One shuffle on the key; the lead window is per-key, never global.
+    Callers must pre-dedup to one row per (key, ts): duplicate
+    timestamps make the interval order ambiguous. Uniqueness isn't
+    cheaply checkable at plan time, so it is a documented contract —
+    t_scd2_intervals dedups via max-value, like the as-of queries.
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    out = changes.select(
+        key,
+        *value_cols,
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w).alias("valid_to"),
+    )
+    return out.withColumn("is_current", F.col("valid_to").isNull())

@@ -64,10 +64,30 @@ def t_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "user_id", "ts", "err_ts", "err_value")
 
 
+def t_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from the purchase change log: one
+    validity interval per (user, ts) state, closed by the next change
+    (null valid_to = current row). The dimension the as-of joins and
+    point-in-time snapshots consume."""
+    from ..operators.temporal import scd2_intervals
+
+    e = read_table(spark, sf_dir, "events")
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = scd2_intervals(purchases, "user_id", "ts", ["value"])
+    return out.select(
+        "user_id", "value", "valid_from", "valid_to", "is_current"
+    )
+
+
 SPARK_QUERIES = {
     "t_asof_join": t_asof_join,
     "t_asof_join_tolerance": t_asof_join_tolerance,
     "t_range_join": t_range_join,
+    "t_scd2_intervals": t_scd2_intervals,
 }
 
 _ERRORS = """
@@ -107,5 +127,17 @@ ORACLE_SQL = {
         FROM clicks c JOIN errors e
           ON c.user_id = e.user_id
          AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL '600 seconds'
+    """,
+    "t_scd2_intervals": """
+        WITH p AS (
+            SELECT user_id, ts, MAX(value) AS value FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id, ts
+        )
+        SELECT user_id, value,
+               ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   AS is_current
+        FROM p
     """,
 }

@@ -467,6 +467,89 @@ def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def td_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the step that turns a
+    curated corpus into fixed-width training windows: documents are
+    concatenated in stable doc_id order and the token stream is cut
+    every 512 tokens; each doc reports its global token offset and the
+    chunk span it lands in.
+
+    The global running offset is NOT a single-partition window —
+    ``ranking.global_cumsum_by_range`` range-partitions on doc_id,
+    cumsums locally in parallel, and adds per-partition predecessor
+    totals (the only unpartitioned window runs over ≤32 partition
+    rows). Verified shuffle-shape in tests/test_plans.py."""
+    from ..operators.ranking import global_cumsum_by_range
+
+    ctx = 512
+    d = read_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", textstats.token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    cum = global_cumsum_by_range(sized, "doc_id", "n_tokens")
+    return (
+        cum.select(
+            "doc_id",
+            "n_tokens",
+            F.col("cum_before").alias("start_offset"),
+            F.floor(F.col("cum_before") / ctx).alias("chunk_start"),
+            F.floor(
+                (F.col("cum_before") + F.col("n_tokens") - 1) / ctx
+            ).alias("chunk_end"),
+        )
+        .withColumn(
+            "n_chunks", F.col("chunk_end") - F.col("chunk_start") + 1
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token cardinality via a KMV sketch, next
+    to the exact count — the portable-hash sketch whose estimate an
+    oracle can recompute bit-for-bit (md5 is engine-independent),
+    unlike HLL/approx_count_distinct. The mergeable bottom-k form
+    (operators.sketches.kmv_sketch) is cross-checked in tests."""
+    from ..operators import sketches
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return sketches.kmv_distinct(toks, ["lang"], "token", k=64).orderBy("lang")
+
+
+def txt_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate detection (the CCNet idea at shingle
+    granularity): the top-5 word bigrams by within-source document
+    frequency — the dictionary a scrub pass would subtract. Shingles
+    are distinct per doc, so COUNT(*) after the explode IS document
+    frequency; the per-source totals ride in on a broadcast join."""
+    d = read_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "source",
+        F.explode(dedup.shingles(F.col("text"), n=2)).alias("shingle"),
+    )
+    counts = sh.groupBy("source", "shingle").agg(
+        F.count("*").alias("n_docs")
+    )
+    totals = d.groupBy("source").agg(F.count("*").alias("_tot"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_docs").desc(), F.col("shingle")
+    )
+    return (
+        counts.join(F.broadcast(totals), "source")
+        .withColumn(
+            "df_ratio",
+            F.round(F.col("n_docs") / F.col("_tot").cast("double"), 9),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("source", "shingle", "n_docs", "df_ratio", "rnk")
+        .orderBy("source", "rnk")
+    )
+
+
 def ds_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable 10% corpus sample by doc_id hash — the same rows survive
     every run, so iteration-time metrics stay comparable."""
@@ -505,6 +588,9 @@ SPARK_QUERIES = {
     "td_decontaminate": td_decontaminate,
     "txt_vocab_topk": txt_vocab_topk,
     "txt_tfidf_top_term": txt_tfidf_top_term,
+    "td_pack_sequences": td_pack_sequences,
+    "sk_kmv_distinct": sk_kmv_distinct,
+    "txt_boilerplate": txt_boilerplate,
 }
 
 _SHINGLES = """
@@ -607,6 +693,75 @@ ORACLE_SQL = {
         )
         WHERE _rn = 1
         ORDER BY doc_id
+    """,
+    "td_pack_sequences": """
+        WITH sized AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), cum AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS start_offset
+            FROM sized
+        )
+        SELECT doc_id, n_tokens, start_offset,
+               start_offset // 512 AS chunk_start,
+               (start_offset + n_tokens - 1) // 512 AS chunk_end,
+               (start_offset + n_tokens - 1) // 512
+                   - start_offset // 512 + 1 AS n_chunks
+        FROM cum ORDER BY doc_id
+    """,
+    "sk_kmv_distinct": """
+        WITH toks AS (
+            SELECT DISTINCT lang, token FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            )
+        ), hashed AS (
+            SELECT lang, token,
+                   ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+            FROM toks
+        ), ranked AS (
+            SELECT lang, h, token,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, token) AS rn
+            FROM hashed
+        ), g AS (
+            SELECT lang, COUNT(*) AS n_exact,
+                   MAX(CASE WHEN rn = 64 THEN h END) AS kth_hash
+            FROM ranked GROUP BY lang
+        )
+        SELECT lang, n_exact, kth_hash,
+               CASE WHEN n_exact >= 64
+                    THEN ROUND(63.0 * 4294967296.0 / kth_hash, 6)
+                    ELSE CAST(n_exact AS DOUBLE) END AS n_est
+        FROM g ORDER BY lang
+    """,
+    "txt_boilerplate": """
+        WITH sh AS (
+            SELECT source,
+                   CASE WHEN len(w) >= 2
+                        THEN list_distinct(list_transform(range(1, len(w)),
+                             i -> w[i] || ' ' || w[i+1]))
+                        ELSE list_distinct([array_to_string(w, ' ')]) END AS sg
+            FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+        ), ex AS (
+            SELECT source, unnest(sg) AS shingle FROM sh
+        ), counts AS (
+            SELECT source, shingle, COUNT(*) AS n_docs
+            FROM ex GROUP BY source, shingle
+        ), totals AS (
+            SELECT source, COUNT(*) AS _tot FROM documents GROUP BY source
+        ), ranked AS (
+            SELECT c.source, c.shingle, c.n_docs,
+                   ROUND(c.n_docs / CAST(t._tot AS DOUBLE), 9) AS df_ratio,
+                   ROW_NUMBER() OVER (PARTITION BY c.source
+                       ORDER BY c.n_docs DESC, c.shingle) AS rnk
+            FROM counts c JOIN totals t USING (source)
+        )
+        SELECT source, shingle, n_docs, df_ratio, CAST(rnk AS INTEGER) AS rnk
+        FROM ranked WHERE rnk <= 5 ORDER BY source, rnk
     """,
     "td_decontaminate": (
         "WITH pairs AS (SELECT * FROM ("

@@ -565,3 +565,153 @@ def test_stratified_sample_rates_and_stability(spark):
 
     with _pytest.raises(ValueError, match="rate"):
         sampling.stratified_sample(df, "k", "src", {"s0": 1.5})
+
+
+# ---------------------------------------------------------------------------
+# sketches (KMV), global cumsum, SCD2, boilerplate
+# ---------------------------------------------------------------------------
+
+
+def test_global_cumsum_matches_single_partition_window(spark):
+    from pyspark.sql import Window
+
+    from delta_data_pipelines_spark.operators.ranking import (
+        global_cumsum_by_range,
+    )
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 37 + 1).alias("v")
+    )
+    got = {
+        r["k"]: r["cum_before"]
+        for r in global_cumsum_by_range(df, "k", "v", n_parts=8).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    expect = {
+        r["k"]: r["e"]
+        for r in df.select(
+            "k", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("e")
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_kmv_sketch_matches_windowed_estimate(spark):
+    """The mergeable bottom-k sketch must produce the same estimate as
+    the distinct+window form for every group, and the sketch itself
+    must be invariant under repartitioning (merge-order independence)."""
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.operators import sketches
+
+    d = read_table(spark, SF, "documents")
+    toks = d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    a = {
+        r["lang"]: r["n_est"]
+        for r in sketches.kmv_distinct(toks, ["lang"], "token", k=64).collect()
+    }
+    b = {
+        r["lang"]: r["n_est"]
+        for r in sketches.kmv_sketch(toks, ["lang"], "token", k=64).collect()
+    }
+    assert a == b
+    c = {
+        r["lang"]: tuple(r["sketch"])
+        for r in sketches.kmv_sketch(
+            toks.repartition(7), ["lang"], "token", k=64
+        ).collect()
+    }
+    c2 = {
+        r["lang"]: tuple(r["sketch"])
+        for r in sketches.kmv_sketch(toks, ["lang"], "token", k=64).collect()
+    }
+    assert c == c2
+
+
+def test_kmv_estimate_error_bounded(spark):
+    """KMV with k=64 has ~1/sqrt(62) ≈ 12.7% standard error; assert a
+    generous 3-sigma bound against the exact count on synthetic keys
+    with known cardinality per group."""
+    from delta_data_pipelines_spark.operators import sketches
+
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 4).alias("g"),
+        F.concat(F.lit("val_"), (F.col("id") % 5000).cast("string")).alias(
+            "v"
+        ),
+    )
+    rows = sketches.kmv_distinct(df, ["g"], "v", k=64).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["n_exact"] >= 64
+        rel_err = abs(r["n_est"] - r["n_exact"]) / r["n_exact"]
+        assert rel_err < 0.40, (r["g"], r["n_est"], r["n_exact"])
+
+
+def test_kmv_small_group_is_exact(spark):
+    from delta_data_pipelines_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [("g1", f"t{i}") for i in range(10)] + [("g1", "t0")],
+        "g string, v string",
+    )
+    r = sketches.kmv_distinct(df, ["g"], "v", k=64).collect()[0]
+    assert r["n_exact"] == 10 and r["n_est"] == 10.0
+    assert r["kth_hash"] is None
+    s = sketches.kmv_sketch(df, ["g"], "v", k=64).collect()[0]
+    assert len(s["sketch"]) == 10 and s["n_est"] == 10.0
+    with pytest.raises(ValueError, match="k must be"):
+        sketches.kmv_distinct(df, ["g"], "v", k=1)
+
+
+def test_scd2_intervals_tile_per_key(spark):
+    """Intervals must tile each key's timeline: ordered, contiguous
+    (next valid_from == previous valid_to), exactly one open (current)
+    interval per key, and the value rides along unchanged."""
+    from delta_data_pipelines_spark.operators.temporal import scd2_intervals
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10.0),
+        (1, "2024-01-03 00:00:00", 20.0),
+        (1, "2024-01-07 00:00:00", 15.0),
+        (2, "2024-02-01 12:00:00", 99.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = scd2_intervals(df, "user_id", "ts", ["value"]).collect()
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r["user_id"], []).append(r)
+    assert {k: len(v) for k, v in by_key.items()} == {1: 3, 2: 1}
+    for key, ivs in by_key.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        assert sum(1 for r in ivs if r["is_current"]) == 1
+        assert ivs[-1]["valid_to"] is None and ivs[-1]["is_current"]
+        for prev, nxt in zip(ivs, ivs[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]
+            assert prev["valid_from"] < prev["valid_to"]
+    assert [r["value"] for r in by_key[1]] == [10.0, 20.0, 15.0]
+
+
+def test_boilerplate_shingle_planted(spark):
+    """A bigram planted in every doc of one source must surface as that
+    source's rank-1 boilerplate with df_ratio 1.0; other sources must
+    not report it above their genuine frequencies."""
+    from delta_data_pipelines_spark.operators.dedup import shingles
+
+    docs = [
+        (1, "s1", "click here now alpha beta"),
+        (2, "s1", "click here please gamma delta"),
+        (3, "s1", "epsilon click here zeta eta"),
+        (4, "s2", "totally unrelated words only"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    sh = d.select(
+        "source", F.explode(shingles(F.col("text"), n=2)).alias("shingle")
+    )
+    counts = sh.groupBy("source", "shingle").count()
+    top = (
+        counts.where(F.col("source") == "s1")
+        .orderBy(F.col("count").desc(), "shingle")
+        .first()
+    )
+    assert top["shingle"] == "click here" and top["count"] == 3

@@ -221,3 +221,14 @@ def test_tfidf_construction_is_lazy(spark, registry):
         sc.setLocalProperty("spark.jobGroup.id", None)
     assert jobs <= base, (jobs, base)  # no count job, only schema read
     assert df.columns == ["doc_id", "token", "tf", "doc_freq", "tfidf"]
+
+
+def test_pack_sequences_parallel_cumsum_plan(spark, registry):
+    """td_pack_sequences: the full-table running offset must cumsum
+    inside range partitions (windowspecdefinition partitioned on _pid),
+    with the only SinglePartition exchange feeding the ≤32-row
+    per-partition-totals window — same contract as the scalable rank."""
+    plan = plan_of(spark, registry, "td_pack_sequences")
+    assert "rangepartitioning" in plan.lower(), plan
+    assert re.search(r"windowspecdefinition\(_pid#\d+, doc_id#\d+", plan), plan
+    assert plan.count("SinglePartition") <= 1, plan
