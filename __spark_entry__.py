@@ -71,7 +71,7 @@ _PRIORITY = [
     # dd_embedding, ds_det_sample (all driver-green r1 + r5)
     "ds_stratified_sample", "txt_pii_scrub",
     "td_pack_sequences", "sk_kmv_distinct", "txt_boilerplate",
-    "t_scd2_intervals",
+    "t_scd2_intervals", "sim_kmeans",
     # streaming batch-twins (ST5) — representatives
     "st_windowed_counts", "st_dedup",
     # TPC-H: q2/q17/q20 changed this round (broadcast hints dropped),
@@ -92,7 +92,7 @@ _PRIORITY = [
     "dd_exact", "dd_ngram_jaccard",
     "ds_hash_split",
     "mm_meta", "mm_features",
-    "p_filter_project", "so_union",
+    "p_filter_project",
 ]
 
 

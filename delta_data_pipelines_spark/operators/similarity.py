@@ -176,6 +176,59 @@ def ivf_topk(
     )
 
 
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Spherical k-means (cosine Lloyd) with deterministic seeding —
+    the centroid-fitting step the IVF index needs at real scale
+    (ivf_topk's "centroids come from a sampled k-means").
+
+    Fully oracle-checkable, which no seeded/random k-means is:
+    - seeds = the ``k`` lowest-id vectors (data-deterministic);
+    - a fixed ``n_iter`` of Lloyd rounds, unrolled into one lazy plan
+      (no driver-side convergence loop, no collect);
+    - centroid means use decimal(38,12) sums rounded to 9 decimals, so
+      both engines compute bit-identical centroids regardless of
+      aggregation order — the float-sum-order trick from td_curate.
+
+    Each round is: assign (vectors × broadcast centroids + per-vector
+    argmax window) then componentwise mean via posexplode → groupBy
+    (cid, pos) → rebuild array sorted by pos. Per round the shuffle is
+    one hash partition on (cid, pos) — k·dim groups — plus the argmax
+    window on the vector id; nothing quadratic, nothing driver-side.
+    """
+    if k < 1 or n_iter < 1:
+        raise ValueError(f"k and n_iter must be >= 1, got k={k} n_iter={n_iter}")
+    vecs = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    cent = vecs.where(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"), F.col("_v").alias("cv")
+    )
+    assign = ivf_assign(vecs, cent, id_col)
+    for _ in range(n_iter - 1):
+        comps = assign.select(
+            "cid", F.posexplode("_v").alias("pos", "val")
+        )
+        means = comps.groupBy("cid", "pos").agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                / F.count("*"),
+                9,
+            ).alias("c")
+        )
+        cent = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+        assign = ivf_assign(vecs, cent, id_col)
+    return assign.select(id_col, "cid")
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -143,6 +143,17 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(e, q, k=5, n_planes=4).orderBy("query_id", "rank")
 
 
+def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic spherical k-means over the embeddings (8 cells, 2
+    Lloyd rounds unrolled into one lazy plan) — the centroid-fitting
+    step behind a production IVF index, oracle-checked exactly because
+    seeding is data-deterministic and centroid means are decimal-exact."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_assign(
+        e, "vec_id", "embedding", k=8, n_iter=2
+    ).orderBy("vec_id")
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: 16 deterministic centroid cells, probe
     the 2 nearest — fully oracle-checkable because centroid choice is
@@ -575,6 +586,7 @@ SPARK_QUERIES = {
     "sim_brute_topk": sim_brute_topk,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_kmeans": sim_kmeans,
     "txt_profile": txt_profile,
     "mm_meta": mm_meta,
     "mm_features": mm_features,
@@ -899,6 +911,40 @@ ORACLE_SQL = {
         )
         SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    # unrolled 2-round Lloyd: same deterministic seeds as sim_ivf_topk,
+    # centroid means as decimal(38,12) sums rounded to 9 (order-exact)
+    "sim_kmeans": """
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), c0 AS (
+            SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < 8
+        ), s1 AS (
+            SELECT vec_id, v, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS rn
+            FROM vecs CROSS JOIN c0
+        ), a1 AS (
+            SELECT vec_id, v, cid FROM s1 WHERE rn = 1
+        ), comp1 AS (
+            SELECT cid, u.pos AS pos, u.val AS val FROM (
+                SELECT cid, unnest(list_transform(v, (x, i) ->
+                    struct_pack(pos := i, val := x))) AS u
+                FROM a1)
+        ), m1 AS (
+            SELECT cid, pos,
+                   ROUND(CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                         / COUNT(*), 9) AS c
+            FROM comp1 GROUP BY cid, pos
+        ), c1 AS (
+            SELECT cid, list(c ORDER BY pos) AS cv FROM m1 GROUP BY cid
+        ), s2 AS (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS rn
+            FROM vecs CROSS JOIN c1
+        )
+        SELECT vec_id, cid FROM s2 WHERE rn = 1 ORDER BY vec_id
     """,
     "sim_ivf_topk": """
         WITH cent AS (

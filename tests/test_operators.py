@@ -715,3 +715,35 @@ def test_boilerplate_shingle_planted(spark):
         .first()
     )
     assert top["shingle"] == "click here" and top["count"] == 3
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Two tight planted direction-clusters; after 2 Lloyd rounds every
+    vector must land with its plant-mates, whichever seed its cluster
+    kept. Seeds are ids 0 and 1 (k=2), one from each plant."""
+    import random
+
+    from delta_data_pipelines_spark.operators.similarity import kmeans_assign
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        plant = i % 2  # ids alternate plants so seeds 0,1 differ
+        base = [1.0, 0.0, 0.0] if plant == 0 else [0.0, 1.0, 0.0]
+        rows.append((i, [c + rng.uniform(-0.05, 0.05) for c in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["cid"] for r in kmeans_assign(df, k=2, n_iter=2).collect()}
+    assert len(got) == 40
+    evens = {got[i] for i in range(0, 40, 2)}
+    odds = {got[i] for i in range(1, 40, 2)}
+    assert evens == {0} and odds == {1}
+
+
+def test_kmeans_validates_params(spark):
+    from delta_data_pipelines_spark.operators.similarity import kmeans_assign
+
+    df = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="k and n_iter"):
+        kmeans_assign(df, k=0)
+    with pytest.raises(ValueError, match="k and n_iter"):
+        kmeans_assign(df, n_iter=0)
