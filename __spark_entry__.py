@@ -71,7 +71,7 @@ _PRIORITY = [
     # dd_embedding, ds_det_sample (all driver-green r1 + r5)
     "ds_stratified_sample", "txt_pii_scrub",
     "td_pack_sequences", "sk_kmv_distinct", "txt_boilerplate",
-    "t_scd2_intervals", "sim_kmeans",
+    "t_scd2_intervals", "sim_kmeans", "ds_temperature_mix",
     # streaming batch-twins (ST5) — representatives
     "st_windowed_counts", "st_dedup",
     # TPC-H: q2/q17/q20 changed this round (broadcast hints dropped),
@@ -88,8 +88,8 @@ _PRIORITY = [
     # training-data headline components
     "dd_minhash", "sim_brute_topk", "sim_ivf_topk", "txt_profile",
     "txt_topk_per_source",
-    # dedup/sampling/multimodal/projection/set-op reps
-    "dd_exact", "dd_ngram_jaccard",
+    # dedup/sampling/multimodal/projection reps
+    "dd_exact",
     "ds_hash_split",
     "mm_meta", "mm_features",
     "p_filter_project",

@@ -459,6 +459,44 @@ def ds_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def ds_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mixing — the multilingual-corpus
+    resampling trick (sampling ∝ n^τ, τ<1 flattens the distribution so
+    head languages stop drowning the tail): per-language keep-rate
+    0.3·(n_max/n_lang)^0.5 capped at 1, md5-stable membership.
+
+    Unlike ds_stratified_sample the rates are DERIVED FROM THE DATA in
+    the same plan (per-language counts → broadcast back), so the mix
+    self-adjusts as the corpus grows; pow/round float math is engine-
+    identical, membership is the portable md5 bucket. Output: the
+    per-language keep accounting (rate, before, after)."""
+    d = read_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    mx = counts.agg(F.max("n_lang").alias("_n_max"))
+    rates = counts.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        "n_lang",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                # sqrt, not pow(x, 0.5): IEEE sqrt is correctly rounded
+                # in both engines; libm pow may differ in the last ulp
+                F.lit(0.3)
+                * F.sqrt(F.col("_n_max") / F.col("n_lang")),
+            ),
+            9,
+        ).alias("rate"),
+    )
+    kept = d.join(F.broadcast(rates), "lang").where(
+        sampling.split_bucket("doc_id", "md5") < F.col("rate")
+    )
+    return (
+        kept.groupBy("lang", "n_lang", "rate")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
 def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction + audit counts — the scrub stage every published
     training corpus runs (emails / IPv4s / phone numbers → typed
@@ -574,6 +612,7 @@ SPARK_QUERIES = {
     "ds_hash_split": ds_hash_split,
     "ds_det_sample": ds_det_sample,
     "ds_stratified_sample": ds_stratified_sample,
+    "ds_temperature_mix": ds_temperature_mix,
     "txt_pii_scrub": txt_pii_scrub,
     "dd_exact": dd_exact,
     "dd_minhash": dd_minhash,
@@ -648,6 +687,23 @@ ORACLE_SQL = {
             WHEN 'src1' THEN 0.25
             WHEN 'src2' THEN 0.25
             ELSE 0.1 END
+    """,
+    "ds_temperature_mix": f"""
+        WITH counts AS (
+            SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+        ), mx AS (
+            SELECT MAX(n_lang) AS _n_max FROM counts
+        ), rates AS (
+            SELECT lang, n_lang,
+                   ROUND(LEAST(1.0,
+                       0.3 * SQRT(CAST(_n_max AS DOUBLE) / n_lang)), 9) AS rate
+            FROM counts CROSS JOIN mx
+        )
+        SELECT d.lang, r.n_lang, r.rate, COUNT(*) AS n_kept
+        FROM documents d JOIN rates r USING (lang)
+        WHERE {_MD5_BUCKET} < r.rate
+        GROUP BY d.lang, r.n_lang, r.rate
+        ORDER BY d.lang
     """,
     "txt_pii_scrub": """
         SELECT doc_id,

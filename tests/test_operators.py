@@ -747,3 +747,21 @@ def test_kmeans_validates_params(spark):
         kmeans_assign(df, k=0)
     with pytest.raises(ValueError, match="k and n_iter"):
         kmeans_assign(df, n_iter=0)
+
+
+def test_temperature_mix_flattens_distribution(spark):
+    """Rarer languages must get strictly higher keep-rates (monotone in
+    1/n), capped at 1.0, and the kept counts must respect the rates."""
+    from delta_data_pipelines_spark.queries.training_data import (
+        ds_temperature_mix,
+    )
+
+    rows = ds_temperature_mix(spark, SF).collect()
+    assert len(rows) >= 2
+    by_n = sorted(rows, key=lambda r: r["n_lang"])
+    for rare, common in zip(by_n, by_n[1:]):
+        if rare["n_lang"] < common["n_lang"]:
+            assert rare["rate"] > common["rate"], (rare, common)
+    for r in rows:
+        assert 0.0 < r["rate"] <= 1.0
+        assert r["n_kept"] <= r["n_lang"]
