@@ -459,6 +459,67 @@ def ds_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def txt_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the heuristic
+    lang_id prediction against the gold ``lang`` label, with per-cell
+    share of the gold language — the audit run before trusting a
+    cheap classifier to route a 100 TB corpus. One narrow projection
+    + one grouped count; the per-gold totals ride on a window over
+    the tiny aggregate, not the corpus."""
+    d = read_table(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("gold"),
+        textstats.lang_id(F.col("text")).alias("pred"),
+    )
+    cells = pred.groupBy("gold", "pred").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("gold")
+    return (
+        cells.withColumn(
+            "share", F.round(F.col("n") / F.sum("n").over(w), 9)
+        )
+        .orderBy("gold", "pred")
+    )
+
+
+def sim_semantic_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup audit: embedding near-dup pairs (≥0.45
+    cosine) joined back to document metadata — do semantic duplicates
+    straddle languages/sources? The heavy stage is the pair build (the
+    IVF-cell-blocked path); the metadata joins are by id on the tiny
+    pair set, dims broadcast."""
+    e = read_table(spark, sf_dir, "embeddings")
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    pairs = dedup.embedding_near_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.45
+    )
+    da = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+    )
+    db = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+    )
+    return (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("source_a") == F.col("source_b"), 1).otherwise(0)
+            ).alias("n_same_source"),
+            # round 6, not 9: small-group double AVG order can differ
+            F.round(F.avg("cosine_sim"), 6).alias("avg_cosine"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
 def ds_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened language mixing — the multilingual-corpus
     resampling trick (sampling ∝ n^τ, τ<1 flattens the distribution so
@@ -613,6 +674,8 @@ SPARK_QUERIES = {
     "ds_det_sample": ds_det_sample,
     "ds_stratified_sample": ds_stratified_sample,
     "ds_temperature_mix": ds_temperature_mix,
+    "txt_langid_confusion": txt_langid_confusion,
+    "sim_semantic_dedup_audit": sim_semantic_dedup_audit,
     "txt_pii_scrub": txt_pii_scrub,
     "dd_exact": dd_exact,
     "dd_minhash": dd_minhash,
@@ -687,6 +750,60 @@ ORACLE_SQL = {
             WHEN 'src1' THEN 0.25
             WHEN 'src2' THEN 0.25
             ELSE 0.1 END
+    """,
+    "txt_langid_confusion": """
+        WITH base AS (
+            SELECT lang AS gold, string_split(text, ' ') AS w FROM documents
+        ), scores AS (
+            SELECT gold,
+                len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS s_en,
+                len(list_filter(w, x -> x IN ('el','la','de','que','y'))) AS s_es,
+                len(list_filter(w, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+                len(list_filter(w, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+                len(list_filter(w, x -> x IN ('的','是','了','在','我'))) AS s_zh
+            FROM base
+        ), pred AS (
+            SELECT gold,
+                CASE
+                    WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de
+                         AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                    WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr
+                         AND s_es >= s_zh THEN 'es'
+                    WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                    WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+                    WHEN s_zh > 0 THEN 'zh'
+                    ELSE 'und'
+                END AS pred
+            FROM scores
+        ), cells AS (
+            SELECT gold, pred, COUNT(*) AS n FROM pred GROUP BY gold, pred
+        )
+        SELECT gold, pred, n,
+               ROUND(n / CAST(SUM(n) OVER (PARTITION BY gold) AS DOUBLE), 9)
+                   AS share
+        FROM cells ORDER BY gold, pred
+    """,
+    "sim_semantic_dedup_audit": """
+        WITH pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])), 9) AS cosine_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])) >= 0.45
+        ), meta AS (
+            SELECT doc_id, lang, source FROM documents
+        )
+        SELECT la.lang AS lang_a, lb.lang AS lang_b,
+               COUNT(*) AS n_pairs,
+               CAST(SUM(CASE WHEN la.source = lb.source THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_same_source,
+               ROUND(AVG(cosine_sim), 6) AS avg_cosine
+        FROM pairs p
+        JOIN meta la ON p.id_a = la.doc_id
+        JOIN meta lb ON p.id_b = lb.doc_id
+        GROUP BY la.lang, lb.lang
+        ORDER BY lang_a, lang_b
     """,
     "ds_temperature_mix": f"""
         WITH counts AS (
