@@ -66,6 +66,13 @@ HEADLINE = [
     "sim_ivf_topk",
     # scalar expression throughput
     "f_string_ops",
+    # r6 additions: range-partitioned two-phase prefix sum (packing),
+    # mergeable KMV sketch, unrolled 2-round Lloyd k-means, and the
+    # one-projection PII scrub (regex throughput)
+    "td_pack_sequences",
+    "sk_kmv_distinct",
+    "sim_kmeans",
+    "txt_pii_scrub",
 ]
 
 
