@@ -536,6 +536,14 @@ def near_dup_clusters(
         .persist()
     )
     spark = pairs.sparkSession
+    # Materialize the pairs+edges caches BEFORE the first tracked
+    # checkpoint: cached-RDD ids register in sc.persistentRdds lazily,
+    # during the first job that builds the cache — if that job is the
+    # tracked checkpoint below, the caches land in ITS before/after diff
+    # and get released after round 1, silently recomputing the whole
+    # pair build every subsequent round (caught by the evaluation-count
+    # test in tests/test_operators.py).
+    edges.count()
     labels, label_blocks = _tracked_local_checkpoint(
         edges.select(F.col("src").alias("node"))
         .distinct()

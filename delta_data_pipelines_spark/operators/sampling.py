@@ -18,6 +18,20 @@ from pyspark.sql import functions as F
 _BUCKETS = 1_000_000
 
 
+def md5_hash64(c: Column) -> Column:
+    """Uniform bigint in [0, 2^32) from the first 8 hex digits of md5.
+
+    The ONE portable-hash expression shared by split_bucket's md5 mode
+    and the KMV sketches (operators.sketches.portable_hash): md5 is
+    bit-identical across engines (Spark, DuckDB, Postgres, …), so
+    anything derived from this hash is recomputable by an oracle. Keep
+    a single definition — the oracle SQL mirrors exactly this digit
+    count and byte order."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+
+
 def split_bucket(key: Column | str, method: str = "xxhash64") -> Column:
     """Uniform bucket in [0, 1) from the key hash.
 
@@ -28,8 +42,7 @@ def split_bucket(key: Column | str, method: str = "xxhash64") -> Column:
     """
     c = F.col(key) if isinstance(key, str) else key
     if method == "md5":
-        h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
-        return F.pmod(h, F.lit(_BUCKETS)) / F.lit(float(_BUCKETS))
+        return F.pmod(md5_hash64(c), F.lit(_BUCKETS)) / F.lit(float(_BUCKETS))
     if method != "xxhash64":
         raise ValueError(f"unknown hash method: {method}")
     return F.pmod(F.xxhash64(c), F.lit(_BUCKETS)) / F.lit(float(_BUCKETS))

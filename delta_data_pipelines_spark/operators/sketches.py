@@ -26,15 +26,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .sampling import md5_hash64
+
 _HASH_SPACE = float(2**32)
 
 
 def portable_hash(c: Column) -> Column:
-    """Uniform bigint in [0, 2^32) from the first 8 hex digits of md5 —
-    the same cross-engine trick as sampling.split_bucket(method='md5')."""
-    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    )
+    """Uniform bigint in [0, 2^32) — the single shared portable-hash
+    expression (``sampling.md5_hash64``); one definition so the sketch
+    and the sampling buckets can never drift from their oracles."""
+    return md5_hash64(c)
 
 
 def kmv_distinct(

@@ -484,9 +484,11 @@ def txt_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_semantic_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal dedup audit: embedding near-dup pairs (≥0.45
     cosine) joined back to document metadata — do semantic duplicates
-    straddle languages/sources? The heavy stage is the pair build (the
-    IVF-cell-blocked path); the metadata joins are by id on the tiny
-    pair set, dims broadcast."""
+    straddle languages/sources? The pair build here is the EXACT
+    all-pairs form so the audit (and its oracle) sees every pair; at
+    100 TB swap in the cell-blocked builder (``dd_embedding_blocked``'s
+    ``block_col`` path) and accept its recall<1 trade-off. The metadata
+    joins are by id on the tiny pair set."""
     e = read_table(spark, sf_dir, "embeddings")
     d = read_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source"

@@ -74,6 +74,18 @@ class BucketedTable:
         self.root = root
         os.makedirs(root, exist_ok=True)
         meta_path = os.path.join(root, "_meta.json")
+        if not os.path.exists(meta_path) and os.path.exists(
+            os.path.join(root, "_log.json")
+        ):
+            # A commit log with no bucket metadata is another layout
+            # (e.g. a VersionedTable dir): its entries would parse into
+            # BucketedCommits with EMPTY manifests, making all existing
+            # data silently invisible. Refuse rather than adopt.
+            raise ValueError(
+                f"{root} has a commit log but no _meta.json — not a "
+                f"BucketedTable (VersionedTable layout?); migrate the "
+                f"data explicitly instead of reopening it bucketed"
+            )
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
@@ -101,6 +113,12 @@ class BucketedTable:
                 json.dump({"bucket_key": bucket_key, "n_buckets": n_buckets}, f)
             os.replace(tmp, meta_path)
 
+    @staticmethod
+    def exists_at(root: str) -> bool:
+        """True iff ``root`` holds a BucketedTable (checkable without
+        constructing one — construction CREATES metadata)."""
+        return os.path.exists(os.path.join(root, "_meta.json"))
+
     # ---- log ------------------------------------------------------------
 
     @property
@@ -125,6 +143,41 @@ class BucketedTable:
         with open(tmp, "w") as f:
             json.dump([e.__dict__ for e in entries], f, indent=1)
         os.replace(tmp, self._log_path)
+
+    # ---- schema (for empty-table reads) ---------------------------------
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "_meta.json")
+
+    def _read_meta(self) -> dict:
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def _store_schema_once(self, df: DataFrame) -> None:
+        """Persist the data schema (sans _bucket) on the first
+        data-bearing commit, so a table whose manifest later becomes
+        empty (delete-all, empty overwrite) still reads as an empty
+        DataFrame instead of an unable-to-infer-schema crash."""
+        meta = self._read_meta()
+        if "schema" not in meta:
+            meta["schema"] = json.loads(df.drop("_bucket").schema.json())
+            tmp = self._meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, self._meta_path)
+
+    def _empty_df(self) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        meta = self._read_meta()
+        if "schema" not in meta:
+            raise FileNotFoundError(
+                f"table {self.root} has no data and no recorded schema "
+                f"(no data-bearing commit yet)"
+            )
+        schema = StructType.fromJson(meta["schema"])
+        return self.spark.createDataFrame([], schema)
 
     def _version_dir(self, version: int) -> str:
         return os.path.join(self.root, f"v={version:06d}")
@@ -163,6 +216,8 @@ class BucketedTable:
         history = self.history()
         version = (history[-1].version + 1) if history else 0
         written = self._write_buckets(df_bucketed, version)
+        if written:
+            self._store_schema_once(df_bucketed)
         manifest = dict(manifest_base)
         manifest.update({str(b): version for b in written})
         entry = BucketedCommit(
@@ -193,6 +248,8 @@ class BucketedTable:
         the manifest's per-bucket leaf dirs; the internal bucket id is
         not a data column."""
         manifest = self._manifest(version)
+        if not manifest:  # delete-all / empty-overwrite leave no dirs
+            return self._empty_df()
         paths = [self._bucket_dir(v, int(b)) for b, v in manifest.items()]
         return self.spark.read.parquet(*paths)
 
@@ -324,18 +381,28 @@ class BucketedTable:
     # ---- retention ------------------------------------------------------
 
     def vacuum(self, keep_last: int = 3) -> list[int]:
-        """Drop history beyond the last N commits, deleting version dirs
-        no surviving manifest references (a dir stays on disk as long as
-        ANY retained commit's manifest points a bucket at it)."""
+        """Drop history beyond the last N commits, then delete EVERY
+        on-disk version dir no surviving manifest references.
+
+        The sweep walks the disk, not the dropped log entries: a dir
+        can outlive its own log entry (a kept manifest still pointed an
+        untouched bucket at it when the entry was pruned) and only
+        become garbage rounds later, when that bucket is rewritten —
+        by then no log entry names it, so an entry-driven sweep would
+        leak it forever (one generation per micro-batch on a stream).
+        """
         history = self.history()
         if len(history) <= keep_last:
             return []
-        drop, keep = history[:-keep_last], history[-keep_last:]
+        keep = history[-keep_last:]
         live = {v for c in keep for v in c.manifest.values()}
         removed = []
-        for c in drop:
-            if c.version not in live:
-                shutil.rmtree(self._version_dir(c.version), ignore_errors=True)
-                removed.append(c.version)
+        for d in os.listdir(self.root):
+            if not d.startswith("v="):
+                continue
+            v = int(d.split("=", 1)[1])
+            if v not in live:
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+                removed.append(v)
         self._write_log(keep)
-        return removed
+        return sorted(removed)

@@ -120,11 +120,23 @@ def run_incremental_neardup(
         )
         banded = _banded(sigs.select(id_col, "_sig"), id_col)
         if sig_table.exists():
-            # degenerate-bucket guard on the accumulated side (the
-            # batch path's _candidates cap, applied stream-static)
+            # Restrict the state side to the batch's (band_id,
+            # band_hash) keys FIRST (broadcast semi-join — the batch
+            # side is tiny), THEN apply the degenerate-bucket cap (the
+            # batch path's _candidates guard, applied stream-static).
+            # A group's count is identical after the semi-join on its
+            # own group key, so the cap semantics are unchanged — but
+            # the window now shuffles only the batch-matched state
+            # rows, not the whole accumulated table per micro-batch.
+            batch_bands = banded.select("band_id", "band_hash").distinct()
             bucket_w = Window.partitionBy("band_id", "band_hash")
             sig_src = (
                 sig_table.read()
+                .join(
+                    F.broadcast(batch_bands),
+                    ["band_id", "band_hash"],
+                    "left_semi",
+                )
                 .withColumn("_bn", F.count("*").over(bucket_w))
                 .where(F.col("_bn") <= max_bucket)
                 .drop("_bn")
@@ -204,9 +216,14 @@ def compact_neardup_residue(
     all-pairs); the corpus rewrite only happens when residue was
     actually found.
     """
+    # check BEFORE constructing: BucketedTable() creates metadata and
+    # raises on a missing bucket_key, so a never-ingested state dir
+    # must short-circuit here, not in the constructor
+    if not BucketedTable.exists_at(f"{state_dir}/signatures") or not corpus.exists():
+        return {"pairs": 0, "removed": 0, "rows_after": 0}
     sig_table = BucketedTable(spark, f"{state_dir}/signatures")
     hs_table = BucketedTable(spark, f"{state_dir}/shingle_sets")
-    if not sig_table.exists() or not corpus.exists():
+    if not sig_table.exists():
         return {"pairs": 0, "removed": 0, "rows_after": 0}
 
     cand = _candidates(sig_table.read(), id_col, max_bucket)
@@ -224,6 +241,12 @@ def compact_neardup_residue(
         .where(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b")
     )
+    # persist + count here: near_dup_clusters re-persists the same plan
+    # (cache-manager hit) and releases it on completion, so the verified
+    # pair set is built exactly once for both the metric and the
+    # clustering
+    pairs = pairs.persist()
+    n_pairs = pairs.count()
     clusters = near_dup_clusters(pairs)
     kept = corpus.read()
     members = clusters.join(
@@ -235,7 +258,6 @@ def compact_neardup_residue(
         .where(F.col("member_id") != F.col("_min_kept"))
         .select(F.col("member_id").alias(id_col))
     )
-    n_pairs = clusters.count()
     n_removed = residue.count()
     if n_removed:
         out = kept.join(residue, id_col, "left_anti").localCheckpoint(eager=True)

@@ -765,3 +765,54 @@ def test_temperature_mix_flattens_distribution(spark):
     for r in rows:
         assert 0.0 < r["rate"] <= 1.0
         assert r["n_kept"] <= r["n_lang"]
+
+
+def test_near_dup_clusters_evaluates_pairs_exactly_once(spark):
+    """The pairs/edges caches must survive every propagation round: the
+    cached-RDD ids register lazily (during the first job that builds
+    the cache), and an earlier bug let the first tracked checkpoint
+    claim them and release them after round 1 — silently recomputing
+    the full pair build each subsequent round. A 5-node chain needs
+    several rounds; the accumulator proves the source was scanned for
+    the cache build only (once per union arm), not once per round."""
+    from delta_data_pipelines_spark.operators.dedup import near_dup_clusters
+
+    calls = spark.sparkContext.accumulator(0)
+
+    @F.udf("long")
+    def tick(x):
+        calls.add(1)
+        return x
+
+    import delta_data_pipelines_spark.operators.dedup as dd
+
+    raw = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "a bigint, id_b bigint"
+    )
+    pairs = raw.select(tick("a").alias("id_a"), "id_b")
+    # spy on the checkpoint tracker: every tracked checkpoint must
+    # capture EXACTLY ONE persistent-RDD id (its own blocks) — without
+    # the pre-materialization the first one also claims the pairs and
+    # edges cache ids (observed [cache, cache, ckpt]) and releases them
+    # after round 1
+    captured: list[list[int]] = []
+    orig = dd._tracked_local_checkpoint
+
+    def spy(df):
+        out, ids = orig(df)
+        captured.append(ids)
+        return out, ids
+
+    dd._tracked_local_checkpoint = spy
+    try:
+        out = {
+            r["member_id"]: r["cluster_id"]
+            for r in near_dup_clusters(pairs).collect()
+        }
+    finally:
+        dd._tracked_local_checkpoint = orig
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+    assert captured and all(len(ids) == 1 for ids in captured), captured
+    # the symmetric-edges union reads pairs twice while building the
+    # edges cache; after that every round must hit the cache
+    assert calls.value <= 2 * raw.count(), calls.value

@@ -247,3 +247,59 @@ def test_bucketed_geometry_persisted_and_conflicts_raise(spark, tmp_path):
         BucketedTable(spark, str(tmp_path / "g"), bucket_key="content_url", n_buckets=8)
     with pytest.raises(ValueError, match="bucket_key"):
         BucketedTable(spark, str(tmp_path / "g2"))  # new table needs a key
+
+
+def test_bucketed_vacuum_reclaims_dirs_whose_entry_was_already_pruned(
+    spark, btable
+):
+    """A version dir can outlive its own log entry (a kept manifest
+    still referenced it at prune time) and only become garbage rounds
+    later when that bucket is rewritten — the disk-walk sweep must
+    reclaim it then, or a streaming job leaks one generation per batch."""
+    import os
+
+    btable.overwrite(rows(spark, [(f"u{i}", "x", i) for i in range(50)]))
+    # many single-row merges with aggressive retention — the exact
+    # streaming-sink pattern (vacuum every commit)
+    for i in range(8):
+        btable.merge(rows(spark, [(f"m{i}", "y", i)]), keys=["content_url"])
+        btable.vacuum(keep_last=2)
+    # rewrite every bucket so no manifest references any old generation
+    btable.overwrite(btable.read())
+    btable.vacuum(keep_last=1)
+    live = set(btable._manifest().values())
+    on_disk = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(btable.root)
+        if d.startswith("v=")
+    }
+    assert on_disk == live, f"leaked version dirs: {sorted(on_disk - live)}"
+    assert btable.read().count() == 58
+
+
+def test_bucketed_delete_all_then_read_returns_empty(spark, btable):
+    from pyspark.sql import functions as F
+
+    btable.overwrite(rows(spark, [("u1", "x", 1), ("u2", "x", 2)]))
+    c = btable.delete_where(F.col("title") == "x")
+    assert c.metrics["deleted"] == 2
+    got = btable.read()
+    assert got.count() == 0
+    assert got.columns == ["content_url", "title", "price"]
+    # and the table is still writable afterwards
+    btable.merge(rows(spark, [("u3", "y", 3)]), keys=["content_url"])
+    assert btable.read().count() == 1
+
+
+def test_bucketed_refuses_foreign_commit_log(spark, tmp_path):
+    """Opening a VersionedTable layout as a BucketedTable must raise,
+    not silently adopt it with empty manifests (data would vanish)."""
+    from delta_data_pipelines_spark.storage import BucketedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "vt"))
+    vt.overwrite(rows(spark, [("u1", "a", 1)]))
+    with pytest.raises(ValueError, match="not a .*BucketedTable"):
+        BucketedTable(
+            spark, str(tmp_path / "vt"), bucket_key="content_url", n_buckets=8
+        )
+    assert not BucketedTable.exists_at(str(tmp_path / "vt"))

@@ -515,3 +515,25 @@ def test_incremental_neardup_chain_residue_under_adversarial_order(spark, tmp_pa
     # idempotent: a second sweep finds nothing
     res2 = compact_neardup_residue(spark, str(tmp_path / "chain_state"), corpus)
     assert res2["removed"] == 0
+
+
+def test_compact_neardup_residue_handles_missing_state(spark, tmp_path):
+    """Running the sweep before any ingest (or against a wrong path)
+    must return the zero result, not crash in the BucketedTable
+    constructor — and must not scatter metadata into the state dir."""
+    import os
+
+    from delta_data_pipelines_spark.storage import VersionedTable
+    from delta_data_pipelines_spark.streaming.neardup import (
+        compact_neardup_residue,
+    )
+
+    corpus = VersionedTable(spark, str(tmp_path / "corpus"))
+    corpus.overwrite(
+        spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    )
+    res = compact_neardup_residue(spark, str(tmp_path / "never_ingested"), corpus)
+    assert res == {"pairs": 0, "removed": 0, "rows_after": 0}
+    assert not os.path.exists(
+        str(tmp_path / "never_ingested" / "signatures" / "_meta.json")
+    )
