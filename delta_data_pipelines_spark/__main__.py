@@ -34,9 +34,12 @@ def main(argv: list[str] | None = None) -> int:
     pd_.add_argument("--listings", required=True, help="listings parquet dir")
     pd_.add_argument("--out", required=True, help="dataset table root")
 
-    cc = sub.add_parser("curate-corpus", help="quality-gate + dedup + split publish")
+    cc = sub.add_parser("curate-corpus", help="scrub + quality-gate + dedup + split publish")
     cc.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     cc.add_argument("--out", required=True, help="curated corpus table root")
+    cc.add_argument("--no-scrub", action="store_true", help="skip PII redaction")
+    cc.add_argument("--pack-ctx", type=int, default=None,
+                    help="pack each split into N-token training windows")
 
     cn = sub.add_parser(
         "compact-neardups",
@@ -94,7 +97,9 @@ def main(argv: list[str] | None = None) -> int:
 
         docs = read_table(spark, args.sf_dir, "documents")
         table = VersionedTable(spark, args.out)
-        res = publish_corpus(table, docs)
+        res = publish_corpus(
+            table, docs, scrub=not args.no_scrub, pack_ctx=args.pack_ctx
+        )
         print(json.dumps({"job": "curate-corpus", **res}))
         return 0
 

@@ -22,12 +22,68 @@ from ..operators import dedup, sampling
 from ..operators.textstats import (
     _dup_token_ratio_raw,
     _top_bigram_ratio_raw,
+    pii_counts,
     quality_score,
+    scrub_pii,
     token_count_ws,
 )
 from ..storage import VersionedTable
 
 DEFAULT_SPLITS = {"train": 0.8, "eval": 0.1, "test": 0.1}
+
+
+def scrub_stage(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction as the FIRST curation stage (quality must be
+    measured on what will actually be published): replaces ``text_col``
+    with the scrubbed text and adds ``n_pii`` (total redactions per
+    doc) for the audit metrics. One codegen'd projection, no UDF."""
+    t = F.col(text_col)
+    counts = pii_counts(t)
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return docs.withColumn("n_pii", total.cast("long")).withColumn(
+        text_col, scrub_pii(t)
+    )
+
+
+def pack_stage(
+    docs: DataFrame,
+    split_col: str = "split",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ctx: int = 512,
+) -> DataFrame:
+    """Per-split concat-and-chunk packing: each split's documents are
+    laid out as one contiguous token stream (stable ``id_col`` order)
+    and cut every ``ctx`` tokens; every doc gets its stream offset and
+    chunk span. Packing never crosses splits — eval chunks must not
+    borrow train tokens.
+
+    Scale shape: one ``global_cumsum_by_range`` pass per split (splits
+    are few), so the big-table cumsum window is range-partitioned, not
+    a per-split single partition."""
+    from functools import reduce
+
+    from ..operators.ranking import global_cumsum_by_range
+
+    sized = docs.withColumn("_ntok", token_count_ws(F.col(text_col)))
+    names = [r[0] for r in sized.select(split_col).distinct().collect()]
+    parts = []
+    for name in sorted(names):
+        sub = sized.where(F.col(split_col) == name)
+        cum = global_cumsum_by_range(sub, id_col, "_ntok")
+        parts.append(cum)
+    out = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        out.withColumn("start_offset", F.col("cum_before"))
+        .withColumn("chunk_start", F.floor(F.col("cum_before") / ctx))
+        .withColumn(
+            "chunk_end",
+            F.floor((F.col("cum_before") + F.col("_ntok") - 1) / ctx),
+        )
+        .drop("cum_before", "_ntok")
+    )
 
 
 def quality_gate(
@@ -96,15 +152,26 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     splits: dict[str, float] | None = None,
+    scrub: bool = True,
+    pack_ctx: int | None = None,
     **gate_kwargs,
 ) -> DataFrame:
-    """quality gate → exact dedup → near-dup collapse → md5 split."""
-    gated = quality_gate(docs, text_col, **gate_kwargs)
+    """PII scrub → quality gate → exact dedup → near-dup collapse →
+    md5 split → (optional) per-split sequence packing.
+
+    ``scrub=False`` skips redaction (corpora already scrubbed
+    upstream); ``pack_ctx`` adds start_offset/chunk_start/chunk_end
+    columns laying each split out as ctx-token training windows."""
+    staged = scrub_stage(docs, text_col) if scrub else docs
+    gated = quality_gate(staged, text_col, **gate_kwargs)
     exact = dedup.exact_dedup(gated, text_col, id_col)
     uniq = collapse_near_dups(exact, id_col, text_col)
-    return sampling.hash_split(
+    split = sampling.hash_split(
         uniq, id_col, splits or DEFAULT_SPLITS, method="md5"
     )
+    if pack_ctx is not None:
+        split = pack_stage(split, "split", id_col, text_col, ctx=pack_ctx)
+    return split
 
 
 def publish_corpus(
@@ -126,13 +193,17 @@ def publish_corpus(
     if n_out == 0:
         raise ValueError("curation produced an empty corpus; not publishing")
     commit = table.overwrite(curated)
-    per_split = {
-        r["split"]: r["n"]
-        for r in curated.groupBy("split").agg(F.count("*").alias("n")).collect()
-    }
-    return {
+    agg = [F.count("*").alias("n")]
+    if "n_pii" in curated.columns:
+        agg.append(F.sum("n_pii").alias("pii"))
+    per_split_rows = curated.groupBy("split").agg(*agg).collect()
+    per_split = {r["split"]: r["n"] for r in per_split_rows}
+    out = {
         "version": commit.version,
         "rows_in": n_in,
         "rows_out": n_out,
         "splits": per_split,
     }
+    if "n_pii" in curated.columns:
+        out["pii_redactions"] = int(sum(r["pii"] for r in per_split_rows))
+    return out

@@ -187,3 +187,50 @@ def test_quality_gate_short_docs_can_pass(spark):
     assert quality_gate(docs).count() == 1
     # the old 0.05 default was unsatisfiable at this length (1/9 > 0.05)
     assert quality_gate(docs, top_bigram_cap=0.05).count() == 0
+
+
+def test_curate_scrub_and_pack_stages(spark, tmp_path):
+    """Extended pipeline: PII scrub happens before the gate (quality is
+    measured on published text), and per-split packing lays each split
+    out as one contiguous ctx-token stream without crossing splits."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.jobs.curate_corpus import curate_corpus
+    from delta_data_pipelines_spark.operators.textstats import token_count_ws
+
+    base = read_table(spark, "/root/testdata/sf0.001", "documents")
+    # plant PII in a handful of docs
+    docs = base.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") < 5,
+            F.concat(F.col("text"), F.lit(" contact bob@example.com now")),
+        ).otherwise(F.col("text")),
+    )
+    out = curate_corpus(docs, scrub=True, pack_ctx=128)
+    rows = out.collect()
+    assert rows
+    # scrub: no raw emails survive; audit column counts the redactions
+    assert all("@example.com" not in r["text"] for r in rows)
+    planted = [r for r in rows if r["doc_id"] < 5]
+    assert all(r["n_pii"] >= 1 and "<EMAIL>" in r["text"] for r in planted)
+    # packing: within each split the offsets tile the token stream
+    # exactly (offset of each doc == sum of all earlier docs' tokens)
+    tok = {
+        r["doc_id"]: r["n"]
+        for r in out.select(
+            "doc_id", token_count_ws(F.col("text")).alias("n")
+        ).collect()
+    }
+    by_split: dict[str, list] = {}
+    for r in rows:
+        by_split.setdefault(r["split"], []).append(r)
+    for split, members in by_split.items():
+        members.sort(key=lambda r: r["doc_id"])
+        running = 0
+        for r in members:
+            assert r["start_offset"] == running, (split, r["doc_id"])
+            assert r["chunk_start"] == running // 128
+            assert r["chunk_end"] == (running + tok[r["doc_id"]] - 1) // 128
+            running += tok[r["doc_id"]]
