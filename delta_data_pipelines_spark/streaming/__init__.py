@@ -5,6 +5,8 @@
     stateful   applyInPandasWithState per-key running aggregates
     rollup     continuous aggregates (windowed counts MERGEd into a
                versioned table per micro-batch)
+    sketch_state  per-group KMV vocabulary sketches maintained across
+               micro-batches with O(groups*k) state
 """
 
 from .pipeline import (  # noqa: F401
@@ -17,3 +19,4 @@ from .pipeline import (  # noqa: F401
 )
 from .rollup import run_rollup  # noqa: F401
 from .stateful import running_user_totals, running_user_totals_batch  # noqa: F401
+from .sketch_state import merge_sketches, run_incremental_vocab_sketch  # noqa: F401

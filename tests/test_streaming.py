@@ -537,3 +537,53 @@ def test_compact_neardup_residue_handles_missing_state(spark, tmp_path):
     assert not os.path.exists(
         str(tmp_path / "never_ingested" / "signatures" / "_meta.json")
     )
+
+
+def test_incremental_vocab_sketch_converges_to_batch(spark, tmp_path):
+    """The streamed per-language KMV state after N micro-batches must
+    be BIT-IDENTICAL to the batch sketch over the whole corpus —
+    bottom-k merge is order/batching-insensitive — while holding only
+    O(langs·k) state. Also: re-merging a batch (restart replay) is a
+    no-op."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.operators.sketches import kmv_sketch
+    from delta_data_pipelines_spark.storage import VersionedTable
+    from delta_data_pipelines_spark.streaming.sketch_state import (
+        merge_sketches,
+        run_incremental_vocab_sketch,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    stream = _stream_from(spark, docs, tmp_path, "vocab_docs", files=4)
+    state = VersionedTable(spark, str(tmp_path / "vocab_state"))
+    q = run_incremental_vocab_sketch(
+        stream, state, str(tmp_path / "vocab_ckpt"), k=64
+    )
+    q.awaitTermination(120)
+
+    toks = docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    expect = {
+        r["lang"]: (tuple(r["sketch"]), r["n_est"])
+        for r in kmv_sketch(toks, ["lang"], "token", k=64).collect()
+    }
+    got = {
+        r["lang"]: (tuple(r["sketch"]), r["n_est"])
+        for r in state.read().collect()
+    }
+    assert got == expect
+    # replay idempotence: merging any batch's sketch again changes nothing
+    replay = kmv_sketch(
+        docs.limit(100).select(
+            "lang", F.explode(F.split("text", " ")).alias("token")
+        ),
+        ["lang"],
+        "token",
+        k=64,
+    )
+    merged = merge_sketches(state.read(), replay, ["lang"], 64)
+    got2 = {
+        r["lang"]: (tuple(r["sketch"]), r["n_est"]) for r in merged.collect()
+    }
+    assert got2 == expect
