@@ -80,3 +80,60 @@ def bucketed_join_ready(spark: SparkSession, *table_names: str) -> list[DataFram
     """Read back bucketed tables (bucket metadata comes from the
     catalog; reading the bare parquet path would lose it)."""
     return [spark.table(t) for t in table_names]
+
+
+_Z_BITS = 8  # 256 bins per dimension — plenty for file-level skipping
+
+
+def zorder_key(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Add a ``_z`` column: Morton (Z-order) interleave of the value-
+    range bins of ``cols``.
+
+    A single-column sort clusters files on that column only; queries
+    filtering the OTHER columns still touch every file. Interleaving
+    the bin bits of several columns gives every column partial
+    locality, so parquet min/max footers prune files for predicates on
+    ANY of them — the layout trick behind Delta/Iceberg OPTIMIZE
+    ZORDER BY. Bins are value-range buckets from one O(1) min/max agg
+    per column (collected to the driver: 2 scalars per column, not
+    data); the interleave itself is native bit arithmetic, fully
+    codegen'd.
+    """
+    if not 2 <= len(cols) <= 4:
+        raise ValueError(f"zorder wants 2-4 columns, got {len(cols)}")
+    stats = df.agg(
+        *[F.min(c).alias(f"_min_{c}") for c in cols],
+        *[F.max(c).alias(f"_max_{c}") for c in cols],
+    ).collect()[0]
+    n = len(cols)
+    z = F.lit(0).cast("bigint")
+    for j, c in enumerate(cols):
+        lo, hi = float(stats[f"_min_{c}"]), float(stats[f"_max_{c}"])
+        if hi <= lo:
+            continue  # constant column contributes no bits
+        b = (
+            F.width_bucket(F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(2**_Z_BITS))
+            - 1
+        ).cast("bigint")
+        b = F.greatest(F.lit(0).cast("bigint"), F.least(b, F.lit(2**_Z_BITS - 1).cast("bigint")))
+        for i in range(_Z_BITS):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * n + j).cast("bigint")
+    return df.withColumn("_z", z)
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], n_files: int = 32
+) -> None:
+    """Write ``df`` as parquet laid out in Z-order over ``cols``:
+    range-partition on the Morton key (files own contiguous z-ranges)
+    and sort within each file so row groups are tight too. Readers
+    filtering any of ``cols`` skip most files via footer min/max."""
+    (
+        zorder_key(df, cols)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

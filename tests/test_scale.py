@@ -91,3 +91,58 @@ def test_minhash_dedup_scales_with_replicated_corpus(spark):
     # all 10 copies of a text share one cluster: cluster count can't
     # exceed the number of distinct texts
     assert clusters.select("cluster_id").distinct().count() <= n_distinct
+
+
+def test_zorder_layout_tightens_both_columns(spark, tmp_path):
+    """Z-order must give file-level locality on BOTH columns: versus a
+    single-column sort layout, the summed per-file value range of the
+    SECOND column shrinks by a large factor (that range is what parquet
+    footer min/max pruning skips on)."""
+    import pyspark.sql.functions as F
+
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.operators.scale import write_zordered
+
+    e = read_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "value"
+    )
+
+    def file_range_sum(path, col):
+        df = spark.read.parquet(path).withColumn(
+            "_f", F.input_file_name()
+        )
+        agg = df.groupBy("_f").agg(
+            (F.max(col) - F.min(col)).alias("r")
+        )
+        return agg.agg(F.sum("r")).collect()[0][0]
+
+    z_path = str(tmp_path / "z")
+    s_path = str(tmp_path / "s")
+    write_zordered(e, z_path, ["user_id", "value"], n_files=16)
+    (
+        e.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(s_path)
+    )
+    # same rows either way
+    assert spark.read.parquet(z_path).count() == e.count()
+    # first column: single-sort is optimal there; z-order must still be
+    # far better than random (each file covers a fraction of the domain)
+    dom_u = e.agg(F.max("user_id") - F.min("user_id")).collect()[0][0]
+    z_u = file_range_sum(z_path, "user_id")
+    assert z_u < 0.5 * 16 * dom_u
+    # second column: z-order beats the single-column sort decisively
+    z_v = file_range_sum(z_path, "value")
+    s_v = file_range_sum(s_path, "value")
+    assert z_v < 0.6 * s_v, (z_v, s_v)
+
+
+def test_zorder_validates_columns(spark):
+    from delta_data_pipelines_spark.operators.scale import zorder_key
+
+    df = spark.range(10).selectExpr("id AS a")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="2-4 columns"):
+        zorder_key(df, ["a"])
