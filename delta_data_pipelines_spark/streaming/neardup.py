@@ -75,8 +75,12 @@ def run_incremental_neardup(
 
     The signature/shingle state tables are hash-bucketed
     (``BucketedTable``) so each micro-batch's MERGE rewrites only the
-    buckets its doc ids land in — per-batch write cost is
-    O(batch + corpus/n_state_buckets · touched), not O(corpus). Size
+    buckets the batch touches — per-batch write cost is
+    O(batch + corpus/n_state_buckets · touched), not O(corpus). READS
+    are bucket-pruned the same way: signatures are bucketed by
+    band_hash (the candidate probe's key) and shingle sets by doc id
+    (the verify join's key), so each batch scans only the state buckets
+    its own keys hash into, not the accumulated table. Size
     ``n_state_buckets`` ≈ corpus_size / target_bucket_size (100 MB-1 GB
     buckets at scale) so the per-batch rewrite stays batch-proportional.
 
@@ -90,14 +94,35 @@ def run_incremental_neardup(
     ``near_dup_clusters`` compaction sweep collapses them.
     """
     spark = docs_stream.sparkSession
+    # signatures are bucketed by BAND HASH, not doc id: the per-batch
+    # candidate probe filters on (band_id, band_hash), so band-keyed
+    # buckets turn the stream-static join's state read into a
+    # bucket-pruned scan (read_buckets of the batch's band buckets)
+    # instead of a full-table scan per micro-batch. band_hash rides in
+    # the merge keys — a (doc, band) row has exactly one hash, so key
+    # semantics are unchanged and matching rows always share a bucket.
     sig_table = BucketedTable(
-        spark, f"{state_dir}/signatures", bucket_key=id_col,
+        spark, f"{state_dir}/signatures", bucket_key="band_hash",
         n_buckets=n_state_buckets,
     )
+    # shingle sets are probed by doc id (the verify join), so they keep
+    # doc-id buckets and the same pruned-read trick applies there
     hs_table = BucketedTable(
         spark, f"{state_dir}/shingle_sets", bucket_key=id_col,
         n_buckets=n_state_buckets,
     )
+
+    def _bucket_ids(df: DataFrame, key: str) -> list[int]:
+        """Distinct state-bucket ids the batch's keys hash into —
+        ≤ n_state_buckets rows collected, never data."""
+        return [
+            r[0]
+            for r in df.select(
+                F.pmod(F.xxhash64(F.col(key)), F.lit(n_state_buckets)).alias("_b")
+            )
+            .distinct()
+            .collect()
+        ]
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         batch = batch_df.dropDuplicates([id_col])
@@ -131,7 +156,7 @@ def run_incremental_neardup(
             batch_bands = banded.select("band_id", "band_hash").distinct()
             bucket_w = Window.partitionBy("band_id", "band_hash")
             sig_src = (
-                sig_table.read()
+                sig_table.read_buckets(_bucket_ids(banded, "band_hash"))
                 .join(
                     F.broadcast(batch_bands),
                     ["band_id", "band_hash"],
@@ -150,6 +175,10 @@ def run_incremental_neardup(
                 .select("new_id", "old_id")
                 .distinct()
             )
+            # candidates are batch-proportional; persist so the bucket-id
+            # probe and the verify join share one evaluation
+            cand = cand.persist()
+            hs_src = hs_table.read_buckets(_bucket_ids(cand, "old_id"))
             dup_ids = (
                 cand.join(
                     sigs.select(
@@ -158,7 +187,7 @@ def run_incremental_neardup(
                     "new_id",
                 )
                 .join(
-                    hs_table.read().select(
+                    hs_src.select(
                         F.col(id_col).alias("old_id"), F.col("_hs").alias("_hs_old")
                     ),
                     "old_id",
@@ -168,9 +197,11 @@ def run_incremental_neardup(
                 .distinct()
             )
             reps = reps.join(dup_ids, id_col, "left_anti")
+            reps = reps.localCheckpoint(eager=True)
+            cand.unpersist()
         # 3. publish survivors; remember EVERY batch doc's signatures
         corpus.merge(reps, keys=[id_col])
-        sig_table.merge(banded, keys=[id_col, "band_id"])
+        sig_table.merge(banded, keys=[id_col, "band_id", "band_hash"])
         hs_table.merge(sigs.select(id_col, "_hs"), keys=[id_col])
         # retention: superseded bucket dirs would otherwise accumulate
         # one generation per micro-batch, forever; state tables need no

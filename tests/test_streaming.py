@@ -488,18 +488,26 @@ def test_incremental_neardup_chain_residue_under_adversarial_order(spark, tmp_pa
     kept = {r["doc_id"] for r in corpus.read().collect()}
     assert kept == {3, 1}  # both endpoints kept, bridge B dropped
 
-    # bounded state writes: each 1-doc batch's state MERGE rewrote
-    # exactly ONE bucket of the signature/shingle tables, never the
-    # accumulated table (the 100 TB ingest-cost contract)
+    # bounded state writes (the 100 TB ingest-cost contract): shingle
+    # sets are doc-id-bucketed — a 1-doc batch rewrites exactly ONE
+    # bucket; signatures are BAND-HASH-bucketed (so candidate probes
+    # read bucket-pruned) — a 1-doc batch writes at most its BANDS=16
+    # band buckets, bounded by the batch's bands, never the table
+    from delta_data_pipelines_spark.operators.dedup import BANDS
     from delta_data_pipelines_spark.storage import BucketedTable
 
-    for name in ("signatures", "shingle_sets"):
-        t = BucketedTable(
-            spark, str(tmp_path / "chain_state" / name), bucket_key="doc_id"
-        )
-        merges = [c for c in t.history() if c.action == "merge"]
-        assert len(merges) == 3
-        assert all(c.metrics["buckets_written"] == 1 for c in merges)
+    hs = BucketedTable(
+        spark, str(tmp_path / "chain_state" / "shingle_sets"), bucket_key="doc_id"
+    )
+    merges = [c for c in hs.history() if c.action == "merge"]
+    assert len(merges) == 3
+    assert all(c.metrics["buckets_written"] == 1 for c in merges)
+    sig = BucketedTable(
+        spark, str(tmp_path / "chain_state" / "signatures"), bucket_key="band_hash"
+    )
+    merges = [c for c in sig.history() if c.action == "merge"]
+    assert len(merges) == 3
+    assert all(1 <= c.metrics["buckets_written"] <= BANDS for c in merges)
 
     # the documented compaction: the sweep rebuilds the pair graph from
     # the ACCUMULATED state (connectivity runs through dropped bridge
