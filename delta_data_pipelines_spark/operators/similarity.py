@@ -132,21 +132,28 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: inverted-file cells from deterministic
-    centroids (the ``n_cells`` lowest-id corpus vectors — nothing to
-    fit, fully reproducible), queries probe their ``nprobe`` nearest
-    cells only.
+    centroids (default: the ``n_cells`` lowest-id corpus vectors —
+    nothing to fit, fully reproducible), queries probe their
+    ``nprobe`` nearest cells only.
 
-    At 100 TB: centroids come from a sampled k-means and the corpus is
-    *written partitioned by cell*, so a probe is partition-pruned I/O —
-    the assignment pass here (corpus × broadcast centroids) is the
-    expensive one-off build step, amortized across all queries.
-    Same output schema as brute_force_topk; recall < 1 by construction.
+    ``centroids`` (cid, cv:array<double>) swaps in fitted cells — pass
+    ``kmeans_centroids(...)`` to run the production build: k-means-
+    refined cells balance cell sizes, which tightens the probe-cost
+    tail. At 100 TB: the corpus is *written partitioned by cell*, so a
+    probe is partition-pruned I/O — the assignment pass here (corpus ×
+    broadcast centroids) is the expensive one-off build step, amortized
+    across all queries. Same output schema as brute_force_topk;
+    recall < 1 by construction.
     """
-    cent = corpus.where(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
-    )
+    if centroids is not None:
+        cent = centroids.select("cid", "cv")
+    else:
+        cent = corpus.where(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
+        )
     c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
     q = queries.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
 
@@ -201,6 +208,32 @@ def kmeans_assign(
     one hash partition on (cid, pos) — k·dim groups — plus the argmax
     window on the vector id; nothing quadratic, nothing driver-side.
     """
+    assign = _kmeans_final_assign(df, id_col, vec_col, k, n_iter)
+    return assign.select(id_col, "cid")
+
+
+def _centroid_means(assign: DataFrame) -> DataFrame:
+    """Componentwise decimal-exact means of each cluster's members:
+    posexplode → groupBy (cid, pos) → rebuild array sorted by pos."""
+    comps = assign.select("cid", F.posexplode("_v").alias("pos", "val"))
+    means = comps.groupBy("cid", "pos").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+            / F.count("*"),
+            9,
+        ).alias("c")
+    )
+    return means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cv")
+    )
+
+
+def _kmeans_final_assign(
+    df: DataFrame, id_col: str, vec_col: str, k: int, n_iter: int
+) -> DataFrame:
     if k < 1 or n_iter < 1:
         raise ValueError(f"k and n_iter must be >= 1, got k={k} n_iter={n_iter}")
     vecs = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
@@ -209,24 +242,22 @@ def kmeans_assign(
     )
     assign = ivf_assign(vecs, cent, id_col)
     for _ in range(n_iter - 1):
-        comps = assign.select(
-            "cid", F.posexplode("_v").alias("pos", "val")
-        )
-        means = comps.groupBy("cid", "pos").agg(
-            F.round(
-                F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
-                / F.count("*"),
-                9,
-            ).alias("c")
-        )
-        cent = means.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda s: s["c"],
-            ).alias("cv")
-        )
-        assign = ivf_assign(vecs, cent, id_col)
-    return assign.select(id_col, "cid")
+        assign = ivf_assign(vecs, _centroid_means(assign), id_col)
+    return assign
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Fitted cell centroids (cid, cv) — the production IVF build step:
+    run the deterministic Lloyd rounds, then return the mean of each
+    FINAL cluster. Feed straight into ``ivf_topk(centroids=...)``."""
+    assign = _kmeans_final_assign(df, id_col, vec_col, k, n_iter)
+    return _centroid_means(assign)
 
 
 def lsh_topk(

@@ -816,3 +816,30 @@ def test_near_dup_clusters_evaluates_pairs_exactly_once(spark):
     # the symmetric-edges union reads pairs twice while building the
     # edges cache; after that every round must hit the cache
     assert calls.value <= 2 * raw.count(), calls.value
+
+
+def test_ivf_topk_with_fitted_kmeans_centroids(spark):
+    """The production IVF build: kmeans_centroids feeds ivf_topk. Same
+    output contract as the seeded variant, and recall vs brute force
+    stays above the single-probe floor."""
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    e = read_table(spark, SF, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    cent = kmeans_centroids(e, k=8, n_iter=2)
+    assert cent.count() <= 8
+    got = ivf_topk(e, q, k=5, nprobe=2, centroids=cent)
+    rows = got.collect()
+    assert {r["query_id"] for r in rows} == set(range(10))
+    assert all(1 <= r["rank"] <= 5 for r in rows)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(e, q, k=5).collect()
+    }
+    hits = sum(1 for r in rows if (r["query_id"], r["neighbor_id"]) in exact)
+    assert hits / len(exact) >= 0.3  # single-digit-probe recall floor
