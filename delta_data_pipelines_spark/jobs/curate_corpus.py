@@ -62,12 +62,18 @@ def pack_stage(
 
     Scale shape: one ``global_cumsum_by_range`` pass per split (splits
     are few), so the big-table cumsum window is range-partitioned, not
-    a per-split single partition."""
+    a per-split single partition. The upstream pipeline is checkpointed
+    once here — the split-name collect and the per-split branches would
+    otherwise each re-run the whole scrub/gate/dedup lineage."""
     from functools import reduce
 
-    from ..operators.ranking import global_cumsum_by_range
+    from ..operators.ranking import chunk_span, global_cumsum_by_range
 
-    sized = docs.withColumn("_ntok", token_count_ws(F.col(text_col)))
+    if ctx < 1:
+        raise ValueError(f"pack ctx must be >= 1, got {ctx}")
+    sized = docs.withColumn(
+        "_ntok", token_count_ws(F.col(text_col))
+    ).localCheckpoint(eager=True)
     names = [r[0] for r in sized.select(split_col).distinct().collect()]
     parts = []
     for name in sorted(names):
@@ -75,13 +81,11 @@ def pack_stage(
         cum = global_cumsum_by_range(sub, id_col, "_ntok")
         parts.append(cum)
     out = reduce(lambda a, b: a.unionByName(b), parts)
+    span = chunk_span("cum_before", "_ntok", ctx)
     return (
-        out.withColumn("start_offset", F.col("cum_before"))
-        .withColumn("chunk_start", F.floor(F.col("cum_before") / ctx))
-        .withColumn(
-            "chunk_end",
-            F.floor((F.col("cum_before") + F.col("_ntok") - 1) / ctx),
-        )
+        out.withColumn("start_offset", span["start_offset"])
+        .withColumn("chunk_start", span["chunk_start"])
+        .withColumn("chunk_end", span["chunk_end"])
         .drop("cum_before", "_ntok")
     )
 

@@ -81,3 +81,19 @@ def global_cumsum_by_range(
         .withColumn("cum_before", F.col("_off") + F.col("_cum_local"))
         .drop("_pid", "_cum_local", "_off")
     )
+
+
+def chunk_span(cum_before, n_tokens, ctx: int) -> dict:
+    """The concat-and-chunk span columns, defined ONCE for both the
+    benchmark query (td_pack_sequences) and the curation job's packing
+    stage: a doc whose tokens occupy [cum_before, cum_before+n) of the
+    stream lands in chunks floor(cum/ctx) .. floor((cum+n-1)/ctx)."""
+    if ctx < 1:
+        raise ValueError(f"ctx must be >= 1, got {ctx}")
+    cum = F.col(cum_before) if isinstance(cum_before, str) else cum_before
+    n = F.col(n_tokens) if isinstance(n_tokens, str) else n_tokens
+    return {
+        "start_offset": cum,
+        "chunk_start": F.floor(cum / ctx),
+        "chunk_end": F.floor((cum + n - 1) / ctx),
+    }

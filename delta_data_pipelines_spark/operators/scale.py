@@ -108,7 +108,10 @@ def zorder_key(df: DataFrame, cols: list[str]) -> DataFrame:
     n = len(cols)
     z = F.lit(0).cast("bigint")
     for j, c in enumerate(cols):
-        lo, hi = float(stats[f"_min_{c}"]), float(stats[f"_max_{c}"])
+        lo_raw, hi_raw = stats[f"_min_{c}"], stats[f"_max_{c}"]
+        if lo_raw is None or hi_raw is None:
+            continue  # empty input or all-null column: no bits
+        lo, hi = float(lo_raw), float(hi_raw)
         if hi <= lo:
             continue  # constant column contributes no bits
         b = (

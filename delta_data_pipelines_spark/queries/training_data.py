@@ -591,7 +591,7 @@ def td_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumsums locally in parallel, and adds per-partition predecessor
     totals (the only unpartitioned window runs over ≤32 partition
     rows). Verified shuffle-shape in tests/test_plans.py."""
-    from ..operators.ranking import global_cumsum_by_range
+    from ..operators.ranking import chunk_span, global_cumsum_by_range
 
     ctx = 512
     d = read_table(spark, sf_dir, "documents")
@@ -599,15 +599,14 @@ def td_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", textstats.token_count_ws(F.col("text")).alias("n_tokens")
     )
     cum = global_cumsum_by_range(sized, "doc_id", "n_tokens")
+    span = chunk_span("cum_before", "n_tokens", ctx)
     return (
         cum.select(
             "doc_id",
             "n_tokens",
-            F.col("cum_before").alias("start_offset"),
-            F.floor(F.col("cum_before") / ctx).alias("chunk_start"),
-            F.floor(
-                (F.col("cum_before") + F.col("n_tokens") - 1) / ctx
-            ).alias("chunk_end"),
+            span["start_offset"].alias("start_offset"),
+            span["chunk_start"].alias("chunk_start"),
+            span["chunk_end"].alias("chunk_end"),
         )
         .withColumn(
             "n_chunks", F.col("chunk_end") - F.col("chunk_start") + 1

@@ -190,6 +190,22 @@ class BucketedTable:
     def _bucket_col(self):
         return F.pmod(F.xxhash64(F.col(self.bucket_key)), F.lit(self.n_buckets))
 
+    def bucket_ids_of(self, df: DataFrame, key: str | None = None) -> list[int]:
+        """Distinct bucket ids the values of ``key`` (default: this
+        table's bucket key) hash into — THE function readers must use
+        to drive ``read_buckets`` pruning, so the probe can never
+        drift from the table's own bucket math. Collects ≤ n_buckets
+        ints, never data."""
+        key = key or self.bucket_key
+        return sorted(
+            r[0]
+            for r in df.select(
+                F.pmod(F.xxhash64(F.col(key)), F.lit(self.n_buckets)).alias("_b")
+            )
+            .distinct()
+            .collect()
+        )
+
     def _write_buckets(self, df: DataFrame, version: int) -> list[int]:
         """Write df (with its _bucket column) under v=NN/_bucket=K; one
         Spark job for all buckets. Returns the bucket ids written."""

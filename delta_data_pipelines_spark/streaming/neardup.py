@@ -40,6 +40,11 @@ disconnected arrival prefix: if A~B and B~C but not A~C, arrival order
 checked. ``compact_neardup_residue`` below is the standard compaction
 for that residue (also exposed as the ``compact-neardups`` CLI
 command). Tested in tests/test_streaming.py.
+
+STATE LAYOUT: signatures bucket on band_hash, shingle sets on doc id
+(layout v2 — v1 bucketed both on doc id). Reopening a v1 state dir
+raises the BucketedTable geometry error by design; migrate by
+re-ingesting, or rebuild in place with ``migrate_state_layout``.
 """
 
 from __future__ import annotations
@@ -112,18 +117,6 @@ def run_incremental_neardup(
         n_buckets=n_state_buckets,
     )
 
-    def _bucket_ids(df: DataFrame, key: str) -> list[int]:
-        """Distinct state-bucket ids the batch's keys hash into —
-        ≤ n_state_buckets rows collected, never data."""
-        return [
-            r[0]
-            for r in df.select(
-                F.pmod(F.xxhash64(F.col(key)), F.lit(n_state_buckets)).alias("_b")
-            )
-            .distinct()
-            .collect()
-        ]
-
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         batch = batch_df.dropDuplicates([id_col])
         if batch.isEmpty():
@@ -156,7 +149,7 @@ def run_incremental_neardup(
             batch_bands = banded.select("band_id", "band_hash").distinct()
             bucket_w = Window.partitionBy("band_id", "band_hash")
             sig_src = (
-                sig_table.read_buckets(_bucket_ids(banded, "band_hash"))
+                sig_table.read_buckets(sig_table.bucket_ids_of(banded))
                 .join(
                     F.broadcast(batch_bands),
                     ["band_id", "band_hash"],
@@ -178,7 +171,7 @@ def run_incremental_neardup(
             # candidates are batch-proportional; persist so the bucket-id
             # probe and the verify join share one evaluation
             cand = cand.persist()
-            hs_src = hs_table.read_buckets(_bucket_ids(cand, "old_id"))
+            hs_src = hs_table.read_buckets(hs_table.bucket_ids_of(cand, "old_id"))
             dup_ids = (
                 cand.join(
                     sigs.select(
@@ -199,9 +192,22 @@ def run_incremental_neardup(
             reps = reps.join(dup_ids, id_col, "left_anti")
             reps = reps.localCheckpoint(eager=True)
             cand.unpersist()
-        # 3. publish survivors; remember EVERY batch doc's signatures
+        # 3. publish survivors; remember EVERY batch doc's signatures.
+        # First-wins consistency across BOTH state tables: a re-arriving
+        # doc id (even with changed text) contributes nothing — the
+        # shingle merge already ignores matched ids, and the signature
+        # rows are pre-filtered to ids not yet in the shingle state
+        # (band_hash is in the sig merge keys for bucketing, so without
+        # this filter changed text would INSERT second-signature rows
+        # describing text the stored shingle set doesn't match).
         corpus.merge(reps, keys=[id_col])
-        sig_table.merge(banded, keys=[id_col, "band_id", "band_hash"])
+        new_banded = banded
+        if hs_table.exists():
+            known = hs_table.read_buckets(
+                hs_table.bucket_ids_of(sigs, id_col)
+            ).select(id_col)
+            new_banded = banded.join(known, id_col, "left_anti")
+        sig_table.merge(new_banded, keys=[id_col, "band_id", "band_hash"])
         hs_table.merge(sigs.select(id_col, "_hs"), keys=[id_col])
         # retention: superseded bucket dirs would otherwise accumulate
         # one generation per micro-batch, forever; state tables need no
@@ -217,6 +223,35 @@ def run_incremental_neardup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def migrate_state_layout(spark, state_dir: str) -> bool:
+    """Rebuild a v1 signature state (doc-id buckets) in the v2 layout
+    (band-hash buckets) so an existing deployment can resume ingest
+    after upgrading. One full read + one bucketed rewrite — a one-off
+    maintenance op. Returns True if migration ran, False when the
+    state is already v2 or absent. The shingle-set table's layout is
+    unchanged between versions."""
+    import os
+    import shutil
+
+    root = f"{state_dir}/signatures"
+    if not BucketedTable.exists_at(root):
+        return False
+    old = BucketedTable(spark, root)
+    if old.bucket_key == "band_hash":
+        return False
+    rows = old.read().localCheckpoint(eager=True)
+    tmp_root = root + ".migrating"
+    if os.path.exists(tmp_root):
+        shutil.rmtree(tmp_root)
+    new = BucketedTable(
+        spark, tmp_root, bucket_key="band_hash", n_buckets=old.n_buckets
+    )
+    new.overwrite(rows)
+    shutil.rmtree(root)
+    os.replace(tmp_root, root)
+    return True
 
 
 def compact_neardup_residue(

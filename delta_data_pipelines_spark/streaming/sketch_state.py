@@ -34,12 +34,34 @@ def merge_sketches(
     state: DataFrame, batch: DataFrame, group_cols: list[str], k: int
 ) -> DataFrame:
     """Merge two per-group sketch tables (outer on the group): concat →
-    dedup → bottom-k, recomputing the estimate from the merged sketch."""
+    dedup → bottom-k, recomputing the estimate from the merged sketch.
+
+    The outer join is NULL-SAFE on the group key: a plain equi-join
+    never matches NULL groups, so a null-lang sketch row would
+    duplicate instead of merging — one extra state row per batch,
+    forever, with wrong estimates for that group."""
+    from functools import reduce
+
     s = state.select(*group_cols, F.col("sketch").alias("_a"))
-    b = batch.select(*group_cols, F.col("sketch").alias("_b"))
+    b = batch.select(
+        *[F.col(c).alias(f"_g_{c}") for c in group_cols],
+        F.col("sketch").alias("_b"),
+    )
+    cond = reduce(
+        lambda x, y: x & y,
+        [s[c].eqNullSafe(b[f"_g_{c}"]) for c in group_cols],
+    )
     empty = F.array().cast("array<bigint>")
     merged = (
-        s.join(b, group_cols, "full_outer")
+        s.join(b, cond, "full_outer")
+        .select(
+            *[
+                F.coalesce(s[c], b[f"_g_{c}"]).alias(c)
+                for c in group_cols
+            ],
+            "_a",
+            "_b",
+        )
         .withColumn(
             "sketch",
             F.slice(
@@ -72,6 +94,7 @@ def run_incremental_vocab_sketch(
     group_col: str = "lang",
     text_col: str = "text",
     k: int = 64,
+    state_keep_last: int = 3,
 ) -> StreamingQuery:
     """Maintain per-``group_col`` distinct-token estimates over a
     document stream with O(groups·k) state."""
@@ -90,6 +113,9 @@ def run_incremental_vocab_sketch(
         else:
             out = batch_sketch
         state_table.overwrite(out.localCheckpoint(eager=True))
+        # one overwrite per micro-batch: prune superseded version dirs
+        # (tiny, but a long-lived stream would leak one per batch)
+        state_table.vacuum(keep_last=state_keep_last)
 
     return (
         docs_stream.writeStream.foreachBatch(sink)

@@ -234,3 +234,15 @@ def test_curate_scrub_and_pack_stages(spark, tmp_path):
             assert r["chunk_start"] == running // 128
             assert r["chunk_end"] == (running + tok[r["doc_id"]] - 1) // 128
             running += tok[r["doc_id"]]
+
+
+def test_pack_stage_rejects_nonpositive_ctx(spark):
+    from delta_data_pipelines_spark.jobs.curate_corpus import pack_stage
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "train")], "doc_id long, text string, split string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ctx must be"):
+        pack_stage(df, ctx=0)

@@ -146,3 +146,21 @@ def test_zorder_validates_columns(spark):
 
     with _pytest.raises(ValueError, match="2-4 columns"):
         zorder_key(df, ["a"])
+
+
+def test_zorder_empty_and_allnull_inputs(spark, tmp_path):
+    """Empty input and all-null columns must write cleanly (constant z),
+    not crash unpacking None stats."""
+    import pyspark.sql.functions as F
+
+    from delta_data_pipelines_spark.operators.scale import write_zordered
+
+    empty = spark.range(0).selectExpr("id AS a", "id AS b")
+    write_zordered(empty, str(tmp_path / "ze"), ["a", "b"], n_files=4)
+    assert spark.read.parquet(str(tmp_path / "ze")).count() == 0
+
+    nulls = spark.range(10).select(
+        F.col("id").alias("a"), F.lit(None).cast("long").alias("b")
+    )
+    write_zordered(nulls, str(tmp_path / "zn"), ["a", "b"], n_files=4)
+    assert spark.read.parquet(str(tmp_path / "zn")).count() == 10

@@ -595,3 +595,132 @@ def test_incremental_vocab_sketch_converges_to_batch(spark, tmp_path):
         r["lang"]: (tuple(r["sketch"]), r["n_est"]) for r in merged.collect()
     }
     assert got2 == expect
+
+
+def test_merge_sketches_null_group_merges_not_duplicates(spark):
+    """NULL group keys must MERGE (null-safe join), not duplicate: a
+    plain equi-join never matches NULL, which would grow one extra
+    null-group state row per micro-batch with wrong estimates."""
+    from delta_data_pipelines_spark.operators.sketches import kmv_sketch
+    from delta_data_pipelines_spark.streaming.sketch_state import (
+        merge_sketches,
+    )
+
+    a = spark.createDataFrame(
+        [(None, f"t{i}") for i in range(10)], "lang string, token string"
+    )
+    b = spark.createDataFrame(
+        [(None, f"u{i}") for i in range(10)] + [("en", "x")],
+        "lang string, token string",
+    )
+    sa = kmv_sketch(a, ["lang"], "token", k=64)
+    sb = kmv_sketch(b, ["lang"], "token", k=64)
+    merged = merge_sketches(sa, sb, ["lang"], 64).collect()
+    by_lang = {r["lang"]: r for r in merged}
+    assert len(merged) == 2 and None in by_lang and "en" in by_lang
+    assert by_lang[None]["n_est"] == 20.0  # 10 + 10 distinct, merged
+    # bit-identical to the batch sketch over the union
+    union_sketch = kmv_sketch(
+        a.unionByName(b), ["lang"], "token", k=64
+    ).collect()
+    expect = {r["lang"]: (tuple(r["sketch"]), r["n_est"]) for r in union_sketch}
+    got = {r["lang"]: (tuple(r["sketch"]), r["n_est"]) for r in merged}
+    assert got == expect
+
+
+def test_neardup_state_layout_migration(spark, tmp_path):
+    """A v1 signature state (doc-id buckets) must be rebuildable in
+    place into the v2 band-hash layout with identical rows, after which
+    the ingest constructor accepts it."""
+    from delta_data_pipelines_spark.storage import BucketedTable
+    from delta_data_pipelines_spark.streaming.neardup import (
+        migrate_state_layout,
+    )
+
+    state = tmp_path / "mig_state"
+    v1 = BucketedTable(
+        spark, str(state / "signatures"), bucket_key="doc_id", n_buckets=8
+    )
+    rows = spark.createDataFrame(
+        [(i, b, i * 31 + b) for i in range(20) for b in range(4)],
+        "doc_id bigint, band_id int, band_hash bigint",
+    )
+    v1.overwrite(rows)
+    before = {
+        (r["doc_id"], r["band_id"], r["band_hash"]) for r in v1.read().collect()
+    }
+    assert migrate_state_layout(spark, str(state)) is True
+    v2 = BucketedTable(spark, str(state / "signatures"))
+    assert v2.bucket_key == "band_hash" and v2.n_buckets == 8
+    after = {
+        (r["doc_id"], r["band_id"], r["band_hash"]) for r in v2.read().collect()
+    }
+    assert after == before
+    # idempotent: already-v2 state is a no-op, absent state too
+    assert migrate_state_layout(spark, str(state)) is False
+    assert migrate_state_layout(spark, str(tmp_path / "nope")) is False
+
+
+def test_neardup_reingest_changed_text_keeps_state_consistent(
+    spark, tmp_path
+):
+    """First-wins across BOTH state tables: a doc id that re-arrives
+    with DIFFERENT text must contribute nothing — without the pre-merge
+    filter the signature table would grow second-signature rows whose
+    stored shingle sets describe other text."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from delta_data_pipelines_spark.storage import BucketedTable, VersionedTable
+    from delta_data_pipelines_spark.streaming.neardup import (
+        run_incremental_neardup,
+    )
+
+    d1 = "alpha beta gamma delta epsilon zeta eta theta"
+    d1b = "totally different words in the second arrival of same id"
+    docs = spark.createDataFrame(
+        [(1, d1), (1, d1b), (2, "unrelated content words here only")],
+        "doc_id long, text string",
+    )
+    data_dir = str(tmp_path / "ri_docs")
+    os.makedirs(data_dir, exist_ok=True)
+    for i, (doc_id, txt) in enumerate([(1, d1), (1, d1b), (2, None)]):
+        part = str(tmp_path / f"ri_{i}")
+        sub = docs.where(
+            (docs.doc_id == doc_id)
+            & (docs.text == (txt if txt else docs.text))
+        ).limit(1)
+        sub.coalesce(1).write.mode("overwrite").parquet(part)
+        (src,) = glob.glob(os.path.join(part, "*.parquet"))
+        dst = os.path.join(data_dir, f"{i:03d}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+        _time.sleep(0.02)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(data_dir)
+    )
+    corpus = VersionedTable(spark, str(tmp_path / "ri_corpus"))
+    q = run_incremental_neardup(
+        stream, str(tmp_path / "ri_state"), corpus, str(tmp_path / "ri_ckpt")
+    )
+    q.awaitTermination(180)
+    sig = BucketedTable(spark, str(tmp_path / "ri_state" / "signatures"))
+    hs = BucketedTable(spark, str(tmp_path / "ri_state" / "shingle_sets"))
+    # doc 1 has exactly ONE signature set (first arrival's 16 bands)
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in sig.read()
+        .groupBy("doc_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    from delta_data_pipelines_spark.operators.dedup import BANDS
+
+    assert per_doc == {1: BANDS, 2: BANDS}
+    assert hs.read().where("doc_id = 1").count() == 1
