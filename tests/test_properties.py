@@ -184,3 +184,80 @@ def test_repetition_signals_match_python_model(spark, texts):
             top = max(c.values()) / (len(toks) - 1)
         assert abs(got[i][0] - dup) < 1e-8, (s, got[i][0], dup)
         assert abs(got[i][1] - top) < 1e-8, (s, got[i][1], top)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=64),
+)
+def test_chunk_span_tiles_the_stream(spark, token_counts, ctx):
+    """Packing invariants for any doc sizes and ctx: offsets tile the
+    stream exactly, spans are well-ordered, and total chunks touched
+    equals ceil(total_tokens/ctx)."""
+    from delta_data_pipelines_spark.operators.ranking import chunk_span
+
+    rows = [(i, n) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, n bigint")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    cum = df.withColumn("cum", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    span = chunk_span("cum", "n", ctx)
+    got = cum.select(
+        "doc_id",
+        "n",
+        span["start_offset"].alias("o"),
+        span["chunk_start"].alias("cs"),
+        span["chunk_end"].alias("ce"),
+    ).collect()
+    got.sort(key=lambda r: r["doc_id"])
+    running = 0
+    max_chunk = -1
+    for r in got:
+        assert r["o"] == running
+        assert r["cs"] == running // ctx
+        assert r["ce"] == (running + r["n"] - 1) // ctx >= r["cs"]
+        max_chunk = max(max_chunk, r["ce"])
+        running += r["n"]
+    assert max_chunk == (running - 1) // ctx  # ceil(total/ctx) - 1
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.text(min_size=1, max_size=6), min_size=1, max_size=30),
+        min_size=2,
+        max_size=4,
+    )
+)
+def test_kmv_merge_associative_and_order_free(spark, batches):
+    """Any grouping/order of partial KMV sketches merges to the sketch
+    of the union — the invariant that makes incremental maintenance
+    exact."""
+    from functools import reduce
+
+    from delta_data_pipelines_spark.operators.sketches import kmv_sketch
+    from delta_data_pipelines_spark.streaming.sketch_state import (
+        merge_sketches,
+    )
+
+    K = 16
+    dfs = [
+        spark.createDataFrame([("g", t) for t in b], "g string, v string")
+        for b in batches
+    ]
+    partials = [kmv_sketch(d, ["g"], "v", k=K) for d in dfs]
+    fwd = reduce(lambda a, b: merge_sketches(a, b, ["g"], K), partials)
+    rev = reduce(
+        lambda a, b: merge_sketches(a, b, ["g"], K), reversed(partials)
+    )
+    union = kmv_sketch(
+        reduce(lambda a, b: a.unionByName(b), dfs), ["g"], "v", k=K
+    )
+    as_map = lambda df: {
+        r["g"]: (tuple(r["sketch"]), r["n_est"]) for r in df.collect()
+    }
+    expect = as_map(union)
+    assert as_map(fwd) == expect
+    assert as_map(rev) == expect
