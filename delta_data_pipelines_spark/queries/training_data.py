@@ -615,6 +615,27 @@ def td_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def td_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing inverse: one row per (chunk, doc) pair — the
+    manifest a training loader consumes (which docs feed chunk N and
+    at what offsets). Built by exploding each doc's chunk span from
+    td_pack_sequences; per-chunk doc counts ride along so boundary
+    chunks (2 docs) are visible."""
+    packed = td_pack_sequences(spark, sf_dir)
+    w = Window.partitionBy("chunk_id")
+    return (
+        packed.select(
+            "doc_id",
+            "start_offset",
+            F.explode(
+                F.sequence(F.col("chunk_start"), F.col("chunk_end"))
+            ).alias("chunk_id"),
+        )
+        .withColumn("n_docs_in_chunk", F.count("*").over(w))
+        .orderBy("chunk_id", "doc_id")
+    )
+
+
 def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language distinct-token cardinality via a KMV sketch, next
     to the exact count — the portable-hash sketch whose estimate an
@@ -704,6 +725,7 @@ SPARK_QUERIES = {
     "txt_vocab_topk": txt_vocab_topk,
     "txt_tfidf_top_term": txt_tfidf_top_term,
     "td_pack_sequences": td_pack_sequences,
+    "td_chunk_manifest": td_chunk_manifest,
     "sk_kmv_distinct": sk_kmv_distinct,
     "txt_boilerplate": txt_boilerplate,
 }
@@ -898,6 +920,29 @@ ORACLE_SQL = {
                (start_offset + n_tokens - 1) // 512
                    - start_offset // 512 + 1 AS n_chunks
         FROM cum ORDER BY doc_id
+    """,
+    "td_chunk_manifest": """
+        WITH sized AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), cum AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS start_offset
+            FROM sized
+        ), spans AS (
+            SELECT doc_id, start_offset,
+                   unnest(range(CAST(start_offset // 512 AS BIGINT),
+                                CAST((start_offset + n_tokens - 1) // 512 + 1
+                                     AS BIGINT)))
+                       AS chunk_id
+            FROM cum
+        )
+        SELECT doc_id, start_offset, chunk_id,
+               COUNT(*) OVER (PARTITION BY chunk_id) AS n_docs_in_chunk
+        FROM spans ORDER BY chunk_id, doc_id
     """,
     "sk_kmv_distinct": """
         WITH toks AS (
