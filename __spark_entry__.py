@@ -73,7 +73,7 @@ _PRIORITY = [
     "td_pack_sequences", "sk_kmv_distinct", "txt_boilerplate",
     "t_scd2_intervals", "sim_kmeans", "ds_temperature_mix",
     "txt_langid_confusion", "sim_semantic_dedup_audit",
-    "td_chunk_manifest",
+    "td_chunk_manifest", "t_funnel_stages",
     # streaming batch-twins (ST5) — representatives
     "st_windowed_counts", "st_dedup",
     # TPC-H: q2/q17/q20 changed this round (broadcast hints dropped),
@@ -92,7 +92,6 @@ _PRIORITY = [
     "txt_topk_per_source",
     # dedup/sampling/multimodal/projection reps
     "dd_exact",
-    "ds_hash_split",
 ]
 
 

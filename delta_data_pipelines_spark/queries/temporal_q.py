@@ -83,11 +83,67 @@ def t_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: per user, the
+    first view, the first click AT OR AFTER that view, and the first
+    purchase at or after that click — order matters (a purchase before
+    the click does not count), which is what separates a funnel from
+    three independent MINs.
+
+    Shape: three chained conditional-MIN aggregations on user_id; each
+    stage joins the per-user frontier back to the events (all three
+    shuffles share the user_id partitioning, so AQE/SMJ reuses the
+    exchange). No window-in-window, no per-user sort."""
+    e = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        )
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("first_view").alias("first_view"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("first_view")),
+                    F.col("ts"),
+                )
+            ).alias("first_click"),
+        )
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.first("first_view").alias("first_view"),
+            F.first("first_click").alias("first_click"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("first_click")),
+                    F.col("ts"),
+                )
+            ).alias("first_purchase"),
+        )
+    )
+    return s3.withColumn(
+        "stage",
+        F.when(F.col("first_purchase").isNotNull(), 3)
+        .when(F.col("first_click").isNotNull(), 2)
+        .when(F.col("first_view").isNotNull(), 1)
+        .otherwise(0),
+    ).orderBy("user_id")
+
+
 SPARK_QUERIES = {
     "t_asof_join": t_asof_join,
     "t_asof_join_tolerance": t_asof_join_tolerance,
     "t_range_join": t_range_join,
     "t_scd2_intervals": t_scd2_intervals,
+    "t_funnel_stages": t_funnel_stages,
 }
 
 _ERRORS = """
@@ -139,5 +195,33 @@ ORACLE_SQL = {
                LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                    AS is_current
         FROM p
+    """,
+    "t_funnel_stages": """
+        WITH s1 AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+            FROM events GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, ANY_VALUE(s1.first_view) AS first_view,
+                   MIN(CASE WHEN e.event_type = 'click'
+                             AND e.ts >= s1.first_view THEN e.ts END)
+                       AS first_click
+            FROM events e JOIN s1 USING (user_id)
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, ANY_VALUE(s2.first_view) AS first_view,
+                   ANY_VALUE(s2.first_click) AS first_click,
+                   MIN(CASE WHEN e.event_type = 'purchase'
+                             AND e.ts >= s2.first_click THEN e.ts END)
+                       AS first_purchase
+            FROM events e JOIN s2 USING (user_id)
+            GROUP BY e.user_id
+        )
+        SELECT user_id, first_view, first_click, first_purchase,
+               CASE WHEN first_purchase IS NOT NULL THEN 3
+                    WHEN first_click IS NOT NULL THEN 2
+                    WHEN first_view IS NOT NULL THEN 1
+                    ELSE 0 END AS stage
+        FROM s3 ORDER BY user_id
     """,
 }
