@@ -66,14 +66,16 @@ _PRIORITY = [
     "tpch_q15", "tpch_q17", "tpch_q20", "tpch_q21",
     "txt_repetition", "txt_vocab_topk", "txt_tfidf_top_term",
     "td_gopher_filter", "td_decontaminate",
-    # r6 additions — never driver-seen; rotated out for them:
-    # txt_length_quantiles, j_dim_chain, mm_resize, mm_frames,
-    # dd_embedding, ds_det_sample (all driver-green r1 + r5)
+    # r6 additions — never driver-seen; rotated out for them (all
+    # driver-green in BOTH r1 and r5, and still mirror-checked):
+    # txt_length_quantiles, j_dim_chain, mm_resize, mm_frames, mm_meta,
+    # mm_features, dd_embedding, dd_ngram_jaccard, dd_exact,
+    # ds_det_sample, ds_hash_split, p_filter_project, so_union
     "ds_stratified_sample", "txt_pii_scrub",
     "td_pack_sequences", "sk_kmv_distinct", "txt_boilerplate",
     "t_scd2_intervals", "sim_kmeans", "ds_temperature_mix",
     "txt_langid_confusion", "sim_semantic_dedup_audit",
-    "td_chunk_manifest", "t_funnel_stages",
+    "td_chunk_manifest", "t_funnel_stages", "txt_bm25_topk",
     # streaming batch-twins (ST5) — representatives
     "st_windowed_counts", "st_dedup",
     # TPC-H: q2/q17/q20 changed this round (broadcast hints dropped),
@@ -90,8 +92,6 @@ _PRIORITY = [
     # training-data headline components
     "dd_minhash", "sim_brute_topk", "sim_ivf_topk", "txt_profile",
     "txt_topk_per_source",
-    # dedup/sampling/multimodal/projection reps
-    "dd_exact",
 ]
 
 

@@ -403,6 +403,75 @@ def txt_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("table", "query", "fast")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed query — the relevance scorer
+    behind query-based corpus filtering (keep docs similar to a seed
+    set). Exact-checkable: idf/tf/length-norm math is written with the
+    same operation order in both engines, per-term scores are rounded
+    then summed as decimals (order-exact), and the corpus stats (N,
+    avg doc length) ride in as a broadcast 1-row aggregate, not a
+    driver-side count."""
+    d = read_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", textstats.token_count_ws(F.col("text")).alias("dl")
+    )
+    stats = sized.agg(
+        F.count("*").alias("_n"),
+        (
+            F.sum(F.col("dl").cast("decimal(20,6)")).cast("double")
+            / F.count("*")
+        ).alias("_avgdl"),
+    )
+    terms = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).where(F.col("token").isin(*_BM25_TERMS))
+    tf = terms.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = terms.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    k1, b = _BM25_K1, _BM25_B
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(sized, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                (F.col("_n") - F.col("doc_freq") + 0.5)
+                / (F.col("doc_freq") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.round(
+                F.col("_idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
+                ),
+                9,
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum(F.col("_s").cast("decimal(20,9)")).cast("double").alias("bm25"),
+        F.count("*").alias("n_terms_hit"),
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("rank", "doc_id", "bm25", "n_terms_hit")
+    )
+
+
 def td_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination audit — the decontamination pass every
     LLM data pipeline runs before trusting an eval split: deterministic
@@ -724,6 +793,7 @@ SPARK_QUERIES = {
     "td_decontaminate": td_decontaminate,
     "txt_vocab_topk": txt_vocab_topk,
     "txt_tfidf_top_term": txt_tfidf_top_term,
+    "txt_bm25_topk": txt_bm25_topk,
     "td_pack_sequences": td_pack_sequences,
     "td_chunk_manifest": td_chunk_manifest,
     "sk_kmv_distinct": sk_kmv_distinct,
@@ -993,6 +1063,54 @@ ORACLE_SQL = {
         )
         SELECT source, shingle, n_docs, df_ratio, CAST(rnk AS INTEGER) AS rnk
         FROM ranked WHERE rnk <= 5 ORDER BY source, rnk
+    """,
+    # identical operation order to the Spark expression; per-term scores
+    # rounded then summed as decimals so the doc total is order-exact
+    "txt_bm25_topk": """
+        WITH sized AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+        ), stats AS (
+            SELECT COUNT(*) AS _n,
+                   CAST(SUM(CAST(dl AS DECIMAL(20,6))) AS DOUBLE)
+                       / COUNT(*) AS _avgdl
+            FROM sized
+        ), terms AS (
+            SELECT doc_id, token FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ) WHERE token IN ('table', 'query', 'fast')
+        ), tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf
+            FROM terms GROUP BY doc_id, token
+        ), df AS (
+            SELECT token, COUNT(DISTINCT doc_id) AS doc_freq
+            FROM terms GROUP BY token
+        ), scored AS (
+            SELECT tf.doc_id,
+                   ROUND(
+                       ln((_n - doc_freq + 0.5) / (doc_freq + 0.5) + 1.0)
+                       * (tf.tf * (1.2 + 1.0))
+                       / (tf.tf + 1.2 * (1.0 - 0.75
+                              + 0.75 * sized.dl / _avgdl)),
+                       9) AS _s
+            FROM tf
+            JOIN df USING (token)
+            JOIN sized ON tf.doc_id = sized.doc_id
+            CROSS JOIN stats
+        ), per_doc AS (
+            SELECT doc_id,
+                   CAST(SUM(CAST(_s AS DECIMAL(20,9))) AS DOUBLE) AS bm25,
+                   COUNT(*) AS n_terms_hit
+            FROM scored GROUP BY doc_id
+        )
+        SELECT CAST(rank AS INTEGER) AS rank, doc_id, bm25, n_terms_hit
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY bm25 DESC, doc_id
+            ) AS rank
+            FROM per_doc
+        )
+        WHERE rank <= 20
     """,
     "td_decontaminate": (
         "WITH pairs AS (SELECT * FROM ("
