@@ -7,7 +7,7 @@ range: click→error within 10 minutes after, per user.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import read_table
@@ -90,46 +90,48 @@ def t_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     the click does not count), which is what separates a funnel from
     three independent MINs.
 
-    Shape: three chained conditional-MIN aggregations on user_id; each
-    stage joins the per-user frontier back to the events (all three
-    shuffles share the user_id partitioning, so AQE/SMJ reuses the
-    exchange). No window-in-window, no per-user sort."""
+    Shape: ONE shuffle on user_id. Three chained unbounded windows
+    over the same partitioning compute each stage's frontier from the
+    previous one's column (a window result can't nest inside another
+    window's expression, but a chained column can), and the final
+    per-user collapse reuses the partitioning — plan-asserted in
+    tests/test_plans.py (a join-per-stage formulation shuffles 3×)."""
     e = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    s1 = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
-            "first_view"
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "_fv",
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("ts"))
+            ).over(w),
         )
-    )
-    s2 = (
-        e.join(s1, "user_id")
-        .groupBy("user_id")
-        .agg(
-            F.first("first_view").alias("first_view"),
+        .withColumn(
+            "_fc",
             F.min(
                 F.when(
                     (F.col("event_type") == "click")
-                    & (F.col("ts") >= F.col("first_view")),
+                    & (F.col("ts") >= F.col("_fv")),
                     F.col("ts"),
                 )
-            ).alias("first_click"),
+            ).over(w),
         )
-    )
-    s3 = (
-        e.join(s2, "user_id")
-        .groupBy("user_id")
-        .agg(
-            F.first("first_view").alias("first_view"),
-            F.first("first_click").alias("first_click"),
+        .withColumn(
+            "_fp",
             F.min(
                 F.when(
                     (F.col("event_type") == "purchase")
-                    & (F.col("ts") >= F.col("first_click")),
+                    & (F.col("ts") >= F.col("_fc")),
                     F.col("ts"),
                 )
-            ).alias("first_purchase"),
+            ).over(w),
         )
     )
-    return s3.withColumn(
+    out = staged.groupBy("user_id").agg(
+        F.min("_fv").alias("first_view"),
+        F.min("_fc").alias("first_click"),
+        F.min("_fp").alias("first_purchase"),
+    )
+    return out.withColumn(
         "stage",
         F.when(F.col("first_purchase").isNotNull(), 3)
         .when(F.col("first_click").isNotNull(), 2)

@@ -232,3 +232,14 @@ def test_pack_sequences_parallel_cumsum_plan(spark, registry):
     assert "rangepartitioning" in plan.lower(), plan
     assert re.search(r"windowspecdefinition\(_pid#\d+, doc_id#\d+", plan), plan
     assert plan.count("SinglePartition") <= 1, plan
+
+
+def test_funnel_single_shuffle_no_joins(spark, registry):
+    """t_funnel_stages: the three stage frontiers are chained windows
+    over ONE user_id hash partitioning (a join-per-stage funnel
+    shuffles 3x); the only other exchange is the output sort."""
+    plan = plan_of(spark, registry, "t_funnel_stages")
+    assert "Join" not in plan, plan
+    hash_ex = len(re.findall(r"Arguments: hashpartitioning\(user_id#\d+", plan))
+    assert hash_ex == 1, plan
+    assert plan.count("Window") >= 3, plan
