@@ -76,6 +76,7 @@ _PRIORITY = [
     "t_scd2_intervals", "sim_kmeans", "ds_temperature_mix",
     "txt_langid_confusion", "sim_semantic_dedup_audit",
     "td_chunk_manifest", "t_funnel_stages", "txt_bm25_topk",
+    "t_retention_cohorts",
     # streaming batch-twins (ST5) — representatives
     "st_windowed_counts", "st_dedup",
     # TPC-H: q2/q17/q20 changed this round (broadcast hints dropped),
@@ -84,7 +85,7 @@ _PRIORITY = [
     # temporal joins
     "t_asof_join", "t_asof_join_tolerance", "t_range_join",
     # grouping/pivot family
-    "a_counters", "a_rollup", "a_cube", "a_dynamic_pivot",
+    "a_counters", "a_rollup", "a_cube",
     # scale-safe variants
     "w_row_number_seq_scalable", "w_batch_ids_global", "dd_embedding_blocked",
     # curation operators

@@ -140,12 +140,39 @@ def t_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def t_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by their signup week,
+    counted distinct in each subsequent activity week — the classic
+    cohort triangle. Two shuffles (per-user signup min, then the
+    cohort-cell distinct count); the signup frontier joins back
+    broadcast because one row per user is the SMALL side only at test
+    scale — at 100 TB both sides co-partition on user_id."""
+    e = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    signup = e.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = e.join(signup, "user_id").withColumn(
+        "weeks_since",
+        (
+            F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+            / 7
+        ).cast("int"),
+    )
+    return (
+        act.where(F.col("weeks_since") >= 0)
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
 SPARK_QUERIES = {
     "t_asof_join": t_asof_join,
     "t_asof_join_tolerance": t_asof_join_tolerance,
     "t_range_join": t_range_join,
     "t_scd2_intervals": t_scd2_intervals,
     "t_funnel_stages": t_funnel_stages,
+    "t_retention_cohorts": t_retention_cohorts,
 }
 
 _ERRORS = """
@@ -225,5 +252,24 @@ ORACLE_SQL = {
                     WHEN first_view IS NOT NULL THEN 1
                     ELSE 0 END AS stage
         FROM s3 ORDER BY user_id
+    """,
+    "t_retention_cohorts": """
+        WITH signup AS (
+            SELECT user_id,
+                   date_trunc('week', MIN(ts)) AS cohort_week
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ), act AS (
+            SELECT s.cohort_week,
+                   CAST(date_diff('day', s.cohort_week,
+                        date_trunc('week', e.ts)) / 7 AS INTEGER)
+                       AS weeks_since,
+                   e.user_id
+            FROM events e JOIN signup s USING (user_id)
+        )
+        SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, weeks_since,
+               COUNT(DISTINCT user_id) AS n_active
+        FROM act WHERE weeks_since >= 0
+        GROUP BY cohort_week, weeks_since
+        ORDER BY cohort_week, weeks_since
     """,
 }
