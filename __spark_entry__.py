@@ -66,11 +66,12 @@ _PRIORITY = [
     "tpch_q15", "tpch_q17", "tpch_q20", "tpch_q21",
     "txt_repetition", "txt_vocab_topk", "txt_tfidf_top_term",
     "td_gopher_filter", "td_decontaminate",
-    # r6 additions — never driver-seen; rotated out for them (all
-    # driver-green in BOTH r1 and r5, and still mirror-checked):
-    # txt_length_quantiles, j_dim_chain, mm_resize, mm_frames, mm_meta,
-    # mm_features, dd_embedding, dd_ngram_jaccard, dd_exact,
-    # ds_det_sample, ds_hash_split, p_filter_project, so_union
+    # The 14 r6 additions — never driver-seen; rotated out for them
+    # (all multiply driver-green in earlier rounds, most r1 + r5, and
+    # still mirror-checked): txt_length_quantiles, j_dim_chain,
+    # mm_resize, mm_frames, mm_meta, mm_features, dd_embedding,
+    # dd_ngram_jaccard, dd_exact, ds_det_sample, ds_hash_split,
+    # p_filter_project, so_union, a_dynamic_pivot
     "ds_stratified_sample", "txt_pii_scrub",
     "td_pack_sequences", "sk_kmv_distinct", "txt_boilerplate",
     "t_scd2_intervals", "sim_kmeans", "ds_temperature_mix",
