@@ -73,6 +73,9 @@ HEADLINE = [
     "sk_kmv_distinct",
     "sim_kmeans",
     "txt_pii_scrub",
+    # single-shuffle funnel + BM25 retrieval (r6 final wave)
+    "t_funnel_stages",
+    "txt_bm25_topk",
 ]
 
 
