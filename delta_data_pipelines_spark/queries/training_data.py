@@ -464,11 +464,14 @@ def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("_s").cast("decimal(20,9)")).cast("double").alias("bm25"),
         F.count("*").alias("n_terms_hit"),
     )
+    # top-k via sort+limit (TakeOrderedAndProject — parallel partial
+    # top-k per partition), NOT a global row_number window, which would
+    # funnel every matching doc through one partition; the rank window
+    # then runs over the 20 surviving rows only
+    top = per_doc.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(20)
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
-    return (
-        per_doc.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 20)
-        .select("rank", "doc_id", "bm25", "n_terms_hit")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "bm25", "n_terms_hit"
     )
 
 
@@ -660,6 +663,15 @@ def td_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumsums locally in parallel, and adds per-partition predecessor
     totals (the only unpartitioned window runs over ≤32 partition
     rows). Verified shuffle-shape in tests/test_plans.py."""
+    return _pack_core(spark, sf_dir).withColumn(
+        "n_chunks", F.col("chunk_end") - F.col("chunk_start") + 1
+    ).orderBy("doc_id")
+
+
+def _pack_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsorted packing core shared by td_pack_sequences (which adds
+    the presentation sort) and td_chunk_manifest (which re-partitions
+    by chunk — a sort here would be a wasted global exchange)."""
     from ..operators.ranking import chunk_span, global_cumsum_by_range
 
     ctx = 512
@@ -669,18 +681,12 @@ def td_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = global_cumsum_by_range(sized, "doc_id", "n_tokens")
     span = chunk_span("cum_before", "n_tokens", ctx)
-    return (
-        cum.select(
-            "doc_id",
-            "n_tokens",
-            span["start_offset"].alias("start_offset"),
-            span["chunk_start"].alias("chunk_start"),
-            span["chunk_end"].alias("chunk_end"),
-        )
-        .withColumn(
-            "n_chunks", F.col("chunk_end") - F.col("chunk_start") + 1
-        )
-        .orderBy("doc_id")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        span["start_offset"].alias("start_offset"),
+        span["chunk_start"].alias("chunk_start"),
+        span["chunk_end"].alias("chunk_end"),
     )
 
 
@@ -688,9 +694,11 @@ def td_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The packing inverse: one row per (chunk, doc) pair — the
     manifest a training loader consumes (which docs feed chunk N and
     at what offsets). Built by exploding each doc's chunk span from
-    td_pack_sequences; per-chunk doc counts ride along so boundary
-    chunks (2 docs) are visible."""
-    packed = td_pack_sequences(spark, sf_dir)
+    the unsorted packing core (td_pack_sequences' presentation sort
+    would be a wasted global exchange here — the manifest immediately
+    re-partitions on chunk_id); per-chunk doc counts ride along so
+    boundary chunks (2 docs) are visible."""
+    packed = _pack_core(spark, sf_dir)
     w = Window.partitionBy("chunk_id")
     return (
         packed.select(
@@ -1086,12 +1094,18 @@ ORACLE_SQL = {
             SELECT token, COUNT(DISTINCT doc_id) AS doc_freq
             FROM terms GROUP BY token
         ), scored AS (
+            -- constants written as e0 DOUBLE literals: DuckDB parses
+            -- bare 1.2 as DECIMAL and does (tf * 2.2) in exact decimal
+            -- arithmetic, which differs from Spark's binary-double
+            -- product by 1-2 ulp (verified: tf=3 -> 6.6 vs
+            -- 6.600000000000001) — a latent rounding-boundary flake
             SELECT tf.doc_id,
                    ROUND(
-                       ln((_n - doc_freq + 0.5) / (doc_freq + 0.5) + 1.0)
-                       * (tf.tf * (1.2 + 1.0))
-                       / (tf.tf + 1.2 * (1.0 - 0.75
-                              + 0.75 * sized.dl / _avgdl)),
+                       ln((_n - doc_freq + 0.5e0) / (doc_freq + 0.5e0)
+                          + 1.0e0)
+                       * (tf.tf * (1.2e0 + 1.0e0))
+                       / (tf.tf + 1.2e0 * (1.0e0 - 0.75e0
+                              + 0.75e0 * sized.dl / _avgdl)),
                        9) AS _s
             FROM tf
             JOIN df USING (token)
