@@ -261,3 +261,139 @@ def test_kmv_merge_associative_and_order_free(spark, batches):
     expect = as_map(union)
     assert as_map(fwd) == expect
     assert as_map(rev) == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),  # user
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(min_value=0, max_value=1000),  # seconds offset
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_funnel_matches_python_model(spark, events):
+    """The single-shuffle windowed funnel must agree with a direct
+    per-user Python simulation (first view -> first click >= it ->
+    first purchase >= that) on arbitrary event streams, including
+    same-timestamp events and stage skips."""
+    import datetime
+
+    from delta_data_pipelines_spark.queries.temporal_q import t_funnel_stages  # noqa: F401  (shape reference)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (u, t, base + datetime.timedelta(seconds=s)) for u, t, s in events
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+
+    # same expression chain as t_funnel_stages, applied to this df
+    w = Window.partitionBy("user_id")
+    staged = (
+        df.withColumn("_fv", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w))
+        .withColumn(
+            "_fc",
+            F.min(F.when((F.col("event_type") == "click") & (F.col("ts") >= F.col("_fv")), F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "_fp",
+            F.min(F.when((F.col("event_type") == "purchase") & (F.col("ts") >= F.col("_fc")), F.col("ts"))).over(w),
+        )
+    )
+    got = {
+        r["user_id"]: (r["fv"], r["fc"], r["fp"])
+        for r in staged.groupBy("user_id")
+        .agg(F.min("_fv").alias("fv"), F.min("_fc").alias("fc"), F.min("_fp").alias("fp"))
+        .collect()
+    }
+
+    # python model
+    expect = {}
+    per_user: dict[int, list] = {}
+    for u, t, ts in rows:
+        per_user.setdefault(u, []).append((t, ts))
+    for u, evs in per_user.items():
+        views = [ts for t, ts in evs if t == "view"]
+        fv = min(views) if views else None
+        fc = None
+        if fv is not None:
+            clicks = [ts for t, ts in evs if t == "click" and ts >= fv]
+            fc = min(clicks) if clicks else None
+        fp = None
+        if fc is not None:
+            buys = [ts for t, ts in evs if t == "purchase" and ts >= fc]
+            fp = min(buys) if buys else None
+        expect[u] = (fv, fc, fp)
+    assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["table", "query", "fast", "slow", "row"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_bm25_matches_python_model(spark, docs):
+    """BM25 scores must match a direct Python implementation (same k1,
+    b, idf form) to 1e-6 on arbitrary corpora."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.operators import textstats
+
+    K1, B = 1.2, 0.75
+    TERMS = ("table", "query", "fast")
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sized = df.select("doc_id", textstats.token_count_ws(F.col("text")).alias("dl"))
+    stats = sized.agg(
+        F.count("*").alias("_n"),
+        (F.sum(F.col("dl").cast("decimal(20,6)")).cast("double") / F.count("*")).alias("_avgdl"),
+    )
+    terms = df.select("doc_id", F.explode(F.split("text", " ")).alias("token")).where(
+        F.col("token").isin(*TERMS)
+    )
+    tf = terms.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfq = terms.groupBy("token").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    scored = (
+        tf.join(F.broadcast(dfq), "token")
+        .join(sized, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_s",
+            F.log((F.col("_n") - F.col("doc_freq") + 0.5) / (F.col("doc_freq") + 0.5) + 1.0)
+            * (F.col("tf") * (K1 + 1.0))
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("_avgdl"))),
+        )
+    )
+    got = {
+        (r["doc_id"], r["token"]): r["_s"] for r in scored.collect()
+    }
+
+    n = len(docs)
+    avgdl = sum(len(d) for d in docs) / n
+    dfc: dict[str, int] = {}
+    for d in docs:
+        for t in set(d) & set(TERMS):
+            dfc[t] = dfc.get(t, 0) + 1
+    for i, d in enumerate(docs):
+        for t in TERMS:
+            c = d.count(t)
+            if c == 0:
+                continue
+            idf = math.log((n - dfc[t] + 0.5) / (dfc[t] + 0.5) + 1.0)
+            s = idf * (c * (K1 + 1.0)) / (c + K1 * (1.0 - B + B * len(d) / avgdl))
+            assert abs(got[(i, t)] - s) < 1e-6, (i, t, got[(i, t)], s)
