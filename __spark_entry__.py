@@ -66,23 +66,23 @@ _PRIORITY = [
     "tpch_q15", "tpch_q17", "tpch_q20", "tpch_q21",
     "txt_repetition", "txt_vocab_topk", "txt_tfidf_top_term",
     "td_gopher_filter", "td_decontaminate",
-    # The 14 r6 additions — never driver-seen; rotated out for them
+    # The 16 r6 additions — never driver-seen; rotated out for them
     # (all multiply driver-green in earlier rounds, most r1 + r5, and
     # still mirror-checked): txt_length_quantiles, j_dim_chain,
     # mm_resize, mm_frames, mm_meta, mm_features, dd_embedding,
     # dd_ngram_jaccard, dd_exact, ds_det_sample, ds_hash_split,
-    # p_filter_project, so_union, a_dynamic_pivot
+    # p_filter_project, so_union, a_dynamic_pivot, st_dedup, tpch_q4
     "ds_stratified_sample", "txt_pii_scrub",
     "td_pack_sequences", "sk_kmv_distinct", "txt_boilerplate",
     "t_scd2_intervals", "sim_kmeans", "ds_temperature_mix",
     "txt_langid_confusion", "sim_semantic_dedup_audit",
     "td_chunk_manifest", "t_funnel_stages", "txt_bm25_topk",
-    "t_retention_cohorts",
-    # streaming batch-twins (ST5) — representatives
-    "st_windowed_counts", "st_dedup",
-    # TPC-H: q2/q17/q20 changed this round (broadcast hints dropped),
-    # q21 regrouped, q4 keeps its interval-parity row warm
-    "tpch_q4", "tpch_q2",
+    "t_retention_cohorts", "t_gap_fill", "t_rolling_stats",
+    # streaming batch-twins (ST5) — representative
+    "st_windowed_counts",
+    # TPC-H: q2 changed this round (broadcast hint dropped) — q17/q20
+    # (also changed) and regrouped q21 are pinned in the r5 block above
+    "tpch_q2",
     # temporal joins
     "t_asof_join", "t_asof_join_tolerance", "t_range_join",
     # grouping/pivot family

@@ -166,6 +166,79 @@ def t_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularized daily series per user with forward fill: resample
+    purchase values onto a dense day spine (every user × every day of
+    the corpus span) and carry the last observation forward — the
+    gap-fill step before any time-series modeling. Nulls before a
+    user's first purchase stay null; ``is_observed`` marks real points.
+
+    Scale shape: the spine is users × days (generated, not shuffled —
+    sequence+explode); the fill is one per-user window. The global
+    min/max day rides in as a broadcast 1-row aggregate."""
+    e = read_table(spark, sf_dir, "events")
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.max("value").alias("v_obs"))
+    )
+    bounds = p.agg(
+        F.min("day").alias("_d0"), F.max("day").alias("_d1")
+    )
+    users = p.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("_d0"), F.col("_d1"), F.expr("INTERVAL 1 DAY")
+            )
+        ).alias("day"),
+    )
+    joined = spine.join(p, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumn(
+            "value", F.last("v_obs", ignorenulls=True).over(w)
+        )
+        .withColumn("is_observed", F.col("v_obs").isNotNull())
+        .select("user_id", "day", "value", "is_observed")
+        .orderBy("user_id", "day")
+    )
+
+
+def t_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling mean/std of event values over the previous 10 rows per
+    event type (ordered by ts, event_id) — the anomaly-scoring baseline.
+    Sums accumulate as decimals (exact, order-free) and convert to
+    double only for the mean/variance arithmetic, so both engines
+    compute identical windows regardless of how the frame is slid."""
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    dv = F.col("value").cast("decimal(20,6)")
+    s1 = F.sum(dv).over(w).cast("double")
+    s2 = F.sum(dv * dv).over(w).cast("double")
+    n = F.count("*").over(w).cast("double")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / n
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(mean, 6).alias("roll_mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("roll_std"),
+        n.cast("int").alias("n_window"),
+    ).orderBy("event_id")
+
+
 SPARK_QUERIES = {
     "t_asof_join": t_asof_join,
     "t_asof_join_tolerance": t_asof_join_tolerance,
@@ -173,6 +246,8 @@ SPARK_QUERIES = {
     "t_scd2_intervals": t_scd2_intervals,
     "t_funnel_stages": t_funnel_stages,
     "t_retention_cohorts": t_retention_cohorts,
+    "t_gap_fill": t_gap_fill,
+    "t_rolling_stats": t_rolling_stats,
 }
 
 _ERRORS = """
@@ -271,5 +346,56 @@ ORACLE_SQL = {
         FROM act WHERE weeks_since >= 0
         GROUP BY cohort_week, weeks_since
         ORDER BY cohort_week, weeks_since
+    """,
+    "t_gap_fill": """
+        WITH p AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   MAX(value) AS v_obs
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, date_trunc('day', ts)
+        ), bounds AS (
+            SELECT MIN(day) AS _d0, MAX(day) AS _d1 FROM p
+        ), spine AS (
+            SELECT u.user_id, CAST(gs.day AS TIMESTAMP) AS day
+            FROM (SELECT DISTINCT user_id FROM p) u
+            CROSS JOIN bounds
+            CROSS JOIN LATERAL (
+                SELECT unnest(generate_series(_d0, _d1,
+                                              INTERVAL 1 DAY)) AS day
+            ) gs
+        ), joined AS (
+            SELECT s.user_id, s.day, p.v_obs
+            FROM spine s LEFT JOIN p
+              ON s.user_id = p.user_id AND s.day = p.day
+        )
+        SELECT user_id, day,
+               last_value(v_obs IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value,
+               v_obs IS NOT NULL AS is_observed
+        FROM joined
+        ORDER BY user_id, day
+    """,
+    "t_rolling_stats": """
+        WITH w AS (
+            SELECT event_id, event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER fr AS DOUBLE)
+                       AS s1,
+                   CAST(SUM(CAST(value AS DECIMAL(20,6))
+                            * CAST(value AS DECIMAL(20,6))) OVER fr AS DOUBLE)
+                       AS s2,
+                   CAST(COUNT(*) OVER fr AS DOUBLE) AS n
+            FROM events
+            WINDOW fr AS (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, event_type,
+               ROUND(s1 / n, 6) AS roll_mean,
+               ROUND(SQRT(GREATEST((s2 - s1 * s1 / n) / n, 0.0e0)), 6)
+                   AS roll_std,
+               CAST(n AS INTEGER) AS n_window
+        FROM w
+        ORDER BY event_id
     """,
 }
