@@ -78,6 +78,7 @@ _PRIORITY = [
     "txt_langid_confusion", "sim_semantic_dedup_audit",
     "td_chunk_manifest", "t_funnel_stages", "txt_bm25_topk",
     "t_retention_cohorts", "t_gap_fill", "t_rolling_stats",
+    "a_histogram",
     # streaming batch-twins (ST5) — representative
     "st_windowed_counts",
     # TPC-H: q2 changed this round (broadcast hint dropped) — q17/q20
@@ -86,7 +87,7 @@ _PRIORITY = [
     # temporal joins
     "t_asof_join", "t_asof_join_tolerance", "t_range_join",
     # grouping/pivot family
-    "a_counters", "a_rollup", "a_cube",
+    "a_counters", "a_rollup",
     # scale-safe variants
     "w_row_number_seq_scalable", "w_batch_ids_global", "dd_embedding_blocked",
     # curation operators

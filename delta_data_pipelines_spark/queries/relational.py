@@ -476,7 +476,42 @@ def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin value histogram per event type (width_bucket over the
+    global min/max — the same binning primitive the Z-order layout
+    uses in spirit). One narrow pass + one grouped count; the 1-row bounds
+    aggregate rides in broadcast."""
+    e = read_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min("value").alias("_lo"), F.max("value").alias("_hi")
+    )
+    # explicit bin math (not width_bucket: DuckDB lacks it, and parity
+    # needs the IDENTICAL float expression in both engines):
+    # bucket = least(floor((v - lo) * 10 / (hi - lo)) + 1, 10)
+    binned = e.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("_lo"))
+                    * 10
+                    / (F.col("_hi") - F.col("_lo"))
+                )
+                + 1,
+                F.lit(10),
+            ),
+        ).otherwise(F.lit(1).cast("bigint")),
+    )
+    return (
+        binned.groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
 SPARK_QUERIES = {
+    "a_histogram": a_histogram,
     "p_filter_project": p_filter_project,
     "p_null_membership": p_null_membership,
     "p_na_clean": p_na_clean,
@@ -509,6 +544,20 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "a_histogram": """
+        WITH bounds AS (
+            SELECT MIN(value) AS _lo, MAX(value) AS _hi FROM events
+        )
+        SELECT event_type,
+               CASE WHEN _hi > _lo
+                    THEN LEAST(CAST(FLOOR((value - _lo) * 10
+                                          / (_hi - _lo)) AS BIGINT) + 1, 10)
+                    ELSE CAST(1 AS BIGINT) END AS bucket,
+               COUNT(*) AS n
+        FROM events CROSS JOIN bounds
+        GROUP BY 1, 2
+        ORDER BY event_type, bucket
+    """,
     "p_filter_project": """
         SELECT l_orderkey AS order_id, l_partkey AS part_id, l_quantity AS qty,
                l_extendedprice * (1 - l_discount) AS net_price
