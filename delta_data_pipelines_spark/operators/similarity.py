@@ -189,6 +189,7 @@ def kmeans_assign(
     vec_col: str = "embedding",
     k: int = 8,
     n_iter: int = 2,
+    checkpoint_rounds: bool = False,
 ) -> DataFrame:
     """Spherical k-means (cosine Lloyd) with deterministic seeding —
     the centroid-fitting step the IVF index needs at real scale
@@ -208,7 +209,9 @@ def kmeans_assign(
     one hash partition on (cid, pos) — k·dim groups — plus the argmax
     window on the vector id; nothing quadratic, nothing driver-side.
     """
-    assign = _kmeans_final_assign(df, id_col, vec_col, k, n_iter)
+    assign = _kmeans_final_assign(
+        df, id_col, vec_col, k, n_iter, checkpoint_rounds
+    )
     return assign.select(id_col, "cid")
 
 
@@ -232,17 +235,34 @@ def _centroid_means(assign: DataFrame) -> DataFrame:
 
 
 def _kmeans_final_assign(
-    df: DataFrame, id_col: str, vec_col: str, k: int, n_iter: int
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_iter: int,
+    checkpoint_rounds: bool = False,
 ) -> DataFrame:
+    """``checkpoint_rounds=False`` (default) unrolls every Lloyd round
+    into ONE lazy plan — what the oracle checks, and fine for the 1-3
+    rounds an IVF build needs (plan depth grows linearly with rounds).
+    ``checkpoint_rounds=True`` localCheckpoints each round's centroids
+    (the near_dup_clusters pattern): plan depth stays O(1), the price
+    is one eager job per round — the right mode for a deep refinement
+    run (tests assert both modes produce identical assignments)."""
     if k < 1 or n_iter < 1:
         raise ValueError(f"k and n_iter must be >= 1, got k={k} n_iter={n_iter}")
     vecs = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    if checkpoint_rounds:
+        vecs = vecs.localCheckpoint(eager=True)
     cent = vecs.where(F.col(id_col) < k).select(
         F.col(id_col).alias("cid"), F.col("_v").alias("cv")
     )
     assign = ivf_assign(vecs, cent, id_col)
     for _ in range(n_iter - 1):
-        assign = ivf_assign(vecs, _centroid_means(assign), id_col)
+        cent = _centroid_means(assign)
+        if checkpoint_rounds:
+            cent = cent.localCheckpoint(eager=True)
+        assign = ivf_assign(vecs, cent, id_col)
     return assign
 
 
@@ -252,11 +272,14 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     k: int = 8,
     n_iter: int = 2,
+    checkpoint_rounds: bool = False,
 ) -> DataFrame:
     """Fitted cell centroids (cid, cv) — the production IVF build step:
     run the deterministic Lloyd rounds, then return the mean of each
     FINAL cluster. Feed straight into ``ivf_topk(centroids=...)``."""
-    assign = _kmeans_final_assign(df, id_col, vec_col, k, n_iter)
+    assign = _kmeans_final_assign(
+        df, id_col, vec_col, k, n_iter, checkpoint_rounds
+    )
     return _centroid_means(assign)
 
 

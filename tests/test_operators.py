@@ -843,3 +843,24 @@ def test_ivf_topk_with_fitted_kmeans_centroids(spark):
     }
     hits = sum(1 for r in rows if (r["query_id"], r["neighbor_id"]) in exact)
     assert hits / len(exact) >= 0.3  # single-digit-probe recall floor
+
+
+def test_kmeans_checkpointed_rounds_match_lazy(spark):
+    """checkpoint_rounds=True (O(1) plan depth, one job per round) must
+    produce the identical assignment as the unrolled-lazy default, for
+    a deep iteration count."""
+    import random
+
+    from delta_data_pipelines_spark.operators.similarity import kmeans_assign
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lazy = {r["vec_id"]: r["cid"] for r in kmeans_assign(df, k=4, n_iter=5).collect()}
+    ckpt = {
+        r["vec_id"]: r["cid"]
+        for r in kmeans_assign(df, k=4, n_iter=5, checkpoint_rounds=True).collect()
+    }
+    assert lazy == ckpt and len(lazy) == 60
