@@ -394,6 +394,24 @@ class BucketedTable:
             self._write_log(history)
         return entry
 
+    def restore(self, version: int) -> BucketedCommit:
+        """Roll back to ``version`` as a NEW commit (history preserved,
+        like VersionedTable.restore): the new manifest points every
+        bucket back at the restored version's data — no data is
+        copied, the rollback is a metadata-only commit."""
+        manifest = self._manifest(version)  # raises if unknown
+        history = self.history()
+        new_version = history[-1].version + 1
+        entry = BucketedCommit(
+            version=new_version,
+            action="restore",
+            ts=time.time(),
+            metrics={"restored_from": version, "buckets_written": 0},
+            manifest=dict(manifest),
+        )
+        self._write_log(history + [entry])
+        return entry
+
     # ---- retention ------------------------------------------------------
 
     def vacuum(self, keep_last: int = 3) -> list[int]:

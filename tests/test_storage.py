@@ -303,3 +303,24 @@ def test_bucketed_refuses_foreign_commit_log(spark, tmp_path):
             spark, str(tmp_path / "vt"), bucket_key="content_url", n_buckets=8
         )
     assert not BucketedTable.exists_at(str(tmp_path / "vt"))
+
+
+def test_bucketed_restore_is_metadata_only_rollback(spark, btable):
+    """restore(v) rolls back as a NEW commit whose manifest points at
+    v's data — no bucket dirs are written, history is preserved, and a
+    subsequent vacuum keeps the restored-to dirs alive."""
+    import os
+
+    c0 = btable.overwrite(rows(spark, [("u1", "a", 1), ("u2", "a", 2)]))
+    btable.merge(rows(spark, [("u3", "b", 3)]), keys=["content_url"])
+    assert btable.read().count() == 3
+    before_dirs = sorted(os.listdir(btable.root))
+    r = btable.restore(c0.version)
+    assert r.metrics == {"restored_from": c0.version, "buckets_written": 0}
+    assert sorted(os.listdir(btable.root)) == before_dirs  # no new dirs
+    assert {x["content_url"] for x in btable.read().collect()} == {"u1", "u2"}
+    # the rollback survives vacuum (its manifest keeps v0 alive)
+    btable.vacuum(keep_last=1)
+    assert {x["content_url"] for x in btable.read().collect()} == {"u1", "u2"}
+    with pytest.raises(ValueError, match="not in"):
+        btable.restore(99)
