@@ -75,6 +75,15 @@ def pack_stage(
         "_ntok", token_count_ws(F.col(text_col))
     ).localCheckpoint(eager=True)
     names = [r[0] for r in sized.select(split_col).distinct().collect()]
+    if not names:  # empty input: keep the output schema, skip the union
+        span = chunk_span("cum_before", "_ntok", ctx)
+        empty = sized.withColumn("cum_before", F.lit(0).cast("bigint"))
+        return (
+            empty.withColumn("start_offset", span["start_offset"])
+            .withColumn("chunk_start", span["chunk_start"])
+            .withColumn("chunk_end", span["chunk_end"])
+            .drop("cum_before", "_ntok")
+        )
     parts = []
     for name in sorted(names):
         sub = sized.where(F.col(split_col) == name)

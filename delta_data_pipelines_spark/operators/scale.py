@@ -101,9 +101,20 @@ def zorder_key(df: DataFrame, cols: list[str]) -> DataFrame:
     """
     if not 2 <= len(cols) <= 4:
         raise ValueError(f"zorder wants 2-4 columns, got {len(cols)}")
+    # cast to double up front: numerics pass through, timestamps/dates
+    # become epoch seconds/days (time+id is a primary Z-order pairing);
+    # strings are rejected BEFORE the cast — under ANSI mode a
+    # non-numeric string would throw mid-job instead of clearly here
+    for c in cols:
+        if df.schema[c].dataType.simpleString() == "string":
+            raise ValueError(
+                f"zorder column {c!r} is a string — order it via a "
+                f"numeric surrogate (hash, rank, or dictionary id)"
+            )
+    dcols = {c: F.col(c).cast("double") for c in cols}
     stats = df.agg(
-        *[F.min(c).alias(f"_min_{c}") for c in cols],
-        *[F.max(c).alias(f"_max_{c}") for c in cols],
+        *[F.min(dcols[c]).alias(f"_min_{c}") for c in cols],
+        *[F.max(dcols[c]).alias(f"_max_{c}") for c in cols],
     ).collect()[0]
     n = len(cols)
     z = F.lit(0).cast("bigint")
@@ -115,7 +126,7 @@ def zorder_key(df: DataFrame, cols: list[str]) -> DataFrame:
         if hi <= lo:
             continue  # constant column contributes no bits
         b = (
-            F.width_bucket(F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(2**_Z_BITS))
+            F.width_bucket(dcols[c], F.lit(lo), F.lit(hi), F.lit(2**_Z_BITS))
             - 1
         ).cast("bigint")
         b = F.greatest(F.lit(0).cast("bigint"), F.least(b, F.lit(2**_Z_BITS - 1).cast("bigint")))

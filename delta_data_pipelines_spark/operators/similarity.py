@@ -89,11 +89,15 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
     )
-    score = (
-        cosine(F.col("_qv"), F.col("_cv"))
-        if impl == "expr"
-        else cosine_pandas()(F.col("_qv"), F.col("_cv"))
-    )
+    if impl == "expr":
+        score = cosine(F.col("_qv"), F.col("_cv"))
+    else:
+        raw = cosine_pandas()(F.col("_qv"), F.col("_cv"))
+        # zero-norm vectors: numpy 0/0 yields NaN, which Spark sorts
+        # ABOVE every real score on a descending order (it would rank
+        # first for every query); null matches the expr path's
+        # nullif-based behavior (sorted last)
+        score = F.when(~F.isnan(raw), raw)
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine_sim", F.round(score, 9))

@@ -81,8 +81,28 @@ def kmv_distinct(
     return per_group.withColumn("n_est", est)
 
 
-def _bottom_k(arr: Column, k: int) -> Column:
+def bottom_k(arr: Column, k: int) -> Column:
+    """Ascending k smallest of an array — the KMV merge primitive.
+    ONE definition shared by the sketch builders here and the streaming
+    state merge (streaming.sketch_state.merge_sketches): the stored-
+    sketch-equals-batch-sketch invariant depends on both sides using
+    bit-identical merge math."""
     return F.slice(F.array_sort(arr), 1, k)
+
+
+def kmv_estimate(sketch: Column, k: int) -> Column:
+    """Distinct-count estimate from a bottom-k sketch: (k-1)·2³²/kth,
+    exact count when the sketch holds fewer than k hashes. Shared by
+    kmv_sketch and the streaming merge for the same reason as
+    :func:`bottom_k`."""
+    kth = F.element_at(sketch, k)
+    return F.when(
+        F.size(sketch) >= k,
+        F.round(F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / kth, 6),
+    ).otherwise(F.size(sketch).cast("double"))
+
+
+_bottom_k = bottom_k  # internal alias kept for the builders below
 
 
 def kmv_sketch(
@@ -122,9 +142,4 @@ def kmv_sketch(
             F.array_distinct(F.flatten(F.collect_list("_bk"))), k
         ).alias("sketch")
     )
-    kth = F.element_at(F.col("sketch"), k)
-    est = F.when(
-        F.size("sketch") >= k,
-        F.round(F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / kth, 6),
-    ).otherwise(F.size("sketch").cast("double"))
-    return merged.withColumn("n_est", est)
+    return merged.withColumn("n_est", kmv_estimate(F.col("sketch"), k))

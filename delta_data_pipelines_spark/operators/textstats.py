@@ -231,11 +231,18 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 
 
 def pii_counts(text: Column) -> dict[str, Column]:
-    """Per-category match counts on the ORIGINAL text (audit metric)."""
-    return {
-        name: F.regexp_count(text, F.lit(pat))
-        for name, (pat, _) in PII_PATTERNS.items()
-    }
+    """Per-category counts of what scrub_pii ACTUALLY redacts: each
+    category is counted on the text with all EARLIER categories already
+    replaced, mirroring the scrub order. Counting every pattern on the
+    original text would double-count — the digit run inside
+    '1234567890@corp.com' matches the phone regex too, but the scrub
+    replaces the whole email first and never emits a <PHONE>."""
+    counts: dict[str, Column] = {}
+    cur = text
+    for name, (pat, token) in PII_PATTERNS.items():
+        counts[name] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, token)
+    return counts
 
 
 def scrub_pii(text: Column) -> Column:

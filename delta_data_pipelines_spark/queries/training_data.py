@@ -635,7 +635,9 @@ def ds_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction + audit counts — the scrub stage every published
     training corpus runs (emails / IPv4s / phone numbers → typed
-    placeholder tokens). One codegen'd projection of native
+    placeholder tokens). Counts mirror the scrub ORDER (each category
+    counted with earlier categories already replaced), so they audit
+    what was actually redacted. One codegen'd projection of native
     regexp_replace/regexp_count calls, no UDF; regex syntax restricted
     to the subset Java and RE2 read identically so the oracle mirrors
     the scrub byte-for-byte."""
@@ -923,21 +925,34 @@ ORACLE_SQL = {
         GROUP BY d.lang, r.n_lang, r.rate
         ORDER BY d.lang
     """,
+    # counts mirror the scrub ORDER (each category counted on the text
+    # with earlier categories already replaced): counting everything on
+    # the original would double-count, e.g. the digit run inside an
+    # email also matches the phone regex
     "txt_pii_scrub": """
+        WITH s1 AS (
+            SELECT doc_id, text,
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+            FROM documents
+        ), s2 AS (
+            SELECT doc_id, text, t1,
+                   regexp_replace(t1,
+                       '\\b(\\d{1,3}\\.)(\\d{1,3}\\.)(\\d{1,3}\\.)\\d{1,3}\\b',
+                       '<IP>', 'g') AS t2
+            FROM s1
+        )
         SELECT doc_id,
-               regexp_replace(regexp_replace(regexp_replace(text,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                   '<EMAIL>', 'g'),
-                   '\\b(\\d{1,3}\\.)(\\d{1,3}\\.)(\\d{1,3}\\.)\\d{1,3}\\b',
-                   '<IP>', 'g'),
-                   '\\+?\\d[\\d()\\- ]{7,}\\d', '<PHONE>', 'g') AS clean_text,
+               regexp_replace(t2, '\\+?\\d[\\d()\\- ]{7,}\\d',
+                   '<PHONE>', 'g') AS clean_text,
                len(regexp_extract_all(text,
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
-               len(regexp_extract_all(text,
+               len(regexp_extract_all(t1,
                    '\\b(\\d{1,3}\\.)(\\d{1,3}\\.)(\\d{1,3}\\.)\\d{1,3}\\b')) AS n_ipv4,
-               len(regexp_extract_all(text,
+               len(regexp_extract_all(t2,
                    '\\+?\\d[\\d()\\- ]{7,}\\d')) AS n_phones
-        FROM documents
+        FROM s2
     """,
     "dd_exact": """
         SELECT doc_id, lang, source FROM (

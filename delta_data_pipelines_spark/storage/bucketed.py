@@ -232,8 +232,10 @@ class BucketedTable:
         history = self.history()
         version = (history[-1].version + 1) if history else 0
         written = self._write_buckets(df_bucketed, version)
-        if written:
-            self._store_schema_once(df_bucketed)
+        # schema is known from the frame even when no rows were written
+        # (empty overwrite, delete-all): record it on the FIRST commit so
+        # exists()-then-read() always works on an empty table
+        self._store_schema_once(df_bucketed)
         manifest = dict(manifest_base)
         manifest.update({str(b): version for b in written})
         entry = BucketedCommit(
@@ -311,10 +313,20 @@ class BucketedTable:
         source = source.dropDuplicates(keys).withColumn(
             "_bucket", self._bucket_col()
         )
+        # one eager materialization up front: the source plan is
+        # otherwise re-executed for the touched-bucket collect, the
+        # inserted/updated counts, and the bucket write — with an
+        # expensive upstream (e.g. an anti-join against other state
+        # tables) that multiplied per-merge read I/O 3-4x
+        source = source.localCheckpoint(eager=True)
         touched = sorted(
             r[0] for r in source.select("_bucket").distinct().collect()
         )
         if not touched:  # all-null-key batch
+            # record the schema even on this no-op commit, so an
+            # all-null FIRST batch doesn't create a table where
+            # exists() is True but read() has no schema to serve
+            self._store_schema_once(source)
             base = self._manifest() if self.exists() else {}
             history = self.history()
             version = (history[-1].version + 1) if history else 0
@@ -377,21 +389,28 @@ class BucketedTable:
         sub = self.read_buckets(touched).withColumn("_bucket", self._bucket_col())
         kept = sub.where(~condition | condition.isNull())
         n_del = sub.count() - kept.count()
-        entry = self._commit("delete", kept, manifest, {"deleted": n_del})
-        # a touched bucket may end up empty (every row deleted): the
-        # write produced no dir for it, so drop it from the manifest
-        # rather than leaving a pointer at the pre-delete data
-        vdir_written = {
-            int(d.split("=", 1)[1])
-            for d in os.listdir(self._version_dir(entry.version))
-            if d.startswith("_bucket=")
+        # single atomic log write: buckets are written FIRST, then the
+        # manifest is assembled knowing which touched buckets came back
+        # empty (every row deleted → no dir) and must lose their
+        # pointer. The earlier two-write patch-up left a window where a
+        # crash persisted a manifest still pointing emptied buckets at
+        # the pre-delete data, and returned that stale manifest.
+        history = self.history()
+        version = (history[-1].version + 1) if history else 0
+        written = self._write_buckets(kept, version)
+        self._store_schema_once(kept)
+        new_manifest = {
+            b: v for b, v in manifest.items() if int(b) not in set(touched)
         }
-        emptied = [b for b in touched if b not in vdir_written]
-        if emptied:
-            history = self.history()
-            for b in emptied:
-                history[-1].manifest.pop(str(b), None)
-            self._write_log(history)
+        new_manifest.update({str(b): version for b in written})
+        entry = BucketedCommit(
+            version=version,
+            action="delete",
+            ts=time.time(),
+            metrics={"deleted": n_del, "buckets_written": len(written)},
+            manifest=new_manifest,
+        )
+        self._write_log(history + [entry])
         return entry
 
     def restore(self, version: int) -> BucketedCommit:

@@ -94,9 +94,14 @@ def run_incremental_neardup(
     the same degenerate-bucket guard as the batch path
     (operators.dedup._candidates): one boilerplate band value collecting
     millions of corpus docs would otherwise make every future batch's
-    join unbounded. Docs matchable only through a dropped bucket may
-    survive as extra representatives; the periodic
-    ``near_dup_clusters`` compaction sweep collapses them.
+    join unbounded. Docs matchable ONLY through an over-cap bucket may
+    survive as extra representatives, and the compaction sweep
+    collapses them only when run with a cap at least that bucket's
+    size (its pair cost is quadratic in the bucket) — hence
+    ``compact_neardup_residue``'s 10× higher default. Buckets hot
+    enough to exceed even that are templated boilerplate by
+    construction; the duplication they carry is the quality gate's
+    (repetition filters) to remove, not pair verification's.
     """
     spark = docs_stream.sparkSession
     # signatures are bucketed by BAND HASH, not doc id: the per-batch
@@ -137,7 +142,13 @@ def run_incremental_neardup(
             eager=True
         )
         banded = _banded(sigs.select(id_col, "_sig"), id_col)
-        if sig_table.exists():
+        # BOTH state tables must exist: a crash between the first
+        # batch's two state merges leaves sig committed but shingles
+        # empty — on replay the verify join would crash reading a
+        # zero-commit table. Candidates can't be verified without
+        # shingle sets, so the cross-batch filter is skipped for that
+        # (idempotently re-merged) batch.
+        if sig_table.exists() and hs_table.exists():
             # Restrict the state side to the batch's (band_id,
             # band_hash) keys FIRST (broadcast semi-join — the batch
             # side is tiny), THEN apply the degenerate-bucket cap (the
@@ -260,7 +271,7 @@ def compact_neardup_residue(
     corpus: VersionedTable | BucketedTable,
     id_col: str = "doc_id",
     threshold: float = 0.8,
-    max_bucket: int = 1000,
+    max_bucket: int = 10_000,
 ) -> dict:
     """The periodic batch sweep the module docstring names: collapse the
     chain residue incremental ingest leaves under adversarial arrival.
@@ -280,7 +291,12 @@ def compact_neardup_residue(
     Scale posture: the candidate join is the batch `_candidates` shape
     (bucket-capped banded self-join over the state table, never
     all-pairs); the corpus rewrite only happens when residue was
-    actually found.
+    actually found. ``max_bucket`` defaults 10× HIGHER than ingest's:
+    the sweep is where residue admitted through ingest's tighter cap
+    gets collapsed, and as a batch job it can afford the quadratic
+    cost of moderately hot buckets. Residue matchable only through
+    buckets hotter than even this cap is templated boilerplate — the
+    quality gate's problem, not pair verification's.
     """
     # check BEFORE constructing: BucketedTable() creates metadata and
     # raises on a missing bucket_key, so a never-ingested state dir

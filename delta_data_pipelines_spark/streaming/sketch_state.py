@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.sketches import _HASH_SPACE, kmv_sketch
+from ..operators.sketches import bottom_k, kmv_estimate, kmv_sketch
 from ..storage import VersionedTable
 
 
@@ -64,27 +64,22 @@ def merge_sketches(
         )
         .withColumn(
             "sketch",
-            F.slice(
-                F.array_sort(
-                    F.array_distinct(
-                        F.concat(
-                            F.coalesce(F.col("_a"), empty),
-                            F.coalesce(F.col("_b"), empty),
-                        )
+            # the shared KMV primitives (operators.sketches) — NOT an
+            # inline copy: the stored-equals-batch invariant depends on
+            # merge + estimate math being bit-identical on both sides
+            bottom_k(
+                F.array_distinct(
+                    F.concat(
+                        F.coalesce(F.col("_a"), empty),
+                        F.coalesce(F.col("_b"), empty),
                     )
                 ),
-                1,
                 k,
             ),
         )
         .drop("_a", "_b")
     )
-    kth = F.element_at(F.col("sketch"), k)
-    est = F.when(
-        F.size("sketch") >= k,
-        F.round(F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / kth, 6),
-    ).otherwise(F.size("sketch").cast("double"))
-    return merged.withColumn("n_est", est)
+    return merged.withColumn("n_est", kmv_estimate(F.col("sketch"), k))
 
 
 def run_incremental_vocab_sketch(

@@ -503,7 +503,8 @@ def test_pii_scrub_redacts_and_counts(spark):
     """Planted-PII behavioral test (the harness corpus is PII-free, so
     the registry query proves engine parity while this proves the
     semantics): emails/IPv4s/phones redact to typed tokens, clean text
-    is untouched, counts audit the original."""
+    is untouched, counts report what the scrub actually redacts
+    (sequential: each category counted after earlier replacements)."""
     from delta_data_pipelines_spark.operators import textstats
     from pyspark.sql import functions as F
 
@@ -511,6 +512,10 @@ def test_pii_scrub_redacts_and_counts(spark):
         (1, "contact john.doe+x@example.co.uk or +1 (415) 555-0100 now"),
         (2, "server at 192.168.0.1 port 8080"),
         (3, "no pii here at all"),
+        # overlap: the email's digit local-part also matches the phone
+        # regex on RAW text — sequential counting must report 1 email,
+        # 0 phones (what the scrub actually emits)
+        (4, "mail 1234567890@corp.com today"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     counts = textstats.pii_counts(F.col("text"))
@@ -528,6 +533,8 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert (out[2]["email"], out[2]["phone"], out[2]["ipv4"]) == (0, 0, 1)
     assert out[3]["clean"] == rows[2][1]
     assert (out[3]["email"], out[3]["phone"], out[3]["ipv4"]) == (0, 0, 0)
+    assert out[4]["clean"] == "mail <EMAIL> today"
+    assert (out[4]["email"], out[4]["phone"], out[4]["ipv4"]) == (1, 0, 0)
 
 
 def test_stratified_sample_rates_and_stability(spark):

@@ -164,3 +164,45 @@ def test_zorder_empty_and_allnull_inputs(spark, tmp_path):
     )
     write_zordered(nulls, str(tmp_path / "zn"), ["a", "b"], n_files=4)
     assert spark.read.parquet(str(tmp_path / "zn")).count() == 10
+
+
+def test_zorder_timestamp_column(spark, tmp_path):
+    """time+id is a primary Z-order pairing: timestamp columns bin via
+    their epoch-double cast; strings are rejected with a clear error
+    before any job runs."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.operators.scale import (
+        write_zordered,
+        zorder_key,
+    )
+
+    e = read_table(spark, "/root/testdata/sf0.001", "events").select(
+        "ts", "user_id", "event_type"
+    )
+    write_zordered(e, str(tmp_path / "zt"), ["ts", "user_id"], n_files=8)
+    got = spark.read.parquet(str(tmp_path / "zt"))
+    assert got.count() == e.count()
+    # per-file ts ranges are bounded well below 8x-the-domain (locality)
+    span = e.agg(
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+    ).collect()[0][0]
+    per_file = (
+        got.withColumn("_f", F.input_file_name())
+        .groupBy("_f")
+        .agg(
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).alias("r")
+        )
+        .agg(F.sum("r"))
+        .collect()[0][0]
+    )
+    # z-order SHARES locality between the two columns: each file's ts
+    # range must be measurably below the no-locality ceiling (every
+    # file spanning the whole domain), not single-sort-tight
+    assert per_file < 0.8 * 8 * span
+    with _pytest.raises(ValueError, match="string"):
+        zorder_key(e, ["event_type", "user_id"])
