@@ -594,6 +594,48 @@ def sim_semantic_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def td_length_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-balanced subsampling: bin documents into 10 token-length
+    buckets (value-range bins over the corpus min/max, same explicit
+    bin math as a_histogram) and keep the top-20 by quality within
+    each — the counter to a corpus whose quality filter would
+    otherwise skew the length distribution. One narrow pass + one
+    rank window per bin; the bounds ride in broadcast."""
+    d = read_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        textstats.token_count_ws(F.col("text")).alias("n_tokens"),
+        textstats.quality_score(F.col("text")).alias("quality"),
+    )
+    bounds = sized.agg(
+        F.min("n_tokens").alias("_lo"), F.max("n_tokens").alias("_hi")
+    )
+    binned = sized.crossJoin(F.broadcast(bounds)).withColumn(
+        "len_bin",
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.least(
+                F.floor(
+                    (F.col("n_tokens") - F.col("_lo"))
+                    * 10
+                    / (F.col("_hi") - F.col("_lo"))
+                )
+                + 1,
+                F.lit(10),
+            ),
+        ).otherwise(F.lit(1).cast("bigint")),
+    )
+    w = Window.partitionBy("len_bin").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        binned.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select("len_bin", "rnk", "doc_id", "n_tokens", "quality")
+        .orderBy("len_bin", "rnk")
+    )
+
+
 def ds_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened language mixing — the multilingual-corpus
     resampling trick (sampling ∝ n^τ, τ<1 flattens the distribution so
@@ -775,6 +817,7 @@ SPARK_QUERIES = {
     "ds_det_sample": ds_det_sample,
     "ds_stratified_sample": ds_stratified_sample,
     "ds_temperature_mix": ds_temperature_mix,
+    "td_length_balance": td_length_balance,
     "txt_langid_confusion": txt_langid_confusion,
     "sim_semantic_dedup_audit": sim_semantic_dedup_audit,
     "txt_pii_scrub": txt_pii_scrub,
@@ -907,6 +950,38 @@ ORACLE_SQL = {
         JOIN meta lb ON p.id_b = lb.doc_id
         GROUP BY la.lang, lb.lang
         ORDER BY lang_a, lang_b
+    """,
+    "td_length_balance": """
+        WITH sized AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                   ROUND(
+                     0.4 * (len(list_filter(string_split(text, ' '),
+                            x -> x IN ('the','a','of','and','to','in','is','it')))
+                            / CAST(NULLIF(len(string_split(text, ' ')), 0) AS DOUBLE))
+                   + 0.4 * LEAST(len(string_split(text, ' ')) / 64.0, 1.0)
+                   + 0.2 * (1 - (length(text) - length(
+                           regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                            / CAST(NULLIF(length(text), 0) AS DOUBLE)), 9)
+                       AS quality
+            FROM documents
+        ), bounds AS (
+            SELECT MIN(n_tokens) AS _lo, MAX(n_tokens) AS _hi FROM sized
+        ), binned AS (
+            SELECT doc_id, n_tokens, quality,
+                   CASE WHEN _hi > _lo
+                        THEN LEAST(CAST(FLOOR((n_tokens - _lo) * 10
+                                   / (_hi - _lo)) AS BIGINT) + 1, 10)
+                        ELSE CAST(1 AS BIGINT) END AS len_bin
+            FROM sized CROSS JOIN bounds
+        )
+        SELECT len_bin, CAST(rnk AS INTEGER) AS rnk, doc_id, n_tokens, quality
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY len_bin
+                       ORDER BY quality DESC, doc_id) AS rnk
+            FROM binned
+        )
+        WHERE rnk <= 20
+        ORDER BY len_bin, rnk
     """,
     "ds_temperature_mix": f"""
         WITH counts AS (
