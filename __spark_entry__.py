@@ -78,14 +78,14 @@ _PRIORITY = [
     "txt_langid_confusion", "sim_semantic_dedup_audit",
     "td_chunk_manifest", "t_funnel_stages", "txt_bm25_topk",
     "t_retention_cohorts", "t_gap_fill", "t_rolling_stats",
-    "a_histogram", "td_length_balance",
+    "a_histogram", "td_length_balance", "so_intersect",
     # streaming batch-twins (ST5) — representative
     "st_windowed_counts",
     # TPC-H: q2 changed this round (broadcast hint dropped) — q17/q20
     # (also changed) and regrouped q21 are pinned in the r5 block above
     "tpch_q2",
     # temporal joins
-    "t_asof_join", "t_range_join",
+    "t_asof_join",
     # grouping/pivot family
     "a_counters", "a_rollup",
     # scale-safe variants

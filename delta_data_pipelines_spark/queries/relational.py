@@ -354,6 +354,15 @@ def so_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_brands.exceptAll(big_brands)
 
 
+def so_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO — set intersection (customers who are BOTH in the BUILDING
+    segment AND high-balance; completes the union/except family)."""
+    c = read_table(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_name")
+    b = c.where(F.col("c_acctbal") > 9000.0).select("c_custkey", "c_name")
+    return a.intersect(b)
+
+
 # --------------------------------------------------------------------------
 # M — wide→tall melt (EAV construction) and friends
 # --------------------------------------------------------------------------
@@ -533,6 +542,7 @@ SPARK_QUERIES = {
     "w_positional_zip": w_positional_zip,
     "so_union": so_union,
     "so_except": so_except,
+    "so_intersect": so_intersect,
     "m_melt_eav": m_melt_eav,
     "m_rename_reorder": m_rename_reorder,
     "a_rollup": a_rollup,
@@ -696,6 +706,11 @@ ORACLE_SQL = {
             UNION ALL
             SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000.0
         )
+    """,
+    "so_intersect": """
+        SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000.0
     """,
     "so_except": """
         SELECT DISTINCT p_brand AS brand FROM part
