@@ -10,6 +10,7 @@ to content-level near-duplicate detection over a text corpus:
     lsh_candidate_pairs    banded LSH self-join
     minhash_near_dup_pairs LSH candidates verified by exact Jaccard
     ngram_jaccard_pairs    blocked exact all-pairs Jaccard
+    containment_pairs      prefix-filter set join, |a∩b|/|a| (asymmetric)
     simhash_near_dup_pairs 64-bit SimHash + chunk-pigeonhole Hamming join
     embedding_near_dup_pairs  cosine ≥ threshold over vector pairs
 
@@ -293,6 +294,115 @@ def ngram_jaccard_pairs(
             "jaccard_sim",
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    materialize: bool = True,
+) -> DataFrame:
+    """Asymmetric shingle-containment pairs: |sh(a)∩sh(b)| / |sh(a)| ≥ t.
+
+    Jaccard-style near-dup misses the quote/embedding case — a short
+    document wholly CONTAINED in a longer one has high containment but
+    low Jaccard (the union is dominated by the long doc). Containment
+    is the right score for "drop the fragment, keep the superset"
+    curation; it is directional: ``id_a`` is the (near-)contained doc,
+    ``id_b`` the container.
+
+    Scale shape — prefix-filter set join (the AllPairs/PPJoin family,
+    exact, never all-pairs):
+
+    1. one global shingle-frequency pass orders each doc's shingle set
+       rarest-first (canonical order shared by all docs);
+    2. each doc emits only its PREFIX — the first
+       ``|sh| - ceil(t·|sh|) + 1`` shingles in that order. Losslessness:
+       a container must hold ≥ ceil(t·|sh(a)|) of a's shingles, so it
+       must hold at least one prefix element (pigeonhole), whatever the
+       element order; rarest-first makes the prefixes avoid hot
+       boilerplate shingles, which is what keeps the candidate join's
+       per-key fan-out bounded at corpus scale;
+    3. candidates = prefix(a) ⋈ inverted-index(all shingles), pruned by
+       the size bound |sh(b)| ≥ ceil(t·|sh(a)|) before any intersect;
+    4. exact verify on the hashed shingle sets (value identical to the
+       string-set computation — collisions ≈ |sh|²/2⁻⁶⁴).
+
+    Output: (id_a, id_b, containment), containment rounded to 9 dp.
+    ``materialize`` follows :func:`minhash_near_dup_pairs`: the ordered
+    shingle-set base feeds the prefix, index, and verify arms, so the
+    default persists it for the run and releases it after.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from pyspark.storagelevel import StorageLevel
+
+    sh = _spread(df.select(id_col, text_col)).select(
+        id_col,
+        F.transform(shingles(F.col(text_col)), lambda x: F.xxhash64(x)).alias("_hs"),
+    )
+    ex = sh.select(id_col, F.explode("_hs").alias("_h"))
+    dfreq = ex.groupBy("_h").agg(F.count("*").alias("_df"))
+    # canonical rarest-first order: (document frequency, hash) — a total
+    # order shared by every doc, required for the pigeonhole argument
+    ordered = (
+        ex.join(dfreq, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_df", "_h"))), lambda x: x["_h"]
+            ).alias("_hs"),
+        )
+        .withColumn("_sz", F.size("_hs"))
+    )
+    if materialize:
+        ordered = ordered.persist(StorageLevel.MEMORY_AND_DISK)
+    need = F.ceil(F.lit(threshold) * F.col("_sz")).cast("int")
+    # disjoint column names on the two arms: both derive from `ordered`,
+    # and a same-name equality in a self-join can resolve trivially
+    prefix = ordered.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_sz").alias("_sz_a"),
+        F.explode(F.slice("_hs", 1, F.col("_sz") - need + 1)).alias("_ha"),
+    )
+    index = ordered.select(
+        F.col(id_col).alias("id_b"), F.col("_sz").alias("_sz_b"),
+        F.explode("_hs").alias("_hb"),
+    )
+    cand = (
+        prefix.join(
+            index,
+            (F.col("_ha") == F.col("_hb"))
+            & (F.col("id_a") != F.col("id_b"))
+            # size prune before the intersect: b can't hold ceil(t·|a|)
+            # of a's shingles with fewer total elements than that
+            & (F.col("_sz_b") >= F.ceil(F.lit(threshold) * F.col("_sz_a"))),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    hs_a = ordered.select(
+        F.col(id_col).alias("id_a"), F.col("_hs").alias("_hs_a"), F.col("_sz").alias("_na")
+    )
+    hs_b = ordered.select(F.col(id_col).alias("id_b"), F.col("_hs").alias("_hs_b"))
+    out = (
+        cand.join(hs_a, "id_a")
+        .join(hs_b, "id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("_hs_a", "_hs_b"))
+                / F.col("_na").cast("double"),
+                9,
+            ),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+    if not materialize:
+        return out
+    return _materialize_and_release(out, ordered)
 
 
 # ---------------------------------------------------------------------------

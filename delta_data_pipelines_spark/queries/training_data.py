@@ -43,6 +43,16 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle-containment pairs ≥ 0.5 — the fragment-
+    inside-superset case Jaccard near-dup misses. Prefix-filter set
+    join (rarest-first canonical order), exact result."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(d, "doc_id", "text", threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 6). Rows-only: seeded-hash
     signatures have no SQL twin; cross-checked against MinHash in
@@ -824,6 +834,7 @@ SPARK_QUERIES = {
     "dd_exact": dd_exact,
     "dd_minhash": dd_minhash,
     "dd_ngram_jaccard": dd_ngram_jaccard,
+    "dd_containment": dd_containment,
     "dd_simhash": dd_simhash,
     "dd_embedding": dd_embedding,
     "dd_embedding_blocked": dd_embedding_blocked,
@@ -1249,6 +1260,17 @@ ORACLE_SQL = {
         + _JACCARD_PAIRS.format(block="AND a.lang = b.lang")
         + ") WHERE jaccard_sim >= 0.5 ORDER BY id_a, id_b"
     ),
+    # exact all-pairs containment — what the prefix-filter join prunes
+    # losslessly; |a∩b| / |a|, directional (a contained in b)
+    "dd_containment": f"""
+        WITH sh AS ({_SHINGLES})
+        SELECT * FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(len(list_intersect(a.sg, b.sg)) /
+                         CAST(len(a.sg) AS DOUBLE), 9) AS containment
+            FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+        ) WHERE containment >= 0.5 ORDER BY id_a, id_b
+    """,
     "dd_embedding": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

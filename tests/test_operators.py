@@ -61,6 +61,78 @@ def test_minhash_matches_exact_jaccard(spark, corpus):
     assert (1, 2) in got  # the exact duplicate pair always collides
 
 
+def test_containment_directional_planted(spark):
+    frag = "alpha beta gamma delta epsilon zeta"
+    container = frag + " eta theta iota kappa lambda mu nu xi omicron pi rho sigma"
+    rows = [(1, frag), (2, container), (3, "totally unrelated text about joins")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(df, "doc_id", "text", 0.9).collect()
+    }
+    # every shingle of the fragment appears in the container -> 1.0,
+    # and only in that direction (the container is mostly new shingles)
+    assert got == {(1, 2): 1.0}
+
+
+def test_containment_prefix_filter_is_lossless(spark):
+    # deterministic pseudo-random corpus from a tiny vocabulary so sets
+    # overlap partially; brute-force all-pairs is the ground truth
+    vocab = ["w%d" % i for i in range(12)]
+    rows = [
+        (i, " ".join(vocab[(i * 7 + j * 5) % 12] for j in range(4 + i % 9)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.6
+    got = {
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in dedup.containment_pairs(df, "doc_id", "text", t).collect()
+    }
+    sh = df.select("doc_id", dedup.shingles(F.col("text")).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in a.join(b, F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size("a.sh").cast("double"),
+                9,
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= t)
+        .collect()
+    }
+    assert got == brute
+    assert len(brute) > 0  # the corpus must actually exercise the join
+
+
+def test_containment_eager_and_releases_cache(spark, corpus):
+    """Same materialization contract as the other pair builders: the
+    default path runs eagerly, collapses to a checkpoint scan, and
+    leaves nothing registered in the CacheManager."""
+    cache_manager = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    out = dedup.containment_pairs(corpus, "doc_id", "text", 0.9)
+    assert "Join" not in out._jdf.queryExecution().optimizedPlan().toString()
+    assert cache_manager.isEmpty()
+    lazy = dedup.containment_pairs(corpus, "doc_id", "text", 0.9, materialize=False)
+    assert "Join" in lazy._jdf.queryExecution().optimizedPlan().toString()
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    assert sorted(map(key, lazy.collect())) == sorted(map(key, out.collect()))
+    assert cache_manager.isEmpty()
+
+
+def test_containment_threshold_validation(spark, corpus):
+    with pytest.raises(ValueError):
+        dedup.containment_pairs(corpus, "doc_id", "text", 0.0)
+    with pytest.raises(ValueError):
+        dedup.containment_pairs(corpus, "doc_id", "text", 1.5)
+
+
 def test_simhash_finds_planted_dups(spark, corpus):
     pairs = {
         (r["id_a"], r["id_b"])
