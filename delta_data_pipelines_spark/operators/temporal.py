@@ -106,12 +106,18 @@ def range_join(
     cheap post-join filter."""
     lo = F.make_dt_interval(secs=F.lit(lower_seconds))
     hi = F.make_dt_interval(secs=F.lit(upper_seconds))
+    # alias-qualify the key equality: when both sides derive from the
+    # same scan (self-join), `left[key] == right[key]` resolves to ONE
+    # attribute and only works through Spark's trivially-true-predicate
+    # auto-repair (logged as a WARN). Explicit aliases make the
+    # condition unambiguous by construction.
+    l, r = left.alias("_rj_l"), right.alias("_rj_r")
     cond = (
-        (left[key] == right[key])
-        & (right[right_ts] >= left[left_ts] + lo)
-        & (right[right_ts] <= left[left_ts] + hi)
+        (F.col(f"_rj_l.{key}") == F.col(f"_rj_r.{key}"))
+        & (F.col(f"_rj_r.{right_ts}") >= F.col(f"_rj_l.{left_ts}") + lo)
+        & (F.col(f"_rj_r.{right_ts}") <= F.col(f"_rj_l.{left_ts}") + hi)
     )
-    return left.join(right, cond, how).drop(right[key])
+    return l.join(r, cond, how).drop(F.col(f"_rj_r.{key}"))
 
 
 def scd2_intervals(
