@@ -9,6 +9,8 @@ tests/test_streaming.py); the batch run is what the oracle checks:
     session window   → gaps-and-islands (lag + running sum)
     stream dedup     → DISTINCT ON key
     stateful totals  → plain GROUP BY (the state's fixed point)
+    interval join    → plain SQL interval join (stream-stream in
+                       streaming mode, state bounded by the watermark)
 """
 
 from __future__ import annotations
@@ -16,10 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import read_table
+from pyspark.sql import functions as F
+
 from ..streaming.pipeline import (
     dedup_events,
     session_event_stats,
     sliding_event_counts,
+    stream_interval_join,
     windowed_event_counts,
 )
 from ..streaming.stateful import running_user_totals_batch
@@ -45,6 +50,24 @@ def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_events(e, keys=["event_id"]).select("event_id", "user_id", "event_type")
 
 
+def st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→click attribution: clicks by the same user within 10
+    minutes after a view — the stream-stream interval join's batch
+    twin (the streaming run is exercised in tests/test_streaming.py).
+    """
+    e = read_table(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts")
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    return stream_interval_join(
+        views, clicks, key="user_id", left_ts="view_ts", right_ts="click_ts",
+        upper_seconds=600,
+    ).select("view_id", "user_id", "view_ts", "click_id", "click_ts")
+
+
 def st_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
     return running_user_totals_batch(e)
@@ -55,6 +78,7 @@ SPARK_QUERIES = {
     "st_sliding_counts": st_sliding_counts,
     "st_session_windows": st_session_windows,
     "st_dedup": st_dedup,
+    "st_interval_join": st_interval_join,
     "st_running_totals": st_running_totals,
 }
 
@@ -106,5 +130,13 @@ ORACLE_SQL = {
         SELECT user_id, COUNT(*) AS n_events,
                CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 6) AS DOUBLE) AS total_value
         FROM events GROUP BY user_id
+    """,
+    "st_interval_join": """
+        SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
+               c.event_id AS click_id, c.ts AS click_ts
+        FROM events v JOIN events c
+          ON v.user_id = c.user_id
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '10 minutes'
+        WHERE v.event_type = 'view' AND c.event_type = 'click'
     """,
 }

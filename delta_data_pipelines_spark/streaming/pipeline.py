@@ -154,6 +154,51 @@ def session_event_stats(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    upper_seconds: int,
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join (inner): pairs on the
+    same key with ``right_ts`` in ``[left_ts, left_ts + upper]``.
+
+    In streaming mode both sides carry a watermark and the join
+    condition bounds both event-time columns, so Spark derives the
+    state-retention window per side — a left row is held only until
+    the watermark passes ``left_ts + upper``, making join state
+    BOUNDED however long the streams run (the requirement for
+    stream-stream joins at 100 TB/day). In batch mode ``withWatermark``
+    is a no-op and the same expression is a plain interval join — the
+    oracle-checkable twin.
+
+    ``left_ts`` and ``right_ts`` must be distinct names (rename before
+    calling); the right key column is dropped from the output. The key
+    equality is alias-qualified — both sides often derive from the
+    same scan (one topic filtered two ways), where an unqualified
+    ``left[key] == right[key]`` would hit the self-join ambiguity.
+    """
+    l = _with_event_time(left, left_ts).withWatermark(left_ts, watermark).alias("_sj_l")
+    r = (
+        _with_event_time(right, right_ts)
+        .withWatermark(right_ts, watermark)
+        .alias("_sj_r")
+    )
+    cond = (
+        (F.col(f"_sj_l.{key}") == F.col(f"_sj_r.{key}"))
+        & (F.col(f"_sj_r.{right_ts}") >= F.col(f"_sj_l.{left_ts}"))
+        & (
+            F.col(f"_sj_r.{right_ts}")
+            <= F.col(f"_sj_l.{left_ts}")
+            + F.make_dt_interval(secs=F.lit(upper_seconds))
+        )
+    )
+    return l.join(r, cond, "inner").drop(F.col(f"_sj_r.{key}"))
+
+
 def dedup_events(
     events: DataFrame,
     keys: list[str] | None = None,

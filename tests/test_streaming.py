@@ -247,7 +247,11 @@ def test_fetch_pipeline_merge_idempotent(spark, tmp_path):
 
 def test_stream_stream_interval_join(spark, tmp_path):
     """Watermarked stream-stream join: clicks ⋈ errors within 10 min,
-    per user — must equal the batch range join once both streams drain."""
+    per user — must equal the batch range join once both streams drain.
+    Batch twin and streaming run go through the SAME operator
+    (stream_interval_join), with same-named keys on both sides — the
+    self-join-ambiguity case the operator alias-qualifies away."""
+    from delta_data_pipelines_spark.streaming.pipeline import stream_interval_join
     from pyspark.sql import functions as F
 
     e = _events(spark)
@@ -259,25 +263,24 @@ def test_stream_stream_interval_join(spark, tmp_path):
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("err_value"))
         .withColumnRenamed("ts", "err_ts")
-        .withColumnRenamed("user_id", "err_user_id")
-    )
-    cond_b = (
-        (F.col("user_id") == F.col("err_user_id"))
-        & (F.col("err_ts") >= F.col("ts"))
-        & (F.col("err_ts") <= F.col("ts") + F.expr("INTERVAL 10 MINUTES"))
     )
     expect = {
         (r["event_id"], r["err_ts"])
-        for r in clicks_b.join(errors_b, cond_b).collect()
+        for r in stream_interval_join(
+            clicks_b, errors_b, key="user_id", left_ts="ts", right_ts="err_ts",
+            upper_seconds=600, watermark="30 minutes",
+        ).collect()
     }
 
-    clicks_s = _stream_time_ordered(spark, clicks_b, tmp_path, "ss_clicks").withWatermark(
-        "ts", "30 minutes"
-    )
+    clicks_s = _stream_time_ordered(spark, clicks_b, tmp_path, "ss_clicks")
     errors_s = _stream_time_ordered(
         spark, errors_b, tmp_path, "ss_errors", ts_col="err_ts"
-    ).withWatermark("err_ts", "30 minutes")
-    joined = clicks_s.join(errors_s, cond_b)
+    )
+    joined = stream_interval_join(
+        clicks_s, errors_s, key="user_id", left_ts="ts", right_ts="err_ts",
+        upper_seconds=600, watermark="30 minutes",
+    )
+    assert joined.isStreaming
     got_df = _drain(joined, tmp_path, "ssj")
     got = {tuple(x) for x in got_df[["event_id", "err_ts"]].itertuples(index=False)}
     assert len(expect) > 0
