@@ -76,6 +76,9 @@ HEADLINE = [
     # single-shuffle funnel + BM25 retrieval (r6 final wave)
     "t_funnel_stages",
     "txt_bm25_topk",
+    # prefix-filter containment join + stream-stream interval join twin
+    "dd_containment",
+    "st_interval_join",
 ]
 
 

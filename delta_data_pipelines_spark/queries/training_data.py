@@ -813,6 +813,72 @@ def txt_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model score per document — the CCNet/KenLM-style
+    perplexity proxy at order 0: mean over tokens of
+    ln(corpus_tf / corpus_total). Unusually low scores flag rare-token
+    noise (mojibake, codes, boilerplate markup); the standard quality
+    cut keeps docs above a percentile of this score.
+
+    Float discipline: each token's log-prob is rounded to 9 dp and
+    summed as DECIMAL — associative, so Spark's partial-aggregation
+    order cannot change the result and both engines agree bit-for-bit;
+    the single final division is one float op on two exact values.
+    Corpus totals ride in as a 1-row broadcast aggregate (the tpch_q15
+    pattern), never a driver-side count. Shape at scale: one explode →
+    vocab-sized groupBy → token join (AQE broadcasts the vocab side
+    while it fits) → per-doc partial agg."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    freq = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    total = freq.agg(F.sum("tf").alias("_total"))
+    return (
+        toks.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_lp",
+            F.round(
+                F.log(F.col("tf").cast("double") / F.col("_total")), 9
+            ).cast("decimal(28,9)"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum("_lp").cast("double") / F.count("*"), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def td_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware sampling weights: each near-dup cluster keeps its
+    min-id representative with weight = cluster size (singletons weigh
+    1). Downstream samplers draw by weight, so dropping duplicates
+    does not silently re-weight the distribution the corpus was
+    crawled with — the "keep one copy, remember how many there were"
+    form of dedup used for weighted-sampling pipelines."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.8)
+    clusters = dedup.near_dup_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("_csize"))
+    joined = d.join(clusters, d.doc_id == clusters.member_id, "left")
+    kept = joined.where(
+        F.col("cluster_id").isNull() | (F.col("member_id") == F.col("cluster_id"))
+    )
+    return (
+        kept.join(sizes, "cluster_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.coalesce(F.col("_csize"), F.lit(1)).cast("bigint").alias("weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def ds_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable 10% corpus sample by doc_id hash — the same rows survive
     every run, so iteration-time metrics stay comparable."""
@@ -857,6 +923,8 @@ SPARK_QUERIES = {
     "td_decontaminate": td_decontaminate,
     "txt_vocab_topk": txt_vocab_topk,
     "txt_tfidf_top_term": txt_tfidf_top_term,
+    "txt_unigram_logprob": txt_unigram_logprob,
+    "td_dup_weights": td_dup_weights,
     "txt_bm25_topk": txt_bm25_topk,
     "td_pack_sequences": td_pack_sequences,
     "td_chunk_manifest": td_chunk_manifest,
@@ -1081,6 +1149,55 @@ ORACLE_SQL = {
         WHERE _rn = 1
         ORDER BY doc_id
     """,
+    # per-token log-probs rounded then summed as DECIMAL (associative),
+    # one final float division — engine-identical
+    "txt_unigram_logprob": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), freq AS (
+            SELECT token, COUNT(*) AS tf FROM toks GROUP BY token
+        ), tot AS (
+            SELECT SUM(tf) AS total FROM freq
+        )
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               ROUND(CAST(SUM(CAST(ROUND(ln(CAST(tf AS DOUBLE) / total), 9)
+                                   AS DECIMAL(28,9))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_logprob
+        FROM toks JOIN freq USING (token) CROSS JOIN tot
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+    # connected components over the exact-Jaccard pairs (as dd_cluster),
+    # then keep min-id representatives carrying their component size
+    "td_dup_weights": (
+        "WITH RECURSIVE pairs AS (SELECT * FROM ("
+        + _JACCARD_PAIRS.format(block="")
+        + """) WHERE jaccard_sim >= 0.8
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ), nodes AS (
+            SELECT DISTINCT src AS node FROM edges
+        ), reach(node, root) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+        ), cc AS (
+            SELECT node AS member_id, MIN(root) AS cluster_id
+            FROM reach GROUP BY node
+        ), sizes AS (
+            SELECT cluster_id, COUNT(*) AS csize FROM cc GROUP BY cluster_id
+        )
+        SELECT d.doc_id, d.lang, d.source,
+               CAST(COALESCE(s.csize, 1) AS BIGINT) AS weight
+        FROM documents d
+        LEFT JOIN cc ON d.doc_id = cc.member_id
+        LEFT JOIN sizes s ON cc.cluster_id = s.cluster_id
+        WHERE cc.member_id IS NULL OR cc.member_id = cc.cluster_id
+        ORDER BY doc_id
+    """
+    ),
     "td_pack_sequences": """
         WITH sized AS (
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
