@@ -79,15 +79,16 @@ _PRIORITY = [
     "td_chunk_manifest", "t_funnel_stages", "txt_bm25_topk",
     "t_retention_cohorts", "t_gap_fill", "t_rolling_stats",
     "a_histogram", "td_length_balance", "so_intersect",
-    # streaming batch-twins (ST5) — representative
-    "st_windowed_counts",
+    # continuous-build additions, never driver-seen (mirror-green):
+    # containment dedup, stream-stream interval-join twin, unigram-LM
+    # score, dedup-aware weights. Rotated out for them (all driver-
+    # green r5 AND earlier rounds, still mirror-checked):
+    # st_windowed_counts, t_asof_join, a_counters, a_rollup
+    "dd_containment", "st_interval_join",
+    "txt_unigram_logprob", "td_dup_weights",
     # TPC-H: q2 changed this round (broadcast hint dropped) — q17/q20
     # (also changed) and regrouped q21 are pinned in the r5 block above
     "tpch_q2",
-    # temporal joins
-    "t_asof_join",
-    # grouping/pivot family
-    "a_counters", "a_rollup",
     # scale-safe variants
     "w_row_number_seq_scalable", "w_batch_ids_global", "dd_embedding_blocked",
     # curation operators
