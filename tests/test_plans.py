@@ -243,3 +243,43 @@ def test_funnel_single_shuffle_no_joins(spark, registry):
     hash_ex = len(re.findall(r"Arguments: hashpartitioning\(user_id#\d+", plan))
     assert hash_ex == 1, plan
     assert plan.count("Window") >= 3, plan
+
+
+def test_containment_joins_are_equi_never_cross(spark):
+    """containment_pairs: the prefix-probe ⋈ inverted-index join and
+    the verify joins are all equi-joins — a cross-product fallback
+    would be all-pairs, the exact thing the prefix filter exists to
+    avoid. Asserted on the lazy form (the eager default collapses to a
+    checkpoint scan with no joins left to inspect)."""
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.operators.dedup import containment_pairs
+
+    d = read_table(spark, SF, "documents")
+    df = containment_pairs(d, "doc_id", "text", 0.5, materialize=False)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = str(qe.explainString(mode))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_unigram_logprob_one_broadcast_total_no_cartesian(spark, registry):
+    """txt_unigram_logprob: the corpus-total enters as ONE broadcast of
+    a 1-row aggregate (the tpch_q15 pattern); the token-frequency join
+    stays an equi-join."""
+    plan = plan_of(spark, registry, "txt_unigram_logprob")
+    assert "CartesianProduct" not in plan, plan
+    # formatted mode prints each node twice (tree + detail): one BNLJ
+    # node — the broadcast 1-row total — appears as two lines
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_stream_interval_join_batch_twin_is_equi_join(spark, registry):
+    """st_interval_join: key equality must survive as the join key
+    (hash/broadcast equi-join) with the interval as a post-join filter
+    — never a pure range cross product."""
+    plan = plan_of(spark, registry, "st_interval_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
