@@ -40,6 +40,9 @@ def main(argv: list[str] | None = None) -> int:
     cc.add_argument("--no-scrub", action="store_true", help="skip PII redaction")
     cc.add_argument("--pack-ctx", type=int, default=None,
                     help="pack each split into N-token training windows")
+    cc.add_argument("--lm-drop", type=float, default=None,
+                    help="drop the bottom FRACTION by mean unigram "
+                    "log-prob after the heuristic gate (CCNet-style)")
 
     cn = sub.add_parser(
         "compact-neardups",
@@ -98,7 +101,8 @@ def main(argv: list[str] | None = None) -> int:
         docs = read_table(spark, args.sf_dir, "documents")
         table = VersionedTable(spark, args.out)
         res = publish_corpus(
-            table, docs, scrub=not args.no_scrub, pack_ctx=args.pack_ctx
+            table, docs, scrub=not args.no_scrub, pack_ctx=args.pack_ctx,
+            lm_drop_fraction=args.lm_drop,
         )
         print(json.dumps({"job": "curate-corpus", **res}))
         return 0

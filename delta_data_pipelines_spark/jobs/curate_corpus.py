@@ -136,6 +136,58 @@ def quality_gate(
     )
 
 
+def lm_filter_stage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    drop_fraction: float = 0.05,
+) -> DataFrame:
+    """CCNet-style language-model filter: score every doc by its mean
+    unigram log-prob under the corpus's own unigram distribution and
+    drop the lowest ``drop_fraction`` — the statistical outlier cut
+    (mojibake, symbol soup, wrong-language fragments) that heuristic
+    gates miss. Runs AFTER the heuristic gate, as in CCNet.
+
+    Everything stays in the plan: corpus totals and the percentile
+    threshold are 1-row aggregates broadcast-cross-joined in (the
+    tpch_q15 pattern) — no driver-side count or collect. The kept set
+    re-enters as a LEFT SEMI join on ``id_col``, so doc payloads never
+    ride through the scoring shuffle. Per-token log-probs are rounded
+    then decimal-summed (associative → deterministic under any
+    partial-agg order); ties AT the threshold are kept.
+    """
+    if not (0.0 <= drop_fraction < 1.0):
+        raise ValueError(f"drop_fraction must be in [0, 1), got {drop_fraction}")
+    if drop_fraction == 0.0:
+        return docs
+    toks = docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("_tok"))
+    freq = toks.groupBy("_tok").agg(F.count("*").alias("_tf"))
+    total = freq.agg(F.sum("_tf").alias("_total"))
+    scores = (
+        toks.join(freq, "_tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_lp",
+            F.round(
+                F.log(F.col("_tf").cast("double") / F.col("_total")), 9
+            ).cast("decimal(28,9)"),
+        )
+        .groupBy(id_col)
+        .agg(
+            (F.sum("_lp").cast("double") / F.count("*")).alias("_avg_lp")
+        )
+    )
+    thr = scores.agg(
+        F.expr(f"percentile(_avg_lp, {drop_fraction})").alias("_thr")
+    )
+    kept_ids = (
+        scores.crossJoin(F.broadcast(thr))
+        .where(F.col("_avg_lp") >= F.col("_thr"))
+        .select(id_col)
+    )
+    return docs.join(kept_ids, id_col, "left_semi")
+
+
 def collapse_near_dups(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -167,16 +219,22 @@ def curate_corpus(
     splits: dict[str, float] | None = None,
     scrub: bool = True,
     pack_ctx: int | None = None,
+    lm_drop_fraction: float | None = None,
     **gate_kwargs,
 ) -> DataFrame:
-    """PII scrub → quality gate → exact dedup → near-dup collapse →
-    md5 split → (optional) per-split sequence packing.
+    """PII scrub → quality gate → (optional) LM filter → exact dedup →
+    near-dup collapse → md5 split → (optional) per-split packing.
 
     ``scrub=False`` skips redaction (corpora already scrubbed
-    upstream); ``pack_ctx`` adds start_offset/chunk_start/chunk_end
-    columns laying each split out as ctx-token training windows."""
+    upstream); ``lm_drop_fraction`` drops the docs scoring in the
+    bottom fraction of mean unigram log-prob (CCNet stage order:
+    heuristics first, LM cut second); ``pack_ctx`` adds
+    start_offset/chunk_start/chunk_end columns laying each split out
+    as ctx-token training windows."""
     staged = scrub_stage(docs, text_col) if scrub else docs
     gated = quality_gate(staged, text_col, **gate_kwargs)
+    if lm_drop_fraction is not None:
+        gated = lm_filter_stage(gated, id_col, text_col, lm_drop_fraction)
     exact = dedup.exact_dedup(gated, text_col, id_col)
     uniq = collapse_near_dups(exact, id_col, text_col)
     split = sampling.hash_split(

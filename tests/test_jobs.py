@@ -189,6 +189,60 @@ def test_quality_gate_short_docs_can_pass(spark):
     assert quality_gate(docs, top_bigram_cap=0.05).count() == 0
 
 
+def test_lm_filter_drops_statistical_outliers(spark):
+    """The CCNet-style LM stage must drop the doc whose tokens are
+    rarest under the corpus's own unigram distribution — the outlier
+    heuristic gates can't see — and keep everything else."""
+    from delta_data_pipelines_spark.jobs.curate_corpus import lm_filter_stage
+
+    common = "the quick brown fox jumps over the lazy dog again today"
+    rows = [(i, common) for i in range(1, 9)]
+    # every token unique corpus-wide -> minimal avg log-prob
+    rows.append((99, "zq9 xv7 qqj kkz wfx ppy mzt ggv hhb jjr"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in lm_filter_stage(docs, drop_fraction=0.2).collect()}
+    assert 99 not in kept
+    assert kept == set(range(1, 9))
+
+
+def test_lm_filter_zero_fraction_is_identity_and_validates(spark):
+    import pytest as _pytest
+
+    from delta_data_pipelines_spark.jobs.curate_corpus import lm_filter_stage
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert lm_filter_stage(docs, drop_fraction=0.0) is docs
+    for bad in (-0.1, 1.0, 1.5):
+        with _pytest.raises(ValueError, match="drop_fraction"):
+            lm_filter_stage(docs, drop_fraction=bad)
+
+
+def test_curate_corpus_lm_stage_wires_through(spark):
+    """curate_corpus(lm_drop_fraction=...) must apply the LM cut after
+    the heuristic gate: the gibberish doc passes the gate (healthy
+    lengths/ratios) but falls to the LM filter."""
+    from delta_data_pipelines_spark.jobs.curate_corpus import curate_corpus
+
+    # gate-passing shape: 65 tokens, half stopwords (healthy ratios),
+    # shared vocabulary so corpus unigram frequencies are high; docs
+    # differ by one token (no exact dups)
+    stops = ["the", "of", "and", "to", "a", "in", "is", "it"]
+    body = " ".join(f"{stops[j % 8]} w{j}" for j in range(32))
+    rows = [(i, f"{body} doc{i}") for i in range(1, 13)]
+    # the outlier ALSO passes the gate (long enough, all-distinct
+    # tokens, no punctuation) but every token is corpus-rare
+    gib = " ".join(f"zq{j}x" for j in range(40))
+    rows.append((99, gib))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    without = curate_corpus(docs, scrub=False)
+    with_lm = curate_corpus(docs, scrub=False, lm_drop_fraction=0.1)
+    ids_without = {r["doc_id"] for r in without.collect()}
+    ids_with = {r["doc_id"] for r in with_lm.collect()}
+    assert 99 in ids_without
+    assert 99 not in ids_with
+    assert ids_with <= ids_without
+
+
 def test_curate_scrub_and_pack_stages(spark, tmp_path):
     """Extended pipeline: PII scrub happens before the gate (quality is
     measured on published text), and per-split packing lays each split
