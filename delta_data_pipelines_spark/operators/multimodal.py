@@ -198,14 +198,16 @@ def resize_images(
 
 
 def sample_frames(
-    df: DataFrame, every: int = 4, payload_col: str = "payload"
+    df: DataFrame, every: int = 4, payload_col: str = "payload", decoder=decode_stub
 ) -> DataFrame:
     """Frame sampling for video payloads: one output row per kept
     frame (every ``every``-th), exploded executor-side.
 
     Output cardinality = Σ ceil(n_frames/every) — never collected to
     the driver; at scale, partition count follows the input and the
-    explode is pipelined (no shuffle).
+    explode is pipelined (no shuffle). ``decoder`` follows
+    extract_features/resize_images: any ``(bytes, modality) -> dict``
+    returning ``n_frames`` drops in for the stub.
     """
     id_fields = [f.name for f in df.schema.fields if f.name != payload_col]
     out_schema = (
@@ -221,7 +223,7 @@ def sample_frames(
         for pdf in batches:
             rows = []
             for i, p in enumerate(pdf[payload_col]):
-                d = decode_stub(bytes(p), "video")
+                d = decoder(bytes(p), "video")
                 base = {k: pdf[k].iloc[i] for k in id_fields}
                 for idx in range(0, d["n_frames"], every):
                     rows.append({**base, "frame_idx": idx, "n_frames": d["n_frames"]})
