@@ -44,6 +44,43 @@ def global_rank_by_range(df: DataFrame, key: str, n_parts: int = 32) -> DataFram
     )
 
 
+def grouped_rank_by_range(
+    df: DataFrame, group: str, key: str, n_parts: int = 32
+) -> DataFrame:
+    """Exact 1-based rank of ``key`` WITHIN each ``group``, scalably.
+
+    ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY key)`` puts each
+    group in ONE task — fatal when a group holds 10⁹ rows (the common
+    case: a handful of huge sources). Range-partition on (group, key)
+    instead: local ranks within (partition, group) are exact per
+    partition, and the per-(partition, group) counts — ≤ n_parts·|groups|
+    rows — provide each group's cumulative offsets through a window
+    that is itself partitioned by group. No single task ever holds more
+    than one range slice of a group.
+
+    Returns ``df`` plus ``group_rank``.
+    """
+    parts = df.repartitionByRange(
+        n_parts, F.col(group), F.col(key)
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid", group).orderBy(key)
+    local = parts.withColumn("_rn", F.row_number().over(w_local))
+    counts = local.groupBy("_pid", group).agg(F.count("*").alias("_cnt"))
+    w_off = (
+        Window.partitionBy(group)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+    ).select("_pid", group, "_off")
+    return (
+        local.join(F.broadcast(offsets), ["_pid", group])
+        .withColumn("group_rank", F.col("_off") + F.col("_rn"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
 def global_cumsum_by_range(
     df: DataFrame, key: str, val: str, n_parts: int = 32
 ) -> DataFrame:

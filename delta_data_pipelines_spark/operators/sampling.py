@@ -123,3 +123,45 @@ def stratified_sample(
         .where(split_bucket(key, method) < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def interleave_by_weight(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weight_col: str,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Deterministic weighted interleave — the training-mixture
+    schedule (HF ``interleave_datasets`` semantics, distributed): doc
+    number k of source s is placed at virtual time k / w_s, and the
+    global order sorts by (vtime, source, k) — so a source with twice
+    the weight contributes twice as often in every prefix of the
+    schedule, and the layout is a pure function of (ids, weights):
+    stable under reruns, repartitioning, and engine versions.
+
+    Scale shape: per-source doc numbers come from
+    ``grouped_rank_by_range`` (range slices, never one task per
+    source) and the final position from ``global_rank_by_range`` over
+    the composite (vtime, source, k) key — the only unpartitioned
+    windows run over per-partition count tables. Weights must be > 0
+    (a zero weight divides by zero; filter those sources out first).
+
+    Returns ``df`` plus ``k`` (1-based doc number within its source)
+    and ``position`` (1-based global schedule position).
+    """
+    from .ranking import global_rank_by_range, grouped_rank_by_range
+
+    ranked = grouped_rank_by_range(df, source_col, id_col, n_parts)
+    keyed = (
+        ranked.withColumnRenamed("group_rank", "k")
+        .withColumn("_vtime", F.col("k") / F.col(weight_col))
+        .withColumn(
+            "_okey", F.struct(F.col("_vtime"), F.col(source_col), F.col("k"))
+        )
+    )
+    return (
+        global_rank_by_range(keyed, "_okey", n_parts)
+        .withColumnRenamed("global_rank", "position")
+        .drop("_vtime", "_okey")
+    )

@@ -879,6 +879,25 @@ def td_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ds_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source interleave — the mixture schedule
+    a training loader consumes (doc k of source s at virtual time
+    k/w_s). Weights derive from the source id (1 + suffix mod 3) so
+    the oracle recomputes them; production passes a weights column or
+    broadcast config table."""
+    d = read_table(spark, sf_dir, "documents")
+    w = (
+        F.substring(F.col("source"), 4, 10).cast("int") % 3 + 1
+    ).cast("double")
+    docs = d.select("doc_id", "source").withColumn("_w", w)
+    return (
+        sampling.interleave_by_weight(docs, "source", "doc_id", "_w")
+        .select("doc_id", "source", F.col("k").cast("bigint").alias("k"),
+                F.col("position").cast("bigint").alias("position"))
+        .orderBy("position")
+    )
+
+
 def ds_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable 10% corpus sample by doc_id hash — the same rows survive
     every run, so iteration-time metrics stay comparable."""
@@ -893,6 +912,7 @@ SPARK_QUERIES = {
     "ds_det_sample": ds_det_sample,
     "ds_stratified_sample": ds_stratified_sample,
     "ds_temperature_mix": ds_temperature_mix,
+    "ds_interleave": ds_interleave,
     "td_length_balance": td_length_balance,
     "txt_langid_confusion": txt_langid_confusion,
     "sim_semantic_dedup_audit": sim_semantic_dedup_audit,
@@ -1148,6 +1168,22 @@ ORACLE_SQL = {
         )
         WHERE _rn = 1
         ORDER BY doc_id
+    """,
+    # virtual-time interleave: k/w is one float division of exact ints
+    # in both engines; ties are impossible ((source, k) is unique)
+    "ds_interleave": """
+        WITH w AS (
+            SELECT doc_id, source,
+                   CAST(CAST(substr(source, 4) AS INT) % 3 + 1 AS DOUBLE) AS wgt
+            FROM documents
+        ), r AS (
+            SELECT doc_id, source, wgt,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS k
+            FROM w
+        )
+        SELECT doc_id, source, k,
+               ROW_NUMBER() OVER (ORDER BY k / wgt, source, k) AS position
+        FROM r ORDER BY position
     """,
     # per-token log-probs rounded then summed as DECIMAL (associative),
     # one final float division — engine-identical

@@ -675,6 +675,53 @@ def test_global_cumsum_matches_single_partition_window(spark):
     assert got == expect
 
 
+def test_grouped_rank_matches_per_group_window(spark):
+    """Range-sliced per-group rank must equal the single-task
+    ROW_NUMBER() OVER (PARTITION BY g ORDER BY k) it replaces."""
+    from pyspark.sql import Window
+
+    from delta_data_pipelines_spark.operators.ranking import (
+        grouped_rank_by_range,
+    )
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+    )
+    got = {
+        (r["g"], r["k"]): r["group_rank"]
+        for r in grouped_rank_by_range(df, "g", "k", n_parts=8).collect()
+    }
+    w = Window.partitionBy("g").orderBy("k")
+    expect = {
+        (r["g"], r["k"]): r["e"]
+        for r in df.select("g", "k", F.row_number().over(w).alias("e")).collect()
+    }
+    assert got == expect
+
+
+def test_interleave_by_weight_matches_brute_force_schedule(spark):
+    """The distributed interleave must equal the brute-force schedule:
+    sort all (source, k) by k/w with (source, k) tie-break — and a
+    double-weight source must appear ~2x as often in every prefix."""
+    from delta_data_pipelines_spark.operators.sampling import interleave_by_weight
+
+    rows = [(i, "a", 2.0) for i in range(100)] + [
+        (1000 + i, "b", 1.0) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    out = interleave_by_weight(df, "source", "doc_id", "w").collect()
+    got = [(r["source"], r["k"]) for r in sorted(out, key=lambda r: r["position"])]
+    brute = sorted(
+        [(s, k) for s in ("a", "b") for k in range(1, 101)],
+        key=lambda sk: (sk[1] / (2.0 if sk[0] == "a" else 1.0), sk[0], sk[1]),
+    )
+    assert got == brute
+    # schedule property: among the first 90 slots, a ≈ 2x b
+    head = got[:90]
+    n_a = sum(1 for s, _ in head if s == "a")
+    assert n_a == 60
+
+
 def test_kmv_sketch_matches_windowed_estimate(spark):
     """The mergeable bottom-k sketch must produce the same estimate as
     the distinct+window form for every group, and the sketch itself
