@@ -85,7 +85,7 @@ _PRIORITY = [
     # green r5 AND earlier rounds, still mirror-checked):
     # st_windowed_counts, t_asof_join, a_counters, a_rollup
     "dd_containment", "st_interval_join",
-    "txt_unigram_logprob", "td_dup_weights",
+    "txt_unigram_logprob", "td_dup_weights", "ds_interleave",
     # TPC-H: q2 changed this round (broadcast hint dropped) — q17/q20
     # (also changed) and regrouped q21 are pinned in the r5 block above
     "tpch_q2",
@@ -93,9 +93,9 @@ _PRIORITY = [
     "w_row_number_seq_scalable", "w_batch_ids_global", "dd_embedding_blocked",
     # curation operators
     "dd_cluster", "td_curate",
-    # training-data headline components
+    # training-data headline components (txt_topk_per_source rotated
+    # out for ds_interleave — driver-green r1-r5, still mirror-checked)
     "dd_minhash", "sim_brute_topk", "sim_ivf_topk", "txt_profile",
-    "txt_topk_per_source",
 ]
 
 
