@@ -43,6 +43,9 @@ def main(argv: list[str] | None = None) -> int:
     cc.add_argument("--lm-drop", type=float, default=None,
                     help="drop the bottom FRACTION by mean unigram "
                     "log-prob after the heuristic gate (CCNet-style)")
+    cc.add_argument("--dup-weights", action="store_true",
+                    help="carry dup_weight = near-dup cluster size on "
+                    "each kept representative")
 
     cn = sub.add_parser(
         "compact-neardups",
@@ -102,7 +105,7 @@ def main(argv: list[str] | None = None) -> int:
         table = VersionedTable(spark, args.out)
         res = publish_corpus(
             table, docs, scrub=not args.no_scrub, pack_ctx=args.pack_ctx,
-            lm_drop_fraction=args.lm_drop,
+            lm_drop_fraction=args.lm_drop, dup_weights=args.dup_weights,
         )
         print(json.dumps({"job": "curate-corpus", **res}))
         return 0

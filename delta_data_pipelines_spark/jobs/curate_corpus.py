@@ -193,14 +193,21 @@ def collapse_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    keep_weights: bool = False,
 ) -> DataFrame:
     """Keep one representative per near-dup cluster (the smallest id,
     matching ``near_dup_clusters``' deterministic labeling). Docs in no
     cluster pass through. NOTE: runs the LSH + clustering jobs eagerly
-    (see operators.dedup)."""
+    (see operators.dedup).
+
+    ``keep_weights=True`` adds ``dup_weight`` = cluster size (1 for
+    singletons): dropping duplicates silently down-weights whatever was
+    crawled most, so weighted samplers draw by ``dup_weight`` to keep
+    the original distribution. Invariant:
+    ``sum(dup_weight) == rows before collapse``."""
     pairs = dedup.minhash_near_dup_pairs(docs, id_col, text_col, threshold)
     clusters = dedup.near_dup_clusters(pairs)
-    return (
+    kept = (
         docs.join(
             clusters, docs[id_col] == clusters.member_id, "left"
         )
@@ -208,7 +215,16 @@ def collapse_near_dups(
             F.col("cluster_id").isNull()
             | (F.col("member_id") == F.col("cluster_id"))
         )
-        .drop("member_id", "cluster_id")
+    )
+    if not keep_weights:
+        return kept.drop("member_id", "cluster_id")
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("_csize"))
+    return (
+        kept.join(sizes, "cluster_id", "left")
+        .withColumn(
+            "dup_weight", F.coalesce(F.col("_csize"), F.lit(1)).cast("bigint")
+        )
+        .drop("member_id", "cluster_id", "_csize")
     )
 
 
@@ -220,6 +236,7 @@ def curate_corpus(
     scrub: bool = True,
     pack_ctx: int | None = None,
     lm_drop_fraction: float | None = None,
+    dup_weights: bool = False,
     **gate_kwargs,
 ) -> DataFrame:
     """PII scrub → quality gate → (optional) LM filter → exact dedup →
@@ -228,7 +245,9 @@ def curate_corpus(
     ``scrub=False`` skips redaction (corpora already scrubbed
     upstream); ``lm_drop_fraction`` drops the docs scoring in the
     bottom fraction of mean unigram log-prob (CCNet stage order:
-    heuristics first, LM cut second); ``pack_ctx`` adds
+    heuristics first, LM cut second); ``dup_weights=True`` carries
+    ``dup_weight`` = near-dup cluster size on each representative (for
+    weighted samplers); ``pack_ctx`` adds
     start_offset/chunk_start/chunk_end columns laying each split out
     as ctx-token training windows."""
     staged = scrub_stage(docs, text_col) if scrub else docs
@@ -236,7 +255,9 @@ def curate_corpus(
     if lm_drop_fraction is not None:
         gated = lm_filter_stage(gated, id_col, text_col, lm_drop_fraction)
     exact = dedup.exact_dedup(gated, text_col, id_col)
-    uniq = collapse_near_dups(exact, id_col, text_col)
+    uniq = collapse_near_dups(
+        exact, id_col, text_col, keep_weights=dup_weights
+    )
     split = sampling.hash_split(
         uniq, id_col, splits or DEFAULT_SPLITS, method="md5"
     )

@@ -243,6 +243,30 @@ def test_curate_corpus_lm_stage_wires_through(spark):
     assert ids_with <= ids_without
 
 
+def test_collapse_near_dups_weights_conserve_mass(spark):
+    """keep_weights: every representative carries its cluster size and
+    the weights sum to the pre-collapse row count — dedup must not
+    silently re-weight the corpus."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.jobs.curate_corpus import collapse_near_dups
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    rows = [
+        (1, base),
+        (2, base),                                # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),      # below 0.8 — singleton
+        (4, "completely different words about spark query engines here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = collapse_near_dups(docs, keep_weights=True)
+    got = {r["doc_id"]: r["dup_weight"] for r in out.collect()}
+    assert got == {1: 2, 3: 1, 4: 1}
+    assert sum(got.values()) == docs.count()
+    # default path unchanged: no weight column
+    assert "dup_weight" not in collapse_near_dups(docs).columns
+
+
 def test_curate_scrub_and_pack_stages(spark, tmp_path):
     """Extended pipeline: PII scrub happens before the gate (quality is
     measured on published text), and per-split packing lays each split
