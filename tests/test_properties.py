@@ -397,3 +397,79 @@ def test_bm25_matches_python_model(spark, docs):
             idf = math.log((n - dfc[t] + 0.5) / (dfc[t] + 0.5) + 1.0)
             s = idf * (c * (K1 + 1.0)) / (c + K1 * (1.0 - B + B * len(d) / avgdl))
             assert abs(got[(i, t)] - s) < 1e-6, (i, t, got[(i, t)], s)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 9), min_size=1, max_size=10),
+        min_size=2,
+        max_size=20,
+    ),
+    st.sampled_from([0.3, 0.5, 0.7, 1.0]),
+)
+def test_containment_prefix_filter_lossless_property(spark, docs_tokens, threshold):
+    """Prefix-filter containment join must equal brute-force all-pairs
+    for ANY corpus and threshold — the pigeonhole losslessness claim,
+    not just the fixed fixture."""
+    from delta_data_pipelines_spark.operators.dedup import (
+        containment_pairs,
+        shingles,
+    )
+
+    rows = [(i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in containment_pairs(df, "doc_id", "text", threshold).collect()
+    }
+    sh = df.select("doc_id", shingles(F.col("text")).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"], r["c"])
+        for r in a.join(b, F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size("a.sh").cast("double"),
+                9,
+            ).alias("c"),
+        )
+        .where(F.col("c") >= threshold)
+        .collect()
+    }
+    assert got == brute
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(1, 15)),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_interleave_matches_python_model(spark, specs):
+    """interleave_by_weight must equal the reference schedule: sort all
+    (source, k) by (k/w, source, k) — for any weights and sizes."""
+    from delta_data_pipelines_spark.operators.sampling import interleave_by_weight
+
+    rows = []
+    weights = {}
+    for i, (w, n) in enumerate(specs):
+        weights[f"s{i}"] = float(w)
+        rows += [(i * 1000 + k, f"s{i}", float(w)) for k in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    out = interleave_by_weight(df, "source", "doc_id", "w").collect()
+    got = [(r["source"], r["k"]) for r in sorted(out, key=lambda r: r["position"])]
+    model = sorted(
+        [
+            (s, k)
+            for i, (w, n) in enumerate(specs)
+            for s, k in [(f"s{i}", k) for k in range(1, n + 1)]
+        ],
+        key=lambda sk: (sk[1] / weights[sk[0]], sk[0], sk[1]),
+    )
+    assert got == model
