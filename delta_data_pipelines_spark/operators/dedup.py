@@ -302,6 +302,7 @@ def containment_pairs(
     text_col: str,
     threshold: float = 0.5,
     materialize: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Asymmetric shingle-containment pairs: |sh(a)∩sh(b)| / |sh(a)| ≥ t.
 
@@ -333,6 +334,17 @@ def containment_pairs(
     ``materialize`` follows :func:`minhash_near_dup_pairs`: the ordered
     shingle-set base feeds the prefix, index, and verify arms, so the
     default persists it for the run and releases it after.
+
+    ``max_df`` is the hot-shingle guard (the analog of the LSH path's
+    ``max_bucket``): shingles whose document frequency exceeds it are
+    excluded from EVERY set — boilerplate shared by millions of docs
+    would otherwise put one join key on a large fraction of the index
+    side. With the cap, containment is computed over the filtered
+    (informative) shingles — a semantics change, so it is opt-in and
+    the exact default (None) is what the oracle checks; at corpus
+    scale set it around the size where a shingle stops being
+    discriminative (~10⁴). Docs whose every shingle is over-cap drop
+    out (no informative content to match on).
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -344,8 +356,12 @@ def containment_pairs(
     )
     ex = sh.select(id_col, F.explode("_hs").alias("_h"))
     dfreq = ex.groupBy("_h").agg(F.count("*").alias("_df"))
+    if max_df is not None:
+        dfreq = dfreq.where(F.col("_df") <= max_df)
     # canonical rarest-first order: (document frequency, hash) — a total
-    # order shared by every doc, required for the pigeonhole argument
+    # order shared by every doc, required for the pigeonhole argument.
+    # The dfreq join is inner, so over-cap shingles drop out of the
+    # sets here (both the probe and index sides see the same sets).
     ordered = (
         ex.join(dfreq, "_h")
         .groupBy(id_col)

@@ -126,6 +126,39 @@ def test_containment_eager_and_releases_cache(spark, corpus):
     assert cache_manager.isEmpty()
 
 
+def test_containment_max_df_filters_hot_shingles(spark):
+    """The hot-shingle guard: with max_df, containment is computed over
+    the sets MINUS over-cap shingles — equal to brute force on the
+    filtered sets, and docs made of only boilerplate drop out."""
+    boiler = "x1 x2 x3 x4 x5"  # in every doc -> every shingle df = 4
+    rows = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+        (3, boiler + " unrelated words entirely here"),
+        (4, boiler),  # nothing but boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", 0.8, max_df=3
+        ).collect()
+    }
+    # after dropping df>3 shingles, doc 1's informative shingles are the
+    # "x5 alpha beta"... tail — all present in doc 2's; doc 4 vanishes
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert all(4 not in pair for pair in got)
+    # exact default finds no (1,2): the shared boilerplate dilutes
+    # nothing (it's shared), but doc 1 also shares all x-shingles with
+    # docs 3 and 4 — the unfiltered sets differ, pin one value to show
+    # the semantics actually changed
+    exact = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(df, "doc_id", "text", 0.8).collect()
+    }
+    assert exact != got
+
+
 def test_containment_threshold_validation(spark, corpus):
     with pytest.raises(ValueError):
         dedup.containment_pairs(corpus, "doc_id", "text", 0.0)
