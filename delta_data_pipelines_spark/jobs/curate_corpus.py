@@ -141,6 +141,7 @@ def lm_filter_stage(
     id_col: str = "doc_id",
     text_col: str = "text",
     drop_fraction: float = 0.05,
+    materialize: bool = True,
 ) -> DataFrame:
     """CCNet-style language-model filter: score every doc by its mean
     unigram log-prob under the corpus's own unigram distribution and
@@ -148,34 +149,31 @@ def lm_filter_stage(
     (mojibake, symbol soup, wrong-language fragments) that heuristic
     gates miss. Runs AFTER the heuristic gate, as in CCNet.
 
-    Everything stays in the plan: corpus totals and the percentile
-    threshold are 1-row aggregates broadcast-cross-joined in (the
-    tpch_q15 pattern) — no driver-side count or collect. The kept set
-    re-enters as a LEFT SEMI join on ``id_col``, so doc payloads never
-    ride through the scoring shuffle. Per-token log-probs are rounded
-    then decimal-summed (associative → deterministic under any
-    partial-agg order); ties AT the threshold are kept.
+    Scoring is ``textstats.unigram_logprob_scores`` — the SAME
+    definition the oracle-checked ``txt_unigram_logprob`` query uses,
+    so the job's cut can never drift from what the oracle checks. The
+    percentile threshold is a 1-row aggregate broadcast-cross-joined
+    in; the kept set re-enters as a LEFT SEMI join on ``id_col``, so
+    doc payloads never ride through the scoring shuffle. Ties AT the
+    threshold are kept.
+
+    ``materialize=True`` (default) localCheckpoints the input first:
+    the scoring plan embeds the input under four separate scans (token
+    freq, score join, percentile, semi-join probe), and in the job
+    that input is the full regex-heavy scrub+gate lineage — without
+    staging it would re-run ~5×. Pass False to keep a fully lazy
+    composable plan (oracle-query usage).
     """
     if not (0.0 <= drop_fraction < 1.0):
         raise ValueError(f"drop_fraction must be in [0, 1), got {drop_fraction}")
     if drop_fraction == 0.0:
         return docs
-    toks = docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("_tok"))
-    freq = toks.groupBy("_tok").agg(F.count("*").alias("_tf"))
-    total = freq.agg(F.sum("_tf").alias("_total"))
-    scores = (
-        toks.join(freq, "_tok")
-        .crossJoin(F.broadcast(total))
-        .withColumn(
-            "_lp",
-            F.round(
-                F.log(F.col("_tf").cast("double") / F.col("_total")), 9
-            ).cast("decimal(28,9)"),
-        )
-        .groupBy(id_col)
-        .agg(
-            (F.sum("_lp").cast("double") / F.count("*")).alias("_avg_lp")
-        )
+    from ..operators.textstats import unigram_logprob_scores
+
+    if materialize:
+        docs = docs.localCheckpoint(eager=True)
+    scores = unigram_logprob_scores(docs, id_col, text_col).select(
+        id_col, F.col("avg_logprob").alias("_avg_lp")
     )
     thr = scores.agg(
         F.expr(f"percentile(_avg_lp, {drop_fraction})").alias("_thr")
@@ -194,17 +192,20 @@ def collapse_near_dups(
     text_col: str = "text",
     threshold: float = 0.8,
     keep_weights: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Keep one representative per near-dup cluster (the smallest id,
     matching ``near_dup_clusters``' deterministic labeling). Docs in no
     cluster pass through. NOTE: runs the LSH + clustering jobs eagerly
     (see operators.dedup).
 
-    ``keep_weights=True`` adds ``dup_weight`` = cluster size (1 for
-    singletons): dropping duplicates silently down-weights whatever was
-    crawled most, so weighted samplers draw by ``dup_weight`` to keep
-    the original distribution. Invariant:
-    ``sum(dup_weight) == rows before collapse``."""
+    ``keep_weights=True`` adds ``dup_weight`` — the cluster's total
+    mass (1 per member, or the sum of members' ``weight_col`` when
+    given, so exact-dup counts folded in upstream are conserved):
+    dropping duplicates silently down-weights whatever was crawled
+    most, so weighted samplers draw by ``dup_weight`` to keep the
+    original distribution. Invariant:
+    ``sum(dup_weight) == sum of input mass``."""
     pairs = dedup.minhash_near_dup_pairs(docs, id_col, text_col, threshold)
     clusters = dedup.near_dup_clusters(pairs)
     kept = (
@@ -218,11 +219,18 @@ def collapse_near_dups(
     )
     if not keep_weights:
         return kept.drop("member_id", "cluster_id")
-    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("_csize"))
+    base_w = (
+        F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
+    )
+    members = clusters.join(
+        docs.select(F.col(id_col).alias("member_id"), base_w.alias("_bw")),
+        "member_id",
+    )
+    sizes = members.groupBy("cluster_id").agg(F.sum("_bw").alias("_csize"))
     return (
         kept.join(sizes, "cluster_id", "left")
         .withColumn(
-            "dup_weight", F.coalesce(F.col("_csize"), F.lit(1)).cast("bigint")
+            "dup_weight", F.coalesce(F.col("_csize"), base_w).cast("bigint")
         )
         .drop("member_id", "cluster_id", "_csize")
     )
@@ -246,18 +254,35 @@ def curate_corpus(
     upstream); ``lm_drop_fraction`` drops the docs scoring in the
     bottom fraction of mean unigram log-prob (CCNet stage order:
     heuristics first, LM cut second); ``dup_weights=True`` carries
-    ``dup_weight`` = near-dup cluster size on each representative (for
-    weighted samplers); ``pack_ctx`` adds
-    start_offset/chunk_start/chunk_end columns laying each split out
-    as ctx-token training windows."""
+    ``dup_weight`` = total duplicate mass on each representative —
+    exact-dup copies (counted before they're dropped) PLUS near-dup
+    cluster members, so ``sum(dup_weight)`` equals the rows entering
+    dedup and weighted samplers preserve the crawl distribution;
+    ``pack_ctx`` adds start_offset/chunk_start/chunk_end columns
+    laying each split out as ctx-token training windows."""
+    from pyspark.sql import Window
+
     staged = scrub_stage(docs, text_col) if scrub else docs
     gated = quality_gate(staged, text_col, **gate_kwargs)
     if lm_drop_fraction is not None:
         gated = lm_filter_stage(gated, id_col, text_col, lm_drop_fraction)
-    exact = dedup.exact_dedup(gated, text_col, id_col)
-    uniq = collapse_near_dups(
-        exact, id_col, text_col, keep_weights=dup_weights
-    )
+    if dup_weights:
+        # count exact copies in the SAME window pass that picks the
+        # first writer — dropping them weightlessly would undercount
+        # the most common duplication class
+        wp = Window.partitionBy(F.xxhash64(F.col(text_col)))
+        exact = (
+            gated.withColumn("_exact_w", F.count("*").over(wp))
+            .withColumn("_rn", F.row_number().over(wp.orderBy(id_col)))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        uniq = collapse_near_dups(
+            exact, id_col, text_col, keep_weights=True, weight_col="_exact_w"
+        ).drop("_exact_w")
+    else:
+        exact = dedup.exact_dedup(gated, text_col, id_col)
+        uniq = collapse_near_dups(exact, id_col, text_col)
     split = sampling.hash_split(
         uniq, id_col, splits or DEFAULT_SPLITS, method="md5"
     )

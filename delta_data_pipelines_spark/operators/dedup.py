@@ -374,7 +374,12 @@ def containment_pairs(
     )
     if materialize:
         ordered = ordered.persist(StorageLevel.MEMORY_AND_DISK)
-    need = F.ceil(F.lit(threshold) * F.col("_sz")).cast("int")
+    # ceil over a 6-dp-rounded product: bare ceil(t·sz) overestimates by
+    # 1 whenever the float product lands epsilon ABOVE the true integer
+    # (0.55·100 = 55.000000000000004 → ceil 56), silently dropping true
+    # pairs at exact-boundary containment. Thresholds are treated with
+    # 6-decimal precision.
+    need = F.ceil(F.round(F.lit(threshold) * F.col("_sz"), 6)).cast("int")
     # disjoint column names on the two arms: both derive from `ordered`,
     # and a same-name equality in a self-join can resolve trivially
     prefix = ordered.select(
@@ -393,7 +398,11 @@ def containment_pairs(
             & (F.col("id_a") != F.col("id_b"))
             # size prune before the intersect: b can't hold ceil(t·|a|)
             # of a's shingles with fewer total elements than that
-            & (F.col("_sz_b") >= F.ceil(F.lit(threshold) * F.col("_sz_a"))),
+            # (same 6-dp-rounded ceil as `need` — see above)
+            & (
+                F.col("_sz_b")
+                >= F.ceil(F.round(F.lit(threshold) * F.col("_sz_a"), 6))
+            ),
         )
         .select("id_a", "id_b")
         .distinct()

@@ -74,8 +74,13 @@ def grouped_rank_by_range(
     offsets = counts.withColumn(
         "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
     ).select("_pid", group, "_off")
+    # no broadcast hint: the offsets table is n_parts·|groups| rows —
+    # tiny for a handful of sources but SF-proportional when the group
+    # key is high-cardinality (per-domain ranks). AQE broadcasts it at
+    # runtime while it actually fits; a forced hint would OOM instead
+    # of degrading to a shuffle join (same policy as tpch q2/q17/q20).
     return (
-        local.join(F.broadcast(offsets), ["_pid", group])
+        local.join(offsets, ["_pid", group])
         .withColumn("group_rank", F.col("_off") + F.col("_rn"))
         .drop("_pid", "_rn", "_off")
     )

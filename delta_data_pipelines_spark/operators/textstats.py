@@ -198,6 +198,41 @@ def fingerprint(text: Column) -> Column:
     return total % FINGERPRINT_MOD
 
 
+def unigram_logprob_scores(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-doc mean unigram log-prob under the corpus's own unigram
+    distribution — ONE definition shared by the oracle-checked query
+    (txt_unigram_logprob) and the curation job's LM-filter stage, so
+    the job's cut can never drift from what the oracle checks.
+
+    Output: (id_col, n_tokens, avg_logprob double, UNROUNDED — callers
+    round for display). Float discipline: each token's ln(tf/total) is
+    rounded to 9 dp and summed as DECIMAL (associative, so Spark's
+    partial-agg order can't change it); the final division is one
+    float op on two exact values. Corpus totals ride in as a 1-row
+    broadcast aggregate (the tpch_q15 pattern), never a driver count.
+    """
+    toks = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("_tok"))
+    freq = toks.groupBy("_tok").agg(F.count("*").alias("_tf"))
+    total = freq.agg(F.sum("_tf").alias("_total"))
+    return (
+        toks.join(freq, "_tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_lp",
+            F.round(
+                F.log(F.col("_tf").cast("double") / F.col("_total")), 9
+            ).cast("decimal(28,9)"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.sum("_lp").cast("double") / F.count("*")).alias("avg_logprob"),
+        )
+    )
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass corpus profile: all textstats columns at once."""
     t = F.col(text_col)

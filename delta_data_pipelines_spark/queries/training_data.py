@@ -820,33 +820,20 @@ def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise (mojibake, codes, boilerplate markup); the standard quality
     cut keeps docs above a percentile of this score.
 
-    Float discipline: each token's log-prob is rounded to 9 dp and
-    summed as DECIMAL — associative, so Spark's partial-aggregation
-    order cannot change the result and both engines agree bit-for-bit;
-    the single final division is one float op on two exact values.
-    Corpus totals ride in as a 1-row broadcast aggregate (the tpch_q15
-    pattern), never a driver-side count. Shape at scale: one explode →
-    vocab-sized groupBy → token join (AQE broadcasts the vocab side
+    One definition for scoring (``textstats.unigram_logprob_scores``,
+    shared with the curation job's LM-filter stage): per-token
+    log-probs rounded then decimal-summed (associative → deterministic
+    under any partial-agg order), corpus totals as a 1-row broadcast
+    aggregate, never a driver-side count. Shape at scale: one explode
+    → vocab-sized groupBy → token join (AQE broadcasts the vocab side
     while it fits) → per-doc partial agg."""
     d = read_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
-    freq = toks.groupBy("token").agg(F.count("*").alias("tf"))
-    total = freq.agg(F.sum("tf").alias("_total"))
     return (
-        toks.join(freq, "token")
-        .crossJoin(F.broadcast(total))
-        .withColumn(
-            "_lp",
-            F.round(
-                F.log(F.col("tf").cast("double") / F.col("_total")), 9
-            ).cast("decimal(28,9)"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(
-                F.sum("_lp").cast("double") / F.count("*"), 6
-            ).alias("avg_logprob"),
+        textstats.unigram_logprob_scores(d, "doc_id", "text")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("avg_logprob", 6).alias("avg_logprob"),
         )
         .orderBy("doc_id")
     )
@@ -857,23 +844,16 @@ def td_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id representative with weight = cluster size (singletons weigh
     1). Downstream samplers draw by weight, so dropping duplicates
     does not silently re-weight the distribution the corpus was
-    crawled with — the "keep one copy, remember how many there were"
-    form of dedup used for weighted-sampling pipelines."""
+    crawled with. ONE implementation — the curation job's
+    ``collapse_near_dups(keep_weights=True)`` — is what the oracle
+    checks here."""
+    from ..jobs.curate_corpus import collapse_near_dups
+
     d = read_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.8)
-    clusters = dedup.near_dup_clusters(pairs)
-    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("_csize"))
-    joined = d.join(clusters, d.doc_id == clusters.member_id, "left")
-    kept = joined.where(
-        F.col("cluster_id").isNull() | (F.col("member_id") == F.col("cluster_id"))
-    )
     return (
-        kept.join(sizes, "cluster_id", "left")
+        collapse_near_dups(d, "doc_id", "text", threshold=0.8, keep_weights=True)
         .select(
-            "doc_id",
-            "lang",
-            "source",
-            F.coalesce(F.col("_csize"), F.lit(1)).cast("bigint").alias("weight"),
+            "doc_id", "lang", "source", F.col("dup_weight").alias("weight")
         )
         .orderBy("doc_id")
     )

@@ -267,6 +267,27 @@ def test_collapse_near_dups_weights_conserve_mass(spark):
     assert "dup_weight" not in collapse_near_dups(docs).columns
 
 
+def test_curate_dup_weights_count_exact_copies(spark):
+    """Regression: exact_dedup used to run BEFORE weighting, dropping
+    verbatim copies weightlessly — the most common duplication class.
+    dup_weight must conserve total mass through BOTH dedup stages."""
+    from delta_data_pipelines_spark.jobs.curate_corpus import curate_corpus
+
+    stops = ["the", "of", "and", "to", "a", "in", "is", "it"]
+
+    def body(tag):
+        return " ".join(f"{stops[j % 8]} {tag}{j}" for j in range(32))
+
+    rows = [(i, body("w")) for i in range(1, 6)]  # 5 verbatim copies
+    rows += [(10 + i, body(f"u{i}x")) for i in range(3)]  # distinct texts
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_corpus(docs, scrub=False, dup_weights=True)
+    got = {r["doc_id"]: r["dup_weight"] for r in out.collect()}
+    assert got[1] == 5                      # all 5 verbatim copies counted
+    assert got[10] == got[11] == got[12] == 1
+    assert sum(got.values()) == len(rows)   # mass conserved end to end
+
+
 def test_curate_scrub_and_pack_stages(spark, tmp_path):
     """Extended pipeline: PII scrub happens before the gate (quality is
     measured on published text), and per-split packing lays each split

@@ -126,6 +126,25 @@ def test_containment_eager_and_releases_cache(spark, corpus):
     assert cache_manager.isEmpty()
 
 
+def test_containment_exact_boundary_not_lost_to_float_ceil(spark):
+    """Regression: ceil(0.55 * 100) = 56 in floats (product lands at
+    55.000000000000004), which overstated both the required overlap and
+    the size prune — a pair at containment EXACTLY 0.55 was silently
+    dropped despite passing the verify predicate and the oracle."""
+    toks = [f"t{i}" for i in range(102)]
+    a_text = " ".join(toks)                # 100 shingles
+    b_text = " ".join(toks[:57])           # 55 shingles, all within a's
+    df = spark.createDataFrame(
+        [(1, a_text), (2, b_text)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(df, "doc_id", "text", 0.55).collect()
+    }
+    assert got[(2, 1)] == 1.0              # b fully inside a
+    assert got[(1, 2)] == 0.55             # the exact-boundary direction
+
+
 def test_containment_max_df_filters_hot_shingles(spark):
     """The hot-shingle guard: with max_df, containment is computed over
     the sets MINUS over-cap shingles — equal to brute force on the
