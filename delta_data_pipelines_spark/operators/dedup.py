@@ -274,10 +274,13 @@ def ngram_jaccard_pairs(
     a, b = sh.alias("a"), sh.alias("b")
     # length filter (standard set-similarity-join prune): Jaccard ≥ t
     # requires min(|a|,|b|) / max(|a|,|b|) ≥ t — checked on two ints
-    # before the expensive intersect.
-    size_ok = (
-        F.least(F.col("a._sz"), F.col("b._sz"))
-        >= F.greatest(F.col("a._sz"), F.col("b._sz")) * F.lit(threshold)
+    # before the expensive intersect. The product is rounded to 6 dp
+    # before the compare: bare max·t lands epsilon ABOVE the true
+    # boundary for thresholds like 0.55 (20·0.55 = 11.000000000000002),
+    # which would drop a subset pair at Jaccard exactly t — the same
+    # float-ceil hazard fixed in containment_pairs.
+    size_ok = F.least(F.col("a._sz"), F.col("b._sz")) >= F.round(
+        F.greatest(F.col("a._sz"), F.col("b._sz")) * F.lit(threshold), 6
     )
     return (
         a.join(

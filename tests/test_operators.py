@@ -145,6 +145,26 @@ def test_containment_exact_boundary_not_lost_to_float_ceil(spark):
     assert got[(1, 2)] == 0.55             # the exact-boundary direction
 
 
+def test_ngram_jaccard_exact_boundary_not_lost_to_float_prune(spark):
+    """Regression twin of the containment float-ceil fix: a subset pair
+    with Jaccard exactly 0.55 (11 shingles inside 20) must survive the
+    size prune (least >= greatest*0.55 with 20*0.55 = 11.0000000000002
+    used to drop it before verification)."""
+    toks = [f"t{i}" for i in range(22)]
+    big = " ".join(toks)            # 20 shingles
+    small = " ".join(toks[:13])     # 11 shingles, subset -> J = 11/20
+    df = spark.createDataFrame(
+        [(1, big, "x"), (2, small, "x")], "doc_id long, text string, lang string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", "lang", threshold=0.55
+        ).collect()
+    }
+    assert got == {(1, 2): 0.55}
+
+
 def test_containment_max_df_filters_hot_shingles(spark):
     """The hot-shingle guard: with max_df, containment is computed over
     the sets MINUS over-cap shingles — equal to brute force on the
