@@ -239,6 +239,41 @@ def t_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def t_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: 5-minute bars per event type (open = first
+    value by time, high/low, close = last) — the classic time-series
+    rollup a metrics store serves. (event_type, ts) is deduped to the
+    max value first so first/last are well-defined in both engines;
+    open/close are exact selections (``min_by``/``max_by``), never
+    float sums, so no rounding is needed anywhere.
+
+    Scale shape: one pre-aggregation + one windowed aggregation, both
+    partial-then-final (map-side combine); no joins, no windows over
+    rows."""
+    e = read_table(spark, sf_dir, "events")
+    d = e.groupBy("event_type", "ts").agg(F.max("value").alias("v"))
+    return (
+        d.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.expr("min_by(v, ts)").alias("open"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.expr("max_by(v, ts)").alias("close"),
+            F.count("*").alias("n_points"),
+        )
+        .select(
+            F.col("w.start").alias("bar_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_points",
+        )
+        .orderBy("bar_start", "event_type")
+    )
+
+
 SPARK_QUERIES = {
     "t_asof_join": t_asof_join,
     "t_asof_join_tolerance": t_asof_join_tolerance,
@@ -248,6 +283,7 @@ SPARK_QUERIES = {
     "t_retention_cohorts": t_retention_cohorts,
     "t_gap_fill": t_gap_fill,
     "t_rolling_stats": t_rolling_stats,
+    "t_ohlc_bars": t_ohlc_bars,
 }
 
 _ERRORS = """
@@ -397,5 +433,21 @@ ORACLE_SQL = {
                CAST(n AS INTEGER) AS n_window
         FROM w
         ORDER BY event_id
+    """,
+    # open/close via arg_min/arg_max over the (type, ts)-deduped points
+    # — exact selections, engine-identical without rounding
+    "t_ohlc_bars": """
+        WITH d AS (
+            SELECT event_type, ts, MAX(value) AS v
+            FROM events GROUP BY event_type, ts
+        )
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS bar_start,
+               event_type,
+               arg_min(v, ts) AS open,
+               MAX(v) AS high,
+               MIN(v) AS low,
+               arg_max(v, ts) AS close,
+               COUNT(*) AS n_points
+        FROM d GROUP BY 1, 2 ORDER BY bar_start, event_type
     """,
 }
