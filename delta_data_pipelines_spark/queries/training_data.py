@@ -878,6 +878,84 @@ def ds_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ds_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-source sample: rank docs within each source
+    by portable md5 hash (tie-broken on doc_id) and keep the first 5 —
+    the "inspect a stable handful from every source" debugging sample,
+    stable across runs, partitionings, and engines. Per-source ranks
+    via grouped_rank_by_range: no source ever occupies a single task.
+    """
+    from ..operators.ranking import grouped_rank_by_range
+
+    d = read_table(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", "source").withColumn(
+        "_key", F.struct(sampling.md5_hash64(F.col("doc_id")).alias("h"), "doc_id")
+    )
+    return (
+        grouped_rank_by_range(hashed, "source", "_key")
+        .where(F.col("group_rank") <= 5)
+        .select("doc_id", "source", F.col("group_rank").cast("bigint").alias("k"))
+        .orderBy("source", "k")
+    )
+
+
+def sk_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles from fixed-bin histograms: P50/
+    P95/P99 of event values per type, estimated as the upper edge of
+    the first bin whose cumulative fraction reaches p. Error ≤ one bin
+    width; bin counts MERGE by addition (per-partition/per-day
+    histograms roll up without touching raw data — the quantile
+    counterpart of the KMV distinct sketch, where exact percentiles
+    would shuffle every value). Bin math is the identical float
+    expression in both engines, so the estimate is oracle-exact."""
+    e = read_table(spark, sf_dir, "events")
+    bounds = e.agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
+    binned = e.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("_lo"))
+                    * 100
+                    / (F.col("_hi") - F.col("_lo"))
+                )
+                + 1,
+                F.lit(100),
+            ),
+        ).otherwise(F.lit(1).cast("bigint")),
+    )
+    counts = binned.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n"), F.first("_lo").alias("_lo"), F.first("_hi").alias("_hi")
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("bucket")
+    w_tot = Window.partitionBy("event_type")
+    cum = counts.withColumn("_cum", F.sum("n").over(w_cum)).withColumn(
+        "_tot", F.sum("n").over(w_tot)
+    )
+    ps = spark.createDataFrame([(0.5,), (0.95,), (0.99,)], "p double")
+    return (
+        cum.crossJoin(F.broadcast(ps))
+        .where(F.col("_cum") >= F.col("p") * F.col("_tot"))
+        .groupBy("event_type", "p")
+        .agg(
+            F.min("bucket").alias("_qb"),
+            F.first("_lo").alias("_lo2"),
+            F.first("_hi").alias("_hi2"),
+        )
+        .select(
+            "event_type",
+            "p",
+            F.round(
+                F.col("_lo2")
+                + F.col("_qb") * (F.col("_hi2") - F.col("_lo2")) / 100,
+                6,
+            ).alias("q_est"),
+        )
+        .orderBy("event_type", "p")
+    )
+
+
 def ds_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable 10% corpus sample by doc_id hash — the same rows survive
     every run, so iteration-time metrics stay comparable."""
@@ -893,6 +971,8 @@ SPARK_QUERIES = {
     "ds_stratified_sample": ds_stratified_sample,
     "ds_temperature_mix": ds_temperature_mix,
     "ds_interleave": ds_interleave,
+    "ds_group_sample": ds_group_sample,
+    "sk_binned_quantiles": sk_binned_quantiles,
     "td_length_balance": td_length_balance,
     "txt_langid_confusion": txt_langid_confusion,
     "sim_semantic_dedup_audit": sim_semantic_dedup_audit,
@@ -1148,6 +1228,44 @@ ORACLE_SQL = {
         )
         WHERE _rn = 1
         ORDER BY doc_id
+    """,
+    "ds_group_sample": """
+        SELECT doc_id, source, k FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT),
+                       doc_id) AS k
+            FROM documents
+        ) WHERE k <= 5 ORDER BY source, k
+    """,
+    # identical float bin math in both engines; quantile = upper edge
+    # of the first bin whose cumulative fraction reaches p
+    "sk_binned_quantiles": """
+        WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+        binned AS (
+            SELECT event_type,
+                   CASE WHEN hi > lo
+                        THEN LEAST(FLOOR((value - lo) * 100 / (hi - lo)) + 1, 100)
+                        ELSE 1 END AS bucket
+            FROM events CROSS JOIN b
+        ), counts AS (
+            SELECT event_type, bucket, COUNT(*) AS n FROM binned GROUP BY 1, 2
+        ), cum AS (
+            SELECT event_type, bucket,
+                   SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) AS c,
+                   SUM(n) OVER (PARTITION BY event_type) AS tot
+            FROM counts
+        )
+        SELECT event_type, p,
+               ROUND(lo + qb * (hi - lo) / 100, 6) AS q_est
+        FROM (
+            SELECT event_type, p, MIN(bucket) AS qb
+            FROM cum CROSS JOIN (VALUES (0.5e0), (0.95e0), (0.99e0)) ps(p)
+            WHERE c >= p * tot
+            GROUP BY event_type, p
+        ) CROSS JOIN b
+        ORDER BY event_type, p
     """,
     # virtual-time interleave: k/w is one float division of exact ints
     # in both engines; ties are impossible ((source, k) is unique)
