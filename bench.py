@@ -79,6 +79,10 @@ HEADLINE = [
     # prefix-filter containment join + stream-stream interval join twin
     "dd_containment",
     "st_interval_join",
+    # weighted mixture schedule (grouped + global range-ranks) and the
+    # OHLC bars rollup
+    "ds_interleave",
+    "t_ohlc_bars",
 ]
 
 
