@@ -199,6 +199,43 @@ def stream_interval_join(
     return l.join(r, cond, "inner").drop(F.col(f"_sj_r.{key}"))
 
 
+def windowed_ohlc(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time OHLC bars per event type, batch OR streaming — the
+    continuous-aggregate form of ``queries.temporal_q.t_ohlc_bars``.
+
+    ONE aggregation (streaming allows no pre-agg dedup), so open/close
+    tie-break deterministically on (ts, event_id) via ``min_by``/
+    ``max_by`` over the struct: the batch twin and every streaming
+    re-emission of a window compute the identical value. Feed to
+    ``rollup.run_rollup(agg_fn=windowed_ohlc)`` for an incrementally
+    maintained bars table."""
+    return (
+        _with_event_time(events)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+            F.count("*").alias("n_points"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_points",
+        )
+    )
+
+
 def dedup_events(
     events: DataFrame,
     keys: list[str] | None = None,

@@ -31,14 +31,25 @@ def run_rollup(
     checkpoint_dir: str,
     window: str = "5 minutes",
     watermark: str = "10 minutes",
+    agg_fn=None,
+    keys: tuple[str, ...] = ("window_start", "event_type"),
 ) -> StreamingQuery:
-    """events stream → watermarked tumbling counts → MERGE upsert."""
-    agg = windowed_event_counts(events_stream, window=window, watermark=watermark)
+    """events stream → watermarked windowed aggregate → MERGE upsert.
+
+    ``agg_fn`` generalizes the rollup to ANY single-aggregation
+    windowed expression usable in both batch and streaming mode (e.g.
+    ``pipeline.windowed_ohlc``); the default is the tumbling
+    count/sum. ``keys`` are the window grain the MERGE upserts on."""
+    agg = (
+        agg_fn(events_stream)
+        if agg_fn is not None
+        else windowed_event_counts(events_stream, window=window, watermark=watermark)
+    )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         rollup.merge(
             batch_df,
-            keys=["window_start", "event_type"],
+            keys=list(keys),
             when_matched="update",
         )
 

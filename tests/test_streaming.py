@@ -309,6 +309,31 @@ def test_continuous_rollup_converges_to_batch(spark, tmp_path):
     assert (joined["total_value_b"] - joined["total_value_s"]).abs().max() < 1e-6
 
 
+def test_continuous_ohlc_rollup_converges_to_batch(spark, tmp_path):
+    """run_rollup(agg_fn=windowed_ohlc): the incrementally maintained
+    bars table must equal the batch OHLC aggregate once the source
+    drains — open/close tie-breaks are deterministic, so re-emitted
+    windows upsert to identical values."""
+    from delta_data_pipelines_spark.storage import VersionedTable
+    from delta_data_pipelines_spark.streaming.pipeline import windowed_ohlc
+    from delta_data_pipelines_spark.streaming.rollup import run_rollup
+
+    e = _events(spark)
+    stream = _stream_time_ordered(spark, e, tmp_path, "ev_ohlc")
+    bars = VersionedTable(spark, str(tmp_path / "bars"))
+    q = run_rollup(
+        stream, bars, str(tmp_path / "ckpt_ohlc"), agg_fn=windowed_ohlc
+    )
+    q.awaitTermination(120)
+
+    key = ["window_start", "event_type"]
+    got = bars.read().toPandas().set_index(key).sort_index()
+    expect = windowed_ohlc(e).toPandas().set_index(key).sort_index()
+    assert len(got) == len(expect)
+    for col in ("open", "high", "low", "close", "n_points"):
+        assert (got[col] == expect[col]).all(), col
+
+
 def test_streaming_curation_matches_batch_gate(spark, tmp_path):
     """Streaming quality gate + dedup must converge to the batch gate's
     kept-set (by content), and a full re-delivery must not grow the
