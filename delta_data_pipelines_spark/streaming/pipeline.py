@@ -204,15 +204,21 @@ def windowed_ohlc(
     window: str = "5 minutes",
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Event-time OHLC bars per event type, batch OR streaming — the
-    continuous-aggregate form of ``queries.temporal_q.t_ohlc_bars``.
+    """Event-time OHLC bars per event type over RAW events, batch OR
+    streaming. ONE aggregation (streaming allows no second, so there
+    is no (type, ts) pre-dedup); open/close tie-break deterministically
+    on (ts, event_id) via ``min_by``/``max_by`` over the struct, so
+    the batch twin and every streaming re-emission of a window compute
+    the identical value. Feed to ``rollup.run_rollup(agg_fn=
+    windowed_ohlc)`` for an incrementally maintained bars table.
 
-    ONE aggregation (streaming allows no pre-agg dedup), so open/close
-    tie-break deterministically on (ts, event_id) via ``min_by``/
-    ``max_by`` over the struct: the batch twin and every streaming
-    re-emission of a window compute the identical value. Feed to
-    ``rollup.run_rollup(agg_fn=windowed_ohlc)`` for an incrementally
-    maintained bars table."""
+    NOT numerically equal to ``queries.temporal_q.t_ohlc_bars`` when
+    (event_type, ts) collides: that query first collapses each ts to
+    its MAX value (so its low is a min over per-ts maxes, its n_points
+    counts distinct timestamps, and its open/close pick the max-value
+    event of the boundary ts), while this one ranges over every raw
+    event. Same bars on collision-free data; spot-check against the
+    batch run of THIS function, not the deduped query."""
     return (
         _with_event_time(events)
         .withWatermark("ts", watermark)

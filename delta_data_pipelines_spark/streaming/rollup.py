@@ -38,12 +38,12 @@ def run_rollup(
 
     ``agg_fn`` generalizes the rollup to ANY single-aggregation
     windowed expression usable in both batch and streaming mode (e.g.
-    ``pipeline.windowed_ohlc``); the default is the tumbling
-    count/sum. ``keys`` are the window grain the MERGE upserts on."""
-    agg = (
-        agg_fn(events_stream)
-        if agg_fn is not None
-        else windowed_event_counts(events_stream, window=window, watermark=watermark)
+    ``pipeline.windowed_ohlc``); it is called with the same
+    ``(events, window=..., watermark=...)`` signature as the default
+    tumbling count/sum, so the caller's grain always applies. ``keys``
+    are the window grain the MERGE upserts on."""
+    agg = (agg_fn or windowed_event_counts)(
+        events_stream, window=window, watermark=watermark
     )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
