@@ -143,3 +143,72 @@ def kmv_sketch(
         ).alias("sketch")
     )
     return merged.withColumn("n_est", kmv_estimate(F.col("sketch"), k))
+
+
+def binned_histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 100,
+) -> DataFrame:
+    """Fixed-bin histogram per group over KNOWN bounds — the mergeable
+    quantile sketch (sk_binned_quantiles' building block): two
+    histograms over the same (lo, hi, bins) geometry merge by ADDING
+    counts, so per-partition / per-day histograms roll up without
+    touching raw data, exactly like the KMV bottom-k arrays.
+
+    Bounds are parameters (not computed here) because mergeability
+    requires every participant to share the bin geometry; compute them
+    once upstream or use domain constants. Values outside [lo, hi]
+    clamp into the edge bins.
+
+    Output: group cols + ``bucket`` (1-based) + ``n``.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    v = F.col(value_col)
+    bucket = F.greatest(
+        F.least(
+            F.floor((v - F.lit(lo)) * bins / F.lit(hi - lo)) + 1, F.lit(bins)
+        ),
+        F.lit(1),
+    )
+    return (
+        df.withColumn("bucket", bucket.cast("bigint"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def quantile_from_histogram(
+    hist: DataFrame, group_cols: list[str], ps: list[float], lo: float, hi: float,
+    bins: int = 100,
+) -> DataFrame:
+    """Quantile estimates from a (possibly merged) binned histogram:
+    the upper edge of the first bucket whose cumulative fraction
+    reaches p. Error ≤ one bin width. Runs over the tiny histogram
+    table (groups × bins rows), never the raw data."""
+    from pyspark.sql import Window
+
+    spark = hist.sparkSession
+    w_cum = Window.partitionBy(*group_cols).orderBy("bucket")
+    w_tot = Window.partitionBy(*group_cols)
+    cum = hist.withColumn("_cum", F.sum("n").over(w_cum)).withColumn(
+        "_tot", F.sum("n").over(w_tot)
+    )
+    p_df = spark.createDataFrame([(float(p),) for p in ps], "p double")
+    return (
+        cum.crossJoin(F.broadcast(p_df))
+        .where(F.col("_cum") >= F.col("p") * F.col("_tot"))
+        .groupBy(*group_cols, "p")
+        .agg(F.min("bucket").alias("_qb"))
+        .withColumn(
+            "q_est",
+            F.round(F.lit(lo) + F.col("_qb") * F.lit((hi - lo)) / bins, 6),
+        )
+        .drop("_qb")
+    )

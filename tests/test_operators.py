@@ -794,6 +794,51 @@ def test_interleave_by_weight_matches_brute_force_schedule(spark):
     assert n_a == 60
 
 
+def test_binned_histogram_merges_by_addition(spark):
+    """The mergeable-quantile claim: histogram(part1) + histogram(part2)
+    (summed per bucket) must equal histogram(whole), and quantiles read
+    from the merged histogram must equal quantiles from the direct one.
+    """
+    from delta_data_pipelines_spark.operators.sketches import (
+        binned_histogram,
+        quantile_from_histogram,
+    )
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") * 37 % 1000) / 10.0).alias("v"),
+    )
+    lo, hi = 0.0, 100.0
+    whole = binned_histogram(df, ["g"], "v", lo, hi)
+    p1 = binned_histogram(df.where(F.col("id") % 2 == 0), ["g"], "v", lo, hi)
+    p2 = binned_histogram(df.where(F.col("id") % 2 == 1), ["g"], "v", lo, hi)
+    merged = (
+        p1.unionByName(p2).groupBy("g", "bucket").agg(F.sum("n").alias("n"))
+    )
+    key = lambda r: (r["g"], r["bucket"])  # noqa: E731
+    assert {key(r): r["n"] for r in merged.collect()} == {
+        key(r): r["n"] for r in whole.collect()
+    }
+    qm = quantile_from_histogram(merged, ["g"], [0.5, 0.95], lo, hi)
+    qw = quantile_from_histogram(whole, ["g"], [0.5, 0.95], lo, hi)
+    qkey = lambda r: (r["g"], r["p"])  # noqa: E731
+    assert {qkey(r): r["q_est"] for r in qm.collect()} == {
+        qkey(r): r["q_est"] for r in qw.collect()
+    }
+
+
+def test_binned_histogram_validates_geometry(spark):
+    import pytest as _pytest
+
+    from delta_data_pipelines_spark.operators.sketches import binned_histogram
+
+    df = spark.range(3).select(F.col("id").cast("double").alias("v"))
+    with _pytest.raises(ValueError, match="bins"):
+        binned_histogram(df, [], "v", 0.0, 1.0, bins=0)
+    with _pytest.raises(ValueError, match="hi > lo"):
+        binned_histogram(df, [], "v", 1.0, 1.0)
+
+
 def test_kmv_sketch_matches_windowed_estimate(spark):
     """The mergeable bottom-k sketch must produce the same estimate as
     the distinct+window form for every group, and the sketch itself
