@@ -170,18 +170,22 @@ def binned_histogram(
         raise ValueError(f"bins must be >= 1, got {bins}")
     if not hi > lo:
         raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
-    v = F.col(value_col)
-    bucket = F.greatest(
-        F.least(
-            F.floor((v - F.lit(lo)) * bins / F.lit(hi - lo)) + 1, F.lit(bins)
-        ),
-        F.lit(1),
-    )
+    bucket = bucket_expr(F.col(value_col), F.lit(lo), F.lit(hi), bins)
     return (
         df.withColumn("bucket", bucket.cast("bigint"))
         .groupBy(*group_cols, "bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+def bucket_expr(v: Column, lo: Column, hi: Column, bins: int) -> Column:
+    """The ONE fixed-bin bucket expression (1-based, edge-clamped),
+    shared by :func:`binned_histogram` and the oracle-checked
+    sk_binned_quantiles query so the bin math can never drift from
+    what the oracle mirrors. ``floor((v-lo)·bins/(hi-lo)) + 1``,
+    clamped into [1, bins]."""
+    raw = F.floor((v - lo) * bins / (hi - lo)) + 1
+    return F.greatest(F.least(raw, F.lit(bins)), F.lit(1))
 
 
 def quantile_from_histogram(

@@ -906,23 +906,18 @@ def sk_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     width; bin counts MERGE by addition (per-partition/per-day
     histograms roll up without touching raw data — the quantile
     counterpart of the KMV distinct sketch, where exact percentiles
-    would shuffle every value). Bin math is the identical float
-    expression in both engines, so the estimate is oracle-exact."""
+    would shuffle every value). Bin math is ONE shared expression
+    (``sketches.bucket_expr``) mirrored identically in the oracle, so
+    the estimate is oracle-exact."""
+    from ..operators.sketches import bucket_expr
+
     e = read_table(spark, sf_dir, "events")
     bounds = e.agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
     binned = e.crossJoin(F.broadcast(bounds)).withColumn(
         "bucket",
         F.when(
             F.col("_hi") > F.col("_lo"),
-            F.least(
-                F.floor(
-                    (F.col("value") - F.col("_lo"))
-                    * 100
-                    / (F.col("_hi") - F.col("_lo"))
-                )
-                + 1,
-                F.lit(100),
-            ),
+            bucket_expr(F.col("value"), F.col("_lo"), F.col("_hi"), 100),
         ).otherwise(F.lit(1).cast("bigint")),
     )
     counts = binned.groupBy("event_type", "bucket").agg(
