@@ -283,3 +283,34 @@ def test_stream_interval_join_batch_twin_is_equi_join(spark, registry):
     plan = plan_of(spark, registry, "st_interval_join")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_interleave_range_partitioned_ranks_no_cartesian(spark, registry):
+    """ds_interleave: both rank passes must be range-partitioned (the
+    per-source rank and the global position) — a per-source or global
+    single-task window would serialize the schedule build."""
+    plan = plan_of(spark, registry, "ds_interleave")
+    assert plan.lower().count("rangepartitioning") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    # the only SinglePartition windows allowed are the tiny
+    # per-partition-counts offset tables
+    assert plan.count("SinglePartition") <= 2, plan
+
+
+def test_group_sample_no_single_partition_windows(spark, registry):
+    """ds_group_sample: per-source ranks run over range slices with
+    group-partitioned offset windows — nothing collapses to a single
+    partition."""
+    plan = plan_of(spark, registry, "ds_group_sample")
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ohlc_is_pure_aggregation(spark, registry):
+    """t_ohlc_bars: two partial-then-final aggregations, no joins, no
+    row windows."""
+    plan = plan_of(spark, registry, "t_ohlc_bars")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # 2 aggs x partial+final
