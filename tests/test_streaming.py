@@ -462,6 +462,93 @@ def test_fetch_pipeline_checkpoint_resume(spark, tmp_path):
     assert sum(seen_batches) - rows_first_run == 2
 
 
+def test_stream_stream_join_state_survives_restart(spark, tmp_path):
+    """A click delivered BEFORE a shutdown must still join an error
+    delivered AFTER the restart: stream-stream join state lives in the
+    checkpoint, so the two runs together emit exactly the batch join."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.streaming.pipeline import stream_interval_join
+
+    e = _events(spark)
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = (
+        e.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+        .withColumnRenamed("ts", "err_ts")
+    )
+    expect_rows = stream_interval_join(
+        clicks, errors, key="user_id", left_ts="ts", right_ts="err_ts",
+        upper_seconds=600, watermark="30 minutes",
+    ).collect()
+    expect = {(r["event_id"], r["err_ts"]) for r in expect_rows}
+    assert len(expect) > 0
+    # pick a boundary guaranteeing a CROSS-PHASE pair: a click at ts
+    # `mid` (phase 1) whose matching error arrives strictly later
+    # (phase 2) — the pair only exists if join state survives restart
+    strict = [r for r in expect_rows if r["err_ts"] > r["ts"]]
+    assert strict, "fixture must contain a strictly-later match"
+    mid = strict[0]["ts"]
+    cross = {
+        (r["event_id"], r["err_ts"])
+        for r in expect_rows
+        if r["ts"] <= mid < r["err_ts"]
+    }
+    assert cross
+
+    cdir, edir = str(tmp_path / "ssr_cl"), str(tmp_path / "ssr_er")
+
+    def land(df, d):
+        df.coalesce(1).write.mode("append").parquet(d)
+        time.sleep(0.05)
+
+    land(clicks.where(F.col("ts") <= F.lit(mid)), cdir)
+    land(errors.where(F.col("err_ts") <= F.lit(mid)), edir)
+
+    outs: list[pd.DataFrame] = []
+    ckpt = str(tmp_path / "ckpt_ssr")  # SAME checkpoint across runs
+
+    def run_once():
+        j = stream_interval_join(
+            spark.readStream.schema(clicks.schema).parquet(cdir),
+            spark.readStream.schema(errors.schema).parquet(edir),
+            key="user_id", left_ts="ts", right_ts="err_ts",
+            upper_seconds=600, watermark="30 minutes",
+        )
+        q = (
+            j.writeStream.foreachBatch(
+                lambda b, _e: outs.append(b.toPandas())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_first = sum(len(p) for p in outs)
+    # the cross-phase pairs cannot have been emitted yet
+    assert n_first < len(expect)
+
+    land(clicks.where(F.col("ts") > F.lit(mid)), cdir)
+    land(errors.where(F.col("err_ts") > F.lit(mid)), edir)
+    run_once()
+
+    got_pairs = [
+        (r.event_id, r.err_ts)
+        for p in outs
+        for r in p.itertuples(index=False)
+    ]
+    assert len(got_pairs) == len(set(got_pairs))  # no duplicate emission
+    assert set(got_pairs) == expect  # includes every cross-phase pair
+
+
 def test_incremental_neardup_chain_residue_under_adversarial_order(spark, tmp_path):
     """The documented arbitrary-arrival semantics: for a chain A~B~C
     (not A~C) arriving (C, A, B), the bridge B is dropped but BOTH
