@@ -165,3 +165,93 @@ def interleave_by_weight(
         .withColumnRenamed("global_rank", "position")
         .drop("_vtime", "_okey")
     )
+
+
+def token_budget_mix(
+    per_src: DataFrame,
+    source_col: str = "source",
+    tokens_col: str = "t_tokens",
+    tau: float = 0.5,
+    budget_frac: float = 0.5,
+    epoch_cap: float = 2.0,
+) -> DataFrame:
+    """Token-budget allocation across sources — the data-recipe
+    planning step: spend ``budget_frac`` of the corpus's tokens with
+    temperature-flattened weights (``T^tau``) under an epoch cap
+    (no source repeated more than ``epoch_cap`` times), redistributing
+    what the caps release to the uncapped sources in ONE deterministic
+    pass (a second pass could re-cap; one is the documented contract).
+
+    Float discipline: every sum (weights, leftovers) runs over
+    6-dp-rounded DECIMALs (exact, order-free); each division is a
+    single float op on exact inputs, rounded before reuse — so any
+    engine recomputing this arithmetic produces bit-identical
+    allocations. Corpus totals are 1-row broadcast aggregates; the
+    per-source frame is tiny by construction.
+
+    Input: one row per source with ``tokens_col`` (bigint). Output:
+    source, t_tokens, tokens_alloc, epochs.
+    """
+    if not 0.0 < budget_frac <= 1.0:
+        raise ValueError(f"budget_frac must be in (0, 1], got {budget_frac}")
+    if epoch_cap <= 0:
+        raise ValueError(f"epoch_cap must be > 0, got {epoch_cap}")
+    t = F.col(tokens_col)
+    src = per_src.withColumn(
+        "_pw",
+        F.round(F.pow(t.cast("double"), tau), 6).cast("decimal(28,6)"),
+    )
+    tot = src.agg(F.sum(tokens_col).alias("_total"), F.sum("_pw").alias("_w"))
+    step1 = (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_budget",
+            F.floor(F.col("_total").cast("double") * budget_frac).cast("bigint"),
+        )
+        .withColumn(
+            "_a1",
+            F.round(
+                F.col("_budget").cast("double")
+                * F.col("_pw").cast("double")
+                / F.col("_w").cast("double"),
+                6,
+            ).cast("decimal(28,6)"),
+        )
+        .withColumn(
+            "_cap",
+            F.round(t.cast("double") * epoch_cap, 6).cast("decimal(28,6)"),
+        )
+        .withColumn("_alloc1", F.least(F.col("_a1"), F.col("_cap")))
+        .withColumn("_capped", F.col("_a1") > F.col("_cap"))
+    )
+    pools = step1.agg(
+        F.sum(F.col("_a1") - F.col("_alloc1")).alias("_left"),
+        F.sum(F.when(~F.col("_capped"), F.col("_pw"))).alias("_uw"),
+    )
+    out = (
+        step1.crossJoin(F.broadcast(pools))
+        .withColumn(
+            "_add",
+            F.when(
+                F.col("_capped") | (F.col("_left") <= 0), F.lit(0.0)
+            )
+            .otherwise(
+                F.round(
+                    F.col("_left").cast("double")
+                    * F.col("_pw").cast("double")
+                    / F.col("_uw").cast("double"),
+                    6,
+                )
+            )
+            .cast("decimal(28,6)"),
+        )
+        .withColumn(
+            "_alloc2", F.least(F.col("_alloc1") + F.col("_add"), F.col("_cap"))
+        )
+    )
+    return out.select(
+        source_col,
+        tokens_col,
+        F.round(F.col("_alloc2").cast("double"), 6).alias("tokens_alloc"),
+        F.round(F.col("_alloc2").cast("double") / t, 6).alias("epochs"),
+    )

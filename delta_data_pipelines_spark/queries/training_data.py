@@ -951,6 +951,26 @@ def sk_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ds_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation across sources — the data-recipe
+    planning step: spend a budget of half the corpus's tokens across
+    sources with temperature-flattened weights (τ=0.5) under an epoch
+    cap (≤2 passes over any source), redistributing what the cap
+    releases to the uncapped sources in one deterministic pass.
+
+    Float discipline: every sum (weights, leftovers) runs over
+    6-dp-rounded DECIMALs (exact, order-free); each division is a
+    single float op on exact inputs, rounded before reuse — so both
+    engines produce bit-identical allocations. All corpus totals are
+    1-row broadcast aggregates; the per-source table is tiny by
+    construction (one row per source)."""
+    d = read_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(textstats.token_count_ws(F.col("text"))).alias("t_tokens")
+    )
+    return sampling.token_budget_mix(per_src).orderBy("source")
+
+
 def ds_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable 10% corpus sample by doc_id hash — the same rows survive
     every run, so iteration-time metrics stay comparable."""
@@ -967,6 +987,7 @@ SPARK_QUERIES = {
     "ds_temperature_mix": ds_temperature_mix,
     "ds_interleave": ds_interleave,
     "ds_group_sample": ds_group_sample,
+    "ds_token_budget_mix": ds_token_budget_mix,
     "sk_binned_quantiles": sk_binned_quantiles,
     "td_length_balance": td_length_balance,
     "txt_langid_confusion": txt_langid_confusion,
@@ -1233,6 +1254,47 @@ ORACLE_SQL = {
                        doc_id) AS k
             FROM documents
         ) WHERE k <= 5 ORDER BY source, k
+    """,
+    # every sum over 6-dp decimals (exact), every division a single
+    # float op on exact inputs — bit-identical allocations
+    "ds_token_budget_mix": """
+        WITH src AS (
+            SELECT source, SUM(len(string_split(text, ' '))) AS t_tokens
+            FROM documents GROUP BY source
+        ), w AS (
+            SELECT source, t_tokens,
+                   CAST(ROUND(POWER(CAST(t_tokens AS DOUBLE), 0.5), 6)
+                        AS DECIMAL(28,6)) AS pw
+            FROM src
+        ), tot AS (
+            SELECT SUM(t_tokens) AS total, SUM(pw) AS wsum FROM w
+        ), s1 AS (
+            SELECT source, t_tokens, pw,
+                   CAST(ROUND(CAST(CAST(FLOOR(total / 2) AS BIGINT) AS DOUBLE)
+                              * CAST(pw AS DOUBLE) / CAST(wsum AS DOUBLE), 6)
+                        AS DECIMAL(28,6)) AS a1,
+                   CAST(t_tokens * 2 AS DECIMAL(28,6)) AS cap
+            FROM w CROSS JOIN tot
+        ), s2 AS (
+            SELECT *, LEAST(a1, cap) AS alloc1, a1 > cap AS capped FROM s1
+        ), pools AS (
+            SELECT SUM(a1 - alloc1) AS leftover,
+                   SUM(CASE WHEN NOT capped THEN pw END) AS uw
+            FROM s2
+        ), s3 AS (
+            SELECT source, t_tokens, cap, alloc1,
+                   CAST(CASE WHEN capped OR leftover <= 0 THEN 0.0
+                        ELSE ROUND(CAST(leftover AS DOUBLE) * CAST(pw AS DOUBLE)
+                                   / CAST(uw AS DOUBLE), 6) END
+                        AS DECIMAL(28,6)) AS addl
+            FROM s2 CROSS JOIN pools
+        )
+        SELECT source, t_tokens,
+               ROUND(CAST(LEAST(alloc1 + addl, cap) AS DOUBLE), 6)
+                   AS tokens_alloc,
+               ROUND(CAST(LEAST(alloc1 + addl, cap) AS DOUBLE) / t_tokens, 6)
+                   AS epochs
+        FROM s3 ORDER BY source
     """,
     # identical float bin math in both engines; quantile = upper edge
     # of the first bin whose cumulative fraction reaches p

@@ -839,6 +839,43 @@ def test_binned_histogram_validates_geometry(spark):
         binned_histogram(df, [], "v", 1.0, 1.0)
 
 
+def test_token_budget_mix_caps_and_redistributes(spark):
+    """With a tiny source and a huge one, temperature flattening pushes
+    the tiny source over its epoch cap; the cap must bind exactly and
+    the released budget must flow to the uncapped source."""
+    from delta_data_pipelines_spark.operators.sampling import token_budget_mix
+
+    per_src = spark.createDataFrame(
+        [("big", 1_000_000), ("tiny", 100)], "source string, t_tokens long"
+    )
+    out = {
+        r["source"]: r
+        for r in token_budget_mix(per_src, epoch_cap=2.0).collect()
+    }
+    # tiny: sqrt weight gives it ~1% of a 500k budget >> its 200 cap
+    assert out["tiny"]["tokens_alloc"] == 200.0
+    assert out["tiny"]["epochs"] == 2.0
+    # the released budget lands on big (one redistribution pass)
+    total_alloc = sum(r["tokens_alloc"] for r in out.values())
+    budget = (1_000_000 + 100) // 2
+    assert abs(total_alloc - budget) < 1.0
+    assert out["big"]["epochs"] < 2.0
+    # invariant: nobody exceeds the epoch cap
+    assert all(r["epochs"] <= 2.0 for r in out.values())
+
+
+def test_token_budget_mix_validates_params(spark):
+    import pytest as _pytest
+
+    from delta_data_pipelines_spark.operators.sampling import token_budget_mix
+
+    per_src = spark.createDataFrame([("a", 10)], "source string, t_tokens long")
+    with _pytest.raises(ValueError, match="budget_frac"):
+        token_budget_mix(per_src, budget_frac=0.0)
+    with _pytest.raises(ValueError, match="epoch_cap"):
+        token_budget_mix(per_src, epoch_cap=0)
+
+
 def test_kmv_sketch_matches_windowed_estimate(spark):
     """The mergeable bottom-k sketch must produce the same estimate as
     the distinct+window form for every group, and the sketch itself
