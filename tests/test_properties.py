@@ -473,3 +473,34 @@ def test_interleave_matches_python_model(spark, specs):
         key=lambda sk: (sk[1] / weights[sk[0]], sk[0], sk[1]),
     )
     assert got == model
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=10, max_value=10_000_000),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from([1.0, 1.5, 2.0, 4.0]),
+)
+def test_token_budget_mix_invariants(spark, sizes, epoch_cap):
+    """For ANY source-size profile: no source exceeds its epoch cap,
+    total allocation never exceeds the budget (beyond 6-dp rounding),
+    and when no cap binds the budget is spent in full."""
+    from delta_data_pipelines_spark.operators.sampling import token_budget_mix
+
+    per_src = spark.createDataFrame(
+        [(f"s{i}", n) for i, n in enumerate(sizes)],
+        "source string, t_tokens long",
+    )
+    rows = token_budget_mix(per_src, epoch_cap=epoch_cap).collect()
+    budget = int(sum(sizes) * 0.5)
+    eps = 1e-4 * max(1, len(sizes))
+    for r in rows:
+        assert r["epochs"] <= epoch_cap + 1e-9, r
+        assert r["tokens_alloc"] >= 0
+    total_alloc = sum(r["tokens_alloc"] for r in rows)
+    assert total_alloc <= budget + eps
+    if all(r["epochs"] < epoch_cap - 1e-9 for r in rows):
+        assert abs(total_alloc - budget) <= eps
