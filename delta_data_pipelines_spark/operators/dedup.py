@@ -133,6 +133,13 @@ def minhash_signatures(
     it k times). Downstream Jaccard verification runs on ``_hs``
     directly — set identity survives hashing (64-bit collisions are
     ~|sh|²/2⁶⁴ ≈ 0), and intersecting long arrays beats strings.
+
+    Measured negative result (r6): an explode → per-doc min-aggregate
+    formulation computes bit-identical signatures with codegen'd JVM
+    hashing and map-side combine (1.6× faster in isolation), but puts
+    an extra exchange on the banding arm's critical path — controlled
+    A/B at sf0.1 showed the full dd_minhash pipeline 25% SLOWER
+    (median 2.07 s → 2.59 s), so the single-projection HOF stays.
     """
     sh = _spread(df.select(id_col, F.col(text_col))).select(
         id_col, shingles(F.col(text_col)).alias("_sh")
