@@ -112,6 +112,32 @@ def brute_force_topk(
     )
 
 
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Radius search: every corpus vector with cosine ≥ ``threshold``
+    of each query — the fixed-similarity companion to top-k (dedup
+    audits and recall measurements want "all neighbors above t", not a
+    count cut). Same broadcast-probe shape as ``brute_force_topk``;
+    no window at all — the threshold replaces the rank."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+    )
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 9))
+        .where(F.col("cosine_sim") >= threshold)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+
+
 def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
     """Sign-LSH bucket id from ``n_planes`` pseudo-random hyperplanes.
 

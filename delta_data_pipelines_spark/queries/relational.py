@@ -277,6 +277,37 @@ def w_row_number_seq_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w_percent_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global PERCENT_RANK without a single-partition window:
+    (global_rank - 1) / (n - 1) with the rank from the range-
+    partitioned pattern and n a 1-row broadcast aggregate. The order
+    key is the unique composite (n_chars, doc_id), so row_number-based
+    ranks equal SQL's tie-aware PERCENT_RANK exactly."""
+    from ..operators.ranking import global_rank_by_range
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    keyed = d.withColumn("_okey", F.struct("n_chars", "doc_id"))
+    ranked = global_rank_by_range(keyed, "_okey").drop("_okey")
+    n = d.agg(F.count("*").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.when(
+                F.col("_n") > 1,
+                F.round(
+                    (F.col("global_rank") - 1) / (F.col("_n") - 1).cast("double"),
+                    9,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pct_rank"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def w_batch_ids_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4, the 100 TB path + reference-exact global numbering contract
     (utils_of_searchengine.py:183-196 sends batch_number AND
@@ -536,6 +567,7 @@ SPARK_QUERIES = {
     "w_sort_limit": w_sort_limit,
     "w_row_number_seq": w_row_number_seq,
     "w_row_number_seq_scalable": w_row_number_seq_scalable,
+    "w_percent_rank_scalable": w_percent_rank_scalable,
     "w_batch_ids": w_batch_ids,
     "w_batch_ids_global": w_batch_ids_global,
     "w_first_match": w_first_match,
@@ -664,6 +696,14 @@ ORACLE_SQL = {
     "w_row_number_seq_scalable": """
         SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) + 90000 AS assigned_id
         FROM documents
+    """,
+    # unique composite order key -> row_number ranks == tie-aware
+    # PERCENT_RANK; Spark computes the same value scalably
+    "w_percent_rank_scalable": """
+        SELECT doc_id, n_chars,
+               ROUND(PERCENT_RANK() OVER (ORDER BY n_chars, doc_id), 9)
+                   AS pct_rank
+        FROM documents ORDER BY doc_id
     """,
     "w_batch_ids_global": """
         WITH batched AS (

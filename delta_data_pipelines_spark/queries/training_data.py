@@ -141,6 +141,16 @@ def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(e, q, k=5).orderBy("query_id", "rank")
 
 
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All neighbors with cosine ≥ 0.35 of each probe (radius search) —
+    the fixed-similarity companion to top-k."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.range_search(e, q, threshold=0.35).orderBy(
+        "query_id", "neighbor_id"
+    )
+
+
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed top-5 (approximate; rows-only check —
     recall vs brute force asserted in tests).
@@ -1003,6 +1013,7 @@ SPARK_QUERIES = {
     "dd_cluster": dd_cluster,
     "td_curate": td_curate,
     "sim_brute_topk": sim_brute_topk,
+    "sim_range_search": sim_range_search,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_kmeans": sim_kmeans,
@@ -1666,6 +1677,18 @@ ORACLE_SQL = {
         FROM cell a JOIN cell b ON a.vec_id < b.vec_id AND a.cid = b.cid
         WHERE list_cosine_similarity(a.v, b.v) >= 0.45
         ORDER BY id_a, id_b
+    """,
+    "sim_range_search": """
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])), 9)
+                   AS cosine_sim
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+          AND ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])), 9)
+              >= 0.35
+        ORDER BY query_id, neighbor_id
     """,
     "sim_brute_topk": """
         WITH scored AS (
