@@ -86,6 +86,10 @@ _PRIORITY = [
     # st_windowed_counts, t_asof_join, a_counters, a_rollup
     "dd_containment", "st_interval_join",
     "txt_unigram_logprob", "td_dup_weights", "ds_interleave",
+    # NEXT-ROTATION candidates (mirror-green, no driver row yet, window
+    # full this round): t_ohlc_bars, sk_binned_quantiles,
+    # ds_group_sample, ds_token_budget_mix, sim_range_search,
+    # w_percent_rank_scalable
     # TPC-H: q2 changed this round (broadcast hint dropped) — q17/q20
     # (also changed) and regrouped q21 are pinned in the r5 block above
     "tpch_q2",
