@@ -62,6 +62,22 @@ def cosine_pandas() -> "object":
     return _cos
 
 
+def _probe_frames(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared broadcast-probe projections: corpus as
+    (neighbor_id, _cv), queries as (query_id, _qv) — ONE definition so
+    brute_force_topk and range_search can never diverge in probe
+    shape."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+    )
+    return c, q
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -83,12 +99,7 @@ def brute_force_topk(
     """
     if impl not in {"expr", "pandas"}:
         raise ValueError(f"impl must be 'expr' or 'pandas', got {impl!r}")
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
-    )
+    c, q = _probe_frames(corpus, queries, id_col, vec_col)
     if impl == "expr":
         score = cosine(F.col("_qv"), F.col("_cv"))
     else:
@@ -124,12 +135,7 @@ def range_search(
     audits and recall measurements want "all neighbors above t", not a
     count cut). Same broadcast-probe shape as ``brute_force_topk``;
     no window at all — the threshold replaces the rank."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_cv")
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
-    )
+    c, q = _probe_frames(corpus, queries, id_col, vec_col)
     return (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 9))

@@ -288,7 +288,11 @@ def w_percent_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     keyed = d.withColumn("_okey", F.struct("n_chars", "doc_id"))
     ranked = global_rank_by_range(keyed, "_okey").drop("_okey")
-    n = d.agg(F.count("*").alias("_n"))
+    # count(*) over a zero-column projection: the scan reads parquet
+    # row-group metadata, not data — not a second full pass
+    n = read_table(spark, sf_dir, "documents").select().agg(
+        F.count("*").alias("_n")
+    )
     return (
         ranked.crossJoin(F.broadcast(n))
         .select(
@@ -698,10 +702,12 @@ ORACLE_SQL = {
         FROM documents
     """,
     # unique composite order key -> row_number ranks == tie-aware
-    # PERCENT_RANK; Spark computes the same value scalably
+    # PERCENT_RANK; NULLS FIRST pins DuckDB to Spark's ascending
+    # default should the fixture ever carry a null n_chars
     "w_percent_rank_scalable": """
         SELECT doc_id, n_chars,
-               ROUND(PERCENT_RANK() OVER (ORDER BY n_chars, doc_id), 9)
+               ROUND(PERCENT_RANK() OVER (
+                   ORDER BY n_chars NULLS FIRST, doc_id NULLS FIRST), 9)
                    AS pct_rank
         FROM documents ORDER BY doc_id
     """,

@@ -314,3 +314,16 @@ def test_ohlc_is_pure_aggregation(spark, registry):
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
     assert plan.count("HashAggregate") >= 4, plan  # 2 aggs x partial+final
+
+
+def test_percent_rank_scalable_no_full_table_single_partition(spark, registry):
+    """w_percent_rank_scalable: the rank must come from range
+    partitions (a plain PERCENT_RANK window would be one task holding
+    the whole table); the only SinglePartition exchange allowed feeds
+    the tiny per-partition-counts window."""
+    plan = plan_of(spark, registry, "w_percent_rank_scalable")
+    assert "rangepartitioning" in plan.lower(), plan
+    # two tiny SinglePartition exchanges allowed: the ≤32-row
+    # per-partition-counts window and the 1-row n aggregate
+    assert plan.count("SinglePartition") <= 2, plan
+    assert "percent_rank" not in plan.lower(), plan  # computed, not windowed
