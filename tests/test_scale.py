@@ -206,3 +206,29 @@ def test_zorder_timestamp_column(spark, tmp_path):
     assert per_file < 0.8 * 8 * span
     with _pytest.raises(ValueError, match="string"):
         zorder_key(e, ["event_type", "user_id"])
+
+
+def test_containment_scales_with_replicated_corpus(spark):
+    """Replicate the corpus 5x with distinct ids: identical copies have
+    containment 1.0 in BOTH directions, so the prefix-filter join must
+    find all 5*4 directional pairs per distinct text at threshold 1.0 —
+    worst-case bucket density for the inverted shingle index."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.operators import dedup
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    big = d
+    for i in range(1, 5):
+        big = big.union(
+            d.select((F.col("doc_id") + 100000 * i).alias("doc_id"), "text")
+        )
+    n_distinct = d.select("text").distinct().count()
+    pairs = dedup.containment_pairs(big, "doc_id", "text", threshold=1.0)
+    got = pairs.count()
+    assert got >= 20 * n_distinct  # 5*4 directional pairs per text
+    # and every found pair really is full containment
+    assert pairs.where(F.col("containment") < 1.0).count() == 0
