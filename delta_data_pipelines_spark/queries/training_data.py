@@ -888,6 +888,41 @@ def ds_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def td_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 13-gram collision decontamination — the published GPT-3/
+    PaLM standard, complementing the MinHash near-dup audit
+    (td_decontaminate): a train doc is contaminated if it shares ANY
+    13-token n-gram with an eval/test doc. Output: contaminated train
+    doc ids with their distinct shared-gram counts.
+
+    Scale shape: the heldout gram set is the small side (explode of
+    ~20% of the corpus, distinct); the train explode joins it on the
+    gram — AQE broadcasts the heldout side while it fits. Docs under
+    13 tokens are excluded (no full 13-gram exists; the shingle
+    fallback would degrade to whole-text equality, a different test).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    split = sampling.hash_split(
+        d, "doc_id", {"train": 0.8, "eval": 0.1, "test": 0.1}, method="md5"
+    )
+    grams = (
+        split.where(F.size(F.split(F.col("text"), " ")) >= 13)
+        .select(
+            "doc_id",
+            "split",
+            F.explode(dedup.shingles(F.col("text"), 13)).alias("gram"),
+        )
+    )
+    heldout = grams.where(F.col("split") != "train").select("gram").distinct()
+    return (
+        grams.where(F.col("split") == "train")
+        .join(heldout, "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
 def ds_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-per-source sample: rank docs within each source
     by portable md5 hash (tie-broken on doc_id) and keep the first 5 —
@@ -1032,6 +1067,7 @@ SPARK_QUERIES = {
     "txt_tfidf_top_term": txt_tfidf_top_term,
     "txt_unigram_logprob": txt_unigram_logprob,
     "td_dup_weights": td_dup_weights,
+    "td_ngram_contamination": td_ngram_contamination,
     "txt_bm25_topk": txt_bm25_topk,
     "td_pack_sequences": td_pack_sequences,
     "td_chunk_manifest": td_chunk_manifest,
@@ -1255,6 +1291,30 @@ ORACLE_SQL = {
         )
         WHERE _rn = 1
         ORDER BY doc_id
+    """,
+    # same split thresholds as ds_hash_split (float sums, 0.8 + 0.1);
+    # 13-gram = w[i:i+12] inclusive slice = 13 tokens
+    "td_ngram_contamination": f"""
+        WITH s AS (
+            SELECT doc_id, text,
+                   CASE WHEN bkt < 0.8 THEN 'train'
+                        WHEN bkt < 0.8 + 0.1 THEN 'eval'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, text, {_MD5_BUCKET} AS bkt FROM documents)
+        ), g AS (
+            SELECT doc_id, split,
+                   unnest(list_transform(range(1, len(w) - 11),
+                                         i -> array_to_string(w[i:i+12], ' ')))
+                       AS gram
+            FROM (SELECT doc_id, split, string_split(text, ' ') AS w FROM s)
+            WHERE len(w) >= 13
+        ), ev AS (
+            SELECT DISTINCT gram FROM g WHERE split <> 'train'
+        )
+        SELECT t.doc_id, COUNT(DISTINCT t.gram) AS n_shared_grams
+        FROM g t JOIN ev USING (gram)
+        WHERE t.split = 'train'
+        GROUP BY t.doc_id ORDER BY doc_id
     """,
     "ds_group_sample": """
         SELECT doc_id, source, k FROM (
