@@ -46,6 +46,9 @@ def main(argv: list[str] | None = None) -> int:
     cc.add_argument("--dup-weights", action="store_true",
                     help="carry dup_weight = near-dup cluster size on "
                     "each kept representative")
+    cc.add_argument("--decontaminate", action="store_true",
+                    help="drop train docs sharing any 13-gram with the "
+                    "heldout splits (exact-collision standard)")
 
     cn = sub.add_parser(
         "compact-neardups",
@@ -106,6 +109,7 @@ def main(argv: list[str] | None = None) -> int:
         res = publish_corpus(
             table, docs, scrub=not args.no_scrub, pack_ctx=args.pack_ctx,
             lm_drop_fraction=args.lm_drop, dup_weights=args.dup_weights,
+            decontaminate=args.decontaminate,
         )
         print(json.dumps({"job": "curate-corpus", **res}))
         return 0

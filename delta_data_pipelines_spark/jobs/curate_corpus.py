@@ -236,6 +236,44 @@ def collapse_near_dups(
     )
 
 
+def decontaminate_stage(
+    split_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "split",
+    n: int = 13,
+) -> DataFrame:
+    """Drop train docs sharing any ``n``-token n-gram with a heldout
+    (non-train) doc — the exact-collision decontamination standard
+    (GPT-3/PaLM), applied AFTER the split so the heldout sets define
+    what counts as leakage. Heldout rows pass through untouched; train
+    docs under ``n`` tokens are never flagged (no full n-gram exists).
+
+    Scale shape: the heldout gram set is the small side (distinct
+    grams of the eval/test fraction); contaminated train ids come from
+    one equi-join on the gram and re-enter as a LEFT ANTI join on the
+    id, so document payloads never ride the gram shuffle."""
+    from ..operators.dedup import shingles
+
+    grams = split_docs.where(
+        F.size(F.split(F.col(text_col), " ")) >= n
+    ).select(
+        id_col, split_col, F.explode(shingles(F.col(text_col), n)).alias("_gram")
+    )
+    heldout = grams.where(F.col(split_col) != "train").select("_gram").distinct()
+    contaminated = (
+        grams.where(F.col(split_col) == "train")
+        .join(heldout, "_gram")
+        .select(id_col)
+        .distinct()
+    )
+    return split_docs.where(F.col(split_col) != "train").unionByName(
+        split_docs.where(F.col(split_col) == "train").join(
+            contaminated, id_col, "left_anti"
+        )
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -245,10 +283,14 @@ def curate_corpus(
     pack_ctx: int | None = None,
     lm_drop_fraction: float | None = None,
     dup_weights: bool = False,
+    decontaminate: bool = False,
     **gate_kwargs,
 ) -> DataFrame:
     """PII scrub → quality gate → (optional) LM filter → exact dedup →
-    near-dup collapse → md5 split → (optional) per-split packing.
+    near-dup collapse → md5 split → (optional) 13-gram
+    decontamination → (optional) per-split packing.
+    ``decontaminate=True`` drops train docs sharing any 13-gram with
+    the heldout splits (exact-collision standard, after the split).
 
     ``scrub=False`` skips redaction (corpora already scrubbed
     upstream); ``lm_drop_fraction`` drops the docs scoring in the
@@ -286,6 +328,8 @@ def curate_corpus(
     split = sampling.hash_split(
         uniq, id_col, splits or DEFAULT_SPLITS, method="md5"
     )
+    if decontaminate:
+        split = decontaminate_stage(split, id_col, text_col)
     if pack_ctx is not None:
         split = pack_stage(split, "split", id_col, text_col, ctx=pack_ctx)
     return split

@@ -288,6 +288,36 @@ def test_curate_dup_weights_count_exact_copies(spark):
     assert sum(got.values()) == len(rows)   # mass conserved end to end
 
 
+def test_decontaminate_stage_drops_leaked_train_docs(spark):
+    """A train doc sharing a 13-gram with a test doc must be dropped;
+    clean train docs and every heldout doc pass through untouched."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.jobs.curate_corpus import decontaminate_stage
+    from delta_data_pipelines_spark.operators.sampling import hash_split
+
+    # probe which ids land in which split (md5 of the id is the rule)
+    ids = spark.createDataFrame([(i,) for i in range(1, 300)], "doc_id long")
+    split_of = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            ids, "doc_id", {"train": 0.8, "eval": 0.1, "test": 0.1}, method="md5"
+        ).collect()
+    }
+    train_ids = [i for i, s in split_of.items() if s == "train"]
+    test_ids = [i for i, s in split_of.items() if s == "test"]
+    leaked = " ".join(f"tok{j}" for j in range(20))
+    clean = " ".join(f"other{j}" for j in range(20))
+    rows = [
+        (train_ids[0], leaked, split_of[train_ids[0]]),   # leaked -> drop
+        (train_ids[1], clean, split_of[train_ids[1]]),    # clean  -> keep
+        (test_ids[0], leaked, split_of[test_ids[0]]),     # heldout -> keep
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    out = {r["doc_id"] for r in decontaminate_stage(docs).collect()}
+    assert out == {train_ids[1], test_ids[0]}
+
+
 def test_curate_scrub_and_pack_stages(spark, tmp_path):
     """Extended pipeline: PII scrub happens before the gate (quality is
     measured on published text), and per-split packing lays each split
