@@ -89,7 +89,7 @@ _PRIORITY = [
     # NEXT-ROTATION candidates (mirror-green, no driver row yet, window
     # full this round): t_ohlc_bars, sk_binned_quantiles,
     # ds_group_sample, ds_token_budget_mix, sim_range_search,
-    # w_percent_rank_scalable
+    # w_percent_rank_scalable, td_ngram_contamination
     # TPC-H: q2 changed this round (broadcast hint dropped) — q17/q20
     # (also changed) and regrouped q21 are pinned in the r5 block above
     "tpch_q2",
