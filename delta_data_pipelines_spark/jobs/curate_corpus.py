@@ -242,35 +242,34 @@ def decontaminate_stage(
     text_col: str = "text",
     split_col: str = "split",
     n: int = 13,
+    materialize: bool = True,
 ) -> DataFrame:
     """Drop train docs sharing any ``n``-token n-gram with a heldout
     (non-train) doc — the exact-collision decontamination standard
     (GPT-3/PaLM), applied AFTER the split so the heldout sets define
-    what counts as leakage. Heldout rows pass through untouched; train
-    docs under ``n`` tokens are never flagged (no full n-gram exists).
+    what counts as leakage. The collision core is ONE definition
+    (``dedup.contamination_gram_hits``) shared with the oracle-checked
+    td_ngram_contamination query. Heldout rows — including rows whose
+    split is NULL, which are never train — pass through untouched;
+    train docs under ``n`` tokens are never flagged (no full n-gram
+    exists).
 
-    Scale shape: the heldout gram set is the small side (distinct
-    grams of the eval/test fraction); contaminated train ids come from
-    one equi-join on the gram and re-enter as a LEFT ANTI join on the
-    id, so document payloads never ride the gram shuffle."""
-    from ..operators.dedup import shingles
-
-    grams = split_docs.where(
-        F.size(F.split(F.col(text_col), " ")) >= n
-    ).select(
-        id_col, split_col, F.explode(shingles(F.col(text_col), n)).alias("_gram")
-    )
-    heldout = grams.where(F.col(split_col) != "train").select("_gram").distinct()
-    contaminated = (
-        grams.where(F.col(split_col) == "train")
-        .join(heldout, "_gram")
-        .select(id_col)
-        .distinct()
-    )
-    return split_docs.where(F.col(split_col) != "train").unionByName(
-        split_docs.where(F.col(split_col) == "train").join(
-            contaminated, id_col, "left_anti"
-        )
+    Scale shape: contaminated train ids come from one equi-join on
+    the gram and re-enter as a LEFT ANTI join on the id, so document
+    payloads never ride the gram shuffle. ``materialize`` (default
+    True) localCheckpoints the input first: the plan otherwise embeds
+    the full upstream curation lineage under four branches
+    (passthrough, train side, and both gram arms) — ~4× the pipeline
+    cost. Pass False for a lazy composable plan.
+    """
+    if materialize:
+        split_docs = split_docs.localCheckpoint(eager=True)
+    contaminated = dedup.contamination_gram_hits(
+        split_docs, id_col, text_col, split_col, n
+    ).select(id_col).distinct()
+    is_train = F.col(split_col) == "train"
+    return split_docs.where(~F.coalesce(is_train, F.lit(False))).unionByName(
+        split_docs.where(is_train).join(contaminated, id_col, "left_anti")
     )
 
 

@@ -740,3 +740,38 @@ def near_dup_clusters(
     result = _materialize_and_release(out, edges, pairs)
     _release_rdd_ids(spark, label_blocks)  # final round's blocks, post-copy
     return result
+
+
+def contamination_gram_hits(
+    split_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str = "split",
+    n: int = 13,
+    train_label: str = "train",
+) -> DataFrame:
+    """(id, _gram) — every distinct ``n``-token n-gram a TRAIN doc
+    shares with any heldout (non-train) doc: the exact-collision
+    decontamination core (GPT-3/PaLM's 13-gram standard), defined ONCE
+    for the oracle-checked query (td_ngram_contamination) and the
+    curation job's decontaminate stage.
+
+    Docs under ``n`` tokens are excluded — no full n-gram exists, and
+    the shingle fallback would degrade the test to whole-text
+    equality. The heldout gram set is the small join side (AQE
+    broadcasts it while it fits); the output is collision PAIRS so
+    callers can either count per doc or take distinct ids.
+    """
+    grams = split_docs.where(
+        F.size(F.split(F.col(text_col), " ")) >= n
+    ).select(
+        id_col,
+        split_col,
+        F.explode(shingles(F.col(text_col), n)).alias("_gram"),
+    )
+    heldout = grams.where(F.col(split_col) != train_label).select("_gram").distinct()
+    return (
+        grams.where(F.col(split_col) == train_label)
+        .join(heldout, "_gram")
+        .select(id_col, "_gram")
+    )

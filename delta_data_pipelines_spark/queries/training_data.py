@@ -895,30 +895,21 @@ def td_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     13-token n-gram with an eval/test doc. Output: contaminated train
     doc ids with their distinct shared-gram counts.
 
-    Scale shape: the heldout gram set is the small side (explode of
-    ~20% of the corpus, distinct); the train explode joins it on the
-    gram — AQE broadcasts the heldout side while it fits. Docs under
-    13 tokens are excluded (no full 13-gram exists; the shingle
-    fallback would degrade to whole-text equality, a different test).
-    """
+    ONE definition of the collision core
+    (``dedup.contamination_gram_hits``, shared with the curation
+    job's decontaminate stage): the heldout gram set is the small side
+    (explode of ~20% of the corpus, distinct) and AQE broadcasts it
+    while it fits; docs under 13 tokens are excluded (no full 13-gram
+    exists; the shingle fallback would degrade to whole-text equality,
+    a different test)."""
     d = read_table(spark, sf_dir, "documents")
     split = sampling.hash_split(
         d, "doc_id", {"train": 0.8, "eval": 0.1, "test": 0.1}, method="md5"
     )
-    grams = (
-        split.where(F.size(F.split(F.col("text"), " ")) >= 13)
-        .select(
-            "doc_id",
-            "split",
-            F.explode(dedup.shingles(F.col("text"), 13)).alias("gram"),
-        )
-    )
-    heldout = grams.where(F.col("split") != "train").select("gram").distinct()
     return (
-        grams.where(F.col("split") == "train")
-        .join(heldout, "gram")
+        dedup.contamination_gram_hits(split, "doc_id", "text")
         .groupBy("doc_id")
-        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+        .agg(F.countDistinct("_gram").alias("n_shared_grams"))
         .orderBy("doc_id")
     )
 

@@ -312,10 +312,11 @@ def test_decontaminate_stage_drops_leaked_train_docs(spark):
         (train_ids[0], leaked, split_of[train_ids[0]]),   # leaked -> drop
         (train_ids[1], clean, split_of[train_ids[1]]),    # clean  -> keep
         (test_ids[0], leaked, split_of[test_ids[0]]),     # heldout -> keep
+        (999, clean, None),  # NULL split: never train -> passthrough
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, split string")
     out = {r["doc_id"] for r in decontaminate_stage(docs).collect()}
-    assert out == {train_ids[1], test_ids[0]}
+    assert out == {train_ids[1], test_ids[0], 999}
 
 
 def test_curate_scrub_and_pack_stages(spark, tmp_path):
