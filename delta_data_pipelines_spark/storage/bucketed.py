@@ -284,6 +284,48 @@ class BucketedTable:
             return self.read().limit(0)
         return self.spark.read.parquet(*paths)
 
+    def bucket_stats(self) -> DataFrame:
+        """Per-bucket (bucket_id, n_rows, n_files, owning_version) —
+        the skew diagnostic for state tables: one hot bucket means the
+        bucket key is degenerate (e.g. boilerplate band hashes) and
+        per-batch merges rewrite disproportionate data. Row counts come
+        from one bucket-pruned aggregate job; file counts from the
+        manifest directories (driver-side listing of ≤ n_buckets
+        dirs)."""
+        import glob as _glob
+
+        manifest = self._manifest()
+        rows = []
+        for b, v in sorted(manifest.items(), key=lambda kv: int(kv[0])):
+            d = self._bucket_dir(v, int(b))
+            n_files = len(_glob.glob(os.path.join(d, "*.parquet")))
+            rows.append((int(b), int(v), n_files))
+        meta = self.spark.createDataFrame(
+            rows or [(None, None, None)],
+            "bucket_id int, owning_version int, n_files int",
+        ).where(F.col("bucket_id").isNotNull())
+        if not manifest:
+            return meta.select(
+                "bucket_id", F.lit(0).cast("bigint").alias("n_rows"),
+                "n_files", "owning_version",
+            )
+        counts = (
+            self.read()
+            .withColumn("_b", self._bucket_col())
+            .groupBy(F.col("_b").alias("bucket_id"))
+            .agg(F.count("*").alias("n_rows"))
+        )
+        return (
+            meta.join(counts, "bucket_id", "left")
+            .select(
+                "bucket_id",
+                F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+                "n_files",
+                "owning_version",
+            )
+            .orderBy("bucket_id")
+        )
+
     # ---- writes ---------------------------------------------------------
 
     def overwrite(self, df: DataFrame) -> BucketedCommit:

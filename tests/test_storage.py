@@ -324,3 +324,23 @@ def test_bucketed_restore_is_metadata_only_rollback(spark, btable):
     assert {x["content_url"] for x in btable.read().collect()} == {"u1", "u2"}
     with pytest.raises(ValueError, match="not in"):
         btable.restore(99)
+
+
+def test_bucketed_bucket_stats_counts_and_skew(spark, tmp_path):
+    """bucket_stats must report per-bucket row counts that sum to the
+    table and reflect deliberate skew (one hot key value)."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.storage import BucketedTable
+
+    bt = BucketedTable(
+        spark, str(tmp_path / "bs"), bucket_key="k", n_buckets=4
+    )
+    rows = [(f"hot", i) for i in range(40)] + [(f"k{i}", i) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    bt.overwrite(df)
+    stats = bt.bucket_stats().collect()
+    assert sum(r["n_rows"] for r in stats) == 50
+    assert all(r["n_files"] >= 1 for r in stats)
+    # the 40 'hot' rows all hash to ONE bucket: max >> uniform share
+    assert max(r["n_rows"] for r in stats) >= 40
