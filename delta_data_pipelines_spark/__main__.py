@@ -60,6 +60,12 @@ def main(argv: list[str] | None = None) -> int:
     cn.add_argument("--id-col", default="doc_id")
     cn.add_argument("--threshold", type=float, default=0.8)
 
+    ss = sub.add_parser(
+        "state-stats",
+        help="per-bucket skew report for a bucketed state table",
+    )
+    ss.add_argument("--table", required=True, help="BucketedTable root dir")
+
     sub.add_parser("bench", help="run the bench harness")
 
     args = p.parse_args(argv)
@@ -123,6 +129,23 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.state, corpus, id_col=args.id_col, threshold=args.threshold
         )
         print(json.dumps({"job": "compact-neardups", **res}))
+        return 0
+
+    if args.cmd == "state-stats":
+        from .storage import BucketedTable
+
+        bt = BucketedTable(spark, args.table)
+        rows = bt.bucket_stats().collect()
+        n_rows = [r["n_rows"] for r in rows]
+        print(json.dumps({
+            "job": "state-stats",
+            "table": args.table,
+            "n_buckets": len(rows),
+            "rows_total": int(sum(n_rows)),
+            "rows_max_bucket": int(max(n_rows)) if n_rows else 0,
+            "rows_mean_bucket": round(sum(n_rows) / len(n_rows), 1) if rows else 0,
+            "files_total": int(sum(r["n_files"] for r in rows)),
+        }))
         return 0
 
     if args.cmd == "price-dataset":
