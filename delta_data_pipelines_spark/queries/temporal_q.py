@@ -274,6 +274,30 @@ def t_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per (5-minute window, event type) — the
+    trending-items rollup. Two-phase at scale: the rank window
+    partitions on (window, type), so no global sort; ties break on
+    event_id for determinism."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("window_start", "event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        e.select(
+            F.window("ts", "5 minutes").start.alias("window_start"),
+            "event_type",
+            "event_id",
+            "value",
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("window_start", "event_type", "event_id", "value",
+                F.col("rank").cast("bigint").alias("rank"))
+        .orderBy("window_start", "event_type", "rank")
+    )
+
+
 SPARK_QUERIES = {
     "t_asof_join": t_asof_join,
     "t_asof_join_tolerance": t_asof_join_tolerance,
@@ -284,6 +308,7 @@ SPARK_QUERIES = {
     "t_gap_fill": t_gap_fill,
     "t_rolling_stats": t_rolling_stats,
     "t_ohlc_bars": t_ohlc_bars,
+    "t_windowed_topk": t_windowed_topk,
 }
 
 _ERRORS = """
@@ -449,5 +474,18 @@ ORACLE_SQL = {
                arg_max(v, ts) AS close,
                COUNT(*) AS n_points
         FROM d GROUP BY 1, 2 ORDER BY bar_start, event_type
+    """,
+    "t_windowed_topk": """
+        SELECT window_start, event_type, event_id, value, rank FROM (
+            SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+                   event_type, event_id, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY time_bucket(INTERVAL '5 minutes', ts),
+                                    event_type
+                       ORDER BY value DESC, event_id
+                   ) AS rank
+            FROM events
+        ) WHERE rank <= 3
+        ORDER BY window_start, event_type, rank
     """,
 }
