@@ -81,3 +81,25 @@ def test_range_join_bounds(spark):
     # event 1 at 10:00 → right rows at 10:00 (0s) and 11:00 (3600s incl.);
     # event 3 (user 20, 09:00) → right row at 09:30
     assert got == {(1, 2.0), (1, 3.0), (3, 9.0)}
+
+
+def test_ohlc_bars_invariants(spark):
+    """Every bar must satisfy low <= open,close <= high, n_points >= 1,
+    and bars must partition the deduped points exactly (sum of
+    n_points == distinct (type, ts) pairs)."""
+    from delta_data_pipelines_spark.queries.temporal_q import t_ohlc_bars
+    from delta_data_pipelines_spark.catalog import read_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    bars = t_ohlc_bars(spark, sf).collect()
+    assert bars
+    for r in bars:
+        assert r["low"] <= r["open"] <= r["high"], r
+        assert r["low"] <= r["close"] <= r["high"], r
+        assert r["n_points"] >= 1
+    n_pts = (
+        read_table(spark, sf, "events")
+        .select("event_type", "ts").distinct().count()
+    )
+    assert sum(r["n_points"] for r in bars) == n_pts
