@@ -134,6 +134,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "state-stats":
         from .storage import BucketedTable
 
+        # a read-only diagnostic must not CREATE table metadata on a
+        # typo'd path (the constructor does)
+        if not BucketedTable.exists_at(args.table):
+            print(json.dumps({
+                "job": "state-stats", "table": args.table,
+                "error": "not a bucketed table (no _meta.json)",
+            }))
+            return 1
         bt = BucketedTable(spark, args.table)
         rows = bt.bucket_stats().collect()
         n_rows = [r["n_rows"] for r in rows]

@@ -289,42 +289,20 @@ class BucketedTable:
         the skew diagnostic for state tables: one hot bucket means the
         bucket key is degenerate (e.g. boilerplate band hashes) and
         per-batch merges rewrite disproportionate data. Row counts come
-        from one bucket-pruned aggregate job; file counts from the
-        manifest directories (driver-side listing of ≤ n_buckets
-        dirs)."""
-        import glob as _glob
-
+        from a per-directory ``count()`` (answered from parquet footers
+        — no key column read, no hashing, no shuffle); file counts
+        from an ``os.listdir`` of the ≤ n_buckets manifest dirs."""
         manifest = self._manifest()
         rows = []
         for b, v in sorted(manifest.items(), key=lambda kv: int(kv[0])):
             d = self._bucket_dir(v, int(b))
-            n_files = len(_glob.glob(os.path.join(d, "*.parquet")))
-            rows.append((int(b), int(v), n_files))
-        meta = self.spark.createDataFrame(
-            rows or [(None, None, None)],
-            "bucket_id int, owning_version int, n_files int",
-        ).where(F.col("bucket_id").isNotNull())
-        if not manifest:
-            return meta.select(
-                "bucket_id", F.lit(0).cast("bigint").alias("n_rows"),
-                "n_files", "owning_version",
-            )
-        counts = (
-            self.read()
-            .withColumn("_b", self._bucket_col())
-            .groupBy(F.col("_b").alias("bucket_id"))
-            .agg(F.count("*").alias("n_rows"))
-        )
-        return (
-            meta.join(counts, "bucket_id", "left")
-            .select(
-                "bucket_id",
-                F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
-                "n_files",
-                "owning_version",
-            )
-            .orderBy("bucket_id")
-        )
+            n_files = sum(f.endswith(".parquet") for f in os.listdir(d))
+            n_rows = self.spark.read.parquet(d).count()
+            rows.append((int(b), n_rows, n_files, int(v)))
+        return self.spark.createDataFrame(
+            rows,
+            "bucket_id int, n_rows bigint, n_files int, owning_version int",
+        ).orderBy("bucket_id")
 
     # ---- writes ---------------------------------------------------------
 

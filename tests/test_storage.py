@@ -329,14 +329,12 @@ def test_bucketed_restore_is_metadata_only_rollback(spark, btable):
 def test_bucketed_bucket_stats_counts_and_skew(spark, tmp_path):
     """bucket_stats must report per-bucket row counts that sum to the
     table and reflect deliberate skew (one hot key value)."""
-    from pyspark.sql import functions as F
-
     from delta_data_pipelines_spark.storage import BucketedTable
 
     bt = BucketedTable(
         spark, str(tmp_path / "bs"), bucket_key="k", n_buckets=4
     )
-    rows = [(f"hot", i) for i in range(40)] + [(f"k{i}", i) for i in range(10)]
+    rows = [("hot", i) for i in range(40)] + [(f"k{i}", i) for i in range(10)]
     df = spark.createDataFrame(rows, "k string, v int")
     bt.overwrite(df)
     stats = bt.bucket_stats().collect()

@@ -89,7 +89,6 @@ def test_ohlc_bars_invariants(spark):
     n_points == distinct (type, ts) pairs)."""
     from delta_data_pipelines_spark.queries.temporal_q import t_ohlc_bars
     from delta_data_pipelines_spark.catalog import read_table
-    from pyspark.sql import functions as F
 
     sf = "/root/testdata/sf0.001"
     bars = t_ohlc_bars(spark, sf).collect()
