@@ -342,3 +342,26 @@ def test_bucketed_bucket_stats_counts_and_skew(spark, tmp_path):
     assert all(r["n_files"] >= 1 for r in stats)
     # the 40 'hot' rows all hash to ONE bucket: max >> uniform share
     assert max(r["n_rows"] for r in stats) >= 40
+
+
+def test_bucketed_commit_overwrites_orphaned_version_dir(spark, tmp_path):
+    """A crash AFTER writing v=N data but BEFORE the log commit leaves
+    an orphan dir; the next commit reuses version N and must replace
+    the orphan wholesale (write mode is overwrite on the version dir),
+    never read it (reads go through the manifest only)."""
+    import os
+
+    from delta_data_pipelines_spark.storage import BucketedTable
+
+    bt = BucketedTable(spark, str(tmp_path / "cr"), bucket_key="k", n_buckets=2)
+    bt.overwrite(spark.createDataFrame([("a", 1)], "k string, v int"))
+    orphan = os.path.join(bt.root, "v=000001", "_bucket=0")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    c = bt.merge(
+        spark.createDataFrame([("b", 2)], "k string, v int"), keys=["k"]
+    )
+    assert c.version == 1
+    got = {(r["k"], r["v"]) for r in bt.read().collect()}
+    assert got == {("a", 1), ("b", 2)}
