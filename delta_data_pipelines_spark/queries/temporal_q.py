@@ -298,6 +298,32 @@ def t_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-day distinct active users (WAU) per window end.
+
+    Rolling COUNT(DISTINCT) does not decompose into window frames
+    (distinct sets don't subtract), so the exact distributed form
+    dedups to (day, user) first, fans each pair out to the ≤7 window
+    ends it belongs to — a BOUNDED explode, 7× the deduped pairs, not
+    the raw events — and count-distincts per window end. Edge windows
+    (first/last 6 days) cover partial weeks, identically in both
+    engines."""
+    e = read_table(spark, sf_dir, "events")
+    du = e.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+    ).distinct()
+    fan = du.select(
+        "day", "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("_k")
+    ).select(
+        F.date_add(F.col("day"), F.col("_k")).alias("win_end"), "user_id"
+    )
+    return (
+        fan.groupBy("win_end")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .orderBy("win_end")
+    )
+
+
 SPARK_QUERIES = {
     "t_asof_join": t_asof_join,
     "t_asof_join_tolerance": t_asof_join_tolerance,
@@ -309,6 +335,7 @@ SPARK_QUERIES = {
     "t_rolling_stats": t_rolling_stats,
     "t_ohlc_bars": t_ohlc_bars,
     "t_windowed_topk": t_windowed_topk,
+    "t_rolling_wau": t_rolling_wau,
 }
 
 _ERRORS = """
@@ -487,5 +514,19 @@ ORACLE_SQL = {
             FROM events
         ) WHERE rank <= 3
         ORDER BY window_start, event_type, rank
+    """,
+    # bounded fan-out: each distinct (day, user) feeds the 7 window
+    # ends it belongs to; DATE + int adds days in DuckDB
+    "t_rolling_wau": """
+        WITH du AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   user_id
+            FROM events
+        ), fan AS (
+            SELECT day + CAST(k AS INTEGER) AS win_end, user_id
+            FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS k)
+        )
+        SELECT win_end, COUNT(DISTINCT user_id) AS wau
+        FROM fan GROUP BY win_end ORDER BY win_end
     """,
 }
