@@ -86,20 +86,20 @@ _PRIORITY = [
     # st_windowed_counts, t_asof_join, a_counters, a_rollup
     "dd_containment", "st_interval_join",
     "txt_unigram_logprob", "td_dup_weights", "ds_interleave",
-    # NEXT-ROTATION candidates (mirror-green, no driver row yet, window
-    # full this round): t_ohlc_bars, sk_binned_quantiles,
-    # ds_group_sample, ds_token_budget_mix, sim_range_search,
-    # w_percent_rank_scalable, td_ngram_contamination
-    # TPC-H: q2 changed this round (broadcast hint dropped) — q17/q20
-    # (also changed) and regrouped q21 are pinned in the r5 block above
-    "tpch_q2",
-    # scale-safe variants
-    "w_row_number_seq_scalable", "w_batch_ids_global", "dd_embedding_blocked",
-    # curation operators
-    "dd_cluster", "td_curate",
-    # training-data headline components (txt_topk_per_source rotated
-    # out for ds_interleave — driver-green r1-r5, still mirror-checked)
-    "dd_minhash", "sim_brute_topk", "sim_ivf_topk", "txt_profile",
+    # r7 rotation: the 9 queries that have never held a driver
+    # CORRECTNESS row (mirror-green; ds_token_budget_mix's oracle twin
+    # got a BIGINT cast this round so it lands driver-clean).  Rotated
+    # out to make room — the 9 most-proven non-flagship rows, each with
+    # 5-6 green driver rounds and unchanged code, all still checked by
+    # the local mirror: tpch_q2, w_row_number_seq_scalable,
+    # w_batch_ids_global, dd_embedding_blocked, dd_cluster, dd_minhash,
+    # sim_brute_topk, sim_ivf_topk, txt_profile.
+    "t_ohlc_bars", "t_windowed_topk", "t_rolling_wau",
+    "sk_binned_quantiles", "ds_group_sample", "ds_token_budget_mix",
+    "sim_range_search", "w_percent_rank_scalable",
+    "td_ngram_contamination",
+    # curation headline (driver-green r2-r6, kept pinned)
+    "td_curate",
 ]
 
 

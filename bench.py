@@ -83,7 +83,36 @@ HEADLINE = [
     # OHLC bars rollup
     "ds_interleave",
     "t_ohlc_bars",
+    # r7: the last scalable-rank variant (range-partitioned percent_rank
+    # with composite unique key) — completes the scalable-window family
+    # next to w_row_number_seq_scalable / w_batch_ids_global
+    "w_percent_rank_scalable",
 ]
+
+
+def _calibration_probe(spark) -> float:
+    """Fixed-cost machine-load probe: constant-size synthetic aggregate.
+
+    SF-independent and IO-free, so its timing moves only with ambient
+    machine load (CPU contention, thermal state), never with code or
+    data changes.  Run at the start AND end of the bench; cross-round
+    query deltas should be read relative to the probe ratio
+    (see README "Bench calibration").  The r5->r6 window showed every
+    byte-identical query "regress" 1.2-2.5x purely from sandbox
+    contention — unreadable without this anchor.
+    """
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 32).select(
+            F.sum(F.col("id") * 2 + 1).alias("s")
+        ).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 3)
 
 
 def main() -> int:
@@ -128,6 +157,8 @@ def main() -> int:
         except Exception:
             pass
 
+    calib_start = _calibration_probe(spark)
+
     for name in HEADLINE:
         fn = registry.get(name)
         if fn is None:
@@ -149,6 +180,8 @@ def main() -> int:
             spread[name] = []
             print(f"BENCH-FAIL {name}: {exc}", file=sys.stderr)
 
+    calib_end = _calibration_probe(spark)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -160,6 +193,14 @@ def main() -> int:
                 "sf": sf,
                 "runs": runs,
                 "spread": spread,
+                # fixed-cost synthetic probe at bench start/end; compare
+                # across rounds to separate machine noise from real
+                # regressions (README "Bench calibration")
+                "calibration": {
+                    "probe": "range50M_sum",
+                    "start": calib_start,
+                    "end": calib_end,
+                },
             }
         )
     )

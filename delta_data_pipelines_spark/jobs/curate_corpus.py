@@ -172,7 +172,14 @@ def lm_filter_stage(
 
     if materialize:
         docs = docs.localCheckpoint(eager=True)
-    scores = unigram_logprob_scores(docs, id_col, text_col).select(
+    # NULL text/id rows cannot be scored (no tokens / no joinable key):
+    # pass them through explicitly, mirroring decontaminate_stage —
+    # without this the semi-join re-entry silently dropped them, which
+    # "drop the bottom fraction" does not imply
+    unscorable = F.col(id_col).isNull() | F.col(text_col).isNull()
+    passthrough = docs.where(unscorable)
+    scorable = docs.where(~unscorable)
+    scores = unigram_logprob_scores(scorable, id_col, text_col).select(
         id_col, F.col("avg_logprob").alias("_avg_lp")
     )
     thr = scores.agg(
@@ -183,7 +190,7 @@ def lm_filter_stage(
         .where(F.col("_avg_lp") >= F.col("_thr"))
         .select(id_col)
     )
-    return docs.join(kept_ids, id_col, "left_semi")
+    return scorable.join(kept_ids, id_col, "left_semi").unionByName(passthrough)
 
 
 def collapse_near_dups(

@@ -761,6 +761,14 @@ def contamination_gram_hits(
     equality. The heldout gram set is the small join side (AQE
     broadcasts it while it fits); the output is collision PAIRS so
     callers can either count per doc or take distinct ids.
+
+    NULL-split rows participate on NEITHER side: ``split != 'train'``
+    is NULL-false, so they are not flagged as train contamination
+    (decontaminate_stage passes them through) AND their n-grams do not
+    join the heldout gram set — a train doc sharing grams only with a
+    NULL-split doc is kept. If unlabeled rows should be protected like
+    heldout, label them before calling (e.g.
+    ``F.coalesce(split, F.lit('heldout'))``).
     """
     grams = split_docs.where(
         F.size(F.split(F.col(text_col), " ")) >= n

@@ -102,16 +102,63 @@ def decode_png_header(payload: bytes, modality: str = "image") -> dict:
     return {"height": h, "width": w, "channels": channels}
 
 
+def decode_jpeg_header(payload: bytes, modality: str = "image") -> dict:
+    """Vendored pure-stdlib JPEG dimension decode: marker walk to SOF.
+
+    JPEG frame dimensions live in the Start-Of-Frame segment (SOF0-15,
+    ITU T.81 §B.2.2: precision, height, width, component count), which
+    precedes the entropy-coded scan data — so REAL dimensions of any
+    real baseline/progressive JPEG are readable by walking the marker
+    segments with ``struct`` alone, no codec library. Raises ValueError
+    for non-JPEG payloads (callers fall back to the stub); pixel decode
+    still needs a real codec (``CODEC_AVAILABLE``).
+    """
+    import struct
+
+    if modality != "image":
+        raise ValueError(f"JPEG decoder got modality {modality!r}")
+    b = bytes(payload)
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("malformed JPEG: lost marker sync")
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers carry no length
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF
+            break
+        (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+        if seglen < 2:
+            raise ValueError("malformed JPEG: bad segment length")
+        # SOF0-SOF15 minus the non-frame C-block markers DHT/JPG/DAC
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 10 > len(b):
+                raise ValueError("malformed JPEG: truncated SOF")
+            _prec, h, w, ncomp = struct.unpack(">BHHB", b[i + 4 : i + 10])
+            return {"height": h, "width": w, "channels": ncomp}
+        i += 2 + seglen
+    raise ValueError("no SOF marker found")
+
+
 def decode_image(payload: bytes, modality: str = "image") -> dict:
     """Real image decode: Pillow when importable (``CODEC_AVAILABLE``),
-    else the vendored PNG header parse for real PNG bytes, else the
-    deterministic stub. Pass as ``decoder=`` to extract_features /
-    resize_images — the Arrow plumbing is identical either way."""
+    else the vendored PNG/JPEG header parses for real image bytes,
+    else the deterministic stub. Pass as ``decoder=`` to
+    extract_features / resize_images — the Arrow plumbing is identical
+    either way."""
     if not CODEC_AVAILABLE:
-        try:
-            return decode_png_header(payload, modality)
-        except ValueError:
-            return decode_stub(payload, modality)
+        for parse in (decode_png_header, decode_jpeg_header):
+            try:
+                return parse(payload, modality)
+            except ValueError:
+                continue
+        return decode_stub(payload, modality)
     import io
 
     with _PILImage.open(io.BytesIO(payload)) as im:

@@ -12,6 +12,8 @@ corpus forever-stably) and per-key sharding.
 
 from __future__ import annotations
 
+import decimal
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -218,8 +220,16 @@ def token_budget_mix(
             ).cast("decimal(28,6)"),
         )
         .withColumn(
+            # cap in DECIMAL arithmetic (not double): a double product
+            # loses integer precision above ~2^52 tokens, breaking the
+            # bit-identical-allocations contract at corpus scale; the
+            # decimal product is exact at any magnitude (oracle:
+            # CAST(t_tokens * cap AS DECIMAL))
             "_cap",
-            F.round(t.cast("double") * epoch_cap, 6).cast("decimal(28,6)"),
+            (
+                t.cast("decimal(20,0)")
+                * F.lit(decimal.Decimal(str(epoch_cap)))
+            ).cast("decimal(28,6)"),
         )
         .withColumn("_alloc1", F.least(F.col("_a1"), F.col("_cap")))
         .withColumn("_capped", F.col("_a1") > F.col("_cap"))

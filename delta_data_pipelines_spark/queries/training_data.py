@@ -876,8 +876,11 @@ def ds_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle recomputes them; production passes a weights column or
     broadcast config table."""
     d = read_table(spark, sf_dir, "documents")
+    # uncapped suffix (substring-to-end), matching the oracle's
+    # substr(source, 4): a capped length would silently diverge for
+    # source ids with >10-digit suffixes
     w = (
-        F.substring(F.col("source"), 4, 10).cast("int") % 3 + 1
+        F.expr("substring(source, 4)").cast("int") % 3 + 1
     ).cast("double")
     docs = d.select("doc_id", "source").withColumn("_w", w)
     return (
@@ -1321,7 +1324,11 @@ ORACLE_SQL = {
     # float op on exact inputs — bit-identical allocations
     "ds_token_budget_mix": """
         WITH src AS (
-            SELECT source, SUM(len(string_split(text, ' '))) AS t_tokens
+            -- CAST: SUM over BIGINT is HUGEINT in DuckDB, which the
+            -- driver's pandas fetch renders as float64 (Spark: bigint)
+            SELECT source,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS t_tokens
             FROM documents GROUP BY source
         ), w AS (
             SELECT source, t_tokens,
@@ -1456,11 +1463,14 @@ ORACLE_SQL = {
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
             FROM documents
         ), cum AS (
+            -- CAST: DuckDB's windowed SUM over integers yields HUGEINT,
+            -- which pandas-side fetch renders as float64; Spark emits
+            -- bigint.  Cast keeps the driver's type-faithful digest equal.
             SELECT doc_id, n_tokens,
-                   COALESCE(SUM(n_tokens) OVER (
+                   CAST(COALESCE(SUM(n_tokens) OVER (
                        ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) AS start_offset
+                   ), 0) AS BIGINT) AS start_offset
             FROM sized
         )
         SELECT doc_id, n_tokens, start_offset,
@@ -1475,11 +1485,13 @@ ORACLE_SQL = {
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
             FROM documents
         ), cum AS (
+            -- CAST: see td_pack_sequences — avoid HUGEINT→float64 in the
+            -- driver's pandas fetch of the oracle result.
             SELECT doc_id, n_tokens,
-                   COALESCE(SUM(n_tokens) OVER (
+                   CAST(COALESCE(SUM(n_tokens) OVER (
                        ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) AS start_offset
+                   ), 0) AS BIGINT) AS start_offset
             FROM sized
         ), spans AS (
             SELECT doc_id, start_offset,

@@ -311,16 +311,48 @@ class BucketedTable:
         out = df.withColumn("_bucket", self._bucket_col())
         return self._commit("overwrite", out, {}, {"rows": df.count()})
 
+    def _footer_count(self, paths: list[str]) -> int:
+        """Row count over bucket dirs, answered from parquet metadata —
+        no data columns are materialized (count(*) over a zero-column
+        scan reads row-group counts), so metric jobs never re-run the
+        merge joins the way the pre-r7 ``inserted.count()`` did."""
+        if not paths:
+            return 0
+        reader = self.spark.read
+        meta = self._read_meta()
+        if "schema" in meta:  # skip the schema-inference job
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(meta["schema"]))
+        return reader.parquet(*paths).count()
+
     def merge(
         self,
         source: DataFrame,
         keys: list[str],
         when_matched: str = "ignore",
+        metrics: bool = True,
     ) -> BucketedCommit:
         """Partition-scoped MERGE: same semantics as
         ``VersionedTable.merge`` (insert-if-absent / upsert, null keys
         dropped, source deduplicated on keys) but only the buckets the
-        source touches are read, joined, and rewritten."""
+        source touches are read, joined, and rewritten.
+
+        Job shape (the hot-streaming-loop contract): exactly TWO Spark
+        jobs — (1) spill the deduplicated source to a bucketed tmp dir
+        (its partition dirs name the touched buckets, replacing the
+        former localCheckpoint + distinct-collect pair), (2) the merge
+        write itself; a first commit is ONE job (the tmp dir is adopted
+        as the version dir).  The anti/semi joins execute exactly once,
+        inside the write.  With ``metrics=True`` (default) the
+        inserted/updated counts are recovered arithmetically from
+        parquet-footer row counts (written − pre-existing), adding only
+        metadata-only count jobs; ``metrics=False`` skips those and
+        records -1.  Footer math is exact whenever the table's keys are
+        unique — the invariant merge itself maintains; a table seeded
+        by ``overwrite`` with duplicate keys can over/under-count the
+        ``update``-mode metrics (data remains correct).
+        """
         if when_matched not in {"ignore", "update"}:
             raise ValueError(when_matched)
         if self.bucket_key not in keys:
@@ -333,23 +365,44 @@ class BucketedTable:
         source = source.dropDuplicates(keys).withColumn(
             "_bucket", self._bucket_col()
         )
-        # one eager materialization up front: the source plan is
-        # otherwise re-executed for the touched-bucket collect, the
-        # inserted/updated counts, and the bucket write — with an
-        # expensive upstream (e.g. an anti-join against other state
-        # tables) that multiplied per-merge read I/O 3-4x
-        source = source.localCheckpoint(eager=True)
-        touched = sorted(
-            r[0] for r in source.select("_bucket").distinct().collect()
+        tmp = os.path.join(self.root, "_tmp_merge")
+        shutil.rmtree(tmp, ignore_errors=True)  # stale crash residue
+        (
+            source.repartition("_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(tmp)
         )
+        touched = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(tmp)
+            if d.startswith("_bucket=")
+        )
+        try:
+            return self._merge_spilled(
+                source, tmp, touched, keys, when_matched, metrics
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def _merge_spilled(
+        self,
+        source: DataFrame,
+        tmp: str,
+        touched: list[int],
+        keys: list[str],
+        when_matched: str,
+        metrics: bool,
+    ) -> BucketedCommit:
+        history = self.history()
+        version = (history[-1].version + 1) if history else 0
+
         if not touched:  # all-null-key batch
             # record the schema even on this no-op commit, so an
             # all-null FIRST batch doesn't create a table where
             # exists() is True but read() has no schema to serve
             self._store_schema_once(source)
             base = self._manifest() if self.exists() else {}
-            history = self.history()
-            version = (history[-1].version + 1) if history else 0
             entry = BucketedCommit(
                 version=version,
                 action="merge",
@@ -361,31 +414,88 @@ class BucketedTable:
             return entry
 
         if not self.exists():
-            return self._commit(
-                "merge", source, {}, {"inserted": source.count(), "updated": 0}
+            # first data-bearing commit: adopt the spill as the version
+            # dir (rename, zero extra Spark jobs; replaces any orphan
+            # dir a pre-log crash left at this version)
+            n_src = self._footer_count([tmp]) if metrics else -1
+            vdir = self._version_dir(version)
+            shutil.rmtree(vdir, ignore_errors=True)
+            os.replace(tmp, vdir)
+            self._store_schema_once(source)
+            entry = BucketedCommit(
+                version=version,
+                action="merge",
+                ts=time.time(),
+                metrics={
+                    "inserted": n_src,
+                    "updated": 0,
+                    "buckets_written": len(touched),
+                },
+                manifest={str(b): version for b in touched},
             )
+            self._write_log(history + [entry])
+            return entry
 
+        # re-read the spilled source with its KNOWN schema (skips the
+        # per-read schema-inference job; _bucket is in the schema so the
+        # partition-dir value parses back as bigint, not inferred int)
+        src = self.spark.read.schema(source.schema).parquet(tmp)
         manifest = self._manifest()
-        existing = [b for b in touched if str(b) in manifest]
-        if existing:
-            target = self.read_buckets(existing).withColumn(
+        existing_dirs = [
+            self._bucket_dir(manifest[str(b)], b)
+            for b in touched
+            if str(b) in manifest
+        ]
+        if existing_dirs:
+            meta = self._read_meta()
+            reader = self.spark.read
+            if "schema" in meta:  # stored at first data commit
+                from pyspark.sql.types import StructType
+
+                reader = reader.schema(StructType.fromJson(meta["schema"]))
+            target = reader.parquet(*existing_dirs).withColumn(
                 "_bucket", self._bucket_col()
             )
         else:
-            target = source.limit(0)
-        inserted = source.join(target.select(*keys), keys, "left_anti")
-        n_inserted = inserted.count()
+            target = src.limit(0)
+        inserted = src.join(target.select(*keys), keys, "left_anti")
         if when_matched == "update":
-            kept = target.join(source.select(*keys), keys, "left_anti")
-            updated = source.join(target.select(*keys), keys, "left_semi")
-            n_updated = updated.count()
+            kept = target.join(src.select(*keys), keys, "left_anti")
+            updated = src.join(target.select(*keys), keys, "left_semi")
             out = kept.unionByName(updated).unionByName(inserted)
         else:
-            n_updated = 0
             out = target.unionByName(inserted)
-        return self._commit(
-            "merge", out, manifest, {"inserted": n_inserted, "updated": n_updated}
+
+        written = self._write_buckets(out, version)
+        self._store_schema_once(out)
+        if metrics:
+            n_written = self._footer_count(
+                [self._bucket_dir(version, b) for b in written]
+            )
+            n_existing = self._footer_count(existing_dirs)
+            n_inserted = n_written - n_existing
+            n_updated = (
+                self._footer_count([tmp]) - n_inserted
+                if when_matched == "update"
+                else 0
+            )
+        else:
+            n_inserted = n_updated = -1
+        new_manifest = dict(manifest)
+        new_manifest.update({str(b): version for b in written})
+        entry = BucketedCommit(
+            version=version,
+            action="merge",
+            ts=time.time(),
+            metrics={
+                "inserted": n_inserted,
+                "updated": n_updated,
+                "buckets_written": len(written),
+            },
+            manifest=new_manifest,
         )
+        self._write_log(history + [entry])
+        return entry
 
     def delete_where(self, condition) -> BucketedCommit:
         """Predicate DELETE, scoped to the buckets that actually hold
@@ -408,7 +518,6 @@ class BucketedTable:
             return entry
         sub = self.read_buckets(touched).withColumn("_bucket", self._bucket_col())
         kept = sub.where(~condition | condition.isNull())
-        n_del = sub.count() - kept.count()
         # single atomic log write: buckets are written FIRST, then the
         # manifest is assembled knowing which touched buckets came back
         # empty (every row deleted → no dir) and must lose their
@@ -419,6 +528,12 @@ class BucketedTable:
         version = (history[-1].version + 1) if history else 0
         written = self._write_buckets(kept, version)
         self._store_schema_once(kept)
+        # deleted count from footer arithmetic (pre-existing − written):
+        # replaces two full data re-scans (sub.count + kept.count) with
+        # metadata-only counts
+        n_del = self._footer_count(
+            [self._bucket_dir(manifest[str(b)], b) for b in touched]
+        ) - self._footer_count([self._bucket_dir(version, b) for b in written])
         new_manifest = {
             b: v for b, v in manifest.items() if int(b) not in set(touched)
         }

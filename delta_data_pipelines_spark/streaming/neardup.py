@@ -218,8 +218,13 @@ def run_incremental_neardup(
                 hs_table.bucket_ids_of(sigs, id_col)
             ).select(id_col)
             new_banded = banded.join(known, id_col, "left_anti")
-        sig_table.merge(new_banded, keys=[id_col, "band_id", "band_hash"])
-        hs_table.merge(sigs.select(id_col, "_hs"), keys=[id_col])
+        # metrics=False: per-batch inserted/updated counts would add
+        # footer-count jobs to every micro-batch; buckets_written (the
+        # bounded-write contract metric) is recorded regardless
+        sig_table.merge(
+            new_banded, keys=[id_col, "band_id", "band_hash"], metrics=False
+        )
+        hs_table.merge(sigs.select(id_col, "_hs"), keys=[id_col], metrics=False)
         # retention: superseded bucket dirs would otherwise accumulate
         # one generation per micro-batch, forever; state tables need no
         # deep time travel, so prune beyond the last few commits

@@ -205,6 +205,26 @@ def test_lm_filter_drops_statistical_outliers(spark):
     assert kept == set(range(1, 9))
 
 
+def test_lm_filter_passes_null_text_and_id_rows_through(spark):
+    """Unscorable rows (NULL text or NULL id) must pass through, not
+    vanish in the semi-join re-entry — 'drop the bottom fraction'
+    implies nothing about unscorable rows."""
+    from delta_data_pipelines_spark.jobs.curate_corpus import lm_filter_stage
+
+    common = "the quick brown fox jumps over the lazy dog again today"
+    rows = [(i, common) for i in range(1, 9)]
+    rows.append((99, "zq9 xv7 qqj kkz wfx ppy mzt ggv hhb jjr"))
+    rows.append((100, None))  # NULL text
+    rows.append((None, common))  # NULL id
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lm_filter_stage(docs, drop_fraction=0.2).collect()
+    kept = {r["doc_id"] for r in out}
+    assert 99 not in kept  # outlier still cut
+    assert 100 in kept  # NULL-text row passed through
+    assert None in kept  # NULL-id row passed through
+    assert len(out) == 10
+
+
 def test_lm_filter_zero_fraction_is_identity_and_validates(spark):
     import pytest as _pytest
 

@@ -643,6 +643,50 @@ def test_real_png_dimensions_via_vendored_header_decode(spark):
     assert (row["out_h"], row["out_w"]) == (168, 224)  # fit-inside, aspect kept
 
 
+def test_real_jpeg_dimensions_via_vendored_sof_parse(spark):
+    """JPEG sibling of the PNG test: a structurally valid JPEG built
+    with stdlib-only bytes (SOI → APP0 → SOF0 → SOS → EOI) flows
+    through decode_image with its REAL dimensions via the marker-walk
+    SOF parse; progressive (SOF2) parses too; truncated/shuffled bytes
+    degrade to the stub."""
+    import struct
+
+    def seg(marker, data):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    def tiny_jpeg(w, h, sof_marker=0xC0):
+        app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        sof = seg(
+            sof_marker,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01",
+        )
+        sos = seg(0xDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+        return b"\xff\xd8" + app0 + sof + sos + b"\xda\xbe" + b"\xff\xd9"
+
+    assert multimodal.decode_jpeg_header(tiny_jpeg(320, 240)) == {
+        "height": 240, "width": 320, "channels": 3,
+    }
+    # progressive JPEGs put dimensions in SOF2 — same layout
+    assert multimodal.decode_image(tiny_jpeg(64, 48, sof_marker=0xC2)) == {
+        "height": 48, "width": 64, "channels": 3,
+    }
+    # non-JPEG and SOF-less payloads degrade to the stub, never raise
+    assert multimodal.decode_image(b"notajpeg") == multimodal.decode_stub(
+        b"notajpeg", "image"
+    )
+    truncated = b"\xff\xd8\xff\xd9"
+    assert multimodal.decode_image(truncated) == multimodal.decode_stub(
+        truncated, "image"
+    )
+    jp = tiny_jpeg(320, 240)
+    df = spark.createDataFrame([(1, bytearray(jp))], "doc_id long, payload binary")
+    row = multimodal.resize_images(
+        df, 224, 224, decoder=multimodal.decode_image
+    ).first()
+    assert (row["src_h"], row["src_w"]) == (240, 320)
+
+
 def test_pii_scrub_redacts_and_counts(spark):
     """Planted-PII behavioral test (the harness corpus is PII-free, so
     the registry query proves engine parity while this proves the

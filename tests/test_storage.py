@@ -365,3 +365,44 @@ def test_bucketed_commit_overwrites_orphaned_version_dir(spark, tmp_path):
     assert c.version == 1
     got = {(r["k"], r["v"]) for r in bt.read().collect()}
     assert got == {("a", 1), ("b", 2)}
+
+
+def test_bucketed_merge_job_count(spark, tmp_path):
+    """The hot-streaming-loop contract: a metrics=False merge runs the
+    two write actions (source spill + merge write) plus at most one
+    broadcast-exchange submit — never per-metric count jobs — and a
+    first commit adopts the spill directory in a single job.  AQE is
+    disabled for the measurement because it splits one action into a
+    job per materialized shuffle stage, which would make the count
+    reflect the planner, not the merge's action shape."""
+    from delta_data_pipelines_spark.storage import BucketedTable
+
+    sc = spark.sparkContext
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        bt = BucketedTable(
+            spark, str(tmp_path / "jc"), bucket_key="k", n_buckets=8
+        )
+        seed = spark.createDataFrame(
+            [(f"u{i}", i) for i in range(50)], "k string, v int"
+        )
+        sc.setJobGroup("jc-first", "first merge")
+        bt.merge(seed, keys=["k"], metrics=False)
+        sc.setJobGroup("jc-hot", "hot-loop merge")
+        bt.merge(
+            spark.createDataFrame([("zz", 1)], "k string, v int"),
+            keys=["k"],
+            metrics=False,
+        )
+        sc.setJobGroup("jc-done", "")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    st = sc.statusTracker()
+    assert len(st.getJobIdsForGroup("jc-first")) == 1  # adopted spill
+    assert len(st.getJobIdsForGroup("jc-hot")) <= 3
+    # and the data is right despite the skipped metric jobs
+    assert bt.read().count() == 51
+    assert bt.history()[-1].metrics == {
+        "inserted": -1, "updated": -1, "buckets_written": 1,
+    }

@@ -111,6 +111,25 @@ def main() -> int:
             continue
 
         problems = []
+        # HUGEINT audit: the driver fetches DuckDB results through
+        # pandas, where HUGEINT renders as float64 while Spark emits
+        # bigint — rows/schema match but the type-faithful digest
+        # differs.  The mirror's native fetch yields Python ints and
+        # cannot see that, so flag any twin whose result schema
+        # contains HUGEINT (fix: CAST(... AS BIGINT) in the twin).
+        try:
+            desc = con.execute(
+                "DESCRIBE " + oracles[name]
+            ).fetchall()
+            huge = [c for c, t, *_ in desc if "HUGEINT" in str(t).upper()]
+            if huge:
+                problems.append(
+                    "oracle twin returns HUGEINT column(s) "
+                    f"{huge} — driver's pandas fetch renders these as "
+                    "float64; CAST to BIGINT in the twin"
+                )
+        except Exception:
+            pass  # DESCRIBE unsupported for this statement shape
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
