@@ -100,6 +100,10 @@ _PRIORITY = [
     "td_ngram_contamination",
     # curation headline (driver-green r2-r6, kept pinned)
     "td_curate",
+    # NEXT-ROTATION candidates (added r7, mirror-green, window full):
+    # td_passage_dup_fraction, td_global_shuffle, td_source_reputation,
+    # sim_pq_codes, sim_pq_adc_topk — tools/inventory.py's ledger
+    # tracks them until they hold a driver row
 ]
 
 

@@ -87,6 +87,11 @@ HEADLINE = [
     # with composite unique key) — completes the scalable-window family
     # next to w_row_number_seq_scalable / w_batch_ids_global
     "w_percent_rank_scalable",
+    # r7 additions: passage-granularity duplication signal (explode →
+    # gram-df → join-back agg) and the PQ ADC serving scan (codes ⋈
+    # per-query lookup table)
+    "td_passage_dup_fraction",
+    "sim_pq_adc_topk",
 ]
 
 

@@ -361,6 +361,198 @@ def kmeans_centroids(
     return _centroid_means(assign)
 
 
+def _pq_assign(sub: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+    """Per-subspace nearest-codeword assignment: sub-vectors ×
+    broadcast codebook (m·k rows) + per-(vector, subspace) argmax
+    window. Ties → smaller code, matching ivf_assign."""
+    scored = sub.join(F.broadcast(cent), "sub_id").withColumn(
+        "_sim", cosine(F.col("_sv"), F.col("_cv"))
+    )
+    w = Window.partitionBy(id_col, "sub_id").orderBy(
+        F.col("_sim").desc(), F.col("code")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "sub_id", "_sv", "code")
+    )
+
+
+def _pq_centroid_means(assign: DataFrame) -> DataFrame:
+    """Componentwise decimal-exact codeword means per (subspace, code)
+    — the _centroid_means discipline with sub_id as one more grouping
+    column, so all m codebooks refine in the same shuffle."""
+    comps = assign.select("sub_id", "code", F.posexplode("_sv").alias("pos", "val"))
+    means = comps.groupBy("sub_id", "code", "pos").agg(
+        F.round(
+            F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+            / F.count("*"),
+            9,
+        ).alias("c")
+    )
+    return means.groupBy("sub_id", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("_cv")
+    )
+
+
+def pq_codes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Product-quantization codes — the ANN memory-compression step
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    IEEE TPAMI 2011): split each vector into ``m`` contiguous
+    subspaces, fit an independent deterministic codebook per subspace,
+    and emit each vector's per-subspace nearest-codeword code. A
+    vector then costs ``m·log2(k)`` bits on the ADC scan path instead
+    of ``dim`` floats — the difference between an in-memory and an
+    on-disk candidate scan at corpus scale.
+
+    Fully oracle-checkable, like kmeans_assign: seeds are the ``k``
+    lowest-id vectors' sub-vectors, ``n_iter`` Lloyd rounds unroll
+    into one lazy plan, centroid means use decimal(38,12) sums rounded
+    to 9 decimals, assignment is spherical (cosine) with ties to the
+    smaller code. All ``m`` codebooks train TOGETHER: ``sub_id`` is
+    just another grouping column through the assign/mean rounds, so
+    each Lloyd round is one shuffle for every subspace, not ``m``
+    sequential jobs. At 100 TB the fit runs on a sample and the coding
+    pass is a broadcast join (m·k codewords) + argmax window — nothing
+    quadratic, nothing driver-side.
+
+    ``dim`` must be divisible by ``m`` (a ragged tail sub-vector would
+    silently score against full-length codewords). Output: one row per
+    (vector, subspace): (id_col, sub_id int, code).
+    """
+    codes, _cb = pq_index(df, id_col, vec_col, m, k, n_iter)
+    return codes
+
+
+def _subspace_slices(
+    df: DataFrame, id_col: str, vec_col: str, m: int, out_col: str
+) -> DataFrame:
+    """(id, sub_id, out_col): each vector's m contiguous sub-vectors;
+    sublen derives from the array length in-plan (dim need not be
+    known at build time, only dim % m == 0)."""
+    vecs = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    sublen = (F.size("_v") / m).cast("int")
+    return vecs.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_id"),
+        F.col("_v"),
+    ).select(
+        id_col,
+        "sub_id",
+        F.slice(F.col("_v"), F.col("sub_id") * sublen + 1, sublen).alias(out_col),
+    )
+
+
+def pq_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit + code in one shot: returns ``(codes, codebook)`` where
+    ``codes`` is (id, sub_id, code) and ``codebook`` is (sub_id, code,
+    _cv) — the EXACT centroid table the final assignment scored
+    against, which is what the ADC scan must use (a re-fit codebook
+    would disagree with the stored codes)."""
+    if m < 1 or k < 1 or n_iter < 1:
+        raise ValueError(
+            f"m, k, n_iter must be >= 1, got m={m} k={k} n_iter={n_iter}"
+        )
+    sub = _subspace_slices(df, id_col, vec_col, m, "_sv")
+    cent = sub.where(F.col(id_col) < k).select(
+        "sub_id", F.col(id_col).alias("code"), F.col("_sv").alias("_cv")
+    )
+    assign = _pq_assign(sub, cent, id_col)
+    for _ in range(n_iter - 1):
+        cent = _pq_centroid_means(assign)
+        assign = _pq_assign(sub, cent, id_col)
+    return assign.select(id_col, "sub_id", "code"), cent
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 4,
+    n_iter: int = 2,
+    topk: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes — how a PQ index is
+    actually served: per query, precompute the m·k partial dot
+    products against the codebook (the ADC lookup table), then score
+    every corpus vector by summing m TABLE LOOKUPS joined on its
+    (sub_id, code) — the corpus side of the scan touches only the
+    8-bit codes, never the original floats. Approximate cosine =
+    lut-summed dot / (|q| · |reconstruction|), with the reconstruction
+    norm likewise summed from per-codeword norms.
+
+    Scale shape: lut is |queries|·m·k rows (broadcast); the scan is
+    one equi-join codes⋈lut + partial-aggregable groupBy — linear in
+    corpus size with a constant ~m-fold row multiplier, against
+    brute-force's |corpus|·|queries| full-vector scoring. Float
+    discipline: partial dots/norms round to 9 dp then sum as
+    decimal(38,12) (order-free, so both engines produce identical
+    scores); ranking uses the rounded score with id tie-break.
+    """
+    codes, cb = pq_index(corpus, id_col, vec_col, m, k, n_iter)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+    ).withColumn("_qn", norm(F.col("_qv")))
+    qsub = _subspace_slices(
+        q.select(F.col("query_id").alias("qid"), F.col("_qv")), "qid", "_qv", m, "_qs"
+    )
+    lut = (
+        qsub.join(F.broadcast(cb), "sub_id")
+        .select(
+            F.col("qid").alias("query_id"),
+            "sub_id",
+            "code",
+            F.round(dot(F.col("_qs"), F.col("_cv")), 9)
+            .cast("decimal(38,12)")
+            .alias("_pd"),
+            F.round(dot(F.col("_cv"), F.col("_cv")), 9)
+            .cast("decimal(38,12)")
+            .alias("_cn2"),
+        )
+        .join(q.select("query_id", "_qn"), "query_id")
+    )
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(lut, ["sub_id", "code"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(
+                F.sum("_pd").cast("double")
+                / (F.min("_qn") * F.sqrt(F.sum("_cn2").cast("double"))),
+                9,
+            ).alias("approx_cos")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "approx_cos", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

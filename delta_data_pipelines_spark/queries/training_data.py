@@ -1019,6 +1019,146 @@ def ds_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def td_passage_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-passage fraction — the RefinedWeb/CCNet
+    exact-substring-duplication signal at passage granularity: the
+    fraction of a doc's distinct 8-token shingles that occur in MORE
+    than one document corpus-wide. High fractions mark template/
+    boilerplate documents that per-doc near-dup (pairwise Jaccard)
+    under-reports because the duplication is spread across MANY
+    partners.
+
+    Scale shape: explode distinct shingles (each (doc, gram) appears
+    once, so plain COUNT(*) per gram IS its document frequency — no
+    distinct aggregation), join the df back, partial-agg per doc.
+    Boilerplate grams make the join key skewed at corpus scale — AQE
+    skew-join splits them; nothing quadratic. Docs under 8 tokens fall
+    back to their whole-text shingle (dedup.shingles' documented
+    fallback), so they still carry an exact-dup signal."""
+    d = read_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(dedup.shingles(F.col("text"), 8)).alias("_g")
+    )
+    df_counts = grams.groupBy("_g").agg(F.count("*").alias("_df"))
+    return (
+        grams.join(df_counts, "_g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(F.when(F.col("_df") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_passages"), 9).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def td_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle — the epoch reshuffle a
+    training loader needs: every doc gets a stable position drawn from
+    md5 over (epoch-salt, doc_id), so any worker can recompute any
+    slice of the order without coordination, and a different salt
+    yields an independent permutation.
+
+    The rank over the hash uses the range-partitioned offset pattern
+    (``ranking.global_rank_by_range``), never a single-partition
+    window: rank locally per range slice, add per-partition cumulative
+    offsets (the only global window runs over ≤ n_parts count rows).
+    The full 32-hex md5 is the sort key — collision-free in practice
+    at any corpus size (vs the 2^32 truncated hash, which birthday-
+    collides by ~100k rows)."""
+    from ..operators import ranking
+
+    d = read_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("ep7:"), F.col("doc_id").cast("string")))
+    docs = d.select("doc_id", "lang", "source").withColumn("_h", h)
+    return (
+        ranking.global_rank_by_range(docs, "_h")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("global_rank").alias("shuffle_pos"),
+        )
+        .orderBy("shuffle_pos")
+    )
+
+
+def td_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level quality propagation — the domain-reputation cut a
+    web-scale curation pipeline applies before per-doc filtering
+    (C4/RefinedWeb drop whole domains): per-source doc count, mean
+    quality, and mean length, flagged ``reputable`` when the source's
+    mean quality reaches the corpus-wide mean.
+
+    One partial-aggregable groupBy per source plus a 1-row corpus
+    aggregate broadcast-joined in; means use the exact-decimal-sum
+    discipline so the flag's >= compare is bit-stable across engines."""
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        textstats.quality_score(F.col("text")).alias("_q"),
+        textstats.token_count_ws(F.col("text")).alias("_ntok"),
+    )
+    per_src = scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.sum(F.col("_q").cast("decimal(18,9)")).cast("double")
+            / F.count("*"),
+            9,
+        ).alias("avg_quality"),
+        F.round(F.sum("_ntok") / F.count("*"), 9).alias("avg_tokens"),
+    )
+    corpus = scored.agg(
+        F.round(
+            F.sum(F.col("_q").cast("decimal(18,9)")).cast("double")
+            / F.count("*"),
+            9,
+        ).alias("_corpus_q")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(corpus))
+        .select(
+            "source",
+            "n_docs",
+            "avg_quality",
+            "avg_tokens",
+            (F.col("avg_quality") >= F.col("_corpus_q")).alias("reputable"),
+        )
+        .orderBy("source")
+    )
+
+
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (m=4 subspaces × k=4 codewords, 2
+    Lloyd rounds) over the embeddings — the ANN compression step that
+    turns a 64-float vector into 8 bits for the ADC candidate scan.
+    Deterministic codebooks (lowest-id seeds, decimal-exact means), so
+    the oracle recomputes them exactly; see similarity.pq_codes."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return similarity.pq_codes(e, "vec_id", "embedding", m=4, k=4, n_iter=2).orderBy(
+        "vec_id", "sub_id"
+    )
+
+
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ serving path: asymmetric-distance top-5 for the first 10
+    vectors as queries — per-query m·k lookup table, corpus scanned by
+    its 8-bit codes only (see similarity.pq_adc_topk). The approximate
+    scores are deterministic (decimal-summed rounded partials), so the
+    oracle recomputes them exactly; recall vs sim_brute_topk is
+    measured in tests, not here."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.pq_adc_topk(
+        e, q, "vec_id", "embedding", m=4, k=4, n_iter=2, topk=5
+    ).orderBy("query_id", "rank")
+
+
 SPARK_QUERIES = {
     "ds_hash_split": ds_hash_split,
     "ds_det_sample": ds_det_sample,
@@ -1067,6 +1207,11 @@ SPARK_QUERIES = {
     "td_chunk_manifest": td_chunk_manifest,
     "sk_kmv_distinct": sk_kmv_distinct,
     "txt_boilerplate": txt_boilerplate,
+    "td_passage_dup_fraction": td_passage_dup_fraction,
+    "td_global_shuffle": td_global_shuffle,
+    "td_source_reputation": td_source_reputation,
+    "sim_pq_codes": sim_pq_codes,
+    "sim_pq_adc_topk": sim_pq_adc_topk,
 }
 
 _SHINGLES = """
@@ -2004,5 +2149,180 @@ ORACLE_SQL = {
         SELECT doc_id, CAST(UNNEST(range(0, nf, 4)) AS BIGINT) AS frame_idx,
                CAST(nf AS BIGINT) AS n_frames
         FROM src
+    """,
+    # distinct 8-token shingles (whole-text fallback under 8 tokens,
+    # mirroring dedup.shingles); each (doc, gram) row is unique, so
+    # COUNT(*) per gram IS its document frequency
+    "td_passage_dup_fraction": """
+        WITH g AS (
+            SELECT doc_id,
+                   unnest(list_distinct(CASE WHEN len(w) >= 8
+                       THEN list_transform(range(1, len(w) - 6),
+                                           i -> array_to_string(w[i:i+7], ' '))
+                       ELSE [array_to_string(w, ' ')] END)) AS _g
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        ), dfc AS (
+            SELECT _g, COUNT(*) AS _df FROM g GROUP BY _g
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_passages,
+               CAST(SUM(CASE WHEN _df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup,
+               ROUND(CAST(SUM(CASE WHEN _df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     / CAST(COUNT(*) AS DOUBLE), 9) AS dup_frac
+        FROM g JOIN dfc USING (_g)
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+    "td_global_shuffle": """
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5('ep7:' || CAST(doc_id AS VARCHAR))
+               ) AS shuffle_pos
+        FROM documents ORDER BY shuffle_pos
+    """,
+    # quality formula mirrors td_curate's scored CTE (ONE definition of
+    # quality_score); corpus mean is computed once and compared to each
+    # source's mean — both from exact decimal sums
+    "td_source_reputation": """
+        WITH base AS (
+            SELECT source, string_split(text, ' ') AS w,
+                   regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g') AS stripped,
+                   text
+            FROM documents
+        ), scored AS (
+            SELECT source,
+                   ROUND(
+                     0.4 * (len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it')))
+                            / CAST(NULLIF(len(w), 0) AS DOUBLE))
+                   + 0.4 * LEAST(len(w) / 64.0, 1.0)
+                   + 0.2 * (1 - (length(text) - length(stripped))
+                            / CAST(NULLIF(length(text), 0) AS DOUBLE)), 9) AS q,
+                   len(w) AS ntok
+            FROM base
+        ), per_src AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   ROUND(CAST(SUM(CAST(q AS DECIMAL(18,9))) AS DOUBLE)
+                         / COUNT(*), 9) AS avg_quality,
+                   ROUND(SUM(ntok) / CAST(COUNT(*) AS DOUBLE), 9) AS avg_tokens
+            FROM scored GROUP BY source
+        ), corpus AS (
+            SELECT ROUND(CAST(SUM(CAST(q AS DECIMAL(18,9))) AS DOUBLE)
+                         / COUNT(*), 9) AS cq
+            FROM scored
+        )
+        SELECT source, n_docs, avg_quality, avg_tokens,
+               avg_quality >= cq AS reputable
+        FROM per_src CROSS JOIN corpus ORDER BY source
+    """,
+    # product quantization: per-subspace spherical codebooks, same
+    # deterministic-Lloyd discipline as sim_kmeans, with sub_id as one
+    # more grouping column; sublen = len(v) // m
+    "sim_pq_codes": """
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), sub AS (
+            SELECT vec_id, sub_id,
+                   v[(sub_id*(len(v)//4))+1 : (sub_id+1)*(len(v)//4)] AS sv
+            FROM vecs CROSS JOIN (SELECT unnest(range(0, 4)) AS sub_id) s
+        ), c0 AS (
+            SELECT sub_id, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 4
+        ), s1 AS (
+            SELECT vec_id, sub_id, sv, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                       ORDER BY list_cosine_similarity(sv, cv) DESC, code) AS rn
+            FROM sub JOIN c0 USING (sub_id)
+        ), a1 AS (
+            SELECT vec_id, sub_id, sv, code FROM s1 WHERE rn = 1
+        ), comp1 AS (
+            SELECT sub_id, code, u.pos AS pos, u.val AS val FROM (
+                SELECT sub_id, code, unnest(list_transform(sv, (x, i) ->
+                    struct_pack(pos := i, val := x))) AS u
+                FROM a1)
+        ), m1 AS (
+            SELECT sub_id, code, pos,
+                   ROUND(CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                         / COUNT(*), 9) AS c
+            FROM comp1 GROUP BY sub_id, code, pos
+        ), c1 AS (
+            SELECT sub_id, code, list(c ORDER BY pos) AS cv
+            FROM m1 GROUP BY sub_id, code
+        ), s2 AS (
+            SELECT vec_id, sub_id, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                       ORDER BY list_cosine_similarity(sv, cv) DESC, code) AS rn
+            FROM sub JOIN c1 USING (sub_id)
+        )
+        SELECT vec_id, CAST(sub_id AS INTEGER) AS sub_id, code
+        FROM s2 WHERE rn = 1 ORDER BY vec_id, sub_id
+    """,
+    # ADC scan: same codebook fit as sim_pq_codes (c1 is the table the
+    # final assignment scored against), per-query m·k lookup table,
+    # corpus joined on (sub_id, code) only; partial dots/norms rounded
+    # to 9 dp then summed as DECIMAL so both engines score identically
+    "sim_pq_adc_topk": """
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), sub AS (
+            SELECT vec_id, sub_id,
+                   v[(sub_id*(len(v)//4))+1 : (sub_id+1)*(len(v)//4)] AS sv
+            FROM vecs CROSS JOIN (SELECT unnest(range(0, 4)) AS sub_id) s
+        ), c0 AS (
+            SELECT sub_id, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 4
+        ), s1 AS (
+            SELECT vec_id, sub_id, sv, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                       ORDER BY list_cosine_similarity(sv, cv) DESC, code) AS rn
+            FROM sub JOIN c0 USING (sub_id)
+        ), a1 AS (
+            SELECT vec_id, sub_id, sv, code FROM s1 WHERE rn = 1
+        ), comp1 AS (
+            SELECT sub_id, code, u.pos AS pos, u.val AS val FROM (
+                SELECT sub_id, code, unnest(list_transform(sv, (x, i) ->
+                    struct_pack(pos := i, val := x))) AS u
+                FROM a1)
+        ), m1 AS (
+            SELECT sub_id, code, pos,
+                   ROUND(CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                         / COUNT(*), 9) AS c
+            FROM comp1 GROUP BY sub_id, code, pos
+        ), c1 AS (
+            SELECT sub_id, code, list(c ORDER BY pos) AS cv
+            FROM m1 GROUP BY sub_id, code
+        ), s2 AS (
+            SELECT vec_id, sub_id, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                       ORDER BY list_cosine_similarity(sv, cv) DESC, code) AS rn
+            FROM sub JOIN c1 USING (sub_id)
+        ), codes AS (
+            SELECT vec_id, sub_id, code FROM s2 WHERE rn = 1
+        ), qs AS (
+            SELECT q.vec_id AS query_id, q.sub_id, q.sv AS qsv,
+                   sqrt(list_dot_product(v.v, v.v)) AS qn
+            FROM sub q JOIN vecs v ON q.vec_id = v.vec_id
+            WHERE q.vec_id < 10
+        ), lut AS (
+            SELECT query_id, sub_id, code,
+                   CAST(ROUND(list_dot_product(qsv, cv), 9)
+                        AS DECIMAL(38,12)) AS pd,
+                   CAST(ROUND(list_dot_product(cv, cv), 9)
+                        AS DECIMAL(38,12)) AS cn2,
+                   qn
+            FROM qs JOIN c1 USING (sub_id)
+        ), scored AS (
+            SELECT query_id, c.vec_id AS neighbor_id,
+                   ROUND(CAST(SUM(pd) AS DOUBLE) /
+                         (MIN(qn) * sqrt(CAST(SUM(cn2) AS DOUBLE))), 9)
+                       AS approx_cos
+            FROM codes c JOIN lut USING (sub_id, code)
+            WHERE c.vec_id <> query_id
+            GROUP BY query_id, c.vec_id
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id
+            ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, approx_cos, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     """,
 }

@@ -1063,6 +1063,98 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert evens == {0} and odds == {1}
 
 
+def test_pq_codes_shape_range_and_m1_degenerates_to_kmeans(spark):
+    """PQ structural invariants on the harness embeddings: every
+    vector gets exactly m codes, each in [0, k); and with m=1 the
+    single 'subspace' IS the whole vector, so the codes must equal
+    kmeans_assign's cluster ids (same seeds, same rounds, same
+    tie-break) — PQ is per-subspace k-means, nothing more."""
+    from delta_data_pipelines_spark.operators.similarity import (
+        kmeans_assign,
+        pq_codes,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    codes = pq_codes(emb, m=4, k=4, n_iter=2).collect()
+    n_vecs = emb.count()
+    assert len(codes) == 4 * n_vecs
+    assert {r["sub_id"] for r in codes} == {0, 1, 2, 3}
+    assert all(0 <= r["code"] < 4 for r in codes)
+    per_vec = {}
+    for r in codes:
+        per_vec.setdefault(r["vec_id"], set()).add(r["sub_id"])
+    assert all(subs == {0, 1, 2, 3} for subs in per_vec.values())
+
+    m1 = {
+        r["vec_id"]: r["code"]
+        for r in pq_codes(emb, m=1, k=4, n_iter=2).collect()
+    }
+    km = {r["vec_id"]: r["cid"] for r in kmeans_assign(emb, k=4, n_iter=2).collect()}
+    assert m1 == km
+
+
+def test_pq_codes_recover_planted_subspace_structure(spark):
+    """Independence of subspaces — the property that makes PQ's m·k
+    codewords span k^m effective cells: plant two directions in EACH
+    2-dim half of a 4-dim vector, independently; after the fit,
+    vectors sharing a half-plant share that half's code, across all 4
+    plant combinations."""
+    import random
+
+    from delta_data_pipelines_spark.operators.similarity import pq_codes
+
+    rng = random.Random(11)
+    dirs = {0: [1.0, 0.0], 1: [0.0, 1.0]}
+    rows = []
+    for i in range(40):
+        p0, p1 = i % 2, (i // 2) % 2  # ids 0,1 cover (0,0) and (1,1)
+        v = [
+            c + rng.uniform(-0.05, 0.05) for c in dirs[p0]
+        ] + [c + rng.uniform(-0.05, 0.05) for c in dirs[p1]]
+        rows.append((i, v, p0, p1))
+    df = spark.createDataFrame(
+        [(i, v) for i, v, _, _ in rows], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r["vec_id"], r["sub_id"]): r["code"]
+        for r in pq_codes(df, m=2, k=2, n_iter=2).collect()
+    }
+    for i, _, p0, p1 in rows:
+        # same half-plant -> same code as the exemplar with that plant
+        assert got[(i, 0)] == got[(p0, 0)]
+        assert got[(i, 1)] == got[(2 * p1, 1)]  # ids 0,2 cover p1=0,1
+
+
+def test_pq_adc_topk_serves_usable_neighbors(spark):
+    """The ADC scan must return a full top-k per query from codes
+    alone, with sane scores (|approx_cos| <= 1 + eps) and nonzero
+    overlap with brute force — 8-bit codes are coarse, so the bar is
+    'usable candidates', not exact recall."""
+    from delta_data_pipelines_spark.operators.similarity import (
+        brute_force_topk,
+        pq_adc_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    adc = pq_adc_topk(emb, q, m=4, k=4, n_iter=2, topk=5).collect()
+    assert len(adc) == 25  # 5 queries x top-5
+    assert all(abs(r["approx_cos"]) <= 1.000001 for r in adc)
+    brute = brute_force_topk(emb, q, k=50)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in adc}
+    assert len(a & b) > 0  # candidates overlap the true neighborhood
+
+
+def test_pq_validates_params(spark):
+    from delta_data_pipelines_spark.operators.similarity import pq_codes
+
+    df = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    for bad in ({"m": 0}, {"k": 0}, {"n_iter": 0}):
+        with pytest.raises(ValueError, match="must be >= 1"):
+            pq_codes(df, **bad)
+
+
 def test_kmeans_validates_params(spark):
     from delta_data_pipelines_spark.operators.similarity import kmeans_assign
 

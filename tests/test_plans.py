@@ -98,6 +98,28 @@ def test_scalable_rank_has_no_full_table_single_partition_exchange(spark, regist
     assert plan.count("SinglePartition") <= 1, plan
 
 
+def test_global_shuffle_rank_is_range_partitioned(spark, registry):
+    """td_global_shuffle: the epoch-shuffle rank must use the same
+    range-partitioned offset pattern as the other scalable ranks —
+    full-table window partitioned by _pid, at most the one ≤32-row
+    offsets window on a single partition."""
+    plan = plan_of(spark, registry, "td_global_shuffle")
+    assert "rangepartitioning" in plan.lower(), plan
+    assert re.search(
+        r"row_number\(\) windowspecdefinition\(_pid#\d+,", plan
+    ), plan
+    assert plan.count("SinglePartition") <= 1, plan
+
+
+def test_pq_adc_scan_never_cartesian(spark, registry):
+    """sim_pq_adc_topk: the ADC scan joins codes to the lookup table
+    on (sub_id, code) equi-keys and the codebook is broadcast — a
+    cartesian anywhere means the lut join degenerated."""
+    plan = plan_of(spark, registry, "sim_pq_adc_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_batch_ids_global_parallel_plan(spark, registry):
     plan = plan_of(spark, registry, "w_batch_ids_global")
     assert "rangepartitioning" in plan.lower(), plan
