@@ -1145,6 +1145,34 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def txt_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-1 of BPE tokenizer training, the oracle-able core: the 20
+    most frequent adjacent character pairs weighted by word frequency
+    (count DESC, then l, r — a total order, so the limit boundary is
+    deterministic). The corpus-proportional pass is the word-frequency
+    reduction; pair counting runs on the vocabulary table."""
+    from ..operators import bpe
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        bpe.pair_counts(bpe.word_vocab(d, "text"))
+        .orderBy(F.col("pair_count").desc(), "l", "r")
+        .limit(20)
+    )
+
+
+def txt_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE merge training (8 rounds) — inherently sequential
+    (each round's pair counts depend on the previous merge), so no SQL
+    twin: rows-only here, with the merge sequence cross-checked
+    against a pure-Python reference implementation in
+    tests/test_operators.py."""
+    from ..operators import bpe
+
+    d = read_table(spark, sf_dir, "documents")
+    return bpe.bpe_train(d, "text", n_merges=8).orderBy("rank")
+
+
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ serving path: asymmetric-distance top-5 for the first 10
     vectors as queries — per-query m·k lookup table, corpus scanned by
@@ -1212,6 +1240,8 @@ SPARK_QUERIES = {
     "td_source_reputation": td_source_reputation,
     "sim_pq_codes": sim_pq_codes,
     "sim_pq_adc_topk": sim_pq_adc_topk,
+    "txt_bpe_pairs": txt_bpe_pairs,
+    "txt_bpe_merges": txt_bpe_merges,
 }
 
 _SHINGLES = """
@@ -2324,5 +2354,24 @@ ORACLE_SQL = {
         )
         SELECT query_id, neighbor_id, approx_cos, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    # BPE round-1 core: frequency-weighted adjacent char pairs over the
+    # word vocabulary; chars via 1-based string slicing (w[i:i] is one
+    # char).  (count DESC, l, r) is a total order -> LIMIT deterministic
+    "txt_bpe_pairs": """
+        WITH wf AS (
+            SELECT w, COUNT(*) AS wf FROM (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            ) WHERE w <> '' GROUP BY w
+        ), pairs AS (
+            SELECT u.l AS l, u.r AS r, wf FROM (
+                SELECT wf, unnest(list_transform(range(1, length(w)),
+                    i -> struct_pack(l := w[i:i], r := w[i+1:i+1]))) AS u
+                FROM wf
+            )
+        )
+        SELECT l, r, CAST(SUM(wf) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY l, r
+        ORDER BY pair_count DESC, l, r LIMIT 20
     """,
 }

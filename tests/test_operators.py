@@ -1146,6 +1146,78 @@ def test_pq_adc_topk_serves_usable_neighbors(spark):
     assert len(a & b) > 0  # candidates overlap the true neighborhood
 
 
+def _bpe_reference(texts: list[str], n_merges: int) -> list[tuple[str, str, int]]:
+    """Pure-Python classic BPE (Sennrich 2016) with the engine's
+    deterministic tie-break (count DESC, left, right) — the ground
+    truth the distributed trainer must reproduce exactly."""
+    from collections import Counter
+
+    wf = Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = {w: list(w) for w in wf}
+    out = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += wf[w]
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((l, r, cnt))
+        for w, syms in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            vocab[w] = merged
+    return out
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The distributed trainer must learn the SAME merge sequence
+    (pairs, order, counts) as the sequential reference on the harness
+    corpus — pinning greedy-rewrite semantics, frequency weighting,
+    and the deterministic tie-break all at once."""
+    from delta_data_pipelines_spark.operators.bpe import bpe_train
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    expect = _bpe_reference(texts, 8)
+    got = [
+        (r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(docs, "text", n_merges=8).orderBy("rank").collect()
+    ]
+    assert got == expect
+    # merged column is the concatenation, ranks are 1..n
+    full = bpe_train(docs, "text", n_merges=3).orderBy("rank").collect()
+    assert [r["rank"] for r in full] == [1, 2, 3]
+    assert all(r["merged"] == r["left"] + r["right"] for r in full)
+
+
+def test_bpe_segment_concatenation_invariant(spark):
+    """Applying learned merges re-tokenizes words WITHOUT changing
+    their character content: joining each word's subwords reproduces
+    the original text's words; and learned multi-char tokens actually
+    appear (the merges did something)."""
+    from delta_data_pipelines_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, "text", n_merges=4).orderBy("rank").collect()
+    ]
+    seg = bpe_segment(docs, merges, "text").select("text", "bpe_tokens").collect()
+    saw_multichar = False
+    for r in seg:
+        assert "".join(r["bpe_tokens"]) == r["text"].replace(" ", "")
+        saw_multichar = saw_multichar or any(len(t) > 1 for t in r["bpe_tokens"])
+    assert saw_multichar
+
+
 def test_pq_validates_params(spark):
     from delta_data_pipelines_spark.operators.similarity import pq_codes
 
