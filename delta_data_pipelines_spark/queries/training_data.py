@@ -1028,33 +1028,17 @@ def td_passage_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     under-reports because the duplication is spread across MANY
     partners.
 
-    Scale shape: explode distinct shingles (each (doc, gram) appears
-    once, so plain COUNT(*) per gram IS its document frequency — no
-    distinct aggregation), join the df back, partial-agg per doc.
-    Boilerplate grams make the join key skewed at corpus scale — AQE
-    skew-join splits them; nothing quadratic. Docs under 8 tokens fall
-    back to their whole-text shingle (dedup.shingles' documented
-    fallback), so they still carry an exact-dup signal."""
+    Scale shape (textstats.passage_dup_stats, df_mode="join" — the
+    skew-safe default): explode distinct shingles ONCE into a staged
+    frame (each (doc, gram) appears once, so plain COUNT(*) per gram
+    IS its document frequency — no distinct aggregation), join the df
+    back, partial-agg per doc. Boilerplate grams make the join key
+    skewed at corpus scale — AQE skew-join splits them; nothing
+    quadratic. Docs under 8 tokens fall back to their whole-text
+    shingle (dedup.shingles' documented fallback), so they still
+    carry an exact-dup signal."""
     d = read_table(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", F.explode(dedup.shingles(F.col("text"), 8)).alias("_g")
-    )
-    df_counts = grams.groupBy("_g").agg(F.count("*").alias("_df"))
-    return (
-        grams.join(df_counts, "_g")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_passages"),
-            F.sum(F.when(F.col("_df") > 1, 1).otherwise(0)).alias("n_dup"),
-        )
-        .select(
-            "doc_id",
-            "n_passages",
-            "n_dup",
-            F.round(F.col("n_dup") / F.col("n_passages"), 9).alias("dup_frac"),
-        )
-        .orderBy("doc_id")
-    )
+    return textstats.passage_dup_stats(d, "doc_id", "text", n=8).orderBy("doc_id")
 
 
 def td_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1142,6 +1126,27 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     return similarity.pq_codes(e, "vec_id", "embedding", m=4, k=4, n_iter=2).orderBy(
         "vec_id", "sub_id"
+    )
+
+
+def sk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (token frequency > n/50) through the
+    bounded-memory two-pass pattern: per-partition Misra-Gries
+    candidate summaries (provable superset, ≤ 49 counters per
+    partition however many distinct tokens stream by), then exact
+    counts for candidates only. Output equals the naive
+    groupBy-filter answer — which is exactly what the oracle computes
+    — but the wide aggregation never sees the full token domain."""
+    from ..operators import sketches
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token")).where(
+        F.col("token") != ""
+    )
+    return (
+        sketches.heavy_hitters_exact(toks, "token", 50)
+        .select(F.col("item").alias("token"), "cnt")
+        .orderBy("token")
     )
 
 
@@ -1242,6 +1247,7 @@ SPARK_QUERIES = {
     "sim_pq_adc_topk": sim_pq_adc_topk,
     "txt_bpe_pairs": txt_bpe_pairs,
     "txt_bpe_merges": txt_bpe_merges,
+    "sk_heavy_hitters": sk_heavy_hitters,
 }
 
 _SHINGLES = """
@@ -2373,5 +2379,18 @@ ORACLE_SQL = {
         SELECT l, r, CAST(SUM(wf) AS BIGINT) AS pair_count
         FROM pairs GROUP BY l, r
         ORDER BY pair_count DESC, l, r LIMIT 20
+    """,
+    # the naive exact computation the MG two-pass must equal; n/50 is
+    # the same bigint/int -> double division on both engines
+    "sk_heavy_hitters": """
+        WITH t AS (
+            SELECT token FROM (
+                SELECT unnest(string_split(text, ' ')) AS token FROM documents
+            ) WHERE token <> ''
+        ), tot AS (SELECT COUNT(*) AS n FROM t)
+        SELECT token, COUNT(*) AS cnt
+        FROM t CROSS JOIN tot GROUP BY token, n
+        HAVING COUNT(*) > n / 50
+        ORDER BY token
     """,
 }

@@ -987,6 +987,87 @@ def test_kmv_small_group_is_exact(spark):
         sketches.kmv_distinct(df, ["g"], "v", k=1)
 
 
+def test_passage_dup_stats_modes_agree_and_detect_planted_dup(spark):
+    """Both df shapes (skew-safe join, single-explode window) must
+    produce identical stats; a doc duplicated verbatim scores
+    dup_frac 1.0 while a unique-text doc scores 0.0."""
+    rows = [
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "one two three four five six seven eight nine ten"),  # clone
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        r["doc_id"]: (r["n_passages"], r["n_dup"], r["dup_frac"])
+        for r in textstats.passage_dup_stats(df, n=8, df_mode="join").collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_passages"], r["n_dup"], r["dup_frac"])
+        for r in textstats.passage_dup_stats(df, n=8, df_mode="window").collect()
+    }
+    assert a == b
+    assert a[1][2] == 1.0 and a[2][2] == 1.0  # clones: every gram shared
+    assert a[3][2] == 0.0  # unique text: none shared
+    with pytest.raises(ValueError, match="df_mode"):
+        textstats.passage_dup_stats(df, df_mode="nope")
+
+
+def test_misra_gries_candidates_superset_and_bounded(spark):
+    """The MG guarantee under adversarial load: a sea of singletons
+    must not evict the true heavy hitters, and each partition's
+    summary stays within its k-1 counter budget regardless of the
+    distinct count streaming through."""
+    from delta_data_pipelines_spark.operators import sketches
+
+    k = 10
+    rows = [(f"rare{i}",) for i in range(5000)] + [("HOT",)] * 600 + [
+        ("WARM",)
+    ] * 580
+    df = (
+        spark.createDataFrame(rows, "item string")
+        # deliberately interleave so heavies and singletons share tasks
+        .repartition(8)
+    )
+    cand = sketches.misra_gries_candidates(df, "item", k).collect()
+    names = {r["item"] for r in cand}
+    assert "HOT" in names and "WARM" in names  # freq ~ n/10 >> n/k bound
+    # budget: <= (k-1) counters per partition
+    assert len(cand) <= (k - 1) * 8
+    with pytest.raises(ValueError, match="k must be"):
+        sketches.misra_gries_candidates(df, "item", 1)
+
+
+def test_heavy_hitters_exact_equals_naive(spark):
+    """The two-pass MG answer must EQUAL the naive groupBy-filter
+    answer — the whole point of the candidate pass is memory shape,
+    not approximation."""
+    from delta_data_pipelines_spark.operators import sketches
+
+    k = 10
+    rows = (
+        [(f"rare{i}",) for i in range(3000)]
+        + [("HOT",)] * 500
+        + [("WARM",)] * 450  # n=4340, n/k=434: in
+        + [("almost",)] * 390  # just under n/k: must be EXCLUDED
+    )
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    n = len(rows)
+    naive = {
+        (r["item"], r["cnt"])
+        for r in df.groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > n / k)
+        .collect()
+    }
+    got = {
+        (r["item"], r["cnt"])
+        for r in sketches.heavy_hitters_exact(df, "item", k).collect()
+    }
+    assert got == naive
+    assert ("HOT", 500) in got and ("WARM", 450) in got
+    assert all(name != "almost" for name, _ in got)
+
+
 def test_scd2_intervals_tile_per_key(spark):
     """Intervals must tile each key's timeline: ordered, contiguous
     (next valid_from == previous valid_to), exactly one open (current)
