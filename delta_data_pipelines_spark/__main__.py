@@ -49,6 +49,10 @@ def main(argv: list[str] | None = None) -> int:
     cc.add_argument("--decontaminate", action="store_true",
                     help="drop train docs sharing any 13-gram with the "
                     "heldout splits (exact-collision standard)")
+    cc.add_argument("--max-passage-dup", type=float, default=None,
+                    help="drop docs whose duplicated-passage fraction "
+                    "(8-token shingles in >1 doc) exceeds FRACTION "
+                    "after near-dup collapse (template cut)")
 
     cn = sub.add_parser(
         "compact-neardups",
@@ -116,6 +120,7 @@ def main(argv: list[str] | None = None) -> int:
             table, docs, scrub=not args.no_scrub, pack_ctx=args.pack_ctx,
             lm_drop_fraction=args.lm_drop, dup_weights=args.dup_weights,
             decontaminate=args.decontaminate,
+            max_passage_dup=args.max_passage_dup,
         )
         print(json.dumps({"job": "curate-corpus", **res}))
         return 0

@@ -193,6 +193,37 @@ def lm_filter_stage(
     return scorable.join(kept_ids, id_col, "left_semi").unionByName(passthrough)
 
 
+def passage_dup_stage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_frac: float = 0.5,
+    n: int = 8,
+) -> DataFrame:
+    """Drop template/boilerplate documents: docs whose duplicated-
+    passage fraction (share of distinct ``n``-token shingles occurring
+    in >1 doc — ``textstats.passage_dup_stats``) exceeds
+    ``max_dup_frac``. Runs AFTER near-dup collapse: surviving
+    high-dup-frac docs share passages with many DIFFERENT partners
+    (templates), the class pairwise near-dup under-reports.
+    Unscorable rows (NULL text or id) pass through, mirroring
+    lm_filter_stage. NOTE: eager (the stats operator stages its gram
+    explode)."""
+    if not 0.0 <= max_dup_frac <= 1.0:
+        raise ValueError(f"max_dup_frac must be in [0, 1], got {max_dup_frac}")
+    from ..operators.textstats import passage_dup_stats
+
+    unscorable = F.col(id_col).isNull() | F.col(text_col).isNull()
+    passthrough = docs.where(unscorable)
+    scorable = docs.where(~unscorable)
+    keep = (
+        passage_dup_stats(scorable, id_col, text_col, n=n)
+        .where(F.col("dup_frac") <= max_dup_frac)
+        .select(id_col)
+    )
+    return scorable.join(keep, id_col, "left_semi").unionByName(passthrough)
+
+
 def collapse_near_dups(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -290,11 +321,14 @@ def curate_corpus(
     lm_drop_fraction: float | None = None,
     dup_weights: bool = False,
     decontaminate: bool = False,
+    max_passage_dup: float | None = None,
     **gate_kwargs,
 ) -> DataFrame:
     """PII scrub → quality gate → (optional) LM filter → exact dedup →
-    near-dup collapse → md5 split → (optional) 13-gram
-    decontamination → (optional) per-split packing.
+    near-dup collapse → (optional) passage-dup template cut → md5
+    split → (optional) 13-gram decontamination → (optional) per-split
+    packing. ``max_passage_dup`` drops docs whose duplicated-passage
+    fraction exceeds the threshold (RefinedWeb-style template cut).
     ``decontaminate=True`` drops train docs sharing any 13-gram with
     the heldout splits (exact-collision standard, after the split).
 
@@ -331,6 +365,10 @@ def curate_corpus(
     else:
         exact = dedup.exact_dedup(gated, text_col, id_col)
         uniq = collapse_near_dups(exact, id_col, text_col)
+    if max_passage_dup is not None:
+        # after near-dup collapse: what's left with high passage-dup
+        # shares passages across many DIFFERENT partners (templates)
+        uniq = passage_dup_stage(uniq, id_col, text_col, max_passage_dup)
     split = sampling.hash_split(
         uniq, id_col, splits or DEFAULT_SPLITS, method="md5"
     )

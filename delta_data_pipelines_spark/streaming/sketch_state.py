@@ -23,6 +23,7 @@ property).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as _W
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -110,6 +111,103 @@ def run_incremental_vocab_sketch(
         state_table.overwrite(out.localCheckpoint(eager=True))
         # one overwrite per micro-batch: prune superseded version dirs
         # (tiny, but a long-lived stream would leak one per batch)
+        state_table.vacuum(keep_last=state_keep_last)
+
+    return (
+        docs_stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merge_mg_summaries(
+    state: DataFrame, batch_summary: DataFrame, k: int
+) -> DataFrame:
+    """Merge Misra-Gries summaries (Agarwal et al. PODS'12 mergeable
+    form): sum counts per item, then one prune — subtract the k-th
+    largest count from everything, drop non-positives. Each prune
+    removes ≥ k·c_k stored mass and total stored mass only grows by
+    the items streamed in, so cumulative undercount stays ≤ n_total/k
+    across ANY merge sequence — the superset guarantee survives
+    batching. Input/output: (item, mg_count); ≤ k-1 output rows.
+
+    The rank window is unpartitioned BY DESIGN: it runs over the tiny
+    summary union (≤ k-1 + batch-summary rows), never corpus data.
+    """
+    both = state.select("item", "mg_count").unionByName(
+        batch_summary.select("item", "mg_count")
+    )
+    summed = both.groupBy("item").agg(F.sum("mg_count").alias("mg_count"))
+    w = _W.orderBy(F.col("mg_count").desc(), "item")
+    kth = (
+        summed.withColumn("_rn", F.row_number().over(w))
+        .agg(F.max(F.when(F.col("_rn") == k, F.col("mg_count"))).alias("_kth"))
+    )
+    return (
+        summed.crossJoin(F.broadcast(kth))
+        .withColumn("mg_count", F.col("mg_count") - F.coalesce("_kth", F.lit(0)))
+        .where(F.col("mg_count") > 0)
+        .drop("_kth")
+    )
+
+
+def run_incremental_heavy_hitters(
+    docs_stream: DataFrame,
+    state_table: VersionedTable,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    k: int = 50,
+    state_keep_last: int = 3,
+) -> StreamingQuery:
+    """Maintain a corpus-wide heavy-hitter summary over a document
+    stream with O(k) state: per batch, bounded per-partition MG
+    summaries (operators.sketches.misra_gries_candidates) merge into
+    the stored summary with one prune. State rows: (item, mg_count,
+    n_total, _epoch) — mg_count is a LOWER bound on the item's true
+    token count with error ≤ n_total/k, so every token with true
+    frequency > n_total/k is guaranteed present; final exact counts
+    (when the raw corpus is still queryable) come from
+    ``sketches.heavy_hitters_exact``-style candidate verification.
+
+    Unlike the KMV sketch, an MG merge is NOT naturally idempotent —
+    re-merging a replayed micro-batch inflates counts. The stored
+    ``_epoch`` makes the sink transactional: a batch whose epoch_id is
+    already ≤ the stored epoch is skipped, so checkpoint replay
+    after a crash cannot double-count.
+    """
+    from ..operators.sketches import misra_gries_candidates
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if state_table.exists():
+            prev = state_table.read()
+            last = prev.agg(F.max("_epoch")).collect()[0][0]
+            if last is not None and epoch_id <= last:
+                return  # replayed batch: already merged
+            prev_summary = prev.select("item", "mg_count")
+            prev_n = prev.agg(F.max("n_total")).collect()[0][0] or 0
+        else:
+            prev_summary = None
+            prev_n = 0
+        toks = batch_df.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("item")
+        ).where(F.col("item") != "")
+        toks = toks.localCheckpoint(eager=True)  # count + summarize, one eval
+        batch_n = toks.count()
+        batch_summary = misra_gries_candidates(toks, "item", k)
+        if prev_summary is not None:
+            merged = merge_mg_summaries(prev_summary, batch_summary, k)
+        else:
+            merged = merge_mg_summaries(
+                batch_summary.limit(0), batch_summary, k
+            )
+        out = merged.withColumn("n_total", F.lit(prev_n + batch_n)).withColumn(
+            "_epoch", F.lit(epoch_id)
+        )
+        state_table.overwrite(out.localCheckpoint(eager=True))
         state_table.vacuum(keep_last=state_keep_last)
 
     return (

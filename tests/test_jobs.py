@@ -263,6 +263,52 @@ def test_curate_corpus_lm_stage_wires_through(spark):
     assert ids_with <= ids_without
 
 
+def test_curate_corpus_passage_dup_stage_cuts_templates(spark):
+    """max_passage_dup must drop template docs that survive near-dup
+    collapse: each template instance shares most 8-grams with MANY
+    different partners but no single pairwise near-dup clears the
+    collapse threshold (distinct tails), while normal docs pass."""
+    from delta_data_pipelines_spark.jobs.curate_corpus import (
+        curate_corpus,
+        passage_dup_stage,
+    )
+
+    stops = ["the", "of", "and", "to", "a", "in", "is", "it"]
+    template = " ".join(f"{stops[j % 8]} w{j}" for j in range(16))  # 32 toks
+    # 6 template instances: 32 shared tokens + 32 DISTINCT tail tokens
+    # -> pairwise Jaccard ~ 1/3 (below the 0.8 collapse threshold) but
+    # ~40% of each doc's 8-grams are corpus-duplicated
+    rows = [
+        (
+            i,
+            template + " " + " ".join(f"{stops[j % 8]} t{i}x{j}" for j in range(16)),
+        )
+        for i in range(1, 7)
+    ]
+    # a normal doc: unique text, gate-passing shape
+    rows.append((50, " ".join(f"{stops[j % 8]} u{j}" for j in range(32))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = {r["doc_id"] for r in curate_corpus(docs, scrub=False).collect()}
+    assert {1, 2, 3, 4, 5, 6} <= base  # near-dup collapse keeps them all
+    cut = {
+        r["doc_id"]
+        for r in curate_corpus(docs, scrub=False, max_passage_dup=0.2).collect()
+    }
+    assert cut & {1, 2, 3, 4, 5, 6} == set()  # templates gone
+    assert 50 in cut  # unique doc survives
+
+    # NULL text/id rows pass through the stage, mirroring lm_filter
+    with_nulls = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (None, "x y z"), (2, None)],
+        "doc_id long, text string",
+    )
+    out = passage_dup_stage(with_nulls, max_dup_frac=0.5)
+    assert out.count() == 3
+    with pytest.raises(ValueError, match="max_dup_frac"):
+        passage_dup_stage(with_nulls, max_dup_frac=1.5)
+
+
 def test_collapse_near_dups_weights_conserve_mass(spark):
     """keep_weights: every representative carries its cluster size and
     the weights sum to the pre-collapse row count — dedup must not
