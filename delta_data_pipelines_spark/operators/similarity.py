@@ -439,18 +439,27 @@ def _subspace_slices(
 ) -> DataFrame:
     """(id, sub_id, out_col): each vector's m contiguous sub-vectors;
     sublen derives from the array length in-plan (dim need not be
-    known at build time, only dim % m == 0)."""
+    known at build time, only dim % m == 0 — ENFORCED per row: a
+    ragged dimension would otherwise silently drop the vector's tail
+    from fit, coding, and every ADC score)."""
     vecs = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
     sublen = (F.size("_v") / m).cast("int")
+    sliced = F.when(
+        F.size("_v") % m == 0,
+        F.slice(F.col("_v"), F.col("sub_id") * sublen + 1, sublen),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"vector dim must be divisible by m={m}, got dim="),
+                F.size("_v").cast("string"),
+            )
+        )
+    )
     return vecs.select(
         id_col,
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_id"),
         F.col("_v"),
-    ).select(
-        id_col,
-        "sub_id",
-        F.slice(F.col("_v"), F.col("sub_id") * sublen + 1, sublen).alias(out_col),
-    )
+    ).select(id_col, "sub_id", sliced.alias(out_col))
 
 
 def pq_index(

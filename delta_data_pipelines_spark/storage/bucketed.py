@@ -206,6 +206,28 @@ class BucketedTable:
             .collect()
         )
 
+    @staticmethod
+    def _bucket_ids_in(path: str) -> list[int]:
+        """Bucket ids present as `_bucket=K` partition dirs under a
+        written directory — the ONE parse of the on-disk layout."""
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(path)
+            if d.startswith("_bucket=")
+        )
+
+    def _schema_reader(self):
+        """A reader preloaded with the stored table schema when one was
+        recorded (skips the per-read schema-inference job); plain
+        reader otherwise."""
+        reader = self.spark.read
+        meta = self._read_meta()
+        if "schema" in meta:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(meta["schema"]))
+        return reader
+
     def _write_buckets(self, df: DataFrame, version: int) -> list[int]:
         """Write df (with its _bucket column) under v=NN/_bucket=K; one
         Spark job for all buckets. Returns the bucket ids written."""
@@ -216,11 +238,7 @@ class BucketedTable:
             .partitionBy("_bucket")
             .parquet(vdir)
         )
-        return sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(vdir)
-            if d.startswith("_bucket=")
-        )
+        return self._bucket_ids_in(vdir)
 
     def _commit(
         self,
@@ -318,13 +336,7 @@ class BucketedTable:
         merge joins the way the pre-r7 ``inserted.count()`` did."""
         if not paths:
             return 0
-        reader = self.spark.read
-        meta = self._read_meta()
-        if "schema" in meta:  # skip the schema-inference job
-            from pyspark.sql.types import StructType
-
-            reader = reader.schema(StructType.fromJson(meta["schema"]))
-        return reader.parquet(*paths).count()
+        return self._schema_reader().parquet(*paths).count()
 
     def merge(
         self,
@@ -373,11 +385,7 @@ class BucketedTable:
             .partitionBy("_bucket")
             .parquet(tmp)
         )
-        touched = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(tmp)
-            if d.startswith("_bucket=")
-        )
+        touched = self._bucket_ids_in(tmp)
         try:
             return self._merge_spilled(
                 source, tmp, touched, keys, when_matched, metrics
@@ -447,13 +455,7 @@ class BucketedTable:
             if str(b) in manifest
         ]
         if existing_dirs:
-            meta = self._read_meta()
-            reader = self.spark.read
-            if "schema" in meta:  # stored at first data commit
-                from pyspark.sql.types import StructType
-
-                reader = reader.schema(StructType.fromJson(meta["schema"]))
-            target = reader.parquet(*existing_dirs).withColumn(
+            target = self._schema_reader().parquet(*existing_dirs).withColumn(
                 "_bucket", self._bucket_col()
             )
         else:

@@ -170,6 +170,12 @@ def run_incremental_heavy_hitters(
     frequency > n_total/k is guaranteed present; final exact counts
     (when the raw corpus is still queryable) come from
     ``sketches.heavy_hitters_exact``-style candidate verification.
+    One extra METADATA row (item NULL, mg_count 0) always rides along:
+    an all-tied summary legitimately prunes to ZERO data rows
+    (subtracting the k-th largest from identical counts), and without
+    the metadata row that batch would overwrite the table empty —
+    silently losing n_total and the replay guard. Readers take the
+    summary as ``state.where(item IS NOT NULL)``.
 
     Unlike the KMV sketch, an MG merge is NOT naturally idempotent —
     re-merging a replayed micro-batch inflates counts. The stored
@@ -184,11 +190,17 @@ def run_incremental_heavy_hitters(
             return
         if state_table.exists():
             prev = state_table.read()
-            last = prev.agg(F.max("_epoch")).collect()[0][0]
-            if last is not None and epoch_id <= last:
+            # one combined agg: this is the hot streaming path — two
+            # separate collects would double the per-batch state scans
+            meta = prev.agg(
+                F.max("_epoch").alias("e"), F.max("n_total").alias("n")
+            ).collect()[0]
+            if meta["e"] is not None and epoch_id <= meta["e"]:
                 return  # replayed batch: already merged
-            prev_summary = prev.select("item", "mg_count")
-            prev_n = prev.agg(F.max("n_total")).collect()[0][0] or 0
+            prev_summary = prev.where(F.col("item").isNotNull()).select(
+                "item", "mg_count"
+            )
+            prev_n = meta["n"] or 0
         else:
             prev_summary = None
             prev_n = 0
@@ -204,10 +216,17 @@ def run_incremental_heavy_hitters(
             merged = merge_mg_summaries(
                 batch_summary.limit(0), batch_summary, k
             )
-        out = merged.withColumn("n_total", F.lit(prev_n + batch_n)).withColumn(
+        n_total = prev_n + batch_n
+        out = merged.withColumn("n_total", F.lit(n_total)).withColumn(
             "_epoch", F.lit(epoch_id)
         )
-        state_table.overwrite(out.localCheckpoint(eager=True))
+        meta_row = batch_df.sparkSession.createDataFrame(
+            [(None, 0, n_total, epoch_id)],
+            "item string, mg_count bigint, n_total bigint, _epoch bigint",
+        )
+        state_table.overwrite(
+            out.unionByName(meta_row).localCheckpoint(eager=True)
+        )
         state_table.vacuum(keep_last=state_keep_last)
 
     return (

@@ -1306,6 +1306,13 @@ def test_pq_validates_params(spark):
     for bad in ({"m": 0}, {"k": 0}, {"n_iter": 0}):
         with pytest.raises(ValueError, match="must be >= 1"):
             pq_codes(df, **bad)
+    # ragged dimension must RAISE, not silently drop the vector tail
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [4.0, 5.0, 6.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="divisible"):
+        pq_codes(ragged, m=2, k=2, n_iter=1).collect()
 
 
 def test_kmeans_validates_params(spark):

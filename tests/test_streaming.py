@@ -745,9 +745,13 @@ def test_incremental_heavy_hitters_state(spark, tmp_path):
         for r in toks.groupBy("item").agg(F.count("*").alias("cnt")).collect()
     }
     n = sum(true_counts.values())
-    got = {r["item"]: r for r in state.read().collect()}
+    rows = state.read().collect()
+    # exactly one metadata row (item NULL) carries n_total/_epoch even
+    # when the summary itself would prune empty
+    assert sum(1 for r in rows if r["item"] is None) == 1
+    got = {r["item"]: r for r in rows if r["item"] is not None}
     assert len(got) <= k - 1
-    assert all(r["n_total"] == n for r in got.values())
+    assert all(r["n_total"] == n for r in rows)
     heavies = {i for i, c in true_counts.items() if c > n / k}
     assert heavies <= set(got)  # superset guarantee survived batching
     for item, r in got.items():
@@ -758,14 +762,52 @@ def test_incremental_heavy_hitters_state(spark, tmp_path):
     # replay protection: merging an already-seen epoch is a no-op
     # because the sink checks the stored _epoch (simulate by calling
     # merge directly — counts WOULD inflate without the epoch guard)
-    before = {(r["item"], r["mg_count"]) for r in state.read().collect()}
+    summary = state.read().where(F.col("item").isNotNull())
+    before = {(r["item"], r["mg_count"]) for r in summary.collect()}
     inflated = merge_mg_summaries(
-        state.read().select("item", "mg_count"),
-        state.read().select("item", "mg_count"),
+        summary.select("item", "mg_count"),
+        summary.select("item", "mg_count"),
         k,
     )
     after = {(r["item"], r["mg_count"]) for r in inflated.collect()}
     assert after != before  # the guard is load-bearing, not decorative
+
+
+def test_incremental_heavy_hitters_survives_all_tied_batch(spark, tmp_path):
+    """The state-wipe regression: a first batch whose tokens are ALL
+    distinct (tied counts) legitimately prunes the MG summary to zero
+    data rows — subtracting the k-th largest from identical counts
+    kills everything. n_total and the replay guard must survive on
+    the metadata row, and the next batch must keep accumulating from
+    the true running total, not restart at zero."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.storage import VersionedTable
+    from delta_data_pipelines_spark.streaming.sketch_state import (
+        run_incremental_heavy_hitters,
+    )
+
+    k = 5
+    # slice 1: 40 distinct singleton tokens (>= k, all tied)
+    # slice 2: one clear heavy hitter
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"u{i}" for i in range(40)))]
+        + [(2, " ".join(["HOT"] * 30))],
+        "doc_id long, text string",
+    )
+    stream = _stream_time_ordered(
+        spark, docs, tmp_path, "hh_tied", slices=2, ts_col="doc_id"
+    )
+    state = VersionedTable(spark, str(tmp_path / "hh_tied_state"))
+    q = run_incremental_heavy_hitters(
+        stream, state, str(tmp_path / "hh_tied_ckpt"), k=k
+    )
+    q.awaitTermination(120)
+    rows = state.read().collect()
+    assert all(r["n_total"] == 70 for r in rows)  # 40 + 30, never reset
+    summary = {r["item"]: r["mg_count"] for r in rows if r["item"] is not None}
+    assert "HOT" in summary  # freq 30 > 70/5
+    assert summary["HOT"] <= 30 and 30 - summary["HOT"] <= 70 / k
 
 
 def test_merge_sketches_null_group_merges_not_duplicates(spark):
