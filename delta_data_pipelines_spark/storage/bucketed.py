@@ -550,6 +550,81 @@ class BucketedTable:
         self._write_log(history + [entry])
         return entry
 
+    def changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        keys: list[str] | None = None,
+    ) -> DataFrame:
+        """Change-data-feed between two committed versions (the Delta
+        CDF contract, bucket-pruned): every row inserted, updated, or
+        deleted going from ``from_version``'s snapshot to
+        ``to_version``'s (default: latest). Only buckets whose manifest
+        POINTER differs between the two versions are read — an
+        untouched bucket proves itself unchanged by metadata alone, so
+        the diff cost follows the churn, not the table size.
+
+        ``keys`` identify rows across versions (default: the bucket
+        key — sufficient whenever merges keep keys unique, which
+        ``merge`` maintains). Updates emit BOTH ``update_preimage``
+        and ``update_postimage`` rows, as Delta CDF does; a changed
+        row is one whose non-key columns hash differently.
+
+        History note: both versions' data dirs must still exist —
+        ``vacuum`` bounds how far back a change feed can reach, exactly
+        like Delta's retention.
+        """
+        keys = keys or [self.bucket_key]
+        m0 = self._manifest(from_version)
+        m1 = self._manifest(to_version)
+        changed = sorted(
+            {b for b in set(m0) | set(m1) if m0.get(b) != m1.get(b)},
+            key=int,
+        )
+        if not changed:
+            return self._empty_df().withColumn("_change_type", F.lit(""))
+        reader = self._schema_reader()
+
+        def snap(manifest: dict[str, int]) -> DataFrame | None:
+            paths = [
+                self._bucket_dir(manifest[b], int(b))
+                for b in changed
+                if b in manifest
+            ]
+            return reader.parquet(*paths) if paths else None
+
+        old, new = snap(m0), snap(m1)
+        if old is None:
+            return new.withColumn("_change_type", F.lit("insert"))
+        if new is None:
+            return old.withColumn("_change_type", F.lit("delete"))
+        nonkeys = [c for c in new.columns if c not in keys]
+        inserted = new.join(old.select(*keys), keys, "left_anti").withColumn(
+            "_change_type", F.lit("insert")
+        )
+        deleted = old.join(new.select(*keys), keys, "left_anti").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        if nonkeys:
+            o = old.withColumn("_h", F.xxhash64(*nonkeys))
+            n = new.withColumn("_h", F.xxhash64(*nonkeys))
+            upd_keys = (
+                n.select(*keys, F.col("_h").alias("_hn"))
+                .join(o.select(*keys, F.col("_h").alias("_ho")), keys)
+                .where(F.col("_hn") != F.col("_ho"))
+                .select(*keys)
+            )
+            pre = old.join(upd_keys, keys, "left_semi").withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            post = new.join(upd_keys, keys, "left_semi").withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+            updates = pre.unionByName(post)
+        else:  # key-only rows cannot "update"
+            updates = inserted.limit(0)
+        return inserted.unionByName(deleted).unionByName(updates)
+
     def restore(self, version: int) -> BucketedCommit:
         """Roll back to ``version`` as a NEW commit (history preserved,
         like VersionedTable.restore): the new manifest points every

@@ -504,3 +504,56 @@ def test_token_budget_mix_invariants(spark, sizes, epoch_cap):
     assert total_alloc <= budget + eps
     if all(r["epochs"] < epoch_cap - 1e-9 for r in rows):
         assert abs(total_alloc - budget) <= eps
+
+
+WORD = st.text(alphabet="abcde", min_size=1, max_size=3)
+DOC = st.lists(WORD, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(DOC, min_size=1, max_size=25), st.integers(1, 5))
+def test_bpe_train_matches_reference_on_random_corpora(spark, docs, n_merges):
+    """Distributed BPE must reproduce the sequential reference merge
+    list — pairs, order, AND counts — on arbitrary tiny-alphabet
+    corpora, where ties are everywhere and the deterministic
+    (count DESC, left, right) tie-break actually gets exercised."""
+    from delta_data_pipelines_spark.operators.bpe import bpe_train
+    from tests.test_operators import _bpe_reference
+
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
+                               "doc_id long, text string")
+    got = [
+        (r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(df, "text", n_merges=n_merges).orderBy("rank").collect()
+    ]
+    assert got == _bpe_reference(docs, n_merges)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(st.text(alphabet="pqrs", min_size=1, max_size=2),
+             min_size=5, max_size=300),
+    st.integers(2, 8),
+    st.integers(1, 6),
+)
+def test_heavy_hitters_exact_equals_naive_on_random_streams(
+    spark, items, k, parts
+):
+    """For ANY item stream, partition count, and k: the MG two-pass
+    answer equals the naive groupBy-filter answer exactly."""
+    from delta_data_pipelines_spark.operators.sketches import heavy_hitters_exact
+
+    df = spark.createDataFrame([(i,) for i in items], "item string").repartition(
+        parts
+    )
+    n = len(items)
+    naive = {
+        (r["item"], r["cnt"])
+        for r in df.groupBy("item").agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > n / k).collect()
+    }
+    got = {
+        (r["item"], r["cnt"])
+        for r in heavy_hitters_exact(df, "item", k).collect()
+    }
+    assert got == naive

@@ -367,6 +367,46 @@ def test_bucketed_commit_overwrites_orphaned_version_dir(spark, tmp_path):
     assert got == {("a", 1), ("b", 2)}
 
 
+def test_bucketed_changes_cdf(spark, btable):
+    """Change feed between versions (Delta CDF contract): inserts,
+    deletes, and update pre/post images — derived from ONLY the
+    buckets whose manifest pointer moved."""
+    import pyspark.sql.functions as F
+
+    c0 = btable.merge(
+        rows(spark, [("u1", "a", 1), ("u2", "b", 2), ("u3", "c", 3)]),
+        keys=["content_url"],
+    )
+    c1 = btable.merge(
+        rows(spark, [("u1", "NEW", 9), ("u4", "d", 4)]),
+        keys=["content_url"],
+        when_matched="update",
+    )
+    ch = btable.changes(c0.version, c1.version).collect()
+    by_type: dict = {}
+    for r in ch:
+        by_type.setdefault(r["_change_type"], set()).add(
+            (r["content_url"], r["title"], r["price"])
+        )
+    assert by_type["insert"] == {("u4", "d", 4)}
+    assert by_type["update_preimage"] == {("u1", "a", 1)}
+    assert by_type["update_postimage"] == {("u1", "NEW", 9)}
+    assert "delete" not in by_type  # nothing deleted between c0 and c1
+
+    c2 = btable.delete_where(F.col("content_url") == "u2")
+    ch2 = btable.changes(c1.version, c2.version).collect()
+    assert {(r["_change_type"], r["content_url"]) for r in ch2} == {
+        ("delete", "u2")
+    }
+    # identical versions: empty feed, schema intact
+    same = btable.changes(c2.version, c2.version)
+    assert same.count() == 0 and "_change_type" in same.columns
+    # full-span feed (c0 -> latest) composes both effects
+    full = {(r["_change_type"], r["content_url"])
+            for r in btable.changes(c0.version).collect()}
+    assert ("insert", "u4") in full and ("delete", "u2") in full
+
+
 def test_bucketed_merge_job_count(spark, tmp_path):
     """The hot-streaming-loop contract: a metrics=False merge runs the
     two write actions (source spill + merge write) plus at most one
