@@ -282,12 +282,14 @@ class BucketedTable:
     def read(self, version: int | None = None) -> DataFrame:
         """Read the latest state, or time-travel to ``version`` — unions
         the manifest's per-bucket leaf dirs; the internal bucket id is
-        not a data column."""
+        not a data column. Reads through the STORED schema (no
+        inference job, and buckets written before a schema evolution
+        serve NULL for later-added columns by name)."""
         manifest = self._manifest(version)
         if not manifest:  # delete-all / empty-overwrite leave no dirs
             return self._empty_df()
         paths = [self._bucket_dir(v, int(b)) for b, v in manifest.items()]
-        return self.spark.read.parquet(*paths)
+        return self._schema_reader().parquet(*paths)
 
     def read_buckets(self, buckets: list[int]) -> DataFrame:
         """Bucket-pruned scan: only the named buckets' files are read —
@@ -300,7 +302,7 @@ class BucketedTable:
         ]
         if not paths:
             return self.read().limit(0)
-        return self.spark.read.parquet(*paths)
+        return self._schema_reader().parquet(*paths)
 
     def bucket_stats(self) -> DataFrame:
         """Per-bucket (bucket_id, n_rows, n_files, owning_version) —
@@ -338,12 +340,25 @@ class BucketedTable:
             return 0
         return self._schema_reader().parquet(*paths).count()
 
+    def _update_schema(self, df: DataFrame) -> None:
+        """Overwrite the stored data schema (sans _bucket) after a
+        schema-evolving commit, so _schema_reader serves the widened
+        schema (parquet reads fill missing columns with NULL by
+        name)."""
+        meta = self._read_meta()
+        meta["schema"] = json.loads(df.drop("_bucket").schema.json())
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path)
+
     def merge(
         self,
         source: DataFrame,
         keys: list[str],
         when_matched: str = "ignore",
         metrics: bool = True,
+        schema_evolution: bool = False,
     ) -> BucketedCommit:
         """Partition-scoped MERGE: same semantics as
         ``VersionedTable.merge`` (insert-if-absent / upsert, null keys
@@ -364,6 +379,12 @@ class BucketedTable:
         unique — the invariant merge itself maintains; a table seeded
         by ``overwrite`` with duplicate keys can over/under-count the
         ``update``-mode metrics (data remains correct).
+
+        ``schema_evolution=True`` — Delta ``mergeSchema`` parity: new
+        source columns widen the table schema (the stored schema is
+        updated, and UNTOUCHED buckets' parquet serves NULL for the
+        new columns by name on read); missing source columns write
+        NULL. Default False errors on any column-set mismatch.
         """
         if when_matched not in {"ignore", "update"}:
             raise ValueError(when_matched)
@@ -388,7 +409,8 @@ class BucketedTable:
         touched = self._bucket_ids_in(tmp)
         try:
             return self._merge_spilled(
-                source, tmp, touched, keys, when_matched, metrics
+                source, tmp, touched, keys, when_matched, metrics,
+                schema_evolution,
             )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
@@ -401,6 +423,7 @@ class BucketedTable:
         keys: list[str],
         when_matched: str,
         metrics: bool,
+        schema_evolution: bool = False,
     ) -> BucketedCommit:
         history = self.history()
         version = (history[-1].version + 1) if history else 0
@@ -464,12 +487,20 @@ class BucketedTable:
         if when_matched == "update":
             kept = target.join(src.select(*keys), keys, "left_anti")
             updated = src.join(target.select(*keys), keys, "left_semi")
-            out = kept.unionByName(updated).unionByName(inserted)
+            out = kept.unionByName(
+                updated, allowMissingColumns=schema_evolution
+            ).unionByName(inserted, allowMissingColumns=schema_evolution)
         else:
-            out = target.unionByName(inserted)
+            out = target.unionByName(
+                inserted, allowMissingColumns=schema_evolution
+            )
 
         written = self._write_buckets(out, version)
         self._store_schema_once(out)
+        if schema_evolution:
+            # widen the stored schema so _schema_reader serves the new
+            # columns; untouched buckets' old parquet reads NULL there
+            self._update_schema(out)
         if metrics:
             n_written = self._footer_count(
                 [self._bucket_dir(version, b) for b in written]

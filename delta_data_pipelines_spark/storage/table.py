@@ -100,6 +100,7 @@ class VersionedTable:
         source: DataFrame,
         keys: list[str],
         when_matched: str = "ignore",
+        schema_evolution: bool = False,
     ) -> Commit:
         """MERGE INTO this table USING source ON keys.
 
@@ -114,6 +115,12 @@ class VersionedTable:
         Null-key source rows are dropped first (mongodb_utils.py:24-26),
         and the source is deduplicated on the keys so one batch can't
         insert the same key twice.
+
+        ``schema_evolution=True`` — Delta ``mergeSchema`` parity: a
+        source with NEW columns widens the table (old rows read NULL
+        there), and a source missing table columns writes NULL for
+        them. Default False errors on any column-set mismatch, exactly
+        as Delta MERGE does without the option.
         """
         if when_matched not in {"ignore", "update"}:
             raise ValueError(when_matched)
@@ -131,10 +138,14 @@ class VersionedTable:
             kept = target.join(source.select(*keys), keys, "left_anti")
             updated = source.join(target.select(*keys), keys, "left_semi")
             n_updated = updated.count()
-            out = kept.unionByName(updated).unionByName(inserted)
+            out = kept.unionByName(
+                updated, allowMissingColumns=schema_evolution
+            ).unionByName(inserted, allowMissingColumns=schema_evolution)
         else:
             n_updated = 0
-            out = target.unionByName(inserted)
+            out = target.unionByName(
+                inserted, allowMissingColumns=schema_evolution
+            )
         return self._commit("merge", out, {"inserted": n_inserted, "updated": n_updated})
 
     def delete_where(self, condition) -> Commit:

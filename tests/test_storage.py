@@ -367,6 +367,56 @@ def test_bucketed_commit_overwrites_orphaned_version_dir(spark, tmp_path):
     assert got == {("a", 1), ("b", 2)}
 
 
+def test_merge_schema_evolution_versioned(spark, table):
+    """Delta mergeSchema parity on VersionedTable: strict by default
+    (column-set mismatch errors), widened on request — old rows read
+    NULL in the new column, and a later narrow source writes NULL."""
+    table.merge(rows(spark, [("u1", "a", 1)]), keys=["content_url"])
+    wide = spark.createDataFrame(
+        [("u2", "b", 2, "hot")],
+        "content_url string, title string, price long, tag string",
+    )
+    with pytest.raises(Exception):
+        table.merge(wide, keys=["content_url"])  # strict default
+    table.merge(wide, keys=["content_url"], schema_evolution=True)
+    got = {r["content_url"]: r["tag"] for r in table.read().collect()}
+    assert got == {"u1": None, "u2": "hot"}
+    # narrow source after evolution still merges (fills NULL)
+    table.merge(
+        rows(spark, [("u3", "c", 3)]), keys=["content_url"],
+        schema_evolution=True,
+    )
+    got = {r["content_url"]: r["tag"] for r in table.read().collect()}
+    assert got == {"u1": None, "u2": "hot", "u3": None}
+
+
+def test_merge_schema_evolution_bucketed(spark, btable):
+    """Bucketed variant: evolution widens the STORED schema, and
+    UNTOUCHED buckets (old parquet without the column) serve NULL by
+    name on every read path (read / read_buckets)."""
+    btable.merge(
+        rows(spark, [(f"u{i}", "x", i) for i in range(20)]),
+        keys=["content_url"],
+    )
+    wide = spark.createDataFrame(
+        [("zz", "y", 99, "hot")],
+        "content_url string, title string, price long, tag string",
+    )
+    with pytest.raises(Exception):
+        btable.merge(wide, keys=["content_url"])  # strict default
+    c = btable.merge(wide, keys=["content_url"], schema_evolution=True)
+    assert c.metrics["buckets_written"] == 1  # still partition-scoped
+    got = {r["content_url"]: r["tag"] for r in btable.read().collect()}
+    assert got["zz"] == "hot"
+    assert all(v is None for k, v in got.items() if k != "zz")
+    assert len(got) == 21
+    # bucket-pruned read of an UNTOUCHED bucket also carries the column
+    other = [b for b in range(8) if b not in
+             {int(x) for x, v in c.manifest.items() if v == c.version}][0]
+    sub = btable.read_buckets([other])
+    assert "tag" in sub.columns
+
+
 def test_bucketed_changes_cdf(spark, btable):
     """Change feed between versions (Delta CDF contract): inserts,
     deletes, and update pre/post images — derived from ONLY the
