@@ -88,10 +88,14 @@ HEADLINE = [
     # next to w_row_number_seq_scalable / w_batch_ids_global
     "w_percent_rank_scalable",
     # r7 additions: passage-granularity duplication signal (explode →
-    # gram-df → join-back agg) and the PQ ADC serving scan (codes ⋈
-    # per-query lookup table)
+    # gram-df → join-back agg), the PQ ADC serving scan (codes ⋈
+    # per-query lookup table), the MG two-pass exact heavy hitters
+    # (mapInPandas candidate summaries + semi-join verify), and the
+    # deterministic epoch shuffle (range-partitioned rank over md5)
     "td_passage_dup_fraction",
     "sim_pq_adc_topk",
+    "sk_heavy_hitters",
+    "td_global_shuffle",
 ]
 
 

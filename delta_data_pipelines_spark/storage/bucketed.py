@@ -629,32 +629,9 @@ class BucketedTable:
             return new.withColumn("_change_type", F.lit("insert"))
         if new is None:
             return old.withColumn("_change_type", F.lit("delete"))
-        nonkeys = [c for c in new.columns if c not in keys]
-        inserted = new.join(old.select(*keys), keys, "left_anti").withColumn(
-            "_change_type", F.lit("insert")
-        )
-        deleted = old.join(new.select(*keys), keys, "left_anti").withColumn(
-            "_change_type", F.lit("delete")
-        )
-        if nonkeys:
-            o = old.withColumn("_h", F.xxhash64(*nonkeys))
-            n = new.withColumn("_h", F.xxhash64(*nonkeys))
-            upd_keys = (
-                n.select(*keys, F.col("_h").alias("_hn"))
-                .join(o.select(*keys, F.col("_h").alias("_ho")), keys)
-                .where(F.col("_hn") != F.col("_ho"))
-                .select(*keys)
-            )
-            pre = old.join(upd_keys, keys, "left_semi").withColumn(
-                "_change_type", F.lit("update_preimage")
-            )
-            post = new.join(upd_keys, keys, "left_semi").withColumn(
-                "_change_type", F.lit("update_postimage")
-            )
-            updates = pre.unionByName(post)
-        else:  # key-only rows cannot "update"
-            updates = inserted.limit(0)
-        return inserted.unionByName(deleted).unionByName(updates)
+        from .table import snapshot_diff
+
+        return snapshot_diff(old, new, keys)
 
     def restore(self, version: int) -> BucketedCommit:
         """Roll back to ``version`` as a NEW commit (history preserved,

@@ -24,6 +24,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """Row-level diff between two snapshots keyed by ``keys`` — the
+    Delta change-data-feed row classification, defined ONCE for both
+    table variants: inserts (key only in new), deletes (key only in
+    old), and updates as BOTH ``update_preimage`` and
+    ``update_postimage`` rows (a changed row is one whose non-key
+    columns hash differently). Key-only schemas cannot 'update'."""
+    nonkeys = [c for c in new.columns if c not in keys]
+    inserted = new.join(old.select(*keys), keys, "left_anti").withColumn(
+        "_change_type", F.lit("insert")
+    )
+    deleted = old.join(new.select(*keys), keys, "left_anti").withColumn(
+        "_change_type", F.lit("delete")
+    )
+    if nonkeys:
+        o = old.withColumn("_h", F.xxhash64(*nonkeys))
+        n = new.withColumn("_h", F.xxhash64(*nonkeys))
+        upd_keys = (
+            n.select(*keys, F.col("_h").alias("_hn"))
+            .join(o.select(*keys, F.col("_h").alias("_ho")), keys)
+            .where(F.col("_hn") != F.col("_ho"))
+            .select(*keys)
+        )
+        pre = old.join(upd_keys, keys, "left_semi").withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = new.join(upd_keys, keys, "left_semi").withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        updates = pre.unionByName(post)
+    else:
+        updates = inserted.limit(0)
+    return inserted.unionByName(deleted).unionByName(updates)
+
+
 @dataclass
 class Commit:
     version: int
@@ -163,6 +198,25 @@ class VersionedTable:
         (price_prediction_data_pipeline.py:228-268)."""
         df = self.read(version)
         return self._commit("restore", df, {"restored_from": version})
+
+    def changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        keys: list[str] | None = None,
+    ) -> DataFrame:
+        """Change-data-feed between two retained versions (Delta CDF
+        contract): snapshot_diff of the two full snapshots, keyed by
+        ``keys`` (required — a VersionedTable has no intrinsic key).
+        The bucketed variant prunes the diff to changed buckets; this
+        full-snapshot table diffs everything, which matches its
+        rewrite-everything commit model. vacuum retention bounds reach.
+        """
+        if not keys:
+            raise ValueError("keys required to identify rows across versions")
+        old = self.read(from_version)
+        new = self.read(to_version) if to_version is not None else self.read()
+        return snapshot_diff(old, new, keys)
 
     def clone(self, dest_root: str) -> "VersionedTable":
         """DEEP CLONE (↔ weekly mongodump backup, utils_of_backup.py:43-76):

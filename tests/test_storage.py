@@ -367,6 +367,30 @@ def test_bucketed_commit_overwrites_orphaned_version_dir(spark, tmp_path):
     assert got == {("a", 1), ("b", 2)}
 
 
+def test_versioned_changes_cdf(spark, table):
+    """VersionedTable change feed (full-snapshot diff through the
+    shared snapshot_diff core)."""
+    c0 = table.merge(
+        rows(spark, [("u1", "a", 1), ("u2", "b", 2)]), keys=["content_url"]
+    )
+    table.merge(
+        rows(spark, [("u1", "NEW", 9), ("u3", "c", 3)]),
+        keys=["content_url"],
+        when_matched="update",
+    )
+    ch = {
+        (r["_change_type"], r["content_url"], r["title"])
+        for r in table.changes(c0.version, keys=["content_url"]).collect()
+    }
+    assert ch == {
+        ("insert", "u3", "c"),
+        ("update_preimage", "u1", "a"),
+        ("update_postimage", "u1", "NEW"),
+    }
+    with pytest.raises(ValueError, match="keys required"):
+        table.changes(c0.version)
+
+
 def test_merge_schema_evolution_versioned(spark, table):
     """Delta mergeSchema parity on VersionedTable: strict by default
     (column-set mismatch errors), widened on request — old rows read
