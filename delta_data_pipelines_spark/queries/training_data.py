@@ -1129,6 +1129,69 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def td_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus datasheet: one row of the headline numbers every
+    dataset card starts with — doc/token/lang/source counts, exact-dup
+    ratio, mean quality, mean length. One aggregation pass (the
+    multiple COUNT(DISTINCT)s expand the scan ~4x internally — still a
+    single linear pass, the right cost for a report); sums that feed
+    fractions use the exact-decimal discipline."""
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        "source",
+        "text",
+        textstats.quality_score(F.col("text")).alias("_q"),
+        textstats.token_count_ws(F.col("text")).alias("_ntok"),
+    )
+    return scored.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_ntok").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("text") / F.count("*"), 9
+        ).alias("exact_dup_ratio"),
+        F.round(
+            F.sum(F.col("_q").cast("decimal(18,9)")).cast("double")
+            / F.count("*"),
+            9,
+        ).alias("avg_quality"),
+        F.round(F.sum("_ntok") / F.count("*"), 9).alias("avg_tokens"),
+    )
+
+
+def td_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup collapse with SOURCE PRIORITY — what real curation
+    does when a document exists in both a curated source and a crawl
+    dump: keep the copy from the preferred source, not the smallest
+    id. Representative = min (priority, doc_id) per cluster (priority
+    derived from the source id so the oracle recomputes it; production
+    passes a priority column or config table). Unclustered docs pass
+    through with cluster_size 1. The per-cluster window is tiny by
+    construction (near-dup components are shallow)."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.8)
+    clusters = dedup.near_dup_clusters(pairs)
+    docs = d.select("doc_id", "lang", "source").withColumn(
+        "priority", F.expr("substring(source, 4)").cast("int") % 3
+    )
+    labeled = (
+        docs.join(clusters, docs.doc_id == clusters.member_id, "left")
+        .withColumn("_cluster", F.coalesce(F.col("cluster_id"), F.col("doc_id")))
+        .drop("member_id", "cluster_id")
+    )
+    w = Window.partitionBy("_cluster")
+    ranked = labeled.withColumn(
+        "_rn", F.row_number().over(w.orderBy("priority", "doc_id"))
+    ).withColumn("cluster_size", F.count("*").over(w))
+    return (
+        ranked.where(F.col("_rn") == 1)
+        .select("doc_id", "lang", "source", "priority", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
 def sk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus heavy hitters (token frequency > n/50) through the
     bounded-memory two-pass pattern: per-partition Misra-Gries
@@ -1248,6 +1311,8 @@ SPARK_QUERIES = {
     "txt_bpe_pairs": txt_bpe_pairs,
     "txt_bpe_merges": txt_bpe_merges,
     "sk_heavy_hitters": sk_heavy_hitters,
+    "td_corpus_report": td_corpus_report,
+    "td_priority_dedup": td_priority_dedup,
 }
 
 _SHINGLES = """
@@ -2380,6 +2445,70 @@ ORACLE_SQL = {
         FROM pairs GROUP BY l, r
         ORDER BY pair_count DESC, l, r LIMIT 20
     """,
+    # datasheet: quality formula mirrors td_curate's scored CTE; every
+    # SUM over integers CAST to BIGINT (pandas HUGEINT hazard)
+    "td_corpus_report": """
+        WITH base AS (
+            SELECT lang, source, text, string_split(text, ' ') AS w,
+                   regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g') AS stripped
+            FROM documents
+        ), scored AS (
+            SELECT lang, source, text, len(w) AS ntok,
+                   ROUND(
+                     0.4 * (len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it')))
+                            / CAST(NULLIF(len(w), 0) AS DOUBLE))
+                   + 0.4 * LEAST(len(w) / 64.0, 1.0)
+                   + 0.2 * (1 - (length(text) - length(stripped))
+                            / CAST(NULLIF(length(text), 0) AS DOUBLE)), 9) AS q
+            FROM base
+        )
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+               COUNT(DISTINCT lang) AS n_langs,
+               COUNT(DISTINCT source) AS n_sources,
+               ROUND(1.0 - COUNT(DISTINCT text) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS exact_dup_ratio,
+               ROUND(CAST(SUM(CAST(q AS DECIMAL(18,9))) AS DOUBLE)
+                     / COUNT(*), 9) AS avg_quality,
+               ROUND(CAST(SUM(ntok) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 9)
+                   AS avg_tokens
+        FROM scored
+    """,
+    # same recursive-CC core as td_dup_weights, but the representative
+    # is min (priority, doc_id) instead of min doc_id
+    "td_priority_dedup": (
+        "WITH RECURSIVE pairs AS (SELECT * FROM ("
+        + _JACCARD_PAIRS.format(block="")
+        + """) WHERE jaccard_sim >= 0.8
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ), nodes AS (
+            SELECT DISTINCT src AS node FROM edges
+        ), reach(node, root) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+        ), cc AS (
+            SELECT node AS member_id, MIN(root) AS cluster_id
+            FROM reach GROUP BY node
+        ), labeled AS (
+            SELECT d.doc_id, d.lang, d.source,
+                   CAST(substr(d.source, 4) AS INTEGER) % 3 AS priority,
+                   COALESCE(cc.cluster_id, d.doc_id) AS cluster
+            FROM documents d LEFT JOIN cc ON d.doc_id = cc.member_id
+        ), ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY cluster
+                       ORDER BY priority, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+            FROM labeled
+        )
+        SELECT doc_id, lang, source, priority, cluster_size
+        FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """
+    ),
     # the naive exact computation the MG two-pass must equal; n/50 is
     # the same bigint/int -> double division on both engines
     "sk_heavy_hitters": """
