@@ -148,3 +148,93 @@ def scd2_intervals(
         F.lead(ts).over(w).alias("valid_to"),
     )
     return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+def subsequence_topk(
+    events: DataFrame,
+    pattern: list[float],
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    k: int = 5,
+) -> DataFrame:
+    """Z-normalized subsequence similarity search — the matrix-profile
+    style "find windows shaped like this pattern" query over an event
+    stream (shape match is scale- and offset-invariant: a small spike
+    matches a large spike).
+
+    Each length-L window (L = len(pattern)) anchored at an event is
+    built with L-1 ``lead``s — a DETERMINISTIC construction, unlike
+    ``collect_list`` over a frame, whose order is not contractual —
+    z-normalized, and scored by squared distance to the (caller-
+    pre-normalized) pattern; top-``k`` per series by (distance,
+    anchor id). Flat windows (zero variance) have no shape and are
+    skipped.
+
+    Scale shape: windows are built within (series, DAY) partitions —
+    the window state is bounded by a day's events per series, never a
+    whole series' history (windows that would cross midnight are not
+    formed; at 100 TB an unbounded per-series window is a straggler).
+    All math is native higher-order expressions; the pattern rides
+    along as an array literal.
+    """
+    L = len(pattern)
+    if L < 2:
+        raise ValueError(f"pattern must have >= 2 points, got {L}")
+    w = Window.partitionBy(series_col, F.to_date(ts_col)).orderBy(ts_col, id_col)
+    arr = F.array(
+        F.col(value_col),
+        *[F.lead(value_col, i).over(w) for i in range(1, L)],
+    )
+    p = F.array(*[F.lit(float(v)) for v in pattern])
+    base = (
+        events.select(series_col, ts_col, id_col, value_col)
+        .withColumn("_arr", arr)
+        .where(~F.exists(F.col("_arr"), lambda x: x.isNull()))
+        .withColumn(
+            "_mean",
+            F.aggregate(F.col("_arr"), F.lit(0.0), lambda a, x: a + x) / L,
+        )
+        .withColumn(
+            "_std",
+            F.sqrt(
+                F.aggregate(
+                    F.col("_arr"),
+                    F.lit(0.0),
+                    lambda a, x: a + (x - F.col("_mean")) * (x - F.col("_mean")),
+                )
+                / L
+            ),
+        )
+        .where(F.col("_std") > 0)
+        .withColumn(
+            "dist",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_arr"),
+                        p,
+                        lambda x, q: (
+                            ((x - F.col("_mean")) / F.col("_std")) - q
+                        )
+                        * (((x - F.col("_mean")) / F.col("_std")) - q),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                9,
+            ),
+        )
+    )
+    wr = Window.partitionBy(series_col).orderBy("dist", id_col)
+    return (
+        base.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col(series_col),
+            F.col(id_col).alias("anchor_id"),
+            "dist",
+            "rank",
+        )
+    )

@@ -324,7 +324,30 @@ def t_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the spike pattern, z-normalized then rounded to 9 dp so BOTH
+#: engines consume bit-identical literals (raw [0,0,0,1,1,0,0,0])
+_SPIKE_Z = [
+    -0.577350269, -0.577350269, -0.577350269,
+    1.732050808, 1.732050808,
+    -0.577350269, -0.577350269, -0.577350269,
+]
+
+
+def t_subseq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-normalized subsequence similarity search (matrix-profile
+    style): the 5 windows per event type whose SHAPE is closest to a
+    spike pattern — scale/offset-invariant because both window and
+    pattern are z-normalized. Windows form within (series, day)
+    partitions via L-1 deterministic leads (never an unbounded
+    per-series window); see operators.temporal.subsequence_topk."""
+    from ..operators.temporal import subsequence_topk
+
+    e = read_table(spark, sf_dir, "events")
+    return subsequence_topk(e, _SPIKE_Z, k=5).orderBy("event_type", "rank")
+
+
 SPARK_QUERIES = {
+    "t_subseq_search": t_subseq_search,
     "t_asof_join": t_asof_join,
     "t_asof_join_tolerance": t_asof_join_tolerance,
     "t_range_join": t_range_join,
@@ -528,5 +551,51 @@ ORACLE_SQL = {
         )
         SELECT win_end, COUNT(DISTINCT user_id) AS wau
         FROM fan GROUP BY win_end ORDER BY win_end
+    """,
+    # list_reduce is DuckDB's sequential left fold — the same
+    # accumulation order as Spark's aggregate(), so the float sums are
+    # bit-identical; pattern literals match _SPIKE_Z exactly
+    "t_subseq_search": """
+        WITH wins AS (
+            SELECT event_type, event_id,
+                   [value,
+                    lead(value, 1) OVER w, lead(value, 2) OVER w,
+                    lead(value, 3) OVER w, lead(value, 4) OVER w,
+                    lead(value, 5) OVER w, lead(value, 6) OVER w,
+                    lead(value, 7) OVER w] AS arr
+            FROM events
+            WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+                         ORDER BY ts, event_id)
+        ), full_w AS (
+            SELECT * FROM wins
+            WHERE len(list_filter(arr, x -> x IS NULL)) = 0
+        ), m AS (
+            SELECT *, list_reduce(arr, (a, b) -> a + b) / 8 AS mean
+            FROM full_w
+        ), s AS (
+            SELECT *, sqrt(list_reduce(list_transform(arr,
+                       x -> (x - mean) * (x - mean)), (a, b) -> a + b) / 8)
+                   AS std
+            FROM m
+        ), scored AS (
+            SELECT event_type, event_id,
+                   ROUND(list_reduce(list_transform(range(1, 9),
+                       i -> (((arr[i] - mean) / std) - p[i])
+                          * (((arr[i] - mean) / std) - p[i])),
+                       (a, b) -> a + b), 9) AS dist
+            FROM (SELECT *,
+                    [-0.577350269, -0.577350269, -0.577350269,
+                     1.732050808, 1.732050808,
+                     -0.577350269, -0.577350269, -0.577350269] AS p
+                  FROM s)
+            WHERE std > 0
+        ), ranked AS (
+            SELECT event_type, event_id AS anchor_id, dist,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY dist, event_id) AS rank
+            FROM scored
+        )
+        SELECT event_type, anchor_id, dist, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY event_type, rank
     """,
 }

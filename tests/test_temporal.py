@@ -102,3 +102,50 @@ def test_ohlc_bars_invariants(spark):
         .select("event_type", "ts").distinct().count()
     )
     assert sum(r["n_points"] for r in bars) == n_pts
+
+
+def test_subsequence_topk_finds_planted_spike(spark):
+    """A planted spike window must rank #1 for its series regardless of
+    its absolute scale (z-normalization is scale/offset-invariant), and
+    windows must NOT form across the day boundary."""
+    from delta_data_pipelines_spark.operators.temporal import subsequence_topk
+
+    import pytest as _pytest
+
+    # z-normalized spike [0,0,0,1,1,0,0,0], rounded to 9 dp
+    zp = [-0.577350269] * 3 + [1.732050808] * 2 + [-0.577350269] * 3
+    base = datetime(2024, 3, 1, 0, 0, 0)
+
+    def ev(i, etype, v, day=1):
+        return (
+            i,
+            datetime(2024, 3, day, (i // 60) % 24, i % 60, 0),
+            1,
+            etype,
+            float(v),
+            "",
+        )
+
+    rows = []
+    # series A: noise then a LARGE planted spike (scaled x100, offset 50)
+    noise = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]
+    for i, v in enumerate(noise):
+        rows.append(ev(i, "a", v))
+    planted = [50, 50, 50, 150, 150, 50, 50, 50]
+    for j, v in enumerate(planted):
+        rows.append(ev(100 + j, "a", v))
+    # series B: 5 points on day 1 + 5 on day 2 — too short per day, so
+    # NO length-8 window may form for it
+    for j in range(5):
+        rows.append(ev(200 + j, "b", j, day=1))
+        rows.append(ev(300 + j, "b", j, day=2))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = subsequence_topk(df, zp, k=3).collect()
+    a = [r for r in out if r["event_type"] == "a"]
+    assert a[0]["anchor_id"] == 100  # the planted window, exactly
+    assert a[0]["dist"] == 0.0  # perfect shape match after z-norm
+    assert all(r["event_type"] != "b" for r in out)  # day-bounded
+    with _pytest.raises(ValueError, match="pattern"):
+        subsequence_topk(df, [1.0])
