@@ -341,12 +341,18 @@ class BucketedTable:
         return self._schema_reader().parquet(*paths).count()
 
     def _update_schema(self, df: DataFrame) -> None:
-        """Overwrite the stored data schema (sans _bucket) after a
-        schema-evolving commit, so _schema_reader serves the widened
-        schema (parquet reads fill missing columns with NULL by
-        name)."""
+        """WIDEN the stored data schema (sans _bucket) after a
+        schema-evolving commit, so _schema_reader serves the new
+        columns (parquet reads fill missing columns with NULL by
+        name). Widen-only: stored columns absent from ``df`` are KEPT —
+        evolution can add columns, never silently drop them (a narrow
+        source must not make earlier-evolved columns unreadable)."""
         meta = self._read_meta()
-        meta["schema"] = json.loads(df.drop("_bucket").schema.json())
+        new_fields = json.loads(df.drop("_bucket").schema.json())["fields"]
+        have = {f["name"] for f in new_fields}
+        old_fields = meta.get("schema", {}).get("fields", [])
+        merged = new_fields + [f for f in old_fields if f["name"] not in have]
+        meta["schema"] = {"type": "struct", "fields": merged}
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -482,11 +488,30 @@ class BucketedTable:
                 "_bucket", self._bucket_col()
             )
         else:
-            target = src.limit(0)
+            # empty target in the TABLE's stored schema, not the
+            # source's: a narrow source hitting only empty buckets must
+            # not make previously-evolved columns vanish from `out`
+            # (and then from the stored schema via _update_schema)
+            try:
+                target = self._empty_df().withColumn(
+                    "_bucket", F.lit(None).cast("bigint")
+                )
+            except FileNotFoundError:  # no schema recorded yet
+                target = src.limit(0)
         inserted = src.join(target.select(*keys), keys, "left_anti")
         if when_matched == "update":
             kept = target.join(src.select(*keys), keys, "left_anti")
-            updated = src.join(target.select(*keys), keys, "left_semi")
+            only_target = [
+                c for c in target.columns if c not in src.columns
+            ]
+            if schema_evolution and only_target:
+                # matched rows keep the target's values in columns the
+                # source doesn't carry (UPDATE SET * semantics)
+                updated = src.join(
+                    target.select(*keys, *only_target), keys, "inner"
+                )
+            else:
+                updated = src.join(target.select(*keys), keys, "left_semi")
             out = kept.unionByName(
                 updated, allowMissingColumns=schema_evolution
             ).unionByName(inserted, allowMissingColumns=schema_evolution)

@@ -29,9 +29,24 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     Delta change-data-feed row classification, defined ONCE for both
     table variants: inserts (key only in new), deletes (key only in
     old), and updates as BOTH ``update_preimage`` and
-    ``update_postimage`` rows (a changed row is one whose non-key
-    columns hash differently). Key-only schemas cannot 'update'."""
+    ``update_postimage`` rows. Key-only schemas cannot 'update'.
+
+    Schemas are ALIGNED first (a span crossing a schema-evolving merge
+    has the new column on one side only — the missing side reads NULL,
+    so an old row gains a NULL 'tag' and a post-evolution row with a
+    value diffs as an update). Change detection is a NULL-SAFE struct
+    compare, not a hash: ``xxhash64`` skips NULL inputs entirely, so a
+    value moving between two columns (one going NULL, the other
+    gaining it) hashes identically and the update would be missed.
+    """
+    for c in new.columns:
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+    for c in old.columns:
+        if c not in new.columns:
+            new = new.withColumn(c, F.lit(None).cast(old.schema[c].dataType))
     nonkeys = [c for c in new.columns if c not in keys]
+    old = old.select(*new.columns)  # one column order for the unions
     inserted = new.join(old.select(*keys), keys, "left_anti").withColumn(
         "_change_type", F.lit("insert")
     )
@@ -39,12 +54,11 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
         "_change_type", F.lit("delete")
     )
     if nonkeys:
-        o = old.withColumn("_h", F.xxhash64(*nonkeys))
-        n = new.withColumn("_h", F.xxhash64(*nonkeys))
+        o = old.select(*keys, F.struct(*nonkeys).alias("_so"))
+        n = new.select(*keys, F.struct(*nonkeys).alias("_sn"))
         upd_keys = (
-            n.select(*keys, F.col("_h").alias("_hn"))
-            .join(o.select(*keys, F.col("_h").alias("_ho")), keys)
-            .where(F.col("_hn") != F.col("_ho"))
+            n.join(o, keys)
+            .where(~F.col("_sn").eqNullSafe(F.col("_so")))
             .select(*keys)
         )
         pre = old.join(upd_keys, keys, "left_semi").withColumn(
@@ -153,9 +167,11 @@ class VersionedTable:
 
         ``schema_evolution=True`` — Delta ``mergeSchema`` parity: a
         source with NEW columns widens the table (old rows read NULL
-        there), and a source missing table columns writes NULL for
-        them. Default False errors on any column-set mismatch, exactly
-        as Delta MERGE does without the option.
+        there); for table columns the source does NOT carry, inserts
+        write NULL and updates PRESERVE the target row's value (Delta's
+        ``UPDATE SET *`` only sets the columns the source has). Default
+        False errors on any column-set mismatch, exactly as Delta MERGE
+        does without the option.
         """
         if when_matched not in {"ignore", "update"}:
             raise ValueError(when_matched)
@@ -171,7 +187,15 @@ class VersionedTable:
         n_inserted = inserted.count()
         if when_matched == "update":
             kept = target.join(source.select(*keys), keys, "left_anti")
-            updated = source.join(target.select(*keys), keys, "left_semi")
+            only_target = [c for c in target.columns if c not in source.columns]
+            if schema_evolution and only_target:
+                # matched rows keep the target's values in columns the
+                # source doesn't carry (UPDATE SET * semantics)
+                updated = source.join(
+                    target.select(*keys, *only_target), keys, "inner"
+                )
+            else:
+                updated = source.join(target.select(*keys), keys, "left_semi")
             n_updated = updated.count()
             out = kept.unionByName(
                 updated, allowMissingColumns=schema_evolution

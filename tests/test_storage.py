@@ -441,6 +441,98 @@ def test_merge_schema_evolution_bucketed(spark, btable):
     assert "tag" in sub.columns
 
 
+def test_schema_evolution_narrow_source_never_drops_columns(spark, btable):
+    """Regression: after evolving in a 'tag' column, a NARROW source
+    (no tag) merged with schema_evolution=True — including one whose
+    keys land only in EMPTY buckets — must not narrow the stored
+    schema; the evolved column stays readable with its data."""
+    btable.merge(rows(spark, [("u1", "a", 1)]), keys=["content_url"])
+    wide = spark.createDataFrame(
+        [("u2", "b", 2, "hot")],
+        "content_url string, title string, price long, tag string",
+    )
+    btable.merge(wide, keys=["content_url"], schema_evolution=True)
+    # find a key hashing to a bucket with NO data yet
+    manifest = btable._manifest()
+    probe = None
+    for i in range(200):
+        cand = f"empty-{i}"
+        b = btable.bucket_ids_of(
+            spark.createDataFrame([(cand,)], "content_url string")
+        )[0]
+        if str(b) not in manifest:
+            probe = cand
+            break
+    assert probe is not None
+    btable.merge(
+        rows(spark, [(probe, "x", 7)]), keys=["content_url"],
+        schema_evolution=True,
+    )
+    got = {r["content_url"]: r["tag"] for r in btable.read().collect()}
+    assert got["u2"] == "hot"  # evolved data still readable
+    assert set(got) == {"u1", "u2", probe}
+    assert "tag" in btable.read().columns
+
+
+def test_schema_evolution_update_preserves_target_columns(spark, btable):
+    """Delta UPDATE SET * parity: an update whose source lacks an
+    evolved column must PRESERVE the target row's value there, not
+    overwrite it with NULL (both table variants)."""
+    from delta_data_pipelines_spark.storage import VersionedTable
+
+    wide = spark.createDataFrame(
+        [("u1", "a", 1, "hot")],
+        "content_url string, title string, price long, tag string",
+    )
+    btable.merge(wide, keys=["content_url"])
+    btable.merge(
+        rows(spark, [("u1", "NEW", 9)]), keys=["content_url"],
+        when_matched="update", schema_evolution=True,
+    )
+    r = btable.read().collect()[0]
+    assert (r["title"], r["tag"]) == ("NEW", "hot")
+
+    vt = VersionedTable(spark, btable.root + "_vt")
+    vt.merge(wide, keys=["content_url"])
+    vt.merge(
+        rows(spark, [("u1", "NEW", 9)]), keys=["content_url"],
+        when_matched="update", schema_evolution=True,
+    )
+    r = vt.read().collect()[0]
+    assert (r["title"], r["tag"]) == ("NEW", "hot")
+
+
+def test_changes_across_schema_evolution_and_null_moves(spark, table):
+    """Regression pair for snapshot_diff: (1) a CDF span crossing a
+    schema-evolving merge must align schemas (old side reads NULL in
+    the new column) instead of crashing; (2) a value MOVING between
+    columns (one goes NULL, the other gains it) must register as an
+    update — xxhash64 skips NULLs, so a hash-based compare missed it."""
+    from delta_data_pipelines_spark.storage.table import snapshot_diff
+
+    c0 = table.merge(rows(spark, [("u1", "a", 1)]), keys=["content_url"])
+    table.merge(
+        spark.createDataFrame(
+            [("u2", "b", 2, "hot")],
+            "content_url string, title string, price long, tag string",
+        ),
+        keys=["content_url"],
+        schema_evolution=True,
+    )
+    ch = {(r["_change_type"], r["content_url"], r["tag"])
+          for r in table.changes(c0.version, keys=["content_url"]).collect()}
+    assert ch == {("insert", "u2", "hot")}  # u1 unchanged (NULL == NULL)
+
+    old = spark.createDataFrame(
+        [("k", "x", None)], "id string, a string, b string"
+    )
+    new = spark.createDataFrame(
+        [("k", None, "x")], "id string, a string, b string"
+    )
+    d = {r["_change_type"] for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert d == {"update_preimage", "update_postimage"}
+
+
 def test_bucketed_changes_cdf(spark, btable):
     """Change feed between versions (Delta CDF contract): inserts,
     deletes, and update pre/post images — derived from ONLY the

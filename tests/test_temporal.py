@@ -114,7 +114,6 @@ def test_subsequence_topk_finds_planted_spike(spark):
 
     # z-normalized spike [0,0,0,1,1,0,0,0], rounded to 9 dp
     zp = [-0.577350269] * 3 + [1.732050808] * 2 + [-0.577350269] * 3
-    base = datetime(2024, 3, 1, 0, 0, 0)
 
     def ev(i, etype, v, day=1):
         return (
