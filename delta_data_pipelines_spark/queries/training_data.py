@@ -1247,12 +1247,46 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     its 8-bit codes only (see similarity.pq_adc_topk). The approximate
     scores are deterministic (decimal-summed rounded partials), so the
     oracle recomputes them exactly; recall vs sim_brute_topk is
-    measured in tests, not here."""
+    audited in-plan by sim_pq_recall_audit."""
     e = read_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
     return similarity.pq_adc_topk(
         e, q, "vec_id", "embedding", m=4, k=4, n_iter=2, topk=5
     ).orderBy("query_id", "rank")
+
+
+def sim_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan ANN quality audit: per query, how many of the PQ ADC
+    top-5 are TRUE (brute-force) top-5 neighbors — recall@5 as a
+    first-class, oracle-checked query, because both sides are
+    deterministic. This is the measurement a production index build
+    gates on before swapping in a new codebook; 8-bit codes are
+    coarse, so the absolute numbers are modest by design."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    brute = similarity.brute_force_topk(e, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    adc = similarity.pq_adc_topk(
+        e, q, "vec_id", "embedding", m=4, k=4, n_iter=2, topk=5
+    ).select("query_id", "neighbor_id")
+    hits = (
+        adc.join(brute, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("_n"))
+    )
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_matched"),
+            F.round(F.coalesce(F.col("_n"), F.lit(0)) / 5, 9).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("query_id")
+    )
 
 
 SPARK_QUERIES = {
@@ -1308,6 +1342,7 @@ SPARK_QUERIES = {
     "td_source_reputation": td_source_reputation,
     "sim_pq_codes": sim_pq_codes,
     "sim_pq_adc_topk": sim_pq_adc_topk,
+    "sim_pq_recall_audit": sim_pq_recall_audit,
     "txt_bpe_pairs": txt_bpe_pairs,
     "txt_bpe_merges": txt_bpe_merges,
     "sk_heavy_hitters": sk_heavy_hitters,
@@ -1335,6 +1370,79 @@ _MD5_BUCKET = (
     "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000)"
     " / 1000000.0"
 )
+
+# The PQ codebook fit (m=4 subspaces, k=4 codewords, 2 Lloyd rounds,
+# sublen = len(v)//4), shared by the three sim_pq_* twins — ONE
+# definition so the codes, the ADC scores, and the recall audit can
+# never drift from each other.  Mirrors similarity.pq_index: lowest-id
+# seeds, decimal(38,12) centroid means rounded to 9, spherical assign
+# with ties to the smaller code.
+_PQ_FIT_CTES = """
+        vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), sub AS (
+            SELECT vec_id, sub_id,
+                   v[(sub_id*(len(v)//4))+1 : (sub_id+1)*(len(v)//4)] AS sv
+            FROM vecs CROSS JOIN (SELECT unnest(range(0, 4)) AS sub_id) s
+        ), c0 AS (
+            SELECT sub_id, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 4
+        ), s1 AS (
+            SELECT vec_id, sub_id, sv, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                       ORDER BY list_cosine_similarity(sv, cv) DESC, code) AS rn
+            FROM sub JOIN c0 USING (sub_id)
+        ), a1 AS (
+            SELECT vec_id, sub_id, sv, code FROM s1 WHERE rn = 1
+        ), comp1 AS (
+            SELECT sub_id, code, u.pos AS pos, u.val AS val FROM (
+                SELECT sub_id, code, unnest(list_transform(sv, (x, i) ->
+                    struct_pack(pos := i, val := x))) AS u
+                FROM a1)
+        ), m1 AS (
+            SELECT sub_id, code, pos,
+                   ROUND(CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                         / COUNT(*), 9) AS c
+            FROM comp1 GROUP BY sub_id, code, pos
+        ), c1 AS (
+            SELECT sub_id, code, list(c ORDER BY pos) AS cv
+            FROM m1 GROUP BY sub_id, code
+        ), s2 AS (
+            SELECT vec_id, sub_id, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                       ORDER BY list_cosine_similarity(sv, cv) DESC, code) AS rn
+            FROM sub JOIN c1 USING (sub_id)
+        )"""
+
+# the ADC scoring chain on top of the fit (queries = vec_id < 10)
+_PQ_ADC_CTES = """, codes AS (
+            SELECT vec_id, sub_id, code FROM s2 WHERE rn = 1
+        ), qs AS (
+            SELECT q.vec_id AS query_id, q.sub_id, q.sv AS qsv,
+                   sqrt(list_dot_product(v.v, v.v)) AS qn
+            FROM sub q JOIN vecs v ON q.vec_id = v.vec_id
+            WHERE q.vec_id < 10
+        ), lut AS (
+            SELECT query_id, sub_id, code,
+                   CAST(ROUND(list_dot_product(qsv, cv), 9)
+                        AS DECIMAL(38,12)) AS pd,
+                   CAST(ROUND(list_dot_product(cv, cv), 9)
+                        AS DECIMAL(38,12)) AS cn2,
+                   qn
+            FROM qs JOIN c1 USING (sub_id)
+        ), adc_scored AS (
+            SELECT query_id, c.vec_id AS neighbor_id,
+                   ROUND(CAST(SUM(pd) AS DOUBLE) /
+                         (MIN(qn) * sqrt(CAST(SUM(cn2) AS DOUBLE))), 9)
+                       AS approx_cos
+            FROM codes c JOIN lut USING (sub_id, code)
+            WHERE c.vec_id <> query_id
+            GROUP BY query_id, c.vec_id
+        ), adc_ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id
+            ) AS rank
+            FROM adc_scored
+        )"""
 
 ORACLE_SQL = {
     # thresholds written as the same float sums Python accumulates
@@ -2318,41 +2426,8 @@ ORACLE_SQL = {
     # product quantization: per-subspace spherical codebooks, same
     # deterministic-Lloyd discipline as sim_kmeans, with sub_id as one
     # more grouping column; sublen = len(v) // m
-    "sim_pq_codes": """
-        WITH vecs AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        ), sub AS (
-            SELECT vec_id, sub_id,
-                   v[(sub_id*(len(v)//4))+1 : (sub_id+1)*(len(v)//4)] AS sv
-            FROM vecs CROSS JOIN (SELECT unnest(range(0, 4)) AS sub_id) s
-        ), c0 AS (
-            SELECT sub_id, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 4
-        ), s1 AS (
-            SELECT vec_id, sub_id, sv, code,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
-                       ORDER BY list_cosine_similarity(sv, cv) DESC, code) AS rn
-            FROM sub JOIN c0 USING (sub_id)
-        ), a1 AS (
-            SELECT vec_id, sub_id, sv, code FROM s1 WHERE rn = 1
-        ), comp1 AS (
-            SELECT sub_id, code, u.pos AS pos, u.val AS val FROM (
-                SELECT sub_id, code, unnest(list_transform(sv, (x, i) ->
-                    struct_pack(pos := i, val := x))) AS u
-                FROM a1)
-        ), m1 AS (
-            SELECT sub_id, code, pos,
-                   ROUND(CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
-                         / COUNT(*), 9) AS c
-            FROM comp1 GROUP BY sub_id, code, pos
-        ), c1 AS (
-            SELECT sub_id, code, list(c ORDER BY pos) AS cv
-            FROM m1 GROUP BY sub_id, code
-        ), s2 AS (
-            SELECT vec_id, sub_id, code,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
-                       ORDER BY list_cosine_similarity(sv, cv) DESC, code) AS rn
-            FROM sub JOIN c1 USING (sub_id)
-        )
+    "sim_pq_codes": f"""
+        WITH {_PQ_FIT_CTES}
         SELECT vec_id, CAST(sub_id AS INTEGER) AS sub_id, code
         FROM s2 WHERE rn = 1 ORDER BY vec_id, sub_id
     """,
@@ -2360,71 +2435,39 @@ ORACLE_SQL = {
     # final assignment scored against), per-query m·k lookup table,
     # corpus joined on (sub_id, code) only; partial dots/norms rounded
     # to 9 dp then summed as DECIMAL so both engines score identically
-    "sim_pq_adc_topk": """
-        WITH vecs AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        ), sub AS (
-            SELECT vec_id, sub_id,
-                   v[(sub_id*(len(v)//4))+1 : (sub_id+1)*(len(v)//4)] AS sv
-            FROM vecs CROSS JOIN (SELECT unnest(range(0, 4)) AS sub_id) s
-        ), c0 AS (
-            SELECT sub_id, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 4
-        ), s1 AS (
-            SELECT vec_id, sub_id, sv, code,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
-                       ORDER BY list_cosine_similarity(sv, cv) DESC, code) AS rn
-            FROM sub JOIN c0 USING (sub_id)
-        ), a1 AS (
-            SELECT vec_id, sub_id, sv, code FROM s1 WHERE rn = 1
-        ), comp1 AS (
-            SELECT sub_id, code, u.pos AS pos, u.val AS val FROM (
-                SELECT sub_id, code, unnest(list_transform(sv, (x, i) ->
-                    struct_pack(pos := i, val := x))) AS u
-                FROM a1)
-        ), m1 AS (
-            SELECT sub_id, code, pos,
-                   ROUND(CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
-                         / COUNT(*), 9) AS c
-            FROM comp1 GROUP BY sub_id, code, pos
-        ), c1 AS (
-            SELECT sub_id, code, list(c ORDER BY pos) AS cv
-            FROM m1 GROUP BY sub_id, code
-        ), s2 AS (
-            SELECT vec_id, sub_id, code,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
-                       ORDER BY list_cosine_similarity(sv, cv) DESC, code) AS rn
-            FROM sub JOIN c1 USING (sub_id)
-        ), codes AS (
-            SELECT vec_id, sub_id, code FROM s2 WHERE rn = 1
-        ), qs AS (
-            SELECT q.vec_id AS query_id, q.sub_id, q.sv AS qsv,
-                   sqrt(list_dot_product(v.v, v.v)) AS qn
-            FROM sub q JOIN vecs v ON q.vec_id = v.vec_id
-            WHERE q.vec_id < 10
-        ), lut AS (
-            SELECT query_id, sub_id, code,
-                   CAST(ROUND(list_dot_product(qsv, cv), 9)
-                        AS DECIMAL(38,12)) AS pd,
-                   CAST(ROUND(list_dot_product(cv, cv), 9)
-                        AS DECIMAL(38,12)) AS cn2,
-                   qn
-            FROM qs JOIN c1 USING (sub_id)
-        ), scored AS (
-            SELECT query_id, c.vec_id AS neighbor_id,
-                   ROUND(CAST(SUM(pd) AS DOUBLE) /
-                         (MIN(qn) * sqrt(CAST(SUM(cn2) AS DOUBLE))), 9)
-                       AS approx_cos
-            FROM codes c JOIN lut USING (sub_id, code)
-            WHERE c.vec_id <> query_id
-            GROUP BY query_id, c.vec_id
-        ), ranked AS (
-            SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id
-            ) AS rank
-            FROM scored
-        )
+    "sim_pq_adc_topk": f"""
+        WITH {_PQ_FIT_CTES}{_PQ_ADC_CTES}
         SELECT query_id, neighbor_id, approx_cos, CAST(rank AS INTEGER) AS rank
-        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        FROM adc_ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    # recall@5 audit: ADC top-5 vs brute-force top-5, both rebuilt from
+    # the shared fit/scoring CTEs so the audit can never drift from the
+    # queries it audits
+    "sim_pq_recall_audit": f"""
+        WITH {_PQ_FIT_CTES}{_PQ_ADC_CTES}, adc AS (
+            SELECT query_id, neighbor_id FROM adc_ranked WHERE rank <= 5
+        ), b_scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND(list_cosine_similarity(q.v, c.v), 9) AS cosine_sim
+            FROM vecs q JOIN vecs c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 10
+        ), b_ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+            ) AS rank
+            FROM b_scored
+        ), brute AS (
+            SELECT query_id, neighbor_id FROM b_ranked WHERE rank <= 5
+        ), hits AS (
+            SELECT query_id, COUNT(*) AS n
+            FROM adc JOIN brute USING (query_id, neighbor_id)
+            GROUP BY query_id
+        )
+        SELECT v.vec_id AS query_id,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS n_matched,
+               ROUND(COALESCE(h.n, 0) / 5.0, 9) AS recall_at_5
+        FROM vecs v LEFT JOIN hits h ON v.vec_id = h.query_id
+        WHERE v.vec_id < 10 ORDER BY query_id
     """,
     # BPE round-1 core: frequency-weighted adjacent char pairs over the
     # word vocabulary; chars via 1-based string slicing (w[i:i] is one
