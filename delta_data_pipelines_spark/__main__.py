@@ -54,6 +54,13 @@ def main(argv: list[str] | None = None) -> int:
                     "(8-token shingles in >1 doc) exceeds FRACTION "
                     "after near-dup collapse (template cut)")
 
+    cr = sub.add_parser(
+        "corpus-report",
+        help="print the corpus datasheet (doc/token/lang/source counts, "
+        "dup ratio, mean quality/length) as one JSON line",
+    )
+    cr.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+
     cn = sub.add_parser(
         "compact-neardups",
         help="periodic sweep: collapse near-dup residue left by "
@@ -123,6 +130,13 @@ def main(argv: list[str] | None = None) -> int:
             max_passage_dup=args.max_passage_dup,
         )
         print(json.dumps({"job": "curate-corpus", **res}))
+        return 0
+
+    if args.cmd == "corpus-report":
+        from .queries.training_data import td_corpus_report
+
+        row = td_corpus_report(spark, args.sf_dir).collect()[0]
+        print(json.dumps({"job": "corpus-report", **row.asDict()}))
         return 0
 
     if args.cmd == "compact-neardups":

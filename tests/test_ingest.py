@@ -634,3 +634,50 @@ def test_run_crawl_evaluates_each_page_source_once(spark, tmp_path):
     res = run_crawl(iter(pages), "divar", seen, queue)
     assert res["pages"] == 2 and res["new"] == 8
     assert acc.value == 8  # every row computed exactly once
+
+
+def test_jsonl_roundtrip_corrupt_handling_and_shards(spark, tmp_path):
+    """JSONL corpus IO: explicit-schema read, errors-as-data for
+    malformed lines (clean rows publish, damage is accounted), gzip
+    shard-count control, and a lossless documents round-trip."""
+    import os
+
+    from delta_data_pipelines_spark.ingest.jsonl import (
+        read_jsonl,
+        split_corrupt,
+        write_jsonl,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "shard-000.jsonl"), "w") as f:
+        f.write('{"doc_id": 1, "text": "hello world"}\n')
+        f.write('{"doc_id": 2, "text": "ok"}\n')
+        f.write('{"doc_id": 3, "text": TRUNCATED-MID-RECORD\n')
+    df = read_jsonl(spark, src, "doc_id long, text string")
+    clean, bad = split_corrupt(df)
+    assert {(r["doc_id"], r["text"]) for r in clean.collect()} == {
+        (1, "hello world"), (2, "ok"),
+    }
+    assert clean.columns == ["doc_id", "text"]  # bookkeeping col dropped
+    quarantined = [r["raw"] for r in bad.collect()]
+    assert len(quarantined) == 1 and "TRUNCATED" in quarantined[0]
+
+    # declared schema may not claim the corrupt column for itself
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="_corrupt"):
+        read_jsonl(spark, src, "doc_id long, _corrupt string")
+
+    # round-trip with gzip shards: shard count controls read parallelism
+    out = str(tmp_path / "out")
+    write_jsonl(clean, out, compression="gzip", shards=3)
+    parts = [p for p in os.listdir(out) if p.startswith("part-")]
+    # shards is an UPPER bound: AQE coalesces near-empty shards
+    assert 1 <= len(parts) <= 3 and all(p.endswith(".json.gz") for p in parts)
+    back = read_jsonl(spark, out, "doc_id long, text string")
+    rt_clean, rt_bad = split_corrupt(back)
+    assert {(r["doc_id"], r["text"]) for r in rt_clean.collect()} == {
+        (1, "hello world"), (2, "ok"),
+    }
+    assert rt_bad.count() == 0
