@@ -9,23 +9,24 @@ corpus pipeline actually exchanges. Design points for 100 TB:
 - **Explicit schema, always.** Inference reads the whole dataset
   twice; a corpus reader must declare what it expects.
 - **Errors as data, never exceptions.** A malformed line (truncated
-  shard, encoding damage — routine in web-scale dumps) lands in a
-  ``_corrupt`` column via PERMISSIVE mode instead of killing the job;
-  ``split_corrupt`` separates clean rows from quarantine rows so the
-  pipeline can publish clean data AND account for the damage (the
-  quarantine pattern of ingest/quarantine.py, at the file level).
+  shard, encoding damage — routine in web-scale dumps) lands in the
+  corrupt-record column via PERMISSIVE mode instead of killing the
+  job; ``split_corrupt`` separates clean rows from quarantine rows so
+  the pipeline can publish clean data AND account for the damage (the
+  same bookkeeping column as ingest/quarantine.py's column-level
+  parse — one constant, shared).
 - **Compression is a codec name away** (gzip is splittable-per-file,
   not per-block: shard count = parallelism, so writers control shard
-  size, not block size).
+  size explicitly).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import StructType
 
-CORRUPT_COL = "_corrupt"
+from .quarantine import CORRUPT_COL, augment_with_corrupt
 
 
 def read_jsonl(
@@ -36,16 +37,16 @@ def read_jsonl(
 ) -> DataFrame:
     """JSONL source with explicit schema and errors-as-data.
 
-    Malformed lines appear with every schema column NULL and the raw
-    line in ``_corrupt``; well-formed lines have ``_corrupt`` NULL.
-    (Spark only POPULATES the corrupt-record column when it is part of
-    the declared schema — adding it here is what opts in.)
+    Any line that fails to parse fully sets the corrupt-record column
+    to the raw line; note Spark's PARTIAL-RESULT semantics — a row
+    with one bad field (e.g. a string where a long was declared) still
+    populates its parseable fields AND sets the corrupt column, so
+    corruption is detected by the corrupt column alone, never by
+    looking for all-null rows. (Spark only populates the column when
+    it is part of the declared schema — appending it here is what
+    opts in.)
     """
-    if isinstance(schema, str):
-        schema = StructType.fromDDL(schema)
-    if CORRUPT_COL in schema.fieldNames():
-        raise ValueError(f"schema must not already contain {CORRUPT_COL!r}")
-    full = StructType(schema.fields + [StructField(CORRUPT_COL, StringType())])
+    full = augment_with_corrupt(schema)
     return (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")
@@ -59,14 +60,17 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantine): clean rows without the bookkeeping column,
     quarantine rows as (raw line) for repair/accounting.
 
-    The quarantine side caches its (tiny, corrupt-rows-only) slice
-    first: Spark refuses scans whose only referenced column is the
-    internal corrupt-record column, and the documented workaround is
-    querying the cached parse instead of the raw files."""
+    The quarantine slice goes through a LAZY localCheckpoint: Spark
+    refuses scans whose only referenced column is the internal
+    corrupt-record column, and the checkpoint barrier materializes the
+    full row instead. Unlike ``cache()`` (which pins blocks until an
+    explicit unpersist), checkpoint blocks are reclaimed by the
+    ContextCleaner once the frame is dereferenced — repeated calls in
+    a long-running ingest don't accumulate storage."""
     clean = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = (
         df.where(F.col(CORRUPT_COL).isNotNull())
-        .cache()
+        .localCheckpoint(eager=False)
         .select(F.col(CORRUPT_COL).alias("raw"))
     )
     return clean, bad
@@ -81,10 +85,10 @@ def write_jsonl(
     """JSONL sink. ``shards`` controls output file count — with gzip
     (not block-splittable) shard count IS downstream read parallelism,
     so writers size shards explicitly rather than inheriting whatever
-    partitioning the plan ended with. Under AQE the count is an UPPER
-    bound: near-empty shards coalesce (a feature at scale — tiny
-    shards are the small-files problem this parameter exists to
-    avoid)."""
+    partitioning the plan ended with. The count is an upper bound:
+    explicit-count repartition is exempt from AQE coalescing, but the
+    file writer skips EMPTY partitions, so fewer rows than shards
+    yield fewer files."""
     if shards is not None:
         df = df.repartition(shards)
     writer = df.write.mode("overwrite")

@@ -20,6 +20,20 @@ from pyspark.sql.types import StructType
 CORRUPT_COL = "_corrupt_record"
 
 
+def augment_with_corrupt(schema: StructType | str) -> StructType:
+    """Declared schema + the corrupt-record column — the ONE place the
+    PERMISSIVE bookkeeping field is appended (shared by the column-
+    level parse here and the file-level JSONL source), so the two
+    quarantine paths can never diverge on the column name."""
+    from pyspark.sql.types import StringType, StructField
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if CORRUPT_COL in schema.fieldNames():
+        raise ValueError(f"schema must not already contain {CORRUPT_COL!r}")
+    return StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
+
+
 def parse_with_quarantine(
     df: DataFrame, json_col: str, schema: StructType | str
 ) -> tuple[DataFrame, DataFrame]:
@@ -34,13 +48,7 @@ def parse_with_quarantine(
     payload can legitimately miss every field; missing fields stay
     clean and the conform step fills them).
     """
-    from pyspark.sql.types import StringType, StructField
-
-    if isinstance(schema, str):
-        schema = StructType.fromDDL(schema)
-    full_schema = StructType(
-        list(schema.fields) + [StructField(CORRUPT_COL, StringType())]
-    )
+    full_schema = augment_with_corrupt(schema)
     parsed = df.withColumn(
         "parsed",
         F.from_json(

@@ -666,14 +666,15 @@ def test_jsonl_roundtrip_corrupt_handling_and_shards(spark, tmp_path):
     # declared schema may not claim the corrupt column for itself
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="_corrupt"):
-        read_jsonl(spark, src, "doc_id long, _corrupt string")
+    with _pytest.raises(ValueError, match="_corrupt_record"):
+        read_jsonl(spark, src, "doc_id long, _corrupt_record string")
 
     # round-trip with gzip shards: shard count controls read parallelism
     out = str(tmp_path / "out")
     write_jsonl(clean, out, compression="gzip", shards=3)
     parts = [p for p in os.listdir(out) if p.startswith("part-")]
-    # shards is an UPPER bound: AQE coalesces near-empty shards
+    # shards is an UPPER bound: the writer skips EMPTY partitions
+    # (explicit-count repartition is AQE-coalescing-exempt)
     assert 1 <= len(parts) <= 3 and all(p.endswith(".json.gz") for p in parts)
     back = read_jsonl(spark, out, "doc_id long, text string")
     rt_clean, rt_bad = split_corrupt(back)
