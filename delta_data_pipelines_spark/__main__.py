@@ -53,6 +53,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="drop docs whose duplicated-passage fraction "
                     "(8-token shingles in >1 doc) exceeds FRACTION "
                     "after near-dup collapse (template cut)")
+    cc.add_argument("--jsonl-in", default=None, metavar="DIR",
+                    help="read the input corpus from JSONL shards "
+                    "(doc_id/text/lang/source; malformed lines are "
+                    "quarantined, not fatal) instead of the sf-dir "
+                    "parquet")
+    cc.add_argument("--export-jsonl", default=None, metavar="DIR",
+                    help="also export the curated corpus as gzip JSONL "
+                    "shards (the interchange format downstream "
+                    "training loaders read)")
+    cc.add_argument("--jsonl-shards", type=int, default=None,
+                    help="shard count for --export-jsonl (gzip shard "
+                    "count = downstream read parallelism)")
 
     cr = sub.add_parser(
         "corpus-report",
@@ -118,10 +130,20 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "curate-corpus":
         from .catalog import read_table
+        from .ingest.jsonl import read_jsonl, split_corrupt, write_jsonl
         from .jobs import publish_corpus
         from .storage import VersionedTable
 
-        docs = read_table(spark, args.sf_dir, "documents")
+        n_quarantined = 0
+        if args.jsonl_in:
+            raw = read_jsonl(
+                spark, args.jsonl_in,
+                "doc_id long, text string, lang string, source string",
+            )
+            docs, bad = split_corrupt(raw)
+            n_quarantined = bad.count()
+        else:
+            docs = read_table(spark, args.sf_dir, "documents")
         table = VersionedTable(spark, args.out)
         res = publish_corpus(
             table, docs, scrub=not args.no_scrub, pack_ctx=args.pack_ctx,
@@ -129,6 +151,13 @@ def main(argv: list[str] | None = None) -> int:
             decontaminate=args.decontaminate,
             max_passage_dup=args.max_passage_dup,
         )
+        if args.jsonl_in:
+            res["quarantined_lines"] = n_quarantined
+        if args.export_jsonl:
+            write_jsonl(
+                table.read(), args.export_jsonl, shards=args.jsonl_shards
+            )
+            res["exported_jsonl"] = args.export_jsonl
         print(json.dumps({"job": "curate-corpus", **res}))
         return 0
 

@@ -10,11 +10,20 @@ corpus pipeline actually exchanges. Design points for 100 TB:
   twice; a corpus reader must declare what it expects.
 - **Errors as data, never exceptions.** A malformed line (truncated
   shard, encoding damage — routine in web-scale dumps) lands in the
-  corrupt-record column via PERMISSIVE mode instead of killing the
-  job; ``split_corrupt`` separates clean rows from quarantine rows so
-  the pipeline can publish clean data AND account for the damage (the
-  same bookkeeping column as ingest/quarantine.py's column-level
-  parse — one constant, shared).
+  corrupt-record column via PERMISSIVE ``from_json`` instead of
+  killing the job; ``split_corrupt`` separates clean rows from
+  quarantine rows so the pipeline can publish clean data AND account
+  for the damage (same bookkeeping column as ingest/quarantine.py's
+  column-level parse — one constant, shared).
+- **Text scan + from_json, NOT the native json reader.** Spark's
+  file-level corrupt-record column is load-bearing but hostile:
+  any plan whose pruned schema references only that column —
+  ``clean.count()``, ``bad.count()``, exactly what a quarantine
+  accounting step runs — is refused outright
+  (QUERY_ONLY_CORRUPT_RECORD_COLUMN). Parsing a ``text`` scan with
+  ``from_json`` produces the identical (schema + corrupt) shape with
+  none of the restriction, no caching workarounds, and line-accurate
+  raw text for the quarantine.
 - **Compression is a codec name away** (gzip is splittable-per-file,
   not per-block: shard count = parallelism, so writers control shard
   size explicitly).
@@ -30,10 +39,7 @@ from .quarantine import CORRUPT_COL, augment_with_corrupt
 
 
 def read_jsonl(
-    spark: SparkSession,
-    path: str,
-    schema: StructType | str,
-    multiline: bool = False,
+    spark: SparkSession, path: str, schema: StructType | str
 ) -> DataFrame:
     """JSONL source with explicit schema and errors-as-data.
 
@@ -42,36 +48,30 @@ def read_jsonl(
     with one bad field (e.g. a string where a long was declared) still
     populates its parseable fields AND sets the corrupt column, so
     corruption is detected by the corrupt column alone, never by
-    looking for all-null rows. (Spark only populates the column when
-    it is part of the declared schema — appending it here is what
-    opts in.)
+    looking for all-null rows. Blank lines (trailing newlines are
+    routine in hand-built shards) are skipped, not quarantined.
     """
     full = augment_with_corrupt(schema)
-    return (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .option("multiLine", "true" if multiline else "false")
-        .json(path)
+    raw = spark.read.text(path).where(F.length(F.trim(F.col("value"))) > 0)
+    parsed = raw.select(
+        F.from_json(
+            F.col("value"),
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("_p")
     )
+    return parsed.select(*[F.col(f"_p.{f.name}") for f in full.fields])
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantine): clean rows without the bookkeeping column,
-    quarantine rows as (raw line) for repair/accounting.
-
-    The quarantine slice goes through a LAZY localCheckpoint: Spark
-    refuses scans whose only referenced column is the internal
-    corrupt-record column, and the checkpoint barrier materializes the
-    full row instead. Unlike ``cache()`` (which pins blocks until an
-    explicit unpersist), checkpoint blocks are reclaimed by the
-    ContextCleaner once the frame is dereferenced — repeated calls in
-    a long-running ingest don't accumulate storage."""
+    quarantine rows as (raw line) for repair/accounting. Both sides
+    are plain lazy filters — counts, aggregates, and downstream plans
+    compose freely (the text-scan parse has no reserved-column
+    restrictions)."""
     clean = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    bad = (
-        df.where(F.col(CORRUPT_COL).isNotNull())
-        .localCheckpoint(eager=False)
-        .select(F.col(CORRUPT_COL).alias("raw"))
+    bad = df.where(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw")
     )
     return clean, bad
 
