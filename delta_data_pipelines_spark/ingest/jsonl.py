@@ -52,8 +52,14 @@ def read_jsonl(
     routine in hand-built shards) are skipped, not quarantined.
     """
     full = augment_with_corrupt(schema)
-    raw = spark.read.text(path).where(F.length(F.trim(F.col("value"))) > 0)
-    parsed = raw.select(
+    raw = spark.read.text(path)
+    return _parse_lines(raw, full)
+
+
+def _parse_lines(raw: DataFrame, full: StructType) -> DataFrame:
+    """The ONE line-parse used by batch and streaming readers: skip
+    blank lines, PERMISSIVE from_json, flatten to (schema + corrupt)."""
+    parsed = raw.where(F.length(F.trim(F.col("value"))) > 0).select(
         F.from_json(
             F.col("value"),
             full,
@@ -61,6 +67,26 @@ def read_jsonl(
         ).alias("_p")
     )
     return parsed.select(*[F.col(f"_p.{f.name}") for f in full.fields])
+
+
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Streaming twin of :func:`read_jsonl` — micro-batched shard
+    ingest with the SAME parse (text scan + PERMISSIVE from_json), so
+    ``split_corrupt`` and every downstream operator work identically
+    on the stream; pair with ``streaming/curate.py``'s foreachBatch
+    sink for curation-at-ingest. ``max_files_per_trigger`` bounds each
+    micro-batch (one shard per trigger by default — a shard is the
+    natural unit of arrival AND of gzip read parallelism)."""
+    full = augment_with_corrupt(schema)
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _parse_lines(reader.text(path), full)
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -937,3 +937,52 @@ def test_neardup_reingest_changed_text_keeps_state_consistent(
 
     assert per_doc == {1: BANDS, 2: BANDS}
     assert hs.read().where("doc_id = 1").count() == 1
+
+
+def test_jsonl_stream_ingest_with_quarantine(spark, tmp_path):
+    """Streaming JSONL shard ingest: one shard per micro-batch, the
+    same parse as the batch reader — clean rows MERGE into a versioned
+    table, malformed lines accumulate in a quarantine table, nothing
+    is fatal."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.ingest.jsonl import (
+        read_jsonl_stream,
+        split_corrupt,
+    )
+    from delta_data_pipelines_spark.storage import VersionedTable
+
+    src = str(tmp_path / "shards")
+    os.makedirs(src)
+    with open(os.path.join(src, "shard-000.jsonl"), "w") as f:
+        f.write('{"doc_id": 1, "text": "a b"}\n{"doc_id": 2, "text": "c d"}\n')
+    with open(os.path.join(src, "shard-001.jsonl"), "w") as f:
+        f.write('{"doc_id": 3, "text": "e f"}\n{"doc_id": 4, "text": OOPS\n')
+
+    stream = read_jsonl_stream(spark, src, "doc_id long, text string")
+    corpus = VersionedTable(spark, str(tmp_path / "jl_corpus"))
+    quarantine = VersionedTable(spark, str(tmp_path / "jl_quarantine"))
+
+    def sink(batch_df, epoch_id):
+        clean, bad = split_corrupt(batch_df)
+        corpus.merge(clean, keys=["doc_id"])
+        if not bad.isEmpty():
+            bad_rows = bad.withColumn("epoch", F.lit(epoch_id))
+            if quarantine.exists():
+                quarantine.append(bad_rows)
+            else:
+                quarantine.overwrite(bad_rows)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "jl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["text"]) for r in corpus.read().collect()}
+    assert got == {(1, "a b"), (2, "c d"), (3, "e f")}
+    bad = quarantine.read().collect()
+    assert len(bad) == 1 and "OOPS" in bad[0]["raw"]
