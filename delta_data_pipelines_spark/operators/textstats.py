@@ -358,3 +358,69 @@ def passage_dup_stats(
 
         out = _materialize_and_release(out, staged)
     return out
+
+
+def bigram_logprob_scores(
+    df: DataFrame, id_col: str, text_col: str, lam: float = 0.7
+) -> DataFrame:
+    """Per-doc mean INTERPOLATED bigram log-prob under the corpus's
+    own counts — the order-1 upgrade of unigram_logprob_scores, one
+    step closer to the CCNet/KenLM perplexity cut:
+    ln(λ·P(w2|w1) + (1−λ)·P(w2)), averaged over a doc's bigram
+    positions. The unigram backoff keeps unseen-in-context pairs
+    finite; corpus-rare CONTINUATIONS (mojibake, code soup) score low
+    even when their individual tokens are common.
+
+    Same float discipline as the unigram scorer: each position's
+    log-prob is rounded to 9 dp and summed as DECIMAL (associative →
+    deterministic under any partial-agg order); every division is one
+    float op on exact counts; the interpolation weights are single
+    literals evaluated identically in both engines. Docs with fewer
+    than 2 tokens have no bigram and are absent from the output
+    (callers pass them through, as lm_filter_stage does for
+    unscorables). Shape at scale: one bigram explode → bigram-vocab
+    groupBy → three vocabulary joins (AQE broadcasts while they fit)
+    → per-doc partial agg.
+
+    Output: (id_col, n_bigrams, avg_logprob double, UNROUNDED).
+    """
+    w = F.split(F.col(text_col), " ")
+    pairs = F.zip_with(
+        w,
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(1))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        df.select(id_col, F.explode(pairs).alias("_p"))
+        .where(F.col("_p.w2").isNotNull())
+        .select(
+            id_col,
+            F.col("_p.w1").alias("_w1"),
+            F.col("_p.w2").alias("_w2"),
+        )
+    )
+    bf = big.groupBy("_w1", "_w2").agg(F.count("*").alias("_cb"))
+    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("_tok"))
+    uni = toks.groupBy("_tok").agg(F.count("*").alias("_c"))
+    tot = uni.agg(F.sum("_c").alias("_n"))
+    p = F.lit(lam) * (F.col("_cb") / F.col("_c1")) + F.lit(1 - lam) * (
+        F.col("_c2") / F.col("_n")
+    )
+    return (
+        big.join(bf, ["_w1", "_w2"])
+        .join(
+            uni.select(F.col("_tok").alias("_w1"), F.col("_c").alias("_c1")),
+            "_w1",
+        )
+        .join(
+            uni.select(F.col("_tok").alias("_w2"), F.col("_c").alias("_c2")),
+            "_w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_lp", F.round(F.log(p), 9).cast("decimal(28,9)"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.sum("_lp").cast("double") / F.count("*")).alias("avg_logprob"),
+        )
+    )

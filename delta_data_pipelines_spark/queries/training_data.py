@@ -1129,6 +1129,21 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM score per document — order-1 of the
+    CCNet/KenLM perplexity proxy family (txt_unigram_logprob is order
+    0): mean of ln(0.7·P(w2|w1) + 0.3·P(w2)) over bigram positions.
+    Flags corpus-rare CONTINUATIONS (shuffled text, code soup) that
+    unigram statistics can't see. One scoring definition
+    (textstats.bigram_logprob_scores); docs under 2 tokens have no
+    bigram and are excluded here (the harness corpus has none)."""
+    d = read_table(spark, sf_dir, "documents")
+    s = textstats.bigram_logprob_scores(d, "doc_id", "text", lam=0.7)
+    return s.select(
+        "doc_id", "n_bigrams", F.round("avg_logprob", 6).alias("avg_logprob")
+    ).orderBy("doc_id")
+
+
 def td_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus datasheet: one row of the headline numbers every
     dataset card starts with — doc/token/lang/source counts, exact-dup
@@ -1348,6 +1363,7 @@ SPARK_QUERIES = {
     "sk_heavy_hitters": sk_heavy_hitters,
     "td_corpus_report": td_corpus_report,
     "td_priority_dedup": td_priority_dedup,
+    "txt_bigram_logprob": txt_bigram_logprob,
 }
 
 _SHINGLES = """
@@ -2487,6 +2503,39 @@ ORACLE_SQL = {
         SELECT l, r, CAST(SUM(wf) AS BIGINT) AS pair_count
         FROM pairs GROUP BY l, r
         ORDER BY pair_count DESC, l, r LIMIT 20
+    """,
+    # interpolation weights: 0.7 literal and (1 - 0.7) — the Spark side
+    # computes 1-lam in Python, and (1 - 0.7) is the same IEEE double in
+    # both engines (0.30000000000000004); a 0.3 literal would NOT be
+    "txt_bigram_logprob": """
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), big AS (
+            SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+                SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                    i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS u
+                FROM w WHERE len(w) >= 2)
+        ), bf AS (
+            SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY w1, w2
+        ), uni AS (
+            SELECT tok, COUNT(*) AS c FROM (
+                SELECT unnest(w) AS tok FROM w
+            ) GROUP BY tok
+        ), tot AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni
+        )
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               ROUND(CAST(SUM(CAST(ROUND(ln(
+                   0.7 * (cb / CAST(c1.c AS DOUBLE))
+                   + (1 - 0.7) * (c2.c / CAST(n AS DOUBLE))), 9)
+                   AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6)
+                   AS avg_logprob
+        FROM big
+        JOIN bf USING (w1, w2)
+        JOIN uni c1 ON big.w1 = c1.tok
+        JOIN uni c2 ON big.w2 = c2.tok
+        CROSS JOIN tot
+        GROUP BY doc_id ORDER BY doc_id
     """,
     # datasheet: quality formula mirrors td_curate's scored CTE; every
     # SUM over integers CAST to BIGINT (pandas HUGEINT hazard)
