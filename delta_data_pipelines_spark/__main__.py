@@ -134,12 +134,18 @@ def main(argv: list[str] | None = None) -> int:
         from .jobs import publish_corpus
         from .storage import VersionedTable
 
+        if args.jsonl_shards is not None and not args.export_jsonl:
+            p.error("--jsonl-shards requires --export-jsonl")
         n_quarantined = 0
         if args.jsonl_in:
+            # parse ONCE: gzip shards are not block-splittable, so every
+            # extra pass over the raw corpus is a full decompress+parse;
+            # the eager checkpoint feeds the quarantine count, the job's
+            # rows_in count, and the curation pipeline from one scan
             raw = read_jsonl(
                 spark, args.jsonl_in,
                 "doc_id long, text string, lang string, source string",
-            )
+            ).localCheckpoint(eager=True)
             docs, bad = split_corrupt(raw)
             n_quarantined = bad.count()
         else:

@@ -361,7 +361,7 @@ def passage_dup_stats(
 
 
 def bigram_logprob_scores(
-    df: DataFrame, id_col: str, text_col: str, lam: float = 0.7
+    df: DataFrame, id_col: str, text_col: str, lam: float = 0.75
 ) -> DataFrame:
     """Per-doc mean INTERPOLATED bigram log-prob under the corpus's
     own counts — the order-1 upgrade of unigram_logprob_scores, one
@@ -374,8 +374,13 @@ def bigram_logprob_scores(
     Same float discipline as the unigram scorer: each position's
     log-prob is rounded to 9 dp and summed as DECIMAL (associative →
     deterministic under any partial-agg order); every division is one
-    float op on exact counts; the interpolation weights are single
-    literals evaluated identically in both engines. Docs with fewer
+    float op on exact counts. The default λ=0.75 is chosen so BOTH
+    weights are exactly representable doubles (0.75 and 0.25) — with
+    λ=0.7 the complement differs between Python's 1-0.7
+    (0.30000000000000004) and an engine computing 1-0.7 in decimal
+    then casting (0.29999999999999999), a one-ulp weight divergence
+    that can flip a 9-dp-boundary log-prob. Callers passing a custom
+    λ must mirror the EXACT complement in any oracle. Docs with fewer
     than 2 tokens have no bigram and are absent from the output
     (callers pass them through, as lm_filter_stage does for
     unscorables). Shape at scale: one bigram explode → bigram-vocab

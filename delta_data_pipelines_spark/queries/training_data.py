@@ -1132,13 +1132,15 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM score per document — order-1 of the
     CCNet/KenLM perplexity proxy family (txt_unigram_logprob is order
-    0): mean of ln(0.7·P(w2|w1) + 0.3·P(w2)) over bigram positions.
-    Flags corpus-rare CONTINUATIONS (shuffled text, code soup) that
-    unigram statistics can't see. One scoring definition
-    (textstats.bigram_logprob_scores); docs under 2 tokens have no
-    bigram and are excluded here (the harness corpus has none)."""
+    0): mean of ln(0.75·P(w2|w1) + 0.25·P(w2)) over bigram positions
+    (λ=0.75 because both weights are exactly representable doubles —
+    see the operator docstring). Flags corpus-rare CONTINUATIONS
+    (shuffled text, code soup) that unigram statistics can't see. One
+    scoring definition (textstats.bigram_logprob_scores); docs under 2
+    tokens have no bigram and are excluded here (the harness corpus
+    has none)."""
     d = read_table(spark, sf_dir, "documents")
-    s = textstats.bigram_logprob_scores(d, "doc_id", "text", lam=0.7)
+    s = textstats.bigram_logprob_scores(d, "doc_id", "text", lam=0.75)
     return s.select(
         "doc_id", "n_bigrams", F.round("avg_logprob", 6).alias("avg_logprob")
     ).orderBy("doc_id")
@@ -2504,9 +2506,10 @@ ORACLE_SQL = {
         FROM pairs GROUP BY l, r
         ORDER BY pair_count DESC, l, r LIMIT 20
     """,
-    # interpolation weights: 0.7 literal and (1 - 0.7) — the Spark side
-    # computes 1-lam in Python, and (1 - 0.7) is the same IEEE double in
-    # both engines (0.30000000000000004); a 0.3 literal would NOT be
+    # interpolation weights 0.75/0.25: both exactly representable
+    # doubles, so the engines cannot diverge by an ulp in the weight
+    # (0.7/"1-0.7" DOES diverge: Python 1-0.7 vs DuckDB's
+    # decimal-then-cast differ in the last bit)
     "txt_bigram_logprob": """
         WITH w AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -2526,8 +2529,8 @@ ORACLE_SQL = {
         )
         SELECT doc_id, COUNT(*) AS n_bigrams,
                ROUND(CAST(SUM(CAST(ROUND(ln(
-                   0.7 * (cb / CAST(c1.c AS DOUBLE))
-                   + (1 - 0.7) * (c2.c / CAST(n AS DOUBLE))), 9)
+                   0.75 * (cb / CAST(c1.c AS DOUBLE))
+                   + 0.25 * (c2.c / CAST(n AS DOUBLE))), 9)
                    AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*), 6)
                    AS avg_logprob
         FROM big

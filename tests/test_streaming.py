@@ -969,11 +969,8 @@ def test_jsonl_stream_ingest_with_quarantine(spark, tmp_path):
         clean, bad = split_corrupt(batch_df)
         corpus.merge(clean, keys=["doc_id"])
         if not bad.isEmpty():
-            bad_rows = bad.withColumn("epoch", F.lit(epoch_id))
-            if quarantine.exists():
-                quarantine.append(bad_rows)
-            else:
-                quarantine.overwrite(bad_rows)
+            # append handles the no-table-yet case itself
+            quarantine.append(bad.withColumn("epoch", F.lit(epoch_id)))
 
     q = (
         stream.writeStream.foreachBatch(sink)
