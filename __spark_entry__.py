@@ -104,7 +104,7 @@ _PRIORITY = [
     # td_passage_dup_fraction, td_global_shuffle, td_source_reputation,
     # sim_pq_codes, sim_pq_adc_topk, txt_bpe_pairs, sk_heavy_hitters,
     # td_corpus_report, td_priority_dedup, t_subseq_search,
-    # sim_pq_recall_audit, txt_bigram_logprob
+    # sim_pq_recall_audit, txt_bigram_logprob, ds_weighted_sample
     # (txt_bpe_merges is rows-only) — tools/inventory.py's ledger
     # tracks them until they hold a driver row
 ]

@@ -265,3 +265,52 @@ def token_budget_mix(
         F.round(F.col("_alloc2").cast("double"), 6).alias("tokens_alloc"),
         F.round(F.col("_alloc2").cast("double") / t, 6).alias("epochs"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | Column,
+    k: int,
+    group_col: str | None = None,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis one-pass scheme (Inf. Process. Lett. 2006):
+    each row draws u from its key's portable hash and ranks by
+    -ln(u)/w; the k smallest ranks are exactly a weighted sample
+    without replacement. One pass, no sequential state, deterministic
+    (same salt → same sample on any engine or cluster) — the property
+    that makes corpus subsets reproducible across reruns.
+
+    u = (hash+1)/2^32 ∈ (0, 1]; the division is by a power of two, so
+    u is exact. The ES key is rounded to 9 dp before ranking with a
+    key tie-break, the repo-wide discipline for transcendental-float
+    comparisons across engines (ln is not guaranteed correctly
+    rounded everywhere). Zero/negative weights are excluded (their ES
+    key diverges); document that or pre-clamp.
+
+    ``group_col`` takes k per group via a per-group window (groups
+    assumed numerous-and-small, the stratified-sampling shape);
+    global sampling ranks by sort+limit (TakeOrderedAndProject — no
+    single-partition window).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        md5_hash64(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+        + F.lit(1)
+    ) / F.lit(4294967296.0)
+    es = F.round(-F.log(u) / w, 9)
+    base = df.where(w > 0).withColumn("_es", es)
+    if group_col is not None:
+        from pyspark.sql import Window
+
+        win = Window.partitionBy(group_col).orderBy("_es", key_col)
+        return (
+            base.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") <= k)
+            .drop("_es", "_rn")
+        )
+    return base.orderBy("_es", key_col).limit(k).drop("_es")

@@ -1129,6 +1129,26 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ds_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement, 5 docs per
+    source with selection probability ∝ n_chars — the
+    Efraimidis–Spirakis one-pass scheme on portable hashes (see
+    sampling.weighted_sample): longer docs are favored, the sample is
+    reproducible on any engine, and no sequential state exists
+    anywhere."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        sampling.weighted_sample(
+            d.select("doc_id", "source", "n_chars"),
+            "doc_id",
+            "n_chars",
+            k=5,
+            group_col="source",
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
 def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM score per document — order-1 of the
     CCNet/KenLM perplexity proxy family (txt_unigram_logprob is order
@@ -1366,6 +1386,7 @@ SPARK_QUERIES = {
     "td_corpus_report": td_corpus_report,
     "td_priority_dedup": td_priority_dedup,
     "txt_bigram_logprob": txt_bigram_logprob,
+    "ds_weighted_sample": ds_weighted_sample,
 }
 
 _SHINGLES = """
@@ -2505,6 +2526,25 @@ ORACLE_SQL = {
         SELECT l, r, CAST(SUM(wf) AS BIGINT) AS pair_count
         FROM pairs GROUP BY l, r
         ORDER BY pair_count DESC, l, r LIMIT 20
+    """,
+    # Efraimidis-Spirakis: u = (portable_hash+1)/2^32 (exact — power-of-
+    # two divisor), ES key -ln(u)/w rounded to 9 dp before ranking with
+    # an id tie-break (the repo's transcendental-compare discipline)
+    "ds_weighted_sample": """
+        WITH s AS (
+            SELECT doc_id, source, n_chars,
+                   ROUND(-ln(
+                       (('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                        1, 8))::BIGINT + 1) / 4294967296.0
+                   ) / n_chars, 9) AS es
+            FROM documents WHERE n_chars > 0
+        ), r AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY es, doc_id) AS rn
+            FROM s
+        )
+        SELECT doc_id, source, n_chars FROM r WHERE rn <= 5
+        ORDER BY source, doc_id
     """,
     # interpolation weights 0.75/0.25: both exactly representable
     # doubles, so the engines cannot diverge by an ulp in the weight

@@ -1459,3 +1459,36 @@ def test_brute_topk_pandas_impl_matches_expr(spark):
     assert a == b
     with pytest.raises(ValueError, match="impl must be"):
         brute_force_topk(e, q, impl="cuda")
+
+
+def test_weighted_sample_semantics(spark):
+    """Efraimidis-Spirakis sample: deterministic across calls, without
+    replacement, heavy weights dominate, zero/negative weights
+    excluded, and k caps per group."""
+    from delta_data_pipelines_spark.operators.sampling import weighted_sample
+
+    rows = [(f"d{i}", "g1", 1.0) for i in range(200)]
+    rows += [("HEAVY", "g1", 100000.0)]
+    rows += [(f"e{i}", "g2", 1.0) for i in range(20)]
+    rows += [("zero", "g2", 0.0), ("neg", "g2", -3.0)]
+    df = spark.createDataFrame(rows, "k string, g string, w double")
+
+    out1 = weighted_sample(df, "k", "w", k=5, group_col="g").collect()
+    out2 = weighted_sample(df, "k", "w", k=5, group_col="g").collect()
+    s1 = sorted((r["k"], r["g"]) for r in out1)
+    assert s1 == sorted((r["k"], r["g"]) for r in out2)  # deterministic
+    assert len(s1) == len(set(s1))  # without replacement
+    g1 = [k for k, g in s1 if g == "g1"]
+    g2 = [k for k, g in s1 if g == "g2"]
+    assert len(g1) == 5 and len(g2) == 5
+    # P(HEAVY in top-5 of g1) = 1 - prod(...) ~ 1 for w-ratio 1e5
+    assert "HEAVY" in g1
+    assert "zero" not in g2 and "neg" not in g2  # excluded, not crashed
+
+    # global (ungrouped) mode: sort+limit path, same properties
+    glob = weighted_sample(df, "k", "w", k=3).collect()
+    assert len(glob) == 3 and any(r["k"] == "HEAVY" for r in glob)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        weighted_sample(df, "k", "w", k=0)
