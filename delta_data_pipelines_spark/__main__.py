@@ -53,6 +53,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="drop docs whose duplicated-passage fraction "
                     "(8-token shingles in >1 doc) exceeds FRACTION "
                     "after near-dup collapse (template cut)")
+    cc.add_argument("--sample-per-source", type=int, default=None,
+                    help="keep at most N docs per source after the "
+                    "cuts, length-weighted without replacement "
+                    "(deterministic Efraimidis-Spirakis)")
     cc.add_argument("--jsonl-in", default=None, metavar="DIR",
                     help="read the input corpus from JSONL shards "
                     "(doc_id/text/lang/source; malformed lines are "
@@ -156,6 +160,7 @@ def main(argv: list[str] | None = None) -> int:
             lm_drop_fraction=args.lm_drop, dup_weights=args.dup_weights,
             decontaminate=args.decontaminate,
             max_passage_dup=args.max_passage_dup,
+            sample_per_source=args.sample_per_source,
         )
         if args.jsonl_in:
             res["quarantined_lines"] = n_quarantined

@@ -322,13 +322,18 @@ def curate_corpus(
     dup_weights: bool = False,
     decontaminate: bool = False,
     max_passage_dup: float | None = None,
+    sample_per_source: int | None = None,
+    source_col: str = "source",
     **gate_kwargs,
 ) -> DataFrame:
     """PII scrub → quality gate → (optional) LM filter → exact dedup →
     near-dup collapse → (optional) passage-dup template cut → md5
     split → (optional) 13-gram decontamination → (optional) per-split
     packing. ``max_passage_dup`` drops docs whose duplicated-passage
-    fraction exceeds the threshold (RefinedWeb-style template cut).
+    fraction exceeds the threshold (RefinedWeb-style template cut);
+    ``sample_per_source`` keeps at most N docs per source after the
+    cuts, length-weighted without replacement (Efraimidis–Spirakis —
+    deterministic, so the subsample is reproducible).
     ``decontaminate=True`` drops train docs sharing any 13-gram with
     the heldout splits (exact-collision standard, after the split).
 
@@ -369,6 +374,20 @@ def curate_corpus(
         # after near-dup collapse: what's left with high passage-dup
         # shares passages across many DIFFERENT partners (templates)
         uniq = passage_dup_stage(uniq, id_col, text_col, max_passage_dup)
+    if sample_per_source is not None:
+        # budgeted subsample: k docs per source, weighted by length
+        # (Efraimidis-Spirakis — deterministic, without replacement),
+        # so a downsized corpus keeps long-document coverage instead
+        # of uniform-random's short-doc bias
+        from ..operators.textstats import token_count_ws
+
+        uniq = sampling.weighted_sample(
+            uniq.withColumn("_wtok", token_count_ws(F.col(text_col)).cast("double")),
+            id_col,
+            "_wtok",
+            k=sample_per_source,
+            group_col=source_col,
+        ).drop("_wtok")
     split = sampling.hash_split(
         uniq, id_col, splits or DEFAULT_SPLITS, method="md5"
     )

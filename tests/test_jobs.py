@@ -442,3 +442,33 @@ def test_pack_stage_rejects_nonpositive_ctx(spark):
 
     with _pytest.raises(ValueError, match="ctx must be"):
         pack_stage(df, ctx=0)
+
+
+def test_curate_corpus_sample_per_source_caps_and_weights(spark):
+    """sample_per_source keeps at most N per source after cuts,
+    deterministically, favoring longer docs (length-weighted)."""
+    from delta_data_pipelines_spark.jobs.curate_corpus import curate_corpus
+
+    stops = ["the", "of", "and", "to", "a", "in", "is", "it"]
+    rows = []
+    for i in range(1, 25):
+        # distinct, gate-passing docs across two sources; doc length
+        # grows with id so heavier ids should dominate the sample
+        n = 16 + i
+        rows.append(
+            (i, " ".join(f"{stops[j % 8]} s{i}w{j}" for j in range(n)),
+             "en", f"src{i % 2}")
+        )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out1 = curate_corpus(docs, scrub=False, sample_per_source=4)
+    out2 = curate_corpus(docs, scrub=False, sample_per_source=4)
+    ids1 = sorted(r["doc_id"] for r in out1.collect())
+    ids2 = sorted(r["doc_id"] for r in out2.collect())
+    assert ids1 == ids2  # deterministic
+    per_src = {}
+    for r in out1.collect():
+        per_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert all(len(v) <= 4 for v in per_src.values())
+    assert len(ids1) <= 8
