@@ -56,7 +56,8 @@ def main(argv: list[str] | None = None) -> int:
     cc.add_argument("--sample-per-source", type=int, default=None,
                     help="keep at most N docs per source after the "
                     "cuts, length-weighted without replacement "
-                    "(deterministic Efraimidis-Spirakis)")
+                    "(deterministic Efraimidis-Spirakis; zero-token "
+                    "docs carry no weight and are dropped)")
     cc.add_argument("--jsonl-in", default=None, metavar="DIR",
                     help="read the input corpus from JSONL shards "
                     "(doc_id/text/lang/source; malformed lines are "

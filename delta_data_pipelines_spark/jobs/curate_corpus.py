@@ -333,7 +333,10 @@ def curate_corpus(
     fraction exceeds the threshold (RefinedWeb-style template cut);
     ``sample_per_source`` keeps at most N docs per source after the
     cuts, length-weighted without replacement (Efraimidis–Spirakis —
-    deterministic, so the subsample is reproducible).
+    deterministic, so the subsample is reproducible). NOTE: a
+    zero-token doc carries zero weight and is dropped by this stage
+    even when its source is under budget (with the default quality
+    gate such docs never reach it).
     ``decontaminate=True`` drops train docs sharing any 13-gram with
     the heldout splits (exact-collision standard, after the split).
 

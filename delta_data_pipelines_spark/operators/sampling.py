@@ -287,13 +287,19 @@ def weighted_sample(
     u is exact. The ES key is rounded to 9 dp before ranking with a
     key tie-break, the repo-wide discipline for transcendental-float
     comparisons across engines (ln is not guaranteed correctly
-    rounded everywhere). Zero/negative weights are excluded (their ES
-    key diverges); document that or pre-clamp.
+    rounded everywhere). Rows with NULL keys or non-positive weights
+    are EXCLUDED (a NULL key hashes to a NULL score — which Spark's
+    ascending sort would otherwise place FIRST, silently occupying a
+    sample slot; a w ≤ 0 ES key diverges); pre-clamp weights if those
+    rows must stay eligible.
 
-    ``group_col`` takes k per group via a per-group window (groups
-    assumed numerous-and-small, the stratified-sampling shape);
-    global sampling ranks by sort+limit (TakeOrderedAndProject — no
-    single-partition window).
+    ``group_col`` takes k per group through
+    ``ranking.grouped_rank_by_range`` — range slices of (group, ES
+    key), never one task per group, because the callers that matter
+    (per-SOURCE subsampling) have few huge groups, exactly where a
+    ``partitionBy(group)`` window straggles (the ds_group_sample
+    lesson). Global sampling ranks by sort+limit
+    (TakeOrderedAndProject — no single-partition window).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -303,14 +309,18 @@ def weighted_sample(
         + F.lit(1)
     ) / F.lit(4294967296.0)
     es = F.round(-F.log(u) / w, 9)
-    base = df.where(w > 0).withColumn("_es", es)
+    base = (
+        df.where(F.col(key_col).isNotNull() & (w > 0)).withColumn("_es", es)
+    )
     if group_col is not None:
-        from pyspark.sql import Window
+        from .ranking import grouped_rank_by_range
 
-        win = Window.partitionBy(group_col).orderBy("_es", key_col)
+        keyed = base.withColumn(
+            "_okey", F.struct(F.col("_es"), F.col(key_col))
+        )
         return (
-            base.withColumn("_rn", F.row_number().over(win))
-            .where(F.col("_rn") <= k)
-            .drop("_es", "_rn")
+            grouped_rank_by_range(keyed, group_col, "_okey")
+            .where(F.col("group_rank") <= k)
+            .drop("_es", "_okey", "group_rank")
         )
     return base.orderBy("_es", key_col).limit(k).drop("_es")

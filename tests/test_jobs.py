@@ -452,9 +452,11 @@ def test_curate_corpus_sample_per_source_caps_and_weights(spark):
     stops = ["the", "of", "and", "to", "a", "in", "is", "it"]
     rows = []
     for i in range(1, 25):
-        # distinct, gate-passing docs across two sources; doc length
-        # grows with id so heavier ids should dominate the sample
-        n = 16 + i
+        # distinct, gate-passing docs across two sources, ~34 tokens
+        # each — plus one GIANT (~600 tokens, ~18x the weight) per
+        # source whose selection is near-certain under length
+        # weighting and a coin-flip under uniform
+        n = 600 if i in (1, 2) else 16 + (i % 8)
         rows.append(
             (i, " ".join(f"{stops[j % 8]} s{i}w{j}" for j in range(n)),
              "en", f"src{i % 2}")
@@ -464,11 +466,16 @@ def test_curate_corpus_sample_per_source_caps_and_weights(spark):
     )
     out1 = curate_corpus(docs, scrub=False, sample_per_source=4)
     out2 = curate_corpus(docs, scrub=False, sample_per_source=4)
-    ids1 = sorted(r["doc_id"] for r in out1.collect())
+    rows1 = out1.collect()
+    ids1 = sorted(r["doc_id"] for r in rows1)
     ids2 = sorted(r["doc_id"] for r in out2.collect())
     assert ids1 == ids2  # deterministic
     per_src = {}
-    for r in out1.collect():
+    for r in rows1:
         per_src.setdefault(r["source"], []).append(r["doc_id"])
     assert all(len(v) <= 4 for v in per_src.values())
     assert len(ids1) <= 8
+    # the LENGTH weight is actually wired through: both planted giants
+    # (~18x the weight of their source-mates) must be selected — with
+    # uniform weights each would be a 1-in-3 coin flip
+    assert 1 in ids1 and 2 in ids1

@@ -1488,6 +1488,20 @@ def test_weighted_sample_semantics(spark):
     # global (ungrouped) mode: sort+limit path, same properties
     glob = weighted_sample(df, "k", "w", k=3).collect()
     assert len(glob) == 3 and any(r["k"] == "HEAVY" for r in glob)
+
+    # the weight actually steers the sample: uniform weights on the
+    # same keys give a DIFFERENT (and lighter) selection
+    uni = weighted_sample(
+        df.withColumn("w", F.lit(1.0)), "k", "w", k=5, group_col="g"
+    ).collect()
+    assert sorted((r["k"], r["g"]) for r in uni) != s1
+    # NULL keys are excluded, never rank-first
+    with_null = spark.createDataFrame(
+        [(None, "g3", 9.0), ("a", "g3", 1.0), ("b", "g3", 1.0)],
+        "k string, g string, w double",
+    )
+    got3 = weighted_sample(with_null, "k", "w", k=2, group_col="g").collect()
+    assert {r["k"] for r in got3} == {"a", "b"}
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="k must be"):
