@@ -1398,12 +1398,26 @@ _SHINGLES = """
 """
 
 _JACCARD_PAIRS = f"""
-    WITH sh AS ({_SHINGLES})
+    WITH sh AS MATERIALIZED ({_SHINGLES})
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            ROUND(len(list_intersect(a.sg, b.sg)) /
                  CAST(len(list_distinct(a.sg || b.sg)) AS DOUBLE), 9) AS jaccard_sim
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id {{block}}
 """
+
+# Exact size-prune for a Jaccard >= t filter downstream: sg is already a
+# DISTINCT shingle set (list_distinct in _SHINGLES), so
+# J = |A∩B|/|A∪B| <= min(|A|,|B|)/max(|A|,|B|) — any pair failing the
+# integer inequality below has J strictly < t and cannot pass the
+# caller's threshold filter. Skips the O(len) list_intersect for the
+# overwhelming majority of the O(n^2) candidate pairs; pure
+# oracle-side speedup, zero result change (mirror-verified).
+_SIZE_PRUNE_08 = (  # t = 0.8 = 4/5 -> 10*min >= 8*max, integer-exact
+    "AND 10 * least(len(a.sg), len(b.sg)) >= 8 * greatest(len(a.sg), len(b.sg))"
+)
+_SIZE_PRUNE_05 = (  # t = 0.5 -> 2*min >= max
+    "AND 2 * least(len(a.sg), len(b.sg)) >= greatest(len(a.sg), len(b.sg))"
+)
 
 _MD5_BUCKET = (
     "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000)"
@@ -1823,10 +1837,10 @@ ORACLE_SQL = {
     # connected components over the exact-Jaccard pairs (as dd_cluster),
     # then keep min-id representatives carrying their component size
     "td_dup_weights": (
-        "WITH RECURSIVE pairs AS (SELECT * FROM ("
-        + _JACCARD_PAIRS.format(block="")
+        "WITH RECURSIVE pairs AS MATERIALIZED (SELECT * FROM ("
+        + _JACCARD_PAIRS.format(block=_SIZE_PRUNE_08)
         + """) WHERE jaccard_sim >= 0.8
-        ), edges AS (
+        ), edges AS MATERIALIZED (
             SELECT id_a AS src, id_b AS dst FROM pairs
             UNION
             SELECT id_b AS src, id_a AS dst FROM pairs
@@ -2004,7 +2018,7 @@ ORACLE_SQL = {
     """,
     "td_decontaminate": (
         "WITH pairs AS (SELECT * FROM ("
-        + _JACCARD_PAIRS.format(block="")
+        + _JACCARD_PAIRS.format(block=_SIZE_PRUNE_08)
         + f""") WHERE jaccard_sim >= 0.8
         ), s AS (
             SELECT doc_id,
@@ -2027,12 +2041,12 @@ ORACLE_SQL = {
     # exact all-pairs Jaccard — the computation MinHash-LSH approximates
     "dd_minhash": (
         "SELECT * FROM ("
-        + _JACCARD_PAIRS.format(block="")
+        + _JACCARD_PAIRS.format(block=_SIZE_PRUNE_08)
         + ") WHERE jaccard_sim >= 0.8 ORDER BY id_a, id_b"
     ),
     "dd_ngram_jaccard": (
         "SELECT * FROM ("
-        + _JACCARD_PAIRS.format(block="AND a.lang = b.lang")
+        + _JACCARD_PAIRS.format(block="AND a.lang = b.lang " + _SIZE_PRUNE_05)
         + ") WHERE jaccard_sim >= 0.5 ORDER BY id_a, id_b"
     ),
     # exact all-pairs containment — what the prefix-filter join prunes
@@ -2059,10 +2073,10 @@ ORACLE_SQL = {
     # MinHash pairs approximate, same ≥0.8 threshold as dd_minhash):
     # recursive closure over symmetric edges, cluster = min reachable id
     "dd_cluster": (
-        "WITH RECURSIVE pairs AS (SELECT * FROM ("
-        + _JACCARD_PAIRS.format(block="")
+        "WITH RECURSIVE pairs AS MATERIALIZED (SELECT * FROM ("
+        + _JACCARD_PAIRS.format(block=_SIZE_PRUNE_08)
         + """) WHERE jaccard_sim >= 0.8
-        ), edges AS (
+        ), edges AS MATERIALIZED (
             SELECT id_a AS src, id_b AS dst FROM pairs
             UNION
             SELECT id_b AS src, id_a AS dst FROM pairs
@@ -2612,10 +2626,10 @@ ORACLE_SQL = {
     # same recursive-CC core as td_dup_weights, but the representative
     # is min (priority, doc_id) instead of min doc_id
     "td_priority_dedup": (
-        "WITH RECURSIVE pairs AS (SELECT * FROM ("
-        + _JACCARD_PAIRS.format(block="")
+        "WITH RECURSIVE pairs AS MATERIALIZED (SELECT * FROM ("
+        + _JACCARD_PAIRS.format(block=_SIZE_PRUNE_08)
         + """) WHERE jaccard_sim >= 0.8
-        ), edges AS (
+        ), edges AS MATERIALIZED (
             SELECT id_a AS src, id_b AS dst FROM pairs
             UNION
             SELECT id_b AS src, id_a AS dst FROM pairs
