@@ -224,6 +224,42 @@ def passage_dup_stage(
     return scorable.join(keep, id_col, "left_semi").unionByName(passthrough)
 
 
+def sample_stage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 1000,
+    source_col: str = "source",
+) -> DataFrame:
+    """Budgeted subsample: ``k`` docs per source, weighted by length
+    (Efraimidis-Spirakis — deterministic, without replacement), so a
+    downsized corpus keeps long-document coverage instead of
+    uniform-random's short-doc bias.
+
+    NULL-id/NULL-text rows cannot be sampled (no key / NULL weight)
+    and pass through, preserving the unscorable-rows invariant the
+    lm-filter and passage-dup stages maintain; zero-token docs ARE
+    scorable (weight 0 = never selected) and stay subject to the
+    budget."""
+    from ..operators.textstats import token_count_ws
+
+    unsampleable = F.col(id_col).isNull() | F.col(text_col).isNull()
+    passthrough = docs.where(unsampleable)
+    return (
+        sampling.weighted_sample(
+            docs.where(~unsampleable).withColumn(
+                "_wtok", token_count_ws(F.col(text_col)).cast("double")
+            ),
+            id_col,
+            "_wtok",
+            k=k,
+            group_col=source_col,
+        )
+        .drop("_wtok")
+        .unionByName(passthrough)
+    )
+
+
 def collapse_near_dups(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -378,19 +414,9 @@ def curate_corpus(
         # shares passages across many DIFFERENT partners (templates)
         uniq = passage_dup_stage(uniq, id_col, text_col, max_passage_dup)
     if sample_per_source is not None:
-        # budgeted subsample: k docs per source, weighted by length
-        # (Efraimidis-Spirakis — deterministic, without replacement),
-        # so a downsized corpus keeps long-document coverage instead
-        # of uniform-random's short-doc bias
-        from ..operators.textstats import token_count_ws
-
-        uniq = sampling.weighted_sample(
-            uniq.withColumn("_wtok", token_count_ws(F.col(text_col)).cast("double")),
-            id_col,
-            "_wtok",
-            k=sample_per_source,
-            group_col=source_col,
-        ).drop("_wtok")
+        uniq = sample_stage(
+            uniq, id_col, text_col, sample_per_source, source_col
+        )
     split = sampling.hash_split(
         uniq, id_col, splits or DEFAULT_SPLITS, method="md5"
     )

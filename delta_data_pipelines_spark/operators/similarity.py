@@ -332,7 +332,11 @@ def _kmeans_final_assign(
     vecs = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
     if checkpoint_rounds:
         vecs = vecs.localCheckpoint(eager=True)
-    cent = vecs.where(F.col(id_col) < k).select(
+    # seed from the k actual lowest ids, not `id < k` — the latter
+    # silently yields < k centroids on sparse/offset id spaces (same
+    # contract as pq_index's seed; identical on dense 0-based ids)
+    seed_ids = vecs.select(id_col).distinct().orderBy(id_col).limit(k)
+    cent = vecs.join(F.broadcast(seed_ids), id_col).select(
         F.col(id_col).alias("cid"), F.col("_v").alias("cv")
     )
     assign = ivf_assign(vecs, cent, id_col)
@@ -480,7 +484,14 @@ def pq_index(
             f"m, k, n_iter must be >= 1, got m={m} k={k} n_iter={n_iter}"
         )
     sub = _subspace_slices(df, id_col, vec_col, m, "_sv")
-    cent = sub.where(F.col(id_col) < k).select(
+    # Seed codebooks from the k actual lowest ids (docstring contract) —
+    # NOT `id < k`, which assumes a dense 0-based id space and silently
+    # yields < k codewords (empty downstream results) on sparse or
+    # offset id spaces. limit(k) on the sorted distinct ids is exact
+    # and broadcast-sized; codes are the seed ids themselves, so the
+    # fit stays deterministic whatever the id space looks like.
+    seed_ids = df.select(id_col).distinct().orderBy(id_col).limit(k)
+    cent = sub.join(F.broadcast(seed_ids), id_col).select(
         "sub_id", F.col(id_col).alias("code"), F.col("_sv").alias("_cv")
     )
     assign = _pq_assign(sub, cent, id_col)

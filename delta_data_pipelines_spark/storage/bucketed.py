@@ -340,17 +340,55 @@ class BucketedTable:
             return 0
         return self._schema_reader().parquet(*paths).count()
 
+    def _reject_type_changes(self, df: DataFrame) -> None:
+        """Fail a schema-evolving commit whose source changes an
+        existing column's dataType — BEFORE any bucket is written
+        (called pre-write in merge), so a rejected evolution leaves no
+        half-committed version behind. No-op when no schema is stored
+        yet or names don't overlap."""
+        try:
+            meta = self._read_meta()
+        except FileNotFoundError:
+            return
+        old_types = {
+            f["name"]: f["type"]
+            for f in meta.get("schema", {}).get("fields", [])
+        }
+        if not old_types:
+            return
+        new_fields = json.loads(df.drop("_bucket").schema.json())["fields"]
+        changed = [
+            f["name"]
+            for f in new_fields
+            if f["name"] in old_types and f["type"] != old_types[f["name"]]
+        ]
+        if changed:
+            raise ValueError(
+                f"schema evolution cannot change existing column types: "
+                f"{changed} (stored "
+                f"{ {c: old_types[c] for c in changed} }); cast the "
+                f"source to the stored types or rewrite the table"
+            )
+
     def _update_schema(self, df: DataFrame) -> None:
         """WIDEN the stored data schema (sans _bucket) after a
         schema-evolving commit, so _schema_reader serves the new
         columns (parquet reads fill missing columns with NULL by
         name). Widen-only: stored columns absent from ``df`` are KEPT —
         evolution can add columns, never silently drop them (a narrow
-        source must not make earlier-evolved columns unreadable)."""
+        source must not make earlier-evolved columns unreadable).
+
+        Raises ValueError if the source CHANGES an existing column's
+        dataType (e.g. long→string via union coercion): adopting the
+        new type would leave untouched buckets' old parquet files
+        unreadable under the widened stored schema — Delta likewise
+        rejects type-changing evolution unless explicit type-widening
+        is enabled, which this store does not implement."""
         meta = self._read_meta()
         new_fields = json.loads(df.drop("_bucket").schema.json())["fields"]
         have = {f["name"] for f in new_fields}
         old_fields = meta.get("schema", {}).get("fields", [])
+        self._reject_type_changes(df)
         merged = new_fields + [f for f in old_fields if f["name"] not in have]
         meta["schema"] = {"type": "struct", "fields": merged}
         tmp = self._meta_path + ".tmp"
@@ -520,6 +558,10 @@ class BucketedTable:
                 inserted, allowMissingColumns=schema_evolution
             )
 
+        if schema_evolution:
+            # validate BEFORE writing: a type-changing evolution must
+            # fail with zero buckets written, not strand a version
+            self._reject_type_changes(out)
         written = self._write_buckets(out, version)
         self._store_schema_once(out)
         if schema_evolution:

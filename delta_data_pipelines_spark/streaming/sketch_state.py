@@ -181,7 +181,14 @@ def run_incremental_heavy_hitters(
     re-merging a replayed micro-batch inflates counts. The stored
     ``_epoch`` makes the sink transactional: a batch whose epoch_id is
     already ≤ the stored epoch is skipped, so checkpoint replay
-    after a crash cannot double-count.
+    after a crash cannot double-count. Epoch ids are only comparable
+    WITHIN one checkpoint lifetime, so the state also stores the
+    checkpoint dir (``_run``): a restart against the same state table
+    with a DIFFERENT checkpoint dir raises RuntimeError instead of
+    silently skipping every batch (new epochs restart at 0 and would
+    all look like replays) or silently re-merging the whole replayed
+    source (MG merge is not idempotent — counts would inflate). State
+    tables are bound to one checkpoint directory for their lifetime.
     """
     from ..operators.sketches import misra_gries_candidates
 
@@ -193,8 +200,20 @@ def run_incremental_heavy_hitters(
             # one combined agg: this is the hot streaming path — two
             # separate collects would double the per-batch state scans
             meta = prev.agg(
-                F.max("_epoch").alias("e"), F.max("n_total").alias("n")
+                F.max("_epoch").alias("e"),
+                F.max("n_total").alias("n"),
+                F.max("_run").alias("r"),
             ).collect()[0]
+            if meta["r"] is not None and meta["r"] != checkpoint_dir:
+                raise RuntimeError(
+                    f"state table was written under checkpoint "
+                    f"{meta['r']!r} but this stream runs under "
+                    f"{checkpoint_dir!r}: epoch ids are not comparable "
+                    f"across checkpoint lifetimes, and replaying the "
+                    f"source into existing MG state double-counts. "
+                    f"Reuse the original checkpoint dir, or start from "
+                    f"a fresh state table."
+                )
             if meta["e"] is not None and epoch_id <= meta["e"]:
                 return  # replayed batch: already merged
             prev_summary = prev.where(F.col("item").isNotNull()).select(
@@ -217,12 +236,15 @@ def run_incremental_heavy_hitters(
                 batch_summary.limit(0), batch_summary, k
             )
         n_total = prev_n + batch_n
-        out = merged.withColumn("n_total", F.lit(n_total)).withColumn(
-            "_epoch", F.lit(epoch_id)
+        out = (
+            merged.withColumn("n_total", F.lit(n_total))
+            .withColumn("_epoch", F.lit(epoch_id))
+            .withColumn("_run", F.lit(checkpoint_dir))
         )
         meta_row = batch_df.sparkSession.createDataFrame(
-            [(None, 0, n_total, epoch_id)],
-            "item string, mg_count bigint, n_total bigint, _epoch bigint",
+            [(None, 0, n_total, epoch_id, checkpoint_dir)],
+            "item string, mg_count bigint, n_total bigint, _epoch bigint,"
+            " _run string",
         )
         state_table.overwrite(
             out.unionByName(meta_row).localCheckpoint(eager=True)

@@ -479,3 +479,23 @@ def test_curate_corpus_sample_per_source_caps_and_weights(spark):
     # (~18x the weight of their source-mates) must be selected — with
     # uniform weights each would be a 1-in-3 coin flip
     assert 1 in ids1 and 2 in ids1
+
+
+def test_sample_stage_passes_null_rows_through(spark):
+    """The per-source budget stage keeps the unscorable-rows invariant
+    the lm-filter and passage-dup stages maintain: NULL-id/NULL-text
+    rows pass through (they cannot be keyed or weighted), while
+    zero-token docs remain SUBJECT to the budget (weight 0 = never
+    selected is a legitimate sampling outcome)."""
+    from delta_data_pipelines_spark.jobs.curate_corpus import sample_stage
+
+    rows = [(i, f"word {'x ' * i}end", "src1") for i in range(1, 7)]
+    rows.append((100, None, "src1"))  # NULL text -> passthrough
+    rows.append((None, "some text here", "src1"))  # NULL id -> passthrough
+    rows.append((200, "", "src1"))  # zero tokens -> sampleable, weight 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = sample_stage(docs, k=3, source_col="source").collect()
+    kept = {r["doc_id"] for r in out}
+    assert 100 in kept and None in kept  # unscorable rows survived
+    assert 200 not in kept  # weight-0 doc lost the budgeted draw
+    assert len([r for r in out if r["doc_id"] not in (100, None)]) == 3

@@ -1506,3 +1506,34 @@ def test_weighted_sample_semantics(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         weighted_sample(df, "k", "w", k=0)
+
+
+def test_kmeans_and_pq_seed_from_lowest_ids_not_dense_range(spark):
+    """Seeding must follow the 'k lowest-id vectors' contract on a
+    SPARSE, OFFSET id space (ids 1000, 1010, ...), where `id < k`
+    would select zero seed vectors and silently return empty results:
+    the fit must still produce exactly k centroids/codewords and code
+    every vector."""
+    from delta_data_pipelines_spark.operators.similarity import (
+        kmeans_assign,
+        pq_codes,
+        pq_index,
+    )
+
+    rows = [
+        (1000 + 10 * i, [1.0 + i % 3, 1.0 + (i * 7) % 5, 1.0, 0.5 + i % 2])
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    km = kmeans_assign(df, k=3, n_iter=2).collect()
+    assert len(km) == 24
+    assert {r["cid"] for r in km} <= {1000, 1010, 1020}  # seed ids ARE the labels
+    assert len({r["cid"] for r in km}) == 3
+
+    codes, cb = pq_index(df, m=2, k=2, n_iter=2)
+    cb_rows = cb.collect()
+    assert len(cb_rows) == 4  # m*k codewords, none silently missing
+    assert {r["code"] for r in cb_rows} == {1000, 1010}
+    got = pq_codes(df, m=2, k=2, n_iter=2).collect()
+    assert len(got) == 2 * 24  # every vector coded in every subspace

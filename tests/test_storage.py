@@ -612,3 +612,26 @@ def test_bucketed_merge_job_count(spark, tmp_path):
     assert bt.history()[-1].metrics == {
         "inserted": -1, "updated": -1, "buckets_written": 1,
     }
+
+
+def test_schema_evolution_rejects_type_change(spark, btable):
+    """A schema-evolving merge whose source CHANGES an existing
+    column's type (long→double via union coercion) must fail BEFORE any bucket is
+    written: silently adopting the new stored type would leave
+    untouched buckets' old parquet unreadable under it. The table must
+    remain fully readable at its pre-merge version afterwards."""
+    btable.merge(
+        rows(spark, [(f"u{i}", "x", i) for i in range(10)]),
+        keys=["content_url"],
+    )
+    v_before = btable.latest_version()
+    bad = spark.createDataFrame(
+        [("zz", "y", 99.5)],
+        "content_url string, title string, price double",
+    )
+    with pytest.raises(ValueError, match="cannot change existing column types"):
+        btable.merge(bad, keys=["content_url"], schema_evolution=True)
+    assert btable.latest_version() == v_before  # nothing committed
+    got = btable.read().collect()
+    assert len(got) == 10  # old buckets still readable, long prices
+    assert all(isinstance(r["price"], int) for r in got)

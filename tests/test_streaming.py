@@ -983,3 +983,45 @@ def test_jsonl_stream_ingest_with_quarantine(spark, tmp_path):
     assert got == {(1, "a b"), (2, "c d"), (3, "e f")}
     bad = quarantine.read().collect()
     assert len(bad) == 1 and "OOPS" in bad[0]["raw"]
+
+
+def test_incremental_heavy_hitters_rejects_foreign_checkpoint(spark, tmp_path):
+    """MG state tables are bound to ONE checkpoint lifetime: epoch ids
+    restart at 0 under a new checkpoint dir, so the replay guard would
+    silently skip every batch (and merging would double-count the
+    replayed source). A restart against the same state with a
+    DIFFERENT checkpoint dir must fail loudly, and the state must be
+    left untouched."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.storage import VersionedTable
+    from delta_data_pipelines_spark.streaming.sketch_state import (
+        run_incremental_heavy_hitters,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(40)
+    state = VersionedTable(spark, str(tmp_path / "hhf_state"))
+
+    stream1 = _stream_from(spark, docs, tmp_path, "hhf_docs1", files=2)
+    q1 = run_incremental_heavy_hitters(
+        stream1, state, str(tmp_path / "hhf_ckpt1"), k=10
+    )
+    q1.awaitTermination(120)
+    before = sorted(
+        ((r["item"] or "", r["mg_count"]) for r in state.read().collect())
+    )
+    assert before  # state exists
+
+    stream2 = _stream_from(spark, docs, tmp_path, "hhf_docs2", files=2)
+    q2 = run_incremental_heavy_hitters(
+        stream2, state, str(tmp_path / "hhf_ckpt2"), k=10
+    )
+    with pytest.raises(StreamingQueryException, match="checkpoint"):
+        q2.awaitTermination(120)
+        raise RuntimeError("stream should have failed")  # pragma: no cover
+    after = sorted(
+        ((r["item"] or "", r["mg_count"]) for r in state.read().collect())
+    )
+    assert after == before  # state untouched by the rejected run
