@@ -56,16 +56,18 @@ def _modules():
 _PRIORITY = [
     # flagship
     "search_index_full", "search_index_incremental", "search_index_fetch_by_id",
-    # r6 rotation: the 13 queries added in r5 that have never held a
-    # driver CORRECTNESS row (mirror-verified r5) — completing
+    # r8 rotation: the 13 r7 additions that have never held a driver
+    # CORRECTNESS row (all mirror-green, re-verified r8) — closing
     # cumulative driver coverage of every oracle-able query. Rotated
-    # out to make room: the twice-plus-proven f_* scalar reps (driver-
-    # green r2-r5), st_sliding/session/running (r1+r5), tpch_q1/q3/q5/
-    # q10 (r2-r5); the mirror keeps checking all of them.
-    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
-    "tpch_q15", "tpch_q17", "tpch_q20", "tpch_q21",
-    "txt_repetition", "txt_vocab_topk", "txt_tfidf_top_term",
-    "td_gopher_filter", "td_decontaminate",
+    # out to make room: tpch_q7/q8/q9/q11/q15/q17/q20/q21,
+    # txt_repetition, txt_vocab_topk, txt_tfidf_top_term,
+    # td_gopher_filter, td_decontaminate (each 2+ rounds driver-green,
+    # unchanged code, still mirror-checked every round).
+    "td_passage_dup_fraction", "td_global_shuffle", "td_source_reputation",
+    "sim_pq_codes", "sim_pq_adc_topk", "sim_pq_recall_audit",
+    "txt_bpe_pairs", "txt_bigram_logprob", "sk_heavy_hitters",
+    "td_corpus_report", "td_priority_dedup", "t_subseq_search",
+    "ds_weighted_sample",
     # The 16 r6 additions — never driver-seen; rotated out for them
     # (all multiply driver-green in earlier rounds, most r1 + r5, and
     # still mirror-checked): txt_length_quantiles, j_dim_chain,
@@ -78,7 +80,9 @@ _PRIORITY = [
     "txt_langid_confusion", "sim_semantic_dedup_audit",
     "td_chunk_manifest", "t_funnel_stages", "txt_bm25_topk",
     "t_retention_cohorts", "t_gap_fill", "t_rolling_stats",
-    "a_histogram", "td_length_balance", "so_intersect",
+    # so_intersect (r7-green) rotated out for the r8 storage-backed
+    # PQ serve query; the mirror still checks it
+    "a_histogram", "td_length_balance", "sim_pq_serve",
     # continuous-build additions, never driver-seen (mirror-green):
     # containment dedup, stream-stream interval-join twin, unigram-LM
     # score, dedup-aware weights. Rotated out for them (all driver-
@@ -98,15 +102,10 @@ _PRIORITY = [
     "sk_binned_quantiles", "ds_group_sample", "ds_token_budget_mix",
     "sim_range_search", "w_percent_rank_scalable",
     "td_ngram_contamination",
-    # curation headline (driver-green r2-r6, kept pinned)
+    # curation headline (driver-green r2-r7, kept pinned)
     "td_curate",
-    # NEXT-ROTATION candidates (added r7, mirror-green, window full):
-    # td_passage_dup_fraction, td_global_shuffle, td_source_reputation,
-    # sim_pq_codes, sim_pq_adc_topk, txt_bpe_pairs, sk_heavy_hitters,
-    # td_corpus_report, td_priority_dedup, t_subseq_search,
-    # sim_pq_recall_audit, txt_bigram_logprob, ds_weighted_sample
-    # (txt_bpe_merges is rows-only) — tools/inventory.py's ledger
-    # tracks them until they hold a driver row
+    # (txt_bpe_merges is rows-only; tools/inventory.py's ledger tracks
+    # any registered query until it holds a driver row)
 ]
 
 

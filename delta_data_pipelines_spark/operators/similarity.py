@@ -529,6 +529,30 @@ def pq_adc_topk(
     scores); ranking uses the rounded score with id tie-break.
     """
     codes, cb = pq_index(corpus, id_col, vec_col, m, k, n_iter)
+    return pq_adc_serve(codes, cb, queries, id_col, vec_col, m, topk)
+
+
+def pq_adc_serve(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    topk: int = 5,
+) -> DataFrame:
+    """The ADC serving scan against a PREBUILT index — the shape a
+    production deployment runs hourly while ``pq_index`` runs as a
+    build job (mirroring the reference's full-rebuild vs incremental
+    DAG split, sql_search_full_rebuild_dag.py:173 /
+    sql_search_incremental_dag.py:205). ``codes`` is (id, sub_id,
+    code) and ``codebook`` (sub_id, code, _cv) — exactly what
+    ``pq_index`` returns / ``jobs.ann_index.refresh_pq_index``
+    persists. The plan is the serve-only suffix of ``pq_adc_topk``:
+    per-query lookup table (broadcast) ⋈ codes + one partial-aggable
+    groupBy + one per-query window — no fit stages, so the exchange
+    count stays flat however big the corpus or the training run that
+    produced the codebook."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
     ).withColumn("_qn", norm(F.col("_qv")))
@@ -536,7 +560,7 @@ def pq_adc_topk(
         q.select(F.col("query_id").alias("qid"), F.col("_qv")), "qid", "_qv", m, "_qs"
     )
     lut = (
-        qsub.join(F.broadcast(cb), "sub_id")
+        qsub.join(F.broadcast(codebook), "sub_id")
         .select(
             F.col("qid").alias("query_id"),
             "sub_id",
@@ -552,7 +576,7 @@ def pq_adc_topk(
     )
     scored = (
         codes.withColumnRenamed(id_col, "neighbor_id")
-        .join(lut, ["sub_id", "code"])
+        .join(F.broadcast(lut), ["sub_id", "code"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(

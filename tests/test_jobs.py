@@ -499,3 +499,42 @@ def test_sample_stage_passes_null_rows_through(spark):
     assert 100 in kept and None in kept  # unscorable rows survived
     assert 200 not in kept  # weight-0 doc lost the budgeted draw
     assert len([r for r in out if r["doc_id"] not in (100, None)]) == 3
+
+
+def test_pq_index_store_refresh_and_serve(spark, tmp_path):
+    """Build/serve split: refresh_pq_index persists codes+codebook to
+    versioned tables, serve_pq_topk returns results IDENTICAL to the
+    in-plan pq_adc_topk (same deterministic fit), a second refresh
+    bumps both table versions atomically, and serving without an index
+    fails loudly instead of returning empty."""
+    import pytest
+
+    from delta_data_pipelines_spark.jobs.ann_index import (
+        PQIndexStore,
+        refresh_pq_index,
+        serve_pq_topk,
+    )
+    from delta_data_pipelines_spark.operators.similarity import pq_adc_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.where(e.vec_id < 5)
+
+    store = PQIndexStore(spark, str(tmp_path / "pqidx"))
+    with pytest.raises(FileNotFoundError):
+        serve_pq_topk(store, q)
+
+    info = refresh_pq_index(store, e, m=4, k=4, n_iter=2)
+    assert info["codes_version"] == 0 and info["codebook_version"] == 0
+
+    served = sorted(
+        tuple(r) for r in serve_pq_topk(store, q, topk=5).collect()
+    )
+    inplan = sorted(
+        tuple(r)
+        for r in pq_adc_topk(e, q, m=4, k=4, n_iter=2, topk=5).collect()
+    )
+    assert served == inplan
+
+    info2 = refresh_pq_index(store, e, m=4, k=4, n_iter=2)
+    assert info2["codes_version"] == 1 and info2["codebook_version"] == 1
+    assert store.meta()["m"] == 4

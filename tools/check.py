@@ -150,6 +150,23 @@ def main() -> int:
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
+
+    # rotation-aging hard check (full runs only): an oracle-able query
+    # registered 2+ rounds ago with no driver row and no seat in the
+    # current window means rotation was forgotten — fail loudly here
+    # rather than letting mirror-only coverage accumulate silently.
+    if not only:
+        import inventory
+
+        stale = inventory.stale_unrotated()
+        if stale:
+            print(
+                f"STALE-UNROTATED ({len(stale)}): {', '.join(stale)} — "
+                "registered 2+ rounds, never driver-checked, not in the "
+                "window; rotate them into __spark_entry__._PRIORITY"
+            )
+            return 1
+
     return 1 if n_fail else 0
 
 
