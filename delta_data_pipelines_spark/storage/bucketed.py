@@ -720,6 +720,30 @@ class BucketedTable:
 
     # ---- retention ------------------------------------------------------
 
+    def compact(self) -> BucketedCommit:
+        """Generation collapse (the bucketed analog of Delta
+        ``OPTIMIZE``): rewrite every live bucket into ONE new owning
+        version.
+
+        Why it matters at scale: partition-scoped merges leave each
+        bucket owned by the version that last rewrote it, so a
+        long-running stream's manifest fans out across dozens of
+        version dirs — and any version still owning ONE untouched
+        bucket keeps its whole dir alive through vacuum forever (the
+        v0 dir survives as long as any v0 bucket does). After compact,
+        the manifest points every bucket at a single version, so a
+        following ``vacuum`` can release every older generation.
+        Per-bucket file layout is already 1 file/bucket by
+        construction (``_write_buckets`` hash-repartitions on
+        ``_bucket``); this consolidates OWNERSHIP, not files. Data is
+        unchanged (tests assert); reads during the rewrite keep
+        serving the old manifest (the commit is atomic via the log
+        swap)."""
+        out = self.read().withColumn("_bucket", self._bucket_col())
+        before = len({v for v in self._manifest().values()})
+        c = self._commit("compact", out, {}, {"versions_before": before})
+        return c
+
     def vacuum(self, keep_last: int = 3) -> list[int]:
         """Drop history beyond the last N commits, then delete EVERY
         on-disk version dir no surviving manifest references.

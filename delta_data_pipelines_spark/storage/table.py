@@ -262,6 +262,35 @@ class VersionedTable:
             "ok": ok_schema and ca == cb and cb > 0,
         }
 
+    def compact(self, target_rows_per_file: int = 1_000_000) -> Commit:
+        """Delta ``OPTIMIZE`` parity: rewrite the latest snapshot into
+        evenly-sized files, as a new commit (time travel to the
+        pre-compaction layout still works until vacuum).
+
+        Why it matters at scale: every ``merge``/``append`` commit
+        writes with the plan's own partitioning, so a table fed by a
+        micro-batch stream accretes one small-file generation per
+        batch — and scan cost at 100 TB is dominated by file count
+        (task scheduling + footer reads), not bytes. One round of
+        repartition-by-count restores ~``target_rows_per_file`` rows
+        per file. Repartition (shuffle) rather than coalesce:
+        coalesce glues adjacent partitions and inherits their skew,
+        which at scale recreates the straggler files compaction is
+        meant to remove. Data content is byte-identical (tests
+        assert); only layout changes."""
+        if target_rows_per_file < 1:
+            raise ValueError(
+                f"target_rows_per_file must be >= 1, got {target_rows_per_file}"
+            )
+        df = self.read()
+        n = df.count()
+        n_files = max(1, -(-n // target_rows_per_file))  # ceil div
+        return self._commit(
+            "compact",
+            df.repartition(n_files),
+            {"rows": n, "files": n_files},
+        )
+
     def vacuum(self, keep_last: int = 3) -> list[int]:
         """Drop all but the last N snapshots (↔ keep-last-3 backup
         retention, utils_of_backup.py:155-164). The log keeps only the

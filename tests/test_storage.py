@@ -635,3 +635,54 @@ def test_schema_evolution_rejects_type_change(spark, btable):
     got = btable.read().collect()
     assert len(got) == 10  # old buckets still readable, long prices
     assert all(isinstance(r["price"], int) for r in got)
+
+
+def test_versioned_compact_rewrites_layout_not_data(spark, table):
+    """OPTIMIZE parity: after many small appends the snapshot spans
+    many files; compact() rewrites it into ceil(rows/target) files as
+    a NEW commit — content identical, old layout still time-travelable
+    until vacuum."""
+    import glob as _glob
+    import os
+
+    for i in range(4):
+        table.append(rows(spark, [(f"u{i}-{j}", "t", j) for j in range(5)]))
+    before = sorted(tuple(r) for r in table.read().collect())
+    v_pre = table.latest_version()
+    c = table.compact(target_rows_per_file=10)
+    assert c.action == "compact"
+    assert c.metrics == {"rows": 20, "files": 2}
+    files = _glob.glob(
+        os.path.join(table.root, f"v={c.version:06d}", "*.parquet")
+    )
+    assert len(files) == 2
+    after = sorted(tuple(r) for r in table.read().collect())
+    assert after == before  # layout-only rewrite
+    assert sorted(tuple(r) for r in table.read(v_pre).collect()) == before
+    with pytest.raises(ValueError):
+        table.compact(target_rows_per_file=0)
+
+
+def test_bucketed_compact_collapses_generations(spark, btable):
+    """Partition-scoped merges leave buckets owned by whichever
+    version last rewrote them, pinning every such version dir through
+    vacuum. compact() re-owns ALL buckets under one version, after
+    which vacuum(keep_last=1) releases every older generation."""
+    # three merges touching different key ranges -> manifest spans
+    # multiple owning versions
+    for wave in range(3):
+        btable.merge(
+            rows(spark, [(f"w{wave}-u{i}", "x", i) for i in range(6)]),
+            keys=["content_url"],
+        )
+    owners_before = set(btable._manifest().values())
+    assert len(owners_before) > 1  # fan-out is real
+    before = sorted(tuple(r) for r in btable.read().collect())
+
+    c = btable.compact()
+    assert set(btable._manifest().values()) == {c.version}
+    assert sorted(tuple(r) for r in btable.read().collect()) == before
+
+    removed = btable.vacuum(keep_last=1)
+    assert set(removed) >= owners_before  # old generations released
+    assert sorted(tuple(r) for r in btable.read().collect()) == before
