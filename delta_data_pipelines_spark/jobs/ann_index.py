@@ -88,8 +88,20 @@ def refresh_pq_index(
     codes = codes.localCheckpoint(eager=True)
     c1 = store.codebook.overwrite(cb)
     c2 = store.codes.overwrite(codes)
+    # build-time assignment quality against the COMMITTED codebook —
+    # the baseline append_pq_codes compares fresh batches to when
+    # deciding whether a refit is due
+    _, baseline = pq_assignment_quality(
+        vectors, store.codebook.read(), id_col, vec_col, m
+    )
     store._write_meta(
-        {"id_col": id_col, "m": m, "k": k, "n_iter": n_iter}
+        {
+            "id_col": id_col,
+            "m": m,
+            "k": k,
+            "n_iter": n_iter,
+            "baseline_mean_sim": baseline,
+        }
     )
     return {
         "codes_version": c2.version,
@@ -97,6 +109,87 @@ def refresh_pq_index(
         "m": m,
         "k": k,
         "n_iter": n_iter,
+        "baseline_mean_sim": baseline,
+    }
+
+
+def pq_assignment_quality(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+) -> tuple[int, float]:
+    """(n_vectors, mean winning-assignment cosine) of ``vectors``
+    against ``codebook`` — the refit gate's signal. Deterministic
+    (decimal-summed mean rounded to 9), so the build-time baseline in
+    the index meta is exactly reproducible."""
+    from pyspark.sql import functions as F
+
+    sims = similarity.pq_encode(
+        vectors, codebook, id_col, vec_col, m, keep_sim=True
+    )
+    row = sims.agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.round(F.col("_sim"), 9).cast("decimal(38,12)")).cast(
+                "double"
+            )
+            / F.count("*"),
+            9,
+        ).alias("mean_sim"),
+    ).collect()[0]
+    return int(row["n"] // max(1, m)), float(row["mean_sim"] or 0.0)
+
+
+def append_pq_codes(
+    store: PQIndexStore,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+) -> dict[str, Any]:
+    """INCREMENTAL index maintenance — the ANN analog of the
+    reference's hourly incremental DAG next to its weekly full rebuild
+    (``sql_search_incremental_dag.py:205``): code ONLY the new batch
+    against the STORED codebook (no Lloyd rounds, one broadcast join)
+    and MERGE into the codes table keyed by (id, subspace) —
+    insert-if-absent, so an at-least-once upstream can replay a batch
+    without duplicating codes.
+
+    Returns batch metrics including the batch's mean assignment
+    cosine next to the build-time baseline from the index meta: when
+    ``batch_mean_sim`` drops well below ``baseline_mean_sim``, new
+    data has drifted off the codebook's span and the caller should
+    schedule ``refresh_pq_index`` (the decision threshold is the
+    caller's — this job only measures)."""
+    if not store.exists():
+        raise FileNotFoundError(
+            f"no PQ index at {store.root}; run refresh_pq_index first"
+        )
+    meta = store.meta()
+    id_col, m = meta["id_col"], int(meta["m"])
+    cb = store.codebook.read()
+    coded = similarity.pq_encode(
+        new_vectors, cb, id_col, vec_col, m, keep_sim=True
+    ).localCheckpoint(eager=True)  # merge + quality agg share one eval
+    commit = store.codes.merge(
+        coded.drop("_sim"), keys=[id_col, "sub_id"], when_matched="ignore"
+    )
+    from pyspark.sql import functions as F
+
+    q = coded.agg(
+        F.round(
+            F.sum(F.round(F.col("_sim"), 9).cast("decimal(38,12)")).cast(
+                "double"
+            )
+            / F.count("*"),
+            9,
+        ).alias("mean_sim")
+    ).collect()[0]
+    return {
+        "codes_version": commit.version,
+        "inserted": commit.metrics.get("inserted"),
+        "batch_mean_sim": float(q["mean_sim"] or 0.0),
+        "baseline_mean_sim": meta.get("baseline_mean_sim"),
     }
 
 

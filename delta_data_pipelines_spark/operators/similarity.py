@@ -501,6 +501,44 @@ def pq_index(
     return assign.select(id_col, "sub_id", "code"), cent
 
 
+def pq_encode(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    keep_sim: bool = False,
+) -> DataFrame:
+    """Code vectors against a FIXED codebook — the incremental half of
+    the PQ lifecycle: new vectors arriving after a build are coded
+    with the stored codewords (one broadcast join + per-(vector,
+    subspace) argmax, no Lloyd rounds), exactly how a production index
+    absorbs an hourly batch without refitting. Assignment semantics
+    are identical to the fit's final round (`_pq_assign`): spherical,
+    ties to the smaller code — so codes appended later are
+    indistinguishable from codes written at build time.
+
+    ``keep_sim=True`` additionally emits the winning assignment
+    cosine (``_sim``) per (vector, subspace) — the raw material for
+    the codebook-drift gate (``jobs.ann_index.pq_assignment_quality``):
+    when fresh batches assign markedly worse than the build-time
+    baseline, the codebook no longer spans the data and a refit is
+    due."""
+    sub = _subspace_slices(vectors, id_col, vec_col, m, "_sv")
+    scored = sub.join(F.broadcast(codebook), "sub_id").withColumn(
+        "_sim", cosine(F.col("_sv"), F.col("_cv"))
+    )
+    w = Window.partitionBy(id_col, "sub_id").orderBy(
+        F.col("_sim").desc(), F.col("code")
+    )
+    cols = [id_col, "sub_id", "code"] + (["_sim"] if keep_sim else [])
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(*cols)
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,

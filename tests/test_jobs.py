@@ -538,3 +538,45 @@ def test_pq_index_store_refresh_and_serve(spark, tmp_path):
     info2 = refresh_pq_index(store, e, m=4, k=4, n_iter=2)
     assert info2["codes_version"] == 1 and info2["codebook_version"] == 1
     assert store.meta()["m"] == 4
+
+
+def test_pq_append_codes_incremental(spark, tmp_path):
+    """Incremental PQ maintenance: build on half the corpus, append
+    the other half — appended ids get m codes each via the STORED
+    codebook (no refit), replaying the same batch inserts nothing
+    (at-least-once safe), pq_encode exactly reproduces the fit's own
+    final assignments, and the drift gate reports a batch mean
+    assignment cosine next to the build-time baseline."""
+    from delta_data_pipelines_spark.jobs.ann_index import (
+        PQIndexStore,
+        append_pq_codes,
+        refresh_pq_index,
+    )
+    from delta_data_pipelines_spark.operators.similarity import pq_encode
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    build = e.where(e.vec_id % 2 == 0)
+    fresh = e.where(e.vec_id % 2 == 1)
+
+    store = PQIndexStore(spark, str(tmp_path / "pqinc"))
+    info = refresh_pq_index(store, build, m=4, k=4, n_iter=2)
+    assert 0.0 < info["baseline_mean_sim"] <= 1.0
+
+    # encode against the stored codebook reproduces the fit's own codes
+    stored = sorted(tuple(r) for r in store.codes.read().collect())
+    re_enc = sorted(
+        tuple(r)
+        for r in pq_encode(build, store.codebook.read(), m=4).collect()
+    )
+    assert re_enc == stored
+
+    n_build = build.count()
+    n_fresh = fresh.count()
+    out = append_pq_codes(store, fresh)
+    assert out["inserted"] == 4 * n_fresh
+    assert store.codes.read().count() == 4 * (n_build + n_fresh)
+    assert 0.0 < out["batch_mean_sim"] <= 1.0
+    assert out["baseline_mean_sim"] == info["baseline_mean_sim"]
+
+    replay = append_pq_codes(store, fresh)
+    assert replay["inserted"] == 0  # idempotent replay
