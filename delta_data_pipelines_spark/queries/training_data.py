@@ -1335,18 +1335,18 @@ def sim_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit), this one reads codes+codebook from versioned tables and runs
     only the serve suffix (codes ⋈ broadcast LUT → partial-agg → one
     per-query window — under 10 exchanges however large the corpus).
-    The index is built once per sf_dir into a temp-rooted store on
-    first call (the refresh job a scheduler would own); the fit is
-    deterministic, so serving from storage returns byte-identical
-    scores to the in-plan twin and shares its oracle."""
-    import tempfile
-
+    The index is built once per sf_dir into a scratch store under the
+    repo's gitignored spark-warehouse/ on first call (the refresh job
+    a scheduler would own); the fit is deterministic, so serving from
+    storage returns byte-identical scores to the in-plan twin and
+    shares its oracle."""
     from ..jobs import ann_index
 
     sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(
-        tempfile.gettempdir(), "ddp_spark_pq_index", sf_name
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
+    root = os.path.join(repo_root, "spark-warehouse", "pq_index", sf_name)
     store = ann_index.PQIndexStore(spark, root)
     if not store.exists():
         e = read_table(spark, sf_dir, "embeddings")
