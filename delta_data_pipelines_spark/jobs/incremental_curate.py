@@ -1,0 +1,265 @@
+"""Incremental corpus curation — continuous ingestion with FROZEN
+reference models.
+
+``jobs.curate_corpus`` is the batch pipeline: every statistical stage
+(the LM outlier cut, decontamination) derives its model from the
+corpus being curated. A continuously-ingesting deployment cannot do
+that — each micro-batch would re-derive a different unigram
+distribution and a different percentile threshold, so a document's
+fate would depend on which batch it arrived in. The production answer
+(CCNet's: score against a PRE-TRAINED LM; GPT-3's: decontaminate
+against a FIXED heldout set) is to fit the models once on a reference
+corpus, freeze them in storage, and score every future batch against
+the frozen artifacts:
+
+    fit_reference_model(...)        # build job: unigram LM + threshold
+                                    #   + heldout gram set -> tables
+    run_incremental_curation(...)   # stream: scrub -> gate -> frozen-LM
+                                    #   -> frozen decontaminate ->
+                                    #   near-dup vs accumulated state ->
+                                    #   MERGE into corpus
+
+The near-dup half rides the existing state machinery
+(``streaming.neardup.run_incremental_neardup`` — banded signature
+tables on bucketed storage, per-batch cost proportional to the batch)
+through its ``prepare`` seam, so cleaning happens before any state
+interaction: a rejected document never enters the corpus or the
+signature state.
+
+Scale posture: the frozen unigram table is vocabulary-sized and
+joined on the token (AQE broadcasts it while it fits); the heldout
+gram table is heldout-sized and probed with a left-semi join; the
+threshold and totals ride in meta. Nothing in the per-batch path
+scans the accumulated corpus.
+
+Determinism: scoring uses the same decimal discipline as
+``textstats.unigram_logprob_scores`` (per-token ln rounded to 9 dp,
+decimal sum, one final float division), so a batch scored today and
+the same batch replayed tomorrow produce identical keep/drop sets.
+Out-of-vocabulary tokens score ``ln(1/total)`` — the frequency floor
+(an unseen token is at most as surprising as a singleton), keeping
+scores finite without a smoothing hyperparameter.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import shingles
+from ..storage import VersionedTable
+from .curate_corpus import quality_gate, scrub_stage
+
+
+class FrozenCurationModel:
+    """The frozen artifacts under one root: unigram LM table
+    (token, tf), heldout gram table (_gram), and meta (total tokens,
+    LM threshold, gate parameters, decontamination n)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.unigram = VersionedTable(spark, os.path.join(root, "unigram"))
+        self.heldout_grams = VersionedTable(
+            spark, os.path.join(root, "heldout_grams")
+        )
+        self._meta_path = os.path.join(root, "meta.json")
+
+    def exists(self) -> bool:
+        return (
+            self.unigram.exists()
+            and self.heldout_grams.exists()
+            and os.path.exists(self._meta_path)
+        )
+
+    def meta(self) -> dict[str, Any]:
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def _write_meta(self, meta: dict[str, Any]) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path)
+
+
+def _frozen_lm_scores(
+    docs: DataFrame,
+    freq: DataFrame,
+    total_tokens: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, avg_logprob) under the FROZEN unigram distribution —
+    ``textstats.unigram_logprob_scores``' float discipline with the
+    frequency table read from storage instead of derived from the
+    batch; OOV tokens take the tf=1 frequency floor."""
+    toks = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("_tok")
+    )
+    return (
+        toks.join(freq.withColumnRenamed("token", "_tok"), "_tok", "left")
+        .withColumn(
+            "_lp",
+            F.round(
+                F.log(
+                    F.coalesce(F.col("tf"), F.lit(1)).cast("double")
+                    / F.lit(float(total_tokens))
+                ),
+                9,
+            ).cast("decimal(28,9)"),
+        )
+        .groupBy(id_col)
+        .agg(
+            (F.sum("_lp").cast("double") / F.count("*")).alias("avg_logprob")
+        )
+    )
+
+
+def fit_reference_model(
+    model: FrozenCurationModel,
+    reference_docs: DataFrame,
+    heldout_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    drop_fraction: float = 0.05,
+    decont_n: int = 13,
+    **gate_kwargs: Any,
+) -> dict[str, Any]:
+    """BUILD job: freeze the curation models from a reference corpus.
+
+    The unigram distribution is fit on the reference corpus AFTER the
+    same scrub + quality gate every future batch will pass (CCNet
+    trains its LM on the clean reference, not the raw crawl), so the
+    distribution describes text that can actually reach the LM stage.
+    The threshold is the reference corpus's own ``drop_fraction``
+    percentile under that distribution — the frozen analog of
+    ``lm_filter_stage``'s per-run percentile. The heldout gram table
+    is the distinct ``decont_n``-token shingle set of ``heldout_docs``
+    (docs under ``decont_n`` tokens contribute nothing — no full
+    n-gram exists, same rule as the batch stage). Meta is written
+    LAST, so a concurrent reader sees a complete model or none."""
+    if not (0.0 <= drop_fraction < 1.0):
+        raise ValueError(f"drop_fraction must be in [0, 1), got {drop_fraction}")
+    clean = quality_gate(
+        scrub_stage(reference_docs, text_col), text_col, **gate_kwargs
+    ).localCheckpoint(eager=True)  # freq + threshold share one cleaning run
+    freq = (
+        clean.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("tf"))
+    )
+    c1 = model.unigram.overwrite(freq)
+    stored_freq = model.unigram.read()
+    total = stored_freq.agg(F.sum("tf").alias("t")).collect()[0]["t"]
+    scores = _frozen_lm_scores(clean, stored_freq, total, id_col, text_col)
+    thr = scores.agg(
+        F.expr(f"percentile(avg_logprob, {drop_fraction})").alias("thr")
+    ).collect()[0]["thr"]
+    grams = (
+        heldout_docs.where(F.size(F.split(F.col(text_col), " ")) >= decont_n)
+        .select(F.explode(shingles(F.col(text_col), decont_n)).alias("_gram"))
+        .distinct()
+    )
+    c2 = model.heldout_grams.overwrite(grams)
+    meta = {
+        "total_tokens": int(total),
+        "lm_threshold": float(thr) if thr is not None else None,
+        "drop_fraction": drop_fraction,
+        "decont_n": decont_n,
+        "gate_kwargs": gate_kwargs,
+        "unigram_version": c1.version,
+        "heldout_grams_version": c2.version,
+    }
+    model._write_meta(meta)
+    return meta
+
+
+def curate_batch(
+    batch: DataFrame,
+    model: FrozenCurationModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply the frozen curation stages to one batch: scrub → quality
+    gate (the fit's own parameters) → frozen-LM outlier cut →
+    decontaminate against the frozen heldout grams. NULL-id/NULL-text
+    rows cannot be scored and pass the LM stage through (the
+    unscorable-rows invariant of the batch stages); the gate drops
+    them regardless (NULL comparisons are NULL-false), matching batch
+    ``curate_corpus`` ordering. Pure function of (batch, stored
+    model) — replaying a batch yields the identical keep set."""
+    if not model.exists():
+        raise FileNotFoundError(
+            f"no frozen curation model at {model.root}; "
+            f"run fit_reference_model first"
+        )
+    meta = model.meta()
+    gated = quality_gate(
+        scrub_stage(batch, text_col), text_col, **meta["gate_kwargs"]
+    )
+    thr = meta["lm_threshold"]
+    if thr is not None:
+        unscorable = F.col(id_col).isNull() | F.col(text_col).isNull()
+        passthrough = gated.where(unscorable)
+        scorable = gated.where(~unscorable)
+        keep = (
+            _frozen_lm_scores(
+                scorable,
+                model.unigram.read(),
+                meta["total_tokens"],
+                id_col,
+                text_col,
+            )
+            .where(F.col("avg_logprob") >= F.lit(thr))
+            .select(id_col)
+        )
+        gated = scorable.join(keep, id_col, "left_semi").unionByName(
+            passthrough
+        )
+    n = int(meta["decont_n"])
+    contaminated = (
+        gated.where(F.size(F.split(F.col(text_col), " ")) >= n)
+        .select(id_col, F.explode(shingles(F.col(text_col), n)).alias("_gram"))
+        .join(model.heldout_grams.read(), "_gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return gated.join(contaminated, id_col, "left_anti")
+
+
+def run_incremental_curation(
+    docs_stream: DataFrame,
+    model: FrozenCurationModel,
+    state_dir: str,
+    corpus,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **neardup_kwargs: Any,
+):
+    """STREAM job: frozen-model curation + near-dup-vs-state dedup +
+    corpus MERGE, one micro-batch at a time. Composition of
+    ``curate_batch`` (this module) with
+    ``streaming.neardup.run_incremental_neardup`` through its
+    ``prepare`` seam — cleaning runs before any state interaction, so
+    rejected docs never enter the corpus or the signature state, and
+    the whole batch path stays batch-proportional (frozen tables are
+    broadcast-sized joins, state reads are bucket-pruned)."""
+    from ..streaming.neardup import run_incremental_neardup
+
+    return run_incremental_neardup(
+        docs_stream,
+        state_dir,
+        corpus,
+        checkpoint_dir,
+        id_col=id_col,
+        text_col=text_col,
+        prepare=lambda b: curate_batch(b, model, id_col, text_col),
+        **neardup_kwargs,
+    )

@@ -75,6 +75,7 @@ def run_incremental_neardup(
     max_bucket: int = 1000,
     n_state_buckets: int = 64,
     state_keep_last: int = 3,
+    prepare=None,
 ) -> StreamingQuery:
     """docs stream → in-batch collapse → vs-corpus LSH filter → MERGE.
 
@@ -124,6 +125,14 @@ def run_incremental_neardup(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         batch = batch_df.dropDuplicates([id_col])
+        if prepare is not None:
+            # per-batch cleaning seam (jobs.incremental_curate wires
+            # the frozen-model curation stages through here): applied
+            # BEFORE any state interaction, so rejected docs never
+            # enter the corpus, the signature state, or the shingle
+            # state — exactly like batch curation ordering (clean,
+            # then dedup)
+            batch = prepare(batch)
         if batch.isEmpty():
             return
         # 1. in-batch near-dup collapse (same operators as the batch job)

@@ -1025,3 +1025,74 @@ def test_incremental_heavy_hitters_rejects_foreign_checkpoint(spark, tmp_path):
         ((r["item"] or "", r["mg_count"]) for r in state.read().collect())
     )
     assert after == before  # state untouched by the rejected run
+
+
+def test_incremental_curation_converges_to_frozen_batch(spark, tmp_path):
+    """End-to-end continuous curation: frozen reference model (unigram
+    LM + threshold + heldout grams) applied per micro-batch through
+    the neardup prepare seam must produce EXACTLY the set a one-shot
+    batch run of the same frozen stages + batch near-dup collapse
+    produces (id-ordered ingest, as the neardup equivalence test).
+    Also: heldout documents themselves stream in and must be dropped
+    as contaminated (they share all their grams with the heldout set)."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.jobs.incremental_curate import (
+        FrozenCurationModel,
+        curate_batch,
+        fit_reference_model,
+        run_incremental_curation,
+    )
+    from delta_data_pipelines_spark.operators import dedup
+    from delta_data_pipelines_spark.storage import VersionedTable
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    heldout = docs.where(F.col("doc_id") % 7 == 0)
+
+    model = FrozenCurationModel(spark, str(tmp_path / "frozen"))
+    meta = fit_reference_model(model, ref, heldout)
+    assert meta["lm_threshold"] is not None and meta["total_tokens"] > 0
+
+    # batch expectation under the SAME frozen model: clean all docs,
+    # then batch near-dup collapse keeping the min-id representative
+    cleaned = curate_batch(docs, model).localCheckpoint(eager=True)
+    pairs = dedup.minhash_near_dup_pairs(cleaned, "doc_id", "text", 0.8)
+    clusters = dedup.near_dup_clusters(pairs)
+    expect = {
+        r["doc_id"]
+        for r in cleaned.join(
+            clusters, cleaned.doc_id == clusters.member_id, "left"
+        )
+        .where(
+            F.col("cluster_id").isNull()
+            | (F.col("member_id") == F.col("cluster_id"))
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert expect  # the gate must not have emptied the corpus
+
+    stream = _stream_time_ordered(
+        spark, docs, tmp_path, "ic_docs", slices=3, ts_col="doc_id"
+    )
+    corpus = VersionedTable(spark, str(tmp_path / "ic_corpus"))
+    q = run_incremental_curation(
+        stream,
+        model,
+        str(tmp_path / "ic_state"),
+        corpus,
+        str(tmp_path / "ckpt_ic"),
+    )
+    q.awaitTermination(240)
+    got = {r["doc_id"] for r in corpus.read().select("doc_id").collect()}
+    assert got == expect
+    # heldout docs streamed in but are contaminated by construction
+    heldout_long = {
+        r["doc_id"]
+        for r in heldout.where(
+            F.size(F.split("text", " ")) >= meta["decont_n"]
+        ).collect()
+    }
+    assert heldout_long and not (got & heldout_long)
