@@ -94,6 +94,50 @@ def main(argv: list[str] | None = None) -> int:
     )
     ss.add_argument("--table", required=True, help="BucketedTable root dir")
 
+    pq = sub.add_parser(
+        "pq-index",
+        help="build/refresh the PQ ANN index (codes + codebook tables)",
+    )
+    pq.add_argument("--index", required=True, help="index store root")
+    pq.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    pq.add_argument("--m", type=int, default=4, help="subspaces")
+    pq.add_argument("--k", type=int, default=4, help="codewords per subspace")
+    pq.add_argument("--n-iter", type=int, default=2, help="Lloyd rounds")
+
+    pa = sub.add_parser(
+        "pq-append",
+        help="incremental index maintenance: code vectors not yet in the "
+        "codes table against the STORED codebook and merge them in; "
+        "prints the batch's mean assignment cosine next to the build "
+        "baseline (the refit signal)",
+    )
+    pa.add_argument("--index", required=True, help="index store root")
+    pa.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+
+    fm = sub.add_parser(
+        "fit-curation-model",
+        help="freeze the incremental-curation reference models: unigram "
+        "LM + percentile threshold fit on the scrubbed+gated reference "
+        "corpus, heldout 13-gram set for decontamination",
+    )
+    fm.add_argument("--model", required=True, help="model store root")
+    fm.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    fm.add_argument("--heldout", required=True,
+                    help="parquet dir of heldout docs (doc_id/text)")
+    fm.add_argument("--lm-drop", type=float, default=0.05)
+
+    ct = sub.add_parser(
+        "compact-table",
+        help="OPTIMIZE parity: rewrite a versioned table into evenly "
+        "sized files (or collapse a bucketed table's owning "
+        "generations), then vacuum",
+    )
+    ct.add_argument("--table", required=True, help="table root dir")
+    ct.add_argument("--target-rows", type=int, default=1_000_000,
+                    help="rows per file (versioned tables)")
+    ct.add_argument("--keep-last", type=int, default=3,
+                    help="history retained by the post-compact vacuum")
+
     sub.add_parser("bench", help="run the bench harness")
 
     args = p.parse_args(argv)
@@ -214,6 +258,71 @@ def main(argv: list[str] | None = None) -> int:
             "rows_mean_bucket": round(sum(n_rows) / len(n_rows), 1) if rows else 0,
             "files_total": int(sum(r["n_files"] for r in rows)),
         }))
+        return 0
+
+    if args.cmd == "pq-index":
+        from .catalog import read_table
+        from .jobs.ann_index import PQIndexStore, refresh_pq_index
+
+        e = read_table(spark, args.sf_dir, "embeddings")
+        store = PQIndexStore(spark, args.index)
+        res = refresh_pq_index(
+            store, e, m=args.m, k=args.k, n_iter=args.n_iter
+        )
+        print(json.dumps({"job": "pq-index", **res}))
+        return 0
+
+    if args.cmd == "pq-append":
+        from .catalog import read_table
+        from .jobs.ann_index import PQIndexStore, append_pq_codes
+
+        store = PQIndexStore(spark, args.index)
+        if not store.exists():
+            print(json.dumps({
+                "job": "pq-append", "error": "no index; run pq-index first",
+            }))
+            return 1
+        id_col = store.meta()["id_col"]
+        e = read_table(spark, args.sf_dir, "embeddings")
+        # the incremental contract: absorb only vectors the codes table
+        # has not seen (anti-join on the id — bucketless but tiny key
+        # projection on the state side)
+        fresh = e.join(
+            store.codes.read().select(id_col).distinct(), id_col, "left_anti"
+        )
+        res = append_pq_codes(store, fresh)
+        print(json.dumps({"job": "pq-append", **res}))
+        return 0
+
+    if args.cmd == "fit-curation-model":
+        from .catalog import read_table
+        from .jobs.incremental_curate import (
+            FrozenCurationModel,
+            fit_reference_model,
+        )
+
+        ref = read_table(spark, args.sf_dir, "documents")
+        heldout = spark.read.parquet(args.heldout)
+        model = FrozenCurationModel(spark, args.model)
+        res = fit_reference_model(
+            model, ref, heldout, drop_fraction=args.lm_drop
+        )
+        print(json.dumps({"job": "fit-curation-model", **res}))
+        return 0
+
+    if args.cmd == "compact-table":
+        from .storage import BucketedTable, open_table
+
+        t = open_table(spark, args.table)
+        if isinstance(t, BucketedTable):
+            c = t.compact()
+            res = {"kind": "bucketed", "version": c.version, **c.metrics}
+        else:
+            c = t.compact(target_rows_per_file=args.target_rows)
+            res = {"kind": "versioned", "version": c.version, **c.metrics}
+        removed = t.vacuum(keep_last=args.keep_last)
+        res["vacuumed_versions"] = len(removed)
+        print(json.dumps({"job": "compact-table", **res}))
         return 0
 
     if args.cmd == "price-dataset":

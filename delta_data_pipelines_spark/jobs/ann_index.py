@@ -171,6 +171,15 @@ def append_pq_codes(
     coded = similarity.pq_encode(
         new_vectors, cb, id_col, vec_col, m, keep_sim=True
     ).localCheckpoint(eager=True)  # merge + quality agg share one eval
+    if coded.isEmpty():
+        # nothing to absorb: no commit, and NO drift number — a 0.0
+        # mean on an empty batch would read as catastrophic drift
+        return {
+            "codes_version": store.codes.latest_version(),
+            "inserted": 0,
+            "batch_mean_sim": None,
+            "baseline_mean_sim": meta.get("baseline_mean_sim"),
+        }
     commit = store.codes.merge(
         coded.drop("_sim"), keys=[id_col, "sub_id"], when_matched="ignore"
     )
