@@ -80,9 +80,10 @@ _PRIORITY = [
     "txt_langid_confusion", "sim_semantic_dedup_audit",
     "td_chunk_manifest", "t_funnel_stages", "txt_bm25_topk",
     "t_retention_cohorts", "t_gap_fill", "t_rolling_stats",
-    # so_intersect (r7-green) rotated out for the r8 storage-backed
-    # PQ serve query; the mirror still checks it
-    "a_histogram", "td_length_balance", "sim_pq_serve",
+    # so_intersect and a_histogram (both r7-green, families multiply
+    # proven) rotated out for the r8 storage-backed serve queries; the
+    # mirror still checks them
+    "sim_ivf_serve", "td_length_balance", "sim_pq_serve",
     # continuous-build additions, never driver-seen (mirror-green):
     # containment dedup, stream-stream interval-join twin, unigram-LM
     # score, dedup-aware weights. Rotated out for them (all driver-

@@ -96,11 +96,13 @@ HEADLINE = [
     "sim_pq_adc_topk",
     "sk_heavy_hitters",
     "td_global_shuffle",
-    # r8: the storage-backed PQ serve — the same ADC scan as
-    # sim_pq_adc_topk but reading persisted codes+codebook instead of
-    # refitting in-plan; the gap between the two IS the fit cost the
-    # build/serve split saves on every query
+    # r8: the storage-backed serves — the same scans as sim_pq_adc_topk
+    # / sim_ivf_topk but reading persisted index artifacts instead of
+    # fitting/assigning in-plan; the gap between each pair IS the build
+    # cost the build/serve split saves on every query (IVF additionally
+    # reads only the probe cells' bucket dirs — pruned I/O)
     "sim_pq_serve",
+    "sim_ivf_serve",
 ]
 
 

@@ -114,6 +114,18 @@ def main(argv: list[str] | None = None) -> int:
     pa.add_argument("--index", required=True, help="index store root")
     pa.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
 
+    iv = sub.add_parser(
+        "ivf-index",
+        help="build/refresh the IVF ANN index: centroids table + the "
+        "corpus bucketed by cell id (probe-pruned serve reads)",
+    )
+    iv.add_argument("--index", required=True, help="index store root")
+    iv.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    iv.add_argument("--n-cells", type=int, default=16)
+    iv.add_argument("--n-iter", type=int, default=2,
+                    help="k-means refinement rounds (0 = deterministic "
+                    "lowest-id cells, nothing to fit)")
+
     fm = sub.add_parser(
         "fit-curation-model",
         help="freeze the incremental-curation reference models: unigram "
@@ -292,6 +304,18 @@ def main(argv: list[str] | None = None) -> int:
         )
         res = append_pq_codes(store, fresh)
         print(json.dumps({"job": "pq-append", **res}))
+        return 0
+
+    if args.cmd == "ivf-index":
+        from .catalog import read_table
+        from .jobs.ann_index import IVFIndexStore, refresh_ivf_index
+
+        e = read_table(spark, args.sf_dir, "embeddings")
+        store = IVFIndexStore(spark, args.index)
+        res = refresh_ivf_index(
+            store, e, n_cells=args.n_cells, n_iter=args.n_iter
+        )
+        print(json.dumps({"job": "ivf-index", **res}))
         return 0
 
     if args.cmd == "fit-curation-model":

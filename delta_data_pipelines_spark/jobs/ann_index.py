@@ -202,6 +202,162 @@ def append_pq_codes(
     }
 
 
+class IVFIndexStore:
+    """IVF index on storage: a centroid table (cid, cv) + the corpus
+    BUCKETED BY CELL ID — the layout ``similarity.ivf_topk``'s
+    docstring prescribes for 100 TB ('the corpus is written
+    partitioned by cell, so a probe is partition-pruned I/O'). The
+    cells table is a ``BucketedTable`` keyed on ``cid``: a serve reads
+    only the bucket dirs its probe cells hash into
+    (``read_buckets``), never the whole corpus, and an incremental
+    append merges only the touched buckets."""
+
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16):
+        from ..storage import BucketedTable
+
+        self.spark = spark
+        self.root = root
+        self.centroids = VersionedTable(spark, os.path.join(root, "centroids"))
+        cells_root = os.path.join(root, "cells")
+        self.cells = BucketedTable(
+            spark, cells_root, bucket_key="cid", n_buckets=n_buckets
+        )
+        self._meta_path = os.path.join(root, "meta.json")
+
+    def exists(self) -> bool:
+        return (
+            self.centroids.exists()
+            and self.cells.exists()
+            and os.path.exists(self._meta_path)
+        )
+
+    def meta(self) -> dict[str, Any]:
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def _write_meta(self, meta: dict[str, Any]) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path)
+
+
+def refresh_ivf_index(
+    store: IVFIndexStore,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_iter: int = 0,
+) -> dict[str, Any]:
+    """BUILD job: choose cells, assign every vector, lay the corpus
+    out bucketed by cell. ``n_iter=0`` uses the deterministic
+    lowest-id centroids (nothing to fit — the oracle-checkable mode);
+    ``n_iter>=1`` runs the spherical k-means refinement
+    (``similarity.kmeans_centroids``), the production mode that
+    balances cell sizes and tightens the probe-cost tail."""
+    from ..operators.similarity import as_double, ivf_assign, kmeans_centroids
+
+    from pyspark.sql import functions as F
+
+    if n_iter >= 1:
+        cent = kmeans_centroids(vectors, id_col, vec_col, n_cells, n_iter)
+    else:
+        seed_ids = (
+            vectors.select(id_col).distinct().orderBy(id_col).limit(n_cells)
+        )
+        cent = vectors.join(F.broadcast(seed_ids), id_col).select(
+            F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
+        )
+    c1 = store.centroids.overwrite(cent)
+    assigned = ivf_assign(
+        vectors.select(id_col, as_double(F.col(vec_col)).alias("_v")),
+        store.centroids.read(),
+        id_col,
+    ).select(id_col, "cid", F.col("_v").alias(vec_col))
+    c2 = store.cells.overwrite(assigned)
+    store._write_meta(
+        {
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "n_cells": n_cells,
+            "n_iter": n_iter,
+        }
+    )
+    return {
+        "centroids_version": c1.version,
+        "cells_version": c2.version,
+        "n_cells": n_cells,
+        "n_iter": n_iter,
+    }
+
+
+def serve_ivf_topk(
+    store: IVFIndexStore,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """SERVE: IVF top-k from the stored layout with PRUNED I/O — the
+    probe set's cell ids map to bucket dirs (``bucket_ids_of``) and
+    only those dirs are read; at scale that is the difference between
+    scanning the corpus per query batch and scanning
+    ``nprobe/n_cells`` of it. Scoring matches ``similarity.ivf_topk``
+    expression-for-expression (round-9 cosine, id tie-break), so a
+    serve against an unrefined index returns exactly the in-plan
+    query's rows. EAGER at the probe step (one tiny localCheckpoint of
+    |queries|·nprobe rows) — the probe list must be known to prune the
+    bucket read."""
+    from ..operators.similarity import as_double, cosine
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if not store.exists():
+        raise FileNotFoundError(
+            f"no IVF index at {store.root}; run refresh_ivf_index first"
+        )
+    meta = store.meta()
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    cent = store.centroids.read()
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+    )
+    qs = q.join(F.broadcast(cent)).withColumn(
+        "_sim", cosine(F.col("_qv"), F.col("cv"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("cid")
+    )
+    q_cells = (
+        qs.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "_qv", "cid")
+        .localCheckpoint(eager=True)
+    )
+    cells_src = store.cells.read_buckets(
+        store.cells.bucket_ids_of(q_cells, "cid")
+    )
+    scored = (
+        cells_src.withColumnRenamed(id_col, "neighbor_id")
+        .join(q_cells, "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine(F.col("_qv"), as_double(F.col(vec_col))), 9),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def serve_pq_topk(
     store: PQIndexStore,
     queries: DataFrame,

@@ -229,7 +229,11 @@ def ivf_topk(
     if centroids is not None:
         cent = centroids.select("cid", "cv")
     else:
-        cent = corpus.where(F.col(id_col) < n_cells).select(
+        # n_cells actual lowest ids, not `id < n_cells` — the latter
+        # silently yields fewer cells on sparse/offset id spaces (same
+        # contract as the kmeans/pq seeds; identical on dense 0-based)
+        seed_ids = corpus.select(id_col).distinct().orderBy(id_col).limit(n_cells)
+        cent = corpus.join(F.broadcast(seed_ids), id_col).select(
             F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
         )
     c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))

@@ -580,3 +580,50 @@ def test_pq_append_codes_incremental(spark, tmp_path):
 
     replay = append_pq_codes(store, fresh)
     assert replay["inserted"] == 0  # idempotent replay
+
+
+def test_ivf_index_store_refresh_and_serve(spark, tmp_path):
+    """IVF build/serve split: the unrefined (lowest-id cells) index
+    serves EXACTLY ivf_topk's rows; the kmeans-refined build serves
+    exactly ivf_topk(centroids=kmeans_centroids(...)); the serve path
+    reads only the probe cells' buckets (pruned I/O); and serving
+    without an index fails loudly."""
+    import pytest
+
+    from delta_data_pipelines_spark.jobs.ann_index import (
+        IVFIndexStore,
+        refresh_ivf_index,
+        serve_ivf_topk,
+    )
+    from delta_data_pipelines_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.where(e.vec_id < 5)
+
+    store = IVFIndexStore(spark, str(tmp_path / "ivf"), n_buckets=8)
+    with pytest.raises(FileNotFoundError):
+        serve_ivf_topk(store, q)
+
+    refresh_ivf_index(store, e, n_cells=16, n_iter=0)
+    served = sorted(tuple(r) for r in serve_ivf_topk(store, q, k=5, nprobe=2).collect())
+    inplan = sorted(
+        tuple(r) for r in ivf_topk(e, q, k=5, n_cells=16, nprobe=2).collect()
+    )
+    assert served == inplan
+
+    # refined mode: equality against the in-plan query fed the same
+    # fitted centroids
+    store2 = IVFIndexStore(spark, str(tmp_path / "ivf2"), n_buckets=8)
+    refresh_ivf_index(store2, e, n_cells=8, n_iter=2)
+    served2 = sorted(
+        tuple(r) for r in serve_ivf_topk(store2, q, k=5, nprobe=2).collect()
+    )
+    cents = kmeans_centroids(e, k=8, n_iter=2)
+    inplan2 = sorted(
+        tuple(r)
+        for r in ivf_topk(e, q, k=5, nprobe=2, centroids=cents).collect()
+    )
+    assert served2 == inplan2
