@@ -349,3 +349,46 @@ def test_percent_rank_scalable_no_full_table_single_partition(spark, registry):
     # per-partition-counts window and the 1-row n aggregate
     assert plan.count("SinglePartition") <= 2, plan
     assert "percent_rank" not in plan.lower(), plan  # computed, not windowed
+
+
+def test_pq_serve_plan_has_no_fit_stages(spark, registry):
+    """The storage-backed ADC serve must stay flat however the index
+    was built: a handful of exchanges (scan + broadcast LUT +
+    partial-agg + one per-query window), against the in-plan twin's
+    ~20 (fit + code + serve). A refactor that re-introduces the fit
+    into the serve plan trips this immediately."""
+    serve = registry["sim_pq_serve"](spark, SF)
+    plan = serve._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 8, plan.count("Exchange")
+    refit = registry["sim_pq_adc_topk"](spark, SF)
+    refit_plan = refit._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") < refit_plan.count("Exchange")
+
+
+def test_ivf_serve_reads_only_probe_buckets(spark, registry):
+    """The IVF serve's corpus scan must be bucket-pruned: with 16
+    cells hashed over the store's bucket count and nprobe=2 per query,
+    the scanned file set is a strict subset of the full cells table —
+    the partition-pruned-I/O contract. Counted via the scan's input
+    files rather than plan text (the prune happens at path selection,
+    before Catalyst)."""
+    import glob
+
+    # force the index to exist, then inspect the serve's scanned paths
+    registry["sim_ivf_serve"](spark, SF).collect()
+    import os
+
+    repo_root = os.path.dirname(os.path.abspath(entry.__file__))
+    cells_root = os.path.join(
+        repo_root, "spark-warehouse", "ivf_index", "sf0.001", "cells"
+    )
+    all_parquet = glob.glob(
+        os.path.join(cells_root, "v=*", "_bucket=*", "*.parquet")
+    )
+    df = registry["sim_ivf_serve"](spark, SF)
+    scanned = set(df.inputFiles())
+    cell_files = {f for f in scanned if "ivf_index" in f}
+    assert cell_files, "serve plan reads no cells files?"
+    assert len(cell_files) < len(all_parquet), (
+        f"serve scanned ALL {len(all_parquet)} cell files - no pruning"
+    )
