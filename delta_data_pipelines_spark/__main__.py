@@ -126,6 +126,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="k-means refinement rounds (0 = deterministic "
                     "lowest-id cells, nothing to fit)")
 
+    ia = sub.add_parser(
+        "ivf-append",
+        help="incremental IVF maintenance: assign vectors not yet in "
+        "the cells table against the STORED centroids, merge into the "
+        "touched buckets only",
+    )
+    ia.add_argument("--index", required=True, help="index store root")
+    ia.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+
     fm = sub.add_parser(
         "fit-curation-model",
         help="freeze the incremental-curation reference models: unigram "
@@ -316,6 +325,25 @@ def main(argv: list[str] | None = None) -> int:
             store, e, n_cells=args.n_cells, n_iter=args.n_iter
         )
         print(json.dumps({"job": "ivf-index", **res}))
+        return 0
+
+    if args.cmd == "ivf-append":
+        from .catalog import read_table
+        from .jobs.ann_index import IVFIndexStore, append_ivf_cells
+
+        store = IVFIndexStore(spark, args.index)
+        if not store.exists():
+            print(json.dumps({
+                "job": "ivf-append", "error": "no index; run ivf-index first",
+            }))
+            return 1
+        id_col = store.meta()["id_col"]
+        e = read_table(spark, args.sf_dir, "embeddings")
+        fresh = e.join(
+            store.cells.read().select(id_col).distinct(), id_col, "left_anti"
+        )
+        res = append_ivf_cells(store, fresh)
+        print(json.dumps({"job": "ivf-append", **res}))
         return 0
 
     if args.cmd == "fit-curation-model":

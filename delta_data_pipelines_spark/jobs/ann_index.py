@@ -293,6 +293,55 @@ def refresh_ivf_index(
     }
 
 
+def append_ivf_cells(
+    store: IVFIndexStore,
+    new_vectors: DataFrame,
+) -> dict[str, Any]:
+    """INCREMENTAL IVF maintenance: assign ONLY the new batch against
+    the STORED centroids and merge into the cell-bucketed corpus —
+    insert-if-absent on the vector id, so an at-least-once upstream
+    can replay a batch without duplicating rows, and the bucketed
+    merge rewrites only the bucket dirs the batch's cells hash into
+    (write cost follows the batch, not the corpus). Centroids are not
+    refit — like the PQ append, drift in cell balance is a refresh
+    decision, observable via ``store.cells.bucket_stats()``.
+
+    Merge keys are (id, cid): the bucketed merge requires its bucket
+    key among the join keys, and a vector's cid is a deterministic
+    function of its embedding and the STORED centroids, so a replayed
+    batch matches on both and inserts nothing. A vector re-arriving
+    with DIFFERENT embedding bytes lands in whatever cell the new
+    floats assign to — first-wins per (id, cid), the same contract as
+    the near-dup signature state."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import as_double, ivf_assign
+
+    if not store.exists():
+        raise FileNotFoundError(
+            f"no IVF index at {store.root}; run refresh_ivf_index first"
+        )
+    meta = store.meta()
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    assigned = ivf_assign(
+        new_vectors.select(id_col, as_double(F.col(vec_col)).alias("_v")),
+        store.centroids.read(),
+        id_col,
+    ).select(id_col, "cid", F.col("_v").alias(vec_col))
+    if assigned.isEmpty():
+        return {
+            "cells_version": store.cells.latest_version(),
+            "inserted": 0,
+            "buckets_written": 0,
+        }
+    commit = store.cells.merge(assigned, keys=[id_col, "cid"])
+    return {
+        "cells_version": commit.version,
+        "inserted": commit.metrics.get("inserted"),
+        "buckets_written": commit.metrics.get("buckets_written"),
+    }
+
+
 def serve_ivf_topk(
     store: IVFIndexStore,
     queries: DataFrame,

@@ -627,3 +627,44 @@ def test_ivf_index_store_refresh_and_serve(spark, tmp_path):
         for r in ivf_topk(e, q, k=5, nprobe=2, centroids=cents).collect()
     )
     assert served2 == inplan2
+
+
+def test_ivf_append_cells_incremental(spark, tmp_path):
+    """IVF incremental append: build on half the corpus, append the
+    other half — the merged index serves EXACTLY what a full rebuild
+    with the same (stored) centroids serves, replay inserts nothing,
+    and the bucketed merge writes only the touched buckets."""
+    from delta_data_pipelines_spark.jobs.ann_index import (
+        IVFIndexStore,
+        append_ivf_cells,
+        refresh_ivf_index,
+        serve_ivf_topk,
+    )
+    from delta_data_pipelines_spark.operators.similarity import ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    build = e.where(e.vec_id % 2 == 0)
+    fresh = e.where(e.vec_id % 2 == 1)
+    q = e.where(e.vec_id < 5)
+
+    store = IVFIndexStore(spark, str(tmp_path / "ivfinc"), n_buckets=8)
+    refresh_ivf_index(store, build, n_cells=8, n_iter=0)
+    out = append_ivf_cells(store, fresh)
+    assert out["inserted"] == fresh.count()
+    assert 0 < out["buckets_written"] <= 8
+
+    served = sorted(
+        tuple(r) for r in serve_ivf_topk(store, q, k=5, nprobe=2).collect()
+    )
+    # full corpus against the SAME centroids (the build half's lowest
+    # ids) must give identical answers
+    inplan = sorted(
+        tuple(r)
+        for r in ivf_topk(
+            e, q, k=5, nprobe=2, centroids=store.centroids.read()
+        ).collect()
+    )
+    assert served == inplan
+
+    replay = append_ivf_cells(store, fresh)
+    assert replay["inserted"] == 0
