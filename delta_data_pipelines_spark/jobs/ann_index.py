@@ -264,11 +264,15 @@ def refresh_ivf_index(
     if n_iter >= 1:
         cent = kmeans_centroids(vectors, id_col, vec_col, n_cells, n_iter)
     else:
-        seed_ids = (
-            vectors.select(id_col).distinct().orderBy(id_col).limit(n_cells)
-        )
-        cent = vectors.join(F.broadcast(seed_ids), id_col).select(
-            F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
+        # n_cells lowest ids via TakeOrderedAndProject — no shuffle,
+        # no join-back (same formulation as ivf_topk's default seed)
+        cent = (
+            vectors.select(
+                F.col(id_col).alias("cid"),
+                as_double(F.col(vec_col)).alias("cv"),
+            )
+            .orderBy("cid")
+            .limit(n_cells)
         )
     c1 = store.centroids.overwrite(cent)
     assigned = ivf_assign(

@@ -451,19 +451,27 @@ _CHUNK_BITS = 16
 def simhash_chunks(text_col: str) -> Column:
     """64-bit SimHash over word tokens, as 4×16-bit chunk ints.
 
-    Each token votes ±1 per bit position (from its xxhash64); the
-    signature bit is the vote sign. Chunked layout (instead of one
-    int64) keeps the Hamming join expressible without sign issues.
+    Each token votes ±1 per bit position; the signature bit is the
+    vote sign. Chunked layout (instead of one int64) keeps the
+    Hamming join expressible without sign issues.
+
+    Token bits come from md5 — two 32-bit halves of the hex digest —
+    NOT xxhash64: md5 is the engine-portable choice (the KMV sketch
+    discipline), so the DuckDB oracle recomputes the identical
+    signatures bit for bit and dd_simhash is hash-checked rather than
+    rows-only. All arithmetic is integer, so there is no float-order
+    hazard anywhere in the operator.
 
     Built as a SQL expression because the bit probe needs a variable
     shift (``h >> i`` with lambda-bound ``i``), which the Python
     ``F.shiftright`` API doesn't accept.
 
     Tokens are hashed ONCE in a pre-pass (``transform(split, t ->
-    xxhash64(t))``) and the bit-vote fold runs over the hash array —
-    hashing inside the per-bit lambda would recompute xxhash64 64×
-    per token (interpreted HOF lambdas do no common-subexpression
-    elimination; measured 25% slower on the corpus pass).
+    struct(md5 halves))``) and the bit-vote fold runs over the hash
+    array — hashing inside the per-bit lambda would recompute the
+    digest 64× per token (interpreted HOF lambdas do no
+    common-subexpression elimination; measured 25% slower on the
+    corpus pass with the cheaper xxhash64).
     """
     return F.expr(
         f"""
@@ -471,12 +479,15 @@ def simhash_chunks(text_col: str) -> Column:
             aggregate(
                 slice(
                     aggregate(
-                        transform(split({text_col}, ' '), t -> xxhash64(t)),
+                        transform(split({text_col}, ' '), t -> named_struct(
+                            'h1', cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint),
+                            'h2', cast(conv(substr(md5(t), 9, 8), 16, 10) as bigint))),
                         array_repeat(0, 64),
                         (acc, h) -> zip_with(
                             acc,
                             transform(sequence(0, 63), i ->
-                                IF(((h >> i) & 1L) = 1L, 1, -1)),
+                                IF(((IF(i < 32, h.h1 >> i, h.h2 >> (i - 32))
+                                     & 1L) = 1L), 1, -1)),
                             (a, b) -> a + b)
                     ),
                     c * {_CHUNK_BITS} + 1, {_CHUNK_BITS}),

@@ -231,10 +231,18 @@ def ivf_topk(
     else:
         # n_cells actual lowest ids, not `id < n_cells` — the latter
         # silently yields fewer cells on sparse/offset id spaces (same
-        # contract as the kmeans/pq seeds; identical on dense 0-based)
-        seed_ids = corpus.select(id_col).distinct().orderBy(id_col).limit(n_cells)
-        cent = corpus.join(F.broadcast(seed_ids), id_col).select(
-            F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
+        # contract as the kmeans/pq seeds; identical on dense 0-based).
+        # orderBy+limit ON THE VECTOR-CARRYING FRAME compiles to
+        # TakeOrderedAndProject (per-partition top-k, no shuffle) —
+        # a distinct+join formulation costs a full id shuffle (ids are
+        # unique by the vector-table contract, so no dedup is needed)
+        cent = (
+            corpus.select(
+                F.col(id_col).alias("cid"),
+                as_double(F.col(vec_col)).alias("cv"),
+            )
+            .orderBy("cid")
+            .limit(n_cells)
         )
     c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
     q = queries.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
@@ -338,10 +346,13 @@ def _kmeans_final_assign(
         vecs = vecs.localCheckpoint(eager=True)
     # seed from the k actual lowest ids, not `id < k` — the latter
     # silently yields < k centroids on sparse/offset id spaces (same
-    # contract as pq_index's seed; identical on dense 0-based ids)
-    seed_ids = vecs.select(id_col).distinct().orderBy(id_col).limit(k)
-    cent = vecs.join(F.broadcast(seed_ids), id_col).select(
-        F.col(id_col).alias("cid"), F.col("_v").alias("cv")
+    # contract as pq_index's seed; identical on dense 0-based ids).
+    # orderBy+limit on the vector-carrying frame = TakeOrderedAndProject
+    # (per-partition top-k, no shuffle, no join-back)
+    cent = (
+        vecs.select(F.col(id_col).alias("cid"), F.col("_v").alias("cv"))
+        .orderBy("cid")
+        .limit(k)
     )
     assign = ivf_assign(vecs, cent, id_col)
     for _ in range(n_iter - 1):
@@ -491,12 +502,14 @@ def pq_index(
     # Seed codebooks from the k actual lowest ids (docstring contract) —
     # NOT `id < k`, which assumes a dense 0-based id space and silently
     # yields < k codewords (empty downstream results) on sparse or
-    # offset id spaces. limit(k) on the sorted distinct ids is exact
-    # and broadcast-sized; codes are the seed ids themselves, so the
-    # fit stays deterministic whatever the id space looks like.
-    seed_ids = df.select(id_col).distinct().orderBy(id_col).limit(k)
-    cent = sub.join(F.broadcast(seed_ids), id_col).select(
-        "sub_id", F.col(id_col).alias("code"), F.col("_sv").alias("_cv")
+    # offset id spaces. The k seed VECTORS come straight off a
+    # TakeOrderedAndProject (per-partition top-k, no shuffle) and are
+    # sliced separately — k rows, so the second slice pass is free;
+    # codes are the seed ids themselves, keeping the fit deterministic
+    # whatever the id space looks like.
+    seeds = df.select(id_col, vec_col).orderBy(id_col).limit(k)
+    cent = _subspace_slices(seeds, id_col, vec_col, m, "_cv").select(
+        "sub_id", F.col(id_col).alias("code"), "_cv"
     )
     assign = _pq_assign(sub, cent, id_col)
     for _ in range(n_iter - 1):

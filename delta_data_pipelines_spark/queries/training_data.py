@@ -56,9 +56,10 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 6). Rows-only: seeded-hash
-    signatures have no SQL twin; cross-checked against MinHash in
-    tests."""
+    """SimHash near-dup pairs (Hamming ≤ 6). Oracle-checked since r8:
+    token bits come from md5 (engine-portable, all-integer), so the
+    DuckDB twin recomputes the identical 64-bit signatures, the same
+    shared-chunk candidate set, and the same exact Hamming distances."""
     d = read_table(spark, sf_dir, "documents")
     return dedup.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=6).orderBy(
         "id_a", "id_b"
@@ -2103,6 +2104,51 @@ ORACLE_SQL = {
         ORDER BY test_doc_id, train_doc_id
     """
     ),
+    # SimHash recomputed bit-for-bit: md5-half token hashes (the
+    # engine-portable choice), ±1 votes per bit, sign -> signature,
+    # 16-bit chunk values via MSB-first weights, candidates = pairs
+    # sharing an exact chunk, exact Hamming = signature-bit mismatches
+    # (equals Spark's chunk-XOR bit_count). All integer arithmetic.
+    "dd_simhash": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(t), 1, 8))::BIGINT AS h1,
+                   ('0x' || substr(md5(t), 9, 8))::BIGINT AS h2
+            FROM toks
+        ), bitdefs AS (
+            SELECT unnest(range(0, 64)) AS bit
+        ), votes AS (
+            SELECT doc_id, bit,
+                   SUM(CASE WHEN ((CASE WHEN bit < 32 THEN h1 >> bit
+                                   ELSE h2 >> (bit - 32) END) & 1) = 1
+                            THEN 1 ELSE -1 END) AS v
+            FROM h CROSS JOIN bitdefs GROUP BY doc_id, bit
+        ), sig AS MATERIALIZED (
+            SELECT doc_id, bit,
+                   CASE WHEN v > 0 THEN 1 ELSE 0 END AS sbit
+            FROM votes
+        ), chunks AS (
+            SELECT doc_id, bit // 16 AS chunk_idx,
+                   SUM(sbit * (1 << (15 - (bit % 16)))) AS chunk_val
+            FROM sig GROUP BY doc_id, bit // 16
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM chunks a JOIN chunks b
+              ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+             AND a.doc_id < b.doc_id
+        ), ham AS (
+            SELECT c.id_a, c.id_b,
+                   SUM(CASE WHEN sa.sbit <> sb.sbit THEN 1 ELSE 0 END) AS hm
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.id_a
+            JOIN sig sb ON sb.doc_id = c.id_b AND sb.bit = sa.bit
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b, CAST(hm AS INTEGER) AS hamming
+        FROM ham WHERE hm <= 6 ORDER BY id_a, id_b
+    """,
     # exact all-pairs Jaccard — the computation MinHash-LSH approximates
     "dd_minhash": (
         "SELECT * FROM ("
