@@ -79,10 +79,11 @@ _PRIORITY = [
     "t_scd2_intervals", "sim_kmeans", "ds_temperature_mix",
     "txt_langid_confusion", "sim_semantic_dedup_audit",
     "td_chunk_manifest", "t_funnel_stages", "txt_bm25_topk",
-    # t_rolling_stats (r7-green; temporal family holds 4 other green
-    # rows) rotated out for dd_simhash, which became oracle-able in r8
-    # (portable md5 signatures) and needs its first hash-checked row
-    "t_retention_cohorts", "t_gap_fill", "dd_simhash",
+    # t_rolling_stats and t_gap_fill (both r7-green; the temporal
+    # family keeps 6 other window rows) rotated out for dd_simhash and
+    # sim_lsh_topk, which became oracle-able in r8 (portable md5
+    # signatures/planes) and need their first hash-checked rows
+    "t_retention_cohorts", "sim_lsh_topk", "dd_simhash",
     # so_intersect and a_histogram (both r7-green, families multiply
     # proven) rotated out for the r8 storage-backed serve queries; the
     # mirror still checks them

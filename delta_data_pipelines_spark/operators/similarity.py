@@ -147,17 +147,29 @@ def range_search(
 def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
     """Sign-LSH bucket id from ``n_planes`` pseudo-random hyperplanes.
 
-    Plane p's j-th component is ±1 from xxhash64(p, j) — deterministic,
-    data-independent, nothing to fit or persist. Bucket = integer of
-    the sign bits. 2^8 = 256 cells; at 100 TB raise n_planes so cells
-    stay ~10⁴-10⁵ vectors and write the corpus partitioned by bucket
-    for partition-pruned probes.
+    Plane p's j-th component is ±1 from the parity of md5's first byte
+    over ``"p_j"`` — deterministic, data-independent, nothing to fit
+    or persist, and ENGINE-PORTABLE (the KMV/SimHash md5 discipline),
+    so the DuckDB oracle recomputes identical buckets: the projection
+    is a sequential left-to-right fold in both engines over the same
+    double operands, which IEEE arithmetic makes bit-identical.
+    Bucket = integer of the sign bits. 2^8 = 256 cells; at 100 TB
+    raise n_planes so cells stay ~10⁴-10⁵ vectors and write the
+    corpus partitioned by bucket for partition-pruned probes.
     """
     def side(p: Column, j: Column) -> Column:
-        return F.when(
-            F.xxhash64(p.cast("string"), j.cast("string")).bitwiseAND(F.lit(1)) == 1,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0))
+        byte = F.conv(
+            F.substring(
+                F.md5(F.concat(p.cast("string"), F.lit("_"), j.cast("string"))),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("int")
+        return F.when(byte.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(
+            F.lit(-1.0)
+        )
 
     def plane_sign(p: Column, v: Column) -> Column:
         proj = F.aggregate(

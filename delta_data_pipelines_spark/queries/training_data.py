@@ -155,8 +155,11 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed top-5 (approximate; rows-only check —
-    recall vs brute force asserted in tests).
+    """Sign-LSH bucketed top-5. Oracle-checked since r8: the planes'
+    ±1 components come from md5-byte parity (engine-portable) and the
+    projection is a sequential fold both engines evaluate in the same
+    operand order, so the DuckDB twin recomputes identical buckets —
+    and therefore the identical candidate set — exactly.
 
     4 planes → 16 cells, sized to the harness corpora (500-5000
     vectors); at real scale raise n_planes to keep cells ~10⁴-10⁵.
@@ -2270,6 +2273,48 @@ ORACLE_SQL = {
                                            CAST(c.embedding AS DOUBLE[])), 9)
               >= 0.35
         ORDER BY query_id, neighbor_id
+    """,
+    # Sign-LSH recomputed exactly: md5-byte-parity plane components,
+    # projection as list_reduce (left-to-right, the same operand order
+    # as Spark's sequential fold -> bit-identical doubles), bucket =
+    # MSB-first sign bits, then the same bucket-equality candidate set
+    # and round-9 cosine ranking as the Spark side.
+    "sim_lsh_topk": """
+        WITH vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), planes AS (
+            SELECT unnest(range(0, 4)) AS p
+        ), proj AS (
+            SELECT vec_id, p,
+                   list_reduce(
+                       list_transform(v, (x, j) -> x *
+                           (CASE WHEN (('0x' || substr(md5(p::VARCHAR || '_'
+                                        || (j - 1)::VARCHAR), 1, 2))::INT
+                                       & 1) = 1
+                                 THEN 1.0 ELSE -1.0 END)),
+                       (a, b) -> a + b) AS s
+            FROM vecs CROSS JOIN planes
+        ), bkt AS MATERIALIZED (
+            SELECT vec_id,
+                   SUM(CASE WHEN s >= 0 THEN 1 ELSE 0 END
+                       * (1 << (3 - p))) AS bucket
+            FROM proj GROUP BY vec_id
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND(list_cosine_similarity(qv.v, cv.v), 9) AS cosine_sim
+            FROM bkt q
+            JOIN bkt c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+            JOIN vecs qv ON qv.vec_id = q.vec_id
+            JOIN vecs cv ON cv.vec_id = c.vec_id
+            WHERE q.vec_id < 10
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+            ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     """,
     "sim_brute_topk": """
         WITH scored AS (
