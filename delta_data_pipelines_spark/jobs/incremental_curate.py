@@ -157,6 +157,11 @@ def fit_reference_model(
     c1 = model.unigram.overwrite(freq)
     stored_freq = model.unigram.read()
     total = stored_freq.agg(F.sum("tf").alias("t")).collect()[0]["t"]
+    if not total:
+        raise ValueError(
+            "reference corpus is empty after scrub+gate — no unigram "
+            "distribution to freeze; widen the gate or fix the input"
+        )
     scores = _frozen_lm_scores(clean, stored_freq, total, id_col, text_col)
     thr = scores.agg(
         F.expr(f"percentile(avg_logprob, {drop_fraction})").alias("thr")

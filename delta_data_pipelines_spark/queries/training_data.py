@@ -1332,6 +1332,41 @@ def sim_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scratch_index_root(sf_dir: str, kind: str) -> tuple[str, bool]:
+    """(index root, needs_rebuild) for a per-sf scratch ANN index under
+    the repo's gitignored spark-warehouse. A fingerprint of the source
+    embeddings parquet (mtime+size) is stamped next to the index;
+    a stale stamp forces a rebuild — serving codes fit on yesterday's
+    bytes against today's oracle would hash-mismatch silently. The
+    stamp is written by ``_stamp_index`` only AFTER a successful
+    build (see there). Returns (root, stale, fingerprint)."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    root = os.path.join(repo_root, "spark-warehouse", kind, sf_name)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        fp = "unknown"
+    marker = os.path.join(root, "source.fp")
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as f:
+            stale = f.read().strip() != fp
+    return root, stale, fp
+
+
+def _stamp_index(root: str, fp: str) -> None:
+    """Record the source fingerprint AFTER a successful build — stamping
+    before it would mark a crashed half-build as fresh."""
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "source.fp"), "w") as f:
+        f.write(fp)
+
+
 def sim_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-5 served from a STORED PQ index (jobs.ann_index) — the
     production split of ``sim_pq_adc_topk``: that query refits the
@@ -1346,17 +1381,14 @@ def sim_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares its oracle."""
     from ..jobs import ann_index
 
-    sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    root = os.path.join(repo_root, "spark-warehouse", "pq_index", sf_name)
+    root, stale, fp = _scratch_index_root(sf_dir, "pq_index")
     store = ann_index.PQIndexStore(spark, root)
-    if not store.exists():
+    if stale or not store.exists():
         e = read_table(spark, sf_dir, "embeddings")
         ann_index.refresh_pq_index(
             store, e, "vec_id", "embedding", m=4, k=4, n_iter=2
         )
+        _stamp_index(root, fp)
     q = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 10)
     return ann_index.serve_pq_topk(store, q, topk=5).orderBy(
         "query_id", "rank"
@@ -1376,17 +1408,14 @@ def sim_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     would own)."""
     from ..jobs import ann_index
 
-    sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    root = os.path.join(repo_root, "spark-warehouse", "ivf_index", sf_name)
+    root, stale, fp = _scratch_index_root(sf_dir, "ivf_index")
     store = ann_index.IVFIndexStore(spark, root)
-    if not store.exists():
+    if stale or not store.exists():
         e = read_table(spark, sf_dir, "embeddings")
         ann_index.refresh_ivf_index(
             store, e, "vec_id", "embedding", n_cells=16, n_iter=0
         )
+        _stamp_index(root, fp)
     q = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 10)
     return ann_index.serve_ivf_topk(store, q, k=5, nprobe=2).orderBy(
         "query_id", "rank"

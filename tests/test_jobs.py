@@ -668,3 +668,23 @@ def test_ivf_append_cells_incremental(spark, tmp_path):
 
     replay = append_ivf_cells(store, fresh)
     assert replay["inserted"] == 0
+
+
+def test_fit_reference_model_rejects_empty_reference(spark, tmp_path):
+    """A reference corpus the gate empties must fail the build loudly
+    (no unigram distribution to freeze), not crash later or freeze a
+    degenerate model."""
+    import pytest
+
+    from delta_data_pipelines_spark.jobs.incremental_curate import (
+        FrozenCurationModel,
+        fit_reference_model,
+    )
+
+    tiny = spark.createDataFrame(
+        [(1, "too short"), (2, "x y")], "doc_id long, text string"
+    )  # every doc under min_tokens=10 -> gate drops all
+    heldout = spark.createDataFrame([(9, "h " * 20)], "doc_id long, text string")
+    model = FrozenCurationModel(spark, str(tmp_path / "emptyref"))
+    with pytest.raises(ValueError, match="empty after scrub"):
+        fit_reference_model(model, tiny, heldout)
