@@ -411,6 +411,56 @@ def serve_ivf_topk(
     )
 
 
+def run_incremental_ann_ingest(
+    vec_stream: DataFrame,
+    store: "PQIndexStore | IVFIndexStore",
+    checkpoint_dir: str,
+    drift_log: list | None = None,
+):
+    """STREAM job: keep an ANN index fresh under continuous embedding
+    ingest — each micro-batch of vectors is absorbed through the
+    store's incremental append (``append_pq_codes`` /
+    ``append_ivf_cells``), which is insert-if-absent on deterministic
+    keys, so the at-least-once replay a crashed micro-batch causes
+    merges to a no-op instead of duplicate codes. The codebook/
+    centroids are never refit in-stream (that is the scheduled refresh
+    job's call); for PQ stores each batch's drift measurement
+    (batch vs build-time mean assignment cosine) is appended to
+    ``drift_log`` when given — the stream's refit signal.
+
+    Completes the continuous-pipeline triad: curation state
+    (incremental_curate), sketch state (sketch_state), and now index
+    state all absorb micro-batches with batch-proportional cost
+    against bucketed/versioned storage."""
+    is_pq = isinstance(store, PQIndexStore)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        id_col = store.meta()["id_col"]
+        batch = batch_df.dropDuplicates([id_col])
+        if is_pq:
+            res = append_pq_codes(store, batch)
+            if drift_log is not None:
+                drift_log.append(
+                    {
+                        "epoch": epoch_id,
+                        "batch_mean_sim": res["batch_mean_sim"],
+                        "baseline_mean_sim": res["baseline_mean_sim"],
+                    }
+                )
+        else:
+            append_ivf_cells(store, batch)
+
+    return (
+        vec_stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def serve_pq_topk(
     store: PQIndexStore,
     queries: DataFrame,

@@ -1096,3 +1096,49 @@ def test_incremental_curation_converges_to_frozen_batch(spark, tmp_path):
         ).collect()
     }
     assert heldout_long and not (got & heldout_long)
+
+
+def test_incremental_ann_ingest_converges_to_batch(spark, tmp_path):
+    """Streaming embedding ingest through the ANN append path: after
+    draining, a PQ store built on the first slice and streamed the
+    rest serves EXACTLY what a batch build-then-append produces, and
+    every drained batch logged a drift measurement against the
+    build-time baseline."""
+    from delta_data_pipelines_spark.jobs.ann_index import (
+        PQIndexStore,
+        refresh_pq_index,
+        run_incremental_ann_ingest,
+        serve_pq_topk,
+    )
+    from delta_data_pipelines_spark.operators.similarity import pq_encode
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    build = e.where(e.vec_id < 100)
+    rest = e.where(e.vec_id >= 100)
+    q = e.where(e.vec_id < 5)
+
+    store = PQIndexStore(spark, str(tmp_path / "annstream"))
+    refresh_pq_index(store, build, m=4, k=4, n_iter=2)
+
+    stream = _stream_from(spark, rest, tmp_path, "ann_vecs", files=3)
+    drift = []
+    qry = run_incremental_ann_ingest(
+        stream, store, str(tmp_path / "ann_ckpt"), drift_log=drift
+    )
+    qry.awaitTermination(120)
+
+    assert len(drift) >= 1
+    assert all(
+        d["baseline_mean_sim"] is not None
+        and (d["batch_mean_sim"] is None or 0 < d["batch_mean_sim"] <= 1)
+        for d in drift
+    )
+    # codes table == build codes + stored-codebook encoding of the rest
+    expect = sorted(
+        tuple(r)
+        for r in pq_encode(e, store.codebook.read(), m=4).collect()
+    )
+    got = sorted(tuple(r) for r in store.codes.read().collect())
+    assert got == expect
+    # and the serve path works against the streamed-in state
+    assert serve_pq_topk(store, q, topk=5).count() == 25
