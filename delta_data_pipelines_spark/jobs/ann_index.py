@@ -313,10 +313,15 @@ def append_ivf_cells(
     Merge keys are (id, cid): the bucketed merge requires its bucket
     key among the join keys, and a vector's cid is a deterministic
     function of its embedding and the STORED centroids, so a replayed
-    batch matches on both and inserts nothing. A vector re-arriving
-    with DIFFERENT embedding bytes lands in whatever cell the new
-    floats assign to — first-wins per (id, cid), the same contract as
-    the near-dup signature state."""
+    batch (same bytes) matches on both and inserts nothing. A vector
+    re-arriving with DIFFERENT embedding bytes may assign to a
+    different cell and INSERT a second (id, cid) row — id uniqueness
+    is the upstream vector table's contract, same as every vector
+    operator here; deduplicating ids per batch against the whole
+    corpus would cost a full id-projection scan per micro-batch,
+    which breaks the batch-proportional write contract. Callers that
+    mutate embeddings in place should route through a full
+    ``refresh_ivf_index`` instead."""
     from pyspark.sql import functions as F
 
     from ..operators.similarity import as_double, ivf_assign
