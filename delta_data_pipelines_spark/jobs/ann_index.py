@@ -75,25 +75,25 @@ def refresh_pq_index(
 ) -> dict[str, Any]:
     """BUILD job: fit the PQ index and commit codes + codebook.
 
-    The fit plan (``similarity.pq_index``) is evaluated exactly twice —
-    once per table write; the codebook is m·k rows so its write is
-    trivial, and the codes write is the only corpus-sized pass. Meta
-    (m, k, n_iter) is written LAST, after both commits, so a serve
-    racing a refresh either sees the complete new index or the
-    complete old one (meta stale-reads pair with the old versions,
-    which remain readable until vacuum)."""
-    codes, cb = similarity.pq_index(vectors, id_col, vec_col, m, k, n_iter)
-    # the codes plan embeds the full unrolled fit; stage it so the two
-    # table writes don't each re-run every Lloyd round
-    codes = codes.localCheckpoint(eager=True)
+    The Lloyd fit is evaluated exactly ONCE (the codebook — m·k rows —
+    is eagerly staged straight off the fit plan); codes then come from
+    a single ``pq_encode`` pass against the staged codebook, which by
+    construction reproduces the fit's own final assignments
+    (test-asserted in tests/test_jobs.py), and the build-time drift
+    baseline is aggregated from that same staged pass — so the whole
+    refresh is two corpus passes (fit + encode), not the three a
+    naive fit-then-write-then-measure sequence costs. Meta is written
+    LAST, after both commits, so a serve racing a refresh either sees
+    the complete new index or the complete old one (meta stale-reads
+    pair with the old versions, which remain readable until vacuum)."""
+    _, cb = similarity.pq_index(vectors, id_col, vec_col, m, k, n_iter)
+    cb = cb.localCheckpoint(eager=True)  # the ONE fit evaluation
+    coded = similarity.pq_encode(
+        vectors, cb, id_col, vec_col, m, keep_sim=True
+    ).localCheckpoint(eager=True)
     c1 = store.codebook.overwrite(cb)
-    c2 = store.codes.overwrite(codes)
-    # build-time assignment quality against the COMMITTED codebook —
-    # the baseline append_pq_codes compares fresh batches to when
-    # deciding whether a refit is due
-    _, baseline = pq_assignment_quality(
-        vectors, store.codebook.read(), id_col, vec_col, m
-    )
+    c2 = store.codes.overwrite(coded.drop("_sim"))
+    baseline = _mean_assignment_sim(coded)
     store._write_meta(
         {
             "id_col": id_col,
@@ -113,6 +113,25 @@ def refresh_pq_index(
     }
 
 
+def _mean_assignment_sim(coded_with_sim: DataFrame) -> float:
+    """Mean winning-assignment cosine over a ``pq_encode(keep_sim=True)``
+    frame — the drift-gate signal, deterministic (per-row round to 9,
+    decimal sum, one final float division), so the build-time baseline
+    in the index meta is exactly reproducible."""
+    from pyspark.sql import functions as F
+
+    row = coded_with_sim.agg(
+        F.round(
+            F.sum(F.round(F.col("_sim"), 9).cast("decimal(38,12)")).cast(
+                "double"
+            )
+            / F.count("*"),
+            9,
+        ).alias("mean_sim")
+    ).collect()[0]
+    return float(row["mean_sim"] or 0.0)
+
+
 def pq_assignment_quality(
     vectors: DataFrame,
     codebook: DataFrame,
@@ -121,25 +140,16 @@ def pq_assignment_quality(
     m: int = 4,
 ) -> tuple[int, float]:
     """(n_vectors, mean winning-assignment cosine) of ``vectors``
-    against ``codebook`` — the refit gate's signal. Deterministic
-    (decimal-summed mean rounded to 9), so the build-time baseline in
-    the index meta is exactly reproducible."""
+    against ``codebook`` — the standalone refit-gate probe (refresh
+    and append compute the same number off their own staged encode
+    pass via ``_mean_assignment_sim``)."""
     from pyspark.sql import functions as F
 
     sims = similarity.pq_encode(
         vectors, codebook, id_col, vec_col, m, keep_sim=True
-    )
-    row = sims.agg(
-        F.count("*").alias("n"),
-        F.round(
-            F.sum(F.round(F.col("_sim"), 9).cast("decimal(38,12)")).cast(
-                "double"
-            )
-            / F.count("*"),
-            9,
-        ).alias("mean_sim"),
-    ).collect()[0]
-    return int(row["n"] // max(1, m)), float(row["mean_sim"] or 0.0)
+    ).localCheckpoint(eager=True)
+    n = sims.count() // max(1, m)
+    return int(n), _mean_assignment_sim(sims)
 
 
 def append_pq_codes(
@@ -183,21 +193,10 @@ def append_pq_codes(
     commit = store.codes.merge(
         coded.drop("_sim"), keys=[id_col, "sub_id"], when_matched="ignore"
     )
-    from pyspark.sql import functions as F
-
-    q = coded.agg(
-        F.round(
-            F.sum(F.round(F.col("_sim"), 9).cast("decimal(38,12)")).cast(
-                "double"
-            )
-            / F.count("*"),
-            9,
-        ).alias("mean_sim")
-    ).collect()[0]
     return {
         "codes_version": commit.version,
         "inserted": commit.metrics.get("inserted"),
-        "batch_mean_sim": float(q["mean_sim"] or 0.0),
+        "batch_mean_sim": _mean_assignment_sim(coded),
         "baseline_mean_sim": meta.get("baseline_mean_sim"),
     }
 
