@@ -76,7 +76,9 @@ _PRIORITY = [
     # p_filter_project, so_union, a_dynamic_pivot, st_dedup, tpch_q4
     "ds_stratified_sample", "txt_pii_scrub",
     "td_pack_sequences", "sk_kmv_distinct", "txt_boilerplate",
-    "t_scd2_intervals", "sim_kmeans", "ds_temperature_mix",
+    # ds_temperature_mix (r7-green; ds family keeps 5 window rows)
+    # rotated out for the r8 NB quality classifier
+    "t_scd2_intervals", "sim_kmeans", "td_quality_classifier",
     "txt_langid_confusion", "sim_semantic_dedup_audit",
     "td_chunk_manifest", "t_funnel_stages", "txt_bm25_topk",
     # t_rolling_stats and t_gap_fill (both r7-green; the temporal

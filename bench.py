@@ -103,6 +103,9 @@ HEADLINE = [
     # reads only the probe cells' bucket dirs — pruned I/O)
     "sim_pq_serve",
     "sim_ivf_serve",
+    # r8: one-pass NB quality-classifier train + full-corpus score —
+    # explode -> grouped counts -> broadcast-weight score join
+    "td_quality_classifier",
 ]
 
 

@@ -1422,6 +1422,30 @@ def sim_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def td_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GPT-3/CCNet quality-classifier pattern, end to end in-plan:
+    label the corpus by the heuristic quality gate (quality ≥ 0.5 as
+    the seed labels), train a Laplace-smoothed naive-Bayes model in
+    one pass (textstats.nb_train — integer counts, round-9 ln, fully
+    oracle-recomputable), then score EVERY doc under the trained
+    weights (decimal-summed token log-odds + class prior). The
+    output's pred_pos column is the classifier's corpus filter; at
+    scale the weights table is vocabulary-sized and broadcast, so the
+    scoring pass is one explode + one broadcast join + a partial-agg
+    groupBy — linear, shuffle-light, no UDF anywhere."""
+    from ..operators.textstats import nb_score, nb_train, quality_score
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (quality_score(F.col("text")) >= 0.5).alias("_lbl")
+    )
+    weights, prior = nb_train(d, "_lbl")
+    return (
+        nb_score(d, weights, prior)
+        .select("doc_id", "n_scored_tokens", "nb_score", "pred_pos")
+        .orderBy("doc_id")
+    )
+
+
 SPARK_QUERIES = {
     "ds_hash_split": ds_hash_split,
     "ds_det_sample": ds_det_sample,
@@ -1485,6 +1509,7 @@ SPARK_QUERIES = {
     "td_priority_dedup": td_priority_dedup,
     "txt_bigram_logprob": txt_bigram_logprob,
     "ds_weighted_sample": ds_weighted_sample,
+    "td_quality_classifier": td_quality_classifier,
 }
 
 _SHINGLES = """
@@ -2568,6 +2593,65 @@ ORACLE_SQL = {
                         d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE)
                    / NULLIF(len(bg), 0), 0.0), 9) AS top_bigram_ratio
         FROM c
+    """,
+    # NB quality classifier recomputed exactly: heuristic-quality seed
+    # labels, Laplace-smoothed per-token log-odds (integer counts,
+    # round-9 ln per side, re-rounded difference), decimal-summed doc
+    # scores + class prior — the weights, every score, and every
+    # prediction match Spark bit for bit.
+    "td_quality_classifier": """
+        WITH b AS (
+            SELECT doc_id, text, string_split(text, ' ') AS w,
+                   regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g') AS stripped
+            FROM documents
+        ), lab AS (
+            SELECT doc_id, text,
+                   (ROUND(0.4 * (len(list_filter(w, x -> x IN
+                             ('the','a','of','and','to','in','is','it')))
+                             / CAST(NULLIF(len(w), 0) AS DOUBLE))
+                       + 0.4 * LEAST(len(w) / 64.0, 1.0)
+                       + 0.2 * (1 - (length(text) - length(stripped))
+                             / CAST(NULLIF(length(text), 0) AS DOUBLE)),
+                       9) >= 0.5) AS pos
+            FROM b
+        ), toks AS (
+            SELECT pos, t AS tok FROM (
+                SELECT pos, unnest(string_split(text, ' ')) AS t
+                FROM lab WHERE pos IS NOT NULL AND text IS NOT NULL
+            ) WHERE t <> ''
+        ), counts AS (
+            SELECT tok,
+                   SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+                   SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cn
+            FROM toks GROUP BY tok
+        ), tot AS (
+            SELECT SUM(cp) AS np, SUM(cn) AS nn, COUNT(*) AS v FROM counts
+        ), weights AS MATERIALIZED (
+            SELECT tok,
+                   ROUND(
+                     ROUND(ln((cp + 1) / CAST(np + v AS DOUBLE)), 9)
+                   - ROUND(ln((cn + 1) / CAST(nn + v AS DOUBLE)), 9), 9) AS lo
+            FROM counts CROSS JOIN tot
+        ), prior AS (
+            SELECT ROUND(ln(SUM(CASE WHEN pos THEN 1 ELSE 0 END)
+                       / CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END)
+                              AS DOUBLE)), 9) AS lp
+            FROM lab WHERE pos IS NOT NULL
+        ), dtoks AS (
+            SELECT doc_id, t AS tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM lab WHERE text IS NOT NULL
+            ) WHERE t <> ''
+        ), scored AS (
+            SELECT d.doc_id, COUNT(*) AS n_scored_tokens,
+                   SUM(CAST(COALESCE(w.lo, 0.0) AS DECIMAL(28,9))) AS s
+            FROM dtoks d LEFT JOIN weights w ON d.tok = w.tok
+            GROUP BY d.doc_id
+        )
+        SELECT doc_id, n_scored_tokens,
+               ROUND(CAST(s AS DOUBLE) + lp, 9) AS nb_score,
+               (CAST(s AS DOUBLE) + lp >= 0) AS pred_pos
+        FROM scored CROSS JOIN prior ORDER BY doc_id
     """,
     "td_gopher_filter": """
         WITH b AS (

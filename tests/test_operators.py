@@ -1543,3 +1543,47 @@ def test_kmeans_and_pq_seed_from_lowest_ids_not_dense_range(spark):
     assert {r["code"] for r in cb_rows} == {1000, 1010}
     got = pq_codes(df, m=2, k=2, n_iter=2).collect()
     assert len(got) == 2 * 24  # every vector coded in every subspace
+
+
+def test_nb_classifier_separates_planted_classes(spark):
+    """Naive Bayes on a corpus with a planted vocabulary split: docs
+    built from 'good' tokens vs docs from 'bad' tokens must score on
+    opposite sides of zero once trained on their own labels; token
+    log-odds must carry the right sign; OOV-only docs score exactly
+    the prior; and NULL-text/NULL-label rows train nothing."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.operators.textstats import (
+        nb_score,
+        nb_train,
+    )
+
+    rows = [
+        (i, "clean helpful prose with structure and meaning", True)
+        for i in range(1, 7)
+    ]
+    rows += [
+        (i, "zz9 spam junk noise garbage spam zz9 junk", False)
+        for i in range(10, 16)
+    ]
+    rows.append((20, None, True))  # NULL text: contributes nothing
+    rows.append((21, "clean prose", None))  # NULL label: not trained on
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lbl boolean")
+
+    weights, prior = nb_train(docs, "lbl")
+    w = {r["token"]: r["log_odds"] for r in weights.collect()}
+    assert w["clean"] > 0 and w["spam"] < 0  # signs follow the classes
+
+    scored = {r["doc_id"]: r for r in nb_score(docs, weights, prior).collect()}
+    assert all(scored[i]["pred_pos"] for i in range(1, 7))
+    assert not any(scored[i]["pred_pos"] for i in range(10, 16))
+    assert 20 not in scored  # NULL text: nothing to score
+    assert scored[21]["pred_pos"]  # unlabeled doc scored fine
+
+    # OOV-only doc scores exactly the prior
+    oov = spark.createDataFrame(
+        [(99, "totally unseen vocabulary here")], "doc_id long, text string"
+    )
+    lp = prior.collect()[0]["log_prior"]
+    got = nb_score(oov, weights, prior).collect()[0]
+    assert abs(got["nb_score"] - round(lp, 9)) < 1e-9
