@@ -131,8 +131,11 @@ def run_incremental_neardup(
             # BEFORE any state interaction, so rejected docs never
             # enter the corpus, the signature state, or the shingle
             # state — exactly like batch curation ordering (clean,
-            # then dedup)
-            batch = prepare(batch)
+            # then dedup). Staged eagerly: the sink reads the batch
+            # under several branches (pair build, signatures, corpus
+            # merge), and an unstaged prepare lineage — scrub regexes,
+            # gate, frozen-LM scoring joins — would re-run per branch.
+            batch = prepare(batch).localCheckpoint(eager=True)
         if batch.isEmpty():
             return
         # 1. in-batch near-dup collapse (same operators as the batch job)
