@@ -85,7 +85,10 @@ _PRIORITY = [
     # family keeps 6 other window rows) rotated out for dd_simhash and
     # sim_lsh_topk, which became oracle-able in r8 (portable md5
     # signatures/planes) and need their first hash-checked rows
-    "t_retention_cohorts", "sim_lsh_topk", "dd_simhash",
+    # t_retention_cohorts (r6+r7 driver-green; the temporal family
+    # keeps 6 other window rows) rotated out for the r8 duplicated-
+    # passage REMOVAL query's first driver row
+    "td_dedup_passages", "sim_lsh_topk", "dd_simhash",
     # so_intersect and a_histogram (both r7-green, families multiply
     # proven) rotated out for the r8 storage-backed serve queries; the
     # mirror still checks them

@@ -549,3 +549,95 @@ def nb_score(
             F.col("_s").cast("double") + F.col("log_prior") >= 0
         ).alias("pred_pos"),
     )
+
+
+def passage_segments(text: Column, n: int = 10) -> Column:
+    """Non-overlapping ``n``-token segments of a whitespace-tokenized
+    document (the last segment may be shorter). The segment — not the
+    overlapping shingle — is the removal unit for exact duplicated-
+    passage DELETION: segments tile the document, so dropping one
+    never deletes tokens that a kept neighbor still covers."""
+    w = F.split(text, " ")
+    n_seg = F.ceil(F.size(w) / F.lit(n)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_seg - F.lit(1)),
+        lambda i: F.array_join(F.slice(w, i * n + 1, n), " "),
+    )
+
+
+def remove_dup_passages(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+) -> DataFrame:
+    """Exact duplicated-passage REMOVAL — the rewrite stage behind the
+    `passage_dup_stats` signal (Lee et al. 2022 exact-substring dedup /
+    RefinedWeb, at tiling-segment granularity): every corpus-wide
+    duplicated segment keeps exactly ONE copy (the first occurrence:
+    minimum (doc id, position) — deterministic, and also collapses
+    repeats WITHIN a document), all other copies are deleted and each
+    document is reassembled from its surviving segments in original
+    order. Output: (id, text rebuilt, n_segments, n_removed); rows
+    whose text is NULL pass through untouched (n_segments 0), and a
+    fully-deleted document becomes the empty string, not NULL.
+
+    Scale shape: one tiling explode staged ONCE (persist — two
+    consumers: the per-segment frequency/winner aggregate and the
+    join-back), frequency+winner by plain groupBy (partial agg; each
+    (doc, pos) emits one row so COUNT(*) is the occurrence count), the
+    join back on the segment key is AQE-skew-split when boilerplate
+    segments are hot — `passage_dup_stats`' df_mode="join" posture
+    exactly. Reassembly is a per-doc groupBy over at most the doc's own
+    segments. Executes EAGERLY (the staging precedent of the dd_*
+    operators: materialize, then release the stage).
+    """
+    from .dedup import _materialize_and_release
+    from pyspark import StorageLevel
+
+    base = docs.select(id_col, text_col)
+    segs = base.where(F.col(text_col).isNotNull()).select(
+        id_col,
+        F.posexplode(passage_segments(F.col(text_col), n)).alias(
+            "_pos", "_seg"
+        ),
+    )
+    staged = segs.persist(StorageLevel.MEMORY_AND_DISK)
+    stats = staged.groupBy("_seg").agg(
+        F.count("*").alias("_df"),
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("_pos").alias("p"))
+        ).alias("_w"),
+    )
+    flagged = staged.join(stats, "_seg").withColumn(
+        "_keep",
+        (F.col("_df") == 1)
+        | (
+            (F.col(id_col) == F.col("_w.i"))
+            & (F.col("_pos") == F.col("_w.p"))
+        ),
+    )
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("_pos", "_seg"))
+                    )
+                ),
+                lambda s: s["_seg"],
+            ),
+            " ",
+        ).alias("_text_out"),
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("_keep"), 0).otherwise(1)).alias("n_removed"),
+    )
+    out = base.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.col("_text_out"))
+        .alias(text_col),
+        F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+        F.coalesce("n_removed", F.lit(0).cast("bigint")).alias("n_removed"),
+    )
+    return _materialize_and_release(out, staged)

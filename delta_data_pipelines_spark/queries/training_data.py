@@ -1047,6 +1047,22 @@ def td_passage_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.passage_dup_stats(d, "doc_id", "text", n=8).orderBy("doc_id")
 
 
+def td_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-passage REMOVAL — the rewrite twin of
+    td_passage_dup_fraction's signal (Lee et al. 2022 / RefinedWeb
+    exact-substring dedup at tiling-segment granularity): every
+    corpus-wide duplicated 10-token segment keeps its first occurrence
+    (min (doc, pos) — deterministic), all other copies are deleted,
+    and documents are reassembled from their surviving segments in
+    order. One staged tiling explode, frequency+winner by plain
+    groupBy, AQE-skew-split join back — never a per-segment window
+    over the raw corpus."""
+    d = read_table(spark, sf_dir, "documents")
+    return textstats.remove_dup_passages(d, "doc_id", "text", n=10).orderBy(
+        "doc_id"
+    )
+
+
 def td_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic seeded global shuffle — the epoch reshuffle a
     training loader needs: every doc gets a stable position drawn from
@@ -1496,6 +1512,7 @@ SPARK_QUERIES = {
     "sk_kmv_distinct": sk_kmv_distinct,
     "txt_boilerplate": txt_boilerplate,
     "td_passage_dup_fraction": td_passage_dup_fraction,
+    "td_dedup_passages": td_dedup_passages,
     "td_global_shuffle": td_global_shuffle,
     "td_source_reputation": td_source_reputation,
     "sim_pq_codes": sim_pq_codes,
@@ -2737,6 +2754,45 @@ ORACLE_SQL = {
                      / CAST(COUNT(*) AS DOUBLE), 9) AS dup_frac
         FROM g JOIN dfc USING (_g)
         GROUP BY doc_id ORDER BY doc_id
+    """,
+    # winner rule: Spark's min-struct (doc_id, pos) == this ROW_NUMBER
+    # ordered by (doc_id, pos); a fully-deleted doc is '' (COALESCE), a
+    # NULL-text doc stays NULL (the CASE) — both pinned on both engines
+    "td_dedup_passages": """
+        WITH segs AS MATERIALIZED (
+            SELECT doc_id, CAST(pos AS BIGINT) AS pos, seg FROM (
+                SELECT doc_id,
+                       unnest(range(CAST(ceil(len(w) / 10.0) AS BIGINT)))
+                           AS pos,
+                       unnest(list_transform(
+                           range(CAST(ceil(len(w) / 10.0) AS BIGINT)),
+                           i -> array_to_string(w[i*10+1 : i*10+10], ' ')))
+                           AS seg
+                FROM (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM documents WHERE text IS NOT NULL)
+            )
+        ), flagged AS (
+            SELECT doc_id, pos, seg,
+                   (COUNT(*) OVER (PARTITION BY seg) = 1
+                    OR ROW_NUMBER() OVER (PARTITION BY seg
+                           ORDER BY doc_id, pos) = 1) AS keep
+            FROM segs
+        ), rebuilt AS (
+            SELECT doc_id,
+                   COALESCE(string_agg(seg, ' ' ORDER BY pos)
+                            FILTER (WHERE keep), '') AS text_out,
+                   COUNT(*) AS n_segments,
+                   CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_removed
+            FROM flagged GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL ELSE r.text_out END
+                   AS text,
+               COALESCE(r.n_segments, 0) AS n_segments,
+               COALESCE(r.n_removed, 0) AS n_removed
+        FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        ORDER BY d.doc_id
     """,
     "td_global_shuffle": """
         SELECT doc_id, lang, source,

@@ -1587,3 +1587,32 @@ def test_nb_classifier_separates_planted_classes(spark):
     lp = prior.collect()[0]["log_prior"]
     got = nb_score(oov, weights, prior).collect()[0]
     assert abs(got["nb_score"] - round(lp, 9)) < 1e-9
+
+
+def test_remove_dup_passages_keeps_first_and_rebuilds(spark):
+    """Corpus-wide duplicated segments keep exactly the min-(doc, pos)
+    copy; docs are rebuilt in original order; NULL text passes through;
+    a fully-deleted doc becomes the empty string, not NULL."""
+    a = "w1 w2 w3 w4 w5"
+    b = "x1 x2 x3 x4 x5"
+    rows = [
+        (1, a + " " + b),      # owns both segments (first occurrence)
+        (2, b + " " + a),      # both segments duplicated -> ''
+        (3, "u1 u2 u3 " + a),  # unaligned copy: tiling won't match it
+        (4, None),             # NULL passthrough
+        (5, "y1 y2 y3 y4 y5 y1 y2 y3 y4 y5"),  # within-doc repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text"], r["n_segments"], r["n_removed"])
+        for r in textstats.remove_dup_passages(df, n=5).collect()
+    }
+    assert out[1] == (a + " " + b, 2, 0)
+    assert out[2] == ("", 2, 2)
+    # segment tiling is alignment-sensitive by design: doc 3's copy of
+    # `a` straddles a segment boundary, so it is NOT removed — the
+    # overlapping-shingle SIGNAL (passage_dup_stats) still sees it
+    assert out[3] == ("u1 u2 u3 " + a, 2, 0)
+    assert out[4] == (None, 0, 0)
+    assert out[5] == ("y1 y2 y3 y4 y5", 2, 1)
+
