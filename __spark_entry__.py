@@ -79,7 +79,9 @@ _PRIORITY = [
     # ds_temperature_mix (r7-green; ds family keeps 5 window rows)
     # rotated out for the r8 NB quality classifier
     "t_scd2_intervals", "sim_kmeans", "td_quality_classifier",
-    "txt_langid_confusion", "sim_semantic_dedup_audit",
+    # txt_langid_confusion (r6+r7 driver-green) rotated out for the r8
+    # cluster-balance pruning query's first driver row
+    "td_cluster_balance", "sim_semantic_dedup_audit",
     "td_chunk_manifest", "t_funnel_stages", "txt_bm25_topk",
     # t_rolling_stats and t_gap_fill (both r7-green; the temporal
     # family keeps 6 other window rows) rotated out for dd_simhash and

@@ -324,3 +324,58 @@ def weighted_sample(
             .drop("_es", "_okey", "group_rank")
         )
     return base.orderBy("_es", key_col).limit(k).drop("_es")
+
+
+def cluster_balance(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+    cap: int = 64,
+    salt: str = "cb",
+) -> DataFrame:
+    """Embedding-cluster-capped corpus pruning (the SemDeDup / DCLM
+    cluster-balancing move): assign every vector to a deterministic
+    spherical k-means cell, then keep at most ``cap`` members per cell,
+    chosen by md5(salt:id) rank — over-represented semantic regions
+    (boilerplate clusters, template farms) are cut to the cap while
+    small clusters pass through whole, flattening the corpus's semantic
+    density without a similarity join. Returns kept rows only:
+    (id, cid, cluster_n, keep_rank).
+
+    Fully oracle-checkable: the k-means fit is
+    ``similarity.kmeans_assign`` (lowest-k-id seeds, decimal-exact
+    centroids) and the within-cluster choice is a portable md5 rank —
+    no randomness anywhere. Scale shape: the assign output (two narrow
+    columns) is staged once across its two consumers (rank + sizes);
+    per-cluster ranks run through ``ranking.grouped_rank_by_range``
+    (range slices — a 10^9-member boilerplate cluster never lands in
+    one task); cluster sizes are a k-row broadcast join.
+    """
+    from .dedup import _materialize_and_release
+    from .ranking import grouped_rank_by_range
+    from .similarity import kmeans_assign
+    from pyspark.storagelevel import StorageLevel
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    assign = kmeans_assign(df, id_col, vec_col, k=k, n_iter=n_iter).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    keyed = assign.withColumn(
+        "_h", F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    )
+    ranked = grouped_rank_by_range(keyed, "cid", "_h")
+    sizes = assign.groupBy("cid").agg(F.count("*").alias("cluster_n"))
+    out = (
+        ranked.join(F.broadcast(sizes), "cid")
+        .where(F.col("group_rank") <= cap)
+        .select(
+            id_col,
+            "cid",
+            "cluster_n",
+            F.col("group_rank").alias("keep_rank"),
+        )
+    )
+    return _materialize_and_release(out, assign)

@@ -196,6 +196,19 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def td_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cluster-capped pruning (SemDeDup / DCLM cluster
+    balancing): k=8 deterministic spherical k-means cells, keep at
+    most 40 members per cell by portable md5 rank — over-dense
+    semantic regions are cut to the cap, small cells pass whole.
+    Shares sim_kmeans' exact fit; the keep choice is the same md5
+    device as td_global_shuffle, so the whole query is oracle-exact."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return sampling.cluster_balance(
+        e, "vec_id", "embedding", k=8, n_iter=2, cap=40, salt="cb8"
+    ).orderBy("vec_id")
+
+
 def txt_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full text profile: lang-id, token counts, ratios, quality,
     fingerprint."""
@@ -1490,6 +1503,7 @@ SPARK_QUERIES = {
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_serve": sim_ivf_serve,
     "sim_kmeans": sim_kmeans,
+    "td_cluster_balance": td_cluster_balance,
     "txt_profile": txt_profile,
     "mm_meta": mm_meta,
     "mm_features": mm_features,
@@ -1563,6 +1577,44 @@ _MD5_BUCKET = (
     "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000)"
     " / 1000000.0"
 )
+
+# The k=8 / 2-round deterministic spherical k-means fit shared by
+# sim_kmeans and td_cluster_balance — ONE definition of the Lloyd
+# rounds so the balance query's cells can never drift from the fit the
+# engine checks directly. Mirrors similarity.kmeans_assign: lowest-id
+# seeds (ids are dense 0-based here, so `vec_id < 8` IS the 8 lowest),
+# decimal(38,12) centroid means rounded to 9, ties to the smaller cid.
+_KMEANS_FIT_8 = """
+        vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), c0 AS (
+            SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < 8
+        ), s1 AS (
+            SELECT vec_id, v, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS rn
+            FROM vecs CROSS JOIN c0
+        ), a1 AS (
+            SELECT vec_id, v, cid FROM s1 WHERE rn = 1
+        ), comp1 AS (
+            SELECT cid, u.pos AS pos, u.val AS val FROM (
+                SELECT cid, unnest(list_transform(v, (x, i) ->
+                    struct_pack(pos := i, val := x))) AS u
+                FROM a1)
+        ), m1 AS (
+            SELECT cid, pos,
+                   ROUND(CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                         / COUNT(*), 9) AS c
+            FROM comp1 GROUP BY cid, pos
+        ), c1 AS (
+            SELECT cid, list(c ORDER BY pos) AS cv FROM m1 GROUP BY cid
+        ), s2 AS (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS rn
+            FROM vecs CROSS JOIN c1
+        )
+"""
 
 # The PQ codebook fit (m=4 subspaces, k=4 codewords, 2 Lloyd rounds,
 # sublen = len(v)//4), shared by the three sim_pq_* twins — ONE
@@ -2405,37 +2457,26 @@ ORACLE_SQL = {
     """,
     # unrolled 2-round Lloyd: same deterministic seeds as sim_ivf_topk,
     # centroid means as decimal(38,12) sums rounded to 9 (order-exact)
-    "sim_kmeans": """
-        WITH vecs AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-        ), c0 AS (
-            SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < 8
-        ), s1 AS (
-            SELECT vec_id, v, cid,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id
-                       ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS rn
-            FROM vecs CROSS JOIN c0
-        ), a1 AS (
-            SELECT vec_id, v, cid FROM s1 WHERE rn = 1
-        ), comp1 AS (
-            SELECT cid, u.pos AS pos, u.val AS val FROM (
-                SELECT cid, unnest(list_transform(v, (x, i) ->
-                    struct_pack(pos := i, val := x))) AS u
-                FROM a1)
-        ), m1 AS (
-            SELECT cid, pos,
-                   ROUND(CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
-                         / COUNT(*), 9) AS c
-            FROM comp1 GROUP BY cid, pos
-        ), c1 AS (
-            SELECT cid, list(c ORDER BY pos) AS cv FROM m1 GROUP BY cid
-        ), s2 AS (
-            SELECT vec_id, cid,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id
-                       ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS rn
-            FROM vecs CROSS JOIN c1
-        )
+    "sim_kmeans": f"""
+        WITH {_KMEANS_FIT_8}
         SELECT vec_id, cid FROM s2 WHERE rn = 1 ORDER BY vec_id
+    """,
+    # same fit CTE as sim_kmeans (ONE definition of the k=8 Lloyd
+    # rounds); the within-cluster keep choice is the portable md5 rank
+    # also used by td_global_shuffle, so both engines agree bit-exactly
+    "td_cluster_balance": f"""
+        WITH {_KMEANS_FIT_8}, a2 AS (
+            SELECT vec_id, cid FROM s2 WHERE rn = 1
+        ), ranked AS (
+            SELECT vec_id, cid,
+                   COUNT(*) OVER (PARTITION BY cid) AS cluster_n,
+                   ROW_NUMBER() OVER (PARTITION BY cid
+                       ORDER BY md5('cb8:' || CAST(vec_id AS VARCHAR))
+                   ) AS keep_rank
+            FROM a2
+        )
+        SELECT vec_id, cid, cluster_n, keep_rank
+        FROM ranked WHERE keep_rank <= 40 ORDER BY vec_id
     """,
     "sim_ivf_topk": """
         WITH cent AS (

@@ -1616,3 +1616,34 @@ def test_remove_dup_passages_keeps_first_and_rebuilds(spark):
     assert out[4] == (None, 0, 0)
     assert out[5] == ("y1 y2 y3 y4 y5", 2, 1)
 
+
+
+def test_cluster_balance_caps_dense_cells_only(spark):
+    """A dense semantic region is cut to the cap; sparse cells pass
+    through whole; ranks are 1..cap and deterministic across calls."""
+    from delta_data_pipelines_spark.operators import sampling as smp
+
+    # 12 vectors near (1, 0) — one dense cell; 2 near (0, 1)
+    rows = [(i, [1.0, 0.01 * i]) for i in range(12)] + [
+        (100, [0.0, 1.0]),
+        (101, [0.01, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = smp.cluster_balance(
+        df, k=2, n_iter=2, cap=5, salt="t"
+    ).collect()
+    by_cid = {}
+    for r in out:
+        by_cid.setdefault(r["cid"], []).append(r)
+    sizes = {cid: rs[0]["cluster_n"] for cid, rs in by_cid.items()}
+    kept = {cid: len(rs) for cid, rs in by_cid.items()}
+    assert sorted(sizes.values()) == [2, 12]
+    assert sorted(kept.values()) == [2, 5]  # dense cell capped at 5
+    for rs in by_cid.values():
+        assert sorted(r["keep_rank"] for r in rs) == list(
+            range(1, len(rs) + 1)
+        )
+    again = smp.cluster_balance(df, k=2, n_iter=2, cap=5, salt="t").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    with pytest.raises(ValueError, match="cap"):
+        smp.cluster_balance(df, cap=0)
