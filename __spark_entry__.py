@@ -81,7 +81,10 @@ _PRIORITY = [
     "t_scd2_intervals", "sim_kmeans", "td_quality_classifier",
     # txt_langid_confusion (r6+r7 driver-green) rotated out for the r8
     # cluster-balance pruning query's first driver row
-    "td_cluster_balance", "sim_semantic_dedup_audit",
+    # sim_semantic_dedup_audit (r6+r7 driver-green; the sim family
+    # holds 8 other seats) rotated out for the frozen-tokenizer
+    # BPE-encode query's first driver row
+    "td_cluster_balance", "txt_bpe_encode",
     "td_chunk_manifest", "t_funnel_stages", "txt_bm25_topk",
     # t_rolling_stats and t_gap_fill (both r7-green; the temporal
     # family keeps 6 other window rows) rotated out for dd_simhash and

@@ -1264,6 +1264,44 @@ def td_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def txt_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a FROZEN BPE tokenizer (4 pinned merge rules — the
+    production shape: the tokenizer is trained once, then applied to
+    every corpus) and report per-doc subword counts + the
+    chars-per-token compression signal. Scale shape: the corpus
+    reduces to its DISTINCT words, each word is encoded ONCE through
+    the chained native merge folds (``bpe.bpe_segment`` — no UDF),
+    and the per-word subword count joins back to the exploded corpus
+    (AQE broadcasts the vocabulary side). The oracle replays the same
+    greedy merges as an iterated-leftmost-merge recursive CTE —
+    equivalent because a merge never creates a new match site to its
+    left (l+r can equal neither l nor r)."""
+    from ..operators import bpe
+
+    d = read_table(spark, sf_dir, "documents")
+    rules = [("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le")]
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    vocab = words.select("w").distinct()
+    enc = bpe.bpe_segment(vocab, rules, text_col="w", out_col="_sub").select(
+        "w", F.size("_sub").alias("_n_sub")
+    )
+    return (
+        words.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("_n_sub").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "bpe_ratio",
+            F.round(F.col("n_bpe_tokens") / F.col("n_tokens"), 9),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def sk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus heavy hitters (token frequency > n/50) through the
     bounded-memory two-pass pattern: per-partition Misra-Gries
@@ -1535,6 +1573,7 @@ SPARK_QUERIES = {
     "sim_pq_recall_audit": sim_pq_recall_audit,
     "txt_bpe_pairs": txt_bpe_pairs,
     "txt_bpe_merges": txt_bpe_merges,
+    "txt_bpe_encode": txt_bpe_encode,
     "sk_heavy_hitters": sk_heavy_hitters,
     "td_corpus_report": td_corpus_report,
     "td_priority_dedup": td_priority_dedup,
@@ -2948,6 +2987,57 @@ ORACLE_SQL = {
         SELECT l, r, CAST(SUM(wf) AS BIGINT) AS pair_count
         FROM pairs GROUP BY l, r
         ORDER BY pair_count DESC, l, r LIMIT 20
+    """,
+    # iterated-leftmost-merge ≡ Spark's greedy single-pass fold: a
+    # merge consumes its site and can create no new site to its left
+    # (l||r equals neither l nor r), so both orders reach the same
+    # fixpoint. Final state per word = max rule index, then fewest
+    # symbols (monotone progress), picked by the ROW_NUMBER.
+    "txt_bpe_encode": """
+        WITH RECURSIVE rules(ri, l, r) AS (
+            VALUES (1,'t','a'), (2,'ta','b'), (3,'l','e'), (4,'tab','le')
+        ), words AS MATERIALIZED (
+            SELECT doc_id, w FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ) WHERE w <> ''
+        ), vocab AS (
+            SELECT DISTINCT w FROM words
+        ), init AS (
+            SELECT w,
+                   list_filter(string_split_regex(w, ''), x -> x <> '')
+                       AS syms,
+                   1 AS ri
+            FROM vocab
+        ), enc(w, syms, ri) AS (
+            SELECT * FROM init
+            UNION
+            SELECT w,
+                   CASE WHEN j IS NOT NULL
+                        THEN syms[1:j-1] || [l || r] || syms[j+2:]
+                        ELSE syms END,
+                   CASE WHEN j IS NOT NULL THEN ri ELSE ri + 1 END
+            FROM (
+                SELECT e.w, e.syms, e.ri, ru.l, ru.r,
+                       list_filter(range(1, len(e.syms)),
+                           i -> e.syms[i] = ru.l
+                            AND e.syms[i+1] = ru.r)[1] AS j
+                FROM enc e JOIN rules ru ON ru.ri = e.ri
+                WHERE e.ri <= 4
+            )
+        ), final AS (
+            SELECT w, len(syms) AS n_sub FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY w ORDER BY ri DESC, len(syms) ASC) AS rn
+                FROM enc
+            ) WHERE rn = 1
+        )
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens,
+               ROUND(CAST(SUM(n_sub) AS BIGINT)
+                     / CAST(COUNT(*) AS DOUBLE), 9) AS bpe_ratio
+        FROM words JOIN final USING (w)
+        GROUP BY doc_id ORDER BY doc_id
     """,
     # Efraimidis-Spirakis: u = (portable_hash+1)/2^32 (exact — power-of-
     # two divisor), ES key -ln(u)/w rounded to 9 dp before ranking with
