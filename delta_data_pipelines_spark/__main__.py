@@ -53,6 +53,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="drop docs whose duplicated-passage fraction "
                     "(8-token shingles in >1 doc) exceeds FRACTION "
                     "after near-dup collapse (template cut)")
+    cc.add_argument("--dedup-passages", type=int, default=None,
+                    metavar="N",
+                    help="rewrite surviving docs: delete duplicated "
+                    "N-token tiling segments (keep the corpus-wide "
+                    "first occurrence), drop docs the rewrite empties")
     cc.add_argument("--sample-per-source", type=int, default=None,
                     help="keep at most N docs per source after the "
                     "cuts, length-weighted without replacement "
@@ -226,6 +231,7 @@ def main(argv: list[str] | None = None) -> int:
             lm_drop_fraction=args.lm_drop, dup_weights=args.dup_weights,
             decontaminate=args.decontaminate,
             max_passage_dup=args.max_passage_dup,
+            dedup_passages=args.dedup_passages,
             sample_per_source=args.sample_per_source,
         )
         if args.jsonl_in:

@@ -224,6 +224,40 @@ def passage_dup_stage(
     return scorable.join(keep, id_col, "left_semi").unionByName(passthrough)
 
 
+def dedup_passages_stage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+) -> DataFrame:
+    """REWRITE documents instead of dropping them: delete every
+    corpus-wide duplicated ``n``-token tiling segment except its first
+    occurrence (``textstats.remove_dup_passages`` — Lee et al. 2022 /
+    RefinedWeb exact-substring removal), keeping the rest of each
+    document. Runs after near-dup collapse: whole-document duplication
+    is already gone, this cuts the passage-level boilerplate that
+    survives it. Docs emptied by the rewrite are dropped (an empty
+    text earns no training tokens but would still cost a row
+    everywhere downstream). Unscorable rows (NULL id or text) pass
+    through, the invariant every other stage maintains. NOTE: eager
+    (the operator stages its tiling explode)."""
+    from ..operators.textstats import remove_dup_passages
+
+    unscorable = F.col(id_col).isNull() | F.col(text_col).isNull()
+    passthrough = docs.where(unscorable)
+    scorable = docs.where(~unscorable)
+    rewritten = remove_dup_passages(
+        scorable.select(id_col, text_col), id_col, text_col, n
+    ).select(id_col, F.col(text_col).alias("_new_text"))
+    out = (
+        scorable.join(rewritten, id_col)
+        .where(F.col("_new_text") != "")
+        .withColumn(text_col, F.col("_new_text"))
+        .drop("_new_text")
+    )
+    return out.unionByName(passthrough)
+
+
 def sample_stage(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -358,15 +392,20 @@ def curate_corpus(
     dup_weights: bool = False,
     decontaminate: bool = False,
     max_passage_dup: float | None = None,
+    dedup_passages: int | None = None,
     sample_per_source: int | None = None,
     source_col: str = "source",
     **gate_kwargs,
 ) -> DataFrame:
     """PII scrub → quality gate → (optional) LM filter → exact dedup →
-    near-dup collapse → (optional) passage-dup template cut → md5
+    near-dup collapse → (optional) passage-dup template cut →
+    (optional) duplicated-passage REMOVAL rewrite → md5
     split → (optional) 13-gram decontamination → (optional) per-split
     packing. ``max_passage_dup`` drops docs whose duplicated-passage
     fraction exceeds the threshold (RefinedWeb-style template cut);
+    ``dedup_passages`` REWRITES surviving docs instead — duplicated
+    N-token tiling segments keep their first occurrence corpus-wide,
+    every other copy is deleted and emptied docs are dropped;
     ``sample_per_source`` keeps at most N docs per source after the
     cuts, length-weighted without replacement (Efraimidis–Spirakis —
     deterministic, so the subsample is reproducible). NOTE: a
@@ -413,6 +452,11 @@ def curate_corpus(
         # after near-dup collapse: what's left with high passage-dup
         # shares passages across many DIFFERENT partners (templates)
         uniq = passage_dup_stage(uniq, id_col, text_col, max_passage_dup)
+    if dedup_passages is not None:
+        # the rewrite complement of the cut above: docs under the
+        # template threshold may still CONTAIN duplicated passages —
+        # delete those (keep-first), keep the documents
+        uniq = dedup_passages_stage(uniq, id_col, text_col, dedup_passages)
     if sample_per_source is not None:
         uniq = sample_stage(
             uniq, id_col, text_col, sample_per_source, source_col

@@ -688,3 +688,30 @@ def test_fit_reference_model_rejects_empty_reference(spark, tmp_path):
     model = FrozenCurationModel(spark, str(tmp_path / "emptyref"))
     with pytest.raises(ValueError, match="empty after scrub"):
         fit_reference_model(model, tiny, heldout)
+
+
+def test_curate_corpus_dedup_passages_rewrites_and_drops_empty(spark):
+    """dedup_passages must REWRITE survivors (shared 10-token tiles
+    keep one corpus-wide copy), preserve non-text columns, drop docs
+    the rewrite empties, and pass NULL-text rows through."""
+    from delta_data_pipelines_spark.jobs.curate_corpus import (
+        dedup_passages_stage,
+    )
+
+    stops = ["the", "of", "and", "to", "a", "in", "is", "it"]
+    shared = " ".join(f"{stops[j % 8]} s{j}" for j in range(5))  # 10 toks
+    uniq_a = " ".join(f"{stops[j % 8]} a{j}" for j in range(5))
+    uniq_b = " ".join(f"{stops[j % 8]} b{j}" for j in range(5))
+    rows = [
+        (1, shared + " " + uniq_a, "s1"),
+        (2, shared + " " + uniq_b, "s2"),  # loses its `shared` tile
+        (3, shared, "s3"),                 # emptied by the rewrite
+        (4, None, "s4"),                   # unscorable passthrough
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = {r["doc_id"]: r for r in dedup_passages_stage(docs, n=10).collect()}
+    assert out[1]["text"] == shared + " " + uniq_a
+    assert out[2]["text"] == uniq_b  # tile deleted, tail kept
+    assert out[2]["src"] == "s2"  # non-text columns preserved
+    assert 3 not in out  # emptied doc dropped
+    assert out[4]["text"] is None and out[4]["src"] == "s4"
