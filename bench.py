@@ -106,6 +106,14 @@ HEADLINE = [
     # r8: one-pass NB quality-classifier train + full-corpus score —
     # explode -> grouped counts -> broadcast-weight score join
     "td_quality_classifier",
+    # r8 late wave: duplicated-passage REMOVAL (staged tiling explode →
+    # winner groupBy → skew-join → per-doc reassembly), the
+    # SemDeDup-style cluster-capped pruning (kmeans fit + range-sliced
+    # group ranks), and the frozen-tokenizer BPE encode (vocab-side
+    # chained folds, corpus-side broadcast join)
+    "td_dedup_passages",
+    "td_cluster_balance",
+    "txt_bpe_encode",
 ]
 
 

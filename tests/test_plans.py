@@ -392,3 +392,14 @@ def test_ivf_serve_reads_only_probe_buckets(spark, registry):
     assert len(cell_files) < len(all_parquet), (
         f"serve scanned ALL {len(all_parquet)} cell files - no pruning"
     )
+
+
+def test_bpe_encode_vocab_broadcast_no_python(spark, registry):
+    """txt_bpe_encode: the encoded DISTINCT-word vocabulary must come
+    back as the BROADCAST side of the corpus join (encode cost tracks
+    vocabulary, corpus rows never shuffle for it), the merge folds stay
+    native (no Python eval anywhere), and nothing goes cartesian."""
+    plan = plan_of(spark, registry, "txt_bpe_encode")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan  # Batch- and Arrow- both
