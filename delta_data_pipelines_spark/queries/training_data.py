@@ -1060,6 +1060,55 @@ def td_passage_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.passage_dup_stats(d, "doc_id", "text", n=8).orderBy("doc_id")
 
 
+def td_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-annealed curriculum epoch order: docs are ranked into
+    exact quality DECILES (shared quality_score definition), then the
+    epoch reads deciles low→high with a deterministic md5 shuffle
+    INSIDE each decile — the curriculum/annealing schedule (highest-
+    quality data last, when it shapes the final model most), still
+    reproducible from any worker like td_global_shuffle.
+
+    Scale shape: BOTH global orderings run through the range-
+    partitioned rank (``ranking.global_rank_by_range``) — the decile
+    rank over the unique (quality, id) composite and the position rank
+    over (decile, md5, id); n is a 1-row broadcast; the decile index
+    is integer arithmetic (``(rank-1)*10 div (n-1)``) so no float
+    boundary can disagree between engines."""
+    from ..operators import ranking
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", textstats.quality_score(F.col("text")).alias("q")
+    )
+    keyed = scored.withColumn("_okey", F.struct("q", "doc_id"))
+    ranked = ranking.global_rank_by_range(keyed, "_okey").drop("_okey")
+    n = d.select().agg(F.count("*").alias("_n"))
+    dec = (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(
+            "decile",
+            F.when(
+                F.col("_n") > 1,
+                F.least(
+                    F.expr("((global_rank - 1) * 10) div (_n - 1)"),
+                    F.lit(9),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("global_rank", "_n")
+    )
+    h = F.md5(F.concat(F.lit("cur1:"), F.col("doc_id").cast("string")))
+    keyed2 = dec.withColumn(
+        "_okey", F.struct(F.col("decile"), h.alias("h"), F.col("doc_id"))
+    )
+    pos = ranking.global_rank_by_range(keyed2, "_okey").drop("_okey")
+    return pos.select(
+        "doc_id", "q", "decile", F.col("global_rank").alias("position")
+    ).orderBy("position")
+
+
 def td_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-passage REMOVAL — the rewrite twin of
     td_passage_dup_fraction's signal (Lee et al. 2022 / RefinedWeb
@@ -1565,6 +1614,7 @@ SPARK_QUERIES = {
     "txt_boilerplate": txt_boilerplate,
     "td_passage_dup_fraction": td_passage_dup_fraction,
     "td_dedup_passages": td_dedup_passages,
+    "td_curriculum_order": td_curriculum_order,
     "td_global_shuffle": td_global_shuffle,
     "td_source_reputation": td_source_reputation,
     "sim_pq_codes": sim_pq_codes,
@@ -2873,6 +2923,47 @@ ORACLE_SQL = {
                COALESCE(r.n_removed, 0) AS n_removed
         FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         ORDER BY d.doc_id
+    """,
+    # quality formula mirrors td_curate's scored CTE (ONE definition);
+    # the decile boundary is exact integer arithmetic ((rk-1)*10 //
+    # (n-1)) so no float rounding can split a boundary between engines;
+    # both orderings carry a doc_id tie-break
+    "td_curriculum_order": """
+        WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS w,
+                   regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')
+                       AS stripped,
+                   text
+            FROM documents
+        ), scored AS (
+            SELECT doc_id,
+                   ROUND(
+                     0.4 * (len(list_filter(w, x -> x IN
+                            ('the','a','of','and','to','in','is','it')))
+                            / CAST(NULLIF(len(w), 0) AS DOUBLE))
+                   + 0.4 * LEAST(len(w) / 64.0, 1.0)
+                   + 0.2 * (1 - (length(text) - length(stripped))
+                            / CAST(NULLIF(length(text), 0) AS DOUBLE)),
+                   9) AS q
+            FROM base
+        ), nn AS (
+            SELECT COUNT(*) AS n FROM scored
+        ), r AS (
+            SELECT doc_id, q,
+                   ROW_NUMBER() OVER (ORDER BY q, doc_id) AS rk
+            FROM scored
+        ), d AS (
+            SELECT doc_id, q,
+                   CAST(CASE WHEN n > 1
+                        THEN LEAST(((rk - 1) * 10) // (n - 1), 9)
+                        ELSE 0 END AS INTEGER) AS decile
+            FROM r CROSS JOIN nn
+        )
+        SELECT doc_id, q, decile,
+               ROW_NUMBER() OVER (ORDER BY decile,
+                   md5('cur1:' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS position
+        FROM d ORDER BY position
     """,
     "td_global_shuffle": """
         SELECT doc_id, lang, source,
