@@ -595,6 +595,8 @@ def remove_dup_passages(
     from .dedup import _materialize_and_release
     from pyspark import StorageLevel
 
+    if n < 1:
+        raise ValueError(f"segment size n must be >= 1, got {n}")
     base = docs.select(id_col, text_col)
     segs = base.where(F.col(text_col).isNotNull()).select(
         id_col,

@@ -1080,7 +1080,13 @@ def td_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select(
         "doc_id", textstats.quality_score(F.col("text")).alias("q")
     )
-    keyed = scored.withColumn("_okey", F.struct("q", "doc_id"))
+    # unscorable docs (NULL/empty text -> NULL q) rank as the LOWEST
+    # quality via coalesce(q, -1) — pinned explicitly because Spark's
+    # ascending struct sort puts NULLs first while the oracle's ORDER
+    # BY defaults to NULLS LAST; the output q stays the raw value
+    keyed = scored.withColumn(
+        "_okey", F.struct(F.coalesce("q", F.lit(-1.0)).alias("qk"), "doc_id")
+    )
     ranked = ranking.global_rank_by_range(keyed, "_okey").drop("_okey")
     n = d.select().agg(F.count("*").alias("_n"))
     dec = (
@@ -2950,7 +2956,8 @@ ORACLE_SQL = {
             SELECT COUNT(*) AS n FROM scored
         ), r AS (
             SELECT doc_id, q,
-                   ROW_NUMBER() OVER (ORDER BY q, doc_id) AS rk
+                   ROW_NUMBER() OVER (
+                       ORDER BY COALESCE(q, -1), doc_id) AS rk
             FROM scored
         ), d AS (
             SELECT doc_id, q,
