@@ -1060,6 +1060,19 @@ def td_passage_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.passage_dup_stats(d, "doc_id", "text", n=8).orderBy("doc_id")
 
 
+def txt_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (RedPajama-v2/DCLM
+    "compression filter"): low ratio = templated/repetitive, very high
+    = noise. zlib IS the signal's definition, so this is a rows-only
+    query (no SQL oracle can exist) — the operator is pinned by tests
+    against direct zlib.compress calls. Arrow-batched mapInPandas,
+    one pass, no shuffle (textstats.compression_signal)."""
+    d = read_table(spark, sf_dir, "documents")
+    return textstats.compression_signal(d, "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
 def td_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-annealed curriculum epoch order: docs are ranked into
     exact quality DECILES (shared quality_score definition), then the
@@ -1621,6 +1634,7 @@ SPARK_QUERIES = {
     "td_passage_dup_fraction": td_passage_dup_fraction,
     "td_dedup_passages": td_dedup_passages,
     "td_curriculum_order": td_curriculum_order,
+    "txt_compression_ratio": txt_compression_ratio,
     "td_global_shuffle": td_global_shuffle,
     "td_source_reputation": td_source_reputation,
     "sim_pq_codes": sim_pq_codes,

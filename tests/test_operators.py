@@ -1647,3 +1647,39 @@ def test_cluster_balance_caps_dense_cells_only(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
     with pytest.raises(ValueError, match="cap"):
         smp.cluster_balance(df, cap=0)
+
+
+def test_compression_signal_matches_direct_zlib(spark):
+    """The Arrow-batched pass must equal direct zlib.compress(level 6)
+    per row; NULL and empty text yield NULL ratio (no 8-byte-header
+    artifacts)."""
+    import zlib
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "aa " * 200),          # repetitive -> compresses hard
+        (3, ""),                   # empty -> NULL ratio
+        (4, None),                 # NULL passthrough
+        (5, "z8#kQ!m2@v9$"),       # short noise
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in textstats.compression_signal(df).collect()
+    }
+    for i, t in rows:
+        if t is None:
+            assert out[i]["n_bytes"] is None
+            assert out[i]["compression_ratio"] is None
+            continue
+        raw = t.encode("utf-8")
+        assert out[i]["n_bytes"] == len(raw)
+        assert out[i]["n_compressed"] == len(zlib.compress(raw, 6))
+        if raw:
+            assert out[i]["compression_ratio"] == round(
+                len(zlib.compress(raw, 6)) / len(raw), 9
+            )
+        else:
+            assert out[i]["compression_ratio"] is None
+    assert out[2]["compression_ratio"] < 0.1  # repetition detected
+    assert out[5]["compression_ratio"] > 1.0  # noise inflates
