@@ -53,6 +53,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="drop docs whose duplicated-passage fraction "
                     "(8-token shingles in >1 doc) exceeds FRACTION "
                     "after near-dup collapse (template cut)")
+    cc.add_argument("--compression-bounds", type=float, nargs=2,
+                    default=None, metavar=("LO", "HI"),
+                    help="drop docs whose zlib compression ratio falls "
+                    "outside [LO, HI] (repetitive boilerplate below, "
+                    "noise above; heuristic gate, runs before --lm-drop)")
     cc.add_argument("--dedup-passages", type=int, default=None,
                     metavar="N",
                     help="rewrite surviving docs: delete duplicated "
@@ -232,6 +237,10 @@ def main(argv: list[str] | None = None) -> int:
             decontaminate=args.decontaminate,
             max_passage_dup=args.max_passage_dup,
             dedup_passages=args.dedup_passages,
+            compression_bounds=(
+                tuple(args.compression_bounds)
+                if args.compression_bounds else None
+            ),
             sample_per_source=args.sample_per_source,
         )
         if args.jsonl_in:

@@ -193,6 +193,39 @@ def lm_filter_stage(
     return scorable.join(kept_ids, id_col, "left_semi").unionByName(passthrough)
 
 
+def compression_filter_stage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bounds: tuple[float, float] = (0.3, 1.1),
+) -> DataFrame:
+    """Cut documents whose zlib compression ratio falls outside
+    ``bounds`` — below the floor is templated/repetitive boilerplate,
+    above the ceiling is noise/random strings (the RedPajama-v2 / DCLM
+    compression filter; ``textstats.compression_signal``, Arrow-batched
+    one-pass, kept set re-enters as a LEFT SEMI join so payloads never
+    ride the Python pass twice). Unscorable rows (NULL id, NULL or
+    empty text — ratio NULL) pass through, the shared stage
+    invariant."""
+    lo, hi = bounds
+    if not lo <= hi:
+        raise ValueError(f"bounds must satisfy lo <= hi, got {bounds}")
+    from ..operators.textstats import compression_signal
+
+    unscorable = F.col(id_col).isNull() | F.col(text_col).isNull()
+    passthrough = docs.where(unscorable)
+    scorable = docs.where(~unscorable)
+    kept = (
+        compression_signal(scorable.select(id_col, text_col), id_col, text_col)
+        .where(
+            F.col("compression_ratio").isNull()
+            | F.col("compression_ratio").between(lo, hi)
+        )
+        .select(id_col)
+    )
+    return scorable.join(kept, id_col, "left_semi").unionByName(passthrough)
+
+
 def passage_dup_stage(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -388,6 +421,7 @@ def curate_corpus(
     splits: dict[str, float] | None = None,
     scrub: bool = True,
     pack_ctx: int | None = None,
+    compression_bounds: tuple[float, float] | None = None,
     lm_drop_fraction: float | None = None,
     dup_weights: bool = False,
     decontaminate: bool = False,
@@ -416,7 +450,10 @@ def curate_corpus(
     the heldout splits (exact-collision standard, after the split).
 
     ``scrub=False`` skips redaction (corpora already scrubbed
-    upstream); ``lm_drop_fraction`` drops the docs scoring in the
+    upstream); ``compression_bounds=(lo, hi)`` cuts docs whose zlib
+    compression ratio leaves the band (repetitive boilerplate below,
+    noise above — still a heuristic gate, so it runs before the LM
+    cut); ``lm_drop_fraction`` drops the docs scoring in the
     bottom fraction of mean unigram log-prob (CCNet stage order:
     heuristics first, LM cut second); ``dup_weights=True`` carries
     ``dup_weight`` = total duplicate mass on each representative —
@@ -429,6 +466,12 @@ def curate_corpus(
 
     staged = scrub_stage(docs, text_col) if scrub else docs
     gated = quality_gate(staged, text_col, **gate_kwargs)
+    if compression_bounds is not None:
+        # still a heuristic gate (CCNet order: heuristics before the
+        # LM cut) — runs on the already-gated survivors
+        gated = compression_filter_stage(
+            gated, id_col, text_col, compression_bounds
+        )
     if lm_drop_fraction is not None:
         gated = lm_filter_stage(gated, id_col, text_col, lm_drop_fraction)
     if dup_weights:

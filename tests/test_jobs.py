@@ -715,3 +715,28 @@ def test_curate_corpus_dedup_passages_rewrites_and_drops_empty(spark):
     assert out[2]["src"] == "s2"  # non-text columns preserved
     assert 3 not in out  # emptied doc dropped
     assert out[4]["text"] is None and out[4]["src"] == "s4"
+
+
+def test_compression_filter_stage_cuts_both_tails(spark):
+    """The compression band must cut repetitive text (low ratio) and
+    noise (ratio above the ceiling) while natural prose and unscorable
+    rows pass."""
+    from delta_data_pipelines_spark.jobs.curate_corpus import (
+        compression_filter_stage,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and then "
+            "runs far away to the forest of tall green trees"),
+        (2, "aa " * 300),           # repetitive -> ratio << 0.3
+        (3, "z8#kQ!m2@v9$"),        # short noise -> ratio > 1.1
+        (4, None),                  # unscorable passthrough
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]
+        for r in compression_filter_stage(docs, bounds=(0.3, 1.1)).collect()
+    }
+    assert out == {1, 4}
+    with pytest.raises(ValueError, match="bounds"):
+        compression_filter_stage(docs, bounds=(1.0, 0.5))
