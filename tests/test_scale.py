@@ -232,3 +232,41 @@ def test_containment_scales_with_replicated_corpus(spark):
     assert got >= 20 * n_distinct  # 5*4 directional pairs per text
     # and every found pair really is full containment
     assert pairs.where(F.col("containment") < 1.0).count() == 0
+
+
+def test_remove_dup_passages_hot_segment_corpus(spark):
+    """Worst-case skew for the passage-removal join: ONE boilerplate
+    segment present in every document (a hot join key with df = n).
+    Exactly one copy may survive corpus-wide — the min-(doc, pos)
+    winner — each doc keeps its unique tail, and totals are exact."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.operators.textstats import (
+        remove_dup_passages,
+    )
+
+    boiler = " ".join(f"b{j}" for j in range(10))  # one 10-token tile
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(boiler + " "),
+            F.concat_ws(
+                " ",
+                *[F.concat(F.lit(f"u{j}d"), F.col("id")) for j in range(10)],
+            ),
+        ).alias("text"),
+    )
+    out = remove_dup_passages(docs, n=10)
+    rows = out.collect()
+    assert len(rows) == 2000
+    # winner: doc 0, pos 0 keeps the boilerplate tile
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[0]["text"].startswith(boiler)
+    assert by_id[0]["n_removed"] == 0
+    # every other doc lost exactly the boilerplate tile, kept its tail
+    losers = [r for r in rows if r["doc_id"] != 0]
+    assert all(r["n_removed"] == 1 for r in losers)
+    assert all(not r["text"].startswith("b0 ") for r in losers)
+    assert all(r["text"].startswith("u0d") for r in losers)
+    # global invariant: total removed = total copies - 1
+    assert sum(r["n_removed"] for r in rows) == 1999
