@@ -114,6 +114,12 @@ HEADLINE = [
     "td_dedup_passages",
     "td_cluster_balance",
     "txt_bpe_encode",
+    # r8 final wave: quality-annealed curriculum order (two
+    # range-partitioned global ranks + the quality pass) and the zlib
+    # compression signal (Arrow-batched Python pass — the one
+    # deliberate non-native hot loop, benched to keep it honest)
+    "td_curriculum_order",
+    "txt_compression_ratio",
 ]
 
 
