@@ -707,3 +707,42 @@ def compression_signal(
             yield out
 
     return base.mapInPandas(run, schema=out_schema)
+
+
+def with_compression_ratio(
+    df: DataFrame, text_col: str = "text", out_col: str = "compression_ratio"
+) -> DataFrame:
+    """Append the zlib(level 6) compression ratio as a column,
+    preserving every input column — the streaming-safe form of
+    ``compression_signal`` (no join-back, so it composes with
+    Structured Streaming where stream-derived self-joins are not
+    allowed). Rows ride the Arrow pass once; NULL/empty text yields a
+    NULL ratio. Batch pipelines that must keep payloads off the Python
+    pass use ``compression_signal`` + semi-join instead."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    out_schema = (
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        + f", {out_col} double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            ratio = []
+            for t in pdf[text_col]:
+                if t is None or (isinstance(t, float) and pd.isna(t)) or t == "":
+                    ratio.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                ratio.append(round(len(zlib.compress(raw, 6)) / len(raw), 9))
+            out = pdf.copy()
+            out[out_col] = pd.array(ratio, dtype="float64")
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -39,16 +39,35 @@ def run_streaming_curation(
     text_col: str = "text",
     ts_col: str | None = None,
     watermark: str = "10 minutes",
+    compression_bounds: tuple[float, float] | None = None,
     **gate_kwargs,
 ) -> StreamingQuery:
     """docs stream → quality gate → in-stream dedup → idempotent MERGE.
 
     ``ts_col`` enables watermarked in-stream dedup (state bounded);
     without it the stream relies solely on the MERGE key for dedup.
+    ``compression_bounds=(lo, hi)`` applies the zlib compression-band
+    cut in-stream via the join-free ``with_compression_ratio`` form
+    (stream-derived self-joins are not allowed in Structured
+    Streaming); NULL-ratio rows pass, matching the batch stage.
     """
     from ..jobs.curate_corpus import quality_gate
 
-    gated = quality_gate(docs_stream, text_col, **gate_kwargs).withColumn(
+    gated = quality_gate(docs_stream, text_col, **gate_kwargs)
+    if compression_bounds is not None:
+        lo, hi = compression_bounds
+        if not lo <= hi:
+            raise ValueError(
+                f"bounds must satisfy lo <= hi, got {compression_bounds}"
+            )
+        from ..operators.textstats import with_compression_ratio
+
+        gated = (
+            with_compression_ratio(gated, text_col, "_cr")
+            .where(F.col("_cr").isNull() | F.col("_cr").between(lo, hi))
+            .drop("_cr")
+        )
+    gated = gated.withColumn(
         "_content_key", F.xxhash64(F.col(text_col))
     )
     if ts_col is not None:

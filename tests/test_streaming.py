@@ -1142,3 +1142,48 @@ def test_incremental_ann_ingest_converges_to_batch(spark, tmp_path):
     assert got == expect
     # and the serve path works against the streamed-in state
     assert serve_pq_topk(store, q, topk=5).count() == 25
+
+
+def test_streaming_compression_band_matches_batch_stage(spark, tmp_path):
+    """The in-stream compression band (join-free with_compression_ratio
+    form) must keep exactly the docs the batch compression_filter_stage
+    keeps on the same input."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.jobs.curate_corpus import (
+        compression_filter_stage,
+        quality_gate,
+    )
+    from delta_data_pipelines_spark.storage import BucketedTable
+    from delta_data_pipelines_spark.streaming.curate import (
+        run_streaming_curation,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents")
+    bounds = (0.55, 1.1)  # floor near the median so the band cuts
+    batch_kept = compression_filter_stage(quality_gate(docs), bounds=bounds)
+    expect = {
+        r["k"]
+        for r in batch_kept.select(F.xxhash64("text").alias("k"))
+        .distinct()
+        .collect()
+    }
+    n_gated = quality_gate(docs).count()
+    assert 0 < len(expect) < n_gated  # the band cuts something
+
+    corpus = BucketedTable(
+        spark, str(tmp_path / "corpus_cb"), bucket_key="_content_key",
+        n_buckets=8,
+    )
+    stream = _stream_from(spark, docs, tmp_path, "cb_docs")
+    q = run_streaming_curation(
+        stream, corpus, str(tmp_path / "ckpt_cb"),
+        compression_bounds=bounds,
+    )
+    q.awaitTermination(120)
+    got = {
+        r["_content_key"]
+        for r in corpus.read().select("_content_key").collect()
+    }
+    assert got == expect
