@@ -99,7 +99,9 @@ _PRIORITY = [
     # so_intersect and a_histogram (both r7-green, families multiply
     # proven) rotated out for the r8 storage-backed serve queries; the
     # mirror still checks them
-    "sim_ivf_serve", "td_length_balance", "sim_pq_serve",
+    # td_length_balance (r6+r7 driver-green) rotated out for the r8
+    # CCNet head/middle/tail perplexity split's first driver row
+    "sim_ivf_serve", "td_perplexity_buckets", "sim_pq_serve",
     # continuous-build additions, never driver-seen (mirror-green):
     # containment dedup, stream-stream interval-join twin, unigram-LM
     # score, dedup-aware weights. Rotated out for them (all driver-

@@ -1060,6 +1060,40 @@ def td_passage_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.passage_dup_stats(d, "doc_id", "text", n=8).orderBy("doc_id")
 
 
+def td_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split: rank every document by
+    its mean unigram log-prob (the shared `unigram_logprob_scores`
+    definition — the LM-filter's score) and cut exact TERTILES —
+    'head' is the most-natural third, 'tail' the most-outlier third;
+    CCNet trains on head+middle and audits tail. Bucket boundaries are
+    integer arithmetic over the range-partitioned global rank
+    (((rank-1)*3) div n — no percentile float can disagree between
+    engines), the doc count is a 1-row broadcast."""
+    from ..operators import ranking
+
+    d = read_table(spark, sf_dir, "documents")
+    scores = textstats.unigram_logprob_scores(d, "doc_id", "text")
+    keyed = scores.withColumn(
+        "_okey",
+        F.struct((-F.col("avg_logprob")).alias("neg"), "doc_id"),
+    )
+    ranked = ranking.global_rank_by_range(keyed, "_okey").drop("_okey")
+    nn = scores.agg(F.count("*").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("avg_logprob", 6).alias("avg_logprob"),
+            F.expr(
+                "CASE ((global_rank - 1) * 3) div _n WHEN 0 THEN 'head' "
+                "WHEN 1 THEN 'middle' ELSE 'tail' END"
+            ).alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def txt_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal (RedPajama-v2/DCLM
     "compression filter"): low ratio = templated/repetitive, very high
@@ -1635,6 +1669,7 @@ SPARK_QUERIES = {
     "td_dedup_passages": td_dedup_passages,
     "td_curriculum_order": td_curriculum_order,
     "txt_compression_ratio": txt_compression_ratio,
+    "td_perplexity_buckets": td_perplexity_buckets,
     "td_global_shuffle": td_global_shuffle,
     "td_source_reputation": td_source_reputation,
     "sim_pq_codes": sim_pq_codes,
@@ -2134,6 +2169,38 @@ ORACLE_SQL = {
                      / COUNT(*), 6) AS avg_logprob
         FROM toks JOIN freq USING (token) CROSS JOIN tot
         GROUP BY doc_id ORDER BY doc_id
+    """,
+    # same toks/freq/tot + decimal-sum discipline as txt_unigram_logprob
+    # (ranking runs on the UNROUNDED average — identical IEEE division
+    # of identical decimal sums, so the order can't differ); tertile
+    # boundary is exact integer arithmetic, doc_id breaks score ties
+    "td_perplexity_buckets": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), freq AS (
+            SELECT token, COUNT(*) AS tf FROM toks GROUP BY token
+        ), tot AS (
+            SELECT SUM(tf) AS total FROM freq
+        ), scored AS (
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   CAST(SUM(CAST(ROUND(ln(CAST(tf AS DOUBLE) / total), 9)
+                                 AS DECIMAL(28,9))) AS DOUBLE)
+                       / COUNT(*) AS avg_raw
+            FROM toks JOIN freq USING (token) CROSS JOIN tot
+            GROUP BY doc_id
+        ), nn AS (
+            SELECT COUNT(*) AS n FROM scored
+        ), r AS (
+            SELECT doc_id, n_tokens, avg_raw,
+                   ROW_NUMBER() OVER (ORDER BY avg_raw DESC, doc_id)
+                       AS rk
+            FROM scored
+        )
+        SELECT doc_id, n_tokens, ROUND(avg_raw, 6) AS avg_logprob,
+               CASE ((rk - 1) * 3) // n WHEN 0 THEN 'head'
+                    WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+        FROM r CROSS JOIN nn ORDER BY doc_id
     """,
     # connected components over the exact-Jaccard pairs (as dd_cluster),
     # then keep min-id representatives carrying their component size
