@@ -198,6 +198,7 @@ def compression_filter_stage(
     id_col: str = "doc_id",
     text_col: str = "text",
     bounds: tuple[float, float] = (0.3, 1.1),
+    materialize: bool = True,
 ) -> DataFrame:
     """Cut documents whose zlib compression ratio falls outside
     ``bounds`` — below the floor is templated/repetitive boilerplate,
@@ -205,13 +206,20 @@ def compression_filter_stage(
     compression filter; ``textstats.compression_signal``, Arrow-batched
     one-pass, kept set re-enters as a LEFT SEMI join so payloads never
     ride the Python pass twice). Unscorable rows (NULL id, NULL or
-    empty text — ratio NULL) pass through, the shared stage
-    invariant."""
+    empty text — ratio NULL) pass through, the shared stage invariant.
+
+    ``materialize=True`` localCheckpoints the input first — the
+    lm_filter_stage precedent: this stage reads its input under three
+    scans (passthrough, semi-join left side, signal pass), and in the
+    job that input is the regex-heavy scrub+gate lineage. Pass False
+    for a fully lazy plan."""
     lo, hi = bounds
     if not lo <= hi:
         raise ValueError(f"bounds must satisfy lo <= hi, got {bounds}")
     from ..operators.textstats import compression_signal
 
+    if materialize:
+        docs = docs.localCheckpoint(eager=True)
     unscorable = F.col(id_col).isNull() | F.col(text_col).isNull()
     passthrough = docs.where(unscorable)
     scorable = docs.where(~unscorable)

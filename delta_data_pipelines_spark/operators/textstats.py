@@ -645,6 +645,24 @@ def remove_dup_passages(
     return _materialize_and_release(out, staged)
 
 
+def _zlib_stats(t) -> tuple:
+    """Row-level kernel shared by ``compression_signal`` and
+    ``with_compression_ratio`` — the ONE place the signal's constants
+    live (utf-8 bytes, zlib level 6, ratio rounded to 9; NULL in, or
+    empty text, -> NULL ratio). Splitting the definition across the
+    two operators would let the batch cut and the in-stream cut drift
+    for ratios near a bound."""
+    import math
+    import zlib
+
+    if t is None or (isinstance(t, float) and math.isnan(t)):
+        return (None, None, None)
+    raw = t.encode("utf-8")
+    comp = zlib.compress(raw, 6)
+    ratio = round(len(comp) / len(raw), 9) if raw else None
+    return (len(raw), len(comp), ratio)
+
+
 def compression_signal(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -682,24 +700,14 @@ def compression_signal(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import zlib
-
         for pdf in batches:
             texts = pdf[text_col]
             n_bytes, n_comp, ratio = [], [], []
             for t in texts:
-                if t is None or (isinstance(t, float) and pd.isna(t)):
-                    n_bytes.append(None)
-                    n_comp.append(None)
-                    ratio.append(None)
-                    continue
-                raw = t.encode("utf-8")
-                comp = zlib.compress(raw, 6)
-                n_bytes.append(len(raw))
-                n_comp.append(len(comp))
-                ratio.append(
-                    round(len(comp) / len(raw), 9) if raw else None
-                )
+                b, c, r = _zlib_stats(t)
+                n_bytes.append(b)
+                n_comp.append(c)
+                ratio.append(r)
             out = pdf[[id_col]].copy()
             out["n_bytes"] = pd.array(n_bytes, dtype="Int64")
             out["n_compressed"] = pd.array(n_comp, dtype="Int64")
@@ -731,16 +739,8 @@ def with_compression_ratio(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import zlib
-
         for pdf in batches:
-            ratio = []
-            for t in pdf[text_col]:
-                if t is None or (isinstance(t, float) and pd.isna(t)) or t == "":
-                    ratio.append(None)
-                    continue
-                raw = t.encode("utf-8")
-                ratio.append(round(len(zlib.compress(raw, 6)) / len(raw), 9))
+            ratio = [_zlib_stats(t)[2] for t in pdf[text_col]]
             out = pdf.copy()
             out[out_col] = pd.array(ratio, dtype="float64")
             yield out

@@ -1078,7 +1078,11 @@ def td_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct((-F.col("avg_logprob")).alias("neg"), "doc_id"),
     )
     ranked = ranking.global_rank_by_range(keyed, "_okey").drop("_okey")
-    nn = scores.agg(F.count("*").alias("_n"))
+    # count from the base table, not from `scores` — re-aggregating the
+    # scoring frame would embed the token-level shuffle a second time;
+    # scored docs == docs with non-NULL text (empty text still tokenizes
+    # to [''] and scores, identically in both engines)
+    nn = d.where(F.col("text").isNotNull()).agg(F.count("*").alias("_n"))
     return (
         ranked.crossJoin(F.broadcast(nn))
         .select(
