@@ -15,53 +15,49 @@ does) pays the fit's ~30 exchanges on every query.
 Storage layout, under one root:
     <root>/codes     — (id, sub_id, code), one row per (vector, subspace)
     <root>/codebook  — (sub_id, code, _cv), m·k rows
-    plus a ``meta`` JSON file pinning (m, k, n_iter) so a serve can
-    never silently slice queries with a different ``m`` than the fit.
+    plus a ``meta`` JSON file pinning the fit parameters (m, k,
+    n_iter, vec_col) AND the (codes, codebook) version pair — so a
+    serve can neither slice queries with a different ``m`` than the
+    fit nor pair tables from different refreshes.
 
 Versioning comes from ``VersionedTable``: a refresh is one atomic
-overwrite per table, serves read the latest committed version, and a
-bad codebook rolls back with ``restore`` like any other table.
+overwrite per table, the atomically-replaced meta is the cross-table
+commit point (serves read the pinned version pair), and a bad
+codebook rolls back with ``restore`` like any other table.
 """
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import similarity
-from ..storage import VersionedTable
+from ..storage import JsonMetaStore, VersionedTable
 
 
-class PQIndexStore:
-    """The two versioned tables + fit-parameter meta under one root."""
+class PQIndexStore(JsonMetaStore):
+    """The two versioned tables + fit-parameter meta under one root.
+
+    The meta file is the index's COMMIT POINT: it pins the
+    (codes_version, codebook_version) pair a serve should read, and it
+    is replaced atomically — so a serve racing a refresh pairs either
+    the complete old index or the complete new one, never a new
+    codebook with old codes."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         self.codes = VersionedTable(spark, os.path.join(root, "codes"))
         self.codebook = VersionedTable(spark, os.path.join(root, "codebook"))
-        self._meta_path = os.path.join(root, "meta.json")
 
     def exists(self) -> bool:
         return (
             self.codes.exists()
             and self.codebook.exists()
-            and os.path.exists(self._meta_path)
+            and self.meta_exists()
         )
-
-    def meta(self) -> dict[str, Any]:
-        with open(self._meta_path) as f:
-            return json.load(f)
-
-    def _write_meta(self, meta: dict[str, Any]) -> None:
-        os.makedirs(self.root, exist_ok=True)
-        tmp = self._meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._meta_path)
 
 
 def refresh_pq_index(
@@ -83,9 +79,10 @@ def refresh_pq_index(
     baseline is aggregated from that same staged pass — so the whole
     refresh is two corpus passes (fit + encode), not the three a
     naive fit-then-write-then-measure sequence costs. Meta is written
-    LAST, after both commits, so a serve racing a refresh either sees
-    the complete new index or the complete old one (meta stale-reads
-    pair with the old versions, which remain readable until vacuum)."""
+    LAST, after both commits, and PINS the (codes, codebook) version
+    pair — serves read the pinned versions, so a serve racing this
+    refresh pairs either the complete old index or the complete new
+    one (the old versions remain readable until vacuum)."""
     _, cb = similarity.pq_index(vectors, id_col, vec_col, m, k, n_iter)
     cb = cb.localCheckpoint(eager=True)  # the ONE fit evaluation
     coded = similarity.pq_encode(
@@ -97,10 +94,13 @@ def refresh_pq_index(
     store._write_meta(
         {
             "id_col": id_col,
+            "vec_col": vec_col,
             "m": m,
             "k": k,
             "n_iter": n_iter,
             "baseline_mean_sim": baseline,
+            "codes_version": c2.version,
+            "codebook_version": c1.version,
         }
     )
     return {
@@ -155,7 +155,7 @@ def pq_assignment_quality(
 def append_pq_codes(
     store: PQIndexStore,
     new_vectors: DataFrame,
-    vec_col: str = "embedding",
+    vec_col: str | None = None,
 ) -> dict[str, Any]:
     """INCREMENTAL index maintenance — the ANN analog of the
     reference's hourly incremental DAG next to its weekly full rebuild
@@ -177,7 +177,11 @@ def append_pq_codes(
         )
     meta = store.meta()
     id_col, m = meta["id_col"], int(meta["m"])
-    cb = store.codebook.read()
+    # the build-time vector column is part of the fit (like m/id_col);
+    # a caller override exists only for legacy indexes whose meta
+    # predates the vec_col pin
+    vec_col = meta.get("vec_col", vec_col or "embedding")
+    cb = store.codebook.read(meta.get("codebook_version"))
     coded = similarity.pq_encode(
         new_vectors, cb, id_col, vec_col, m, keep_sim=True
     ).localCheckpoint(eager=True)  # merge + quality agg share one eval
@@ -193,6 +197,9 @@ def append_pq_codes(
     commit = store.codes.merge(
         coded.drop("_sim"), keys=[id_col, "sub_id"], when_matched="ignore"
     )
+    # advance the serve pin to the merged codes (atomic replace; the
+    # codebook pin is untouched — appends never refit)
+    store._update_meta(codes_version=commit.version)
     return {
         "codes_version": commit.version,
         "inserted": commit.metrics.get("inserted"),
@@ -201,7 +208,7 @@ def append_pq_codes(
     }
 
 
-class IVFIndexStore:
+class IVFIndexStore(JsonMetaStore):
     """IVF index on storage: a centroid table (cid, cv) + the corpus
     BUCKETED BY CELL ID — the layout ``similarity.ivf_topk``'s
     docstring prescribes for 100 TB ('the corpus is written
@@ -209,9 +216,18 @@ class IVFIndexStore:
     cells table is a ``BucketedTable`` keyed on ``cid``: a serve reads
     only the bucket dirs its probe cells hash into
     (``read_buckets``), never the whole corpus, and an incremental
-    append merges only the touched buckets."""
+    append merges only the touched buckets. Like the PQ store, the
+    meta file pins the (centroids_version, cells_version) pair a
+    serve should pair-read.
 
-    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16):
+    ``n_buckets=None`` (default) adopts an existing table's stored
+    geometry — REOPENING an index never passes a count (a conflicting
+    one raises); the default of 16 applies only when the cells table
+    is first created."""
+
+    def __init__(
+        self, spark: SparkSession, root: str, n_buckets: int | None = None
+    ):
         from ..storage import BucketedTable
 
         self.spark = spark
@@ -221,25 +237,13 @@ class IVFIndexStore:
         self.cells = BucketedTable(
             spark, cells_root, bucket_key="cid", n_buckets=n_buckets
         )
-        self._meta_path = os.path.join(root, "meta.json")
 
     def exists(self) -> bool:
         return (
             self.centroids.exists()
             and self.cells.exists()
-            and os.path.exists(self._meta_path)
+            and self.meta_exists()
         )
-
-    def meta(self) -> dict[str, Any]:
-        with open(self._meta_path) as f:
-            return json.load(f)
-
-    def _write_meta(self, meta: dict[str, Any]) -> None:
-        os.makedirs(self.root, exist_ok=True)
-        tmp = self._meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._meta_path)
 
 
 def refresh_ivf_index(
@@ -276,7 +280,7 @@ def refresh_ivf_index(
     c1 = store.centroids.overwrite(cent)
     assigned = ivf_assign(
         vectors.select(id_col, as_double(F.col(vec_col)).alias("_v")),
-        store.centroids.read(),
+        store.centroids.read(c1.version),
         id_col,
     ).select(id_col, "cid", F.col("_v").alias(vec_col))
     c2 = store.cells.overwrite(assigned)
@@ -286,6 +290,8 @@ def refresh_ivf_index(
             "vec_col": vec_col,
             "n_cells": n_cells,
             "n_iter": n_iter,
+            "centroids_version": c1.version,
+            "cells_version": c2.version,
         }
     )
     return {
@@ -333,7 +339,7 @@ def append_ivf_cells(
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     assigned = ivf_assign(
         new_vectors.select(id_col, as_double(F.col(vec_col)).alias("_v")),
-        store.centroids.read(),
+        store.centroids.read(meta.get("centroids_version")),
         id_col,
     ).select(id_col, "cid", F.col("_v").alias(vec_col))
     if assigned.isEmpty():
@@ -343,6 +349,9 @@ def append_ivf_cells(
             "buckets_written": 0,
         }
     commit = store.cells.merge(assigned, keys=[id_col, "cid"])
+    # advance the serve pin (atomic; centroid pin untouched — appends
+    # never refit)
+    store._update_meta(cells_version=commit.version)
     return {
         "cells_version": commit.version,
         "inserted": commit.metrics.get("inserted"),
@@ -377,7 +386,7 @@ def serve_ivf_topk(
         )
     meta = store.meta()
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    cent = store.centroids.read()
+    cent = store.centroids.read(meta.get("centroids_version"))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
     )
@@ -394,7 +403,8 @@ def serve_ivf_topk(
         .localCheckpoint(eager=True)
     )
     cells_src = store.cells.read_buckets(
-        store.cells.bucket_ids_of(q_cells, "cid")
+        store.cells.bucket_ids_of(q_cells, "cid"),
+        version=meta.get("cells_version"),
     )
     scored = (
         cells_src.withColumnRenamed(id_col, "neighbor_id")
@@ -468,25 +478,27 @@ def run_incremental_ann_ingest(
 def serve_pq_topk(
     store: PQIndexStore,
     queries: DataFrame,
-    vec_col: str = "embedding",
+    vec_col: str | None = None,
     topk: int = 5,
 ) -> DataFrame:
     """SERVE: ADC top-k from the stored index — no fit stages in the
-    plan. ``m`` and the id column come from the index meta (the fit
-    that produced the codes), never from the caller, so a serve can't
-    slice query vectors into a different subspace grid than the
-    codebook was trained on."""
+    plan. ``m``, the id column, and the vector column come from the
+    index meta (the fit that produced the codes), never from the
+    caller, so a serve can't slice query vectors into a different
+    subspace grid than the codebook was trained on; the codes and
+    codebook are read at the meta's PINNED version pair, so a serve
+    racing a refresh pairs a consistent index."""
     if not store.exists():
         raise FileNotFoundError(
             f"no PQ index at {store.root}; run refresh_pq_index first"
         )
     meta = store.meta()
     return similarity.pq_adc_serve(
-        store.codes.read(),
-        store.codebook.read(),
+        store.codes.read(meta.get("codes_version")),
+        store.codebook.read(meta.get("codebook_version")),
         queries,
         id_col=meta["id_col"],
-        vec_col=vec_col,
+        vec_col=meta.get("vec_col", vec_col or "embedding"),
         m=int(meta["m"]),
         topk=topk,
     )

@@ -43,7 +43,6 @@ scores finite without a smoothing hyperparameter.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any
 
@@ -51,14 +50,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import shingles
-from ..storage import VersionedTable
+from ..storage import JsonMetaStore, VersionedTable
 from .curate_corpus import quality_gate, scrub_stage
 
 
-class FrozenCurationModel:
+class FrozenCurationModel(JsonMetaStore):
     """The frozen artifacts under one root: unigram LM table
     (token, tf), heldout gram table (_gram), and meta (total tokens,
-    LM threshold, gate parameters, decontamination n)."""
+    LM threshold, gate parameters, decontamination n) — the shared
+    atomic JSON-sidecar protocol (storage.meta)."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -67,25 +67,13 @@ class FrozenCurationModel:
         self.heldout_grams = VersionedTable(
             spark, os.path.join(root, "heldout_grams")
         )
-        self._meta_path = os.path.join(root, "meta.json")
 
     def exists(self) -> bool:
         return (
             self.unigram.exists()
             and self.heldout_grams.exists()
-            and os.path.exists(self._meta_path)
+            and self.meta_exists()
         )
-
-    def meta(self) -> dict[str, Any]:
-        with open(self._meta_path) as f:
-            return json.load(f)
-
-    def _write_meta(self, meta: dict[str, Any]) -> None:
-        os.makedirs(self.root, exist_ok=True)
-        tmp = self._meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._meta_path)
 
 
 def _frozen_lm_scores(
@@ -216,7 +204,7 @@ def curate_batch(
         keep = (
             _frozen_lm_scores(
                 scorable,
-                model.unigram.read(),
+                model.unigram.read(meta.get("unigram_version")),
                 meta["total_tokens"],
                 id_col,
                 text_col,
@@ -231,7 +219,11 @@ def curate_batch(
     contaminated = (
         gated.where(F.size(F.split(F.col(text_col), " ")) >= n)
         .select(id_col, F.explode(shingles(F.col(text_col), n)).alias("_gram"))
-        .join(model.heldout_grams.read(), "_gram", "left_semi")
+        .join(
+            model.heldout_grams.read(meta.get("heldout_grams_version")),
+            "_gram",
+            "left_semi",
+        )
         .select(id_col)
         .distinct()
     )

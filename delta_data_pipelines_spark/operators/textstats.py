@@ -493,18 +493,28 @@ def nb_train(
             9,
         ).alias("log_odds"),
     )
+    # a single-class corpus has no likelihood ratio to train: without
+    # the guard Spark's non-ANSI division yields a NULL prior and every
+    # downstream nb_score/pred_pos is silently NULL — raise loudly at
+    # execution time instead (raise_error keeps the plan lazy, matching
+    # the operator's compose-then-run contract)
+    np_ = F.sum(F.when(F.col(label_col), 1).otherwise(0)).cast("double")
+    nn_ = F.sum(F.when(~F.col(label_col), 1).otherwise(0)).cast("double")
     prior = (
         docs.where(F.col(label_col).isNotNull())
         .agg(
-            F.round(
-                F.log(
-                    F.sum(F.when(F.col(label_col), 1).otherwise(0)).cast(
-                        "double"
-                    )
-                    / F.sum(F.when(~F.col(label_col), 1).otherwise(0))
-                ),
-                9,
-            ).alias("log_prior")
+            F.when(
+                (np_ > 0) & (nn_ > 0),
+                F.round(F.log(np_ / nn_), 9),
+            )
+            .otherwise(
+                F.raise_error(
+                    "nb_train: both classes must be non-empty — the "
+                    "label column put every doc in one class, so there "
+                    "is no likelihood ratio to train"
+                )
+            )
+            .alias("log_prior")
         )
     )
     return weights, prior

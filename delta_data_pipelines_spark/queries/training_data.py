@@ -1521,7 +1521,11 @@ def _scratch_index_root(sf_dir: str, kind: str) -> tuple[str, bool]:
     src = os.path.join(sf_dir, "embeddings.parquet")
     try:
         st = os.stat(src)
-        fp = f"{int(st.st_mtime)}_{st.st_size}"
+        # nanosecond mtime: second-granularity truncation let a source
+        # regenerated same-second with identical size read as unchanged
+        # (deterministic generators commonly produce same-size output),
+        # silently serving a stale index against a fresh oracle
+        fp = f"{st.st_mtime_ns}_{st.st_size}"
     except OSError:
         fp = "unknown"
     marker = os.path.join(root, "source.fp")

@@ -291,10 +291,14 @@ class BucketedTable:
         paths = [self._bucket_dir(v, int(b)) for b, v in manifest.items()]
         return self._schema_reader().parquet(*paths)
 
-    def read_buckets(self, buckets: list[int]) -> DataFrame:
+    def read_buckets(
+        self, buckets: list[int], version: int | None = None
+    ) -> DataFrame:
         """Bucket-pruned scan: only the named buckets' files are read —
-        the layout-as-plan lever for key-range probes."""
-        manifest = self._manifest()
+        the layout-as-plan lever for key-range probes. ``version``
+        time-travels the manifest like :meth:`read` (index stores pass
+        their pinned version so a probe pairs with its centroids)."""
+        manifest = self._manifest(version)
         paths = [
             self._bucket_dir(v, int(b))
             for b, v in manifest.items()
@@ -378,17 +382,16 @@ class BucketedTable:
         evolution can add columns, never silently drop them (a narrow
         source must not make earlier-evolved columns unreadable).
 
-        Raises ValueError if the source CHANGES an existing column's
-        dataType (e.g. long→string via union coercion): adopting the
-        new type would leave untouched buckets' old parquet files
-        unreadable under the widened stored schema — Delta likewise
-        rejects type-changing evolution unless explicit type-widening
-        is enabled, which this store does not implement."""
+        Type-change validation is the CALLER's pre-write duty
+        (``_reject_type_changes`` before ``_write_buckets``, as merge
+        does at its line): this method runs after buckets are already
+        on disk, where raising would strand a half-committed version —
+        exactly the failure mode the pre-write check exists to avoid,
+        so no late re-validation happens here."""
         meta = self._read_meta()
         new_fields = json.loads(df.drop("_bucket").schema.json())["fields"]
         have = {f["name"] for f in new_fields}
         old_fields = meta.get("schema", {}).get("fields", [])
-        self._reject_type_changes(df)
         merged = new_fields + [f for f in old_fields if f["name"] not in have]
         meta["schema"] = {"type": "struct", "fields": merged}
         tmp = self._meta_path + ".tmp"

@@ -283,6 +283,12 @@ class VersionedTable:
                 f"target_rows_per_file must be >= 1, got {target_rows_per_file}"
             )
         df = self.read()
+        # NOT a second data pass: count(*) over a parquet scan prunes
+        # to zero columns and answers from row-group footers (the
+        # bucketed store's _footer_count pattern). Its cost is one
+        # task per file — which is the small-file problem compaction
+        # exists to fix, and a distributed footer read still beats a
+        # driver-side pyarrow loop over the same million files.
         n = df.count()
         n_files = max(1, -(-n // target_rows_per_file))  # ceil div
         return self._commit(

@@ -198,11 +198,20 @@ def run_incremental_heavy_hitters(
         if state_table.exists():
             prev = state_table.read()
             # one combined agg: this is the hot streaming path — two
-            # separate collects would double the per-batch state scans
+            # separate collects would double the per-batch state scans.
+            # A state table written before the _run column existed has
+            # no such column — aggregating it unguarded would be an
+            # AnalysisException, making the legacy (r is None) branch
+            # below unreachable; probe the schema first.
+            run_agg = (
+                F.max("_run")
+                if "_run" in prev.columns
+                else F.lit(None).cast("string")
+            )
             meta = prev.agg(
                 F.max("_epoch").alias("e"),
                 F.max("n_total").alias("n"),
-                F.max("_run").alias("r"),
+                run_agg.alias("r"),
             ).collect()[0]
             if meta["r"] is not None and meta["r"] != checkpoint_dir:
                 raise RuntimeError(

@@ -740,3 +740,71 @@ def test_compression_filter_stage_cuts_both_tails(spark):
     assert out == {1, 4}
     with pytest.raises(ValueError, match="bounds"):
         compression_filter_stage(docs, bounds=(1.0, 0.5))
+
+
+def test_ivf_store_reopens_with_stored_geometry(spark, tmp_path):
+    """Reopening an index built with a non-default bucket count must
+    adopt the stored geometry (the append/serve lifecycle runs in a
+    different process from the build)."""
+    from delta_data_pipelines_spark.jobs.ann_index import (
+        IVFIndexStore,
+        refresh_ivf_index,
+        serve_ivf_topk,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    store = IVFIndexStore(spark, str(tmp_path / "ivfgeo"), n_buckets=8)
+    refresh_ivf_index(store, vecs, n_cells=4)
+    reopened = IVFIndexStore(spark, str(tmp_path / "ivfgeo"))  # no count
+    assert reopened.cells.n_buckets == 8
+    q = vecs.where("vec_id < 2")
+    assert serve_ivf_topk(reopened, q, k=3).count() > 0
+
+
+def test_index_meta_pins_version_pairs(spark, tmp_path):
+    """The meta file is the cross-table commit point: a refresh pins
+    the new (codes, codebook) pair, an append advances only the codes
+    pin, and a serve against a STALE meta pairs the old versions of
+    BOTH tables (never new codebook + old codes)."""
+    import json
+
+    from delta_data_pipelines_spark.jobs.ann_index import (
+        PQIndexStore,
+        append_pq_codes,
+        refresh_pq_index,
+        serve_pq_topk,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0, 0.5]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    store = PQIndexStore(spark, str(tmp_path / "pqpin"))
+    refresh_pq_index(store, vecs, m=2, k=2)
+    m1 = store.meta()
+    assert {"codes_version", "codebook_version", "vec_col"} <= set(m1)
+    old_meta = json.dumps(m1)
+
+    more = spark.createDataFrame(
+        [(i, [float(i), 2.0, 0.0, 1.0]) for i in range(24, 30)],
+        "vec_id long, embedding array<double>",
+    )
+    append_pq_codes(store, more)
+    m2 = store.meta()
+    assert m2["codes_version"] > m1["codes_version"]
+    assert m2["codebook_version"] == m1["codebook_version"]
+
+    refresh_pq_index(store, vecs.union(more), m=2, k=2)
+    q = vecs.where("vec_id < 2")
+    fresh = serve_pq_topk(store, q).collect()
+
+    # simulate a serve holding the pre-refresh meta: it must read the
+    # OLD pair consistently (both tables at their old versions)
+    with open(store._meta_path, "w") as f:
+        f.write(old_meta)
+    stale = serve_pq_topk(store, q)
+    assert stale.count() > 0  # old pair still readable and consistent
+    assert len(fresh) > 0

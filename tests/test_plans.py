@@ -382,9 +382,13 @@ def test_ivf_serve_reads_only_probe_buckets(spark, registry):
     cells_root = os.path.join(
         repo_root, "spark-warehouse", "ivf_index", "sf0.001", "cells"
     )
-    all_parquet = glob.glob(
-        os.path.join(cells_root, "v=*", "_bucket=*", "*.parquet")
-    )
+    # denominator from the LATEST manifest only: v=* would count every
+    # retained generation after a refresh, letting a pruning regression
+    # (scanning all of ONE generation) pass vacuously
+    from delta_data_pipelines_spark.storage import BucketedTable
+
+    cells = BucketedTable(spark, cells_root)
+    all_parquet = cells.read().inputFiles()
     df = registry["sim_ivf_serve"](spark, SF)
     scanned = set(df.inputFiles())
     cell_files = {f for f in scanned if "ivf_index" in f}

@@ -1187,3 +1187,39 @@ def test_streaming_compression_band_matches_batch_stage(spark, tmp_path):
         for r in corpus.read().select("_content_key").collect()
     }
     assert got == expect
+
+
+def test_incremental_heavy_hitters_accepts_pre_run_column_state(
+    spark, tmp_path
+):
+    """A state table written before the _run column existed (legacy
+    layout: item, mg_count, n_total, _epoch) must be readable on
+    resume — the legacy pass-through branch, not an
+    unresolved-column AnalysisException."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.storage import VersionedTable
+    from delta_data_pipelines_spark.streaming.sketch_state import (
+        run_incremental_heavy_hitters,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(
+        40
+    )
+    state = VersionedTable(spark, str(tmp_path / "hhl_state"))
+    # legacy layout: seed a prior epoch's summary WITHOUT _run
+    legacy = spark.createDataFrame(
+        [("the", 5, 100, -1)], "item string, mg_count bigint, n_total bigint, _epoch long"
+    )
+    state.overwrite(legacy)
+
+    stream = _stream_from(spark, docs, tmp_path, "hhl_docs", files=2)
+    q = run_incremental_heavy_hitters(
+        stream, state, str(tmp_path / "hhl_ckpt"), k=10
+    )
+    q.awaitTermination(120)
+    out = state.read()
+    assert out.count() > 0
+    # the resumed stream merged on top of the legacy counts
+    assert out.agg(F.max("_epoch")).collect()[0][0] >= 0
