@@ -135,6 +135,10 @@ def main(argv: list[str] | None = None) -> int:
     iv.add_argument("--n-iter", type=int, default=2,
                     help="k-means refinement rounds (0 = deterministic "
                     "lowest-id cells, nothing to fit)")
+    iv.add_argument("--n-buckets", type=int, default=None,
+                    help="cell-table bucket count at CREATION (default "
+                    "16); reopening an existing index always adopts "
+                    "its stored geometry")
 
     ia = sub.add_parser(
         "ivf-append",
@@ -335,7 +339,7 @@ def main(argv: list[str] | None = None) -> int:
         from .jobs.ann_index import IVFIndexStore, refresh_ivf_index
 
         e = read_table(spark, args.sf_dir, "embeddings")
-        store = IVFIndexStore(spark, args.index)
+        store = IVFIndexStore(spark, args.index, n_buckets=args.n_buckets)
         res = refresh_ivf_index(
             store, e, n_cells=args.n_cells, n_iter=args.n_iter
         )
