@@ -146,6 +146,61 @@ def decode_jpeg_header(payload: bytes, modality: str = "image") -> dict:
     raise ValueError("no SOF marker found")
 
 
+def decode_wav_header(payload: bytes, modality: str = "audio") -> dict:
+    """Vendored pure-stdlib WAV metadata decode: RIFF chunk walk.
+
+    Sample rate and channel count live in the ``fmt `` chunk (RIFF
+    WAVE, fixed little-endian layout) and the sample count derives
+    from the ``data`` chunk's byte length / block align — both precede
+    the audio payload, so REAL audio metadata of any PCM WAV is
+    readable with ``struct`` alone, the audio sibling of the PNG/JPEG
+    header parses. Raises ValueError for non-WAV payloads (callers
+    fall back to the stub); sample decode still needs a real codec.
+    """
+    import struct
+
+    if modality != "audio":
+        raise ValueError(f"WAV decoder got modality {modality!r}")
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    i = 12
+    rate = n_channels = block_align = None
+    n_samples = 0
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (clen,) = struct.unpack("<I", b[i + 4 : i + 8])
+        if cid == b"fmt ":
+            if i + 24 > len(b):
+                raise ValueError("malformed WAV: truncated fmt chunk")
+            _fmt, n_channels, rate, _bps, block_align = struct.unpack(
+                "<HHIIH", b[i + 8 : i + 22]
+            )
+        elif cid == b"data":
+            if not block_align:
+                raise ValueError("malformed WAV: data before fmt")
+            n_samples = clen // block_align
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None:
+        raise ValueError("no fmt chunk found")
+    return {
+        "sample_rate": rate,
+        "n_samples": n_samples,
+        "channels": n_channels,
+    }
+
+
+def decode_audio(payload: bytes, modality: str = "audio") -> dict:
+    """Real audio metadata when the payload is a WAV (header parse —
+    no codec library needed), else the deterministic stub. Pass as
+    ``decoder=`` to extract_features; the Arrow plumbing is identical
+    either way (the image seam's pattern)."""
+    try:
+        return decode_wav_header(payload, modality)
+    except ValueError:
+        return decode_stub(payload, modality)
+
+
 def decode_image(payload: bytes, modality: str = "image") -> dict:
     """Real image decode: Pillow when importable (``CODEC_AVAILABLE``),
     else the vendored PNG/JPEG header parses for real image bytes,

@@ -1683,3 +1683,43 @@ def test_compression_signal_matches_direct_zlib(spark):
             assert out[i]["compression_ratio"] is None
     assert out[2]["compression_ratio"] < 0.1  # repetition detected
     assert out[5]["compression_ratio"] > 1.0  # noise inflates
+
+
+def test_real_wav_metadata_via_vendored_riff_parse(spark):
+    """Audio sibling of the PNG/JPEG tests: a structurally valid PCM
+    WAV built with stdlib-only bytes flows through decode_audio with
+    its REAL sample rate / channel count / sample count via the RIFF
+    chunk walk; an extra chunk before fmt parses too; non-WAV bytes
+    degrade to the stub."""
+    import struct
+
+    def tiny_wav(rate, channels, n_samples, extra_chunk=False):
+        bps = 16
+        block = channels * bps // 8
+        fmt = b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, channels, rate, rate * block, block, bps
+        )
+        data = b"data" + struct.pack("<I", n_samples * block) + (
+            b"\x00" * (n_samples * block)
+        )
+        pre = (b"LIST" + struct.pack("<I", 4) + b"INFO") if extra_chunk else b""
+        body = b"WAVE" + pre + fmt + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    assert multimodal.decode_wav_header(tiny_wav(16000, 1, 1234)) == {
+        "sample_rate": 16000, "n_samples": 1234, "channels": 1,
+    }
+    assert multimodal.decode_audio(tiny_wav(44100, 2, 10, extra_chunk=True)) == {
+        "sample_rate": 44100, "n_samples": 10, "channels": 2,
+    }
+    assert multimodal.decode_audio(b"not audio") == multimodal.decode_stub(
+        b"not audio", "audio"
+    )
+    # the Arrow seam: feature extraction with the real-WAV decoder
+    wav = tiny_wav(8000, 1, 99)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav), "audio")],
+        "doc_id long, payload binary, modality string",
+    )
+    row = multimodal.extract_features(df, decoder=multimodal.decode_audio).first()
+    assert row["feat_a"] == 8000  # sample_rate rides the feature slot
