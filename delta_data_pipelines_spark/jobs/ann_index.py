@@ -113,6 +113,25 @@ def refresh_pq_index(
     }
 
 
+def _resolve_vec_col(meta: dict[str, Any], caller: str | None) -> str:
+    """The build-time vector column is part of the fit (like m and the
+    id column), so the meta pin wins — but a caller EXPLICITLY naming a
+    different column gets an error, never a silent override (slicing
+    the wrong column returns plausible wrong neighbors). ``None``
+    defers to the pin; a bare-default 'embedding' on a legacy index
+    whose meta predates the pin passes through."""
+    pinned = meta.get("vec_col")
+    if pinned is None:
+        return caller or "embedding"
+    if caller is not None and caller != pinned:
+        raise ValueError(
+            f"index was built on vector column {pinned!r}; got "
+            f"vec_col={caller!r} — pass None (or the pinned name) to "
+            f"use the fit's column, or rebuild the index"
+        )
+    return pinned
+
+
 def _mean_assignment_sim(coded_with_sim: DataFrame) -> float:
     """Mean winning-assignment cosine over a ``pq_encode(keep_sim=True)``
     frame — the drift-gate signal, deterministic (per-row round to 9,
@@ -177,10 +196,7 @@ def append_pq_codes(
         )
     meta = store.meta()
     id_col, m = meta["id_col"], int(meta["m"])
-    # the build-time vector column is part of the fit (like m/id_col);
-    # a caller override exists only for legacy indexes whose meta
-    # predates the vec_col pin
-    vec_col = meta.get("vec_col", vec_col or "embedding")
+    vec_col = _resolve_vec_col(meta, vec_col)
     cb = store.codebook.read(meta.get("codebook_version"))
     coded = similarity.pq_encode(
         new_vectors, cb, id_col, vec_col, m, keep_sim=True
@@ -197,9 +213,22 @@ def append_pq_codes(
     commit = store.codes.merge(
         coded.drop("_sim"), keys=[id_col, "sub_id"], when_matched="ignore"
     )
-    # advance the serve pin to the merged codes (atomic replace; the
-    # codebook pin is untouched — appends never refit)
-    store._update_meta(codes_version=commit.version)
+    # advance the serve pin to the merged codes — CONDITIONALLY: if a
+    # refresh completed while this append ran, its meta pins a new
+    # codebook and this batch's codes (encoded against the OLD one)
+    # must not be pinned over it
+    pinned = store._update_meta(
+        _if_unchanged={"codebook_version": meta.get("codebook_version")},
+        codes_version=commit.version,
+    )
+    if not pinned:
+        return {
+            "codes_version": commit.version,
+            "inserted": commit.metrics.get("inserted"),
+            "batch_mean_sim": _mean_assignment_sim(coded),
+            "baseline_mean_sim": meta.get("baseline_mean_sim"),
+            "superseded_by_refresh": True,
+        }
     return {
         "codes_version": commit.version,
         "inserted": commit.metrics.get("inserted"),
@@ -223,25 +252,42 @@ class IVFIndexStore(JsonMetaStore):
     ``n_buckets=None`` (default) adopts an existing table's stored
     geometry — REOPENING an index never passes a count (a conflicting
     one raises); the default of 16 applies only when the cells table
-    is first created."""
+    is first created. The cells table is constructed LAZILY (first
+    ``.cells`` access): BucketedTable construction persists geometry,
+    so an eager construct on a read-only open of a missing index would
+    stamp the default bucket count and permanently block a later
+    ``--n-buckets`` build — ``exists()`` therefore probes the layout
+    without constructing anything."""
 
     def __init__(
         self, spark: SparkSession, root: str, n_buckets: int | None = None
     ):
-        from ..storage import BucketedTable
-
         self.spark = spark
         self.root = root
         self.centroids = VersionedTable(spark, os.path.join(root, "centroids"))
-        cells_root = os.path.join(root, "cells")
-        self.cells = BucketedTable(
-            spark, cells_root, bucket_key="cid", n_buckets=n_buckets
-        )
+        self._cells_root = os.path.join(root, "cells")
+        self._n_buckets = n_buckets
+        self._cells = None
+
+    @property
+    def cells(self):
+        if self._cells is None:
+            from ..storage import BucketedTable
+
+            self._cells = BucketedTable(
+                self.spark,
+                self._cells_root,
+                bucket_key="cid",
+                n_buckets=self._n_buckets,
+            )
+        return self._cells
 
     def exists(self) -> bool:
+        from ..storage import BucketedTable
+
         return (
             self.centroids.exists()
-            and self.cells.exists()
+            and BucketedTable.exists_at(self._cells_root)
             and self.meta_exists()
         )
 
@@ -349,14 +395,21 @@ def append_ivf_cells(
             "buckets_written": 0,
         }
     commit = store.cells.merge(assigned, keys=[id_col, "cid"])
-    # advance the serve pin (atomic; centroid pin untouched — appends
-    # never refit)
-    store._update_meta(cells_version=commit.version)
-    return {
+    # advance the serve pin — conditionally, as append_pq_codes: a
+    # refresh completing mid-append pins new centroids, and this
+    # batch's cells (assigned under the OLD ones) must not override it
+    pinned = store._update_meta(
+        _if_unchanged={"centroids_version": meta.get("centroids_version")},
+        cells_version=commit.version,
+    )
+    out = {
         "cells_version": commit.version,
         "inserted": commit.metrics.get("inserted"),
         "buckets_written": commit.metrics.get("buckets_written"),
     }
+    if not pinned:
+        out["superseded_by_refresh"] = True
+    return out
 
 
 def serve_ivf_topk(
@@ -498,7 +551,7 @@ def serve_pq_topk(
         store.codebook.read(meta.get("codebook_version")),
         queries,
         id_col=meta["id_col"],
-        vec_col=meta.get("vec_col", vec_col or "embedding"),
+        vec_col=_resolve_vec_col(meta, vec_col),
         m=int(meta["m"]),
         topk=topk,
     )

@@ -655,20 +655,22 @@ def remove_dup_passages(
     return _materialize_and_release(out, staged)
 
 
+import math as _math
+import zlib as _zlib
+
+
 def _zlib_stats(t) -> tuple:
     """Row-level kernel shared by ``compression_signal`` and
     ``with_compression_ratio`` — the ONE place the signal's constants
     live (utf-8 bytes, zlib level 6, ratio rounded to 9; NULL in, or
     empty text, -> NULL ratio). Splitting the definition across the
     two operators would let the batch cut and the in-stream cut drift
-    for ratios near a bound."""
-    import math
-    import zlib
-
-    if t is None or (isinstance(t, float) and math.isnan(t)):
+    for ratios near a bound. Imports are module-level: this runs once
+    per ROW inside the Arrow batch loops."""
+    if t is None or (isinstance(t, float) and _math.isnan(t)):
         return (None, None, None)
     raw = t.encode("utf-8")
-    comp = zlib.compress(raw, 6)
+    comp = _zlib.compress(raw, 6)
     ratio = round(len(comp) / len(raw), 9) if raw else None
     return (len(raw), len(comp), ratio)
 

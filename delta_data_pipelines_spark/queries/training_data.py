@@ -1079,10 +1079,17 @@ def td_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = ranking.global_rank_by_range(keyed, "_okey").drop("_okey")
     # count from the base table, not from `scores` — re-aggregating the
-    # scoring frame would embed the token-level shuffle a second time;
-    # scored docs == docs with non-NULL text (empty text still tokenizes
-    # to [''] and scores, identically in both engines)
-    nn = d.where(F.col("text").isNotNull()).agg(F.count("*").alias("_n"))
+    # scoring frame would embed the token-level shuffle a second time.
+    # select(id).distinct() — not count(*) — so the count equals the
+    # post-groupBy score rows EXACTLY even under duplicate or NULL ids
+    # (distinct keeps one NULL row, groupBy keeps one NULL group);
+    # empty text still tokenizes to [''] and scores, both engines
+    nn = (
+        d.where(F.col("text").isNotNull())
+        .select("doc_id")
+        .distinct()
+        .agg(F.count("*").alias("_n"))
+    )
     return (
         ranked.crossJoin(F.broadcast(nn))
         .select(

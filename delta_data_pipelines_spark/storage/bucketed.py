@@ -42,6 +42,8 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .meta import atomic_json_write
 from pyspark.sql import functions as F
 
 
@@ -162,10 +164,7 @@ class BucketedTable:
         meta = self._read_meta()
         if "schema" not in meta:
             meta["schema"] = json.loads(df.drop("_bucket").schema.json())
-            tmp = self._meta_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(meta, f)
-            os.replace(tmp, self._meta_path)
+            atomic_json_write(self._meta_path, meta)
 
     def _empty_df(self) -> DataFrame:
         from pyspark.sql.types import StructType
@@ -394,10 +393,7 @@ class BucketedTable:
         old_fields = meta.get("schema", {}).get("fields", [])
         merged = new_fields + [f for f in old_fields if f["name"] not in have]
         meta["schema"] = {"type": "struct", "fields": merged}
-        tmp = self._meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._meta_path)
+        atomic_json_write(self._meta_path, meta)
 
     def merge(
         self,

