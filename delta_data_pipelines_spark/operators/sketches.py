@@ -291,3 +291,69 @@ def heavy_hitters_exact(df: DataFrame, item_col: str, k: int) -> DataFrame:
         .where(F.col("cnt") > F.col("_n") / k)
         .select("item", "cnt")
     )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise set-overlap estimates between groups from KMV sketches
+    — distinct-value union, intersection, and Jaccard for every group
+    pair WITHOUT ever joining the raw values.
+
+    The estimator (Beyer et al., SIGMOD'07 "On synopses for distinct-
+    value estimation"): for groups A and B with bottom-k sketches
+    S_A, S_B,
+
+    - ``merged`` = bottom-k of S_A ∪ S_B  — a valid KMV sketch of
+      A ∪ B (bottom-k of a union = bottom-k of the concatenated
+      bottom-ks), so ``n_union_est`` = (k-1)·2³²/kth as usual;
+    - ρ̂ = |merged ∩ S_A ∩ S_B| / |merged| is an unbiased Jaccard
+      estimate (every member of ``merged`` is a uniform sample of
+      A ∪ B, and it lies in the intersection iff both sketches hold
+      it);
+    - ``n_inter_est`` = ρ̂ · n_union_est.
+
+    100 TB posture: the pair table is |groups|² rows of k-element
+    arrays — group count is small (sources, languages, shards) even
+    when the value space is billions, and the raw values are touched
+    exactly once (sketch build, :func:`kmv_sketch`'s two-phase
+    partial-agg shape). Everything downstream of the sketches is
+    arithmetic on k-element arrays. Deterministic (portable md5, no
+    seed), so an oracle recomputes every estimate bit-for-bit.
+
+    Output: (group_a, group_b) for group_a < group_b, with
+    ``n_union_est``, ``jaccard_est`` (ratio of ints, rounded 9) and
+    ``n_inter_est`` (rounded 6). Groups whose union holds < k distinct
+    hashes short-circuit to exact counts (the standard KMV small-set
+    rule, inherited from :func:`kmv_estimate`).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    sk = kmv_sketch(df, [group_col], value_col, k=k).select(
+        group_col, "sketch"
+    )
+    a = sk.select(
+        F.col(group_col).alias("group_a"), F.col("sketch").alias("_sa")
+    )
+    b = sk.select(
+        F.col(group_col).alias("group_b"), F.col("sketch").alias("_sb")
+    )
+    merged = _bottom_k(F.array_distinct(F.concat("_sa", "_sb")), k)
+    pairs = a.join(
+        F.broadcast(b), F.col("group_a") < F.col("group_b")
+    ).withColumn("_merged", merged)
+    common = F.size(
+        F.array_intersect(F.col("_merged"), F.array_intersect("_sa", "_sb"))
+    )
+    union_est = kmv_estimate(F.col("_merged"), k)
+    jacc = common / F.size("_merged")
+    return pairs.select(
+        "group_a",
+        "group_b",
+        union_est.alias("n_union_est"),
+        F.round(jacc, 9).alias("jaccard_est"),
+        F.round(jacc * union_est, 6).alias("n_inter_est"),
+    )

@@ -811,6 +811,27 @@ def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.kmv_distinct(toks, ["lang"], "token", k=64).orderBy("lang")
 
 
+def sk_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary overlap (union / intersection /
+    Jaccard distinct-token estimates) from KMV sketches — the "how
+    much does source A's vocabulary overlap source B's" question a
+    mixture designer asks before setting sampling weights, answered
+    WITHOUT joining the token sets (``sketches.kmv_overlap``: raw
+    tokens are touched once to build one k-array per source; every
+    pairwise estimate is arithmetic on those arrays). Deterministic
+    portable-md5 sketches, so the oracle recomputes the estimates
+    bit-for-bit."""
+    from ..operators import sketches
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return sketches.kmv_overlap(toks, "source", "token", k=64).orderBy(
+        "group_a", "group_b"
+    )
+
+
 def txt_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source boilerplate detection (the CCNet idea at shingle
     granularity): the top-5 word bigrams by within-source document
@@ -1679,6 +1700,7 @@ SPARK_QUERIES = {
     "td_pack_sequences": td_pack_sequences,
     "td_chunk_manifest": td_chunk_manifest,
     "sk_kmv_distinct": sk_kmv_distinct,
+    "sk_source_overlap": sk_source_overlap,
     "txt_boilerplate": txt_boilerplate,
     "td_passage_dup_fraction": td_passage_dup_fraction,
     "td_dedup_passages": td_dedup_passages,
@@ -2319,6 +2341,50 @@ ORACLE_SQL = {
                     THEN ROUND(63.0 * 4294967296.0 / kth_hash, 6)
                     ELSE CAST(n_exact AS DOUBLE) END AS n_est
         FROM g ORDER BY lang
+    """,
+    "sk_source_overlap": """
+        WITH toks AS (
+            SELECT source, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), h AS (
+            SELECT DISTINCT source,
+                   ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+            FROM toks
+        ), rk AS (
+            SELECT source, h,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM h
+        ), sk AS (
+            SELECT source, list(h ORDER BY h) AS s
+            FROM rk WHERE rn <= 64 GROUP BY source
+        ), pairs AS (
+            SELECT a.source AS group_a, b.source AS group_b,
+                   a.s AS la, b.s AS lb
+            FROM sk a JOIN sk b ON a.source < b.source
+        ), m AS (
+            SELECT group_a, group_b, la, lb,
+                   list_sort(list_distinct(list_concat(la, lb)))[1:64]
+                       AS merged
+            FROM pairs
+        ), calc AS (
+            SELECT group_a, group_b,
+                   len(merged) AS msz, merged[64] AS kth,
+                   len(list_filter(merged,
+                       x -> list_contains(la, x) AND list_contains(lb, x)))
+                       AS common
+            FROM m
+        ), est AS (
+            SELECT group_a, group_b, msz, common,
+                   CASE WHEN msz >= 64
+                        THEN ROUND(63.0 * 4294967296.0 / kth, 6)
+                        ELSE CAST(msz AS DOUBLE) END AS n_union_est
+            FROM calc
+        )
+        SELECT group_a, group_b, n_union_est,
+               ROUND(common / CAST(msz AS DOUBLE), 9) AS jaccard_est,
+               ROUND((common / CAST(msz AS DOUBLE)) * n_union_est, 6)
+                   AS n_inter_est
+        FROM est ORDER BY group_a, group_b
     """,
     "txt_boilerplate": """
         WITH sh AS (

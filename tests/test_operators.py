@@ -1723,3 +1723,59 @@ def test_real_wav_metadata_via_vendored_riff_parse(spark):
     )
     row = multimodal.extract_features(df, decoder=multimodal.decode_audio).first()
     assert row["feat_a"] == 8000  # sample_rate rides the feature slot
+
+
+def test_kmv_overlap_small_sets_exact(spark):
+    """Below k the merged sketch holds every distinct hash, so union /
+    intersection / Jaccard short-circuit to the EXACT values (up to
+    md5 collisions, absent on 10-element fixtures)."""
+    from delta_data_pipelines_spark.operators import sketches
+
+    # A = {t0..t9}, B = {t5..t14}: |A∪B| = 15, |A∩B| = 5, J = 1/3
+    rows = [("a", f"t{i}") for i in range(10)] + [
+        ("b", f"t{i}") for i in range(5, 15)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    r = sketches.kmv_overlap(df, "g", "v", k=64).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert (r["group_a"], r["group_b"]) == ("a", "b")
+    assert r["n_union_est"] == 15.0
+    assert abs(r["jaccard_est"] - 5 / 15) < 1e-8
+    assert abs(r["n_inter_est"] - 5.0) < 1e-6
+    with pytest.raises(ValueError, match="k must be"):
+        sketches.kmv_overlap(df, "g", "v", k=1)
+
+
+def test_kmv_overlap_error_bounded(spark):
+    """Above k: 3 groups with constructed overlap (g0 ⊂ g1 half-shared,
+    g2 disjoint). Jaccard/union within generous sketch-error bounds,
+    disjoint pair estimates exactly 0 intersection."""
+    from delta_data_pipelines_spark.operators import sketches
+
+    # g0 = v0..v1999, g1 = v1000..v2999 (J = 1000/3000), g2 = w0..w999
+    df = (
+        spark.range(0, 2000)
+        .select(F.lit("g0").alias("g"), F.concat(F.lit("v"), "id").alias("v"))
+        .unionAll(
+            spark.range(1000, 3000).select(
+                F.lit("g1").alias("g"), F.concat(F.lit("v"), "id").alias("v")
+            )
+        )
+        .unionAll(
+            spark.range(0, 1000).select(
+                F.lit("g2").alias("g"), F.concat(F.lit("w"), "id").alias("v")
+            )
+        )
+    )
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in sketches.kmv_overlap(df, "g", "v", k=256).collect()
+    }
+    assert set(got) == {("g0", "g1"), ("g0", "g2"), ("g1", "g2")}
+    r01 = got[("g0", "g1")]
+    assert abs(r01["n_union_est"] - 3000) / 3000 < 0.30
+    assert abs(r01["jaccard_est"] - 1 / 3) < 0.15
+    for pair in (("g0", "g2"), ("g1", "g2")):
+        assert got[pair]["jaccard_est"] == 0.0
+        assert got[pair]["n_inter_est"] == 0.0
