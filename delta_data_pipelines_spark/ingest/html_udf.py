@@ -89,3 +89,65 @@ def extract_class_texts(
             yield pd.DataFrame(rows, columns=[id_col, "css_class", "texts"])
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+class _AllTextCollector(HTMLParser):
+    """Visible-text extraction: every text node except inside
+    script/style/noscript/template, whitespace-collapsed."""
+
+    _SKIP = {"script", "style", "noscript", "template"}
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self._SKIP:
+            self._skip_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in self._SKIP and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data):
+        if self._skip_depth == 0:
+            t = data.strip()
+            if t:
+                self.parts.append(t)
+
+
+def html_to_text(html: str | None) -> str | None:
+    """Visible text of an HTML document (single space between nodes),
+    None in → None out, parse damage → whatever was collected before
+    it (the tokenizer is non-throwing on truncated markup)."""
+    if html is None:
+        return None
+    p = _AllTextCollector()
+    try:
+        p.feed(html)
+    except Exception:
+        pass
+    return " ".join(p.parts)
+
+
+def extract_page_text(df: DataFrame, html_col: str) -> DataFrame:
+    """Append a ``text`` column: visible text of ``html_col`` (the
+    WARC→corpus extraction step; ingest/warc.warc_documents). Same
+    Arrow-batched executor-side shape as extract_class_texts — cost
+    scales with bytes parsed per partition, no shuffle."""
+    import json as _json
+
+    from pyspark.sql.types import StringType, StructType
+
+    schema = StructType.fromJson(_json.loads(df.schema.json())).add(
+        "text", StringType()
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["text"] = [html_to_text(h) for h in pdf[html_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

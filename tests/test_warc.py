@@ -1,0 +1,137 @@
+"""WARC source: synthetic shards (per-record gzip members, like
+Common Crawl), record parse, HTTP split, error-as-data, and the
+documents-shaped extraction."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_data_pipelines_spark.ingest import warc
+
+
+def _record(
+    rtype: str,
+    rid: str,
+    payload: bytes,
+    uri: str | None = None,
+    ctype: str = "application/http; msgtype=response",
+) -> bytes:
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: " + rtype.encode(),
+        b"WARC-Record-ID: <urn:uuid:" + rid.encode() + b">",
+        b"WARC-Date: 2026-08-01T00:00:00Z",
+        b"Content-Type: " + ctype.encode(),
+        b"Content-Length: " + str(len(payload)).encode(),
+    ]
+    if uri:
+        headers.insert(3, b"WARC-Target-URI: " + uri.encode())
+    return b"\r\n".join(headers) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def _http(status: int, body: bytes, ctype: bytes = b"text/html") -> bytes:
+    return (
+        b"HTTP/1.1 " + str(status).encode() + b" X\r\n"
+        b"Content-Type: " + ctype + b"\r\n\r\n" + body
+    )
+
+
+_HTML = (
+    b"<html><head><title>T</title><style>p{}</style></head>"
+    b"<body><script>var x=1;</script><p>hello <b>warc</b></p>"
+    b"<p>world</p></body></html>"
+)
+
+
+def _write_shard(path: str, records: list[bytes], member_gzip: bool = True):
+    with open(path, "wb") as f:
+        if member_gzip:
+            for r in records:
+                f.write(gzip.compress(r))
+        else:
+            for r in records:
+                f.write(r)
+
+
+@pytest.fixture()
+def shard(tmp_path):
+    recs = [
+        _record("warcinfo", "info-1", b"software: test\r\n", ctype="application/warc-fields"),
+        _record("request", "req-1", _http(0, b"")[:0] + b"GET / HTTP/1.1\r\nHost: a.example\r\n\r\n", uri="http://a.example/", ctype="application/http; msgtype=request"),
+        _record("response", "resp-1", _http(200, _HTML), uri="http://a.example/page"),
+        _record("response", "resp-2", _http(404, b"<html>gone</html>"), uri="http://a.example/missing"),
+        _record("response", "resp-3", _http(200, b"<html><body>second doc</body></html>"), uri="http://b.example/x"),
+    ]
+    p = os.path.join(tmp_path, "shard-00000.warc.gz")
+    _write_shard(p, recs)
+    return p
+
+
+def test_read_warc_records(spark, shard):
+    df = warc.read_warc(spark, shard)
+    rows = {r["record_id"]: r for r in df.collect()}
+    assert len(rows) == 5
+    r1 = rows["<urn:uuid:resp-1>"]
+    assert r1["warc_type"] == "response"
+    assert r1["http_status"] == 200
+    assert r1["target_uri"] == "http://a.example/page"
+    assert bytes(r1["payload"]) == _HTML
+    assert r1["error"] is None
+    assert rows["<urn:uuid:resp-2>"]["http_status"] == 404
+    # warcinfo payload is NOT http: kept raw, no status
+    info = rows["<urn:uuid:info-1>"]
+    assert info["http_status"] is None
+    assert bytes(info["payload"]) == b"software: test\r\n"
+
+
+def test_read_warc_plain_uncompressed(spark, tmp_path):
+    recs = [_record("response", "r1", _http(200, b"<p>plain</p>"), uri="http://c.example/")]
+    p = os.path.join(tmp_path, "plain.warc")
+    _write_shard(p, recs, member_gzip=False)
+    rows = warc.read_warc(spark, p).collect()
+    assert len(rows) == 1 and rows[0]["http_status"] == 200
+
+
+def test_read_warc_truncated_is_error_row(spark, tmp_path):
+    good = _record("response", "ok-1", _http(200, b"<p>ok</p>"), uri="http://d.example/")
+    bad = _record("response", "bad-1", _http(200, b"full payload"), uri="http://d.example/b")
+    p = os.path.join(tmp_path, "damaged.warc.gz")
+    with open(p, "wb") as f:
+        f.write(gzip.compress(good))
+        f.write(gzip.compress(bad)[: len(gzip.compress(bad)) // 2])
+    rows = warc.read_warc(spark, p).collect()
+    by_type = {r["warc_type"] for r in rows}
+    assert "_error" in by_type
+    ok = [r for r in rows if r["record_id"] == "<urn:uuid:ok-1>"]
+    assert len(ok) == 1 and ok[0]["http_status"] == 200
+    err = [r for r in rows if r["warc_type"] == "_error"]
+    assert len(err) == 1 and err[0]["error"]
+
+
+def test_warc_documents_extraction(spark, shard):
+    docs = warc.warc_documents(spark, shard).orderBy("doc_id").collect()
+    # only the two 2xx responses
+    assert len(docs) == 2
+    d1 = [d for d in docs if d["doc_id"] == "<urn:uuid:resp-1>"][0]
+    assert d1["source"] == "a.example"
+    assert d1["url"] == "http://a.example/page"
+    # script/style stripped, visible text kept in order
+    assert d1["text"] == "T hello warc world"
+    d3 = [d for d in docs if d["doc_id"] == "<urn:uuid:resp-3>"][0]
+    assert d3["source"] == "b.example"
+    assert d3["text"] == "second doc"
+
+
+def test_warc_glob_and_parallelism(spark, tmp_path):
+    for i in range(3):
+        _write_shard(
+            os.path.join(tmp_path, f"part-{i}.warc.gz"),
+            [_record("response", f"g{i}", _http(200, b"<p>x</p>"), uri=f"http://g{i}.example/")],
+        )
+    df = warc.read_warc(spark, os.path.join(tmp_path, "*.warc.gz"), parallelism=3)
+    assert df.count() == 3
+    assert df.rdd.getNumPartitions() == 3
