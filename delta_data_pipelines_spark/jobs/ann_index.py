@@ -555,3 +555,144 @@ def serve_pq_topk(
         m=int(meta["m"]),
         topk=topk,
     )
+
+
+def serve_ivfpq_topk(
+    ivf_store: IVFIndexStore,
+    pq_store: PQIndexStore,
+    queries: DataFrame,
+    topk: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """SERVE: IVF-PQ composition — coarse cells prune the CANDIDATE
+    SET, PQ codes prune the BYTES PER CANDIDATE (the FAISS IVFADC
+    architecture, Jégou et al. TPAMI'11, re-expressed as three joins).
+
+    The two stores are built independently over the same corpus
+    (``refresh_ivf_index`` + ``refresh_pq_index``) and composed only
+    at serve time:
+
+    1. probe — queries score against the broadcast centroid table,
+       keep ``nprobe`` cells each (one tiny eager checkpoint, needed
+       to enumerate the bucket dirs);
+    2. candidates — ONLY the probed cells' bucket dirs are read
+       (``read_buckets``; I/O ∝ nprobe/n_cells of the corpus), giving
+       (query_id, neighbor_id) candidate pairs;
+    3. ADC — candidates join the 8-bit codes, then the broadcast
+       per-query lookup table, and the partial-aggable groupBy sums
+       subspace dots exactly as ``similarity.pq_adc_serve`` — scoring
+       math is shared expression-for-expression, so with
+       ``nprobe = n_cells`` this returns ``serve_pq_topk``'s rows
+       IDENTICALLY (test-pinned), and with ``nprobe < n_cells`` it
+       returns the PQ ranking of the probed subset.
+
+    At 100 TB both prunings multiply: a 4096-cell/8-probe index reads
+    ~0.2% of the corpus rows, and each row read is m bytes of codes,
+    not the raw vector. Cross-store guards: the two indexes must pin
+    the same id column and vector column (a serve composing an IVF
+    over ``embedding`` with a PQ over ``projection`` returns
+    plausible nonsense otherwise).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import (
+        _subspace_slices,
+        as_double,
+        cosine,
+        dot,
+        norm,
+    )
+
+    if not ivf_store.exists():
+        raise FileNotFoundError(
+            f"no IVF index at {ivf_store.root}; run refresh_ivf_index first"
+        )
+    if not pq_store.exists():
+        raise FileNotFoundError(
+            f"no PQ index at {pq_store.root}; run refresh_pq_index first"
+        )
+    imeta, pmeta = ivf_store.meta(), pq_store.meta()
+    for key in ("id_col", "vec_col"):
+        if imeta.get(key) != pmeta.get(key):
+            raise ValueError(
+                f"IVF/PQ stores disagree on {key}: "
+                f"{imeta.get(key)!r} vs {pmeta.get(key)!r} — rebuild one "
+                f"of them over the same corpus columns"
+            )
+    id_col, vec_col = imeta["id_col"], imeta["vec_col"]
+    m = int(pmeta["m"])
+
+    # 1. probe: nprobe nearest cells per query (broadcast centroids)
+    cent = ivf_store.centroids.read(imeta.get("centroids_version"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_csim").desc(), F.col("cid")
+    )
+    q_cells = (
+        q.join(F.broadcast(cent))
+        .withColumn("_csim", cosine(F.col("_qv"), F.col("cv")))
+        .withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "cid")
+        .localCheckpoint(eager=True)
+    )
+
+    # 2. candidates: pruned bucket read -> (query_id, neighbor_id)
+    cells_src = ivf_store.cells.read_buckets(
+        ivf_store.cells.bucket_ids_of(q_cells, "cid"),
+        version=imeta.get("cells_version"),
+    )
+    cand = (
+        cells_src.select(F.col(id_col).alias("neighbor_id"), "cid")
+        .join(q_cells, "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+
+    # 3. ADC over candidates only — pq_adc_serve's scoring expressions
+    codes = pq_store.codes.read(pmeta.get("codes_version"))
+    cb = pq_store.codebook.read(pmeta.get("codebook_version"))
+    qn = q.withColumn("_qn", norm(F.col("_qv")))
+    qsub = _subspace_slices(
+        q.select(F.col("query_id").alias("qid"), "_qv"), "qid", "_qv", m, "_qs"
+    )
+    lut = (
+        qsub.join(F.broadcast(cb), "sub_id")
+        .select(
+            F.col("qid").alias("query_id"),
+            "sub_id",
+            "code",
+            F.round(dot(F.col("_qs"), F.col("_cv")), 9)
+            .cast("decimal(38,12)")
+            .alias("_pd"),
+            F.round(dot(F.col("_cv"), F.col("_cv")), 9)
+            .cast("decimal(38,12)")
+            .alias("_cn2"),
+        )
+        .join(qn.select("query_id", "_qn"), "query_id")
+    )
+    scored = (
+        cand.join(
+            codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
+        )
+        .join(F.broadcast(lut), ["query_id", "sub_id", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(
+                F.sum("_pd").cast("double")
+                / (F.min("_qn") * F.sqrt(F.sum("_cn2").cast("double"))),
+                9,
+            ).alias("approx_cos")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "approx_cos", "rank")
+    )

@@ -1627,6 +1627,40 @@ def sim_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 from the TWO stored indexes composed at serve time
+    (jobs.ann_index.serve_ivfpq_topk — the FAISS IVFADC architecture):
+    the IVF store's probed cells prune WHICH rows are read (bucket-dir
+    pruning, ~nprobe/n_cells of the corpus), the PQ store's codes
+    prune the BYTES per row read (8-bit codes vs raw vectors). Reuses
+    the same two scratch stores sim_pq_serve / sim_ivf_serve build, so
+    the three serve queries cost one build each per sf_dir. The fit
+    and the probe are deterministic, so the oracle recomputes the
+    pruned candidate set and the ADC ranking exactly."""
+    from ..jobs import ann_index
+
+    proot, pstale, pfp = _scratch_index_root(sf_dir, "pq_index")
+    pstore = ann_index.PQIndexStore(spark, proot)
+    if pstale or not pstore.exists():
+        e = read_table(spark, sf_dir, "embeddings")
+        ann_index.refresh_pq_index(
+            pstore, e, "vec_id", "embedding", m=4, k=4, n_iter=2
+        )
+        _stamp_index(proot, pfp)
+    iroot, istale, ifp = _scratch_index_root(sf_dir, "ivf_index")
+    istore = ann_index.IVFIndexStore(spark, iroot)
+    if istale or not istore.exists():
+        e = read_table(spark, sf_dir, "embeddings")
+        ann_index.refresh_ivf_index(
+            istore, e, "vec_id", "embedding", n_cells=16, n_iter=0
+        )
+        _stamp_index(iroot, ifp)
+    q = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 10)
+    return ann_index.serve_ivfpq_topk(
+        istore, pstore, q, topk=5, nprobe=2
+    ).orderBy("query_id", "rank")
+
+
 def td_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GPT-3/CCNet quality-classifier pattern, end to end in-plan:
     label the corpus by the heuristic quality gate (quality ≥ 0.5 as
@@ -1712,6 +1746,7 @@ SPARK_QUERIES = {
     "sim_pq_codes": sim_pq_codes,
     "sim_pq_adc_topk": sim_pq_adc_topk,
     "sim_pq_serve": sim_pq_serve,
+    "sim_ivfpq_serve": sim_ivfpq_serve,
     "sim_pq_recall_audit": sim_pq_recall_audit,
     "txt_bpe_pairs": txt_bpe_pairs,
     "txt_bpe_merges": txt_bpe_merges,
@@ -3195,6 +3230,33 @@ ORACLE_SQL = {
     # storage-backed serve: same deterministic fit, so the same oracle —
     # the Spark side reads the persisted codes/codebook instead of
     # refitting in-plan (correctness-identical by construction)
+    "sim_ivfpq_serve": f"""
+        WITH {_PQ_FIT_CTES}{_PQ_ADC_CTES}, cent AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id < 16
+        ), assign AS (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS rn
+            FROM vecs CROSS JOIN cent
+        ), cell AS (
+            SELECT vec_id AS neighbor_id, cid FROM assign WHERE rn = 1
+        ), probe AS (
+            SELECT vec_id AS query_id, cid FROM assign
+            WHERE rn <= 2 AND vec_id < 10
+        ), cand AS (
+            SELECT query_id, neighbor_id FROM probe JOIN cell USING (cid)
+            WHERE query_id <> neighbor_id
+        ), ivfpq AS (
+            SELECT s.query_id, s.neighbor_id, s.approx_cos,
+                   ROW_NUMBER() OVER (PARTITION BY s.query_id
+                       ORDER BY s.approx_cos DESC, s.neighbor_id) AS prank
+            FROM adc_scored s JOIN cand USING (query_id, neighbor_id)
+        )
+        SELECT query_id, neighbor_id, approx_cos,
+               CAST(prank AS INTEGER) AS rank
+        FROM ivfpq WHERE prank <= 5 ORDER BY query_id, rank
+    """,
     "sim_pq_serve": f"""
         WITH {_PQ_FIT_CTES}{_PQ_ADC_CTES}
         SELECT query_id, neighbor_id, approx_cos, CAST(rank AS INTEGER) AS rank

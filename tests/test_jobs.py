@@ -808,3 +808,76 @@ def test_index_meta_pins_version_pairs(spark, tmp_path):
     stale = serve_pq_topk(store, q)
     assert stale.count() > 0  # old pair still readable and consistent
     assert len(fresh) > 0
+
+
+def test_ivfpq_serve_composes_stores(spark, tmp_path):
+    """IVF-PQ composition: with nprobe = n_cells the candidate set is
+    the whole corpus and the serve returns serve_pq_topk's rows
+    IDENTICALLY (shared ADC expressions); with nprobe < n_cells every
+    returned neighbor lies in one of the query's probed cells; store
+    guards fail loudly (missing index, mismatched vector column)."""
+    import pytest
+
+    from delta_data_pipelines_spark.jobs.ann_index import (
+        IVFIndexStore,
+        PQIndexStore,
+        refresh_ivf_index,
+        refresh_pq_index,
+        serve_ivfpq_topk,
+        serve_pq_topk,
+    )
+    from delta_data_pipelines_spark.operators.similarity import as_double, cosine
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.where(e.vec_id < 5)
+
+    ivf = IVFIndexStore(spark, str(tmp_path / "ivf"))
+    pq = PQIndexStore(spark, str(tmp_path / "pq"))
+    with pytest.raises(FileNotFoundError):
+        serve_ivfpq_topk(ivf, pq, q)
+    refresh_ivf_index(ivf, e, n_cells=8, n_iter=0)
+    with pytest.raises(FileNotFoundError):
+        serve_ivfpq_topk(ivf, pq, q)
+    refresh_pq_index(pq, e, m=4, k=4, n_iter=2)
+
+    # probe everything -> exactly the flat ADC serve
+    full = sorted(
+        tuple(r)
+        for r in serve_ivfpq_topk(ivf, pq, q, topk=5, nprobe=8).collect()
+    )
+    flat = sorted(tuple(r) for r in serve_pq_topk(pq, q, topk=5).collect())
+    assert full == flat
+
+    # nprobe=2: neighbors must come from the probed cells only
+    part = serve_ivfpq_topk(ivf, pq, q, topk=5, nprobe=2).collect()
+    assert part  # candidates exist
+    cent = ivf.centroids.read()
+    probe = (
+        q.select(F.col("vec_id").alias("query_id"),
+                 as_double(F.col("embedding")).alias("_qv"))
+        .join(F.broadcast(cent))
+        .withColumn("_s", cosine(F.col("_qv"), F.col("cv")))
+    )
+    from pyspark.sql.window import Window
+
+    wq = Window.partitionBy("query_id").orderBy(F.col("_s").desc(), "cid")
+    probed = {
+        (r["query_id"], r["cid"])
+        for r in probe.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= 2)
+        .collect()
+    }
+    cid_of = {
+        r["vec_id"]: r["cid"] for r in ivf.cells.read().select("vec_id", "cid").collect()
+    }
+    for r in part:
+        assert (r["query_id"], cid_of[r["neighbor_id"]]) in probed
+
+    # mismatched vector column between the stores fails loudly
+    pq2 = PQIndexStore(spark, str(tmp_path / "pq2"))
+    refresh_pq_index(
+        pq2, e.withColumnRenamed("embedding", "projection"),
+        vec_col="projection", m=4, k=4, n_iter=2,
+    )
+    with pytest.raises(ValueError, match="disagree on vec_col"):
+        serve_ivfpq_topk(ivf, pq2, q)
