@@ -346,7 +346,36 @@ def t_subseq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return subsequence_topk(e, _SPIKE_Z, k=5).orderBy("event_type", "rank")
 
 
+def t_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-transition graph: edges are consecutive
+    (prev event_type → event_type) steps per user in time order, edge
+    weight = transition count — "which state do user journeys
+    accumulate in", the Markov-stationary view of the funnel queries
+    above. Deterministic 3-round damped iteration
+    (operators.graph.pagerank — decimal-summed contributions, per-
+    round rounding), so the oracle unrolls the same three rounds and
+    matches bit-for-bit. At corpus scale the same operator ranks a
+    host-level link graph for domain-reputation cuts (the Common
+    Crawl harmonic-centrality pattern)."""
+    from ..operators.graph import pagerank
+
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).where(F.col("src").isNotNull())
+    edges = steps.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    return pagerank(
+        edges, "src", "dst", weight_col="w", damping=0.85, n_iter=3
+    ).orderBy(F.col("pagerank").desc(), "node")
+
+
 SPARK_QUERIES = {
+    "t_event_pagerank": t_event_pagerank,
     "t_subseq_search": t_subseq_search,
     "t_asof_join": t_asof_join,
     "t_asof_join_tolerance": t_asof_join_tolerance,
@@ -367,6 +396,70 @@ _ERRORS = """
 """
 
 ORACLE_SQL = {
+    "t_event_pagerank": """
+        WITH steps AS (
+            SELECT user_id,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS src,
+                   event_type AS dst
+            FROM events
+        ), edges AS (
+            SELECT src, dst, COUNT(*) AS w
+            FROM steps WHERE src IS NOT NULL GROUP BY src, dst
+        ), nodes AS (
+            SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ), outw AS (
+            SELECT src, SUM(CAST(w AS DECIMAL(28,6))) AS ow
+            FROM edges GROUP BY src
+        ), nn AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS (
+            SELECT node, ROUND(CAST(1.0 AS DOUBLE) / n, 9) AS r
+            FROM nodes CROSS JOIN nn
+        ), c1 AS (
+            SELECT e.dst AS node,
+                   SUM(CAST(r.r * CAST(e.w AS DOUBLE)
+                            / CAST(o.ow AS DOUBLE)
+                            AS DECIMAL(38,18))) AS s
+            FROM edges e JOIN r0 r ON e.src = r.node
+                         JOIN outw o ON e.src = o.src
+            GROUP BY e.dst
+        ), r1 AS (
+            SELECT nodes.node,
+                   ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+                         + CAST(0.85 AS DOUBLE)
+                           * COALESCE(CAST(c1.s AS DOUBLE), 0.0), 9) AS r
+            FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.node
+        ), c2 AS (
+            SELECT e.dst AS node,
+                   SUM(CAST(r.r * CAST(e.w AS DOUBLE)
+                            / CAST(o.ow AS DOUBLE)
+                            AS DECIMAL(38,18))) AS s
+            FROM edges e JOIN r1 r ON e.src = r.node
+                         JOIN outw o ON e.src = o.src
+            GROUP BY e.dst
+        ), r2 AS (
+            SELECT nodes.node,
+                   ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+                         + CAST(0.85 AS DOUBLE)
+                           * COALESCE(CAST(c2.s AS DOUBLE), 0.0), 9) AS r
+            FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.node
+        ), c3 AS (
+            SELECT e.dst AS node,
+                   SUM(CAST(r.r * CAST(e.w AS DOUBLE)
+                            / CAST(o.ow AS DOUBLE)
+                            AS DECIMAL(38,18))) AS s
+            FROM edges e JOIN r2 r ON e.src = r.node
+                         JOIN outw o ON e.src = o.src
+            GROUP BY e.dst
+        ), r3 AS (
+            SELECT nodes.node,
+                   ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+                         + CAST(0.85 AS DOUBLE)
+                           * COALESCE(CAST(c3.s AS DOUBLE), 0.0), 9) AS r
+            FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node
+        )
+        SELECT node, r AS pagerank FROM r3 ORDER BY pagerank DESC, node
+    """,
     "t_asof_join": f"""
         WITH clicks AS (
             SELECT event_id, user_id, ts, value FROM events

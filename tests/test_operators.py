@@ -1779,3 +1779,45 @@ def test_kmv_overlap_error_bounded(spark):
     for pair in (("g0", "g2"), ("g1", "g2")):
         assert got[pair]["jaccard_est"] == 0.0
         assert got[pair]["n_inter_est"] == 0.0
+
+
+def test_pagerank_cycle_is_stationary(spark):
+    """On a directed cycle the uniform distribution is stationary:
+    every round reproduces round(1/N) exactly; total mass stays 1."""
+    from delta_data_pipelines_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    rows = pagerank(edges, n_iter=4).collect()
+    assert {r["node"] for r in rows} == {"a", "b", "c"}
+    for r in rows:
+        assert abs(r["pagerank"] - round(1 / 3, 9)) < 2e-9
+    assert abs(sum(r["pagerank"] for r in rows) - 1.0) < 1e-6
+
+
+def test_pagerank_sink_accumulates_and_is_deterministic(spark):
+    """Star into b: b outranks the spokes; weighted edges shift mass
+    toward the heavier transition; result invariant under input
+    repartitioning (decimal contribution sums)."""
+    from delta_data_pipelines_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("c", "b", 1), ("b", "a", 3), ("b", "c", 1)],
+        "src string, dst string, w long",
+    )
+    r1 = {r["node"]: r["pagerank"] for r in pagerank(edges, weight_col="w").collect()}
+    # b sinks both spokes' full mass; b's return flow splits 3:1
+    # toward a, so the weight (not just the edge) ranks a over c
+    assert r1["b"] > r1["a"] > r1["c"]
+    r2 = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(edges.repartition(7), weight_col="w").collect()
+    }
+    assert r1 == r2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="damping"):
+        pagerank(edges, damping=1.0)
+    with _pytest.raises(ValueError, match="n_iter"):
+        pagerank(edges, n_iter=0)
