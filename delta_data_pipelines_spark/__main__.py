@@ -68,6 +68,11 @@ def main(argv: list[str] | None = None) -> int:
                     "cuts, length-weighted without replacement "
                     "(deterministic Efraimidis-Spirakis; zero-token "
                     "docs carry no weight and are dropped)")
+    cc.add_argument("--warc-in", default=None, metavar="GLOB",
+                    help="read the input corpus from WARC shards "
+                    "(Common Crawl container): 2xx HTML responses -> "
+                    "(doc_id, url, source, text); damaged shards are "
+                    "quarantined as _error rows, not fatal")
     cc.add_argument("--jsonl-in", default=None, metavar="DIR",
                     help="read the input corpus from JSONL shards "
                     "(doc_id/text/lang/source; malformed lines are "
@@ -220,8 +225,24 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.jsonl_shards is not None and not args.export_jsonl:
             p.error("--jsonl-shards requires --export-jsonl")
+        if args.warc_in and args.jsonl_in:
+            p.error("--warc-in and --jsonl-in are mutually exclusive")
         n_quarantined = 0
-        if args.jsonl_in:
+        if args.warc_in:
+            from pyspark.sql import functions as F
+
+            from .ingest.warc import documents_from_records, read_warc
+
+            # scan ONCE (each WARC member decompresses on read): the
+            # checkpoint feeds the quarantine count and the pipeline
+            recs = read_warc(spark, args.warc_in).localCheckpoint(
+                eager=True
+            )
+            n_quarantined = recs.where(
+                F.col("warc_type") == "_error"
+            ).count()
+            docs = documents_from_records(recs)
+        elif args.jsonl_in:
             # parse ONCE: gzip shards are not block-splittable, so every
             # extra pass over the raw corpus is a full decompress+parse;
             # the eager checkpoint feeds the quarantine count, the job's
@@ -249,6 +270,8 @@ def main(argv: list[str] | None = None) -> int:
         )
         if args.jsonl_in:
             res["quarantined_lines"] = n_quarantined
+        if args.warc_in:
+            res["quarantined_shards"] = n_quarantined
         if args.export_jsonl:
             write_jsonl(
                 table.read(), args.export_jsonl, shards=args.jsonl_shards

@@ -237,9 +237,22 @@ def warc_documents(
     host via the NATIVE ``parse_url`` so the per-domain stages
     (reputation, boilerplate) group without touching Python again.
     """
+    return documents_from_records(
+        read_warc(spark, paths, split_http=True),
+        min_status=min_status,
+        max_status=max_status,
+    )
+
+
+def documents_from_records(
+    recs: DataFrame, min_status: int = 200, max_status: int = 299
+) -> DataFrame:
+    """The record→document step of :func:`warc_documents`, split out
+    so a caller that already staged the records frame (e.g. the
+    curate CLI, which counts _error rows off the same single scan —
+    WARC members decompress once) can reuse it."""
     from .html_udf import extract_page_text
 
-    recs = read_warc(spark, paths, split_http=True)
     resp = recs.where(
         (F.col("warc_type") == "response")
         & F.col("http_status").between(min_status, max_status)

@@ -135,3 +135,57 @@ def test_warc_glob_and_parallelism(spark, tmp_path):
     df = warc.read_warc(spark, os.path.join(tmp_path, "*.warc.gz"), parallelism=3)
     assert df.count() == 3
     assert df.rdd.getNumPartitions() == 3
+
+
+def test_curate_cli_reads_warc(spark, tmp_path, capsys):
+    """curate-corpus --warc-in: WARC shards feed the curation job
+    end-to-end (2xx HTML -> docs -> gate -> dedup -> split publish),
+    damaged shards surface as quarantined_shards in the job line."""
+    import json as _json
+    import random
+
+    from delta_data_pipelines_spark.__main__ import main
+
+    rnd = random.Random(7)
+    words = [f"w{i}" for i in range(200)]
+    recs = []
+    for i in range(8):
+        body = " ".join(rnd.choice(words) for _ in range(60))
+        html = f"<html><body><p>{body}</p></body></html>".encode()
+        recs.append(
+            _record(
+                "response",
+                f"doc-{i}",
+                _http(200, html),
+                uri=f"http://h{i % 2}.example/p{i}",
+            )
+        )
+    shard = os.path.join(tmp_path, "crawl.warc.gz")
+    _write_shard(shard, recs)
+    # plus one damaged shard
+    with open(os.path.join(tmp_path, "bad.warc.gz"), "wb") as f:
+        f.write(gzip.compress(recs[0])[:40])
+
+    out = os.path.join(tmp_path, "curated")
+    rc = main([
+        "curate-corpus",
+        "--warc-in", os.path.join(tmp_path, "*.warc.gz"),
+        "--out", out,
+        "--no-scrub",
+    ])
+    assert rc == 0
+    line = [
+        l for l in capsys.readouterr().out.strip().splitlines()
+        if l.startswith("{")
+    ][-1]
+    res = _json.loads(line)
+    assert res["job"] == "curate-corpus"
+    assert res["rows_in"] == 8
+    assert res["rows_out"] >= 1
+    assert res["quarantined_shards"] == 1
+
+    from delta_data_pipelines_spark.storage import VersionedTable
+
+    t = VersionedTable(spark, out).read()
+    assert {"doc_id", "text", "source", "split"} <= set(t.columns)
+    assert t.where(F.col("source").isin("h0.example", "h1.example")).count() == t.count()
