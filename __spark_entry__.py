@@ -74,10 +74,15 @@ _PRIORITY = [
     # mm_resize, mm_frames, mm_meta, mm_features, dd_embedding,
     # dd_ngram_jaccard, dd_exact, ds_det_sample, ds_hash_split,
     # p_filter_project, so_union, a_dynamic_pivot, st_dedup, tpch_q4
-    "ds_stratified_sample", "txt_pii_scrub",
+    # late-r8 rotation: ds_stratified_sample, txt_pii_scrub and
+    # sk_kmv_distinct (each 2 driver-green rounds, unchanged code,
+    # still mirror-checked) rotated out for the three late-r8 queries'
+    # first driver rows: pairwise KMV source overlap, IVF-PQ composed
+    # serving, event-transition PageRank
+    "sk_source_overlap", "sim_ivfpq_serve", "t_event_pagerank",
     # txt_boilerplate (r6+r7 driver-green; the txt family holds 7
     # other seats) rotated out for the r8 curriculum-order query
-    "td_pack_sequences", "sk_kmv_distinct", "td_curriculum_order",
+    "td_pack_sequences", "td_curriculum_order",
     # ds_temperature_mix (r7-green; ds family keeps 5 window rows)
     # rotated out for the r8 NB quality classifier
     "t_scd2_intervals", "sim_kmeans", "td_quality_classifier",
