@@ -177,6 +177,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="rows per file (versioned tables)")
     ct.add_argument("--keep-last", type=int, default=3,
                     help="history retained by the post-compact vacuum")
+    ct.add_argument("--zorder-by", nargs="+", default=None, metavar="COL",
+                    help="OPTIMIZE ZORDER BY parity: cluster the "
+                    "rewrite on the Morton interleave of 1-4 numeric/"
+                    "temporal columns so row-group stats prune scans "
+                    "filtered on any of them (versioned tables)")
 
     sub.add_parser("bench", help="run the bench harness")
 
@@ -409,10 +414,14 @@ def main(argv: list[str] | None = None) -> int:
 
         t = open_table(spark, args.table)
         if isinstance(t, BucketedTable):
+            if args.zorder_by:
+                p.error("--zorder-by applies to versioned tables only "
+                        "(bucketed layout is the clustering)")
             c = t.compact()
             res = {"kind": "bucketed", "version": c.version, **c.metrics}
         else:
-            c = t.compact(target_rows_per_file=args.target_rows)
+            c = t.compact(target_rows_per_file=args.target_rows,
+                          zorder_by=args.zorder_by)
             res = {"kind": "versioned", "version": c.version, **c.metrics}
         removed = t.vacuum(keep_last=args.keep_last)
         res["vacuumed_versions"] = len(removed)

@@ -24,6 +24,65 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_Z_BITS = 14  # bucket resolution per z-order dimension (16384 cells)
+
+
+def _morton_key(df: DataFrame, cols: list[str]) -> "F.Column":
+    """Morton (bit-interleaved) clustering key over numeric/temporal
+    columns — the ZORDER BY key. Each column buckets to ``_Z_BITS``
+    bits over its observed [min, max] (one column-pruned aggregate;
+    constant columns bucket to 0), then bit i of every column lands at
+    interleaved position i·n_cols + j, so a range of the key is a
+    hypercube-ish region of the value space. ≤ 4 columns (56 bits —
+    beyond 4 the per-dimension pruning power decays anyway, same rule
+    of thumb as Delta's)."""
+    from pyspark.sql.types import DateType, NumericType, TimestampType
+
+    if not 1 <= len(cols) <= 4:
+        raise ValueError(f"zorder_by takes 1-4 columns, got {len(cols)}")
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    as_num = {}
+    for c in cols:
+        if c not in by_name:
+            raise ValueError(f"zorder column {c!r} not in table schema")
+        t = by_name[c]
+        if isinstance(t, DateType):
+            as_num[c] = F.col(c).cast("timestamp").cast("double")
+        elif isinstance(t, (NumericType, TimestampType)):
+            as_num[c] = F.col(c).cast("double")
+        else:
+            raise ValueError(
+                f"zorder column {c!r} has unsupported type {t.simpleString()}"
+                " (numeric, date or timestamp required)"
+            )
+    stats = df.agg(
+        *[F.min(e).alias(f"_lo_{i}") for i, e in enumerate(as_num.values())],
+        *[F.max(e).alias(f"_hi_{i}") for i, e in enumerate(as_num.values())],
+    ).first()
+    n_cells = 1 << _Z_BITS
+    buckets = []
+    for i, e in enumerate(as_num.values()):
+        lo, hi = stats[f"_lo_{i}"], stats[f"_hi_{i}"]
+        if lo is None or hi is None or hi == lo:
+            buckets.append(F.lit(0).cast("bigint"))
+            continue
+        raw = F.floor((e - F.lit(lo)) * n_cells / F.lit(hi - lo))
+        buckets.append(
+            F.greatest(
+                F.least(raw, F.lit(n_cells - 1)), F.lit(0)
+            ).cast("bigint")
+        )
+    c = len(buckets)
+    z = F.lit(0).cast("bigint")
+    for bit in range(_Z_BITS):
+        for j, b in enumerate(buckets):
+            z = z + F.shiftleft(
+                F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * c + j
+            )
+    # NULLs (no bucket) sort first, clustered together
+    return z
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     """Row-level diff between two snapshots keyed by ``keys`` — the
     Delta change-data-feed row classification, defined ONCE for both
@@ -262,7 +321,11 @@ class VersionedTable:
             "ok": ok_schema and ca == cb and cb > 0,
         }
 
-    def compact(self, target_rows_per_file: int = 1_000_000) -> Commit:
+    def compact(
+        self,
+        target_rows_per_file: int = 1_000_000,
+        zorder_by: list[str] | None = None,
+    ) -> Commit:
         """Delta ``OPTIMIZE`` parity: rewrite the latest snapshot into
         evenly-sized files, as a new commit (time travel to the
         pre-compaction layout still works until vacuum).
@@ -277,7 +340,17 @@ class VersionedTable:
         coalesce glues adjacent partitions and inherits their skew,
         which at scale recreates the straggler files compaction is
         meant to remove. Data content is byte-identical (tests
-        assert); only layout changes."""
+        assert); only layout changes.
+
+        ``zorder_by`` is ``OPTIMIZE ZORDER BY`` parity: cluster the
+        rewrite on the Morton interleave of the named NUMERIC/temporal
+        columns, so files are simultaneously narrow in EVERY named
+        dimension and parquet row-group min/max stats prune scans
+        filtered on any of them (a plain sort is narrow in its first
+        key only). Each column is mapped to a 14-bit bucket over its
+        [min, max] (one column-pruned agg pass), the buckets' bits are
+        interleaved, and the rewrite range-partitions + sorts on that
+        key. Layout-only, like plain compaction."""
         if target_rows_per_file < 1:
             raise ValueError(
                 f"target_rows_per_file must be >= 1, got {target_rows_per_file}"
@@ -291,10 +364,20 @@ class VersionedTable:
         # driver-side pyarrow loop over the same million files.
         n = df.count()
         n_files = max(1, -(-n // target_rows_per_file))  # ceil div
+        if zorder_by:
+            out = (
+                df.withColumn("_z", _morton_key(df, zorder_by))
+                .repartitionByRange(n_files, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        else:
+            out = df.repartition(n_files)
         return self._commit(
             "compact",
-            df.repartition(n_files),
-            {"rows": n, "files": n_files},
+            out,
+            {"rows": n, "files": n_files,
+             **({"zorder_by": zorder_by} if zorder_by else {})},
         )
 
     def vacuum(self, keep_last: int = 3) -> list[int]:

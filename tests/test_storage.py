@@ -686,3 +686,48 @@ def test_bucketed_compact_collapses_generations(spark, btable):
     removed = btable.vacuum(keep_last=1)
     assert set(removed) >= owners_before  # old generations released
     assert sorted(tuple(r) for r in btable.read().collect()) == before
+
+
+def test_versioned_compact_zorder_clusters_both_dims(spark, tmp_path):
+    """ZORDER parity: on a 64x64 (x, y) grid rewritten into 16 files,
+    every file must be narrow in BOTH dimensions (a plain x-sort is
+    narrow in x only — y spans the full range in every file), so
+    row-group min/max stats prune scans filtered on either column.
+    Content stays identical; bad columns fail loudly."""
+    import glob as _glob
+    import os
+
+    t = VersionedTable(spark, str(tmp_path / "zt"))
+    grid = spark.range(64 * 64).selectExpr(
+        "id", "CAST(id % 64 AS DOUBLE) AS x", "CAST(id DIV 64 AS DOUBLE) AS y"
+    )
+    t.overwrite(grid)
+    before = sorted(tuple(r) for r in t.read().collect())
+
+    c = t.compact(target_rows_per_file=256, zorder_by=["x", "y"])
+    assert c.metrics["files"] == 16 and c.metrics["zorder_by"] == ["x", "y"]
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+
+    files = _glob.glob(os.path.join(t.root, f"v={c.version:06d}", "*.parquet"))
+    assert len(files) == 16
+    spreads = []
+    for f in files:
+        pdf = spark.read.parquet(f).selectExpr(
+            "max(x) - min(x) AS sx", "max(y) - min(y) AS sy"
+        ).first()
+        spreads.append((pdf["sx"], pdf["sy"]))
+    # each z-ordered file covers a compact region: both spans well
+    # under the full 63-range (a 256-row Morton block spans ~16 cells
+    # per side; allow generous slack for range-partition boundaries)
+    assert all(sx <= 32 and sy <= 32 for sx, sy in spreads), spreads
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in table schema"):
+        t.compact(zorder_by=["nope"])
+    t2 = VersionedTable(spark, str(tmp_path / "zs"))
+    t2.overwrite(spark.createDataFrame([("a", 1)], "s string, n long"))
+    with _pytest.raises(ValueError, match="unsupported type"):
+        t2.compact(zorder_by=["s"])
+    with _pytest.raises(ValueError, match="1-4 columns"):
+        t2.compact(zorder_by=["n", "n", "n", "n", "n"])
