@@ -234,8 +234,9 @@ def warc_documents(
 
     Text is the robust stdlib HTML extraction (ingest/html_udf.py's
     tokenizer — one Python hop, Arrow-batched); ``source`` is the URL
-    host via the NATIVE ``parse_url`` so the per-domain stages
-    (reputation, boilerplate) group without touching Python again.
+    host via the NATIVE ``parse_url`` and ``lang`` the native marker
+    heuristic (operators.textstats.lang_id), so the per-domain and
+    per-language stages group without touching Python again.
     """
     return documents_from_records(
         read_warc(spark, paths, split_http=True),
@@ -263,4 +264,10 @@ def documents_from_records(
         F.col("warc_date").alias("fetched_at"),
         F.col("payload").cast("string").alias("_html"),
     )
-    return extract_page_text(resp, "_html").drop("_html")
+    from ..operators.textstats import lang_id
+
+    return (
+        extract_page_text(resp, "_html")
+        .drop("_html")
+        .withColumn("lang", lang_id(F.col("text")))
+    )

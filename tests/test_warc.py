@@ -189,3 +189,18 @@ def test_curate_cli_reads_warc(spark, tmp_path, capsys):
     t = VersionedTable(spark, out).read()
     assert {"doc_id", "text", "source", "split"} <= set(t.columns)
     assert t.where(F.col("source").isin("h0.example", "h1.example")).count() == t.count()
+
+
+def test_warc_documents_lang_id(spark, tmp_path):
+    recs = [
+        _record("response", "en-1",
+                _http(200, b"<p>the cat and the dog of a house to go</p>"),
+                uri="http://e.example/en"),
+        _record("response", "und-1", _http(200, b"<p>zzz qqq</p>"),
+                uri="http://e.example/u"),
+    ]
+    p = os.path.join(tmp_path, "lang.warc.gz")
+    _write_shard(p, recs)
+    got = {r["doc_id"]: r["lang"] for r in warc.warc_documents(spark, p).collect()}
+    assert got["<urn:uuid:en-1>"] == "en"
+    assert got["<urn:uuid:und-1>"] == "und"
