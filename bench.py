@@ -120,6 +120,14 @@ HEADLINE = [
     # deliberate non-native hot loop, benched to keep it honest)
     "td_curriculum_order",
     "txt_compression_ratio",
+    # late-r8: the composed IVF-PQ serve (bucket-pruned candidate read
+    # + ADC over codes — both prunings in one plan), the pairwise KMV
+    # vocabulary-overlap estimates (two-phase sketch build, pair math
+    # on k-arrays), and the 3-round decimal-summed PageRank over the
+    # event-transition graph (iterative-join family)
+    "sim_ivfpq_serve",
+    "sk_source_overlap",
+    "t_event_pagerank",
 ]
 
 
