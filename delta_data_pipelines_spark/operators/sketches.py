@@ -357,3 +357,96 @@ def kmv_overlap(
         F.round(jacc, 9).alias("jaccard_est"),
         F.round(jacc * union_est, 6).alias("n_inter_est"),
     )
+
+
+def cm_sketch(
+    df: DataFrame,
+    item_col: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan '05): d×w counters
+    answering point frequency queries with one-sided error — the
+    estimate never undercounts, and overcounts by ≤ n/w per row with
+    probability 1-(1/2)^d under the min.
+
+    Complements the family: KMV answers "how many distinct", Misra-
+    Gries "which items are frequent", CM "how frequent is THIS item"
+    — without carrying the item space. Like the others it MERGES (two
+    sketches over the same (d, w) geometry add cell-wise, so
+    per-partition / per-day sketches roll up by addition, exactly
+    like binned_histogram) and is hash-DETERMINISTIC: row i's bucket
+    is portable-md5 of "i:item", so an oracle recomputes every cell
+    and every estimate bit-for-bit — impossible with seeded
+    murmur-based CM implementations.
+
+    Output: (row, bucket, cnt), at most d·w rows however large the
+    input — the shuffle carries counters, never items.
+    """
+    if d < 1:
+        raise ValueError(f"d must be >= 1, got {d}")
+    if w < 2:
+        raise ValueError(f"w must be >= 2, got {w}")
+    items = df.select(F.col(item_col).cast("string").alias("_it")).where(
+        F.col("_it").isNotNull()
+    )
+    rows_df = items.sparkSession.range(d).select(
+        F.col("id").cast("int").alias("row")
+    )
+    return (
+        items.crossJoin(F.broadcast(rows_df))
+        .select(
+            "row",
+            (
+                portable_hash(
+                    F.concat(F.col("row").cast("string"), F.lit(":"), F.col("_it"))
+                )
+                % w
+            ).alias("bucket"),
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cm_query(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Point frequency estimates from a (possibly merged) CM sketch:
+    min over the d rows of the item's counter. Runs over the tiny
+    counter table (≤ d·w rows, broadcast) — the probe set never
+    touches the data the sketch summarized.
+
+    Output: (item, n_est). Items hashing to untouched counters
+    estimate 0 (counter absent → coalesce), preserving the
+    never-undercount guarantee."""
+    probes = (
+        items.select(F.col(item_col).cast("string").alias("item"))
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                items.sparkSession.range(d).select(
+                    F.col("id").cast("int").alias("row")
+                )
+            )
+        )
+        .select(
+            "item",
+            "row",
+            (
+                portable_hash(
+                    F.concat(F.col("row").cast("string"), F.lit(":"), F.col("item"))
+                )
+                % w
+            ).alias("bucket"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("n_est"))
+    )

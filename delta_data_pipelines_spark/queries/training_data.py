@@ -832,6 +832,38 @@ def sk_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sk_cm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point-frequency estimates next to the exact counts
+    for the corpus's top-20 tokens — the "how frequent is THIS item"
+    sketch beside KMV (distinct) and Misra-Gries (which items):
+    ``sketches.cm_sketch`` reduces the token stream to a d×w counter
+    table that merges by addition, ``cm_query`` answers each probe
+    from the broadcast counters. Portable-md5 bucket hashing, so the
+    oracle rebuilds every cell and estimate bit-for-bit; the
+    ``overcount`` column exposes the sketch's one-sided error
+    (n_est ≥ n_exact always, the audit the operator tests pin)."""
+    from ..operators import sketches
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    exact = toks.groupBy("token").agg(F.count("*").alias("n_exact"))
+    top = exact.orderBy(F.col("n_exact").desc(), "token").limit(20)
+    sk = sketches.cm_sketch(toks, "token", d=4, w=256)
+    est = sketches.cm_query(sk, top, "token", d=4, w=256)
+    return (
+        top.join(est, top["token"] == est["item"])
+        .select(
+            "token",
+            "n_exact",
+            "n_est",
+            (F.col("n_est") - F.col("n_exact")).alias("overcount"),
+        )
+        .orderBy(F.col("n_exact").desc(), "token")
+    )
+
+
 def txt_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source boilerplate detection (the CCNet idea at shingle
     granularity): the top-5 word bigrams by within-source document
@@ -1735,6 +1767,7 @@ SPARK_QUERIES = {
     "td_chunk_manifest": td_chunk_manifest,
     "sk_kmv_distinct": sk_kmv_distinct,
     "sk_source_overlap": sk_source_overlap,
+    "sk_cm_counts": sk_cm_counts,
     "txt_boilerplate": txt_boilerplate,
     "td_passage_dup_fraction": td_passage_dup_fraction,
     "td_dedup_passages": td_dedup_passages,
@@ -2376,6 +2409,37 @@ ORACLE_SQL = {
                     THEN ROUND(63.0 * 4294967296.0 / kth_hash, 6)
                     ELSE CAST(n_exact AS DOUBLE) END AS n_est
         FROM g ORDER BY lang
+    """,
+    "sk_cm_counts": """
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ), exact AS (
+            SELECT token, COUNT(*) AS n_exact FROM toks GROUP BY token
+        ), top AS (
+            SELECT token, n_exact FROM exact
+            ORDER BY n_exact DESC, token LIMIT 20
+        ), rows_ AS (
+            SELECT unnest(range(0, 4)) AS row
+        ), cells AS (
+            SELECT row,
+                   ('0x' || substr(md5(row || ':' || token), 1, 8))::BIGINT
+                       % 256 AS bucket,
+                   COUNT(*) AS cnt
+            FROM toks CROSS JOIN rows_ GROUP BY 1, 2
+        ), probes AS (
+            SELECT t.token, r.row,
+                   ('0x' || substr(md5(r.row || ':' || t.token), 1, 8))::BIGINT
+                       % 256 AS bucket
+            FROM top t CROSS JOIN rows_ r
+        ), est AS (
+            SELECT token, MIN(COALESCE(c.cnt, 0)) AS n_est
+            FROM probes p LEFT JOIN cells c USING (row, bucket)
+            GROUP BY token
+        )
+        SELECT t.token, t.n_exact, e.n_est,
+               e.n_est - t.n_exact AS overcount
+        FROM top t JOIN est e USING (token)
+        ORDER BY n_exact DESC, token
     """,
     "sk_source_overlap": """
         WITH toks AS (

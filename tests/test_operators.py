@@ -1821,3 +1821,40 @@ def test_pagerank_sink_accumulates_and_is_deterministic(spark):
         pagerank(edges, damping=1.0)
     with _pytest.raises(ValueError, match="n_iter"):
         pagerank(edges, n_iter=0)
+
+
+def test_cm_sketch_never_undercounts_and_merges(spark):
+    """CM guarantees: estimate >= true count for every item; two
+    sketches over the same geometry merge by cell-wise addition to
+    exactly the full-data sketch; counter table stays <= d*w rows."""
+    from delta_data_pipelines_spark.operators import sketches
+
+    df = spark.range(0, 5000).select(
+        F.concat(F.lit("t"), (F.col("id") % 300).cast("string")).alias("it")
+    )
+    sk = sketches.cm_sketch(df, "it", d=4, w=64)
+    assert sk.count() <= 4 * 64
+    exact = df.groupBy("it").agg(F.count("*").alias("n"))
+    est = sketches.cm_query(sk, exact, "it", d=4, w=64)
+    joined = exact.join(est, exact["it"] == est["item"]).collect()
+    assert len(joined) == 300
+    assert all(r["n_est"] >= r["n"] for r in joined)
+
+    a = df.where(F.col("it") < "t2")
+    b = df.where(~(F.col("it") < "t2"))
+    merged = (
+        sketches.cm_sketch(a, "it", d=4, w=64)
+        .unionByName(sketches.cm_sketch(b, "it", d=4, w=64))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = {(r["row"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == full
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="d must be"):
+        sketches.cm_sketch(df, "it", d=0)
+    with _pytest.raises(ValueError, match="w must be"):
+        sketches.cm_sketch(df, "it", w=1)
