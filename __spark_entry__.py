@@ -85,7 +85,9 @@ _PRIORITY = [
     "td_pack_sequences", "td_curriculum_order",
     # ds_temperature_mix (r7-green; ds family keeps 5 window rows)
     # rotated out for the r8 NB quality classifier
-    "t_scd2_intervals", "sim_kmeans", "td_quality_classifier",
+    # t_scd2_intervals (r07 x2, unchanged, mirror-checked) rotated out
+    # for the count-min sketch query's first driver row
+    "sk_cm_counts", "sim_kmeans", "td_quality_classifier",
     # txt_langid_confusion (r6+r7 driver-green) rotated out for the r8
     # cluster-balance pruning query's first driver row
     # sim_semantic_dedup_audit (r6+r7 driver-green; the sim family

@@ -407,3 +407,33 @@ def test_bpe_encode_vocab_broadcast_no_python(spark, registry):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan  # Batch- and Arrow- both
+
+
+def test_ivfpq_serve_stays_broadcast(spark, registry):
+    """sim_ivfpq_serve: the composed serve is broadcast joins only
+    (probe ⋈ broadcast centroids, candidates ⋈ codes ⋈ broadcast LUT)
+    — a SortMergeJoin means a broadcast hint was lost and the serve
+    would shuffle the corpus per query batch; a cartesian means the
+    LUT join degenerated."""
+    plan = plan_of(spark, registry, "sim_ivfpq_serve")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_source_overlap_pair_join_is_tiny_side_broadcast(spark, registry):
+    """sk_source_overlap: the only non-equi join is the group_a <
+    group_b pair join over ONE sketch row per group — it must be a
+    broadcast nested-loop (tiny side), never a CartesianProduct of
+    unsized sides, and the raw token explode must appear exactly once
+    upstream of it (values touched once)."""
+    plan = plan_of(spark, registry, "sk_source_overlap")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Generate explode") <= 1, plan
+
+
+def test_cm_counts_counter_table_is_broadcast(spark, registry):
+    """sk_cm_counts: probes join the ≤ d·w counter table broadcast —
+    the sketch side must never shuffle the probe set."""
+    plan = plan_of(spark, registry, "sk_cm_counts")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
