@@ -267,3 +267,99 @@ def run_incremental_heavy_hitters(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_cm_sketches(state: DataFrame, batch_sketch: DataFrame) -> DataFrame:
+    """Merge two Count-Min counter tables over the SAME (d, w)
+    geometry: cell-wise addition (union → groupBy sum). Like the
+    bottom-k merge it is associative and order-free, so the stored
+    sketch after N batches equals the batch sketch over their union
+    (test-asserted); like the MG merge it is NOT idempotent — the
+    sink's epoch guard is what makes replay safe. ≤ d·w output rows.
+    """
+    return (
+        state.select("row", "bucket", "cnt")
+        .unionByName(batch_sketch.select("row", "bucket", "cnt"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def run_incremental_cm(
+    docs_stream: DataFrame,
+    state_table: VersionedTable,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    d: int = 4,
+    w: int = 256,
+    state_keep_last: int = 3,
+) -> StreamingQuery:
+    """Maintain a corpus-wide Count-Min frequency sketch over a
+    document stream with O(d·w) state — the point-frequency axis of
+    the streaming sketch family (KMV: distinct; MG: which items are
+    frequent; CM: how frequent is THIS item), queryable at any moment
+    via ``sketches.cm_query`` against the state table with the same
+    never-undercount guarantee as the batch sketch.
+
+    State rows: (row, bucket, cnt, n_total, _epoch, _run). The merge
+    is cell-wise addition — not idempotent — so the sink carries the
+    same replay transaction as the MG state: a batch whose epoch_id ≤
+    the stored epoch is skipped, and a restart under a DIFFERENT
+    checkpoint dir raises instead of silently skipping or
+    double-merging (epoch ids are only comparable within one
+    checkpoint lifetime; state tables bind to one checkpoint dir).
+    """
+    from ..operators.sketches import cm_sketch
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if state_table.exists():
+            prev = state_table.read()
+            meta = prev.agg(
+                F.max("_epoch").alias("e"),
+                F.max("n_total").alias("n"),
+                F.max("_run").alias("r"),
+            ).collect()[0]
+            if meta["r"] is not None and meta["r"] != checkpoint_dir:
+                raise RuntimeError(
+                    f"state table was written under checkpoint "
+                    f"{meta['r']!r} but this stream runs under "
+                    f"{checkpoint_dir!r}: epoch ids are not comparable "
+                    f"across checkpoint lifetimes, and replaying the "
+                    f"source into existing CM state double-counts. "
+                    f"Reuse the original checkpoint dir, or start from "
+                    f"a fresh state table."
+                )
+            if meta["e"] is not None and epoch_id <= meta["e"]:
+                return  # replayed batch: already merged
+            prev_n = meta["n"] or 0
+        else:
+            prev = None
+            prev_n = 0
+        toks = batch_df.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("item")
+        ).where(F.col("item") != "")
+        toks = toks.localCheckpoint(eager=True)  # count + sketch, one eval
+        batch_n = toks.count()
+        batch_sketch = cm_sketch(toks, "item", d=d, w=w)
+        merged = (
+            merge_cm_sketches(prev, batch_sketch)
+            if prev is not None
+            else batch_sketch
+        )
+        out = (
+            merged.withColumn("n_total", F.lit(prev_n + batch_n))
+            .withColumn("_epoch", F.lit(epoch_id))
+            .withColumn("_run", F.lit(checkpoint_dir))
+        )
+        state_table.overwrite(out.localCheckpoint(eager=True))
+        state_table.vacuum(keep_last=state_keep_last)
+
+    return (
+        docs_stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

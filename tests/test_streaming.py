@@ -1223,3 +1223,59 @@ def test_incremental_heavy_hitters_accepts_pre_run_column_state(
     assert out.count() > 0
     # the resumed stream merged on top of the legacy counts
     assert out.agg(F.max("_epoch")).collect()[0][0] >= 0
+
+
+def test_incremental_cm_state_equals_batch_sketch(spark, tmp_path):
+    """Streaming Count-Min state: after draining the stream the stored
+    counter table must be CELL-IDENTICAL to the batch sketch over the
+    whole corpus (addition is associative — batching is invisible),
+    n_total exact, estimates via cm_query never under the true counts,
+    and a restart under a different checkpoint dir must refuse."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.operators.sketches import cm_query, cm_sketch
+    from delta_data_pipelines_spark.storage import VersionedTable
+    from delta_data_pipelines_spark.streaming.sketch_state import (
+        run_incremental_cm,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    stream = _stream_from(spark, docs, tmp_path, "cm_docs", files=4)
+    state = VersionedTable(spark, str(tmp_path / "cm_state"))
+    q = run_incremental_cm(
+        stream, state, str(tmp_path / "cm_ckpt"), d=4, w=128
+    )
+    q.awaitTermination(120)
+
+    toks = docs.select(F.explode(F.split("text", " ")).alias("item")).where(
+        F.col("item") != ""
+    )
+    batch = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cm_sketch(toks, "item", d=4, w=128).collect()
+    }
+    rows = state.read().collect()
+    stored = {(r["row"], r["bucket"]): r["cnt"] for r in rows}
+    assert stored == batch  # batching is invisible
+    n = toks.count()
+    assert all(r["n_total"] == n for r in rows)
+
+    true_counts = toks.groupBy("item").agg(F.count("*").alias("cnt"))
+    est = cm_query(
+        state.read(), true_counts.select("item"), "item", d=4, w=128
+    )
+    joined = true_counts.join(
+        est, true_counts["item"] == est["item"]
+    ).select(true_counts["item"], "cnt", "n_est").collect()
+    assert joined and all(r["n_est"] >= r["cnt"] for r in joined)
+
+    # foreign checkpoint dir: refuse rather than skip/double-merge
+    stream2 = _stream_from(spark, docs, tmp_path, "cm_docs2", files=2)
+    q2 = run_incremental_cm(
+        stream2, state, str(tmp_path / "cm_ckpt_other"), d=4, w=128
+    )
+    with _pytest.raises(Exception, match="checkpoint"):
+        q2.awaitTermination(120)
+        q2.processAllAvailable()
