@@ -1858,3 +1858,95 @@ def test_cm_sketch_never_undercounts_and_merges(spark):
         sketches.cm_sketch(df, "it", d=0)
     with _pytest.raises(ValueError, match="w must be"):
         sketches.cm_sketch(df, "it", w=1)
+
+
+def _viterbi_ref(word, logp, max_len):
+    """Sequential reference for the unigram Viterbi fold: same -inf
+    sentinel, same left-to-right double adds, same shortest-piece tie
+    rule."""
+    NEG = -1.0e18
+    n = len(word)
+    best = [0.0] + [NEG] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        cands = []
+        for l in range(1, max_len + 1):
+            p = word[i - l:i] if i >= l else None
+            if i >= l and p in logp and best[i - l] > -1.0e17:
+                cands.append(best[i - l] + logp[p])
+            else:
+                cands.append(NEG)
+        m = max(cands)
+        best[i] = m
+        if m > -1.0e17:
+            back[i] = min(l for l in range(1, max_len + 1)
+                          if cands[l - 1] == m)
+    if best[n] <= -1.0e17:
+        return None, None
+    parts, pos = [], n
+    while pos > 0:
+        l = back[pos]
+        parts.insert(0, word[pos - l:pos])
+        pos -= l
+    return parts, round(best[n], 9)
+
+
+def test_unigram_viterbi_matches_reference(spark):
+    """Engine Viterbi segmentation == sequential reference DP for
+    every vocabulary word (same pieces, same rounded score, same tie
+    handling); a word with a character outside the inventory comes
+    back NULL."""
+    from delta_data_pipelines_spark.operators import unigram as U
+
+    vocab = spark.createDataFrame(
+        [("hello", 10), ("help", 5), ("hell", 3), ("lo", 7), ("he", 2),
+         ("ohell", 1), ("loop", 4), ("pool", 4)],
+        "word string, n long",
+    )
+    pieces = U.piece_logprobs(U.unigram_candidates(vocab, max_len=3, min_count=4))
+    logp = {r["piece"]: r["logp"] for r in pieces.collect()}
+    got = {
+        r["word"]: (r["pieces"], r["logp"])
+        for r in U.viterbi_segment(vocab, pieces, max_len=3).collect()
+    }
+    assert len(got) == 8
+    for w in got:
+        ref_parts, ref_score = _viterbi_ref(w, logp, 3)
+        assert got[w][0] == ref_parts, (w, got[w], ref_parts)
+        assert got[w][1] == ref_score, (w, got[w], ref_score)
+
+    # unknown character -> unsegmentable -> NULLs
+    weird = spark.createDataFrame([("héllo",)], "word string")
+    r = U.viterbi_segment(weird, pieces, max_len=3).collect()[0]
+    assert r["pieces"] is None and r["logp"] is None
+
+
+def test_unigram_refit_recounts_by_usage(spark):
+    """One hard-EM round: the inventory is FIXED (same piece set),
+    counts become Viterbi usage (weighted by word frequency) + 1, and
+    segmenting again under the refit probabilities still covers every
+    word."""
+    from delta_data_pipelines_spark.operators import unigram as U
+
+    vocab = spark.createDataFrame(
+        [("hello", 10), ("help", 5), ("hell", 3), ("lo", 7), ("he", 2)],
+        "word string, n long",
+    )
+    p0 = U.piece_logprobs(U.unigram_candidates(vocab, max_len=3, min_count=4))
+    p1 = U.unigram_refit(vocab, p0, max_len=3)
+    s0 = {r["piece"] for r in p0.collect()}
+    rows1 = {r["piece"]: r for r in p1.collect()}
+    assert set(rows1) == s0  # fixed inventory
+    # 'hel' is used by hello(10) and hell(3) under p0 -> 13 + 1
+    seg0 = {r["word"]: r["pieces"]
+            for r in U.viterbi_segment(vocab, p0, max_len=3).collect()}
+    from collections import Counter
+    usage = Counter()
+    freq = {"hello": 10, "help": 5, "hell": 3, "lo": 7, "he": 2}
+    for w, parts in seg0.items():
+        for p in parts:
+            usage[p] += freq[w]
+    for piece, r in rows1.items():
+        assert r["cnt"] == usage.get(piece, 0) + 1, piece
+    seg1 = U.viterbi_segment(vocab, p1, max_len=3)
+    assert seg1.where(F.col("pieces").isNull()).count() == 0
