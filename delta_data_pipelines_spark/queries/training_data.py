@@ -1468,6 +1468,77 @@ def txt_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def txt_unigram_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer inventory (SentencePiece-style, Kudo '18)
+    over the corpus vocabulary: every ≤4-char substring of every
+    distinct word, frequency-weighted, thresholded with the
+    single-char coverage floor, log-probs over exact-decimal totals
+    (operators/unigram.py). Top-30 pieces — the vocabulary a Viterbi
+    tokenizer (txt_unigram_encode) serves with. Corpus touched once
+    (word-frequency reduction); everything after is vocabulary-side."""
+    from ..operators import unigram
+
+    d = read_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    pieces = unigram.piece_logprobs(
+        unigram.unigram_candidates(
+            vocab, word_col="w", n_col="n", max_len=4, min_count=50
+        )
+    )
+    return pieces.orderBy(F.col("cnt").desc(), "piece").limit(30)
+
+
+def txt_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi tokenization of the corpus under the unigram-LM
+    inventory (the serving path of txt_unigram_pieces' vocabulary):
+    each DISTINCT word segments ONCE through the native DP folds
+    (operators.unigram.viterbi_segment — no UDF, pinned shortest-
+    piece tie rule), then per-word piece counts and scores join back
+    to the exploded corpus. Output per doc: token count, piece count,
+    pieces-per-token ratio, and the decimal-summed document log-prob
+    (associative — deterministic under any partial-agg order). The
+    oracle replays the identical DP as a recursive CTE (forward best/
+    back lists, backward step-count walk)."""
+    from ..operators import unigram
+
+    d = read_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count("*").alias("n"))
+    pieces = unigram.piece_logprobs(
+        unigram.unigram_candidates(
+            vocab, word_col="w", n_col="n", max_len=4, min_count=50
+        )
+    )
+    seg = unigram.viterbi_segment(
+        vocab.select("w"), pieces, word_col="w", max_len=4
+    ).select(
+        "w",
+        F.size("pieces").alias("_np"),
+        F.col("logp").cast("decimal(38,9)").alias("_wlp"),
+    )
+    return (
+        words.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("_np").alias("n_pieces"),
+            F.sum("_wlp").alias("doc_logp"),
+        )
+        .withColumn(
+            "piece_ratio", F.round(F.col("n_pieces") / F.col("n_tokens"), 9)
+        )
+        .select("doc_id", "n_tokens", "n_pieces", "piece_ratio", "doc_logp")
+        .orderBy("doc_id")
+    )
+
+
 def sk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus heavy hitters (token frequency > n/50) through the
     bounded-memory two-pass pattern: per-partition Misra-Gries
@@ -1782,6 +1853,8 @@ SPARK_QUERIES = {
     "sim_ivfpq_serve": sim_ivfpq_serve,
     "sim_pq_recall_audit": sim_pq_recall_audit,
     "txt_bpe_pairs": txt_bpe_pairs,
+    "txt_unigram_pieces": txt_unigram_pieces,
+    "txt_unigram_encode": txt_unigram_encode,
     "txt_bpe_merges": txt_bpe_merges,
     "txt_bpe_encode": txt_bpe_encode,
     "sk_heavy_hitters": sk_heavy_hitters,
@@ -2484,6 +2557,138 @@ ORACLE_SQL = {
                ROUND((common / CAST(msz AS DOUBLE)) * n_union_est, 6)
                    AS n_inter_est
         FROM est ORDER BY group_a, group_b
+    """,
+    "txt_unigram_pieces": """
+        WITH RECURSIVE words AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ) WHERE w <> ''
+        ), vocab AS (
+            SELECT w, COUNT(*) AS n FROM words GROUP BY w
+        ), subs AS (
+            SELECT n, unnest(flatten(list_transform(range(1, length(w) + 1),
+                   s -> list_transform(
+                       range(1, least(4, length(w) - s + 1) + 1),
+                       l -> w[s : s + l - 1])))) AS piece
+            FROM vocab
+        ), cands AS (
+            SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt
+            FROM subs GROUP BY piece
+        ), kept AS (
+            SELECT piece, cnt FROM cands
+            WHERE length(piece) = 1 OR cnt >= 50
+        ), tot AS (
+            SELECT SUM(CAST(cnt AS DECIMAL(28,0))) AS t FROM kept
+        ), lp AS (
+            SELECT piece, cnt,
+                   ROUND(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)), 9)
+                       AS logp
+            FROM kept CROSS JOIN tot
+        )
+        SELECT piece, cnt, logp FROM lp ORDER BY cnt DESC, piece LIMIT 30
+    """,
+    "txt_unigram_encode": """
+        WITH RECURSIVE words AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ) WHERE w <> ''
+        ), vocab AS (
+            SELECT w, COUNT(*) AS n FROM words GROUP BY w
+        ), subs AS (
+            SELECT n, unnest(flatten(list_transform(range(1, length(w) + 1),
+                   s -> list_transform(
+                       range(1, least(4, length(w) - s + 1) + 1),
+                       l -> w[s : s + l - 1])))) AS piece
+            FROM vocab
+        ), cands AS (
+            SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt
+            FROM subs GROUP BY piece
+        ), kept AS (
+            SELECT piece, cnt FROM cands
+            WHERE length(piece) = 1 OR cnt >= 50
+        ), tot AS (
+            SELECT SUM(CAST(cnt AS DECIMAL(28,0))) AS t FROM kept
+        ), lp AS (
+            SELECT piece, cnt,
+                   ROUND(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)), 9)
+                       AS logp
+            FROM kept CROSS JOIN tot
+        ), wl AS (
+            SELECT w, length(w) AS len FROM vocab
+        ), posl AS (
+            SELECT w, len, unnest(range(1, len + 1)) AS pos FROM wl
+        ), ent AS (
+            SELECT posl.w, posl.pos, l.l, lp.logp
+            FROM posl CROSS JOIN (SELECT unnest(range(1, 5)) AS l) l
+            JOIN lp ON lp.piece = posl.w[posl.pos - l.l + 1 : posl.pos]
+            WHERE posl.pos >= l.l
+        ), lk AS (
+            SELECT w, pos,
+                   MAX(CASE WHEN l = 1 THEN logp END) AS g1,
+                   MAX(CASE WHEN l = 2 THEN logp END) AS g2,
+                   MAX(CASE WHEN l = 3 THEN logp END) AS g3,
+                   MAX(CASE WHEN l = 4 THEN logp END) AS g4
+            FROM ent GROUP BY w, pos
+        ), dp AS (
+            SELECT w, len, 0 AS i,
+                   [CAST(0.0 AS DOUBLE)] AS best, [0] AS back
+            FROM wl
+            UNION ALL
+            SELECT d.w, d.len, d.i + 1,
+                   list_append(d.best, g.m), list_append(d.back, bb.b)
+            FROM dp d
+            JOIN lk k ON k.w = d.w AND k.pos = d.i + 1
+            CROSS JOIN LATERAL (
+                SELECT
+                  CASE WHEN k.g1 IS NOT NULL AND d.best[d.i + 1] > -1e17
+                       THEN d.best[d.i + 1] + k.g1 ELSE -1e18 END AS c1,
+                  CASE WHEN d.i + 1 >= 2 AND k.g2 IS NOT NULL
+                            AND d.best[greatest(d.i, 1)] > -1e17
+                       THEN d.best[greatest(d.i, 1)] + k.g2
+                       ELSE -1e18 END AS c2,
+                  CASE WHEN d.i + 1 >= 3 AND k.g3 IS NOT NULL
+                            AND d.best[greatest(d.i - 1, 1)] > -1e17
+                       THEN d.best[greatest(d.i - 1, 1)] + k.g3
+                       ELSE -1e18 END AS c3,
+                  CASE WHEN d.i + 1 >= 4 AND k.g4 IS NOT NULL
+                            AND d.best[greatest(d.i - 2, 1)] > -1e17
+                       THEN d.best[greatest(d.i - 2, 1)] + k.g4
+                       ELSE -1e18 END AS c4
+            ) c
+            CROSS JOIN LATERAL (
+                SELECT greatest(c.c1, c.c2, c.c3, c.c4) AS m
+            ) g
+            CROSS JOIN LATERAL (
+                SELECT CASE WHEN g.m <= -1e17 THEN 0
+                            WHEN g.m = c.c1 THEN 1
+                            WHEN g.m = c.c2 THEN 2
+                            WHEN g.m = c.c3 THEN 3
+                            ELSE 4 END AS b
+            ) bb
+            WHERE d.i < d.len
+        ), fin AS (
+            SELECT w, len, best[len + 1] AS score, back
+            FROM dp WHERE i = len
+        ), walk AS (
+            SELECT w, len AS pos, 0 AS np, back FROM fin
+            UNION ALL
+            SELECT w, pos - back[pos + 1], np + 1, back
+            FROM walk WHERE pos > 0
+        ), seg AS (
+            SELECT f.w, s.np,
+                   CAST(ROUND(f.score, 9) AS DECIMAL(38,9)) AS wlp
+            FROM fin f JOIN (SELECT w, np FROM walk WHERE pos = 0) s
+                 USING (w)
+        )
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(np) AS BIGINT) AS n_pieces,
+               ROUND(CAST(SUM(np) AS BIGINT)
+                     / CAST(COUNT(*) AS DOUBLE), 9) AS piece_ratio,
+               SUM(wlp) AS doc_logp
+        FROM words JOIN seg USING (w)
+        GROUP BY doc_id ORDER BY doc_id
     """,
     "txt_boilerplate": """
         WITH sh AS (
