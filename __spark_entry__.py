@@ -87,14 +87,18 @@ _PRIORITY = [
     # rotated out for the r8 NB quality classifier
     # t_scd2_intervals (r07 x2, unchanged, mirror-checked) rotated out
     # for the count-min sketch query's first driver row
-    "sk_cm_counts", "sim_kmeans", "td_quality_classifier",
+    # sim_kmeans and t_funnel_stages (each r07 x2, unchanged,
+    # mirror-checked) rotated out for the unigram tokenizer pair's
+    # first driver rows
+    "sk_cm_counts", "txt_unigram_pieces", "txt_unigram_encode",
+    "td_quality_classifier",
     # txt_langid_confusion (r6+r7 driver-green) rotated out for the r8
     # cluster-balance pruning query's first driver row
     # sim_semantic_dedup_audit (r6+r7 driver-green; the sim family
     # holds 8 other seats) rotated out for the frozen-tokenizer
     # BPE-encode query's first driver row
     "td_cluster_balance", "txt_bpe_encode",
-    "td_chunk_manifest", "t_funnel_stages", "txt_bm25_topk",
+    "td_chunk_manifest", "txt_bm25_topk",
     # t_rolling_stats and t_gap_fill (both r7-green; the temporal
     # family keeps 6 other window rows) rotated out for dd_simhash and
     # sim_lsh_topk, which became oracle-able in r8 (portable md5
