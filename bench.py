@@ -128,6 +128,9 @@ HEADLINE = [
     "sim_ivfpq_serve",
     "sk_source_overlap",
     "t_event_pagerank",
+    # unigram tokenizer serving: distinct-word Viterbi through two
+    # native folds, counts joined back to the exploded corpus
+    "txt_unigram_encode",
 ]
 
 
