@@ -183,6 +183,24 @@ def main(argv: list[str] | None = None) -> int:
                     "temporal columns so row-group stats prune scans "
                     "filtered on any of them (versioned tables)")
 
+    tk = sub.add_parser(
+        "train-tokenizer",
+        help="train a tokenizer (unigram-LM Viterbi or BPE merges) "
+        "into a versioned store; encode-time jobs read the pinned "
+        "artifact instead of refitting",
+    )
+    tk.add_argument("--store", required=True, help="tokenizer store root")
+    tk.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    tk.add_argument("--family", choices=["unigram", "bpe"], default="unigram")
+    tk.add_argument("--max-len", type=int, default=4,
+                    help="unigram: max piece length")
+    tk.add_argument("--min-count", type=int, default=50,
+                    help="unigram: candidate count floor (chars always kept)")
+    tk.add_argument("--em-rounds", type=int, default=1,
+                    help="unigram: hard-EM refit rounds")
+    tk.add_argument("--n-merges", type=int, default=8,
+                    help="bpe: merge rules to learn")
+
     sub.add_parser("bench", help="run the bench harness")
 
     args = p.parse_args(argv)
@@ -407,6 +425,20 @@ def main(argv: list[str] | None = None) -> int:
             model, ref, heldout, drop_fraction=args.lm_drop
         )
         print(json.dumps({"job": "fit-curation-model", **res}))
+        return 0
+
+    if args.cmd == "train-tokenizer":
+        from .catalog import read_table
+        from .jobs.tokenizer import TokenizerStore, train_tokenizer
+
+        store = TokenizerStore(spark, args.store)
+        docs = read_table(spark, args.sf_dir, "documents")
+        res = train_tokenizer(
+            store, docs, family=args.family, max_len=args.max_len,
+            min_count=args.min_count, em_rounds=args.em_rounds,
+            n_merges=args.n_merges,
+        )
+        print(json.dumps({"job": "train-tokenizer", **res}))
         return 0
 
     if args.cmd == "compact-table":

@@ -1,0 +1,192 @@
+"""Tokenizer lifecycle: train a tokenizer into versioned storage,
+encode from the stored artifact — the same build-once / serve-many
+split the ANN indexes use (jobs/ann_index.py), applied to the two
+tokenizer families (operators/bpe.py, operators/unigram.py).
+
+A production pipeline trains its tokenizer ONCE (an expensive
+vocabulary-wide job) and then encodes every corpus, every day, under
+the frozen artifact; fusing train+encode in one plan (as the
+oracle-twin demo queries txt_bpe_encode / txt_unigram_encode do)
+would pay the training passes on every encode. The store mirrors
+PQIndexStore: one versioned table per artifact kind plus an atomic
+meta JSON pinning (family, params, table version) — an encode racing
+a retrain reads a consistent artifact or the complete new one, never
+a mix.
+
+Storage layout, under one root:
+    <root>/pieces — unigram: (piece, cnt, logp)
+                    bpe:     (rank, left, right, merged, pair_count)
+    plus ``meta`` pinning family, fit params and pieces_version.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..storage import JsonMetaStore, VersionedTable
+
+_FAMILIES = ("unigram", "bpe")
+
+
+class TokenizerStore(JsonMetaStore):
+    """Versioned pieces table + fit-parameter meta under one root."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.pieces = VersionedTable(spark, os.path.join(root, "pieces"))
+
+    def exists(self) -> bool:
+        return self.pieces.exists() and self.meta_exists()
+
+
+def train_tokenizer(
+    store: TokenizerStore,
+    docs: DataFrame,
+    family: str = "unigram",
+    text_col: str = "text",
+    max_len: int = 4,
+    min_count: int = 2,
+    em_rounds: int = 1,
+    n_merges: int = 8,
+) -> dict[str, Any]:
+    """BUILD job: fit the tokenizer and commit the artifact.
+
+    ``unigram``: candidate inventory → log-probs → ``em_rounds``
+    hard-EM refits (operators/unigram.py). ``bpe``: the first
+    ``n_merges`` merge rules in learning order (operators/bpe.py).
+    Both reduce the corpus once to its word-frequency vocabulary —
+    the only corpus-proportional pass. Meta is written LAST and pins
+    the committed version, the family and every fit parameter an
+    encode needs, so the serve side can never segment under different
+    geometry than the fit."""
+    if family not in _FAMILIES:
+        raise ValueError(f"family must be one of {_FAMILIES}, got {family!r}")
+    if family == "unigram":
+        from ..operators import unigram
+
+        vocab = (
+            docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+            .where(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count("*").alias("n"))
+            .localCheckpoint(eager=True)  # candidates + every EM round
+        )
+        pieces = unigram.piece_logprobs(
+            unigram.unigram_candidates(
+                vocab, word_col="w", n_col="n",
+                max_len=max_len, min_count=min_count,
+            )
+        )
+        for _ in range(em_rounds):
+            pieces = unigram.unigram_refit(
+                vocab, pieces, word_col="w", n_col="n", max_len=max_len
+            ).localCheckpoint(eager=True)  # each round reads the last
+        commit = store.pieces.overwrite(pieces)
+        meta = {
+            "family": "unigram",
+            "max_len": max_len,
+            "min_count": min_count,
+            "em_rounds": em_rounds,
+            "pieces_version": commit.version,
+        }
+    else:
+        from ..operators import bpe
+
+        rules = bpe.bpe_train(docs, text_col=text_col, n_merges=n_merges)
+        commit = store.pieces.overwrite(rules)
+        meta = {
+            "family": "bpe",
+            "n_merges": n_merges,
+            "pieces_version": commit.version,
+        }
+    store._write_meta(meta)
+    n_pieces = store.pieces.read(commit.version).count()
+    return {**meta, "n_pieces": n_pieces}
+
+
+def encode_corpus(
+    store: TokenizerStore,
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "pieces",
+) -> DataFrame:
+    """SERVE: tokenize ``text_col`` under the STORED artifact — no
+    fit stages in the plan. Family and parameters come from the
+    store's meta, never the caller.
+
+    Scale shape (both families): the corpus reduces to its DISTINCT
+    words, each word encodes once, and the per-word piece arrays join
+    back to the exploded corpus positions (AQE broadcasts the
+    vocabulary side) — cost follows the vocabulary plus one corpus
+    join, not words × corpus. Output: input columns + ``out_col``
+    (array<string> of pieces, in reading order across the document).
+    """
+    if not store.exists():
+        raise FileNotFoundError(
+            f"no tokenizer at {store.root}; run train_tokenizer first"
+        )
+    meta = store.meta()
+    artifact = store.pieces.read(meta.get("pieces_version"))
+    with_pos = docs.withColumn(
+        "_wp",
+        F.filter(
+            F.zip_with(
+                F.split(F.col(text_col), " "),
+                F.sequence(F.lit(1), F.size(F.split(F.col(text_col), " "))),
+                lambda w, i: F.struct(w.alias("w"), i.alias("i")),
+            ),
+            lambda e: e["w"] != "",
+        ),
+    )
+    exploded = with_pos.select(
+        "*", F.explode("_wp").alias("_e")
+    ).select("*", F.col("_e.w").alias("_w"), F.col("_e.i").alias("_i"))
+    if meta["family"] == "unigram":
+        from ..operators import unigram
+
+        # a word with a character outside the inventory (possible when
+        # serving a NEWER corpus than the fit saw) degrades to one
+        # <unk> piece — the SentencePiece fallback — instead of
+        # nulling the whole document's encoding
+        seg = unigram.viterbi_segment(
+            exploded.select(F.col("_w").alias("w")),
+            artifact,
+            word_col="w",
+            max_len=int(meta["max_len"]),
+        ).select(
+            F.col("w").alias("_w"),
+            F.coalesce(
+                F.col("pieces"), F.array(F.lit("<unk>"))
+            ).alias("_ps"),
+        )
+    else:
+        from ..operators import bpe
+
+        rules = [
+            (r["left"], r["right"])
+            for r in artifact.orderBy("rank").collect()
+        ]
+        vocab = exploded.select(F.col("_w").alias("w")).distinct()
+        seg = bpe.bpe_segment(
+            vocab, rules, text_col="w", out_col="_ps"
+        ).select(F.col("w").alias("_w"), "_ps")
+    id_cols = [c for c in docs.columns]
+    return (
+        exploded.join(seg, "_w")
+        .groupBy(*id_cols)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_i"), F.col("_ps")))
+                    ),
+                    lambda s: s["_ps"],
+                )
+            ).alias(out_col)
+        )
+    )

@@ -881,3 +881,54 @@ def test_ivfpq_serve_composes_stores(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="disagree on vec_col"):
         serve_ivfpq_topk(ivf, pq2, q)
+
+
+def test_tokenizer_store_train_and_encode(spark, tmp_path):
+    """Tokenizer lifecycle: train commits a versioned artifact with
+    pinned params, encode reads the PIN (no fit in the serve plan),
+    both families reproduce each document on piece concatenation,
+    out-of-inventory characters degrade to <unk> instead of nulling
+    the doc, and retraining bumps the version atomically."""
+    import pytest
+
+    from delta_data_pipelines_spark.jobs.tokenizer import (
+        TokenizerStore,
+        encode_corpus,
+        train_tokenizer,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello help lo"), (2, "hell hello"), (3, "lo he")],
+        "doc_id long, text string",
+    )
+    store = TokenizerStore(spark, str(tmp_path / "tok"))
+    with pytest.raises(FileNotFoundError):
+        encode_corpus(store, docs)
+    with pytest.raises(ValueError, match="family"):
+        train_tokenizer(store, docs, family="wordpiece")
+
+    info = train_tokenizer(
+        store, docs, family="unigram", max_len=3, min_count=3, em_rounds=1
+    )
+    assert info["pieces_version"] == 0 and info["n_pieces"] > 0
+    enc = {r["doc_id"]: r["pieces"] for r in encode_corpus(store, docs).collect()}
+    texts = {1: "hello help lo", 2: "hell hello", 3: "lo he"}
+    for did, t in texts.items():
+        assert "".join(enc[did]) == t.replace(" ", "")
+
+    # unknown char at serve time -> <unk> piece, doc still encodes
+    new = spark.createDataFrame([(9, "hello zèbra")], "doc_id long, text string")
+    r = encode_corpus(store, new).collect()[0]
+    assert "<unk>" in r["pieces"] and r["pieces"][0] in ("hel", "he", "h")
+
+    info2 = train_tokenizer(
+        store, docs, family="unigram", max_len=3, min_count=3, em_rounds=2
+    )
+    assert info2["pieces_version"] == 1
+    assert store.meta()["em_rounds"] == 2
+
+    bstore = TokenizerStore(spark, str(tmp_path / "btok"))
+    train_tokenizer(bstore, docs, family="bpe", n_merges=4)
+    benc = {r["doc_id"]: r["pieces"] for r in encode_corpus(bstore, docs).collect()}
+    for did, t in texts.items():
+        assert "".join(benc[did]) == t.replace(" ", "")
