@@ -270,3 +270,34 @@ def test_remove_dup_passages_hot_segment_corpus(spark):
     assert all(r["text"].startswith("u0d") for r in losers)
     # global invariant: total removed = total copies - 1
     assert sum(r["n_removed"] for r in rows) == 1999
+
+
+def test_pagerank_mass_and_determinism_on_larger_graph(spark):
+    """PageRank at 50k edges / 5k nodes: conservation holds on a
+    strongly-connected graph (ring + chords: every node has out-edges,
+    so no dangling leakage — total mass stays 1 within rounding), and
+    the decimal contribution sums make the result bit-identical under
+    a different input partitioning."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.operators.graph import pagerank
+
+    n = 5000
+    ring = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst"),
+        F.lit(1).alias("w"),
+    )
+    chords = spark.range(n * 9).select(
+        (F.col("id") % n).alias("src"),
+        ((F.col("id") * 7919 + 13) % n).alias("dst"),
+        (F.col("id") % 5 + 1).alias("w"),
+    )
+    edges = ring.unionByName(chords)
+    r1 = pagerank(edges, weight_col="w", n_iter=3)
+    total = r1.agg(F.sum(F.col("pagerank").cast("decimal(38,9)"))).collect()[0][0]
+    assert abs(float(total) - 1.0) < 1e-4  # conservation within rounding
+    assert r1.count() == n
+    r2 = pagerank(edges.repartition(17), weight_col="w", n_iter=3)
+    a = sorted(tuple(r) for r in r1.collect())
+    b = sorted(tuple(r) for r in r2.collect())
+    assert a == b
