@@ -190,3 +190,103 @@ def encode_corpus(
             ).alias(out_col)
         )
     )
+
+
+def encode_ids(
+    store: TokenizerStore,
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "piece_ids",
+) -> DataFrame:
+    """SERVE: tokenize to INTEGER piece ids — what a training loader
+    actually consumes. Ids are the stored inventory's rank order
+    (count desc, piece asc — deterministic, so the same artifact
+    version always yields the same id space), with id 0 reserved for
+    ``<unk>``. Same distinct-word shape as :func:`encode_corpus`,
+    plus one broadcast piece→id join applied VOCABULARY-side (each
+    distinct word's pieces map once, never per corpus row).
+
+    Output: input columns + ``out_col`` (array<int>) +
+    ``{out_col}_n`` (its length, for the packing manifest)."""
+    from pyspark.sql import Window
+
+    pieces = encode_corpus(store, docs, text_col, out_col="_pstr")
+    meta = store.meta()
+    artifact = store.pieces.read(meta.get("pieces_version"))
+    if meta["family"] == "unigram":
+        ordering = [F.col("cnt").desc(), F.col("piece")]
+        id_src = artifact.select("piece", "cnt")
+    else:
+        # BPE: single chars + merged symbols; rank merged pieces by
+        # learning order after the character inventory
+        chars = (
+            artifact.select(F.explode(F.array("left", "right")).alias("piece"))
+            .where(F.length("piece") == 1)
+            .distinct()
+            .withColumn("cnt", F.lit(0))
+        )
+        merged = artifact.select(
+            F.col("merged").alias("piece"), (-F.col("rank")).alias("cnt")
+        )
+        id_src = chars.unionByName(merged)
+        ordering = [F.col("cnt").desc(), F.col("piece")]
+    w = Window.orderBy(*ordering)
+    vocab_ids = id_src.select(
+        "piece", F.row_number().over(w).cast("int").alias("_pid")
+    )
+    # vocabulary-side id mapping: distinct piece-arrays are few; map
+    # via explode + join-back on the DISTINCT arrays, not per doc row
+    arrs = pieces.select("_pstr").distinct()
+    mapped = (
+        arrs.select(
+            "_pstr", F.posexplode("_pstr").alias("_pos", "piece")
+        )
+        .join(F.broadcast(vocab_ids), "piece", "left")
+        .groupBy("_pstr")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("_pos", F.coalesce("_pid", F.lit(0)).alias("p"))
+                    )
+                ),
+                lambda s: s["p"],
+            ).alias(out_col)
+        )
+    )
+    return (
+        pieces.join(mapped, "_pstr")
+        .drop("_pstr")
+        .withColumn(f"{out_col}_n", F.size(out_col))
+    )
+
+
+def pack_manifest(
+    store: TokenizerStore,
+    docs: DataFrame,
+    ctx: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk packing manifest under TOKENIZER-TRUE counts:
+    the same range-partitioned two-phase prefix sum as the curation
+    packer (ranking.global_cumsum_by_range — no global window), but
+    offsets measured in stored-tokenizer pieces instead of whitespace
+    tokens, so the emitted windows are exactly ``ctx`` training
+    tokens. Output: (doc_id, n_pieces, start_offset, chunk_start,
+    chunk_end) — the loader-side manifest; piece content itself stays
+    in the encode output, never shuffled by the packer."""
+    from ..operators import ranking
+
+    enc = encode_ids(store, docs, text_col).select(
+        id_col, F.col("piece_ids_n").alias("n_pieces")
+    )
+    cum = ranking.global_cumsum_by_range(enc, id_col, "n_pieces")
+    span = ranking.chunk_span("cum_before", "n_pieces", ctx)
+    return cum.select(
+        id_col,
+        "n_pieces",
+        span["start_offset"].alias("start_offset"),
+        span["chunk_start"].alias("chunk_start"),
+        span["chunk_end"].alias("chunk_end"),
+    )

@@ -932,3 +932,47 @@ def test_tokenizer_store_train_and_encode(spark, tmp_path):
     benc = {r["doc_id"]: r["pieces"] for r in encode_corpus(bstore, docs).collect()}
     for did, t in texts.items():
         assert "".join(benc[did]) == t.replace(" ", "")
+
+
+def test_tokenizer_encode_ids_and_pack_manifest(spark, tmp_path):
+    """Loader-facing serving: piece ids are the artifact's
+    deterministic rank order with 0 = <unk> (unknown-at-serve words
+    map to [0]); the packing manifest uses tokenizer-TRUE counts
+    through the range-partitioned prefix sum — offsets are exact and
+    chunk spans tile the stream."""
+    from delta_data_pipelines_spark.jobs.tokenizer import (
+        TokenizerStore,
+        encode_ids,
+        pack_manifest,
+        train_tokenizer,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello help lo"), (2, "hell hello"), (3, "lo he")],
+        "doc_id long, text string",
+    )
+    store = TokenizerStore(spark, str(tmp_path / "tok"))
+    train_tokenizer(store, docs, family="unigram", max_len=3, min_count=3)
+
+    enc = {r["doc_id"]: r for r in encode_ids(store, docs).collect()}
+    assert all(r["piece_ids_n"] == len(r["piece_ids"]) for r in enc.values())
+    assert all(min(r["piece_ids"]) >= 1 for r in enc.values())  # all known
+    # same text -> same ids; ids deterministic across calls
+    enc2 = {r["doc_id"]: r["piece_ids"] for r in encode_ids(store, docs).collect()}
+    assert {k: v["piece_ids"] for k, v in enc.items()} == enc2
+
+    unk = spark.createDataFrame([(9, "zèbra hello")], "doc_id long, text string")
+    r = encode_ids(store, unk).collect()[0]
+    assert r["piece_ids"][0] == 0  # <unk> id
+    assert all(i >= 0 for i in r["piece_ids"])
+
+    pm = {r["doc_id"]: r for r in pack_manifest(store, docs, ctx=4).collect()}
+    total = sum(enc[d]["piece_ids_n"] for d in enc)
+    # offsets form an exact exclusive prefix sum in doc_id order
+    off = 0
+    for d in sorted(pm):
+        assert pm[d]["start_offset"] == off
+        assert pm[d]["chunk_start"] == off // 4
+        assert pm[d]["chunk_end"] == (off + pm[d]["n_pieces"] - 1) // 4
+        off += pm[d]["n_pieces"]
+    assert off == total
