@@ -696,3 +696,48 @@ def serve_ivfpq_topk(
         .where(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "approx_cos", "rank")
     )
+
+
+def sweep_ivf_near_dups(
+    store: IVFIndexStore,
+    threshold: float = 0.98,
+    cells: list | None = None,
+) -> DataFrame:
+    """Semantic-dedup sweep from the STORED cell layout — the
+    build-once / sweep-many split applied to embedding dedup: the
+    in-plan form (`dd_embedding_blocked`) assigns every vector to a
+    cell on every run; this reads the pinned cells table where the
+    assignment already lives, so the sweep plan is ONLY the blocked
+    pair search (dedup.embedding_near_dup_pairs with the stored cid
+    as the block), never all-pairs and never a re-assignment.
+
+    ``cells`` narrows an INCREMENTAL sweep to the listed cell ids —
+    the cells an append just touched (``append_ivf_cells`` returns
+    buckets_written; ``bucket_stats`` maps buckets to cids) — with
+    bucket-dir-pruned I/O: cost follows the touched cells, not the
+    corpus. Returns (id_a, id_b, cosine_sim) pairs ≥ threshold;
+    feed to ``dedup.near_dup_clusters`` / ``collapse`` as usual."""
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup
+
+    if not store.exists():
+        raise FileNotFoundError(
+            f"no IVF index at {store.root}; run refresh_ivf_index first"
+        )
+    meta = store.meta()
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    if cells is not None:
+        spark = store.spark
+        cell_df = spark.createDataFrame(
+            [(c,) for c in cells], f"cid {'long' if cells and isinstance(cells[0], int) else 'string'}"
+        )
+        src = store.cells.read_buckets(
+            store.cells.bucket_ids_of(cell_df, "cid"),
+            version=meta.get("cells_version"),
+        ).join(F.broadcast(cell_df), "cid", "left_semi")
+    else:
+        src = store.cells.read(meta.get("cells_version"))
+    return dedup.embedding_near_dup_pairs(
+        src, id_col, vec_col, block_col="cid", threshold=threshold
+    )

@@ -976,3 +976,57 @@ def test_tokenizer_encode_ids_and_pack_manifest(spark, tmp_path):
         assert pm[d]["chunk_end"] == (off + pm[d]["n_pieces"] - 1) // 4
         off += pm[d]["n_pieces"]
     assert off == total
+
+
+def test_ivf_store_neardup_sweep(spark, tmp_path):
+    """Stored-layout semantic dedup: the sweep over the pinned cells
+    table finds exactly the pairs the in-plan blocked search finds
+    under the same cell assignment (no re-assignment in the sweep
+    plan), and a cells-subset sweep returns exactly the full sweep's
+    pairs among vectors of those cells."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.jobs.ann_index import (
+        IVFIndexStore,
+        refresh_ivf_index,
+        sweep_ivf_near_dups,
+    )
+    from delta_data_pipelines_spark.operators import dedup
+    from delta_data_pipelines_spark.operators.similarity import (
+        as_double,
+        ivf_assign,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    store = IVFIndexStore(spark, str(tmp_path / "ivf"))
+    refresh_ivf_index(store, e, n_cells=8, n_iter=0)
+
+    got = sorted(
+        tuple(r) for r in sweep_ivf_near_dups(store, threshold=0.3).collect()
+    )
+    cent = store.centroids.read()
+    blocked = ivf_assign(
+        e.select("vec_id", as_double(F.col("embedding")).alias("_v")),
+        cent,
+        "vec_id",
+    ).select("vec_id", "cid", F.col("_v").alias("embedding"))
+    expect = sorted(
+        tuple(r)
+        for r in dedup.embedding_near_dup_pairs(
+            blocked, "vec_id", "embedding", block_col="cid", threshold=0.3
+        ).collect()
+    )
+    assert got == expect and got  # nonempty on the fixture
+
+    # subset sweep: only pairs whose members sit in the listed cells
+    cells = [r["cid"] for r in store.cells.read().select("cid").distinct().limit(2).collect()]
+    sub = sorted(
+        tuple(r)
+        for r in sweep_ivf_near_dups(store, threshold=0.3, cells=cells).collect()
+    )
+    in_cells = {
+        r["vec_id"]
+        for r in store.cells.read().where(F.col("cid").isin(cells)).collect()
+    }
+    expect_sub = [p for p in expect if p[0] in in_cells and p[1] in in_cells]
+    assert sub == sorted(expect_sub)
