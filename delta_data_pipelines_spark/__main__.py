@@ -183,6 +183,19 @@ def main(argv: list[str] | None = None) -> int:
                     "temporal columns so row-group stats prune scans "
                     "filtered on any of them (versioned tables)")
 
+    sw = sub.add_parser(
+        "ivf-sweep-dups",
+        help="semantic-dedup sweep over the STORED IVF cell layout "
+        "(no re-assignment; --cells prunes to the touched cells)",
+    )
+    sw.add_argument("--index", required=True, help="IVF index store root")
+    sw.add_argument("--threshold", type=float, default=0.98)
+    sw.add_argument("--cells", type=int, nargs="*", default=None,
+                    help="cell ids for an incremental sweep (default: all)")
+    sw.add_argument("--out", default=None,
+                    help="write the pair table here (parquet); prints "
+                    "counts either way")
+
     tk = sub.add_parser(
         "train-tokenizer",
         help="train a tokenizer (unigram-LM Viterbi or BPE merges) "
@@ -425,6 +438,24 @@ def main(argv: list[str] | None = None) -> int:
             model, ref, heldout, drop_fraction=args.lm_drop
         )
         print(json.dumps({"job": "fit-curation-model", **res}))
+        return 0
+
+    if args.cmd == "ivf-sweep-dups":
+        from .jobs.ann_index import IVFIndexStore, sweep_ivf_near_dups
+
+        store = IVFIndexStore(spark, args.index)
+        pairs = sweep_ivf_near_dups(
+            store, threshold=args.threshold, cells=args.cells
+        )
+        if args.out:
+            pairs.write.mode("overwrite").parquet(args.out)
+            pairs = spark.read.parquet(args.out)
+        n = pairs.count()
+        print(json.dumps({
+            "job": "ivf-sweep-dups", "pairs": n,
+            "threshold": args.threshold,
+            "cells": args.cells, "out": args.out,
+        }))
         return 0
 
     if args.cmd == "train-tokenizer":

@@ -290,3 +290,60 @@ def pack_manifest(
         span["chunk_start"].alias("chunk_start"),
         span["chunk_end"].alias("chunk_end"),
     )
+
+
+def materialize_packed(
+    store: TokenizerStore,
+    docs: DataFrame,
+    ctx: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Materialize the packed training windows themselves:
+    (chunk_id, ``out_col`` array<int>) where the id stream of all
+    documents (in ``id_col`` order) is tiled into consecutive
+    ``ctx``-token windows — the artifact a training loader memory-maps.
+
+    ``pack_manifest`` is the planning half (offsets only, no token
+    movement); this is the one job that SHOULD shuffle token content,
+    exactly once: every token is keyed to its global position
+    (start_offset from the same range-partitioned prefix sum + its
+    position within the doc), grouped by ``floor(position / ctx)``,
+    and reassembled in order. Cost: one corpus-token shuffle on the
+    chunk key — the unavoidable minimum for physical windows, and the
+    chunk key is uniform by construction (every chunk holds exactly
+    ``ctx`` tokens), so there is no skew to salt.
+
+    The final partial window is emitted as-is (shorter than ``ctx``);
+    drop it or pad loader-side per training convention."""
+    from ..operators import ranking
+
+    enc = encode_ids(store, docs, text_col)
+    counts = enc.select(id_col, F.col("piece_ids_n").alias("n_pieces"))
+    cum = ranking.global_cumsum_by_range(counts, id_col, "n_pieces").select(
+        id_col, F.col("cum_before").alias("_off")
+    )
+    toks = (
+        enc.join(cum, id_col)
+        .select(
+            id_col,
+            "_off",
+            F.posexplode("piece_ids").alias("_pos", "_tid"),
+        )
+        .select(
+            (F.col("_off") + F.col("_pos")).alias("_gpos"), F.col("_tid")
+        )
+    )
+    return (
+        toks.withColumn("chunk_id", F.floor(F.col("_gpos") / ctx))
+        .groupBy("chunk_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_gpos", "_tid"))
+                ),
+                lambda s: s["_tid"],
+            ).alias(out_col)
+        )
+    )

@@ -1030,3 +1030,36 @@ def test_ivf_store_neardup_sweep(spark, tmp_path):
     }
     expect_sub = [p for p in expect if p[0] in in_cells and p[1] in in_cells]
     assert sub == sorted(expect_sub)
+
+
+def test_tokenizer_materialize_packed_windows(spark, tmp_path):
+    """Physical packing: concatenating the windows in chunk order
+    reproduces the full id stream in doc order; every window except
+    possibly the last is exactly ctx tokens."""
+    from delta_data_pipelines_spark.jobs.tokenizer import (
+        TokenizerStore,
+        encode_ids,
+        materialize_packed,
+        train_tokenizer,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello help lo"), (2, "hell hello"), (3, "lo he"),
+         (4, "help hello hell lo")],
+        "doc_id long, text string",
+    )
+    store = TokenizerStore(spark, str(tmp_path / "tok"))
+    train_tokenizer(store, docs, family="unigram", max_len=3, min_count=3)
+
+    stream = []
+    for r in sorted(
+        encode_ids(store, docs).collect(), key=lambda r: r["doc_id"]
+    ):
+        stream.extend(r["piece_ids"])
+    packed = sorted(
+        (r["chunk_id"], list(r["token_ids"]))
+        for r in materialize_packed(store, docs, ctx=5).collect()
+    )
+    assert [len(w) for _, w in packed[:-1]] == [5] * (len(packed) - 1)
+    flat = [t for _, w in packed for t in w]
+    assert flat == stream
