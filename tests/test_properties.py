@@ -569,3 +569,61 @@ def test_heavy_hitters_exact_equals_naive_on_random_streams(
         for r in heavy_hitters_exact(df, "item", k).collect()
     }
     assert got == naive
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("ab"), st.integers(0, 400)),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_kmv_overlap_exact_below_k(spark, pairs):
+    """Small-set regime: with every group under k distinct values the
+    KMV overlap short-circuits to EXACT union/intersection/Jaccard of
+    the value sets (up to md5 collisions, absent at this size)."""
+    from delta_data_pipelines_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [(g, f"v{v}") for g, v in pairs], "g string, v string"
+    )
+    sets = {}
+    for g, v in pairs:
+        sets.setdefault(g, set()).add(f"v{v}")
+    rows = sketches.kmv_overlap(df, "g", "v", k=64).collect()
+    if len(sets) < 2:
+        assert rows == []
+        return
+    a, b = sets["a"], sets["b"]
+    r = rows[0]
+    assert r["n_union_est"] == float(len(a | b))
+    assert abs(r["jaccard_est"] - len(a & b) / len(a | b)) < 1e-8
+    assert abs(r["n_inter_est"] - len(a & b)) < 1e-6
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=200),
+    st.integers(2, 4),
+    st.sampled_from([16, 64]),
+)
+def test_cm_sketch_one_sided_error(spark, items, d, w):
+    """CM invariants on arbitrary multisets: estimate >= true count
+    for every item, and the counter table never exceeds d*w rows."""
+    from collections import Counter
+
+    from delta_data_pipelines_spark.operators import sketches
+
+    df = spark.createDataFrame([(f"i{x}",) for x in items], "it string")
+    sk = sketches.cm_sketch(df, "it", d=d, w=w)
+    assert sk.count() <= d * w
+    truth = Counter(f"i{x}" for x in items)
+    est = {
+        r["item"]: r["n_est"]
+        for r in sketches.cm_query(
+            sk, df.select("it").distinct(), "it", d=d, w=w
+        ).collect()
+    }
+    for item, n in truth.items():
+        assert est[item] >= n, (item, est[item], n)
