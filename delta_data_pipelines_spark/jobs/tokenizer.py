@@ -125,6 +125,9 @@ def encode_corpus(
     vocabulary side) — cost follows the vocabulary plus one corpus
     join, not words × corpus. Output: input columns + ``out_col``
     (array<string> of pieces, in reading order across the document).
+    Rows are re-keyed by ALL input columns, so exact-duplicate input
+    rows collapse to one output row — feed unique-id frames (every
+    corpus table here has one).
     """
     if not store.exists():
         raise FileNotFoundError(
