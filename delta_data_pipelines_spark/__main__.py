@@ -214,6 +214,23 @@ def main(argv: list[str] | None = None) -> int:
     tk.add_argument("--n-merges", type=int, default=8,
                     help="bpe: merge rules to learn")
 
+    tc = sub.add_parser(
+        "tokenize-corpus",
+        help="encode a corpus to integer piece ids under a STORED "
+        "tokenizer; optionally emit the packing manifest or the "
+        "materialized ctx-token windows",
+    )
+    tc.add_argument("--store", required=True, help="tokenizer store root")
+    tc.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    tc.add_argument("--out", required=True, help="output parquet dir")
+    tc.add_argument("--ctx", type=int, default=None,
+                    help="window size; with --materialize writes the "
+                    "packed (chunk_id, token_ids) windows, else the "
+                    "(doc, offsets) manifest; omitted = per-doc ids")
+    tc.add_argument("--materialize", action="store_true",
+                    help="with --ctx: shuffle token content into "
+                    "physical windows (one skew-free shuffle)")
+
     sub.add_parser("bench", help="run the bench harness")
 
     args = p.parse_args(argv)
@@ -470,6 +487,36 @@ def main(argv: list[str] | None = None) -> int:
             n_merges=args.n_merges,
         )
         print(json.dumps({"job": "train-tokenizer", **res}))
+        return 0
+
+    if args.cmd == "tokenize-corpus":
+        from .catalog import read_table
+        from .jobs.tokenizer import (
+            TokenizerStore,
+            encode_ids,
+            materialize_packed,
+            pack_manifest,
+        )
+
+        if args.materialize and args.ctx is None:
+            p.error("--materialize requires --ctx")
+        store = TokenizerStore(spark, args.store)
+        docs = read_table(spark, args.sf_dir, "documents")
+        if args.ctx is not None and args.materialize:
+            out_df = materialize_packed(store, docs, ctx=args.ctx)
+            kind = "windows"
+        elif args.ctx is not None:
+            out_df = pack_manifest(store, docs, ctx=args.ctx)
+            kind = "manifest"
+        else:
+            out_df = encode_ids(store, docs)
+            kind = "ids"
+        out_df.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({
+            "job": "tokenize-corpus", "kind": kind, "rows": n,
+            "ctx": args.ctx, "out": args.out,
+        }))
         return 0
 
     if args.cmd == "compact-table":
