@@ -450,3 +450,72 @@ def cm_query(
         .groupBy("item")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("n_est"))
     )
+
+
+def hll_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    m: int = 256,
+) -> DataFrame:
+    """HyperLogLog registers (Flajolet et al. '07) on the portable
+    hash — the fixed-size counterpart of the KMV sketch: ``m``
+    registers per group regardless of k or cardinality, merging by
+    per-register MAX (associative/idempotent — replay-safe, unlike
+    the additive CM merge).
+
+    Register math is INTEGER/STRING only, so both engines agree
+    exactly: j = h mod m, w = h div m (the remaining 32-lg(m) bits),
+    rho = 1 + leading zeros of w = (32 - lg(m) + 1) - bitlength(w) —
+    bitlength computed as the length of the binary-string rendering
+    (``conv``/``bin``), never floor(log2(double)) whose rounding
+    could differ per engine at power-of-two boundaries.
+
+    Output: group cols + (j, mx) — only TOUCHED registers (absent row
+    = register 0); ≤ m rows per group reach the shuffle."""
+    if m < 16 or (m & (m - 1)) != 0:
+        raise ValueError(f"m must be a power of two >= 16, got {m}")
+    width = 32 - (m.bit_length() - 1)  # bits in w
+    h = portable_hash(F.col(value_col))
+    j = (h % m).cast("int")
+    w = F.floor(h / m).cast("bigint")  # exact: h < 2^32
+    rho = F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.lit(width + 1) - F.length(F.conv(w, 10, 2))
+    )
+    return (
+        df.select(*group_cols, j.alias("j"), rho.cast("int").alias("_rho"))
+        .groupBy(*group_cols, "j")
+        .agg(F.max("_rho").alias("mx"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str],
+    m: int = 256,
+) -> DataFrame:
+    """Cardinality estimate from (possibly merged) HLL registers:
+    E = alpha_m·m²/Σ2^(-M_j), with the standard small-range linear
+    counting correction (E ≤ 2.5m and empty registers exist →
+    m·ln(m/V)). Runs over the register table only (≤ m rows/group).
+
+    Determinism note: the 2^(-M_j) terms are exact binary fractions
+    whose sum fits the double mantissa at m ≤ 4096, so the partial-agg
+    order cannot change the sum; alpha is spelled as the SAME
+    arithmetic expression both engines evaluate (never a pre-rounded
+    literal). ``n_est`` rounds to 6."""
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    per_group = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("_s_touched"),
+        F.count("*").alias("_r"),
+    )
+    s = F.col("_s_touched") + (F.lit(m) - F.col("_r")).cast("double")
+    v = (F.lit(m) - F.col("_r")).cast("double")
+    raw = alpha * F.lit(float(m)) * F.lit(float(m)) / s
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return per_group.select(
+        *group_cols, F.round(est, 6).alias("n_est")
+    )

@@ -811,6 +811,30 @@ def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.kmv_distinct(toks, ["lang"], "token", k=64).orderBy("lang")
 
 
+def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token cardinality via HyperLogLog
+    registers next to the exact count — the FIXED-SIZE counterpart of
+    sk_kmv_distinct (m registers however large the group; merge is
+    per-register MAX, idempotent, replay-safe). Register math is
+    integer/string only (sketches.hll_sketch), so the oracle rebuilds
+    every register and the estimate bit-for-bit — impossible with
+    approx_count_distinct's engine-private HLL++ layout."""
+    from ..operators import sketches
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    reg = sketches.hll_sketch(toks, ["lang"], "token", m=256)
+    est = sketches.hll_estimate(reg, ["lang"], m=256)
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("token").alias("n_exact")
+    )
+    return exact.join(est, "lang").select(
+        "lang", "n_exact", "n_est"
+    ).orderBy("lang")
+
+
 def sk_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-vocabulary overlap (union / intersection /
     Jaccard distinct-token estimates) from KMV sketches — the "how
@@ -1838,6 +1862,7 @@ SPARK_QUERIES = {
     "td_chunk_manifest": td_chunk_manifest,
     "sk_kmv_distinct": sk_kmv_distinct,
     "sk_source_overlap": sk_source_overlap,
+    "sk_hll_distinct": sk_hll_distinct,
     "sk_cm_counts": sk_cm_counts,
     "txt_boilerplate": txt_boilerplate,
     "td_passage_dup_fraction": td_passage_dup_fraction,
@@ -2513,6 +2538,47 @@ ORACLE_SQL = {
                e.n_est - t.n_exact AS overcount
         FROM top t JOIN est e USING (token)
         ORDER BY n_exact DESC, token
+    """,
+    "sk_hll_distinct": """
+        WITH toks AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), h AS (
+            SELECT lang,
+                   ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+            FROM toks
+        ), reg AS (
+            SELECT lang, CAST(h % 256 AS INTEGER) AS j,
+                   MAX(CASE WHEN h // 256 = 0 THEN 25
+                            ELSE 25 - length(bin(h // 256)) END) AS mx
+            FROM h GROUP BY lang, j
+        ), agg AS (
+            SELECT lang,
+                   SUM(power(CAST(2.0 AS DOUBLE), -mx)) AS st,
+                   COUNT(*) AS r
+            FROM reg GROUP BY lang
+        ), est AS (
+            SELECT lang,
+                   (CAST(0.7213 AS DOUBLE)
+                    / (CAST(1.0 AS DOUBLE)
+                       + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+                   * CAST(256.0 AS DOUBLE) * CAST(256.0 AS DOUBLE)
+                   / (st + CAST(256 - r AS DOUBLE)) AS raw,
+                   CAST(256 - r AS DOUBLE) AS v
+            FROM agg
+        ), fin AS (
+            SELECT lang,
+                   CASE WHEN raw <= CAST(640.0 AS DOUBLE) AND v > 0
+                        THEN CAST(256.0 AS DOUBLE)
+                             * ln(CAST(256.0 AS DOUBLE) / v)
+                        ELSE raw END AS e
+            FROM est
+        ), ex AS (
+            SELECT lang, COUNT(DISTINCT token) AS n_exact
+            FROM toks GROUP BY lang
+        )
+        SELECT ex.lang, n_exact, ROUND(e, 6) AS n_est
+        FROM ex JOIN fin USING (lang) ORDER BY lang
     """,
     "sk_source_overlap": """
         WITH toks AS (

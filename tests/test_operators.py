@@ -1950,3 +1950,55 @@ def test_unigram_refit_recounts_by_usage(spark):
         assert r["cnt"] == usage.get(piece, 0) + 1, piece
     seg1 = U.viterbi_segment(vocab, p1, max_len=3)
     assert seg1.where(F.col("pieces").isNull()).count() == 0
+
+
+def test_hll_registers_merge_by_max_and_estimate_bounds(spark):
+    """HLL invariants: register merge is per-register MAX (idempotent
+    — re-merging a replayed batch changes nothing, unlike CM), the
+    merged registers equal the full-data sketch, and the estimate
+    lands within generous HLL error (~1.04/sqrt(256) ≈ 6.5% std) of a
+    known cardinality; m must be a power of two."""
+    import pytest as _pytest
+
+    from delta_data_pipelines_spark.operators import sketches
+
+    df = spark.range(0, 30_000).select(
+        (F.col("id") % 3).alias("g"),
+        F.concat(F.lit("u"), (F.col("id") % 8000).cast("string")).alias("v"),
+    )
+    full = {
+        (r["g"], r["j"]): r["mx"]
+        for r in sketches.hll_sketch(df, ["g"], "v", m=256).collect()
+    }
+    a = sketches.hll_sketch(df.where("id % 2 = 0"), ["g"], "v", m=256)
+    b = sketches.hll_sketch(df.where("id % 2 = 1"), ["g"], "v", m=256)
+    merged = {
+        (r["g"], r["j"]): r["mx"]
+        for r in a.unionByName(b)
+        .groupBy("g", "j")
+        .agg(F.max("mx").alias("mx"))
+        .collect()
+    }
+    assert merged == full
+    # idempotent: merging the full sketch with itself is a no-op
+    fr = sketches.hll_sketch(df, ["g"], "v", m=256)
+    twice = {
+        (r["g"], r["j"]): r["mx"]
+        for r in fr.unionByName(fr).groupBy("g", "j").agg(F.max("mx").alias("mx")).collect()
+    }
+    assert twice == full
+
+    est = {
+        r["g"]: r["n_est"]
+        for r in sketches.hll_estimate(fr, ["g"], m=256).collect()
+    }
+    # each group holds ~8000/... distinct values; compute exactly
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    for g, n in exact.items():
+        assert abs(est[g] - n) / n < 0.25, (g, est[g], n)
+
+    with _pytest.raises(ValueError, match="power of two"):
+        sketches.hll_sketch(df, ["g"], "v", m=100)
