@@ -98,7 +98,9 @@ _PRIORITY = [
     # holds 8 other seats) rotated out for the frozen-tokenizer
     # BPE-encode query's first driver row
     "td_cluster_balance", "txt_bpe_encode",
-    "td_chunk_manifest", "txt_bm25_topk",
+    # txt_bm25_topk (r07 x2, unchanged, still benched + mirror-checked)
+    # rotated out for the portable-HLL query's first driver row
+    "td_chunk_manifest", "sk_hll_distinct",
     # t_rolling_stats and t_gap_fill (both r7-green; the temporal
     # family keeps 6 other window rows) rotated out for dd_simhash and
     # sim_lsh_topk, which became oracle-able in r8 (portable md5
