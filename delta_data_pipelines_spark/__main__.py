@@ -40,6 +40,10 @@ def main(argv: list[str] | None = None) -> int:
     cc.add_argument("--no-scrub", action="store_true", help="skip PII redaction")
     cc.add_argument("--pack-ctx", type=int, default=None,
                     help="pack each split into N-token training windows")
+    cc.add_argument("--tokenizer", default=None, metavar="DIR",
+                    help="with --pack-ctx: size windows in STORED-"
+                    "tokenizer pieces (train-tokenizer output) instead "
+                    "of whitespace tokens")
     cc.add_argument("--lm-drop", type=float, default=None,
                     help="drop the bottom FRACTION by mean unigram "
                     "log-prob after the heuristic gate (CCNet-style)")
@@ -271,6 +275,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "curate-corpus":
+        def _tok_store(spark, root):
+            if not root:
+                return None
+            from .jobs.tokenizer import TokenizerStore
+
+            return TokenizerStore(spark, root)
+
         from .catalog import read_table
         from .ingest.jsonl import read_jsonl, split_corrupt, write_jsonl
         from .jobs import publish_corpus
@@ -280,6 +291,8 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--jsonl-shards requires --export-jsonl")
         if args.warc_in and args.jsonl_in:
             p.error("--warc-in and --jsonl-in are mutually exclusive")
+        if args.tokenizer and args.pack_ctx is None:
+            p.error("--tokenizer requires --pack-ctx")
         n_quarantined = 0
         if args.warc_in:
             from pyspark.sql import functions as F
@@ -320,6 +333,7 @@ def main(argv: list[str] | None = None) -> int:
                 if args.compression_bounds else None
             ),
             sample_per_source=args.sample_per_source,
+            tokenizer_store=_tok_store(spark, args.tokenizer),
         )
         if args.jsonl_in:
             res["quarantined_lines"] = n_quarantined

@@ -53,6 +53,7 @@ def pack_stage(
     id_col: str = "doc_id",
     text_col: str = "text",
     ctx: int = 512,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-split concat-and-chunk packing: each split's documents are
     laid out as one contiguous token stream (stable ``id_col`` order)
@@ -71,8 +72,15 @@ def pack_stage(
 
     if ctx < 1:
         raise ValueError(f"pack ctx must be >= 1, got {ctx}")
+    # default sizing is whitespace tokens; ``n_tokens_col`` swaps in a
+    # precomputed count (the curate job's --tokenizer path feeds
+    # stored-tokenizer piece counts, so windows are ctx TRAINING
+    # tokens, not ctx whitespace words)
     sized = docs.withColumn(
-        "_ntok", token_count_ws(F.col(text_col))
+        "_ntok",
+        F.col(n_tokens_col)
+        if n_tokens_col
+        else token_count_ws(F.col(text_col)),
     ).localCheckpoint(eager=True)
     names = [r[0] for r in sized.select(split_col).distinct().collect()]
     if not names:  # empty input: keep the output schema, skip the union
@@ -437,6 +445,7 @@ def curate_corpus(
     dedup_passages: int | None = None,
     sample_per_source: int | None = None,
     source_col: str = "source",
+    tokenizer_store=None,
     **gate_kwargs,
 ) -> DataFrame:
     """PII scrub → quality gate → (optional) LM filter → exact dedup →
@@ -518,7 +527,28 @@ def curate_corpus(
     if decontaminate:
         split = decontaminate_stage(split, id_col, text_col)
     if pack_ctx is not None:
-        split = pack_stage(split, "split", id_col, text_col, ctx=pack_ctx)
+        if tokenizer_store is not None:
+            # size windows in stored-tokenizer TRAINING tokens, not
+            # whitespace words: per-doc piece counts from the pinned
+            # artifact join in, pack_stage consumes them precomputed
+            from .tokenizer import piece_counts
+
+            pc = piece_counts(
+                tokenizer_store,
+                split.select(id_col, text_col),
+                id_col,
+                text_col,
+            )
+            split = pack_stage(
+                split.join(pc, id_col),
+                "split",
+                id_col,
+                text_col,
+                ctx=pack_ctx,
+                n_tokens_col="n_pieces",
+            ).drop("n_pieces")
+        else:
+            split = pack_stage(split, "split", id_col, text_col, ctx=pack_ctx)
     return split
 
 

@@ -264,6 +264,20 @@ def encode_ids(
     )
 
 
+def piece_counts(
+    store: TokenizerStore,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_pieces): per-document stored-tokenizer piece counts —
+    the sizing input shared by :func:`pack_manifest` and the curate
+    job's --tokenizer packing path (windows in TRAINING tokens)."""
+    return encode_ids(store, docs, text_col).select(
+        id_col, F.col("piece_ids_n").alias("n_pieces")
+    )
+
+
 def pack_manifest(
     store: TokenizerStore,
     docs: DataFrame,
@@ -281,9 +295,7 @@ def pack_manifest(
     in the encode output, never shuffled by the packer."""
     from ..operators import ranking
 
-    enc = encode_ids(store, docs, text_col).select(
-        id_col, F.col("piece_ids_n").alias("n_pieces")
-    )
+    enc = piece_counts(store, docs, id_col, text_col)
     cum = ranking.global_cumsum_by_range(enc, id_col, "n_pieces")
     span = ranking.chunk_span("cum_before", "n_pieces", ctx)
     return cum.select(

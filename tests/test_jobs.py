@@ -1063,3 +1063,46 @@ def test_tokenizer_materialize_packed_windows(spark, tmp_path):
     assert [len(w) for _, w in packed[:-1]] == [5] * (len(packed) - 1)
     flat = [t for _, w in packed for t in w]
     assert flat == stream
+
+
+def test_curate_pack_with_stored_tokenizer(spark, tmp_path):
+    """--tokenizer packing: windows are sized in stored-tokenizer
+    pieces, so per-split offsets are the exact prefix sums of the
+    tokenizer's per-doc piece counts (whitespace counts would differ
+    whenever a word splits into >1 piece)."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.jobs.curate_corpus import publish_corpus
+    from delta_data_pipelines_spark.jobs.tokenizer import (
+        TokenizerStore,
+        piece_counts,
+        train_tokenizer,
+    )
+    from delta_data_pipelines_spark.storage import VersionedTable
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").limit(80)
+    tok = TokenizerStore(spark, str(tmp_path / "tok"))
+    train_tokenizer(tok, docs, family="unigram", max_len=4, min_count=50)
+
+    table = VersionedTable(spark, str(tmp_path / "out"))
+    publish_corpus(
+        table, docs, scrub=False, pack_ctx=64, tokenizer_store=tok
+    )
+    out = table.read()
+    assert {"start_offset", "chunk_start", "chunk_end"} <= set(out.columns)
+    pc = {
+        r["doc_id"]: r["n_pieces"]
+        for r in piece_counts(tok, out.select("doc_id", "text")).collect()
+    }
+    for split_name in [r[0] for r in out.select("split").distinct().collect()]:
+        rows = sorted(
+            out.where(F.col("split") == split_name).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        off = 0
+        for r in rows:
+            assert r["start_offset"] == off, (split_name, r["doc_id"])
+            assert r["chunk_start"] == off // 64
+            assert r["chunk_end"] == (off + pc[r["doc_id"]] - 1) // 64
+            off += pc[r["doc_id"]]
