@@ -363,3 +363,60 @@ def run_incremental_cm(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_hll_registers(
+    state: DataFrame, batch: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge HLL register tables: per-register MAX (union → groupBy
+    max). Unlike the CM merge this is IDEMPOTENT — max(a, a) = a — so
+    a replayed micro-batch re-merges to a no-op and the sink below
+    needs NO epoch transaction: the three streaming sketches span the
+    design space (KMV: idempotent set-union; CM: additive, epoch-
+    guarded; HLL: idempotent max)."""
+    return (
+        state.select(*group_cols, "j", "mx")
+        .unionByName(batch.select(*group_cols, "j", "mx"))
+        .groupBy(*group_cols, "j")
+        .agg(F.max("mx").alias("mx"))
+    )
+
+
+def run_incremental_hll(
+    docs_stream: DataFrame,
+    state_table: VersionedTable,
+    checkpoint_dir: str,
+    group_col: str = "lang",
+    text_col: str = "text",
+    m: int = 256,
+    state_keep_last: int = 3,
+) -> StreamingQuery:
+    """Maintain per-group HLL distinct-token registers over a document
+    stream with O(groups·m) state; estimates at any moment via
+    ``sketches.hll_estimate`` on the state table. Replay-safe WITHOUT
+    an epoch guard (see merge_hll_registers)."""
+    from ..operators.sketches import hll_sketch
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        toks = batch_df.select(
+            group_col, F.explode(F.split(F.col(text_col), " ")).alias("token")
+        )
+        batch_sk = hll_sketch(toks, [group_col], "token", m=m)
+        if state_table.exists():
+            out = merge_hll_registers(
+                state_table.read(), batch_sk, [group_col]
+            )
+        else:
+            out = batch_sk
+        state_table.overwrite(out.localCheckpoint(eager=True))
+        state_table.vacuum(keep_last=state_keep_last)
+
+    return (
+        docs_stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1279,3 +1279,59 @@ def test_incremental_cm_state_equals_batch_sketch(spark, tmp_path):
     with _pytest.raises(Exception, match="checkpoint"):
         q2.awaitTermination(120)
         q2.processAllAvailable()
+
+
+def test_incremental_hll_state_equals_batch_and_survives_replay(spark, tmp_path):
+    """Streaming HLL: drained state registers == the batch sketch over
+    the whole corpus; re-merging the full state into itself (the
+    replay worst case) is a NO-OP — idempotent max, which is why this
+    sink needs no epoch transaction."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+    from delta_data_pipelines_spark.storage import VersionedTable
+    from delta_data_pipelines_spark.streaming.sketch_state import (
+        merge_hll_registers,
+        run_incremental_hll,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+    stream = _stream_from(spark, docs, tmp_path, "hll_docs", files=4)
+    state = VersionedTable(spark, str(tmp_path / "hll_state"))
+    q = run_incremental_hll(stream, state, str(tmp_path / "hll_ckpt"), m=256)
+    q.awaitTermination(120)
+
+    toks = docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    batch = {
+        (r["lang"], r["j"]): r["mx"]
+        for r in hll_sketch(toks, ["lang"], "token", m=256).collect()
+    }
+    stored = {
+        (r["lang"], r["j"]): r["mx"] for r in state.read().collect()
+    }
+    assert stored == batch
+
+    replayed = {
+        (r["lang"], r["j"]): r["mx"]
+        for r in merge_hll_registers(
+            state.read(), state.read(), ["lang"]
+        ).collect()
+    }
+    assert replayed == stored  # idempotent — no epoch guard needed
+
+    est = {
+        r["lang"]: r["n_est"]
+        for r in hll_estimate(state.read(), ["lang"], m=256).collect()
+    }
+    exact = {
+        r["lang"]: r["n"]
+        for r in toks.groupBy("lang")
+        .agg(F.countDistinct("token").alias("n"))
+        .collect()
+    }
+    for lang, n in exact.items():
+        assert abs(est[lang] - n) / max(n, 1) < 0.30, (lang, est[lang], n)
