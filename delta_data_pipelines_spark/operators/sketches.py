@@ -483,7 +483,11 @@ def hll_sketch(
         F.lit(width + 1) - F.length(F.conv(w, 10, 2))
     )
     return (
-        df.select(*group_cols, j.alias("j"), rho.cast("int").alias("_rho"))
+        # NULL values carry no register (a NULL hash would otherwise
+        # form a phantom (j NULL, mx NULL) row that inflates the
+        # estimate's register count)
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, j.alias("j"), rho.cast("int").alias("_rho"))
         .groupBy(*group_cols, "j")
         .agg(F.max("_rho").alias("mx"))
     )

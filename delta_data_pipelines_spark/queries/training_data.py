@@ -2546,7 +2546,7 @@ ORACLE_SQL = {
         ), h AS (
             SELECT lang,
                    ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
-            FROM toks
+            FROM toks WHERE token IS NOT NULL
         ), reg AS (
             SELECT lang, CAST(h % 256 AS INTEGER) AS j,
                    MAX(CASE WHEN h // 256 = 0 THEN 25
