@@ -162,9 +162,21 @@ def stream_interval_join(
     right_ts: str,
     upper_seconds: int,
     watermark: str = "20 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream interval join (inner): pairs on the
-    same key with ``right_ts`` in ``[left_ts, left_ts + upper]``.
+    """Watermarked stream-stream interval join: pairs on the same key
+    with ``right_ts`` in ``[left_ts, left_ts + upper]``.
+
+    ``how='left_outer'`` emits unmatched LEFT rows (right columns
+    NULL) — but only once the watermark passes ``left_ts + upper``,
+    when absence is PROVABLE: until then a match could still arrive,
+    so outer results trail the inner ones by the watermark delay
+    (Spark's stream-stream outer-join contract; the batch twin emits
+    them immediately, and convergence-to-batch is what the tests
+    pin). ``right_outer`` mirrors it. Outer modes are exactly why the
+    join condition must bound BOTH event-time columns: without the
+    two-sided bound Spark cannot prove when a row is unmatchable and
+    rejects the outer join outright.
 
     In streaming mode both sides carry a watermark and the join
     condition bounds both event-time columns, so Spark derives the
@@ -192,11 +204,24 @@ def stream_interval_join(
         & (F.col(f"_sj_r.{right_ts}") >= F.col(f"_sj_l.{left_ts}"))
         & (
             F.col(f"_sj_r.{right_ts}")
+            # a literal INTERVAL, not make_dt_interval(...): Spark's
+            # StreamingJoinHelper derives the per-side state-eviction
+            # watermark only from interval LITERALS — with the function
+            # form the outer-join modes are rejected outright (it
+            # cannot prove when an unmatched row becomes emittable)
             <= F.col(f"_sj_l.{left_ts}")
-            + F.make_dt_interval(secs=F.lit(upper_seconds))
+            + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS")
         )
     )
-    return l.join(r, cond, "inner").drop(F.col(f"_sj_r.{key}"))
+    if how not in ("inner", "left_outer", "right_outer"):
+        raise ValueError(
+            f"how must be inner/left_outer/right_outer, got {how!r}"
+        )
+    out = l.join(r, cond, how)
+    # keep the side that is always present; under left_outer the right
+    # key is NULL on unmatched rows (and vice versa)
+    drop_side = "_sj_r" if how != "right_outer" else "_sj_l"
+    return out.drop(F.col(f"{drop_side}.{key}"))
 
 
 def windowed_ohlc(

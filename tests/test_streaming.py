@@ -1335,3 +1335,83 @@ def test_incremental_hll_state_equals_batch_and_survives_replay(spark, tmp_path)
     }
     for lang, n in exact.items():
         assert abs(est[lang] - n) / max(n, 1) < 0.30, (lang, est[lang], n)
+
+
+def test_stream_stream_interval_join_left_outer(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: drained streaming
+    results equal the batch outer twin — matched pairs identical, and
+    every unmatched click emits exactly once with NULL right columns
+    (provable-absence emission once the watermark passes the bound)."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.streaming.pipeline import (
+        stream_interval_join,
+    )
+
+    e = _events(spark)
+    clicks_b = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors_b = (
+        e.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+        .withColumnRenamed("ts", "err_ts")
+    )
+    kw = dict(key="user_id", left_ts="ts", right_ts="err_ts",
+              upper_seconds=600, watermark="30 minutes")
+    expect = {
+        (r["event_id"], r["err_ts"])
+        for r in stream_interval_join(
+            clicks_b, errors_b, how="left_outer", **kw
+        ).collect()
+    }
+    n_clicks = clicks_b.count()
+    inner = stream_interval_join(clicks_b, errors_b, **kw).collect()
+    # outer = inner pairs + one NULL row per fully-unmatched click
+    matched_clicks = {r["event_id"] for r in inner}
+    assert len(expect) == len(inner) + (n_clicks - len(matched_clicks))
+
+    clicks_s = _stream_time_ordered(spark, clicks_b, tmp_path, "lo_clicks")
+    errors_s = _stream_time_ordered(
+        spark, errors_b, tmp_path, "lo_errors", ts_col="err_ts"
+    )
+    joined = stream_interval_join(
+        clicks_s, errors_s, how="left_outer", **kw
+    )
+    assert joined.isStreaming
+    got_df = _drain(joined, tmp_path, "ssjlo")
+    got = {
+        (x.event_id, None if x.err_ts is pd.NaT else x.err_ts)
+        for x in got_df[["event_id", "err_ts"]].itertuples(index=False)
+    }
+    # the drained stream holds back unmatched clicks whose proof
+    # deadline (ts + upper) the FINAL watermark never passed: when the
+    # source ends, the global watermark stops at
+    # min(max event time per side) - delay, and absence past it is
+    # unprovable — Spark's outer-join contract, so the expectation is
+    # batch MINUS that tail
+    import datetime as _dt
+
+    final_wm = min(
+        clicks_b.agg(F.max("ts")).collect()[0][0],
+        errors_b.agg(F.max("err_ts")).collect()[0][0],
+    ) - _dt.timedelta(minutes=30)
+    deadline_by_click = {
+        r["event_id"]: r["ts"] + _dt.timedelta(seconds=600)
+        for r in clicks_b.collect()
+    }
+    expect_stream = {
+        (eid, ts)
+        for eid, ts in expect
+        if ts is not None or deadline_by_click[eid] < final_wm
+    }
+    assert got == expect_stream
+    # and the held-back tail is exactly the batch-minus-stream gap
+    held = {(e, t) for e, t in expect if (e, t) not in expect_stream}
+    assert all(t is None for _, t in held)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="how must be"):
+        stream_interval_join(clicks_b, errors_b, how="full", **kw)
