@@ -126,6 +126,10 @@ def html_to_text(html: str | None) -> str | None:
     p = _AllTextCollector()
     try:
         p.feed(html)
+        # close() flushes text the charref lookahead buffered at
+        # end-of-input (trailing 'AT&T', truncated-mid-entity pages —
+        # exactly the damaged captures this path exists for)
+        p.close()
     except Exception:
         pass
     return " ".join(p.parts)

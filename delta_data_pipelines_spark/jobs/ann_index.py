@@ -382,7 +382,9 @@ def append_ivf_cells(
             f"no IVF index at {store.root}; run refresh_ivf_index first"
         )
     meta = store.meta()
-    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    # legacy stores whose meta predates the vec_col pin default to
+    # the historical column, as _resolve_vec_col does
+    id_col, vec_col = meta["id_col"], meta.get("vec_col", "embedding")
     assigned = ivf_assign(
         new_vectors.select(id_col, as_double(F.col(vec_col)).alias("_v")),
         store.centroids.read(meta.get("centroids_version")),
@@ -438,7 +440,9 @@ def serve_ivf_topk(
             f"no IVF index at {store.root}; run refresh_ivf_index first"
         )
     meta = store.meta()
-    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    # legacy stores whose meta predates the vec_col pin default to
+    # the historical column, as _resolve_vec_col does
+    id_col, vec_col = meta["id_col"], meta.get("vec_col", "embedding")
     cent = store.centroids.read(meta.get("centroids_version"))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
@@ -596,13 +600,7 @@ def serve_ivfpq_topk(
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    from ..operators.similarity import (
-        _subspace_slices,
-        as_double,
-        cosine,
-        dot,
-        norm,
-    )
+    from ..operators.similarity import as_double, cosine
 
     if not ivf_store.exists():
         raise FileNotFoundError(
@@ -620,7 +618,8 @@ def serve_ivfpq_topk(
                 f"{imeta.get(key)!r} vs {pmeta.get(key)!r} — rebuild one "
                 f"of them over the same corpus columns"
             )
-    id_col, vec_col = imeta["id_col"], imeta["vec_col"]
+    id_col = imeta["id_col"]
+    vec_col = imeta.get("vec_col", "embedding")
     m = int(pmeta["m"])
 
     # 1. probe: nprobe nearest cells per query (broadcast centroids)
@@ -652,50 +651,20 @@ def serve_ivfpq_topk(
         .select("query_id", "neighbor_id")
     )
 
-    # 3. ADC over candidates only — pq_adc_serve's scoring expressions
+    # 3. ADC over candidates only — the scoring (LUT terms + decimal
+    # aggregation + rank) is the SHARED definition in similarity
+    # (adc_lut/adc_rank): pq_adc_serve consumes the same helpers, so
+    # the test-pinned nprobe=n_cells ≡ flat-serve invariant cannot be
+    # broken by a one-sided scoring change
+    from ..operators.similarity import adc_lut, adc_rank
+
     codes = pq_store.codes.read(pmeta.get("codes_version"))
     cb = pq_store.codebook.read(pmeta.get("codebook_version"))
-    qn = q.withColumn("_qn", norm(F.col("_qv")))
-    qsub = _subspace_slices(
-        q.select(F.col("query_id").alias("qid"), "_qv"), "qid", "_qv", m, "_qs"
-    )
-    lut = (
-        qsub.join(F.broadcast(cb), "sub_id")
-        .select(
-            F.col("qid").alias("query_id"),
-            "sub_id",
-            "code",
-            F.round(dot(F.col("_qs"), F.col("_cv")), 9)
-            .cast("decimal(38,12)")
-            .alias("_pd"),
-            F.round(dot(F.col("_cv"), F.col("_cv")), 9)
-            .cast("decimal(38,12)")
-            .alias("_cn2"),
-        )
-        .join(qn.select("query_id", "_qn"), "query_id")
-    )
-    scored = (
-        cand.join(
-            codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
-        )
-        .join(F.broadcast(lut), ["query_id", "sub_id", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.round(
-                F.sum("_pd").cast("double")
-                / (F.min("_qn") * F.sqrt(F.sum("_cn2").cast("double"))),
-                9,
-            ).alias("approx_cos")
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= topk)
-        .select("query_id", "neighbor_id", "approx_cos", "rank")
-    )
+    lut = adc_lut(q, cb, m)
+    scored = cand.join(
+        codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
+    ).join(F.broadcast(lut), ["query_id", "sub_id", "code"])
+    return adc_rank(scored, topk)
 
 
 def sweep_ivf_near_dups(
@@ -726,11 +695,39 @@ def sweep_ivf_near_dups(
             f"no IVF index at {store.root}; run refresh_ivf_index first"
         )
     meta = store.meta()
-    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    # legacy stores whose meta predates the vec_col pin default to
+    # the historical column, as _resolve_vec_col does
+    id_col, vec_col = meta["id_col"], meta.get("vec_col", "embedding")
     if cells is not None:
+        if not cells:
+            raise ValueError(
+                "cells=[] sweeps nothing; pass None for a full sweep "
+                "or a non-empty cell-id list for an incremental one"
+            )
         spark = store.spark
+        # type the probe frame FROM the stored table's cid column —
+        # guessing from the python values (isinstance int) mistypes
+        # numpy ints pulled from collected rows, and a string-typed
+        # probe hashes into DIFFERENT buckets than the stored longs,
+        # silently pruning the sweep to nothing
+        full = store.cells.read(meta.get("cells_version"))
+        cid_type = full.schema["cid"].dataType
+        from pyspark.sql.types import (
+            NumericType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        if isinstance(cid_type, NumericType):
+            vals = [int(c) for c in cells]  # numpy ints coerce too
+        elif isinstance(cid_type, StringType):
+            vals = [str(c) for c in cells]
+        else:
+            vals = list(cells)
         cell_df = spark.createDataFrame(
-            [(c,) for c in cells], f"cid {'long' if cells and isinstance(cells[0], int) else 'string'}"
+            [(c,) for c in vals],
+            StructType([StructField("cid", cid_type)]),
         )
         src = store.cells.read_buckets(
             store.cells.bucket_ids_of(cell_df, "cid"),

@@ -530,9 +530,17 @@ def curate_corpus(
         if tokenizer_store is not None:
             # size windows in stored-tokenizer TRAINING tokens, not
             # whitespace words: per-doc piece counts from the pinned
-            # artifact join in, pack_stage consumes them precomputed
+            # artifact join in, pack_stage consumes them precomputed.
+            # Stage the pipeline FIRST: piece_counts and the join's
+            # left side both consume `split`, and without the
+            # checkpoint the whole scrub/gate/dedup lineage would run
+            # twice in one action (pack_stage's own checkpoint comes
+            # too late for this fan-out). LEFT join + coalesce(0):
+            # a doc the tokenizer yields no pieces for must not be
+            # silently deleted from the published corpus.
             from .tokenizer import piece_counts
 
+            split = split.localCheckpoint(eager=True)
             pc = piece_counts(
                 tokenizer_store,
                 split.select(id_col, text_col),
@@ -540,7 +548,9 @@ def curate_corpus(
                 text_col,
             )
             split = pack_stage(
-                split.join(pc, id_col),
+                split.join(pc, id_col, "left").withColumn(
+                    "n_pieces", F.coalesce(F.col("n_pieces"), F.lit(0))
+                ),
                 "split",
                 id_col,
                 text_col,

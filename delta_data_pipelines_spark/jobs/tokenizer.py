@@ -99,9 +99,28 @@ def train_tokenizer(
 
         rules = bpe.bpe_train(docs, text_col=text_col, n_merges=n_merges)
         commit = store.pieces.overwrite(rules)
+        # the id space needs the FULL character inventory, not just the
+        # symbols merge rules touch: bpe_segment emits every corpus
+        # character as a piece, and an id map built from rules alone
+        # would send known characters to <unk> (alphabet-sized — meta
+        # JSON is the right home, like every other fit parameter)
+        chars = sorted(
+            r["c"]
+            for r in docs.select(
+                F.explode(
+                    F.split(
+                        F.concat_ws("", F.split(F.col(text_col), " ")), ""
+                    )
+                ).alias("c")
+            )
+            .where(F.col("c") != "")
+            .distinct()
+            .collect()
+        )
         meta = {
             "family": "bpe",
             "n_merges": n_merges,
+            "chars": chars,
             "pieces_version": commit.version,
         }
     store._write_meta(meta)
@@ -146,8 +165,11 @@ def encode_corpus(
             lambda e: e["w"] != "",
         ),
     )
+    # explode_OUTER: a NULL/empty/whitespace-only text has no words,
+    # and a plain explode would silently delete the document from the
+    # output (it encodes to an EMPTY piece array instead)
     exploded = with_pos.select(
-        "*", F.explode("_wp").alias("_e")
+        "*", F.explode_outer("_wp").alias("_e")
     ).select("*", F.col("_e.w").alias("_w"), F.col("_e.i").alias("_i"))
     if meta["family"] == "unigram":
         from ..operators import unigram
@@ -180,13 +202,21 @@ def encode_corpus(
         ).select(F.col("w").alias("_w"), "_ps")
     id_cols = [c for c in docs.columns]
     return (
-        exploded.join(seg, "_w")
+        exploded.join(seg, "_w", "left")
         .groupBy(*id_cols)
         .agg(
             F.flatten(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct(F.col("_i"), F.col("_ps")))
+                        # collect_list skips NULLs: the explode_outer
+                        # placeholder row (no word) contributes nothing
+                        # and a wordless doc aggregates to []
+                        F.collect_list(
+                            F.when(
+                                F.col("_w").isNotNull(),
+                                F.struct(F.col("_i"), F.col("_ps")),
+                            )
+                        )
                     ),
                     lambda s: s["_ps"],
                 )
@@ -220,14 +250,26 @@ def encode_ids(
         ordering = [F.col("cnt").desc(), F.col("piece")]
         id_src = artifact.select("piece", "cnt")
     else:
-        # BPE: single chars + merged symbols; rank merged pieces by
-        # learning order after the character inventory
-        chars = (
-            artifact.select(F.explode(F.array("left", "right")).alias("piece"))
-            .where(F.length("piece") == 1)
-            .distinct()
-            .withColumn("cnt", F.lit(0))
-        )
+        # BPE: the FULL train-time character inventory (meta['chars'] —
+        # bpe_segment emits every character as a piece, so an id map
+        # built from rule symbols alone would send known characters to
+        # <unk>) + merged symbols ranked by learning order after it.
+        # Legacy stores without the chars pin fall back to rule symbols
+        # (their historical, narrower behavior).
+        spark = docs.sparkSession
+        if meta.get("chars"):
+            chars = spark.createDataFrame(
+                [(c,) for c in meta["chars"]], "piece string"
+            ).withColumn("cnt", F.lit(0))
+        else:
+            chars = (
+                artifact.select(
+                    F.explode(F.array("left", "right")).alias("piece")
+                )
+                .where(F.length("piece") == 1)
+                .distinct()
+                .withColumn("cnt", F.lit(0))
+            )
         merged = artifact.select(
             F.col("merged").alias("piece"), (-F.col("rank")).alias("cnt")
         )
@@ -258,8 +300,18 @@ def encode_ids(
         )
     )
     return (
-        pieces.join(mapped, "_pstr")
+        # LEFT join + empty-array fallback: the empty piece array (a
+        # wordless doc) explodes to zero rows in `mapped`, so an inner
+        # join would delete the doc the explode_outer upstream just
+        # preserved
+        pieces.join(mapped, "_pstr", "left")
         .drop("_pstr")
+        .withColumn(
+            out_col,
+            F.coalesce(
+                F.col(out_col), F.expr("CAST(array() AS array<int>)")
+            ),
+        )
         .withColumn(f"{out_col}_n", F.size(out_col))
     )
 
@@ -334,7 +386,10 @@ def materialize_packed(
     drop it or pad loader-side per training convention."""
     from ..operators import ranking
 
-    enc = encode_ids(store, docs, text_col)
+    # encode once: the counts->prefix-sum branch and the token explode
+    # both consume enc, and the encode plan (distinct-word Viterbi +
+    # corpus join) is too expensive to evaluate per branch
+    enc = encode_ids(store, docs, text_col).localCheckpoint(eager=True)
     counts = enc.select(id_col, F.col("piece_ids_n").alias("n_pieces"))
     cum = ranking.global_cumsum_by_range(counts, id_col, "n_pieces").select(
         id_col, F.col("cum_before").alias("_off")

@@ -622,11 +622,30 @@ def pq_adc_serve(
     produced the codebook."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_qv")
-    ).withColumn("_qn", norm(F.col("_qv")))
-    qsub = _subspace_slices(
-        q.select(F.col("query_id").alias("qid"), F.col("_qv")), "qid", "_qv", m, "_qs"
     )
-    lut = (
+    lut = adc_lut(q, codebook, m)
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(lut), ["sub_id", "code"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    return adc_rank(scored, topk)
+
+
+def adc_lut(q: DataFrame, codebook: DataFrame, m: int) -> DataFrame:
+    """Per-query ADC lookup table from a (query_id, _qv) frame:
+    (query_id, sub_id, code, _pd, _cn2, _qn) — the ONE definition of
+    the partial-dot/codeword-norm/query-norm terms, shared by
+    ``pq_adc_serve`` and the composed IVF-PQ serve
+    (jobs.ann_index.serve_ivfpq_topk): their probing differs, their
+    scoring must not (the nprobe=n_cells ≡ flat-serve invariant is
+    test-pinned on exactly this sharing)."""
+    qn = q.withColumn("_qn", norm(F.col("_qv")))
+    qsub = _subspace_slices(
+        q.select(F.col("query_id").alias("qid"), F.col("_qv")),
+        "qid", "_qv", m, "_qs",
+    )
+    return (
         qsub.join(F.broadcast(codebook), "sub_id")
         .select(
             F.col("qid").alias("query_id"),
@@ -639,20 +658,20 @@ def pq_adc_serve(
             .cast("decimal(38,12)")
             .alias("_cn2"),
         )
-        .join(q.select("query_id", "_qn"), "query_id")
+        .join(qn.select("query_id", "_qn"), "query_id")
     )
-    scored = (
-        codes.withColumnRenamed(id_col, "neighbor_id")
-        .join(F.broadcast(lut), ["sub_id", "code"])
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.round(
-                F.sum("_pd").cast("double")
-                / (F.min("_qn") * F.sqrt(F.sum("_cn2").cast("double"))),
-                9,
-            ).alias("approx_cos")
-        )
+
+
+def adc_rank(scored_pairs: DataFrame, topk: int) -> DataFrame:
+    """ADC aggregation + top-k: (query_id, neighbor_id, _pd, _cn2,
+    _qn) pairs → decimal-summed approx cosine, ranked per query.
+    Shared by the same two serves as :func:`adc_lut`."""
+    scored = scored_pairs.groupBy("query_id", "neighbor_id").agg(
+        F.round(
+            F.sum("_pd").cast("double")
+            / (F.min("_qn") * F.sqrt(F.sum("_cn2").cast("double"))),
+            9,
+        ).alias("approx_cos")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_cos").desc(), F.col("neighbor_id")

@@ -79,7 +79,8 @@ def _morton_key(df: DataFrame, cols: list[str]) -> "F.Column":
             z = z + F.shiftleft(
                 F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * c + j
             )
-    # NULLs (no bucket) sort first, clustered together
+    # a NULL zorder value maps to the MAX bucket (least/greatest skip
+    # NULLs), so NULL rows cluster together at the top of the key range
     return z
 
 

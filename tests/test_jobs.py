@@ -1106,3 +1106,33 @@ def test_curate_pack_with_stored_tokenizer(spark, tmp_path):
             assert r["chunk_start"] == off // 64
             assert r["chunk_end"] == (off + pc[r["doc_id"]] - 1) // 64
             off += pc[r["doc_id"]]
+
+
+def test_tokenizer_bpe_ids_cover_full_alphabet(spark, tmp_path):
+    """The BPE id space must include EVERY train-corpus character, not
+    just the symbols merge rules touch — a letter no rule ever merged
+    still encodes to a real id, never 0/<unk> (meta['chars'] pin); and
+    empty-text docs survive encoding as empty arrays instead of
+    vanishing (explode_outer)."""
+    from delta_data_pipelines_spark.jobs.tokenizer import (
+        TokenizerStore,
+        encode_corpus,
+        encode_ids,
+        train_tokenizer,
+    )
+
+    # 'q', 'x', 'z' appear once each — no merge rule will touch them
+    docs = spark.createDataFrame(
+        [(1, "hello hello hello qxz"), (2, "hell hello"), (3, "")],
+        "doc_id long, text string",
+    )
+    store = TokenizerStore(spark, str(tmp_path / "btok"))
+    info = train_tokenizer(store, docs, family="bpe", n_merges=3)
+    assert set("qxz") <= set(store.meta()["chars"])
+
+    enc = {r["doc_id"]: r for r in encode_ids(store, docs).collect()}
+    assert len(enc) == 3
+    assert min(enc[1]["piece_ids"]) >= 1, enc[1]["piece_ids"]  # no <unk>
+    assert enc[3]["piece_ids"] == [] and enc[3]["piece_ids_n"] == 0
+    ec = {r["doc_id"]: r["pieces"] for r in encode_corpus(store, docs).collect()}
+    assert ec[3] == []
