@@ -187,6 +187,16 @@ def main(argv: list[str] | None = None) -> int:
                     "temporal columns so row-group stats prune scans "
                     "filtered on any of them (versioned tables)")
 
+    pg = sub.add_parser(
+        "pq-refresh-if-drifted",
+        help="drift-gated PQ refresh: probe the corpus's mean "
+        "assignment cosine against the stored codebook and refit "
+        "only when it fell > tolerance below the build baseline",
+    )
+    pg.add_argument("--index", required=True, help="PQ index store root")
+    pg.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    pg.add_argument("--tolerance", type=float, default=0.05)
+
     sw = sub.add_parser(
         "ivf-sweep-dups",
         help="semantic-dedup sweep over the STORED IVF cell layout "
@@ -469,6 +479,16 @@ def main(argv: list[str] | None = None) -> int:
             model, ref, heldout, drop_fraction=args.lm_drop
         )
         print(json.dumps({"job": "fit-curation-model", **res}))
+        return 0
+
+    if args.cmd == "pq-refresh-if-drifted":
+        from .catalog import read_table
+        from .jobs.ann_index import PQIndexStore, refresh_pq_if_drifted
+
+        store = PQIndexStore(spark, args.index)
+        e = read_table(spark, args.sf_dir, "embeddings")
+        res = refresh_pq_if_drifted(store, e, tolerance=args.tolerance)
+        print(json.dumps({"job": "pq-refresh-if-drifted", **res}))
         return 0
 
     if args.cmd == "ivf-sweep-dups":

@@ -738,3 +738,62 @@ def sweep_ivf_near_dups(
     return dedup.embedding_near_dup_pairs(
         src, id_col, vec_col, block_col="cid", threshold=threshold
     )
+
+
+def refresh_pq_if_drifted(
+    store: PQIndexStore,
+    vectors: DataFrame,
+    probe: DataFrame | None = None,
+    tolerance: float = 0.05,
+) -> dict[str, Any]:
+    """Drift-gated refresh policy — the scheduler-side closing of the
+    loop whose signal ``append_pq_codes`` / the streaming ingest
+    already emit: measure the CURRENT corpus's mean assignment cosine
+    against the stored codebook and refit only when it fell more than
+    ``tolerance`` below the build-time baseline (new data drifted off
+    the codebook's span; re-fitting on every schedule tick wastes the
+    full fit cost when nothing moved).
+
+    ``probe`` (default: ``vectors``) lets the caller measure on a
+    cheap deterministic sample while refitting on everything —
+    at corpus scale the probe is the difference between a
+    codes-sized scan and a full fit per tick. Returns the probe
+    numbers plus either ``refreshed: False`` or the refresh result.
+    """
+    if not store.exists():
+        raise FileNotFoundError(
+            f"no PQ index at {store.root}; run refresh_pq_index first"
+        )
+    meta = store.meta()
+    baseline = meta.get("baseline_mean_sim")
+    if baseline is None:
+        raise ValueError(
+            f"index at {store.root} has no baseline_mean_sim; "
+            f"re-run refresh_pq_index to establish the drift baseline"
+        )
+    cb = store.codebook.read(meta.get("codebook_version"))
+    n, mean_sim = pq_assignment_quality(
+        probe if probe is not None else vectors,
+        cb,
+        id_col=meta["id_col"],
+        vec_col=meta.get("vec_col", "embedding"),
+        m=int(meta["m"]),
+    )
+    out = {
+        "probe_n": n,
+        "probe_mean_sim": mean_sim,
+        "baseline_mean_sim": baseline,
+        "tolerance": tolerance,
+    }
+    if mean_sim >= baseline - tolerance:
+        return {**out, "refreshed": False}
+    res = refresh_pq_index(
+        store,
+        vectors,
+        id_col=meta["id_col"],
+        vec_col=meta.get("vec_col", "embedding"),
+        m=int(meta["m"]),
+        k=int(meta["k"]),
+        n_iter=int(meta.get("n_iter", 2)),
+    )
+    return {**out, "refreshed": True, **res}

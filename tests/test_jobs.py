@@ -1136,3 +1136,44 @@ def test_tokenizer_bpe_ids_cover_full_alphabet(spark, tmp_path):
     assert enc[3]["piece_ids"] == [] and enc[3]["piece_ids_n"] == 0
     ec = {r["doc_id"]: r["pieces"] for r in encode_corpus(store, docs).collect()}
     assert ec[3] == []
+
+
+def test_refresh_pq_if_drifted_gate(spark, tmp_path):
+    """Drift-gated refresh: measuring the SAME corpus the index was
+    built on stays within tolerance (no refit, versions unchanged); a
+    drifted corpus (negated vectors — assignment cosines collapse)
+    trips the gate and refits, bumping both pinned versions and
+    re-basing the baseline."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.jobs.ann_index import (
+        PQIndexStore,
+        refresh_pq_if_drifted,
+        refresh_pq_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    store = PQIndexStore(spark, str(tmp_path / "pq"))
+    refresh_pq_index(store, e, m=4, k=4, n_iter=2)
+    v0 = store.meta()["codes_version"]
+
+    res = refresh_pq_if_drifted(store, e, tolerance=0.01)
+    assert res["refreshed"] is False
+    assert res["probe_mean_sim"] == store.meta()["baseline_mean_sim"]
+    assert store.meta()["codes_version"] == v0
+
+    # alternate-sign flip decorrelates the corpus from the codebook
+    # (the fixture's baseline is modest, so the gate is tested at a
+    # proportionate tolerance)
+    drifted = e.withColumn(
+        "embedding",
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            "CASE WHEN i % 2 = 0 THEN x ELSE -x END)"
+        ),
+    )
+    res2 = refresh_pq_if_drifted(store, drifted, tolerance=0.01)
+    assert res2["refreshed"] is True
+    assert res2["probe_mean_sim"] < res2["baseline_mean_sim"] - 0.01
+    assert store.meta()["codes_version"] == v0 + 1
+    assert store.meta()["baseline_mean_sim"] == res2["baseline_mean_sim"]
