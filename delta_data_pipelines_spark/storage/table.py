@@ -84,6 +84,53 @@ def _morton_key(df: DataFrame, cols: list[str]) -> "F.Column":
     return z
 
 
+
+def _morton_rank_frame(
+    df: DataFrame, cols: list[str], n: int
+) -> DataFrame:
+    """Equi-DEPTH Morton key (``zorder_method='rank'``): each column
+    buckets by its range-partitioned GLOBAL RANK instead of its value
+    range — skew-proof: a column where 90% of rows share one hot value
+    still spreads across buckets by rank (the hot value's ties fan out
+    over adjacent buckets; harmless for layout — clustering quality,
+    not correctness, is at stake), where the range buckets would
+    collapse most rows into one Morton cell and one giant file region.
+    Costs one range shuffle per column (a maintenance rewrite already
+    pays a full shuffle); appends ``_z``."""
+    from ..operators.ranking import global_rank_by_range
+
+    from pyspark.sql.types import DateType, NumericType, TimestampType
+
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    n_cells = 1 << _Z_BITS
+    out = df
+    bucket_cols = []
+    for i, c in enumerate(cols):
+        t = by_name[c]
+        if not isinstance(t, (NumericType, DateType, TimestampType)):
+            raise ValueError(
+                f"zorder column {c!r} has unsupported type {t.simpleString()}"
+                " (numeric, date or timestamp required)"
+            )
+        out = global_rank_by_range(out, c).withColumnRenamed(
+            "global_rank", f"_zr_{i}"
+        )
+        bucket_cols.append(
+            F.floor((F.col(f"_zr_{i}") - 1) * n_cells / F.lit(max(n, 1)))
+            .cast("bigint")
+        )
+    z = F.lit(0).cast("bigint")
+    for bit in range(_Z_BITS):
+        for j, b in enumerate(bucket_cols):
+            z = z + F.shiftleft(
+                F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                bit * len(bucket_cols) + j,
+            )
+    return out.withColumn("_z", z).drop(
+        *[f"_zr_{i}" for i in range(len(cols))]
+    )
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     """Row-level diff between two snapshots keyed by ``keys`` — the
     Delta change-data-feed row classification, defined ONCE for both
@@ -326,6 +373,7 @@ class VersionedTable:
         self,
         target_rows_per_file: int = 1_000_000,
         zorder_by: list[str] | None = None,
+        zorder_method: str = "range",
     ) -> Commit:
         """Delta ``OPTIMIZE`` parity: rewrite the latest snapshot into
         evenly-sized files, as a new commit (time travel to the
@@ -366,9 +414,26 @@ class VersionedTable:
         n = df.count()
         n_files = max(1, -(-n // target_rows_per_file))  # ceil div
         if zorder_by:
+            if zorder_method not in ("range", "rank"):
+                raise ValueError(
+                    f"zorder_method must be 'range' or 'rank', "
+                    f"got {zorder_method!r}"
+                )
+            if not 1 <= len(zorder_by) <= 4:
+                raise ValueError(
+                    f"zorder_by takes 1-4 columns, got {len(zorder_by)}"
+                )
+            for c in zorder_by:
+                if c not in df.columns:
+                    raise ValueError(
+                        f"zorder column {c!r} not in table schema"
+                    )
+            if zorder_method == "rank":
+                keyed = _morton_rank_frame(df, zorder_by, n)
+            else:
+                keyed = df.withColumn("_z", _morton_key(df, zorder_by))
             out = (
-                df.withColumn("_z", _morton_key(df, zorder_by))
-                .repartitionByRange(n_files, "_z")
+                keyed.repartitionByRange(n_files, "_z")
                 .sortWithinPartitions("_z")
                 .drop("_z")
             )
@@ -378,7 +443,8 @@ class VersionedTable:
             "compact",
             out,
             {"rows": n, "files": n_files,
-             **({"zorder_by": zorder_by} if zorder_by else {})},
+             **({"zorder_by": zorder_by, "zorder_method": zorder_method}
+                if zorder_by else {})},
         )
 
     def vacuum(self, keep_last: int = 3) -> list[int]:

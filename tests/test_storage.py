@@ -731,3 +731,43 @@ def test_versioned_compact_zorder_clusters_both_dims(spark, tmp_path):
         t2.compact(zorder_by=["s"])
     with _pytest.raises(ValueError, match="1-4 columns"):
         t2.compact(zorder_by=["n", "n", "n", "n", "n"])
+
+
+def test_versioned_compact_zorder_rank_handles_skew(spark, tmp_path):
+    """zorder_method='rank' (equi-depth buckets by range-partitioned
+    global rank): on a corpus where 90% of rows share ONE hot x value,
+    the value-range method collapses those rows into a single Morton
+    cell while rank buckets still spread them — every output file
+    stays narrow in y, and content is identical to the input."""
+    import glob as _glob
+    import os
+
+    t = VersionedTable(spark, str(tmp_path / "zs"))
+    n = 4096
+    skewed = spark.range(n).selectExpr(
+        "id",
+        # 90% of x values are the hot constant 7.0
+        "CAST(CASE WHEN id % 10 < 9 THEN 7.0 ELSE id END AS DOUBLE) AS x",
+        "CAST(id % 64 AS DOUBLE) AS y",
+    )
+    t.overwrite(skewed)
+    before = sorted(tuple(r) for r in t.read().collect())
+
+    c = t.compact(
+        target_rows_per_file=256, zorder_by=["x", "y"], zorder_method="rank"
+    )
+    assert c.metrics["zorder_method"] == "rank"
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+
+    files = _glob.glob(os.path.join(t.root, f"v={c.version:06d}", "*.parquet"))
+    assert len(files) == 16
+    for f in files:
+        r = spark.read.parquet(f).selectExpr(
+            "max(y) - min(y) AS sy", "count(*) AS n"
+        ).first()
+        assert r["sy"] <= 32, (f, r["sy"])  # y stays clustered under x-skew
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="zorder_method"):
+        t.compact(zorder_by=["x"], zorder_method="hilbert")
