@@ -186,6 +186,11 @@ def main(argv: list[str] | None = None) -> int:
                     "rewrite on the Morton interleave of 1-4 numeric/"
                     "temporal columns so row-group stats prune scans "
                     "filtered on any of them (versioned tables)")
+    ct.add_argument("--zorder-method", choices=["range", "rank"],
+                    default="range",
+                    help="bucket by value range (default) or by "
+                    "equi-depth global rank (skew-proof: hot values "
+                    "can't collapse a dimension)")
 
     pg = sub.add_parser(
         "pq-refresh-if-drifted",
@@ -565,7 +570,8 @@ def main(argv: list[str] | None = None) -> int:
             res = {"kind": "bucketed", "version": c.version, **c.metrics}
         else:
             c = t.compact(target_rows_per_file=args.target_rows,
-                          zorder_by=args.zorder_by)
+                          zorder_by=args.zorder_by,
+                          zorder_method=args.zorder_method)
             res = {"kind": "versioned", "version": c.version, **c.metrics}
         removed = t.vacuum(keep_last=args.keep_last)
         res["vacuumed_versions"] = len(removed)
