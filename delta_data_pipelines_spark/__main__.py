@@ -96,6 +96,9 @@ def main(argv: list[str] | None = None) -> int:
         "dup ratio, mean quality/length) as one JSON line",
     )
     cr.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    cr.add_argument("--table", default=None, metavar="DIR",
+                    help="report on a curated VersionedTable instead "
+                    "of the sf-dir documents parquet")
 
     cn = sub.add_parser(
         "compact-neardups",
@@ -363,9 +366,17 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "corpus-report":
-        from .queries.training_data import td_corpus_report
+        if args.table:
+            from .queries.training_data import corpus_report_frame
+            from .storage import VersionedTable
 
-        row = td_corpus_report(spark, args.sf_dir).collect()[0]
+            row = corpus_report_frame(
+                VersionedTable(spark, args.table).read()
+            ).collect()[0]
+        else:
+            from .queries.training_data import td_corpus_report
+
+            row = td_corpus_report(spark, args.sf_dir).collect()[0]
         print(json.dumps({"job": "corpus-report", **row.asDict()}))
         return 0
 

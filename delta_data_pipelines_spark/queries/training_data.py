@@ -1398,10 +1398,22 @@ def td_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiple COUNT(DISTINCT)s expand the scan ~4x internally — still a
     single linear pass, the right cost for a report); sums that feed
     fractions use the exact-decimal discipline."""
-    d = read_table(spark, sf_dir, "documents")
+    return corpus_report_frame(read_table(spark, sf_dir, "documents"))
+
+
+def corpus_report_frame(d: DataFrame) -> DataFrame:
+    """The datasheet aggregation over ANY documents-shaped frame —
+    shared by the oracle-checked query above and the CLI's
+    ``corpus-report --table`` (a curated VersionedTable output is the
+    usual target). Frames without ``lang``/``source`` report 0 for
+    those counts instead of failing."""
+    lang = F.col("lang") if "lang" in d.columns else F.lit(None).cast("string")
+    source = (
+        F.col("source") if "source" in d.columns else F.lit(None).cast("string")
+    )
     scored = d.select(
-        "lang",
-        "source",
+        lang.alias("lang"),
+        source.alias("source"),
         "text",
         textstats.quality_score(F.col("text")).alias("_q"),
         textstats.token_count_ws(F.col("text")).alias("_ntok"),
