@@ -811,6 +811,51 @@ def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.kmv_distinct(toks, ["lang"], "token", k=64).orderBy("lang")
 
 
+def sk_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-language token-count quantiles (P50/P95/P99) through
+    the range-partitioned grouped rank — the exact complement of the
+    mergeable binned sketch (sk_binned_quantiles): where the sketch
+    trades one bin of error for mergeability, this pays one ranked
+    shuffle for the true order statistic, and no group ever occupies
+    a single task (ranking.grouped_rank_by_range — the quantile is
+    just ``rank == ceil(p·n)`` on a composite unique key). The usual
+    split: sketches for dashboards, exact ranks for the cut points a
+    curation config hard-codes."""
+    from ..operators import ranking
+
+    d = read_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "lang",
+        "doc_id",
+        textstats.token_count_ws(F.col("text")).alias("n_tokens"),
+    ).withColumn(
+        # unique composite order key (token count then doc id) packed
+        # into one orderable bigint: ranks are ties-free so each
+        # target rank names exactly one row
+        "_okey",
+        F.col("n_tokens").cast("bigint") * F.lit(2**33) + F.col("doc_id"),
+    )
+    ranked = ranking.grouped_rank_by_range(sized, "lang", "_okey")
+    counts = sized.groupBy("lang").agg(F.count("*").alias("_n"))
+    ps = spark.createDataFrame(
+        [(0.5,), (0.95,), (0.99,)], "p double"
+    )
+    targets = counts.crossJoin(F.broadcast(ps)).select(
+        F.col("lang").alias("_tlang"),
+        "p",
+        F.ceil(F.col("p") * F.col("_n")).cast("bigint").alias("_tr"),
+    )
+    return (
+        ranked.join(
+            targets,
+            (F.col("lang") == F.col("_tlang"))
+            & (F.col("group_rank") == F.col("_tr")),
+        )
+        .select("lang", "p", F.col("n_tokens").alias("q_exact"))
+        .orderBy("lang", "p")
+    )
+
+
 def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language distinct-token cardinality via HyperLogLog
     registers next to the exact count — the FIXED-SIZE counterpart of
@@ -1875,6 +1920,7 @@ SPARK_QUERIES = {
     "sk_kmv_distinct": sk_kmv_distinct,
     "sk_source_overlap": sk_source_overlap,
     "sk_hll_distinct": sk_hll_distinct,
+    "sk_exact_quantiles": sk_exact_quantiles,
     "sk_cm_counts": sk_cm_counts,
     "txt_boilerplate": txt_boilerplate,
     "td_passage_dup_fraction": td_passage_dup_fraction,
@@ -2550,6 +2596,30 @@ ORACLE_SQL = {
                e.n_est - t.n_exact AS overcount
         FROM top t JOIN est e USING (token)
         ORDER BY n_exact DESC, token
+    """,
+    "sk_exact_quantiles": """
+        WITH sized AS (
+            SELECT lang, doc_id,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), ranked AS (
+            SELECT lang, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY n_tokens, doc_id) AS rnk
+            FROM sized
+        ), counts AS (
+            SELECT lang, COUNT(*) AS n FROM sized GROUP BY lang
+        ), targets AS (
+            SELECT lang, CAST(p AS DOUBLE) AS p,
+                   CAST(CEIL(CAST(p AS DOUBLE) * n) AS BIGINT) AS tr
+            FROM counts CROSS JOIN (
+                SELECT unnest([0.5, 0.95, 0.99]) AS p
+            )
+        )
+        SELECT r.lang AS lang, t.p, r.n_tokens AS q_exact
+        FROM ranked r JOIN targets t
+          ON r.lang = t.lang AND r.rnk = t.tr
+        ORDER BY r.lang, t.p
     """,
     "sk_hll_distinct": """
         WITH toks AS (
