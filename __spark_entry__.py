@@ -130,7 +130,9 @@ _PRIORITY = [
     # the local mirror: tpch_q2, w_row_number_seq_scalable,
     # w_batch_ids_global, dd_embedding_blocked, dd_cluster, dd_minhash,
     # sim_brute_topk, sim_ivf_topk, txt_profile.
-    "t_ohlc_bars", "t_windowed_topk", "t_rolling_wau",
+    # t_windowed_topk (r07-green, mirror-checked) rotated out for the
+    # exact-quantiles query's first driver row
+    "t_ohlc_bars", "sk_exact_quantiles", "t_rolling_wau",
     "sk_binned_quantiles", "ds_group_sample", "ds_token_budget_mix",
     "sim_range_search", "w_percent_rank_scalable",
     "td_ngram_contamination",
