@@ -1,0 +1,205 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al.,
+NeurIPS 2023) over hashed n-gram features, all native expressions.
+
+The published recipe for "select web data that looks like my target
+corpus": fit two Laplace-smoothed bag-of-hashed-ngram models — the
+TARGET distribution p (the data you want more of) and the RAW
+distribution q (the corpus you are selecting from) — weight every raw
+document by its estimated log importance ratio
+
+    log p(doc)/q(doc) = sum over the doc's features of log(p_b / q_b)
+
+and resample with Gumbel-top-k (equivalent to Efraimidis–Spirakis on
+w = exp(log-ratio), but overflow-safe because it never exponentiates).
+
+Engine-portable by construction, like every selection operator here:
+
+- features hash through the ONE shared portable expression
+  (``sampling.md5_hash64`` mod ``n_buckets``);
+- per-bucket log-probabilities are natural logs rounded to 9 dp (the
+  repo-wide transcendental-float discipline);
+- per-document sums run in DECIMAL(28,9) — associative, partial-agg
+  safe, bit-identical on any engine or partitioning;
+- Gumbel keys derive from md5 of the salted document id, so the
+  sample is reproducible across engines, reruns, and cluster sizes.
+
+100 TB posture: both models are ``n_buckets``-row tables (the paper
+uses 10k buckets) — broadcast-sized regardless of corpus size.
+Fitting is one explode + partial-agg groupBy per corpus; scoring is
+one explode + one broadcast join + one partial-agg groupBy keyed by
+document id; resampling is sort+limit (TakeOrderedAndProject). Linear
+end to end, one shuffle per pass, nothing all-pairs, nothing
+collected to the driver.
+
+Reference analogue: the reference selects rows by handwritten score
+thresholds (price_prediction_data_pipeline.py:63-100's quality gate +
+sample); DSIR is the published importance-resampling upgrade of that
+select-by-score shape, included as a first-class curation operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import md5_hash64
+
+__all__ = [
+    "hashed_ngram_buckets",
+    "fit_hashed_ngram_model",
+    "dsir_log_ratio",
+    "dsir_weights",
+    "gumbel_topk",
+]
+
+
+def hashed_ngram_buckets(text: Column, n_buckets: int) -> Column:
+    """Array of feature-bucket ids for one document: every unigram and
+    every adjacent bigram occurrence, hashed into ``[0, n_buckets)``
+    with the portable md5 expression. NULL text yields NULL (explode
+    drops it; weight queries left-join those docs back at weight 0).
+
+    The bigram array is built with ``zip_with(w, slice(w, 2, …))`` —
+    direct child expressions, evaluated once per row — not the
+    index-lambda form that re-splits the text O(n²) times (the
+    textstats.bigrams lesson).
+    """
+    w = F.filter(F.split(text, " "), lambda t: t != "")
+    paired = F.zip_with(
+        w,
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(1))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = F.when(F.size(w) >= 2, F.slice(paired, 1, F.size(w) - 1)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return F.transform(
+        F.concat(w, bg), lambda t: F.pmod(md5_hash64(t), F.lit(n_buckets))
+    )
+
+
+def fit_hashed_ngram_model(
+    df: DataFrame, text_col: str, n_buckets: int, out_col: str = "logp"
+) -> DataFrame:
+    """Laplace-smoothed hashed-ngram model: the FULL ``n_buckets``-row
+    table ``(bucket, out_col)`` with
+
+        out_col = round(ln((count_b + 1) / (n_total + n_buckets)), 9)
+
+    Every bucket is present (zero-count buckets carry the smoothing
+    floor), so downstream joins are plain inner joins with no missing-
+    key coalesce. The table is ``n_buckets`` rows — broadcast-sized at
+    any corpus scale; the fit itself is one explode + one partial-agg
+    groupBy over at most ``n_buckets`` keys.
+    """
+    feats = df.select(
+        F.explode(hashed_ngram_buckets(F.col(text_col), n_buckets)).alias("bucket")
+    )
+    counts = feats.groupBy("bucket").agg(F.count("*").alias("_c"))
+    tot = counts.agg(F.coalesce(F.sum("_c"), F.lit(0).cast("long")).alias("_n"))
+    full = df.sparkSession.range(n_buckets).withColumnRenamed("id", "bucket")
+    return (
+        full.join(counts, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("_c"), F.lit(0).cast("long")) + F.lit(1))
+                    / (F.col("_n") + F.lit(n_buckets)).cast("double")
+                ),
+                9,
+            ).alias(out_col),
+        )
+    )
+
+
+def dsir_log_ratio(
+    target: DataFrame, raw: DataFrame, text_col: str, n_buckets: int
+) -> DataFrame:
+    """Per-bucket importance log-ratio table ``(bucket, lr)`` with
+    ``lr = round(logp_target - logq_raw, 9)`` — ``n_buckets`` rows,
+    broadcast-sized."""
+    p = fit_hashed_ngram_model(target, text_col, n_buckets, out_col="_logp")
+    q = fit_hashed_ngram_model(raw, text_col, n_buckets, out_col="_logq")
+    return p.join(q, "bucket").select(
+        "bucket", F.round(F.col("_logp") - F.col("_logq"), 9).alias("lr")
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-document DSIR importance weight over the raw corpus:
+    ``(id_col, n_features, dsir_weight)`` where ``dsir_weight`` is the
+    DECIMAL(28,9)-summed per-feature log-ratio, cast to double and
+    rounded to 9 dp. Documents with no features (NULL or empty text)
+    pass through at weight 0.0 — selection operators must not silently
+    drop rows (the curate-stage invariant).
+    """
+    lr = dsir_log_ratio(target, raw, text_col, n_buckets)
+    feats = raw.select(
+        F.col(id_col),
+        F.explode(hashed_ngram_buckets(F.col(text_col), n_buckets)).alias("bucket"),
+    )
+    scored = (
+        feats.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum(F.col("lr").cast("decimal(28,9)")).alias("_s"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(28,9)")
+    return raw.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_features"), F.lit(0).cast("long")).alias("n_features"),
+        F.round(F.coalesce(F.col("_s"), zero).cast("double"), 9).alias(
+            "dsir_weight"
+        ),
+    )
+
+
+def gumbel_topk(
+    df: DataFrame,
+    id_col: str,
+    log_weight_col: str,
+    k: int,
+    salt: str = "dsir",
+    out_col: str = "gumbel_key",
+) -> DataFrame:
+    """Gumbel-top-k resampling on LOG weights: draw a deterministic
+    Gumbel ``g = -ln(-ln(u))`` from the salted portable hash of the
+    id, rank by ``round(log_weight + g, 9)`` (id tie-break), keep the
+    top ``k``. Equivalent to weighted sampling without replacement on
+    ``w = exp(log_weight)`` (the Gumbel-max trick), but never
+    exponentiates — log-ratio sums of ±hundreds stay finite.
+
+    ``u = (hash + 0.5) / 2^32`` lies strictly inside (0, 1) — the ES
+    sampler's ``(hash + 1) / 2^32`` convention would admit u = 1, where
+    the OUTER log of the Gumbel blows up (−ln 0). Both the numerator
+    bump and the power-of-two division are exact in double, so u (and
+    hence the sample) is engine-portable. Sort+limit is
+    TakeOrderedAndProject — per-partition top-k then a k-row merge,
+    no single-partition window, scale-safe.
+
+    Rows with a NULL id or NULL log-weight are excluded — a NULL key
+    would otherwise occupy a sample slot under descending sort.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (
+        md5_hash64(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = F.round(F.col(log_weight_col) + (-F.log(-F.log(u))), 9)
+    return (
+        df.where(F.col(id_col).isNotNull() & F.col(log_weight_col).isNotNull())
+        .withColumn(out_col, key)
+        .orderBy(F.desc(out_col), F.col(id_col))
+        .limit(k)
+    )

@@ -1869,6 +1869,101 @@ def td_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def td_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) over hashed n-gram
+    features: target = the heuristic-quality seed set (quality ≥ 0.5,
+    the same bootstrap td_quality_classifier uses), raw = the whole
+    corpus; every doc scores sum-of-feature log(p_target/q_raw). Both
+    models are 1024-row broadcast tables; fitting is one explode +
+    partial-agg pass per corpus and scoring is one explode + broadcast
+    join + partial-agg groupBy — linear, shuffle-light, no UDF. Docs
+    with no features (NULL/empty text) pass through at weight 0."""
+    from ..operators import dsir
+    from ..operators.textstats import quality_score
+
+    d = read_table(spark, sf_dir, "documents")
+    target = d.where(quality_score(F.col("text")) >= 0.5)
+    return dsir.dsir_weights(d, target, "doc_id", "text", n_buckets=1024).orderBy(
+        "doc_id"
+    )
+
+
+def ds_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR resampling, the selection half of the recipe: Gumbel-top-k
+    on the td_dsir_weights log-ratios — equivalent to weighted
+    sampling without replacement on exp(weight) but overflow-safe.
+    Deterministic (portable-md5 Gumbel keys) and scale-safe
+    (sort+limit = TakeOrderedAndProject, no single-partition window)."""
+    from ..operators import dsir
+    from ..operators.textstats import quality_score
+
+    d = read_table(spark, sf_dir, "documents")
+    target = d.where(quality_score(F.col("text")) >= 0.5)
+    w = dsir.dsir_weights(d, target, "doc_id", "text", n_buckets=1024)
+    return dsir.gumbel_topk(w, "doc_id", "dsir_weight", k=50).select(
+        "doc_id", "dsir_weight", "gumbel_key"
+    )
+
+
+def td_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift vs the whole corpus — the
+    monitoring number a pipeline owner watches between crawl snapshots
+    or mixture revisions: the plug-in KL estimate
+
+        KL(source ‖ corpus) = Σ_t (o_t/n_s) · ln((o_t·n_c)/(c_t·n_s))
+
+    over the tokens the source actually emits (o_t > 0 — the standard
+    plug-in truncation; absent tokens contribute zero mass). Each term
+    ln is rounded to 9 dp and the per-source sum runs in
+    DECIMAL(28,9), the repo's engine-portability discipline. Shape:
+    one token explode, a (source, token) partial-agg, the corpus
+    counts REAGGREGATED from that table (no second corpus pass), one
+    token-keyed join, one partial-agg by source — linear, and the
+    (source, token) table is the only vocabulary-sized shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    st = (
+        d.where(F.col("text").isNotNull())
+        .select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .where(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("o"))
+    )
+    ct = st.groupBy("token").agg(F.sum("o").alias("c"))
+    ns = st.groupBy("source").agg(F.sum("o").alias("n_s"))
+    nc = st.agg(F.sum("o").alias("n_c"))
+    term = F.round(
+        (F.col("o") / F.col("n_s").cast("double"))
+        * F.round(
+            F.log(
+                (F.col("o") * F.col("n_c"))
+                / (F.col("c") * F.col("n_s")).cast("double")
+            ),
+            9,
+        ),
+        9,
+    )
+    return (
+        st.join(ct, "token")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nc))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.count("*").alias("n_distinct_tokens"),
+            F.sum(term.cast("decimal(28,9)")).alias("_kl"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_distinct_tokens",
+            F.round(F.col("_kl").cast("double"), 9).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )
+
+
 SPARK_QUERIES = {
     "ds_hash_split": ds_hash_split,
     "ds_det_sample": ds_det_sample,
@@ -1946,6 +2041,9 @@ SPARK_QUERIES = {
     "txt_bigram_logprob": txt_bigram_logprob,
     "ds_weighted_sample": ds_weighted_sample,
     "td_quality_classifier": td_quality_classifier,
+    "td_dsir_weights": td_dsir_weights,
+    "ds_dsir_sample": ds_dsir_sample,
+    "td_source_drift": td_source_drift,
 }
 
 _SHINGLES = """
@@ -1982,6 +2080,67 @@ _MD5_BUCKET = (
     "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000)"
     " / 1000000.0"
 )
+
+# DSIR weights shared by td_dsir_weights and ds_dsir_sample: hashed
+# unigram+bigram features -> 1024-bucket Laplace models (target =
+# quality >= 0.5 docs, raw = all docs) -> per-doc DECIMAL(28,9) sum of
+# round-9 log-ratios. Ends in a `weights(doc_id, n_features,
+# dsir_weight)` CTE; docs with no features keep weight 0.0 via the
+# left join (operators/dsir.py's pass-through invariant).
+_DSIR_WEIGHTS_CTES = """docs AS (
+            SELECT doc_id, text, string_split(text, ' ') AS w0,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS wf,
+                   regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g') AS stripped
+            FROM documents
+        ), feat AS (
+            SELECT doc_id,
+                   list_concat(wf, CASE WHEN len(wf) >= 2
+                       THEN list_transform(range(1, len(wf)),
+                                           i -> wf[i] || ' ' || wf[i+1])
+                       ELSE [] END) AS f,
+                   (ROUND(0.4 * (len(list_filter(w0, x -> x IN
+                             ('the','a','of','and','to','in','is','it')))
+                             / CAST(NULLIF(len(w0), 0) AS DOUBLE))
+                       + 0.4 * LEAST(len(w0) / 64.0, 1.0)
+                       + 0.2 * (1 - (length(text) - length(stripped))
+                             / CAST(NULLIF(length(text), 0) AS DOUBLE)),
+                       9) >= 0.5) AS is_target
+            FROM docs
+        ), tb AS (
+            SELECT ('0x' || substr(md5(t), 1, 8))::BIGINT % 1024 AS bucket
+            FROM (SELECT unnest(f) AS t FROM feat WHERE is_target)
+        ), tcnt AS (
+            SELECT bucket, COUNT(*) AS c FROM tb GROUP BY bucket
+        ), ttot AS (SELECT COALESCE(SUM(c), 0) AS n FROM tcnt),
+        rb AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(t), 1, 8))::BIGINT % 1024 AS bucket
+            FROM (SELECT doc_id, unnest(f) AS t FROM feat)
+        ), rcnt AS (
+            SELECT bucket, COUNT(*) AS c FROM rb GROUP BY bucket
+        ), rtot AS (SELECT COALESCE(SUM(c), 0) AS n FROM rcnt),
+        lr AS MATERIALIZED (
+            SELECT b.bucket,
+                   ROUND(
+                     ROUND(ln((COALESCE(tc.c, 0) + 1)
+                              / CAST(tt.n + 1024 AS DOUBLE)), 9)
+                   - ROUND(ln((COALESCE(rc.c, 0) + 1)
+                              / CAST(rt.n + 1024 AS DOUBLE)), 9), 9) AS lr
+            FROM (SELECT unnest(range(1024)) AS bucket) b
+            LEFT JOIN tcnt tc USING (bucket)
+            LEFT JOIN rcnt rc USING (bucket)
+            CROSS JOIN ttot tt CROSS JOIN rtot rt
+        ), scored AS (
+            SELECT doc_id, COUNT(*) AS n_features,
+                   SUM(CAST(lr AS DECIMAL(28,9))) AS s
+            FROM rb JOIN lr USING (bucket) GROUP BY doc_id
+        ), weights AS (
+            SELECT d.doc_id,
+                   COALESCE(n_features, 0) AS n_features,
+                   ROUND(CAST(COALESCE(s, CAST(0 AS DECIMAL(28,9)))
+                              AS DOUBLE), 9) AS dsir_weight
+            FROM documents d LEFT JOIN scored USING (doc_id)
+        )"""
 
 # The k=8 / 2-round deterministic spherical k-means fit shared by
 # sim_kmeans and td_cluster_balance — ONE definition of the Lloyd
@@ -3907,5 +4066,45 @@ ORACLE_SQL = {
         FROM t CROSS JOIN tot GROUP BY token, n
         HAVING COUNT(*) > n / 50
         ORDER BY token
+    """,
+    # DSIR recomputed exactly: hashed unigram+bigram features (the
+    # shared portable-md5 bucket), Laplace-smoothed 1024-bucket target
+    # (quality >= 0.5 seed set) and raw models with round-9 ln, round-9
+    # log-ratio diffs, DECIMAL(28,9) per-doc sums — the same numbers
+    # operators/dsir.py produces, term for term.
+    "td_dsir_weights": f"""
+        WITH {_DSIR_WEIGHTS_CTES}
+        SELECT doc_id, n_features, dsir_weight FROM weights ORDER BY doc_id
+    """,
+    "ds_dsir_sample": f"""
+        WITH {_DSIR_WEIGHTS_CTES}
+        SELECT doc_id, dsir_weight,
+               ROUND(dsir_weight + (-ln(-ln(
+                   (('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    + 0.5) / 4294967296.0))), 9) AS gumbel_key
+        FROM weights
+        WHERE doc_id IS NOT NULL AND dsir_weight IS NOT NULL
+        ORDER BY gumbel_key DESC, doc_id LIMIT 50
+    """,
+    # plug-in KL over emitted tokens only; per-term round-9 ln times
+    # the exact count ratio, DECIMAL(28,9) source sums
+    "td_source_drift": """
+        WITH st AS (
+            SELECT source, token, COUNT(*) AS o FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM documents WHERE text IS NOT NULL
+            ) WHERE token <> ''
+            GROUP BY source, token
+        ), ct AS (SELECT token, SUM(o) AS c FROM st GROUP BY token),
+        ns AS (SELECT source, SUM(o) AS n_s FROM st GROUP BY source),
+        nc AS (SELECT SUM(o) AS n_c FROM st)
+        SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_distinct_tokens,
+               ROUND(CAST(SUM(CAST(ROUND(
+                   (o / CAST(n_s AS DOUBLE))
+                   * ROUND(ln((o * n_c) / CAST(c * n_s AS DOUBLE)), 9),
+               9) AS DECIMAL(28,9))) AS DOUBLE), 9) AS kl_nats
+        FROM st JOIN ct USING (token) JOIN ns USING (source) CROSS JOIN nc
+        GROUP BY source ORDER BY source
     """,
 }

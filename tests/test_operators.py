@@ -2002,3 +2002,95 @@ def test_hll_registers_merge_by_max_and_estimate_bounds(spark):
 
     with _pytest.raises(ValueError, match="power of two"):
         sketches.hll_sketch(df, ["g"], "v", m=100)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (operators/dsir.py)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_feature_count_and_null_passthrough(spark):
+    from delta_data_pipelines_spark.operators import dsir
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "solo"), (3, None), (4, "")],
+        ["doc_id", "text"],
+    )
+    feats = df.select(
+        "doc_id",
+        F.size(dsir.hashed_ngram_buckets(F.col("text"), 64)).alias("n"),
+    ).collect()
+    n = {r["doc_id"]: r["n"] for r in feats}
+    # n tokens -> n unigrams + (n-1) bigrams = 2n - 1
+    assert n[1] == 5 and n[2] == 1
+    assert n[3] is None or n[3] == -1  # NULL text -> NULL array
+    assert n[4] == 0
+
+    target = df.where(F.col("doc_id") == 1)
+    w = dsir.dsir_weights(df, target, "doc_id", "text", n_buckets=64)
+    rows = {r["doc_id"]: r for r in w.collect()}
+    assert len(rows) == 4  # nothing dropped
+    assert rows[3]["n_features"] == 0 and rows[3]["dsir_weight"] == 0.0
+    assert rows[4]["n_features"] == 0 and rows[4]["dsir_weight"] == 0.0
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    from delta_data_pipelines_spark.operators import dsir
+
+    # target distribution speaks "x y"; doc 10 repeats it, doc 11 is
+    # disjoint vocabulary -> doc 10 must carry the higher log-ratio
+    raw = spark.createDataFrame(
+        [(10, "x y x y x y"), (11, "p q r s t u")], ["doc_id", "text"]
+    )
+    target = spark.createDataFrame([(1, "x y x y")], ["doc_id", "text"])
+    w = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in dsir.dsir_weights(raw, target, "doc_id", "text", 128).collect()
+    }
+    assert w[10] > w[11]
+
+
+def test_dsir_model_is_full_and_broadcast_sized(spark):
+    from delta_data_pipelines_spark.operators import dsir
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    model = dsir.fit_hashed_ngram_model(df, "text", 32)
+    rows = model.collect()
+    assert len(rows) == 32  # every bucket present (smoothing floor)
+    assert all(r["logp"] is not None for r in rows)
+
+
+def test_gumbel_topk_deterministic_and_excludes_nulls(spark):
+    from delta_data_pipelines_spark.operators import dsir
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(100)] + [(None, 99.0), (200, None)],
+        "doc_id: bigint, w: double",
+    )
+    a = dsir.gumbel_topk(df, "doc_id", "w", k=10).collect()
+    b = dsir.gumbel_topk(df, "doc_id", "w", k=10).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert len(a) == 10
+    ids = {r["doc_id"] for r in a}
+    assert None not in ids and 200 not in ids
+
+    # re-salting changes the draw (different Gumbel stream)
+    c = dsir.gumbel_topk(df, "doc_id", "w", k=10, salt="other").collect()
+    assert [r["doc_id"] for r in a] != [r["doc_id"] for r in c]
+
+    with _pytest.raises(ValueError, match="k must be"):
+        dsir.gumbel_topk(df, "doc_id", "w", k=0)
+
+
+def test_gumbel_topk_biases_toward_heavy_log_weights(spark):
+    from delta_data_pipelines_spark.operators import dsir
+
+    # 50 heavy docs (log-weight 5) vs 50 light (log-weight -5):
+    # exp-weight ratio e^10 — the top-20 should be all heavy
+    df = spark.createDataFrame(
+        [(i, 5.0 if i < 50 else -5.0) for i in range(100)],
+        "doc_id: bigint, w: double",
+    )
+    top = dsir.gumbel_topk(df, "doc_id", "w", k=20).collect()
+    assert all(r["doc_id"] < 50 for r in top)
