@@ -120,8 +120,13 @@ _PRIORITY = [
     # score, dedup-aware weights. Rotated out for them (all driver-
     # green r5 AND earlier rounds, still mirror-checked):
     # st_windowed_counts, t_asof_join, a_counters, a_rollup
-    "dd_containment", "st_interval_join",
-    "txt_unigram_logprob", "td_dup_weights", "ds_interleave",
+    "dd_containment", "st_interval_join", "ds_interleave",
+    # txt_unigram_logprob and td_dup_weights (each r07 x2, unchanged,
+    # still mirror-checked) and t_ohlc_bars (r07, unchanged, mirror-
+    # checked) rotated out for the continuation additions' first
+    # driver rows: DSIR importance weights + resample, per-source KL
+    # drift
+    "td_dsir_weights", "ds_dsir_sample", "td_source_drift",
     # r7 rotation: the 9 queries that have never held a driver
     # CORRECTNESS row (mirror-green; ds_token_budget_mix's oracle twin
     # got a BIGINT cast this round so it lands driver-clean).  Rotated
@@ -132,7 +137,7 @@ _PRIORITY = [
     # sim_brute_topk, sim_ivf_topk, txt_profile.
     # t_windowed_topk (r07-green, mirror-checked) rotated out for the
     # exact-quantiles query's first driver row
-    "t_ohlc_bars", "sk_exact_quantiles", "t_rolling_wau",
+    "sk_exact_quantiles", "t_rolling_wau",
     "sk_binned_quantiles", "ds_group_sample", "ds_token_budget_mix",
     "sim_range_search", "w_percent_rank_scalable",
     "td_ngram_contamination",
