@@ -67,6 +67,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="rewrite surviving docs: delete duplicated "
                     "N-token tiling segments (keep the corpus-wide "
                     "first occurrence), drop docs the rewrite empties")
+    cc.add_argument("--dsir-select", type=int, default=None, metavar="N",
+                    help="DSIR selection: keep the N gated docs whose "
+                    "hashed-n-gram distribution most resembles the "
+                    "in-corpus quality-seed target (deterministic "
+                    "Gumbel-top-k on importance log-ratios); runs "
+                    "after the per-doc filters, before dedup")
     cc.add_argument("--sample-per-source", type=int, default=None,
                     help="keep at most N docs per source after the "
                     "cuts, length-weighted without replacement "
@@ -352,6 +358,7 @@ def main(argv: list[str] | None = None) -> int:
             ),
             sample_per_source=args.sample_per_source,
             tokenizer_store=_tok_store(spark, args.tokenizer),
+            dsir_select=args.dsir_select,
         )
         if args.jsonl_in:
             res["quarantined_lines"] = n_quarantined

@@ -430,6 +430,40 @@ def decontaminate_stage(
     )
 
 
+def dsir_stage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: int = 1000,
+    target: DataFrame | None = None,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR selection (Xie et al. 2023): keep the ``keep`` docs whose
+    hashed-n-gram distribution most resembles the target, by
+    Gumbel-top-k over per-doc importance log-ratios
+    (``operators.dsir``). ``target`` defaults to the in-corpus
+    heuristic-quality seed set (quality ≥ 0.5 — the same bootstrap
+    the trained quality classifier uses); pass an external reference
+    corpus to steer toward it, the paper's setting.
+
+    NULL-id/NULL-text rows are unscorable and pass through, the
+    shared stage invariant; scorable docs with no features weigh 0
+    and compete for slots like everything else. Scale shape: two
+    broadcast-sized bucket models, one explode + broadcast join +
+    partial agg to score, sort+limit to select — linear, no UDF."""
+    from ..operators import dsir
+    from ..operators.textstats import quality_score
+
+    unscorable = F.col(id_col).isNull() | F.col(text_col).isNull()
+    passthrough = docs.where(unscorable)
+    scorable = docs.where(~unscorable)
+    if target is None:
+        target = scorable.where(quality_score(F.col(text_col)) >= 0.5)
+    w = dsir.dsir_weights(scorable, target, id_col, text_col, n_buckets)
+    kept = dsir.gumbel_topk(w, id_col, "dsir_weight", k=keep).select(id_col)
+    return scorable.join(kept, id_col, "left_semi").unionByName(passthrough)
+
+
 def curate_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -446,6 +480,8 @@ def curate_corpus(
     sample_per_source: int | None = None,
     source_col: str = "source",
     tokenizer_store=None,
+    dsir_select: int | None = None,
+    dsir_target: DataFrame | None = None,
     **gate_kwargs,
 ) -> DataFrame:
     """PII scrub → quality gate → (optional) LM filter → exact dedup →
@@ -478,7 +514,12 @@ def curate_corpus(
     cluster members, so ``sum(dup_weight)`` equals the rows entering
     dedup and weighted samplers preserve the crawl distribution;
     ``pack_ctx`` adds start_offset/chunk_start/chunk_end columns
-    laying each split out as ctx-token training windows."""
+    laying each split out as ctx-token training windows;
+    ``dsir_select`` keeps the N gated docs most like the DSIR target
+    distribution (``dsir_target``, defaulting to the in-corpus
+    quality-seed set) — it runs AFTER the per-doc filters and BEFORE
+    dedup, so the expensive pairwise stages only see the selected
+    subset."""
     from pyspark.sql import Window
 
     staged = scrub_stage(docs, text_col) if scrub else docs
@@ -491,6 +532,10 @@ def curate_corpus(
         )
     if lm_drop_fraction is not None:
         gated = lm_filter_stage(gated, id_col, text_col, lm_drop_fraction)
+    if dsir_select is not None:
+        gated = dsir_stage(
+            gated, id_col, text_col, keep=dsir_select, target=dsir_target
+        )
     if dup_weights:
         # count exact copies in the SAME window pass that picks the
         # first writer — dropping them weightlessly would undercount

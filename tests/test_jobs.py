@@ -1177,3 +1177,60 @@ def test_refresh_pq_if_drifted_gate(spark, tmp_path):
     assert res2["probe_mean_sim"] < res2["baseline_mean_sim"] - 0.01
     assert store.meta()["codes_version"] == v0 + 1
     assert store.meta()["baseline_mean_sim"] == res2["baseline_mean_sim"]
+
+
+def test_curate_corpus_dsir_select_steers_toward_target(spark):
+    """dsir_select keeps the N gated docs most like the DSIR target.
+    With an EXTERNAL target speaking a planted vocabulary, the kept
+    set must be dominated by docs sharing it; deterministic across
+    runs; NULL rows pass through the stage itself."""
+    from delta_data_pipelines_spark.jobs.curate_corpus import (
+        curate_corpus,
+        dsir_stage,
+    )
+
+    stops = ["the", "of", "and", "to", "a", "in", "is", "it"]
+    rows = []
+    for i in range(1, 21):
+        # all docs pass the gate; docs 1-10 speak "alpha beta", 11-20
+        # speak "gamma delta" — disjoint content vocabularies
+        voc = ("alpha", "beta") if i <= 10 else ("gamma", "delta")
+        words = [
+            w
+            for j in range(18)
+            for w in (stops[j % 8], f"u{i}w{j}", voc[(j + 1) % 2])
+        ]
+        rows.append((i, " ".join(words), "en", "src0"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    target = spark.createDataFrame(
+        [(1000, " ".join(["alpha beta " + stops[j % 8] for j in range(20)]))],
+        "doc_id long, text string",
+    )
+    out1 = curate_corpus(
+        docs, scrub=False, dsir_select=6, dsir_target=target
+    )
+    ids1 = sorted(r["doc_id"] for r in out1.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in curate_corpus(
+            docs, scrub=False, dsir_select=6, dsir_target=target
+        ).collect()
+    )
+    assert ids1 == ids2 and len(ids1) == 6  # deterministic budget
+    # the alpha/beta half must dominate the selection
+    assert sum(1 for i in ids1 if i <= 10) >= 5
+
+    # stage invariant: NULL-id / NULL-text rows pass through
+    with_nulls = docs.unionByName(
+        spark.createDataFrame(
+            [(None, "alpha beta text", "en", "src0"),
+             (99, None, "en", "src0")],
+            "doc_id long, text string, lang string, source string",
+        )
+    )
+    staged = dsir_stage(with_nulls, keep=3, target=target).collect()
+    kept = {r["doc_id"] for r in staged}
+    assert None in kept and 99 in kept
+    assert len(staged) == 5  # 3 selected + 2 passthrough
