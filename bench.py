@@ -131,6 +131,10 @@ HEADLINE = [
     # unigram tokenizer serving: distinct-word Viterbi through two
     # native folds, counts joined back to the exploded corpus
     "txt_unigram_encode",
+    # continuation: DSIR importance scoring — two broadcast-sized
+    # bucket-model fits + the explode -> broadcast-join -> partial-agg
+    # corpus scoring pass
+    "td_dsir_weights",
 ]
 
 

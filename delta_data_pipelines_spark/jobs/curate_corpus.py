@@ -458,8 +458,17 @@ def dsir_stage(
     passthrough = docs.where(unscorable)
     scorable = docs.where(~unscorable)
     if target is None:
-        target = scorable.where(quality_score(F.col(text_col)) >= 0.5)
-    w = dsir.dsir_weights(scorable, target, id_col, text_col, n_buckets)
+        # in-corpus seed target: the flagged form fits both bucket
+        # models out of ONE exploded pass instead of two
+        w = dsir.dsir_weights_flagged(
+            scorable,
+            quality_score(F.col(text_col)) >= 0.5,
+            id_col,
+            text_col,
+            n_buckets,
+        )
+    else:
+        w = dsir.dsir_weights(scorable, target, id_col, text_col, n_buckets)
     kept = dsir.gumbel_topk(w, id_col, "dsir_weight", k=keep).select(id_col)
     return scorable.join(kept, id_col, "left_semi").unionByName(passthrough)
 

@@ -49,6 +49,7 @@ __all__ = [
     "fit_hashed_ngram_model",
     "dsir_log_ratio",
     "dsir_weights",
+    "dsir_weights_flagged",
     "gumbel_topk",
 ]
 
@@ -159,6 +160,89 @@ def dsir_weights(
         id_col,
         F.coalesce(F.col("n_features"), F.lit(0).cast("long")).alias("n_features"),
         F.round(F.coalesce(F.col("_s"), zero).cast("double"), 9).alias(
+            "dsir_weight"
+        ),
+    )
+
+
+def dsir_weights_flagged(
+    raw: DataFrame,
+    target_flag: Column,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """``dsir_weights`` for the common in-corpus target: the target is
+    ``raw.where(target_flag)`` (e.g. the heuristic-quality seed set).
+    Same numbers as the two-frame form — bucket counts, round-9 lns,
+    round-9 log-ratio, DECIMAL(28,9) doc sums — but BOTH models come
+    out of ONE exploded pass (conditional count on the flag) instead
+    of two, so the corpus explodes twice total (model fit + scoring)
+    rather than three times: 4 parquet scans / 8 exchanges vs the
+    two-frame form's 6 / 14. At 100 TB the saved scans are remote
+    I/O; at local sf0.1 (page-cached parquet, explode-dominated) the
+    two forms measure within ~20% of each other. A NULL flag counts
+    as not-target, matching ``where(flag)``'s NULL-drops semantics.
+
+    The flag and the bucket array are projected in a SEPARATE select
+    below the explode: a select mixing a generator with sibling
+    expressions gets split by ExtractGenerator into Generate + an
+    upper Project, which re-evaluates the siblings once per EXPLODED
+    row — for a text-derived flag like the quality score that is
+    O(features × text_length) per doc (measured 14× slower at sf0.1
+    before the split)."""
+    pre = raw.select(
+        target_flag.alias("_t"),
+        hashed_ngram_buckets(F.col(text_col), n_buckets).alias("_b"),
+    )
+    cfeats = pre.select("_t", F.explode("_b").alias("bucket"))
+    counts = cfeats.groupBy("bucket").agg(
+        F.count("*").alias("_rc"),
+        F.count_if(F.coalesce(F.col("_t"), F.lit(False))).alias("_tc"),
+    )
+    tot = counts.agg(
+        F.coalesce(F.sum("_rc"), F.lit(0).cast("long")).alias("_rn"),
+        F.coalesce(F.sum("_tc"), F.lit(0).cast("long")).alias("_tn"),
+    )
+    full = raw.sparkSession.range(n_buckets).withColumnRenamed("id", "bucket")
+    zero = F.lit(0).cast("long")
+
+    def _smoothed(c: Column, n: Column) -> Column:
+        return F.round(
+            F.log((c + F.lit(1)) / (n + F.lit(n_buckets)).cast("double")), 9
+        )
+
+    lr = (
+        full.join(counts, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                _smoothed(F.coalesce(F.col("_tc"), zero), F.col("_tn"))
+                - _smoothed(F.coalesce(F.col("_rc"), zero), F.col("_rn")),
+                9,
+            ).alias("lr"),
+        )
+    )
+    # scoring pass carries NO flag (only the counts pass needs it), so
+    # the quality expression is evaluated exactly once per doc overall
+    sfeats = raw.select(
+        F.col(id_col),
+        F.explode(hashed_ngram_buckets(F.col(text_col), n_buckets)).alias("bucket"),
+    )
+    scored = (
+        sfeats.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum(F.col("lr").cast("decimal(28,9)")).alias("_s"),
+        )
+    )
+    dzero = F.lit(0).cast("decimal(28,9)")
+    return raw.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_features"), zero).alias("n_features"),
+        F.round(F.coalesce(F.col("_s"), dzero).cast("double"), 9).alias(
             "dsir_weight"
         ),
     )

@@ -1882,10 +1882,9 @@ def td_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import quality_score
 
     d = read_table(spark, sf_dir, "documents")
-    target = d.where(quality_score(F.col("text")) >= 0.5)
-    return dsir.dsir_weights(d, target, "doc_id", "text", n_buckets=1024).orderBy(
-        "doc_id"
-    )
+    return dsir.dsir_weights_flagged(
+        d, quality_score(F.col("text")) >= 0.5, "doc_id", "text", n_buckets=1024
+    ).orderBy("doc_id")
 
 
 def ds_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1898,8 +1897,9 @@ def ds_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import quality_score
 
     d = read_table(spark, sf_dir, "documents")
-    target = d.where(quality_score(F.col("text")) >= 0.5)
-    w = dsir.dsir_weights(d, target, "doc_id", "text", n_buckets=1024)
+    w = dsir.dsir_weights_flagged(
+        d, quality_score(F.col("text")) >= 0.5, "doc_id", "text", n_buckets=1024
+    )
     return dsir.gumbel_topk(w, "doc_id", "dsir_weight", k=50).select(
         "doc_id", "dsir_weight", "gumbel_key"
     )

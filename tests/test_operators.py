@@ -2094,3 +2094,22 @@ def test_gumbel_topk_biases_toward_heavy_log_weights(spark):
     )
     top = dsir.gumbel_topk(df, "doc_id", "w", k=20).collect()
     assert all(r["doc_id"] < 50 for r in top)
+
+
+def test_dsir_weights_flagged_equals_two_frame_form(spark):
+    from delta_data_pipelines_spark.operators import dsir
+
+    df = spark.createDataFrame(
+        [(1, "x y x", True), (2, "y z", False), (3, "p q r", None),
+         (4, None, True), (5, "x z y", True)],
+        "doc_id: bigint, text: string, t: boolean",
+    )
+    two = dsir.dsir_weights(
+        df, df.where(F.col("t")), "doc_id", "text", n_buckets=64
+    )
+    flagged = dsir.dsir_weights_flagged(
+        df, F.col("t"), "doc_id", "text", n_buckets=64
+    )
+    a = {r["doc_id"]: (r["n_features"], r["dsir_weight"]) for r in two.collect()}
+    b = {r["doc_id"]: (r["n_features"], r["dsir_weight"]) for r in flagged.collect()}
+    assert a == b  # NULL flag == excluded-by-where, identical numbers
