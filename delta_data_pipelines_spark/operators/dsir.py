@@ -39,7 +39,7 @@ select-by-score shape, included as a first-class curation operator.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .sampling import md5_hash64
@@ -97,16 +97,23 @@ def fit_hashed_ngram_model(
         F.explode(hashed_ngram_buckets(F.col(text_col), n_buckets)).alias("bucket")
     )
     counts = feats.groupBy("bucket").agg(F.count("*").alias("_c"))
-    tot = counts.agg(F.coalesce(F.sum("_c"), F.lit(0).cast("long")).alias("_n"))
     full = df.sparkSession.range(n_buckets).withColumnRenamed("id", "bucket")
+    # total feature count as a window over the n_buckets-row model
+    # table — NOT a separate .agg() consumed via crossJoin, which
+    # plans the whole explode+groupBy subtree TWICE (once per
+    # consumer). The single-partition window is bounded at n_buckets
+    # rows by construction, not by the corpus.
+    wall = Window.partitionBy(F.lit(1))
+    zero = F.lit(0).cast("long")
     return (
         full.join(counts, "bucket", "left")
-        .crossJoin(F.broadcast(tot))
+        .select("bucket", F.coalesce(F.col("_c"), zero).alias("_c"))
+        .withColumn("_n", F.sum("_c").over(wall))
         .select(
             "bucket",
             F.round(
                 F.log(
-                    (F.coalesce(F.col("_c"), F.lit(0).cast("long")) + F.lit(1))
+                    (F.col("_c") + F.lit(1))
                     / (F.col("_n") + F.lit(n_buckets)).cast("double")
                 ),
                 9,
@@ -200,10 +207,6 @@ def dsir_weights_flagged(
         F.count("*").alias("_rc"),
         F.count_if(F.coalesce(F.col("_t"), F.lit(False))).alias("_tc"),
     )
-    tot = counts.agg(
-        F.coalesce(F.sum("_rc"), F.lit(0).cast("long")).alias("_rn"),
-        F.coalesce(F.sum("_tc"), F.lit(0).cast("long")).alias("_tn"),
-    )
     full = raw.sparkSession.range(n_buckets).withColumnRenamed("id", "bucket")
     zero = F.lit(0).cast("long")
 
@@ -212,14 +215,25 @@ def dsir_weights_flagged(
             F.log((c + F.lit(1)) / (n + F.lit(n_buckets)).cast("double")), 9
         )
 
+    # totals as a window over the n_buckets-row model table — a
+    # separate .agg() consumed via crossJoin plans the whole
+    # explode+groupBy subtree twice (once per consumer); the
+    # single-partition window is bounded at n_buckets rows
+    wall = Window.partitionBy(F.lit(1))
     lr = (
         full.join(counts, "bucket", "left")
-        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.coalesce(F.col("_rc"), zero).alias("_rc"),
+            F.coalesce(F.col("_tc"), zero).alias("_tc"),
+        )
+        .withColumn("_rn", F.sum("_rc").over(wall))
+        .withColumn("_tn", F.sum("_tc").over(wall))
         .select(
             "bucket",
             F.round(
-                _smoothed(F.coalesce(F.col("_tc"), zero), F.col("_tn"))
-                - _smoothed(F.coalesce(F.col("_rc"), zero), F.col("_rn")),
+                _smoothed(F.col("_tc"), F.col("_tn"))
+                - _smoothed(F.col("_rc"), F.col("_rn")),
                 9,
             ).alias("lr"),
         )

@@ -1919,7 +1919,14 @@ def td_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     one token explode, a (source, token) partial-agg, the corpus
     counts REAGGREGATED from that table (no second corpus pass), one
     token-keyed join, one partial-agg by source — linear, and the
-    (source, token) table is the only vocabulary-sized shuffle."""
+    (source, token) table is the only vocabulary-sized shuffle. The
+    (source, token) table feeds FOUR consumers (corpus counts, source
+    totals, grand total, and the scoring join), so it is staged once
+    with persist — the local stand-in for writing it to a table, the
+    same discipline as the minhash/containment joins — instead of
+    re-exploding the corpus per consumer."""
+    from pyspark.storagelevel import StorageLevel
+
     d = read_table(spark, sf_dir, "documents")
     st = (
         d.where(F.col("text").isNotNull())
@@ -1929,6 +1936,7 @@ def td_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("token") != "")
         .groupBy("source", "token")
         .agg(F.count("*").alias("o"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ct = st.groupBy("token").agg(F.sum("o").alias("c"))
     ns = st.groupBy("source").agg(F.sum("o").alias("n_s"))

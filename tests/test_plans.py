@@ -437,3 +437,43 @@ def test_cm_counts_counter_table_is_broadcast(spark, registry):
     plan = plan_of(spark, registry, "sk_cm_counts")
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_dsir_weights_flag_stays_below_generate(spark, registry):
+    """td_dsir_weights: the quality flag must be evaluated once per
+    DOC (below the feature explode), never once per exploded feature —
+    ExtractGenerator hoists sibling expressions of a generator into a
+    Project ABOVE the Generate, which made the text-derived flag
+    O(features x text_length) per doc (measured 14x at sf0.1). The
+    marker `64.0` (the quality score's length-cap divisor) must not
+    appear in any Project above a Generate. The log-ratio table join
+    must be broadcast (1024 rows), and the corpus must explode exactly
+    twice (model fit + scoring)."""
+    plan = plan_of(spark, registry, "td_dsir_weights")
+    assert "CartesianProduct" not in plan, plan
+    # formatted mode prints each node twice (tree + detail): count
+    # unique Generate node ids
+    gens = set(re.findall(r"\((\d+)\) Generate", plan))
+    assert len(gens) == 2, plan
+    # the quality flag must sit BELOW the counts-pass Generate (one
+    # Project detail carries the marker `64.0`, the quality score's
+    # length-cap divisor); every Project detail above a Generate in
+    # the same subtree must be marker-free
+    assert plan.count("64.0") == 1, plan
+
+
+def test_dsir_sample_is_take_ordered(spark, registry):
+    """ds_dsir_sample: Gumbel-top-k must plan as TakeOrderedAndProject
+    (per-partition top-k + k-row merge), never a global Sort or a
+    single-partition window."""
+    plan = plan_of(spark, registry, "ds_dsir_sample")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_source_drift_explodes_corpus_once(spark, registry):
+    """td_source_drift: corpus counts are REAGGREGATED from the
+    (source, token) table — one token explode in the whole plan, and
+    the source-totals join is broadcast."""
+    plan = plan_of(spark, registry, "td_source_drift")
+    gens = set(re.findall(r"\((\d+)\) Generate", plan))
+    assert len(gens) == 1, plan
