@@ -138,7 +138,11 @@ _PRIORITY = [
     # t_windowed_topk (r07-green, mirror-checked) rotated out for the
     # exact-quantiles query's first driver row
     "sk_exact_quantiles", "t_rolling_wau",
-    "sk_binned_quantiles", "ds_group_sample", "ds_token_budget_mix",
+    # sk_binned_quantiles and ds_group_sample (each r07, unchanged,
+    # mirror-checked) rotated out for the continuation's gate-agreement
+    # and classifier-calibration queries' first driver rows
+    "td_filter_agreement", "td_classifier_pr_curve",
+    "ds_token_budget_mix",
     "sim_range_search", "w_percent_rank_scalable",
     "td_ngram_contamination",
     # curation headline (driver-green r2-r7, kept pinned)

@@ -1972,6 +1972,126 @@ def td_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def td_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise agreement between the four Gopher-gate components —
+    the datasheet a pipeline owner reads to find REDUNDANT filters
+    (near-1 Jaccard: one gate can go) and near-orthogonal ones (each
+    earns its corpus pass). Per pair: Jaccard of the kept sets and
+    the raw agreement rate. One corpus pass, no join: the 6 pairs'
+    18 counters are conditional aggregates in a single-row agg, then
+    a stack() to rows — the scale-right shape for a fixed gate list
+    (the per-doc signals are computed once, reused by every
+    counter). NULL-text docs fail every gate (coalesce false), so
+    gates agree on them."""
+    d = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    gates = {
+        "bigram": textstats._top_bigram_ratio_raw(t) <= 0.2,
+        "length": textstats.token_count_ws(t).between(10, 10000),
+        "quality": textstats.quality_score(t) >= 0.4,
+        "repetition": textstats._dup_token_ratio_raw(t) <= 0.55,
+    }
+    sig = d.select(
+        *[F.coalesce(v, F.lit(False)).alias(k) for k, v in gates.items()]
+    )
+    names = sorted(gates)
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
+    aggs = [F.count("*").alias("_n")]
+    for a, b in pairs:
+        aggs += [
+            F.count_if(F.col(a) & F.col(b)).alias(f"_both_{a}_{b}"),
+            F.count_if(F.col(a) | F.col(b)).alias(f"_either_{a}_{b}"),
+            F.count_if(F.col(a) == F.col(b)).alias(f"_agree_{a}_{b}"),
+        ]
+    stacked = ", ".join(
+        f"'{a}', '{b}', _both_{a}_{b}, _either_{a}_{b}, _agree_{a}_{b}"
+        for a, b in pairs
+    )
+    return (
+        sig.agg(*aggs)
+        .selectExpr(
+            "_n",
+            f"stack({len(pairs)}, {stacked}) as "
+            "(gate_a, gate_b, n_both, _either, _agree)",
+        )
+        .select(
+            "gate_a",
+            "gate_b",
+            "n_both",
+            F.round(
+                F.col("n_both") / F.nullif(F.col("_either"), F.lit(0)).cast("double"),
+                9,
+            ).alias("jaccard"),
+            F.round(F.col("_agree") / F.col("_n").cast("double"), 9).alias(
+                "agree_rate"
+            ),
+        )
+        .orderBy("gate_a", "gate_b")
+    )
+
+
+def td_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sweep over the trained quality classifier — the
+    calibration table read before picking the corpus cut: per
+    decision threshold, precision/recall/F1 of the NB score against
+    the seed labels (docs with a defined label only). One extra
+    corpus-free pass over td_quality_classifier's machinery: all 15
+    counters (tp/fp/fn × 5 thresholds) are conditional aggregates in
+    a single-row agg over the scored-and-labeled frame, stacked to
+    rows — never one pass per threshold."""
+    from ..operators.textstats import nb_score, nb_train, quality_score
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (quality_score(F.col("text")) >= 0.5).alias("_lbl")
+    )
+    weights, prior = nb_train(d, "_lbl")
+    s = (
+        nb_score(d, weights, prior)
+        .join(d.select("doc_id", "_lbl"), "doc_id")
+        .where(F.col("_lbl").isNotNull())
+    )
+    thresholds = [-2.0, -1.0, 0.0, 1.0, 2.0]
+    lbl = F.col("_lbl")
+    aggs = []
+    for i, t in enumerate(thresholds):
+        pos = F.col("nb_score") >= F.lit(t)
+        aggs += [
+            F.count_if(pos & lbl).alias(f"_tp{i}"),
+            F.count_if(pos & ~lbl).alias(f"_fp{i}"),
+            F.count_if(~pos & lbl).alias(f"_fn{i}"),
+        ]
+    stacked = ", ".join(
+        f"CAST({t} AS DOUBLE), _tp{i}, _fp{i}, _fn{i}"
+        for i, t in enumerate(thresholds)
+    )
+    return (
+        s.agg(*aggs)
+        .selectExpr(
+            f"stack({len(thresholds)}, {stacked}) as (threshold, tp, fp, fn)"
+        )
+        .select(
+            "threshold",
+            (F.col("tp") + F.col("fp")).alias("n_pred_pos"),
+            F.round(
+                F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)).cast("double"),
+                9,
+            ).alias("precision_"),
+            F.round(
+                F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)).cast("double"),
+                9,
+            ).alias("recall_"),
+            F.round(
+                (2 * F.col("tp"))
+                / F.nullif(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0)).cast(
+                    "double"
+                ),
+                9,
+            ).alias("f1"),
+        )
+        .orderBy("threshold")
+    )
+
+
 SPARK_QUERIES = {
     "ds_hash_split": ds_hash_split,
     "ds_det_sample": ds_det_sample,
@@ -2052,6 +2172,8 @@ SPARK_QUERIES = {
     "td_dsir_weights": td_dsir_weights,
     "ds_dsir_sample": ds_dsir_sample,
     "td_source_drift": td_source_drift,
+    "td_filter_agreement": td_filter_agreement,
+    "td_classifier_pr_curve": td_classifier_pr_curve,
 }
 
 _SHINGLES = """
@@ -2088,6 +2210,60 @@ _MD5_BUCKET = (
     "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000)"
     " / 1000000.0"
 )
+
+# The trained-NB chain shared by td_quality_classifier and
+# td_classifier_pr_curve: seed labels (quality >= 0.5), one-pass
+# Laplace counts, round-9 log-odds, DECIMAL(28,9) doc sums. Ends in
+# `lab(doc_id, text, pos)`, `prior(lp)`, `scored(doc_id,
+# n_scored_tokens, s)` — exactly textstats.nb_train/nb_score.
+_NB_SCORED_CTES = """b AS (
+            SELECT doc_id, text, string_split(text, ' ') AS w,
+                   regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g') AS stripped
+            FROM documents
+        ), lab AS (
+            SELECT doc_id, text,
+                   (ROUND(0.4 * (len(list_filter(w, x -> x IN
+                             ('the','a','of','and','to','in','is','it')))
+                             / CAST(NULLIF(len(w), 0) AS DOUBLE))
+                       + 0.4 * LEAST(len(w) / 64.0, 1.0)
+                       + 0.2 * (1 - (length(text) - length(stripped))
+                             / CAST(NULLIF(length(text), 0) AS DOUBLE)),
+                       9) >= 0.5) AS pos
+            FROM b
+        ), toks AS (
+            SELECT pos, t AS tok FROM (
+                SELECT pos, unnest(string_split(text, ' ')) AS t
+                FROM lab WHERE pos IS NOT NULL AND text IS NOT NULL
+            ) WHERE t <> ''
+        ), counts AS (
+            SELECT tok,
+                   SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+                   SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cn
+            FROM toks GROUP BY tok
+        ), tot AS (
+            SELECT SUM(cp) AS np, SUM(cn) AS nn, COUNT(*) AS v FROM counts
+        ), weights AS MATERIALIZED (
+            SELECT tok,
+                   ROUND(
+                     ROUND(ln((cp + 1) / CAST(np + v AS DOUBLE)), 9)
+                   - ROUND(ln((cn + 1) / CAST(nn + v AS DOUBLE)), 9), 9) AS lo
+            FROM counts CROSS JOIN tot
+        ), prior AS (
+            SELECT ROUND(ln(SUM(CASE WHEN pos THEN 1 ELSE 0 END)
+                       / CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END)
+                              AS DOUBLE)), 9) AS lp
+            FROM lab WHERE pos IS NOT NULL
+        ), dtoks AS (
+            SELECT doc_id, t AS tok FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM lab WHERE text IS NOT NULL
+            ) WHERE t <> ''
+        ), scored AS (
+            SELECT d.doc_id, COUNT(*) AS n_scored_tokens,
+                   SUM(CAST(COALESCE(w.lo, 0.0) AS DECIMAL(28,9))) AS s
+            FROM dtoks d LEFT JOIN weights w ON d.tok = w.tok
+            GROUP BY d.doc_id
+        )"""
 
 # DSIR weights shared by td_dsir_weights and ds_dsir_sample: hashed
 # unigram+bigram features -> 1024-bucket Laplace models (target =
@@ -3533,59 +3709,52 @@ ORACLE_SQL = {
     # round-9 ln per side, re-rounded difference), decimal-summed doc
     # scores + class prior — the weights, every score, and every
     # prediction match Spark bit for bit.
-    "td_quality_classifier": """
-        WITH b AS (
-            SELECT doc_id, text, string_split(text, ' ') AS w,
-                   regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g') AS stripped
-            FROM documents
-        ), lab AS (
-            SELECT doc_id, text,
-                   (ROUND(0.4 * (len(list_filter(w, x -> x IN
-                             ('the','a','of','and','to','in','is','it')))
-                             / CAST(NULLIF(len(w), 0) AS DOUBLE))
-                       + 0.4 * LEAST(len(w) / 64.0, 1.0)
-                       + 0.2 * (1 - (length(text) - length(stripped))
-                             / CAST(NULLIF(length(text), 0) AS DOUBLE)),
-                       9) >= 0.5) AS pos
-            FROM b
-        ), toks AS (
-            SELECT pos, t AS tok FROM (
-                SELECT pos, unnest(string_split(text, ' ')) AS t
-                FROM lab WHERE pos IS NOT NULL AND text IS NOT NULL
-            ) WHERE t <> ''
-        ), counts AS (
-            SELECT tok,
-                   SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
-                   SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cn
-            FROM toks GROUP BY tok
-        ), tot AS (
-            SELECT SUM(cp) AS np, SUM(cn) AS nn, COUNT(*) AS v FROM counts
-        ), weights AS MATERIALIZED (
-            SELECT tok,
-                   ROUND(
-                     ROUND(ln((cp + 1) / CAST(np + v AS DOUBLE)), 9)
-                   - ROUND(ln((cn + 1) / CAST(nn + v AS DOUBLE)), 9), 9) AS lo
-            FROM counts CROSS JOIN tot
-        ), prior AS (
-            SELECT ROUND(ln(SUM(CASE WHEN pos THEN 1 ELSE 0 END)
-                       / CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END)
-                              AS DOUBLE)), 9) AS lp
-            FROM lab WHERE pos IS NOT NULL
-        ), dtoks AS (
-            SELECT doc_id, t AS tok FROM (
-                SELECT doc_id, unnest(string_split(text, ' ')) AS t
-                FROM lab WHERE text IS NOT NULL
-            ) WHERE t <> ''
-        ), scored AS (
-            SELECT d.doc_id, COUNT(*) AS n_scored_tokens,
-                   SUM(CAST(COALESCE(w.lo, 0.0) AS DECIMAL(28,9))) AS s
-            FROM dtoks d LEFT JOIN weights w ON d.tok = w.tok
-            GROUP BY d.doc_id
-        )
+    "td_quality_classifier": f"""
+        WITH {_NB_SCORED_CTES}
         SELECT doc_id, n_scored_tokens,
                ROUND(CAST(s AS DOUBLE) + lp, 9) AS nb_score,
                (CAST(s AS DOUBLE) + lp >= 0) AS pred_pos
         FROM scored CROSS JOIN prior ORDER BY doc_id
+    """,
+    # PR sweep over the SAME trained model and seed labels (the shared
+    # NB CTE chain): COUNT FILTER keeps the counters BIGINT
+    "td_classifier_pr_curve": f"""
+        WITH {_NB_SCORED_CTES}, sc AS (
+            SELECT l.pos AS lbl,
+                   ROUND(CAST(s.s AS DOUBLE) + p.lp, 9) AS score
+            FROM scored s JOIN lab l USING (doc_id) CROSS JOIN prior p
+            WHERE l.pos IS NOT NULL
+        ), agg AS (
+            SELECT
+                COUNT(*) FILTER (score >= -2 AND lbl) AS tp0,
+                COUNT(*) FILTER (score >= -2 AND NOT lbl) AS fp0,
+                COUNT(*) FILTER (score < -2 AND lbl) AS fn0,
+                COUNT(*) FILTER (score >= -1 AND lbl) AS tp1,
+                COUNT(*) FILTER (score >= -1 AND NOT lbl) AS fp1,
+                COUNT(*) FILTER (score < -1 AND lbl) AS fn1,
+                COUNT(*) FILTER (score >= 0 AND lbl) AS tp2,
+                COUNT(*) FILTER (score >= 0 AND NOT lbl) AS fp2,
+                COUNT(*) FILTER (score < 0 AND lbl) AS fn2,
+                COUNT(*) FILTER (score >= 1 AND lbl) AS tp3,
+                COUNT(*) FILTER (score >= 1 AND NOT lbl) AS fp3,
+                COUNT(*) FILTER (score < 1 AND lbl) AS fn3,
+                COUNT(*) FILTER (score >= 2 AND lbl) AS tp4,
+                COUNT(*) FILTER (score >= 2 AND NOT lbl) AS fp4,
+                COUNT(*) FILTER (score < 2 AND lbl) AS fn4
+            FROM sc
+        ), rows_ AS (
+            SELECT CAST(-2.0 AS DOUBLE) AS threshold,
+                   tp0 AS tp, fp0 AS fp, fn0 AS fn FROM agg
+            UNION ALL SELECT CAST(-1.0 AS DOUBLE), tp1, fp1, fn1 FROM agg
+            UNION ALL SELECT CAST(0.0 AS DOUBLE), tp2, fp2, fn2 FROM agg
+            UNION ALL SELECT CAST(1.0 AS DOUBLE), tp3, fp3, fn3 FROM agg
+            UNION ALL SELECT CAST(2.0 AS DOUBLE), tp4, fp4, fn4 FROM agg
+        )
+        SELECT threshold, tp + fp AS n_pred_pos,
+               ROUND(tp / CAST(NULLIF(tp + fp, 0) AS DOUBLE), 9) AS precision_,
+               ROUND(tp / CAST(NULLIF(tp + fn, 0) AS DOUBLE), 9) AS recall_,
+               ROUND(2 * tp / CAST(NULLIF(2 * tp + fp + fn, 0) AS DOUBLE), 9) AS f1
+        FROM rows_ ORDER BY threshold
     """,
     "td_gopher_filter": """
         WITH b AS (
@@ -4114,5 +4283,72 @@ ORACLE_SQL = {
                9) AS DECIMAL(28,9))) AS DOUBLE), 9) AS kl_nats
         FROM st JOIN ct USING (token) JOIN ns USING (source) CROSS JOIN nc
         GROUP BY source ORDER BY source
+    """,
+    # the four Gopher-gate booleans recomputed from the td_gopher_filter
+    # fragments (quality on the round-9 score, dup/top-bigram on the
+    # unrounded ratios), NULL -> FALSE; COUNT(*) FILTER keeps the
+    # counters BIGINT like Spark's count_if
+    "td_filter_agreement": """
+        WITH b AS (
+            SELECT text, string_split(text, ' ') AS w,
+                   regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g') AS stripped
+            FROM documents
+        ), c AS (
+            SELECT *, CASE WHEN len(w) >= 2
+                           THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                           ELSE [] END AS bg
+            FROM b
+        ), sig AS (
+            SELECT
+                COALESCE(COALESCE(
+                    CAST(list_max(list_transform(list_distinct(bg),
+                         d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE)
+                    / NULLIF(len(bg), 0), 0.0) <= 0.2, FALSE) AS g_bigram,
+                COALESCE(len(w) BETWEEN 10 AND 10000, FALSE) AS g_length,
+                COALESCE(ROUND(0.4 * (len(list_filter(w, x -> x IN
+                          ('the','a','of','and','to','in','is','it')))
+                          / CAST(NULLIF(len(w), 0) AS DOUBLE))
+                    + 0.4 * LEAST(len(w) / 64.0, 1.0)
+                    + 0.2 * (1 - (length(text) - length(stripped))
+                          / CAST(NULLIF(length(text), 0) AS DOUBLE)),
+                    9) >= 0.4, FALSE) AS g_quality,
+                COALESCE((len(w) - len(list_distinct(w)))
+                    / CAST(NULLIF(len(w), 0) AS DOUBLE) <= 0.55, FALSE)
+                    AS g_repetition
+            FROM c
+        ), agg AS (
+            SELECT COUNT(*) AS n,
+                COUNT(*) FILTER (g_bigram AND g_length) AS bo_bl,
+                COUNT(*) FILTER (g_bigram OR g_length) AS ei_bl,
+                COUNT(*) FILTER (g_bigram = g_length) AS ag_bl,
+                COUNT(*) FILTER (g_bigram AND g_quality) AS bo_bq,
+                COUNT(*) FILTER (g_bigram OR g_quality) AS ei_bq,
+                COUNT(*) FILTER (g_bigram = g_quality) AS ag_bq,
+                COUNT(*) FILTER (g_bigram AND g_repetition) AS bo_br,
+                COUNT(*) FILTER (g_bigram OR g_repetition) AS ei_br,
+                COUNT(*) FILTER (g_bigram = g_repetition) AS ag_br,
+                COUNT(*) FILTER (g_length AND g_quality) AS bo_lq,
+                COUNT(*) FILTER (g_length OR g_quality) AS ei_lq,
+                COUNT(*) FILTER (g_length = g_quality) AS ag_lq,
+                COUNT(*) FILTER (g_length AND g_repetition) AS bo_lr,
+                COUNT(*) FILTER (g_length OR g_repetition) AS ei_lr,
+                COUNT(*) FILTER (g_length = g_repetition) AS ag_lr,
+                COUNT(*) FILTER (g_quality AND g_repetition) AS bo_qr,
+                COUNT(*) FILTER (g_quality OR g_repetition) AS ei_qr,
+                COUNT(*) FILTER (g_quality = g_repetition) AS ag_qr
+            FROM sig
+        ), rows_ AS (
+            SELECT 'bigram' AS gate_a, 'length' AS gate_b,
+                   bo_bl AS n_both, ei_bl AS n_either, ag_bl AS n_agree, n FROM agg
+            UNION ALL SELECT 'bigram', 'quality', bo_bq, ei_bq, ag_bq, n FROM agg
+            UNION ALL SELECT 'bigram', 'repetition', bo_br, ei_br, ag_br, n FROM agg
+            UNION ALL SELECT 'length', 'quality', bo_lq, ei_lq, ag_lq, n FROM agg
+            UNION ALL SELECT 'length', 'repetition', bo_lr, ei_lr, ag_lr, n FROM agg
+            UNION ALL SELECT 'quality', 'repetition', bo_qr, ei_qr, ag_qr, n FROM agg
+        )
+        SELECT gate_a, gate_b, n_both,
+               ROUND(n_both / CAST(NULLIF(n_either, 0) AS DOUBLE), 9) AS jaccard,
+               ROUND(n_agree / CAST(n AS DOUBLE), 9) AS agree_rate
+        FROM rows_ ORDER BY gate_a, gate_b
     """,
 }
