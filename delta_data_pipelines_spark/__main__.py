@@ -178,6 +178,12 @@ def main(argv: list[str] | None = None) -> int:
     fm.add_argument("--heldout", required=True,
                     help="parquet dir of heldout docs (doc_id/text)")
     fm.add_argument("--lm-drop", type=float, default=0.05)
+    fm.add_argument("--dsir-keep", type=float, default=None,
+                    metavar="FRACTION",
+                    help="also freeze a DSIR selection model: hashed-"
+                    "n-gram log-ratio table fit on the clean reference "
+                    "(quality-seed target) with the keep threshold at "
+                    "the reference's (1-FRACTION) weight quantile")
 
     ct = sub.add_parser(
         "compact-table",
@@ -499,7 +505,8 @@ def main(argv: list[str] | None = None) -> int:
         heldout = spark.read.parquet(args.heldout)
         model = FrozenCurationModel(spark, args.model)
         res = fit_reference_model(
-            model, ref, heldout, drop_fraction=args.lm_drop
+            model, ref, heldout, drop_fraction=args.lm_drop,
+            dsir_keep_fraction=args.dsir_keep,
         )
         print(json.dumps({"job": "fit-curation-model", **res}))
         return 0

@@ -56,8 +56,9 @@ from .curate_corpus import quality_gate, scrub_stage
 
 class FrozenCurationModel(JsonMetaStore):
     """The frozen artifacts under one root: unigram LM table
-    (token, tf), heldout gram table (_gram), and meta (total tokens,
-    LM threshold, gate parameters, decontamination n) — the shared
+    (token, tf), heldout gram table (_gram), optional DSIR log-ratio
+    table (bucket, lr), and meta (total tokens, LM threshold, DSIR
+    threshold, gate parameters, decontamination n) — the shared
     atomic JSON-sidecar protocol (storage.meta)."""
 
     def __init__(self, spark: SparkSession, root: str):
@@ -67,8 +68,11 @@ class FrozenCurationModel(JsonMetaStore):
         self.heldout_grams = VersionedTable(
             spark, os.path.join(root, "heldout_grams")
         )
+        self.dsir_lr = VersionedTable(spark, os.path.join(root, "dsir_lr"))
 
     def exists(self) -> bool:
+        # dsir_lr is optional (fit with dsir_keep_fraction=None has no
+        # DSIR stage); meta records whether it must be present
         return (
             self.unigram.exists()
             and self.heldout_grams.exists()
@@ -117,6 +121,8 @@ def fit_reference_model(
     text_col: str = "text",
     drop_fraction: float = 0.05,
     decont_n: int = 13,
+    dsir_keep_fraction: float | None = None,
+    dsir_n_buckets: int = 1024,
     **gate_kwargs: Any,
 ) -> dict[str, Any]:
     """BUILD job: freeze the curation models from a reference corpus.
@@ -131,9 +137,22 @@ def fit_reference_model(
     is the distinct ``decont_n``-token shingle set of ``heldout_docs``
     (docs under ``decont_n`` tokens contribute nothing — no full
     n-gram exists, same rule as the batch stage). Meta is written
-    LAST, so a concurrent reader sees a complete model or none."""
+    LAST, so a concurrent reader sees a complete model or none.
+
+    ``dsir_keep_fraction`` additionally freezes a DSIR selection
+    model: the hashed-n-gram log-ratio table is fit on the clean
+    reference (target = its quality ≥ 0.5 seed set, the one-pass
+    flagged fit) and the keep threshold is the reference's own
+    ``1 − keep_fraction`` quantile of per-doc importance weights —
+    the frozen analog of the batch pipeline's Gumbel-top-k budget
+    (a stream has no global k; a weight floor calibrated on the
+    reference admits the same fraction in expectation)."""
     if not (0.0 <= drop_fraction < 1.0):
         raise ValueError(f"drop_fraction must be in [0, 1), got {drop_fraction}")
+    if dsir_keep_fraction is not None and not (0.0 < dsir_keep_fraction <= 1.0):
+        raise ValueError(
+            f"dsir_keep_fraction must be in (0, 1], got {dsir_keep_fraction}"
+        )
     clean = quality_gate(
         scrub_stage(reference_docs, text_col), text_col, **gate_kwargs
     ).localCheckpoint(eager=True)  # freq + threshold share one cleaning run
@@ -169,6 +188,30 @@ def fit_reference_model(
         "unigram_version": c1.version,
         "heldout_grams_version": c2.version,
     }
+    if dsir_keep_fraction is not None:
+        from ..operators import dsir
+        from ..operators.textstats import quality_score
+
+        lr = dsir.dsir_log_ratio_flagged(
+            clean, quality_score(F.col(text_col)) >= 0.5, text_col,
+            dsir_n_buckets,
+        )
+        c3 = model.dsir_lr.overwrite(lr)
+        stored_lr = model.dsir_lr.read(c3.version)
+        w = dsir.dsir_score(clean, stored_lr, id_col, text_col, dsir_n_buckets)
+        dsir_thr = w.agg(
+            F.expr(
+                f"percentile(dsir_weight, {1.0 - dsir_keep_fraction})"
+            ).alias("thr")
+        ).collect()[0]["thr"]
+        meta.update(
+            {
+                "dsir_threshold": float(dsir_thr),
+                "dsir_keep_fraction": dsir_keep_fraction,
+                "dsir_n_buckets": dsir_n_buckets,
+                "dsir_lr_version": c3.version,
+            }
+        )
     model._write_meta(meta)
     return meta
 
@@ -181,6 +224,7 @@ def curate_batch(
 ) -> DataFrame:
     """Apply the frozen curation stages to one batch: scrub → quality
     gate (the fit's own parameters) → frozen-LM outlier cut →
+    frozen-DSIR weight floor (when the fit froze one) →
     decontaminate against the frozen heldout grams. NULL-id/NULL-text
     rows cannot be scored and pass the LM stage through (the
     unscorable-rows invariant of the batch stages); the gate drops
@@ -210,6 +254,29 @@ def curate_batch(
                 text_col,
             )
             .where(F.col("avg_logprob") >= F.lit(thr))
+            .select(id_col)
+        )
+        gated = scorable.join(keep, id_col, "left_semi").unionByName(
+            passthrough
+        )
+    if meta.get("dsir_threshold") is not None:
+        # frozen DSIR floor: score under the STORED log-ratio table
+        # (broadcast, n_buckets rows), keep weight >= the reference-
+        # calibrated threshold; unscorable rows pass through
+        from ..operators import dsir
+
+        unscorable = F.col(id_col).isNull() | F.col(text_col).isNull()
+        passthrough = gated.where(unscorable)
+        scorable = gated.where(~unscorable)
+        keep = (
+            dsir.dsir_score(
+                scorable,
+                model.dsir_lr.read(meta.get("dsir_lr_version")),
+                id_col,
+                text_col,
+                int(meta["dsir_n_buckets"]),
+            )
+            .where(F.col("dsir_weight") >= F.lit(meta["dsir_threshold"]))
             .select(id_col)
         )
         gated = scorable.join(keep, id_col, "left_semi").unionByName(

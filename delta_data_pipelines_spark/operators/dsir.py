@@ -48,6 +48,8 @@ __all__ = [
     "hashed_ngram_buckets",
     "fit_hashed_ngram_model",
     "dsir_log_ratio",
+    "dsir_log_ratio_flagged",
+    "dsir_score",
     "dsir_weights",
     "dsir_weights_flagged",
     "gumbel_topk",
@@ -135,22 +137,23 @@ def dsir_log_ratio(
     )
 
 
-def dsir_weights(
-    raw: DataFrame,
-    target: DataFrame,
+def dsir_score(
+    df: DataFrame,
+    lr: DataFrame,
     id_col: str,
     text_col: str,
-    n_buckets: int = 1024,
+    n_buckets: int,
 ) -> DataFrame:
-    """Per-document DSIR importance weight over the raw corpus:
-    ``(id_col, n_features, dsir_weight)`` where ``dsir_weight`` is the
-    DECIMAL(28,9)-summed per-feature log-ratio, cast to double and
-    rounded to 9 dp. Documents with no features (NULL or empty text)
-    pass through at weight 0.0 — selection operators must not silently
-    drop rows (the curate-stage invariant).
-    """
-    lr = dsir_log_ratio(target, raw, text_col, n_buckets)
-    feats = raw.select(
+    """Score documents under a GIVEN log-ratio table ``(bucket, lr)``
+    — the serve half of DSIR, usable against a freshly-fit table or
+    one read back from storage (the frozen-curation-model path):
+    ``(id_col, n_features, dsir_weight)``, DECIMAL(28,9)-summed
+    per-feature log-ratios cast to double and rounded to 9 dp.
+    Documents with no features (NULL or empty text) pass through at
+    weight 0.0 — selection operators must not silently drop rows (the
+    curate-stage invariant). One explode + one broadcast join (the lr
+    table is ``n_buckets`` rows) + one partial-agg groupBy."""
+    feats = df.select(
         F.col(id_col),
         F.explode(hashed_ngram_buckets(F.col(text_col), n_buckets)).alias("bucket"),
     )
@@ -163,13 +166,27 @@ def dsir_weights(
         )
     )
     zero = F.lit(0).cast("decimal(28,9)")
-    return raw.select(id_col).join(scored, id_col, "left").select(
+    return df.select(id_col).join(scored, id_col, "left").select(
         id_col,
         F.coalesce(F.col("n_features"), F.lit(0).cast("long")).alias("n_features"),
         F.round(F.coalesce(F.col("_s"), zero).cast("double"), 9).alias(
             "dsir_weight"
         ),
     )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-document DSIR importance weight over the raw corpus:
+    fit both models, then ``dsir_score`` under the resulting
+    log-ratio table."""
+    lr = dsir_log_ratio(target, raw, text_col, n_buckets)
+    return dsir_score(raw, lr, id_col, text_col, n_buckets)
 
 
 def dsir_weights_flagged(
@@ -190,6 +207,20 @@ def dsir_weights_flagged(
     I/O; at local sf0.1 (page-cached parquet, explode-dominated) the
     two forms measure within ~20% of each other. A NULL flag counts
     as not-target, matching ``where(flag)``'s NULL-drops semantics.
+
+    The scoring pass carries no flag (only the model fit needs it),
+    so the flag expression is evaluated exactly once per doc."""
+    lr = dsir_log_ratio_flagged(raw, target_flag, text_col, n_buckets)
+    return dsir_score(raw, lr, id_col, text_col, n_buckets)
+
+
+def dsir_log_ratio_flagged(
+    raw: DataFrame, target_flag: Column, text_col: str, n_buckets: int
+) -> DataFrame:
+    """One-pass log-ratio fit for an in-corpus target: both bucket
+    models come out of one exploded pass with a conditional count on
+    the flag. Output ``(bucket, lr)``, the same numbers as
+    ``dsir_log_ratio(raw.where(flag), raw, …)``.
 
     The flag and the bucket array are projected in a SEPARATE select
     below the explode: a select mixing a generator with sibling
@@ -220,7 +251,7 @@ def dsir_weights_flagged(
     # explode+groupBy subtree twice (once per consumer); the
     # single-partition window is bounded at n_buckets rows
     wall = Window.partitionBy(F.lit(1))
-    lr = (
+    return (
         full.join(counts, "bucket", "left")
         .select(
             "bucket",
@@ -237,28 +268,6 @@ def dsir_weights_flagged(
                 9,
             ).alias("lr"),
         )
-    )
-    # scoring pass carries NO flag (only the counts pass needs it), so
-    # the quality expression is evaluated exactly once per doc overall
-    sfeats = raw.select(
-        F.col(id_col),
-        F.explode(hashed_ngram_buckets(F.col(text_col), n_buckets)).alias("bucket"),
-    )
-    scored = (
-        sfeats.join(F.broadcast(lr), "bucket")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_features"),
-            F.sum(F.col("lr").cast("decimal(28,9)")).alias("_s"),
-        )
-    )
-    dzero = F.lit(0).cast("decimal(28,9)")
-    return raw.select(id_col).join(scored, id_col, "left").select(
-        id_col,
-        F.coalesce(F.col("n_features"), zero).alias("n_features"),
-        F.round(F.coalesce(F.col("_s"), dzero).cast("double"), 9).alias(
-            "dsir_weight"
-        ),
     )
 
 

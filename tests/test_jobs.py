@@ -1234,3 +1234,74 @@ def test_curate_corpus_dsir_select_steers_toward_target(spark):
     kept = {r["doc_id"] for r in staged}
     assert None in kept and 99 in kept
     assert len(staged) == 5  # 3 selected + 2 passthrough
+
+
+def test_frozen_dsir_model_fit_and_serve(spark, tmp_path):
+    """fit_reference_model(dsir_keep_fraction=...) freezes a DSIR
+    log-ratio table + weight threshold; curate_batch then applies the
+    STORED model as a weight floor: replays are identical, the kept
+    set matches a direct dsir_score >= threshold on the same gated
+    frame, and on the reference corpus itself the floor admits about
+    the requested fraction."""
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.jobs.curate_corpus import (
+        quality_gate,
+        scrub_stage,
+    )
+    from delta_data_pipelines_spark.jobs.incremental_curate import (
+        FrozenCurationModel,
+        curate_batch,
+        fit_reference_model,
+    )
+    from delta_data_pipelines_spark.operators import dsir
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    heldout = docs.where(F.col("doc_id") % 19 == 0)
+    model = FrozenCurationModel(spark, str(tmp_path / "fz"))
+    meta = fit_reference_model(
+        model, ref, heldout, dsir_keep_fraction=0.5, dsir_n_buckets=256
+    )
+    assert meta["dsir_threshold"] is not None
+    assert meta["dsir_n_buckets"] == 256
+    assert model.dsir_lr.exists()
+    assert model.dsir_lr.read().count() == 256
+
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    out1 = sorted(r["doc_id"] for r in curate_batch(batch, model).collect())
+    out2 = sorted(r["doc_id"] for r in curate_batch(batch, model).collect())
+    assert out1 == out2 and out1  # deterministic, non-empty
+
+    # the DSIR floor is really applied: recompute the expected keep
+    # set with the stored table over the same upstream stages
+    gated = quality_gate(scrub_stage(batch, "text"), "text")
+    w = dsir.dsir_score(
+        gated, model.dsir_lr.read(), "doc_id", "text", 256
+    )
+    below = {
+        r["doc_id"]
+        for r in w.where(
+            F.col("dsir_weight") < F.lit(meta["dsir_threshold"])
+        ).collect()
+    }
+    assert below, "fixture should have docs under the floor"
+    assert not (set(out1) & below)
+
+    # calibration: on the reference's own clean frame the floor keeps
+    # ~keep_fraction (exact up to percentile interpolation/ties)
+    ref_gated = quality_gate(scrub_stage(ref, "text"), "text")
+    rw = dsir.dsir_score(ref_gated, model.dsir_lr.read(), "doc_id", "text", 256)
+    n = rw.count()
+    kept = rw.where(
+        F.col("dsir_weight") >= F.lit(meta["dsir_threshold"])
+    ).count()
+    assert abs(kept / n - 0.5) < 0.1, (kept, n)
+
+    # a fit without the DSIR fraction writes no threshold and serves
+    # without the stage
+    m2 = FrozenCurationModel(spark, str(tmp_path / "fz2"))
+    meta2 = fit_reference_model(m2, ref, heldout)
+    assert "dsir_threshold" not in meta2
+    assert curate_batch(batch, m2).count() >= len(out1)
