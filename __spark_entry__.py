@@ -143,7 +143,9 @@ _PRIORITY = [
     # and classifier-calibration queries' first driver rows
     "td_filter_agreement", "td_classifier_pr_curve",
     "ds_token_budget_mix",
-    "sim_range_search", "w_percent_rank_scalable",
+    # sim_range_search (r07, unchanged, mirror-checked) rotated out for
+    # the URL canonicalization + refetch-dedup query's first driver row
+    "f_url_dedup", "w_percent_rank_scalable",
     "td_ngram_contamination",
     # curation headline (driver-green r2-r7, kept pinned)
     "td_curate",

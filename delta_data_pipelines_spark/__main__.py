@@ -78,6 +78,11 @@ def main(argv: list[str] | None = None) -> int:
                     "cuts, length-weighted without replacement "
                     "(deterministic Efraimidis-Spirakis; zero-token "
                     "docs carry no weight and are dropped)")
+    cc.add_argument("--dedup-refetches", action="store_true",
+                    help="with --warc-in: collapse refetches of the "
+                    "same canonical URL (case/port/tracking-param/"
+                    "fragment variants) to the latest capture before "
+                    "any text-level stage")
     cc.add_argument("--warc-in", default=None, metavar="GLOB",
                     help="read the input corpus from WARC shards "
                     "(Common Crawl container): 2xx HTML responses -> "
@@ -321,6 +326,8 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--jsonl-shards requires --export-jsonl")
         if args.warc_in and args.jsonl_in:
             p.error("--warc-in and --jsonl-in are mutually exclusive")
+        if args.dedup_refetches and not args.warc_in:
+            p.error("--dedup-refetches requires --warc-in (URL column)")
         if args.tokenizer and args.pack_ctx is None:
             p.error("--tokenizer requires --pack-ctx")
         n_quarantined = 0
@@ -338,6 +345,10 @@ def main(argv: list[str] | None = None) -> int:
                 F.col("warc_type") == "_error"
             ).count()
             docs = documents_from_records(recs)
+            if args.dedup_refetches:
+                from .functions.urls import dedup_refetches
+
+                docs = dedup_refetches(docs)
         elif args.jsonl_in:
             # parse ONCE: gzip shards are not block-splittable, so every
             # extra pass over the raw corpus is a full decompress+parse;

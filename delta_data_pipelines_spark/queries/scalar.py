@@ -210,6 +210,43 @@ def f_enum_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + refetch dedup (functions/urls.py) over
+    synthetic fetch logs built from orders: cosmetic URL variants —
+    scheme/host case, default :80 port, trailing slash, tracking
+    params, param order, fragments — collapse to one canonical key
+    and the LATEST fetch wins (o_orderdate, doc_id tie-break);
+    non-URL rows pass through. Scale shape: one max_by(struct)
+    partial-agg groupBy on the canonical key — single shuffle, no
+    window, combiner-side reduction on refetch-heavy keys."""
+    from ..functions.urls import dedup_refetches
+
+    o = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    url = F.when(
+        k % 97 == 0, F.concat(F.lit("plain-ref-"), k.cast("string"))
+    ).otherwise(
+        F.concat(
+            F.when(k % 2 == 0, F.lit("HTTP://Shop")).otherwise(
+                F.lit("http://shop")
+            ),
+            (F.col("o_custkey") % 20).cast("string"),
+            F.when(k % 2 == 0, F.lit(".COM:80")).otherwise(F.lit(".com")),
+            F.lit("/item/"),
+            (k % 500).cast("string"),
+            F.when(k % 3 == 0, F.lit("/?b=2&a=1&utm_source=x#f"))
+            .when(k % 3 == 1, F.lit("?a=1&fbclid=9&b=2"))
+            .otherwise(F.lit("?a=1&b=2")),
+        )
+    )
+    src = o.select(
+        k.alias("doc_id"),
+        url.alias("url"),
+        F.col("o_orderdate").alias("fetched_at"),
+    )
+    return dedup_refetches(src).orderBy("doc_id")
+
+
 SPARK_QUERIES = {
     "f_translate": f_translate,
     "f_regex_extract_cast": f_regex_extract_cast,
@@ -222,6 +259,7 @@ SPARK_QUERIES = {
     "f_relative_dates": f_relative_dates,
     "f_age_build_year": f_age_build_year,
     "f_enum_normalize": f_enum_normalize,
+    "f_url_dedup": f_url_dedup,
 }
 
 ORACLE_SQL = {
@@ -337,4 +375,69 @@ ORACLE_SQL = {
                concat('https://parts.example/', p_brand) AS url
         FROM part
     """,
+    # canonical_url recomputed verbatim (same regexes, same list ops);
+    # the latest fetch per canonical key wins via QUALIFY-equivalent
+    # row_number; non-URL rows pass through
+    "f_url_dedup": """
+        WITH src AS (
+            SELECT o_orderkey AS doc_id,
+                   CASE WHEN o_orderkey % 97 = 0
+                        THEN 'plain-ref-' || CAST(o_orderkey AS VARCHAR)
+                        ELSE (CASE WHEN o_orderkey % 2 = 0
+                                   THEN 'HTTP://Shop' ELSE 'http://shop' END)
+                             || CAST(o_custkey % 20 AS VARCHAR)
+                             || (CASE WHEN o_orderkey % 2 = 0
+                                      THEN '.COM:80' ELSE '.com' END)
+                             || '/item/' || CAST(o_orderkey % 500 AS VARCHAR)
+                             || (CASE WHEN o_orderkey % 3 = 0
+                                      THEN '/?b=2&a=1&utm_source=x#f'
+                                      WHEN o_orderkey % 3 = 1
+                                      THEN '?a=1&fbclid=9&b=2'
+                                      ELSE '?a=1&b=2' END)
+                   END AS url,
+                   o_orderdate AS fetched_at
+            FROM orders
+        ), parts AS (
+            SELECT *,
+                lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.\\-]*)://', 1)) AS proto,
+                lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1)) AS auth0,
+                regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS path0,
+                regexp_extract(url, '\\?([^#]*)', 1) AS q
+            FROM src
+        ), canon AS (
+            SELECT doc_id, url, fetched_at,
+                CASE WHEN proto = '' THEN NULL
+                     ELSE proto || '://'
+                          || (CASE WHEN proto = 'http' AND auth0 LIKE '%:80'
+                                   THEN substr(auth0, 1, length(auth0) - 3)
+                                   WHEN proto = 'https' AND auth0 LIKE '%:443'
+                                   THEN substr(auth0, 1, length(auth0) - 4)
+                                   ELSE auth0 END)
+                          || (CASE WHEN regexp_replace(path0, '/+$', '') = ''
+                                   THEN '/'
+                                   ELSE regexp_replace(path0, '/+$', '') END)
+                          || (CASE WHEN len(list_filter(string_split(q, '&'),
+                                        p -> p <> '' AND NOT regexp_matches(p,
+                                        '^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src)(=.*)?$'))) > 0
+                                   THEN '?' || array_to_string(
+                                        list_sort(list_filter(string_split(q, '&'),
+                                            p -> p <> '' AND NOT regexp_matches(p,
+                                            '^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src)(=.*)?$'))), '&')
+                                   ELSE '' END)
+                END AS c
+            FROM parts
+        ), winners AS (
+            SELECT doc_id, url, fetched_at FROM (
+                SELECT doc_id, url, fetched_at,
+                       row_number() OVER (PARTITION BY c
+                           ORDER BY fetched_at DESC, doc_id DESC) AS rn
+                FROM canon WHERE c IS NOT NULL
+            ) WHERE rn = 1
+        )
+        SELECT doc_id, url, fetched_at FROM winners
+        UNION ALL
+        SELECT doc_id, url, fetched_at FROM canon WHERE c IS NULL
+        ORDER BY doc_id
+    """,
+
 }

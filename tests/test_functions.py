@@ -308,3 +308,60 @@ def test_days_ago_and_street(spark):
     assert out[2]["street"] is None
     assert str(out[3]["published_at"]) == "2024-06-01 12:00:00"
     assert out[3]["street"] == "ونک"
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + refetch dedup (functions/urls.py)
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_url_rules(spark):
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.functions.urls import canonical_url
+
+    cases = {
+        "HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag":
+            "http://example.com/a/b?a=1&b=2",
+        "http://example.com/a/b?a=1&b=2": "http://example.com/a/b?a=1&b=2",
+        "https://Example.com:443/": "https://example.com/",
+        "https://example.com": "https://example.com/",
+        "https://example.com/p?fbclid=123&gclid=4&ref=home":
+            "https://example.com/p",
+        "ftp://Host:21/file": "ftp://host:21/file",  # non-default port kept
+        "http://example.com:8080/x": "http://example.com:8080/x",
+        "not a url": None,
+        None: None,
+    }
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(cases)], "id int, url string"
+    )
+    got = {
+        r["url"]: r["c"]
+        for r in df.select("url", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    for url, want in cases.items():
+        assert got[url] == want, (url, got[url], want)
+
+
+def test_dedup_refetches_latest_wins_and_passthrough(spark):
+    from delta_data_pipelines_spark.functions.urls import dedup_refetches
+
+    rows = [
+        # three fetches of one canonical page — latest date wins
+        (1, "http://a.com/p?utm_source=x", "2024-01-01"),
+        (2, "HTTP://A.COM:80/p", "2024-03-01"),
+        (3, "http://a.com/p/", "2024-02-01"),
+        # date tie — greater doc_id wins
+        (4, "http://b.com/q", "2024-01-01"),
+        (5, "http://b.com/q#frag", "2024-01-01"),
+        # non-URL rows pass through untouched
+        (6, "garbage", "2024-05-01"),
+        (7, None, "2024-05-01"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, fetched_at string"
+    )
+    out = {r["doc_id"]: r["url"] for r in dedup_refetches(df).collect()}
+    assert set(out) == {2, 5, 6, 7}
+    assert out[2] == "HTTP://A.COM:80/p"  # the winner keeps its raw URL
