@@ -297,6 +297,65 @@ def curate_batch(
     return gated.join(contaminated, id_col, "left_anti")
 
 
+def batch_drift(
+    batch: DataFrame,
+    model: FrozenCurationModel,
+    text_col: str = "text",
+) -> dict[str, Any]:
+    """Distribution-shift alarm for continuous ingestion: the plug-in
+    KL of the batch's token distribution against the FROZEN reference
+    unigram (the streaming twin of the td_source_drift datasheet).
+    OOV tokens take the tf=1 frequency floor — the same convention as
+    the frozen LM scoring, so an all-novel batch reads as maximally
+    surprising rather than undefined.
+
+    One pass over the batch (explode → per-token counts → broadcast
+    freq join → ONE aggregate row) via the decomposition
+
+        KL = (Σ_t o_t·ln(o_t/tf'_t)) / n  −  ln n  +  ln n_ref
+
+    which needs no second pass for the batch total. Returns
+    ``{"n_tokens", "n_oov_tokens", "kl_nats"}``; an empty batch
+    returns ``kl_nats=None`` (no distribution to compare — not 0.0,
+    which would read as a perfect match)."""
+    meta = model.meta()
+    freq = model.unigram.read(meta.get("unigram_version"))
+    toks = (
+        batch.where(F.col(text_col).isNotNull())
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    st = toks.groupBy("token").agg(F.count("*").alias("_o"))
+    row = (
+        st.join(freq, "token", "left")
+        .agg(
+            F.sum("_o").alias("_n"),
+            F.sum(F.when(F.col("tf").isNull(), F.col("_o")).otherwise(0)).alias(
+                "_oov"
+            ),
+            F.sum(
+                F.col("_o")
+                * F.log(
+                    F.col("_o")
+                    / F.coalesce(F.col("tf"), F.lit(1)).cast("double")
+                )
+            ).alias("_a"),
+        )
+        .collect()[0]
+    )
+    if not row["_n"]:
+        return {"n_tokens": 0, "n_oov_tokens": 0, "kl_nats": None}
+    import math
+
+    n = int(row["_n"])
+    kl = row["_a"] / n - math.log(n) + math.log(int(meta["total_tokens"]))
+    return {
+        "n_tokens": n,
+        "n_oov_tokens": int(row["_oov"]),
+        "kl_nats": round(kl, 9),
+    }
+
+
 def run_incremental_curation(
     docs_stream: DataFrame,
     model: FrozenCurationModel,
@@ -305,6 +364,7 @@ def run_incremental_curation(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    drift_log: list | None = None,
     **neardup_kwargs: Any,
 ):
     """STREAM job: frozen-model curation + near-dup-vs-state dedup +
@@ -314,8 +374,18 @@ def run_incremental_curation(
     ``prepare`` seam — cleaning runs before any state interaction, so
     rejected docs never enter the corpus or the signature state, and
     the whole batch path stays batch-proportional (frozen tables are
-    broadcast-sized joins, state reads are bucket-pruned)."""
+    broadcast-sized joins, state reads are bucket-pruned).
+
+    ``drift_log`` (a list, the jobs.ann_index convention) receives one
+    ``batch_drift`` dict per micro-batch, measured on the RAW batch
+    before any curation stage — the shift alarm must see what arrived,
+    not what survived the gates the reference calibrated."""
     from ..streaming.neardup import run_incremental_neardup
+
+    def _prepare(b: DataFrame) -> DataFrame:
+        if drift_log is not None:
+            drift_log.append(batch_drift(b, model, text_col))
+        return curate_batch(b, model, id_col, text_col)
 
     return run_incremental_neardup(
         docs_stream,
@@ -324,6 +394,6 @@ def run_incremental_curation(
         checkpoint_dir,
         id_col=id_col,
         text_col=text_col,
-        prepare=lambda b: curate_batch(b, model, id_col, text_col),
+        prepare=_prepare,
         **neardup_kwargs,
     )

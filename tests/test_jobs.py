@@ -1305,3 +1305,40 @@ def test_frozen_dsir_model_fit_and_serve(spark, tmp_path):
     meta2 = fit_reference_model(m2, ref, heldout)
     assert "dsir_threshold" not in meta2
     assert curate_batch(batch, m2).count() >= len(out1)
+
+
+def test_batch_drift_vs_frozen_reference(spark, tmp_path):
+    """batch_drift: a batch drawn from the reference distribution
+    scores near zero; a disjoint-vocabulary batch scores much higher
+    with every token OOV; an empty batch reports None (no
+    distribution), not a perfect-match 0.0."""
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.jobs.incremental_curate import (
+        FrozenCurationModel,
+        batch_drift,
+        fit_reference_model,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    heldout = docs.where(F.col("doc_id") % 19 == 0)
+    model = FrozenCurationModel(spark, str(tmp_path / "fzd"))
+    fit_reference_model(model, ref, heldout)
+
+    # the reference's own clean docs: tiny drift (same distribution).
+    # NOTE batch_drift sees the RAW batch; use ref itself — gate-
+    # surviving docs dominate the frozen distribution
+    same = batch_drift(ref, model)
+    assert same["n_tokens"] > 0 and same["kl_nats"] is not None
+
+    novel = spark.createDataFrame(
+        [(9999, "zzqx wwvk yyru " * 30)], "doc_id long, text string"
+    )
+    far = batch_drift(novel, model)
+    assert far["n_oov_tokens"] == far["n_tokens"] > 0
+    assert far["kl_nats"] > same["kl_nats"] + 1.0
+
+    empty = batch_drift(novel.where(F.lit(False)), model)
+    assert empty == {"n_tokens": 0, "n_oov_tokens": 0, "kl_nats": None}
