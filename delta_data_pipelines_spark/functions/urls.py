@@ -43,8 +43,13 @@ def canonical_url(url: Column) -> Column:
     """Canonical form of ``url`` per the module rules, NULL when the
     value does not look like ``scheme://…``."""
     proto = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1))
-    auth = F.lower(
-        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)", 1)
+    # lowercase ONLY the host[:port] part of the authority: userinfo is
+    # case-sensitive per RFC 3986 (the greedy '^(.*@)' splits at the
+    # LAST '@', so userinfo containing '@' stays intact)
+    auth_raw = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)", 1)
+    auth = F.concat(
+        F.regexp_extract(auth_raw, r"^(.*@)", 1),
+        F.lower(F.regexp_extract(auth_raw, r"([^@]*)$", 1)),
     )
     auth = (
         F.when(
@@ -60,7 +65,10 @@ def canonical_url(url: Column) -> Column:
     path = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
     path = F.regexp_replace(path, "/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # query = text between the FIRST '?' before any '#' and the '#':
+    # a bare r'\?([^#]*)' would match a '?' inside the fragment and
+    # leak fragment content into the canonical form
+    query = F.regexp_extract(url, r"^[^#]*?\?([^#]*)", 1)
     kept = F.array_sort(
         F.filter(
             F.split(query, "&"),

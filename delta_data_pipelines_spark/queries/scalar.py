@@ -400,10 +400,14 @@ ORACLE_SQL = {
         ), parts AS (
             SELECT *,
                 lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.\\-]*)://', 1)) AS proto,
-                lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1)) AS auth0,
+                regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1) AS rawauth,
                 regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS path0,
-                regexp_extract(url, '\\?([^#]*)', 1) AS q
+                regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS q
             FROM src
+        ), parts2 AS (
+            SELECT *, regexp_extract(rawauth, '^(.*@)', 1)
+                      || lower(regexp_extract(rawauth, '([^@]*)$', 1)) AS auth0
+            FROM parts
         ), canon AS (
             SELECT doc_id, url, fetched_at,
                 CASE WHEN proto = '' THEN NULL
@@ -425,7 +429,7 @@ ORACLE_SQL = {
                                             '^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src)(=.*)?$'))), '&')
                                    ELSE '' END)
                 END AS c
-            FROM parts
+            FROM parts2
         ), winners AS (
             SELECT doc_id, url, fetched_at FROM (
                 SELECT doc_id, url, fetched_at,

@@ -1941,12 +1941,16 @@ def td_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct = st.groupBy("token").agg(F.sum("o").alias("c"))
     ns = st.groupBy("source").agg(F.sum("o").alias("n_s"))
     nc = st.agg(F.sum("o").alias("n_c"))
+    # products computed in DOUBLE: the bigint o*n_c wraps past 2^63 at
+    # real corpus scale (n_c ~1e13) — Spark would then ln(negative) to
+    # NULL and silently drop terms while DuckDB raises; double*double
+    # of exact integers is the same IEEE value on both engines
     term = F.round(
         (F.col("o") / F.col("n_s").cast("double"))
         * F.round(
             F.log(
-                (F.col("o") * F.col("n_c"))
-                / (F.col("c") * F.col("n_s")).cast("double")
+                (F.col("o").cast("double") * F.col("n_c"))
+                / (F.col("c").cast("double") * F.col("n_s"))
             ),
             9,
         ),
@@ -1985,8 +1989,12 @@ def td_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     gates agree on them."""
     d = read_table(spark, sf_dir, "documents")
     t = F.col("text")
+    # the bigram ratio coalesces its empty-denominator case to 0.0
+    # INSIDE the operator, so on NULL text the bare `<= 0.2` would be
+    # TRUE — conjoin isNotNull so NULL-text docs fail this gate like
+    # the other three (the docstring contract)
     gates = {
-        "bigram": textstats._top_bigram_ratio_raw(t) <= 0.2,
+        "bigram": t.isNotNull() & (textstats._top_bigram_ratio_raw(t) <= 0.2),
         "length": textstats.token_count_ws(t).between(10, 10000),
         "quality": textstats.quality_score(t) >= 0.4,
         "repetition": textstats._dup_token_ratio_raw(t) <= 0.55,
@@ -4279,7 +4287,8 @@ ORACLE_SQL = {
                COUNT(*) AS n_distinct_tokens,
                ROUND(CAST(SUM(CAST(ROUND(
                    (o / CAST(n_s AS DOUBLE))
-                   * ROUND(ln((o * n_c) / CAST(c * n_s AS DOUBLE)), 9),
+                   * ROUND(ln((CAST(o AS DOUBLE) * n_c)
+                              / (CAST(c AS DOUBLE) * n_s)), 9),
                9) AS DECIMAL(28,9))) AS DOUBLE), 9) AS kl_nats
         FROM st JOIN ct USING (token) JOIN ns USING (source) CROSS JOIN nc
         GROUP BY source ORDER BY source
@@ -4300,7 +4309,7 @@ ORACLE_SQL = {
             FROM b
         ), sig AS (
             SELECT
-                COALESCE(COALESCE(
+                COALESCE(text IS NOT NULL AND COALESCE(
                     CAST(list_max(list_transform(list_distinct(bg),
                          d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE)
                     / NULLIF(len(bg), 0), 0.0) <= 0.2, FALSE) AS g_bigram,

@@ -330,6 +330,10 @@ def test_canonical_url_rules(spark):
             "https://example.com/p",
         "ftp://Host:21/file": "ftp://host:21/file",  # non-default port kept
         "http://example.com:8080/x": "http://example.com:8080/x",
+        # a '?' INSIDE the fragment is not a query — whole fragment drops
+        "http://a.com/p#sec?x=1": "http://a.com/p",
+        # userinfo is case-sensitive (RFC 3986): only host lowercases
+        "http://UserA@Example.COM/x": "http://UserA@example.com/x",
         "not a url": None,
         None: None,
     }
