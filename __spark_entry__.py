@@ -145,7 +145,9 @@ _PRIORITY = [
     "ds_token_budget_mix",
     # sim_range_search (r07, unchanged, mirror-checked) rotated out for
     # the URL canonicalization + refetch-dedup query's first driver row
-    "f_url_dedup", "w_percent_rank_scalable",
+    # w_percent_rank_scalable (r07, unchanged, mirror-checked) rotated
+    # out for the classifier-AUC query's first driver row
+    "f_url_dedup", "td_classifier_auc",
     "td_ngram_contamination",
     # curation headline (driver-green r2-r7, kept pinned)
     "td_curate",

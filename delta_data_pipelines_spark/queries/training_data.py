@@ -2100,6 +2100,58 @@ def td_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def td_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the trained quality classifier against its
+    seed labels — the one-number companion to td_classifier_pr_curve:
+    the tie-corrected Mann-Whitney statistic
+
+        AUC = (Σ_pos avg_rank − n_pos(n_pos+1)/2) / (n_pos·n_neg)
+
+    with average ranks for tied scores. Computed WITHOUT a global
+    window: per-distinct-score counts, then the range-partitioned
+    prefix sum (ranking.global_cumsum_by_range — the only
+    unpartitioned window runs over ≤ n_parts partition totals), then
+    one aggregate. Rank sums are kept ×2 in DECIMAL(38,0) so every
+    intermediate is an exact integer (avg ranks are halves); the one
+    double division happens last."""
+    from ..operators import ranking
+    from ..operators.textstats import nb_score, nb_train, quality_score
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (quality_score(F.col("text")) >= 0.5).alias("_lbl")
+    )
+    weights, prior = nb_train(d, "_lbl")
+    s = (
+        nb_score(d, weights, prior)
+        .join(d.select("doc_id", "_lbl"), "doc_id")
+        .where(F.col("_lbl").isNotNull())
+    )
+    g = s.groupBy("nb_score").agg(
+        F.count("*").alias("n"), F.count_if(F.col("_lbl")).alias("pos")
+    )
+    c = ranking.global_cumsum_by_range(g, "nb_score", "n")
+    rank2 = 2 * F.col("cum_before") + F.col("n") + 1  # 2 × average rank
+    agg = c.agg(
+        F.sum(F.col("pos").cast("decimal(38,0)") * rank2).alias("_r2"),
+        F.sum("pos").alias("_np"),
+        F.sum(F.col("n") - F.col("pos")).alias("_nn"),
+    )
+    numer = (
+        F.col("_r2")
+        - F.col("_np").cast("decimal(38,0)")
+        * (F.col("_np") + 1).cast("decimal(38,0)")
+    )
+    return agg.select(
+        F.col("_np").alias("n_pos"),
+        F.col("_nn").alias("n_neg"),
+        F.round(
+            numer.cast("double")
+            / F.nullif(2.0 * F.col("_np") * F.col("_nn"), F.lit(0.0)),
+            9,
+        ).alias("auc"),
+    )
+
+
 SPARK_QUERIES = {
     "ds_hash_split": ds_hash_split,
     "ds_det_sample": ds_det_sample,
@@ -2182,6 +2234,7 @@ SPARK_QUERIES = {
     "td_source_drift": td_source_drift,
     "td_filter_agreement": td_filter_agreement,
     "td_classifier_pr_curve": td_classifier_pr_curve,
+    "td_classifier_auc": td_classifier_auc,
 }
 
 _SHINGLES = """
@@ -4359,5 +4412,33 @@ ORACLE_SQL = {
                ROUND(n_both / CAST(NULLIF(n_either, 0) AS DOUBLE), 9) AS jaccard,
                ROUND(n_agree / CAST(n AS DOUBLE), 9) AS agree_rate
         FROM rows_ ORDER BY gate_a, gate_b
+    """,
+    # tie-corrected Mann-Whitney AUC over the shared NB chain; rank
+    # sums kept x2 in DECIMAL(38,0) (exact integers), one final double
+    # division
+    "td_classifier_auc": f"""
+        WITH {_NB_SCORED_CTES}, sc AS (
+            SELECT ROUND(CAST(s.s AS DOUBLE) + p.lp, 9) AS score,
+                   l.pos AS lbl
+            FROM scored s JOIN lab l USING (doc_id) CROSS JOIN prior p
+            WHERE l.pos IS NOT NULL
+        ), g AS (
+            SELECT score, COUNT(*) AS n, COUNT(*) FILTER (lbl) AS pos
+            FROM sc GROUP BY score
+        ), c AS (
+            SELECT *, COALESCE(SUM(n) OVER (ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS cum_before
+            FROM g
+        ), agg AS (
+            SELECT SUM(CAST(pos AS DECIMAL(38,0)) * (2*cum_before + n + 1)) AS r2,
+                   SUM(pos) AS np, SUM(n - pos) AS nn
+            FROM c
+        )
+        SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+               ROUND(CAST(r2 - CAST(np AS DECIMAL(38,0))
+                              * CAST(np + 1 AS DECIMAL(38,0)) AS DOUBLE)
+                     / NULLIF(2.0 * np * nn, 0.0), 9) AS auc
+        FROM agg
     """,
 }
