@@ -477,3 +477,19 @@ def test_source_drift_explodes_corpus_once(spark, registry):
     plan = plan_of(spark, registry, "td_source_drift")
     gens = set(re.findall(r"\((\d+)\) Generate", plan))
     assert len(gens) == 1, plan
+
+
+def test_classifier_auc_has_no_global_data_window(spark, registry):
+    """td_classifier_auc: the rank machinery must be the
+    range-partitioned prefix sum — the only single-partition window
+    runs over per-partition totals, never over the score rows. The
+    formatted plan's Window nodes must all partition by _pid or read
+    the <= n_parts totals frame (detectable: no Window whose child is
+    the raw score aggregation's full output ordering by nb_score
+    without a partition spec at data scale). Cheap proxy pinned here:
+    exactly the two Window nodes the helper creates, and no
+    CartesianProduct."""
+    plan = plan_of(spark, registry, "td_classifier_auc")
+    assert "CartesianProduct" not in plan, plan
+    n_windows = len(set(re.findall(r"\((\d+)\) Window", plan)))
+    assert n_windows == 2, plan
