@@ -627,3 +627,78 @@ def test_cm_sketch_one_sided_error(spark, items, d, w):
     }
     for item, n in truth.items():
         assert est[item] >= n, (item, est[item], n)
+
+
+# URL strategy: a mix of well-formed URLs assembled from parts and
+# arbitrary text (which must canonicalize to NULL, never crash)
+_HOSTCHARS = st.text(
+    alphabet=st.sampled_from("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ09-."),
+    min_size=1, max_size=12,
+)
+_PATHSEG = st.text(
+    alphabet=st.sampled_from("abcXYZ019-._~"), min_size=0, max_size=8
+)
+_PARAM = st.tuples(
+    st.sampled_from(["a", "b", "zz", "utm_source", "fbclid", "ref", "q1"]),
+    st.text(alphabet=st.sampled_from("abc123"), min_size=0, max_size=4),
+)
+
+
+@st.composite
+def _urls(draw):
+    if draw(st.booleans()):
+        return draw(TEXT)  # arbitrary non-URL text
+    scheme = draw(st.sampled_from(["http", "HTTP", "https", "HtTpS", "ftp"]))
+    host = draw(_HOSTCHARS)
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    path = "/".join([""] + draw(st.lists(_PATHSEG, max_size=3)))
+    params = draw(st.lists(_PARAM, max_size=4))
+    q = ("?" + "&".join(f"{k}={v}" for k, v in params)) if params else ""
+    frag = draw(st.sampled_from(["", "#f", "#sec?x=1"]))
+    return f"{scheme}://{host}{port}{path}{q}{frag}"
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_urls(), min_size=1, max_size=40))
+def test_canonical_url_idempotent_and_total(spark, urls):
+    """canonical_url is IDEMPOTENT (canonicalizing a canonical form is
+    a no-op — the fixed-point property that makes the canonical key a
+    valid dedup key) and total (arbitrary text maps to NULL, URL-ish
+    text maps to a non-NULL canonical form starting scheme://, never
+    an error)."""
+    from delta_data_pipelines_spark.functions.urls import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select("u", canonical_url(F.col("u")).alias("c1"))
+    out = once.select(
+        "u", "c1", canonical_url(F.col("c1")).alias("c2")
+    ).collect()
+    for r in out:
+        assert r["c1"] == r["c2"], (r["u"], r["c1"], r["c2"])
+        if r["c1"] is not None:
+            assert "://" in r["c1"]
+            assert "#" not in r["c1"]
+            assert "utm_source" not in r["c1"] and "fbclid" not in r["c1"]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000),
+                  st.floats(-50, 50, allow_nan=False)),
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 20),
+)
+def test_gumbel_topk_subset_size_determinism(spark, rows, k):
+    """gumbel_topk returns min(k, n) rows, all drawn from the input id
+    set, identically across repeated evaluations (portable-md5 keys)."""
+    from delta_data_pipelines_spark.operators.dsir import gumbel_topk
+
+    df = spark.createDataFrame(rows, "doc_id: bigint, w: double")
+    a = gumbel_topk(df, "doc_id", "w", k=k).collect()
+    b = gumbel_topk(df, "doc_id", "w", k=k).collect()
+    ids = {r[0] for r in rows}
+    assert len(a) == min(k, len(rows))
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert all(r["doc_id"] in ids for r in a)
