@@ -148,7 +148,9 @@ _PRIORITY = [
     # w_percent_rank_scalable (r07, unchanged, mirror-checked) rotated
     # out for the classifier-AUC query's first driver row
     "f_url_dedup", "td_classifier_auc",
-    "td_ngram_contamination",
+    # td_ngram_contamination (r07, unchanged, mirror-checked) rotated
+    # out for the MMR diversified-retrieval query's first driver row
+    "sim_mmr_topk",
     # curation headline (driver-green r2-r7, kept pinned)
     "td_curate",
     # (txt_bpe_merges is rows-only; tools/inventory.py's ledger tracks

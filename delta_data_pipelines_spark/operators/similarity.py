@@ -123,6 +123,156 @@ def brute_force_topk(
     )
 
 
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR'98) — the retrieval that balances relevance
+    against redundancy, the standard shape for eval-set selection and
+    RAG context assembly where plain top-k returns k near-duplicates:
+
+        pick_r = argmax_d  λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s)
+
+    Greedy over a BOUNDED candidate pool (the exact cosine top-``pool``
+    per query), with the k selection rounds unrolled into one plan
+    (the sim_kmeans precedent — fully oracle-checkable, which no
+    driver-loop implementation is). Deterministic ties: higher MMR
+    score, then smaller neighbor id. All similarities are round-9
+    cosine; each round's argmax is a ``max_by(struct)`` partial-agg
+    per query — never a window.
+
+    Scale shape: the only corpus-sized work is the candidate scan
+    (query side broadcast, same as brute_force_topk — swap in the IVF
+    candidate generator for a bucketed pool at larger scale); the
+    pair table is pool² rows per query, bounded by construction, and
+    is staged once (persist — k−1 consumers) like the dd_* operator
+    stages. NULL/zero-norm similarities rank last (nullif-based), so
+    degenerate vectors can never win a round."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 1 <= k <= pool:
+        raise ValueError(f"need k <= pool, got k={k} pool={pool}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lambda must be in [0, 1], got {lam}")
+    from pyspark.storagelevel import StorageLevel
+
+    c, q = _probe_frames(corpus, queries, id_col, vec_col)
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("_rel", F.round(cosine(F.col("_qv"), F.col("_cv")), 9))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_rel").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= pool)
+        .select("query_id", "neighbor_id", "_rel", "_cv")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pairs = (
+        cand.select(
+            "query_id",
+            F.col("neighbor_id").alias("_ia"),
+            F.col("_cv").alias("_va"),
+        )
+        .join(
+            cand.select(
+                "query_id",
+                F.col("neighbor_id").alias("_ib"),
+                F.col("_cv").alias("_vb"),
+            ),
+            "query_id",
+        )
+        .where(F.col("_ia") != F.col("_ib"))
+        .select(
+            "query_id",
+            "_ia",
+            "_ib",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 9).alias("_s"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    base = cand.select("query_id", "neighbor_id", "_rel")
+    picked: DataFrame | None = None
+    remaining = base
+    for r in range(1, k + 1):
+        if picked is None:
+            mmr = F.round(F.lit(lam) * F.col("_rel"), 9)
+            cur = remaining.withColumn("_mmr", mmr)
+        else:
+            # rename the grouped side's keys before the join: remaining
+            # and maxsim share lineage, so attribute-equality conditions
+            # can resolve both sides to the SAME column (Spark warns
+            # "trivially true equals predicate") and silently join
+            # across queries
+            maxsim = (
+                pairs.join(
+                    picked.select(
+                        "query_id", F.col("neighbor_id").alias("_ib")
+                    ),
+                    ["query_id", "_ib"],
+                )
+                .groupBy("query_id", "_ia")
+                .agg(F.max("_s").alias("_ms"))
+                .withColumnRenamed("query_id", "_qq")
+            )
+            cur = (
+                remaining.join(
+                    maxsim,
+                    (F.col("query_id") == F.col("_qq"))
+                    & (F.col("neighbor_id") == F.col("_ia")),
+                    "left",
+                )
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    "_rel",
+                    F.round(
+                        F.lit(lam) * F.col("_rel")
+                        - F.lit(1.0 - lam) * F.coalesce(F.col("_ms"), F.lit(0.0)),
+                        9,
+                    ).alias("_mmr"),
+                )
+            )
+        pick = (
+            cur.groupBy("query_id")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col("neighbor_id").alias("i"),
+                        F.col("_mmr").alias("m"),
+                    ),
+                    F.struct(F.col("_mmr"), -F.col("neighbor_id")),
+                ).alias("_p")
+            )
+            .select(
+                "query_id",
+                F.col("_p.i").alias("neighbor_id"),
+                F.col("_p.m").alias("mmr_score"),
+                F.lit(r).alias("rank"),
+            )
+            # cut the lineage per round (the near_dup_clusters iterative
+            # precedent): without it round r's plan embeds rounds
+            # 1..r-1 recursively and optimizer+codegen time blows up
+            # (~40s for k=5 at sf0.01 vs ~4s with the barrier); the
+            # checkpointed frame is one row per query — tiny
+            .localCheckpoint(eager=True)
+        )
+        picked = pick if picked is None else picked.unionByName(pick)
+        remaining = remaining.join(
+            pick.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+    return picked
+
+
 def range_search(
     corpus: DataFrame,
     queries: DataFrame,

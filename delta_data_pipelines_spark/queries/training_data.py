@@ -2100,6 +2100,20 @@ def td_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-5 for the probe set
+    vec_id < 10 (λ=0.7, candidate pool 20) — the retrieval that
+    penalizes redundancy, where plain top-k returns near-duplicates
+    (similarity.mmr_topk: greedy rounds unrolled into one plan,
+    max_by-per-query argmax, round-9 cosines — the oracle replays the
+    identical greedy as 5 chained CTE rounds)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return similarity.mmr_topk(e, q, k=5, pool=20, lam=0.7).orderBy(
+        "query_id", "rank"
+    )
+
+
 def td_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC-AUC of the trained quality classifier against its
     seed labels — the one-number companion to td_classifier_pr_curve:
@@ -2235,6 +2249,7 @@ SPARK_QUERIES = {
     "td_filter_agreement": td_filter_agreement,
     "td_classifier_pr_curve": td_classifier_pr_curve,
     "td_classifier_auc": td_classifier_auc,
+    "sim_mmr_topk": sim_mmr_topk,
 }
 
 _SHINGLES = """
@@ -2497,6 +2512,86 @@ _PQ_ADC_CTES = """, codes AS (
             ) AS rank
             FROM adc_scored
         )"""
+
+def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
+    """Unrolled greedy-MMR oracle: round r picks the argmax of
+    lam*rel - (1-lam)*max_sim_to_picked over the surviving pool. The
+    lambda literals are emitted with repr() so the SQL doubles are the
+    SAME floats Spark's F.lit produces (1.0 - 0.7 is
+    0.30000000000000004, NOT 0.3 — a 1-ulp literal mismatch flips
+    round-9 boundaries)."""
+    l1, l2 = repr(lam), repr(1.0 - lam)
+    parts = [f"""cand AS MATERIALIZED (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY rel DESC, nid) AS rn
+                FROM (
+                    SELECT q.vec_id AS query_id, c.vec_id AS nid,
+                           ROUND(list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(c.embedding AS DOUBLE[])), 9) AS rel
+                    FROM embeddings q JOIN embeddings c
+                      ON q.vec_id <> c.vec_id
+                    WHERE q.vec_id < 10
+                )
+            ) WHERE rn <= {pool}
+        ), pairs AS MATERIALIZED (
+            SELECT a.query_id, a.nid AS ia, b.nid AS ib,
+                   ROUND(list_cosine_similarity(
+                       CAST(ea.embedding AS DOUBLE[]),
+                       CAST(eb.embedding AS DOUBLE[])), 9) AS s
+            FROM cand a JOIN cand b
+              ON a.query_id = b.query_id AND a.nid <> b.nid
+            JOIN embeddings ea ON ea.vec_id = a.nid
+            JOIN embeddings eb ON eb.vec_id = b.nid
+        ), p1 AS (
+            SELECT query_id, nid, m, 1 AS rank FROM (
+                SELECT query_id, nid,
+                       ROUND(CAST({l1} AS DOUBLE) * rel, 9) AS m,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY ROUND(CAST({l1} AS DOUBLE) * rel, 9)
+                                    DESC, nid) AS rr
+                FROM cand
+            ) WHERE rr = 1
+        )"""]
+    picked = "SELECT query_id, nid, m, rank FROM p1"
+    for r in range(2, k + 1):
+        parts.append(f""", k{r} AS (
+            SELECT query_id, nid FROM ({picked.replace('|', ' UNION ALL ')})
+        ), s{r} AS (
+            SELECT c.query_id, c.nid,
+                   ROUND(CAST({l1} AS DOUBLE) * c.rel
+                       - CAST({l2} AS DOUBLE) * COALESCE(ms.m, 0.0), 9) AS m
+            FROM cand c
+            LEFT JOIN (
+                SELECT p.query_id, p.ia, MAX(p.s) AS m
+                FROM pairs p JOIN k{r} kk
+                  ON p.query_id = kk.query_id AND p.ib = kk.nid
+                GROUP BY p.query_id, p.ia
+            ) ms ON ms.query_id = c.query_id AND ms.ia = c.nid
+            WHERE NOT EXISTS (SELECT 1 FROM k{r} kk
+                WHERE kk.query_id = c.query_id AND kk.nid = c.nid)
+        ), p{r} AS (
+            SELECT query_id, nid, m, {r} AS rank FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY m DESC, nid) AS rr
+                FROM s{r}
+            ) WHERE rr = 1
+        )""")
+        picked += f"|SELECT query_id, nid, m, rank FROM p{r}"
+    union = " UNION ALL ".join(
+        f"SELECT query_id, nid, m, rank FROM p{r}" for r in range(1, k + 1)
+    )
+    return (
+        "\n        WITH " + "".join(parts)
+        + f"""
+        SELECT query_id, nid AS neighbor_id, m AS mmr_score,
+               CAST(rank AS INTEGER) AS rank
+        FROM ({union}) ORDER BY query_id, rank
+    """
+    )
+
+
 
 ORACLE_SQL = {
     # thresholds written as the same float sums Python accumulates
@@ -4441,4 +4536,5 @@ ORACLE_SQL = {
                      / NULLIF(2.0 * np * nn, 0.0), 9) AS auc
         FROM agg
     """,
+    "sim_mmr_topk": _mmr_oracle(),
 }

@@ -2113,3 +2113,69 @@ def test_dsir_weights_flagged_equals_two_frame_form(spark):
     a = {r["doc_id"]: (r["n_features"], r["dsir_weight"]) for r in two.collect()}
     b = {r["doc_id"]: (r["n_features"], r["dsir_weight"]) for r in flagged.collect()}
     assert a == b  # NULL flag == excluded-by-where, identical numbers
+
+
+def test_mmr_topk_matches_python_reference(spark):
+    """mmr_topk equals a sequential pure-Python greedy MMR over the
+    same candidate pool (round-9 cosines, same tie rules), including
+    the diversity effect: with near-duplicate top candidates, rank-2
+    must NOT be the near-duplicate plain top-2."""
+    import math
+
+    from delta_data_pipelines_spark.operators import similarity
+
+    vecs = {
+        100: [1.0, 0.0, 0.0],
+        1: [0.99, 0.14, 0.0],   # near-dup of 2
+        2: [0.98, 0.17, 0.0],
+        3: [0.7, 0.7, 0.1],     # relevant but diverse
+        4: [0.6, -0.7, 0.3],
+        5: [0.1, 0.2, 0.9],
+        6: [-0.9, 0.1, 0.1],
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id: bigint, embedding: array<double>",
+    )
+    q = df.where(F.col("vec_id") == 100)
+    out = similarity.mmr_topk(df, q, k=4, pool=6, lam=0.7).orderBy("rank")
+    got = [(r["neighbor_id"], r["mmr_score"]) for r in out.collect()]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 9)
+
+    qv = vecs[100]
+
+    def reference(lam):
+        cands = sorted(
+            ((cos(qv, v), -i) for i, v in vecs.items() if i != 100),
+            reverse=True,
+        )[:6]
+        pool = [-i for _, i in cands]
+        rel = {i: cos(qv, vecs[i]) for i in pool}
+        picked, expect = [], []
+        for _ in range(4):
+            best = None
+            for i in pool:
+                if i in picked:
+                    continue
+                ms = max((cos(vecs[i], vecs[j]) for j in picked), default=0.0)
+                score = round(lam * rel[i] - (1 - lam) * ms, 9)
+                key = (score, -i)
+                if best is None or key > best[0]:
+                    best = (key, i, score)
+            picked.append(best[1])
+            expect.append((best[1], best[2]))
+        return expect
+
+    assert got == reference(0.7), (got, reference(0.7))
+
+    # the diversity property at a diversity-heavy lambda: plain top-2
+    # is {1, 2} (near-duplicates); MMR's second pick must differ
+    div = similarity.mmr_topk(df, q, k=4, pool=6, lam=0.3).orderBy("rank")
+    got_div = [(r["neighbor_id"], r["mmr_score"]) for r in div.collect()]
+    assert got_div == reference(0.3), (got_div, reference(0.3))
+    assert got_div[0][0] == 1 and got_div[1][0] != 2
