@@ -142,7 +142,9 @@ _PRIORITY = [
     # mirror-checked) rotated out for the continuation's gate-agreement
     # and classifier-calibration queries' first driver rows
     "td_filter_agreement", "td_classifier_pr_curve",
-    "ds_token_budget_mix",
+    # ds_token_budget_mix (r07, unchanged, mirror-checked) rotated out
+    # for the JL distance-preservation audit's first driver row
+    "sim_jl_audit",
     # sim_range_search (r07, unchanged, mirror-checked) rotated out for
     # the URL canonicalization + refetch-dedup query's first driver row
     # w_percent_rank_scalable (r07, unchanged, mirror-checked) rotated

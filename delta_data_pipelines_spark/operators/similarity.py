@@ -123,6 +123,59 @@ def brute_force_topk(
     )
 
 
+def jl_project(
+    vec: Column, out_dim: int, salt: str = "jl"
+) -> Column:
+    """Johnson–Lindenstrauss sign projection to ``out_dim`` dimensions:
+    ``y_j = round( (Σ_i s(j,i)·v_i) / sqrt(out_dim), 9 )`` with
+    ``s(j,i) ∈ {±1}`` drawn from the portable md5 hash of
+    ``salt:j:i`` — the Achlioptas (2001) database-friendly random
+    projection, deterministic and engine-reproducible (no fitted
+    matrix to store, any engine regenerates the same signs). The per-
+    component sum is a sequential left fold in input order, so the
+    pre-round doubles are bit-identical to an oracle's fold.
+
+    Cost note: the expression form evaluates d_in × out_dim md5 hashes
+    per row — right for probe-sized audits and one-off projections;
+    for projecting a full 100 TB corpus, materialize the sign matrix
+    once as a (j, i, s) broadcast table and join instead (the signs
+    are the same either way)."""
+    v = as_double(vec)
+
+    def _sign(j: Column, i: Column) -> Column:
+        from .sampling import md5_hash64 as _h
+
+        key = F.concat(
+            F.lit(salt + ":"), j.cast("string"), F.lit(":"), i.cast("string")
+        )
+        return F.when(F.pmod(_h(key), F.lit(2)) == 0, F.lit(1.0)).otherwise(
+            F.lit(-1.0)
+        )
+
+    def _component(j: Column) -> Column:
+        signed = F.zip_with(
+            v,
+            F.sequence(F.lit(0), F.size(v) - 1),
+            lambda x, i: _sign(j, i) * x,
+        )
+        return F.round(
+            F.aggregate(signed, F.lit(0.0), lambda a, b: a + b)
+            / F.lit(float(out_dim) ** 0.5),
+            9,
+        )
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)), lambda j: _component(j)
+    )
+
+
+def euclidean(a: Column, b: Column) -> Column:
+    """Euclidean distance as the same sequential fold both engines
+    run: sqrt of the left-fold sum of squared component diffs."""
+    sq = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+
+
 def mmr_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2114,6 +2114,50 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_jl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss distance-preservation audit: project the
+    probe set (vec_id < 10) from 64 to 16 dims with the deterministic
+    md5-sign matrix (similarity.jl_project — the Achlioptas database-
+    friendly projection, the preprocessing that shrinks vectors before
+    LSH/IVF at corpus scale) and report, per probe pair, the original
+    and projected euclidean distances and their ratio — the number
+    that says whether 16 dims preserve THIS corpus's geometry. All
+    folds are sequential in input order, every distance round-9 —
+    the oracle regenerates the identical sign matrix from md5."""
+    e = read_table(spark, sf_dir, "embeddings")
+    p = e.where(F.col("vec_id") < 10).select(
+        "vec_id",
+        similarity.as_double(F.col("embedding")).alias("_v"),
+        similarity.jl_project(F.col("embedding"), 16).alias("_p"),
+    )
+    a = p.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_p").alias("_pa"),
+    )
+    b = p.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_p").alias("_pb"),
+    )
+    d_o = F.round(similarity.euclidean(F.col("_va"), F.col("_vb")), 9)
+    d_p = F.round(similarity.euclidean(F.col("_pa"), F.col("_pb")), 9)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            d_o.alias("d_orig"),
+            d_p.alias("d_proj"),
+            F.round(
+                d_p / F.nullif(d_o, F.lit(0.0)),
+                9,
+            ).alias("dist_ratio"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def td_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC-AUC of the trained quality classifier against its
     seed labels — the one-number companion to td_classifier_pr_curve:
@@ -2250,6 +2294,7 @@ SPARK_QUERIES = {
     "td_classifier_pr_curve": td_classifier_pr_curve,
     "td_classifier_auc": td_classifier_auc,
     "sim_mmr_topk": sim_mmr_topk,
+    "sim_jl_audit": sim_jl_audit,
 }
 
 _SHINGLES = """
@@ -4537,4 +4582,37 @@ ORACLE_SQL = {
         FROM agg
     """,
     "sim_mmr_topk": _mmr_oracle(),
+    # the identical md5-sign matrix and sequential folds, regenerated:
+    # s(j,i) from md5('jl:j:i'), component sums left-folded in input
+    # order, distances and ratio round-9
+    "sim_jl_audit": """
+        WITH p AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   list_transform(range(0, 16), j ->
+                       ROUND(list_reduce(
+                           list_transform(range(1, len(embedding) + 1), i ->
+                               (CASE WHEN ('0x' || substr(md5(
+                                    'jl:' || CAST(j AS VARCHAR) || ':'
+                                    || CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT
+                                    % 2 = 0
+                                     THEN 1.0 ELSE -1.0 END)
+                               * (CAST(embedding AS DOUBLE[]))[i]),
+                           (a, b) -> a + b) / sqrt(16.0), 9)) AS pj
+            FROM embeddings WHERE vec_id < 10
+        ), pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(sqrt(list_reduce(
+                       list_transform(range(1, len(a.v) + 1), i ->
+                           (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])),
+                       (x, y) -> x + y)), 9) AS d_orig,
+                   ROUND(sqrt(list_reduce(
+                       list_transform(range(1, 17), i ->
+                           (a.pj[i] - b.pj[i]) * (a.pj[i] - b.pj[i])),
+                       (x, y) -> x + y)), 9) AS d_proj
+            FROM p a JOIN p b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, d_orig, d_proj,
+               ROUND(d_proj / NULLIF(d_orig, 0.0), 9) AS dist_ratio
+        FROM pairs ORDER BY id_a, id_b
+    """,
 }

@@ -2179,3 +2179,42 @@ def test_mmr_topk_matches_python_reference(spark):
     got_div = [(r["neighbor_id"], r["mmr_score"]) for r in div.collect()]
     assert got_div == reference(0.3), (got_div, reference(0.3))
     assert got_div[0][0] == 1 and got_div[1][0] != 2
+
+
+def test_jl_projection_preserves_distances_statistically(spark):
+    """JL sign projection: deterministic across runs, output dim
+    respected, and the distance-preservation guarantee holds in the
+    statistical sense on real vectors (64 -> 16 dims keeps pair
+    distances within a loose [0.4, 1.8] ratio band and a median near
+    1 — JL is an expectation bound, not per-pair)."""
+    from delta_data_pipelines_spark.operators import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = e.where(F.col("vec_id") < 12).select(
+        "vec_id",
+        similarity.as_double(F.col("embedding")).alias("v"),
+        similarity.jl_project(F.col("embedding"), 16).alias("p"),
+    )
+    rows = {r["vec_id"]: r for r in p.collect()}
+    rows2 = {r["vec_id"]: r for r in p.collect()}
+    assert all(rows[i]["p"] == rows2[i]["p"] for i in rows)  # deterministic
+    assert all(len(r["p"]) == 16 for r in rows.values())
+
+    import math
+
+    ratios = []
+    ids = sorted(rows)
+    for x in ids:
+        for y in ids:
+            if x >= y:
+                continue
+            do = math.sqrt(
+                sum((a - b) ** 2 for a, b in zip(rows[x]["v"], rows[y]["v"]))
+            )
+            dp = math.sqrt(
+                sum((a - b) ** 2 for a, b in zip(rows[x]["p"], rows[y]["p"]))
+            )
+            ratios.append(dp / do)
+    assert all(0.4 < r < 1.8 for r in ratios), ratios
+    med = sorted(ratios)[len(ratios) // 2]
+    assert 0.75 < med < 1.25, med
