@@ -114,6 +114,8 @@ def fit_hashed_ngram_model(
     any corpus scale; the fit itself is one explode + one partial-agg
     groupBy over at most ``n_buckets`` keys.
     """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     staged = df.select(words_nonempty(F.col(text_col)).alias("_w"))
     feats = staged.select(
         F.explode(buckets_from_words(F.col("_w"), n_buckets)).alias("bucket")
@@ -252,6 +254,8 @@ def dsir_log_ratio_flagged(
     row — for a text-derived flag like the quality score that is
     O(features × text_length) per doc (measured 14× slower at sf0.1
     before the split)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     pre = raw.select(
         target_flag.alias("_t"), words_nonempty(F.col(text_col)).alias("_w")
     )

@@ -140,6 +140,8 @@ def jl_project(
     for projecting a full 100 TB corpus, materialize the sign matrix
     once as a (j, i, s) broadcast table and join instead (the signs
     are the same either way)."""
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
     v = as_double(vec)
 
     def _sign(j: Column, i: Column) -> Column:
