@@ -320,10 +320,12 @@ def batch_drift(
     which would read as a perfect match)."""
     meta = model.meta()
     freq = model.unigram.read(meta.get("unigram_version"))
-    toks = (
-        batch.where(F.col(text_col).isNotNull())
-        .select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
-        .where(F.col("token") != "")
+    # NO empty-token filter: the frozen reference's freq/total_tokens
+    # and the frozen LM scoring count every split token including ""
+    # (double spaces, empty text) — filtering here would miscalibrate
+    # the alarm's zero point against the distribution it measures
+    toks = batch.where(F.col(text_col).isNotNull()).select(
+        F.explode(F.split(F.col(text_col), " ")).alias("token")
     )
     st = toks.groupBy("token").agg(F.count("*").alias("_o"))
     row = (

@@ -143,6 +143,11 @@ def jl_project(
     if out_dim < 1:
         raise ValueError(f"out_dim must be >= 1, got {out_dim}")
     v = as_double(vec)
+    # resolved at the end: an EMPTY input vector projects to NULL (the
+    # fold over sequence(0, -1) would otherwise zip against Spark's
+    # DESCENDING [0, -1] and yield [NULL]*out_dim, while the oracle's
+    # list_reduce over an empty list raises — NULL on both engines is
+    # the one consistent answer)
 
     def _sign(j: Column, i: Column) -> Column:
         from .sampling import md5_hash64 as _h
@@ -166,9 +171,10 @@ def jl_project(
             9,
         )
 
-    return F.transform(
+    proj = F.transform(
         F.sequence(F.lit(0), F.lit(out_dim - 1)), lambda j: _component(j)
     )
+    return F.when(F.size(v) > 0, proj)
 
 
 def euclidean(a: Column, b: Column) -> Column:
@@ -209,10 +215,8 @@ def mmr_topk(
     is staged once (persist — k−1 consumers) like the dd_* operator
     stages. NULL/zero-norm similarities rank last (nullif-based), so
     degenerate vectors can never win a round."""
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
     if not 1 <= k <= pool:
-        raise ValueError(f"need k <= pool, got k={k} pool={pool}")
+        raise ValueError(f"need 1 <= k <= pool, got k={k} pool={pool}")
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lambda must be in [0, 1], got {lam}")
     from pyspark.storagelevel import StorageLevel
@@ -295,15 +299,21 @@ def mmr_topk(
                     ).alias("_mmr"),
                 )
             )
+        # argmax via min_by on (-score, id): negating the DOUBLE score
+        # (always safe) instead of the id keeps the smallest-id tie rule
+        # working for ANY orderable id type (a negated string id would
+        # cast to NULL and break determinism); NULL scores (zero-norm
+        # vectors) are excluded up front so min_by can never pick one
         pick = (
-            cur.groupBy("query_id")
+            cur.where(F.col("_mmr").isNotNull())
+            .groupBy("query_id")
             .agg(
-                F.max_by(
+                F.min_by(
                     F.struct(
                         F.col("neighbor_id").alias("i"),
                         F.col("_mmr").alias("m"),
                     ),
-                    F.struct(F.col("_mmr"), -F.col("neighbor_id")),
+                    F.struct(-F.col("_mmr"), F.col("neighbor_id")),
                 ).alias("_p")
             )
             .select(
@@ -325,6 +335,11 @@ def mmr_topk(
             ["query_id", "neighbor_id"],
             "left_anti",
         )
+    # every round is eagerly checkpointed, so the staged frames have no
+    # remaining consumer — release them (the _materialize_and_release
+    # discipline; leaving them cached taxes later queries in a loop)
+    cand.unpersist()
+    pairs.unpersist()
     return picked
 
 
