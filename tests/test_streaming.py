@@ -1415,3 +1415,29 @@ def test_stream_stream_interval_join_left_outer(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="how must be"):
         stream_interval_join(clicks_b, errors_b, how="full", **kw)
+
+
+def test_progress_log_collects_per_batch_metrics(spark, tmp_path):
+    """streaming.metrics.ProgressLog: the listener records one entry
+    per committed micro-batch with the input-row count summing to the
+    source size, and a watermarked stateful query reports state rows.
+    Events arrive asynchronously — wait_for polls the bus."""
+    from delta_data_pipelines_spark.streaming.metrics import ProgressLog
+
+    e = _events(spark).limit(300)
+    n_src = e.count()
+    stream = _stream_time_ordered(spark, e, tmp_path, "ev_metrics")
+    log = ProgressLog().attach(spark)
+    try:
+        got = _drain(windowed_event_counts(stream), tmp_path, "metrics")
+        assert log.wait_for(
+            lambda b: sum(x["num_input_rows"] for x in b) >= n_src
+        ), log.batches
+    finally:
+        log.detach(spark)
+    assert len(got) > 0
+    rows = log.batches
+    assert sum(x["num_input_rows"] for x in rows) == n_src
+    # the windowed agg is stateful: some batch must report state rows
+    assert any(x["state_rows"] > 0 for x in rows), rows
+    assert all(x["batch_id"] is not None for x in rows)
