@@ -493,3 +493,25 @@ def test_classifier_auc_has_no_global_data_window(spark, registry):
     assert "CartesianProduct" not in plan, plan
     n_windows = len(set(re.findall(r"\((\d+)\) Window", plan)))
     assert n_windows == 2, plan
+
+
+def test_url_dedup_is_partial_agg_no_window(spark, registry):
+    """f_url_dedup: the latest-capture winner comes from a
+    max_by(struct) partial-agg groupBy on the canonical key — a window
+    appearing here would be the one-task-per-hot-URL shape the
+    operator exists to avoid."""
+    plan = plan_of(spark, registry, "f_url_dedup")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # max_by over a struct plans as a two-phase SortAggregate
+    # (partial + final) — still combiner-side reduction, no window
+    assert plan.count("SortAggregate") >= 2, plan
+
+
+def test_jl_audit_probe_pairs_stay_broadcast(spark, registry):
+    """sim_jl_audit: the probe-pair join is tiny×tiny (10 probes) and
+    must be a broadcast nested loop on the id inequality, never an
+    unsized CartesianProduct; everything else is per-row expression
+    work (no shuffle of the corpus — probes only)."""
+    plan = plan_of(spark, registry, "sim_jl_audit")
+    assert "CartesianProduct" not in plan, plan
