@@ -190,6 +190,18 @@ def main(argv: list[str] | None = None) -> int:
                     "(quality-seed target) with the keep threshold at "
                     "the reference's (1-FRACTION) weight quantile")
 
+    dsc = sub.add_parser(
+        "dsir-score",
+        help="score a corpus under a FROZEN DSIR model (fit-curation-"
+        "model --dsir-keep output): per-doc importance weights vs the "
+        "stored log-ratio table, one JSON summary line",
+    )
+    dsc.add_argument("--model", required=True, help="model store root")
+    dsc.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    dsc.add_argument("--out", default=None, metavar="DIR",
+                    help="also write the per-doc (doc_id, n_features, "
+                    "dsir_weight) frame as parquet")
+
     ct = sub.add_parser(
         "compact-table",
         help="OPTIMIZE parity: rewrite a versioned table into evenly "
@@ -520,6 +532,52 @@ def main(argv: list[str] | None = None) -> int:
             dsir_keep_fraction=args.dsir_keep,
         )
         print(json.dumps({"job": "fit-curation-model", **res}))
+        return 0
+
+    if args.cmd == "dsir-score":
+        from pyspark.sql import functions as F
+
+        from .catalog import read_table
+        from .jobs.incremental_curate import FrozenCurationModel
+        from .operators import dsir
+
+        model = FrozenCurationModel(spark, args.model)
+        meta = model.meta()
+        thr = meta.get("dsir_threshold")
+        if thr is None or not model.dsir_lr.exists():
+            p.error(
+                "no frozen DSIR model at this root — refit with "
+                "fit-curation-model --dsir-keep"
+            )
+        docs = read_table(spark, args.sf_dir, "documents")
+        w = dsir.dsir_score(
+            docs,
+            model.dsir_lr.read(meta.get("dsir_lr_version")),
+            "doc_id",
+            "text",
+            int(meta["dsir_n_buckets"]),
+        )
+        if args.out:
+            w.write.mode("overwrite").parquet(args.out)
+            w = spark.read.parquet(args.out)  # stats off the written copy
+        stats = w.agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("dsir_weight") >= F.lit(thr)).alias("kept"),
+            F.round(F.avg("dsir_weight"), 6).alias("mean_weight"),
+        ).collect()[0]
+        out = {
+            "job": "dsir-score",
+            "n": stats["n"],
+            "kept": stats["kept"],
+            "keep_rate": round(stats["kept"] / stats["n"], 6) if stats["n"] else None,
+            "threshold": thr,
+            "mean_weight": stats["mean_weight"],
+            "n_buckets": meta["dsir_n_buckets"],
+            "lr_version": meta.get("dsir_lr_version"),
+        }
+        if args.out:
+            out["out"] = args.out
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "pq-refresh-if-drifted":
