@@ -1441,3 +1441,69 @@ def test_progress_log_collects_per_batch_metrics(spark, tmp_path):
     # the windowed agg is stateful: some batch must report state rows
     assert any(x["state_rows"] > 0 for x in rows), rows
     assert all(x["batch_id"] is not None for x in rows)
+
+
+def test_incremental_curation_with_frozen_dsir_and_drift_log(spark, tmp_path):
+    """The stream + frozen-DSIR composition: every document the stream
+    admits into the corpus satisfies the frozen weight floor (scored
+    under the STORED log-ratio table), and drift_log received one
+    batch_drift entry per drained micro-batch with sane fields."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.jobs.curate_corpus import (
+        quality_gate,
+        scrub_stage,
+    )
+    from delta_data_pipelines_spark.jobs.incremental_curate import (
+        FrozenCurationModel,
+        fit_reference_model,
+        run_incremental_curation,
+    )
+    from delta_data_pipelines_spark.operators import dsir
+    from delta_data_pipelines_spark.storage import VersionedTable
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    heldout = docs.where(F.col("doc_id") % 7 == 0)
+    model = FrozenCurationModel(spark, str(tmp_path / "fzs"))
+    meta = fit_reference_model(
+        model, ref, heldout, dsir_keep_fraction=0.6, dsir_n_buckets=256
+    )
+    assert meta["dsir_threshold"] is not None
+
+    stream = _stream_time_ordered(
+        spark, docs, tmp_path, "icd_docs", slices=3, ts_col="doc_id"
+    )
+    corpus = VersionedTable(spark, str(tmp_path / "icd_corpus"))
+    drift: list = []
+    q = run_incremental_curation(
+        stream,
+        model,
+        str(tmp_path / "icd_state"),
+        corpus,
+        str(tmp_path / "ckpt_icd"),
+        drift_log=drift,
+    )
+    q.awaitTermination(240)
+
+    got = corpus.read().select("doc_id", "text")
+    assert got.count() > 0
+    # every admitted doc clears the frozen DSIR floor: rescore the
+    # admitted set (post-scrub, the text the stage saw) under the
+    # stored table
+    rescored = dsir.dsir_score(
+        quality_gate(scrub_stage(got, "text"), "text"),
+        model.dsir_lr.read(meta["dsir_lr_version"]),
+        "doc_id",
+        "text",
+        256,
+    )
+    below = rescored.where(
+        F.col("dsir_weight") < F.lit(meta["dsir_threshold"])
+    ).count()
+    assert below == 0
+    # one drift entry per drained batch, raw-batch token counts sane
+    assert len(drift) == 3, drift
+    assert all(d["kl_nats"] is not None and d["n_tokens"] > 0 for d in drift)
+    assert sum(d["n_tokens"] for d in drift) > 0
