@@ -788,3 +788,59 @@ def test_versioned_compact_zorder_rank_handles_skew(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="zorder_method"):
         t.compact(zorder_by=["x"], zorder_method="hilbert")
+
+
+def test_check_constraints_delta_parity(spark, tmp_path):
+    """ALTER TABLE ADD CONSTRAINT parity: adding scans the current
+    snapshot and fails on existing violations; every write action
+    rejects violating data BEFORE committing (the table stays at its
+    previous version); NULL predicates pass (SQL CHECK semantics);
+    dropped constraints stop enforcing."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "cons"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, None)], "id long, price double"
+        )
+    )
+    # existing data violates -> add fails, nothing stored
+    with _pytest.raises(ValueError, match="existing rows violate"):
+        t.add_constraint("price_pos", "price > 15")
+    assert t.constraints() == {}
+
+    # NULL passes (row 3), all non-null prices are > 5 -> add succeeds
+    t.add_constraint("price_min", "price > 5")
+    assert t.constraints() == {"price_min": "price > 5"}
+    with _pytest.raises(ValueError, match="already exists"):
+        t.add_constraint("price_min", "price > 0")
+
+    v_before = t.latest_version()
+    bad = spark.createDataFrame([(4, 1.0)], "id long, price double")
+    with _pytest.raises(ValueError, match="price_min"):
+        t.overwrite(t.read().unionByName(bad))
+    with _pytest.raises(ValueError, match="price_min"):
+        t.merge(bad, keys=["id"])
+    assert t.latest_version() == v_before  # nothing committed
+    assert t.read().count() == 3
+
+    # NULL-price rows pass every write
+    t.merge(
+        spark.createDataFrame([(5, None)], "id long, price double"),
+        keys=["id"],
+    )
+    assert t.read().count() == 4
+
+    # typo'd expression fails at add time even with no snapshot
+    t2 = VersionedTable(spark, str(tmp_path / "cons2"))
+    with _pytest.raises(Exception):
+        t2.add_constraint("broken", "price > ")
+    assert t2.constraints() == {}
+
+    # drop stops enforcement
+    t.drop_constraint("price_min")
+    t.merge(bad, keys=["id"])
+    assert t.read().count() == 5
+    with _pytest.raises(ValueError, match="no constraint"):
+        t.drop_constraint("price_min")
