@@ -202,6 +202,19 @@ def main(argv: list[str] | None = None) -> int:
                     help="also write the per-doc (doc_id, n_features, "
                     "dsir_weight) frame as parquet")
 
+    tc = sub.add_parser(
+        "table-constraint",
+        help="Delta CHECK-constraint parity on a versioned table: "
+        "list, add (scans existing data first) or drop; every write "
+        "then enforces the predicates",
+    )
+    tc.add_argument("--table", required=True, help="table root dir")
+    tc.add_argument("--add", nargs=2, default=None,
+                    metavar=("NAME", "PREDICATE"),
+                    help="add a named CHECK predicate (SQL; NULL passes)")
+    tc.add_argument("--drop", default=None, metavar="NAME",
+                    help="drop a named constraint")
+
     ct = sub.add_parser(
         "compact-table",
         help="OPTIMIZE parity: rewrite a versioned table into evenly "
@@ -532,6 +545,21 @@ def main(argv: list[str] | None = None) -> int:
             dsir_keep_fraction=args.dsir_keep,
         )
         print(json.dumps({"job": "fit-curation-model", **res}))
+        return 0
+
+    if args.cmd == "table-constraint":
+        from .storage import VersionedTable
+
+        t = VersionedTable(spark, args.table)
+        res = {"job": "table-constraint", "table": args.table}
+        if args.add:
+            t.add_constraint(args.add[0], args.add[1])
+            res["added"] = args.add[0]
+        if args.drop:
+            t.drop_constraint(args.drop)
+            res["dropped"] = args.drop
+        res["constraints"] = t.constraints()
+        print(json.dumps(res))
         return 0
 
     if args.cmd == "dsir-score":
