@@ -46,6 +46,8 @@ from pyspark.sql import DataFrame, SparkSession
 from .meta import atomic_json_write
 from pyspark.sql import functions as F
 
+from .constraints import CheckConstraints
+
 
 @dataclass
 class BucketedCommit:
@@ -56,7 +58,7 @@ class BucketedCommit:
     manifest: dict[str, int] = field(default_factory=dict)
 
 
-class BucketedTable:
+class BucketedTable(CheckConstraints):
     def __init__(
         self,
         spark: SparkSession,
@@ -246,6 +248,7 @@ class BucketedTable:
         manifest_base: dict[str, int],
         metrics: dict[str, Any],
     ) -> BucketedCommit:
+        self._enforce_constraints(df_bucketed)
         history = self.history()
         version = (history[-1].version + 1) if history else 0
         written = self._write_buckets(df_bucketed, version)
@@ -441,6 +444,11 @@ class BucketedTable:
         source = source.dropDuplicates(keys).withColumn(
             "_bucket", self._bucket_col()
         )
+        # merge writes through its own spill path, not _commit —
+        # enforce on the deduplicated incoming rows here (carried-
+        # forward bucket rows passed validation when first written,
+        # and add_constraint scans the whole table, so they comply)
+        self._enforce_constraints(source)
         tmp = os.path.join(self.root, "_tmp_merge")
         shutil.rmtree(tmp, ignore_errors=True)  # stale crash residue
         (

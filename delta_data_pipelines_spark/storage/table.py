@@ -23,6 +23,8 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .constraints import CheckConstraints
+
 
 _Z_BITS = 14  # bucket resolution per z-order dimension (16384 cells)
 
@@ -188,7 +190,7 @@ class Commit:
     metrics: dict[str, Any]
 
 
-class VersionedTable:
+class VersionedTable(CheckConstraints):
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
@@ -209,90 +211,6 @@ class VersionedTable:
     def latest_version(self) -> int | None:
         h = self.history()
         return h[-1].version if h else None
-
-    # ---- CHECK constraints (Delta ADD CONSTRAINT parity) -----------------
-
-    @property
-    def _constraints_path(self) -> str:
-        return os.path.join(self.root, "_constraints.json")
-
-    def constraints(self) -> dict[str, str]:
-        """name -> SQL predicate, empty when none are defined."""
-        if not os.path.exists(self._constraints_path):
-            return {}
-        with open(self._constraints_path) as f:
-            return json.load(f)
-
-    def _write_constraints(self, cons: dict[str, str]) -> None:
-        tmp = self._constraints_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(cons, f, indent=1, sort_keys=True)
-        os.replace(tmp, self._constraints_path)
-
-    def add_constraint(self, name: str, predicate: str) -> None:
-        """Delta ``ALTER TABLE ADD CONSTRAINT`` parity: every future
-        write (any action — the enforcement lives in the one commit
-        choke point) rejects data for which ``predicate`` evaluates
-        FALSE. SQL CHECK semantics: a NULL predicate PASSES — write
-        ``col IS NOT NULL AND …`` to also reject NULLs. Like Delta,
-        adding a constraint scans the CURRENT snapshot first and fails
-        if existing data already violates it."""
-        cons = self.constraints()
-        if name in cons:
-            raise ValueError(f"constraint {name!r} already exists: {cons[name]}")
-        if self.exists():
-            bad = (
-                self.read()
-                .where(~F.coalesce(F.expr(predicate), F.lit(True)))
-                .count()
-            )
-            if bad:
-                raise ValueError(
-                    f"cannot add constraint {name!r}: {bad} existing rows "
-                    f"violate ({predicate})"
-                )
-        else:
-            # no snapshot to validate the expression against — parse it
-            # eagerly so a typo fails here, not on the first write
-            # (Column construction is lazy; the parser call is not)
-            try:
-                self.spark._jsparkSession.sessionState().sqlParser().parseExpression(
-                    predicate
-                )
-            except Exception as e:  # Py4J wraps the ParseException
-                raise ValueError(
-                    f"constraint {name!r} does not parse: ({predicate})"
-                ) from e
-        cons[name] = predicate
-        self._write_constraints(cons)
-
-    def drop_constraint(self, name: str) -> None:
-        cons = self.constraints()
-        if name not in cons:
-            raise ValueError(f"no constraint named {name!r}")
-        del cons[name]
-        self._write_constraints(cons)
-
-    def _enforce_constraints(self, df: DataFrame) -> None:
-        """One aggregate pass counting violators of EVERY constraint
-        (predicate FALSE; NULL passes, the SQL CHECK rule) — nothing is
-        written when any count is nonzero, so a failed write leaves the
-        table at its previous version (Delta's InvariantViolation
-        behavior)."""
-        cons = self.constraints()
-        if not cons:
-            return
-        aggs = [
-            F.count_if(~F.coalesce(F.expr(pred), F.lit(True))).alias(name)
-            for name, pred in cons.items()
-        ]
-        row = df.agg(*aggs).collect()[0]
-        for name, pred in cons.items():
-            if row[name]:
-                raise ValueError(
-                    f"CHECK constraint {name!r} violated by {row[name]} "
-                    f"incoming rows: ({pred}); nothing was committed"
-                )
 
     def _commit(self, action: str, df: DataFrame, metrics: dict[str, Any]) -> Commit:
         self._enforce_constraints(df)

@@ -844,3 +844,23 @@ def test_check_constraints_delta_parity(spark, tmp_path):
     assert t.read().count() == 5
     with _pytest.raises(ValueError, match="no constraint"):
         t.drop_constraint("price_min")
+
+
+def test_bucketed_check_constraints(spark, btable):
+    """The bucketed variant shares the CHECK-constraint mixin: adding
+    scans existing data, merges enforce on the rewritten buckets
+    (incoming + carried rows — the set Delta validates on a file
+    rewrite), and a rejected merge leaves the manifest untouched."""
+    btable.overwrite(rows(spark, [("u1", "a", 10), ("u2", "b", 20)]))
+    btable.add_constraint("price_pos", "price > 0")
+    with pytest.raises(ValueError, match="already exists"):
+        btable.add_constraint("price_pos", "price > 1")
+    v = btable.latest_version()
+    with pytest.raises(ValueError, match="price_pos"):
+        btable.merge(rows(spark, [("u3", "c", -5)]), keys=["content_url"])
+    assert btable.latest_version() == v
+    assert btable.read().count() == 2
+    btable.merge(rows(spark, [("u3", "c", 5)]), keys=["content_url"])
+    assert btable.read().count() == 3
+    with pytest.raises(ValueError, match="existing rows violate"):
+        btable.add_constraint("price_big", "price > 100")
