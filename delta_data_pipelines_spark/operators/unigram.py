@@ -14,6 +14,18 @@ step is deterministic with pinned tie-breaks, so a DuckDB oracle
 recomputes segmentations exactly (recursive-CTE DP, the same
 smallest-piece-wins tie rule).
 
+The DP itself runs in SCALED INTEGERS: each piece's 9-decimal
+log-probability becomes ``round(logp * 1e9)`` as a BIGINT, so every
+prefix score is an exact integer sum and the back-pointer selection
+(``best == candidate``) is exact integer equality — no float-
+equality control flow anywhere, which is what makes the recursive-
+CTE oracle engine-version-proof (float ``greatest``/CASE chains are
+sensitive to evaluation order; 64-bit integer adds are not). Scores
+stay tiny for the representation: |logp| ≤ 60 → ≤ 6e10 per piece,
+words are bounded by max_len · pieces, so sums sit far below 2^63
+(and below 2^53, so the final ``/ 1e9`` division back to a double
+is exact too).
+
 The training loop here is HARD-EM, one round per call
 (:func:`unigram_refit`): segment every word under the current piece
 probabilities, recount pieces by their Viterbi usage (weighted by
@@ -29,8 +41,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_NEG = -1.0e18  # -inf sentinel (scores live in [-60, 0] per piece)
-_NEG_GATE = -1.0e17  # "was reachable" test, robust to float noise
+_NEG = -(10**18)  # -inf sentinel, BIGINT (scores are logp·1e9 sums)
+_NEG_GATE = -(10**17)  # "was reachable" test (real scores ≥ -6e13)
 
 
 def _substr_explode(
@@ -106,10 +118,14 @@ def _dp_fold(word: Column, maps: list[Column]) -> Column:
     """The forward Viterbi fold: best[p+1] = best score of a
     segmentation of word[1..p] (best[1] = 0 at position 0), back[p+1]
     = the chosen last-piece length. Ties break to the SHORTEST piece
-    (the CASE order — pinned, and mirrored in the oracle's DP)."""
+    (the CASE order — pinned, and mirrored in the oracle's DP).
+
+    Scores are BIGINT (logp·1e9), so ``best_i == cands[l-1]`` is
+    exact integer equality — the back-pointer can never flip on an
+    engine's float evaluation order."""
     n = F.length(word)
     init = F.struct(
-        F.array(F.lit(0.0)).alias("best"),
+        F.array(F.lit(0).cast("long")).alias("best"),
         F.array(F.lit(0)).alias("back"),
     )
 
@@ -125,7 +141,7 @@ def _dp_fold(word: Column, maps: list[Column]) -> Column:
                 F.when(
                     (i >= l) & lp.isNotNull() & (prev > F.lit(_NEG_GATE)),
                     prev + lp,
-                ).otherwise(F.lit(_NEG))
+                ).otherwise(F.lit(_NEG).cast("long"))
             )
         best_i = F.greatest(*cands) if len(cands) > 1 else cands[0]
         back_i = F.lit(0)
@@ -189,13 +205,21 @@ def viterbi_segment(
     subs = _substr_explode(w, word_col, max_len, keep_pos=True)
     ent = subs.join(
         pieces.select("piece", "logp"), "piece"
-    ).select(word_col, "pos_end", "l", "logp")
+    ).select(
+        word_col,
+        "pos_end",
+        "l",
+        # exact-integer DP domain: round(logp·1e9) as BIGINT (logp is
+        # already a 9-dp decimal, so this is the same integer in any
+        # IEEE-754 engine)
+        F.round(F.col("logp") * F.lit(1e9), 0).cast("long").alias("li"),
+    )
     per_word = ent.groupBy(word_col).agg(
-        F.collect_list(F.struct("pos_end", "l", "logp")).alias("_es")
+        F.collect_list(F.struct("pos_end", "l", "li")).alias("_es")
     )
     base = w.join(per_word, word_col, "left").withColumn(
         "_es", F.coalesce(F.col("_es"), F.expr(
-            "CAST(array() AS array<struct<pos_end:int,l:int,logp:double>>)"
+            "CAST(array() AS array<struct<pos_end:int,l:int,li:bigint>>)"
         ))
     )
     maps = []
@@ -205,7 +229,7 @@ def viterbi_segment(
             F.map_from_entries(
                 F.expr(
                     f"transform(filter(_es, e -> e.l = {l}), "
-                    f"e -> struct(e.pos_end, e.logp))"
+                    f"e -> struct(e.pos_end, e.li))"
                 )
             ),
         )
@@ -219,7 +243,11 @@ def viterbi_segment(
     return scored.select(
         word_col,
         F.when(ok, _walk_fold(word, F.col("_dp.back"))).alias("pieces"),
-        F.when(ok, F.round(F.col("_score"), 9)).alias("logp"),
+        # exact: |score| < 2^53, so the double divide reproduces the
+        # 9-dp decimal sum of the chosen pieces' logps bit-for-bit
+        F.when(
+            ok, F.round(F.col("_score").cast("double") / F.lit(1e9), 9)
+        ).alias("logp"),
     )
 
 

@@ -3303,29 +3303,34 @@ ORACLE_SQL = {
         ), tot AS (
             SELECT SUM(CAST(cnt AS DECIMAL(28,0))) AS t FROM kept
         ), lp AS (
+            -- li = round(logp·1e9) as BIGINT: the DP below runs in
+            -- exact integers (mirrors operators/unigram.py), so the
+            -- back-pointer equality can never flip on an engine's
+            -- float evaluation order
             SELECT piece, cnt,
-                   ROUND(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)), 9)
-                       AS logp
+                   CAST(ROUND(ROUND(ln(CAST(cnt AS DOUBLE)
+                            / CAST(t AS DOUBLE)), 9) * 1e9)
+                        AS BIGINT) AS li
             FROM kept CROSS JOIN tot
         ), wl AS (
             SELECT w, length(w) AS len FROM vocab
         ), posl AS (
             SELECT w, len, unnest(range(1, len + 1)) AS pos FROM wl
         ), ent AS (
-            SELECT posl.w, posl.pos, l.l, lp.logp
+            SELECT posl.w, posl.pos, l.l, lp.li
             FROM posl CROSS JOIN (SELECT unnest(range(1, 5)) AS l) l
             JOIN lp ON lp.piece = posl.w[posl.pos - l.l + 1 : posl.pos]
             WHERE posl.pos >= l.l
         ), lk AS (
             SELECT w, pos,
-                   MAX(CASE WHEN l = 1 THEN logp END) AS g1,
-                   MAX(CASE WHEN l = 2 THEN logp END) AS g2,
-                   MAX(CASE WHEN l = 3 THEN logp END) AS g3,
-                   MAX(CASE WHEN l = 4 THEN logp END) AS g4
+                   MAX(CASE WHEN l = 1 THEN li END) AS g1,
+                   MAX(CASE WHEN l = 2 THEN li END) AS g2,
+                   MAX(CASE WHEN l = 3 THEN li END) AS g3,
+                   MAX(CASE WHEN l = 4 THEN li END) AS g4
             FROM ent GROUP BY w, pos
         ), dp AS (
             SELECT w, len, 0 AS i,
-                   [CAST(0.0 AS DOUBLE)] AS best, [0] AS back
+                   [CAST(0 AS BIGINT)] AS best, [0] AS back
             FROM wl
             UNION ALL
             SELECT d.w, d.len, d.i + 1,
@@ -3334,26 +3339,35 @@ ORACLE_SQL = {
             JOIN lk k ON k.w = d.w AND k.pos = d.i + 1
             CROSS JOIN LATERAL (
                 SELECT
-                  CASE WHEN k.g1 IS NOT NULL AND d.best[d.i + 1] > -1e17
-                       THEN d.best[d.i + 1] + k.g1 ELSE -1e18 END AS c1,
+                  CASE WHEN k.g1 IS NOT NULL
+                            AND d.best[d.i + 1] > -100000000000000000
+                       THEN d.best[d.i + 1] + k.g1
+                       ELSE CAST(-1000000000000000000 AS BIGINT)
+                  END AS c1,
                   CASE WHEN d.i + 1 >= 2 AND k.g2 IS NOT NULL
-                            AND d.best[greatest(d.i, 1)] > -1e17
+                            AND d.best[greatest(d.i, 1)]
+                                > -100000000000000000
                        THEN d.best[greatest(d.i, 1)] + k.g2
-                       ELSE -1e18 END AS c2,
+                       ELSE CAST(-1000000000000000000 AS BIGINT)
+                  END AS c2,
                   CASE WHEN d.i + 1 >= 3 AND k.g3 IS NOT NULL
-                            AND d.best[greatest(d.i - 1, 1)] > -1e17
+                            AND d.best[greatest(d.i - 1, 1)]
+                                > -100000000000000000
                        THEN d.best[greatest(d.i - 1, 1)] + k.g3
-                       ELSE -1e18 END AS c3,
+                       ELSE CAST(-1000000000000000000 AS BIGINT)
+                  END AS c3,
                   CASE WHEN d.i + 1 >= 4 AND k.g4 IS NOT NULL
-                            AND d.best[greatest(d.i - 2, 1)] > -1e17
+                            AND d.best[greatest(d.i - 2, 1)]
+                                > -100000000000000000
                        THEN d.best[greatest(d.i - 2, 1)] + k.g4
-                       ELSE -1e18 END AS c4
+                       ELSE CAST(-1000000000000000000 AS BIGINT)
+                  END AS c4
             ) c
             CROSS JOIN LATERAL (
                 SELECT greatest(c.c1, c.c2, c.c3, c.c4) AS m
             ) g
             CROSS JOIN LATERAL (
-                SELECT CASE WHEN g.m <= -1e17 THEN 0
+                SELECT CASE WHEN g.m <= -100000000000000000 THEN 0
                             WHEN g.m = c.c1 THEN 1
                             WHEN g.m = c.c2 THEN 2
                             WHEN g.m = c.c3 THEN 3
@@ -3370,7 +3384,8 @@ ORACLE_SQL = {
             FROM walk WHERE pos > 0
         ), seg AS (
             SELECT f.w, s.np,
-                   CAST(ROUND(f.score, 9) AS DECIMAL(38,9)) AS wlp
+                   CAST(ROUND(CAST(f.score AS DOUBLE) / 1e9, 9)
+                        AS DECIMAL(38,9)) AS wlp
             FROM fin f JOIN (SELECT w, np FROM walk WHERE pos = 0) s
                  USING (w)
         )

@@ -1861,34 +1861,35 @@ def test_cm_sketch_never_undercounts_and_merges(spark):
 
 
 def _viterbi_ref(word, logp, max_len):
-    """Sequential reference for the unigram Viterbi fold: same -inf
-    sentinel, same left-to-right double adds, same shortest-piece tie
-    rule."""
-    NEG = -1.0e18
+    """Sequential reference for the unigram Viterbi fold: same scaled-
+    integer domain (round(logp·1e9) as int — exact adds, exact tie
+    equality), same -inf sentinel, same shortest-piece tie rule."""
+    NEG = -(10**18)
+    li = {p: int(round(v * 1e9)) for p, v in logp.items()}
     n = len(word)
-    best = [0.0] + [NEG] * n
+    best = [0] + [NEG] * n
     back = [0] * (n + 1)
     for i in range(1, n + 1):
         cands = []
         for l in range(1, max_len + 1):
             p = word[i - l:i] if i >= l else None
-            if i >= l and p in logp and best[i - l] > -1.0e17:
-                cands.append(best[i - l] + logp[p])
+            if i >= l and p in li and best[i - l] > -(10**17):
+                cands.append(best[i - l] + li[p])
             else:
                 cands.append(NEG)
         m = max(cands)
         best[i] = m
-        if m > -1.0e17:
+        if m > -(10**17):
             back[i] = min(l for l in range(1, max_len + 1)
                           if cands[l - 1] == m)
-    if best[n] <= -1.0e17:
+    if best[n] <= -(10**17):
         return None, None
     parts, pos = [], n
     while pos > 0:
         l = back[pos]
         parts.insert(0, word[pos - l:pos])
         pos -= l
-    return parts, round(best[n], 9)
+    return parts, round(best[n] / 1e9, 9)
 
 
 def test_unigram_viterbi_matches_reference(spark):
