@@ -31,7 +31,7 @@ except ImportError:
     DELTA_AVAILABLE = False
 
 from .bucketed import BucketedTable  # noqa: F401
-from .meta import JsonMetaStore  # noqa: F401
+from .meta import ConcurrentWriteError, JsonMetaStore  # noqa: F401
 from .table import VersionedTable  # noqa: F401
 from .watermark import WatermarkStore  # noqa: F401
 

@@ -8,11 +8,19 @@ O(n²) total ingest work. This table fixes the write path the way
 Delta/Iceberg do — data is laid out in hash buckets and a commit
 rewrites ONLY the buckets the batch touches:
 
-    <root>/_log.json               commit log; each entry carries a
-                                   MANIFEST {bucket -> version} naming
-                                   the version that owns each bucket's
-                                   current data
-    <root>/v=0000NN/_bucket=K/...  immutable per-bucket parquet
+    <root>/_log.json               commit-log CACHE; each entry carries
+                                   a MANIFEST {bucket -> owner} naming
+                                   the data dir that owns each bucket's
+                                   current data (legacy entries store
+                                   the integer version; the layout then
+                                   is v=%06d)
+    <root>/_commits/0000NN.json    per-version commit marker — the CAS
+                                   commit point (see storage.meta)
+    <root>/v=0000NN-<token>/_bucket=K/...  immutable per-bucket parquet
+                                   (token = writer-unique suffix, so
+                                   concurrent writers racing to one
+                                   version can't clobber each other's
+                                   files before the CAS decides)
 
 A read unions the manifest's (version, bucket) leaf directories; a
 MERGE buckets the source by ``pmod(xxhash64(key), n_buckets)``, joins
@@ -38,12 +46,19 @@ import json
 import os
 import shutil
 import time
+import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .meta import atomic_json_write
+from .meta import (
+    ConcurrentWriteError,
+    atomic_json_write,
+    drop_marker,
+    marker_tail,
+    reserve_version,
+)
 from pyspark.sql import functions as F
 
 from .constraints import CheckConstraints
@@ -55,7 +70,12 @@ class BucketedCommit:
     action: str
     ts: float
     metrics: dict[str, Any]
-    manifest: dict[str, int] = field(default_factory=dict)
+    # manifest values: data-dir NAME for CAS-era commits, integer
+    # version for legacy entries (v=%06d layout)
+    manifest: dict[str, Any] = field(default_factory=dict)
+    # this commit's own data dir name; None for metadata-only commits
+    # (restore, no-op merge) and legacy entries
+    data: str | None = None
 
 
 class BucketedTable(CheckConstraints):
@@ -130,10 +150,18 @@ class BucketedTable(CheckConstraints):
         return os.path.join(self.root, "_log.json")
 
     def history(self) -> list[BucketedCommit]:
-        if not os.path.exists(self._log_path):
-            return []
-        with open(self._log_path) as f:
-            return [BucketedCommit(**e) for e in json.load(f)]
+        """Committed versions, oldest first: the ``_log.json`` cache
+        reconciled with any newer commit markers (a winner that
+        crashed between marker and cache refresh still committed)."""
+        entries: list[BucketedCommit] = []
+        if os.path.exists(self._log_path):
+            with open(self._log_path) as f:
+                entries = [BucketedCommit(**e) for e in json.load(f)]
+        last = entries[-1].version if entries else -1
+        entries.extend(
+            BucketedCommit(**e) for e in marker_tail(self.root, last)
+        )
+        return entries
 
     def latest_version(self) -> int | None:
         h = self.history()
@@ -143,10 +171,32 @@ class BucketedTable(CheckConstraints):
         return self.latest_version() is not None
 
     def _write_log(self, entries: list[BucketedCommit]) -> None:
-        tmp = self._log_path + ".tmp"
+        # writer-unique tmp: concurrent cache refreshes must not
+        # interleave into one tmp file; a lost cache update self-heals
+        # through history()'s marker-tail merge
+        tmp = f"{self._log_path}.tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump([e.__dict__ for e in entries], f, indent=1)
         os.replace(tmp, self._log_path)
+
+    def _append_entry(
+        self,
+        history: list[BucketedCommit],
+        entry: BucketedCommit,
+        data_dir: str | None = None,
+    ) -> None:
+        """Commit ``entry`` with optimistic concurrency: CAS-reserve
+        its version marker (the commit point — raises
+        :class:`ConcurrentWriteError` when another writer took the
+        version first, removing this writer's staged ``data_dir``),
+        then refresh the log cache."""
+        try:
+            reserve_version(self.root, entry.version, entry.__dict__)
+        except ConcurrentWriteError:
+            if data_dir:
+                shutil.rmtree(data_dir, ignore_errors=True)
+            raise
+        self._write_log(history + [entry])
 
     # ---- schema (for empty-table reads) ---------------------------------
 
@@ -180,11 +230,33 @@ class BucketedTable(CheckConstraints):
         schema = StructType.fromJson(meta["schema"])
         return self.spark.createDataFrame([], schema)
 
+    @staticmethod
+    def _new_data_name(version: int) -> str:
+        return f"v={version:06d}-{uuid.uuid4().hex[:8]}"
+
+    def _owner_dir(self, owner: Any) -> str:
+        """Data dir of a manifest owner: CAS-era manifests store the
+        data-dir NAME; legacy manifests stored the integer version."""
+        if isinstance(owner, str) and owner.startswith("v="):
+            return os.path.join(self.root, owner)
+        return os.path.join(self.root, f"v={int(owner):06d}")
+
+    @staticmethod
+    def _owner_version(owner: Any) -> int:
+        if isinstance(owner, str) and owner.startswith("v="):
+            return int(owner[2:].split("-", 1)[0])
+        return int(owner)
+
     def _version_dir(self, version: int) -> str:
+        """Data dir of a COMMITTED version (diagnostics/tests); new
+        versions name their dir via ``_new_data_name`` before commit."""
+        for c in self.history():
+            if c.version == version and c.data:
+                return os.path.join(self.root, c.data)
         return os.path.join(self.root, f"v={version:06d}")
 
-    def _bucket_dir(self, version: int, bucket: int) -> str:
-        return os.path.join(self._version_dir(version), f"_bucket={bucket}")
+    def _bucket_dir(self, owner: Any, bucket: int) -> str:
+        return os.path.join(self._owner_dir(owner), f"_bucket={bucket}")
 
     # ---- bucketing ------------------------------------------------------
 
@@ -229,10 +301,11 @@ class BucketedTable(CheckConstraints):
             reader = reader.schema(StructType.fromJson(meta["schema"]))
         return reader
 
-    def _write_buckets(self, df: DataFrame, version: int) -> list[int]:
-        """Write df (with its _bucket column) under v=NN/_bucket=K; one
-        Spark job for all buckets. Returns the bucket ids written."""
-        vdir = self._version_dir(version)
+    def _write_buckets(self, df: DataFrame, data_name: str) -> list[int]:
+        """Write df (with its _bucket column) under
+        <data_name>/_bucket=K; one Spark job for all buckets. Returns
+        the bucket ids written."""
+        vdir = os.path.join(self.root, data_name)
         (
             df.repartition("_bucket")
             .write.mode("overwrite")
@@ -245,32 +318,36 @@ class BucketedTable(CheckConstraints):
         self,
         action: str,
         df_bucketed: DataFrame,
-        manifest_base: dict[str, int],
+        manifest_base: dict[str, Any],
         metrics: dict[str, Any],
     ) -> BucketedCommit:
         self._enforce_constraints(df_bucketed)
         history = self.history()
         version = (history[-1].version + 1) if history else 0
-        written = self._write_buckets(df_bucketed, version)
+        data_name = self._new_data_name(version)
+        written = self._write_buckets(df_bucketed, data_name)
         # schema is known from the frame even when no rows were written
         # (empty overwrite, delete-all): record it on the FIRST commit so
         # exists()-then-read() always works on an empty table
         self._store_schema_once(df_bucketed)
         manifest = dict(manifest_base)
-        manifest.update({str(b): version for b in written})
+        manifest.update({str(b): data_name for b in written})
         entry = BucketedCommit(
             version=version,
             action=action,
             ts=time.time(),
             metrics={**metrics, "buckets_written": len(written)},
             manifest=manifest,
+            data=data_name,
         )
-        self._write_log(history + [entry])
+        self._append_entry(
+            history, entry, os.path.join(self.root, data_name)
+        )
         return entry
 
     # ---- reads ----------------------------------------------------------
 
-    def _manifest(self, version: int | None = None) -> dict[str, int]:
+    def _manifest(self, version: int | None = None) -> dict[str, Any]:
         h = self.history()
         if not h:
             raise FileNotFoundError(f"table {self.root} has no commits")
@@ -324,7 +401,7 @@ class BucketedTable(CheckConstraints):
             d = self._bucket_dir(v, int(b))
             n_files = sum(f.endswith(".parquet") for f in os.listdir(d))
             n_rows = self.spark.read.parquet(d).count()
-            rows.append((int(b), n_rows, n_files, int(v)))
+            rows.append((int(b), n_rows, n_files, self._owner_version(v)))
         return self.spark.createDataFrame(
             rows,
             "bucket_id int, n_rows bigint, n_files int, owning_version int",
@@ -449,8 +526,9 @@ class BucketedTable(CheckConstraints):
         # forward bucket rows passed validation when first written,
         # and add_constraint scans the whole table, so they comply)
         self._enforce_constraints(source)
-        tmp = os.path.join(self.root, "_tmp_merge")
-        shutil.rmtree(tmp, ignore_errors=True)  # stale crash residue
+        # writer-unique spill dir: concurrent merges must not share it
+        # (vacuum sweeps crash-orphaned spills)
+        tmp = os.path.join(self.root, f"_tmp_merge-{uuid.uuid4().hex[:8]}")
         (
             source.repartition("_bucket")
             .write.mode("overwrite")
@@ -492,16 +570,16 @@ class BucketedTable(CheckConstraints):
                 metrics={"inserted": 0, "updated": 0, "buckets_written": 0},
                 manifest=base,
             )
-            self._write_log(history + [entry])
+            self._append_entry(history, entry)
             return entry
 
         if not self.exists():
             # first data-bearing commit: adopt the spill as the version
-            # dir (rename, zero extra Spark jobs; replaces any orphan
-            # dir a pre-log crash left at this version)
+            # dir (rename, zero extra Spark jobs; the writer-unique
+            # name can't collide with anything on disk)
             n_src = self._footer_count([tmp]) if metrics else -1
-            vdir = self._version_dir(version)
-            shutil.rmtree(vdir, ignore_errors=True)
+            data_name = self._new_data_name(version)
+            vdir = os.path.join(self.root, data_name)
             os.replace(tmp, vdir)
             self._store_schema_once(source)
             entry = BucketedCommit(
@@ -513,9 +591,10 @@ class BucketedTable(CheckConstraints):
                     "updated": 0,
                     "buckets_written": len(touched),
                 },
-                manifest={str(b): version for b in touched},
+                manifest={str(b): data_name for b in touched},
+                data=data_name,
             )
-            self._write_log(history + [entry])
+            self._append_entry(history, entry, vdir)
             return entry
 
         # re-read the spilled source with its KNOWN schema (skips the
@@ -569,7 +648,8 @@ class BucketedTable(CheckConstraints):
             # validate BEFORE writing: a type-changing evolution must
             # fail with zero buckets written, not strand a version
             self._reject_type_changes(out)
-        written = self._write_buckets(out, version)
+        data_name = self._new_data_name(version)
+        written = self._write_buckets(out, data_name)
         self._store_schema_once(out)
         if schema_evolution:
             # widen the stored schema so _schema_reader serves the new
@@ -577,7 +657,7 @@ class BucketedTable(CheckConstraints):
             self._update_schema(out)
         if metrics:
             n_written = self._footer_count(
-                [self._bucket_dir(version, b) for b in written]
+                [self._bucket_dir(data_name, b) for b in written]
             )
             n_existing = self._footer_count(existing_dirs)
             n_inserted = n_written - n_existing
@@ -589,7 +669,7 @@ class BucketedTable(CheckConstraints):
         else:
             n_inserted = n_updated = -1
         new_manifest = dict(manifest)
-        new_manifest.update({str(b): version for b in written})
+        new_manifest.update({str(b): data_name for b in written})
         entry = BucketedCommit(
             version=version,
             action="merge",
@@ -600,8 +680,11 @@ class BucketedTable(CheckConstraints):
                 "buckets_written": len(written),
             },
             manifest=new_manifest,
+            data=data_name,
         )
-        self._write_log(history + [entry])
+        self._append_entry(
+            history, entry, os.path.join(self.root, data_name)
+        )
         return entry
 
     def delete_where(self, condition) -> BucketedCommit:
@@ -621,7 +704,7 @@ class BucketedTable(CheckConstraints):
                 metrics={"deleted": 0, "buckets_written": 0},
                 manifest=manifest,
             )
-            self._write_log(history + [entry])
+            self._append_entry(history, entry)
             return entry
         sub = self.read_buckets(touched).withColumn("_bucket", self._bucket_col())
         kept = sub.where(~condition | condition.isNull())
@@ -633,26 +716,32 @@ class BucketedTable(CheckConstraints):
         # the pre-delete data, and returned that stale manifest.
         history = self.history()
         version = (history[-1].version + 1) if history else 0
-        written = self._write_buckets(kept, version)
+        data_name = self._new_data_name(version)
+        written = self._write_buckets(kept, data_name)
         self._store_schema_once(kept)
         # deleted count from footer arithmetic (pre-existing − written):
         # replaces two full data re-scans (sub.count + kept.count) with
         # metadata-only counts
         n_del = self._footer_count(
             [self._bucket_dir(manifest[str(b)], b) for b in touched]
-        ) - self._footer_count([self._bucket_dir(version, b) for b in written])
+        ) - self._footer_count(
+            [self._bucket_dir(data_name, b) for b in written]
+        )
         new_manifest = {
             b: v for b, v in manifest.items() if int(b) not in set(touched)
         }
-        new_manifest.update({str(b): version for b in written})
+        new_manifest.update({str(b): data_name for b in written})
         entry = BucketedCommit(
             version=version,
             action="delete",
             ts=time.time(),
             metrics={"deleted": n_del, "buckets_written": len(written)},
             manifest=new_manifest,
+            data=data_name,
         )
-        self._write_log(history + [entry])
+        self._append_entry(
+            history, entry, os.path.join(self.root, data_name)
+        )
         return entry
 
     def changes(
@@ -722,7 +811,7 @@ class BucketedTable(CheckConstraints):
             metrics={"restored_from": version, "buckets_written": 0},
             manifest=dict(manifest),
         )
-        self._write_log(history + [entry])
+        self._append_entry(history, entry)
         return entry
 
     # ---- retention ------------------------------------------------------
@@ -765,15 +854,43 @@ class BucketedTable(CheckConstraints):
         history = self.history()
         if len(history) <= keep_last:
             return []
-        keep = history[-keep_last:]
-        live = {v for c in keep for v in c.manifest.values()}
+        drop, keep = history[:-keep_last], history[-keep_last:]
+        live = set()
+        for c in keep:
+            for v in c.manifest.values():
+                live.add(
+                    v
+                    if isinstance(v, str) and v.startswith("v=")
+                    else f"v={int(v):06d}"
+                )
+        latest = keep[-1].version
         removed = []
+        now = time.time()
         for d in os.listdir(self.root):
-            if not d.startswith("v="):
+            path = os.path.join(self.root, d)
+            if d.startswith("_tmp_merge"):
+                # crash-orphaned merge spill: sweep once it is clearly
+                # not an in-flight merge (1h grace)
+                try:
+                    stale = now - os.path.getmtime(path) > 3600
+                except OSError:
+                    continue
+                if stale:
+                    shutil.rmtree(path, ignore_errors=True)
                 continue
-            v = int(d.split("=", 1)[1])
-            if v not in live:
-                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
-                removed.append(v)
+            if not d.startswith("v=") or d in live:
+                continue
+            try:
+                ver = int(d[2:].split("-", 1)[0])
+            except ValueError:
+                continue
+            # only sweep at versions <= the latest kept commit: a dir
+            # staged above it belongs to an in-flight writer that has
+            # not reached its CAS point yet
+            if ver <= latest:
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(ver)
+        for c in drop:
+            drop_marker(self.root, c.version)
         self._write_log(keep)
-        return sorted(removed)
+        return sorted(set(removed))

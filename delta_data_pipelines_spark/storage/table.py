@@ -1,13 +1,29 @@
 """Parquet-backed versioned table with a JSON commit log.
 
 Layout:
-    <root>/_log.json          ordered list of committed versions
-    <root>/v=0000NN/*.parquet immutable data snapshot for version NN
+    <root>/_log.json            read-optimized cache of the commit log
+    <root>/_commits/0000NN.json per-version commit marker (the CAS
+                                commit point — source of truth for
+                                entries newer than the cache)
+    <root>/v=0000NN-<token>/*.parquet
+                                immutable data snapshot for version NN
+                                (token makes concurrent writers'
+                                staging dirs collision-free)
 
-Commits are write-new-dir + atomic log swap (tmp file + ``os.replace``),
-so readers always see a complete version. Every mutating op is a full
-snapshot — simple, correct, and at the reference's table sizes (≤ a few
-GB) cheap; the API mirrors Delta so a log-structured incremental
+Commit protocol (Delta optimistic-concurrency parity): write the
+snapshot to a writer-unique data dir, then atomically publish the
+commit entry via exclusive-create of the per-version marker
+(``meta.reserve_version`` — the put-if-absent on ``_delta_log/N.json``).
+Two writers that raced from the same snapshot both compute version
+N+1; exactly one wins the marker, the loser gets
+:class:`ConcurrentWriteError` (and removes its staged dir) instead of
+silently replacing the winner's commit — the lost-update the old
+read-log/write-log protocol allowed. ``_log.json`` is refreshed after
+each win but is only a cache: ``history()`` reconciles it with the
+marker tail, so a crash between marker and cache loses nothing.
+Readers always see complete versions. Every mutating op is a full
+snapshot — simple, correct, and at the reference's table sizes (≤ a
+few GB) cheap; the API mirrors Delta so a log-structured incremental
 backend can replace snapshots without touching callers.
 """
 
@@ -17,6 +33,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 from dataclasses import dataclass
 from typing import Any
 
@@ -24,6 +41,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .constraints import CheckConstraints
+from .meta import ConcurrentWriteError, drop_marker, marker_tail, reserve_version
+
+__all__ = ["Commit", "ConcurrentWriteError", "VersionedTable", "snapshot_diff"]
 
 
 _Z_BITS = 14  # bucket resolution per z-order dimension (16384 cells)
@@ -188,6 +208,9 @@ class Commit:
     action: str
     ts: float
     metrics: dict[str, Any]
+    # data dir name under the table root; None on entries written
+    # before the CAS protocol (legacy v=%06d layout)
+    data: str | None = None
 
 
 class VersionedTable(CheckConstraints):
@@ -203,29 +226,61 @@ class VersionedTable(CheckConstraints):
         return os.path.join(self.root, "_log.json")
 
     def history(self) -> list[Commit]:
-        if not os.path.exists(self._log_path):
-            return []
-        with open(self._log_path) as f:
-            return [Commit(**e) for e in json.load(f)]
+        """Committed versions, oldest first: the ``_log.json`` cache
+        reconciled with any newer commit markers (a winner that crashed
+        between marker and cache refresh still committed)."""
+        entries: list[Commit] = []
+        if os.path.exists(self._log_path):
+            with open(self._log_path) as f:
+                entries = [Commit(**e) for e in json.load(f)]
+        last = entries[-1].version if entries else -1
+        entries.extend(Commit(**e) for e in marker_tail(self.root, last))
+        return entries
 
     def latest_version(self) -> int | None:
         h = self.history()
         return h[-1].version if h else None
 
+    def _write_log_cache(self, entries: list[Commit]) -> None:
+        # writer-unique tmp name: two concurrent cache refreshes must
+        # not interleave writes into one tmp file. Last replace wins;
+        # a stale cache self-heals via history()'s marker-tail merge.
+        tmp = f"{self._log_path}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump([e.__dict__ for e in entries], f, indent=1)
+        os.replace(tmp, self._log_path)
+
     def _commit(self, action: str, df: DataFrame, metrics: dict[str, Any]) -> Commit:
         self._enforce_constraints(df)
         history = self.history()
         version = (history[-1].version + 1) if history else 0
-        data_dir = os.path.join(self.root, f"v={version:06d}")
+        # stage to a writer-unique dir: concurrent writers racing to
+        # the same version can never clobber each other's files
+        data_name = f"v={version:06d}-{uuid.uuid4().hex[:8]}"
+        data_dir = os.path.join(self.root, data_name)
         df.write.mode("overwrite").parquet(data_dir)
-        entry = Commit(version=version, action=action, ts=time.time(), metrics=metrics)
-        tmp = self._log_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump([e.__dict__ for e in history] + [entry.__dict__], f, indent=1)
-        os.replace(tmp, self._log_path)
+        entry = Commit(
+            version=version,
+            action=action,
+            ts=time.time(),
+            metrics=metrics,
+            data=data_name,
+        )
+        try:
+            # THE commit point: put-if-absent of the version marker
+            reserve_version(self.root, version, entry.__dict__)
+        except ConcurrentWriteError:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise
+        self._write_log_cache(history + [entry])
         return entry
 
     def _data_dir(self, version: int) -> str:
+        for c in self.history():
+            if c.version == version:
+                if c.data:
+                    return os.path.join(self.root, c.data)
+                break
         return os.path.join(self.root, f"v={version:06d}")
 
     # ---- reads ----------------------------------------------------------
@@ -235,14 +290,18 @@ class VersionedTable(CheckConstraints):
 
     def read(self, version: int | None = None) -> DataFrame:
         """Read the latest snapshot, or time-travel to ``version``."""
-        if version is None:
-            version = self.latest_version()
-        if version is None:
+        h = self.history()
+        if not h:
             raise FileNotFoundError(f"table {self.root} has no commits")
-        known = {c.version for c in self.history()}
-        if version not in known:
-            raise ValueError(f"version {version} not in {sorted(known)}")
-        return self.spark.read.parquet(self._data_dir(version))
+        if version is None:
+            version = h[-1].version
+        for c in h:
+            if c.version == version:
+                name = c.data if c.data else f"v={version:06d}"
+                return self.spark.read.parquet(os.path.join(self.root, name))
+        raise ValueError(
+            f"version {version} not in {[c.version for c in h]}"
+        )
 
     # ---- writes ---------------------------------------------------------
 
@@ -453,15 +512,32 @@ class VersionedTable(CheckConstraints):
     def vacuum(self, keep_last: int = 3) -> list[int]:
         """Drop all but the last N snapshots (↔ keep-last-3 backup
         retention, utils_of_backup.py:155-164). The log keeps only the
-        surviving versions; time travel beyond them is gone."""
+        surviving versions; time travel beyond them is gone. Also
+        sweeps data dirs no surviving commit references — the staged
+        dirs of writers that lost a CAS race mid-crash (a live loser
+        removes its own) — but only at versions ≤ the latest kept
+        commit: a dir staged at latest+1 belongs to an in-flight
+        writer."""
         history = self.history()
         if len(history) <= keep_last:
             return []
         drop, keep = history[:-keep_last], history[-keep_last:]
         for c in drop:
-            shutil.rmtree(self._data_dir(c.version), ignore_errors=True)
-        tmp = self._log_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump([e.__dict__ for e in keep], f, indent=1)
-        os.replace(tmp, self._log_path)
+            name = c.data if c.data else f"v={c.version:06d}"
+            shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+            drop_marker(self.root, c.version)
+        self._write_log_cache(keep)
+        live = {c.data for c in keep if c.data} | {
+            f"v={c.version:06d}" for c in keep if not c.data
+        }
+        latest = keep[-1].version
+        for d in os.listdir(self.root):
+            if not d.startswith("v=") or d in live:
+                continue
+            try:
+                v = int(d[2:].split("-", 1)[0])
+            except ValueError:
+                continue
+            if v <= latest:
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
         return [c.version for c in drop]

@@ -184,9 +184,9 @@ def test_bucketed_merge_rewrites_only_touched_buckets(spark, btable):
     # in the manifest still name v0 dirs
     assert c1.metrics["buckets_written"] == 1
     assert _bucket_dirs(btable, c1.version) == [
-        int(b) for b, v in c1.manifest.items() if v == c1.version
+        int(b) for b, v in c1.manifest.items() if v == c1.data
     ]
-    assert sum(1 for v in c1.manifest.values() if v == c0.version) == 7
+    assert sum(1 for v in c1.manifest.values() if v == c0.data) == 7
     assert btable.read().count() == 201
     # and the rewritten bucket carried its prior rows forward
     c2 = btable.merge(rows(spark, [("new-a", "z", 2)]), keys=["content_url"])
@@ -208,8 +208,11 @@ def test_bucketed_time_travel_and_vacuum_keeps_live_dirs(spark, btable):
     assert btable.read().count() == 54
     removed = btable.vacuum(keep_last=2)
     # v0 holds buckets still referenced by the last manifests: kept
+    # (its log ENTRY is pruned, so resolve the dir via the manifest)
     assert c0.version not in removed
-    assert os.path.isdir(btable._version_dir(c0.version))
+    live_dirs = {btable._owner_dir(v) for v in btable._manifest().values()}
+    assert os.path.join(btable.root, c0.data) in live_dirs
+    assert all(os.path.isdir(d) for d in live_dirs)
     assert btable.read().count() == 54
 
 
@@ -267,12 +270,11 @@ def test_bucketed_vacuum_reclaims_dirs_whose_entry_was_already_pruned(
     # rewrite every bucket so no manifest references any old generation
     btable.overwrite(btable.read())
     btable.vacuum(keep_last=1)
-    live = set(btable._manifest().values())
-    on_disk = {
-        int(d.split("=", 1)[1])
-        for d in os.listdir(btable.root)
-        if d.startswith("v=")
+    live = {
+        os.path.basename(btable._owner_dir(v))
+        for v in btable._manifest().values()
     }
+    on_disk = {d for d in os.listdir(btable.root) if d.startswith("v=")}
     assert on_disk == live, f"leaked version dirs: {sorted(on_disk - live)}"
     assert btable.read().count() == 58
 
@@ -344,18 +346,20 @@ def test_bucketed_bucket_stats_counts_and_skew(spark, tmp_path):
     assert max(r["n_rows"] for r in stats) >= 40
 
 
-def test_bucketed_commit_overwrites_orphaned_version_dir(spark, tmp_path):
-    """A crash AFTER writing v=N data but BEFORE the log commit leaves
-    an orphan dir; the next commit reuses version N and must replace
-    the orphan wholesale (write mode is overwrite on the version dir),
-    never read it (reads go through the manifest only)."""
+def test_bucketed_commit_ignores_orphaned_version_dir(spark, tmp_path):
+    """A crash AFTER writing data but BEFORE the CAS commit leaves an
+    orphan dir. Commits never collide with it (writer-unique data-dir
+    names), reads never touch it (reads go through the manifest
+    names only), and vacuum sweeps it once its version is at or below
+    the latest kept commit."""
     import os
 
     from delta_data_pipelines_spark.storage import BucketedTable
 
     bt = BucketedTable(spark, str(tmp_path / "cr"), bucket_key="k", n_buckets=2)
     bt.overwrite(spark.createDataFrame([("a", 1)], "k string, v int"))
-    orphan = os.path.join(bt.root, "v=000001", "_bucket=0")
+    orphan_root = os.path.join(bt.root, "v=000001-deadbeef")
+    orphan = os.path.join(orphan_root, "_bucket=0")
     os.makedirs(orphan)
     with open(os.path.join(orphan, "junk.parquet"), "w") as f:
         f.write("not parquet")
@@ -365,6 +369,12 @@ def test_bucketed_commit_overwrites_orphaned_version_dir(spark, tmp_path):
     assert c.version == 1
     got = {(r["k"], r["v"]) for r in bt.read().collect()}
     assert got == {("a", 1), ("b", 2)}
+    # the orphan is dead weight, never data: vacuum reclaims it
+    bt.merge(spark.createDataFrame([("c", 3)], "k string, v int"), keys=["k"])
+    bt.vacuum(keep_last=1)
+    assert not os.path.exists(orphan_root)
+    got = {(r["k"], r["v"]) for r in bt.read().collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 3)}
 
 
 def test_versioned_changes_cdf(spark, table):
@@ -436,7 +446,7 @@ def test_merge_schema_evolution_bucketed(spark, btable):
     assert len(got) == 21
     # bucket-pruned read of an UNTOUCHED bucket also carries the column
     other = [b for b in range(8) if b not in
-             {int(x) for x, v in c.manifest.items() if v == c.version}][0]
+             {int(x) for x, v in c.manifest.items() if v == c.data}][0]
     sub = btable.read_buckets([other])
     assert "tag" in sub.columns
 
@@ -652,9 +662,7 @@ def test_versioned_compact_rewrites_layout_not_data(spark, table):
     c = table.compact(target_rows_per_file=10)
     assert c.action == "compact"
     assert c.metrics == {"rows": 20, "files": 2}
-    files = _glob.glob(
-        os.path.join(table.root, f"v={c.version:06d}", "*.parquet")
-    )
+    files = _glob.glob(os.path.join(table._data_dir(c.version), "*.parquet"))
     assert len(files) == 2
     after = sorted(tuple(r) for r in table.read().collect())
     assert after == before  # layout-only rewrite
@@ -680,11 +688,12 @@ def test_bucketed_compact_collapses_generations(spark, btable):
     before = sorted(tuple(r) for r in btable.read().collect())
 
     c = btable.compact()
-    assert set(btable._manifest().values()) == {c.version}
+    assert set(btable._manifest().values()) == {c.data}
     assert sorted(tuple(r) for r in btable.read().collect()) == before
 
     removed = btable.vacuum(keep_last=1)
-    assert set(removed) >= owners_before  # old generations released
+    # old generations released
+    assert set(removed) >= {btable._owner_version(o) for o in owners_before}
     assert sorted(tuple(r) for r in btable.read().collect()) == before
 
 
@@ -708,7 +717,7 @@ def test_versioned_compact_zorder_clusters_both_dims(spark, tmp_path):
     assert c.metrics["files"] == 16 and c.metrics["zorder_by"] == ["x", "y"]
     assert sorted(tuple(r) for r in t.read().collect()) == before
 
-    files = _glob.glob(os.path.join(t.root, f"v={c.version:06d}", "*.parquet"))
+    files = _glob.glob(os.path.join(t._data_dir(c.version), "*.parquet"))
     assert len(files) == 16
     spreads = []
     for f in files:
@@ -763,7 +772,7 @@ def test_versioned_compact_zorder_rank_handles_skew(spark, tmp_path):
     assert c.metrics["zorder_method"] == "rank"
     assert sorted(tuple(r) for r in t.read().collect()) == before
 
-    files = _glob.glob(os.path.join(t.root, f"v={c.version:06d}", "*.parquet"))
+    files = _glob.glob(os.path.join(t._data_dir(c.version), "*.parquet"))
     assert len(files) == 16
     # file boundaries come from repartitionByRange's sampled z cuts, so
     # a file can straddle a Morton-curve high-bit discontinuity (the
@@ -864,3 +873,121 @@ def test_bucketed_check_constraints(spark, btable):
     assert btable.read().count() == 3
     with pytest.raises(ValueError, match="existing rows violate"):
         btable.add_constraint("price_big", "price > 100")
+
+
+# ---------------------------------------------------------------------------
+# Optimistic concurrency (Delta put-if-absent parity)
+# ---------------------------------------------------------------------------
+
+
+def test_versioned_concurrent_writers_conflict_not_lost_update(
+    spark, table, monkeypatch
+):
+    """Two writers race from the same snapshot to version N+1: exactly
+    one wins the per-version CAS; the loser gets ConcurrentWriteError
+    (and removes its staged dir) instead of silently replacing the
+    winner's commit — the lost update the old read-log/write-log
+    protocol allowed."""
+    import os
+
+    from delta_data_pipelines_spark.storage import ConcurrentWriteError
+
+    table.overwrite(rows(spark, [("u1", "a", 1)]))  # v0
+    stale = table.history()  # the snapshot BOTH writers read
+    table.append(rows(spark, [("u2", "b", 2)]))  # writer A wins v1
+
+    loser = VersionedTable(spark, table.root)
+    monkeypatch.setattr(loser, "history", lambda: stale)  # raced read
+    with pytest.raises(ConcurrentWriteError, match="version 1"):
+        loser.overwrite(rows(spark, [("uX", "evil", 9)]))
+
+    # winner's commit intact; loser left no data dir behind
+    fresh = VersionedTable(spark, table.root)
+    assert fresh.latest_version() == 1
+    assert {r["content_url"] for r in fresh.read().collect()} == {"u1", "u2"}
+    assert len([d for d in os.listdir(table.root) if d.startswith("v=")]) == 2
+    # a retry from a FRESH read succeeds at the next version
+    fresh.append(rows(spark, [("u3", "c", 3)]))
+    assert fresh.latest_version() == 2
+    assert fresh.read().count() == 3
+
+
+def test_versioned_history_reconciles_marker_tail_after_cache_loss(
+    spark, table
+):
+    """A winner that crashes between its CAS marker and the _log.json
+    cache refresh has still committed: history() reconciles the cache
+    with the marker tail, reads serve the marker'd version, and the
+    next commit continues the version sequence."""
+    import json as _json
+    import os
+
+    table.overwrite(rows(spark, [("u1", "a", 1)]))  # v0
+    table.append(rows(spark, [("u2", "b", 2)]))  # v1
+    log = os.path.join(table.root, "_log.json")
+    with open(log) as f:
+        entries = _json.load(f)
+    with open(log, "w") as f:  # simulate crash-before-cache-refresh
+        _json.dump(entries[:1], f)
+
+    t2 = VersionedTable(spark, table.root)
+    assert [c.version for c in t2.history()] == [0, 1]
+    assert t2.read().count() == 2  # serves v1, not the stale cache
+    t2.append(rows(spark, [("u3", "c", 3)]))
+    assert t2.latest_version() == 2
+    assert t2.read().count() == 3
+
+
+def test_bucketed_concurrent_writers_conflict_not_lost_update(
+    spark, btable, monkeypatch
+):
+    """BucketedTable shares the CAS commit point: a merge raced from a
+    stale snapshot conflicts; the winner's buckets and manifest are
+    untouched (writers stage to unique dirs, so the loser can never
+    clobber the winner's files pre-CAS either)."""
+    from delta_data_pipelines_spark.storage import (
+        BucketedTable,
+        ConcurrentWriteError,
+    )
+
+    btable.overwrite(rows(spark, [(f"u{i}", "x", i) for i in range(20)]))
+    stale = btable.history()
+    btable.merge(rows(spark, [("win", "w", 1)]), keys=["content_url"])
+
+    loser = BucketedTable(spark, btable.root)
+    monkeypatch.setattr(loser, "history", lambda: stale)
+    with pytest.raises(ConcurrentWriteError, match="version 1"):
+        loser.merge(rows(spark, [("lose", "l", 2)]), keys=["content_url"])
+
+    fresh = BucketedTable(spark, btable.root)
+    assert fresh.latest_version() == 1
+    got = {r["content_url"] for r in fresh.read().collect()}
+    assert "win" in got and "lose" not in got and len(got) == 21
+    # retry from a fresh snapshot lands as v2
+    fresh.merge(rows(spark, [("lose", "l", 2)]), keys=["content_url"])
+    assert fresh.latest_version() == 2
+    assert fresh.read().count() == 22
+
+
+def test_bucketed_history_reconciles_marker_tail_after_cache_loss(
+    spark, btable
+):
+    import json as _json
+    import os
+
+    btable.overwrite(rows(spark, [("u1", "a", 1)]))
+    btable.merge(rows(spark, [("u2", "b", 2)]), keys=["content_url"])
+    log = os.path.join(btable.root, "_log.json")
+    with open(log) as f:
+        entries = _json.load(f)
+    with open(log, "w") as f:
+        _json.dump(entries[:1], f)
+
+    from delta_data_pipelines_spark.storage import BucketedTable
+
+    t2 = BucketedTable(spark, btable.root)
+    assert [c.version for c in t2.history()] == [0, 1]
+    assert t2.read().count() == 2
+    t2.merge(rows(spark, [("u3", "c", 3)]), keys=["content_url"])
+    assert t2.latest_version() == 2
+    assert t2.read().count() == 3
