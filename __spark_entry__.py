@@ -54,6 +54,12 @@ def _modules():
 # green in CORRECTNESS_r01.json) and keep running in the local mirror
 # (tools/check.py), which checks all of them.
 _PRIORITY = [
+    # r9 window decision: UNCHANGED from r8. Cumulative driver coverage
+    # is 169/170 oracle-able queries; rotation pressure is gone. The r8
+    # batch below holds 1 green driver round each — keeping it pinned
+    # gives every row its second round, and txt_unigram_encode (the one
+    # red r8 row — oracle Viterbi DP now integer-exact on both engines)
+    # its first green one. Multiply-proven rows rest in the mirror.
     # flagship
     "search_index_full", "search_index_incremental", "search_index_fetch_by_id",
     # r8 rotation: the 13 r7 additions that have never held a driver
@@ -153,8 +159,11 @@ _PRIORITY = [
     # td_ngram_contamination (r07, unchanged, mirror-checked) rotated
     # out for the MMR diversified-retrieval query's first driver row
     "sim_mmr_topk",
-    # curation headline (driver-green r2-r7, kept pinned)
-    "td_curate",
+    # r9: td_curate (driver-green r2-r8, ×7 — by far the most-proven
+    # non-flagship row; still mirror-checked and benched every round)
+    # rotated out for the r9 sliding-window ExactSubstr query's first
+    # driver row — the one new capability this round
+    "dd_exact_substring",
     # (txt_bpe_merges is rows-only; tools/inventory.py's ledger tracks
     # any registered query until it holds a driver row)
 ]

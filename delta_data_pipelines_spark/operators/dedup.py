@@ -794,3 +794,145 @@ def contamination_gram_hits(
         .join(heldout, "_gram")
         .select(id_col, "_gram")
     )
+
+
+def remove_exact_substrings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 10,
+) -> DataFrame:
+    """TRUE sliding-window exact-substring dedup (Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" /
+    RefinedWeb ExactSubstr) at token granularity: every token that
+    lies inside ANY substring of ≥ ``min_len`` tokens occurring more
+    than once in the corpus (across documents or within one) is
+    removed, and each document is rebuilt from its surviving tokens in
+    order. This is the un-approximated semantics the 10-token TILING
+    variant (textstats.remove_dup_passages) trades away: a duplicated
+    run that straddles tile boundaries escapes the tiling but not this.
+
+    No suffix array needed — the suffix-array formulation is a
+    single-machine construction (the released ExactSubstr tool); the
+    identical cover set falls out of a distributed-friendly identity:
+        token t is inside a duplicated substring of length ≥ L
+        ⟺  some L-token window starting in [t-L+1, t] is duplicated.
+    So: enumerate every L-token window start (one explode, O(corpus
+    tokens) rows), count window occurrences corpus-wide (ONE partial-
+    agg shuffle on the window's md5 — the only corpus-scale shuffle),
+    semi-join the duplicated hashes back to starts, and per document
+    merge the marked [s, s+L-1] intervals with a native fold and slice
+    out the gaps. Removal takes EVERY occurrence (the released tool's
+    behavior — no canonical copy survives; keep-one-copy semantics is
+    what the tiling variant provides).
+
+    Output: (id, text rebuilt, n_tokens, n_removed). NULL-text rows
+    pass through with NULL text (n_tokens 0) — the curation-stage
+    invariant; a fully-duplicated document becomes the empty string.
+    Docs under ``min_len`` tokens contain no window and are kept
+    whole. md5 window identity makes the dup set oracle-reproducible;
+    a collision would need 2^64 windows in one corpus.
+
+    100 TB posture: the start enumeration is the same overlapping-
+    shingle shape as 13-gram decontamination (contamination_gram_hits)
+    — linear rows, hot boilerplate windows are AQE-skew-split at the
+    count/join; everything after the semi-join is per-document array
+    work with no shuffle beyond the per-doc collect_list.
+    """
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    L = int(min_len)
+    base = docs.select(id_col, text_col)
+    w = base.where(F.col(text_col).isNotNull()).select(
+        id_col, F.split(F.col(text_col), " ").alias("_w")
+    )
+    # every window start; explode first, hash in a SEPARATE projection
+    # (generator + expensive sibling in one select re-evaluates the
+    # sibling per exploded row — the ExtractGenerator trap)
+    starts = (
+        w.where(F.size("_w") >= L)
+        .select(
+            id_col,
+            "_w",
+            F.explode(
+                F.expr(f"sequence(1, size(_w) - {L} + 1)")
+            ).alias("_s"),
+        )
+        .select(
+            id_col,
+            "_s",
+            F.md5(F.array_join(F.slice("_w", F.col("_s"), L), " ")).alias(
+                "_h"
+            ),
+        )
+    )
+    dup = (
+        starts.groupBy("_h")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") > 1)
+        .select("_h")
+    )
+    marked = (
+        starts.join(dup, "_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("_s")).alias("_ms"))
+    )
+    enriched = (
+        w.join(marked, id_col, "left")
+        .withColumn(
+            "_ms",
+            F.coalesce(F.col("_ms"), F.expr("CAST(array() AS array<int>)")),
+        )
+        # merge marked [s, s+L-1] intervals (sorted starts -> disjoint
+        # ascending intervals; adjacency merges too, harmless for the
+        # cover set)
+        .withColumn(
+            "_iv",
+            F.expr(
+                f"""aggregate(_ms,
+                    CAST(array() AS array<struct<a:int,b:int>>),
+                    (acc, s) -> CASE
+                      WHEN size(acc) > 0
+                           AND s <= element_at(acc, -1).b + 1
+                      THEN concat(
+                          slice(acc, 1, size(acc) - 1),
+                          array(named_struct(
+                              'a', element_at(acc, -1).a,
+                              'b', greatest(element_at(acc, -1).b,
+                                            s + {L} - 1))))
+                      ELSE concat(acc, array(named_struct(
+                          'a', s, 'b', s + {L} - 1)))
+                    END)"""
+            ),
+        )
+        .select(
+            id_col,
+            F.size("_w").cast("bigint").alias("n_tokens"),
+            F.expr(
+                "CAST(aggregate(_iv, 0, (acc, iv) -> acc + iv.b - iv.a + 1)"
+                " AS BIGINT)"
+            ).alias("n_removed"),
+            # slice out the gaps between intervals, in order
+            F.expr(
+                """aggregate(_iv,
+                    named_struct('cur', 1,
+                                 'parts', CAST(array() AS array<string>)),
+                    (acc, iv) -> named_struct(
+                        'cur', iv.b + 1,
+                        'parts', concat(acc.parts,
+                                        slice(_w, acc.cur, iv.a - acc.cur))),
+                    acc -> array_join(
+                        concat(acc.parts,
+                               slice(_w, acc.cur, size(_w) - acc.cur + 1)),
+                        ' '))"""
+            ).alias("_text_out"),
+        )
+    )
+    return base.join(enriched, id_col, "left").select(
+        id_col,
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.col("_text_out"))
+        .alias(text_col),
+        F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
+        F.coalesce("n_removed", F.lit(0).cast("bigint")).alias("n_removed"),
+    )

@@ -1311,6 +1311,24 @@ def td_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dd_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE sliding-window exact-substring dedup (the un-approximated
+    Lee et al. 2022 ExactSubstr, dedup.remove_exact_substrings): every
+    token inside ANY ≥10-token substring that occurs more than once in
+    the corpus is removed — including runs that straddle the tiling
+    boundaries td_dedup_passages' segment variant cannot see, and
+    repeats WITHIN one document. All occurrences go (the released
+    ExactSubstr tool's behavior); the tiling twin is the keep-one-copy
+    variant. One corpus-scale shuffle (window-hash count), then
+    per-doc native interval merges — no suffix array, same cover set."""
+    from ..operators import dedup
+
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.remove_exact_substrings(
+        d, "doc_id", "text", min_len=10
+    ).orderBy("doc_id")
+
+
 def td_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic seeded global shuffle — the epoch reshuffle a
     training loader needs: every doc gets a stable position drawn from
@@ -2266,6 +2284,7 @@ SPARK_QUERIES = {
     "txt_boilerplate": txt_boilerplate,
     "td_passage_dup_fraction": td_passage_dup_fraction,
     "td_dedup_passages": td_dedup_passages,
+    "dd_exact_substring": dd_exact_substring,
     "td_curriculum_order": td_curriculum_order,
     "txt_compression_ratio": txt_compression_ratio,
     "td_perplexity_buckets": td_perplexity_buckets,
@@ -4094,6 +4113,49 @@ ORACLE_SQL = {
                COALESCE(r.n_segments, 0) AS n_segments,
                COALESCE(r.n_removed, 0) AS n_removed
         FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    # the oracle recomputes the sliding-window cover set directly: a
+    # token is covered iff some duplicated 10-token window starts in
+    # [pos-9, pos] — an integer window MAX over the marked-start flag
+    # (engine-stable: no float control flow anywhere)
+    "dd_exact_substring": """
+        WITH arr AS MATERIALIZED (
+            SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents WHERE text IS NOT NULL
+        ), toks AS MATERIALIZED (
+            SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos
+            FROM arr
+        ), grams AS MATERIALIZED (
+            SELECT doc_id, pos AS s,
+                   array_to_string(w[pos : pos + 9], ' ') AS g
+            FROM toks WHERE pos <= len(w) - 9
+        ), dup AS (
+            SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1
+        ), marked AS (
+            SELECT doc_id, s FROM grams JOIN dup USING (g)
+        ), cov AS (
+            SELECT t.doc_id, t.pos, t.w[t.pos] AS tok,
+                   MAX(CASE WHEN m.s IS NOT NULL THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY t.doc_id ORDER BY t.pos
+                             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                       AS covered
+            FROM toks t LEFT JOIN marked m
+                 ON m.doc_id = t.doc_id AND m.s = t.pos
+        ), agg AS (
+            SELECT doc_id,
+                   COALESCE(string_agg(tok, ' ' ORDER BY pos)
+                            FILTER (WHERE covered = 0), '') AS text_out,
+                   COUNT(*) AS n_tokens,
+                   CAST(SUM(covered) AS BIGINT) AS n_removed
+            FROM cov GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL ELSE a.text_out END
+                   AS text,
+               COALESCE(a.n_tokens, 0) AS n_tokens,
+               COALESCE(a.n_removed, 0) AS n_removed
+        FROM documents d LEFT JOIN agg a USING (doc_id)
         ORDER BY d.doc_id
     """,
     # quality formula mirrors td_curate's scored CTE (ONE definition);

@@ -2219,3 +2219,67 @@ def test_jl_projection_preserves_distances_statistically(spark):
     assert all(0.4 < r < 1.8 for r in ratios), ratios
     med = sorted(ratios)[len(ratios) // 2]
     assert 0.75 < med < 1.25, med
+
+
+def test_remove_exact_substrings_sliding_window_semantics(spark):
+    """True ExactSubstr-L cover-set semantics: a duplicated run ≥ L
+    tokens is removed WHEREVER it sits (every occurrence — across docs
+    AND self-repeats within one doc), runs under L survive, docs under
+    L tokens are untouched, NULL text passes through. The planted
+    shared run straddles every 4-token tile boundary, which the tiling
+    variant (remove_dup_passages) cannot see — the contrast pin."""
+    from delta_data_pipelines_spark.operators import textstats
+    from delta_data_pipelines_spark.operators.dedup import (
+        remove_exact_substrings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c q r s t u v d e"),   # shared 6-run mid-doc
+         (2, "x y q r s t u v z"),       # same run, different offset
+         (3, "m n o p m n o p w"),       # self-repeat of a 4-run
+         (4, "q r s"),                   # under L -> kept whole
+         (5, None)],                     # NULL passthrough
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in remove_exact_substrings(docs, min_len=4).collect()
+    }
+    assert got[1] == ("a b c d e", 11, 6)
+    assert got[2] == ("x y z", 9, 6)
+    assert got[3] == ("w", 9, 8)  # both copies of the self-repeat go
+    assert got[4] == ("q r s", 3, 0)
+    assert got[5] == (None, 0, 0)
+
+    # the tiling variant misses the straddling run entirely (its
+    # 4-tiles of docs 1 and 2 never line up) — the gap this operator
+    # closes
+    tiled = {
+        r["doc_id"]: r["n_removed"]
+        for r in textstats.remove_dup_passages(docs, n=4).collect()
+    }
+    assert tiled[1] == 0 and tiled[2] == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_len"):
+        remove_exact_substrings(docs, min_len=0)
+
+
+def test_remove_exact_substrings_fully_duplicated_doc_empties(spark):
+    """A document that is one big duplicated substring rebuilds to the
+    EMPTY string (not NULL — NULL means 'text was NULL on input'),
+    and n_removed == n_tokens."""
+    from delta_data_pipelines_spark.operators.dedup import (
+        remove_exact_substrings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "c1 c2 c3 c4 c5"), (2, "c1 c2 c3 c4 c5")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in remove_exact_substrings(docs, min_len=5).collect()
+    }
+    assert got[1] == ("", 5, 5) and got[2] == ("", 5, 5)

@@ -515,3 +515,61 @@ def test_jl_audit_probe_pairs_stay_broadcast(spark, registry):
     work (no shuffle of the corpus — probes only)."""
     plan = plan_of(spark, registry, "sim_jl_audit")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ivfpq_serve_io_proportional_to_nprobe(spark, registry):
+    """The IVF-PQ serve's candidate I/O must track nprobe/n_cells, not
+    corpus size: a single query probing 2 of 16 cells may read AT MOST
+    2 bucket dirs of the cells table (1 file per bucket dir by
+    construction). Counted via the scan's input files — the prune
+    happens at path selection, before Catalyst — so a regression that
+    reads a whole generation (or the whole table) fails loudly.
+    (jobs/ann_index.py serve_ivfpq_topk step 2; the sibling
+    test_ivf_serve_reads_only_probe_buckets covers the IVF-only
+    serve's multi-query subset property.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.jobs import ann_index
+
+    # force both scratch stores to exist (shared with sim_*_serve)
+    registry["sim_ivfpq_serve"](spark, SF).collect()
+    repo_root = os.path.dirname(os.path.abspath(entry.__file__))
+    istore = ann_index.IVFIndexStore(
+        spark, os.path.join(repo_root, "spark-warehouse", "ivf_index", "sf0.001")
+    )
+    pstore = ann_index.PQIndexStore(
+        spark, os.path.join(repo_root, "spark-warehouse", "pq_index", "sf0.001")
+    )
+    q1 = read_table(spark, SF, "embeddings").where(F.col("vec_id") == 0)
+    df = ann_index.serve_ivfpq_topk(istore, pstore, q1, topk=5, nprobe=2)
+    all_parquet = istore.cells.read().inputFiles()
+    assert len(all_parquet) >= 8  # the denominator is real
+    cell_files = {f for f in df.inputFiles() if "ivf_index" in f}
+    assert cell_files, "serve plan reads no cells files?"
+    assert len(cell_files) <= 2, (
+        f"1 query x nprobe=2 read {len(cell_files)} cell files "
+        f"(of {len(all_parquet)}) - bucket pruning lost"
+    )
+
+
+def test_dsir_fit_and_score_scan_count_pinned(spark, registry):
+    """td_dsir_weights: the DSIR fit + score pipeline reads the corpus
+    a FIXED small number of times however big the corpus is (the
+    bounded-window totals refactor took it 6 -> 4; currently 3:
+    flagged n-gram fit, unigram score, bigram score). An extra
+    corpus scan per stage is the dominant regression at 100 TB, where
+    one documents pass IS the cost unit."""
+    qe = registry["td_dsir_weights"](spark, SF)._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = str(qe.explainString(mode))
+    scans = [
+        line
+        for line in plan.splitlines()
+        if "Location" in line and "documents.parquet" in line
+    ]
+    assert 1 <= len(scans) <= 4, (len(scans), scans)
