@@ -67,6 +67,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="rewrite surviving docs: delete duplicated "
                     "N-token tiling segments (keep the corpus-wide "
                     "first occurrence), drop docs the rewrite empties")
+    cc.add_argument("--exact-substr", type=int, default=None,
+                    metavar="L",
+                    help="TRUE sliding-window ExactSubstr rewrite: "
+                    "delete every token inside any >=L-token substring "
+                    "occurring more than once corpus-wide (all "
+                    "occurrences; catches runs straddling tiling "
+                    "boundaries), drop docs the rewrite empties")
     cc.add_argument("--dsir-select", type=int, default=None, metavar="N",
                     help="DSIR selection: keep the N gated docs whose "
                     "hashed-n-gram distribution most resembles the "
@@ -394,6 +401,7 @@ def main(argv: list[str] | None = None) -> int:
             decontaminate=args.decontaminate,
             max_passage_dup=args.max_passage_dup,
             dedup_passages=args.dedup_passages,
+            exact_substr=args.exact_substr,
             compression_bounds=(
                 tuple(args.compression_bounds)
                 if args.compression_bounds else None

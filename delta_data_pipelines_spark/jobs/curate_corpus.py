@@ -307,6 +307,40 @@ def dedup_passages_stage(
     return out.unionByName(passthrough)
 
 
+def exact_substr_stage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 10,
+) -> DataFrame:
+    """REWRITE documents through the TRUE sliding-window ExactSubstr
+    cover set (``dedup.remove_exact_substrings`` — Lee et al. 2022
+    un-approximated): every token inside ANY ≥ ``min_len``-token
+    substring occurring more than once corpus-wide is deleted, all
+    occurrences included — catches boundary-straddling runs the tiling
+    rewrite (``dedup_passages_stage``) cannot see. Runs after near-dup
+    collapse like its tiling sibling; docs emptied by the rewrite are
+    dropped; unscorable rows (NULL id or text) pass through — the
+    invariant every stage maintains. NOTE: eager is NOT needed here
+    (the operator is one lazy plan: window-hash count + semi-join +
+    per-doc folds)."""
+    from ..operators.dedup import remove_exact_substrings
+
+    unscorable = F.col(id_col).isNull() | F.col(text_col).isNull()
+    passthrough = docs.where(unscorable)
+    scorable = docs.where(~unscorable)
+    rewritten = remove_exact_substrings(
+        scorable.select(id_col, text_col), id_col, text_col, min_len
+    ).select(id_col, F.col(text_col).alias("_new_text"))
+    out = (
+        scorable.join(rewritten, id_col)
+        .where(F.col("_new_text") != "")
+        .withColumn(text_col, F.col("_new_text"))
+        .drop("_new_text")
+    )
+    return out.unionByName(passthrough)
+
+
 def sample_stage(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -486,6 +520,7 @@ def curate_corpus(
     decontaminate: bool = False,
     max_passage_dup: float | None = None,
     dedup_passages: int | None = None,
+    exact_substr: int | None = None,
     sample_per_source: int | None = None,
     source_col: str = "source",
     tokenizer_store=None,
@@ -571,6 +606,11 @@ def curate_corpus(
         # template threshold may still CONTAIN duplicated passages —
         # delete those (keep-first), keep the documents
         uniq = dedup_passages_stage(uniq, id_col, text_col, dedup_passages)
+    if exact_substr is not None:
+        # the un-approximated rewrite: sliding-window cover set, every
+        # occurrence removed — catches runs straddling the tiling
+        # boundaries the stage above works in
+        uniq = exact_substr_stage(uniq, id_col, text_col, exact_substr)
     if sample_per_source is not None:
         uniq = sample_stage(
             uniq, id_col, text_col, sample_per_source, source_col

@@ -717,6 +717,44 @@ def test_curate_corpus_dedup_passages_rewrites_and_drops_empty(spark):
     assert out[4]["text"] is None and out[4]["src"] == "s4"
 
 
+def test_curate_corpus_exact_substr_stage_catches_straddling_runs(spark):
+    """exact_substr_stage is the un-approximated rewrite: a shared
+    ≥L-token run is removed WHEREVER it sits — including offsets where
+    it straddles every tiling boundary (which dedup_passages_stage
+    misses by construction) — every occurrence goes, emptied docs are
+    dropped, non-text columns and NULL-text rows pass through."""
+    from delta_data_pipelines_spark.jobs.curate_corpus import (
+        dedup_passages_stage,
+        exact_substr_stage,
+    )
+
+    shared = " ".join(f"s{j}" for j in range(10))  # 10-token run
+    rows = [
+        (1, "lead1 " + shared + " tail1 tail2", "s1"),   # offset 1
+        (2, "x1 x2 x3 " + shared + " tail3", "s2"),       # offset 3
+        (3, shared, "s3"),                                # emptied
+        (4, None, "s4"),                                  # passthrough
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = {
+        r["doc_id"]: r
+        for r in exact_substr_stage(docs, min_len=10).collect()
+    }
+    assert out[1]["text"] == "lead1 tail1 tail2"
+    assert out[2]["text"] == "x1 x2 x3 tail3"
+    assert out[2]["src"] == "s2"  # non-text columns preserved
+    assert 3 not in out  # emptied doc dropped
+    assert out[4]["text"] is None and out[4]["src"] == "s4"
+
+    # the tiling rewrite misses BOTH copies here: offsets 1 and 3
+    # misalign the run against every 10-token tile
+    tiled = {
+        r["doc_id"]: r for r in dedup_passages_stage(docs, n=10).collect()
+    }
+    assert tiled[1]["text"] == rows[0][1]
+    assert tiled[2]["text"] == rows[1][1]
+
+
 def test_compression_filter_stage_cuts_both_tails(spark):
     """The compression band must cut repetitive text (low ratio) and
     noise (ratio above the ceiling) while natural prose and unscorable
