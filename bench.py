@@ -186,14 +186,20 @@ def _calibration_probe(spark) -> float:
 
     from pyspark.sql import functions as F
 
-    samples = []
-    for _ in range(3):
+    def run() -> float:
         t0 = time.perf_counter()
         spark.range(0, 50_000_000, 1, 32).select(
             F.sum(F.col("id") * 2 + 1).alias("s")
         ).write.format("noop").mode("overwrite").save()
-        samples.append(time.perf_counter() - t0)
-    return round(statistics.median(samples), 3)
+        return time.perf_counter() - t0
+
+    # untimed warmup: the probe's OWN codegen/JIT tier-up otherwise
+    # lands in the START samples only (the end-of-run JVM is hot),
+    # which read as a systematic 1.5-2x start/end "disagreement" that
+    # the noise rule then blames on ambient load (observed r7-r9;
+    # median-of-3 absorbs one cold sample, not tier-up across all 3)
+    run()
+    return round(statistics.median([run() for _ in range(3)]), 3)
 
 
 def main() -> int:
@@ -267,11 +273,21 @@ def main() -> int:
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # fixed-cost synthetic probe at bench start/end; compare across
     # rounds to separate machine noise from real regressions
-    # (README "Bench calibration")
+    # (README "Bench calibration"). The probes bracket the run but
+    # cannot see load shifts in the MIDDLE of it — spread_ratio_med
+    # (median over queries of max/min across this run's samples) is
+    # the in-run noise index: ~1.1 on a quiet box, >1.3 means medians
+    # are contention-shaped whatever the probes say.
+    ratios = sorted(
+        s[1] / s[0] for s in spread.values() if len(s) == 2 and s[0] > 0
+    )
     calibration = {
         "probe": "range50M_sum",
         "start": calib_start,
         "end": calib_end,
+        "spread_ratio_med": (
+            round(ratios[len(ratios) // 2], 3) if ratios else None
+        ),
     }
     # per-query [min, max] spreads go to a SIDECAR file: the driver's
     # artifact capture keeps only the tail of stdout, and a spread dict
