@@ -573,3 +573,15 @@ def test_dsir_fit_and_score_scan_count_pinned(spark, registry):
         if "Location" in line and "documents.parquet" in line
     ]
     assert 1 <= len(scans) <= 4, (len(scans), scans)
+
+
+def test_exact_substring_plan_partial_agg_no_python(spark, registry):
+    """dd_exact_substring: the window-hash count must partial-agg
+    (map-side combine before the one corpus-scale shuffle), the
+    interval merges stay native folds (no Python eval), and nothing
+    goes cartesian."""
+    qe = registry["dd_exact_substring"](spark, SF)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -341,3 +341,48 @@ def test_dsir_scales_with_replicated_corpus(spark):
         .agg(F.count_distinct("dsir_weight").alias("nw"))
     )
     assert per_orig.where(F.col("nw") > 1).count() == 0
+
+
+def test_exact_substring_dedup_on_replicated_corpus(spark):
+    """ExactSubstr cover-set invariants at a corpus multiple: after
+    replicating the corpus 5x with distinct ids, EVERY >=L-token
+    document is one big duplicated substring (its full text occurs 5
+    times), so every such doc must empty (n_removed == n_tokens);
+    docs under L tokens survive untouched; and a unique salted doc
+    planted alongside keeps all its tokens. The per-doc work stays
+    array-native — the only corpus-scale shuffle is the window-hash
+    count — so the op survives the replication without a pair
+    blow-up (no O(copies^2) term anywhere)."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.operators.dedup import (
+        remove_exact_substrings,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    big = d
+    for i in range(1, 5):
+        big = big.union(
+            d.select((F.col("doc_id") + 100000 * i).alias("doc_id"), "text")
+        )
+    unique_doc = spark.createDataFrame(
+        [(999999999, " ".join(f"zq{i}x" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    big = big.union(unique_doc)
+
+    out = remove_exact_substrings(big, min_len=10)
+    bad = out.where(
+        (F.col("n_tokens") >= 10)
+        & (F.col("doc_id") != 999999999)
+        & (F.col("n_removed") != F.col("n_tokens"))
+    )
+    assert bad.count() == 0
+    u = out.where(F.col("doc_id") == 999999999).first()
+    assert u["n_removed"] == 0 and u["n_tokens"] == 40
+    short_kept = out.where(
+        (F.col("n_tokens") < 10) & (F.col("n_removed") != 0)
+    )
+    assert short_kept.count() == 0
