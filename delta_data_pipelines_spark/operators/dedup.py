@@ -843,13 +843,47 @@ def remove_exact_substrings(
         raise ValueError(f"min_len must be >= 1, got {min_len}")
     L = int(min_len)
     base = docs.select(id_col, text_col)
-    w = base.where(F.col(text_col).isNotNull()).select(
+    w = _word_arrays(base, id_col, text_col)
+    starts = _window_starts(w, id_col, L)
+    dup = (
+        starts.groupBy("_h")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") > 1)
+        .select("_h")
+    )
+    marked = (
+        starts.join(dup, "_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("_s")).alias("_ms"))
+    )
+    rebuilt = _rebuild_uncovered(w, marked, id_col, L)
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.col("_text_out"))
+        .alias(text_col),
+        F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
+        F.coalesce("n_removed", F.lit(0).cast("bigint")).alias("n_removed"),
+    )
+
+
+def _word_arrays(base: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _w): whitespace word arrays of the non-NULL-text rows —
+    the shared staging frame of the batch and streaming ExactSubstr
+    paths."""
+    return base.where(F.col(text_col).isNotNull()).select(
         id_col, F.split(F.col(text_col), " ").alias("_w")
     )
-    # every window start; explode first, hash in a SEPARATE projection
-    # (generator + expensive sibling in one select re-evaluates the
-    # sibling per exploded row — the ExtractGenerator trap)
-    starts = (
+
+
+def _window_starts(w: DataFrame, id_col: str, L: int) -> DataFrame:
+    """(id, _s, _h): every L-token window start position with the
+    window content's md5 — ONE definition for the batch dup count and
+    the streaming state probe/merge, so the two paths can never hash
+    differently. Explode first, hash in a SEPARATE projection
+    (generator + expensive sibling in one select re-evaluates the
+    sibling per exploded row — the ExtractGenerator trap)."""
+    return (
         w.where(F.size("_w") >= L)
         .select(
             id_col,
@@ -866,18 +900,17 @@ def remove_exact_substrings(
             ),
         )
     )
-    dup = (
-        starts.groupBy("_h")
-        .agg(F.count("*").alias("_c"))
-        .where(F.col("_c") > 1)
-        .select("_h")
-    )
-    marked = (
-        starts.join(dup, "_h", "left_semi")
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("_s")).alias("_ms"))
-    )
-    enriched = (
+
+
+def _rebuild_uncovered(
+    w: DataFrame, marked: DataFrame, id_col: str, L: int
+) -> DataFrame:
+    """(id, _text_out, n_tokens, n_removed): merge each document's
+    marked [s, s+L-1] cover intervals with a native fold and slice the
+    gaps back together — the shared rebuild of the batch and streaming
+    paths. ``marked`` is (id, _ms: sorted int array of marked window
+    starts); docs absent from it rebuild whole."""
+    return (
         w.join(marked, id_col, "left")
         .withColumn(
             "_ms",
@@ -927,12 +960,4 @@ def remove_exact_substrings(
                         ' '))"""
             ).alias("_text_out"),
         )
-    )
-    return base.join(enriched, id_col, "left").select(
-        id_col,
-        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
-        .otherwise(F.col("_text_out"))
-        .alias(text_col),
-        F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
-        F.coalesce("n_removed", F.lit(0).cast("bigint")).alias("n_removed"),
     )

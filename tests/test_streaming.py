@@ -1507,3 +1507,85 @@ def test_incremental_curation_with_frozen_dsir_and_drift_log(spark, tmp_path):
     assert len(drift) == 3, drift
     assert all(d["kl_nats"] is not None and d["n_tokens"] > 0 for d in drift)
     assert sum(d["n_tokens"] for d in drift) > 0
+
+
+def test_incremental_exact_substr_single_batch_equals_batch(spark, tmp_path):
+    """Delivered as ONE micro-batch, the streaming ExactSubstr sink
+    must publish exactly the batch operator's output (same rewritten
+    texts, emptied docs dropped) — the dup test then degenerates to
+    the within-batch count, which IS the batch count."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.operators.dedup import (
+        remove_exact_substrings,
+    )
+    from delta_data_pipelines_spark.storage import VersionedTable
+    from delta_data_pipelines_spark.streaming.exact_substr import (
+        run_incremental_exact_substr,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    expect = {
+        (r["doc_id"], r["text"])
+        for r in remove_exact_substrings(docs, min_len=10)
+        .where(F.col("text") != "")
+        .collect()
+    }
+    stream = _stream_time_ordered(
+        spark, docs, tmp_path, "es_docs", slices=1, ts_col="doc_id"
+    )
+    corpus = VersionedTable(spark, str(tmp_path / "es_corpus"))
+    q = run_incremental_exact_substr(
+        stream, str(tmp_path / "es_state"), corpus,
+        str(tmp_path / "ckpt_es"), min_len=10,
+    )
+    q.awaitTermination(180)
+    got = {(r["doc_id"], r["text"]) for r in corpus.read().collect()}
+    assert got == expect
+
+
+def test_incremental_exact_substr_cross_batch_prefix_consistency(
+    spark, tmp_path
+):
+    """Multi-batch contract: a duplicated run's FIRST arrival is
+    already published uncut when later copies arrive — later copies
+    are cut (vs the accumulated window-hash state), within-batch
+    duplicate pairs are cut in BOTH copies, and unique docs pass
+    untouched."""
+    run = " ".join(f"r{j}" for j in range(10))
+    dup2 = " ".join(f"d{j}" for j in range(10))
+    rows = [
+        # batch 1 = ids 1-3 (ntile(2) over 6 id-ordered rows)
+        (1, "u1a u1b " + run + " u1c"),
+        (2, "only unique words here one two three four five six"),
+        (3, "more unique filler nothing repeats in this document at all"),
+        # batch 2 = ids 4-6: 4 repeats batch-1's run; 5 and 6 share a
+        # fresh run within the batch
+        (4, "x1 x2 " + run + " x3"),
+        (5, "pre " + dup2),
+        (6, dup2 + " post"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from delta_data_pipelines_spark.storage import VersionedTable
+    from delta_data_pipelines_spark.streaming.exact_substr import (
+        run_incremental_exact_substr,
+    )
+
+    stream = _stream_time_ordered(
+        spark, docs, tmp_path, "es2_docs", slices=2, ts_col="doc_id"
+    )
+    corpus = VersionedTable(spark, str(tmp_path / "es2_corpus"))
+    q = run_incremental_exact_substr(
+        stream, str(tmp_path / "es2_state"), corpus,
+        str(tmp_path / "ckpt_es2"), min_len=10,
+    )
+    q.awaitTermination(180)
+    got = {r["doc_id"]: r["text"] for r in corpus.read().collect()}
+    assert got[1] == rows[0][1]          # first arrival published uncut
+    assert got[2] == rows[1][1]          # unique docs untouched
+    assert got[3] == rows[2][1]
+    assert got[4] == "x1 x2 x3"          # later copy cut vs state
+    assert got[5] == "pre"               # within-batch pair: both cut
+    assert got[6] == "post"
