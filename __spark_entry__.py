@@ -126,7 +126,10 @@ _PRIORITY = [
     # score, dedup-aware weights. Rotated out for them (all driver-
     # green r5 AND earlier rounds, still mirror-checked):
     # st_windowed_counts, t_asof_join, a_counters, a_rollup
-    "dd_containment", "st_interval_join", "ds_interleave",
+    # r9: dd_containment (driver-green x2 cumulative, unchanged code,
+    # mirror-checked + benched) rotated out for the IVF nprobe
+    # recall/IO curve's first driver row
+    "sim_ivf_recall_curve", "st_interval_join", "ds_interleave",
     # txt_unigram_logprob and td_dup_weights (each r07 x2, unchanged,
     # still mirror-checked) and t_ohlc_bars (r07, unchanged, mirror-
     # checked) rotated out for the continuation additions' first

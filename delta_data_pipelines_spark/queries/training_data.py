@@ -1735,6 +1735,107 @@ def sim_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe → recall/IO tradeoff curve, as ONE set-based plan —
+    the sizing measurement an IVF deployment reads before picking
+    nprobe (the FAISS operating-point sweep): for nprobe ∈ {1,2,4,8}
+    over 16 deterministic cells, mean recall@5 of the probed search
+    vs brute force, next to the mean fraction of the corpus actually
+    scanned (the I/O the probe costs). No Python loop over nprobe
+    values: query-cell ranks join a broadcast literal nprobe axis
+    (rn ≤ nprobe), so all four operating points share one cell
+    assignment, one brute-force reference, and one ranking pass.
+    Fully deterministic (lowest-id centroids, pinned tie-breaks), so
+    the oracle recomputes the whole curve. Recall rises with nprobe
+    by construction; the curve's VALUE is the scanned-fraction column
+    beside it."""
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        "vec_id", similarity.as_double(F.col("embedding")).alias("_v")
+    )
+    cent = (
+        corpus.select(F.col("vec_id").alias("cid"), F.col("_v").alias("cv"))
+        .orderBy("cid")
+        .limit(16)
+    )
+    cells = similarity.ivf_assign(corpus, cent, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), "_v", "cid"
+    )
+    csz = cells.groupBy("cid").agg(F.count("*").alias("csz"))
+    q = corpus.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("_v").alias("_qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("cid")
+    )
+    qrank = (
+        q.join(F.broadcast(cent))
+        .withColumn("_sim", similarity.cosine(F.col("_qv"), F.col("cv")))
+        .withColumn("_rn", F.row_number().over(wq))
+        .select("query_id", "_qv", "cid", "_rn")
+    )
+    nps = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in (1, 2, 4, 8)])).alias("nprobe")
+    )
+    qcells = qrank.join(F.broadcast(nps), F.col("_rn") <= F.col("nprobe"))
+    scored = (
+        qcells.join(cells, "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "_s", F.round(similarity.cosine(F.col("_qv"), F.col("_v")), 9)
+        )
+    )
+    wr = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("_s").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        scored.withColumn("_rk", F.row_number().over(wr))
+        .where(F.col("_rk") <= 5)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    brute = similarity.brute_force_topk(
+        e, e.where(F.col("vec_id") < 10), k=5
+    ).select("query_id", "neighbor_id")
+    hits = (
+        topk.join(brute, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("_h"))
+    )
+    cand = (
+        qcells.join(csz, "cid")
+        .groupBy("nprobe")
+        .agg(F.sum("csz").alias("_cs"))
+    )
+    # 1-row broadcast totals, never a build-time count (lazy-plan rule)
+    nq = q.agg(F.count("*").alias("_nq"))
+    nn = corpus.agg(F.count("*").alias("_N"))
+    return (
+        nps.join(hits, "nprobe", "left")
+        .join(cand, "nprobe", "left")
+        .crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            F.round(
+                F.coalesce(F.col("_h"), F.lit(0))
+                / (F.lit(5.0) * F.col("_nq")),
+                9,
+            ).alias("avg_recall_5"),
+            # probed candidates exclude self: the query's own cell is
+            # always among its probed cells (rn=1), so subtract one
+            # per query
+            F.round(
+                (F.coalesce(F.col("_cs"), F.lit(0)) - F.col("_nq"))
+                / (F.col("_nq") * (F.col("_N") - 1)),
+                9,
+            ).alias("avg_cand_frac"),
+        )
+        .orderBy("nprobe")
+    )
+
+
 def _scratch_index_root(sf_dir: str, kind: str) -> tuple[str, bool]:
     """(index root, needs_rebuild) for a per-sf scratch ANN index under
     the repo's gitignored spark-warehouse. A fingerprint of the source
@@ -2295,6 +2396,7 @@ SPARK_QUERIES = {
     "sim_pq_serve": sim_pq_serve,
     "sim_ivfpq_serve": sim_ivfpq_serve,
     "sim_pq_recall_audit": sim_pq_recall_audit,
+    "sim_ivf_recall_curve": sim_ivf_recall_curve,
     "txt_bpe_pairs": txt_bpe_pairs,
     "txt_unigram_pieces": txt_unigram_pieces,
     "txt_unigram_encode": txt_unigram_encode,
@@ -3764,6 +3866,79 @@ ORACLE_SQL = {
         )
         SELECT vec_id, cid, cluster_n, keep_rank
         FROM ranked WHERE keep_rank <= 40 ORDER BY vec_id
+    """,
+    # the probe axis is a literal nprobe list joined on rank — one
+    # assignment, one brute reference, all four operating points; the
+    # averaged ratios are integer-sum divisions rounded at 9, so both
+    # engines compute the identical doubles
+    "sim_ivf_recall_curve": """
+        WITH cent AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings ORDER BY vec_id LIMIT 16
+        ), vecs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), assign AS (
+            SELECT vec_id, v, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS rn
+            FROM vecs CROSS JOIN cent
+        ), cell AS (
+            SELECT vec_id AS neighbor_id, v, cid FROM assign WHERE rn = 1
+        ), cellsz AS (
+            SELECT cid, COUNT(*) AS csz FROM cell GROUP BY cid
+        ), qrank AS (
+            SELECT vec_id AS query_id, v AS qv, cid, rn FROM assign
+            WHERE vec_id < 10
+        ), np AS (
+            SELECT unnest([1, 2, 4, 8]) AS nprobe
+        ), qcells AS (
+            SELECT np.nprobe, q.query_id, q.qv, q.cid
+            FROM qrank q JOIN np ON q.rn <= np.nprobe
+        ), scored AS (
+            SELECT nprobe, query_id, neighbor_id,
+                   ROUND(list_cosine_similarity(qv, v), 9) AS s
+            FROM qcells JOIN cell USING (cid)
+            WHERE query_id <> neighbor_id
+        ), topk AS (
+            SELECT nprobe, query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY nprobe, query_id
+                    ORDER BY s DESC, neighbor_id) AS rk
+                FROM scored
+            ) WHERE rk <= 5
+        ), brute AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                           ROUND(list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(c.embedding AS DOUBLE[])), 9) DESC,
+                           c.vec_id) AS brank
+                FROM embeddings q JOIN embeddings c
+                     ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 10
+            ) WHERE brank <= 5
+        ), hits AS (
+            SELECT nprobe, COUNT(*) AS h
+            FROM topk JOIN brute USING (query_id, neighbor_id)
+            GROUP BY nprobe
+        ), cand AS (
+            SELECT nprobe, SUM(csz) AS cs
+            FROM qcells JOIN cellsz USING (cid) GROUP BY nprobe
+        ), nq AS (
+            SELECT COUNT(*) AS n_q FROM vecs WHERE vec_id < 10
+        ), nn AS (
+            SELECT COUNT(*) AS n_all FROM vecs
+        )
+        SELECT CAST(np.nprobe AS INTEGER) AS nprobe,
+               ROUND(COALESCE(h, 0) / (5.0 * n_q), 9) AS avg_recall_5,
+               ROUND((COALESCE(cs, 0) - n_q)
+                     / (CAST(n_q AS DOUBLE) * (n_all - 1)), 9)
+                   AS avg_cand_frac
+        FROM np LEFT JOIN hits USING (nprobe)
+                LEFT JOIN cand USING (nprobe)
+                CROSS JOIN nq CROSS JOIN nn
+        ORDER BY nprobe
     """,
     "sim_ivf_topk": """
         WITH cent AS (
