@@ -141,6 +141,10 @@ HEADLINE = [
     # bucket-model fits + the explode -> broadcast-join -> partial-agg
     # corpus scoring pass
     "td_dsir_weights",
+    # r9 additions: sliding-window ExactSubstr rewrite (one window-hash
+    # shuffle + per-doc folds) and the IVF nprobe operating-point sweep
+    "dd_exact_substring",
+    "sim_ivf_recall_curve",
 ]
 
 

@@ -585,3 +585,14 @@ def test_exact_substring_plan_partial_agg_no_python(spark, registry):
     assert "partial_count" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_ivf_recall_curve_single_assignment_no_cartesian(spark, registry):
+    """sim_ivf_recall_curve: the four nprobe operating points must
+    share ONE cell-assignment pass (the nprobe axis joins on rank —
+    a broadcast nested loop over a 4-row literal, never a real
+    cartesian over data), totals ride as broadcast 1-row aggregates,
+    and nothing drops to Python."""
+    plan = plan_of(spark, registry, "sim_ivf_recall_curve")
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
