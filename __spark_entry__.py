@@ -73,7 +73,10 @@ _PRIORITY = [
     "sim_pq_codes", "sim_pq_adc_topk", "sim_pq_recall_audit",
     "txt_bpe_pairs", "txt_bigram_logprob", "sk_heavy_hitters",
     "td_corpus_report", "td_priority_dedup", "t_subseq_search",
-    "ds_weighted_sample",
+    # r9: ds_weighted_sample (r8-green, unchanged, mirror-checked; the
+    # ds family keeps 3 other seats) rotated out for the duplicated-
+    # span audit query's first driver row
+    "dd_exact_substring_spans",
     # The 16 r6 additions — never driver-seen; rotated out for them
     # (all multiply driver-green in earlier rounds, most r1 + r5, and
     # still mirror-checked): txt_length_quantiles, j_dim_chain,

@@ -961,3 +961,67 @@ def _rebuild_uncovered(
             ).alias("_text_out"),
         )
     )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 10,
+) -> DataFrame:
+    """The AUDIT view of :func:`remove_exact_substrings`: one row per
+    maximal duplicated span — (id, span_start, span_end), 1-based
+    token positions inclusive — instead of the rewritten text. Same
+    cover set by construction (shared window enumeration and interval
+    merge), so `sum(span_end - span_start + 1)` equals the rewrite's
+    `n_removed` per document. This is what a dedup review reads to
+    see WHAT would be cut before committing a destructive rewrite."""
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    L = int(min_len)
+    base = docs.select(id_col, text_col)
+    w = _word_arrays(base, id_col, text_col)
+    starts = _window_starts(w, id_col, L)
+    dup = (
+        starts.groupBy("_h")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") > 1)
+        .select("_h")
+    )
+    marked = (
+        starts.join(dup, "_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("_s")).alias("_ms"))
+    )
+    # the same interval merge _rebuild_uncovered runs (it keeps the
+    # intervals internal), exploded instead of sliced — marked docs
+    # only (unmarked docs contribute no spans)
+    merged = (
+        w.join(marked, id_col)
+        .withColumn(
+            "_iv",
+            F.expr(
+                f"""aggregate(_ms,
+                    CAST(array() AS array<struct<a:int,b:int>>),
+                    (acc, s) -> CASE
+                      WHEN size(acc) > 0
+                           AND s <= element_at(acc, -1).b + 1
+                      THEN concat(
+                          slice(acc, 1, size(acc) - 1),
+                          array(named_struct(
+                              'a', element_at(acc, -1).a,
+                              'b', greatest(element_at(acc, -1).b,
+                                            s + {L} - 1))))
+                      ELSE concat(acc, array(named_struct(
+                          'a', s, 'b', s + {L} - 1)))
+                    END)"""
+            ),
+        )
+        .select(id_col, F.explode("_iv").alias("_sp"))
+        .select(
+            id_col,
+            F.col("_sp.a").alias("span_start"),
+            F.col("_sp.b").alias("span_end"),
+        )
+    )
+    return merged

@@ -1329,6 +1329,22 @@ def dd_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def dd_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit twin of dd_exact_substring: the maximal duplicated
+    spans themselves — (doc_id, span_start, span_end), 1-based token
+    positions — what a dedup review reads BEFORE committing the
+    destructive rewrite. Same cover set by construction (shared
+    window/interval machinery); the oracle re-derives the spans as
+    gaps-and-islands over the covered-position flags, a structurally
+    different computation that must land on identical intervals."""
+    from ..operators import dedup
+
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.exact_substring_spans(
+        d, "doc_id", "text", min_len=10
+    ).orderBy("doc_id", "span_start")
+
+
 def td_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic seeded global shuffle — the epoch reshuffle a
     training loader needs: every doc gets a stable position drawn from
@@ -2386,6 +2402,7 @@ SPARK_QUERIES = {
     "td_passage_dup_fraction": td_passage_dup_fraction,
     "td_dedup_passages": td_dedup_passages,
     "dd_exact_substring": dd_exact_substring,
+    "dd_exact_substring_spans": dd_exact_substring_spans,
     "td_curriculum_order": td_curriculum_order,
     "txt_compression_ratio": txt_compression_ratio,
     "td_perplexity_buckets": td_perplexity_buckets,
@@ -4332,6 +4349,45 @@ ORACLE_SQL = {
                COALESCE(a.n_removed, 0) AS n_removed
         FROM documents d LEFT JOIN agg a USING (doc_id)
         ORDER BY d.doc_id
+    """,
+    # gaps-and-islands over the covered flags: a structurally
+    # different derivation of the same intervals the engine's fold
+    # merges — island grouping key = pos - ROW_NUMBER() over covered
+    # positions (pure integer arithmetic, engine-stable)
+    "dd_exact_substring_spans": """
+        WITH arr AS MATERIALIZED (
+            SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents WHERE text IS NOT NULL
+        ), toks AS MATERIALIZED (
+            SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos
+            FROM arr
+        ), grams AS MATERIALIZED (
+            SELECT doc_id, pos AS s,
+                   array_to_string(w[pos : pos + 9], ' ') AS g
+            FROM toks WHERE pos <= len(w) - 9
+        ), dup AS (
+            SELECT g FROM grams GROUP BY g HAVING COUNT(*) > 1
+        ), marked AS (
+            SELECT doc_id, s FROM grams JOIN dup USING (g)
+        ), cov AS (
+            SELECT t.doc_id, t.pos,
+                   MAX(CASE WHEN m.s IS NOT NULL THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY t.doc_id ORDER BY t.pos
+                             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                       AS covered
+            FROM toks t LEFT JOIN marked m
+                 ON m.doc_id = t.doc_id AND m.s = t.pos
+        ), islands AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM cov WHERE covered = 1
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS INTEGER) AS span_start,
+               CAST(MAX(pos) AS INTEGER) AS span_end
+        FROM islands GROUP BY doc_id, grp
+        ORDER BY doc_id, span_start
     """,
     # quality formula mirrors td_curate's scored CTE (ONE definition);
     # the decile boundary is exact integer arithmetic ((rk-1)*10 //

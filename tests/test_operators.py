@@ -2283,3 +2283,44 @@ def test_remove_exact_substrings_fully_duplicated_doc_empties(spark):
         for r in remove_exact_substrings(docs, min_len=5).collect()
     }
     assert got[1] == ("", 5, 5) and got[2] == ("", 5, 5)
+
+
+def test_exact_substring_spans_consistent_with_rewrite(spark):
+    """The spans audit view and the rewrite share one cover set: per
+    doc, sum(span_end - span_start + 1) == the rewrite's n_removed,
+    spans are disjoint, ordered, and each is at least L tokens."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.operators.dedup import (
+        exact_substring_spans,
+        remove_exact_substrings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c q r s t u v d e"),
+         (2, "x y q r s t u v z"),
+         (3, "m n o p m n o p w"),
+         (4, "q r s"),
+         (5, None)],
+        "doc_id long, text string",
+    )
+    spans = exact_substring_spans(docs, min_len=4)
+    rows = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in spans.collect()
+    )
+    assert rows == [(1, 4, 9), (2, 3, 8), (3, 1, 8)]
+    # covered mass per doc equals the rewrite's n_removed
+    removed = {
+        r["doc_id"]: r["n_removed"]
+        for r in remove_exact_substrings(docs, min_len=4).collect()
+    }
+    mass = {
+        r["doc_id"]: r["m"]
+        for r in spans.groupBy("doc_id")
+        .agg(F.sum(F.col("span_end") - F.col("span_start") + 1).alias("m"))
+        .collect()
+    }
+    for d, m in mass.items():
+        assert m == removed[d], (d, m, removed[d])
+    assert all(b - a + 1 >= 4 for _, a, b in rows)
