@@ -128,6 +128,17 @@ def main(argv: list[str] | None = None) -> int:
     cn.add_argument("--id-col", default="doc_id")
     cn.add_argument("--threshold", type=float, default=0.8)
 
+    ce = sub.add_parser(
+        "compact-exact-substr",
+        help="periodic sweep: cut the first-arrival duplicated spans "
+        "incremental ExactSubstr ingest had to publish uncut",
+    )
+    ce.add_argument("--state", required=True,
+                    help="incremental-exact-substr state dir")
+    ce.add_argument("--corpus", required=True, help="corpus table root")
+    ce.add_argument("--id-col", default="doc_id")
+    ce.add_argument("--min-len", type=int, default=10)
+
     ss = sub.add_parser(
         "state-stats",
         help="per-bucket skew report for a bucketed state table",
@@ -446,6 +457,18 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.state, corpus, id_col=args.id_col, threshold=args.threshold
         )
         print(json.dumps({"job": "compact-neardups", **res}))
+        return 0
+
+    if args.cmd == "compact-exact-substr":
+        from .storage import open_table
+        from .streaming.exact_substr import compact_exact_substr_residue
+
+        corpus = open_table(spark, args.corpus)
+        res = compact_exact_substr_residue(
+            spark, args.state, corpus,
+            id_col=args.id_col, min_len=args.min_len,
+        )
+        print(json.dumps({"job": "compact-exact-substr", **res}))
         return 0
 
     if args.cmd == "state-stats":

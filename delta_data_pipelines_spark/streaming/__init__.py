@@ -17,7 +17,10 @@ from .pipeline import (  # noqa: F401
     sliding_event_counts,
     windowed_event_counts,
 )
-from .exact_substr import run_incremental_exact_substr  # noqa: F401
+from .exact_substr import (  # noqa: F401
+    compact_exact_substr_residue,
+    run_incremental_exact_substr,
+)
 from .rollup import run_rollup  # noqa: F401
 from .stateful import running_user_totals, running_user_totals_batch  # noqa: F401
 from .sketch_state import merge_sketches, run_incremental_vocab_sketch  # noqa: F401

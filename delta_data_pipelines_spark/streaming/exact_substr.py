@@ -19,9 +19,15 @@ operator exactly (tested), and under multi-batch arrival the trade is
 the same prefix consistency the near-dup stream documents: the FIRST
 arrival of a duplicated run was already published uncut when its
 later copies arrive — later copies are cut, the earliest survives.
-(The batch operator cuts every occurrence; a periodic batch re-run
-over the published corpus is the compaction for that residue, exactly
-``compact_neardup_residue``'s role for near-dups.)
+The batch operator cuts every occurrence;
+:func:`compact_exact_substr_residue` below is the periodic sweep
+that cuts those first-arrival copies afterwards, converging the
+published corpus to the ExactSubstr-CLEAN fixed point (exactly
+``compact_neardup_residue``'s role for near-dups, and like there the
+evidence lives in STATE, not the corpus: a naive batch re-run over
+published docs can't see the duplication — the other copies were
+already removed — so the sink additionally accumulates the
+proven-duplicated hash set the sweep cuts against).
 
 Replay safety (at-least-once delivery): the corpus publish runs
 BEFORE the state merge, and the publish is a unique-key
@@ -90,6 +96,18 @@ def run_incremental_exact_substr(
         bucket_key="_h",
         n_buckets=n_state_buckets,
     )
+    # hashes PROVEN duplicated (in-batch pair, or matched the seen
+    # state) — exactly the batch operator's dup set over everything
+    # ingested so far, accumulated insert-if-absent (monotone, so
+    # replays are harmless). compact_exact_substr_residue sweeps the
+    # published corpus against it to cut the first-arrival copies
+    # ingest had to leave uncut.
+    dup_table = BucketedTable(
+        spark,
+        f"{state_dir}/dup_hashes",
+        bucket_key="_h",
+        n_buckets=n_state_buckets,
+    )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         batch = batch_df.dropDuplicates([id_col])
@@ -149,7 +167,9 @@ def run_incremental_exact_substr(
         gram_table.merge(
             starts.select("_h").distinct(), keys=["_h"], metrics=False
         )
+        dup_table.merge(dup_h.distinct(), keys=["_h"], metrics=False)
         gram_table.vacuum(keep_last=state_keep_last)
+        dup_table.vacuum(keep_last=state_keep_last)
 
     return (
         docs_stream.writeStream.foreachBatch(sink)
@@ -158,3 +178,92 @@ def run_incremental_exact_substr(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_exact_substr_residue(
+    spark,
+    state_dir: str,
+    corpus: VersionedTable | BucketedTable,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 10,
+    drop_emptied: bool = True,
+) -> dict:
+    """The periodic batch sweep the module docstring names: cut the
+    first-arrival copies incremental ingest had to publish uncut.
+
+    Ingest leaves exactly one class of residue: a duplicated run's
+    FIRST occurrence was already published when its later copies
+    arrived. The sink therefore accumulates the PROVEN-duplicated
+    window hashes (``dup_hashes`` — flagged at the moment a second
+    occurrence appeared, so it equals the batch operator's dup set
+    over everything ingested); this sweep re-enumerates the published
+    corpus's windows against that set and rewrites the documents that
+    still carry duplicated spans, through the same interval-merge
+    rebuild as every other path.
+
+    Contract — the ExactSubstr-clean FIXED POINT, not token-exact
+    batch equality: after the sweep, no ≥L-token window of any
+    published document matches a window ever proven duplicated during
+    ingest (and hence no ≥L substring of ingested text occurs twice
+    in the published corpus); re-running the batch operator over the
+    post-sweep corpus removes nothing, and the sweep itself is
+    idempotent (both tested). Token-exact equality with the
+    all-at-once batch run additionally requires that no ingest-time
+    cut overlapped later-discovered duplication in the same document:
+    a cut stitches its neighbors, so a window duplicated only later
+    no longer exists INTACT in the published text — its surviving
+    fringe (fewer than L tokens per cut boundary) cannot be
+    hash-matched and the sweep keeps it where batch would cut it.
+    Seam windows (stitched token runs coincidentally matching a
+    known-duplicated window) are conversely cut here though batch
+    never saw them. Both effects are bounded, local, and absent on
+    corpora whose duplicated runs don't interleave. State stays valid
+    afterwards (presence and dup sets are monotone facts about what
+    was INGESTED, not about what remains published).
+    """
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    L = int(min_len)
+    dup_root = f"{state_dir}/dup_hashes"
+    if not BucketedTable.exists_at(dup_root) or not corpus.exists():
+        return {"docs_rewritten": 0, "docs_dropped": 0, "rows_after": 0}
+    dup_table = BucketedTable(spark, dup_root)
+    if not dup_table.exists():
+        return {"docs_rewritten": 0, "docs_dropped": 0, "rows_after": 0}
+
+    kept = corpus.read()
+    base = kept.select(id_col, text_col)
+    w = _word_arrays(base, id_col, text_col)
+    starts = _window_starts(w, id_col, L)
+    marked = (
+        starts.join(dup_table.read().select("_h"), "_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("_s")).alias("_ms"))
+    )
+    rebuilt = _rebuild_uncovered(w, marked, id_col, L)
+    changed = (
+        rebuilt.where(F.col("n_removed") > 0)
+        .select(id_col, "_text_out")
+        .persist()
+    )
+    n_changed = changed.count()
+    n_dropped = 0
+    if n_changed:
+        out = kept.join(changed, id_col, "left").withColumn(
+            text_col, F.coalesce("_text_out", F.col(text_col))
+        ).drop("_text_out")
+        if drop_emptied:
+            out = out.where(
+                F.col(text_col).isNull() | (F.col(text_col) != "")
+            )
+            n_dropped = changed.where(F.col("_text_out") == "").count()
+        out = out.localCheckpoint(eager=True)
+        corpus.overwrite(out)
+    changed.unpersist()
+    rows_after = corpus.read().count()
+    return {
+        "docs_rewritten": n_changed,
+        "docs_dropped": n_dropped,
+        "rows_after": rows_after,
+    }

@@ -1589,3 +1589,74 @@ def test_incremental_exact_substr_cross_batch_prefix_consistency(
     assert got[4] == "x1 x2 x3"          # later copy cut vs state
     assert got[5] == "pre"               # within-batch pair: both cut
     assert got[6] == "post"
+
+
+def test_exact_substr_compaction_reaches_clean_fixed_point(spark, tmp_path):
+    """compact_exact_substr_residue converges the published corpus to
+    the ExactSubstr-clean fixed point: residue exists after
+    multi-batch ingest (first arrivals published uncut), the sweep
+    rewrites it — possible only because the sink accumulated the
+    proven-duplicated hash set (a naive re-run over published docs
+    cannot see duplication whose other copies were already removed) —
+    and afterwards the BATCH operator over the published corpus
+    removes nothing and a second sweep is a no-op. (Token-exact batch
+    equality is NOT the contract: an ingest-time cut that overlapped
+    later-discovered duplication strands a sub-L fringe the sweep
+    cannot hash-match — see the module docstring.)"""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.operators.dedup import (
+        remove_exact_substrings,
+    )
+    from delta_data_pipelines_spark.storage import VersionedTable
+    from delta_data_pipelines_spark.streaming.exact_substr import (
+        compact_exact_substr_residue,
+        run_incremental_exact_substr,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    expect = {
+        (r["doc_id"], r["text"])
+        for r in remove_exact_substrings(docs, min_len=10)
+        .where(F.col("text") != "")
+        .collect()
+    }
+    stream = _stream_time_ordered(
+        spark, docs, tmp_path, "esc_docs", slices=3, ts_col="doc_id"
+    )
+    corpus = VersionedTable(spark, str(tmp_path / "esc_corpus"))
+    state = str(tmp_path / "esc_state")
+    q = run_incremental_exact_substr(
+        stream, state, corpus, str(tmp_path / "ckpt_esc"), min_len=10
+    )
+    q.awaitTermination(180)
+    streamed = {(r["doc_id"], r["text"]) for r in corpus.read().collect()}
+    # multi-batch ingest leaves first-arrival residue: supersets batch
+    assert streamed != expect and {d for d, _ in streamed} >= {
+        d for d, _ in expect
+    }
+    res = compact_exact_substr_residue(spark, state, corpus, min_len=10)
+    assert res["docs_rewritten"] > 0
+    got = {(r["doc_id"], r["text"]) for r in corpus.read().collect()}
+    # fixed point, part 1: the batch operator finds nothing left to
+    # remove in the published corpus
+    leftover = (
+        remove_exact_substrings(corpus.read(), min_len=10)
+        .where(F.col("n_removed") > 0)
+        .count()
+    )
+    assert leftover == 0
+    # fixed point, part 2: a second sweep is a no-op
+    res2 = compact_exact_substr_residue(spark, state, corpus, min_len=10)
+    assert res2["docs_rewritten"] == 0
+    got2 = {(r["doc_id"], r["text"]) for r in corpus.read().collect()}
+    assert got2 == got
+    # and the sweep moved TOWARD batch: every published text is the
+    # batch text or a bounded-fringe superstring of it (same doc set
+    # modulo emptied-doc drops)
+    batch_by_id = dict(expect)
+    for d, t in got:
+        if d in batch_by_id:
+            bt = batch_by_id[d]
+            assert set(bt.split(" ")) <= set(t.split(" ")) | {""}, (d, t, bt)
