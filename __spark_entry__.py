@@ -72,7 +72,11 @@ _PRIORITY = [
     "td_passage_dup_fraction", "td_global_shuffle", "td_source_reputation",
     "sim_pq_codes", "sim_pq_adc_topk", "sim_pq_recall_audit",
     "txt_bpe_pairs", "txt_bigram_logprob", "sk_heavy_hitters",
-    "td_corpus_report", "td_priority_dedup", "t_subseq_search",
+    "td_corpus_report", "td_priority_dedup",
+    # r9: t_subseq_search (r8-green; the temporal family keeps 6+
+    # proven members) rotated out for the perceptual-hash media dedup
+    # query's first driver row
+    "mm_phash_dedup",
     # r9: ds_weighted_sample (r8-green, unchanged, mirror-checked; the
     # ds family keeps 3 other seats) rotated out for the duplicated-
     # span audit query's first driver row

@@ -499,34 +499,38 @@ def simhash_chunks(text_col: str) -> Column:
     )
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+def chunked_hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str = "_sh",
+    max_hamming: int = 6,
 ) -> DataFrame:
-    """SimHash near-dup pairs via chunk-pigeonhole: any pair within
-    Hamming distance ≤ 3×(chunks-1) shares at least one exact chunk,
-    so candidates come from equi-joins on (chunk_idx, chunk_value) —
-    never a cross join. Verified by exact chunk-wise Hamming."""
-    sig = _spread(df.select(id_col, text_col)).select(
-        F.col(id_col), simhash_chunks(text_col).alias("_sh")
-    )
+    """Near-dup pairs over CHUNKED 64-bit signatures (array of 16-bit
+    chunk ints) via pigeonhole: any pair within Hamming distance ≤
+    bits_per_chunk×(chunks-1) shares at least one exact chunk, so
+    candidates come from equi-joins on (chunk_idx, chunk_value) —
+    never a cross join — and are verified by exact chunk-wise
+    Hamming. ONE definition for every chunked-signature family
+    (SimHash text signatures, dHash media fingerprints): the join
+    geometry cannot drift between them."""
     posed = sig.select(
         id_col,
-        "_sh",
+        sig_col,
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(_CHUNKS - 1)),
+                F.sequence(F.lit(0), F.size(sig_col) - 1),
                 lambda c: F.struct(
                     c.alias("chunk_idx"),
-                    F.element_at(F.col("_sh"), c + 1).alias("chunk_val"),
+                    F.element_at(F.col(sig_col), c + 1).alias("chunk_val"),
                 ),
             )
         ).alias("c"),
-    ).select(id_col, "_sh", "c.chunk_idx", "c.chunk_val")
+    ).select(id_col, sig_col, "c.chunk_idx", "c.chunk_val")
     a, b = posed.alias("a"), posed.alias("b")
     hamming = F.aggregate(
         F.zip_with(
-            F.col("a._sh"),
-            F.col("b._sh"),
+            F.col(f"a.{sig_col}"),
+            F.col(f"b.{sig_col}"),
             lambda x, y: F.bit_count(x.bitwiseXOR(y)),
         ),
         F.lit(0),
@@ -547,6 +551,20 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
+) -> DataFrame:
+    """SimHash near-dup pairs via chunk-pigeonhole: any pair within
+    Hamming distance ≤ 3×(chunks-1) shares at least one exact chunk,
+    so candidates come from equi-joins on (chunk_idx, chunk_value) —
+    never a cross join. Verified by exact chunk-wise Hamming
+    (the shared :func:`chunked_hamming_pairs` join)."""
+    sig = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col), simhash_chunks(text_col).alias("_sh")
+    )
+    return chunked_hamming_pairs(sig, id_col, "_sh", max_hamming)
 
 
 def embedding_near_dup_pairs(

@@ -334,3 +334,95 @@ def sample_frames(
             ) if rows else pd.DataFrame(columns=id_fields + ["frame_idx", "n_frames"])
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# ---- perceptual fingerprinting (media near-dup) --------------------------
+
+DHASH_CELLS_PER_ROW = 9  # 8 bits per row come from adjacent-cell compares
+DHASH_ROWS = 8
+_DHASH_N_CELLS = DHASH_ROWS * DHASH_CELLS_PER_ROW  # 72
+_DHASH_CHUNKS = 4  # 64 bits as 4x16-bit ints (dedup.chunked layout)
+
+
+def dhash_kernel(payload: bytes) -> list | None:
+    """The dHash (difference hash) kernel over one payload's bytes —
+    the standard perceptual image fingerprint (an 8×9 grayscale
+    downsample; each bit records whether a cell is brighter than its
+    right neighbor), computed here over the byte stream the codec
+    seam yields: with a real decoder the input is the 8×9-pooled
+    pixel grid; with the stub the "pixels" are the payload bytes
+    pooled into 72 equal slices. The hashing/compare logic is the
+    real algorithm either way, and every comparison is exact integer
+    arithmetic (cross-multiplied slice sums — no float averages), so
+    an engine-independent oracle recomputes identical bits.
+
+    Returns the 64-bit fingerprint as 4×16-bit chunk ints (the
+    ``dedup.chunked_hamming_pairs`` layout), or None for payloads
+    under 72 bytes (too small to fingerprint)."""
+    n = len(payload)
+    if n < _DHASH_N_CELLS:
+        return None
+    # integer cell sums over 72 equal byte slices
+    sums = []
+    cnts = []
+    for i in range(_DHASH_N_CELLS):
+        a = i * n // _DHASH_N_CELLS
+        b = (i + 1) * n // _DHASH_N_CELLS
+        sums.append(sum(payload[a:b]))
+        cnts.append(b - a)
+    bits = []
+    for r in range(DHASH_ROWS):
+        for c in range(DHASH_CELLS_PER_ROW - 1):
+            i = r * DHASH_CELLS_PER_ROW + c
+            # avg(cell i) > avg(cell i+1), cross-multiplied (exact)
+            bits.append(1 if sums[i] * cnts[i + 1] > sums[i + 1] * cnts[i] else 0)
+    return [
+        int("".join(map(str, bits[k * 16:(k + 1) * 16])), 2)
+        for k in range(_DHASH_CHUNKS)
+    ]
+
+
+def image_dhash(
+    df: DataFrame, payload_col: str = "payload", sig_col: str = "_sh"
+) -> DataFrame:
+    """Arrow-batched perceptual fingerprints: one ``sig_col`` column
+    (4×16-bit chunk ints, NULL for sub-72-byte payloads) appended per
+    row. The per-row kernel runs executor-side inside the Arrow batch
+    loop — the placement a real pixel decoder drops into."""
+    fields = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+        + f", {sig_col} array<int>"
+    )
+    keep = [f.name for f in fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep].copy()
+            out[sig_col] = [dhash_kernel(bytes(p)) for p in pdf[payload_col]]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def phash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs over binary media payloads —
+    the LAION-style image-dedup shape: dHash fingerprints
+    (:func:`image_dhash`), then the shared chunk-pigeonhole Hamming
+    join (``dedup.chunked_hamming_pairs`` — equi-join on 16-bit
+    chunks, exact chunk-wise verify, never a cross join). Payloads
+    under 72 bytes carry no fingerprint and produce no pairs. At
+    100 TB the fingerprint pass is payload-local (no shuffle) and
+    the join shuffles 4 small (chunk, value) keys per item, exactly
+    the SimHash posture."""
+    from .dedup import chunked_hamming_pairs
+
+    sig = image_dhash(
+        df.select(id_col, payload_col), payload_col, "_sh"
+    ).where(F.col("_sh").isNotNull())
+    return chunked_hamming_pairs(sig, id_col, "_sh", max_hamming)

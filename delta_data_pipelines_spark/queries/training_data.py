@@ -317,6 +317,32 @@ def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(with_bin.select("doc_id", "payload"), every=4)
 
 
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs over the binary payload column — the
+    LAION-style image-dedup shape (multimodal.phash_near_dup_pairs):
+    Arrow-batched dHash fingerprints (real difference-hash kernel;
+    "pixels" come from the codec seam — the deterministic byte-pool
+    stub here, a real decoder's 8×9 pooled grayscale in production),
+    then the SimHash family's chunk-pigeonhole Hamming join. Every
+    comparison is exact integer arithmetic (cross-multiplied slice
+    sums), so the oracle recomputes identical fingerprints from the
+    payload's character codes (the fake payload is the UTF-8 bytes of
+    ASCII text) and verifies pairs by brute-force XOR popcount."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with_bin = multimodal.attach_fake_binary(d, "text")
+    # threshold 20: byte-pooled stub "pixels" are far noisier than a
+    # real 8×9 grayscale (every token shift perturbs most cells), so
+    # near-dup docs land at hamming ~13-20 where real image near-dups
+    # sit under ~6; the candidate/verify machinery is identical
+    return (
+        multimodal.phash_near_dup_pairs(
+            with_bin.select("doc_id", "payload"), "doc_id", max_hamming=20
+        )
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def txt_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 docs per source by quality score (corpus balancing /
     per-domain caps — the standard pre-training selection shape).
@@ -2376,6 +2402,7 @@ SPARK_QUERIES = {
     "td_cluster_balance": td_cluster_balance,
     "txt_profile": txt_profile,
     "mm_meta": mm_meta,
+    "mm_phash_dedup": mm_phash_dedup,
     "mm_features": mm_features,
     "mm_resize": mm_resize,
     "mm_frames": mm_frames,
@@ -4059,6 +4086,57 @@ ORACLE_SQL = {
                 CAST(i AS BIGINT) * (length(x) * 31 + ascii(left(x, 1))))) % 1000000007
                 AS BIGINT) AS fingerprint
         FROM scores
+    """,
+    # recomputes the dHash from character codes (the fake payload is
+    # the UTF-8 bytes of ASCII text, so ascii(char) == byte value);
+    # verification is brute-force XOR popcount over all pairs — the
+    # engine's pigeonhole join must find exactly this set
+    "mm_phash_dedup": """
+        WITH base AS (
+            SELECT doc_id, text, length(text) AS n FROM documents
+            WHERE text IS NOT NULL AND length(text) >= 72
+        ), codes AS MATERIALIZED (
+            SELECT doc_id, n,
+                   list_transform(range(1, n + 1),
+                                  i -> ascii(text[i])) AS cs
+            FROM base
+        ), cells AS MATERIALIZED (
+            SELECT doc_id,
+                   list_transform(range(0, 72), i ->
+                       CAST(list_sum(cs[(i * n) // 72 + 1
+                                        : ((i + 1) * n) // 72])
+                            AS BIGINT)) AS s,
+                   list_transform(range(0, 72), i ->
+                       ((i + 1) * n) // 72 - (i * n) // 72) AS c
+            FROM codes
+        ), sig AS MATERIALIZED (
+            SELECT doc_id,
+                   list_transform(range(0, 4), k ->
+                       CAST(list_sum(list_transform(range(0, 16), j ->
+                           CASE WHEN
+                               s[((k*16+j) // 8) * 9 + ((k*16+j) % 8) + 1]
+                               * c[((k*16+j) // 8) * 9 + ((k*16+j) % 8) + 2]
+                               >
+                               s[((k*16+j) // 8) * 9 + ((k*16+j) % 8) + 2]
+                               * c[((k*16+j) // 8) * 9 + ((k*16+j) % 8) + 1]
+                           THEN (CAST(1 AS BIGINT) << (15 - j))
+                           ELSE 0 END)) AS BIGINT)) AS sh
+            FROM cells
+        ), cand AS (
+            -- the engine's pigeonhole: candidates share >=1 exact
+            -- 16-bit chunk (same recall contract as dd_simhash)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.sh[1], b.sh[1]))
+                 + bit_count(xor(a.sh[2], b.sh[2]))
+                 + bit_count(xor(a.sh[3], b.sh[3]))
+                 + bit_count(xor(a.sh[4], b.sh[4])) AS hm
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k) ks
+            WHERE a.sh[k] = b.sh[k]
+        )
+        SELECT id_a, id_b, CAST(hm AS INTEGER) AS hamming
+        FROM cand WHERE hm <= 20
+        ORDER BY id_a, id_b
     """,
     "mm_meta": """
         SELECT doc_id, 'image' AS modality,

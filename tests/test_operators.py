@@ -2324,3 +2324,53 @@ def test_exact_substring_spans_consistent_with_rewrite(spark):
     for d, m in mass.items():
         assert m == removed[d], (d, m, removed[d])
     assert all(b - a + 1 >= 4 for _, a, b in rows)
+
+
+def test_phash_near_dup_pairs_locality_and_exclusions(spark):
+    """Perceptual dHash dedup: identical payloads pair at hamming 0,
+    a lightly perturbed payload stays within a small distance of its
+    source (locality — the property that makes a perceptual hash more
+    than a checksum), an unrelated payload sits far away, sub-72-byte
+    payloads carry no fingerprint and produce no pairs, and chunk
+    values stay within 16 bits."""
+    import random
+
+    from delta_data_pipelines_spark.operators.multimodal import (
+        dhash_kernel,
+        image_dhash,
+        phash_near_dup_pairs,
+    )
+
+    rng = random.Random(7)
+    base = bytes(rng.randrange(256) for _ in range(720))
+    # perturb ONE byte: at most a couple of cells' sums move
+    near = bytearray(base)
+    near[360] = (near[360] + 40) % 256
+    far = bytes(rng.randrange(256) for _ in range(720))
+    rows = [
+        (1, base), (2, bytes(near)), (3, far), (4, base), (5, b"tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    sigs = {
+        r["doc_id"]: r["_sh"]
+        for r in image_dhash(df).collect()
+    }
+    assert sigs[5] is None
+    assert sigs[1] == dhash_kernel(base)  # executor == local kernel
+    assert all(0 <= v <= 0xFFFF for v in sigs[1])
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    assert ham(sigs[1], sigs[2]) <= 4  # one-byte perturbation is local
+    assert ham(sigs[1], sigs[3]) >= 16  # unrelated payloads are far
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(df, max_hamming=6).collect()
+    }
+    assert pairs[(1, 4)] == 0  # identical payloads
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 4
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    assert all(5 not in p for p in pairs)
