@@ -392,6 +392,39 @@ class VersionedTable(CheckConstraints):
         df = self.read(version)
         return self._commit("restore", df, {"restored_from": version})
 
+    def apply_changes(self, feed: DataFrame, keys: list[str]) -> Commit:
+        """APPLY CHANGES INTO parity (the CDC consumer): apply a
+        change feed in :func:`snapshot_diff`'s shape (``_change_type``
+        ∈ insert / delete / update_preimage / update_postimage) to
+        this table as ONE atomic commit.
+
+        Deletes drop their keys, inserts and update POSTIMAGES upsert
+        (last-writer-wins on key), preimages are informational and
+        ignored — so replaying ``source.changes(v)`` onto a replica of
+        ``source``'s version ``v`` reproduces ``source``'s current
+        snapshot exactly (the roundtrip test), which is what makes the
+        change feed a replication protocol rather than a diff report.
+        Feeds whose key sets overlap between delete and upsert apply
+        delete-then-upsert (the postimage wins — matching
+        snapshot_diff, which never emits both for one key)."""
+        if not keys:
+            raise ValueError("keys required to apply a change feed")
+        ct = F.col("_change_type")
+        ups = feed.where(
+            ct.isin("insert", "update_postimage")
+        ).drop("_change_type")
+        dels = feed.where(ct == "delete").select(*keys)
+        target = self.read() if self.exists() else ups.limit(0)
+        kept = target.join(dels, keys, "left_anti")
+        out = kept.join(ups.select(*keys), keys, "left_anti").unionByName(
+            ups.select(*kept.columns)
+        )
+        n_up = ups.count()
+        n_del = dels.count()
+        return self._commit(
+            "apply_changes", out, {"upserts": n_up, "deletes": n_del}
+        )
+
     def changes(
         self,
         from_version: int,

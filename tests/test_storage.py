@@ -991,3 +991,40 @@ def test_bucketed_history_reconciles_marker_tail_after_cache_loss(
     t2.merge(rows(spark, [("u3", "c", 3)]), keys=["content_url"])
     assert t2.latest_version() == 2
     assert t2.read().count() == 3
+
+
+def test_apply_changes_roundtrip_replication(spark, table, tmp_path):
+    """APPLY CHANGES INTO parity: replaying source.changes(v) onto a
+    replica cloned at version v reproduces the source's current
+    snapshot exactly — inserts land, updates take the postimage,
+    deletes drop, untouched rows survive. A second application of the
+    same feed is idempotent (upserts match, deletes find nothing)."""
+    from pyspark.sql import functions as F
+
+    src = table
+    src.overwrite(rows(spark, [("u1", "a", 1), ("u2", "b", 2), ("u3", "c", 3)]))
+    replica = src.clone(str(tmp_path / "replica"))
+
+    # mutate the source: update u1, delete u2, insert u4
+    src.merge(
+        rows(spark, [("u1", "A2", 10)]), keys=["content_url"],
+        when_matched="update",
+    )
+    src.delete_where(F.col("content_url") == "u2")
+    src.merge(rows(spark, [("u4", "d", 4)]), keys=["content_url"])
+
+    feed = src.changes(0, keys=["content_url"])
+    replica.apply_changes(feed, keys=["content_url"])
+    want = sorted(tuple(r) for r in src.read().collect())
+    got = sorted(tuple(r) for r in replica.read().collect())
+    assert got == want
+
+    # idempotent re-application (at-least-once feed delivery)
+    replica.apply_changes(feed, keys=["content_url"])
+    got2 = sorted(tuple(r) for r in replica.read().collect())
+    assert got2 == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keys required"):
+        replica.apply_changes(feed, keys=[])
