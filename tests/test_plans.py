@@ -596,3 +596,17 @@ def test_ivf_recall_curve_single_assignment_no_cartesian(spark, registry):
     plan = plan_of(spark, registry, "sim_ivf_recall_curve")
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_phash_and_spans_plans_stay_bounded(spark, registry):
+    """mm_phash_dedup pairs only through chunk equi-joins (the
+    pigeonhole — a cartesian would mean the chunk key was lost) and
+    its only Python is the Arrow-batched fingerprint kernel;
+    dd_exact_substring_spans shares the rewrite's partial-agg window
+    count and stays Python-free."""
+    plan = plan_of(spark, registry, "mm_phash_dedup")
+    assert "CartesianProduct" not in plan, plan
+    spans = plan_of(spark, registry, "dd_exact_substring_spans")
+    assert "partial_count" in spans, spans
+    assert "CartesianProduct" not in spans, spans
+    assert "EvalPython" not in spans, spans
