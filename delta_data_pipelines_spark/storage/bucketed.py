@@ -744,6 +744,88 @@ class BucketedTable(CheckConstraints):
         )
         return entry
 
+    def apply_changes(self, feed: DataFrame, keys: list[str]) -> BucketedCommit:
+        """APPLY CHANGES INTO parity, bucket-scoped (the CDC consumer
+        for the scale-path table): apply a :func:`snapshot_diff`-shaped
+        feed (``_change_type`` ∈ insert / delete / update_preimage /
+        update_postimage) in ONE atomic commit that rewrites ONLY the
+        buckets the feed touches — per-application cost follows the
+        CHANGE volume, not the table size, exactly the merge contract.
+
+        Deletes drop their keys, inserts and update postimages upsert,
+        preimages are ignored; a touched bucket whose rows are all
+        deleted loses its manifest pointer (the delete_where rule).
+        Replaying ``source.changes(v)`` onto a replica of version ``v``
+        reproduces the source snapshot; re-applying the same feed is a
+        no-op on content (at-least-once delivery)."""
+        if not keys:
+            raise ValueError("keys required to apply a change feed")
+        if self.bucket_key not in keys:
+            raise ValueError(
+                f"bucket key {self.bucket_key!r} must be one of the feed "
+                f"keys {keys} (rows that match must share a bucket)"
+            )
+        ct = F.col("_change_type")
+        ups = feed.where(
+            ct.isin("insert", "update_postimage")
+        ).drop("_change_type")
+        dels = feed.where(ct == "delete").select(*keys)
+        probe = ups.select(*keys).unionByName(dels)
+        touched = self.bucket_ids_of(probe)
+        history = self.history()
+        version = (history[-1].version + 1) if history else 0
+        manifest = self._manifest() if self.exists() else {}
+        if not touched:  # empty feed
+            entry = BucketedCommit(
+                version=version,
+                action="apply_changes",
+                ts=time.time(),
+                metrics={"upserts": 0, "deletes": 0, "buckets_written": 0},
+                manifest=manifest,
+            )
+            self._append_entry(history, entry)
+            return entry
+        existing_dirs = [
+            self._bucket_dir(manifest[str(b)], b)
+            for b in touched
+            if str(b) in manifest
+        ]
+        ups_b = ups.withColumn("_bucket", self._bucket_col())
+        if existing_dirs:
+            target = self._schema_reader().parquet(*existing_dirs).withColumn(
+                "_bucket", self._bucket_col()
+            )
+        else:
+            target = ups_b.limit(0)
+        kept = target.join(dels, keys, "left_anti").join(
+            ups.select(*keys), keys, "left_anti"
+        )
+        out = kept.unionByName(ups_b.select(*kept.columns))
+        self._enforce_constraints(ups_b)
+        data_name = self._new_data_name(version)
+        written = self._write_buckets(out, data_name)
+        self._store_schema_once(out)
+        new_manifest = {
+            b: v for b, v in manifest.items() if int(b) not in set(touched)
+        }
+        new_manifest.update({str(b): data_name for b in written})
+        entry = BucketedCommit(
+            version=version,
+            action="apply_changes",
+            ts=time.time(),
+            metrics={
+                "upserts": ups.count(),
+                "deletes": dels.count(),
+                "buckets_written": len(written),
+            },
+            manifest=new_manifest,
+            data=data_name,
+        )
+        self._append_entry(
+            history, entry, os.path.join(self.root, data_name)
+        )
+        return entry
+
     def changes(
         self,
         from_version: int,

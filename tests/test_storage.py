@@ -1028,3 +1028,70 @@ def test_apply_changes_roundtrip_replication(spark, table, tmp_path):
 
     with _pytest.raises(ValueError, match="keys required"):
         replica.apply_changes(feed, keys=[])
+
+
+def test_bucketed_apply_changes_roundtrip_and_bucket_scope(
+    spark, btable, tmp_path
+):
+    """Bucket-scoped CDC consumer: replaying source.changes(v) onto a
+    replica reproduces the source snapshot, ONLY the feed's buckets
+    are rewritten (untouched pointers survive verbatim), a bucket
+    emptied by deletes loses its pointer, and re-application is
+    content-idempotent."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.storage import BucketedTable
+
+    src = btable
+    seed = rows(spark, [(f"u{i}", "x", i) for i in range(60)])
+    src.overwrite(seed)
+    replica = BucketedTable(
+        spark, str(tmp_path / "brep"), bucket_key="content_url", n_buckets=8
+    )
+    replica.overwrite(seed)
+
+    src.merge(
+        rows(spark, [("u1", "NEW", 100)]), keys=["content_url"],
+        when_matched="update",
+    )
+    src.delete_where(F.col("content_url") == "u2")
+    src.merge(rows(spark, [("zz-new", "z", 7)]), keys=["content_url"])
+
+    before = replica._manifest()
+    feed = src.changes(0, keys=["content_url"])
+    c = replica.apply_changes(feed, keys=["content_url"])
+    want = sorted(tuple(r) for r in src.read().collect())
+    got = sorted(tuple(r) for r in replica.read().collect())
+    assert got == want
+    # only the feed's buckets moved; every other pointer is verbatim
+    touched = set(
+        replica.bucket_ids_of(
+            feed.where(
+                F.col("_change_type").isin(
+                    "insert", "delete", "update_postimage"
+                )
+            ).select("content_url")
+        )
+    )
+    assert c.metrics["buckets_written"] <= len(touched)
+    for b, v in before.items():
+        if int(b) not in touched:
+            assert c.manifest[b] == v, b
+
+    # re-application: content unchanged (a new commit, same rows)
+    replica.apply_changes(feed, keys=["content_url"])
+    got2 = sorted(tuple(r) for r in replica.read().collect())
+    assert got2 == want
+
+    # a bucket emptied by deletes loses its pointer
+    solo = BucketedTable(
+        spark, str(tmp_path / "bsolo"), bucket_key="k", n_buckets=2
+    )
+    solo.overwrite(spark.createDataFrame([("a", 1)], "k string, v int"))
+    fd = spark.createDataFrame([("a", 1, "delete")], "k string, v int, _change_type string")
+    c2 = solo.apply_changes(fd, keys=["k"])
+    assert c2.manifest == {}
+    assert solo.read().count() == 0
+
+    with pytest.raises(ValueError, match="bucket key"):
+        solo.apply_changes(fd, keys=["v"])
