@@ -54,12 +54,13 @@ def _modules():
 # green in CORRECTNESS_r01.json) and keep running in the local mirror
 # (tools/check.py), which checks all of them.
 _PRIORITY = [
-    # r9 window decision: UNCHANGED from r8. Cumulative driver coverage
-    # is 169/170 oracle-able queries; rotation pressure is gone. The r8
-    # batch below holds 1 green driver round each — keeping it pinned
-    # gives every row its second round, and txt_unigram_encode (the one
-    # red r8 row — oracle Viterbi DP now integer-exact on both engines)
-    # its first green one. Multiply-proven rows rest in the mirror.
+    # r10 window decision: keep r9's shape (every non-flagship row
+    # below holds ≤2 green driver rounds — the ×2 coverage VERDICT r9
+    # ask #6 wants built — except st_interval_join ×4, kept as the
+    # streaming family's seat). One swap: ds_interleave (×4) rests in
+    # the mirror; txt_unigram_encode_words takes its seat (the encode
+    # debug twin). The unigram pair stays pinned: its values changed
+    # this round (6-dp quantization), so prior greens don't carry.
     # flagship
     "search_index_full", "search_index_incremental", "search_index_fetch_by_id",
     # r8 rotation: the 13 r7 additions that have never held a driver
@@ -103,7 +104,13 @@ _PRIORITY = [
     # sim_kmeans and t_funnel_stages (each r07 x2, unchanged,
     # mirror-checked) rotated out for the unigram tokenizer pair's
     # first driver rows
+    # r10: the unigram pair's values CHANGED this round (6-dp ln
+    # quantization + integer-math piece_ratio — the r9 verdict's float-
+    # surface kill), so both stay pinned for fresh rows, joined by the
+    # temporary per-word debug twin (txt_unigram_encode_words) so a
+    # still-red encode hash decomposes into a row-level word diff
     "sk_cm_counts", "txt_unigram_pieces", "txt_unigram_encode",
+    "txt_unigram_encode_words",
     "td_quality_classifier",
     # txt_langid_confusion (r6+r7 driver-green) rotated out for the r8
     # cluster-balance pruning query's first driver row
@@ -136,7 +143,9 @@ _PRIORITY = [
     # r9: dd_containment (driver-green x2 cumulative, unchanged code,
     # mirror-checked + benched) rotated out for the IVF nprobe
     # recall/IO curve's first driver row
-    "sim_ivf_recall_curve", "st_interval_join", "ds_interleave",
+    # r10: ds_interleave (driver-green ×4 r6-r9, unchanged code, still
+    # mirror-checked + benched) rotated out for the unigram words twin
+    "sim_ivf_recall_curve", "st_interval_join",
     # txt_unigram_logprob and td_dup_weights (each r07 x2, unchanged,
     # still mirror-checked) and t_ohlc_bars (r07, unchanged, mirror-
     # checked) rotated out for the continuation additions' first

@@ -14,17 +14,22 @@ step is deterministic with pinned tie-breaks, so a DuckDB oracle
 recomputes segmentations exactly (recursive-CTE DP, the same
 smallest-piece-wins tie rule).
 
-The DP itself runs in SCALED INTEGERS: each piece's 9-decimal
-log-probability becomes ``round(logp * 1e9)`` as a BIGINT, so every
+The DP itself runs in SCALED INTEGERS: each piece's 6-decimal
+log-probability becomes ``round(logp * 1e6)`` as a BIGINT, so every
 prefix score is an exact integer sum and the back-pointer selection
 (``best == candidate``) is exact integer equality — no float-
 equality control flow anywhere, which is what makes the recursive-
 CTE oracle engine-version-proof (float ``greatest``/CASE chains are
-sensitive to evaluation order; 64-bit integer adds are not). Scores
-stay tiny for the representation: |logp| ≤ 60 → ≤ 6e10 per piece,
-words are bounded by max_len · pieces, so sums sit far below 2^63
-(and below 2^53, so the final ``/ 1e9`` division back to a double
-is exact too).
+sensitive to evaluation order; 64-bit integer adds are not). The
+6-dp quantization of ``ln`` is itself libm-proof: an ulp of ``ln``
+at |x| ≤ 60 is ~7e-15, five orders of magnitude below a 6-dp
+half-boundary (5e-7), so no cross-version libm difference can flip
+a piece's integer score (at 9 dp the margin was only ~1e5× and a
+near-boundary value DID flip between engines). Scores stay tiny for
+the representation: |logp| ≤ 60 → ≤ 6e7 per piece, words are
+bounded by max_len · pieces, so sums sit far below 2^63 (and below
+2^53, so the final ``/ 1e6`` division back to a double is exact
+too).
 
 The training loop here is HARD-EM, one round per call
 (:func:`unigram_refit`): segment every word under the current piece
@@ -41,8 +46,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_NEG = -(10**18)  # -inf sentinel, BIGINT (scores are logp·1e9 sums)
-_NEG_GATE = -(10**17)  # "was reachable" test (real scores ≥ -6e13)
+_NEG = -(10**18)  # -inf sentinel, BIGINT (scores are logp·1e6 sums)
+_NEG_GATE = -(10**17)  # "was reachable" test (real scores ≥ -6e10)
 
 
 def _substr_explode(
@@ -97,8 +102,10 @@ def unigram_candidates(
 def piece_logprobs(cands: DataFrame, cnt_col: str = "cnt") -> DataFrame:
     """(piece, cnt, logp): unigram log-probabilities over the
     inventory — ln(cnt / total), total as an exact decimal 1-row
-    broadcast aggregate, per-piece result rounded to 9 (both engines
-    compute the identical double)."""
+    broadcast aggregate, per-piece result rounded to 6 (both engines
+    compute the identical double: the 6-dp grid leaves ~5 orders of
+    magnitude between a libm ulp and the nearest half-boundary, so
+    the rounding can never flip cross-engine — see module doc)."""
     total = cands.agg(
         F.sum(F.col(cnt_col).cast("decimal(28,0)")).alias("_tot")
     )
@@ -109,7 +116,7 @@ def piece_logprobs(cands: DataFrame, cnt_col: str = "cnt") -> DataFrame:
             F.log(
                 F.col(cnt_col).cast("double") / F.col("_tot").cast("double")
             ),
-            9,
+            6,
         ).alias("logp"),
     )
 
@@ -120,7 +127,7 @@ def _dp_fold(word: Column, maps: list[Column]) -> Column:
     = the chosen last-piece length. Ties break to the SHORTEST piece
     (the CASE order — pinned, and mirrored in the oracle's DP).
 
-    Scores are BIGINT (logp·1e9), so ``best_i == cands[l-1]`` is
+    Scores are BIGINT (logp·1e6), so ``best_i == cands[l-1]`` is
     exact integer equality — the back-pointer can never flip on an
     engine's float evaluation order."""
     n = F.length(word)
@@ -209,10 +216,10 @@ def viterbi_segment(
         word_col,
         "pos_end",
         "l",
-        # exact-integer DP domain: round(logp·1e9) as BIGINT (logp is
-        # already a 9-dp decimal, so this is the same integer in any
+        # exact-integer DP domain: round(logp·1e6) as BIGINT (logp is
+        # already a 6-dp decimal, so this is the same integer in any
         # IEEE-754 engine)
-        F.round(F.col("logp") * F.lit(1e9), 0).cast("long").alias("li"),
+        F.round(F.col("logp") * F.lit(1e6), 0).cast("long").alias("li"),
     )
     per_word = ent.groupBy(word_col).agg(
         F.collect_list(F.struct("pos_end", "l", "li")).alias("_es")
@@ -244,9 +251,9 @@ def viterbi_segment(
         word_col,
         F.when(ok, _walk_fold(word, F.col("_dp.back"))).alias("pieces"),
         # exact: |score| < 2^53, so the double divide reproduces the
-        # 9-dp decimal sum of the chosen pieces' logps bit-for-bit
+        # 6-dp decimal sum of the chosen pieces' logps bit-for-bit
         F.when(
-            ok, F.round(F.col("_score").cast("double") / F.lit(1e9), 9)
+            ok, F.round(F.col("_score").cast("double") / F.lit(1e6), 6)
         ).alias("logp"),
     )
 

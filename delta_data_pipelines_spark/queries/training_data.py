@@ -1644,7 +1644,16 @@ def txt_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pieces-per-token ratio, and the decimal-summed document log-prob
     (associative — deterministic under any partial-agg order). The
     oracle replays the identical DP as a recursive CTE (forward best/
-    back lists, backward step-count walk)."""
+    back lists, backward step-count walk).
+
+    Float discipline (every surface integer- or decimal-exact):
+    piece scores quantize ``ln`` at 6 dp before the 1e6 integer
+    scaling (a libm ulp is 5 orders below the half-boundary — see
+    operators/unigram.py module doc), and ``piece_ratio`` is
+    round-half-up via pure BIGINT arithmetic
+    (``(2·np·1e9 + nt) DIV (2·nt) / 1e9``) — never a
+    double-divide-then-ROUND, whose half-boundary behavior differs
+    between Spark's BigDecimal rounding and DuckDB's."""
     from ..operators import unigram
 
     d = read_table(spark, sf_dir, "documents")
@@ -1673,10 +1682,48 @@ def txt_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_wlp").alias("doc_logp"),
         )
         .withColumn(
-            "piece_ratio", F.round(F.col("n_pieces") / F.col("n_tokens"), 9)
+            "piece_ratio",
+            F.expr(
+                "CAST((2 * n_pieces * 1000000000 + n_tokens)"
+                " DIV (2 * n_tokens) AS DOUBLE) / 1e9"
+            ),
         )
         .select("doc_id", "n_tokens", "n_pieces", "piece_ratio", "doc_logp")
         .orderBy("doc_id")
+    )
+
+
+def txt_unigram_encode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-WORD debug twin of txt_unigram_encode: one row per distinct
+    corpus word with its Viterbi piece count and 6-dp word log-prob —
+    the pre-aggregation state of the encode query. Exists so a driver
+    hash mismatch on the doc-level query decomposes into a row-level
+    diff naming the exact words whose segmentation diverges (VERDICT
+    r9 ask #1c). Same vocabulary, same inventory, same DP; words the
+    inventory cannot segment surface as NULL rows here instead of
+    silently dropping in the doc join."""
+    from ..operators import unigram
+
+    d = read_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count("*").alias("n"))
+    pieces = unigram.piece_logprobs(
+        unigram.unigram_candidates(
+            vocab, word_col="w", n_col="n", max_len=4, min_count=50
+        )
+    )
+    return (
+        unigram.viterbi_segment(
+            vocab.select("w"), pieces, word_col="w", max_len=4
+        )
+        .select(
+            "w",
+            F.size("pieces").alias("n_pieces"),
+            F.col("logp").cast("decimal(38,9)").alias("wlp"),
+        )
+        .orderBy("w")
     )
 
 
@@ -2444,6 +2491,7 @@ SPARK_QUERIES = {
     "txt_bpe_pairs": txt_bpe_pairs,
     "txt_unigram_pieces": txt_unigram_pieces,
     "txt_unigram_encode": txt_unigram_encode,
+    "txt_unigram_encode_words": txt_unigram_encode_words,
     "txt_bpe_merges": txt_bpe_merges,
     "txt_bpe_encode": txt_bpe_encode,
     "sk_heavy_hitters": sk_heavy_hitters,
@@ -2803,6 +2851,124 @@ def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
 
 
 
+# Shared recursive-CTE chain for the unigram Viterbi oracles
+# (txt_unigram_encode and its per-word debug twin): vocabulary,
+# candidate inventory, 6-dp-quantized integer piece scores, the
+# exact-integer forward DP, the backward step-count walk, and the
+# per-word (np, wlp) segment table. Both entries append only their
+# final SELECT, so the DP text can never drift between them.
+_UNIGRAM_DP_SQL = """
+        WITH RECURSIVE words AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ) WHERE w <> ''
+        ), vocab AS (
+            SELECT w, COUNT(*) AS n FROM words GROUP BY w
+        ), subs AS (
+            SELECT n, unnest(flatten(list_transform(range(1, length(w) + 1),
+                   s -> list_transform(
+                       range(1, least(4, length(w) - s + 1) + 1),
+                       l -> w[s : s + l - 1])))) AS piece
+            FROM vocab
+        ), cands AS (
+            SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt
+            FROM subs GROUP BY piece
+        ), kept AS (
+            SELECT piece, cnt FROM cands
+            WHERE length(piece) = 1 OR cnt >= 50
+        ), tot AS (
+            SELECT SUM(CAST(cnt AS DECIMAL(28,0))) AS t FROM kept
+        ), lp AS (
+            -- li = round(logp·1e6) as BIGINT: the DP below runs in
+            -- exact integers (mirrors operators/unigram.py), so the
+            -- back-pointer equality can never flip on an engine's
+            -- float evaluation order; the 6-dp ln quantization is
+            -- itself libm-proof (ulp ~7e-15 vs 5e-7 half-boundary)
+            SELECT piece, cnt,
+                   CAST(ROUND(ROUND(ln(CAST(cnt AS DOUBLE)
+                            / CAST(t AS DOUBLE)), 6) * 1e6)
+                        AS BIGINT) AS li
+            FROM kept CROSS JOIN tot
+        ), wl AS (
+            SELECT w, length(w) AS len FROM vocab
+        ), posl AS (
+            SELECT w, len, unnest(range(1, len + 1)) AS pos FROM wl
+        ), ent AS (
+            SELECT posl.w, posl.pos, l.l, lp.li
+            FROM posl CROSS JOIN (SELECT unnest(range(1, 5)) AS l) l
+            JOIN lp ON lp.piece = posl.w[posl.pos - l.l + 1 : posl.pos]
+            WHERE posl.pos >= l.l
+        ), lk AS (
+            SELECT w, pos,
+                   MAX(CASE WHEN l = 1 THEN li END) AS g1,
+                   MAX(CASE WHEN l = 2 THEN li END) AS g2,
+                   MAX(CASE WHEN l = 3 THEN li END) AS g3,
+                   MAX(CASE WHEN l = 4 THEN li END) AS g4
+            FROM ent GROUP BY w, pos
+        ), dp AS (
+            SELECT w, len, 0 AS i,
+                   [CAST(0 AS BIGINT)] AS best, [0] AS back
+            FROM wl
+            UNION ALL
+            SELECT d.w, d.len, d.i + 1,
+                   list_append(d.best, g.m), list_append(d.back, bb.b)
+            FROM dp d
+            JOIN lk k ON k.w = d.w AND k.pos = d.i + 1
+            CROSS JOIN LATERAL (
+                SELECT
+                  CASE WHEN k.g1 IS NOT NULL
+                            AND d.best[d.i + 1] > -100000000000000000
+                       THEN d.best[d.i + 1] + k.g1
+                       ELSE CAST(-1000000000000000000 AS BIGINT)
+                  END AS c1,
+                  CASE WHEN d.i + 1 >= 2 AND k.g2 IS NOT NULL
+                            AND d.best[greatest(d.i, 1)]
+                                > -100000000000000000
+                       THEN d.best[greatest(d.i, 1)] + k.g2
+                       ELSE CAST(-1000000000000000000 AS BIGINT)
+                  END AS c2,
+                  CASE WHEN d.i + 1 >= 3 AND k.g3 IS NOT NULL
+                            AND d.best[greatest(d.i - 1, 1)]
+                                > -100000000000000000
+                       THEN d.best[greatest(d.i - 1, 1)] + k.g3
+                       ELSE CAST(-1000000000000000000 AS BIGINT)
+                  END AS c3,
+                  CASE WHEN d.i + 1 >= 4 AND k.g4 IS NOT NULL
+                            AND d.best[greatest(d.i - 2, 1)]
+                                > -100000000000000000
+                       THEN d.best[greatest(d.i - 2, 1)] + k.g4
+                       ELSE CAST(-1000000000000000000 AS BIGINT)
+                  END AS c4
+            ) c
+            CROSS JOIN LATERAL (
+                SELECT greatest(c.c1, c.c2, c.c3, c.c4) AS m
+            ) g
+            CROSS JOIN LATERAL (
+                SELECT CASE WHEN g.m <= -100000000000000000 THEN 0
+                            WHEN g.m = c.c1 THEN 1
+                            WHEN g.m = c.c2 THEN 2
+                            WHEN g.m = c.c3 THEN 3
+                            ELSE 4 END AS b
+            ) bb
+            WHERE d.i < d.len
+        ), fin AS (
+            SELECT w, len, best[len + 1] AS score, back
+            FROM dp WHERE i = len
+        ), walk AS (
+            SELECT w, len AS pos, 0 AS np, back FROM fin
+            UNION ALL
+            SELECT w, pos - back[pos + 1], np + 1, back
+            FROM walk WHERE pos > 0
+        ), seg AS (
+            SELECT f.w, s.np,
+                   CAST(ROUND(CAST(f.score AS DOUBLE) / 1e6, 6)
+                        AS DECIMAL(38,9)) AS wlp
+            FROM fin f JOIN (SELECT w, np FROM walk WHERE pos = 0) s
+                 USING (w)
+        )
+"""
+
 ORACLE_SQL = {
     # thresholds written as the same float sums Python accumulates
     # (0.8 + 0.1, not 0.9) so borderline buckets agree bit-for-bit
@@ -3140,6 +3306,10 @@ ORACLE_SQL = {
         FROM toks JOIN freq USING (token) CROSS JOIN tot
         GROUP BY doc_id ORDER BY doc_id
     """,
+    "txt_unigram_encode_words": _UNIGRAM_DP_SQL + """
+        SELECT w, CAST(np AS INTEGER) AS n_pieces, wlp
+        FROM seg ORDER BY w
+    """,
     # same toks/freq/tot + decimal-sum discipline as txt_unigram_logprob
     # (ranking runs on the UNROUNDED average — identical IEEE division
     # of identical decimal sums, so the order can't differ); tertile
@@ -3438,126 +3608,27 @@ ORACLE_SQL = {
         ), tot AS (
             SELECT SUM(CAST(cnt AS DECIMAL(28,0))) AS t FROM kept
         ), lp AS (
+            -- 6-dp quantization of ln: a libm ulp (~7e-15 at |x|<=60)
+            -- sits 5 orders below the 5e-7 half-boundary, so no
+            -- cross-version libm difference can flip the rounding
+            -- (at 9 dp one piece DID flip between engines)
             SELECT piece, cnt,
-                   ROUND(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)), 9)
+                   ROUND(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)), 6)
                        AS logp
             FROM kept CROSS JOIN tot
         )
         SELECT piece, cnt, logp FROM lp ORDER BY cnt DESC, piece LIMIT 30
     """,
-    "txt_unigram_encode": """
-        WITH RECURSIVE words AS (
-            SELECT doc_id, w FROM (
-                SELECT doc_id, unnest(string_split(text, ' ')) AS w
-                FROM documents
-            ) WHERE w <> ''
-        ), vocab AS (
-            SELECT w, COUNT(*) AS n FROM words GROUP BY w
-        ), subs AS (
-            SELECT n, unnest(flatten(list_transform(range(1, length(w) + 1),
-                   s -> list_transform(
-                       range(1, least(4, length(w) - s + 1) + 1),
-                       l -> w[s : s + l - 1])))) AS piece
-            FROM vocab
-        ), cands AS (
-            SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt
-            FROM subs GROUP BY piece
-        ), kept AS (
-            SELECT piece, cnt FROM cands
-            WHERE length(piece) = 1 OR cnt >= 50
-        ), tot AS (
-            SELECT SUM(CAST(cnt AS DECIMAL(28,0))) AS t FROM kept
-        ), lp AS (
-            -- li = round(logp·1e9) as BIGINT: the DP below runs in
-            -- exact integers (mirrors operators/unigram.py), so the
-            -- back-pointer equality can never flip on an engine's
-            -- float evaluation order
-            SELECT piece, cnt,
-                   CAST(ROUND(ROUND(ln(CAST(cnt AS DOUBLE)
-                            / CAST(t AS DOUBLE)), 9) * 1e9)
-                        AS BIGINT) AS li
-            FROM kept CROSS JOIN tot
-        ), wl AS (
-            SELECT w, length(w) AS len FROM vocab
-        ), posl AS (
-            SELECT w, len, unnest(range(1, len + 1)) AS pos FROM wl
-        ), ent AS (
-            SELECT posl.w, posl.pos, l.l, lp.li
-            FROM posl CROSS JOIN (SELECT unnest(range(1, 5)) AS l) l
-            JOIN lp ON lp.piece = posl.w[posl.pos - l.l + 1 : posl.pos]
-            WHERE posl.pos >= l.l
-        ), lk AS (
-            SELECT w, pos,
-                   MAX(CASE WHEN l = 1 THEN li END) AS g1,
-                   MAX(CASE WHEN l = 2 THEN li END) AS g2,
-                   MAX(CASE WHEN l = 3 THEN li END) AS g3,
-                   MAX(CASE WHEN l = 4 THEN li END) AS g4
-            FROM ent GROUP BY w, pos
-        ), dp AS (
-            SELECT w, len, 0 AS i,
-                   [CAST(0 AS BIGINT)] AS best, [0] AS back
-            FROM wl
-            UNION ALL
-            SELECT d.w, d.len, d.i + 1,
-                   list_append(d.best, g.m), list_append(d.back, bb.b)
-            FROM dp d
-            JOIN lk k ON k.w = d.w AND k.pos = d.i + 1
-            CROSS JOIN LATERAL (
-                SELECT
-                  CASE WHEN k.g1 IS NOT NULL
-                            AND d.best[d.i + 1] > -100000000000000000
-                       THEN d.best[d.i + 1] + k.g1
-                       ELSE CAST(-1000000000000000000 AS BIGINT)
-                  END AS c1,
-                  CASE WHEN d.i + 1 >= 2 AND k.g2 IS NOT NULL
-                            AND d.best[greatest(d.i, 1)]
-                                > -100000000000000000
-                       THEN d.best[greatest(d.i, 1)] + k.g2
-                       ELSE CAST(-1000000000000000000 AS BIGINT)
-                  END AS c2,
-                  CASE WHEN d.i + 1 >= 3 AND k.g3 IS NOT NULL
-                            AND d.best[greatest(d.i - 1, 1)]
-                                > -100000000000000000
-                       THEN d.best[greatest(d.i - 1, 1)] + k.g3
-                       ELSE CAST(-1000000000000000000 AS BIGINT)
-                  END AS c3,
-                  CASE WHEN d.i + 1 >= 4 AND k.g4 IS NOT NULL
-                            AND d.best[greatest(d.i - 2, 1)]
-                                > -100000000000000000
-                       THEN d.best[greatest(d.i - 2, 1)] + k.g4
-                       ELSE CAST(-1000000000000000000 AS BIGINT)
-                  END AS c4
-            ) c
-            CROSS JOIN LATERAL (
-                SELECT greatest(c.c1, c.c2, c.c3, c.c4) AS m
-            ) g
-            CROSS JOIN LATERAL (
-                SELECT CASE WHEN g.m <= -100000000000000000 THEN 0
-                            WHEN g.m = c.c1 THEN 1
-                            WHEN g.m = c.c2 THEN 2
-                            WHEN g.m = c.c3 THEN 3
-                            ELSE 4 END AS b
-            ) bb
-            WHERE d.i < d.len
-        ), fin AS (
-            SELECT w, len, best[len + 1] AS score, back
-            FROM dp WHERE i = len
-        ), walk AS (
-            SELECT w, len AS pos, 0 AS np, back FROM fin
-            UNION ALL
-            SELECT w, pos - back[pos + 1], np + 1, back
-            FROM walk WHERE pos > 0
-        ), seg AS (
-            SELECT f.w, s.np,
-                   CAST(ROUND(CAST(f.score AS DOUBLE) / 1e9, 9)
-                        AS DECIMAL(38,9)) AS wlp
-            FROM fin f JOIN (SELECT w, np FROM walk WHERE pos = 0) s
-                 USING (w)
-        )
+    "txt_unigram_encode": _UNIGRAM_DP_SQL + """
+        -- piece_ratio: round-half-up via pure integer arithmetic
+        -- ((2·np·1e9 + nt) // (2·nt), then an exact double /1e9) —
+        -- mirrors the Spark DIV expression; never double-divide-
+        -- then-ROUND, whose half-boundary behavior is engine-specific
         SELECT doc_id, COUNT(*) AS n_tokens,
                CAST(SUM(np) AS BIGINT) AS n_pieces,
-               ROUND(CAST(SUM(np) AS BIGINT)
-                     / CAST(COUNT(*) AS DOUBLE), 9) AS piece_ratio,
+               CAST((2 * CAST(SUM(np) AS BIGINT) * 1000000000
+                     + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1e9
+                   AS piece_ratio,
                SUM(wlp) AS doc_logp
         FROM words JOIN seg USING (w)
         GROUP BY doc_id ORDER BY doc_id

@@ -1862,10 +1862,10 @@ def test_cm_sketch_never_undercounts_and_merges(spark):
 
 def _viterbi_ref(word, logp, max_len):
     """Sequential reference for the unigram Viterbi fold: same scaled-
-    integer domain (round(logp·1e9) as int — exact adds, exact tie
+    integer domain (round(logp·1e6) as int — exact adds, exact tie
     equality), same -inf sentinel, same shortest-piece tie rule."""
     NEG = -(10**18)
-    li = {p: int(round(v * 1e9)) for p, v in logp.items()}
+    li = {p: int(round(v * 1e6)) for p, v in logp.items()}
     n = len(word)
     best = [0] + [NEG] * n
     back = [0] * (n + 1)
@@ -1889,7 +1889,7 @@ def _viterbi_ref(word, logp, max_len):
         l = back[pos]
         parts.insert(0, word[pos - l:pos])
         pos -= l
-    return parts, round(best[n] / 1e9, 9)
+    return parts, round(best[n] / 1e6, 6)
 
 
 def test_unigram_viterbi_matches_reference(spark):
