@@ -32,16 +32,30 @@ proven-duplicated hash set the sweep cuts against).
 Replay safety (at-least-once delivery): the corpus publish runs
 BEFORE the state merge, and the publish is a unique-key
 ``merge(when_matched='ignore')`` — a replayed batch whose hashes
-already entered the state recomputes an over-cut rewrite, but every
-one of its ids is already published, so the ignore-merge discards the
-recomputation; state merges are presence-only first-wins and
-re-merge idempotently.
+already entered the state recomputes a rewrite, but every one of its
+ids is already published, so the ignore-merge discards the
+recomputation; state merges are first-wins and re-merge idempotently.
 
-State needs PRESENCE only, never counts: within-batch duplication is
-counted on the batch side, and one prior sighting already makes every
-later window a duplicate — so the state merge is insert-if-absent on
-the hash (no guarded-addition replay hazard at all, the simplest
-point in the sketch-state merge design space).
+The state is ORIGIN-AWARE, not presence-only: each window hash is
+stored with the doc id that first carried it (``_origin``,
+first-wins), and a state hit counts as "seen before" only when the
+origin differs from the probing row's own doc id. Presence-only
+state has a replay poisoning hazard the publish-side ignore-merge
+does NOT cover: a redelivered batch finds its OWN window hashes in
+the state, so every window looks duplicated, and — much worse than
+a discarded over-cut rewrite — ALL of the batch's windows would be
+recorded in ``dup_hashes`` as proven-duplicated, which the residue
+sweep then cuts from the published corpus, emptying documents whose
+text occurs exactly once. With the origin check, a replayed row
+matches only state entries it created itself (same id) and marks
+nothing; genuine cross-document duplication (different id) marks
+exactly as before. Same-id same-text re-ingest — an update the
+ignore-merge publish would discard anyway — is likewise a state
+no-op, keeping the two sides consistent. Within-batch duplication
+never consults the state (counted on the batch side), so a window
+repeated inside one document still dedups. Legacy state rows
+written before origins existed carry NULL origin and conservatively
+count as seen.
 """
 
 from __future__ import annotations
@@ -70,6 +84,7 @@ def run_incremental_exact_substr(
     state_keep_last: int = 3,
     drop_emptied: bool = True,
     prepare=None,
+    broadcast_hash_limit: int = 2_000_000,
 ) -> StreamingQuery:
     """docs stream → per-batch ExactSubstr rewrite vs (batch + state)
     → MERGE survivors → remember the batch's window hashes.
@@ -85,6 +100,16 @@ def run_incremental_exact_substr(
     string (the curation-stage behavior); pass False to publish them
     as empty rows. ``prepare`` is the per-batch cleaning seam
     (applied before any state interaction, like the near-dup sink).
+
+    ``broadcast_hash_limit`` bounds the state-probe broadcast: the
+    probe restricts the bucket-pruned state read to the batch's own
+    hashes with a semi-join, and hinting that side broadcast is only
+    safe while the batch is small — an availableNow backlog batch can
+    carry hundreds of millions of window hashes, and forcing those
+    through a driver broadcast is the failure mode. Past the limit
+    (measured on the window-start row count, an upper bound on
+    distinct hashes already known from the staged ``starts``) the
+    hint is dropped and AQE picks the join strategy.
     """
     if min_len < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
@@ -127,18 +152,43 @@ def run_incremental_exact_substr(
             .where(F.col("_c") > 1)
             .select("_h")
         )
+        marked_starts = starts.join(dup_in_batch, "_h", "left_semi")
         dup_h = dup_in_batch
         if gram_table.exists():
             # bucket-pruned state probe, then restrict to the batch's
-            # own hashes (broadcast semi — the batch side is tiny
-            # next to the accumulated state)
+            # own hashes (semi-join; broadcast-hinted only while the
+            # batch is provably small — an availableNow backlog batch
+            # must not push its hash set through the driver)
             batch_hashes = starts.select("_h").distinct()
-            seen = gram_table.read_buckets(
+            if starts.count() <= broadcast_hash_limit:
+                batch_hashes = F.broadcast(batch_hashes)
+            state = gram_table.read_buckets(
                 gram_table.bucket_ids_of(starts, "_h")
-            ).join(F.broadcast(batch_hashes), "_h", "left_semi")
-            dup_h = dup_in_batch.unionByName(seen.select("_h")).distinct()
+            ).join(batch_hashes, "_h", "left_semi")
+            if "_origin" not in state.columns:  # legacy presence-only
+                state = state.withColumn(
+                    "_origin", F.lit(None).cast("string")
+                )
+            # origin-aware hit: only a DIFFERENT document's prior
+            # sighting makes a window duplicated — a replayed batch
+            # matching its own state entries marks nothing (the
+            # dup_hashes poisoning fix, module docstring). NULL
+            # origin = legacy row, conservatively seen.
+            state_marks = (
+                starts.join(state.select("_h", "_origin"), "_h")
+                .where(
+                    F.col("_origin").isNull()
+                    | (F.col("_origin") != F.col(id_col).cast("string"))
+                )
+                .select(id_col, "_s", "_h")
+            )
+            marked_starts = marked_starts.unionByName(state_marks)
+            dup_h = dup_in_batch.unionByName(
+                state_marks.select("_h")
+            ).distinct()
         marked = (
-            starts.join(dup_h, "_h", "left_semi")
+            marked_starts.select(id_col, "_s")
+            .distinct()
             .groupBy(id_col)
             .agg(F.sort_array(F.collect_list("_s")).alias("_ms"))
         )
@@ -164,8 +214,15 @@ def run_incremental_exact_substr(
         # every over-cut id is already published and the merge ignores
         # it (see module docstring)
         corpus.merge(out, keys=[id_col])
+        # first-wins origin per hash (merge ignores matched keys), so
+        # the earliest document to carry a window owns it forever —
+        # the identity the replay no-op check tests against
         gram_table.merge(
-            starts.select("_h").distinct(), keys=["_h"], metrics=False
+            starts.groupBy("_h").agg(
+                F.min(F.col(id_col).cast("string")).alias("_origin")
+            ),
+            keys=["_h"],
+            metrics=False,
         )
         dup_table.merge(dup_h.distinct(), keys=["_h"], metrics=False)
         gram_table.vacuum(keep_last=state_keep_last)

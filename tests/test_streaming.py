@@ -1590,6 +1590,98 @@ def test_incremental_exact_substr_cross_batch_prefix_consistency(
     assert got[5] == "pre"               # within-batch pair: both cut
     assert got[6] == "post"
 
+    # fat-batch guard: broadcast_hash_limit=0 drops the broadcast hint
+    # on the state probe (AQE picks the strategy — the availableNow-
+    # backlog safety valve); the published result must be identical
+    stream2 = _stream_time_ordered(
+        spark, docs, tmp_path, "es2b_docs", slices=2, ts_col="doc_id"
+    )
+    corpus2 = VersionedTable(spark, str(tmp_path / "es2b_corpus"))
+    q2 = run_incremental_exact_substr(
+        stream2, str(tmp_path / "es2b_state"), corpus2,
+        str(tmp_path / "ckpt_es2b"), min_len=10, broadcast_hash_limit=0,
+    )
+    q2.awaitTermination(180)
+    got2 = {r["doc_id"]: r["text"] for r in corpus2.read().collect()}
+    assert got2 == got
+
+
+def test_incremental_exact_substr_replay_does_not_poison_state(
+    spark, tmp_path
+):
+    """At-least-once redelivery must be a TRUE no-op end to end: a
+    replayed batch finds its own window hashes in the state, and with
+    presence-only state every one of its windows would be recorded in
+    dup_hashes as proven-duplicated — which the residue sweep then
+    cuts from the published corpus, emptying documents whose text
+    occurs exactly once. Origin-aware state (a hit counts only from a
+    DIFFERENT doc id) makes the replay mark nothing, while genuine
+    cross-document duplication arriving later still cuts."""
+    from delta_data_pipelines_spark.storage import VersionedTable
+    from delta_data_pipelines_spark.streaming.exact_substr import (
+        compact_exact_substr_residue,
+        run_incremental_exact_substr,
+    )
+
+    run = " ".join(f"r{j}" for j in range(10))
+    rows = [
+        (1, "u1a u1b " + run + " u1c"),
+        (2, "only unique words here one two three four five six seven"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = VersionedTable(spark, str(tmp_path / "esr_corpus"))
+    state = str(tmp_path / "esr_state")
+
+    # first delivery
+    q = run_incremental_exact_substr(
+        _stream_time_ordered(
+            spark, docs, tmp_path, "esr_docs1", slices=1, ts_col="doc_id"
+        ),
+        state, corpus, str(tmp_path / "ckpt_esr1"), min_len=10,
+    )
+    q.awaitTermination(180)
+    assert {r["doc_id"]: r["text"] for r in corpus.read().collect()} == dict(
+        rows
+    )
+
+    # redelivery of the SAME batch (fresh checkpoint, same state +
+    # corpus — exactly what at-least-once replay looks like to the sink)
+    q = run_incremental_exact_substr(
+        _stream_time_ordered(
+            spark, docs, tmp_path, "esr_docs2", slices=1, ts_col="doc_id"
+        ),
+        state, corpus, str(tmp_path / "ckpt_esr2"), min_len=10,
+    )
+    q.awaitTermination(180)
+    assert {r["doc_id"]: r["text"] for r in corpus.read().collect()} == dict(
+        rows
+    )
+
+    # the poisoning surfaced at SWEEP time: with presence-only state
+    # the replay proved every window "duplicated" and the sweep
+    # emptied both docs. Origin-aware state leaves nothing to cut.
+    res = compact_exact_substr_residue(spark, state, corpus, min_len=10)
+    assert res["docs_rewritten"] == 0, res
+    assert {r["doc_id"]: r["text"] for r in corpus.read().collect()} == dict(
+        rows
+    )
+
+    # genuine cross-document duplication still cuts: a NEW doc
+    # repeating doc 1's run arrives after the replay
+    late = spark.createDataFrame(
+        [(3, "x1 x2 " + run + " x3")], "doc_id long, text string"
+    )
+    q = run_incremental_exact_substr(
+        _stream_time_ordered(
+            spark, late, tmp_path, "esr_docs3", slices=1, ts_col="doc_id"
+        ),
+        state, corpus, str(tmp_path / "ckpt_esr3"), min_len=10,
+    )
+    q.awaitTermination(180)
+    got = {r["doc_id"]: r["text"] for r in corpus.read().collect()}
+    assert got[3] == "x1 x2 x3"
+    assert got[1] == rows[0][1] and got[2] == rows[1][1]
+
 
 def test_exact_substr_compaction_reaches_clean_fixed_point(spark, tmp_path):
     """compact_exact_substr_residue converges the published corpus to
