@@ -499,32 +499,90 @@ def simhash_chunks(text_col: str) -> Column:
     )
 
 
+def _bit_blocks(sig_col: str, n_blocks: int, bits_per_chunk: int):
+    """Re-block a chunked signature's BITS into ``n_blocks``
+    near-equal blocks (MSB-first within each chunk int) for candidate
+    generation — the Manku et al. '07 table layout, expressed as one
+    native transform/aggregate (no UDF). Block j covers global bit
+    positions [j·B div n, (j+1)·B div n) of the B = chunks×bits
+    signature, so blocks tile the bit-space exactly whatever the
+    divisibility."""
+    B = f"(size({sig_col}) * {bits_per_chunk})"
+    return F.expr(
+        f"""
+        transform(sequence(0, {n_blocks - 1}), j -> named_struct(
+            'chunk_idx', j,
+            'chunk_val', aggregate(
+                sequence(j * {B} div {n_blocks},
+                         (j + 1) * {B} div {n_blocks} - 1),
+                0L,
+                (acc, g) -> acc * 2 + bigint(
+                    (element_at({sig_col},
+                                int(g div {bits_per_chunk}) + 1)
+                     >> ({bits_per_chunk - 1} - g % {bits_per_chunk}))
+                    & 1)
+            )
+        ))
+        """
+    )
+
+
 def chunked_hamming_pairs(
     sig: DataFrame,
     id_col: str,
     sig_col: str = "_sh",
     max_hamming: int = 6,
+    n_blocks: int | None = None,
+    bits_per_chunk: int = 16,
 ) -> DataFrame:
-    """Near-dup pairs over CHUNKED 64-bit signatures (array of 16-bit
-    chunk ints) via pigeonhole: any pair within Hamming distance ≤
-    bits_per_chunk×(chunks-1) shares at least one exact chunk, so
-    candidates come from equi-joins on (chunk_idx, chunk_value) —
-    never a cross join — and are verified by exact chunk-wise
-    Hamming. ONE definition for every chunked-signature family
-    (SimHash text signatures, dHash media fingerprints): the join
-    geometry cannot drift between them."""
+    """Near-dup pairs over CHUNKED signatures (array of
+    ``bits_per_chunk``-bit ints), candidates by pigeonhole blocking,
+    verified by exact chunk-wise Hamming. ONE definition for every
+    chunked-signature family (SimHash text signatures, dHash media
+    fingerprints): the join geometry cannot drift between them.
+
+    Recall contract — the pigeonhole bound is the NUMBER OF BLOCKS
+    minus one, not bits×(chunks−1): distributing d differing bits
+    over k blocks leaves an untouched (exactly-equal) block iff
+    d ≤ k−1. Two modes:
+
+    - ``n_blocks=None``: candidates are pairs sharing ≥1 exact
+      stored chunk. Guaranteed-complete only for
+      ``max_hamming ≤ chunks−1`` (3 for a 4-chunk signature); past
+      that the output is EXPLICITLY "pairs sharing an exact chunk
+      with Hamming ≤ max_hamming" — still exact precision, candidate
+      recall documented rather than total.
+    - ``n_blocks=k``: candidate generation re-blocks the signature's
+      bits into k near-equal blocks (:func:`_bit_blocks`), so
+      ``k ≥ max_hamming+1`` guarantees total recall (Manku et al.
+      '07). The price is blocks of B/k bits → buckets 2^(B/k) —
+      choose k only while B/k stays wide enough to block (for
+      max_hamming=20 over 64 bits, k=21 means 3-bit blocks whose
+      equi-join degenerates past a cross join; that regime belongs
+      to the documented-candidate mode, not a recall guarantee).
+
+    Verification is unchanged in both modes (exact XOR popcount over
+    the stored chunks), so precision is always exact."""
+    if n_blocks is not None and n_blocks < max_hamming + 1:
+        raise ValueError(
+            f"n_blocks={n_blocks} cannot guarantee recall at "
+            f"max_hamming={max_hamming}; need >= max_hamming + 1"
+        )
+    entries = (
+        F.transform(
+            F.sequence(F.lit(0), F.size(sig_col) - 1),
+            lambda c: F.struct(
+                c.alias("chunk_idx"),
+                F.element_at(F.col(sig_col), c + 1).alias("chunk_val"),
+            ),
+        )
+        if n_blocks is None
+        else _bit_blocks(sig_col, n_blocks, bits_per_chunk)
+    )
     posed = sig.select(
         id_col,
         sig_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(sig_col) - 1),
-                lambda c: F.struct(
-                    c.alias("chunk_idx"),
-                    F.element_at(F.col(sig_col), c + 1).alias("chunk_val"),
-                ),
-            )
-        ).alias("c"),
+        F.explode(entries).alias("c"),
     ).select(id_col, sig_col, "c.chunk_idx", "c.chunk_val")
     a, b = posed.alias("a"), posed.alias("b")
     hamming = F.aggregate(
@@ -556,15 +614,31 @@ def chunked_hamming_pairs(
 def simhash_near_dup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6
 ) -> DataFrame:
-    """SimHash near-dup pairs via chunk-pigeonhole: any pair within
-    Hamming distance ≤ 3×(chunks-1) shares at least one exact chunk,
-    so candidates come from equi-joins on (chunk_idx, chunk_value) —
-    never a cross join. Verified by exact chunk-wise Hamming
-    (the shared :func:`chunked_hamming_pairs` join)."""
+    """SimHash near-dup pairs with GUARANTEED recall: candidate
+    generation re-blocks the 64-bit signature into max_hamming+1
+    near-equal bit blocks (7 at the default radius — Manku et al.
+    '07), so any pair within the radius shares an exact block by
+    pigeonhole and candidates come from equi-joins on
+    (block_idx, block_value) — never a cross join, never a missed
+    pair. Verified by exact chunk-wise Hamming (the shared
+    :func:`chunked_hamming_pairs` join), so the output EQUALS the
+    brute-force all-pairs answer — which is exactly what the DuckDB
+    oracle computes."""
     sig = _spread(df.select(id_col, text_col)).select(
         F.col(id_col), simhash_chunks(text_col).alias("_sh")
     )
-    return chunked_hamming_pairs(sig, id_col, "_sh", max_hamming)
+    # n_blocks caps at the signature width: 64 one-bit blocks still
+    # guarantee recall through Hamming 63, and radius 64 means "every
+    # pair" anyway (only an exact complement could hide)
+    total_bits = _CHUNKS * _CHUNK_BITS
+    if max_hamming + 1 <= total_bits:
+        return chunked_hamming_pairs(
+            sig, id_col, "_sh", max_hamming, n_blocks=max_hamming + 1
+        )
+    return chunked_hamming_pairs(
+        sig, id_col, "_sh", min(max_hamming, total_bits - 1),
+        n_blocks=total_bits,
+    )
 
 
 def embedding_near_dup_pairs(

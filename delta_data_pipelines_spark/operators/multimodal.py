@@ -399,7 +399,13 @@ def image_dhash(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[keep].copy()
-            out[sig_col] = [dhash_kernel(bytes(p)) for p in pdf[payload_col]]
+            # NULL payloads pass through as NULL signatures (the
+            # repo-wide NULL-row invariant; bytes(None) would raise
+            # executor-side)
+            out[sig_col] = [
+                None if p is None else dhash_kernel(bytes(p))
+                for p in pdf[payload_col]
+            ]
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
@@ -415,11 +421,23 @@ def phash_near_dup_pairs(
     the LAION-style image-dedup shape: dHash fingerprints
     (:func:`image_dhash`), then the shared chunk-pigeonhole Hamming
     join (``dedup.chunked_hamming_pairs`` — equi-join on 16-bit
-    chunks, exact chunk-wise verify, never a cross join). Payloads
-    under 72 bytes carry no fingerprint and produce no pairs. At
-    100 TB the fingerprint pass is payload-local (no shuffle) and
-    the join shuffles 4 small (chunk, value) keys per item, exactly
-    the SimHash posture."""
+    chunks, exact chunk-wise verify, never a cross join).
+
+    Candidate-set contract: the output is "pairs sharing ≥1 exact
+    16-bit chunk, with exact Hamming ≤ max_hamming". Recall is
+    pigeonhole-GUARANTEED only for ``max_hamming ≤ 3`` (chunks−1);
+    wider radii (the stubbed-codec query runs 20) keep exact
+    precision but can miss a pair whose differing bits spread across
+    all 4 chunks — the guaranteed alternative would need
+    max_hamming+1 blocks of ~3 bits, whose 8-value equi-join
+    degenerates past a cross join. Real-image dHash radii sit ≤ 6;
+    callers at radius ≤ 3 get total recall as-is, and the text
+    SimHash path shows the n_blocks re-blocking to reach ≤ 6.
+
+    Payloads under 72 bytes carry no fingerprint and produce no
+    pairs. At 100 TB the fingerprint pass is payload-local (no
+    shuffle) and the join shuffles 4 small (chunk, value) keys per
+    item, exactly the SimHash posture."""
     from .dedup import chunked_hamming_pairs
 
     sig = image_dhash(

@@ -56,10 +56,12 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 6). Oracle-checked since r8:
-    token bits come from md5 (engine-portable, all-integer), so the
-    DuckDB twin recomputes the identical 64-bit signatures, the same
-    shared-chunk candidate set, and the same exact Hamming distances."""
+    """SimHash near-dup pairs (Hamming ≤ 6), TOTAL recall: candidates
+    come from 7-way bit-block pigeonhole (max_hamming+1 blocks —
+    Manku et al. '07), so no qualifying pair can be missed and the
+    DuckDB twin is the pure brute-force all-pairs definition. Token
+    bits come from md5 (engine-portable, all-integer), so the oracle
+    recomputes identical 64-bit signatures and Hamming distances."""
     d = read_table(spark, sf_dir, "documents")
     return dedup.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=6).orderBy(
         "id_a", "id_b"
@@ -327,7 +329,15 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison is exact integer arithmetic (cross-multiplied slice
     sums), so the oracle recomputes identical fingerprints from the
     payload's character codes (the fake payload is the UTF-8 bytes of
-    ASCII text) and verifies pairs by brute-force XOR popcount."""
+    ASCII text) and verifies pairs by brute-force XOR popcount.
+
+    Candidate-set contract (both engines, by design): pairs sharing
+    ≥1 exact 16-bit chunk, exact Hamming ≤ 20. At radius 20 the
+    shared chunk is a blocking heuristic, not a pigeonhole guarantee
+    (that holds only ≤ chunks−1 = 3) — see
+    multimodal.phash_near_dup_pairs for why a guaranteed 21-block
+    split degenerates; the oracle applies the identical restriction
+    so the contract is checked, not approximated."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     with_bin = multimodal.attach_fake_binary(d, "text")
     # threshold 20: byte-pooled stub "pixels" are far noisier than a
@@ -3759,15 +3769,15 @@ ORACLE_SQL = {
             SELECT doc_id, bit,
                    CASE WHEN v > 0 THEN 1 ELSE 0 END AS sbit
             FROM votes
-        ), chunks AS (
-            SELECT doc_id, bit // 16 AS chunk_idx,
-                   SUM(sbit * (1 << (15 - (bit % 16)))) AS chunk_val
-            FROM sig GROUP BY doc_id, bit // 16
+        -- brute-force ALL pairs: since r10 the Spark side re-blocks
+        -- into max_hamming+1 bit blocks (guaranteed pigeonhole
+        -- recall), so the oracle is the pure mathematical definition
+        -- rather than a mirror of the blocking geometry
+        ), ids AS (
+            SELECT DISTINCT doc_id FROM sig
         ), cand AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM chunks a JOIN chunks b
-              ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
-             AND a.doc_id < b.doc_id
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM ids a JOIN ids b ON a.doc_id < b.doc_id
         ), ham AS (
             SELECT c.id_a, c.id_b,
                    SUM(CASE WHEN sa.sbit <> sb.sbit THEN 1 ELSE 0 END) AS hm

@@ -229,6 +229,31 @@ def test_simhash_hamming_zero_for_identical(spark, corpus):
     assert h[(1, 2)] == 0
 
 
+def test_chunked_hamming_recall_contract(spark):
+    """The pigeonhole bound is n_blocks−1, NOT bits×(chunks−1): a pair
+    whose differing bits spread across all 4 stored 16-bit chunks
+    shares no exact chunk, so default (chunk-equality) candidates MISS
+    it even at hamming 4 ≤ max_hamming — the documented candidate-set
+    mode. Re-blocking into max_hamming+1 bit blocks (the SimHash
+    path's mode) finds it, and a too-small n_blocks is rejected."""
+    base = [0x1234, 0x5678, 0x9ABC, 0xDEF0]
+    # flip ONE low bit in each 16-bit chunk: hamming 4, no shared chunk
+    off = [c ^ 1 for c in base]
+    sig = spark.createDataFrame(
+        [(1, base), (2, off)], "doc_id long, _sh array<int>"
+    )
+    missed = dedup.chunked_hamming_pairs(sig, "doc_id", max_hamming=6)
+    assert missed.count() == 0  # explicit candidate-set mode: not found
+    found = dedup.chunked_hamming_pairs(
+        sig, "doc_id", max_hamming=6, n_blocks=7
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in found] == [
+        (1, 2, 4)
+    ]
+    with pytest.raises(ValueError):
+        dedup.chunked_hamming_pairs(sig, "doc_id", max_hamming=6, n_blocks=6)
+
+
 def test_lsh_topk_recall(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 5)
