@@ -757,9 +757,15 @@ class BucketedTable(CheckConstraints):
         deleted loses its manifest pointer (the delete_where rule).
         Replaying ``source.changes(v)`` onto a replica of version ``v``
         reproduces the source snapshot; re-applying the same feed is a
-        no-op on content (at-least-once delivery)."""
+        no-op on content (at-least-once delivery).
+
+        The feed is STAGED once (localCheckpoint) — the bucket probe,
+        constraint aggregate, bucket writes and metric counts would
+        otherwise each re-execute a typically snapshot-diff-shaped
+        lineage (5× the dominant job)."""
         if not keys:
             raise ValueError("keys required to apply a change feed")
+        feed = feed.localCheckpoint(eager=True)
         if self.bucket_key not in keys:
             raise ValueError(
                 f"bucket key {self.bucket_key!r} must be one of the feed "

@@ -406,9 +406,17 @@ class VersionedTable(CheckConstraints):
         change feed a replication protocol rather than a diff report.
         Feeds whose key sets overlap between delete and upsert apply
         delete-then-upsert (the postimage wins — matching
-        snapshot_diff, which never emits both for one key)."""
+        snapshot_diff, which never emits both for one key).
+
+        The feed is STAGED once (localCheckpoint): a CDC feed is
+        typically ``snapshot_diff`` — a full-snapshot join — and the
+        metric counts, the constraint aggregate and the commit write
+        would otherwise each re-execute that lineage (4× the
+        dominant job). Downstream consumers read the checkpointed
+        blocks instead (single-execution pin in tests)."""
         if not keys:
             raise ValueError("keys required to apply a change feed")
+        feed = feed.localCheckpoint(eager=True)
         ct = F.col("_change_type")
         ups = feed.where(
             ct.isin("insert", "update_postimage")
