@@ -32,6 +32,7 @@ except ImportError:
 
 from .bucketed import BucketedTable  # noqa: F401
 from .meta import ConcurrentWriteError, JsonMetaStore  # noqa: F401
+from .replication import ChangeFeedTail  # noqa: F401
 from .table import VersionedTable  # noqa: F401
 from .watermark import WatermarkStore  # noqa: F401
 
