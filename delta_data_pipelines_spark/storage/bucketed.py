@@ -928,6 +928,33 @@ class BucketedTable(CheckConstraints):
         c = self._commit("compact", out, {}, {"versions_before": before})
         return c
 
+    def generations(self) -> int:
+        """Distinct owning versions in the live manifest — the
+        generation fan-out :meth:`compact` collapses. Metadata-only."""
+        if not self.exists():
+            return 0
+        return len({str(v) for v in self._manifest().values()})
+
+    def maybe_compact(self, max_generations: int) -> BucketedCommit | None:
+        """The auto-compaction hook for continuous-merge loops (the
+        streaming state tables): collapse ownership iff the live
+        manifest spans more than ``max_generations`` distinct owning
+        versions, else do nothing. The trigger check reads only the
+        manifest, so calling this every micro-batch costs one JSON
+        read when it doesn't fire — the same posture as per-batch
+        ``vacuum``. Under a steady merge stream this bounds BOTH the
+        generation count (≤ max_generations + 1 at any instant) and,
+        through the following vacuums, the on-disk version-dir count —
+        which is what keeps per-batch read planning flat however long
+        the stream runs."""
+        if max_generations < 1:
+            raise ValueError(
+                f"max_generations must be >= 1, got {max_generations}"
+            )
+        if self.generations() <= max_generations:
+            return None
+        return self.compact()
+
     def vacuum(self, keep_last: int = 3) -> list[int]:
         """Drop history beyond the last N commits, then delete EVERY
         on-disk version dir no surviving manifest references.

@@ -82,6 +82,7 @@ def run_incremental_exact_substr(
     min_len: int = 10,
     n_state_buckets: int = 64,
     state_keep_last: int = 3,
+    state_max_generations: int | None = 16,
     drop_emptied: bool = True,
     prepare=None,
     broadcast_hash_limit: int = 2_000_000,
@@ -225,6 +226,13 @@ def run_incremental_exact_substr(
             metrics=False,
         )
         dup_table.merge(dup_h.distinct(), keys=["_h"], metrics=False)
+        # state maintenance: ownership fan-out is bounded per batch
+        # (maybe_compact's manifest check is metadata-only when it
+        # doesn't fire), then vacuum releases unreferenced dirs — so
+        # per-batch state read planning stays flat forever
+        if state_max_generations is not None:
+            gram_table.maybe_compact(state_max_generations)
+            dup_table.maybe_compact(state_max_generations)
         gram_table.vacuum(keep_last=state_keep_last)
         dup_table.vacuum(keep_last=state_keep_last)
 

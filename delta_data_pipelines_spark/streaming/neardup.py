@@ -75,6 +75,7 @@ def run_incremental_neardup(
     max_bucket: int = 1000,
     n_state_buckets: int = 64,
     state_keep_last: int = 3,
+    state_max_generations: int | None = 16,
     prepare=None,
 ) -> StreamingQuery:
     """docs stream → in-batch collapse → vs-corpus LSH filter → MERGE.
@@ -240,7 +241,13 @@ def run_incremental_neardup(
         # retention: superseded bucket dirs would otherwise accumulate
         # one generation per micro-batch, forever; state tables need no
         # deep time travel, so prune beyond the last few commits
-        # (manifest-referenced dirs are always kept)
+        # (manifest-referenced dirs are always kept). maybe_compact
+        # first bounds ownership fan-out (generations), so the vacuums
+        # can actually release old dirs and per-batch state reads stay
+        # flat however long the stream runs
+        if state_max_generations is not None:
+            sig_table.maybe_compact(state_max_generations)
+            hs_table.maybe_compact(state_max_generations)
         sig_table.vacuum(keep_last=state_keep_last)
         hs_table.vacuum(keep_last=state_keep_last)
 

@@ -1292,3 +1292,66 @@ def test_change_feed_tail_streaming_form(spark, table, tmp_path):
         assert sorted(map(tuple, replica.read().collect())) == want
     finally:
         q.stop()
+
+
+def test_maybe_compact_bounds_generations_on_a_merge_stream(
+    spark, tmp_path
+):
+    """The streaming-state maintenance policy (merge + maybe_compact +
+    vacuum per micro-batch, exactly the sinks' loop): across many
+    batches the live manifest's generation count stays <=
+    max_generations + 1, on-disk version dirs stay bounded (vacuum can
+    actually release old generations once ownership collapses), data
+    is never lost, and per-batch wall time stays flat instead of
+    growing with batch number."""
+    import os
+    import time as _time
+
+    from delta_data_pipelines_spark.storage import BucketedTable
+
+    bt = BucketedTable(
+        spark, str(tmp_path / "mc"), bucket_key="k", n_buckets=8
+    )
+    MAXGEN = 4
+    times = []
+    compactions = 0
+    for i in range(30):
+        batch = spark.createDataFrame(
+            [(f"k{i}", i)], "k string, v long"
+        )
+        t0 = _time.time()
+        bt.merge(batch, keys=["k"], metrics=False)
+        if bt.maybe_compact(MAXGEN) is not None:
+            compactions += 1
+        bt.vacuum(keep_last=3)
+        times.append(_time.time() - t0)
+        assert bt.generations() <= MAXGEN + 1, (i, bt.generations())
+    assert compactions >= 3  # the trigger actually fires repeatedly
+    assert bt.read().count() == 30  # nothing lost
+    vdirs = [d for d in os.listdir(bt.root) if d.startswith("v=")]
+    # without compaction a 30-batch stream can pin ~1 generation per
+    # batch; with the policy the disk holds only the last few commits'
+    # generations
+    assert len(vdirs) <= MAXGEN + 3 + 1, sorted(vdirs)
+    # flatness: the last third must not be meaningfully slower than
+    # the first third (generous 3x guard - the failure mode without
+    # maintenance is monotone growth, not noise)
+    first = sorted(times[:10])[5]
+    last = sorted(times[-10:])[5]
+    assert last <= max(3 * first, first + 2.0), (first, last)
+
+
+def test_maybe_compact_validates_and_noops_below_threshold(spark, tmp_path):
+    from delta_data_pipelines_spark.storage import BucketedTable
+
+    bt = BucketedTable(
+        spark, str(tmp_path / "mc2"), bucket_key="k", n_buckets=4
+    )
+    with pytest.raises(ValueError):
+        bt.maybe_compact(0)
+    assert bt.maybe_compact(2) is None  # nonexistent table: no-op
+    bt.merge(
+        spark.createDataFrame([("a", 1)], "k string, v long"), keys=["k"]
+    )
+    assert bt.generations() == 1
+    assert bt.maybe_compact(2) is None  # under threshold: no commit
