@@ -79,6 +79,12 @@ class BucketedCommit:
 
 
 class BucketedTable(CheckConstraints):
+    # spill dirs of merges currently in flight IN THIS PROCESS —
+    # vacuum never sweeps these whatever their age (a same-process
+    # sweep racing a long merge was the original hazard; cross-process
+    # protection comes from the _LEASE heartbeat, below)
+    _inflight_spills: set[str] = set()
+
     def __init__(
         self,
         spark: SparkSession,
@@ -529,20 +535,35 @@ class BucketedTable(CheckConstraints):
         # writer-unique spill dir: concurrent merges must not share it
         # (vacuum sweeps crash-orphaned spills)
         tmp = os.path.join(self.root, f"_tmp_merge-{uuid.uuid4().hex[:8]}")
-        (
-            source.repartition("_bucket")
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(tmp)
-        )
-        touched = self._bucket_ids_in(tmp)
+        BucketedTable._inflight_spills.add(tmp)
         try:
+            (
+                source.repartition("_bucket")
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(tmp)
+            )
+            # cross-process liveness lease: the orphan sweep keys its
+            # staleness on this file's mtime (re-touched at each merge
+            # phase below), not the dir's — a merge whose post-spill
+            # joins outlive the grace period keeps its spill alive
+            self._touch_lease(tmp)
+            touched = self._bucket_ids_in(tmp)
             return self._merge_spilled(
                 source, tmp, touched, keys, when_matched, metrics,
                 schema_evolution,
             )
         finally:
+            BucketedTable._inflight_spills.discard(tmp)
             shutil.rmtree(tmp, ignore_errors=True)
+
+    @staticmethod
+    def _touch_lease(tmp: str) -> None:
+        try:
+            with open(os.path.join(tmp, "_LEASE"), "w") as fh:
+                fh.write(str(time.time()))
+        except OSError:  # spill vanished mid-merge: surface elsewhere
+            pass
 
     def _merge_spilled(
         self,
@@ -580,6 +601,10 @@ class BucketedTable(CheckConstraints):
             n_src = self._footer_count([tmp]) if metrics else -1
             data_name = self._new_data_name(version)
             vdir = os.path.join(self.root, data_name)
+            try:  # the lease must not ride into the adopted version dir
+                os.remove(os.path.join(tmp, "_LEASE"))
+            except OSError:
+                pass
             os.replace(tmp, vdir)
             self._store_schema_once(source)
             entry = BucketedCommit(
@@ -600,6 +625,7 @@ class BucketedTable(CheckConstraints):
         # re-read the spilled source with its KNOWN schema (skips the
         # per-read schema-inference job; _bucket is in the schema so the
         # partition-dir value parses back as bigint, not inferred int)
+        self._touch_lease(tmp)  # heartbeat: bucket read/join phase
         src = self.spark.read.schema(source.schema).parquet(tmp)
         manifest = self._manifest()
         existing_dirs = [
@@ -648,6 +674,7 @@ class BucketedTable(CheckConstraints):
             # validate BEFORE writing: a type-changing evolution must
             # fail with zero buckets written, not strand a version
             self._reject_type_changes(out)
+        self._touch_lease(tmp)  # heartbeat: bucket write phase
         data_name = self._new_data_name(version)
         written = self._write_buckets(out, data_name)
         self._store_schema_once(out)
@@ -985,9 +1012,22 @@ class BucketedTable(CheckConstraints):
             path = os.path.join(self.root, d)
             if d.startswith("_tmp_merge"):
                 # crash-orphaned merge spill: sweep once it is clearly
-                # not an in-flight merge (1h grace)
+                # not an in-flight merge. Liveness has two witnesses —
+                # the in-process registry (this process's own merges,
+                # whatever their age) and the _LEASE heartbeat a merge
+                # re-touches at each phase (cross-process), so a merge
+                # whose post-spill joins outlive the 1h grace is not
+                # swept out from under itself; only a spill with NO
+                # registry entry and a stale lease (or none: a crash
+                # before/while spilling) is an orphan
+                if path in BucketedTable._inflight_spills:
+                    continue
+                lease = os.path.join(path, "_LEASE")
                 try:
-                    stale = now - os.path.getmtime(path) > 3600
+                    ref = os.path.getmtime(path)
+                    if os.path.exists(lease):
+                        ref = max(ref, os.path.getmtime(lease))
+                    stale = now - ref > 3600
                 except OSError:
                     continue
                 if stale:

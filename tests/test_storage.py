@@ -1355,3 +1355,56 @@ def test_maybe_compact_validates_and_noops_below_threshold(spark, tmp_path):
     )
     assert bt.generations() == 1
     assert bt.maybe_compact(2) is None  # under threshold: no commit
+
+
+def test_vacuum_spill_sweep_respects_lease_and_registry(spark, tmp_path):
+    """The orphan-spill sweep must not delete an in-flight merge's
+    spill: (a) a spill whose top-level mtime is ancient but whose
+    _LEASE heartbeat is fresh survives (a merge's post-spill phase ran
+    past the grace period — the original hazard), (b) a spill
+    registered by this process survives whatever its age, (c) a truly
+    orphaned spill (stale dir, stale-or-missing lease, no registry
+    entry) is swept."""
+    import os
+    import time as _time
+
+    from delta_data_pipelines_spark.storage import BucketedTable
+
+    bt = BucketedTable(
+        spark, str(tmp_path / "vs"), bucket_key="k", n_buckets=4
+    )
+    for i in range(4):  # enough history for vacuum to run its sweep
+        bt.merge(
+            spark.createDataFrame([(f"k{i}", i)], "k string, v long"),
+            keys=["k"],
+        )
+    old = _time.time() - 7200
+
+    # (a) ancient dir, fresh lease
+    leased = os.path.join(bt.root, "_tmp_merge-leased")
+    os.makedirs(leased)
+    with open(os.path.join(leased, "_LEASE"), "w") as fh:
+        fh.write("hb")
+    os.utime(leased, (old, old))
+
+    # (b) ancient dir, no lease, but registered in-flight
+    reg = os.path.join(bt.root, "_tmp_merge-registered")
+    os.makedirs(reg)
+    os.utime(reg, (old, old))
+    BucketedTable._inflight_spills.add(reg)
+
+    # (c) ancient dir, stale lease
+    orphan = os.path.join(bt.root, "_tmp_merge-orphan")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "_LEASE"), "w") as fh:
+        fh.write("hb")
+    os.utime(os.path.join(orphan, "_LEASE"), (old, old))
+    os.utime(orphan, (old, old))
+
+    try:
+        bt.vacuum(keep_last=2)
+        assert os.path.exists(leased)
+        assert os.path.exists(reg)
+        assert not os.path.exists(orphan)
+    finally:
+        BucketedTable._inflight_spills.discard(reg)
