@@ -147,6 +147,18 @@ HEADLINE = [
     "sim_ivf_recall_curve",
 ]
 
+# Rotating NEW-ENTRY SHELF (r9 verdict ask #7): entries added THIS
+# round, baselined once here and promoted into HEADLINE's stable core
+# next round. compare_bench excludes shelf entries (either side's)
+# from the cross-round regression gate and geomean, so the
+# round-over-round number reads code changes, not list growth — a
+# first baseline has no old max to clear and lands during the round's
+# busiest machine state. The bench output line carries the shelf list
+# (short by construction) so the NEXT round's compare knows what to
+# exclude without needing this source file.
+SHELF: list[str] = []
+HEADLINE = HEADLINE + SHELF
+
 
 def _reset_session_state(spark) -> None:
     """Release accumulated executor storage between bench queries.
@@ -298,12 +310,14 @@ def main() -> int:
     # for ~50 queries pushed the medians out of that window in r8 —
     # the compact line below (medians + calibration only) must be LAST
     # and must fit whole.
+    shelf_present = [q for q in SHELF if q in timings]
     sidecar = {
         "metric": "headline_queries_spread",
         "sf": sf,
         "runs": runs,
         "queries": timings,
         "spread": spread,
+        "shelf": shelf_present,
         "calibration": calibration,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -318,6 +332,7 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf,
                 "runs": runs,
+                "shelf": shelf_present,
                 "calibration": calibration,
             }
         )

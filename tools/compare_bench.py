@@ -37,6 +37,7 @@ def _load(path: str) -> tuple[dict[str, float], float | None]:
     probe = None
     obj = None
     _load.last_disagreement = None  # reset per call (stale-state guard)
+    _load.last_shelf = []  # new-entry shelf of the loaded run, if any
     for candidate in (text, text.strip().splitlines()[-1] if text.strip() else ""):
         try:
             obj = json.loads(candidate)
@@ -45,6 +46,7 @@ def _load(path: str) -> tuple[dict[str, float], float | None]:
             continue
     if isinstance(obj, dict) and "queries" in obj:
         queries = dict(obj["queries"])
+        _load.last_shelf = list(obj.get("shelf") or [])
         calib = obj.get("calibration") or {}
         vals = [calib.get("start"), calib.get("end")]
         vals = [v for v in vals if isinstance(v, (int, float))]
@@ -86,12 +88,21 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     old_q, old_p = _load(args.old)
     old_dis = getattr(_load, "last_disagreement", None)
+    old_shelf = set(getattr(_load, "last_shelf", []))
     new_q, new_p = _load(args.new)
     new_dis = getattr(_load, "last_disagreement", None)
+    new_shelf = set(getattr(_load, "last_shelf", []))
     machine = (
         (new_p / old_p) if old_p and new_p else 1.0
     )  # no probes -> raw comparison, flagged below
-    shared = sorted(k for k in old_q if k in new_q and old_q[k] > 0)
+    # the regression gate and geomean read the STABLE CORE only:
+    # either side's new-entry shelf is excluded, so cross-round
+    # numbers compare code changes, not list growth (a first baseline
+    # has no old max to clear) — bench.py "SHELF"
+    shelf = old_shelf | new_shelf
+    shared = sorted(
+        k for k in old_q if k in new_q and old_q[k] > 0 and k not in shelf
+    )
     ratios = {
         k: round((new_q[k] / old_q[k]) / machine, 3) for k in shared
     }
@@ -120,6 +131,7 @@ def main(argv: list[str] | None = None) -> int:
         ),
         "added": sorted(k for k in new_q if k not in old_q),
         "removed": sorted(k for k in old_q if k not in new_q),
+        "shelf_excluded": sorted(shelf & set(old_q) & set(new_q)),
     }
     print(json.dumps(out))
     return 1 if regressions else 0
