@@ -144,8 +144,10 @@ _PRIORITY = [
     # mirror-checked + benched) rotated out for the IVF nprobe
     # recall/IO curve's first driver row
     # r10: ds_interleave (driver-green ×4 r6-r9, unchanged code, still
-    # mirror-checked + benched) rotated out for the unigram words twin
-    "sim_ivf_recall_curve", "st_interval_join",
+    # mirror-checked + benched) rotated out for the unigram words
+    # twin; st_interval_join (×4 r6-r9, same standing) rotated out for
+    # the r10 capability query — DOM-block main-content extraction
+    "sim_ivf_recall_curve", "txt_main_content",
     # txt_unigram_logprob and td_dup_weights (each r07 x2, unchanged,
     # still mirror-checked) and t_ohlc_bars (r07, unchanged, mirror-
     # checked) rotated out for the continuation additions' first

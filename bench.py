@@ -156,7 +156,12 @@ HEADLINE = [
 # busiest machine state. The bench output line carries the shelf list
 # (short by construction) so the NEXT round's compare knows what to
 # exclude without needing this source file.
-SHELF: list[str] = []
+SHELF: list[str] = [
+    # r10: DOM-block main-content extraction — Arrow-batched block
+    # parse + (source, hash) template aggregate + per-page rescue
+    # window; the heaviest new plan shape this round
+    "txt_main_content",
+]
 HEADLINE = HEADLINE + SHELF
 
 

@@ -90,6 +90,12 @@ def main(argv: list[str] | None = None) -> int:
                     "same canonical URL (case/port/tracking-param/"
                     "fragment variants) to the latest capture before "
                     "any text-level stage")
+    cc.add_argument("--main-content", action="store_true",
+                    help="with --warc-in: DOM-block boilerplate "
+                    "removal (jusText/trafilatura family) instead of "
+                    "whole-page text — link-dense blocks, short "
+                    "orphans and per-host repeated templates drop "
+                    "before any quality gate")
     cc.add_argument("--warc-in", default=None, metavar="GLOB",
                     help="read the input corpus from WARC shards "
                     "(Common Crawl container): 2xx HTML responses -> "
@@ -371,6 +377,8 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--warc-in and --jsonl-in are mutually exclusive")
         if args.dedup_refetches and not args.warc_in:
             p.error("--dedup-refetches requires --warc-in (URL column)")
+        if args.main_content and not args.warc_in:
+            p.error("--main-content requires --warc-in (HTML payloads)")
         if args.tokenizer and args.pack_ctx is None:
             p.error("--tokenizer requires --pack-ctx")
         n_quarantined = 0
@@ -387,7 +395,9 @@ def main(argv: list[str] | None = None) -> int:
             n_quarantined = recs.where(
                 F.col("warc_type") == "_error"
             ).count()
-            docs = documents_from_records(recs)
+            docs = documents_from_records(
+                recs, main_content=args.main_content
+            )
             if args.dedup_refetches:
                 from .functions.urls import dedup_refetches
 

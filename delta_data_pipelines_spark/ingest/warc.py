@@ -226,6 +226,7 @@ def warc_documents(
     paths: str | list[str],
     min_status: int = 200,
     max_status: int = 299,
+    main_content: bool = False,
 ) -> DataFrame:
     """Successful response captures as a documents-shaped frame:
     (doc_id, url, source, fetched_at, text) — the WARC-to-corpus step
@@ -242,18 +243,30 @@ def warc_documents(
         read_warc(spark, paths, split_http=True),
         min_status=min_status,
         max_status=max_status,
+        main_content=main_content,
     )
 
 
 def documents_from_records(
-    recs: DataFrame, min_status: int = 200, max_status: int = 299
+    recs: DataFrame,
+    min_status: int = 200,
+    max_status: int = 299,
+    main_content: bool = False,
 ) -> DataFrame:
     """The record→document step of :func:`warc_documents`, split out
     so a caller that already staged the records frame (e.g. the
     curate CLI, which counts _error rows off the same single scan —
-    WARC members decompress once) can reuse it."""
-    from .html_udf import extract_page_text
+    WARC members decompress once) can reuse it.
 
+    ``main_content=True`` swaps the whole-page text extraction for
+    the DOM-block boilerplate removal (ingest.maincontent — jusText/
+    trafilatura family): block segmentation in the same Arrow-batched
+    seam, link-density + length/rescue rules natively, and the
+    site-template rule keyed on ``source`` (the URL host) — nav bars
+    and footers repeated across a host's captured pages drop out of
+    ``text`` before any downstream quality gating. Pages whose blocks
+    all classify as boilerplate yield empty text (the curation job's
+    length gate removes them)."""
     resp = recs.where(
         (F.col("warc_type") == "response")
         & F.col("http_status").between(min_status, max_status)
@@ -266,8 +279,15 @@ def documents_from_records(
     )
     from ..operators.textstats import lang_id
 
-    return (
-        extract_page_text(resp, "_html")
-        .drop("_html")
-        .withColumn("lang", lang_id(F.col("text")))
-    )
+    if main_content:
+        from .maincontent import main_content as extract_main
+
+        body = extract_main(
+            resp, "doc_id", "_html", source_col="source"
+        ).select("doc_id", F.col("main_text").alias("text"))
+        docs = resp.drop("_html").join(body, "doc_id", "left")
+    else:
+        from .html_udf import extract_page_text
+
+        docs = extract_page_text(resp, "_html").drop("_html")
+    return docs.withColumn("lang", lang_id(F.col("text")))

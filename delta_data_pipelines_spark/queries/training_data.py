@@ -353,6 +353,36 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def txt_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM-block main-content extraction (jusText/trafilatura family —
+    the published curation stage between raw WARC captures and the
+    Gopher gate): pages are segmented into blocks by the Arrow-batched
+    stdlib tokenizer, then three NATIVE rules classify each block —
+    site-template repetition (md5-of-block df per source ≥ 0.5, one
+    (source, hash) shuffle, the txt_boilerplate shape), link density
+    > 0.4, and the jusText length/neighbor-rescue pass (lag/lead
+    window per page). Pages come from the deterministic builder
+    (ingest.maincontent.attach_fake_html — the attach_fake_binary
+    pattern): nav and share widgets are link-only, the footer is a
+    per-source template, paragraphs carry the document's words 12 per
+    block; the oracle re-derives the expected block table from the
+    TEXT alone and replays the identical rules, so a parser
+    mis-segmentation or rule drift breaks the hash match."""
+    from ..ingest import maincontent
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    fake = maincontent.attach_fake_html(d, "text", "source")
+    return (
+        maincontent.main_content(
+            fake, "doc_id", "_html", source_col="source"
+        )
+        .select("doc_id", "n_blocks", "n_kept", "main_text")
+        .orderBy("doc_id")
+    )
+
+
 def txt_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 docs per source by quality score (corpus balancing /
     per-domain caps — the standard pre-training selection shape).
@@ -2463,6 +2493,7 @@ SPARK_QUERIES = {
     "mm_features": mm_features,
     "mm_resize": mm_resize,
     "mm_frames": mm_frames,
+    "txt_main_content": txt_main_content,
     "txt_topk_per_source": txt_topk_per_source,
     "txt_enum_lookup": txt_enum_lookup,
     "txt_length_quantiles": txt_length_quantiles,
@@ -3642,6 +3673,78 @@ ORACLE_SQL = {
                SUM(wlp) AS doc_logp
         FROM words JOIN seg USING (w)
         GROUP BY doc_id ORDER BY doc_id
+    """,
+    # the block table is re-derived from TEXT (the deterministic page
+    # builder's sandwich: link-only nav, 12-word paragraphs, link-only
+    # share widget, per-source footer), so the Spark side's actual
+    # HTML build->parse cycle is verified against this parse-free
+    # reconstruction; all_link mirrors link-density (exactly 1.0 vs
+    # 0.0 in the synthetic pages, so no float boundary exists)
+    "txt_main_content": """
+        WITH words AS (
+            SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), w -> w <> '') AS ws
+            FROM documents
+        ), sized AS (
+            SELECT doc_id, source, ws,
+                   CAST(ceil(len(ws) / 12.0) AS INT) AS nparas
+            FROM words
+        ), pidx AS (
+            SELECT doc_id, source, ws,
+                   CAST(unnest(range(0, nparas)) AS INT) AS i
+            FROM sized
+        ), blocks AS (
+            SELECT doc_id, source, 0 AS bidx,
+                   'home products about contact' AS btext,
+                   true AS all_link
+            FROM sized
+            UNION ALL
+            SELECT doc_id, source, i + 1,
+                   array_to_string(ws[i*12+1 : i*12+12], ' '), false
+            FROM pidx
+            UNION ALL
+            SELECT doc_id, source, nparas + 1,
+                   'read more share this', true
+            FROM sized
+            UNION ALL
+            SELECT doc_id, source, nparas + 2,
+                   'copyright ' || source || ' network all rights reserved',
+                   false
+            FROM sized
+        ), totals AS (
+            SELECT source, COUNT(DISTINCT doc_id) AS sdocs
+            FROM words GROUP BY source
+        ), site AS (
+            SELECT g.source, g.btext FROM (
+                SELECT source, btext, COUNT(DISTINCT doc_id) AS bdocs
+                FROM blocks GROUP BY source, btext
+            ) g JOIN totals USING (source)
+            WHERE bdocs >= 2 AND bdocs / CAST(sdocs AS DOUBLE) >= 0.5
+        ), cls AS (
+            SELECT b.doc_id, b.bidx, b.btext,
+                   (s.btext IS NOT NULL) AS site_bp,
+                   b.all_link AS link_bp,
+                   len(string_split(b.btext, ' ')) AS nw
+            FROM blocks b LEFT JOIN site s
+              ON s.source = b.source AND s.btext = b.btext
+        ), based AS (
+            SELECT *,
+                   (NOT site_bp AND NOT link_bp AND nw >= 5) AS base,
+                   (NOT site_bp AND NOT link_bp) AS clean
+            FROM cls
+        ), resc AS (
+            SELECT *,
+                   base OR (clean AND nw < 5 AND
+                       (COALESCE(LAG(base) OVER w, false)
+                        OR COALESCE(LEAD(base) OVER w, false))) AS kept
+            FROM based WINDOW w AS (PARTITION BY doc_id ORDER BY bidx)
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               COALESCE(string_agg(btext, ' ' ORDER BY bidx)
+                        FILTER (WHERE kept), '') AS main_text
+        FROM resc GROUP BY doc_id ORDER BY doc_id
     """,
     "txt_boilerplate": """
         WITH sh AS (

@@ -682,3 +682,89 @@ def test_jsonl_roundtrip_corrupt_handling_and_shards(spark, tmp_path):
         (1, "hello world"), (2, "ok"),
     }
     assert rt_bad.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Main-content extraction (ingest/maincontent.py)
+# ---------------------------------------------------------------------------
+
+
+def test_blocks_kernel_segments_links_and_damage():
+    from delta_data_pipelines_spark.ingest.maincontent import blocks_kernel
+
+    html = (
+        '<html><body><nav><a href="/">home</a> <a href="/x">shop</a></nav>'
+        "<p>plain <b>bold</b> and <a href='#'>linked</a> words</p>"
+        "<script>var x = '<p>not text</p>';</script>"
+        "<div>standalone</div></body></html>"
+    )
+    blocks = blocks_kernel(html)
+    assert [(b["tag"], b["text"]) for b in blocks] == [
+        ("nav", "home shop"),
+        ("p", "plain bold and linked words"),
+        ("div", "standalone"),
+    ]
+    nav, p, div = blocks
+    assert nav["link_chars"] == nav["chars"] == len("home") + len("shop")
+    assert p["link_chars"] == len("linked")
+    assert p["chars"] == sum(len(w) for w in ["plain", "bold", "and", "linked", "words"])
+    assert div["link_chars"] == 0
+
+    # NULL in -> None out; truncated markup -> whatever was collected
+    assert blocks_kernel(None) is None
+    cut = blocks_kernel("<p>kept</p><p>trunc")
+    assert [b["text"] for b in cut] == ["kept", "trunc"]
+
+
+def test_main_content_rules(spark):
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.ingest.maincontent import main_content
+
+    body = "alpha beta gamma delta epsilon zeta"  # 6 words: content
+    nav = '<nav><a href="/">one</a> <a href="/2">two</a></nav>'  # link-only
+    pages = [
+        # two docs on srcA share the nav AND a footer template; each
+        # carries its own content paragraph + a short headline that the
+        # neighbor rescue keeps
+        (1, "srcA", f"<html><body>{nav}<h1>big news</h1><p>{body}</p>"
+                    "<footer>site footer template</footer></body></html>"),
+        (2, "srcA", f"<html><body>{nav}<p>{body} extra words here</p>"
+                    "<footer>site footer template</footer></body></html>"),
+        # single-doc source: its footer repeats nowhere, is 4 words
+        # (< min) with no content neighbor on one side test: footer's
+        # prev block IS content -> rescued (documents the rescue
+        # semantics: per-site templates need the SITE rule, length
+        # alone cannot drop them)
+        (3, "srcB", f"<html><body><p>{body}</p>"
+                    "<footer>tiny footer here</footer></body></html>"),
+        (4, "srcB", None),                      # NULL page
+        (5, "srcB", "<html><body></body></html>"),  # no blocks
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, source string, html string")
+    out = {
+        r["doc_id"]: r
+        for r in main_content(df, "doc_id", "html", source_col="source").collect()
+    }
+    # doc 1: nav dropped (link density + site rule), h1 'big news'
+    # rescued next to content, footer dropped by SITE rule
+    assert out[1]["main_text"] == "big news " + body
+    assert out[1]["n_blocks"] == 4 and out[1]["n_kept"] == 2
+    # doc 2: nav + footer dropped, content kept
+    assert out[2]["main_text"] == body + " extra words here"
+    # doc 3: unique short footer RESCUED by its content neighbor —
+    # exactly why the corpus-level site rule exists
+    assert out[3]["main_text"] == body + " tiny footer here"
+    # NULL page and blockless page: NULL text, zero blocks
+    assert out[4]["n_blocks"] == 0 and out[4]["main_text"] is None
+    assert out[5]["n_blocks"] == 0 and out[5]["main_text"] is None
+
+    # without a source column the site rule is off: the shared footer
+    # survives on srcA docs (5 words? 'site footer template' = 3 words
+    # -> still dropped by length unless rescued by neighbor... it IS
+    # adjacent to content, so it is rescued)
+    out_ns = {
+        r["doc_id"]: r
+        for r in main_content(df, "doc_id", "html").collect()
+    }
+    assert out_ns[1]["main_text"].endswith("site footer template")

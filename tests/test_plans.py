@@ -598,6 +598,17 @@ def test_ivf_recall_curve_single_assignment_no_cartesian(spark, registry):
     assert "EvalPython" not in plan, plan
 
 
+def test_main_content_plan_stays_bounded(spark, registry):
+    """txt_main_content: block classification is all equi-joins (the
+    site-template rule joins on (source, block-hash) — a cartesian
+    would mean the hash key was lost) and the block parse ran ONCE
+    into the eager checkpoint, so no MapInPandas remains in the
+    downstream plan (the two-consumer recompute trap)."""
+    plan = plan_of(spark, registry, "txt_main_content")
+    assert "CartesianProduct" not in plan, plan
+    assert "MapInPandas" not in plan, plan
+
+
 def test_phash_and_spans_plans_stay_bounded(spark, registry):
     """mm_phash_dedup pairs only through chunk equi-joins (the
     pigeonhole — a cartesian would mean the chunk key was lost) and

@@ -204,3 +204,35 @@ def test_warc_documents_lang_id(spark, tmp_path):
     got = {r["doc_id"]: r["lang"] for r in warc.warc_documents(spark, p).collect()}
     assert got["<urn:uuid:en-1>"] == "en"
     assert got["<urn:uuid:und-1>"] == "und"
+
+
+def test_warc_documents_main_content(spark, tmp_path):
+    """main_content=True: the DOM-block boilerplate removal runs at
+    WARC ingest — nav chrome and the host's repeated footer template
+    drop out of text, article bodies survive (whole-page extraction
+    would keep all of it)."""
+    nav = b'<nav><a href="/">home</a> <a href="/s">shop</a> <a href="/a">about</a></nav>'
+    foot = b"<footer>example site all rights reserved forever</footer>"
+    body1 = b"<p>the first article body has plenty of words to keep</p>"
+    body2 = b"<p>a second article body also has enough words here</p>"
+    recs = [
+        _record("response", "m1", _http(200, b"<html><body>" + nav + body1 + foot + b"</body></html>"), uri="http://e.example/a"),
+        _record("response", "m2", _http(200, b"<html><body>" + nav + body2 + foot + b"</body></html>"), uri="http://e.example/b"),
+    ]
+    p = os.path.join(tmp_path, "mc.warc.gz")
+    _write_shard(p, recs)
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in warc.warc_documents(spark, p, main_content=True).collect()
+    }
+    assert docs["<urn:uuid:m1>"] == "the first article body has plenty of words to keep"
+    assert docs["<urn:uuid:m2>"] == "a second article body also has enough words here"
+
+    # whole-page extraction keeps the chrome — the delta IS the stage
+    full = {
+        r["doc_id"]: r["text"]
+        for r in warc.warc_documents(spark, p).collect()
+    }
+    assert "home shop about" in full["<urn:uuid:m1>"]
+    assert "rights reserved" in full["<urn:uuid:m1>"]
