@@ -702,3 +702,48 @@ def test_gumbel_topk_subset_size_determinism(spark, rows, k):
     assert len(a) == min(k, len(rows))
     assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
     assert all(r["doc_id"] in ids for r in a)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["p", "div", "h1", "li", "footer", "nav"]),
+            st.lists(
+                st.text(alphabet="abcxyz", min_size=1, max_size=6),
+                min_size=0,
+                max_size=6,
+            ),
+            st.booleans(),  # wrap the body in a link?
+            st.booleans(),  # follow with a script block (must vanish)?
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_blocks_kernel_matches_render_model(blocks):
+    """blocks_kernel inverts a rendered block document exactly: per
+    non-empty block, (tag, text, chars, link_chars) equal the render
+    model's — one text node per block, chars = node length, link
+    chars = the whole node iff wrapped in <a>; empty blocks vanish;
+    script bodies never leak into any block."""
+    from delta_data_pipelines_spark.ingest.maincontent import blocks_kernel
+
+    html_parts = ["<html><body>"]
+    expect = []
+    for tag, words, linked, with_script in blocks:
+        body = " ".join(words)
+        inner = f'<a href="#">{body}</a>' if linked else body
+        html_parts.append(f"<{tag}>{inner}</{tag}>")
+        if with_script:
+            html_parts.append("<script>var leak = 'NO';</script>")
+        if body:
+            expect.append(
+                (tag, body, len(body), len(body) if linked else 0)
+            )
+    html_parts.append("</body></html>")
+    got = blocks_kernel("".join(html_parts))
+    assert [
+        (b["tag"], b["text"], b["chars"], b["link_chars"]) for b in got
+    ] == expect
+    assert all("NO" not in b["text"] for b in got)
