@@ -386,3 +386,62 @@ def test_exact_substring_dedup_on_replicated_corpus(spark):
         (F.col("n_tokens") < 10) & (F.col("n_removed") != 0)
     )
     assert short_kept.count() == 0
+
+
+def test_main_content_on_replicated_corpus(spark):
+    """Main-content invariants at a corpus multiple: replicating every
+    page 5x (distinct ids, same source) leaves each copy's extraction
+    IDENTICAL to the others' (the site-template aggregate sees 5x the
+    docs AND 5x the repeats — the df ratio is scale-free), the
+    template blocks (nav/share/footer) stay boilerplate, and content
+    paragraphs stay content UNLESS they were already site-flagged at
+    1x. The only corpus-scale shuffle is the (source, block-hash)
+    count — no pair term anywhere, so the op survives replication
+    with work proportional to pages parsed."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.ingest.maincontent import (
+        attach_fake_html,
+        main_content,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    base = attach_fake_html(d, "text", "source")
+    ref = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["main_text"])
+        for r in main_content(
+            base, "doc_id", "_html", source_col="source"
+        ).collect()
+    }
+
+    big = d
+    for i in range(1, 5):
+        big = big.union(
+            d.select(
+                (F.col("doc_id") + 100000 * i).alias("doc_id"),
+                "source",
+                "text",
+            )
+        )
+    out = main_content(
+        attach_fake_html(big, "text", "source"),
+        "doc_id",
+        "_html",
+        source_col="source",
+    )
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["main_text"])
+        for r in out.collect()
+    }
+    assert len(got) == 5 * len(ref)
+    mismatches = [
+        (i, k)
+        for k, v in ref.items()
+        for i in range(5)
+        if got[k + 100000 * i] != v
+    ]
+    # replicas of the same page must extract identically; the 1x
+    # result itself is the reference for copy 0
+    assert not mismatches, mismatches[:5]
