@@ -319,6 +319,22 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --ctx: shuffle token content into "
                     "physical windows (one skew-free shuffle)")
 
+    rp = sub.add_parser(
+        "replicate",
+        help="CDC tail: apply a table's change feed to a replica "
+        "(changes() -> apply_changes() with a persisted applied-"
+        "version watermark; ticks are replay-safe)",
+    )
+    rp.add_argument("--source", required=True, help="source table root")
+    rp.add_argument("--replica", required=True, help="replica table root")
+    rp.add_argument("--keys", required=True, nargs="+", metavar="COL",
+                    help="CDC key columns (bucketed: must include the "
+                    "bucket key)")
+    rp.add_argument("--ticks", type=int, default=1,
+                    help="number of catch-up ticks to run (default 1)")
+    rp.add_argument("--poll", type=float, default=10.0,
+                    help="seconds between ticks when --ticks > 1")
+
     sub.add_parser("bench", help="run the bench harness")
 
     args = p.parse_args(argv)
@@ -479,6 +495,41 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col, min_len=args.min_len,
         )
         print(json.dumps({"job": "compact-exact-substr", **res}))
+        return 0
+
+    if args.cmd == "replicate":
+        import time as _time
+
+        from .storage import BucketedTable, ChangeFeedTail, open_table
+
+        src = open_table(spark, args.source)
+        if os.path.exists(args.replica) and os.listdir(args.replica):
+            replica = open_table(spark, args.replica)
+        elif isinstance(src, BucketedTable):
+            # fresh replica mirrors the source's bucket geometry so
+            # apply_changes stays bucket-scoped on both sides
+            replica = BucketedTable(
+                spark, args.replica,
+                bucket_key=src.bucket_key, n_buckets=src.n_buckets,
+            )
+        else:
+            from .storage import VersionedTable
+
+            replica = VersionedTable(spark, args.replica)
+        tail = ChangeFeedTail(src, replica, keys=list(args.keys))
+        results = []
+        for i in range(max(1, args.ticks)):
+            if i:
+                _time.sleep(args.poll)
+            results.append(tail.tick())
+        print(json.dumps({
+            "job": "replicate",
+            "source": args.source,
+            "replica": args.replica,
+            "applied_version": tail.applied_version(),
+            "rows_applied": sum(r["rows"] for r in results),
+            "ticks": len(results),
+        }))
         return 0
 
     if args.cmd == "state-stats":
