@@ -31,6 +31,7 @@ except ImportError:
     DELTA_AVAILABLE = False
 
 from .bucketed import BucketedTable  # noqa: F401
+from .matview import IncrementalAggregate  # noqa: F401
 from .meta import ConcurrentWriteError, JsonMetaStore  # noqa: F401
 from .replication import ChangeFeedTail  # noqa: F401
 from .table import VersionedTable  # noqa: F401

@@ -771,7 +771,12 @@ class BucketedTable(CheckConstraints):
         )
         return entry
 
-    def apply_changes(self, feed: DataFrame, keys: list[str]) -> BucketedCommit:
+    def apply_changes(
+        self,
+        feed: DataFrame,
+        keys: list[str],
+        extra_metrics: dict[str, Any] | None = None,
+    ) -> BucketedCommit:
         """APPLY CHANGES INTO parity, bucket-scoped (the CDC consumer
         for the scale-path table): apply a :func:`snapshot_diff`-shaped
         feed (``_change_type`` ∈ insert / delete / update_preimage /
@@ -813,7 +818,10 @@ class BucketedTable(CheckConstraints):
                 version=version,
                 action="apply_changes",
                 ts=time.time(),
-                metrics={"upserts": 0, "deletes": 0, "buckets_written": 0},
+                metrics={
+                    "upserts": 0, "deletes": 0, "buckets_written": 0,
+                    **(extra_metrics or {}),
+                },
                 manifest=manifest,
             )
             self._append_entry(history, entry)
@@ -850,6 +858,7 @@ class BucketedTable(CheckConstraints):
                 "upserts": ups.count(),
                 "deletes": dels.count(),
                 "buckets_written": len(written),
+                **(extra_metrics or {}),
             },
             manifest=new_manifest,
             data=data_name,

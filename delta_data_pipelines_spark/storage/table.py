@@ -392,7 +392,12 @@ class VersionedTable(CheckConstraints):
         df = self.read(version)
         return self._commit("restore", df, {"restored_from": version})
 
-    def apply_changes(self, feed: DataFrame, keys: list[str]) -> Commit:
+    def apply_changes(
+        self,
+        feed: DataFrame,
+        keys: list[str],
+        extra_metrics: dict[str, Any] | None = None,
+    ) -> Commit:
         """APPLY CHANGES INTO parity (the CDC consumer): apply a
         change feed in :func:`snapshot_diff`'s shape (``_change_type``
         ∈ insert / delete / update_preimage / update_postimage) to
@@ -429,8 +434,14 @@ class VersionedTable(CheckConstraints):
         )
         n_up = ups.count()
         n_del = dels.count()
+        # extra_metrics ride in the SAME atomic commit entry — the
+        # transactional side-channel consumers like the incremental
+        # aggregate use to bind an applied-span watermark to the data
+        # it produced (exactly-once under replay)
         return self._commit(
-            "apply_changes", out, {"upserts": n_up, "deletes": n_del}
+            "apply_changes",
+            out,
+            {"upserts": n_up, "deletes": n_del, **(extra_metrics or {})},
         )
 
     def changes(
