@@ -164,7 +164,10 @@ _PRIORITY = [
     # sim_brute_topk, sim_ivf_topk, txt_profile.
     # t_windowed_topk (r07-green, mirror-checked) rotated out for the
     # exact-quantiles query's first driver row
-    "sk_exact_quantiles", "t_rolling_wau",
+    # r10: t_rolling_wau (driver-green ×3, unchanged code, still
+    # mirror-checked) rotated out for the r10 URL domain-blocklist
+    # query's first driver row (UT1-style suffix-chain semi-join)
+    "sk_exact_quantiles", "f_url_blocklist",
     # sk_binned_quantiles and ds_group_sample (each r07, unchanged,
     # mirror-checked) rotated out for the continuation's gate-agreement
     # and classifier-calibration queries' first driver rows

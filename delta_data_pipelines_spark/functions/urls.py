@@ -34,7 +34,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["canonical_url", "dedup_refetches"]
+__all__ = [
+    "canonical_url",
+    "dedup_refetches",
+    "host_suffixes",
+    "filter_blocked_hosts",
+]
 
 _TRACKING_RE = "^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src)(=.*)?$"
 
@@ -114,3 +119,55 @@ def dedup_refetches(
         .select("_row.*")
     )
     return winners.unionByName(passthrough)
+
+
+def host_suffixes(host: Column) -> Column:
+    """The registrable-suffix chain of a hostname at LABEL boundaries:
+    ``ads.shop1.com`` → ``['ads.shop1.com', 'shop1.com', 'com']``.
+    This is the matching domain a blocklist entry can name — exact
+    host or any parent domain — and label boundaries are the point:
+    ``shop13.com`` must NOT match a ``shop3.com`` entry, which a
+    naive ``endswith``/LIKE scan gets wrong. NULL host → NULL chain."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n), "."),
+    )
+
+
+def filter_blocked_hosts(
+    df: DataFrame,
+    url_col: str,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+    broadcast_blocklist: bool = True,
+) -> DataFrame:
+    """Drop rows whose URL's host falls under any blocked domain —
+    the UT1-blocklist stage every published web-corpus pipeline runs
+    between URL dedup and text extraction (RefinedWeb §3.1, FineWeb):
+    an entry blocks the exact host and every subdomain, at label
+    boundaries.
+
+    Scale shape: explode each row's ≤ label-count suffix chain
+    (bounded, ~4 per host), ONE semi-join of the suffixes against the
+    blocklist — broadcast by default (UT1-sized lists are ~100 MB;
+    pass ``broadcast_blocklist=False`` past that and AQE picks the
+    strategy), then one anti-join back on ``id_col``. Never a LIKE
+    scan, never a per-entry pass. Rows whose ``url_col`` has no
+    parseable host (NULL, non-URLs) pass through — the curation
+    NULL-row invariant (``try_parse_url``: the plain form THROWS on
+    invalid URLs under ANSI mode, i.e. in any vanilla Spark 4
+    session)."""
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    bl = blocklist.select(F.lower(F.col(domain_col)).alias("_sfx"))
+    if broadcast_blocklist:
+        bl = F.broadcast(bl)
+    hits = (
+        df.select(F.col(id_col), F.explode(host_suffixes(host)).alias("_sfx"))
+        .join(bl, "_sfx", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(hits, id_col, "left_anti")

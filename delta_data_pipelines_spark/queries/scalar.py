@@ -247,6 +247,42 @@ def f_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_refetches(src).orderBy("doc_id")
 
 
+def f_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain blocklist filtering (the stage between URL
+    dedup and text extraction in RefinedWeb/FineWeb): a blocked entry
+    removes the exact host and every subdomain, at LABEL boundaries —
+    the synthesized hosts include ``shop13.com`` rows that a naive
+    endswith/LIKE match would wrongly drop for the ``shop3.com``
+    entry, and ``ads.shop7.com`` pages blocked while ``shop7.com``
+    itself survives. One suffix-chain explode + broadcast semi-join +
+    anti-join back (functions.urls.filter_blocked_hosts); mixed-case
+    hosts and :80 ports exercise the real parse path; non-URL rows
+    pass through. The oracle re-derives blockedness from the URL
+    synthesis arithmetic, so a suffix-matching bug breaks the hash."""
+    from ..functions.urls import filter_blocked_hosts
+
+    o = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    host = F.concat(
+        F.when(k % 5 == 0, F.lit("ads.")).otherwise(F.lit("")),
+        F.when(k % 2 == 0, F.lit("Shop")).otherwise(F.lit("shop")),
+        (F.col("o_custkey") % 20).cast("string"),
+        F.when(k % 2 == 0, F.lit(".COM:80")).otherwise(F.lit(".com")),
+    )
+    url = F.when(
+        k % 97 == 0, F.concat(F.lit("plain-ref-"), k.cast("string"))
+    ).otherwise(
+        F.concat(
+            F.lit("http://"), host, F.lit("/item/"), (k % 500).cast("string")
+        )
+    )
+    src = o.select(k.alias("doc_id"), url.alias("url"))
+    blocklist = spark.createDataFrame(
+        [("shop3.com",), ("ads.shop7.com",)], "domain string"
+    )
+    return filter_blocked_hosts(src, "url", blocklist).orderBy("doc_id")
+
+
 SPARK_QUERIES = {
     "f_translate": f_translate,
     "f_regex_extract_cast": f_regex_extract_cast,
@@ -260,6 +296,7 @@ SPARK_QUERIES = {
     "f_age_build_year": f_age_build_year,
     "f_enum_normalize": f_enum_normalize,
     "f_url_dedup": f_url_dedup,
+    "f_url_blocklist": f_url_blocklist,
 }
 
 ORACLE_SQL = {
@@ -374,6 +411,33 @@ ORACLE_SQL = {
                     ELSE p_name END AS tail8,
                concat('https://parts.example/', p_brand) AS url
         FROM part
+    """,
+    # blockedness re-derived from the URL synthesis arithmetic (the
+    # host IS a function of the keys), so the Spark side's real
+    # parse_url -> suffix-chain -> semi-join path is verified against
+    # a parse-free reconstruction; label-boundary semantics: cust%20=3
+    # blocks (shop3.com entry, subdomains included via the chain),
+    # ads.shop7.com blocks only the ads. rows of cust%20=7, and
+    # shop13.com (cust%20=13) survives untouched
+    "f_url_blocklist": """
+        SELECT o_orderkey AS doc_id,
+               CASE WHEN o_orderkey % 97 = 0
+                    THEN 'plain-ref-' || CAST(o_orderkey AS VARCHAR)
+                    ELSE 'http://'
+                         || (CASE WHEN o_orderkey % 5 = 0
+                                  THEN 'ads.' ELSE '' END)
+                         || (CASE WHEN o_orderkey % 2 = 0
+                                  THEN 'Shop' ELSE 'shop' END)
+                         || CAST(o_custkey % 20 AS VARCHAR)
+                         || (CASE WHEN o_orderkey % 2 = 0
+                                  THEN '.COM:80' ELSE '.com' END)
+                         || '/item/' || CAST(o_orderkey % 500 AS VARCHAR)
+               END AS url
+        FROM orders
+        WHERE NOT (o_orderkey % 97 <> 0
+                   AND (o_custkey % 20 = 3
+                        OR (o_orderkey % 5 = 0 AND o_custkey % 20 = 7)))
+        ORDER BY doc_id
     """,
     # canonical_url recomputed verbatim (same regexes, same list ops);
     # the latest fetch per canonical key wins via QUALIFY-equivalent

@@ -369,3 +369,40 @@ def test_dedup_refetches_latest_wins_and_passthrough(spark):
     out = {r["doc_id"]: r["url"] for r in dedup_refetches(df).collect()}
     assert set(out) == {2, 5, 6, 7}
     assert out[2] == "HTTP://A.COM:80/p"  # the winner keeps its raw URL
+
+
+def test_filter_blocked_hosts_label_boundaries(spark):
+    """Domain blocklist semantics: an entry blocks the exact host and
+    every subdomain at LABEL boundaries — shop13.com survives a
+    shop3.com entry (the endswith/LIKE bug), an ads.-only entry leaves
+    the parent domain alone, matching is case- and port-insensitive,
+    and NULL/non-URL rows pass through."""
+    from delta_data_pipelines_spark.functions.urls import (
+        filter_blocked_hosts,
+        host_suffixes,
+    )
+
+    rows = [
+        (1, "http://shop3.com/a"),          # blocked: exact
+        (2, "http://x.y.shop3.com/a"),      # blocked: deep subdomain
+        (3, "http://shop13.com/a"),         # KEPT: label boundary
+        (4, "http://Shop3.COM:80/a"),       # blocked: case + port
+        (5, "http://ads.shop7.com/a"),      # blocked: subdomain entry
+        (6, "http://shop7.com/a"),          # KEPT: parent of ads entry
+        (7, "not a url"),                   # KEPT: passthrough
+        (8, None),                          # KEPT: passthrough
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame(
+        [("shop3.com",), ("ads.shop7.com",)], "domain string"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in filter_blocked_hosts(df, "url", bl).collect()
+    )
+    assert kept == [3, 6, 7, 8]
+
+    chain = spark.createDataFrame([("a.b.c",)], "h string").select(
+        host_suffixes(F.col("h")).alias("s")
+    ).first()["s"]
+    assert chain == ["a.b.c", "b.c", "c"]
