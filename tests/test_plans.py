@@ -621,3 +621,17 @@ def test_phash_and_spans_plans_stay_bounded(spark, registry):
     assert "partial_count" in spans, spans
     assert "CartesianProduct" not in spans, spans
     assert "EvalPython" not in spans, spans
+
+
+def test_url_blocklist_broadcast_semi_no_like_scan(spark, registry):
+    """f_url_blocklist: the suffix chain joins the blocklist as ONE
+    broadcast left-semi + one anti-join back — never a LIKE/endswith
+    scan (wrong at label boundaries) and never a per-entry pass or
+    cross join. The blocklist side must stay broadcast: a sort-merge
+    here means a corpus-scale shuffle against a ~100 MB list."""
+    plan = plan_of(spark, registry, "f_url_blocklist")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert re.search(r"BroadcastHashJoin.*LeftSemi", plan), plan
+    assert "LeftAnti" in plan, plan
+    assert "Like" not in plan and "EndsWith" not in plan, plan
