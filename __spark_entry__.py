@@ -96,7 +96,10 @@ _PRIORITY = [
     "sk_source_overlap", "sim_ivfpq_serve", "t_event_pagerank",
     # txt_boilerplate (r6+r7 driver-green; the txt family holds 7
     # other seats) rotated out for the r8 curriculum-order query
-    "td_pack_sequences", "td_curriculum_order",
+    # r10: td_pack_sequences (driver-green ×3, unchanged code, still
+    # mirror-checked + benched) rotated out for the C4 line-cleaning
+    # query's first driver row
+    "txt_c4_clean", "td_curriculum_order",
     # ds_temperature_mix (r7-green; ds family keeps 5 window rows)
     # rotated out for the r8 NB quality classifier
     # t_scd2_intervals (r07 x2, unchanged, mirror-checked) rotated out

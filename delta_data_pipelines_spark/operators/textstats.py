@@ -774,3 +774,70 @@ def with_compression_ratio(
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# C4 terminal punctuation (Raffel et al. 2020 §2.2: period, exclamation
+# mark, question mark, end quotation mark)
+C4_TERMINAL = (".", "!", "?", '"')
+
+
+def c4_line_ok(
+    line: Column,
+    min_words: int = 5,
+    badwords: tuple[str, ...] = ("javascript",),
+) -> Column:
+    """The C4 per-line retention predicate: ends in terminal
+    punctuation, carries at least ``min_words`` words, and names no
+    line-level badword (C4 drops any line with the word *javascript* —
+    the cookie/JS-warning boilerplate tell). Pure native expressions;
+    evaluated inside a HOF lambda, so everything here is per-element
+    work by construction (no CSE to lose)."""
+    ok = F.substring(line, -1, 1).isin(*C4_TERMINAL)
+    ok = ok & (
+        F.size(F.filter(F.split(line, " "), lambda w: w != "")) >= min_words
+    )
+    low = F.lower(line)
+    for b in badwords:
+        ok = ok & ~low.contains(b.lower())
+    return ok
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 5,
+    min_lines: int = 3,
+    line_badwords: tuple[str, ...] = ("javascript",),
+    doc_badwords: tuple[str, ...] = ("lorem ipsum",),
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """C4-style line-level corpus cleaning (Raffel et al. 2020 §2.2),
+    the published stage between extraction and dedup in the C4/T5
+    pipeline: keep only lines that end in terminal punctuation and
+    carry ≥ ``min_words`` words, drop lines naming a line badword
+    (*javascript*), then drop whole documents that retain fewer than
+    ``min_lines`` lines ("fewer than 3 sentences"), contain a doc
+    badword (*lorem ipsum* placeholder text), or contain a curly
+    bracket (leaked code). NULL text is dropped — a gate, not a
+    transform, so there is no row to pass through.
+
+    Scale shape: ONE narrow projection per document — the line split,
+    both filters, and the rejoin are native array expressions inside a
+    single whole-stage-codegen span; no shuffle, no UDF, no explode
+    (the per-line work stays inside the row, so a 100 TB corpus scan
+    stays a map-only stage)."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines, lambda l: c4_line_ok(l, min_words, line_badwords)
+    )
+    low = F.lower(F.col(text_col))
+    doc_ok = (F.size(kept) >= min_lines) & ~F.col(text_col).contains("{")
+    for b in doc_badwords:
+        doc_ok = doc_ok & ~low.contains(b.lower())
+    return df.select(
+        "*",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, "\n").alias(out_col),
+    ).where(doc_ok)

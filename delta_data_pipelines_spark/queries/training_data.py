@@ -383,6 +383,50 @@ def txt_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def txt_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2 — the published
+    stage between extraction and dedup in the C4/T5 pipeline): keep
+    lines ending in terminal punctuation with ≥5 words, drop
+    *javascript* lines, then drop documents with <3 retained lines,
+    *lorem ipsum*, or a curly bracket. Pages come from a deterministic
+    line renderer (words wrapped 8 per line; terminal punctuation by
+    ``(doc_id + i) % 4`` so ~¼ of lines fail the punctuation rule; a
+    javascript notice on ``doc_id % 11``, placeholder text on ``% 13``,
+    leaked code on ``% 17``) so the oracle re-derives every rule's
+    outcome from the word arithmetic alone — a filter-semantics drift
+    in :func:`operators.textstats.c4_clean` breaks the hash. The whole
+    pass is one map-only native projection: no shuffle, no UDF, no
+    explode."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = d.withColumn(
+        # staged outside the line lambda (HOF bodies get no CSE)
+        "_ws",
+        F.expr("filter(split(text, ' '), w -> w != '')"),
+    )
+    page = (
+        "array_join(concat("
+        "  IF(size(_ws) = 0, array(),"
+        "     transform(sequence(0, int(ceil(size(_ws) / 8.0)) - 1),"
+        "       i -> concat(array_join(slice(_ws, i * 8 + 1, 8), ' '),"
+        "            element_at(array('', '.', '!', '?'),"
+        "                       int(pmod(doc_id + i, 4)) + 1)))),"
+        "  IF(doc_id % 11 = 0,"
+        "     array('please enable javascript to view this page.'),"
+        "     array()),"
+        "  IF(doc_id % 13 = 0,"
+        "     array('lorem ipsum dolor sit amet.'), array()),"
+        "  IF(doc_id % 17 = 0,"
+        "     array('try { render(); } catch (e) {}'), array())"
+        "), '\\n')"
+    )
+    fake = staged.withColumn("_page", F.expr(page)).drop("_ws")
+    return (
+        textstats.c4_clean(fake, "doc_id", "_page")
+        .select("doc_id", "n_lines", "n_kept", "clean_text")
+        .orderBy("doc_id")
+    )
+
+
 def txt_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 docs per source by quality score (corpus balancing /
     per-domain caps — the standard pre-training selection shape).
@@ -2494,6 +2538,7 @@ SPARK_QUERIES = {
     "mm_resize": mm_resize,
     "mm_frames": mm_frames,
     "txt_main_content": txt_main_content,
+    "txt_c4_clean": txt_c4_clean,
     "txt_topk_per_source": txt_topk_per_source,
     "txt_enum_lookup": txt_enum_lookup,
     "txt_length_quantiles": txt_length_quantiles,
@@ -3745,6 +3790,49 @@ ORACLE_SQL = {
                COALESCE(string_agg(btext, ' ' ORDER BY bidx)
                         FILTER (WHERE kept), '') AS main_text
         FROM resc GROUP BY doc_id ORDER BY doc_id
+    """,
+    # every rule outcome re-derived from the word arithmetic: a kept
+    # line is a word-line with (doc_id+i)%4 != 0 (terminal punct) and
+    # least(8, n-8i) >= 5 words; the %11 javascript notice always fails
+    # the badword rule; %13/%17 docs fail the doc rules outright; the
+    # survivors need >= 3 kept lines
+    "txt_c4_clean": """
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents
+        ), sized AS (
+            SELECT doc_id, ws, len(ws) AS n,
+                   CAST(ceil(len(ws) / 8.0) AS INT) AS nl
+            FROM w
+        ), li AS (
+            SELECT doc_id, ws, n, nl,
+                   CAST(unnest(range(0, nl)) AS INT) AS i
+            FROM sized
+        ), lines AS (
+            SELECT doc_id, i,
+                   array_to_string(ws[i*8+1 : i*8+8], ' ')
+                   || CASE CAST((doc_id + i) % 4 AS INT)
+                        WHEN 1 THEN '.' WHEN 2 THEN '!'
+                        WHEN 3 THEN '?' ELSE '' END AS line,
+                   least(8, n - 8 * i) AS nw
+            FROM li
+        ), keptl AS (
+            SELECT doc_id, i, line FROM lines
+            WHERE (doc_id + i) % 4 <> 0 AND nw >= 5
+        ), agg AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY i) AS clean_text
+            FROM keptl GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               CAST(s.nl + CASE WHEN s.doc_id % 11 = 0 THEN 1 ELSE 0 END
+                    AS INTEGER) AS n_lines,
+               CAST(a.n_kept AS INTEGER) AS n_kept,
+               a.clean_text
+        FROM sized s JOIN agg a USING (doc_id)
+        WHERE s.doc_id % 13 <> 0 AND s.doc_id % 17 <> 0 AND a.n_kept >= 3
+        ORDER BY s.doc_id
     """,
     "txt_boilerplate": """
         WITH sh AS (

@@ -2399,3 +2399,31 @@ def test_phash_near_dup_pairs_locality_and_exclusions(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] <= 4
     assert (1, 3) not in pairs and (2, 3) not in pairs
     assert all(5 not in p for p in pairs)
+
+
+def test_c4_clean_rule_matrix(spark):
+    """Each C4 rule on its own row: terminal punctuation, min words,
+    the javascript line badword, the <3-retained-lines doc gate, lorem
+    ipsum and curly-bracket doc drops, NULL-text drop; survivors keep
+    only their clean lines, rejoined in order."""
+    good = "alpha beta gamma delta epsilon."
+    rows = [
+        # survivor: 3 good lines + one dropped per line rule
+        (1, "\n".join([good, "too short.", "no terminal punct here at all",
+                       "we use javascript on this site.",
+                       "one two three four five!", "six seven eight nine ten?"])),
+        (2, "\n".join([good, good])),                 # <3 kept -> dropped
+        (3, "\n".join([good, good, good, "lorem ipsum dolor sit amet."])),
+        (4, "\n".join([good, good, good, "try { x } catch (e) {}"])),
+        (5, None),                                    # NULL -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in textstats.c4_clean(df, "doc_id", "text").collect()
+    }
+    assert set(out) == {1}
+    assert out[1]["n_lines"] == 6 and out[1]["n_kept"] == 3
+    assert out[1]["clean_text"] == "\n".join(
+        [good, "one two three four five!", "six seven eight nine ten?"]
+    )
