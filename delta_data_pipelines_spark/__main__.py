@@ -96,6 +96,17 @@ def main(argv: list[str] | None = None) -> int:
                     "whole-page text — link-dense blocks, short "
                     "orphans and per-host repeated templates drop "
                     "before any quality gate")
+    cc.add_argument("--c4", action="store_true",
+                    help="C4 line-level cleaning (Raffel et al. 2020) "
+                    "after the scrub, before the quality gate: keep "
+                    "lines ending in terminal punctuation with >=5 "
+                    "words, drop javascript lines, drop docs with <3 "
+                    "kept lines / lorem ipsum / curly brackets")
+    cc.add_argument("--blocklist", default=None, metavar="FILE",
+                    help="domain blocklist (one domain per line, UT1 "
+                    "format): drop docs whose URL host falls under an "
+                    "entry — exact host or any subdomain, at label "
+                    "boundaries; requires --warc-in (URL column)")
     cc.add_argument("--warc-in", default=None, metavar="GLOB",
                     help="read the input corpus from WARC shards "
                     "(Common Crawl container): 2xx HTML responses -> "
@@ -395,6 +406,8 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--dedup-refetches requires --warc-in (URL column)")
         if args.main_content and not args.warc_in:
             p.error("--main-content requires --warc-in (HTML payloads)")
+        if args.blocklist and not args.warc_in:
+            p.error("--blocklist requires --warc-in (URL column)")
         if args.tokenizer and args.pack_ctx is None:
             p.error("--tokenizer requires --pack-ctx")
         n_quarantined = 0
@@ -446,6 +459,16 @@ def main(argv: list[str] | None = None) -> int:
             sample_per_source=args.sample_per_source,
             tokenizer_store=_tok_store(spark, args.tokenizer),
             dsir_select=args.dsir_select,
+            c4=args.c4,
+            url_blocklist=(
+                # read as a dataset, not driver-side: UT1 lists run
+                # ~100 MB and the filter broadcasts them itself
+                spark.read.text(args.blocklist).withColumnRenamed(
+                    "value", "domain"
+                )
+                if args.blocklist
+                else None
+            ),
         )
         if args.jsonl_in:
             res["quarantined_lines"] = n_quarantined

@@ -32,6 +32,59 @@ from ..storage import VersionedTable
 DEFAULT_SPLITS = {"train": 0.8, "eval": 0.1, "test": 0.1}
 
 
+def blocklist_stage(
+    docs: DataFrame,
+    url_col: str,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """URL domain-blocklist cut as the ZEROTH curation stage (the
+    UT1-blocklist step of RefinedWeb §3.1 / FineWeb — runs on URLs
+    before any text is touched): drops docs whose host falls under a
+    blocked domain at label boundaries, exact host and all subdomains.
+    Rows with no parseable host pass through
+    (``functions.urls.filter_blocked_hosts``: one bounded suffix-chain
+    explode + broadcast semi-join + anti-join back)."""
+    from ..functions.urls import filter_blocked_hosts
+
+    return filter_blocked_hosts(
+        docs, url_col, blocklist, id_col=id_col, domain_col=domain_col
+    )
+
+
+def c4_stage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) between the
+    scrub and the quality gate — the gate must score the lines that
+    will actually be published: ``text_col`` is REPLACED by the
+    retained lines; documents failing the doc rules (<``min_lines``
+    kept, lorem ipsum, curly bracket) are dropped. NULL-text rows pass
+    through explicitly (the shared stage invariant — ``c4_clean``
+    itself is a gate and would drop them). One map-only projection
+    either way."""
+    from ..operators.textstats import c4_clean
+
+    nulls = docs.where(F.col(text_col).isNull())
+    cleaned = (
+        c4_clean(
+            docs.where(F.col(text_col).isNotNull()),
+            id_col,
+            text_col,
+            min_words=min_words,
+            min_lines=min_lines,
+        )
+        .drop(text_col, "n_lines", "n_kept")
+        .withColumnRenamed("clean_text", text_col)
+    )
+    return cleaned.unionByName(nulls.select(*cleaned.columns))
+
+
 def scrub_stage(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """PII redaction as the FIRST curation stage (quality must be
     measured on what will actually be published): replaces ``text_col``
@@ -521,6 +574,9 @@ def curate_corpus(
     max_passage_dup: float | None = None,
     dedup_passages: int | None = None,
     exact_substr: int | None = None,
+    url_blocklist: DataFrame | None = None,
+    url_col: str = "url",
+    c4: bool = False,
     sample_per_source: int | None = None,
     source_col: str = "source",
     tokenizer_store=None,
@@ -528,7 +584,8 @@ def curate_corpus(
     dsir_target: DataFrame | None = None,
     **gate_kwargs,
 ) -> DataFrame:
-    """PII scrub → quality gate → (optional) LM filter → exact dedup →
+    """(optional) URL blocklist → PII scrub → (optional) C4 line
+    cleaning → quality gate → (optional) LM filter → exact dedup →
     near-dup collapse → (optional) passage-dup template cut →
     (optional) duplicated-passage REMOVAL rewrite → md5
     split → (optional) 13-gram decontamination → (optional) per-split
@@ -566,7 +623,14 @@ def curate_corpus(
     subset."""
     from pyspark.sql import Window
 
+    if url_blocklist is not None:
+        # zeroth stage: URL-level, before any text is touched
+        docs = blocklist_stage(docs, url_col, url_blocklist, id_col=id_col)
     staged = scrub_stage(docs, text_col) if scrub else docs
+    if c4:
+        # line cleaning before the gate: quality must be scored on the
+        # lines that will actually be published
+        staged = c4_stage(staged, id_col, text_col)
     gated = quality_gate(staged, text_col, **gate_kwargs)
     if compression_bounds is not None:
         # still a heuristic gate (CCNet order: heuristics before the

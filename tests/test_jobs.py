@@ -1380,3 +1380,45 @@ def test_batch_drift_vs_frozen_reference(spark, tmp_path):
 
     empty = batch_drift(novel.where(F.lit(False)), model)
     assert empty == {"n_tokens": 0, "n_oov_tokens": 0, "kl_nats": None}
+
+
+def test_curate_corpus_c4_and_blocklist_stages_wire_through(spark):
+    """curate_corpus(c4=True) replaces text with the retained lines
+    BEFORE the gate (the boilerplate-only doc dies, mixed docs survive
+    with their junk lines gone); url_blocklist drops blocked hosts at
+    label boundaries before any text stage. Gate relaxed: this pins
+    the stage wiring, not the Gopher thresholds."""
+    from delta_data_pipelines_spark.jobs.curate_corpus import curate_corpus
+
+    stops = ["the", "of", "and", "to", "a", "in", "is", "it"]
+    junk = "please enable javascript to view this page."
+
+    def mk(i):
+        # three C4-clean lines (terminal punct, >=5 words, per-doc
+        # distinct content words so near-dup collapse keeps them all)
+        # plus one junk line
+        lines = [
+            " ".join(f"{stops[j % 8]} w{i}x{k}y{j}" for j in range(8)) + "."
+            for k in range(3)
+        ]
+        return "\n".join(lines + [junk])
+
+    rows = [(i, mk(i), f"http://site{i}.com/p") for i in range(1, 13)]
+    # boilerplate-only: every line fails a C4 line rule
+    rows.append((98, "\n".join([junk, "too short.", "no punct at all"]),
+                 "http://site98.com/p"))
+    # blocked host (subdomain of a listed domain)
+    rows.append((99, mk(99), "http://ads.blocked.com/p"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    bl = spark.createDataFrame([("blocked.com",)], "domain string")
+    relaxed = dict(scrub=False, min_tokens=5, quality_floor=0.0)
+
+    plain = {r["doc_id"] for r in curate_corpus(docs, **relaxed).collect()}
+    assert {98, 99} <= plain  # without the new stages both survive
+
+    out = curate_corpus(docs, c4=True, url_blocklist=bl, **relaxed)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert 98 not in got and 99 not in got
+    assert 1 in got
+    assert "javascript" not in got[1]          # junk line cleaned away
+    assert got[1].count("\n") == 2             # 3 kept lines remain
