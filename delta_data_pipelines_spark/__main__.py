@@ -112,6 +112,12 @@ def main(argv: list[str] | None = None) -> int:
                     "(Common Crawl container): 2xx HTML responses -> "
                     "(doc_id, url, source, text); damaged shards are "
                     "quarantined as _error rows, not fatal")
+    cc.add_argument("--wet-in", default=None, metavar="GLOB",
+                    help="read the input corpus from WET shards "
+                    "(Common Crawl extracted-text): conversion "
+                    "records -> (doc_id, url, source, text) with no "
+                    "HTML hop; damaged shards are quarantined as "
+                    "_error rows, not fatal")
     cc.add_argument("--jsonl-in", default=None, metavar="DIR",
                     help="read the input corpus from JSONL shards "
                     "(doc_id/text/lang/source; malformed lines are "
@@ -400,14 +406,15 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.jsonl_shards is not None and not args.export_jsonl:
             p.error("--jsonl-shards requires --export-jsonl")
-        if args.warc_in and args.jsonl_in:
-            p.error("--warc-in and --jsonl-in are mutually exclusive")
-        if args.dedup_refetches and not args.warc_in:
-            p.error("--dedup-refetches requires --warc-in (URL column)")
+        if sum(bool(x) for x in (args.warc_in, args.wet_in, args.jsonl_in)) > 1:
+            p.error("--warc-in, --wet-in and --jsonl-in are mutually exclusive")
+        if args.dedup_refetches and not (args.warc_in or args.wet_in):
+            p.error("--dedup-refetches requires --warc-in/--wet-in (URL column)")
         if args.main_content and not args.warc_in:
-            p.error("--main-content requires --warc-in (HTML payloads)")
-        if args.blocklist and not args.warc_in:
-            p.error("--blocklist requires --warc-in (URL column)")
+            p.error("--main-content requires --warc-in (HTML payloads; "
+                    "WET text is already extracted)")
+        if args.blocklist and not (args.warc_in or args.wet_in):
+            p.error("--blocklist requires --warc-in/--wet-in (URL column)")
         if args.tokenizer and args.pack_ctx is None:
             p.error("--tokenizer requires --pack-ctx")
         n_quarantined = 0
@@ -427,6 +434,24 @@ def main(argv: list[str] | None = None) -> int:
             docs = documents_from_records(
                 recs, main_content=args.main_content
             )
+            if args.dedup_refetches:
+                from .functions.urls import dedup_refetches
+
+                docs = dedup_refetches(docs)
+        elif args.wet_in:
+            from pyspark.sql import functions as F
+
+            from .ingest.warc import read_warc, wet_documents_from_records
+
+            # scan ONCE (the WET members decompress on read): the
+            # checkpoint feeds the quarantine count and the pipeline
+            recs = read_warc(
+                spark, args.wet_in, split_http=False
+            ).localCheckpoint(eager=True)
+            n_quarantined = recs.where(
+                F.col("warc_type") == "_error"
+            ).count()
+            docs = wet_documents_from_records(recs)
             if args.dedup_refetches:
                 from .functions.urls import dedup_refetches
 
@@ -472,7 +497,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         if args.jsonl_in:
             res["quarantined_lines"] = n_quarantined
-        if args.warc_in:
+        if args.warc_in or args.wet_in:
             res["quarantined_shards"] = n_quarantined
         if args.export_jsonl:
             write_jsonl(

@@ -247,6 +247,38 @@ def warc_documents(
     )
 
 
+def wet_documents(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """Common Crawl WET shards (the *extracted-text* sibling of WARC —
+    the actual input format of the C4/RefinedWeb/FineWeb pipelines) as
+    a documents-shaped frame. WET ``conversion`` records carry the
+    already-extracted page text as a plain-text payload, so there is
+    no HTML hop at all: the only Python seam is the shared WARC record
+    parser; everything after (type filter, host, lang) is native.
+    Per-file ``warcinfo`` header records and ``_error`` rows are
+    excluded — count errors off :func:`read_warc` directly when the
+    quarantine total matters (the curate CLI pattern)."""
+    return wet_documents_from_records(read_warc(spark, paths, split_http=False))
+
+
+def wet_documents_from_records(recs: DataFrame) -> DataFrame:
+    """The record→document step of :func:`wet_documents`, split out so
+    a caller that already staged the records frame (the curate CLI's
+    single-scan quarantine count) can reuse it."""
+    from ..operators.textstats import lang_id
+
+    return (
+        recs.where(F.col("warc_type") == "conversion")
+        .select(
+            F.col("record_id").alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.try_parse_url("target_uri", F.lit("HOST")).alias("source"),
+            F.col("warc_date").alias("fetched_at"),
+            F.col("payload").cast("string").alias("text"),
+        )
+        .withColumn("lang", lang_id(F.col("text")))
+    )
+
+
 def documents_from_records(
     recs: DataFrame,
     min_status: int = 200,
@@ -273,7 +305,11 @@ def documents_from_records(
     ).select(
         F.col("record_id").alias("doc_id"),
         F.col("target_uri").alias("url"),
-        F.parse_url("target_uri", F.lit("HOST")).alias("source"),
+        # try_parse_url: the plain form THROWS on malformed URIs under
+        # ANSI mode (any vanilla Spark 4 session) — one bad crawl URI
+        # must not kill the shard's job; NULL source just means the
+        # per-domain stages skip the row
+        F.try_parse_url("target_uri", F.lit("HOST")).alias("source"),
         F.col("warc_date").alias("fetched_at"),
         F.col("payload").cast("string").alias("_html"),
     )

@@ -236,3 +236,54 @@ def test_warc_documents_main_content(spark, tmp_path):
     }
     assert "home shop about" in full["<urn:uuid:m1>"]
     assert "rights reserved" in full["<urn:uuid:m1>"]
+
+
+def test_wet_documents(spark, tmp_path):
+    """WET (Common Crawl extracted-text) shards: conversion records
+    become document rows verbatim — no HTML hop — warcinfo headers are
+    skipped, a malformed target URI yields a NULL source instead of an
+    ANSI parse error, and damaged members quarantine as usual."""
+    recs = [
+        _record("warcinfo", "winfo", b"software: test\r\n",
+                ctype="application/warc-fields"),
+        _record("conversion", "wet-1",
+                b"the quick brown fox of the corpus",
+                uri="http://a.example/page", ctype="text/plain"),
+        _record("conversion", "wet-2", b"zweite seite text",
+                uri="not a uri", ctype="text/plain"),
+    ]
+    p = os.path.join(tmp_path, "shard.warc.wet.gz")
+    _write_shard(p, recs)
+    out = {r["doc_id"]: r for r in warc.wet_documents(spark, p).collect()}
+    assert set(out) == {"<urn:uuid:wet-1>", "<urn:uuid:wet-2>"}
+    d1 = out["<urn:uuid:wet-1>"]
+    assert d1["text"] == "the quick brown fox of the corpus"
+    assert d1["source"] == "a.example"
+    assert d1["lang"] == "en"
+    assert out["<urn:uuid:wet-2>"]["source"] is None  # malformed URI
+
+
+def test_wet_curate_cli_end_to_end(spark, tmp_path, capsys):
+    """curate-corpus --wet-in: the WET corpus flows through the full
+    pipeline and publishes; quarantined count reported."""
+    import json as _json
+
+    from delta_data_pipelines_spark.__main__ import main
+
+    stops = ["the", "of", "and", "to", "a", "in", "is", "it"]
+    recs = [
+        _record(
+            "conversion", f"d-{i}",
+            " ".join(f"{stops[j % 8]} w{i}x{j}" for j in range(16)).encode(),
+            uri=f"http://s{i}.example/p", ctype="text/plain")
+        for i in range(6)
+    ]
+    p = os.path.join(tmp_path, "c.warc.wet.gz")
+    _write_shard(p, recs)
+    out_dir = os.path.join(tmp_path, "curated")
+    rc = main(["curate-corpus", "--wet-in", p, "--out", out_dir,
+               "--no-scrub"])
+    assert rc == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows_in"] == 6 and res["rows_out"] >= 1
+    assert res["quarantined_shards"] == 0
