@@ -747,3 +747,105 @@ def test_blocks_kernel_matches_render_model(blocks):
         (b["tag"], b["text"], b["chars"], b["link_chars"]) for b in got
     ] == expect
     assert all("NO" not in b["text"] for b in got)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            min_size=1,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_blocklist_matches_python_suffix_model(spark, hosts, entries):
+    """filter_blocked_hosts == the pure-Python label-boundary model on
+    random label-structured hosts and blocklist entries: a row drops
+    iff some entry equals the host or a dot-suffix of it at a label
+    boundary. Exercises overlapping labels (ab vs b), multi-label
+    entries, and entry==host collisions the LIKE bug family gets
+    wrong."""
+    from delta_data_pipelines_spark.functions.urls import (
+        filter_blocked_hosts,
+    )
+
+    host_strs = [".".join(h) for h in hosts]
+    entry_strs = sorted({".".join(e) for e in entries})
+    rows = [(i, f"http://{h}/p") for i, h in enumerate(host_strs)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame([(e,) for e in entry_strs], "domain string")
+
+    def blocked(h: str) -> bool:
+        labels = h.split(".")
+        sfx = {".".join(labels[i:]) for i in range(len(labels))}
+        return any(e in sfx for e in entry_strs)
+
+    expect = {i for i, h in enumerate(host_strs) if not blocked(h)}
+    got = {
+        r["doc_id"] for r in filter_blocked_hosts(df, "url", bl).collect()
+    }
+    assert got == expect
+
+
+_C4_LINES = st.one_of(
+    st.text(alphabet="xy .!", min_size=0, max_size=14),
+    st.sampled_from(
+        [
+            "we use JavaScript on this site.",   # badword (case-folded)
+            "lorem ipsum dolor sit amet.",       # doc badword
+            "try { render() }",                  # brace doc drop
+            "x y x y x.",                        # clean 5-word line
+            "x y x y x y.",                      # clean 6-word line
+            "tiny.",                             # min-words reject
+            "no terminal punct",                 # punct reject
+        ]
+    ),
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.lists(_C4_LINES, min_size=0, max_size=6),
+                min_size=1, max_size=10))
+def test_c4_clean_matches_python_model(spark, docs):
+    """c4_clean == the pure-Python C4 rule model on random multi-line
+    texts: per-line terminal-punct/min-words/badword, per-doc
+    min-kept/lorem/brace. Lines mix random '.!'-terminated token runs
+    with a crafted pool so every rule (including the javascript and
+    lorem-ipsum badwords) fires across examples."""
+    from delta_data_pipelines_spark.operators.textstats import c4_clean
+
+    texts = ["\n".join(lines) for lines in docs]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def line_ok(l: str) -> bool:
+        if not l or l[-1] not in '.!?"':
+            return False
+        if len([w for w in l.split(" ") if w]) < 5:
+            return False
+        return "javascript" not in l.lower()
+
+    def model(t: str):
+        kept = [l for l in t.split("\n") if line_ok(l)]
+        if len(kept) < 3 or "{" in t or "lorem ipsum" in t.lower():
+            return None
+        return (len(t.split("\n")), len(kept), "\n".join(kept))
+
+    expect = {i: model(t) for i, t in enumerate(texts) if model(t)}
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_text"])
+        for r in c4_clean(df, "doc_id", "text").collect()
+    }
+    assert got == expect
