@@ -63,26 +63,25 @@ def c4_stage(
     """C4 line-level cleaning (Raffel et al. 2020 §2.2) between the
     scrub and the quality gate — the gate must score the lines that
     will actually be published: ``text_col`` is REPLACED by the
-    retained lines; documents failing the doc rules (<``min_lines``
-    kept, lorem ipsum, curly bracket) are dropped. NULL-text rows pass
-    through explicitly (the shared stage invariant — ``c4_clean``
-    itself is a gate and would drop them). One map-only projection
-    either way."""
+    retained lines (NULL text stays NULL); documents failing the doc
+    rules (<``min_lines`` kept, lorem ipsum, curly bracket) are
+    dropped. NULL-text rows pass through via the operator's
+    ``keep_nulls`` mode (the shared stage invariant) — one map-only
+    projection, ONE corpus scan (no passthrough union)."""
     from ..operators.textstats import c4_clean
 
-    nulls = docs.where(F.col(text_col).isNull())
-    cleaned = (
+    return (
         c4_clean(
-            docs.where(F.col(text_col).isNotNull()),
+            docs,
             id_col,
             text_col,
             min_words=min_words,
             min_lines=min_lines,
+            keep_nulls=True,
         )
         .drop(text_col, "n_lines", "n_kept")
         .withColumnRenamed("clean_text", text_col)
     )
-    return cleaned.unionByName(nulls.select(*cleaned.columns))
 
 
 def scrub_stage(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -811,6 +811,7 @@ def c4_clean(
     line_badwords: tuple[str, ...] = ("javascript",),
     doc_badwords: tuple[str, ...] = ("lorem ipsum",),
     out_col: str = "clean_text",
+    keep_nulls: bool = False,
 ) -> DataFrame:
     """C4-style line-level corpus cleaning (Raffel et al. 2020 §2.2),
     the published stage between extraction and dedup in the C4/T5
@@ -819,8 +820,12 @@ def c4_clean(
     (*javascript*), then drop whole documents that retain fewer than
     ``min_lines`` lines ("fewer than 3 sentences"), contain a doc
     badword (*lorem ipsum* placeholder text), or contain a curly
-    bracket (leaked code). NULL text is dropped — a gate, not a
-    transform, so there is no row to pass through.
+    bracket (leaked code). NULL text is dropped by default — a gate,
+    not a transform, so there is no row to pass through;
+    ``keep_nulls=True`` passes NULL-text rows through instead (NULL
+    stats/output columns) for pipelines whose shared stage invariant
+    is NULL passthrough — expressed in the same WHERE, so it costs no
+    second scan or union.
 
     Scale shape: ONE narrow projection per document — the line split,
     both filters, and the rejoin are native array expressions inside a
@@ -835,6 +840,8 @@ def c4_clean(
     doc_ok = (F.size(kept) >= min_lines) & ~F.col(text_col).contains("{")
     for b in doc_badwords:
         doc_ok = doc_ok & ~low.contains(b.lower())
+    if keep_nulls:
+        doc_ok = F.col(text_col).isNull() | doc_ok
     return df.select(
         "*",
         F.size(lines).alias("n_lines"),

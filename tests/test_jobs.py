@@ -1422,3 +1422,20 @@ def test_curate_corpus_c4_and_blocklist_stages_wire_through(spark):
     assert 1 in got
     assert "javascript" not in got[1]          # junk line cleaned away
     assert got[1].count("\n") == 2             # 3 kept lines remain
+
+
+def test_c4_stage_null_text_passes_through_one_scan(spark):
+    """c4_stage: NULL-text rows pass through (text stays NULL) via the
+    operator's keep_nulls mode — no passthrough union, so the plan has
+    exactly ONE scan of the input."""
+    from delta_data_pipelines_spark.jobs.curate_corpus import c4_stage
+
+    good = "alpha beta gamma delta epsilon."
+    df = spark.createDataFrame(
+        [(1, "\n".join([good] * 3)), (2, None), (3, "junk")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in c4_stage(df).collect()}
+    assert out == {1: "\n".join([good] * 3), 2: None}
+    plan = c4_stage(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan, plan
