@@ -161,7 +161,14 @@ def filter_blocked_hosts(
     invalid URLs under ANSI mode, i.e. in any vanilla Spark 4
     session)."""
     host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
-    bl = blocklist.select(F.lower(F.col(domain_col)).alias("_sfx"))
+    # strip edge whitespace INCLUDING \r (F.trim only removes spaces):
+    # real UT1 list files ship with CRLF line endings, and an
+    # untrimmed 'badsite.com\r' entry silently matches nothing
+    bl = blocklist.select(
+        F.lower(
+            F.regexp_replace(F.col(domain_col), r"^\s+|\s+$", "")
+        ).alias("_sfx")
+    )
     if broadcast_blocklist:
         bl = F.broadcast(bl)
     hits = (

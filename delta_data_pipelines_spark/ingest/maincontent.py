@@ -103,7 +103,14 @@ class _BlockCollector(HTMLParser):
     def handle_data(self, data):
         if self._skip_depth:
             return
-        t = data.strip()
+        # canonical whitespace: real HTML wraps paragraphs across
+        # source lines, and a text node carrying internal newlines/
+        # tabs/double-spaces would defeat every downstream
+        # single-space word split (the length rule would count
+        # 'one\ntwo\n…six' as ONE word). Collapse runs to single
+        # spaces here, once, so block text is single-space separated
+        # by construction.
+        t = " ".join(data.split())
         if not t:
             return
         self._parts.append(t)

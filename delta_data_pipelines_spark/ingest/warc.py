@@ -318,6 +318,13 @@ def documents_from_records(
     if main_content:
         from .maincontent import main_content as extract_main
 
+        # three consumers read resp (main_content's block parse, its
+        # per-source page totals, and the metadata join below) — and
+        # resp's lineage is the WARC scan, so unstaged each consumer
+        # would re-decompress every shard. One eager checkpoint makes
+        # it one decompression however the caller got here (the curate
+        # CLI's own recs checkpoint only saves the _error count).
+        resp = resp.localCheckpoint(eager=True)
         body = extract_main(
             resp, "doc_id", "_html", source_col="source"
         ).select("doc_id", F.col("main_text").alias("text"))

@@ -627,17 +627,20 @@ def simhash_near_dup_pairs(
     sig = _spread(df.select(id_col, text_col)).select(
         F.col(id_col), simhash_chunks(text_col).alias("_sh")
     )
-    # n_blocks caps at the signature width: 64 one-bit blocks still
-    # guarantee recall through Hamming 63, and radius 64 means "every
-    # pair" anyway (only an exact complement could hide)
+    # n_blocks caps at the signature width: 64 one-bit blocks
+    # guarantee recall through Hamming 63. Radius >= 64 would qualify
+    # EVERY pair (including exact complements no shared block can
+    # find) — that's a cross join, not a near-dup search, and
+    # silently clamping it would break the guaranteed-recall contract;
+    # reject it instead.
     total_bits = _CHUNKS * _CHUNK_BITS
-    if max_hamming + 1 <= total_bits:
-        return chunked_hamming_pairs(
-            sig, id_col, "_sh", max_hamming, n_blocks=max_hamming + 1
+    if max_hamming >= total_bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= signature width {total_bits}: "
+            "every pair qualifies — use a cross join, not SimHash"
         )
     return chunked_hamming_pairs(
-        sig, id_col, "_sh", min(max_hamming, total_bits - 1),
-        n_blocks=total_bits,
+        sig, id_col, "_sh", max_hamming, n_blocks=max_hamming + 1
     )
 
 

@@ -3725,11 +3725,14 @@ ORACLE_SQL = {
     # HTML build->parse cycle is verified against this parse-free
     # reconstruction; all_link mirrors link-density (exactly 1.0 vs
     # 0.0 in the synthetic pages, so no float boundary exists)
+    # NULL-text docs are carried by the final UNION arm as
+    # (0, 0, NULL) — the Spark side's posexplode_outer row — so the
+    # template arms below must never synthesize blocks for them
     "txt_main_content": """
         WITH words AS (
             SELECT doc_id, source,
                    list_filter(string_split(text, ' '), w -> w <> '') AS ws
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         ), sized AS (
             SELECT doc_id, source, ws,
                    CAST(ceil(len(ws) / 12.0) AS INT) AS nparas
@@ -3789,7 +3792,12 @@ ORACLE_SQL = {
                    AS n_kept,
                COALESCE(string_agg(btext, ' ' ORDER BY bidx)
                         FILTER (WHERE kept), '') AS main_text
-        FROM resc GROUP BY doc_id ORDER BY doc_id
+        FROM resc GROUP BY doc_id
+        UNION ALL
+        SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(NULL AS VARCHAR)
+        FROM documents WHERE text IS NULL
+        ORDER BY doc_id
     """,
     # every rule outcome re-derived from the word arithmetic: a kept
     # line is a word-line with (doc_id+i)%4 != 0 (terminal punct) and

@@ -210,6 +210,18 @@ class IncrementalAggregate:
         if applied is not None and applied >= latest:
             return {"applied_from": applied, "applied_to": applied}
         if applied is None:
+            if self.table.exists() and not self.table.read().isEmpty():
+                # a populated view with no watermark in its surviving
+                # history (pruned past the last refresh commit, or
+                # populated outside this class) must not be bootstrap-
+                # folded: refresh MERGES onto stored rows, so an
+                # all-insert snapshot feed would silently DOUBLE every
+                # count and sum. Loud error over silent corruption.
+                raise ValueError(
+                    "view has rows but no applied_to watermark in its "
+                    "history; drop the view table (or overwrite it "
+                    "empty) and re-tick to rebuild from the snapshot"
+                )
             feed = source.read(latest).withColumn(
                 "_change_type", F.lit("insert")
             )

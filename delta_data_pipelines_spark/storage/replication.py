@@ -107,12 +107,15 @@ class ChangeFeedTail:
         """Apply every source version committed since the last tick.
 
         Bootstrap (no state yet): the source's latest snapshot lands
-        as an all-insert feed through the SAME ``apply_changes`` path
-        (uniform across table variants, and replay-safe like every
-        other tick). Steady state: one ``changes(applied, latest)``
-        span, one atomic apply commit, then the watermark write —
-        in that order, so a crash between them replays an idempotent
-        span instead of skipping one."""
+        through the SAME ``apply_changes`` path — as an all-insert
+        feed onto an empty replica, or as a ``snapshot_diff`` against
+        a non-empty one (a crashed prior bootstrap may have applied a
+        snapshot the source has since deleted rows from; the diff
+        carries those deletes, so re-bootstrap converges exactly
+        instead of stranding phantoms). Steady state: one
+        ``changes(applied, latest)`` span, one atomic apply commit,
+        then the watermark write — in that order, so a crash between
+        them replays an idempotent span instead of skipping one."""
         latest = _latest_version(self.source)
         if latest is None:  # source not yet created
             return {"applied_from": None, "applied_to": None, "rows": 0}
@@ -120,9 +123,20 @@ class ChangeFeedTail:
         if applied is not None and applied >= latest:
             return {"applied_from": applied, "applied_to": applied, "rows": 0}
         if applied is None:
-            feed = self.source.read(latest).withColumn(
-                "_change_type", F.lit("insert")
-            )
+            snap = self.source.read(latest)
+            if self.replica.exists() and not self.replica.read().isEmpty():
+                # re-bootstrap over a partially-applied prior attempt
+                # (crash between apply and watermark): an all-insert
+                # feed could never DELETE a row the earlier snapshot
+                # carried and the source has since dropped — a phantom
+                # the steady-state spans would then never touch. Diff
+                # against what actually landed so the replica
+                # converges to the snapshot exactly.
+                from .table import snapshot_diff
+
+                feed = snapshot_diff(self.replica.read(), snap, self.keys)
+            else:
+                feed = snap.withColumn("_change_type", F.lit("insert"))
         else:
             feed = self.source.changes(applied, latest, keys=self.keys)
         commit = self.replica.apply_changes(feed, keys=self.keys)

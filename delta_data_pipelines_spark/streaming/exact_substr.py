@@ -224,6 +224,11 @@ def run_incremental_exact_substr(
             ),
             keys=["_h"],
             metrics=False,
+            # a pre-origin state table has only _h: the first batch
+            # after an upgrade must widen it (legacy rows get NULL
+            # origin = conservatively seen, the read-side shim above),
+            # not crash the stream on a column-count mismatch
+            schema_evolution=True,
         )
         dup_table.merge(dup_h.distinct(), keys=["_h"], metrics=False)
         # state maintenance: ownership fan-out is bounded per batch

@@ -393,8 +393,10 @@ def test_filter_blocked_hosts_label_boundaries(spark):
         (8, None),                          # KEPT: passthrough
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
+    # CRLF / stray-whitespace entries (real UT1 list files) must
+    # still match
     bl = spark.createDataFrame(
-        [("shop3.com",), ("ads.shop7.com",)], "domain string"
+        [("shop3.com\r",), (" ads.shop7.com ",)], "domain string"
     )
     kept = sorted(
         r["doc_id"]

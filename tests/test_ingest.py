@@ -768,3 +768,20 @@ def test_main_content_rules(spark):
         for r in main_content(df, "doc_id", "html").collect()
     }
     assert out_ns[1]["main_text"].endswith("site footer template")
+
+
+def test_blocks_kernel_normalizes_internal_whitespace():
+    """Real HTML wraps paragraphs across source lines: a text node
+    with internal newlines/tabs/double-spaces must come out as
+    single-space-separated words, so the native length rule counts
+    10 words, not 1."""
+    from delta_data_pipelines_spark.ingest.maincontent import blocks_kernel
+
+    html = (
+        "<html><body><p>one\ntwo\nthree\nfour\nfive\n"
+        "six  seven\teight nine ten</p></body></html>"
+    )
+    (blk,) = blocks_kernel(html)
+    assert blk["text"] == "one two three four five six seven eight nine ten"
+    assert len(blk["text"].split(" ")) == 10
+    assert blk["chars"] == len(blk["text"])

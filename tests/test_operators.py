@@ -224,7 +224,9 @@ def test_simhash_finds_planted_dups(spark, corpus):
 
 
 def test_simhash_hamming_zero_for_identical(spark, corpus):
-    out = dedup.simhash_near_dup_pairs(corpus, "doc_id", "text", 64)
+    # 63 = the widest valid radius (>= the 64-bit width is rejected:
+    # it would qualify every pair, which blocking cannot deliver)
+    out = dedup.simhash_near_dup_pairs(corpus, "doc_id", "text", 63)
     h = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
     assert h[(1, 2)] == 0
 
@@ -2427,3 +2429,17 @@ def test_c4_clean_rule_matrix(spark):
     assert out[1]["clean_text"] == "\n".join(
         [good, "one two three four five!", "six seven eight nine ten?"]
     )
+
+
+def test_simhash_rejects_radius_at_signature_width(spark, corpus):
+    """max_hamming >= 64 qualifies EVERY pair (an exact complement
+    shares no block, so blocking cannot find it): the operator must
+    reject the radius loudly instead of silently under-recalling."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="signature width"):
+        dedup.simhash_near_dup_pairs(corpus, "doc_id", "text",
+                                     max_hamming=64).collect()
+    # the documented maximum still works: 64 one-bit blocks
+    dedup.simhash_near_dup_pairs(corpus, "doc_id", "text",
+                                 max_hamming=63).count()

@@ -1569,3 +1569,70 @@ def test_incremental_aggregate_bucketed_touches_only_fed_buckets(
 
     with _pytest.raises(ValueError, match="bucket key"):
         IncrementalAggregate(view, ["price"], [])
+
+
+def test_change_feed_tail_rebootstrap_drops_phantoms(spark, table, tmp_path):
+    """Crash window at BOOTSTRAP: the snapshot applied but the
+    watermark never wrote, then the source deleted a row. The re-run
+    bootstrap must diff against what landed and DELETE the phantom —
+    an all-insert re-clone would strand it forever."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.storage import (
+        ChangeFeedTail,
+        VersionedTable,
+    )
+
+    src = table
+    src.overwrite(rows(spark, [("u1", "a", 1), ("u2", "b", 2)]))
+    replica = VersionedTable(spark, str(tmp_path / "cft_replica2"))
+    tail = ChangeFeedTail(src, replica, keys=["content_url"])
+    tail.tick()
+    os.remove(os.path.join(replica.root, "_replication.json"))  # crash
+    src.delete_where(F.col("content_url") == "u2")  # source moves on
+    src.merge(rows(spark, [("u3", "c", 3)]), keys=["content_url"])
+
+    r = tail.tick()  # re-bootstrap
+    assert r["applied_from"] is None
+    got = sorted(r["content_url"] for r in replica.read().collect())
+    assert got == ["u1", "u3"]  # u2 phantom deleted, u3 arrived
+    # steady state still converges after the repaired bootstrap
+    src.delete_where(F.col("content_url") == "u1")
+    tail.tick()
+    assert sorted(
+        r["content_url"] for r in replica.read().collect()
+    ) == ["u3"]
+
+
+def test_incremental_aggregate_refuses_unwatermarked_view(
+    spark, table, tmp_path
+):
+    """A populated view whose history carries no applied_to watermark
+    (pruned, or populated outside the class) must raise on tick — a
+    silent re-bootstrap would merge the full snapshot ONTO the stored
+    rows and double every count."""
+    import pytest as _pytest
+
+    from delta_data_pipelines_spark.storage import (
+        IncrementalAggregate,
+        VersionedTable,
+    )
+
+    src = table
+    src.overwrite(rows(spark, [("u1", "a", 1), ("u2", "a", 2)]))
+    view_t = VersionedTable(spark, str(tmp_path / "mv"))
+    view = IncrementalAggregate(view_t, ["title"], sum_cols=["price"])
+    view.tick(src, ["content_url"])
+    n0 = view.value().where("title = 'a'").first()["n_rows"]
+    assert n0 == 2
+    # strip the watermark: rewrite the view content via a plain
+    # overwrite (no applied_to metric) and prune earlier history
+    view_t.overwrite(view.value())
+    view_t.vacuum(keep_last=1)
+    assert view.applied_version() is None
+    with _pytest.raises(ValueError, match="no applied_to watermark"):
+        view.tick(src, ["content_url"])
+    # counts untouched — the guard fired before any merge
+    assert view.value().where("title = 'a'").first()["n_rows"] == 2

@@ -1752,3 +1752,52 @@ def test_exact_substr_compaction_reaches_clean_fixed_point(spark, tmp_path):
         if d in batch_by_id:
             bt = batch_by_id[d]
             assert set(bt.split(" ")) <= set(t.split(" ")) | {""}, (d, t, bt)
+
+
+def test_incremental_exact_substr_legacy_state_upgrade(spark, tmp_path):
+    """Upgrading a pre-origin deployment: the window-hash state table
+    has only _h. The first post-upgrade batch must (1) not crash on
+    the state merge (schema evolution widens the table with a NULL
+    origin), (2) honor legacy rows as conservatively SEEN (the span
+    cuts even though no origin is recorded), and (3) leave the state
+    carrying _origin for every hash going forward."""
+    import hashlib
+
+    from delta_data_pipelines_spark.storage import (
+        BucketedTable,
+        VersionedTable,
+    )
+    from delta_data_pipelines_spark.streaming.exact_substr import (
+        run_incremental_exact_substr,
+    )
+
+    dup_words = [f"d{j}" for j in range(10)]
+    legacy_h = hashlib.md5(" ".join(dup_words).encode()).hexdigest()
+    state = str(tmp_path / "state")
+    gram = BucketedTable(
+        spark, f"{state}/window_hashes", bucket_key="_h", n_buckets=64
+    )
+    gram.merge(
+        spark.createDataFrame([(legacy_h,)], "_h string"), keys=["_h"]
+    )
+    assert gram.read().columns == ["_h"]  # genuinely legacy
+
+    rows = [
+        (1, "xa xb " + " ".join(dup_words)),   # span seen by legacy row
+        (2, " ".join(f"u{j}" for j in range(12))),  # unique, untouched
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stream = _stream_time_ordered(
+        spark, docs, tmp_path, "es_up_docs", slices=1, ts_col="doc_id"
+    )
+    corpus = VersionedTable(spark, str(tmp_path / "corpus"))
+    q = run_incremental_exact_substr(
+        stream, state, corpus, str(tmp_path / "ckpt"), min_len=10
+    )
+    q.awaitTermination(180)
+    got = {r["doc_id"]: r["text"] for r in corpus.read().collect()}
+    assert got[1] == "xa xb"
+    assert got[2] == rows[1][1]
+    st = {r["_h"]: r["_origin"] for r in gram.read().collect()}
+    assert st[legacy_h] is None          # legacy row kept, NULL origin
+    assert any(v is not None for v in st.values())  # new rows own docs
