@@ -244,14 +244,18 @@ def extract_features(
         for pdf in batches:
             payloads = pdf[payload_col]
             modality = pdf["modality"] if "modality" in pdf else None
+            # NULL payload -> row kept, NULL features (the curation
+            # NULL-row invariant; a kernel must never see None)
             decoded = [
-                decoder(bytes(p), modality.iloc[i] if modality is not None else "image")
+                None
+                if p is None
+                else decoder(bytes(p), modality.iloc[i] if modality is not None else "image")
                 for i, p in enumerate(payloads)
             ]
             out = pdf.drop(columns=[payload_col]).copy()
-            out["n_bytes"] = [len(bytes(p)) for p in payloads]
-            out["feat_a"] = [d.get("height", d.get("sample_rate", d.get("fps", 0))) for d in decoded]
-            out["feat_b"] = [d.get("width", d.get("n_samples", d.get("n_frames", 0))) for d in decoded]
+            out["n_bytes"] = [None if p is None else len(bytes(p)) for p in payloads]
+            out["feat_a"] = [None if d is None else d.get("height", d.get("sample_rate", d.get("fps", 0))) for d in decoded]
+            out["feat_b"] = [None if d is None else d.get("width", d.get("n_samples", d.get("n_frames", 0))) for d in decoded]
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
@@ -283,17 +287,25 @@ def resize_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [decoder(bytes(p), "image") for p in pdf[payload_col]]
+            # NULL payload -> row kept, NULL geometry (NULL-row
+            # invariant; the kernel must never see None)
+            decoded = [
+                None if p is None else decoder(bytes(p), "image")
+                for p in pdf[payload_col]
+            ]
             out = pdf[id_fields].copy()
-            out["src_h"] = [d["height"] for d in decoded]
-            out["src_w"] = [d["width"] for d in decoded]
+            out["src_h"] = [None if d is None else d["height"] for d in decoded]
+            out["src_w"] = [None if d is None else d["width"] for d in decoded]
             # fit-inside scaling, aspect preserved
             scales = [
-                min(target_h / d["height"], target_w / d["width"]) for d in decoded
+                None
+                if d is None
+                else min(target_h / d["height"], target_w / d["width"])
+                for d in decoded
             ]
-            out["out_h"] = [max(1, int(d["height"] * s)) for d, s in zip(decoded, scales)]
-            out["out_w"] = [max(1, int(d["width"] * s)) for d, s in zip(decoded, scales)]
-            out["scale"] = [round(s, 9) for s in scales]
+            out["out_h"] = [None if s is None else max(1, int(d["height"] * s)) for d, s in zip(decoded, scales)]
+            out["out_w"] = [None if s is None else max(1, int(d["width"] * s)) for d, s in zip(decoded, scales)]
+            out["scale"] = [None if s is None else round(s, 9) for s in scales]
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
@@ -325,6 +337,10 @@ def sample_frames(
         for pdf in batches:
             rows = []
             for i, p in enumerate(pdf[payload_col]):
+                if p is None:
+                    # NULL payload: nothing to sample — zero frames,
+                    # the same shape the oracle's inner unnest gives
+                    continue
                 d = decoder(bytes(p), "video")
                 base = {k: pdf[k].iloc[i] for k in id_fields}
                 for idx in range(0, d["n_frames"], every):

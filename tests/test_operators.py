@@ -2443,3 +2443,27 @@ def test_simhash_rejects_radius_at_signature_width(spark, corpus):
     # the documented maximum still works: 64 one-bit blocks
     dedup.simhash_near_dup_pairs(corpus, "doc_id", "text",
                                  max_hamming=63).count()
+
+
+def test_multimodal_kernels_pass_null_payloads_through(spark):
+    """NULL binary payloads (a NULL-text row through attach_fake_binary)
+    must not reach any decode kernel: features/resize keep the row with
+    NULL outputs, frame sampling contributes zero frames, dhash yields
+    a NULL signature."""
+    rows = [(1, bytearray(bytes(range(144)))), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    feats = {r["doc_id"]: r for r in multimodal.extract_features(df).collect()}
+    assert feats[2]["n_bytes"] is None and feats[2]["feat_a"] is None
+    assert feats[1]["n_bytes"] == 144
+
+    res = {r["doc_id"]: r for r in multimodal.resize_images(df, 32, 32).collect()}
+    assert res[2]["src_h"] is None and res[2]["scale"] is None
+    assert res[1]["out_h"] >= 1
+
+    frames = multimodal.sample_frames(df).collect()
+    assert {r["doc_id"] for r in frames} == {1}
+
+    sig = {r["doc_id"]: r["_sh"] for r in multimodal.image_dhash(
+        df, payload_col="payload").collect()}
+    assert sig[2] is None and sig[1] is not None
