@@ -432,7 +432,10 @@ def main(argv: list[str] | None = None) -> int:
                 F.col("warc_type") == "_error"
             ).count()
             docs = documents_from_records(
-                recs, main_content=args.main_content
+                # stage=False: recs is checkpointed two lines up —
+                # a second payload-sized checkpoint of resp would pin
+                # the corpus bytes twice
+                recs, main_content=args.main_content, stage=False
             )
             if args.dedup_refetches:
                 from .functions.urls import dedup_refetches

@@ -284,6 +284,7 @@ def documents_from_records(
     min_status: int = 200,
     max_status: int = 299,
     main_content: bool = False,
+    stage: bool = True,
 ) -> DataFrame:
     """The record→document step of :func:`warc_documents`, split out
     so a caller that already staged the records frame (e.g. the
@@ -322,9 +323,12 @@ def documents_from_records(
         # per-source page totals, and the metadata join below) — and
         # resp's lineage is the WARC scan, so unstaged each consumer
         # would re-decompress every shard. One eager checkpoint makes
-        # it one decompression however the caller got here (the curate
-        # CLI's own recs checkpoint only saves the _error count).
-        resp = resp.localCheckpoint(eager=True)
+        # it one decompression. ``stage=False`` skips it for callers
+        # whose ``recs`` is ALREADY checkpointed (the curate CLI —
+        # resp's consumers then read the cached record blocks, and a
+        # second payload-sized checkpoint would pin the corpus twice).
+        if stage:
+            resp = resp.localCheckpoint(eager=True)
         body = extract_main(
             resp, "doc_id", "_html", source_col="source"
         ).select("doc_id", F.col("main_text").alias("text"))

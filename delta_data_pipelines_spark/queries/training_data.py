@@ -3760,8 +3760,12 @@ ORACLE_SQL = {
                    false
             FROM sized
         ), totals AS (
+            -- denominator over ALL pages of the source, NULL-text
+            -- included: the Spark side's per-source totals come from
+            -- the pre-parse frame (maincontent.py), which counts
+            -- NULL-html pages too
             SELECT source, COUNT(DISTINCT doc_id) AS sdocs
-            FROM words GROUP BY source
+            FROM documents GROUP BY source
         ), site AS (
             SELECT g.source, g.btext FROM (
                 SELECT source, btext, COUNT(DISTINCT doc_id) AS bdocs

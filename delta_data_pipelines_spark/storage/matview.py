@@ -193,6 +193,48 @@ class IncrementalAggregate:
             "applied_to": applied_to,
         }
 
+    # ---- maintenance (watermark-preserving) --------------------------------
+
+    def restamp(self) -> None:
+        """Re-anchor the applied-span watermark at the history tail:
+        an EMPTY ``apply_changes`` commit carrying the current
+        ``applied_to`` (zero rows → zero touched buckets on the
+        bucketed variant). Needed after maintenance commits, because
+        the watermark lives in refresh-commit metrics and ``vacuum``
+        prunes history — without it, routine compact+vacuum could
+        strand a consistent view in the unwatermarked state
+        :meth:`tick`'s guard refuses."""
+        applied = self.applied_version()
+        if applied is None:
+            return
+        empty = self.table.read().limit(0).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        self.table.apply_changes(
+            empty, keys=self.group_cols, extra_metrics={"applied_to": applied}
+        )
+
+    def compact(self, *args: Any, **kwargs: Any):
+        """``table.compact`` + :meth:`restamp` — THE way to compact a
+        view table (a raw compact followed by a deep vacuum can prune
+        the only watermark-bearing commit)."""
+        applied = self.applied_version()
+        out = self.table.compact(*args, **kwargs)
+        if applied is not None and self.applied_version() is None:
+            self.restamp()
+        return out
+
+    def vacuum(self, keep_last: int = 3) -> list[int]:
+        """``table.vacuum`` with the watermark restamped FIRST when
+        the surviving window would otherwise lose it."""
+        applied = self.applied_version()
+        if applied is not None:
+            hist = self.table.history()
+            tail = hist[-keep_last:] if keep_last > 0 else []
+            if not any("applied_to" in c.metrics for c in tail):
+                self.restamp()
+        return self.table.vacuum(keep_last=keep_last)
+
     # ---- the tailing driver -------------------------------------------------
 
     def tick(
@@ -219,8 +261,10 @@ class IncrementalAggregate:
                 # count and sum. Loud error over silent corruption.
                 raise ValueError(
                     "view has rows but no applied_to watermark in its "
-                    "history; drop the view table (or overwrite it "
-                    "empty) and re-tick to rebuild from the snapshot"
+                    "history (raw compact+vacuum on the view table? "
+                    "use IncrementalAggregate.compact/vacuum — they "
+                    "restamp the watermark); drop the view table (or "
+                    "overwrite it empty) and re-tick to rebuild"
                 )
             feed = source.read(latest).withColumn(
                 "_change_type", F.lit("insert")

@@ -1636,3 +1636,35 @@ def test_incremental_aggregate_refuses_unwatermarked_view(
         view.tick(src, ["content_url"])
     # counts untouched — the guard fired before any merge
     assert view.value().where("title = 'a'").first()["n_rows"] == 2
+
+
+def test_incremental_aggregate_maintenance_preserves_watermark(
+    spark, table, tmp_path
+):
+    """Routine view-table maintenance (compact then deep vacuum) must
+    not strand the watermark: the wrappers restamp applied_to so the
+    next tick stays incremental instead of hitting the unwatermarked
+    guard — and the restamped view keeps exact counts."""
+    from delta_data_pipelines_spark.storage import (
+        IncrementalAggregate,
+        VersionedTable,
+    )
+
+    src = table
+    src.overwrite(rows(spark, [("u1", "a", 1), ("u2", "a", 2), ("u3", "b", 3)]))
+    view_t = VersionedTable(spark, str(tmp_path / "mv2"))
+    view = IncrementalAggregate(view_t, ["title"], sum_cols=["price"])
+    view.tick(src, ["content_url"])
+    applied0 = view.applied_version()
+    assert applied0 is not None
+
+    view.compact()
+    view.vacuum(keep_last=1)  # would prune the refresh commit raw
+    assert view.applied_version() == applied0  # restamped, not lost
+
+    # still incremental and exact after maintenance + new source writes
+    src.merge(rows(spark, [("u4", "a", 4)]), keys=["content_url"])
+    view.tick(src, ["content_url"])
+    got = {r["title"]: (r["n_rows"], float(r["sum_price"]))
+           for r in view.value().collect()}
+    assert got == {"a": (3, 7.0), "b": (1, 3.0)}

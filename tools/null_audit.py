@@ -68,7 +68,12 @@ def main() -> int:
             continue
         n_run += 1
         try:
-            fn(spark, dst).limit(5).collect()
+            # full collect, NO limit: CollectLimit short-circuits
+            # after one partition, so a limit could return before the
+            # kernel ever sees the partition holding the NULL rows
+            # (and a count() could column-prune a projection kernel
+            # away entirely). sf0.001 keeps this cheap.
+            fn(spark, dst).collect()
         except Exception as ex:  # noqa: BLE001 — audit, report all
             fails.append((name, f"{type(ex).__name__}: {str(ex)[:140]}"))
             print(f"FAIL {name}: {fails[-1][1]}")
