@@ -692,8 +692,12 @@ def _subspace_slices(
     sublen derives from the array length in-plan (dim need not be
     known at build time, only dim % m == 0 — ENFORCED per row: a
     ragged dimension would otherwise silently drop the vector's tail
-    from fit, coding, and every ADC score)."""
-    vecs = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    from fit, coding, and every ADC score). NULL vectors are EXCLUDED
+    (nothing to encode — and a NULL size would otherwise fall into the
+    ragged-dim raise, killing the whole build for one bad row)."""
+    vecs = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    ).where(F.col("_v").isNotNull())
     sublen = (F.size("_v") / m).cast("int")
     sliced = F.when(
         F.size("_v") % m == 0,

@@ -2467,3 +2467,25 @@ def test_multimodal_kernels_pass_null_payloads_through(spark):
     sig = {r["doc_id"]: r["_sh"] for r in multimodal.image_dhash(
         df, payload_col="payload").collect()}
     assert sig[2] is None and sig[1] is not None
+
+
+def test_pq_index_excludes_null_vectors(spark):
+    """A NULL embedding must not kill the PQ build (the ragged-dim
+    raise fired on NULL size): it is excluded from fit and coding;
+    real vectors still build, and a genuinely ragged dim still
+    raises."""
+    import pytest as _pytest
+
+    from delta_data_pipelines_spark.operators.similarity import pq_index
+
+    rows = [(1, [1.0, 2.0, 3.0, 4.0]), (2, None), (3, [4.0, 3.0, 2.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes, _cb = pq_index(df, m=2, k=2, n_iter=1)
+    got = {r["vec_id"] for r in codes.collect()}
+    assert got == {1, 3}
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="divisible"):
+        pq_index(ragged, m=2, k=2, n_iter=1)[0].collect()

@@ -29,13 +29,14 @@ SRC = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
 
 
 def build_null_corpus(dst: str, every: int = 5) -> None:
-    """Copy SRC with every ``every``-th documents.text set to NULL."""
+    """Copy SRC with every ``every``-th documents.text set to NULL and
+    every ``every+2``-th embeddings vector set to NULL."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(dst, exist_ok=True)
     for f in os.listdir(SRC):
-        if f != "documents.parquet":
+        if f not in ("documents.parquet", "embeddings.parquet"):
             shutil.copy(os.path.join(SRC, f), os.path.join(dst, f))
     t = pq.read_table(os.path.join(SRC, "documents.parquet"))
     texts = t["text"].to_pylist()
@@ -43,6 +44,18 @@ def build_null_corpus(dst: str, every: int = 5) -> None:
     cols = {c: t[c] for c in t.column_names}
     cols["text"] = pa.array(texts, type=pa.string())
     pq.write_table(pa.table(cols), os.path.join(dst, "documents.parquet"))
+    e = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    vec_col = next(
+        (c for c in e.column_names if pa.types.is_list(e.schema.field(c).type)),
+        None,
+    )
+    if vec_col is not None:
+        vecs = e[vec_col].to_pylist()
+        vecs = [None if i % (every + 2) == 0 else v for i, v in enumerate(vecs)]
+        ecols = {c: e[c] for c in e.column_names}
+        ecols[vec_col] = pa.array(vecs, type=e.schema.field(vec_col).type)
+        e = pa.table(ecols)
+    pq.write_table(e, os.path.join(dst, "embeddings.parquet"))
 
 
 def main() -> int:
