@@ -123,7 +123,10 @@ _PRIORITY = [
     "td_cluster_balance", "txt_bpe_encode",
     # txt_bm25_topk (r07 x2, unchanged, still benched + mirror-checked)
     # rotated out for the portable-HLL query's first driver row
-    "td_chunk_manifest", "sk_hll_distinct",
+    # r10: td_chunk_manifest (driver-green ×3, unchanged code, still
+    # mirror-checked + benched) rotated out for the best-fit packing
+    # query's first driver row (recursive-CTE-replayed FFD)
+    "td_pack_bins", "sk_hll_distinct",
     # t_rolling_stats and t_gap_fill (both r7-green; the temporal
     # family keeps 6 other window rows) rotated out for dd_simhash and
     # sim_lsh_topk, which became oracle-able in r8 (portable md5

@@ -1,0 +1,121 @@
+"""Best-fit sequence packing: fill fixed-width context bins WITHOUT
+splitting documents (Ding et al. 2024, "Fewer Truncations Improve
+Language Modeling" — the alternative to concat-and-chunk packing,
+which slices ~a document per chunk boundary).
+
+Packing is bin packing, and first-fit-decreasing is inherently
+sequential — so the scale shape bounds the sequential part instead of
+avoiding it: documents land in DETERMINISTIC md5 groups of bounded
+size (the paper packs per shard; md5 groups make the shard assignment
+a pure function of the id, so reruns, repartitions, and the DuckDB
+oracle reproduce it bit-for-bit), and FFD runs independently inside
+each group as an Arrow-batched ``applyInPandas`` kernel — thousands of
+groups pack in parallel, no group ever sees more than ~``group_size``
+documents, and nothing is driver-side. The oracle replays the exact
+same walk with a recursive CTE, so the bin assignment itself is
+hash-checkable, not just its aggregate stats.
+
+Within a group the walk is the classic FFD: documents in
+(n_tokens DESC, id ASC) order, each into the FIRST bin with enough
+remaining capacity, else a new bin. Documents longer than ``ctx`` get
+their own single-doc bin flagged ``oversize`` (the caller decides to
+truncate or drop — packing must not silently do either).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import md5_hash64
+
+__all__ = ["best_fit_pack", "ffd_kernel"]
+
+
+def ffd_kernel(
+    docs: list[tuple], ctx: int
+) -> list[tuple]:
+    """First-fit-decreasing over one group: ``docs`` is [(id, n)],
+    returns [(id, bin, offset, oversize)]. Deterministic: sort by
+    (n DESC, id ASC), oversize docs claim their own bin in walk order.
+    Pure Python on a bounded group — the property test pins it and the
+    Arrow kernel wraps it."""
+    out = []
+    bins: list[int] = []  # remaining capacity per bin
+    for i, n in sorted(docs, key=lambda t: (-t[1], t[0])):
+        if n > ctx:
+            bins.append(0)
+            out.append((i, len(bins) - 1, 0, True))
+            continue
+        for b, rem in enumerate(bins):
+            if rem >= n:
+                out.append((i, b, ctx - rem, False))
+                bins[b] = rem - n
+                break
+        else:
+            bins.append(ctx - n)
+            out.append((i, len(bins) - 1, 0, False))
+    return out
+
+
+def best_fit_pack(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    ctx: int = 512,
+    n_groups: int = 32,
+) -> DataFrame:
+    """(id, n_tokens, pack_group, bin, offset, oversize) per document:
+    no-split context packing. ``bin`` numbers are group-local (the
+    global bin identity is the (pack_group, bin) pair); ``offset`` is
+    the document's token start inside its bin (placement order).
+    NULL/non-positive token counts pass through with NULL packing
+    columns (nothing to place — the shared stage invariant)."""
+    if ctx < 1:
+        raise ValueError(f"ctx must be >= 1, got {ctx}")
+    if n_groups < 1:
+        raise ValueError(f"n_groups must be >= 1, got {n_groups}")
+    src = df.select(
+        F.col(id_col),
+        F.col(n_tokens_col).cast("long").alias("_n"),
+    )
+    placeable = src.where(F.col("_n").isNotNull() & (F.col("_n") > 0))
+    passthrough = src.where(F.col("_n").isNull() | (F.col("_n") <= 0))
+    grouped = placeable.withColumn(
+        "pack_group",
+        F.pmod(md5_hash64(F.col(id_col)), F.lit(n_groups)).cast("int"),
+    )
+    out_schema = (
+        f"{id_col} {dict((f.name, f.dataType.simpleString()) for f in src.schema.fields)[id_col]}, "
+        "n_tokens long, pack_group int, bin int, offset long, oversize boolean"
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        docs = list(zip(pdf[id_col], pdf["_n"]))
+        placed = ffd_kernel(docs, ctx)
+        by_id = {i: (b, o, ov) for i, b, o, ov in placed}
+        out = pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "n_tokens": pdf["_n"],
+                "pack_group": pdf["pack_group"],
+                "bin": [by_id[i][0] for i in pdf[id_col]],
+                "offset": [by_id[i][1] for i in pdf[id_col]],
+                "oversize": [by_id[i][2] for i in pdf[id_col]],
+            }
+        )
+        return out
+
+    packed = grouped.groupBy("pack_group").applyInPandas(run, out_schema)
+    empties = passthrough.select(
+        F.col(id_col),
+        F.col("_n").alias("n_tokens"),
+        F.lit(None).cast("int").alias("pack_group"),
+        F.lit(None).cast("int").alias("bin"),
+        F.lit(None).cast("long").alias("offset"),
+        F.lit(None).cast("boolean").alias("oversize"),
+    )
+    return packed.unionByName(empties)

@@ -861,6 +861,28 @@ def td_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def td_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit sequence packing (Ding et al. 2024 — "Fewer
+    Truncations Improve Language Modeling"): documents fill fixed-
+    width context bins WITHOUT splitting, the alternative to
+    td_pack_sequences' concat-and-chunk (which slices ~a document per
+    boundary). First-fit-decreasing runs independently inside
+    deterministic md5 groups of bounded size (the paper's per-shard
+    packing with a portable shard assignment), so thousands of groups
+    pack in parallel and the DuckDB oracle replays the exact walk with
+    a recursive CTE — the bin ASSIGNMENT hash-checks, not just its
+    stats. ctx=128 ≈ 4 docs/bin on this corpus; oversize docs flag
+    rather than truncate."""
+    from ..operators.packing import best_fit_pack
+
+    d = read_table(spark, sf_dir, "documents")
+    n = F.size(F.expr("filter(split(text, ' '), w -> w != '')"))
+    src = d.select("doc_id", n.alias("n_tokens"))
+    return best_fit_pack(
+        src, "doc_id", "n_tokens", ctx=128, n_groups=16
+    ).orderBy("doc_id")
+
+
 def _pack_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unsorted packing core shared by td_pack_sequences (which adds
     the presentation sort) and td_chunk_manifest (which re-partitions
@@ -2552,6 +2574,7 @@ SPARK_QUERIES = {
     "td_ngram_contamination": td_ngram_contamination,
     "txt_bm25_topk": txt_bm25_topk,
     "td_pack_sequences": td_pack_sequences,
+    "td_pack_bins": td_pack_bins,
     "td_chunk_manifest": td_chunk_manifest,
     "sk_kmv_distinct": sk_kmv_distinct,
     "sk_source_overlap": sk_source_overlap,
@@ -3459,6 +3482,73 @@ ORACLE_SQL = {
         ORDER BY doc_id
     """
     ),
+    # the FFD walk replayed exactly: one recursion step per document
+    # in (n DESC, id) order within each md5 pack group, state = the
+    # list of bin remainders; fit = first bin with remainder >= n
+    "td_pack_bins": """
+        WITH RECURSIVE docs AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        w -> w <> '')) AS BIGINT) AS n,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                        1, 8))::BIGINT % 16 AS INTEGER) AS pack_group
+            FROM documents
+        ), ord AS (
+            SELECT doc_id, n, pack_group,
+                   ROW_NUMBER() OVER (PARTITION BY pack_group
+                       ORDER BY n DESC, doc_id) AS s,
+                   COUNT(*) OVER (PARTITION BY pack_group) AS gsz
+            FROM docs WHERE n IS NOT NULL AND n > 0
+        ), walk AS (
+            SELECT pack_group, 0 AS s,
+                   CAST([] AS BIGINT[]) AS rems,
+                   CAST([] AS STRUCT(doc_id BIGINT, bin INTEGER,
+                        "offset" BIGINT, oversize BOOLEAN)[]) AS placed
+            FROM (SELECT DISTINCT pack_group FROM ord)
+            UNION ALL
+            SELECT w.pack_group, w.s + 1,
+                   CASE WHEN o.n > 128 OR f.fit IS NULL
+                        THEN list_append(w.rems,
+                             CASE WHEN o.n > 128 THEN 0
+                                  ELSE 128 - o.n END)
+                        ELSE list_transform(range(1, len(w.rems) + 1),
+                             j -> CASE WHEN j = f.fit
+                                       THEN w.rems[j] - o.n
+                                       ELSE w.rems[j] END)
+                   END,
+                   list_append(w.placed, {
+                       'doc_id': o.doc_id,
+                       'bin': CAST(CASE WHEN o.n > 128 OR f.fit IS NULL
+                                        THEN len(w.rems)
+                                        ELSE f.fit - 1 END AS INTEGER),
+                       'offset': CASE WHEN o.n > 128 OR f.fit IS NULL
+                                      THEN 0
+                                      ELSE 128 - w.rems[f.fit] END,
+                       'oversize': o.n > 128
+                   })
+            FROM walk w
+            JOIN ord o ON o.pack_group = w.pack_group AND o.s = w.s + 1,
+            LATERAL (SELECT NULLIF(list_position(
+                         list_transform(w.rems, r -> r >= o.n), true),
+                         0) AS fit) f
+        ), final AS (
+            SELECT w.pack_group, unnest(w.placed) AS pl
+            FROM walk w
+            JOIN (SELECT pack_group, MAX(gsz) AS gsz FROM ord
+                  GROUP BY pack_group) z
+              ON z.pack_group = w.pack_group AND w.s = z.gsz
+        )
+        SELECT d.doc_id, d.n AS n_tokens, f.pack_group,
+               f.pl.bin AS bin, f.pl."offset" AS "offset",
+               f.pl.oversize AS oversize
+        FROM final f JOIN docs d ON d.doc_id = f.pl.doc_id
+        UNION ALL
+        SELECT doc_id, n AS n_tokens, CAST(NULL AS INTEGER),
+               CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+               CAST(NULL AS BOOLEAN)
+        FROM docs WHERE n IS NULL OR n <= 0
+        ORDER BY doc_id
+    """,
     "td_pack_sequences": """
         WITH sized AS (
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens

@@ -2489,3 +2489,68 @@ def test_pq_index_excludes_null_vectors(spark):
     )
     with _pytest.raises(Exception, match="divisible"):
         pq_index(ragged, m=2, k=2, n_iter=1)[0].collect()
+
+
+def test_best_fit_pack_invariants_and_nulls(spark):
+    """No-split packing: every bin's contents fit ctx (oversize docs
+    alone in a flagged bin), offsets tile each bin without overlap,
+    group assignment is the portable md5 bucket, and NULL/zero token
+    counts pass through with NULL packing columns."""
+    from delta_data_pipelines_spark.operators.packing import best_fit_pack
+
+    rows = [(i, 10 + (i * 7) % 50) for i in range(1, 40)]
+    rows += [(100, 300), (101, None), (102, 0)]  # oversize, null, zero
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = best_fit_pack(df, "doc_id", "n_tokens", ctx=64, n_groups=4)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == len(rows)
+    assert got[100]["oversize"] is True and got[100]["offset"] == 0
+    assert got[101]["pack_group"] is None and got[102]["bin"] is None
+
+    from collections import defaultdict
+    bins = defaultdict(list)
+    for r in got.values():
+        if r["pack_group"] is not None:
+            bins[(r["pack_group"], r["bin"])].append(r)
+    for (_, _), members in bins.items():
+        if any(m["oversize"] for m in members):
+            assert len(members) == 1
+            continue
+        assert sum(m["n_tokens"] for m in members) <= 64
+        spans = sorted((m["offset"], m["offset"] + m["n_tokens"])
+                       for m in members)
+        for (a, b), (c, d) in zip(spans, spans[1:]):
+            assert b <= c  # no overlap inside a bin
+
+
+def test_best_fit_pack_matches_local_kernel(spark):
+    """The distributed operator equals the pure-Python FFD kernel run
+    per md5 group — the Arrow seam adds nothing to the walk."""
+    from delta_data_pipelines_spark.operators.packing import (
+        best_fit_pack,
+        ffd_kernel,
+    )
+    from delta_data_pipelines_spark.operators.sampling import md5_hash64
+
+    rows = [(i, 5 + (i * 13) % 90) for i in range(1, 60)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    grp = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id",
+            F.pmod(md5_hash64(F.col("doc_id")), 4).cast("int").alias("g"),
+        ).collect()
+    }
+    expect = {}
+    from collections import defaultdict
+    by_g = defaultdict(list)
+    for i, n in rows:
+        by_g[grp[i]].append((i, n))
+    for g, docs in by_g.items():
+        for i, b, o, ov in ffd_kernel(docs, 64):
+            expect[i] = (g, b, o, ov)
+    got = {
+        r["doc_id"]: (r["pack_group"], r["bin"], r["offset"], r["oversize"])
+        for r in best_fit_pack(df, "doc_id", "n_tokens", ctx=64, n_groups=4).collect()
+    }
+    assert got == expect
