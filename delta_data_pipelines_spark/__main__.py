@@ -40,6 +40,12 @@ def main(argv: list[str] | None = None) -> int:
     cc.add_argument("--no-scrub", action="store_true", help="skip PII redaction")
     cc.add_argument("--pack-ctx", type=int, default=None,
                     help="pack each split into N-token training windows")
+    cc.add_argument("--pack-bins", type=int, default=None, metavar="CTX",
+                    help="no-split best-fit packing (Ding et al. "
+                    "2024): whole documents fill CTX-token bins, "
+                    "never crossing splits; adds pack_group/bin/"
+                    "offset/oversize columns. Mutually exclusive "
+                    "with --pack-ctx")
     cc.add_argument("--tokenizer", default=None, metavar="DIR",
                     help="with --pack-ctx: size windows in STORED-"
                     "tokenizer pieces (train-tokenizer output) instead "
@@ -417,6 +423,9 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--blocklist requires --warc-in/--wet-in (URL column)")
         if args.tokenizer and args.pack_ctx is None:
             p.error("--tokenizer requires --pack-ctx")
+        if args.pack_bins is not None and args.pack_ctx is not None:
+            p.error("--pack-bins and --pack-ctx are mutually exclusive "
+                    "(no-split bins vs concat-and-chunk)")
         n_quarantined = 0
         if args.warc_in:
             from pyspark.sql import functions as F
@@ -475,6 +484,7 @@ def main(argv: list[str] | None = None) -> int:
         table = VersionedTable(spark, args.out)
         res = publish_corpus(
             table, docs, scrub=not args.no_scrub, pack_ctx=args.pack_ctx,
+            pack_bins_ctx=args.pack_bins,
             lm_drop_fraction=args.lm_drop, dup_weights=args.dup_weights,
             decontaminate=args.decontaminate,
             max_passage_dup=args.max_passage_dup,

@@ -566,6 +566,7 @@ def curate_corpus(
     splits: dict[str, float] | None = None,
     scrub: bool = True,
     pack_ctx: int | None = None,
+    pack_bins_ctx: int | None = None,
     compression_bounds: tuple[float, float] | None = None,
     lm_drop_fraction: float | None = None,
     dup_weights: bool = False,
@@ -716,6 +717,27 @@ def curate_corpus(
             ).drop("n_pieces")
         else:
             split = pack_stage(split, "split", id_col, text_col, ctx=pack_ctx)
+    if pack_bins_ctx is not None:
+        # the no-split alternative (Ding et al. 2024 best-fit packing):
+        # whole documents fill ctx-token bins, bins never cross splits
+        # (split folds into the grouping). Whitespace token sizing, the
+        # pack_stage default; NULL-text docs pass through with NULL
+        # packing columns via the operator's invariant.
+        from ..operators.packing import best_fit_pack
+
+        n = F.when(
+            F.col(text_col).isNotNull(),
+            F.size(F.expr(f"filter(split({text_col}, ' '), w -> w != '')")),
+        )
+        split = split.localCheckpoint(eager=True)
+        packed = best_fit_pack(
+            split.select(id_col, "split", n.alias("_nt")),
+            id_col,
+            "_nt",
+            ctx=pack_bins_ctx,
+            partition_cols=("split",),
+        ).select(id_col, "pack_group", "bin", "offset", "oversize")
+        split = split.join(packed, id_col, "left")
     return split
 
 

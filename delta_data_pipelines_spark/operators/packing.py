@@ -67,19 +67,25 @@ def best_fit_pack(
     n_tokens_col: str,
     ctx: int = 512,
     n_groups: int = 32,
+    partition_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, n_tokens, pack_group, bin, offset, oversize) per document:
-    no-split context packing. ``bin`` numbers are group-local (the
-    global bin identity is the (pack_group, bin) pair); ``offset`` is
-    the document's token start inside its bin (placement order).
+    """(id, n_tokens, [partition_cols…,] pack_group, bin, offset,
+    oversize) per document: no-split context packing. ``bin`` numbers
+    are group-local (the global bin identity is the
+    (partition_cols…, pack_group, bin) tuple); ``offset`` is the
+    document's token start inside its bin (placement order).
+    ``partition_cols`` fold into the grouping so bins never cross them
+    (the packing-never-crosses-splits rule of the chunk packer).
     NULL/non-positive token counts pass through with NULL packing
     columns (nothing to place — the shared stage invariant)."""
     if ctx < 1:
         raise ValueError(f"ctx must be >= 1, got {ctx}")
     if n_groups < 1:
         raise ValueError(f"n_groups must be >= 1, got {n_groups}")
+    pcols = list(partition_cols)
     src = df.select(
         F.col(id_col),
+        *pcols,
         F.col(n_tokens_col).cast("long").alias("_n"),
     )
     placeable = src.where(F.col("_n").isNotNull() & (F.col("_n") > 0))
@@ -88,18 +94,23 @@ def best_fit_pack(
         "pack_group",
         F.pmod(md5_hash64(F.col(id_col)), F.lit(n_groups)).cast("int"),
     )
+    types = {f.name: f.dataType.simpleString() for f in src.schema.fields}
     out_schema = (
-        f"{id_col} {dict((f.name, f.dataType.simpleString()) for f in src.schema.fields)[id_col]}, "
-        "n_tokens long, pack_group int, bin int, offset long, oversize boolean"
+        f"{id_col} {types[id_col]}, "
+        + "".join(f"{c} {types[c]}, " for c in pcols)
+        + "n_tokens long, pack_group int, bin int, offset long, "
+        "oversize boolean"
     )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         docs = list(zip(pdf[id_col], pdf["_n"]))
         placed = ffd_kernel(docs, ctx)
         by_id = {i: (b, o, ov) for i, b, o, ov in placed}
-        out = pd.DataFrame(
+        cols = {id_col: pdf[id_col]}
+        for c in pcols:
+            cols[c] = pdf[c]
+        cols.update(
             {
-                id_col: pdf[id_col],
                 "n_tokens": pdf["_n"],
                 "pack_group": pdf["pack_group"],
                 "bin": [by_id[i][0] for i in pdf[id_col]],
@@ -107,11 +118,14 @@ def best_fit_pack(
                 "oversize": [by_id[i][2] for i in pdf[id_col]],
             }
         )
-        return out
+        return pd.DataFrame(cols)
 
-    packed = grouped.groupBy("pack_group").applyInPandas(run, out_schema)
+    packed = grouped.groupBy(*pcols, "pack_group").applyInPandas(
+        run, out_schema
+    )
     empties = passthrough.select(
         F.col(id_col),
+        *pcols,
         F.col("_n").alias("n_tokens"),
         F.lit(None).cast("int").alias("pack_group"),
         F.lit(None).cast("int").alias("bin"),

