@@ -161,6 +161,9 @@ SHELF: list[str] = [
     # parse + (source, hash) template aggregate + per-page rescue
     # window; the heaviest new plan shape this round
     "txt_main_content",
+    # r10: best-fit packing — bounded-group applyInPandas fan-out
+    # (the per-shard FFD walk), a plan shape nothing else exercises
+    "td_pack_bins",
 ]
 HEADLINE = HEADLINE + SHELF
 
