@@ -197,8 +197,12 @@ def viterbi_segment(
 ) -> DataFrame:
     """Viterbi-best segmentation of each distinct word under the
     piece table (piece, logp): output (word, pieces array<string>,
-    logp double), with NULL pieces/logp for unsegmentable words (an
-    inventory missing one of the word's characters).
+    logp double, logp_int bigint), with NULL pieces/logp/logp_int for
+    unsegmentable words (an inventory missing one of the word's
+    characters). ``logp_int`` is the raw integer DP score
+    (``round(logp·1e6)`` sums) — the exact value the fold computed,
+    exposed so downstream queries can stay in pure BIGINT arithmetic
+    end-to-end (no float/decimal output surface at all).
 
     Shape: substring-enumerate the word (≤ len·max_len rows), inner-
     join the inventory, collapse back to ONE row per word carrying
@@ -255,6 +259,7 @@ def viterbi_segment(
         F.when(
             ok, F.round(F.col("_score").cast("double") / F.lit(1e6), 6)
         ).alias("logp"),
+        F.when(ok, F.col("_score")).alias("logp_int"),
     )
 
 

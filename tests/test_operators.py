@@ -1934,7 +1934,7 @@ def test_unigram_viterbi_matches_reference(spark):
     pieces = U.piece_logprobs(U.unigram_candidates(vocab, max_len=3, min_count=4))
     logp = {r["piece"]: r["logp"] for r in pieces.collect()}
     got = {
-        r["word"]: (r["pieces"], r["logp"])
+        r["word"]: (r["pieces"], r["logp"], r["logp_int"])
         for r in U.viterbi_segment(vocab, pieces, max_len=3).collect()
     }
     assert len(got) == 8
@@ -1942,11 +1942,13 @@ def test_unigram_viterbi_matches_reference(spark):
         ref_parts, ref_score = _viterbi_ref(w, logp, 3)
         assert got[w][0] == ref_parts, (w, got[w], ref_parts)
         assert got[w][1] == ref_score, (w, got[w], ref_score)
+        # the raw BIGINT DP score is the exact 1e6-scaled rounded logp
+        assert got[w][2] == int(round(ref_score * 1e6)), (w, got[w])
 
     # unknown character -> unsegmentable -> NULLs
     weird = spark.createDataFrame([("héllo",)], "word string")
     r = U.viterbi_segment(weird, pieces, max_len=3).collect()[0]
-    assert r["pieces"] is None and r["logp"] is None
+    assert r["pieces"] is None and r["logp"] is None and r["logp_int"] is None
 
 
 def test_unigram_refit_recounts_by_usage(spark):
