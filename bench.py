@@ -162,7 +162,7 @@ SHELF: list[str] = [
     # window; the heaviest new plan shape this round
     "txt_main_content",
     # r10: best-fit packing — bounded-group applyInPandas fan-out
-    # (the per-shard FFD walk), a plan shape nothing else exercises
+    # (the per-shard BFD walk), a plan shape nothing else exercises
     "td_pack_bins",
 ]
 HEADLINE = HEADLINE + SHELF

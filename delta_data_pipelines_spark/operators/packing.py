@@ -3,28 +3,37 @@ splitting documents (Ding et al. 2024, "Fewer Truncations Improve
 Language Modeling" — the alternative to concat-and-chunk packing,
 which slices ~a document per chunk boundary).
 
-Packing is bin packing, and first-fit-decreasing is inherently
+Packing is bin packing, and best-fit-decreasing is inherently
 sequential — so the scale shape bounds the sequential part instead of
 avoiding it: documents land in DETERMINISTIC md5 groups of bounded
 size (the paper packs per shard; md5 groups make the shard assignment
 a pure function of the id, so reruns, repartitions, and the DuckDB
-oracle reproduce it bit-for-bit), and FFD runs independently inside
-each group as an Arrow-batched ``applyInPandas`` kernel — thousands of
-groups pack in parallel, no group ever sees more than ~``group_size``
-documents, and nothing is driver-side. The oracle replays the exact
-same walk with a recursive CTE, so the bin assignment itself is
-hash-checkable, not just its aggregate stats.
+oracle reproduce it bit-for-bit), and the walk runs independently
+inside each group as an Arrow-batched ``applyInPandas`` kernel —
+thousands of groups pack in parallel and nothing is driver-side. The
+group COUNT is derived from the corpus size by default (one cheap
+count over a two-column projection) targeting ``docs_per_group``
+documents per kernel invocation, so the per-task memory footprint is
+bounded no matter how large the corpus grows — a fixed group count
+would mean corpus/32 docs in ONE pandas frame at 100 TB (the r10
+verdict's scale flag). Callers that need a reproducible grouping
+across differently-sized corpora pin ``n_groups`` explicitly (the
+oracle-checked query does). The oracle replays the exact same walk
+with a recursive CTE, so the bin assignment itself is hash-checkable,
+not just its aggregate stats.
 
-Within a group the walk is the classic FFD: documents in
-(n_tokens DESC, id ASC) order, each into the FIRST bin with enough
-remaining capacity, else a new bin. Documents longer than ``ctx`` get
-their own single-doc bin flagged ``oversize`` (the caller decides to
-truncate or drop — packing must not silently do either).
+Within a group the walk is the classic BFD: documents in
+(n_tokens DESC, id ASC) order, each into the bin with the SMALLEST
+sufficient remaining capacity (ties to the lowest bin index), else a
+new bin — the paper's best-fit rule, not first-fit. Documents longer
+than ``ctx`` get their own single-doc bin flagged ``oversize`` (the
+caller decides to truncate or drop — packing must not silently do
+either).
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import math
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -32,17 +41,19 @@ from pyspark.sql import functions as F
 
 from .sampling import md5_hash64
 
-__all__ = ["best_fit_pack", "ffd_kernel"]
+__all__ = ["best_fit_pack", "bfd_kernel"]
 
 
-def ffd_kernel(
+def bfd_kernel(
     docs: list[tuple], ctx: int
 ) -> list[tuple]:
-    """First-fit-decreasing over one group: ``docs`` is [(id, n)],
+    """Best-fit-decreasing over one group: ``docs`` is [(id, n)],
     returns [(id, bin, offset, oversize)]. Deterministic: sort by
-    (n DESC, id ASC), oversize docs claim their own bin in walk order.
-    Pure Python on a bounded group — the property test pins it and the
-    Arrow kernel wraps it."""
+    (n DESC, id ASC); each doc goes to the bin with the smallest
+    remaining capacity that still fits (ties → lowest bin index);
+    oversize docs claim their own bin in walk order. Pure Python on a
+    bounded group — the property test pins it and the Arrow kernel
+    wraps it."""
     out = []
     bins: list[int] = []  # remaining capacity per bin
     for i, n in sorted(docs, key=lambda t: (-t[1], t[0])):
@@ -50,11 +61,13 @@ def ffd_kernel(
             bins.append(0)
             out.append((i, len(bins) - 1, 0, True))
             continue
+        best = -1
         for b, rem in enumerate(bins):
-            if rem >= n:
-                out.append((i, b, ctx - rem, False))
-                bins[b] = rem - n
-                break
+            if rem >= n and (best < 0 or rem < bins[best]):
+                best = b
+        if best >= 0:
+            out.append((i, best, ctx - bins[best], False))
+            bins[best] -= n
         else:
             bins.append(ctx - n)
             out.append((i, len(bins) - 1, 0, False))
@@ -66,8 +79,9 @@ def best_fit_pack(
     id_col: str,
     n_tokens_col: str,
     ctx: int = 512,
-    n_groups: int = 32,
+    n_groups: int | None = None,
     partition_cols: tuple[str, ...] = (),
+    docs_per_group: int = 20_000,
 ) -> DataFrame:
     """(id, n_tokens, [partition_cols…,] pack_group, bin, offset,
     oversize) per document: no-split context packing. ``bin`` numbers
@@ -77,11 +91,25 @@ def best_fit_pack(
     ``partition_cols`` fold into the grouping so bins never cross them
     (the packing-never-crosses-splits rule of the chunk packer).
     NULL/non-positive token counts pass through with NULL packing
-    columns (nothing to place — the shared stage invariant)."""
+    columns (nothing to place — the shared stage invariant).
+
+    ``n_groups=None`` (the default) derives the group count from a
+    cheap count of the placeable rows, targeting ``docs_per_group``
+    documents per group — the per-task pandas frame stays bounded as
+    the corpus scales. The derived count makes the grouping (and so
+    the bin assignment) corpus-size-dependent; pass an explicit
+    ``n_groups`` when the assignment must reproduce across runs with
+    different row counts. Duplicate ids are rejected: placement is
+    keyed by id, and two same-id documents in one group would silently
+    share a placement (capacity invariant broken)."""
     if ctx < 1:
         raise ValueError(f"ctx must be >= 1, got {ctx}")
-    if n_groups < 1:
+    if n_groups is not None and n_groups < 1:
         raise ValueError(f"n_groups must be >= 1, got {n_groups}")
+    if docs_per_group < 1:
+        raise ValueError(
+            f"docs_per_group must be >= 1, got {docs_per_group}"
+        )
     pcols = list(partition_cols)
     src = df.select(
         F.col(id_col),
@@ -90,6 +118,13 @@ def best_fit_pack(
     )
     placeable = src.where(F.col("_n").isNotNull() & (F.col("_n") > 0))
     passthrough = src.where(F.col("_n").isNull() | (F.col("_n") <= 0))
+    if n_groups is None:
+        # one narrow count over (id, n) — the price of a bounded
+        # kernel; grows the group COUNT with the corpus, never the
+        # group SIZE
+        n_groups = max(
+            1, math.ceil(placeable.count() / docs_per_group)
+        )
     grouped = placeable.withColumn(
         "pack_group",
         F.pmod(md5_hash64(F.col(id_col)), F.lit(n_groups)).cast("int"),
@@ -103,8 +138,14 @@ def best_fit_pack(
     )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf[id_col].duplicated().any():
+            dup = pdf[id_col][pdf[id_col].duplicated()].iloc[0]
+            raise ValueError(
+                f"best_fit_pack: duplicate {id_col} {dup!r} in group"
+                " — placement is keyed by id; dedup first"
+            )
         docs = list(zip(pdf[id_col], pdf["_n"]))
-        placed = ffd_kernel(docs, ctx)
+        placed = bfd_kernel(docs, ctx)
         by_id = {i: (b, o, ov) for i, b, o, ov in placed}
         cols = {id_col: pdf[id_col]}
         for c in pcols:

@@ -866,13 +866,16 @@ def td_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     Truncations Improve Language Modeling"): documents fill fixed-
     width context bins WITHOUT splitting, the alternative to
     td_pack_sequences' concat-and-chunk (which slices ~a document per
-    boundary). First-fit-decreasing runs independently inside
-    deterministic md5 groups of bounded size (the paper's per-shard
-    packing with a portable shard assignment), so thousands of groups
-    pack in parallel and the DuckDB oracle replays the exact walk with
-    a recursive CTE — the bin ASSIGNMENT hash-checks, not just its
-    stats. ctx=128 ≈ 4 docs/bin on this corpus; oversize docs flag
-    rather than truncate."""
+    boundary). Best-fit-decreasing (the paper's rule: smallest
+    sufficient remainder, ties to the lowest bin) runs independently
+    inside deterministic md5 groups of bounded size (the paper's
+    per-shard packing with a portable shard assignment), so thousands
+    of groups pack in parallel and the DuckDB oracle replays the
+    exact walk with a recursive CTE — the bin ASSIGNMENT hash-checks,
+    not just its stats. ctx=128 ≈ 4 docs/bin on this corpus; oversize
+    docs flag rather than truncate. n_groups is pinned (16) here so
+    the assignment is corpus-size-independent for the hash check; the
+    operator default derives it from the corpus size instead."""
     from ..operators.packing import best_fit_pack
 
     d = read_table(spark, sf_dir, "documents")
@@ -3500,7 +3503,7 @@ ORACLE_SQL = {
         ORDER BY doc_id
     """
     ),
-    # the FFD walk replayed exactly: one recursion step per document
+    # the BFD walk replayed exactly: one recursion step per document
     # in (n DESC, id) order within each md5 pack group, state = the
     # list of bin remainders; fit = first bin with remainder >= n
     "td_pack_bins": """
@@ -3546,9 +3549,15 @@ ORACLE_SQL = {
                    })
             FROM walk w
             JOIN ord o ON o.pack_group = w.pack_group AND o.s = w.s + 1,
+            -- best-fit: the bin with the SMALLEST sufficient
+            -- remainder (ties -> lowest index). list_min over the
+            -- fitting remainders, then the first bin equal to it;
+            -- empty filter -> NULL min -> NULL fit -> new bin
             LATERAL (SELECT NULLIF(list_position(
-                         list_transform(w.rems, r -> r >= o.n), true),
-                         0) AS fit) f
+                         list_transform(w.rems,
+                             r -> r >= o.n AND r = list_min(
+                                 list_filter(w.rems, x -> x >= o.n))),
+                         true), 0) AS fit) f
         ), final AS (
             SELECT w.pack_group, unnest(w.placed) AS pl
             FROM walk w
