@@ -44,6 +44,17 @@ def _load(path: str) -> tuple[dict[str, float], float | None]:
             break
         except json.JSONDecodeError:
             continue
+    # driver record carrying the fully-parsed bench line: unwrap and
+    # fall through to the bench-line branch (same probe/shelf rules
+    # for both input kinds — the r10 review found the two paths had
+    # drifted: min-vs-mean probes, no disagreement, polluted queries)
+    if (
+        isinstance(obj, dict)
+        and "tail" in obj
+        and isinstance(obj.get("parsed"), dict)
+        and "queries" in obj["parsed"]
+    ):
+        obj = obj["parsed"]
     if isinstance(obj, dict) and "queries" in obj:
         queries = dict(obj["queries"])
         _load.last_shelf = list(obj.get("shelf") or [])
@@ -56,19 +67,36 @@ def _load(path: str) -> tuple[dict[str, float], float | None]:
         probe = sum(vals) / len(vals) if vals else None
         if len(vals) == 2 and min(vals) > 0:
             _load.last_disagreement = round(max(vals) / min(vals), 2)
-        else:
-            _load.last_disagreement = None
         return queries, probe
-    # driver record: per-query pairs live in the truncated `tail`
+    # legacy driver record (no `parsed`): per-query pairs live in the
+    # truncated `tail`. Scan ONLY inside the "queries" object when the
+    # marker survives truncation, so run-level numeric fields (runs,
+    # spread_ratio_med, sf, value, ...) can't pollute the query map.
     if isinstance(obj, dict) and "tail" in obj:
-        for m in re.finditer(r'"([a-z_0-9]+)":\s*([0-9.]+)', obj["tail"]):
+        tail = obj["tail"]
+        start = tail.find('"queries"')
+        region = tail[start:] if start >= 0 else tail
+        end_brace = region.find("}")
+        if start >= 0 and end_brace >= 0:
+            region = region[: end_brace + 1]
+        for m in re.finditer(r'"([a-z_0-9]+)":\s*([0-9.]+)', region):
             queries[m.group(1)] = float(m.group(2))
+        probes = []
         for key in ("start", "end"):
-            m = re.search(rf'"{key}":\s*([0-9.]+)', obj["tail"])
+            m = re.search(rf'"{key}":\s*([0-9.]+)', tail)
             if m:
-                v = float(m.group(1))
-                probe = v if probe is None else min(probe, v)
-        for drop in ("n", "rc", "cpus", "sf", "value", "start", "end"):
+                probes.append(float(m.group(1)))
+        # MEAN, matching the bench-line branch and the README rule
+        probe = sum(probes) / len(probes) if probes else None
+        if len(probes) == 2 and min(probes) > 0:
+            _load.last_disagreement = round(max(probes) / min(probes), 2)
+        m = re.search(r'"shelf":\s*\[([^\]]*)\]', tail)
+        if m:
+            _load.last_shelf = re.findall(r'"([^"]+)"', m.group(1))
+        for drop in (
+            "n", "rc", "cpus", "sf", "value", "start", "end",
+            "runs", "spread_ratio_med",
+        ):
             queries.pop(drop, None)
         return queries, probe
     raise SystemExit(f"{path}: not a bench JSON line or driver record")
