@@ -102,22 +102,15 @@ def _load(path: str) -> tuple[dict[str, float], float | None]:
     raise SystemExit(f"{path}: not a bench JSON line or driver record")
 
 
-def main(argv: list[str] | None = None) -> int:
-    p = argparse.ArgumentParser()
-    p.add_argument("old")
-    p.add_argument("new")
-    p.add_argument(
-        "--threshold",
-        type=float,
-        default=1.0,
-        help="normalized ratio above which a regression is real "
-        "(1.0 = any slowdown beyond the machine's own)",
-    )
-    args = p.parse_args(argv)
-    old_q, old_p = _load(args.old)
+def compare(
+    old_path: str, new_path: str, threshold: float = 1.0
+) -> dict:
+    """The comparison as a dict — the library entry remeasure.py and
+    the CLI share."""
+    old_q, old_p = _load(old_path)
     old_dis = getattr(_load, "last_disagreement", None)
     old_shelf = set(getattr(_load, "last_shelf", []))
-    new_q, new_p = _load(args.new)
+    new_q, new_p = _load(new_path)
     new_dis = getattr(_load, "last_disagreement", None)
     new_shelf = set(getattr(_load, "last_shelf", []))
     machine = (
@@ -135,7 +128,7 @@ def main(argv: list[str] | None = None) -> int:
         k: round((new_q[k] / old_q[k]) / machine, 3) for k in shared
     }
     regressions = {
-        k: v for k, v in ratios.items() if v > args.threshold
+        k: v for k, v in ratios.items() if v > threshold
     }
     geomean = (
         round(
@@ -146,7 +139,7 @@ def main(argv: list[str] | None = None) -> int:
         else None
     )
     noisy = any(d and d > 1.5 for d in (old_dis, new_dis))
-    out = {
+    return {
         "machine_factor": round(machine, 3),
         "calibrated": bool(old_p and new_p),
         "probe_disagreement": {"old": old_dis, "new": new_dis},
@@ -160,9 +153,35 @@ def main(argv: list[str] | None = None) -> int:
         "added": sorted(k for k in new_q if k not in old_q),
         "removed": sorted(k for k in old_q if k not in new_q),
         "shelf_excluded": sorted(shelf & set(old_q) & set(new_q)),
+        # raw per-query medians + probes, for downstream standalone
+        # re-measures (remeasure.py normalizes against a fresh probe)
+        "old_medians": {k: old_q[k] for k in shared},
+        "new_medians": {k: new_q[k] for k in shared},
+        "old_probe": old_p,
+        "new_probe": new_p,
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("old")
+    p.add_argument("new")
+    p.add_argument(
+        "--threshold",
+        type=float,
+        default=1.0,
+        help="normalized ratio above which a regression is real "
+        "(1.0 = any slowdown beyond the machine's own)",
+    )
+    args = p.parse_args(argv)
+    out = compare(args.old, args.new, args.threshold)
+    # the raw median maps are remeasure.py plumbing, not review output
+    out = {
+        k: v for k, v in out.items()
+        if k not in ("old_medians", "new_medians", "old_probe", "new_probe")
     }
     print(json.dumps(out))
-    return 1 if regressions else 0
+    return 1 if out["regressions"] else 0
 
 
 if __name__ == "__main__":
