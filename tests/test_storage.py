@@ -1571,6 +1571,145 @@ def test_incremental_aggregate_bucketed_touches_only_fed_buckets(
         IncrementalAggregate(view, ["price"], [])
 
 
+def _full_minmax(df):
+    from pyspark.sql import functions as F
+
+    return {
+        (r["title"], r["n_rows"], r["min_price"], r["max_price"])
+        for r in df.groupBy("title")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("price").alias("min_price"),
+            F.max("price").alias("max_price"),
+        )
+        .collect()
+    }
+
+
+def test_incremental_aggregate_minmax_converges_to_recompute(
+    spark, table, tmp_path
+):
+    """MIN/MAX hybrid maintenance (the reference's MinUserRole shape,
+    SURVEY A2): after every tick the maintained min/max equal the full
+    groupBy recompute — inserts that move an extremum, deletes that
+    kill one (tie included), updates that move a row across groups,
+    and a group emptying out entirely."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.storage import (
+        IncrementalAggregate,
+        VersionedTable,
+    )
+
+    src = table
+    src.overwrite(rows(spark, [
+        ("u1", "a", 10), ("u2", "a", 5), ("u3", "a", 5), ("u4", "b", 7),
+    ]))
+    agg = IncrementalAggregate(
+        VersionedTable(spark, str(tmp_path / "agg_mm")),
+        group_cols=["title"],
+        minmax_cols=["price"],
+    )
+
+    def check():
+        got = {
+            (r["title"], r["n_rows"], r["min_price"], r["max_price"])
+            for r in agg.value().collect()
+        }
+        assert got == _full_minmax(src.read())
+
+    agg.tick(src, ["content_url"])
+    check()
+    # new max via insert (no base read needed), new min via insert
+    src.merge(rows(spark, [("u5", "a", 99), ("u6", "b", 1)]),
+              keys=["content_url"])
+    agg.tick(src, ["content_url"])
+    check()
+    # delete ONE of two tied minima: the min must SURVIVE (5 remains)
+    src.delete_where(F.col("content_url") == "u2")
+    agg.tick(src, ["content_url"])
+    check()
+    assert agg.value().where("title='a'").first()["min_price"] == 5
+    # delete the max: extremum recompute path
+    src.delete_where(F.col("content_url") == "u5")
+    agg.tick(src, ["content_url"])
+    check()
+    # update moves a row between groups (delete-side in a, insert in b)
+    src.merge(rows(spark, [("u1", "b", 10)]), keys=["content_url"],
+              when_matched="update")
+    agg.tick(src, ["content_url"])
+    check()
+    # group 'a' empties entirely
+    src.delete_where(F.col("title") == "a")
+    agg.tick(src, ["content_url"])
+    check()
+    assert {r["title"] for r in agg.value().collect()} == {"b"}
+
+
+def test_incremental_aggregate_minmax_only_losers_read_base(
+    spark, table, tmp_path
+):
+    """The hybrid's cost contract: the base table is read ONLY for
+    extremum-losing groups — never on inserts, never on deletes that
+    don't touch a stored extremum — and the loser set passed to the
+    base reader names exactly the losing groups."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.storage import (
+        IncrementalAggregate,
+        VersionedTable,
+    )
+
+    src = table
+    src.overwrite(rows(spark, [
+        ("u1", "a", 1), ("u2", "a", 5), ("u3", "a", 9),
+        ("u4", "b", 2), ("u5", "b", 8),
+    ]))
+    agg = IncrementalAggregate(
+        VersionedTable(spark, str(tmp_path / "agg_lz")),
+        group_cols=["title"],
+        minmax_cols=["price"],
+    )
+    calls: list[list[str]] = []
+
+    def reader(losers):
+        calls.append(sorted(r["title"] for r in losers.collect()))
+        return src.read()
+
+    def feed(data, ct):
+        return rows(spark, data).withColumn("_change_type", F.lit(ct))
+
+    # bootstrap (all-insert): no base read
+    r = agg.refresh(feed(
+        [("u1", "a", 1), ("u2", "a", 5), ("u3", "a", 9),
+         ("u4", "b", 2), ("u5", "b", 8)], "insert"),
+        base_reader=reader)
+    assert r["groups_recomputed"] == 0 and calls == []
+    # insert that MOVES the max: still no base read (insert side is
+    # exactly maintainable)
+    src.merge(rows(spark, [("u6", "a", 50)]), keys=["content_url"])
+    r = agg.refresh(feed([("u6", "a", 50)], "insert"),
+                    base_reader=reader)
+    assert r["groups_recomputed"] == 0 and calls == []
+    # delete a NON-extremum row: no base read
+    src.delete_where(F.col("content_url") == "u2")
+    r = agg.refresh(feed([("u2", "a", 5)], "delete"),
+                    base_reader=reader)
+    assert r["groups_recomputed"] == 0 and calls == []
+    # delete group a's min AND a non-extremum of b in one span: the
+    # reader sees ONLY group a
+    src.delete_where(F.col("content_url") == "u1")
+    r = agg.refresh(feed([("u1", "a", 1)], "delete"),
+                    base_reader=reader)
+    assert r["groups_recomputed"] == 1 and calls == [["a"]]
+    assert agg.value().where("title='a'").first()["min_price"] == 9
+    # extremum-losing delete WITHOUT a base reader: loud error
+    src.delete_where(F.col("content_url") == "u5")
+    with _pytest.raises(ValueError, match="base_reader"):
+        agg.refresh(feed([("u5", "b", 8)], "delete"))
+
+
 def test_change_feed_tail_rebootstrap_drops_phantoms(spark, table, tmp_path):
     """Crash window at BOOTSTRAP: the snapshot applied but the
     watermark never wrote, then the source deleted a row. The re-run
