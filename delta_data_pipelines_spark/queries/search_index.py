@@ -46,10 +46,13 @@ FULL_REBUILD_SINCE = "1998-01-01 00:00:00"  # ↔ ModifiedDate > now - 1 month
 INCREMENTAL_EXCLUDED_STATUS = "P"  # ↔ StatusId <> 1254
 
 
-def _pivot_custom_fields(
-    spark: SparkSession, sf_dir: str, keys: DataFrame | None = None
+def pivot_custom_fields_frames(
+    li: DataFrame, part: DataFrame, keys: DataFrame | None = None
 ) -> DataFrame:
-    """EAV tall→wide conditional-aggregation pivot (A1 + J1).
+    """EAV tall→wide conditional-aggregation pivot (A1 + J1), on
+    caller-supplied frames (the continuous indexer feeds storage-table
+    snapshots; the sf_dir wrapper below feeds parquet reads — one plan
+    either way).
 
     ↔ PivotCustomFields CTE: the tall table left-joins the options dim to
     resolve values (COALESCE(cfv.Value, cfo.Value)), then one MAX(CASE...)
@@ -63,8 +66,6 @@ def _pivot_custom_fields(
     The keys side is broadcast: the pivot input is then filtered map-side
     and only pre-aggregated survivors shuffle.
     """
-    li = read_table(spark, sf_dir, "lineitem")
-    part = read_table(spark, sf_dir, "part")
     if keys is not None:
         kcol = keys.columns[0]
         li = li.join(
@@ -96,8 +97,18 @@ def _pivot_custom_fields(
     )
 
 
-def _min_user_role(
-    spark: SparkSession, sf_dir: str, users: DataFrame | None = None
+def _pivot_custom_fields(
+    spark: SparkSession, sf_dir: str, keys: DataFrame | None = None
+) -> DataFrame:
+    return pivot_custom_fields_frames(
+        read_table(spark, sf_dir, "lineitem"),
+        read_table(spark, sf_dir, "part"),
+        keys,
+    )
+
+
+def min_user_role_frames(
+    events: DataFrame, users: DataFrame | None = None
 ) -> DataFrame:
     """↔ MinUserRole CTE (A2): GROUP BY UserId, MIN(RoleId).
 
@@ -105,7 +116,6 @@ def _min_user_role(
     customer keys before aggregating (same legality argument as the
     pivot prune: the downstream join is fact-preserving left).
     """
-    events = read_table(spark, sf_dir, "events")
     if users is not None:
         ucol = users.columns[0]
         events = events.join(
@@ -116,8 +126,25 @@ def _min_user_role(
     )
 
 
-def _build_index(spark: SparkSession, sf_dir: str, fact_filter: F.Column) -> DataFrame:
-    """Shared plan for full / incremental / point-lookup variants.
+def _min_user_role(
+    spark: SparkSession, sf_dir: str, users: DataFrame | None = None
+) -> DataFrame:
+    return min_user_role_frames(read_table(spark, sf_dir, "events"), users)
+
+
+def build_index_frames(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    events: DataFrame,
+    fact_filter: F.Column,
+) -> DataFrame:
+    """Shared plan for full / incremental / point-lookup variants, on
+    caller-supplied frames (jobs.search_indexer feeds storage-table
+    snapshots here; the sf_dir path wraps parquet reads).
 
     Plan shape (verified via .explain):
     - the fact filter pushes into the parquet scan (PushedFilters);
@@ -127,16 +154,15 @@ def _build_index(spark: SparkSession, sf_dir: str, fact_filter: F.Column) -> Dat
       only qualifying rows (the single biggest 100 TB lever here);
     - J5 fact ⟕ pivot shuffles on the shared key; J6 min-role broadcast.
     """
-    orders = read_table(spark, sf_dir, "orders")
-    customer = read_table(spark, sf_dir, "customer")
-    nation = read_table(spark, sf_dir, "nation")
-    region = read_table(spark, sf_dir, "region")
-
     # FilteredDeposits: equality + temporal window; pushed to parquet scan.
     filtered = orders.where(fact_filter)
 
-    pivot = _pivot_custom_fields(spark, sf_dir, keys=filtered.select("o_orderkey"))
-    min_role = _min_user_role(spark, sf_dir, users=filtered.select("o_custkey"))
+    pivot = pivot_custom_fields_frames(
+        lineitem, part, keys=filtered.select("o_orderkey")
+    )
+    min_role = min_user_role_frames(
+        events, users=filtered.select("o_custkey")
+    )
 
     joined = (
         filtered.join(
@@ -169,6 +195,21 @@ def _build_index(spark: SparkSession, sf_dir: str, fact_filter: F.Column) -> Dat
         "head_discount",
         "tail_tax",
         "bulk_price",
+    )
+
+
+def _build_index(
+    spark: SparkSession, sf_dir: str, fact_filter: F.Column
+) -> DataFrame:
+    return build_index_frames(
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "nation"),
+        read_table(spark, sf_dir, "region"),
+        read_table(spark, sf_dir, "lineitem"),
+        read_table(spark, sf_dir, "part"),
+        read_table(spark, sf_dir, "events"),
+        fact_filter,
     )
 
 

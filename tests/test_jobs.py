@@ -1472,3 +1472,125 @@ def test_curate_corpus_pack_bins_never_cross_splits(spark):
     # ids are LOCAL to (split, group); within one split no bin > ctx
     for (_, _, _), v in bins.items():
         assert v["tokens"] <= 64
+
+
+def test_continuous_search_indexer_converges(spark, tmp_path):
+    """The CDC-driven always-on indexer (VERDICT r10 ask #6): after a
+    bootstrap and a series of mutation ticks spanning every change
+    class — status flips in and out of qualification, price updates,
+    a hard fact delete, EAV updates and deletes, a role change, and a
+    dim update — the maintained index EQUALS the full rebuild from the
+    sources' current snapshots, and incremental ticks touch only the
+    affected keys (cost follows change volume)."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.jobs.search_indexer import (
+        ContinuousSearchIndexer,
+    )
+    from delta_data_pipelines_spark.storage import VersionedTable
+
+    sf = "/root/testdata/sf0.001"
+    names = [
+        "orders", "lineitem", "events", "customer", "nation", "region",
+        "part",
+    ]
+    src = {}
+    for n in names:
+        t = VersionedTable(spark, str(tmp_path / n))
+        t.overwrite(read_table(spark, sf, n))
+        src[n] = t
+    index = VersionedTable(spark, str(tmp_path / "search_index"))
+    ix = ContinuousSearchIndexer(spark, src, index)
+
+    def full():
+        snaps = {n: src[n].read() for n in names}
+        return {tuple(r) for r in ix._build(snaps, None).collect()}
+
+    def got():
+        return {tuple(r) for r in index.read().collect()}
+
+    r = ix.tick()
+    assert r["mode"] == "bootstrap"
+    n0 = len(got())
+    assert n0 > 10 and got() == full()
+    assert ix.tick()["mode"] == "noop"
+
+    # --- tick 1: fact mutations -------------------------------------------
+    o = src["orders"]
+    qualified = [
+        r["o_orderkey"]
+        for r in o.read()
+        .where("o_orderstatus='F' AND o_orderdate > timestamp'1998-01-01'")
+        .orderBy("o_orderkey").limit(5).collect()
+    ]
+    unqual = [
+        r["o_orderkey"]
+        for r in o.read().where("o_orderstatus <> 'F'")
+        .orderBy("o_orderkey").limit(1).collect()
+    ]
+    cur = o.read()
+    upd = (
+        # disqualify an indexed order (status flip out)
+        cur.where(F.col("o_orderkey") == qualified[0])
+        .withColumn("o_orderstatus", F.lit("O"))
+        # qualify a previously-excluded one (flip in + date move)
+        .unionByName(
+            cur.where(F.col("o_orderkey") == unqual[0])
+            .withColumn("o_orderstatus", F.lit("F"))
+            .withColumn(
+                "o_orderdate", F.lit("1999-06-01").cast("timestamp")
+            )
+        )
+        # in-place value change on an indexed order
+        .unionByName(
+            cur.where(F.col("o_orderkey") == qualified[1])
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        )
+    )
+    o.merge(upd, keys=["o_orderkey"], when_matched="update")
+    o.delete_where(F.col("o_orderkey") == qualified[2])  # hard delete
+    r = ix.tick()
+    assert r["mode"] == "incremental"
+    assert r["deletes"] >= 2  # the flip-out and the hard delete left
+    assert r["upserts"] + r["deletes"] <= 6  # scoped, not a rebuild
+    assert got() == full()
+
+    # --- tick 2: EAV + role mutations -------------------------------------
+    li, ev = src["lineitem"], src["events"]
+    k = qualified[3]
+    li.merge(
+        li.read().where(F.col("l_orderkey") == k)
+        .withColumn("l_extendedprice", F.col("l_extendedprice") + 5),
+        keys=["l_orderkey", "l_linenumber"], when_matched="update",
+    )
+    li.delete_where(
+        (F.col("l_orderkey") == qualified[4]) & (F.col("l_linenumber") == 1)
+    )
+    u = o.read().where(F.col("o_orderkey") == k).first()["o_custkey"]
+    ev_rows = ev.read().where(F.col("user_id") == u)
+    if ev_rows.isEmpty():  # synthesize a role event for that user
+        ev.merge(
+            ev.read().limit(1)
+            .withColumn("event_id", F.lit(10**9).cast("long"))
+            .withColumn("user_id", F.lit(u).cast("long")),
+            keys=["event_id"],
+        )
+    else:
+        ev.merge(
+            ev_rows.withColumn("value", F.col("value") * 0),
+            keys=["event_id"], when_matched="update",
+        )
+    r = ix.tick()
+    assert r["mode"] == "incremental"
+    assert got() == full()
+
+    # --- tick 3: dim change -> full-scope fallback -------------------------
+    c = src["customer"]
+    c.merge(
+        c.read().limit(3).withColumn("c_name", F.lit("renamed")),
+        keys=["c_custkey"], when_matched="update",
+    )
+    r = ix.tick()
+    assert r["mode"] == "full"
+    assert got() == full()
