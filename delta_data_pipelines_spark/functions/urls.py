@@ -164,11 +164,15 @@ def filter_blocked_hosts(
     # strip edge whitespace INCLUDING \r (F.trim only removes spaces):
     # real UT1 list files ship with CRLF line endings, and an
     # untrimmed 'badsite.com\r' entry silently matches nothing
+    # drop entries that trim to nothing: real list files end with a
+    # blank line, and `spark.read.text` keeps it — an empty-string
+    # "domain" would otherwise match the empty suffix a host with a
+    # trailing dot / empty label produces, spuriously blocking it
     bl = blocklist.select(
         F.lower(
             F.regexp_replace(F.col(domain_col), r"^\s+|\s+$", "")
         ).alias("_sfx")
-    )
+    ).where(F.col("_sfx") != "")
     if broadcast_blocklist:
         bl = F.broadcast(bl)
     hits = (

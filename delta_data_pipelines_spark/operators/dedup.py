@@ -506,10 +506,26 @@ def _bit_blocks(sig_col: str, n_blocks: int, bits_per_chunk: int):
     native transform/aggregate (no UDF). Block j covers global bit
     positions [j·B div n, (j+1)·B div n) of the B = chunks×bits
     signature, so blocks tile the bit-space exactly whatever the
-    divisibility."""
+    divisibility.
+
+    Guarded: ``n_blocks`` must not exceed the signature's bit width B
+    (one bit per block is the finest legal tiling). Past that, a
+    block's bit range is empty — and ``sequence(start, start-1)``
+    DESCENDS in Spark (default step −1 when start > stop), so the
+    "empty" block silently reads out-of-range chunk indices whose
+    ``element_at`` is NULL, nulling the block value and dropping
+    candidates. The signature width is per-row data, so the guard is
+    an in-plan ``assert_true`` that fails the job on the first
+    offending row instead of losing recall silently."""
     B = f"(size({sig_col}) * {bits_per_chunk})"
     return F.expr(
         f"""
+        CASE WHEN assert_true(
+            {B} >= {n_blocks},
+            concat('n_blocks={n_blocks} exceeds signature bit width ',
+                   {B}, ' ({bits_per_chunk}-bit chunks): blocks must ',
+                   'hold at least one bit each')
+        ) IS NULL THEN
         transform(sequence(0, {n_blocks - 1}), j -> named_struct(
             'chunk_idx', j,
             'chunk_val', aggregate(
@@ -522,7 +538,7 @@ def _bit_blocks(sig_col: str, n_blocks: int, bits_per_chunk: int):
                      >> ({bits_per_chunk - 1} - g % {bits_per_chunk}))
                     & 1)
             )
-        ))
+        )) END
         """
     )
 

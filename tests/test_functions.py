@@ -391,18 +391,23 @@ def test_filter_blocked_hosts_label_boundaries(spark):
         (6, "http://shop7.com/a"),          # KEPT: parent of ads entry
         (7, "not a url"),                   # KEPT: passthrough
         (8, None),                          # KEPT: passthrough
+        (9, "http://dotted.example./a"),    # KEPT: trailing-dot host —
+        # its suffix chain ends in '' which a blank blocklist line
+        # must NOT match
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     # CRLF / stray-whitespace entries (real UT1 list files) must
-    # still match
+    # still match; a trailing blank line and a whitespace-only line
+    # (both kept by spark.read.text) must block nothing
     bl = spark.createDataFrame(
-        [("shop3.com\r",), (" ads.shop7.com ",)], "domain string"
+        [("shop3.com\r",), (" ads.shop7.com ",), ("",), ("  \r",)],
+        "domain string",
     )
     kept = sorted(
         r["doc_id"]
         for r in filter_blocked_hosts(df, "url", bl).collect()
     )
-    assert kept == [3, 6, 7, 8]
+    assert kept == [3, 6, 7, 8, 9]
 
     chain = spark.createDataFrame([("a.b.c",)], "h string").select(
         host_suffixes(F.col("h")).alias("s")

@@ -256,6 +256,26 @@ def test_chunked_hamming_recall_contract(spark):
         dedup.chunked_hamming_pairs(sig, "doc_id", max_hamming=6, n_blocks=6)
 
 
+def test_chunked_hamming_rejects_blocks_past_bit_width(spark):
+    """n_blocks beyond the signature's bit width would create "empty"
+    blocks whose sequence(start, start-1) DESCENDS in Spark, reading
+    out-of-range chunks into NULL block values and silently losing
+    candidates. The in-plan guard must fail the job instead."""
+    sig = spark.createDataFrame(
+        [(1, [0x1234]), (2, [0x1235])], "doc_id long, _sh array<int>"
+    )
+    # 16-bit signature: 16 blocks is the finest legal tiling...
+    ok = dedup.chunked_hamming_pairs(
+        sig, "doc_id", max_hamming=15, n_blocks=16
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in ok] == [(1, 2, 1)]
+    # ...17 must raise at execution, not return a candidate-less result
+    with pytest.raises(Exception, match="exceeds signature bit width"):
+        dedup.chunked_hamming_pairs(
+            sig, "doc_id", max_hamming=16, n_blocks=17
+        ).collect()
+
+
 def test_lsh_topk_recall(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 5)
