@@ -95,6 +95,9 @@ _PRIORITY = [
     # rows-only queries (no oracle twin by design): first driver
     # rows-only rows
     "txt_bpe_merges", "txt_compression_ratio",
+    # r11 new queries: language-aware curation (per-language gate
+    # thresholds + per-language LM tail cut), first driver rows
+    "td_lang_gate", "td_lang_keep_rate",
     # stalest x2 rows (green r1+r5 only) — tail seats, first to yield
     "j_dim_chain", "dd_exact", "ds_hash_split", "p_filter_project",
     "dd_ngram_jaccard", "so_union",

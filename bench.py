@@ -145,6 +145,12 @@ HEADLINE = [
     # shuffle + per-doc folds) and the IVF nprobe operating-point sweep
     "dd_exact_substring",
     "sim_ivf_recall_curve",
+    # r10 shelf, promoted: DOM-block main-content extraction
+    # (Arrow-batched block parse + (source, hash) template aggregate +
+    # per-page rescue window) and best-fit packing (bounded-group
+    # applyInPandas BFD walk)
+    "txt_main_content",
+    "td_pack_bins",
 ]
 
 # Rotating NEW-ENTRY SHELF (r9 verdict ask #7): entries added THIS
@@ -157,13 +163,11 @@ HEADLINE = [
 # (short by construction) so the NEXT round's compare knows what to
 # exclude without needing this source file.
 SHELF: list[str] = [
-    # r10: DOM-block main-content extraction — Arrow-batched block
-    # parse + (source, hash) template aggregate + per-page rescue
-    # window; the heaviest new plan shape this round
-    "txt_main_content",
-    # r10: best-fit packing — bounded-group applyInPandas fan-out
-    # (the per-shard BFD walk), a plan shape nothing else exercises
-    "td_pack_bins",
+    # r11: per-language curation funnel — the gate's broadcast
+    # threshold join + the per-language unigram-LM fit (one
+    # (lang, token) partial-agg shuffle) + the per-language
+    # cume_dist tail cut; a grouped-LM plan shape nothing else runs
+    "td_lang_keep_rate",
 ]
 HEADLINE = HEADLINE + SHELF
 

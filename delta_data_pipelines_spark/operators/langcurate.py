@@ -1,0 +1,206 @@
+"""Language-aware curation: per-language quality gates and a
+per-language LM tail cut.
+
+Published web-corpus pipelines gate PER LANGUAGE, not globally: CCNet
+(Wenzek et al. 2020) buckets each language's pages by the perplexity
+of a per-language LM and keeps the head/middle; RedPajama-v2 and
+FineWeb-2 ship per-language threshold sets for the Gopher/C4 rule
+families, because a stopword-density floor tuned for English rejects
+most of any other language and a whitespace token window is
+meaningless for Chinese. This module composes the engine's existing
+signals (``operators.textstats``) into that shape:
+
+- :data:`DEFAULT_LANG_GATES` — per-language thresholds for the four
+  Gopher-style gate signals, with a ``default`` fallback row.
+- :func:`lang_gate` — one narrow projection computing the signals +
+  predicted language, one broadcast join against the tiny threshold
+  table, one WHERE. No shuffle beyond the broadcast.
+- :func:`lang_lm_scores` — per-language unigram log-prob (the corpus
+  LM is fit WITHIN each language: token frequencies grouped by
+  (lang, token), totals per language via a window over the small
+  frequency table — never a driver count, never a cross join of the
+  corpus).
+- :func:`lang_lm_tail_cut` — drop each language's worst ``tail``
+  fraction by mean log-prob (the CCNet tail bucket), deterministic
+  via a doc-id tiebreak.
+
+Scale shape: the gate is map-only + one broadcast; the LM is one
+(lang, token) partial-agg shuffle over the exploded corpus plus one
+per-language window over doc-level rows. Both survive 100× — the
+threshold table is O(languages), the frequency table O(vocabulary).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import textstats
+
+# (min_tokens, max_tokens, max_dup_ratio, max_top_bigram, min_quality)
+# The non-English rows relax the quality floor (its stopword component
+# is English-only) and zh relaxes the token window (whitespace tokens
+# under-count CJK). 'default' covers 'und' and any unlisted language.
+DEFAULT_LANG_GATES: dict[str, tuple[int, int, float, float, float]] = {
+    "en": (10, 10000, 0.55, 0.20, 0.40),
+    "es": (10, 10000, 0.60, 0.25, 0.30),
+    "de": (10, 10000, 0.60, 0.25, 0.30),
+    "fr": (10, 10000, 0.60, 0.25, 0.30),
+    "zh": (5, 20000, 0.70, 0.30, 0.15),
+    "default": (10, 10000, 0.50, 0.20, 0.35),
+}
+
+_GATE_COLS = (
+    "min_tokens",
+    "max_tokens",
+    "max_dup_ratio",
+    "max_top_bigram",
+    "min_quality",
+)
+
+
+def gate_signals(text: Column) -> dict[str, Column]:
+    """The four gate signals, UNROUNDED where thresholds compare raw
+    (dup/top-bigram) and 9-dp-rounded where the shared definition is
+    rounded (quality) — exactly the td_gopher_filter discipline, so a
+    threshold can never flip a row between engines."""
+    return {
+        "n_tokens": textstats.token_count_ws(text),
+        "_dup": textstats._dup_token_ratio_raw(text),
+        "_topbg": textstats._top_bigram_ratio_raw(text),
+        "quality": textstats.quality_score(text),
+    }
+
+
+def lang_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str | None = None,
+    gates: dict[str, tuple[int, int, float, float, float]] | None = None,
+    keep_cols: tuple[str, ...] = (),
+    flag_col: str | None = None,
+) -> DataFrame:
+    """Per-language Gopher-style quality gate.
+
+    ``lang_col=None`` routes on the heuristic
+    :func:`textstats.lang_id` prediction (the scale posture: gold
+    labels don't exist on a crawl); pass a column name to route on an
+    existing label. Unlisted languages fall back to the ``default``
+    thresholds via a left join + coalesce, so arbitrary lang values
+    are safe.
+
+    Returns kept rows: (id, ``keep_cols``..., lang, n_tokens,
+    dup_token_ratio, top_bigram_ratio, quality) — ratios rounded to
+    9 dp for display, thresholds applied on the unrounded values.
+    ``flag_col`` keeps EVERY row and emits the verdict as a boolean
+    column instead — the shape a funnel report wants, so one staged
+    signal pass can feed both the per-language totals and the kept
+    set without recomputing the signals per consumer.
+    """
+    gates = gates or DEFAULT_LANG_GATES
+    if "default" not in gates:
+        raise ValueError("gates must include a 'default' fallback row")
+    spark = df.sparkSession
+    t = F.col(text_col)
+    lang = F.col(lang_col) if lang_col else textstats.lang_id(t)
+    sig = df.select(
+        id_col,
+        *keep_cols,
+        lang.alias("lang"),
+        *[c.alias(n) for n, c in gate_signals(t).items()],
+    )
+    gdf = spark.createDataFrame(
+        [
+            (l, *(float(x) for x in v))
+            for l, v in gates.items()
+            if l != "default"
+        ],
+        f"lang string, {', '.join(f'{c} double' for c in _GATE_COLS)}",
+    )
+    dflt = gates["default"]
+    joined = sig.join(F.broadcast(gdf), "lang", "left")
+    th = {
+        c: F.coalesce(F.col(c), F.lit(float(dflt[i])))
+        for i, c in enumerate(_GATE_COLS)
+    }
+    keep = (
+        F.col("n_tokens").between(th["min_tokens"], th["max_tokens"])
+        & (F.col("_dup") <= th["max_dup_ratio"])
+        & (F.col("_topbg") <= th["max_top_bigram"])
+        & (F.col("quality") >= th["min_quality"])
+    )
+    out_cols = [
+        id_col,
+        *keep_cols,
+        "lang",
+        "n_tokens",
+        F.round("_dup", 9).alias("dup_token_ratio"),
+        F.round("_topbg", 9).alias("top_bigram_ratio"),
+        "quality",
+    ]
+    if flag_col is not None:
+        return joined.select(*out_cols, keep.alias(flag_col))
+    return joined.where(keep).select(*out_cols)
+
+
+def lang_lm_scores(
+    df: DataFrame, id_col: str, text_col: str, lang_col: str = "lang"
+) -> DataFrame:
+    """Per-doc mean unigram log-prob under the document's OWN
+    language's unigram distribution — the per-language analogue of
+    :func:`textstats.unigram_logprob_scores`, with the ln quantized at
+    6 dp (not 9): the tail cut ORDERS on this score, and the unigram
+    precedent showed engines' libm can disagree on ln's 9th decimal —
+    at 6 dp the ~1e-15 ulp leaves no flip room against the 5e-7 half
+    boundary. DECIMAL sum (associative), one final float division.
+
+    The frequency table is grouped by (lang, token) and each
+    language's total rides on a window over that small table, so no
+    language's model sees another's tokens and nothing touches the
+    driver. Output: (id, lang, n_tokens, avg_logprob)."""
+    toks = df.select(
+        id_col,
+        F.col(lang_col).alias("_lang"),
+        F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
+    )
+    freq = toks.groupBy("_lang", "_tok").agg(F.count("*").alias("_tf"))
+    totals = freq.withColumn(
+        "_total", F.sum("_tf").over(Window.partitionBy("_lang"))
+    )
+    return (
+        toks.join(totals, ["_lang", "_tok"])
+        .withColumn(
+            "_lp",
+            F.round(
+                F.log(F.col("_tf").cast("double") / F.col("_total")), 6
+            ).cast("decimal(28,6)"),
+        )
+        .groupBy(id_col, "_lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.sum("_lp").cast("double") / F.count("*")).alias("avg_logprob"),
+        )
+        .withColumnRenamed("_lang", "lang")
+    )
+
+
+def lang_lm_tail_cut(
+    scores: DataFrame,
+    id_col: str,
+    lang_col: str = "lang",
+    score_col: str = "avg_logprob",
+    tail: float = 0.1,
+) -> DataFrame:
+    """Drop each language's worst ``tail`` fraction by LM score — the
+    CCNet tail bucket. ``cume_dist`` ascending on (score, id) keeps a
+    language's single document (cume_dist 1.0 > tail) where
+    percent_rank's 0.0 would spuriously drop it; the id tiebreak makes
+    ties deterministic and therefore oracle-exact."""
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        scores.withColumn("_cd", F.cume_dist().over(w))
+        .where(F.col("_cd") > F.lit(tail))
+        .drop("_cd")
+    )

@@ -16,7 +16,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import read_table
-from ..operators import dedup, multimodal, sampling, similarity, textstats
+from ..operators import (
+    dedup,
+    langcurate,
+    multimodal,
+    sampling,
+    similarity,
+    textstats,
+)
 
 # ---------------------------------------------------------------------------
 # Dedup
@@ -267,6 +274,66 @@ def td_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality",
         )
         .orderBy("doc_id")
+    )
+
+
+def td_lang_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-aware quality gate (the CCNet/FineWeb-2 shape): every
+    document is routed by the heuristic lang-id prediction and gated
+    by ITS language's thresholds — a stopword floor tuned for English
+    must not reject Spanish, and zh gets a relaxed whitespace-token
+    window. One narrow signal projection + one broadcast join against
+    the O(languages) threshold table + one WHERE; map-only at any
+    scale."""
+    d = read_table(spark, sf_dir, "documents")
+    return langcurate.lang_gate(
+        d, "doc_id", "text", keep_cols=("source",)
+    ).orderBy("doc_id")
+
+
+def td_lang_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language curation funnel report: documents routed by
+    predicted language → per-language quality gate → per-language
+    unigram-LM tail cut (drop each language's worst decile by mean
+    log-prob — the CCNet tail bucket). Reports, per language, the doc
+    counts and keep rates at each stage — the audit a 100 TB run reads
+    before trusting per-language thresholds. Scale shape: the gate is
+    map-only + broadcast; the LM is one (lang, token) partial-agg
+    shuffle and one per-language window over doc-level rows. The
+    signal pass (lang-id + the four gate signals — the expensive
+    per-row folds) runs ONCE: ``flag_col`` keeps every row with a
+    boolean verdict and the frame is staged with persist (the
+    td_source_drift multi-consumer discipline), so the totals, the
+    kept set, and both LM passes all read the staged rows instead of
+    re-deriving the signals per consumer."""
+    from pyspark.storagelevel import StorageLevel
+
+    d = read_table(spark, sf_dir, "documents")
+    flagged = langcurate.lang_gate(
+        d, "doc_id", "text", keep_cols=("text",), flag_col="_keep"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    all_counts = flagged.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    kept = flagged.where(F.col("_keep")).select("doc_id", "lang", "text")
+    scores = langcurate.lang_lm_scores(kept, "doc_id", "text", "lang")
+    final = langcurate.lang_lm_tail_cut(scores, "doc_id", tail=0.1)
+    gate_counts = kept.groupBy("lang").agg(F.count("*").alias("n_gate_kept"))
+    fin_counts = final.groupBy("lang").agg(F.count("*").alias("n_final"))
+    return (
+        all_counts.join(gate_counts, "lang", "left")
+        .join(fin_counts, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_gate_kept", F.lit(0)).alias("n_gate_kept"),
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+            F.round(
+                F.coalesce("n_gate_kept", F.lit(0)) / F.col("n_docs"), 9
+            ).alias("gate_keep_rate"),
+            F.round(
+                F.coalesce("n_final", F.lit(0)) / F.col("n_docs"), 9
+            ).alias("final_keep_rate"),
+        )
+        .orderBy("lang")
     )
 
 
@@ -2578,6 +2645,8 @@ SPARK_QUERIES = {
     "txt_length_quantiles": txt_length_quantiles,
     "txt_repetition": txt_repetition,
     "td_gopher_filter": td_gopher_filter,
+    "td_lang_gate": td_lang_gate,
+    "td_lang_keep_rate": td_lang_keep_rate,
     "td_decontaminate": td_decontaminate,
     "txt_vocab_topk": txt_vocab_topk,
     "txt_tfidf_top_term": txt_tfidf_top_term,
@@ -3097,6 +3166,87 @@ _UNIGRAM_DP_SQL = """
                  USING (w)
         )
 """.replace("__M__", _UNIGRAM_M).replace("__B__", _UNIGRAM_B)
+
+# --- language-aware curation: SQL fragments generated from the same
+# constants the Spark path reads (textstats.LANG_MARKERS,
+# langcurate.DEFAULT_LANG_GATES), so marker lists and thresholds
+# cannot drift between engines (the shared-DP-constant discipline).
+_LANGID_LANGS = list(textstats.LANG_MARKERS)
+_LANGID_SCORES_SQL = ",\n                ".join(
+    "len(list_filter(w, x -> x IN ("
+    + ", ".join(f"'{m}'" for m in markers)
+    + f"))) AS s_{lang}"
+    for lang, markers in textstats.LANG_MARKERS.items()
+)
+_LANGID_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        "WHEN "
+        + " AND ".join(
+            [f"s_{l} > 0"]
+            + [f"s_{l} >= s_{m}" for m in _LANGID_LANGS[i + 1 :]]
+        )
+        + f" THEN '{l}'"
+        for i, l in enumerate(_LANGID_LANGS)
+    )
+    + " ELSE 'und' END"
+)
+_LANG_GATE_ROWS_SQL = ",\n                 ".join(
+    "('{}', {}, {}, {}, {}, {})".format(
+        lang,
+        *langcurate.DEFAULT_LANG_GATES.get(
+            lang, langcurate.DEFAULT_LANG_GATES["default"]
+        ),
+    )
+    for lang in _LANGID_LANGS + ["und"]
+)
+# shared prefix: per-doc signals + predicted lang + the gate join
+_LANG_GATE_SQL = f"""
+        WITH b AS (
+            SELECT doc_id, source, text, string_split(text, ' ') AS w,
+                   regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g') AS stripped
+            FROM documents
+        ), sc AS (
+            SELECT *, {_LANGID_SCORES_SQL}
+            FROM b
+        ), c AS (
+            SELECT *, {_LANGID_CASE_SQL} AS lang,
+                   CASE WHEN len(w) >= 2
+                        THEN list_transform(range(1, len(w)),
+                                            i -> w[i] || ' ' || w[i+1])
+                        ELSE [] END AS bg
+            FROM sc
+        ), sig AS (
+            SELECT doc_id, source, text, lang, len(w) AS n_tokens,
+                   (len(w) - len(list_distinct(w)))
+                       / CAST(NULLIF(len(w), 0) AS DOUBLE) AS _dup,
+                   COALESCE(
+                       CAST(list_max(list_transform(list_distinct(bg),
+                            d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE)
+                       / NULLIF(len(bg), 0), 0.0) AS _topbg,
+                   ROUND(0.4 * (len(list_filter(w, x -> x IN
+                             ('the','a','of','and','to','in','is','it')))
+                             / CAST(NULLIF(len(w), 0) AS DOUBLE))
+                       + 0.4 * LEAST(len(w) / 64.0, 1.0)
+                       + 0.2 * (1 - (length(text) - length(stripped))
+                             / CAST(NULLIF(length(text), 0) AS DOUBLE)),
+                       9) AS quality
+            FROM c
+        ), g AS (
+            SELECT * FROM (VALUES
+                 {_LANG_GATE_ROWS_SQL})
+                 AS t(lang, min_tokens, max_tokens, max_dup_ratio,
+                      max_top_bigram, min_quality)
+        ), kept AS (
+            SELECT doc_id, source, text, sig.lang AS lang, n_tokens,
+                   _dup, _topbg, quality
+            FROM sig JOIN g ON sig.lang = g.lang
+            WHERE n_tokens BETWEEN min_tokens AND max_tokens
+              AND _dup <= max_dup_ratio
+              AND _topbg <= max_top_bigram
+              AND quality >= min_quality
+        )
+"""
 
 ORACLE_SQL = {
     # thresholds written as the same float sums Python accumulates
@@ -4700,6 +4850,61 @@ ORACLE_SQL = {
           AND _topbg <= 0.2
           AND quality >= 0.4
         ORDER BY doc_id
+    """,
+    "td_lang_gate": _LANG_GATE_SQL
+    + """
+        SELECT doc_id, source, lang, n_tokens,
+               ROUND(_dup, 9) AS dup_token_ratio,
+               ROUND(_topbg, 9) AS top_bigram_ratio,
+               quality
+        FROM kept ORDER BY doc_id
+    """,
+    "td_lang_keep_rate": _LANG_GATE_SQL
+    + """
+        , toks AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM kept
+        ), freq AS (
+            SELECT lang, tok, COUNT(*) AS tf FROM toks GROUP BY lang, tok
+        ), tot AS (
+            SELECT lang, tok, tf,
+                   SUM(tf) OVER (PARTITION BY lang) AS total
+            FROM freq
+        ), lpt AS (
+            SELECT doc_id, t.lang AS lang,
+                   CAST(ROUND(ln(CAST(tf AS DOUBLE) / total), 6)
+                        AS DECIMAL(28,6)) AS lp
+            FROM toks t
+            JOIN tot ON t.lang = tot.lang AND t.tok = tot.tok
+        ), scd AS (
+            SELECT doc_id, lang,
+                   CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logprob
+            FROM lpt GROUP BY doc_id, lang
+        ), cdd AS (
+            SELECT doc_id, lang,
+                   cume_dist() OVER (PARTITION BY lang
+                       ORDER BY avg_logprob ASC, doc_id ASC) AS _cd
+            FROM scd
+        ), fin AS (
+            SELECT doc_id, lang FROM cdd WHERE _cd > 0.1
+        ), alln AS (
+            SELECT lang, COUNT(*) AS n_docs FROM sig GROUP BY lang
+        ), gatec AS (
+            SELECT lang, COUNT(*) AS n_gate_kept FROM kept GROUP BY lang
+        ), finc AS (
+            SELECT lang, COUNT(*) AS n_final FROM fin GROUP BY lang
+        )
+        SELECT a.lang AS lang, a.n_docs,
+               COALESCE(gc.n_gate_kept, 0) AS n_gate_kept,
+               COALESCE(fc.n_final, 0) AS n_final,
+               ROUND(COALESCE(gc.n_gate_kept, 0)
+                     / CAST(a.n_docs AS DOUBLE), 9) AS gate_keep_rate,
+               ROUND(COALESCE(fc.n_final, 0)
+                     / CAST(a.n_docs AS DOUBLE), 9) AS final_keep_rate
+        FROM alln a
+        LEFT JOIN gatec gc USING (lang)
+        LEFT JOIN finc fc USING (lang)
+        ORDER BY lang
     """,
     # fake image decode: square side = max(1, trunc(sqrt(n_bytes)));
     # fit-inside 224x224 with truncating int() like the Python stub

@@ -2633,3 +2633,78 @@ def test_best_fit_pack_matches_local_kernel(spark):
         for r in best_fit_pack(df, "doc_id", "n_tokens", ctx=64, n_groups=4).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Language-aware curation
+# ---------------------------------------------------------------------------
+
+
+def test_lang_gate_routes_thresholds_per_language(spark):
+    """A Spanish doc whose quality (English-stopword component ~0)
+    fails the en floor must pass under es thresholds; the same text
+    force-labelled en must be cut; an unlisted language falls back to
+    the default row instead of erroring or passing everything."""
+    from delta_data_pipelines_spark.operators import langcurate
+
+    es_text = "el la de que y " * 4 + "casa perro gato sol luna mar rio pan"
+    rows = [(1, es_text, "es"), (2, es_text, "en"), (3, es_text, "xx")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = {
+        r["doc_id"]: r["lang"]
+        for r in langcurate.lang_gate(
+            df, "doc_id", "text", lang_col="lang"
+        ).collect()
+    }
+    # es floor 0.30 passes, en floor 0.40 cuts, default floor 0.35 cuts
+    assert kept == {1: "es"}
+
+    # lang_col=None routes on the heuristic prediction: the marker
+    # words predict 'es', so the doc survives without a label
+    auto = langcurate.lang_gate(df.select("doc_id", "text"), "doc_id", "text")
+    assert {r["doc_id"]: r["lang"] for r in auto.collect()} == {
+        1: "es", 2: "es", 3: "es"
+    }
+
+    with pytest.raises(ValueError, match="default"):
+        langcurate.lang_gate(df, "doc_id", "text", gates={"en": (1, 9, 1, 1, 0)})
+
+
+def test_lang_lm_scores_isolate_languages(spark):
+    """The LM is fit WITHIN each language: a token common in lang A
+    and rare in lang B must score differently per language, and a
+    language's single document survives the tail cut (cume_dist 1.0,
+    where percent_rank's 0.0 would spuriously drop it)."""
+    from delta_data_pipelines_spark.operators import langcurate
+
+    rows = [
+        (1, "x x x x", "a"),   # 'x' is 100% of lang a
+        (2, "x y z w", "b"),   # 'x' is 25% of lang b's 8 tokens
+        (3, "p q r s", "b"),
+        (4, "solo", "c"),      # single-doc language
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    sc = {
+        (r["doc_id"]): r["avg_logprob"]
+        for r in langcurate.lang_lm_scores(df, "doc_id", "text", "lang").collect()
+    }
+    assert sc[1] == 0.0                      # ln(4/4) per token
+    assert sc[2] < 0 and sc[3] < 0           # ln(1/8) tokens
+    assert sc[4] == 0.0                      # own language: ln(1/1)
+
+    scores = langcurate.lang_lm_scores(df, "doc_id", "text", "lang")
+    # tail=0.4 cuts nothing in a 2-doc language (worst cume_dist 0.5)
+    # and must not touch the single-doc languages
+    kept04 = sorted(
+        r["doc_id"]
+        for r in langcurate.lang_lm_tail_cut(scores, "doc_id", tail=0.4).collect()
+    )
+    assert kept04 == [1, 2, 3, 4]
+    # tail=0.5: lang b drops its worst — 2 and 3 tie on score, the
+    # doc_id tiebreak makes 2 the cume_dist-0.5 row, so 2 is cut;
+    # single-doc langs a and c keep theirs (cume_dist 1.0)
+    kept05 = sorted(
+        r["doc_id"]
+        for r in langcurate.lang_lm_tail_cut(scores, "doc_id", tail=0.5).collect()
+    )
+    assert kept05 == [1, 3, 4]
