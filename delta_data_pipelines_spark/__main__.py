@@ -53,6 +53,15 @@ def main(argv: list[str] | None = None) -> int:
     cc.add_argument("--lm-drop", type=float, default=None,
                     help="drop the bottom FRACTION by mean unigram "
                     "log-prob after the heuristic gate (CCNet-style)")
+    cc.add_argument("--lang-aware", action="store_true",
+                    help="route the quality gate (and --lm-drop) per "
+                    "language: each doc is gated by its language's "
+                    "thresholds and the LM cut fits one unigram model "
+                    "per language (CCNet/FineWeb-2 discipline)")
+    cc.add_argument("--lang-col", default=None, metavar="COL",
+                    help="with --lang-aware: route on an existing "
+                    "language column instead of the heuristic "
+                    "prediction")
     cc.add_argument("--dup-weights", action="store_true",
                     help="carry dup_weight = near-dup cluster size on "
                     "each kept representative")
@@ -498,6 +507,8 @@ def main(argv: list[str] | None = None) -> int:
             tokenizer_store=_tok_store(spark, args.tokenizer),
             dsir_select=args.dsir_select,
             c4=args.c4,
+            lang_aware=args.lang_aware,
+            lang_col=args.lang_col,
             url_blocklist=(
                 # read as a dataset, not driver-side: UT1 lists run
                 # ~100 MB and the filter broadcasts them itself

@@ -18,10 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators import dedup, sampling
+from ..operators import dedup, langcurate, sampling
 from ..operators.textstats import (
     _dup_token_ratio_raw,
     _top_bigram_ratio_raw,
+    lang_id,
     pii_counts,
     quality_score,
     scrub_pii,
@@ -193,6 +194,81 @@ def quality_gate(
             & (F.col("quality") >= quality_floor)
         )
         .drop("_ntok", "_dup", "_topbg")
+    )
+
+
+def lang_quality_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = None,
+    gates: dict[str, tuple[int, int, float, float, float]] | None = None,
+) -> DataFrame:
+    """Language-aware analog of :func:`quality_gate` (the
+    CCNet/FineWeb-2 shape): each document is gated by ITS language's
+    thresholds — routed on ``lang_col`` when given, else on the
+    heuristic lang-id prediction written to ``lang_routed`` (kept in
+    the output so downstream per-language stages reuse the routing).
+    Same full-row contract as quality_gate: all input columns survive
+    plus ``quality`` (and the routing column); still one narrow
+    expression pass plus one broadcast join against the O(languages)
+    threshold table. Threshold routing and the keep predicate are
+    langcurate's — shared with the oracle-checked td_lang_gate query,
+    so the job's cut cannot drift from what the oracle checks."""
+    t = F.col(text_col)
+    routed = lang_col or "lang_routed"
+    base = docs if lang_col else docs.withColumn(routed, lang_id(t))
+    sig = (
+        base.withColumn("_ntok", token_count_ws(t))
+        .withColumn("_dup", _dup_token_ratio_raw(t))
+        .withColumn("_topbg", _top_bigram_ratio_raw(t))
+        .withColumn("quality", quality_score(t))
+    )
+    joined, th = langcurate.join_thresholds(sig, routed, gates)
+    keep = langcurate.gate_keep_expr(
+        th, F.col("_ntok"), F.col("_dup"), F.col("_topbg"), F.col("quality")
+    )
+    return joined.where(keep).drop(
+        "_ntok", "_dup", "_topbg", *langcurate._GATE_COLS
+    )
+
+
+def lang_lm_filter_stage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang_routed",
+    drop_fraction: float = 0.05,
+    materialize: bool = True,
+) -> DataFrame:
+    """Per-language CCNet tail cut: fit the unigram LM WITHIN each
+    language and drop each language's worst ``drop_fraction`` by mean
+    log-prob (:func:`langcurate.lang_lm_tail_cut`) — a global cut
+    would concentrate on whichever language the shared model fits
+    worst. Unscorable rows (NULL id/text/lang) pass through, the
+    lm_filter_stage discipline; the per-language cut uses cume_dist,
+    so a language's single document is never dropped. Doc payloads
+    never ride through the scoring shuffle (LEFT SEMI re-entry)."""
+    if not (0.0 <= drop_fraction < 1.0):
+        raise ValueError(
+            f"drop_fraction must be in [0, 1), got {drop_fraction}"
+        )
+    if drop_fraction == 0.0:
+        return docs
+    if materialize:
+        docs = docs.localCheckpoint(eager=True)
+    unscorable = (
+        F.col(id_col).isNull()
+        | F.col(text_col).isNull()
+        | F.col(lang_col).isNull()
+    )
+    passthrough = docs.where(unscorable)
+    scorable = docs.where(~unscorable)
+    scores = langcurate.lang_lm_scores(scorable, id_col, text_col, lang_col)
+    kept_ids = langcurate.lang_lm_tail_cut(
+        scores, id_col, tail=drop_fraction
+    ).select(id_col)
+    return scorable.join(kept_ids, id_col, "left_semi").unionByName(
+        passthrough
     )
 
 
@@ -582,6 +658,9 @@ def curate_corpus(
     tokenizer_store=None,
     dsir_select: int | None = None,
     dsir_target: DataFrame | None = None,
+    lang_aware: bool = False,
+    lang_col: str | None = None,
+    lang_gates: dict[str, tuple[int, int, float, float, float]] | None = None,
     **gate_kwargs,
 ) -> DataFrame:
     """(optional) URL blocklist → PII scrub → (optional) C4 line
@@ -620,8 +699,24 @@ def curate_corpus(
     distribution (``dsir_target``, defaulting to the in-corpus
     quality-seed set) — it runs AFTER the per-doc filters and BEFORE
     dedup, so the expensive pairwise stages only see the selected
-    subset."""
+    subset.
+
+    ``lang_aware=True`` swaps the global gate and LM cut for their
+    per-language forms (the CCNet/FineWeb-2 discipline): the gate
+    routes each doc by ``lang_col`` (or the heuristic prediction,
+    written to ``lang_routed``) and applies that language's
+    thresholds (``lang_gates``, default
+    :data:`langcurate.DEFAULT_LANG_GATES`); the LM cut fits a unigram
+    model per language and drops each language's own worst fraction.
+    Mutually exclusive with per-gate ``gate_kwargs`` (thresholds live
+    in the gates table)."""
     from pyspark.sql import Window
+
+    if lang_aware and gate_kwargs:
+        raise ValueError(
+            "lang_aware=True routes thresholds per language via "
+            "lang_gates; global gate_kwargs would be silently ignored"
+        )
 
     if url_blocklist is not None:
         # zeroth stage: URL-level, before any text is touched
@@ -631,7 +726,12 @@ def curate_corpus(
         # line cleaning before the gate: quality must be scored on the
         # lines that will actually be published
         staged = c4_stage(staged, id_col, text_col)
-    gated = quality_gate(staged, text_col, **gate_kwargs)
+    if lang_aware:
+        gated = lang_quality_gate(
+            staged, text_col, lang_col=lang_col, gates=lang_gates
+        )
+    else:
+        gated = quality_gate(staged, text_col, **gate_kwargs)
     if compression_bounds is not None:
         # still a heuristic gate (CCNet order: heuristics before the
         # LM cut) — runs on the already-gated survivors
@@ -639,7 +739,16 @@ def curate_corpus(
             gated, id_col, text_col, compression_bounds
         )
     if lm_drop_fraction is not None:
-        gated = lm_filter_stage(gated, id_col, text_col, lm_drop_fraction)
+        if lang_aware:
+            gated = lang_lm_filter_stage(
+                gated,
+                id_col,
+                text_col,
+                lang_col or "lang_routed",
+                lm_drop_fraction,
+            )
+        else:
+            gated = lm_filter_stage(gated, id_col, text_col, lm_drop_fraction)
     if dsir_select is not None:
         gated = dsir_stage(
             gated, id_col, text_col, keep=dsir_select, target=dsir_target

@@ -71,6 +71,57 @@ def gate_signals(text: Column) -> dict[str, Column]:
     }
 
 
+def join_thresholds(
+    df: DataFrame,
+    lang_col: str,
+    gates: dict[str, tuple[int, int, float, float, float]] | None = None,
+) -> tuple[DataFrame, dict[str, Column]]:
+    """Broadcast-join the per-language threshold table onto ``df`` by
+    ``lang_col`` and return ``(joined, thresholds)`` where each
+    threshold column is coalesced with the ``default`` row's value —
+    the ONE place the threshold-routing semantics live, shared by the
+    oracle-facing :func:`lang_gate` and the curation job's
+    full-row gate so the two can never drift. Callers apply their
+    keep predicate and then drop ``_GATE_COLS``."""
+    gates = gates or DEFAULT_LANG_GATES
+    if "default" not in gates:
+        raise ValueError("gates must include a 'default' fallback row")
+    gdf = df.sparkSession.createDataFrame(
+        [
+            (l, *(float(x) for x in v))
+            for l, v in gates.items()
+            if l != "default"
+        ],
+        f"{lang_col} string, "
+        + ", ".join(f"{c} double" for c in _GATE_COLS),
+    )
+    dflt = gates["default"]
+    joined = df.join(F.broadcast(gdf), lang_col, "left")
+    th = {
+        c: F.coalesce(F.col(c), F.lit(float(dflt[i])))
+        for i, c in enumerate(_GATE_COLS)
+    }
+    return joined, th
+
+
+def gate_keep_expr(
+    th: dict[str, Column],
+    n_tokens: Column,
+    dup: Column,
+    topbg: Column,
+    quality: Column,
+) -> Column:
+    """The four-way gate predicate against a row's (possibly
+    coalesced) thresholds — shared by every caller of
+    :func:`join_thresholds`."""
+    return (
+        n_tokens.between(th["min_tokens"], th["max_tokens"])
+        & (dup <= th["max_dup_ratio"])
+        & (topbg <= th["max_top_bigram"])
+        & (quality >= th["min_quality"])
+    )
+
+
 def lang_gate(
     df: DataFrame,
     id_col: str,
@@ -97,10 +148,6 @@ def lang_gate(
     signal pass can feed both the per-language totals and the kept
     set without recomputing the signals per consumer.
     """
-    gates = gates or DEFAULT_LANG_GATES
-    if "default" not in gates:
-        raise ValueError("gates must include a 'default' fallback row")
-    spark = df.sparkSession
     t = F.col(text_col)
     lang = F.col(lang_col) if lang_col else textstats.lang_id(t)
     sig = df.select(
@@ -109,25 +156,13 @@ def lang_gate(
         lang.alias("lang"),
         *[c.alias(n) for n, c in gate_signals(t).items()],
     )
-    gdf = spark.createDataFrame(
-        [
-            (l, *(float(x) for x in v))
-            for l, v in gates.items()
-            if l != "default"
-        ],
-        f"lang string, {', '.join(f'{c} double' for c in _GATE_COLS)}",
-    )
-    dflt = gates["default"]
-    joined = sig.join(F.broadcast(gdf), "lang", "left")
-    th = {
-        c: F.coalesce(F.col(c), F.lit(float(dflt[i])))
-        for i, c in enumerate(_GATE_COLS)
-    }
-    keep = (
-        F.col("n_tokens").between(th["min_tokens"], th["max_tokens"])
-        & (F.col("_dup") <= th["max_dup_ratio"])
-        & (F.col("_topbg") <= th["max_top_bigram"])
-        & (F.col("quality") >= th["min_quality"])
+    joined, th = join_thresholds(sig, "lang", gates)
+    keep = gate_keep_expr(
+        th,
+        F.col("n_tokens"),
+        F.col("_dup"),
+        F.col("_topbg"),
+        F.col("quality"),
     )
     out_cols = [
         id_col,

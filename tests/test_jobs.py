@@ -1594,3 +1594,66 @@ def test_continuous_search_indexer_converges(spark, tmp_path):
     r = ix.tick()
     assert r["mode"] == "full"
     assert got() == full()
+
+
+def test_curate_corpus_lang_aware_gate_and_lm(spark):
+    """lang_aware=True must (a) keep a Spanish doc the global English
+    quality floor would cut, routing it through es thresholds; (b) cut
+    each language's own LM outlier rather than concentrating the cut
+    on the language the shared model fits worst; (c) refuse global
+    gate_kwargs, whose thresholds would be silently ignored."""
+    import pytest
+    from delta_data_pipelines_spark.jobs.curate_corpus import curate_corpus
+
+    # every second token is doc-specific, so no two docs share an
+    # 8-token shingle (near-dup collapse must not merge them), while
+    # the interleaved stopwords give the per-language LM its
+    # high-frequency mass
+    stops = ["the", "of", "and", "to", "a", "in", "is", "it"]
+    es_stops = ["el", "la", "de", "que", "y"]
+    rows = [
+        (i, " ".join(f"{stops[j % 8]} w{i}_{j}" for j in range(32)))
+        for i in range(1, 13)
+    ]
+    # 24-token es docs: quality = 0.4*0 + 0.4*(24/64) + 0.2 = 0.35 —
+    # under the global 0.40 floor (no English stopwords), over es 0.30
+    rows += [
+        (100 + i, " ".join(f"{es_stops[j % 5]} v{i}_{j}" for j in range(12)))
+        for i in range(1, 13)
+    ]
+    # es LM outlier: passes the es gate (50 tokens -> quality 0.51,
+    # predicted es via the marker run) but 80% corpus-rare tokens
+    es_gib = " ".join(es_stops) + " " + " ".join(es_stops) + " " + " ".join(
+        f"zq{j}x" for j in range(40)
+    )
+    rows.append((199, es_gib))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    global_ids = {
+        r["doc_id"] for r in curate_corpus(docs, scrub=False).collect()
+    }
+    lang_ids = {
+        r["doc_id"]
+        for r in curate_corpus(docs, scrub=False, lang_aware=True).collect()
+    }
+    # the English 0.40 floor cuts Spanish docs (stopword component ~0);
+    # per-language routing restores them
+    assert not any(100 < i < 113 for i in global_ids)
+    assert {101, 102, 112} <= lang_ids
+
+    with_lm = {
+        r["doc_id"]
+        for r in curate_corpus(
+            docs, scrub=False, lang_aware=True, lm_drop_fraction=0.08
+        ).collect()
+    }
+    assert 199 in lang_ids and 199 not in with_lm
+    # the en docs' own worst is cut, not the whole es language
+    assert len([i for i in with_lm if i > 100]) >= 10
+
+    with pytest.raises(ValueError, match="lang_gates"):
+        curate_corpus(docs, scrub=False, lang_aware=True, quality_floor=0.1)
+
+    # routed column survives for downstream stages when predicted
+    out = curate_corpus(docs, scrub=False, lang_aware=True)
+    assert "lang_routed" in out.columns
