@@ -96,8 +96,9 @@ _PRIORITY = [
     # rows-only rows
     "txt_bpe_merges", "txt_compression_ratio",
     # r11 new queries: language-aware curation (per-language gate
-    # thresholds + per-language LM tail cut), first driver rows
-    "td_lang_gate", "td_lang_keep_rate",
+    # thresholds + per-language LM tail cut) and the full Gopher
+    # repetition suite, first driver rows
+    "td_lang_gate", "td_lang_keep_rate", "txt_gopher_repetition",
     # stalest x2 rows (green r1+r5 only) — tail seats, first to yield
     "j_dim_chain", "dd_exact", "ds_hash_split", "p_filter_project",
     "dd_ngram_jaccard", "so_union",

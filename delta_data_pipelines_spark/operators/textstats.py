@@ -178,6 +178,133 @@ def top_bigram_ratio(text: Column) -> Column:
     return F.round(_top_bigram_ratio_raw(text), 9)
 
 
+def sliding_ngrams_from_words(w: Column, n: int) -> Column:
+    """Overlapping word ``n``-grams WITH repeats from a STAGED
+    word-array column (the Gopher repetition-signal unit — contrast
+    ``dedup.shingles``, which is distinct-set for Jaccard). Call-sites
+    stage the split and pass the attribute: the slice runs inside a
+    ``transform`` lambda and lambda bodies get no codegen
+    subexpression elimination, so an inline ``split(text)`` there
+    re-evaluates per position (the passage_segments_from_words
+    precedent). The ``when`` guard keeps ``sequence`` ascending —
+    sequence(1, 0) DESCENDS in Spark, it is not empty."""
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+            lambda s: F.array_join(F.slice(w, s, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _max_equal_run(srt: Column) -> Column:
+    """Longest equal-run length of a SORTED string array — the count
+    of the most frequent element, via the same O(n log n) fold as
+    ``_top_bigram_ratio_raw`` (the naive per-distinct nested filter
+    re-evaluates interpreted lambdas quadratically)."""
+    return F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+
+
+def top_ngram_ratio_from_words(w: Column, n: int) -> Column:
+    """Occurrence fraction of the most frequent word ``n``-gram —
+    the Gopher top-n-gram repetition filter generalized past the
+    existing n=2 form (``top_bigram_ratio``), over a STAGED word
+    array. 0.0 for docs shorter than ``n`` tokens (no grams)."""
+    grams = sliding_ngrams_from_words(w, n)
+    return F.coalesce(
+        _max_equal_run(F.array_sort(grams))
+        / F.nullif(F.size(grams), F.lit(0)).cast("double"),
+        F.lit(0.0),
+    )
+
+
+def sorted_grams_with_pos(w: Column, n: int) -> Column:
+    """``(gram, start_pos)`` structs of all overlapping ``n``-grams,
+    sorted by gram then position — the staging unit for
+    :func:`dup_ngram_starts`. Struct array_sort orders field-by-field,
+    so equal grams land adjacent with ascending positions."""
+    grams = sliding_ngrams_from_words(w, n)
+    return F.when(
+        F.size(grams) >= 1,
+        F.array_sort(
+            F.zip_with(
+                grams,
+                F.sequence(F.lit(1), F.greatest(F.size(grams), F.lit(1))),
+                lambda g, i: F.struct(g.alias("g"), i.alias("i")),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<g:string,i:int>>"))
+
+
+def dup_ngram_starts(srt: Column) -> Column:
+    """Ascending start positions of every n-gram occurrence whose gram
+    appears MORE THAN ONCE in the document, from a STAGED
+    :func:`sorted_grams_with_pos` column (the lambda below indexes
+    into ``srt`` per element — an unstaged expression there would
+    re-sort per position). An occurrence is duplicated iff a
+    sorted-order neighbor shares its gram; the neighbor probes are
+    ``when``-guarded because ANSI ``element_at`` throws on index 0."""
+    G = F.size(srt)
+    flags = F.transform(
+        F.sequence(F.lit(1), G),
+        lambda i: F.when(
+            F.when(
+                i > 1, F.element_at(srt, i - 1)["g"] == F.element_at(srt, i)["g"]
+            ).otherwise(F.lit(False))
+            | F.when(
+                i < G, F.element_at(srt, i + 1)["g"] == F.element_at(srt, i)["g"]
+            ).otherwise(F.lit(False)),
+            F.element_at(srt, i)["i"],
+        ),
+    )
+    return F.when(
+        G >= 1, F.array_sort(F.filter(flags, lambda x: x.isNotNull()))
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def dup_ngram_coverage(starts: Column, n: int, n_tokens: Column) -> Column:
+    """Fraction of token positions covered by any duplicated
+    ``n``-gram — the whitespace-token analog of Gopher's duplicated
+    n-gram CHARACTER fraction (Rae et al. 2021 §A1.1), overlap-safe:
+    ``starts`` (ascending, from :func:`dup_ngram_starts`) fold into an
+    interval UNION, so overlapping occurrences never double-count a
+    position."""
+    cov = F.aggregate(
+        starts,
+        F.struct(F.lit(0).alias("cov"), F.lit(0).alias("end")),
+        lambda acc, s: F.struct(
+            (
+                acc["cov"]
+                + F.greatest(
+                    F.lit(0),
+                    (s + F.lit(n - 1)) - F.greatest(s, acc["end"] + 1) + 1,
+                )
+            ).alias("cov"),
+            F.greatest(acc["end"], s + F.lit(n - 1)).alias("end"),
+        ),
+        lambda acc: acc["cov"],
+    )
+    return F.coalesce(
+        cov / F.nullif(n_tokens, F.lit(0)).cast("double"), F.lit(0.0)
+    )
+
+
 FINGERPRINT_MOD = 1_000_000_007
 
 

@@ -240,6 +240,55 @@ def txt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def txt_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Gopher within-document repetition suite (Rae et al.
+    2021 §A1.1, whitespace-token analog): top-n-gram occurrence
+    fraction for n=2,3,4 and duplicated-n-gram token coverage —
+    Gopher runs coverage at n=5..10 on web text; the synthetic fixture
+    has no duplicated 5-grams at any sf, so the query exercises the
+    SAME device at n=3,4 where the signal is live (the operator takes
+    any n). Coverage is the interval UNION of duplicated-gram
+    occurrences, so overlaps never double-count a position. Pure
+    per-row array folds over ONE scan: no explode, no shuffle, no
+    UDF; the gram/sort intermediates are staged in their own selects
+    (lambda bodies get no codegen CSE — the passage_segments
+    precedent)."""
+    d = read_table(spark, sf_dir, "documents")
+    s1 = d.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+    w = F.col("_w")
+    s2 = s1.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        textstats.top_ngram_ratio_from_words(w, 2).alias("_t2"),
+        textstats.top_ngram_ratio_from_words(w, 3).alias("_t3"),
+        textstats.top_ngram_ratio_from_words(w, 4).alias("_t4"),
+        textstats.sorted_grams_with_pos(w, 3).alias("_s3"),
+        textstats.sorted_grams_with_pos(w, 4).alias("_s4"),
+    )
+    s3 = s2.select(
+        "doc_id",
+        "n_tokens",
+        "_t2",
+        "_t3",
+        "_t4",
+        textstats.dup_ngram_starts(F.col("_s3")).alias("_d3"),
+        textstats.dup_ngram_starts(F.col("_s4")).alias("_d4"),
+    )
+    return s3.select(
+        "doc_id",
+        "n_tokens",
+        F.round("_t2", 9).alias("top_2gram_ratio"),
+        F.round("_t3", 9).alias("top_3gram_ratio"),
+        F.round("_t4", 9).alias("top_4gram_ratio"),
+        F.round(
+            textstats.dup_ngram_coverage(F.col("_d3"), 3, F.col("n_tokens")), 9
+        ).alias("dup_3gram_coverage"),
+        F.round(
+            textstats.dup_ngram_coverage(F.col("_d4"), 4, F.col("n_tokens")), 9
+        ).alias("dup_4gram_coverage"),
+    ).orderBy("doc_id")
+
+
 def td_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite pre-training quality gate (the Gopher-rules shape):
     length window + token-repetition cap + top-bigram cap + composite
@@ -2645,6 +2694,7 @@ SPARK_QUERIES = {
     "txt_length_quantiles": txt_length_quantiles,
     "txt_repetition": txt_repetition,
     "td_gopher_filter": td_gopher_filter,
+    "txt_gopher_repetition": txt_gopher_repetition,
     "td_lang_gate": td_lang_gate,
     "td_lang_keep_rate": td_lang_keep_rate,
     "td_decontaminate": td_decontaminate,
@@ -3166,6 +3216,90 @@ _UNIGRAM_DP_SQL = """
                  USING (w)
         )
 """.replace("__M__", _UNIGRAM_M).replace("__B__", _UNIGRAM_B)
+
+# --- Gopher repetition suite: per-n CTE fragments generated in
+# Python so the five n values share one definition. Top-n = max gram
+# count over gram slots; dup-n coverage = interval union of
+# duplicated-gram occurrences via a running-max window (prev_end),
+# mirroring textstats.dup_ngram_coverage's fold.
+def _rep_top_cte(n: int) -> str:
+    return f"""
+        t{n} AS (
+            SELECT doc_id, MAX(c) AS m, ANY_VALUE(L) AS L FROM (
+                SELECT doc_id, g, COUNT(*) AS c, ANY_VALUE(L) AS L
+                FROM (
+                    SELECT doc_id, L,
+                           array_to_string(w[s : s + {n - 1}], ' ') AS g
+                    FROM (
+                        SELECT doc_id, L, w,
+                               unnest(range(1, L - {n} + 2)) AS s
+                        FROM rb WHERE L >= {n}
+                    )
+                ) GROUP BY doc_id, g
+            ) GROUP BY doc_id
+        )"""
+
+
+def _rep_dup_cte(n: int) -> str:
+    return f"""
+        u{n} AS (
+            SELECT doc_id, ANY_VALUE(L) AS L, SUM(covd) AS cov FROM (
+                SELECT doc_id, L,
+                       GREATEST(0, (s + {n - 1})
+                           - GREATEST(s, COALESCE(
+                                 MAX(s + {n - 1}) OVER (
+                                     PARTITION BY doc_id ORDER BY s
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) + 1) + 1) AS covd
+                FROM (
+                    SELECT doc_id, L, s,
+                           COUNT(*) OVER (PARTITION BY doc_id, g) AS c
+                    FROM (
+                        SELECT doc_id, L, s,
+                               array_to_string(w[s : s + {n - 1}], ' ') AS g
+                        FROM (
+                            SELECT doc_id, L, w,
+                                   unnest(range(1, L - {n} + 2)) AS s
+                            FROM rb WHERE L >= {n}
+                        )
+                    )
+                ) WHERE c >= 2
+            ) GROUP BY doc_id
+        )"""
+
+
+_GOPHER_REPETITION_SQL = (
+    """
+        WITH rb AS (
+            SELECT doc_id, string_split(text, ' ') AS w,
+                   len(string_split(text, ' ')) AS L
+            FROM documents
+        ),"""
+    + ",".join([_rep_top_cte(n) for n in (2, 3, 4)])
+    + ","
+    + ",".join([_rep_dup_cte(n) for n in (3, 4)])
+    + """
+        SELECT rb.doc_id, rb.L AS n_tokens,
+               ROUND(COALESCE(t2.m / CAST(rb.L - 1 AS DOUBLE), 0.0), 9)
+                   AS top_2gram_ratio,
+               ROUND(COALESCE(t3.m / CAST(rb.L - 2 AS DOUBLE), 0.0), 9)
+                   AS top_3gram_ratio,
+               ROUND(COALESCE(t4.m / CAST(rb.L - 3 AS DOUBLE), 0.0), 9)
+                   AS top_4gram_ratio,
+               ROUND(COALESCE(u3.cov / CAST(rb.L AS DOUBLE), 0.0), 9)
+                   AS dup_3gram_coverage,
+               ROUND(COALESCE(u4.cov / CAST(rb.L AS DOUBLE), 0.0), 9)
+                   AS dup_4gram_coverage
+        FROM rb
+        LEFT JOIN t2 USING (doc_id)
+        LEFT JOIN t3 USING (doc_id)
+        LEFT JOIN t4 USING (doc_id)
+        LEFT JOIN u3 USING (doc_id)
+        LEFT JOIN u4 USING (doc_id)
+        ORDER BY rb.doc_id
+    """
+)
+
 
 # --- language-aware curation: SQL fragments generated from the same
 # constants the Spark path reads (textstats.LANG_MARKERS,
@@ -4851,6 +4985,7 @@ ORACLE_SQL = {
           AND quality >= 0.4
         ORDER BY doc_id
     """,
+    "txt_gopher_repetition": _GOPHER_REPETITION_SQL,
     "td_lang_gate": _LANG_GATE_SQL
     + """
         SELECT doc_id, source, lang, n_tokens,

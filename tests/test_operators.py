@@ -2708,3 +2708,46 @@ def test_lang_lm_scores_isolate_languages(spark):
         for r in langcurate.lang_lm_tail_cut(scores, "doc_id", tail=0.5).collect()
     )
     assert kept05 == [1, 3, 4]
+
+
+def test_gopher_repetition_devices(spark):
+    """Hand-computed repetition signals, including the overlap case
+    the interval union exists for: duplicated occurrences of
+    'x y x' at positions 1 and 3 cover [1,5] (5 tokens), never 6."""
+    rows = [
+        (1, "a b a b a b c"),    # top2 = 3/6; dup-2 covers [1,6] -> 6/7
+        (2, "x y x y x z"),      # top3 = 2/4; dup-3 covers [1,5] -> 5/6
+        (3, "p q"),              # shorter than n=3: all zeros there
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s1 = df.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+    w = F.col("_w")
+    s2 = s1.select(
+        "doc_id",
+        F.size(w).alias("L"),
+        textstats.top_ngram_ratio_from_words(w, 2).alias("t2"),
+        textstats.top_ngram_ratio_from_words(w, 3).alias("t3"),
+        textstats.sorted_grams_with_pos(w, 2).alias("s2"),
+        textstats.sorted_grams_with_pos(w, 3).alias("s3"),
+    )
+    s3 = s2.select(
+        "doc_id", "L", "t2", "t3",
+        textstats.dup_ngram_starts(F.col("s2")).alias("d2"),
+        textstats.dup_ngram_starts(F.col("s3")).alias("d3"),
+    )
+    out = {
+        r["doc_id"]: r
+        for r in s3.select(
+            "doc_id", "t2", "t3", "d2",
+            textstats.dup_ngram_coverage(F.col("d2"), 2, F.col("L")).alias("c2"),
+            textstats.dup_ngram_coverage(F.col("d3"), 3, F.col("L")).alias("c3"),
+        ).collect()
+    }
+    assert out[1]["t2"] == 3 / 6
+    assert out[1]["d2"] == [1, 2, 3, 4, 5]
+    assert out[1]["c2"] == 6 / 7
+    assert out[2]["t3"] == 2 / 4
+    assert out[2]["c3"] == 5 / 6
+    assert out[3]["t3"] == 0.0 and out[3]["c3"] == 0.0
+    # single 2-gram, no duplicates: top = 1/1, coverage 0
+    assert out[3]["t2"] == 1.0 and out[3]["c2"] == 0.0

@@ -635,3 +635,24 @@ def test_url_blocklist_broadcast_semi_no_like_scan(spark, registry):
     assert re.search(r"BroadcastHashJoin.*LeftSemi", plan), plan
     assert "LeftAnti" in plan, plan
     assert "Like" not in plan and "EndsWith" not in plan, plan
+
+
+def test_lang_gate_broadcast_thresholds_no_shuffle(spark, registry):
+    """td_lang_gate: the per-language threshold routing must be ONE
+    broadcast join against the O(languages) table over a single
+    documents scan — no sort-merge (a corpus-scale shuffle against a
+    6-row table), no cartesian, no Python. td_lang_keep_rate's LM
+    half earns its shuffles (the (lang, token) partial-agg and the
+    per-language window) but must still broadcast the thresholds and
+    stay native."""
+    plan = plan_of(spark, registry, "td_lang_gate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("documents.parquet") <= 1, plan
+
+    report = plan_of(spark, registry, "td_lang_keep_rate")
+    assert "CartesianProduct" not in report, report
+    assert "EvalPython" not in report, report
+    assert "partial_count" in report, report
