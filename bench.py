@@ -168,6 +168,10 @@ SHELF: list[str] = [
     # (lang, token) partial-agg shuffle) + the per-language
     # cume_dist tail cut; a grouped-LM plan shape nothing else runs
     "td_lang_keep_rate",
+    # r11: the Gopher repetition suite — five per-row array folds
+    # (two struct sorts + interval unions) in one map-only pass; the
+    # heaviest pure-expression projection in the registry
+    "txt_gopher_repetition",
 ]
 HEADLINE = HEADLINE + SHELF
 

@@ -168,6 +168,7 @@ def quality_gate(
     dup_token_cap: float = 0.55,
     top_bigram_cap: float = 0.2,
     quality_floor: float = 0.4,
+    dup_coverage_cap: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Gopher-rules gate: length window + repetition caps + composite
     quality floor, evaluated on unrounded signals in one projection.
@@ -180,9 +181,17 @@ def quality_gate(
     cap >= 1/(min_tokens-1) or short documents are unconditionally
     rejected regardless of content — at 0.2 every doc with >= 6 tokens
     can pass, keeping the min_tokens=10 floor reachable (a 0.05 cap
-    silently rejected everything under 21 tokens)."""
+    silently rejected everything under 21 tokens).
+
+    ``dup_coverage_cap=(n, cap)`` adds the Gopher duplicated-n-gram
+    coverage rule (the overlap-safe interval-union fraction,
+    ``textstats.dup_ngram_coverage``): drop docs where more than
+    ``cap`` of token positions sit inside an n-gram occurring more
+    than once in the document. It runs AFTER the cheap rules on the
+    shrunk survivor set, with the gram sort staged per the
+    no-CSE-in-lambdas discipline."""
     t = F.col(text_col)
-    return (
+    gated = (
         docs.withColumn("_ntok", token_count_ws(t))
         .withColumn("_dup", _dup_token_ratio_raw(t))
         .withColumn("_topbg", _top_bigram_ratio_raw(t))
@@ -195,6 +204,23 @@ def quality_gate(
         )
         .drop("_ntok", "_dup", "_topbg")
     )
+    if dup_coverage_cap is None:
+        return gated
+    from ..operators.textstats import (
+        dup_ngram_coverage,
+        dup_ngram_starts,
+        sorted_grams_with_pos,
+    )
+
+    n, cap = dup_coverage_cap
+    staged = gated.select("*", F.split(t, " ").alias("_w"))
+    staged = staged.select(
+        "*", sorted_grams_with_pos(F.col("_w"), n).alias("_srt")
+    )
+    staged = staged.select("*", dup_ngram_starts(F.col("_srt")).alias("_st"))
+    return staged.where(
+        dup_ngram_coverage(F.col("_st"), n, F.size(F.col("_w"))) <= cap
+    ).drop("_w", "_srt", "_st")
 
 
 def lang_quality_gate(

@@ -3115,13 +3115,16 @@ def _unigram_dp_cand(length: int) -> str:
     """Candidate score for ending position i+1 with a piece of
     ``length``: prev-best + piece score, or the -inf sentinel when the
     piece is absent / the prefix unreachable / the position too early.
-    Mirrors operators/unigram.py _dp_fold's cands[l-1] exactly."""
-    if length == 1:
-        prev = "d.best[d.i + 1]"
-        gate = ""
-    else:
-        prev = f"d.best[greatest(d.i - {length - 2}, 1)]"
-        gate = f"d.i + 1 >= {length} AND "
+    Mirrors operators/unigram.py _dp_fold's cands[l-1] exactly.
+
+    The previous best for a length-l piece is the score at position
+    (i+1)-l, carried as the SCALAR column b{l-1} (b0 = position i,
+    b1 = i-1, …): the DP state is four shifting scalars, not a list —
+    list_append-state recursion plus a back-pointer walk was the last
+    exotic construct in this oracle, and the one recursive form with a
+    driver-green precedent (td_pack_bins) is plain scalar-state."""
+    prev = f"d.b{length - 1}"
+    gate = "" if length == 1 else f"d.i + 1 >= {length} AND "
     return (
         f"CASE WHEN {gate}k.g{length} IS NOT NULL"
         f" AND {prev} > -100000000000000000"
@@ -3192,28 +3195,35 @@ _UNIGRAM_DP_SQL = """
                    MAX(CASE WHEN l = 4 THEN li END) AS g4
             FROM ent GROUP BY w, pos
         ), dp AS (
+            -- scalar-state Viterbi: b0..b3 = best integer score at
+            -- positions i, i-1, i-2, i-3; n0..n3 = piece count along
+            -- the chosen path at those positions. Each step computes
+            -- the new best (__M__) and the pinned shortest-length
+            -- back-pointer (__B__) from the four shifting scalars —
+            -- no list state, no back-pointer walk.
             SELECT w, len, 0 AS i,
-                   [CAST(0 AS BIGINT)] AS best, [0] AS back
+                   CAST(0 AS BIGINT) AS b0,
+                   CAST(-1000000000000000000 AS BIGINT) AS b1,
+                   CAST(-1000000000000000000 AS BIGINT) AS b2,
+                   CAST(-1000000000000000000 AS BIGINT) AS b3,
+                   0 AS n0, 0 AS n1, 0 AS n2, 0 AS n3
             FROM wl
             UNION ALL
             SELECT d.w, d.len, d.i + 1,
-                   list_append(d.best, __M__),
-                   list_append(d.back, __B__)
+                   __M__ AS b0,
+                   d.b0 AS b1, d.b1 AS b2, d.b2 AS b3,
+                   CASE __B__
+                       WHEN 1 THEN d.n0 + 1
+                       WHEN 2 THEN d.n1 + 1
+                       WHEN 3 THEN d.n2 + 1
+                       WHEN 4 THEN d.n3 + 1
+                       ELSE 0 END AS n0,
+                   d.n0 AS n1, d.n1 AS n2, d.n2 AS n3
             FROM dp d
             JOIN lk k ON k.w = d.w AND k.pos = d.i + 1
             WHERE d.i < d.len
-        ), fin AS (
-            SELECT w, len, best[len + 1] AS score, back
-            FROM dp WHERE i = len
-        ), walk AS (
-            SELECT w, len AS pos, 0 AS np, back FROM fin
-            UNION ALL
-            SELECT w, pos - back[pos + 1], np + 1, back
-            FROM walk WHERE pos > 0
         ), seg AS (
-            SELECT f.w, s.np, f.score
-            FROM fin f JOIN (SELECT w, np FROM walk WHERE pos = 0) s
-                 USING (w)
+            SELECT w, n0 AS np, b0 AS score FROM dp WHERE i = len
         )
 """.replace("__M__", _UNIGRAM_M).replace("__B__", _UNIGRAM_B)
 

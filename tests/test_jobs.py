@@ -1657,3 +1657,30 @@ def test_curate_corpus_lang_aware_gate_and_lm(spark):
     # routed column survives for downstream stages when predicted
     out = curate_corpus(docs, scrub=False, lang_aware=True)
     assert "lang_routed" in out.columns
+
+
+def test_quality_gate_dup_coverage_cap(spark):
+    """dup_coverage_cap=(n, cap) must cut the doc whose tokens sit
+    mostly inside repeated n-grams while leaving varied docs alone —
+    and stay off by default (pinned gate behavior)."""
+    from delta_data_pipelines_spark.jobs.curate_corpus import quality_gate
+
+    stops = ["the", "of", "and", "to", "a", "in", "is", "it"]
+    varied = " ".join(f"{stops[j % 8]} w{j}" for j in range(16))
+    # gate-passing but phrase-looped: 'p q r' x4 (12 covered tokens)
+    # + a 10-token stopword-bearing unique tail = 22 tokens, coverage
+    # 12/22 = 0.545 > cap while every OTHER default rule passes
+    # (dup tokens 9/22 = 0.409, top bigram 4/21 = 0.190, quality 0.43)
+    loop = "p q r " * 4 + " ".join(
+        f"{stops[j]} x{j}" for j in range(5)
+    )
+    docs = spark.createDataFrame(
+        [(1, varied), (2, loop)], "doc_id long, text string"
+    )
+    base = {r["doc_id"] for r in quality_gate(docs).collect()}
+    capped = {
+        r["doc_id"]
+        for r in quality_gate(docs, dup_coverage_cap=(3, 0.5)).collect()
+    }
+    assert base == {1, 2}
+    assert capped == {1}
