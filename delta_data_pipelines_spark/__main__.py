@@ -245,6 +245,13 @@ def main(argv: list[str] | None = None) -> int:
                     "n-gram log-ratio table fit on the clean reference "
                     "(quality-seed target) with the keep threshold at "
                     "the reference's (1-FRACTION) weight quantile")
+    fm.add_argument("--lang-aware", action="store_true",
+                    help="freeze PER-LANGUAGE gates and LM thresholds "
+                    "(CCNet shape): (lang, token, tf) unigram table, "
+                    "one percentile floor per language")
+    fm.add_argument("--lang-col", default=None, metavar="COL",
+                    help="with --lang-aware: route on an existing "
+                    "language column instead of the prediction")
 
     dsc = sub.add_parser(
         "dsir-score",
@@ -707,6 +714,7 @@ def main(argv: list[str] | None = None) -> int:
         res = fit_reference_model(
             model, ref, heldout, drop_fraction=args.lm_drop,
             dsir_keep_fraction=args.dsir_keep,
+            lang_aware=args.lang_aware, lang_col=args.lang_col,
         )
         print(json.dumps({"job": "fit-curation-model", **res}))
         return 0

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import shingles
 from ..storage import JsonMetaStore, VersionedTable
-from .curate_corpus import quality_gate, scrub_stage
+from .curate_corpus import lang_quality_gate, quality_gate, scrub_stage
 
 
 class FrozenCurationModel(JsonMetaStore):
@@ -113,6 +113,52 @@ def _frozen_lm_scores(
     )
 
 
+def _frozen_lang_lm_scores(
+    docs: DataFrame,
+    freq: DataFrame,
+    totals: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+) -> DataFrame:
+    """(id, lang, avg_logprob) under the FROZEN per-language unigram
+    distributions — ``langcurate.lang_lm_scores``' float discipline
+    (6-dp ln — the score ordering feeds threshold compares, the
+    libm-proof quantization) with the (lang, token, tf) table read
+    from storage and per-language totals riding in as a broadcast.
+    OOV tokens take the tf=1 floor WITHIN their language; documents
+    in a language the reference never saw get no rows here (inner
+    totals join) and the caller passes them through unscored."""
+    toks = docs.select(
+        id_col,
+        F.col(lang_col).alias("_lang"),
+        F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
+    )
+    f = freq.select(
+        F.col("lang").alias("_lang"), F.col("token").alias("_tok"), "tf"
+    )
+    t = totals.select(F.col("lang").alias("_lang"), "total")
+    return (
+        toks.join(f, ["_lang", "_tok"], "left")
+        .join(F.broadcast(t), "_lang")
+        .withColumn(
+            "_lp",
+            F.round(
+                F.log(
+                    F.coalesce(F.col("tf"), F.lit(1)).cast("double")
+                    / F.col("total").cast("double")
+                ),
+                6,
+            ).cast("decimal(28,6)"),
+        )
+        .groupBy(id_col, "_lang")
+        .agg(
+            (F.sum("_lp").cast("double") / F.count("*")).alias("avg_logprob")
+        )
+        .withColumnRenamed("_lang", "lang")
+    )
+
+
 def fit_reference_model(
     model: FrozenCurationModel,
     reference_docs: DataFrame,
@@ -123,6 +169,9 @@ def fit_reference_model(
     decont_n: int = 13,
     dsir_keep_fraction: float | None = None,
     dsir_n_buckets: int = 1024,
+    lang_aware: bool = False,
+    lang_col: str | None = None,
+    lang_gates: dict | None = None,
     **gate_kwargs: Any,
 ) -> dict[str, Any]:
     """BUILD job: freeze the curation models from a reference corpus.
@@ -146,33 +195,99 @@ def fit_reference_model(
     ``1 − keep_fraction`` quantile of per-doc importance weights —
     the frozen analog of the batch pipeline's Gumbel-top-k budget
     (a stream has no global k; a weight floor calibrated on the
-    reference admits the same fraction in expectation)."""
+    reference admits the same fraction in expectation).
+
+    ``lang_aware=True`` freezes the PER-LANGUAGE forms (the CCNet
+    production shape): the gate routes by ``lang_col`` or the
+    heuristic prediction with ``lang_gates`` thresholds, the unigram
+    table is fit within each language ((lang, token, tf) schema), and
+    meta carries one LM threshold and total per language — each
+    language's own ``drop_fraction`` percentile on the reference. At
+    apply time the cut is a pure broadcast compare; a batch document
+    in a language the reference never saw has no model and passes the
+    LM stage through unscored."""
     if not (0.0 <= drop_fraction < 1.0):
         raise ValueError(f"drop_fraction must be in [0, 1), got {drop_fraction}")
     if dsir_keep_fraction is not None and not (0.0 < dsir_keep_fraction <= 1.0):
         raise ValueError(
             f"dsir_keep_fraction must be in (0, 1], got {dsir_keep_fraction}"
         )
-    clean = quality_gate(
-        scrub_stage(reference_docs, text_col), text_col, **gate_kwargs
-    ).localCheckpoint(eager=True)  # freq + threshold share one cleaning run
-    freq = (
-        clean.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").alias("tf"))
-    )
+    if lang_aware and gate_kwargs:
+        raise ValueError(
+            "lang_aware=True routes thresholds per language via "
+            "lang_gates; global gate_kwargs would be silently ignored"
+        )
+    routed = lang_col or "lang_routed"
+    if lang_aware:
+        clean = lang_quality_gate(
+            scrub_stage(reference_docs, text_col),
+            text_col,
+            lang_col=lang_col,
+            gates=lang_gates,
+        ).localCheckpoint(eager=True)
+        freq = (
+            clean.select(
+                F.col(routed).alias("lang"),
+                F.explode(F.split(F.col(text_col), " ")).alias("token"),
+            )
+            .groupBy("lang", "token")
+            .agg(F.count("*").alias("tf"))
+        )
+    else:
+        clean = quality_gate(
+            scrub_stage(reference_docs, text_col), text_col, **gate_kwargs
+        ).localCheckpoint(eager=True)  # freq + threshold share one run
+        freq = (
+            clean.select(
+                F.explode(F.split(F.col(text_col), " ")).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.count("*").alias("tf"))
+        )
     c1 = model.unigram.overwrite(freq)
     stored_freq = model.unigram.read()
-    total = stored_freq.agg(F.sum("tf").alias("t")).collect()[0]["t"]
-    if not total:
-        raise ValueError(
-            "reference corpus is empty after scrub+gate — no unigram "
-            "distribution to freeze; widen the gate or fix the input"
+    if lang_aware:
+        lang_totals = {
+            r["lang"]: int(r["t"])
+            for r in stored_freq.groupBy("lang")
+            .agg(F.sum("tf").alias("t"))
+            .collect()
+        }
+        if not lang_totals:
+            raise ValueError(
+                "reference corpus is empty after scrub+gate — no unigram "
+                "distribution to freeze; widen the gates or fix the input"
+            )
+        totals_df = model.spark.createDataFrame(
+            list(lang_totals.items()), "lang string, total long"
         )
-    scores = _frozen_lm_scores(clean, stored_freq, total, id_col, text_col)
-    thr = scores.agg(
-        F.expr(f"percentile(avg_logprob, {drop_fraction})").alias("thr")
-    ).collect()[0]["thr"]
+        scores = _frozen_lang_lm_scores(
+            clean, stored_freq, totals_df, id_col, text_col, routed
+        )
+        lang_thresholds = {
+            r["lang"]: float(r["thr"])
+            for r in scores.groupBy("lang")
+            .agg(
+                F.expr(f"percentile(avg_logprob, {drop_fraction})").alias(
+                    "thr"
+                )
+            )
+            .collect()
+            if r["thr"] is not None
+        }
+        thr = None
+        total = sum(lang_totals.values())
+    else:
+        total = stored_freq.agg(F.sum("tf").alias("t")).collect()[0]["t"]
+        if not total:
+            raise ValueError(
+                "reference corpus is empty after scrub+gate — no unigram "
+                "distribution to freeze; widen the gate or fix the input"
+            )
+        scores = _frozen_lm_scores(clean, stored_freq, total, id_col, text_col)
+        thr = scores.agg(
+            F.expr(f"percentile(avg_logprob, {drop_fraction})").alias("thr")
+        ).collect()[0]["thr"]
     grams = (
         heldout_docs.where(F.size(F.split(F.col(text_col), " ")) >= decont_n)
         .select(F.explode(shingles(F.col(text_col), decont_n)).alias("_gram"))
@@ -188,6 +303,22 @@ def fit_reference_model(
         "unigram_version": c1.version,
         "heldout_grams_version": c2.version,
     }
+    if lang_aware:
+        meta.update(
+            {
+                "lang_aware": True,
+                "lang_col": lang_col,
+                # JSON round-trips tuples as lists; curate_batch
+                # converts back
+                "lang_gates": (
+                    {k: list(v) for k, v in lang_gates.items()}
+                    if lang_gates
+                    else None
+                ),
+                "lang_totals": lang_totals,
+                "lang_thresholds": lang_thresholds,
+            }
+        )
     if dsir_keep_fraction is not None:
         from ..operators import dsir
         from ..operators.textstats import quality_score
@@ -237,28 +368,72 @@ def curate_batch(
             f"run fit_reference_model first"
         )
     meta = model.meta()
-    gated = quality_gate(
-        scrub_stage(batch, text_col), text_col, **meta["gate_kwargs"]
-    )
-    thr = meta["lm_threshold"]
-    if thr is not None:
+    if meta.get("lang_aware"):
+        stored_gates = meta.get("lang_gates")
+        gated = lang_quality_gate(
+            scrub_stage(batch, text_col),
+            text_col,
+            lang_col=meta.get("lang_col"),
+            gates=(
+                {k: tuple(v) for k, v in stored_gates.items()}
+                if stored_gates
+                else None
+            ),
+        )
+        routed = meta.get("lang_col") or "lang_routed"
         unscorable = F.col(id_col).isNull() | F.col(text_col).isNull()
         passthrough = gated.where(unscorable)
         scorable = gated.where(~unscorable)
-        keep = (
-            _frozen_lm_scores(
-                scorable,
-                model.unigram.read(meta.get("unigram_version")),
-                meta["total_tokens"],
-                id_col,
-                text_col,
-            )
-            .where(F.col("avg_logprob") >= F.lit(thr))
+        spark = batch.sparkSession
+        totals_df = spark.createDataFrame(
+            list(meta["lang_totals"].items()), "lang string, total long"
+        )
+        thr_df = spark.createDataFrame(
+            list(meta["lang_thresholds"].items()), "lang string, thr double"
+        )
+        scores = _frozen_lang_lm_scores(
+            scorable,
+            model.unigram.read(meta.get("unigram_version")),
+            totals_df,
+            id_col,
+            text_col,
+            routed,
+        )
+        # drop = scored strictly below ITS language's frozen floor; a
+        # language with no frozen threshold/model (unseen on the
+        # reference) never lands in drop, so its docs pass through —
+        # the unscorable-rows invariant extended to unseen languages
+        drop = (
+            scores.join(F.broadcast(thr_df), "lang", "left")
+            .where(F.col("avg_logprob") < F.col("thr"))
             .select(id_col)
         )
-        gated = scorable.join(keep, id_col, "left_semi").unionByName(
+        gated = scorable.join(drop, id_col, "left_anti").unionByName(
             passthrough
         )
+    else:
+        gated = quality_gate(
+            scrub_stage(batch, text_col), text_col, **meta["gate_kwargs"]
+        )
+        thr = meta["lm_threshold"]
+        if thr is not None:
+            unscorable = F.col(id_col).isNull() | F.col(text_col).isNull()
+            passthrough = gated.where(unscorable)
+            scorable = gated.where(~unscorable)
+            keep = (
+                _frozen_lm_scores(
+                    scorable,
+                    model.unigram.read(meta.get("unigram_version")),
+                    meta["total_tokens"],
+                    id_col,
+                    text_col,
+                )
+                .where(F.col("avg_logprob") >= F.lit(thr))
+                .select(id_col)
+            )
+            gated = scorable.join(keep, id_col, "left_semi").unionByName(
+                passthrough
+            )
     if meta.get("dsir_threshold") is not None:
         # frozen DSIR floor: score under the STORED log-ratio table
         # (broadcast, n_buckets rows), keep weight >= the reference-

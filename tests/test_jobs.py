@@ -1684,3 +1684,61 @@ def test_quality_gate_dup_coverage_cap(spark):
     }
     assert base == {1, 2}
     assert capped == {1}
+
+
+def test_frozen_lang_aware_model_fit_and_serve(spark, tmp_path):
+    """fit_reference_model(lang_aware=True) freezes per-language
+    unigram tables and per-language LM thresholds; curate_batch then
+    (a) gates by each doc's own language's thresholds, (b) cuts a
+    batch doc scoring under ITS language's frozen floor without
+    touching the other language, and (c) passes a document in a
+    language the reference never saw through the LM stage unscored."""
+    from delta_data_pipelines_spark.jobs.incremental_curate import (
+        FrozenCurationModel,
+        curate_batch,
+        fit_reference_model,
+    )
+
+    stops = ["the", "of", "and", "to", "a", "in", "is", "it"]
+    es_stops = ["el", "la", "de", "que", "y"]
+    ref_rows = [
+        (i, " ".join(f"{stops[j % 8]} w{i}_{j}" for j in range(32)))
+        for i in range(1, 13)
+    ]
+    ref_rows += [
+        (100 + i, " ".join(f"{es_stops[j % 5]} v{i}_{j}" for j in range(12)))
+        for i in range(1, 13)
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    heldout = spark.createDataFrame(
+        [(9000, " ".join(f"h{j}" for j in range(20)))],
+        "doc_id long, text string",
+    )
+    model = FrozenCurationModel(spark, str(tmp_path / "fzl"))
+    meta = fit_reference_model(
+        model, ref, heldout, drop_fraction=0.05, lang_aware=True
+    )
+    assert meta["lang_aware"] is True
+    assert set(meta["lang_totals"]) == {"en", "es"}
+    assert set(meta["lang_thresholds"]) == {"en", "es"}
+    assert set(model.unigram.read().columns) == {"lang", "token", "tf"}
+
+    # batch: one healthy doc per language (reference vocabulary), one
+    # es LM outlier, one doc in a language the model never saw (fr
+    # markers -> 'fr' routing, no frozen model)
+    batch_rows = [
+        (201, " ".join(f"{stops[j % 8]} w1_{j}" for j in range(32))),
+        (202, " ".join(f"{es_stops[j % 5]} v1_{j}" for j in range(12))),
+        (203, " ".join(es_stops) + " " + " ".join(es_stops) + " "
+              + " ".join(f"zq{j}x" for j in range(40))),
+        (204, "le la et les des " * 4 + "bonjour monde voila alors donc"),
+    ]
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in curate_batch(batch, model).collect()}
+    assert 201 in kept and 202 in kept
+    assert 203 not in kept          # under es's frozen floor
+    assert 204 in kept              # unseen language: passes unscored
+
+    # replay determinism: same batch, same keep set
+    again = {r["doc_id"] for r in curate_batch(batch, model).collect()}
+    assert again == kept
