@@ -267,13 +267,16 @@ def lang_lm_filter_stage(
     materialize: bool = True,
 ) -> DataFrame:
     """Per-language CCNet tail cut: fit the unigram LM WITHIN each
-    language and drop each language's worst ``drop_fraction`` by mean
-    log-prob (:func:`langcurate.lang_lm_tail_cut`) — a global cut
-    would concentrate on whichever language the shared model fits
-    worst. Unscorable rows (NULL id/text/lang) pass through, the
-    lm_filter_stage discipline; the per-language cut uses cume_dist,
-    so a language's single document is never dropped. Doc payloads
-    never ride through the scoring shuffle (LEFT SEMI re-entry)."""
+    language and drop each language's docs under its own
+    ``drop_fraction`` percentile floor
+    (:func:`langcurate.lang_lm_threshold_cut` — the percentile
+    partial-aggregates and broadcasts, so a dominant language is never
+    a single window-sort task) — a global cut would concentrate on
+    whichever language the shared model fits worst. Unscorable rows
+    (NULL id/text/lang) pass through and ties at the floor are kept,
+    both the lm_filter_stage discipline; a language's single document
+    is its own percentile and survives. Doc payloads never ride
+    through the scoring shuffle (LEFT SEMI re-entry)."""
     if not (0.0 <= drop_fraction < 1.0):
         raise ValueError(
             f"drop_fraction must be in [0, 1), got {drop_fraction}"
@@ -290,8 +293,8 @@ def lang_lm_filter_stage(
     passthrough = docs.where(unscorable)
     scorable = docs.where(~unscorable)
     scores = langcurate.lang_lm_scores(scorable, id_col, text_col, lang_col)
-    kept_ids = langcurate.lang_lm_tail_cut(
-        scores, id_col, tail=drop_fraction
+    kept_ids = langcurate.lang_lm_threshold_cut(
+        scores, tail=drop_fraction
     ).select(id_col)
     return scorable.join(kept_ids, id_col, "left_semi").unionByName(
         passthrough

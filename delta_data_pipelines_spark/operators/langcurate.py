@@ -227,10 +227,18 @@ def lang_lm_tail_cut(
     tail: float = 0.1,
 ) -> DataFrame:
     """Drop each language's worst ``tail`` fraction by LM score — the
-    CCNet tail bucket. ``cume_dist`` ascending on (score, id) keeps a
-    language's single document (cume_dist 1.0 > tail) where
-    percent_rank's 0.0 would spuriously drop it; the id tiebreak makes
-    ties deterministic and therefore oracle-exact."""
+    CCNet tail bucket, EXACT form. ``cume_dist`` ascending on
+    (score, id) keeps a language's single document (cume_dist 1.0 >
+    tail) where percent_rank's 0.0 would spuriously drop it; the id
+    tiebreak makes ties deterministic and therefore oracle-exact.
+
+    Scale caveat: the window partitions by language, so one dominant
+    language is ONE task's sort — exact and fine at report scale
+    (this is what the oracle-checked td_lang_keep_rate runs), but a
+    100 TB curation pass should use
+    :func:`lang_lm_threshold_cut` instead, whose per-language
+    percentile partial-aggregates and broadcasts (the
+    lm_filter_stage posture; no per-language global sort)."""
     w = Window.partitionBy(lang_col).orderBy(
         F.col(score_col).asc(), F.col(id_col).asc()
     )
@@ -238,4 +246,28 @@ def lang_lm_tail_cut(
         scores.withColumn("_cd", F.cume_dist().over(w))
         .where(F.col("_cd") > F.lit(tail))
         .drop("_cd")
+    )
+
+
+def lang_lm_threshold_cut(
+    scores: DataFrame,
+    lang_col: str = "lang",
+    score_col: str = "avg_logprob",
+    tail: float = 0.1,
+) -> DataFrame:
+    """Scalable form of the per-language tail cut: each language's
+    keep floor is its own ``tail`` percentile of the LM score —
+    computed as a partial-aggregating GROUP BY (never a per-language
+    window sort: one dominant language would otherwise be a single
+    task at corpus scale) and re-entered as a broadcast join. Ties AT
+    the floor are kept (``>=``), matching lm_filter_stage's global
+    rule; the exact-rank semantics (strict fraction, id tiebreak)
+    belong to :func:`lang_lm_tail_cut`."""
+    thr = scores.groupBy(lang_col).agg(
+        F.expr(f"percentile({score_col}, {tail})").alias("_thr")
+    )
+    return (
+        scores.join(F.broadcast(thr), lang_col)
+        .where(F.col(score_col) >= F.col("_thr"))
+        .drop("_thr")
     )

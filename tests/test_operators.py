@@ -2751,3 +2751,25 @@ def test_gopher_repetition_devices(spark):
     assert out[3]["t3"] == 0.0 and out[3]["c3"] == 0.0
     # single 2-gram, no duplicates: top = 1/1, coverage 0
     assert out[3]["t2"] == 1.0 and out[3]["c2"] == 0.0
+
+
+def test_lang_lm_threshold_cut_scalable_form(spark):
+    """The percentile form keeps ties at the floor and single-doc
+    languages, and agrees with the exact cume_dist form away from
+    interpolation boundaries."""
+    from delta_data_pipelines_spark.operators import langcurate
+
+    rows = [
+        (1, "a", -5.0), (2, "a", -4.0), (3, "a", -3.0), (4, "a", -2.0),
+        (5, "a", -1.0), (6, "a", -1.0), (7, "a", 0.0), (8, "a", 0.5),
+        (9, "a", 0.6), (10, "a", 0.7), (11, "a", 0.8),
+        (12, "b", -9.0),
+    ]
+    sc = spark.createDataFrame(rows, "doc_id long, lang string, avg_logprob double")
+    kept = sorted(
+        r["doc_id"]
+        for r in langcurate.lang_lm_threshold_cut(sc, tail=0.1).collect()
+    )
+    # lang a: floor = percentile(0.1) = -5 + (-4 - -5)= -4.0; -5 cut,
+    # the tie AT the floor (-4.0) kept; lang b single doc survives
+    assert kept == [2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12]
