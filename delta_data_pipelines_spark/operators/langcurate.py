@@ -86,6 +86,12 @@ def join_thresholds(
     gates = gates or DEFAULT_LANG_GATES
     if "default" not in gates:
         raise ValueError("gates must include a 'default' fallback row")
+    clash = set(_GATE_COLS) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has threshold column(s) {sorted(clash)}; "
+            "rename them before joining the gates table"
+        )
     gdf = df.sparkSession.createDataFrame(
         [
             (l, *(float(x) for x in v))
@@ -148,6 +154,14 @@ def lang_gate(
     signal pass can feed both the per-language totals and the kept
     set without recomputing the signals per consumer.
     """
+    reserved = {"lang", "n_tokens", "dup_token_ratio", "top_bigram_ratio",
+                "quality"}
+    clash = reserved & set(keep_cols)
+    if clash:
+        raise ValueError(
+            f"keep_cols {sorted(clash)} collide with the gate's output "
+            "columns; alias them in a prior select"
+        )
     t = F.col(text_col)
     lang = F.col(lang_col) if lang_col else textstats.lang_id(t)
     sig = df.select(

@@ -234,6 +234,20 @@ def top_ngram_ratio_from_words(w: Column, n: int) -> Column:
     )
 
 
+def top_ngram_ratio_from_sorted_structs(srt: Column) -> Column:
+    """Top-n-gram occurrence fraction from a STAGED
+    :func:`sorted_grams_with_pos` column: the struct sort orders by
+    gram first, so extracting ``g`` yields a gram-sorted array and the
+    run fold applies directly — a caller that already pays the struct
+    sort for :func:`dup_ngram_starts` gets the top ratio without a
+    second gram build + sort (measured ~0.35s/n per corpus pass)."""
+    return F.coalesce(
+        _max_equal_run(F.transform(srt, lambda x: x["g"]))
+        / F.nullif(F.size(srt), F.lit(0)).cast("double"),
+        F.lit(0.0),
+    )
+
+
 def sorted_grams_with_pos(w: Column, n: int) -> Column:
     """``(gram, start_pos)`` structs of all overlapping ``n``-grams,
     sorted by gram then position — the staging unit for

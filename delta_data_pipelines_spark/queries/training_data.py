@@ -252,25 +252,33 @@ def txt_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row array folds over ONE scan: no explode, no shuffle, no
     UDF; the gram/sort intermediates are staged in their own selects
     (lambda bodies get no codegen CSE — the passage_segments
-    precedent)."""
-    d = read_table(spark, sf_dir, "documents")
+    precedent). The five signals are the heaviest pure-expression
+    work in the registry (interpreted HOF folds), so the scan is
+    _spread() to cluster parallelism — a small parquet is ONE split,
+    which would serialize the whole pass onto one core (no-op at
+    scale, where the scan already yields thousands of splits)."""
+    d = dedup._spread(read_table(spark, sf_dir, "documents"))
     s1 = d.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
     w = F.col("_w")
     s2 = s1.select(
         "doc_id",
         F.size(w).alias("n_tokens"),
         textstats.top_ngram_ratio_from_words(w, 2).alias("_t2"),
-        textstats.top_ngram_ratio_from_words(w, 3).alias("_t3"),
-        textstats.top_ngram_ratio_from_words(w, 4).alias("_t4"),
         textstats.sorted_grams_with_pos(w, 3).alias("_s3"),
         textstats.sorted_grams_with_pos(w, 4).alias("_s4"),
     )
+    # the struct sorts serve double duty: dup starts AND the n=3,4
+    # top ratios (gram-major order), so no second gram build + sort
     s3 = s2.select(
         "doc_id",
         "n_tokens",
         "_t2",
-        "_t3",
-        "_t4",
+        textstats.top_ngram_ratio_from_sorted_structs(F.col("_s3")).alias(
+            "_t3"
+        ),
+        textstats.top_ngram_ratio_from_sorted_structs(F.col("_s4")).alias(
+            "_t4"
+        ),
         textstats.dup_ngram_starts(F.col("_s3")).alias("_d3"),
         textstats.dup_ngram_starts(F.col("_s4")).alias("_d4"),
     )
