@@ -445,3 +445,66 @@ def test_main_content_on_replicated_corpus(spark):
     # replicas of the same page must extract identically; the 1x
     # result itself is the reference for copy 0
     assert not mismatches, mismatches[:5]
+
+
+def test_lang_curation_scales_with_replicated_corpus(spark):
+    """Language-aware curation invariances at any corpus multiple:
+    (a) the threshold table is O(languages) however large the corpus
+    and the gate verdict for a replica equals the original's (the
+    gate is per-row + broadcast — replication cannot flip it);
+    (b) per-language LM scores are replication-invariant (tf and
+    totals scale together within each language, so tf/total — and the
+    6-dp quantized ln — is unchanged); (c) the scalable threshold cut
+    keeps each replica iff it keeps the original (the percentile
+    floor is a distribution statistic — k x the same values, same
+    percentile). None of these paths contains a per-language window
+    sort (the exact-rank form is for bounded reports)."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.operators import langcurate
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    big = d
+    for i in range(1, 5):
+        big = big.union(
+            d.select((F.col("doc_id") + 100000 * i).alias("doc_id"), "text")
+        )
+
+    kept_small = {
+        r["doc_id"]
+        for r in langcurate.lang_gate(d, "doc_id", "text").collect()
+    }
+    kept_big = {
+        r["doc_id"]
+        for r in langcurate.lang_gate(big, "doc_id", "text").collect()
+    }
+    assert kept_big == {
+        i + 100000 * k for i in kept_small for k in range(5)
+    }
+
+    pred = big.select(
+        "doc_id",
+        "text",
+        F.expr("doc_id % 100000").alias("_orig"),
+    )
+    from delta_data_pipelines_spark.operators.textstats import lang_id
+
+    routed = pred.withColumn("lang", lang_id(F.col("text")))
+    scores = langcurate.lang_lm_scores(routed, "doc_id", "text", "lang")
+    per_orig = (
+        scores.join(pred.select("doc_id", "_orig"), "doc_id")
+        .groupBy("_orig")
+        .agg(F.count_distinct("avg_logprob").alias("nw"))
+    )
+    assert per_orig.where(F.col("nw") > 1).count() == 0
+
+    cut = langcurate.lang_lm_threshold_cut(scores, tail=0.1)
+    per_orig_kept = (
+        cut.join(pred.select("doc_id", "_orig"), "doc_id")
+        .groupBy("_orig")
+        .agg(F.count("*").alias("n"))
+    )
+    # every kept original keeps ALL 5 replicas (floor is scale-free)
+    assert per_orig_kept.where(F.col("n") != 5).count() == 0
