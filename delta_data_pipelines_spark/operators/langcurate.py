@@ -268,6 +268,7 @@ def lang_lm_threshold_cut(
     lang_col: str = "lang",
     score_col: str = "avg_logprob",
     tail: float = 0.1,
+    quantize_dp: int | None = 3,
 ) -> DataFrame:
     """Scalable form of the per-language tail cut: each language's
     keep floor is its own ``tail`` percentile of the LM score —
@@ -276,9 +277,27 @@ def lang_lm_threshold_cut(
     task at corpus scale) and re-entered as a broadcast join. Ties AT
     the floor are kept (``>=``), matching lm_filter_stage's global
     rule; the exact-rank semantics (strict fraction, id tiebreak)
-    belong to :func:`lang_lm_tail_cut`."""
+    belong to :func:`lang_lm_tail_cut`.
+
+    ``quantize_dp`` bounds the aggregation state: Spark's exact
+    ``percentile`` buffers a value→count map, and raw per-doc scores
+    are near-all-distinct — O(docs-per-language) map entries at
+    corpus scale, the blow-up this form exists to avoid. The floor is
+    therefore computed over the score ROUNDED to ``quantize_dp``
+    decimals (mean log-probs live in roughly [-40, 0], so 3 dp keeps
+    the map ≤ ~40k entries per language) while the keep compare stays
+    on the raw score — the floor moves by < 10^-quantize_dp, a
+    sub-noise shift in a heuristic cut, and the result remains
+    deterministic (unlike approx_percentile, whose t-digest merge
+    order follows partitioning). ``None`` disables quantization for
+    bounded inputs that want the exact percentile."""
+    floor_src = (
+        F.col(score_col)
+        if quantize_dp is None
+        else F.round(F.col(score_col), quantize_dp)
+    )
     thr = scores.groupBy(lang_col).agg(
-        F.expr(f"percentile({score_col}, {tail})").alias("_thr")
+        F.percentile(floor_src, F.lit(tail)).alias("_thr")
     )
     return (
         scores.join(F.broadcast(thr), lang_col)

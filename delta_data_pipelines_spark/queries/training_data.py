@@ -341,8 +341,9 @@ def td_lang_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     must not reject Spanish, and zh gets a relaxed whitespace-token
     window. One narrow signal projection + one broadcast join against
     the O(languages) threshold table + one WHERE; map-only at any
-    scale."""
-    d = read_table(spark, sf_dir, "documents")
+    scale. The scan is _spread(): the signal folds are interpreted
+    per-row work and a small parquet is one split (no-op at scale)."""
+    d = dedup._spread(read_table(spark, sf_dir, "documents"))
     return langcurate.lang_gate(
         d, "doc_id", "text", keep_cols=("source",)
     ).orderBy("doc_id")
@@ -362,10 +363,12 @@ def td_lang_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     boolean verdict and the frame is staged with persist (the
     td_source_drift multi-consumer discipline), so the totals, the
     kept set, and both LM passes all read the staged rows instead of
-    re-deriving the signals per consumer."""
+    re-deriving the signals per consumer; the scan is _spread() so the
+    signal folds parallelize off a one-split parquet (no-op at
+    scale)."""
     from pyspark.storagelevel import StorageLevel
 
-    d = read_table(spark, sf_dir, "documents")
+    d = dedup._spread(read_table(spark, sf_dir, "documents"))
     flagged = langcurate.lang_gate(
         d, "doc_id", "text", keep_cols=("text",), flag_col="_keep"
     ).persist(StorageLevel.MEMORY_AND_DISK)
