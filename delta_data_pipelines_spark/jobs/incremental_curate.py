@@ -495,6 +495,13 @@ def batch_drift(
     which would read as a perfect match)."""
     meta = model.meta()
     freq = model.unigram.read(meta.get("unigram_version"))
+    if meta.get("lang_aware"):
+        # a lang-aware model stores (lang, token, tf); the drift alarm
+        # measures against the POOLED reference distribution (whose
+        # total meta["total_tokens"] already is), and joining the
+        # per-language table on token alone would fan each batch token
+        # out once per language it appears in, overcounting _n
+        freq = freq.groupBy("token").agg(F.sum("tf").alias("tf"))
     # NO empty-token filter: the frozen reference's freq/total_tokens
     # and the frozen LM scoring count every split token including ""
     # (double spaces, empty text) — filtering here would miscalibrate

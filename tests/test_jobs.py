@@ -1742,3 +1742,46 @@ def test_frozen_lang_aware_model_fit_and_serve(spark, tmp_path):
     # replay determinism: same batch, same keep set
     again = {r["doc_id"] for r in curate_batch(batch, model).collect()}
     assert again == kept
+
+
+def test_batch_drift_pools_lang_aware_reference(spark, tmp_path):
+    """On a lang-aware model the drift alarm must measure against the
+    POOLED reference distribution: a token frozen under BOTH languages
+    must not fan the batch join out (overcounting n_tokens), and a
+    reference-like batch still reads near zero."""
+    from delta_data_pipelines_spark.jobs.incremental_curate import (
+        FrozenCurationModel,
+        batch_drift,
+        fit_reference_model,
+    )
+
+    stops = ["the", "of", "and", "to", "a", "in", "is", "it"]
+    es_stops = ["el", "la", "de", "que", "y"]
+    # 'shared' appears in BOTH languages' reference docs (gate-passing
+    # interleaved-unique construction, one 'shared' token per doc)
+    ref_rows = [
+        (i, " ".join(f"{stops[j % 8]} w{i}_{j}" for j in range(16))
+            + " shared")
+        for i in range(1, 13)
+    ]
+    ref_rows += [
+        (100 + i, " ".join(f"{es_stops[j % 5]} v{i}_{j}" for j in range(12))
+            + " shared")
+        for i in range(1, 13)
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    heldout = spark.createDataFrame(
+        [(9000, " ".join(f"h{j}" for j in range(20)))],
+        "doc_id long, text string",
+    )
+    model = FrozenCurationModel(spark, str(tmp_path / "fzd"))
+    fit_reference_model(model, ref, heldout, lang_aware=True)
+
+    batch = spark.createDataFrame(
+        [(500, "shared shared the el shared")], "doc_id long, text string"
+    )
+    d = batch_drift(batch, model)
+    # 5 tokens in the batch — a per-language fan-out would report more
+    assert d["n_tokens"] == 5
+    assert d["n_oov_tokens"] == 0
+    assert d["kl_nats"] is not None
