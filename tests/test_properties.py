@@ -849,3 +849,70 @@ def test_c4_clean_matches_python_model(spark, docs):
         for r in c4_clean(df, "doc_id", "text").collect()
     }
     assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=14).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_gopher_repetition_devices_match_python_model(spark, texts, n):
+    """top_ngram_ratio (both the plain-sorted and struct-sorted forms)
+    and dup_ngram_coverage must equal the Counter/interval-union model
+    on arbitrary token streams — a 2-letter alphabet forces heavy
+    n-gram repetition and overlapping duplicated occurrences, the
+    regime the interval union exists for."""
+    from collections import Counter
+
+    from delta_data_pipelines_spark.operators.textstats import (
+        dup_ngram_coverage,
+        dup_ngram_starts,
+        sliding_ngrams_from_words,
+        sorted_grams_with_pos,
+        top_ngram_ratio_from_sorted_structs,
+        top_ngram_ratio_from_words,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, t string")
+    s1 = df.select("id", F.split(F.col("t"), " ").alias("_w"))
+    w = F.col("_w")
+    s2 = s1.select(
+        "id",
+        F.size(w).alias("L"),
+        top_ngram_ratio_from_words(w, n).alias("tp"),
+        sorted_grams_with_pos(w, n).alias("_s"),
+    )
+    s3 = s2.select(
+        "id", "L", "tp",
+        top_ngram_ratio_from_sorted_structs(F.col("_s")).alias("ts"),
+        dup_ngram_starts(F.col("_s")).alias("_d"),
+    )
+    got = {
+        r["id"]: (r["tp"], r["ts"], r["cov"])
+        for r in s3.select(
+            "id", "tp", "ts",
+            dup_ngram_coverage(F.col("_d"), n, F.col("L")).alias("cov"),
+        ).collect()
+    }
+    for i, s in enumerate(texts):
+        toks = s.split(" ")
+        grams = [tuple(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+        if not grams:
+            top, cov = 0.0, 0.0
+        else:
+            c = Counter(grams)
+            top = max(c.values()) / len(grams)
+            covered = set()
+            for j, g in enumerate(grams):
+                if c[g] >= 2:
+                    covered.update(range(j, j + n))
+            cov = len(covered) / len(toks)
+        assert abs(got[i][0] - top) < 1e-8, (s, n, got[i][0], top)
+        assert abs(got[i][1] - top) < 1e-8, (s, n, got[i][1], top)
+        assert abs(got[i][2] - cov) < 1e-8, (s, n, got[i][2], cov)
