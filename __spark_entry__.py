@@ -99,6 +99,7 @@ _PRIORITY = [
     # thresholds + per-language LM tail cut) and the full Gopher
     # repetition suite, first driver rows
     "td_lang_gate", "td_lang_keep_rate", "txt_gopher_repetition",
+    "td_dedup_sentence_spans",
     # stalest x2 rows (green r1+r5 only) — tail seats, first to yield
     "j_dim_chain", "dd_exact", "ds_hash_split", "p_filter_project",
     "dd_ngram_jaccard", "so_union",

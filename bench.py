@@ -172,6 +172,9 @@ SHELF: list[str] = [
     # (two struct sorts + interval unions) in one map-only pass; the
     # heaviest pure-expression projection in the registry
     "txt_gopher_repetition",
+    # r11: C4 three-sentence-span dedup — sentencize fold + span-hash
+    # partial-agg + keeper election + anti-join rebuild
+    "td_dedup_sentence_spans",
 ]
 HEADLINE = HEADLINE + SHELF
 

@@ -82,6 +82,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="rewrite surviving docs: delete duplicated "
                     "N-token tiling segments (keep the corpus-wide "
                     "first occurrence), drop docs the rewrite empties")
+    cc.add_argument("--sentence-spans", type=int, default=None,
+                    metavar="K",
+                    help="C4 sentence-span dedup: keep the first "
+                    "occurrence of every duplicated K-sentence "
+                    "sliding span, delete the sentences of every "
+                    "other occurrence, drop docs the rewrite empties")
     cc.add_argument("--exact-substr", type=int, default=None,
                     metavar="L",
                     help="TRUE sliding-window ExactSubstr rewrite: "
@@ -505,6 +511,7 @@ def main(argv: list[str] | None = None) -> int:
             decontaminate=args.decontaminate,
             max_passage_dup=args.max_passage_dup,
             dedup_passages=args.dedup_passages,
+            sentence_spans=args.sentence_spans,
             exact_substr=args.exact_substr,
             compression_bounds=(
                 tuple(args.compression_bounds)

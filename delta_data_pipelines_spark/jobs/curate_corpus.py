@@ -464,6 +464,29 @@ def dedup_passages_stage(
     return out.unionByName(passthrough)
 
 
+def sentence_spans_stage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 3,
+) -> DataFrame:
+    """C4's sentence-span dedup as a curation stage
+    (:func:`textstats.dedup_sentence_spans` — keep the first
+    occurrence of every duplicated ``span``-sentence sliding window,
+    delete the sentences of every other occurrence). Docs the rewrite
+    empties are dropped (the dedup_passages_stage rule); other columns
+    survive via id re-join, so the stage composes anywhere in the
+    pipeline."""
+    from ..operators.textstats import dedup_sentence_spans
+
+    rewritten = dedup_sentence_spans(
+        docs.select(id_col, text_col), id_col, text_col, span=span
+    ).where(F.col(text_col).isNull() | (F.col(text_col) != ""))
+    return docs.drop(text_col).join(
+        rewritten.select(id_col, text_col), id_col
+    )
+
+
 def exact_substr_stage(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -678,6 +701,7 @@ def curate_corpus(
     decontaminate: bool = False,
     max_passage_dup: float | None = None,
     dedup_passages: int | None = None,
+    sentence_spans: int | None = None,
     exact_substr: int | None = None,
     url_blocklist: DataFrame | None = None,
     url_col: str = "url",
@@ -808,6 +832,11 @@ def curate_corpus(
         # template threshold may still CONTAIN duplicated passages —
         # delete those (keep-first), keep the documents
         uniq = dedup_passages_stage(uniq, id_col, text_col, dedup_passages)
+    if sentence_spans is not None:
+        # C4's published unit: keep-one over sliding SENTENCE spans —
+        # sits between the tiling cut (keep-one, boundary-blind) and
+        # the ExactSubstr rewrite (boundary-free, keeps no copy)
+        uniq = sentence_spans_stage(uniq, id_col, text_col, sentence_spans)
     if exact_substr is not None:
         # the un-approximated rewrite: sliding-window cover set, every
         # occurrence removed — catches runs straddling the tiling

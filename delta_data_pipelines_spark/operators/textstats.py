@@ -922,6 +922,187 @@ def with_compression_ratio(
 C4_TERMINAL = (".", "!", "?", '"')
 
 
+def sentences_from_words(
+    w: Column, terminal: tuple[str, ...] = C4_TERMINAL
+) -> Column:
+    """Sentence strings from a STAGED word array: a sentence ends at
+    every word whose LAST character is terminal punctuation
+    (:data:`C4_TERMINAL`), and a trailing unterminated fragment is its
+    own sentence. Exact round-trip contract:
+    ``array_join(sentences, ' ') == array_join(words, ' ')`` — every
+    word lands in exactly one sentence, in order, separators
+    preserved — so a rebuild after sentence-level deletion never
+    perturbs surviving text. One native fold; the current-sentence
+    slot is NULL (not '') so an empty TOKEN can still begin a
+    sentence without colliding with the no-current sentinel."""
+    is_term = lambda x: F.substring(x, -1, 1).isin(*terminal)  # noqa: E731
+    return F.aggregate(
+        w,
+        F.struct(
+            F.array().cast("array<string>").alias("s"),
+            F.lit(None).cast("string").alias("cur"),
+        ),
+        lambda acc, x: F.struct(
+            F.when(
+                is_term(x),
+                F.array_append(
+                    acc["s"],
+                    F.when(acc["cur"].isNull(), x).otherwise(
+                        F.concat_ws(" ", acc["cur"], x)
+                    ),
+                ),
+            )
+            .otherwise(acc["s"])
+            .alias("s"),
+            F.when(
+                is_term(x), F.lit(None).cast("string")
+            )
+            .otherwise(
+                F.when(acc["cur"].isNull(), x).otherwise(
+                    F.concat_ws(" ", acc["cur"], x)
+                )
+            )
+            .alias("cur"),
+        ),
+        lambda acc: F.when(
+            acc["cur"].isNull(), acc["s"]
+        ).otherwise(F.array_append(acc["s"], acc["cur"])),
+    )
+
+
+def dedup_sentence_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 3,
+    terminal: tuple[str, ...] = C4_TERMINAL,
+) -> DataFrame:
+    """C4's sentence-span deduplication (Raffel et al. 2020 §2.2:
+    "we discard all but one of any three-sentence span occurring more
+    than once in the data set") — the keep-one SLIDING-span member of
+    the rewrite family: the tiling variant
+    (:func:`remove_dup_passages`) keeps one copy but can miss runs
+    straddling tile boundaries; the ExactSubstr rewrite
+    (``dedup.remove_exact_substrings``) catches every run but keeps NO
+    copy; this keeps the first occurrence of every duplicated span and
+    deletes the SENTENCES of every other occurrence (C4's unit is the
+    sentence, not the token).
+
+    Semantics, pinned deterministic where the released C4 tool is
+    random: documents sentencize by terminal punctuation
+    (:func:`sentences_from_words`), every ``span``-sentence sliding
+    window hashes (md5 of the space-joined span), the minimum
+    (id, start) occurrence of each duplicated hash is the keeper, and
+    each non-keeper occurrence marks its ``span`` sentence positions
+    for deletion (overlapping occurrences of a longer repeat can mark
+    sentences inside the keeper's window — the released tool's
+    behavior, inherent to keep-one over sliding spans). Documents are
+    rebuilt from surviving sentences in order; a fully-deleted doc
+    becomes the empty string (callers drop it — the job-stage rule);
+    NULL text passes through. Output: (id, text, n_sentences,
+    n_removed).
+
+    Scale shape: sentencization and span enumeration are per-row
+    folds; the ONE corpus-scale shuffle is the span-hash partial-agg
+    (the remove_dup_passages / decontamination shape, AQE-skew-safe);
+    deletions re-enter by (id, position) anti-join; the sentence table
+    is staged once with persist for its two consumers (spans +
+    rebuild)."""
+    if span < 1:
+        raise ValueError(f"span must be >= 1, got {span}")
+    from pyspark.storagelevel import StorageLevel
+
+    from .dedup import _materialize_and_release
+
+    base = docs.select(id_col, text_col)
+    nulls = base.where(F.col(text_col).isNull()).select(
+        id_col,
+        F.col(text_col),
+        F.lit(0).alias("n_sentences"),
+        F.lit(0).alias("n_removed"),
+    )
+    live = base.where(F.col(text_col).isNotNull())
+    s1 = live.select(id_col, F.split(F.col(text_col), " ").alias("_w"))
+    sents = s1.select(
+        id_col, sentences_from_words(F.col("_w"), terminal).alias("_sents")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ns = F.size(F.col("_sents"))
+    spans = sents.select(
+        id_col,
+        F.explode(
+            F.when(
+                ns >= span,
+                F.transform(
+                    F.sequence(F.lit(1), ns - F.lit(span - 1)),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.md5(
+                            F.array_join(F.slice(F.col("_sents"), i, span), " ")
+                        ).alias("h"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<start:int,h:string>>")
+            )
+        ).alias("_sp"),
+    ).select(id_col, "_sp.start", "_sp.h")
+    dup = (
+        spans.groupBy("h")
+        .agg(
+            F.count("*").alias("_c"),
+            F.min(F.struct(F.col(id_col), F.col("start"))).alias("_keep"),
+        )
+        .where(F.col("_c") > 1)
+        .select("h", "_keep")
+    )
+    victims = (
+        spans.join(dup, "h")
+        .where(
+            ~(
+                (F.col(id_col) == F.col(f"_keep.{id_col}"))
+                & (F.col("start") == F.col("_keep.start"))
+            )
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(span - 1))
+            ).alias("_sidx"),
+        )
+        .distinct()
+    )
+    sent_rows = sents.select(
+        id_col, F.posexplode(F.col("_sents")).alias("_i0", "_sentence")
+    ).select(id_col, (F.col("_i0") + 1).alias("_sidx"), "_sentence")
+    kept = sent_rows.join(victims, [id_col, "_sidx"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_sidx", "_sentence"))
+                ),
+                lambda x: x["_sentence"],
+            ),
+            " ",
+        ).alias("_text"),
+        F.count("*").alias("_nk"),
+    )
+    out = (
+        sents.select(id_col, ns.alias("n_sentences"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+            "n_sentences",
+            (
+                F.col("n_sentences") - F.coalesce(F.col("_nk"), F.lit(0))
+            ).alias("n_removed"),
+        )
+        .unionByName(nulls)
+    )
+    return _materialize_and_release(out, sents)
+
+
 def c4_line_ok(
     line: Column,
     min_words: int = 5,

@@ -297,6 +297,38 @@ def txt_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def td_dedup_sentence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's three-sentence-span deduplication (keep-one, sliding —
+    the published rewrite the tiling and ExactSubstr variants bracket)
+    over a deterministically sentencized fixture: the corpus has no
+    punctuation at any sf, so the query first appends '.' to every
+    7th token (the mm_*-style derive-from-text device, identical
+    expression in both engines) and then runs the REAL operator —
+    the fixture's shared phrases yield 100+ genuinely duplicated
+    grid-aligned spans, so keeper election, sentence deletion, and
+    rebuild are all exercised."""
+    d = read_table(spark, sf_dir, "documents")
+    # stage the split: the index lambda below would otherwise
+    # re-evaluate split() once per position (the no-CSE-in-lambdas rule)
+    staged = d.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+    w = F.col("_w")
+    punctuated = staged.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w)),
+                lambda p: F.when(
+                    p % 7 == 0, F.concat(F.element_at(w, p), F.lit("."))
+                ).otherwise(F.element_at(w, p)),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return textstats.dedup_sentence_spans(
+        punctuated, "doc_id", "text", span=3
+    ).orderBy("doc_id")
+
+
 def td_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite pre-training quality gate (the Gopher-rules shape):
     length window + token-repetition cap + top-bigram cap + composite
@@ -2705,6 +2737,7 @@ SPARK_QUERIES = {
     "txt_length_quantiles": txt_length_quantiles,
     "txt_repetition": txt_repetition,
     "td_gopher_filter": td_gopher_filter,
+    "td_dedup_sentence_spans": td_dedup_sentence_spans,
     "txt_gopher_repetition": txt_gopher_repetition,
     "td_lang_gate": td_lang_gate,
     "td_lang_keep_rate": td_lang_keep_rate,
@@ -5007,6 +5040,85 @@ ORACLE_SQL = {
         ORDER BY doc_id
     """,
     "txt_gopher_repetition": _GOPHER_REPETITION_SQL,
+    # C4 three-sentence-span dedup: sentencize by terminal punctuation
+    # via a running-sum window over word positions (the generic
+    # algorithm, not the 7-grid shortcut — the oracle must check the
+    # operator, not the fixture derivation), spans by LEAD, keeper =
+    # first (doc_id, start) per duplicated hash, victims delete their
+    # sentence positions, docs rebuilt by ordered string_agg
+    "td_dedup_sentence_spans": """
+        WITH raw AS (
+            SELECT doc_id,
+                   array_to_string(
+                       list_transform(
+                           range(1, len(string_split(text, ' ')) + 1),
+                           p -> CASE WHEN p % 7 = 0
+                                THEN string_split(text, ' ')[p] || '.'
+                                ELSE string_split(text, ' ')[p] END),
+                       ' ') AS text
+            FROM documents
+        ), words AS (
+            SELECT doc_id, p, ws[p] AS word
+            FROM (
+                SELECT doc_id, string_split(text, ' ') AS ws,
+                       len(string_split(text, ' ')) AS L
+                FROM raw
+            ), unnest(range(1, L + 1)) t(p)
+        ), flagged AS (
+            SELECT doc_id, p, word,
+                   CASE WHEN substr(word, length(word), 1)
+                             IN ('.', '!', '?', '"')
+                        THEN 1 ELSE 0 END AS term
+            FROM words
+        ), sid AS (
+            SELECT doc_id, p, word,
+                   COALESCE(SUM(term) OVER (
+                       PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS sidx0
+            FROM flagged
+        ), sents AS (
+            SELECT doc_id, sidx0 + 1 AS sidx,
+                   string_agg(word, ' ' ORDER BY p) AS sentence
+            FROM sid GROUP BY doc_id, sidx0
+        ), sp0 AS (
+            SELECT doc_id, sidx AS start,
+                   sentence
+                   || ' ' || LEAD(sentence, 1) OVER w
+                   || ' ' || LEAD(sentence, 2) OVER w AS sp
+            FROM sents
+            WINDOW w AS (PARTITION BY doc_id ORDER BY sidx)
+        ), sp AS (
+            SELECT doc_id, start, md5(sp) AS h,
+                   ROW_NUMBER() OVER (PARTITION BY md5(sp)
+                       ORDER BY doc_id, start) AS rn,
+                   COUNT(*) OVER (PARTITION BY md5(sp)) AS c
+            FROM sp0 WHERE sp IS NOT NULL
+        ), del AS (
+            SELECT DISTINCT doc_id, start + u AS sidx
+            FROM sp, unnest(range(0, 3)) t(u)
+            WHERE c > 1 AND rn > 1
+        ), kept AS (
+            SELECT s.doc_id, s.sidx, s.sentence
+            FROM sents s LEFT JOIN del d
+                 ON s.doc_id = d.doc_id AND s.sidx = d.sidx
+            WHERE d.doc_id IS NULL
+        ), rebuilt AS (
+            SELECT doc_id,
+                   string_agg(sentence, ' ' ORDER BY sidx) AS text,
+                   COUNT(*) AS nk
+            FROM kept GROUP BY doc_id
+        ), ns AS (
+            SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_sentences
+            FROM sents GROUP BY doc_id
+        )
+        SELECT ns.doc_id, COALESCE(r.text, '') AS text,
+               ns.n_sentences,
+               ns.n_sentences - CAST(COALESCE(r.nk, 0) AS INTEGER)
+                   AS n_removed
+        FROM ns LEFT JOIN rebuilt r USING (doc_id)
+        ORDER BY ns.doc_id
+    """,
     "td_lang_gate": _LANG_GATE_SQL
     + """
         SELECT doc_id, source, lang, n_tokens,

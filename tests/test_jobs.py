@@ -1785,3 +1785,30 @@ def test_batch_drift_pools_lang_aware_reference(spark, tmp_path):
     assert d["n_tokens"] == 5
     assert d["n_oov_tokens"] == 0
     assert d["kl_nats"] is not None
+
+
+def test_curate_corpus_sentence_spans_stage(spark):
+    """curate_corpus(sentence_spans=3) must cut the duplicated
+    3-sentence span from the non-keeper doc while both docs survive
+    the pipeline (gate-passing, not near-dups of each other), and
+    other columns ride through the stage's id re-join."""
+    from delta_data_pipelines_spark.jobs.curate_corpus import curate_corpus
+
+    stops = ["the", "of", "and", "to", "a", "in", "is", "it"]
+    shared = "the quick brown fox. it jumped over lazily. a dog slept on."
+    # the unique prefix must END a sentence, or it would merge into the
+    # first shared sentence and the 3-spans would differ between docs
+    uniq_a = " ".join(f"{stops[j % 8]} wa{j}" for j in range(16)) + " enda."
+    uniq_b = " ".join(f"{stops[j % 8]} wb{j}" for j in range(16)) + " endb."
+    docs = spark.createDataFrame(
+        [(1, f"{uniq_a} {shared}", "sa"), (2, f"{uniq_b} {shared}", "sb")],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["source"])
+        for r in curate_corpus(docs, scrub=False, sentence_spans=3).collect()
+    }
+    assert set(out) == {1, 2}
+    assert shared in out[1][0]
+    assert shared not in out[2][0] and out[2][0] == uniq_b
+    assert out[1][1] == "sa" and out[2][1] == "sb"

@@ -2773,3 +2773,63 @@ def test_lang_lm_threshold_cut_scalable_form(spark):
     # lang a: floor = percentile(0.1) = -5 + (-4 - -5)= -4.0; -5 cut,
     # the tie AT the floor (-4.0) kept; lang b single doc survives
     assert kept == [2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12]
+
+
+def test_sentences_round_trip_and_segmentation(spark):
+    """sentences_from_words: terminal-punct segmentation with a
+    trailing-fragment sentence, and the exact round-trip contract
+    (join(sentences, ' ') == original text) including empty tokens
+    from double spaces."""
+    rows = [
+        (1, "a b. c d! e f"),
+        (2, 'x. a b. c "q." z'),
+        (3, "no terminal at all"),
+        (4, "a  b. c"),          # double space -> empty token preserved
+        (5, "."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["s"], r["rt"])
+        for r in df.select(
+            "doc_id",
+            textstats.sentences_from_words(
+                F.split(F.col("text"), " ")
+            ).alias("s"),
+            F.array_join(
+                textstats.sentences_from_words(F.split(F.col("text"), " ")),
+                " ",
+            ).alias("rt"),
+        ).collect()
+    }
+    assert out[1][0] == ["a b.", "c d!", "e f"]
+    assert out[2][0] == ["x.", "a b.", 'c "q."', "z"]
+    assert out[3][0] == ["no terminal at all"]
+    assert out[5][0] == ["."]
+    for i, (s, rt) in out.items():
+        assert rt == rows[i - 1][1], (i, rt)
+
+
+def test_dedup_sentence_spans_keep_one(spark):
+    """C4 span dedup: the minimum-(id, start) occurrence keeps its
+    sentences; every other occurrence of the duplicated 3-sentence
+    span loses exactly those sentences; docs without duplicated spans
+    and NULL rows pass through; a doc that IS one duplicated span
+    empties (callers drop it)."""
+    shared = "s2 b. s3 c. s4 d."
+    rows = [
+        (10, f"s1 a. {shared} s5 e."),
+        (11, f"t1 x. {shared} t5 y."),
+        (12, "u1 q. u2 r."),
+        (13, None),
+        (14, shared),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text"], r["n_sentences"], r["n_removed"])
+        for r in textstats.dedup_sentence_spans(df, span=3).collect()
+    }
+    assert out[10] == (f"s1 a. {shared} s5 e.", 5, 0)   # keeper intact
+    assert out[11] == ("t1 x. t5 y.", 5, 3)
+    assert out[12] == ("u1 q. u2 r.", 2, 0)
+    assert out[13] == (None, 0, 0)
+    assert out[14] == ("", 3, 3)                        # emptied
