@@ -96,11 +96,13 @@ _PRIORITY = [
     # rows-only rows
     "txt_bpe_merges", "txt_compression_ratio",
     # r11 new queries: language-aware curation (per-language gate
-    # thresholds + per-language LM tail cut) and the full Gopher
-    # repetition suite, first driver rows
+    # thresholds + per-language LM tail cut), the full Gopher
+    # repetition suite, and C4 sentence-span dedup — first driver rows
     "td_lang_gate", "td_lang_keep_rate", "txt_gopher_repetition",
     "td_dedup_sentence_spans",
     # stalest x2 rows (green r1+r5 only) — tail seats, first to yield
+    # (with the 4 new queries seated, dd_ngram_jaccard and so_union
+    # fall past seat 50 this round; both stay mirror-checked)
     "j_dim_chain", "dd_exact", "ds_hash_split", "p_filter_project",
     "dd_ngram_jaccard", "so_union",
 ]
