@@ -976,6 +976,7 @@ def dedup_sentence_spans(
     text_col: str = "text",
     span: int = 3,
     terminal: tuple[str, ...] = C4_TERMINAL,
+    materialize: bool = True,
 ) -> DataFrame:
     """C4's sentence-span deduplication (Raffel et al. 2020 §2.2:
     "we discard all but one of any three-sentence span occurring more
@@ -1007,7 +1008,18 @@ def dedup_sentence_spans(
     (the remove_dup_passages / decontamination shape, AQE-skew-safe);
     deletions re-enter by (id, position) anti-join; the sentence table
     is staged once with persist for its two consumers (spans +
-    rebuild)."""
+    rebuild).
+
+    ``materialize=True`` (default) localCheckpoints the INPUT first:
+    it is read under two arms (NULL passthrough + live), and when the
+    text column is itself a derived expression (a mid-pipeline stage,
+    or the td_dedup_sentence_spans fixture derive) Catalyst pushes the
+    live arm's isNotNull down as the fully RE-DERIVED predicate —
+    re-evaluating the derivation per row on the scan side, serially on
+    a one-split file (measured: the pushed punctuation transform alone
+    cost ~3s/5k docs on one task). The checkpoint severs both the
+    double read and the pushdown (the lm_filter_stage precedent);
+    pass False for a fully lazy plan over plain stored columns."""
     if span < 1:
         raise ValueError(f"span must be >= 1, got {span}")
     from pyspark.storagelevel import StorageLevel
@@ -1015,6 +1027,8 @@ def dedup_sentence_spans(
     from .dedup import _materialize_and_release
 
     base = docs.select(id_col, text_col)
+    if materialize:
+        base = base.localCheckpoint(eager=True)
     nulls = base.where(F.col(text_col).isNull()).select(
         id_col,
         F.col(text_col),

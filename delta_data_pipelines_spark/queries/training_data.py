@@ -307,7 +307,9 @@ def td_dedup_sentence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixture's shared phrases yield 100+ genuinely duplicated
     grid-aligned spans, so keeper election, sentence deletion, and
     rebuild are all exercised."""
-    d = read_table(spark, sf_dir, "documents")
+    # _spread: the punctuation derive and the operator's sentencize
+    # fold are per-row expression work off a one-split parquet
+    d = dedup._spread(read_table(spark, sf_dir, "documents"))
     # stage the split: the index lambda below would otherwise
     # re-evaluate split() once per position (the no-CSE-in-lambdas rule)
     staged = d.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
