@@ -21,13 +21,17 @@ signals (``operators.textstats``) into that shape:
   frequency table — never a driver count, never a cross join of the
   corpus).
 - :func:`lang_lm_tail_cut` — drop each language's worst ``tail``
-  fraction by mean log-prob (the CCNet tail bucket), deterministic
-  via a doc-id tiebreak.
+  fraction by mean log-prob (the CCNet tail bucket), exact-rank form,
+  deterministic via a doc-id tiebreak (bounded reports; this is what
+  the oracle checks).
+- :func:`lang_lm_threshold_cut` — the corpus-scale form of the same
+  cut: per-language percentile floor (partial-agg over a 3-dp
+  quantized score, broadcast back), never a per-language window sort.
 
 Scale shape: the gate is map-only + one broadcast; the LM is one
-(lang, token) partial-agg shuffle over the exploded corpus plus one
-per-language window over doc-level rows. Both survive 100× — the
-threshold table is O(languages), the frequency table O(vocabulary).
+(lang, token) partial-agg shuffle over the exploded corpus. The
+threshold table is O(languages), the frequency table O(vocabulary);
+the curation-path cut (threshold form) adds one bounded aggregate.
 """
 from __future__ import annotations
 
