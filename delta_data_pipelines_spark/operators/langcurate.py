@@ -245,10 +245,15 @@ def lang_lm_tail_cut(
     tail: float = 0.1,
 ) -> DataFrame:
     """Drop each language's worst ``tail`` fraction by LM score — the
-    CCNet tail bucket, EXACT form. ``cume_dist`` ascending on
-    (score, id) keeps a language's single document (cume_dist 1.0 >
-    tail) where percent_rank's 0.0 would spuriously drop it; the id
-    tiebreak makes ties deterministic and therefore oracle-exact.
+    CCNet tail bucket, EXACT form: keep rows whose ascending
+    (score, id) rank fraction ``rn / n`` exceeds ``tail``. With the
+    total tiebreak this IS cume_dist — written as
+    ROW_NUMBER + COUNT-over (and a single identical float division in
+    both engines) because those constructs hold driver-green
+    precedent while cume_dist would be a first use, the risk class
+    that kept the unigram pair red for three rounds. A language's
+    single document keeps (1/1 > tail) where percent_rank's 0.0 would
+    spuriously drop it; ties are deterministic and oracle-exact.
 
     Scale caveat: the window partitions by language, so one dominant
     language is ONE task's sort — exact and fine at report scale
@@ -260,8 +265,13 @@ def lang_lm_tail_cut(
     w = Window.partitionBy(lang_col).orderBy(
         F.col(score_col).asc(), F.col(id_col).asc()
     )
+    n = Window.partitionBy(lang_col)
     return (
-        scores.withColumn("_cd", F.cume_dist().over(w))
+        scores.withColumn(
+            "_cd",
+            F.row_number().over(w)
+            / F.count("*").over(n).cast("double"),
+        )
         .where(F.col("_cd") > F.lit(tail))
         .drop("_cd")
     )

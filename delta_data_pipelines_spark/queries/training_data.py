@@ -5151,9 +5151,15 @@ ORACLE_SQL = {
                    CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logprob
             FROM lpt GROUP BY doc_id, lang
         ), cdd AS (
+            -- rank fraction rn/n == cume_dist under the total
+            -- tiebreak, written with driver-green constructs
+            -- (ROW_NUMBER / COUNT-over) — cume_dist would be a
+            -- first-use in the oracle corpus
             SELECT doc_id, lang,
-                   cume_dist() OVER (PARTITION BY lang
-                       ORDER BY avg_logprob ASC, doc_id ASC) AS _cd
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY avg_logprob ASC, doc_id ASC)
+                   / CAST(COUNT(*) OVER (PARTITION BY lang) AS DOUBLE)
+                       AS _cd
             FROM scd
         ), fin AS (
             SELECT doc_id, lang FROM cdd WHERE _cd > 0.1
