@@ -5060,12 +5060,18 @@ ORACLE_SQL = {
                        ' ') AS text
             FROM documents
         ), words AS (
+            -- SELECT-list unnest (the driver-green posl shape), never
+            -- a FROM-clause lateral — LATERAL was the construct class
+            -- purged from the unigram oracle after 3 red rounds
             SELECT doc_id, p, ws[p] AS word
             FROM (
-                SELECT doc_id, string_split(text, ' ') AS ws,
-                       len(string_split(text, ' ')) AS L
-                FROM raw
-            ), unnest(range(1, L + 1)) t(p)
+                SELECT doc_id, ws, unnest(range(1, L + 1)) AS p
+                FROM (
+                    SELECT doc_id, string_split(text, ' ') AS ws,
+                           len(string_split(text, ' ')) AS L
+                    FROM raw
+                )
+            )
         ), flagged AS (
             SELECT doc_id, p, word,
                    CASE WHEN substr(word, length(word), 1)
@@ -5098,8 +5104,10 @@ ORACLE_SQL = {
             FROM sp0 WHERE sp IS NOT NULL
         ), del AS (
             SELECT DISTINCT doc_id, start + u AS sidx
-            FROM sp, unnest(range(0, 3)) t(u)
-            WHERE c > 1 AND rn > 1
+            FROM (
+                SELECT doc_id, start, unnest(range(0, 3)) AS u
+                FROM sp WHERE c > 1 AND rn > 1
+            )
         ), kept AS (
             SELECT s.doc_id, s.sidx, s.sentence
             FROM sents s LEFT JOIN del d
