@@ -242,6 +242,17 @@ def lang_quality_gate(
     so the job's cut cannot drift from what the oracle checks."""
     t = F.col(text_col)
     routed = lang_col or "lang_routed"
+    if lang_col is None and "lang_routed" in docs.columns:
+        # withColumn would silently OVERWRITE a pre-existing routing
+        # (e.g. an external classifier's labels) with the heuristic
+        # prediction — mirror join_thresholds' clash guard and make
+        # the caller choose: pass lang_col="lang_routed" to route on
+        # the existing column, or rename it away first.
+        raise ValueError(
+            "input already has a 'lang_routed' column; pass "
+            "lang_col='lang_routed' to route on it, or rename it "
+            "before gating"
+        )
     base = docs if lang_col else docs.withColumn(routed, lang_id(t))
     sig = (
         base.withColumn("_ntok", token_count_ws(t))

@@ -49,6 +49,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import langcurate as langcurate_mod
 from ..operators.dedup import shingles
 from ..storage import JsonMetaStore, VersionedTable
 from .curate_corpus import lang_quality_gate, quality_gate, scrub_stage
@@ -309,12 +310,19 @@ def fit_reference_model(
                 "lang_aware": True,
                 "lang_col": lang_col,
                 # JSON round-trips tuples as lists; curate_batch
-                # converts back
-                "lang_gates": (
-                    {k: list(v) for k, v in lang_gates.items()}
-                    if lang_gates
-                    else None
-                ),
+                # converts back. The EFFECTIVE gates are resolved HERE
+                # (lang_gates or the package defaults) and frozen into
+                # meta: storing None and re-resolving DEFAULT_LANG_GATES
+                # at apply time would let a later edit to the defaults
+                # silently change a frozen model's thresholds between
+                # fit and apply.
+                "lang_gates": {
+                    k: list(v)
+                    for k, v in (
+                        lang_gates
+                        or langcurate_mod.DEFAULT_LANG_GATES
+                    ).items()
+                },
                 "lang_totals": lang_totals,
                 "lang_thresholds": lang_thresholds,
             }

@@ -17,8 +17,9 @@ signals (``operators.textstats``) into that shape:
   table, one WHERE. No shuffle beyond the broadcast.
 - :func:`lang_lm_scores` — per-language unigram log-prob (the corpus
   LM is fit WITHIN each language: token frequencies grouped by
-  (lang, token), totals per language via a window over the small
-  frequency table — never a driver count, never a cross join of the
+  (lang, token), totals per language via a grouped partial aggregate
+  broadcast back onto the frequency table — never a per-language
+  window sort, never a driver count, never a cross join of the
   corpus).
 - :func:`lang_lm_tail_cut` — drop each language's worst ``tail``
   fraction by mean log-prob (the CCNet tail bucket), exact-rank form,
@@ -44,6 +45,10 @@ from . import textstats
 # The non-English rows relax the quality floor (its stopword component
 # is English-only) and zh relaxes the token window (whitespace tokens
 # under-count CJK). 'default' covers 'und' and any unlisted language.
+# zh is reachable via the heuristic router: marker_score falls back to
+# marker-CHAR counting for space-free scripts (unsegmented Chinese
+# never matches whole whitespace tokens), so zh routing does not
+# require an external lang label.
 DEFAULT_LANG_GATES: dict[str, tuple[int, int, float, float, float]] = {
     "en": (10, 10000, 0.55, 0.20, 0.40),
     "es": (10, 10000, 0.60, 0.25, 0.30),
@@ -207,19 +212,25 @@ def lang_lm_scores(
     at 6 dp the ~1e-15 ulp leaves no flip room against the 5e-7 half
     boundary. DECIMAL sum (associative), one final float division.
 
-    The frequency table is grouped by (lang, token) and each
-    language's total rides on a window over that small table, so no
-    language's model sees another's tokens and nothing touches the
-    driver. Output: (id, lang, n_tokens, avg_logprob)."""
+    The frequency table is grouped by (lang, token); each language's
+    total is a ``groupBy(lang)`` partial aggregate broadcast back onto
+    the frequency table — an O(languages) table, the frozen-model
+    shape (``jobs/incremental_curate.py``). A window partitioned by
+    language would put one web-scale language's whole vocabulary
+    (1e8+ distinct tokens at 100 TB) through a single task's sort;
+    the grouped sum is map-side-combined and the join is a broadcast,
+    so no task ever holds a language's vocabulary. Sums are identical
+    either way, so scores (and the td_lang_keep_rate oracle hash) are
+    unchanged. No language's model sees another's tokens and nothing
+    touches the driver. Output: (id, lang, n_tokens, avg_logprob)."""
     toks = df.select(
         id_col,
         F.col(lang_col).alias("_lang"),
         F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
     )
     freq = toks.groupBy("_lang", "_tok").agg(F.count("*").alias("_tf"))
-    totals = freq.withColumn(
-        "_total", F.sum("_tf").over(Window.partitionBy("_lang"))
-    )
+    lang_totals = freq.groupBy("_lang").agg(F.sum("_tf").alias("_total"))
+    totals = freq.join(F.broadcast(lang_totals), "_lang")
     return (
         toks.join(totals, ["_lang", "_tok"])
         .withColumn(

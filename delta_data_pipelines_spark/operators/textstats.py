@@ -28,8 +28,31 @@ def _words(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def _space_free_markers(markers: tuple[str, ...]) -> bool:
+    """True when every marker is a single non-ASCII char — the
+    space-free-script marker shape (zh)."""
+    return all(len(m) == 1 and ord(m) > 127 for m in markers)
+
+
 def marker_score(text: Column, markers: tuple[str, ...]) -> Column:
-    """Occurrences (not distinct) of marker words among tokens."""
+    """Occurrences (not distinct) of marker words among tokens.
+
+    Space-free scripts (zh: every marker a single CJK char) never
+    match whole whitespace tokens — real Chinese text is unsegmented,
+    so the token filter scores 0 and routing lands on 'und'. For that
+    marker shape the score falls back to counting marker-CHAR
+    occurrences in the raw text (length delta under per-char
+    replace), making the zh row of the per-language gate reachable
+    without an external lang label. Mirrored in the generated oracle
+    fragments (queries/training_data.py _LANGID_SCORES_SQL) from the
+    same constants."""
+    if _space_free_markers(markers):
+        total = F.lit(0)
+        for m in markers:
+            total = total + (
+                F.length(text) - F.length(F.replace(text, F.lit(m), F.lit("")))
+            )
+        return total
     return F.size(F.filter(_words(text), lambda w: w.isin(*markers)))
 
 

@@ -399,7 +399,17 @@ def td_lang_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept set, and both LM passes all read the staged rows instead of
     re-deriving the signals per consumer; the scan is _spread() so the
     signal folds parallelize off a one-split parquet (no-op at
-    scale)."""
+    scale).
+
+    Boundary caveat: this audit's tail cut is the EXACT rank-fraction
+    form (``lang_lm_tail_cut``: strict ``rn/n > tail``, boundary ties
+    dropped), while the curation job's corpus-scale path
+    (``curate_corpus(lang_aware=True, lm_drop_fraction=...)`` →
+    ``lang_lm_threshold_cut``) keeps rows ``>=`` a quantized
+    percentile floor, ties kept — so ``final_keep_rate`` can differ
+    from the production run by the documents sitting exactly on a
+    language's decile boundary. Read the funnel as the exact-rank
+    audit, not a replay of the job."""
     from pyspark.storagelevel import StorageLevel
 
     d = dedup._spread(read_table(spark, sf_dir, "documents"))
@@ -3362,10 +3372,26 @@ _GOPHER_REPETITION_SQL = (
 # langcurate.DEFAULT_LANG_GATES), so marker lists and thresholds
 # cannot drift between engines (the shared-DP-constant discipline).
 _LANGID_LANGS = list(textstats.LANG_MARKERS)
+
+
+def _marker_score_sql(markers: tuple[str, ...]) -> str:
+    """DuckDB twin of textstats.marker_score: token filter for word
+    markers, per-char replace-length-delta for space-free scripts
+    (same branch predicate as the Spark side)."""
+    if textstats._space_free_markers(markers):
+        return " + ".join(
+            f"(length(text) - length(replace(text, '{m}', '')))"
+            for m in markers
+        )
+    return (
+        "len(list_filter(w, x -> x IN ("
+        + ", ".join(f"'{m}'" for m in markers)
+        + ")))"
+    )
+
+
 _LANGID_SCORES_SQL = ",\n                ".join(
-    "len(list_filter(w, x -> x IN ("
-    + ", ".join(f"'{m}'" for m in markers)
-    + f"))) AS s_{lang}"
+    f"{_marker_score_sql(markers)} AS s_{lang}"
     for lang, markers in textstats.LANG_MARKERS.items()
 )
 _LANGID_CASE_SQL = (
@@ -3461,29 +3487,18 @@ ORACLE_SQL = {
             WHEN 'src2' THEN 0.25
             ELSE 0.1 END
     """,
-    "txt_langid_confusion": """
+    # generated from the SAME fragments as _LANG_GATE_SQL (markers,
+    # argmax tie order, the zh substring fallback) — previously a
+    # hand-written twin, the one lang-id oracle that could drift
+    "txt_langid_confusion": f"""
         WITH base AS (
-            SELECT lang AS gold, string_split(text, ' ') AS w FROM documents
+            SELECT lang AS gold, text, string_split(text, ' ') AS w
+            FROM documents
         ), scores AS (
-            SELECT gold,
-                len(list_filter(w, x -> x IN ('the','a','of','and','to'))) AS s_en,
-                len(list_filter(w, x -> x IN ('el','la','de','que','y'))) AS s_es,
-                len(list_filter(w, x -> x IN ('der','die','und','das','ist'))) AS s_de,
-                len(list_filter(w, x -> x IN ('le','la','et','les','des'))) AS s_fr,
-                len(list_filter(w, x -> x IN ('的','是','了','在','我'))) AS s_zh
+            SELECT gold, {_LANGID_SCORES_SQL}
             FROM base
         ), pred AS (
-            SELECT gold,
-                CASE
-                    WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de
-                         AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-                    WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr
-                         AND s_es >= s_zh THEN 'es'
-                    WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-                    WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
-                    WHEN s_zh > 0 THEN 'zh'
-                    ELSE 'und'
-                END AS pred
+            SELECT gold, {_LANGID_CASE_SQL} AS pred
             FROM scores
         ), cells AS (
             SELECT gold, pred, COUNT(*) AS n FROM pred GROUP BY gold, pred

@@ -1743,6 +1743,19 @@ def test_frozen_lang_aware_model_fit_and_serve(spark, tmp_path):
     again = {r["doc_id"] for r in curate_batch(batch, model).collect()}
     assert again == kept
 
+    # frozen-gates invariant: lang_gates=None must be RESOLVED at fit
+    # time (the effective defaults stored in meta), never stored as
+    # None and re-resolved at apply time — a later edit to
+    # DEFAULT_LANG_GATES would otherwise silently change a frozen
+    # model's thresholds between fit and apply
+    from delta_data_pipelines_spark.operators.langcurate import (
+        DEFAULT_LANG_GATES,
+    )
+
+    assert meta["lang_gates"] == {
+        k: list(v) for k, v in DEFAULT_LANG_GATES.items()
+    }
+
 
 def test_batch_drift_pools_lang_aware_reference(spark, tmp_path):
     """On a lang-aware model the drift alarm must measure against the

@@ -2670,6 +2670,52 @@ def test_lang_gate_routes_thresholds_per_language(spark):
         langcurate.lang_gate(df, "doc_id", "text", gates={"en": (1, 9, 1, 1, 0)})
 
 
+def test_lang_id_routes_unsegmented_chinese(spark):
+    """Unsegmented Chinese (no ASCII spaces) never matches whole
+    whitespace tokens, so the token-filter score is 0 — the substring
+    fallback for space-free marker sets must still route it to zh
+    (previously it landed on 'und' and the relaxed zh gate row was
+    unreachable without an external label). An English doc stays en
+    (no CJK chars → zh score 0), and the zh marker chars embedded in
+    an ASCII-spaced English sentence don't flip it when English
+    markers dominate."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.operators import textstats
+
+    zh_text = "我是学生的朋友了在北京我的老师是好人了" * 2
+    en_text = "the cat sat of the mat and went to a house"
+    df = spark.createDataFrame(
+        [(1, zh_text), (2, en_text)], "doc_id long, text string"
+    )
+    preds = {
+        r["doc_id"]: r["pred"]
+        for r in df.select(
+            "doc_id", textstats.lang_id(F.col("text")).alias("pred")
+        ).collect()
+    }
+    assert preds == {1: "zh", 2: "en"}
+
+
+def test_lang_quality_gate_rejects_routed_clash(spark):
+    """lang_quality_gate with lang_col=None must refuse an input that
+    already carries a 'lang_routed' column (withColumn would silently
+    overwrite an external classifier's labels with the heuristic);
+    passing lang_col='lang_routed' routes on the existing column."""
+    from delta_data_pipelines_spark.jobs.curate_corpus import (
+        lang_quality_gate,
+    )
+
+    es_text = "el la de que y " * 4 + "casa perro gato sol luna mar"
+    df = spark.createDataFrame(
+        [(1, es_text, "es")], "doc_id long, text string, lang_routed string"
+    )
+    with pytest.raises(ValueError, match="lang_routed"):
+        lang_quality_gate(df, "text")
+    kept = lang_quality_gate(df, "text", lang_col="lang_routed").collect()
+    assert [r["doc_id"] for r in kept] == [1]
+
+
 def test_lang_lm_scores_isolate_languages(spark):
     """The LM is fit WITHIN each language: a token common in lang A
     and rare in lang B must score differently per language, and a

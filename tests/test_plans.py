@@ -656,3 +656,32 @@ def test_lang_gate_broadcast_thresholds_no_shuffle(spark, registry):
     assert "CartesianProduct" not in report, report
     assert "EvalPython" not in report, report
     assert "partial_count" in report, report
+
+
+def test_lang_lm_scores_no_window_over_vocab(spark):
+    """lang_lm_scores: per-language totals must come from a grouped
+    partial aggregate broadcast back onto the (lang, token) frequency
+    table — NEVER a Window partitioned by language, which would sort
+    one web-scale language's entire vocabulary (1e8+ distinct tokens
+    at 100 TB) in a single task. The window form produced identical
+    sums (td_lang_keep_rate's hash was unchanged by the rewrite) but
+    cannot survive the scale-up; this pin keeps the grouped shape."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.operators import langcurate
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn("lang", F.lit("en"))
+    )
+    scores = langcurate.lang_lm_scores(docs, "doc_id", "text")
+    qe = scores._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = str(qe.explainString(mode))
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # partial sum for the per-language totals (map-side combine)
+    assert "partial_sum" in plan, plan
