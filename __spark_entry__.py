@@ -54,57 +54,44 @@ def _modules():
 # green in CORRECTNESS_r01.json) and keep running in the local mirror
 # (tools/check.py), which checks all of them.
 _PRIORITY = [
-    # r11 window (VERDICT r10 ask #4): keep the flagship 3 + the
-    # unigram pair (their values CHANGED again this round — all-BIGINT
-    # outputs, de-LATERALed oracle DP — so prior reds/greens don't
-    # carry) + the four r10 first-row greens for their second rounds
-    # (td_pack_bins' values also changed: the walk is now true
-    # best-fit-decreasing). Rotate OUT every row holding >=2 green
-    # driver rounds on unchanged code (the r8 first-row batch at x3,
-    # mm_phash_dedup / dd_exact_substring(+spans) /
-    # sim_ivf_recall_curve at x2, the DSIR/classifier family — all
-    # still mirror-checked every round by tools/check.py). Rotate IN:
-    # every remaining x1 veteran (31 — mostly the r1-green relational/
-    # scalar core that has never held a second row), the two rows-only
-    # queries for their first driver rows-only rows (txt_bpe_merges,
-    # txt_compression_ratio), and the stalest x2 rows (greens r1+r5)
-    # to fill the tail — those tail seats yield first to any new r11
-    # queries.
+    # r12 window (VERDICT r11 ask #3): every oracle-able query now has
+    # a green driver row, so rotation is pure aging — keep the
+    # flagship 3; keep the unigram pair (second CONSECUTIVE green
+    # proves the r11 fix stable across driver DuckDB versions); keep
+    # the four r11 first-rows for their second rounds; re-seat
+    # dd_ngram_jaccard + so_union (yielded their seats to the r11
+    # queries); fill the remaining 39 seats with the stalest x2
+    # veterans by LAST-GREEN round per the ledger — the 7 last green
+    # in r5 (the mm_* family, dd_embedding, ds_det_sample,
+    # txt_length_quantiles) and the 32 last green in r7 (the tpch
+    # tail, the temporal/t_* family, the r5-era text signals —
+    # txt_langid_confusion also re-proves its regenerated
+    # shared-fragment oracle). Everything rotated out holds >=2
+    # greens on unchanged code and stays mirror-checked every round
+    # by tools/check.py. Tail seats yield first to new r12 queries.
     # flagship
     "search_index_full", "search_index_incremental", "search_index_fetch_by_id",
-    # unigram pair: red r8-r10 on hash only; r11 removes the last two
-    # version-sensitive oracle surfaces (DECIMAL cast, LATERAL-in-
-    # recursion) — these rows are the round's primary signal
+    # unigram pair, second consecutive green
     "txt_unigram_encode", "txt_unigram_encode_words",
-    # r10 first-row greens, second rounds
-    "txt_c4_clean", "f_url_blocklist", "txt_main_content", "td_pack_bins",
-    # x1 veterans: r1-green core, never re-seen since
-    "a_count_distinct", "a_distinct", "a_dup_ratio", "a_eav_pivot",
-    "a_grouping_sets", "a_min_agg",
-    "d_anti_join", "d_exact_dedup", "d_semi_join",
-    "m_melt_eav", "m_rename_reorder", "m_unpivot",
-    "p_na_clean", "p_null_membership",
-    "so_except", "txt_enum_lookup",
-    "w_batch_ids", "w_first_match", "w_positional_zip",
-    "w_row_number_seq", "w_sort_limit",
-    # x1 veterans: r7/r8 singles
-    "ds_group_sample", "ds_token_budget_mix", "ds_weighted_sample",
-    "sim_range_search", "sk_binned_quantiles", "t_ohlc_bars",
-    "t_subseq_search", "t_windowed_topk", "td_ngram_contamination",
-    "w_percent_rank_scalable",
-    # rows-only queries (no oracle twin by design): first driver
-    # rows-only rows
-    "txt_bpe_merges", "txt_compression_ratio",
-    # r11 new queries: language-aware curation (per-language gate
-    # thresholds + per-language LM tail cut), the full Gopher
-    # repetition suite, and C4 sentence-span dedup — first driver rows
+    # r11 first-rows, second rounds
     "td_lang_gate", "td_lang_keep_rate", "txt_gopher_repetition",
     "td_dedup_sentence_spans",
-    # stalest x2 rows (green r1+r5 only) — tail seats, first to yield
-    # (with the 4 new queries seated, dd_ngram_jaccard and so_union
-    # fall past seat 50 this round; both stay mirror-checked)
-    "j_dim_chain", "dd_exact", "ds_hash_split", "p_filter_project",
+    # re-seated after yielding to the r11 queries
     "dd_ngram_jaccard", "so_union",
+    # stalest x2 veterans: last green r5
+    "dd_embedding", "ds_det_sample", "mm_features", "mm_frames",
+    "mm_meta", "mm_resize", "txt_length_quantiles",
+    # stalest x2 veterans: last green r7
+    "a_histogram", "ds_stratified_sample", "ds_temperature_mix",
+    "sim_kmeans", "sim_semantic_dedup_audit", "sk_kmv_distinct",
+    "so_intersect", "t_funnel_stages", "t_gap_fill",
+    "t_retention_cohorts", "t_rolling_stats", "t_scd2_intervals",
+    "td_decontaminate", "td_dup_weights", "td_gopher_filter",
+    "td_length_balance", "tpch_q11", "tpch_q15", "tpch_q17",
+    "tpch_q20", "tpch_q21", "tpch_q7", "tpch_q8", "tpch_q9",
+    "txt_bm25_topk", "txt_boilerplate", "txt_langid_confusion",
+    "txt_pii_scrub", "txt_repetition", "txt_tfidf_top_term",
+    "txt_unigram_logprob", "txt_vocab_topk",
 ]
 
 

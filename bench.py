@@ -5,7 +5,15 @@ Prints ONE JSON line (compact — medians + calibration only, sized to
 survive the driver's tail-of-stdout artifact capture whole):
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": 0.1, "runs": 3,
-     "calibration": {"probe": ..., "start": s, "end": s}}
+     "calibration": {"probe": ..., "start": s, "end": s,
+                     "start_unstable": bool, "start_samples": n,
+                     "loadavg": [start_1min, end_1min], ...}}
+
+The START is load-gated (r11 lesson: the driver record opened at 3x
+the idle probe floor and 16 run-order-front queries printed as false
+regressions): the calibration probe re-runs until two consecutive
+samples agree within 1.3x (bounded at 6), else ``start_unstable``
+is set and readers should lean on spread_ratio_med / remeasure.
 
 Per-query [min, max] spreads land in the ``bench_spread.json`` sidecar
 next to this file (r8 lesson: the spread dict for ~50 queries pushed
@@ -151,7 +159,46 @@ HEADLINE = [
     # applyInPandas BFD walk)
     "txt_main_content",
     "td_pack_bins",
+    # r11 shelf, promoted: the per-language curation funnel, the
+    # Gopher repetition suite, and C4 sentence-span dedup
+    "td_lang_keep_rate",
+    "txt_gopher_repetition",
+    "td_dedup_sentence_spans",
 ]
+
+# RETIRED from the driver headline loop (r11 verdict ask #7): a query
+# retires once it holds TWO stable driver baselines on unchanged code
+# (its noise band is known) AND its plan family stays represented by
+# an in-loop sibling. Retirees still run in the FULL sweep
+# (SPARK_GRAFT_BENCH_FULL=1 — the weekly cadence) and stay
+# correctness-checked every round by tools/check.py; retirement only
+# moves them out of the per-round driver record so the headline loop
+# stays <= ~50 entries and per-query medians stay readable. A retiree
+# whose code changes MUST un-retire onto the shelf for re-baselining.
+RETIRED: list[str] = [
+    # scalar/text expression throughput — txt_gopher_repetition (the
+    # heaviest pure-expression pass) and txt_bm25_topk remain in-loop
+    "f_string_ops",
+    "txt_profile",
+    "txt_vocab_topk",
+    "txt_pii_scrub",
+    # temporal family — t_asof_join and t_event_pagerank remain
+    "t_ohlc_bars",
+    "t_funnel_stages",
+    # streaming twins — st_interval_join remains
+    "st_windowed_counts",
+    # sketch family — sk_heavy_hitters and sk_source_overlap remain
+    "sk_kmv_distinct",
+    # mixing/sampling — td_curriculum_order and td_global_shuffle's
+    # range-rank shape is shared with w_*_scalable (in-loop)
+    "ds_interleave",
+    "td_global_shuffle",
+    # ANN — sim_ivf_topk/sim_*_serve remain; the brute baseline and
+    # the 2-round Lloyd fit have been flat since r6
+    "sim_brute_topk",
+    "sim_kmeans",
+]
+HEADLINE = [q for q in HEADLINE if q not in RETIRED]
 
 # Rotating NEW-ENTRY SHELF (r9 verdict ask #7): entries added THIS
 # round, baselined once here and promoted into HEADLINE's stable core
@@ -162,21 +209,11 @@ HEADLINE = [
 # busiest machine state. The bench output line carries the shelf list
 # (short by construction) so the NEXT round's compare knows what to
 # exclude without needing this source file.
-SHELF: list[str] = [
-    # r11: per-language curation funnel — the gate's broadcast
-    # threshold join + the per-language unigram-LM fit (one
-    # (lang, token) partial-agg shuffle) + the per-language
-    # cume_dist tail cut; a grouped-LM plan shape nothing else runs
-    "td_lang_keep_rate",
-    # r11: the Gopher repetition suite — five per-row array folds
-    # (two struct sorts + interval unions) in one map-only pass; the
-    # heaviest pure-expression projection in the registry
-    "txt_gopher_repetition",
-    # r11: C4 three-sentence-span dedup — sentencize fold + span-hash
-    # partial-agg + keeper election + anti-join rebuild
-    "td_dedup_sentence_spans",
-]
+SHELF: list[str] = []
 HEADLINE = HEADLINE + SHELF
+if os.environ.get("SPARK_GRAFT_BENCH_FULL"):
+    # weekly full sweep: retirees re-measured alongside the loop
+    HEADLINE = HEADLINE + RETIRED
 
 
 def _reset_session_state(spark) -> None:
@@ -237,6 +274,32 @@ def _calibration_probe(spark) -> float:
     return round(statistics.median([run() for _ in range(3)]), 3)
 
 
+def _stable_start_probe(spark) -> tuple[float, bool, int]:
+    """Load-gate the bench START: re-run the calibration probe until
+    two CONSECUTIVE samples agree within 1.3x, so the headline loop
+    never starts into transient machine contention.
+
+    The r11 driver record opened with a start probe at 3x the idle
+    floor (front-loaded box load from the round's own verify work);
+    the first 15 run-order queries printed as false regressions and
+    the round's one driver-captured artifact was unreadable raw.
+    Bounded retries (the gate must not hang a genuinely busy box):
+    after 6 samples without two stable consecutive readings, proceed
+    anyway and mark ``start_unstable`` true so readers know to lean
+    on spread_ratio_med / tools/remeasure.py instead of the medians.
+
+    Returns (final probe value, unstable flag, samples taken)."""
+    samples = [_calibration_probe(spark)]
+    for _ in range(5):
+        prev = samples[-1]
+        time.sleep(1.0)  # let a transient spike decay between samples
+        cur = _calibration_probe(spark)
+        samples.append(cur)
+        if max(prev, cur) / max(min(prev, cur), 1e-9) < 1.3:
+            return cur, False, len(samples)
+    return samples[-1], True, len(samples)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -279,7 +342,8 @@ def main() -> int:
         except Exception:
             pass
 
-    calib_start = _calibration_probe(spark)
+    load_start = os.getloadavg()
+    calib_start, start_unstable, start_samples = _stable_start_probe(spark)
 
     for name in HEADLINE:
         fn = registry.get(name)
@@ -304,6 +368,7 @@ def main() -> int:
         _reset_session_state(spark)
 
     calib_end = _calibration_probe(spark)
+    load_end = os.getloadavg()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # fixed-cost synthetic probe at bench start/end; compare across
@@ -320,6 +385,12 @@ def main() -> int:
         "probe": "range50M_sum",
         "start": calib_start,
         "end": calib_end,
+        "start_unstable": start_unstable,
+        "start_samples": start_samples,
+        # 1-min loadavg at bench start/end (start is PRE-gate, so a
+        # high value here with start_unstable=false means the gate
+        # absorbed the spike before the headline loop began)
+        "loadavg": [round(load_start[0], 2), round(load_end[0], 2)],
         "spread_ratio_med": (
             round(ratios[len(ratios) // 2], 3) if ratios else None
         ),
@@ -337,6 +408,7 @@ def main() -> int:
         "queries": timings,
         "spread": spread,
         "shelf": shelf_present,
+        "retired": RETIRED,
         "calibration": calibration,
     }
     here = os.path.dirname(os.path.abspath(__file__))

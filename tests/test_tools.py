@@ -124,3 +124,43 @@ def test_real_driver_records_r9_r10(tmp_path):
     assert out["noisy"] is True
     assert "runs" not in out["regressions"]
     assert "spread_ratio_med" not in out["regressions"]
+
+
+def test_registry_md_not_stale():
+    """The committed REGISTRY.md must have been regenerated AFTER the
+    newest driver CORRECTNESS round and its machine-readable totals
+    must match a fresh recount from the live registry + CORRECTNESS
+    files — the r11 staleness (inventory generated pre-run, showing
+    177 green where the driver had just recorded 183) fails loudly
+    here instead of shipping a wrong inventory."""
+    import re
+
+    root = Path(__file__).resolve().parents[1]
+    reg_md = root / "REGISTRY.md"
+    assert reg_md.exists(), "REGISTRY.md missing — run tools/inventory.py"
+    m = re.search(
+        r"<!-- totals: queries=(\d+) oracles=(\d+) green_ever=(\d+) "
+        r"through_round=(\d+) -->",
+        reg_md.read_text(),
+    )
+    assert m, "REGISTRY.md lacks the totals comment — regenerate"
+    queries, oracles, green_ever, through = map(int, m.groups())
+
+    import sys
+
+    sys.path.insert(0, str(root))
+    sys.path.insert(0, str(root / "tools"))
+    import __spark_entry__ as entry
+    from inventory import current_round, driver_history
+
+    assert through == current_round() - 1, (
+        f"REGISTRY.md generated through r{through} but driver history "
+        f"extends to r{current_round() - 1} — rerun tools/inventory.py"
+    )
+    reg = entry.queries()
+    hist = driver_history()
+    assert queries == len(reg)
+    assert oracles == sum(1 for k in reg if k in entry.oracle_sql())
+    assert green_ever == sum(
+        1 for q in reg if any(ok for _, ok in hist.get(q, []))
+    )

@@ -132,8 +132,20 @@ def main() -> int:
         and q not in window
     )
 
+    n_green_ever = sum(
+        1 for q in registry if any(ok for _, ok in hist.get(q, []))
+    )
+    through = current_round() - 1
     lines = [
         "# REGISTRY — query inventory",
+        "",
+        # machine-readable totals: tests/test_tools.py recomputes these
+        # from the CORRECTNESS files + live registry and fails loudly
+        # when the committed REGISTRY.md predates the newest driver
+        # round (the r11 staleness: generated pre-run, showed 177)
+        f"<!-- totals: queries={len(registry)} "
+        f"oracles={sum(1 for k in registry if k in oracles)} "
+        f"green_ever={n_green_ever} through_round={through} -->",
         "",
         "Generated by `tools/inventory.py`. One row per "
         "`__spark_entry__.queries()` entry; `oracle` = has a DuckDB SQL "
@@ -147,8 +159,8 @@ def main() -> int:
         f"Totals: {len(registry)} queries, "
         f"{sum(1 for k in registry if k in oracles)} with oracle twins, "
         f"{len(window)} in the driver window, "
-        f"{sum(1 for q in registry if any(ok for _, ok in hist.get(q, [])))} "
-        "with at least one green driver row.",
+        f"{n_green_ever} with at least one green driver row "
+        f"(driver history through round {through}).",
         "",
     ]
     if gaps:
