@@ -81,6 +81,9 @@ _PRIORITY = [
     # stalest x2 veterans: last green r5
     "dd_embedding", "ds_det_sample", "mm_features", "mm_frames",
     "mm_meta", "mm_resize", "txt_length_quantiles",
+    # r12 new query: Gopher line-granularity duplicate signals —
+    # first driver row (takes the tail seat txt_vocab_topk yielded)
+    "txt_gopher_lines",
     # stalest x2 veterans: last green r7
     "a_histogram", "ds_stratified_sample", "ds_temperature_mix",
     "sim_kmeans", "sim_semantic_dedup_audit", "sk_kmv_distinct",
@@ -91,7 +94,9 @@ _PRIORITY = [
     "tpch_q20", "tpch_q21", "tpch_q7", "tpch_q8", "tpch_q9",
     "txt_bm25_topk", "txt_boilerplate", "txt_langid_confusion",
     "txt_pii_scrub", "txt_repetition", "txt_tfidf_top_term",
-    "txt_unigram_logprob", "txt_vocab_topk",
+    "txt_unigram_logprob",
+    # txt_vocab_topk (x2, last green r7) yielded its seat to
+    # txt_gopher_lines; next-stalest in line for r13
 ]
 
 

@@ -209,7 +209,12 @@ HEADLINE = [q for q in HEADLINE if q not in RETIRED]
 # busiest machine state. The bench output line carries the shelf list
 # (short by construction) so the NEXT round's compare knows what to
 # exclude without needing this source file.
-SHELF: list[str] = []
+SHELF: list[str] = [
+    # r12: Gopher line-granularity duplicate signals — per-row array
+    # folds (distinct diff + one sorted-run product fold) over one
+    # _spread() scan; map-only, joins the repetition family
+    "txt_gopher_lines",
+]
 HEADLINE = HEADLINE + SHELF
 if os.environ.get("SPARK_GRAFT_BENCH_FULL"):
     # weekly full sweep: retirees re-measured alongside the loop

@@ -151,6 +151,11 @@ def main(argv: list[str] | None = None) -> int:
     cc.add_argument("--jsonl-shards", type=int, default=None,
                     help="shard count for --export-jsonl (gzip shard "
                     "count = downstream read parallelism)")
+    cc.add_argument("--funnel", action="store_true",
+                    help="emit per-stage surviving doc counts in the "
+                    "result JSON (each instrumented stage is eagerly "
+                    "materialized — the retention report costs extra "
+                    "actions, so it is opt-in)")
 
     cr = sub.add_parser(
         "corpus-report",
@@ -505,7 +510,8 @@ def main(argv: list[str] | None = None) -> int:
             docs = read_table(spark, args.sf_dir, "documents")
         table = VersionedTable(spark, args.out)
         res = publish_corpus(
-            table, docs, scrub=not args.no_scrub, pack_ctx=args.pack_ctx,
+            table, docs, funnel=args.funnel,
+            scrub=not args.no_scrub, pack_ctx=args.pack_ctx,
             pack_bins_ctx=args.pack_bins,
             lm_drop_fraction=args.lm_drop, dup_weights=args.dup_weights,
             decontaminate=args.decontaminate,

@@ -260,7 +260,12 @@ def main_content(
                         ),
                         lambda s: s["_btext"],
                     ),
-                    " ",
+                    # one LINE per kept block (the trafilatura/jusText
+                    # output convention): the C4 line rules downstream
+                    # operate on exactly this unit — a space join
+                    # erased the line structure and made --c4 after
+                    # --main-content drop every page (min_lines)
+                    "\n",
                 ),
             ).alias("main_text"),
         )

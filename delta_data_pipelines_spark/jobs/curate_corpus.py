@@ -169,6 +169,8 @@ def quality_gate(
     top_bigram_cap: float = 0.2,
     quality_floor: float = 0.4,
     dup_coverage_cap: tuple[int, float] | None = None,
+    dup_line_cap: float | None = None,
+    dup_line_char_cap: float | None = None,
 ) -> DataFrame:
     """Gopher-rules gate: length window + repetition caps + composite
     quality floor, evaluated on unrounded signals in one projection.
@@ -189,7 +191,16 @@ def quality_gate(
     ``cap`` of token positions sit inside an n-gram occurring more
     than once in the document. It runs AFTER the cheap rules on the
     shrunk survivor set, with the gram sort staged per the
-    no-CSE-in-lambdas discipline."""
+    no-CSE-in-lambdas discipline.
+
+    ``dup_line_cap`` / ``dup_line_char_cap`` add Gopher's
+    LINE-granularity duplicate rules (published caps 0.30 / 0.20):
+    drop docs whose duplicated-line fraction (repeat occurrences /
+    lines) or duplicated-line character fraction exceeds the cap.
+    Lines split on ``\\n`` — the unit C4 and the main-content
+    extractor emit — so these caps belong BEFORE the pipeline's
+    whitespace normalization; like the coverage rule they run on the
+    cheap-rule survivors."""
     t = F.col(text_col)
     gated = (
         docs.withColumn("_ntok", token_count_ws(t))
@@ -204,6 +215,24 @@ def quality_gate(
         )
         .drop("_ntok", "_dup", "_topbg")
     )
+    if dup_line_cap is not None or dup_line_char_cap is not None:
+        from ..operators.textstats import (
+            dup_line_char_fraction_from_lines,
+            dup_line_fraction_from_lines,
+        )
+
+        staged_l = gated.select("*", F.split(t, "\n").alias("_ls"))
+        keep = F.lit(True)
+        if dup_line_cap is not None:
+            keep = keep & (
+                dup_line_fraction_from_lines(F.col("_ls")) <= dup_line_cap
+            )
+        if dup_line_char_cap is not None:
+            keep = keep & (
+                dup_line_char_fraction_from_lines(F.col("_ls"))
+                <= dup_line_char_cap
+            )
+        gated = staged_l.where(keep).drop("_ls")
     if dup_coverage_cap is None:
         return gated
     from ..operators.textstats import (
@@ -725,6 +754,7 @@ def curate_corpus(
     lang_aware: bool = False,
     lang_col: str | None = None,
     lang_gates: dict[str, tuple[int, int, float, float, float]] | None = None,
+    funnel: dict[str, int] | None = None,
     **gate_kwargs,
 ) -> DataFrame:
     """(optional) URL blocklist → PII scrub → (optional) C4 line
@@ -765,6 +795,12 @@ def curate_corpus(
     dedup, so the expensive pairwise stages only see the selected
     subset.
 
+    ``funnel``: pass an empty dict to collect the per-stage surviving
+    doc counts (insertion order = stage order — the FineWeb-style
+    retention report); each instrumented stage is eagerly
+    materialized so the count and the downstream consumer share one
+    computation. Default ``None`` leaves the plan untouched.
+
     ``lang_aware=True`` swaps the global gate and LM cut for their
     per-language forms (the CCNet/FineWeb-2 discipline): the gate
     routes each doc by ``lang_col`` (or the heuristic prediction,
@@ -782,25 +818,56 @@ def curate_corpus(
             "lang_gates; global gate_kwargs would be silently ignored"
         )
 
+    def _tick(df: DataFrame, stage: str) -> DataFrame:
+        """Funnel instrumentation: when the caller passes a ``funnel``
+        dict, record each stage's surviving doc count (insertion order
+        = stage order — the FineWeb-style retention report). The stage
+        frame is eagerly checkpointed first so the count and the next
+        stage share one computation instead of replaying the lineage
+        per consumer; with ``funnel=None`` (default) this is a no-op
+        and the plan is unchanged."""
+        if funnel is None:
+            return df
+        df = df.localCheckpoint(eager=True)
+        funnel[stage] = df.count()
+        return df
+
+    docs = _tick(docs, "input")
     if url_blocklist is not None:
         # zeroth stage: URL-level, before any text is touched
-        docs = blocklist_stage(docs, url_col, url_blocklist, id_col=id_col)
+        docs = _tick(
+            blocklist_stage(docs, url_col, url_blocklist, id_col=id_col),
+            "blocklist",
+        )
     staged = scrub_stage(docs, text_col) if scrub else docs
     if c4:
         # line cleaning before the gate: quality must be scored on the
         # lines that will actually be published
-        staged = c4_stage(staged, id_col, text_col)
+        staged = _tick(c4_stage(staged, id_col, text_col), "c4_clean")
+    # C4 (and the main-content extractor feeding --warc-in) emit one
+    # LINE per kept unit; every downstream stage is word-based and
+    # splits on single spaces, so collapse line breaks here — without
+    # this, boundary words fuse across lines ("end.\nstart" scores as
+    # one token) in the gate signals, the LM explode, and the
+    # sentencizer. No-op for single-line corpora (the sf fixtures).
+    staged = staged.withColumn(
+        text_col, F.translate(F.col(text_col), "\n", " ")
+    )
     if lang_aware:
         gated = lang_quality_gate(
             staged, text_col, lang_col=lang_col, gates=lang_gates
         )
     else:
         gated = quality_gate(staged, text_col, **gate_kwargs)
+    gated = _tick(gated, "quality_gate")
     if compression_bounds is not None:
         # still a heuristic gate (CCNet order: heuristics before the
         # LM cut) — runs on the already-gated survivors
-        gated = compression_filter_stage(
-            gated, id_col, text_col, compression_bounds
+        gated = _tick(
+            compression_filter_stage(
+                gated, id_col, text_col, compression_bounds
+            ),
+            "compression",
         )
     if lm_drop_fraction is not None:
         if lang_aware:
@@ -813,9 +880,13 @@ def curate_corpus(
             )
         else:
             gated = lm_filter_stage(gated, id_col, text_col, lm_drop_fraction)
+        gated = _tick(gated, "lm_cut")
     if dsir_select is not None:
-        gated = dsir_stage(
-            gated, id_col, text_col, keep=dsir_select, target=dsir_target
+        gated = _tick(
+            dsir_stage(
+                gated, id_col, text_col, keep=dsir_select, target=dsir_target
+            ),
+            "dsir_select",
         )
     if dup_weights:
         # count exact copies in the SAME window pass that picks the
@@ -834,34 +905,52 @@ def curate_corpus(
     else:
         exact = dedup.exact_dedup(gated, text_col, id_col)
         uniq = collapse_near_dups(exact, id_col, text_col)
+    uniq = _tick(uniq, "dedup")
     if max_passage_dup is not None:
         # after near-dup collapse: what's left with high passage-dup
         # shares passages across many DIFFERENT partners (templates)
-        uniq = passage_dup_stage(uniq, id_col, text_col, max_passage_dup)
+        uniq = _tick(
+            passage_dup_stage(uniq, id_col, text_col, max_passage_dup),
+            "passage_dup_cut",
+        )
     if dedup_passages is not None:
         # the rewrite complement of the cut above: docs under the
         # template threshold may still CONTAIN duplicated passages —
         # delete those (keep-first), keep the documents
-        uniq = dedup_passages_stage(uniq, id_col, text_col, dedup_passages)
+        uniq = _tick(
+            dedup_passages_stage(uniq, id_col, text_col, dedup_passages),
+            "dedup_passages",
+        )
     if sentence_spans is not None:
         # C4's published unit: keep-one over sliding SENTENCE spans —
         # sits between the tiling cut (keep-one, boundary-blind) and
         # the ExactSubstr rewrite (boundary-free, keeps no copy)
-        uniq = sentence_spans_stage(uniq, id_col, text_col, sentence_spans)
+        uniq = _tick(
+            sentence_spans_stage(uniq, id_col, text_col, sentence_spans),
+            "sentence_spans",
+        )
     if exact_substr is not None:
         # the un-approximated rewrite: sliding-window cover set, every
         # occurrence removed — catches runs straddling the tiling
         # boundaries the stage above works in
-        uniq = exact_substr_stage(uniq, id_col, text_col, exact_substr)
+        uniq = _tick(
+            exact_substr_stage(uniq, id_col, text_col, exact_substr),
+            "exact_substr",
+        )
     if sample_per_source is not None:
-        uniq = sample_stage(
-            uniq, id_col, text_col, sample_per_source, source_col
+        uniq = _tick(
+            sample_stage(
+                uniq, id_col, text_col, sample_per_source, source_col
+            ),
+            "source_sample",
         )
     split = sampling.hash_split(
         uniq, id_col, splits or DEFAULT_SPLITS, method="md5"
     )
     if decontaminate:
-        split = decontaminate_stage(split, id_col, text_col)
+        split = _tick(
+            decontaminate_stage(split, id_col, text_col), "decontaminate"
+        )
     if pack_ctx is not None:
         if tokenizer_store is not None:
             # size windows in stored-tokenizer TRAINING tokens, not
@@ -925,14 +1014,22 @@ def publish_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     splits: dict[str, float] | None = None,
+    funnel: bool = False,
     **gate_kwargs,
 ) -> dict:
     """Run the curation pipeline and publish with stage metrics.
 
+    ``funnel=True`` adds a ``"funnel"`` dict of per-stage surviving
+    doc counts (stage order preserved) to the result — the retention
+    report a pipeline owner reads before trusting the cut.
+
     Mirrors ``publish_dataset``'s versioned-commit shape: an empty
     curated corpus fails validation and nothing is committed."""
     n_in = docs.count()
-    curated = curate_corpus(docs, id_col, text_col, splits, **gate_kwargs)
+    stage_counts: dict[str, int] | None = {} if funnel else None
+    curated = curate_corpus(
+        docs, id_col, text_col, splits, funnel=stage_counts, **gate_kwargs
+    )
     curated = curated.localCheckpoint(eager=True)  # metrics + write share one run
     n_out = curated.count()
     if n_out == 0:
@@ -949,6 +1046,8 @@ def publish_corpus(
         "rows_out": n_out,
         "splits": per_split,
     }
+    if stage_counts is not None:
+        out["funnel"] = stage_counts
     if "n_pii" in curated.columns:
         out["pii_redactions"] = int(sum(r["pii"] for r in per_split_rows))
     return out

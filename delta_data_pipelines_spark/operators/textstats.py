@@ -342,6 +342,94 @@ def dup_ngram_coverage(starts: Column, n: int, n_tokens: Column) -> Column:
     )
 
 
+def lines_from_words(w: Column, k: int) -> Column:
+    """Non-overlapping ``k``-token "lines" derived from a STAGED word
+    array — the deterministic line unit for corpora whose text carries
+    no line breaks (the fixture corpus; same device family as the
+    sentence derivation in ``dedup_sentence_spans``). Real crawl text
+    has real lines: callers with ``\\n``-structured input pass
+    ``F.split(text, "\\n")`` to the ``*_from_lines`` signals directly.
+    The ``when`` guard keeps the generated ``sequence`` ascending
+    (sequence(0, -1) DESCENDS in Spark at size 0)."""
+    return F.when(
+        F.size(w) >= 1,
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                (F.ceil(F.size(w) / F.lit(float(k))) - 1).cast("int"),
+            ),
+            lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_line_fraction_from_lines(lines: Column) -> Column:
+    """Fraction of lines that are repeat occurrences of an earlier
+    line — Gopher's duplicated-line fraction (Rae et al. 2021 §A1.1
+    runs the repetition family at line AND n-gram granularity; the
+    n-gram half is ``dup_ngram_coverage``). Every-occurrence-
+    beyond-the-first counts, the published counting rule."""
+    n = F.size(lines)
+    return F.coalesce(
+        (n - F.size(F.array_distinct(lines)))
+        / F.nullif(n, F.lit(0)).cast("double"),
+        F.lit(0.0),
+    )
+
+
+def dup_line_char_fraction_from_lines(lines: Column) -> Column:
+    """Fraction of line CHARACTERS sitting in repeat occurrences —
+    Gopher's duplicated-line character fraction. Char totals via
+    ``length(array_join(..., ""))`` (one concat, no per-element sum
+    fold) with separators excluded; first occurrences don't count,
+    matching the published rule."""
+    total = F.length(F.array_join(lines, ""))
+    firsts = F.length(F.array_join(F.array_distinct(lines), ""))
+    return F.coalesce(
+        (total - firsts) / F.nullif(total, F.lit(0)).cast("double"),
+        F.lit(0.0),
+    )
+
+
+def top_line_char_ratio_from_lines(lines: Column) -> Column:
+    """Char fraction of the heaviest repeated line: max over distinct
+    lines of (occurrences x line length) / total line chars — the
+    line-granularity analogue of the top-n-gram character fraction.
+    One sorted-run fold (the ``_max_equal_run`` device), tracking the
+    run-length x length product instead of the bare run: within a run
+    the product grows monotonically, so the max over prefixes equals
+    the full run's product and one pass suffices."""
+    srt = F.array_sort(lines)
+    best = F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc.best,
+                (
+                    F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+                )
+                * F.length(x),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return F.coalesce(
+        best / F.nullif(F.length(F.array_join(lines, "")), F.lit(0)).cast(
+            "double"
+        ),
+        F.lit(0.0),
+    )
+
+
 FINGERPRINT_MOD = 1_000_000_007
 
 

@@ -297,6 +297,45 @@ def txt_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def txt_gopher_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher LINE-granularity repetition signals (Rae et al. 2021
+    §A1.1 runs the duplicate family at line/paragraph AND n-gram
+    level; the n-gram half is ``txt_gopher_repetition``):
+    duplicated-line fraction, duplicated-line CHARACTER fraction
+    (repeat occurrences only, the published counting rule), and the
+    top-line char ratio (heaviest repeated line's char share). The
+    fixture corpus carries no line breaks, so lines are DERIVED as
+    non-overlapping 2-token groups (the deterministic-derivation
+    device of ``td_dedup_sentence_spans``; k=2 is where the fixture's
+    signal is live — 181/500 sf0.01 docs repeat a 2-token line); real
+    crawl text passes ``split(text, '\\n')`` into the same
+    ``*_from_lines`` operators. Map-only per-row folds over ONE
+    _spread() scan: no explode, no shuffle, no UDF — char totals ride
+    one array_join length, the top line one sorted-run fold."""
+    d = dedup._spread(read_table(spark, sf_dir, "documents"))
+    s1 = d.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("_w"),
+    )
+    s2 = s1.select(
+        "doc_id", textstats.lines_from_words(F.col("_w"), 2).alias("_l")
+    )
+    ln = F.col("_l")
+    return s2.select(
+        "doc_id",
+        F.size(ln).cast("bigint").alias("n_lines"),
+        F.round(textstats.dup_line_fraction_from_lines(ln), 9).alias(
+            "dup_line_frac"
+        ),
+        F.round(textstats.dup_line_char_fraction_from_lines(ln), 9).alias(
+            "dup_line_char_frac"
+        ),
+        F.round(textstats.top_line_char_ratio_from_lines(ln), 9).alias(
+            "top_line_char_ratio"
+        ),
+    ).orderBy("doc_id")
+
+
 def td_dedup_sentence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4's three-sentence-span deduplication (keep-one, sliding —
     the published rewrite the tiling and ExactSubstr variants bracket)
@@ -2751,6 +2790,7 @@ SPARK_QUERIES = {
     "td_gopher_filter": td_gopher_filter,
     "td_dedup_sentence_spans": td_dedup_sentence_spans,
     "txt_gopher_repetition": txt_gopher_repetition,
+    "txt_gopher_lines": txt_gopher_lines,
     "td_lang_gate": td_lang_gate,
     "td_lang_keep_rate": td_lang_keep_rate,
     "td_decontaminate": td_decontaminate,
@@ -4267,7 +4307,7 @@ ORACLE_SQL = {
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
                CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_kept,
-               COALESCE(string_agg(btext, ' ' ORDER BY bidx)
+               COALESCE(string_agg(btext, chr(10) ORDER BY bidx)
                         FILTER (WHERE kept), '') AS main_text
         FROM resc GROUP BY doc_id
         UNION ALL
@@ -5057,6 +5097,44 @@ ORACLE_SQL = {
         ORDER BY doc_id
     """,
     "txt_gopher_repetition": _GOPHER_REPETITION_SQL,
+    # line-granularity twin: derived 2-token lines (the deterministic
+    # device — fixture text has no \n), repeat-occurrence counting,
+    # char totals via concat length; the per-distinct nested filter is
+    # the _topbg oracle shape, list_max the _LANG_GATE_SQL precedent
+    "txt_gopher_lines": """
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS ws
+            FROM documents
+        ), l AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) >= 1 THEN
+                       list_transform(
+                           range(0, CAST(ceil(len(ws) / 2.0) AS INT)),
+                           i -> array_to_string(ws[i*2+1 : i*2+2], ' '))
+                   ELSE [] END AS ls
+            FROM w
+        ), sig AS (
+            SELECT doc_id,
+                   CAST(len(ls) AS BIGINT) AS n_lines,
+                   len(ls) - len(list_distinct(ls)) AS ndup,
+                   length(array_to_string(ls, '')) AS total_c,
+                   length(array_to_string(list_distinct(ls), '')) AS first_c,
+                   COALESCE(list_max(list_transform(list_distinct(ls),
+                       d -> len(list_filter(ls, x -> x = d)) * length(d))),
+                       0) AS best
+            FROM l
+        )
+        SELECT doc_id, n_lines,
+               ROUND(COALESCE(ndup / CAST(NULLIF(n_lines, 0) AS DOUBLE),
+                              0.0), 9) AS dup_line_frac,
+               ROUND(COALESCE((total_c - first_c)
+                              / CAST(NULLIF(total_c, 0) AS DOUBLE),
+                              0.0), 9) AS dup_line_char_frac,
+               ROUND(COALESCE(best / CAST(NULLIF(total_c, 0) AS DOUBLE),
+                              0.0), 9) AS top_line_char_ratio
+        FROM sig ORDER BY doc_id
+    """,
     # C4 three-sentence-span dedup: sentencize by terminal punctuation
     # via a running-sum window over word positions (the generic
     # algorithm, not the 7-grid shortcut — the oracle must check the

@@ -748,13 +748,13 @@ def test_main_content_rules(spark):
     }
     # doc 1: nav dropped (link density + site rule), h1 'big news'
     # rescued next to content, footer dropped by SITE rule
-    assert out[1]["main_text"] == "big news " + body
+    assert out[1]["main_text"] == "big news\n" + body
     assert out[1]["n_blocks"] == 4 and out[1]["n_kept"] == 2
     # doc 2: nav + footer dropped, content kept
     assert out[2]["main_text"] == body + " extra words here"
     # doc 3: unique short footer RESCUED by its content neighbor —
     # exactly why the corpus-level site rule exists
-    assert out[3]["main_text"] == body + " tiny footer here"
+    assert out[3]["main_text"] == body + "\ntiny footer here"
     # NULL page and blockless page: NULL text, zero blocks
     assert out[4]["n_blocks"] == 0 and out[4]["main_text"] is None
     assert out[5]["n_blocks"] == 0 and out[5]["main_text"] is None

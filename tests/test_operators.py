@@ -2879,3 +2879,86 @@ def test_dedup_sentence_spans_keep_one(spark):
     assert out[12] == ("u1 q. u2 r.", 2, 0)
     assert out[13] == (None, 0, 0)
     assert out[14] == ("", 3, 3)                        # emptied
+
+
+def test_gopher_line_signals(spark):
+    """Line-granularity Gopher duplicates: repeat-occurrence counting
+    (first occurrence free), char fractions with separators excluded,
+    and the top-line product rule — over REAL newline lines (the
+    txt_gopher_lines query exercises the derived-line device; this
+    pins the \\n path the curation gate uses)."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.operators import textstats
+
+    rows = [
+        # 4 lines, "dup line" twice: dup_frac 1/4; chars: dup line
+        # 8 chars repeated once -> 8 / (8+8+5+5) = 8/26; top product
+        # = 2*8 = 16 -> 16/26
+        (1, "dup line\nalpha\ndup line\nbeta!"),
+        (2, "a\nb\nc"),            # all unique: zeros
+        (3, "x\nx\nx\nx"),          # one line 4x: 3/4, 3/4, 4/4
+        (4, None),                  # NULL text -> zero lines, zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ls = F.split(F.col("text"), "\n")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            textstats.dup_line_fraction_from_lines(ls).alias("f"),
+            textstats.dup_line_char_fraction_from_lines(ls).alias("cf"),
+            textstats.top_line_char_ratio_from_lines(ls).alias("tf"),
+        ).collect()
+    }
+    assert out[1]["f"] == 0.25
+    assert abs(out[1]["cf"] - 8 / 26) < 1e-12
+    assert abs(out[1]["tf"] - 16 / 26) < 1e-12
+    assert out[2]["f"] == out[2]["cf"] == 0.0
+    assert abs(out[2]["tf"] - 1 / 3) < 1e-12  # single char line of 3
+    assert out[3]["f"] == 0.75 and out[3]["cf"] == 0.75
+    assert out[3]["tf"] == 1.0
+    assert out[4]["f"] == out[4]["cf"] == out[4]["tf"] == 0.0
+
+    # derived-line unit: ceil grouping, remainder line kept
+    df2 = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id long, text string"
+    )
+    w = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    der = {
+        r["doc_id"]: r["l"]
+        for r in df2.select(
+            "doc_id", textstats.lines_from_words(w, 2).alias("l")
+        ).collect()
+    }
+    assert der[1] == ["a b", "c"]
+    assert der[2] == []
+
+
+def test_quality_gate_line_caps(spark):
+    """quality_gate(dup_line_cap / dup_line_char_cap): Gopher's
+    line-duplicate rules drop the repeated-line doc and keep the
+    clean one; caps off -> both survive."""
+    from delta_data_pipelines_spark.jobs.curate_corpus import quality_gate
+
+    stops = ["the", "of", "and", "to", "a", "in", "is", "it"]
+    clean_lines = [
+        " ".join(f"{stops[j % 8]} u{i}w{j}" for j in range(10))
+        for i in range(3)
+    ]
+    dup_line = " ".join(f"{stops[j % 8]} dw{j}" for j in range(10))
+    rows = [
+        (1, "\n".join(clean_lines)),
+        (2, "\n".join([dup_line] * 3 + clean_lines[:1])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    relaxed = dict(quality_floor=0.0, dup_token_cap=1.0, top_bigram_cap=1.0)
+    base = {r["doc_id"] for r in quality_gate(df, **relaxed).collect()}
+    assert base == {1, 2}
+    capped = {
+        r["doc_id"]
+        for r in quality_gate(
+            df, dup_line_cap=0.3, dup_line_char_cap=0.2, **relaxed
+        ).collect()
+    }
+    assert capped == {1}

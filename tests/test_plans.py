@@ -658,6 +658,17 @@ def test_lang_gate_broadcast_thresholds_no_shuffle(spark, registry):
     assert "partial_count" in report, report
 
 
+def test_gopher_lines_map_only(spark, registry):
+    """txt_gopher_lines: per-row folds over ONE documents scan — no
+    join, no Python, no aggregation exchange (the only exchange is
+    the output sort's range partitioning)."""
+    plan = plan_of(spark, registry, "txt_gopher_lines")
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("documents.parquet") <= 1, plan
+    assert "hashpartitioning" not in plan, plan
+
+
 def test_lang_lm_scores_no_window_over_vocab(spark):
     """lang_lm_scores: per-language totals must come from a grouped
     partial aggregate broadcast back onto the (lang, token) frequency
