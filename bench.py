@@ -279,6 +279,33 @@ def _calibration_probe(spark) -> float:
     return round(statistics.median([run() for _ in range(3)]), 3)
 
 
+def _calibration_probe_1core(spark) -> float:
+    """Single-task twin of the calibration probe: the same synthetic
+    aggregate on ONE slice, so its timing tracks SINGLE-CORE speed.
+
+    The r12 investigation found the two dimensions move independently
+    across sandbox hosts: a box whose 32-way probe read FASTER than
+    ever (0.086 vs the ~0.12 floor) measured every single-task-
+    dominated query (one-split scan stages, driver-adjacent folds,
+    bounded-group kernels) a uniform 1.2-1.9x SLOWER on byte-identical
+    code, while well-parallelized plans (tpch, search_index) stayed
+    flat. Without this probe that signature is indistinguishable from
+    a real regression in exactly the queries it hits."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 8_000_000, 1, 1).select(
+            F.sum(F.col("id") * 2 + 1).alias("s")
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run()
+    return round(statistics.median([run() for _ in range(3)]), 3)
+
+
 def _stable_start_probe(spark) -> tuple[float, bool, int]:
     """Load-gate the bench START: re-run the calibration probe until
     two CONSECUTIVE samples agree within 1.3x, so the headline loop
@@ -349,6 +376,7 @@ def main() -> int:
 
     load_start = os.getloadavg()
     calib_start, start_unstable, start_samples = _stable_start_probe(spark)
+    calib_1core_start = _calibration_probe_1core(spark)
 
     for name in HEADLINE:
         fn = registry.get(name)
@@ -373,6 +401,7 @@ def main() -> int:
         _reset_session_state(spark)
 
     calib_end = _calibration_probe(spark)
+    calib_1core_end = _calibration_probe_1core(spark)
     load_end = os.getloadavg()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -392,6 +421,12 @@ def main() -> int:
         "end": calib_end,
         "start_unstable": start_unstable,
         "start_samples": start_samples,
+        # single-task twin probes: single-core speed moves
+        # independently of 32-way throughput across sandbox hosts
+        # (see _calibration_probe_1core) — compare these before
+        # believing a regression confined to one-split/bounded-group
+        # queries
+        "probe_1core": [calib_1core_start, calib_1core_end],
         # 1-min loadavg at bench start/end (start is PRE-gate, so a
         # high value here with start_unstable=false means the gate
         # absorbed the spike before the headline loop began)
