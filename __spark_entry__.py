@@ -81,9 +81,10 @@ _PRIORITY = [
     # stalest x2 veterans: last green r5
     "dd_embedding", "ds_det_sample", "mm_features", "mm_frames",
     "mm_meta", "mm_resize", "txt_length_quantiles",
-    # r12 new query: Gopher line-granularity duplicate signals —
-    # first driver row (takes the tail seat txt_vocab_topk yielded)
-    "txt_gopher_lines",
+    # r12 new queries: Gopher line-granularity duplicate signals and
+    # the unrolled-GD linear quality classifier — first driver rows
+    # (tail seats yielded by txt_vocab_topk and txt_unigram_logprob)
+    "txt_gopher_lines", "td_logreg_quality",
     # stalest x2 veterans: last green r7
     "a_histogram", "ds_stratified_sample", "ds_temperature_mix",
     "sim_kmeans", "sim_semantic_dedup_audit", "sk_kmv_distinct",
@@ -94,9 +95,9 @@ _PRIORITY = [
     "tpch_q20", "tpch_q21", "tpch_q7", "tpch_q8", "tpch_q9",
     "txt_bm25_topk", "txt_boilerplate", "txt_langid_confusion",
     "txt_pii_scrub", "txt_repetition", "txt_tfidf_top_term",
-    "txt_unigram_logprob",
-    # txt_vocab_topk (x2, last green r7) yielded its seat to
-    # txt_gopher_lines; next-stalest in line for r13
+    # txt_vocab_topk and txt_unigram_logprob (x2, last green r7)
+    # yielded their seats to the two new r12 queries; next-stalest
+    # in line for r13
 ]
 
 

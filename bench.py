@@ -214,6 +214,11 @@ SHELF: list[str] = [
     # folds (distinct diff + one sorted-run product fold) over one
     # _spread() scan; map-only, joins the repetition family
     "txt_gopher_lines",
+    # r12: unrolled-GD linear quality classifier — one staged feature
+    # explode + two (doc)/(bucket) partial-agg shuffles per step with
+    # O(buckets) broadcast weights; the iterative-join family's
+    # newest member
+    "td_logreg_quality",
 ]
 HEADLINE = HEADLINE + SHELF
 if os.environ.get("SPARK_GRAFT_BENCH_FULL"):

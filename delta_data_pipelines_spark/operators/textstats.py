@@ -813,6 +813,161 @@ def nb_score(
     )
 
 
+def logreg_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    label_col: str | None = None,
+) -> DataFrame:
+    """Hashed unigram-PRESENCE features for the linear quality
+    classifier: per doc, the DISTINCT md5-hashed token buckets in
+    ``[0, n_buckets)`` plus a bias feature at bucket -1, exploded to
+    (id[, y], bucket) rows. The portable-md5 bucket expression is the
+    one shared with DSIR/KMV, so an oracle recomputes the identical
+    feature space. NULL-text docs are excluded (nothing to featurize);
+    with ``label_col`` the boolean label rides along as y ∈ {0.0, 1.0}
+    and NULL-label docs are excluded too (they cannot train)."""
+    from .sampling import md5_hash64
+
+    base = docs.where(F.col(text_col).isNotNull())
+    cols = [F.col(id_col)]
+    if label_col is not None:
+        base = base.where(F.col(label_col).isNotNull())
+        cols.append(
+            F.when(F.col(label_col), F.lit(1.0)).otherwise(0.0).alias("_y")
+        )
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    buckets = F.array_append(
+        F.array_distinct(
+            F.transform(w, lambda t: F.pmod(md5_hash64(t), F.lit(n_buckets)))
+        ),
+        F.lit(-1).cast("bigint"),
+    )
+    return base.select(*cols, F.explode(buckets).alias("_bucket"))
+
+
+def logreg_train(
+    docs: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    steps: int = 2,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Train a LINEAR (logistic-regression) text quality classifier —
+    the fastText-shaped filter of the CCNet/LLaMA pipelines (hash
+    n-gram features, fit a linear model, filter the corpus by score)
+    — as ``steps`` UNROLLED full-batch gradient steps from w = 0,
+    entirely in aggregations so an oracle recomputes the exact
+    weights (the t_event_pagerank unrolled-iteration family; contrast
+    :func:`nb_train`, the closed-form sibling).
+
+    Float discipline (the unigram-pair lessons): per-doc scores are
+    DECIMAL(28,6) sums of 6-dp weights; the sigmoid input is
+    quantized at 6 dp before exp and its output re-quantized at 6 dp
+    (libm's ~1-ulp exp variance leaves no flip room against the 5e-7
+    half boundary); gradients are DECIMAL sums of (p - y) residuals
+    that sit ON the 6-dp grid; each new weight is one float
+    multiply/divide then ROUND 6. Step 1 is closed-form (w=0 ⇒
+    p = 0.5 exactly).
+
+    Scale shape: ONE feature explode staged for all steps (persist —
+    vocabulary-bounded bucket space, corpus-bounded rows), then per
+    step one (doc) partial-agg shuffle for scores and one (bucket)
+    partial-agg shuffle for gradients; the weight table is
+    O(n_buckets) and broadcasts everywhere. Returns (bucket, weight)
+    with bucket -1 = bias."""
+    from pyspark.storagelevel import StorageLevel
+
+    feats = logreg_features(
+        docs, id_col, text_col, n_buckets, label_col=label_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nd = feats.select(id_col).distinct().agg(F.count("*").alias("_nd"))
+
+    def new_weights(resid_df: DataFrame) -> DataFrame:
+        grads = (
+            feats.join(resid_df, id_col)
+            .groupBy("_bucket")
+            .agg(F.sum(F.col("_resid").cast("decimal(28,6)")).alias("_gr"))
+        )
+        return grads.crossJoin(F.broadcast(nd)).select(
+            "_bucket",
+            F.round(
+                -lr * F.col("_gr").cast("double") / F.col("_nd"), 6
+            ).alias("_wt"),
+        )
+
+    # step 1 closed form: z = 0, p = 0.5 exactly
+    weights = new_weights(
+        feats.select(id_col, (F.lit(0.5) - F.col("_y")).alias("_resid"))
+        .groupBy(id_col)
+        .agg(F.first("_resid").alias("_resid"))
+    ).localCheckpoint(eager=True)
+    for _ in range(steps - 1):
+        z = (
+            feats.join(F.broadcast(weights), "_bucket", "left")
+            .groupBy(id_col, "_y")
+            .agg(
+                F.sum(
+                    F.coalesce(F.col("_wt"), F.lit(0.0)).cast(
+                        "decimal(28,6)"
+                    )
+                ).alias("_z")
+            )
+        )
+        resid = z.select(
+            id_col,
+            (
+                F.round(
+                    F.lit(1.0)
+                    / (
+                        F.lit(1.0)
+                        + F.exp(-F.round(F.col("_z").cast("double"), 6))
+                    ),
+                    6,
+                )
+                - F.col("_y")
+            ).alias("_resid"),
+        )
+        weights = new_weights(resid).localCheckpoint(eager=True)
+    return weights.select(
+        F.col("_bucket").alias("bucket"), F.col("_wt").alias("weight")
+    )
+
+
+def logreg_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Score docs under trained linear weights: per-doc DECIMAL sum of
+    its feature buckets' weights (bias included); positive score →
+    positive class. ``n_buckets`` must match the fit (the frozen-meta
+    rule — callers persisting a model pin it alongside the weights).
+    Output: (id, n_features, lr_score double, pred_pos boolean)."""
+    feats = logreg_features(docs, id_col, text_col, n_buckets)
+    return (
+        feats.join(F.broadcast(weights), feats["_bucket"] == weights["bucket"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum(
+                F.coalesce(F.col("weight"), F.lit(0.0)).cast("decimal(28,6)")
+            ).alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_features",
+            F.col("_s").cast("double").alias("lr_score"),
+            (F.col("_s") >= 0).alias("pred_pos"),
+        )
+    )
+
+
 def passage_segments_from_words(w: Column, n: int = 10) -> Column:
     """Non-overlapping ``n``-token segments from a STAGED word-array
     column (the last segment may be shorter). Call-sites should stage

@@ -2405,6 +2405,34 @@ def td_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def td_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fastText-shaped LINEAR quality classifier (CCNet/LLaMA
+    pipelines: hash n-gram features, fit a linear model, filter the
+    corpus by its score), trained as TWO unrolled full-batch gradient
+    steps from w = 0 (textstats.logreg_train — the t_event_pagerank
+    unrolled-iteration family) on 64 hashed unigram-presence buckets
+    + bias, seed labels from the heuristic quality gate (quality ≥
+    0.5, the same bootstrap td_quality_classifier uses for its
+    closed-form NB sibling). Every doc then scores under the final
+    weights; pred_pos is the corpus filter. Float discipline per the
+    unigram lessons: decimal feature sums, sigmoid quantized at 6 dp
+    both sides of exp, one ROUND per weight update — the oracle
+    recomputes the exact weights. At scale: one staged feature
+    explode, two bounded-table broadcast joins per step, O(buckets)
+    weight table."""
+    from ..operators.textstats import logreg_score, logreg_train, quality_score
+
+    # _spread: the per-token md5 bucket fold and the quality signals
+    # run on the scan partitioning, and the sf parquet is ONE split
+    d = dedup._spread(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", (quality_score(F.col("text")) >= 0.5).alias("_lbl")
+    )
+    weights = logreg_train(
+        d, "_lbl", "doc_id", "text", n_buckets=64, steps=2, lr=0.5
+    )
+    return logreg_score(d, weights, "doc_id", "text", 64).orderBy("doc_id")
+
+
 def td_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023) over hashed n-gram
     features: target = the heuristic-quality seed set (quality ≥ 0.5,
@@ -2836,6 +2864,7 @@ SPARK_QUERIES = {
     "txt_bigram_logprob": txt_bigram_logprob,
     "ds_weighted_sample": ds_weighted_sample,
     "td_quality_classifier": td_quality_classifier,
+    "td_logreg_quality": td_logreg_quality,
     "td_dsir_weights": td_dsir_weights,
     "ds_dsir_sample": ds_dsir_sample,
     "td_source_drift": td_source_drift,
@@ -5017,6 +5046,76 @@ ORACLE_SQL = {
                ROUND(CAST(s AS DOUBLE) + lp, 9) AS nb_score,
                (CAST(s AS DOUBLE) + lp >= 0) AS pred_pos
         FROM scored CROSS JOIN prior ORDER BY doc_id
+    """,
+    # linear (logistic) sibling of the NB classifier: same seed
+    # labels, hashed unigram-presence buckets (the portable-md5
+    # device), two unrolled gradient steps — step 1 closed-form
+    # (w=0 ⇒ p=0.5), step 2 via the 6-dp-quantized sigmoid; decimal
+    # gradient/score sums, one ROUND per weight update
+    "td_logreg_quality": """
+        WITH b AS (
+            SELECT doc_id, text, string_split(text, ' ') AS w,
+                   regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')
+                       AS stripped
+            FROM documents
+        ), lab AS (
+            SELECT doc_id, text, w,
+                   (ROUND(0.4 * (len(list_filter(w, x -> x IN
+                             ('the','a','of','and','to','in','is','it')))
+                             / CAST(NULLIF(len(w), 0) AS DOUBLE))
+                       + 0.4 * LEAST(len(w) / 64.0, 1.0)
+                       + 0.2 * (1 - (length(text) - length(stripped))
+                             / CAST(NULLIF(length(text), 0) AS DOUBLE)),
+                       9) >= 0.5) AS pos
+            FROM b
+        ), feats AS (
+            SELECT doc_id,
+                   CASE WHEN pos THEN 1.0 ELSE 0.0 END AS y,
+                   unnest(list_append(list_distinct(list_transform(
+                       list_filter(w, x -> x <> ''),
+                       t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 64)),
+                       -1)) AS bucket
+            FROM lab WHERE pos IS NOT NULL AND text IS NOT NULL
+        ), nd AS (
+            SELECT COUNT(DISTINCT doc_id) AS n FROM feats
+        ), g1 AS (
+            SELECT bucket, SUM(CAST(0.5 - y AS DECIMAL(28,6))) AS gr
+            FROM feats GROUP BY bucket
+        ), w1 AS (
+            SELECT bucket, ROUND(-0.5 * CAST(gr AS DOUBLE) / n, 6) AS wt
+            FROM g1 CROSS JOIN nd
+        ), z1 AS (
+            SELECT f.doc_id, f.y,
+                   SUM(CAST(COALESCE(w1.wt, 0.0) AS DECIMAL(28,6))) AS z
+            FROM feats f LEFT JOIN w1 USING (bucket)
+            GROUP BY f.doc_id, f.y
+        ), r1 AS (
+            SELECT doc_id,
+                   ROUND(1.0 / (1.0 +
+                       exp(-ROUND(CAST(z AS DOUBLE), 6))), 6) - y AS resid
+            FROM z1
+        ), g2 AS (
+            SELECT f.bucket, SUM(CAST(r.resid AS DECIMAL(28,6))) AS gr
+            FROM feats f JOIN r1 r USING (doc_id) GROUP BY f.bucket
+        ), w2 AS MATERIALIZED (
+            SELECT bucket, ROUND(-0.5 * CAST(gr AS DOUBLE) / n, 6) AS wt
+            FROM g2 CROSS JOIN nd
+        ), sfeats AS (
+            SELECT doc_id,
+                   unnest(list_append(list_distinct(list_transform(
+                       list_filter(w, x -> x <> ''),
+                       t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 64)),
+                       -1)) AS bucket
+            FROM lab WHERE text IS NOT NULL
+        ), scored AS (
+            SELECT s.doc_id, COUNT(*) AS n_features,
+                   SUM(CAST(COALESCE(w2.wt, 0.0) AS DECIMAL(28,6))) AS s
+            FROM sfeats s LEFT JOIN w2 USING (bucket)
+            GROUP BY s.doc_id
+        )
+        SELECT doc_id, n_features, CAST(s AS DOUBLE) AS lr_score,
+               (s >= 0) AS pred_pos
+        FROM scored ORDER BY doc_id
     """,
     # PR sweep over the SAME trained model and seed labels (the shared
     # NB CTE chain): COUNT FILTER keeps the counters BIGINT

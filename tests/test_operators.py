@@ -2962,3 +2962,46 @@ def test_quality_gate_line_caps(spark):
         ).collect()
     }
     assert capped == {1}
+
+
+def test_logreg_classifier_separates(spark):
+    """Two unrolled GD steps on hashed presence features must separate
+    an obviously separable corpus: docs built from one vocabulary
+    labeled positive, a disjoint vocabulary negative — every training
+    doc scores on its own side after step 2, and an unseen doc from
+    the positive vocabulary scores positive. NULL text/label rows are
+    excluded from training and scoring without error."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.operators.textstats import (
+        logreg_score,
+        logreg_train,
+    )
+
+    pos_words = ["good", "fine", "clean", "clear", "neat"]
+    neg_words = ["spam", "junk", "noise", "trash", "blob"]
+    rows = [
+        (i, " ".join(pos_words[(i + j) % 5] for j in range(8)), True)
+        for i in range(1, 7)
+    ] + [
+        (10 + i, " ".join(neg_words[(i + j) % 5] for j in range(8)), False)
+        for i in range(1, 7)
+    ] + [(99, None, True), (98, "good fine", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lbl boolean")
+    wts = logreg_train(df, "lbl", n_buckets=32, steps=2, lr=0.5)
+    got = {
+        r["doc_id"]: r
+        for r in logreg_score(df, wts, n_buckets=32).collect()
+    }
+    assert 99 not in got  # NULL text unscoreable
+    for i in range(1, 7):
+        assert got[i]["pred_pos"] is True, got[i]
+        assert got[10 + i]["pred_pos"] is False, got[10 + i]
+    # unseen doc from the positive vocabulary
+    unseen = spark.createDataFrame(
+        [(50, "clean neat good")], "doc_id long, text string"
+    )
+    out = logreg_score(unseen, wts, n_buckets=32).collect()[0]
+    assert out["pred_pos"] is True
+    # n_features counts distinct buckets + bias
+    assert out["n_features"] <= 4
