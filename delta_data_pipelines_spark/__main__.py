@@ -256,6 +256,15 @@ def main(argv: list[str] | None = None) -> int:
                     "n-gram log-ratio table fit on the clean reference "
                     "(quality-seed target) with the keep threshold at "
                     "the reference's (1-FRACTION) weight quantile")
+    fm.add_argument("--classifier", choices=["logreg"], default=None,
+                    help="also freeze a linear quality classifier "
+                    "(unrolled-GD logistic regression on hashed "
+                    "unigram-presence buckets, quality-seed labels); "
+                    "batches keep pred_pos under the stored weights")
+    fm.add_argument("--classifier-buckets", type=int, default=64,
+                    help="with --classifier: hashed feature bucket "
+                    "count (frozen into meta — batch scoring must "
+                    "hash into the same space)")
     fm.add_argument("--lang-aware", action="store_true",
                     help="freeze PER-LANGUAGE gates and LM thresholds "
                     "(CCNet shape): (lang, token, tf) unigram table, "
@@ -727,6 +736,8 @@ def main(argv: list[str] | None = None) -> int:
         res = fit_reference_model(
             model, ref, heldout, drop_fraction=args.lm_drop,
             dsir_keep_fraction=args.dsir_keep,
+            classifier=args.classifier,
+            classifier_n_buckets=args.classifier_buckets,
             lang_aware=args.lang_aware, lang_col=args.lang_col,
         )
         print(json.dumps({"job": "fit-curation-model", **res}))

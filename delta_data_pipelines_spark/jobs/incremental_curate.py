@@ -58,9 +58,10 @@ from .curate_corpus import lang_quality_gate, quality_gate, scrub_stage
 class FrozenCurationModel(JsonMetaStore):
     """The frozen artifacts under one root: unigram LM table
     (token, tf), heldout gram table (_gram), optional DSIR log-ratio
-    table (bucket, lr), and meta (total tokens, LM threshold, DSIR
-    threshold, gate parameters, decontamination n) — the shared
-    atomic JSON-sidecar protocol (storage.meta)."""
+    table (bucket, lr), optional linear-classifier weight table
+    (bucket, weight), and meta (total tokens, LM threshold, DSIR
+    threshold, classifier params, gate parameters, decontamination n)
+    — the shared atomic JSON-sidecar protocol (storage.meta)."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -70,6 +71,7 @@ class FrozenCurationModel(JsonMetaStore):
             spark, os.path.join(root, "heldout_grams")
         )
         self.dsir_lr = VersionedTable(spark, os.path.join(root, "dsir_lr"))
+        self.logreg = VersionedTable(spark, os.path.join(root, "logreg"))
 
     def exists(self) -> bool:
         # dsir_lr is optional (fit with dsir_keep_fraction=None has no
@@ -170,6 +172,10 @@ def fit_reference_model(
     decont_n: int = 13,
     dsir_keep_fraction: float | None = None,
     dsir_n_buckets: int = 1024,
+    classifier: str | None = None,
+    classifier_n_buckets: int = 64,
+    classifier_steps: int = 2,
+    classifier_lr: float = 0.5,
     lang_aware: bool = False,
     lang_col: str | None = None,
     lang_gates: dict | None = None,
@@ -351,6 +357,41 @@ def fit_reference_model(
                 "dsir_lr_version": c3.version,
             }
         )
+    if classifier is not None:
+        # linear-classifier filter (the fastText-shaped CCNet stage):
+        # train the unrolled-GD logistic model on the gate-surviving
+        # reference with the heuristic-quality seed labels (the same
+        # bootstrap the DSIR stage uses), freeze the O(buckets) weight
+        # table, and record the feature geometry in meta — batch
+        # application must hash into the SAME bucket space (the
+        # frozen-meta rule)
+        if classifier != "logreg":
+            raise ValueError(
+                f"classifier must be None or 'logreg', got {classifier!r}"
+            )
+        from ..operators.textstats import logreg_train, quality_score
+
+        wts = logreg_train(
+            clean.withColumn(
+                "_lbl", quality_score(F.col(text_col)) >= 0.5
+            ),
+            "_lbl",
+            id_col,
+            text_col,
+            n_buckets=classifier_n_buckets,
+            steps=classifier_steps,
+            lr=classifier_lr,
+        )
+        c4 = model.logreg.overwrite(wts)
+        meta.update(
+            {
+                "classifier": "logreg",
+                "classifier_n_buckets": classifier_n_buckets,
+                "classifier_steps": classifier_steps,
+                "classifier_lr": classifier_lr,
+                "logreg_version": c4.version,
+            }
+        )
     model._write_meta(meta)
     return meta
 
@@ -460,6 +501,30 @@ def curate_batch(
                 int(meta["dsir_n_buckets"]),
             )
             .where(F.col("dsir_weight") >= F.lit(meta["dsir_threshold"]))
+            .select(id_col)
+        )
+        gated = scorable.join(keep, id_col, "left_semi").unionByName(
+            passthrough
+        )
+    if meta.get("classifier") == "logreg":
+        # frozen linear-classifier filter: score under the STORED
+        # weight table (broadcast, n_buckets rows) in the SAME hashed
+        # bucket space the fit recorded; keep pred_pos; unscorable
+        # rows pass through (the shared batch-stage invariant)
+        from ..operators.textstats import logreg_score
+
+        unscorable = F.col(id_col).isNull() | F.col(text_col).isNull()
+        passthrough = gated.where(unscorable)
+        scorable = gated.where(~unscorable)
+        keep = (
+            logreg_score(
+                scorable,
+                model.logreg.read(meta.get("logreg_version")),
+                id_col,
+                text_col,
+                int(meta["classifier_n_buckets"]),
+            )
+            .where(F.col("pred_pos"))
             .select(id_col)
         )
         gated = scorable.join(keep, id_col, "left_semi").unionByName(

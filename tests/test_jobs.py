@@ -1829,3 +1829,63 @@ def test_curate_corpus_sentence_spans_stage(spark):
     assert shared in out[1][0]
     assert shared not in out[2][0] and out[2][0] == uniq_b
     assert out[1][1] == "sa" and out[2][1] == "sb"
+
+
+def test_frozen_logreg_classifier_filter(spark, tmp_path):
+    """fit_reference_model(classifier='logreg') freezes the unrolled-GD
+    linear weight table; curate_batch applies pred_pos under the STORED
+    weights in the recorded bucket space: replays identical, the kept
+    set matches a direct logreg_score on the same gated frame, NULL
+    rows pass through, and an unknown classifier name raises."""
+    import pytest as _pytest
+
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.jobs.curate_corpus import (
+        quality_gate,
+        scrub_stage,
+    )
+    from delta_data_pipelines_spark.jobs.incremental_curate import (
+        FrozenCurationModel,
+        curate_batch,
+        fit_reference_model,
+    )
+    from delta_data_pipelines_spark.operators.textstats import logreg_score
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    heldout = docs.where(F.col("doc_id") % 19 == 0)
+    model = FrozenCurationModel(spark, str(tmp_path / "fzlr"))
+    meta = fit_reference_model(
+        model, ref, heldout, classifier="logreg", classifier_n_buckets=32
+    )
+    assert meta["classifier"] == "logreg"
+    assert meta["classifier_n_buckets"] == 32
+    assert model.logreg.exists()
+    # bias + at most 32 buckets
+    assert model.logreg.read().count() <= 33
+
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    out1 = sorted(r["doc_id"] for r in curate_batch(batch, model).collect())
+    out2 = sorted(r["doc_id"] for r in curate_batch(batch, model).collect())
+    assert out1 == out2 and out1
+
+    # the classifier floor is really applied: recompute the expected
+    # negative set with the stored weights over the same gated frame
+    gated = quality_gate(scrub_stage(batch, "text"), "text")
+    neg = {
+        r["doc_id"]
+        for r in logreg_score(gated, model.logreg.read(), "doc_id", "text", 32)
+        .where(~F.col("pred_pos"))
+        .collect()
+    }
+    assert not (set(out1) & neg)
+
+    with _pytest.raises(ValueError, match="logreg"):
+        fit_reference_model(
+            FrozenCurationModel(spark, str(tmp_path / "bad")),
+            ref,
+            heldout,
+            classifier="fasttext",
+        )
