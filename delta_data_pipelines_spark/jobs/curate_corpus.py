@@ -171,6 +171,8 @@ def quality_gate(
     dup_coverage_cap: tuple[int, float] | None = None,
     dup_line_cap: float | None = None,
     dup_line_char_cap: float | None = None,
+    dup_paragraph_cap: float | None = None,
+    dup_paragraph_char_cap: float | None = None,
 ) -> DataFrame:
     """Gopher-rules gate: length window + repetition caps + composite
     quality floor, evaluated on unrounded signals in one projection.
@@ -200,7 +202,11 @@ def quality_gate(
     Lines split on ``\\n`` — the unit C4 and the main-content
     extractor emit — so these caps belong BEFORE the pipeline's
     whitespace normalization; like the coverage rule they run on the
-    cheap-rule survivors."""
+    cheap-rule survivors. ``dup_paragraph_cap`` /
+    ``dup_paragraph_char_cap`` are the same rules at PARAGRAPH
+    granularity (blank-line-separated ``\\n\\n`` units — Rae et al.
+    §A1.1 runs both; published caps 0.30 / 0.20): same operators,
+    coarser unit."""
     t = F.col(text_col)
     gated = (
         docs.withColumn("_ntok", token_count_ws(t))
@@ -215,22 +221,26 @@ def quality_gate(
         )
         .drop("_ntok", "_dup", "_topbg")
     )
-    if dup_line_cap is not None or dup_line_char_cap is not None:
+    for sep, frac_cap, char_cap in (
+        ("\n", dup_line_cap, dup_line_char_cap),
+        ("\n\n", dup_paragraph_cap, dup_paragraph_char_cap),
+    ):
+        if frac_cap is None and char_cap is None:
+            continue
         from ..operators.textstats import (
             dup_line_char_fraction_from_lines,
             dup_line_fraction_from_lines,
         )
 
-        staged_l = gated.select("*", F.split(t, "\n").alias("_ls"))
+        staged_l = gated.select("*", F.split(t, sep).alias("_ls"))
         keep = F.lit(True)
-        if dup_line_cap is not None:
+        if frac_cap is not None:
             keep = keep & (
-                dup_line_fraction_from_lines(F.col("_ls")) <= dup_line_cap
+                dup_line_fraction_from_lines(F.col("_ls")) <= frac_cap
             )
-        if dup_line_char_cap is not None:
+        if char_cap is not None:
             keep = keep & (
-                dup_line_char_fraction_from_lines(F.col("_ls"))
-                <= dup_line_char_cap
+                dup_line_char_fraction_from_lines(F.col("_ls")) <= char_cap
             )
         gated = staged_l.where(keep).drop("_ls")
     if dup_coverage_cap is None:

@@ -2963,6 +2963,23 @@ def test_quality_gate_line_caps(spark):
     }
     assert capped == {1}
 
+    # paragraph granularity: the same lines arranged as DISTINCT
+    # single-line paragraphs pass the line caps but repeated
+    # paragraphs (blank-line units) trip the paragraph caps
+    rows_p = [
+        (1, "\n\n".join(clean_lines)),
+        (2, "\n\n".join([dup_line + "\n" + clean_lines[0]] * 3)),
+    ]
+    dfp = spark.createDataFrame(rows_p, "doc_id long, text string")
+    pcapped = {
+        r["doc_id"]
+        for r in quality_gate(
+            dfp, dup_paragraph_cap=0.3, dup_paragraph_char_cap=0.2,
+            **relaxed,
+        ).collect()
+    }
+    assert pcapped == {1}
+
 
 def test_logreg_classifier_separates(spark):
     """Two unrolled GD steps on hashed presence features must separate
