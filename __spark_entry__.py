@@ -85,6 +85,12 @@ _PRIORITY = [
     # the unrolled-GD linear quality classifier — first driver rows
     # (tail seats yielded by txt_vocab_topk and txt_unigram_logprob)
     "txt_gopher_lines", "td_logreg_quality",
+    # re-seated: its OUTPUT VALUES changed this round (kept blocks now
+    # join with newlines; oracle updated in step) — the window rule is
+    # "changed values: prior greens don't carry", exactly the class
+    # the unigram pair's r8-r10 reds taught (txt_tfidf_top_term
+    # yielded the seat)
+    "txt_main_content",
     # stalest x2 veterans: last green r7
     "a_histogram", "ds_stratified_sample", "ds_temperature_mix",
     "sim_kmeans", "sim_semantic_dedup_audit", "sk_kmv_distinct",
@@ -94,10 +100,10 @@ _PRIORITY = [
     "td_length_balance", "tpch_q11", "tpch_q15", "tpch_q17",
     "tpch_q20", "tpch_q21", "tpch_q7", "tpch_q8", "tpch_q9",
     "txt_bm25_topk", "txt_boilerplate", "txt_langid_confusion",
-    "txt_pii_scrub", "txt_repetition", "txt_tfidf_top_term",
-    # txt_vocab_topk and txt_unigram_logprob (x2, last green r7)
-    # yielded their seats to the two new r12 queries; next-stalest
-    # in line for r13
+    "txt_pii_scrub", "txt_repetition",
+    # txt_vocab_topk, txt_unigram_logprob and txt_tfidf_top_term (x2,
+    # last green r7) yielded seats to the two new r12 queries and the
+    # changed-values txt_main_content re-seat; next-stalest for r13
 ]
 
 

@@ -208,11 +208,18 @@ def quality_gate(
     §A1.1 runs both; published caps 0.30 / 0.20): same operators,
     coarser unit."""
     t = F.col(text_col)
+    # word-based signals score a line-break-NORMALIZED view (so
+    # "end.\nstart" never fuses into one token on \n-structured
+    # corpora) while the published column — and the line/paragraph
+    # caps, which need the \n units — read the raw text. No-op on
+    # single-line corpora (the sf fixtures), so the oracle-checked
+    # twins are unaffected.
+    t_sig = F.translate(t, "\n", " ")
     gated = (
-        docs.withColumn("_ntok", token_count_ws(t))
-        .withColumn("_dup", _dup_token_ratio_raw(t))
-        .withColumn("_topbg", _top_bigram_ratio_raw(t))
-        .withColumn("quality", quality_score(t))
+        docs.withColumn("_ntok", token_count_ws(t_sig))
+        .withColumn("_dup", _dup_token_ratio_raw(t_sig))
+        .withColumn("_topbg", _top_bigram_ratio_raw(t_sig))
+        .withColumn("quality", quality_score(t_sig))
         .where(
             F.col("_ntok").between(min_tokens, max_tokens)
             & (F.col("_dup") <= dup_token_cap)
@@ -232,7 +239,15 @@ def quality_gate(
             dup_line_fraction_from_lines,
         )
 
-        staged_l = gated.select("*", F.split(t, sep).alias("_ls"))
+        # drop EMPTY units before the fold: split('\n') on blank-line-
+        # separated paragraphs yields one '' per paragraph break, and
+        # counting those as repeat occurrences rejected any normally
+        # formatted >=5-paragraph doc on separators alone (n paras ->
+        # (n-2)/(2n-1) "dup lines" > the 0.30 cap at n=5)
+        staged_l = gated.select(
+            "*",
+            F.filter(F.split(t, sep), lambda x: x != "").alias("_ls"),
+        )
         keep = F.lit(True)
         if frac_cap is not None:
             keep = keep & (
@@ -252,7 +267,7 @@ def quality_gate(
     )
 
     n, cap = dup_coverage_cap
-    staged = gated.select("*", F.split(t, " ").alias("_w"))
+    staged = gated.select("*", F.split(t_sig, " ").alias("_w"))
     staged = staged.select(
         "*", sorted_grams_with_pos(F.col("_w"), n).alias("_srt")
     )
@@ -292,12 +307,16 @@ def lang_quality_gate(
             "lang_col='lang_routed' to route on it, or rename it "
             "before gating"
         )
-    base = docs if lang_col else docs.withColumn(routed, lang_id(t))
+    # signals and heuristic routing score a line-break-normalized
+    # view (the quality_gate discipline); the published column is
+    # never rewritten
+    t_sig = F.translate(t, "\n", " ")
+    base = docs if lang_col else docs.withColumn(routed, lang_id(t_sig))
     sig = (
-        base.withColumn("_ntok", token_count_ws(t))
-        .withColumn("_dup", _dup_token_ratio_raw(t))
-        .withColumn("_topbg", _top_bigram_ratio_raw(t))
-        .withColumn("quality", quality_score(t))
+        base.withColumn("_ntok", token_count_ws(t_sig))
+        .withColumn("_dup", _dup_token_ratio_raw(t_sig))
+        .withColumn("_topbg", _top_bigram_ratio_raw(t_sig))
+        .withColumn("quality", quality_score(t_sig))
     )
     joined, th = langcurate.join_thresholds(sig, routed, gates)
     keep = langcurate.gate_keep_expr(
@@ -342,7 +361,18 @@ def lang_lm_filter_stage(
     )
     passthrough = docs.where(unscorable)
     scorable = docs.where(~unscorable)
-    scores = langcurate.lang_lm_scores(scorable, id_col, text_col, lang_col)
+    # normalized scoring view, published column untouched (the
+    # lm_filter_stage discipline)
+    scores = langcurate.lang_lm_scores(
+        scorable.select(
+            id_col,
+            lang_col,
+            F.translate(F.col(text_col), "\n", " ").alias(text_col),
+        ),
+        id_col,
+        text_col,
+        lang_col,
+    )
     kept_ids = langcurate.lang_lm_threshold_cut(
         scores, tail=drop_fraction
     ).select(id_col)
@@ -394,9 +424,18 @@ def lm_filter_stage(
     unscorable = F.col(id_col).isNull() | F.col(text_col).isNull()
     passthrough = docs.where(unscorable)
     scorable = docs.where(~unscorable)
-    scores = unigram_logprob_scores(scorable, id_col, text_col).select(
-        id_col, F.col("avg_logprob").alias("_avg_lp")
-    )
+    # score a line-break-normalized VIEW (id + normalized text only):
+    # the LM explode splits on single spaces, and "end.\nstart" must
+    # not score as one rare fused token; the published column re-
+    # enters untouched via the semi-join
+    scores = unigram_logprob_scores(
+        scorable.select(
+            id_col,
+            F.translate(F.col(text_col), "\n", " ").alias(text_col),
+        ),
+        id_col,
+        text_col,
+    ).select(id_col, F.col("avg_logprob").alias("_avg_lp"))
     thr = scores.agg(
         F.expr(f"percentile(_avg_lp, {drop_fraction})").alias("_thr")
     )
@@ -721,18 +760,24 @@ def dsir_stage(
     unscorable = F.col(id_col).isNull() | F.col(text_col).isNull()
     passthrough = docs.where(unscorable)
     scorable = docs.where(~unscorable)
+    # features hash from a line-break-normalized VIEW (the lm_filter
+    # discipline — "end.\nstart" must not hash as one fused n-gram);
+    # the published column re-enters untouched via the semi-join
+    view = scorable.select(
+        id_col, F.translate(F.col(text_col), "\n", " ").alias(text_col)
+    )
     if target is None:
         # in-corpus seed target: the flagged form fits both bucket
         # models out of ONE exploded pass instead of two
         w = dsir.dsir_weights_flagged(
-            scorable,
+            view,
             quality_score(F.col(text_col)) >= 0.5,
             id_col,
             text_col,
             n_buckets,
         )
     else:
-        w = dsir.dsir_weights(scorable, target, id_col, text_col, n_buckets)
+        w = dsir.dsir_weights(view, target, id_col, text_col, n_buckets)
     kept = dsir.gumbel_topk(w, id_col, "dsir_weight", k=keep).select(id_col)
     return scorable.join(kept, id_col, "left_semi").unionByName(passthrough)
 
@@ -805,6 +850,17 @@ def curate_corpus(
     dedup, so the expensive pairwise stages only see the selected
     subset.
 
+    Line-structure contract: the published ``text_col`` is NEVER
+    whitespace-rewritten by this pipeline — gates and LM stages score
+    line-break-normalized VIEWS of the text. Caveat: the rewrite-
+    family stages (``sentence_spans`` / ``exact_substr`` /
+    ``dedup_passages``) tokenize on single spaces, so on
+    ``\\n``-structured corpora a duplicated run straddling a line
+    break is seen as containing one fused token (slight
+    under-detection, never corruption); docs those stages DO rewrite
+    re-assemble space-joined, docs they don't touch keep their raw
+    text via the anti-join re-entry.
+
     ``funnel``: pass an empty dict to collect the per-stage surviving
     doc counts (insertion order = stage order — the FineWeb-style
     retention report); each instrumented stage is eagerly
@@ -854,15 +910,14 @@ def curate_corpus(
         # line cleaning before the gate: quality must be scored on the
         # lines that will actually be published
         staged = _tick(c4_stage(staged, id_col, text_col), "c4_clean")
-    # C4 (and the main-content extractor feeding --warc-in) emit one
-    # LINE per kept unit; every downstream stage is word-based and
-    # splits on single spaces, so collapse line breaks here — without
-    # this, boundary words fuse across lines ("end.\nstart" scores as
-    # one token) in the gate signals, the LM explode, and the
-    # sentencizer. No-op for single-line corpora (the sf fixtures).
-    staged = staged.withColumn(
-        text_col, F.translate(F.col(text_col), "\n", " ")
-    )
+    # Published text keeps its LINE structure (C4 and the main-content
+    # extractor emit one line per kept unit; a destructive \n->space
+    # rewrite here both flattened every published corpus and silently
+    # disabled the line-duplicate caps — the r12 review finding). The
+    # cross-line token-fusion problem ("end.\nstart" scoring as one
+    # token) is handled at each stage's TOKENIZATION instead: the
+    # gates and LM stages normalize the text view they score, never
+    # the column they publish.
     if lang_aware:
         gated = lang_quality_gate(
             staged, text_col, lang_col=lang_col, gates=lang_gates
@@ -1004,7 +1059,12 @@ def curate_corpus(
 
         n = F.when(
             F.col(text_col).isNotNull(),
-            F.size(F.expr(f"filter(split({text_col}, ' '), w -> w != '')")),
+            F.size(
+                F.expr(
+                    f"filter(split(translate({text_col}, '\\n', ' '), ' '),"
+                    " w -> w != '')"
+                )
+            ),
         )
         split = split.localCheckpoint(eager=True)
         packed = best_fit_pack(

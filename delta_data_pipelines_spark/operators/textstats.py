@@ -349,18 +349,10 @@ def lines_from_words(w: Column, k: int) -> Column:
     sentence derivation in ``dedup_sentence_spans``). Real crawl text
     has real lines: callers with ``\\n``-structured input pass
     ``F.split(text, "\\n")`` to the ``*_from_lines`` signals directly.
-    The ``when`` guard keeps the generated ``sequence`` ascending
-    (sequence(0, -1) DESCENDS in Spark at size 0)."""
-    return F.when(
-        F.size(w) >= 1,
-        F.transform(
-            F.sequence(
-                F.lit(0),
-                (F.ceil(F.size(w) / F.lit(float(k))) - 1).cast("int"),
-            ),
-            lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    A semantic alias of :func:`passage_segments_from_words` (the
+    tiling-dedup segmenter) — one shared body, one empty-array
+    guard."""
+    return passage_segments_from_words(w, k)
 
 
 def dup_line_fraction_from_lines(lines: Column) -> Column:
@@ -886,16 +878,28 @@ def logreg_train(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     nd = feats.select(id_col).distinct().agg(F.count("*").alias("_nd"))
 
-    def new_weights(resid_df: DataFrame) -> DataFrame:
+    def new_weights(
+        resid_df: DataFrame, prev: DataFrame | None
+    ) -> DataFrame:
+        """One GD update: w ← w_prev − lr·∇/n. Every bucket with a
+        feature row gets a gradient row, and prev (from the same
+        feature set) covers the same buckets — the left join +
+        coalesce(0) is for step 1's implicit w = 0."""
         grads = (
             feats.join(resid_df, id_col)
             .groupBy("_bucket")
             .agg(F.sum(F.col("_resid").cast("decimal(28,6)")).alias("_gr"))
-        )
-        return grads.crossJoin(F.broadcast(nd)).select(
+        ).crossJoin(F.broadcast(nd))
+        if prev is not None:
+            grads = grads.join(F.broadcast(prev), "_bucket", "left")
+        else:
+            grads = grads.withColumn("_wt", F.lit(None).cast("double"))
+        return grads.select(
             "_bucket",
             F.round(
-                -lr * F.col("_gr").cast("double") / F.col("_nd"), 6
+                F.coalesce(F.col("_wt"), F.lit(0.0))
+                - lr * F.col("_gr").cast("double") / F.col("_nd"),
+                6,
             ).alias("_wt"),
         )
 
@@ -903,7 +907,8 @@ def logreg_train(
     weights = new_weights(
         feats.select(id_col, (F.lit(0.5) - F.col("_y")).alias("_resid"))
         .groupBy(id_col)
-        .agg(F.first("_resid").alias("_resid"))
+        .agg(F.first("_resid").alias("_resid")),
+        None,
     ).localCheckpoint(eager=True)
     for _ in range(steps - 1):
         z = (
@@ -931,7 +936,7 @@ def logreg_train(
                 - F.col("_y")
             ).alias("_resid"),
         )
-        weights = new_weights(resid).localCheckpoint(eager=True)
+        weights = new_weights(resid, weights).localCheckpoint(eager=True)
     return weights.select(
         F.col("_bucket").alias("bucket"), F.col("_wt").alias("weight")
     )
@@ -975,12 +980,20 @@ def passage_segments_from_words(w: Column, n: int = 10) -> Column:
     inside a ``transform`` lambda, and lambda bodies get no codegen
     subexpression elimination — an inline ``split(text)`` there is
     re-evaluated once per segment (measured 1.7× slower on the tiling
-    explode at sf0.1), while an attribute reference is free."""
+    explode at sf0.1), while an attribute reference is free.
+
+    The ``when`` guard keeps the generated ``sequence`` ascending:
+    for an EMPTY word array (a caller that pre-filters empty tokens),
+    sequence(0, -1) DESCENDS in Spark — without the guard the
+    segmenter emitted two bogus empty segments at size 0."""
     n_seg = F.ceil(F.size(w) / F.lit(n)).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), n_seg - F.lit(1)),
-        lambda i: F.array_join(F.slice(w, i * n + 1, n), " "),
-    )
+    return F.when(
+        F.size(w) >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_seg - F.lit(1)),
+            lambda i: F.array_join(F.slice(w, i * n + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def passage_segments(text: Column, n: int = 10) -> Column:

@@ -5098,8 +5098,12 @@ ORACLE_SQL = {
             SELECT f.bucket, SUM(CAST(r.resid AS DECIMAL(28,6))) AS gr
             FROM feats f JOIN r1 r USING (doc_id) GROUP BY f.bucket
         ), w2 AS MATERIALIZED (
-            SELECT bucket, ROUND(-0.5 * CAST(gr AS DOUBLE) / n, 6) AS wt
-            FROM g2 CROSS JOIN nd
+            -- true GD: w2 = w1 - lr*grad(w1)/n (dropping w1 here is
+            -- the fixed-point-of-(-lr*grad) bug the r12 review caught)
+            SELECT g2.bucket,
+                   ROUND(COALESCE(w1.wt, 0.0)
+                         - 0.5 * CAST(g2.gr AS DOUBLE) / n, 6) AS wt
+            FROM g2 LEFT JOIN w1 USING (bucket) CROSS JOIN nd
         ), sfeats AS (
             SELECT doc_id,
                    unnest(list_append(list_distinct(list_transform(

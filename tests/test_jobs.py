@@ -1421,11 +1421,11 @@ def test_curate_corpus_c4_and_blocklist_stages_wire_through(spark):
     assert 98 not in got and 99 not in got
     assert 1 in got
     assert "javascript" not in got[1]          # junk line cleaned away
-    # the 3 kept lines publish whitespace-NORMALIZED (line breaks
-    # collapse to spaces after the C4 stage: every downstream stage
-    # splits words on single spaces, and "end.\nstart" must not fuse)
-    assert got[1].count("\n") == 0
-    assert got[1].count(".") == 3              # 3 kept sentences remain
+    # published text KEEPS its line structure (the r12 review: a
+    # destructive \n->space rewrite disabled the line-duplicate caps
+    # and flattened every published corpus; stages normalize the view
+    # they SCORE instead)
+    assert got[1].count("\n") == 2             # 3 kept lines remain
 
 
 def test_c4_stage_null_text_passes_through_one_scan(spark):

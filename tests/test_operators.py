@@ -2963,6 +2963,25 @@ def test_quality_gate_line_caps(spark):
     }
     assert capped == {1}
 
+    # separator regression: a normally formatted multi-paragraph doc
+    # (unique content, blank-line separators) must NOT trip the line
+    # cap — the '' lines between paragraphs are separators, not
+    # duplicate lines
+    five_paras = "\n\n".join(
+        " ".join(f"{stops[j % 8]} p{i}w{j}" for j in range(10))
+        for i in range(5)
+    )
+    df_sep = spark.createDataFrame(
+        [(1, five_paras)], "doc_id long, text string"
+    )
+    kept_sep = {
+        r["doc_id"]
+        for r in quality_gate(
+            df_sep, dup_line_cap=0.3, dup_line_char_cap=0.2, **relaxed
+        ).collect()
+    }
+    assert kept_sep == {1}
+
     # paragraph granularity: the same lines arranged as DISTINCT
     # single-line paragraphs pass the line caps but repeated
     # paragraphs (blank-line units) trip the paragraph caps
@@ -3022,3 +3041,34 @@ def test_logreg_classifier_separates(spark):
     assert out["pred_pos"] is True
     # n_features counts distinct buckets + bias
     assert out["n_features"] <= 4
+
+
+def test_logreg_steps_accumulate(spark):
+    """The update is TRUE gradient descent (w2 = w1 - lr*grad(w1)/n),
+    not the fixed-point-of-(-lr*grad) recurrence the r12 review
+    caught: on a separable corpus each extra step moves the weights
+    FURTHER from zero (shrinking residuals shrink the gradient, so a
+    recurrence that drops w_prev stagnates instead)."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.operators.textstats import logreg_train
+
+    rows = [
+        (i, " ".join(["good"] * 8), True) for i in range(1, 7)
+    ] + [(10 + i, " ".join(["spam"] * 8), False) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lbl boolean")
+
+    def bias_magnitude(steps):
+        wts = {
+            r["bucket"]: r["weight"]
+            for r in logreg_train(
+                df, "lbl", n_buckets=16, steps=steps
+            ).collect()
+        }
+        # the two vocab buckets carry opposite-sign weights; use the
+        # positive one's magnitude
+        return max(abs(v) for b, v in wts.items() if b != -1)
+
+    m1, m2, m4 = (bias_magnitude(s) for s in (1, 2, 4))
+    assert m2 > m1 * 1.5, (m1, m2)
+    assert m4 > m2 * 1.3, (m2, m4)
