@@ -265,6 +265,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="with --classifier: hashed feature bucket "
                     "count (frozen into meta — batch scoring must "
                     "hash into the same space)")
+    fm.add_argument("--classifier-keep", type=float, default=0.5,
+                    metavar="FRACTION",
+                    help="with --classifier: freeze the keep threshold "
+                    "at the reference's (1-FRACTION) score percentile "
+                    "(calibrated floor — never the raw logit sign)")
     fm.add_argument("--lang-aware", action="store_true",
                     help="freeze PER-LANGUAGE gates and LM thresholds "
                     "(CCNet shape): (lang, token, tf) unigram table, "
@@ -738,6 +743,7 @@ def main(argv: list[str] | None = None) -> int:
             dsir_keep_fraction=args.dsir_keep,
             classifier=args.classifier,
             classifier_n_buckets=args.classifier_buckets,
+            classifier_keep_fraction=args.classifier_keep,
             lang_aware=args.lang_aware, lang_col=args.lang_col,
         )
         print(json.dumps({"job": "fit-curation-model", **res}))

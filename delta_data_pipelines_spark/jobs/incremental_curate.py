@@ -176,6 +176,7 @@ def fit_reference_model(
     classifier_n_buckets: int = 64,
     classifier_steps: int = 2,
     classifier_lr: float = 0.5,
+    classifier_keep_fraction: float = 0.5,
     lang_aware: bool = False,
     lang_col: str | None = None,
     lang_gates: dict | None = None,
@@ -364,12 +365,22 @@ def fit_reference_model(
         # bootstrap the DSIR stage uses), freeze the O(buckets) weight
         # table, and record the feature geometry in meta — batch
         # application must hash into the SAME bucket space (the
-        # frozen-meta rule)
+        # frozen-meta rule). The keep threshold is CALIBRATED, not the
+        # raw logit sign: the frozen floor is the reference corpus's
+        # own (1 - keep_fraction) score percentile (the DSIR-stage
+        # discipline) — a hard pred_pos cut degenerates to drop-all /
+        # keep-all whenever the hashed features can't separate the
+        # seed labels, while a percentile floor always keeps the
+        # best-scoring fraction.
         if classifier != "logreg":
             raise ValueError(
                 f"classifier must be None or 'logreg', got {classifier!r}"
             )
-        from ..operators.textstats import logreg_train, quality_score
+        from ..operators.textstats import (
+            logreg_score,
+            logreg_train,
+            quality_score,
+        )
 
         wts = logreg_train(
             clean.withColumn(
@@ -383,12 +394,23 @@ def fit_reference_model(
             lr=classifier_lr,
         )
         c4 = model.logreg.overwrite(wts)
+        stored_wts = model.logreg.read(c4.version)
+        ref_scores = logreg_score(
+            clean, stored_wts, id_col, text_col, classifier_n_buckets
+        )
+        clf_thr = ref_scores.agg(
+            F.expr(
+                f"percentile(lr_score, {1.0 - classifier_keep_fraction})"
+            ).alias("thr")
+        ).collect()[0]["thr"]
         meta.update(
             {
                 "classifier": "logreg",
                 "classifier_n_buckets": classifier_n_buckets,
                 "classifier_steps": classifier_steps,
                 "classifier_lr": classifier_lr,
+                "classifier_keep_fraction": classifier_keep_fraction,
+                "classifier_threshold": float(clf_thr),
                 "logreg_version": c4.version,
             }
         )
@@ -509,8 +531,10 @@ def curate_batch(
     if meta.get("classifier") == "logreg":
         # frozen linear-classifier filter: score under the STORED
         # weight table (broadcast, n_buckets rows) in the SAME hashed
-        # bucket space the fit recorded; keep pred_pos; unscorable
-        # rows pass through (the shared batch-stage invariant)
+        # bucket space the fit recorded; keep scores at or above the
+        # reference-calibrated percentile floor (never the raw logit
+        # sign — see the fit's calibration note); unscorable rows
+        # pass through (the shared batch-stage invariant)
         from ..operators.textstats import logreg_score
 
         unscorable = F.col(id_col).isNull() | F.col(text_col).isNull()
@@ -524,7 +548,9 @@ def curate_batch(
                 text_col,
                 int(meta["classifier_n_buckets"]),
             )
-            .where(F.col("pred_pos"))
+            .where(
+                F.col("lr_score") >= F.lit(meta["classifier_threshold"])
+            )
             .select(id_col)
         )
         gated = scorable.join(keep, id_col, "left_semi").unionByName(

@@ -1833,10 +1833,14 @@ def test_curate_corpus_sentence_spans_stage(spark):
 
 def test_frozen_logreg_classifier_filter(spark, tmp_path):
     """fit_reference_model(classifier='logreg') freezes the unrolled-GD
-    linear weight table; curate_batch applies pred_pos under the STORED
+    linear weight table AND a reference-calibrated score percentile
+    (the DSIR-stage discipline — a raw pred_pos cut degenerates to
+    drop-all when hashed features can't separate the seed labels);
+    curate_batch keeps scores >= the frozen floor under the STORED
     weights in the recorded bucket space: replays identical, the kept
-    set matches a direct logreg_score on the same gated frame, NULL
-    rows pass through, and an unknown classifier name raises."""
+    set matches a direct logreg_score threshold on the same gated
+    frame, the reference's own keep rate tracks keep_fraction, and an
+    unknown classifier name raises."""
     import pytest as _pytest
 
     from delta_data_pipelines_spark.catalog import read_table
@@ -1862,6 +1866,7 @@ def test_frozen_logreg_classifier_filter(spark, tmp_path):
     )
     assert meta["classifier"] == "logreg"
     assert meta["classifier_n_buckets"] == 32
+    assert meta["classifier_threshold"] is not None
     assert model.logreg.exists()
     # bias + at most 32 buckets
     assert model.logreg.read().count() <= 33
@@ -1871,16 +1876,27 @@ def test_frozen_logreg_classifier_filter(spark, tmp_path):
     out2 = sorted(r["doc_id"] for r in curate_batch(batch, model).collect())
     assert out1 == out2 and out1
 
-    # the classifier floor is really applied: recompute the expected
-    # negative set with the stored weights over the same gated frame
+    # the calibrated floor is really applied: recompute the expected
+    # below-floor set with the stored weights over the same gated frame
     gated = quality_gate(scrub_stage(batch, "text"), "text")
-    neg = {
+    below = {
         r["doc_id"]
         for r in logreg_score(gated, model.logreg.read(), "doc_id", "text", 32)
-        .where(~F.col("pred_pos"))
+        .where(F.col("lr_score") < F.lit(meta["classifier_threshold"]))
         .collect()
     }
-    assert not (set(out1) & neg)
+    assert below, "fixture should have docs under the floor"
+    assert not (set(out1) & below)
+
+    # calibration: on the reference's own clean frame the floor keeps
+    # ~keep_fraction (exact up to percentile interpolation/ties)
+    ref_gated = quality_gate(scrub_stage(ref, "text"), "text")
+    rs = logreg_score(ref_gated, model.logreg.read(), "doc_id", "text", 32)
+    n = rs.count()
+    kept = rs.where(
+        F.col("lr_score") >= F.lit(meta["classifier_threshold"])
+    ).count()
+    assert abs(kept / n - 0.5) < 0.1, (kept, n)
 
     with _pytest.raises(ValueError, match="logreg"):
         fit_reference_model(
