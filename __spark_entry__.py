@@ -84,7 +84,7 @@ _PRIORITY = [
     # r12 new queries: Gopher line-granularity duplicate signals and
     # the unrolled-GD linear quality classifier — first driver rows
     # (tail seats yielded by txt_vocab_topk and txt_unigram_logprob)
-    "txt_gopher_lines", "td_logreg_quality",
+    "txt_gopher_lines", "td_logreg_quality", "td_classifier_agreement",
     # re-seated: its OUTPUT VALUES changed this round (kept blocks now
     # join with newlines; oracle updated in step) — the window rule is
     # "changed values: prior greens don't carry", exactly the class
@@ -100,10 +100,11 @@ _PRIORITY = [
     "td_length_balance", "tpch_q11", "tpch_q15", "tpch_q17",
     "tpch_q20", "tpch_q21", "tpch_q7", "tpch_q8", "tpch_q9",
     "txt_bm25_topk", "txt_boilerplate", "txt_langid_confusion",
-    "txt_pii_scrub", "txt_repetition",
-    # txt_vocab_topk, txt_unigram_logprob and txt_tfidf_top_term (x2,
-    # last green r7) yielded seats to the two new r12 queries and the
-    # changed-values txt_main_content re-seat; next-stalest for r13
+    "txt_pii_scrub",
+    # txt_vocab_topk, txt_unigram_logprob, txt_tfidf_top_term and
+    # txt_repetition (x2, last green r7) yielded seats to the three
+    # new r12 queries and the changed-values txt_main_content
+    # re-seat; next-stalest for r13
 ]
 
 

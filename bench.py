@@ -219,6 +219,9 @@ SHELF: list[str] = [
     # O(buckets) broadcast weights; the iterative-join family's
     # newest member
     "td_logreg_quality",
+    # r12: NB-vs-logreg agreement audit — two trained-classifier
+    # passes + one doc-keyed join to a single row
+    "td_classifier_agreement",
 ]
 HEADLINE = HEADLINE + SHELF
 if os.environ.get("SPARK_GRAFT_BENCH_FULL"):

@@ -2433,6 +2433,65 @@ def td_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_score(d, weights, "doc_id", "text", 64).orderBy("doc_id")
 
 
+def td_classifier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement audit between the two TRAINED quality classifiers —
+    naive-Bayes (closed form) and logistic regression (unrolled GD) —
+    fit on the same heuristic seed labels: the confusion cells, raw
+    agreement rate, and Cohen's kappa a pipeline owner reads before
+    swapping one filter for the other (high kappa: interchangeable;
+    low kappa with similar PR: they disagree on WHICH docs, so an
+    ensemble earns its cost). One row. Kappa's chance term uses the
+    classifiers' own positive rates; all counters are exact BIGINTs
+    and the two float divisions are written identically in the
+    oracle. Scale shape: both scorers are explode + broadcast-weight
+    joins + per-doc partial aggs; the audit joins two doc-keyed
+    score tables and aggregates to one row."""
+    from ..operators.textstats import (
+        logreg_score,
+        logreg_train,
+        nb_score,
+        nb_train,
+        quality_score,
+    )
+
+    d = dedup._spread(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", (quality_score(F.col("text")) >= 0.5).alias("_lbl")
+    )
+    nbw, prior = nb_train(d, "_lbl")
+    nb = nb_score(d, nbw, prior).select(
+        "doc_id", F.col("pred_pos").alias("_nb")
+    )
+    lrw = logreg_train(d, "_lbl", "doc_id", "text", n_buckets=64, steps=2)
+    lr = logreg_score(d, lrw, "doc_id", "text", 64).select(
+        "doc_id", F.col("pred_pos").alias("_lr")
+    )
+    cells = nb.join(lr, "doc_id").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(F.col("_nb") & F.col("_lr")).alias("n_both_pos"),
+        F.count_if(F.col("_nb") & ~F.col("_lr")).alias("n_nb_only"),
+        F.count_if(~F.col("_nb") & F.col("_lr")).alias("n_lr_only"),
+        F.count_if(~F.col("_nb") & ~F.col("_lr")).alias("n_both_neg"),
+    )
+    n = F.col("n_docs").cast("double")
+    po = (F.col("n_both_pos") + F.col("n_both_neg")) / n
+    nb_pos = (F.col("n_both_pos") + F.col("n_nb_only")).cast("double")
+    lr_pos = (F.col("n_both_pos") + F.col("n_lr_only")).cast("double")
+    pe = (
+        nb_pos * lr_pos + (n - nb_pos) * (n - lr_pos)
+    ) / (n * n)
+    return cells.select(
+        "n_docs",
+        "n_both_pos",
+        "n_nb_only",
+        "n_lr_only",
+        "n_both_neg",
+        F.round(po, 9).alias("agreement_rate"),
+        F.round(
+            (po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0)), 9
+        ).alias("kappa"),
+    )
+
+
 def td_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023) over hashed n-gram
     features: target = the heuristic-quality seed set (quality ≥ 0.5,
@@ -2865,6 +2924,7 @@ SPARK_QUERIES = {
     "ds_weighted_sample": ds_weighted_sample,
     "td_quality_classifier": td_quality_classifier,
     "td_logreg_quality": td_logreg_quality,
+    "td_classifier_agreement": td_classifier_agreement,
     "td_dsir_weights": td_dsir_weights,
     "ds_dsir_sample": ds_dsir_sample,
     "td_source_drift": td_source_drift,
@@ -2915,6 +2975,72 @@ _MD5_BUCKET = (
 # Laplace counts, round-9 log-odds, DECIMAL(28,9) doc sums. Ends in
 # `lab(doc_id, text, pos)`, `prior(lp)`, `scored(doc_id,
 # n_scored_tokens, s)` — exactly textstats.nb_train/nb_score.
+_LOGREG_SCORED_CTES = """lrb AS (
+            SELECT doc_id, text, string_split(text, ' ') AS w,
+                   regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')
+                       AS stripped
+            FROM documents
+        ), lrlab AS (
+            SELECT doc_id, text, w,
+                   (ROUND(0.4 * (len(list_filter(w, x -> x IN
+                             ('the','a','of','and','to','in','is','it')))
+                             / CAST(NULLIF(len(w), 0) AS DOUBLE))
+                       + 0.4 * LEAST(len(w) / 64.0, 1.0)
+                       + 0.2 * (1 - (length(text) - length(stripped))
+                             / CAST(NULLIF(length(text), 0) AS DOUBLE)),
+                       9) >= 0.5) AS pos
+            FROM lrb
+        ), feats AS (
+            SELECT doc_id,
+                   CASE WHEN pos THEN 1.0 ELSE 0.0 END AS y,
+                   unnest(list_append(list_distinct(list_transform(
+                       list_filter(w, x -> x <> ''),
+                       t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 64)),
+                       -1)) AS bucket
+            FROM lrlab WHERE pos IS NOT NULL AND text IS NOT NULL
+        ), nd AS (
+            SELECT COUNT(DISTINCT doc_id) AS n FROM feats
+        ), g1 AS (
+            SELECT bucket, SUM(CAST(0.5 - y AS DECIMAL(28,6))) AS gr
+            FROM feats GROUP BY bucket
+        ), w1 AS (
+            SELECT bucket, ROUND(-0.5 * CAST(gr AS DOUBLE) / n, 6) AS wt
+            FROM g1 CROSS JOIN nd
+        ), z1 AS (
+            SELECT f.doc_id, f.y,
+                   SUM(CAST(COALESCE(w1.wt, 0.0) AS DECIMAL(28,6))) AS z
+            FROM feats f LEFT JOIN w1 USING (bucket)
+            GROUP BY f.doc_id, f.y
+        ), r1 AS (
+            SELECT doc_id,
+                   ROUND(1.0 / (1.0 +
+                       exp(-ROUND(CAST(z AS DOUBLE), 6))), 6) - y AS resid
+            FROM z1
+        ), g2 AS (
+            SELECT f.bucket, SUM(CAST(r.resid AS DECIMAL(28,6))) AS gr
+            FROM feats f JOIN r1 r USING (doc_id) GROUP BY f.bucket
+        ), w2 AS MATERIALIZED (
+            -- true GD: w2 = w1 - lr*grad(w1)/n (dropping w1 here is
+            -- the fixed-point-of-(-lr*grad) bug the r12 review caught)
+            SELECT g2.bucket,
+                   ROUND(COALESCE(w1.wt, 0.0)
+                         - 0.5 * CAST(g2.gr AS DOUBLE) / n, 6) AS wt
+            FROM g2 LEFT JOIN w1 USING (bucket) CROSS JOIN nd
+        ), sfeats AS (
+            SELECT doc_id,
+                   unnest(list_append(list_distinct(list_transform(
+                       list_filter(w, x -> x <> ''),
+                       t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 64)),
+                       -1)) AS bucket
+            FROM lrlab WHERE text IS NOT NULL
+        ), lrscored AS (
+            SELECT s.doc_id, COUNT(*) AS n_features,
+                   SUM(CAST(COALESCE(w2.wt, 0.0) AS DECIMAL(28,6))) AS s
+            FROM sfeats s LEFT JOIN w2 USING (bucket)
+            GROUP BY s.doc_id
+        )"""
+
+
 _NB_SCORED_CTES = """b AS (
             SELECT doc_id, text, string_split(text, ' ') AS w,
                    regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g') AS stripped
@@ -5047,79 +5173,56 @@ ORACLE_SQL = {
                (CAST(s AS DOUBLE) + lp >= 0) AS pred_pos
         FROM scored CROSS JOIN prior ORDER BY doc_id
     """,
-    # linear (logistic) sibling of the NB classifier: same seed
-    # labels, hashed unigram-presence buckets (the portable-md5
-    # device), two unrolled gradient steps — step 1 closed-form
-    # (w=0 ⇒ p=0.5), step 2 via the 6-dp-quantized sigmoid; decimal
-    # gradient/score sums, one ROUND per weight update
-    "td_logreg_quality": """
-        WITH b AS (
-            SELECT doc_id, text, string_split(text, ' ') AS w,
-                   regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')
-                       AS stripped
-            FROM documents
-        ), lab AS (
-            SELECT doc_id, text, w,
-                   (ROUND(0.4 * (len(list_filter(w, x -> x IN
-                             ('the','a','of','and','to','in','is','it')))
-                             / CAST(NULLIF(len(w), 0) AS DOUBLE))
-                       + 0.4 * LEAST(len(w) / 64.0, 1.0)
-                       + 0.2 * (1 - (length(text) - length(stripped))
-                             / CAST(NULLIF(length(text), 0) AS DOUBLE)),
-                       9) >= 0.5) AS pos
-            FROM b
-        ), feats AS (
-            SELECT doc_id,
-                   CASE WHEN pos THEN 1.0 ELSE 0.0 END AS y,
-                   unnest(list_append(list_distinct(list_transform(
-                       list_filter(w, x -> x <> ''),
-                       t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 64)),
-                       -1)) AS bucket
-            FROM lab WHERE pos IS NOT NULL AND text IS NOT NULL
-        ), nd AS (
-            SELECT COUNT(DISTINCT doc_id) AS n FROM feats
-        ), g1 AS (
-            SELECT bucket, SUM(CAST(0.5 - y AS DECIMAL(28,6))) AS gr
-            FROM feats GROUP BY bucket
-        ), w1 AS (
-            SELECT bucket, ROUND(-0.5 * CAST(gr AS DOUBLE) / n, 6) AS wt
-            FROM g1 CROSS JOIN nd
-        ), z1 AS (
-            SELECT f.doc_id, f.y,
-                   SUM(CAST(COALESCE(w1.wt, 0.0) AS DECIMAL(28,6))) AS z
-            FROM feats f LEFT JOIN w1 USING (bucket)
-            GROUP BY f.doc_id, f.y
-        ), r1 AS (
-            SELECT doc_id,
-                   ROUND(1.0 / (1.0 +
-                       exp(-ROUND(CAST(z AS DOUBLE), 6))), 6) - y AS resid
-            FROM z1
-        ), g2 AS (
-            SELECT f.bucket, SUM(CAST(r.resid AS DECIMAL(28,6))) AS gr
-            FROM feats f JOIN r1 r USING (doc_id) GROUP BY f.bucket
-        ), w2 AS MATERIALIZED (
-            -- true GD: w2 = w1 - lr*grad(w1)/n (dropping w1 here is
-            -- the fixed-point-of-(-lr*grad) bug the r12 review caught)
-            SELECT g2.bucket,
-                   ROUND(COALESCE(w1.wt, 0.0)
-                         - 0.5 * CAST(g2.gr AS DOUBLE) / n, 6) AS wt
-            FROM g2 LEFT JOIN w1 USING (bucket) CROSS JOIN nd
-        ), sfeats AS (
-            SELECT doc_id,
-                   unnest(list_append(list_distinct(list_transform(
-                       list_filter(w, x -> x <> ''),
-                       t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 64)),
-                       -1)) AS bucket
-            FROM lab WHERE text IS NOT NULL
-        ), scored AS (
-            SELECT s.doc_id, COUNT(*) AS n_features,
-                   SUM(CAST(COALESCE(w2.wt, 0.0) AS DECIMAL(28,6))) AS s
-            FROM sfeats s LEFT JOIN w2 USING (bucket)
-            GROUP BY s.doc_id
+    # NB-vs-logreg agreement: both shared CTE chains composed, exact
+    # BIGINT cells, the two float divisions written identically to
+    # the Spark expression (po, pe from the same int counters)
+    "td_classifier_agreement": f"""
+        WITH {_NB_SCORED_CTES}, {_LOGREG_SCORED_CTES},
+        nbp AS (
+            SELECT s.doc_id,
+                   (CAST(s.s AS DOUBLE) + p.lp >= 0) AS nb_pos
+            FROM scored s CROSS JOIN prior p
+        ), lrp AS (
+            SELECT doc_id, (s >= 0) AS lr_pos FROM lrscored
+        ), cells AS (
+            SELECT COUNT(*) AS n_docs,
+                   COUNT(*) FILTER (nb_pos AND lr_pos) AS n_both_pos,
+                   COUNT(*) FILTER (nb_pos AND NOT lr_pos) AS n_nb_only,
+                   COUNT(*) FILTER (NOT nb_pos AND lr_pos) AS n_lr_only,
+                   COUNT(*) FILTER (NOT nb_pos AND NOT lr_pos)
+                       AS n_both_neg
+            FROM nbp JOIN lrp USING (doc_id)
         )
+        SELECT n_docs, n_both_pos, n_nb_only, n_lr_only, n_both_neg,
+               ROUND((n_both_pos + n_both_neg)
+                     / CAST(n_docs AS DOUBLE), 9) AS agreement_rate,
+               ROUND(((n_both_pos + n_both_neg) / CAST(n_docs AS DOUBLE)
+                      - (CAST(n_both_pos + n_nb_only AS DOUBLE)
+                           * CAST(n_both_pos + n_lr_only AS DOUBLE)
+                         + (CAST(n_docs AS DOUBLE)
+                              - CAST(n_both_pos + n_nb_only AS DOUBLE))
+                           * (CAST(n_docs AS DOUBLE)
+                              - CAST(n_both_pos + n_lr_only AS DOUBLE)))
+                        / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+                     / NULLIF(1.0
+                       - (CAST(n_both_pos + n_nb_only AS DOUBLE)
+                            * CAST(n_both_pos + n_lr_only AS DOUBLE)
+                          + (CAST(n_docs AS DOUBLE)
+                               - CAST(n_both_pos + n_nb_only AS DOUBLE))
+                            * (CAST(n_docs AS DOUBLE)
+                               - CAST(n_both_pos + n_lr_only AS DOUBLE)))
+                         / (CAST(n_docs AS DOUBLE)
+                            * CAST(n_docs AS DOUBLE)), 0.0), 9) AS kappa
+        FROM cells
+    """,
+    # linear (logistic) sibling of the NB classifier: shared CTE
+    # chain (_LOGREG_SCORED_CTES — also consumed by the agreement
+    # audit, the shared-fragment discipline)
+    "td_logreg_quality": f"""
+        WITH {_LOGREG_SCORED_CTES}
         SELECT doc_id, n_features, CAST(s AS DOUBLE) AS lr_score,
                (s >= 0) AS pred_pos
-        FROM scored ORDER BY doc_id
+        FROM lrscored ORDER BY doc_id
     """,
     # PR sweep over the SAME trained model and seed labels (the shared
     # NB CTE chain): COUNT FILTER keeps the counters BIGINT
