@@ -26,11 +26,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def driver_history() -> dict[str, list[tuple[str, bool]]]:
-    """query -> [(round, green), ...] from CORRECTNESS_r*.json files."""
+def driver_history(through: int | None = None) -> dict[str, list[tuple[str, bool]]]:
+    """query -> [(round, green), ...] from CORRECTNESS_r*.json files.
+
+    ``through`` limits history to rounds <= through — used by the
+    staleness test to recount totals as of the round REGISTRY.md
+    says it was generated at (the driver runs post-commit, so at
+    judging time the newest CORRECTNESS file legitimately postdates
+    the committed registry by exactly one round)."""
     hist: dict[str, list[tuple[str, bool]]] = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = f.rsplit("_r", 1)[1].split(".")[0]
+        if through is not None and int(rnd) > through:
+            continue
         with open(f) as fh:
             for q, r in json.load(fh).items():
                 ok = bool(
