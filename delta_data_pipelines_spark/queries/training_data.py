@@ -2445,7 +2445,14 @@ def td_classifier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the two float divisions are written identically in the
     oracle. Scale shape: both scorers are explode + broadcast-weight
     joins + per-doc partial aggs; the audit joins two doc-keyed
-    score tables and aggregates to one row."""
+    score tables and aggregates to one row. The labeled frame has
+    FOUR consumers (nb_train, nb_score, logreg_train, logreg_score),
+    so it is staged once with persist — the td_source_drift
+    multi-consumer discipline; without it the final plan re-reads the
+    documents scan and recomputes the full quality_score label
+    expression per consumer (3 avoidable corpus scans at 100 TB)."""
+    from pyspark.storagelevel import StorageLevel
+
     from ..operators.textstats import (
         logreg_score,
         logreg_train,
@@ -2454,8 +2461,14 @@ def td_classifier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score,
     )
 
-    d = dedup._spread(read_table(spark, sf_dir, "documents")).select(
-        "doc_id", "text", (quality_score(F.col("text")) >= 0.5).alias("_lbl")
+    d = (
+        dedup._spread(read_table(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            "text",
+            (quality_score(F.col("text")) >= 0.5).alias("_lbl"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nbw, prior = nb_train(d, "_lbl")
     nb = nb_score(d, nbw, prior).select(

@@ -696,3 +696,20 @@ def test_lang_lm_scores_no_window_over_vocab(spark):
     assert "BroadcastHashJoin" in plan, plan
     # partial sum for the per-language totals (map-side combine)
     assert "partial_sum" in plan, plan
+
+
+def test_classifier_agreement_scans_corpus_once(spark, registry):
+    """td_classifier_agreement: the labeled frame feeds FOUR consumers
+    (nb_train, nb_score, logreg_train, logreg_score) and must be
+    staged with persist — the td_source_drift discipline — so the
+    final plan holds exactly ONE documents scan (inside the cached
+    relation's definition) and every consumer reads the cache.
+    Without the persist the plan re-read the corpus and recomputed
+    the quality_score label expression per consumer: 3 avoidable
+    full-corpus scans at 100 TB (r12 verdict finding #2, measured
+    4.03s -> 3.35s at sf0.1)."""
+    plan = plan_of(spark, registry, "td_classifier_agreement")
+    assert plan.count("documents.parquet") <= 1, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
