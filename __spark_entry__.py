@@ -54,57 +54,50 @@ def _modules():
 # green in CORRECTNESS_r01.json) and keep running in the local mirror
 # (tools/check.py), which checks all of them.
 _PRIORITY = [
-    # r12 window (VERDICT r11 ask #3): every oracle-able query now has
-    # a green driver row, so rotation is pure aging — keep the
-    # flagship 3; keep the unigram pair (second CONSECUTIVE green
-    # proves the r11 fix stable across driver DuckDB versions); keep
-    # the four r11 first-rows for their second rounds; re-seat
-    # dd_ngram_jaccard + so_union (yielded their seats to the r11
-    # queries); fill the remaining 39 seats with the stalest x2
-    # veterans by LAST-GREEN round per the ledger — the 7 last green
-    # in r5 (the mm_* family, dd_embedding, ds_det_sample,
-    # txt_length_quantiles) and the 32 last green in r7 (the tpch
-    # tail, the temporal/t_* family, the r5-era text signals —
-    # txt_langid_confusion also re-proves its regenerated
-    # shared-fragment oracle). Everything rotated out holds >=2
-    # greens on unchanged code and stays mirror-checked every round
-    # by tools/check.py. Tail seats yield first to new r12 queries.
+    # r13 window (VERDICT r12 ask #2): keep the flagship 3; give the
+    # three r12 first-rows their SECOND driver rounds (the logreg
+    # pair's values changed late in r12 via the GD fix, and
+    # td_classifier_agreement's plan changed this round — persist,
+    # hash-neutral by mirror — so a second green row proves them
+    # stable); keep txt_main_content for its second consecutive green
+    # on the r12-changed values (the unigram-pair precedent); seat
+    # the NEW r13 ensemble-gate audit (first row); seat the four
+    # verdict-named next-stalest x2 veterans (yielded their r12
+    # seats); fill the remaining 38 seats with the stalest by
+    # (last-green round) per the ledger — the 12 last green in r4
+    # (the f_* scalar batch + the tpch tail), f_regex_extract_cast,
+    # the 22 last green in r5 (the a_* grouping family, the st_*
+    # streaming twins, the temporal joins, the tpch head), the two
+    # r5 x5 veterans, and dd_cluster (r6). Everything rotated out
+    # holds >=2 greens on unchanged code and stays mirror-checked
+    # every round by tools/check.py.
     # flagship
     "search_index_full", "search_index_incremental", "search_index_fetch_by_id",
-    # unigram pair, second consecutive green
-    "txt_unigram_encode", "txt_unigram_encode_words",
-    # r11 first-rows, second rounds
-    "td_lang_gate", "td_lang_keep_rate", "txt_gopher_repetition",
-    "td_dedup_sentence_spans",
-    # re-seated after yielding to the r11 queries
-    "dd_ngram_jaccard", "so_union",
-    # stalest x2 veterans: last green r5
-    "dd_embedding", "ds_det_sample", "mm_features", "mm_frames",
-    "mm_meta", "mm_resize", "txt_length_quantiles",
-    # r12 new queries: Gopher line-granularity duplicate signals and
-    # the unrolled-GD linear quality classifier — first driver rows
-    # (tail seats yielded by txt_vocab_topk and txt_unigram_logprob)
+    # r12 first-rows, second rounds
     "txt_gopher_lines", "td_logreg_quality", "td_classifier_agreement",
-    # re-seated: its OUTPUT VALUES changed this round (kept blocks now
-    # join with newlines; oracle updated in step) — the window rule is
-    # "changed values: prior greens don't carry", exactly the class
-    # the unigram pair's r8-r10 reds taught (txt_tfidf_top_term
-    # yielded the seat)
+    # second consecutive green on the r12-changed values
     "txt_main_content",
-    # stalest x2 veterans: last green r7
-    "a_histogram", "ds_stratified_sample", "ds_temperature_mix",
-    "sim_kmeans", "sim_semantic_dedup_audit", "sk_kmv_distinct",
-    "so_intersect", "t_funnel_stages", "t_gap_fill",
-    "t_retention_cohorts", "t_rolling_stats", "t_scd2_intervals",
-    "td_decontaminate", "td_dup_weights", "td_gopher_filter",
-    "td_length_balance", "tpch_q11", "tpch_q15", "tpch_q17",
-    "tpch_q20", "tpch_q21", "tpch_q7", "tpch_q8", "tpch_q9",
-    "txt_bm25_topk", "txt_boilerplate", "txt_langid_confusion",
-    "txt_pii_scrub",
-    # txt_vocab_topk, txt_unigram_logprob, txt_tfidf_top_term and
-    # txt_repetition (x2, last green r7) yielded seats to the three
-    # new r12 queries and the changed-values txt_main_content
-    # re-seat; next-stalest for r13
+    # NEW r13: ensemble-gate audit (NB+logreg AND/OR confusion vs the
+    # seed labels — the curate classifier="both" decision table)
+    "td_classifier_ensemble",
+    # next-stalest x2 veterans (yielded their seats in r12)
+    "txt_vocab_topk", "txt_unigram_logprob", "txt_tfidf_top_term",
+    "txt_repetition",
+    # stalest x3 veterans: last green r4
+    "f_age_build_year", "f_case_buckets", "f_json_struct",
+    "f_toman_parse", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q16",
+    "tpch_q18", "tpch_q19", "tpch_q22", "tpch_q6",
+    "f_regex_extract_cast",
+    # stalest x4 veterans: last green r5
+    "a_counters", "a_cube", "a_dynamic_pivot", "a_rollup",
+    "f_date_arithmetic", "f_enum_normalize", "f_json_navigation",
+    "f_relative_dates", "f_string_ops", "st_dedup",
+    "st_running_totals", "st_session_windows", "st_sliding_counts",
+    "st_windowed_counts", "t_asof_join", "t_asof_join_tolerance",
+    "t_range_join", "tpch_q1", "tpch_q10", "tpch_q3", "tpch_q4",
+    "tpch_q5",
+    # last green r5 (x5) and r6 (x5)
+    "f_translate", "txt_topk_per_source", "dd_cluster",
 ]
 
 

@@ -164,6 +164,13 @@ HEADLINE = [
     "td_lang_keep_rate",
     "txt_gopher_repetition",
     "td_dedup_sentence_spans",
+    # r12 shelf, promoted: the Gopher line-granularity signals and the
+    # unrolled-GD linear classifier (td_classifier_agreement stays on
+    # the shelf one more round: its code changed in r13 — the
+    # 4-consumer persist — so its baseline re-seats, per the
+    # changed-code re-baselining rule)
+    "txt_gopher_lines",
+    "td_logreg_quality",
 ]
 
 # RETIRED from the driver headline loop (r11 verdict ask #7): a query
@@ -210,18 +217,14 @@ HEADLINE = [q for q in HEADLINE if q not in RETIRED]
 # (short by construction) so the NEXT round's compare knows what to
 # exclude without needing this source file.
 SHELF: list[str] = [
-    # r12: Gopher line-granularity duplicate signals — per-row array
-    # folds (distinct diff + one sorted-run product fold) over one
-    # _spread() scan; map-only, joins the repetition family
-    "txt_gopher_lines",
-    # r12: unrolled-GD linear quality classifier — one staged feature
-    # explode + two (doc)/(bucket) partial-agg shuffles per step with
-    # O(buckets) broadcast weights; the iterative-join family's
-    # newest member
-    "td_logreg_quality",
-    # r12: NB-vs-logreg agreement audit — two trained-classifier
-    # passes + one doc-keyed join to a single row
+    # re-baselining (r13 code change): the agreement audit's labeled
+    # frame is now persisted across its four consumers — one corpus
+    # scan instead of four; expect ~3.4s at sf0.1 (was 4.0)
     "td_classifier_agreement",
+    # r13: ensemble-gate audit — the same two trained classifiers as
+    # the agreement audit (shared persisted labeled frame) + one
+    # 4-way stack unpivot to a 4-row confusion/precision/recall table
+    "td_classifier_ensemble",
 ]
 HEADLINE = HEADLINE + SHELF
 if os.environ.get("SPARK_GRAFT_BENCH_FULL"):

@@ -256,11 +256,23 @@ def main(argv: list[str] | None = None) -> int:
                     "n-gram log-ratio table fit on the clean reference "
                     "(quality-seed target) with the keep threshold at "
                     "the reference's (1-FRACTION) weight quantile")
-    fm.add_argument("--classifier", choices=["logreg"], default=None,
-                    help="also freeze a linear quality classifier "
+    fm.add_argument("--classifier", choices=["logreg", "nb", "both"],
+                    default=None,
+                    help="also freeze a quality classifier: 'logreg' "
                     "(unrolled-GD logistic regression on hashed "
-                    "unigram-presence buckets, quality-seed labels); "
-                    "batches keep pred_pos under the stored weights")
+                    "unigram-presence buckets), 'nb' (closed-form "
+                    "naive Bayes over the token vocabulary), or "
+                    "'both' (freeze both off the same quality-seed "
+                    "labels and compose their calibrated keeps per "
+                    "--ensemble-policy); batches keep scores at or "
+                    "above the stored calibrated floor(s)")
+    fm.add_argument("--ensemble-policy", choices=["and", "or"],
+                    default="and",
+                    help="with --classifier both: 'and' keeps the "
+                    "intersection of the two calibrated keep sets "
+                    "(high precision), 'or' the union (high recall) — "
+                    "td_classifier_ensemble is the audit of the "
+                    "trade")
     fm.add_argument("--classifier-buckets", type=int, default=64,
                     help="with --classifier: hashed feature bucket "
                     "count (frozen into meta — batch scoring must "
@@ -744,6 +756,7 @@ def main(argv: list[str] | None = None) -> int:
             classifier=args.classifier,
             classifier_n_buckets=args.classifier_buckets,
             classifier_keep_fraction=args.classifier_keep,
+            ensemble_policy=args.ensemble_policy,
             lang_aware=args.lang_aware, lang_col=args.lang_col,
         )
         print(json.dumps({"job": "fit-curation-model", **res}))

@@ -72,6 +72,7 @@ class FrozenCurationModel(JsonMetaStore):
         )
         self.dsir_lr = VersionedTable(spark, os.path.join(root, "dsir_lr"))
         self.logreg = VersionedTable(spark, os.path.join(root, "logreg"))
+        self.nb = VersionedTable(spark, os.path.join(root, "nb"))
 
     def exists(self) -> bool:
         # dsir_lr is optional (fit with dsir_keep_fraction=None has no
@@ -177,6 +178,7 @@ def fit_reference_model(
     classifier_steps: int = 2,
     classifier_lr: float = 0.5,
     classifier_keep_fraction: float = 0.5,
+    ensemble_policy: str = "and",
     lang_aware: bool = False,
     lang_col: str | None = None,
     lang_gates: dict | None = None,
@@ -359,61 +361,109 @@ def fit_reference_model(
             }
         )
     if classifier is not None:
-        # linear-classifier filter (the fastText-shaped CCNet stage):
-        # train the unrolled-GD logistic model on the gate-surviving
-        # reference with the heuristic-quality seed labels (the same
-        # bootstrap the DSIR stage uses), freeze the O(buckets) weight
-        # table, and record the feature geometry in meta — batch
-        # application must hash into the SAME bucket space (the
-        # frozen-meta rule). The keep threshold is CALIBRATED, not the
-        # raw logit sign: the frozen floor is the reference corpus's
-        # own (1 - keep_fraction) score percentile (the DSIR-stage
-        # discipline) — a hard pred_pos cut degenerates to drop-all /
-        # keep-all whenever the hashed features can't separate the
-        # seed labels, while a percentile floor always keeps the
-        # best-scoring fraction.
-        if classifier != "logreg":
+        # classifier filter (the fastText-shaped CCNet stage): train
+        # on the gate-surviving reference with the heuristic-quality
+        # seed labels (the same bootstrap the DSIR stage uses), freeze
+        # the weight table(s), and record the feature geometry in meta
+        # — batch application must score in the SAME space the fit
+        # recorded (the frozen-meta rule). Every keep threshold is
+        # CALIBRATED, not the raw sign: the frozen floor is the
+        # reference corpus's own (1 - keep_fraction) score percentile
+        # (the DSIR-stage discipline) — a hard pred_pos cut
+        # degenerates to drop-all / keep-all whenever the features
+        # can't separate the seed labels, while a percentile floor
+        # always keeps the best-scoring fraction.
+        #
+        # "both" freezes BOTH scorers off the SAME seed bootstrap and
+        # composes their calibrated keeps at batch time under
+        # ``ensemble_policy``: "and" (intersection — the
+        # high-precision gate) or "or" (union — the high-recall gate).
+        # td_classifier_ensemble is the oracle-checked audit of what
+        # each policy costs in precision vs recall.
+        if classifier not in ("logreg", "nb", "both"):
             raise ValueError(
-                f"classifier must be None or 'logreg', got {classifier!r}"
+                "classifier must be None, 'logreg', 'nb' or 'both', "
+                f"got {classifier!r}"
+            )
+        if classifier == "both" and ensemble_policy not in ("and", "or"):
+            raise ValueError(
+                f"ensemble_policy must be 'and' or 'or', got "
+                f"{ensemble_policy!r}"
             )
         from ..operators.textstats import (
             logreg_score,
             logreg_train,
+            nb_score,
+            nb_train,
             quality_score,
         )
 
-        wts = logreg_train(
-            clean.withColumn(
-                "_lbl", quality_score(F.col(text_col)) >= 0.5
-            ),
-            "_lbl",
-            id_col,
-            text_col,
-            n_buckets=classifier_n_buckets,
-            steps=classifier_steps,
-            lr=classifier_lr,
+        labeled = clean.withColumn(
+            "_lbl", quality_score(F.col(text_col)) >= 0.5
         )
-        c4 = model.logreg.overwrite(wts)
-        stored_wts = model.logreg.read(c4.version)
-        ref_scores = logreg_score(
-            clean, stored_wts, id_col, text_col, classifier_n_buckets
-        )
-        clf_thr = ref_scores.agg(
-            F.expr(
-                f"percentile(lr_score, {1.0 - classifier_keep_fraction})"
-            ).alias("thr")
-        ).collect()[0]["thr"]
         meta.update(
             {
-                "classifier": "logreg",
-                "classifier_n_buckets": classifier_n_buckets,
-                "classifier_steps": classifier_steps,
-                "classifier_lr": classifier_lr,
+                "classifier": classifier,
                 "classifier_keep_fraction": classifier_keep_fraction,
-                "classifier_threshold": float(clf_thr),
-                "logreg_version": c4.version,
             }
         )
+        if classifier in ("logreg", "both"):
+            wts = logreg_train(
+                labeled,
+                "_lbl",
+                id_col,
+                text_col,
+                n_buckets=classifier_n_buckets,
+                steps=classifier_steps,
+                lr=classifier_lr,
+            )
+            c4 = model.logreg.overwrite(wts)
+            stored_wts = model.logreg.read(c4.version)
+            ref_scores = logreg_score(
+                clean, stored_wts, id_col, text_col, classifier_n_buckets
+            )
+            clf_thr = ref_scores.agg(
+                F.expr(
+                    f"percentile(lr_score, {1.0 - classifier_keep_fraction})"
+                ).alias("thr")
+            ).collect()[0]["thr"]
+            meta.update(
+                {
+                    "classifier_n_buckets": classifier_n_buckets,
+                    "classifier_steps": classifier_steps,
+                    "classifier_lr": classifier_lr,
+                    "classifier_threshold": float(clf_thr),
+                    "logreg_version": c4.version,
+                }
+            )
+        if classifier in ("nb", "both"):
+            nbw, prior = nb_train(labeled, "_lbl", id_col, text_col)
+            c5 = model.nb.overwrite(nbw)
+            stored_nbw = model.nb.read(c5.version)
+            # pin the prior as a plain float in meta (it is one
+            # scalar, not a table) and score the reference through
+            # the SAME reconstructed 1-row frame the batch path uses,
+            # so fit-time calibration and batch-time scoring share
+            # one code shape
+            prior_val = float(prior.collect()[0]["log_prior"])
+            prior_df = model.spark.createDataFrame(
+                [(prior_val,)], "log_prior double"
+            )
+            nb_ref = nb_score(clean, stored_nbw, prior_df, id_col, text_col)
+            nb_thr = nb_ref.agg(
+                F.expr(
+                    f"percentile(nb_score, {1.0 - classifier_keep_fraction})"
+                ).alias("thr")
+            ).collect()[0]["thr"]
+            meta.update(
+                {
+                    "nb_prior": prior_val,
+                    "nb_threshold": float(nb_thr),
+                    "nb_version": c5.version,
+                }
+            )
+        if classifier == "both":
+            meta["ensemble_policy"] = ensemble_policy
     model._write_meta(meta)
     return meta
 
@@ -528,34 +578,57 @@ def curate_batch(
         gated = scorable.join(keep, id_col, "left_semi").unionByName(
             passthrough
         )
-    if meta.get("classifier") == "logreg":
-        # frozen linear-classifier filter: score under the STORED
-        # weight table (broadcast, n_buckets rows) in the SAME hashed
-        # bucket space the fit recorded; keep scores at or above the
-        # reference-calibrated percentile floor (never the raw logit
-        # sign — see the fit's calibration note); unscorable rows
-        # pass through (the shared batch-stage invariant)
-        from ..operators.textstats import logreg_score
+    clf = meta.get("classifier")
+    if clf in ("logreg", "nb", "both"):
+        # frozen classifier filter(s): score under the STORED weight
+        # table(s) in the SAME feature space the fit recorded; keep
+        # scores at or above the reference-calibrated percentile
+        # floor (never the raw sign — see the fit's calibration
+        # note); unscorable rows pass through (the shared batch-stage
+        # invariant). Under classifier="both" the two calibrated keep
+        # sets compose per the frozen ensemble_policy: "and" chains
+        # two doc-keyed semi-joins (intersection), "or" semi-joins
+        # against the deduplicated union — both linear, doc-keyed.
+        from ..operators.textstats import logreg_score, nb_score
 
         unscorable = F.col(id_col).isNull() | F.col(text_col).isNull()
         passthrough = gated.where(unscorable)
         scorable = gated.where(~unscorable)
-        keep = (
-            logreg_score(
-                scorable,
-                model.logreg.read(meta.get("logreg_version")),
-                id_col,
-                text_col,
-                int(meta["classifier_n_buckets"]),
+        keeps: list[DataFrame] = []
+        if clf in ("logreg", "both"):
+            keeps.append(
+                logreg_score(
+                    scorable,
+                    model.logreg.read(meta.get("logreg_version")),
+                    id_col,
+                    text_col,
+                    int(meta["classifier_n_buckets"]),
+                )
+                .where(
+                    F.col("lr_score") >= F.lit(meta["classifier_threshold"])
+                )
+                .select(id_col)
             )
-            .where(
-                F.col("lr_score") >= F.lit(meta["classifier_threshold"])
+        if clf in ("nb", "both"):
+            prior_df = batch.sparkSession.createDataFrame(
+                [(float(meta["nb_prior"]),)], "log_prior double"
             )
-            .select(id_col)
-        )
-        gated = scorable.join(keep, id_col, "left_semi").unionByName(
-            passthrough
-        )
+            keeps.append(
+                nb_score(
+                    scorable,
+                    model.nb.read(meta.get("nb_version")),
+                    prior_df,
+                    id_col,
+                    text_col,
+                )
+                .where(F.col("nb_score") >= F.lit(meta["nb_threshold"]))
+                .select(id_col)
+            )
+        if clf == "both" and meta.get("ensemble_policy", "and") == "or":
+            keeps = [keeps[0].unionByName(keeps[1]).distinct()]
+        for keep in keeps:
+            scorable = scorable.join(keep, id_col, "left_semi")
+        gated = scorable.unionByName(passthrough)
     n = int(meta["decont_n"])
     contaminated = (
         gated.where(F.size(F.split(F.col(text_col), " ")) >= n)

@@ -2505,6 +2505,111 @@ def td_classifier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def td_classifier_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble-gate audit — the decision table a pipeline owner reads
+    before turning on ``classifier="both"`` in the curation jobs: the
+    confusion of EACH component classifier (NB, logreg) and of both
+    ensemble policies (AND = intersection keep, the high-precision
+    gate; OR = union keep, the high-recall gate) against the shared
+    heuristic seed labels, one row per scorer with exact BIGINT cells
+    and precision/recall as single float divisions over those cells
+    (NULL when the scorer keeps nothing — nullif, written identically
+    in the oracle). The motivating read: td_classifier_agreement's
+    kappa says WHETHER the two classifiers disagree; this table says
+    WHAT each policy's disagreement costs in precision vs recall.
+
+    Scale shape: both scorers are the shared explode +
+    broadcast-weight joins + per-doc partial aggs over ONE persisted
+    labeled frame (the agreement audit's staging discipline); the
+    per-doc verdicts join doc-keyed, then ONE stack unpivot feeds a
+    4-group aggregate — output is O(scorers), never O(docs)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators.textstats import (
+        logreg_score,
+        logreg_train,
+        nb_score,
+        nb_train,
+        quality_score,
+    )
+
+    d = (
+        dedup._spread(read_table(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            "text",
+            (quality_score(F.col("text")) >= 0.5).alias("_lbl"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nbw, prior = nb_train(d, "_lbl")
+    nb = nb_score(d, nbw, prior).select(
+        "doc_id", F.col("pred_pos").alias("_nb")
+    )
+    lrw = logreg_train(d, "_lbl", "doc_id", "text", n_buckets=64, steps=2)
+    lr = logreg_score(d, lrw, "doc_id", "text", 64).select(
+        "doc_id", F.col("pred_pos").alias("_lr")
+    )
+    per = (
+        d.select("doc_id", "_lbl")
+        .join(nb, "doc_id")
+        .join(lr, "doc_id")
+        .select(
+            "_lbl",
+            "_nb",
+            "_lr",
+            (F.col("_nb") & F.col("_lr")).alias("_and"),
+            (F.col("_nb") | F.col("_lr")).alias("_or"),
+        )
+    )
+    long = per.select(
+        "_lbl",
+        F.expr(
+            "stack(4, 'ensemble_and', _and, 'ensemble_or', _or, "
+            "'logreg', _lr, 'nb', _nb) AS (scorer, pred)"
+        ),
+    )
+    tp = F.count_if(F.col("pred") & F.col("_lbl"))
+    fp = F.count_if(F.col("pred") & ~F.col("_lbl"))
+    fn = F.count_if(~F.col("pred") & F.col("_lbl"))
+    tn = F.count_if(~F.col("pred") & ~F.col("_lbl"))
+    return (
+        long.groupBy("scorer")
+        .agg(
+            F.count("*").alias("n_docs"),
+            tp.alias("n_tp"),
+            fp.alias("n_fp"),
+            fn.alias("n_fn"),
+            tn.alias("n_tn"),
+        )
+        .select(
+            "scorer",
+            "n_docs",
+            "n_tp",
+            "n_fp",
+            "n_fn",
+            "n_tn",
+            F.round(
+                F.col("n_tp")
+                / F.nullif(
+                    (F.col("n_tp") + F.col("n_fp")).cast("double"),
+                    F.lit(0.0),
+                ),
+                9,
+            ).alias("precision"),
+            F.round(
+                F.col("n_tp")
+                / F.nullif(
+                    (F.col("n_tp") + F.col("n_fn")).cast("double"),
+                    F.lit(0.0),
+                ),
+                9,
+            ).alias("recall"),
+        )
+        .orderBy("scorer")
+    )
+
+
 def td_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023) over hashed n-gram
     features: target = the heuristic-quality seed set (quality ≥ 0.5,
@@ -2938,6 +3043,7 @@ SPARK_QUERIES = {
     "td_quality_classifier": td_quality_classifier,
     "td_logreg_quality": td_logreg_quality,
     "td_classifier_agreement": td_classifier_agreement,
+    "td_classifier_ensemble": td_classifier_ensemble,
     "td_dsir_weights": td_dsir_weights,
     "ds_dsir_sample": ds_dsir_sample,
     "td_source_drift": td_source_drift,
@@ -5227,6 +5333,46 @@ ORACLE_SQL = {
                          / (CAST(n_docs AS DOUBLE)
                             * CAST(n_docs AS DOUBLE)), 0.0), 9) AS kappa
         FROM cells
+    """,
+    # ensemble-gate audit: both shared classifier CTE chains composed
+    # (the agreement audit's discipline); seed labels come from the NB
+    # chain's `lab` CTE — identical by construction to the logreg
+    # chain's `lrlab.pos` (same expression over the same scan), so one
+    # label source serves all four scorers. Exact BIGINT cells;
+    # precision/recall are single float divisions with nullif guards,
+    # written identically to the Spark expression.
+    "td_classifier_ensemble": f"""
+        WITH {_NB_SCORED_CTES}, {_LOGREG_SCORED_CTES},
+        nbp AS (
+            SELECT s.doc_id,
+                   (CAST(s.s AS DOUBLE) + p.lp >= 0) AS nb_pos
+            FROM scored s CROSS JOIN prior p
+        ), lrp AS (
+            SELECT doc_id, (s >= 0) AS lr_pos FROM lrscored
+        ), per AS (
+            SELECT l.pos AS lbl, nb_pos, lr_pos,
+                   (nb_pos AND lr_pos) AS and_pos,
+                   (nb_pos OR lr_pos) AS or_pos
+            FROM lab l JOIN nbp USING (doc_id) JOIN lrp USING (doc_id)
+        ), long AS (
+            SELECT lbl, 'ensemble_and' AS scorer, and_pos AS pred FROM per
+            UNION ALL SELECT lbl, 'ensemble_or', or_pos FROM per
+            UNION ALL SELECT lbl, 'logreg', lr_pos FROM per
+            UNION ALL SELECT lbl, 'nb', nb_pos FROM per
+        ), cells AS (
+            SELECT scorer, COUNT(*) AS n_docs,
+                   COUNT(*) FILTER (pred AND lbl) AS n_tp,
+                   COUNT(*) FILTER (pred AND NOT lbl) AS n_fp,
+                   COUNT(*) FILTER (NOT pred AND lbl) AS n_fn,
+                   COUNT(*) FILTER (NOT pred AND NOT lbl) AS n_tn
+            FROM long GROUP BY scorer
+        )
+        SELECT scorer, n_docs, n_tp, n_fp, n_fn, n_tn,
+               ROUND(n_tp / NULLIF(CAST(n_tp + n_fp AS DOUBLE), 0.0), 9)
+                   AS precision,
+               ROUND(n_tp / NULLIF(CAST(n_tp + n_fn AS DOUBLE), 0.0), 9)
+                   AS recall
+        FROM cells ORDER BY scorer
     """,
     # linear (logistic) sibling of the NB classifier: shared CTE
     # chain (_LOGREG_SCORED_CTES — also consumed by the agreement

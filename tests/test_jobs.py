@@ -1905,3 +1905,133 @@ def test_frozen_logreg_classifier_filter(spark, tmp_path):
             heldout,
             classifier="fasttext",
         )
+
+
+def test_frozen_ensemble_classifier_filter(spark, tmp_path):
+    """fit_reference_model(classifier='both') freezes BOTH scorers off
+    the same quality-seed bootstrap — the logreg bucket weights and
+    the NB token log-odds + scalar prior — each with its own
+    reference-calibrated percentile floor, plus the ensemble policy;
+    curate_batch composes the two calibrated keeps per the FROZEN
+    policy: 'and' keeps exactly the intersection of the two direct
+    threshold keeps, 'or' exactly the union, replays are identical,
+    classifier='nb' alone works, and a bad policy raises."""
+    import pytest as _pytest
+
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.jobs.curate_corpus import (
+        quality_gate,
+        scrub_stage,
+    )
+    from delta_data_pipelines_spark.jobs.incremental_curate import (
+        FrozenCurationModel,
+        curate_batch,
+        fit_reference_model,
+    )
+    from delta_data_pipelines_spark.operators.textstats import (
+        logreg_score,
+        nb_score,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    heldout = docs.where(F.col("doc_id") % 19 == 0)
+    model = FrozenCurationModel(spark, str(tmp_path / "fzboth"))
+    meta = fit_reference_model(
+        model, ref, heldout, classifier="both", classifier_n_buckets=32,
+        ensemble_policy="and",
+    )
+    assert meta["classifier"] == "both"
+    assert meta["ensemble_policy"] == "and"
+    assert meta["classifier_threshold"] is not None
+    assert meta["nb_threshold"] is not None
+    assert isinstance(meta["nb_prior"], float)
+    assert model.logreg.exists() and model.nb.exists()
+
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    out1 = sorted(r["doc_id"] for r in curate_batch(batch, model).collect())
+    out2 = sorted(r["doc_id"] for r in curate_batch(batch, model).collect())
+    assert out1 == out2 and out1
+
+    # decompose: recompute each scorer's direct keep over the same
+    # gated frame; the frozen 'and' keep must be their intersection.
+    # The decontamination stage also runs inside curate_batch, so
+    # compare against the batch WITHOUT the classifier stage (a model
+    # fit with classifier=None on the same reference) rather than the
+    # raw gate.
+    gated = quality_gate(scrub_stage(batch, "text"), "text")
+    prior_df = spark.createDataFrame(
+        [(meta["nb_prior"],)], "log_prior double"
+    )
+    lr_keep = {
+        r["doc_id"]
+        for r in logreg_score(gated, model.logreg.read(), "doc_id", "text", 32)
+        .where(F.col("lr_score") >= F.lit(meta["classifier_threshold"]))
+        .collect()
+    }
+    nb_keep = {
+        r["doc_id"]
+        for r in nb_score(gated, model.nb.read(), prior_df, "doc_id", "text")
+        .where(F.col("nb_score") >= F.lit(meta["nb_threshold"]))
+        .collect()
+    }
+    base_model = FrozenCurationModel(spark, str(tmp_path / "fznone"))
+    fit_reference_model(base_model, ref, heldout)
+    base_keep = {
+        r["doc_id"] for r in curate_batch(batch, base_model).collect()
+    }
+    assert set(out1) == base_keep & lr_keep & nb_keep
+    # the ensemble must actually bind: at least one doc passes the
+    # base stages but fails a scorer floor
+    assert base_keep - set(out1), "fixture should have ensemble drops"
+
+    # 'or' policy: union of the two keeps (within the base survivors)
+    model_or = FrozenCurationModel(spark, str(tmp_path / "fzor"))
+    meta_or = fit_reference_model(
+        model_or, ref, heldout, classifier="both",
+        classifier_n_buckets=32, ensemble_policy="or",
+    )
+    lr_keep_or = {
+        r["doc_id"]
+        for r in logreg_score(
+            gated, model_or.logreg.read(), "doc_id", "text", 32
+        )
+        .where(F.col("lr_score") >= F.lit(meta_or["classifier_threshold"]))
+        .collect()
+    }
+    nb_keep_or = {
+        r["doc_id"]
+        for r in nb_score(
+            gated,
+            model_or.nb.read(),
+            spark.createDataFrame([(meta_or["nb_prior"],)], "log_prior double"),
+            "doc_id",
+            "text",
+        )
+        .where(F.col("nb_score") >= F.lit(meta_or["nb_threshold"]))
+        .collect()
+    }
+    out_or = {r["doc_id"] for r in curate_batch(batch, model_or).collect()}
+    assert out_or == base_keep & (lr_keep_or | nb_keep_or)
+    assert set(out1) <= out_or  # AND keep is a subset of OR keep
+
+    # nb alone
+    model_nb = FrozenCurationModel(spark, str(tmp_path / "fznb"))
+    meta_nb = fit_reference_model(
+        model_nb, ref, heldout, classifier="nb",
+    )
+    assert meta_nb["classifier"] == "nb"
+    assert "classifier_threshold" not in meta_nb
+    out_nb = {r["doc_id"] for r in curate_batch(batch, model_nb).collect()}
+    assert out_nb and out_nb <= base_keep
+
+    with _pytest.raises(ValueError, match="ensemble_policy"):
+        fit_reference_model(
+            FrozenCurationModel(spark, str(tmp_path / "badpol")),
+            ref,
+            heldout,
+            classifier="both",
+            ensemble_policy="xor",
+        )

@@ -708,8 +708,9 @@ def test_classifier_agreement_scans_corpus_once(spark, registry):
     the quality_score label expression per consumer: 3 avoidable
     full-corpus scans at 100 TB (r12 verdict finding #2, measured
     4.03s -> 3.35s at sf0.1)."""
-    plan = plan_of(spark, registry, "td_classifier_agreement")
-    assert plan.count("documents.parquet") <= 1, plan
-    assert "InMemoryTableScan" in plan, plan
-    assert "CartesianProduct" not in plan, plan
-    assert "EvalPython" not in plan, plan
+    for q in ("td_classifier_agreement", "td_classifier_ensemble"):
+        plan = plan_of(spark, registry, q)
+        assert plan.count("documents.parquet") <= 1, (q, plan)
+        assert "InMemoryTableScan" in plan, (q, plan)
+        assert "CartesianProduct" not in plan, (q, plan)
+        assert "EvalPython" not in plan, (q, plan)
