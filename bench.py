@@ -343,19 +343,16 @@ def _stable_start_probe(spark) -> tuple[float, bool, int]:
     return samples[-1], True, len(samples)
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    try:
-        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
-    except ValueError:
-        sf = -1.0
-
+def build_session(cpus: str, app_name: str = "delta-data-pipelines-spark-bench"):
+    """The bench SparkSession — ONE definition, shared with
+    tools/time_one.py so standalone remeasure numbers stay comparable
+    to the bench sidecar they adjudicate (a config added here reaches
+    both automatically)."""
     from pyspark.sql import SparkSession
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
-        .appName("delta-data-pipelines-spark-bench")
+        .appName(app_name)
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -364,6 +361,18 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = build_session(cpus)
 
     import statistics
 

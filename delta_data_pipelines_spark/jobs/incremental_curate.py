@@ -398,9 +398,17 @@ def fit_reference_model(
             quality_score,
         )
 
+        from pyspark.storagelevel import StorageLevel
+
+        # the labeled frame feeds up to FOUR consumers under "both"
+        # (each trainer and each calibration scoring pass) — stage it
+        # once (the td_classifier_agreement persist discipline) so the
+        # quality_score label fold runs one pass over the checkpointed
+        # clean rows instead of once per consumer; scoring reads the
+        # same staged frame (the extra _lbl column is ignored)
         labeled = clean.withColumn(
             "_lbl", quality_score(F.col(text_col)) >= 0.5
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         meta.update(
             {
                 "classifier": classifier,
@@ -420,7 +428,7 @@ def fit_reference_model(
             c4 = model.logreg.overwrite(wts)
             stored_wts = model.logreg.read(c4.version)
             ref_scores = logreg_score(
-                clean, stored_wts, id_col, text_col, classifier_n_buckets
+                labeled, stored_wts, id_col, text_col, classifier_n_buckets
             )
             clf_thr = ref_scores.agg(
                 F.expr(
@@ -449,7 +457,7 @@ def fit_reference_model(
             prior_df = model.spark.createDataFrame(
                 [(prior_val,)], "log_prior double"
             )
-            nb_ref = nb_score(clean, stored_nbw, prior_df, id_col, text_col)
+            nb_ref = nb_score(labeled, stored_nbw, prior_df, id_col, text_col)
             nb_thr = nb_ref.agg(
                 F.expr(
                     f"percentile(nb_score, {1.0 - classifier_keep_fraction})"
@@ -594,11 +602,11 @@ def curate_batch(
         unscorable = F.col(id_col).isNull() | F.col(text_col).isNull()
         passthrough = gated.where(unscorable)
         scorable = gated.where(~unscorable)
-        keeps: list[DataFrame] = []
-        if clf in ("logreg", "both"):
-            keeps.append(
+
+        def _lr_keep(frame: DataFrame) -> DataFrame:
+            return (
                 logreg_score(
-                    scorable,
+                    frame,
                     model.logreg.read(meta.get("logreg_version")),
                     id_col,
                     text_col,
@@ -609,13 +617,14 @@ def curate_batch(
                 )
                 .select(id_col)
             )
-        if clf in ("nb", "both"):
+
+        def _nb_keep(frame: DataFrame) -> DataFrame:
             prior_df = batch.sparkSession.createDataFrame(
                 [(float(meta["nb_prior"]),)], "log_prior double"
             )
-            keeps.append(
+            return (
                 nb_score(
-                    scorable,
+                    frame,
                     model.nb.read(meta.get("nb_version")),
                     prior_df,
                     id_col,
@@ -624,10 +633,27 @@ def curate_batch(
                 .where(F.col("nb_score") >= F.lit(meta["nb_threshold"]))
                 .select(id_col)
             )
+
         if clf == "both" and meta.get("ensemble_policy", "and") == "or":
-            keeps = [keeps[0].unionByName(keeps[1]).distinct()]
-        for keep in keeps:
+            # union keep: both scorers run over the full scorable set
+            # by necessity; no distinct — left_semi is duplicate-blind
+            keep = _lr_keep(scorable).unionByName(_nb_keep(scorable))
             scorable = scorable.join(keep, id_col, "left_semi")
+        else:
+            # single scorer, or "and" (intersection): apply the floors
+            # sequentially, each scorer reading only the previous
+            # survivor set — under the default keep_fraction 0.5 the
+            # second scorer's explode runs over ~half the rows, and
+            # intersection is order-independent because each frozen
+            # floor is a per-doc predicate
+            if clf in ("logreg", "both"):
+                scorable = scorable.join(
+                    _lr_keep(scorable), id_col, "left_semi"
+                )
+            if clf in ("nb", "both"):
+                scorable = scorable.join(
+                    _nb_keep(scorable), id_col, "left_semi"
+                )
         gated = scorable.unionByName(passthrough)
     n = int(meta["decont_n"])
     contaminated = (

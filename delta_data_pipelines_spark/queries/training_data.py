@@ -2433,24 +2433,17 @@ def td_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_score(d, weights, "doc_id", "text", 64).orderBy("doc_id")
 
 
-def td_classifier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Agreement audit between the two TRAINED quality classifiers —
-    naive-Bayes (closed form) and logistic regression (unrolled GD) —
-    fit on the same heuristic seed labels: the confusion cells, raw
-    agreement rate, and Cohen's kappa a pipeline owner reads before
-    swapping one filter for the other (high kappa: interchangeable;
-    low kappa with similar PR: they disagree on WHICH docs, so an
-    ensemble earns its cost). One row. Kappa's chance term uses the
-    classifiers' own positive rates; all counters are exact BIGINTs
-    and the two float divisions are written identically in the
-    oracle. Scale shape: both scorers are explode + broadcast-weight
-    joins + per-doc partial aggs; the audit joins two doc-keyed
-    score tables and aggregates to one row. The labeled frame has
-    FOUR consumers (nb_train, nb_score, logreg_train, logreg_score),
-    so it is staged once with persist — the td_source_drift
-    multi-consumer discipline; without it the final plan re-reads the
-    documents scan and recomputes the full quality_score label
-    expression per consumer (3 avoidable corpus scans at 100 TB)."""
+def _trained_classifier_verdicts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared staging for the classifier audits
+    (td_classifier_agreement, td_classifier_ensemble): the corpus
+    labeled with the heuristic quality seed (PERSISTED — it feeds
+    four consumers: both trainers and both scoring passes; the
+    td_source_drift discipline) and the per-doc boolean verdicts of
+    the two trained scorers, `(_nb, _lr)` keyed by doc_id. One
+    definition so the label expression, the persist, and the 64/2
+    fit hyperparameters cannot drift between the two audits."""
     from pyspark.storagelevel import StorageLevel
 
     from ..operators.textstats import (
@@ -2478,6 +2471,31 @@ def td_classifier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     lr = logreg_score(d, lrw, "doc_id", "text", 64).select(
         "doc_id", F.col("pred_pos").alias("_lr")
     )
+    return d, nb, lr
+
+
+def td_classifier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement audit between the two TRAINED quality classifiers —
+    naive-Bayes (closed form) and logistic regression (unrolled GD) —
+    fit on the same heuristic seed labels: the confusion cells, raw
+    agreement rate, and Cohen's kappa a pipeline owner reads before
+    swapping one filter for the other (high kappa: interchangeable;
+    low kappa with similar PR: they disagree on WHICH docs, so an
+    ensemble earns its cost). One row. Kappa's chance term uses the
+    classifiers' own positive rates; all counters are exact BIGINTs
+    and the two float divisions are written identically in the
+    oracle. Scale shape: both scorers are explode + broadcast-weight
+    joins + per-doc partial aggs; the audit joins two doc-keyed
+    score tables and aggregates to one row. The labeled frame has
+    FOUR consumers (nb_train, nb_score, logreg_train, logreg_score),
+    so it is staged once with persist — the td_source_drift
+    multi-consumer discipline; without it the final plan re-reads the
+    documents scan and recomputes the full quality_score label
+    expression per consumer (3 avoidable corpus scans at 100 TB).
+    Staging + both train/score chains live in
+    `_trained_classifier_verdicts`, shared with
+    td_classifier_ensemble."""
+    _, nb, lr = _trained_classifier_verdicts(spark, sf_dir)
     cells = nb.join(lr, "doc_id").agg(
         F.count("*").alias("n_docs"),
         F.count_if(F.col("_nb") & F.col("_lr")).alias("n_both_pos"),
@@ -2520,36 +2538,11 @@ def td_classifier_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: both scorers are the shared explode +
     broadcast-weight joins + per-doc partial aggs over ONE persisted
-    labeled frame (the agreement audit's staging discipline); the
-    per-doc verdicts join doc-keyed, then ONE stack unpivot feeds a
-    4-group aggregate — output is O(scorers), never O(docs)."""
-    from pyspark.storagelevel import StorageLevel
-
-    from ..operators.textstats import (
-        logreg_score,
-        logreg_train,
-        nb_score,
-        nb_train,
-        quality_score,
-    )
-
-    d = (
-        dedup._spread(read_table(spark, sf_dir, "documents"))
-        .select(
-            "doc_id",
-            "text",
-            (quality_score(F.col("text")) >= 0.5).alias("_lbl"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    nbw, prior = nb_train(d, "_lbl")
-    nb = nb_score(d, nbw, prior).select(
-        "doc_id", F.col("pred_pos").alias("_nb")
-    )
-    lrw = logreg_train(d, "_lbl", "doc_id", "text", n_buckets=64, steps=2)
-    lr = logreg_score(d, lrw, "doc_id", "text", 64).select(
-        "doc_id", F.col("pred_pos").alias("_lr")
-    )
+    labeled frame (`_trained_classifier_verdicts`, shared with the
+    agreement audit); the per-doc verdicts join doc-keyed, then ONE
+    stack unpivot feeds a 4-group aggregate — output is O(scorers),
+    never O(docs)."""
+    d, nb, lr = _trained_classifier_verdicts(spark, sf_dir)
     per = (
         d.select("doc_id", "_lbl")
         .join(nb, "doc_id")
