@@ -96,8 +96,13 @@ _PRIORITY = [
     "st_windowed_counts", "t_asof_join", "t_asof_join_tolerance",
     "t_range_join", "tpch_q1", "tpch_q10", "tpch_q3", "tpch_q4",
     "tpch_q5",
-    # last green r5 (x5) and r6 (x5)
-    "f_translate", "txt_topk_per_source", "dd_cluster",
+    # last green r5 (x5)
+    "f_translate", "txt_topk_per_source",
+    # NEW r13: interpolated Kneser-Ney bigram LM (the CCNet/KenLM
+    # estimator; fit on the even half, every backoff rung live via
+    # the deterministic tok<doc_id> augmentation) — dd_cluster
+    # (r6 x5, the least-stale filler) yielded the seat
+    "txt_kn_logprob",
 ]
 
 

@@ -225,6 +225,11 @@ SHELF: list[str] = [
     # the agreement audit (shared persisted labeled frame) + one
     # 4-way stack unpivot to a 4-row confusion/precision/recall table
     "td_classifier_ensemble",
+    # r13: interpolated Kneser-Ney bigram LM (train/score split) —
+    # one reference bigram explode -> type-table groupBy + two
+    # vocabulary-sized marginal groupBys, then a corpus explode +
+    # three vocabulary joins; ~1.4s standalone at sf0.1
+    "txt_kn_logprob",
 ]
 HEADLINE = HEADLINE + SHELF
 if os.environ.get("SPARK_GRAFT_BENCH_FULL"):

@@ -675,6 +675,106 @@ def bigram_logprob_scores(
     )
 
 
+def kn_bigram_logprob_scores(
+    docs: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-doc mean INTERPOLATED KNESER-NEY bigram log-prob — the
+    published estimator behind the CCNet LM filter (KenLM, Heafield
+    2011; Kneser & Ney 1995; Chen & Goodman 1998 eq. 4.25), where
+    `bigram_logprob_scores` is the simpler λ-interpolated sibling.
+    Two differences matter and both are exercised here:
+
+    - ABSOLUTE DISCOUNTING with CONTINUATION counts: p(w2|w1) =
+      (max(c(w1,w2) − D, 0) + D·N1+(w1·)·p_cont(w2)) / c(w1), with
+      p_cont(w2) = N1+(·w2) / B — how many DISTINCT contexts a word
+      follows, not how often it occurs ("San Francisco" makes
+      "Francisco" frequent but a terrible novel continuation; KN is
+      the fix, λ-interpolation cannot express it).
+    - a TRAIN/SCORE SPLIT: the model is fit on ``ref`` and scores
+      ``docs``, so unseen pairs, contexts, and continuations actually
+      occur and the backoff path is exercised (a self-trained bigram
+      model never backs off — every scored pair is in its own table).
+
+    Backoff/OOV ladder (each rung deterministic and mirrored in the
+    oracle): pair unseen → the discount-mass term alone; context w1
+    unseen → p_cont(w2) directly (the standard unseen-context rule);
+    continuation w2 unseen → p_cont floor 1/B (an unseen word is at
+    most as surprising as a singleton continuation — the same
+    frequency-floor convention as the frozen unigram LM's OOV rule).
+
+    Float discipline (the unigram/bigram precedent): every count is
+    an exact BIGINT off the reference bigram-TYPE table (c(w1) and
+    N1+(w1·) are that table's own marginals, so a reference token
+    that never opens a bigram is correctly absent as a context);
+    D = 0.75 because it is exactly representable (the λ=0.75 rule);
+    p is composed in a fixed operation order (mirror it EXACTLY in
+    any oracle), ln is rounded to 9 dp and summed as DECIMAL.
+
+    Scale shape: one bigram explode over the reference → one
+    (w1, w2) partial-agg shuffle; contexts and continuations are
+    vocabulary-sized groupBys OF THE TYPE TABLE (not the corpus); B
+    broadcasts as one row; scoring is one corpus bigram explode +
+    three vocabulary joins (AQE broadcasts while they fit) + a
+    per-doc partial agg — linear in the corpus, no windows.
+
+    Docs with fewer than 2 tokens have no bigram and are absent from
+    the output (callers pass them through, as lm_filter_stage does
+    for unscorables). Output: (id_col, n_bigrams, avg_logprob double,
+    UNROUNDED)."""
+    D = F.lit(discount)
+
+    def _pairs(frame: DataFrame, *keep):
+        w = F.split(F.col(text_col), " ")
+        pairs = F.zip_with(
+            w,
+            F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(1))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+        return (
+            frame.select(*keep, F.explode(pairs).alias("_p"))
+            .where(F.col("_p.w2").isNotNull())
+            .select(
+                *keep,
+                F.col("_p.w1").alias("_w1"),
+                F.col("_p.w2").alias("_w2"),
+            )
+        )
+
+    # reference bigram-type table: (w1, w2, c) — every other model
+    # table is a marginal of THIS table, never of the raw token stream
+    bf = _pairs(ref).groupBy("_w1", "_w2").agg(F.count("*").alias("_cb"))
+    ctx = bf.groupBy("_w1").agg(
+        F.sum("_cb").alias("_c1"),          # c(w1): context total
+        F.count("*").alias("_n1f"),         # N1+(w1·): distinct continuations
+    )
+    cont = bf.groupBy("_w2").agg(F.count("*").alias("_n1c"))  # N1+(·w2)
+    btot = bf.agg(F.count("*").alias("_b"))  # B: distinct bigram types
+
+    big = _pairs(docs, id_col)
+    pc = F.coalesce(F.col("_n1c"), F.lit(1)).cast("double") / F.col("_b")
+    p_seen_ctx = (
+        F.greatest(F.coalesce(F.col("_cb"), F.lit(0)) - D, F.lit(0.0))
+        + D * F.col("_n1f") * pc
+    ) / F.col("_c1")
+    p = F.when(F.col("_c1").isNotNull(), p_seen_ctx).otherwise(pc)
+    return (
+        big.join(bf, ["_w1", "_w2"], "left")
+        .join(ctx, "_w1", "left")
+        .join(cont, "_w2", "left")
+        .crossJoin(F.broadcast(btot))
+        .withColumn("_lp", F.round(F.log(p), 9).cast("decimal(28,9)"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.sum("_lp").cast("double") / F.count("*")).alias("avg_logprob"),
+        )
+    )
+
+
 def nb_train(
     docs: DataFrame,
     label_col: str,

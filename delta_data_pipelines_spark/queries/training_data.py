@@ -1815,6 +1815,47 @@ def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def txt_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY bigram LM score per document — the
+    published estimator the CCNet LM filter actually uses (KenLM;
+    Kneser & Ney 1995), completing the perplexity-proxy ladder:
+    txt_unigram_logprob (order 0) → txt_bigram_logprob (order 1,
+    λ-interpolated, self-trained) → THIS (order 1, absolute
+    discounting + continuation-probability backoff, fit on the even
+    doc_id half and scoring the FULL corpus so unseen pairs/contexts/
+    continuations exercise every backoff rung — a self-trained bigram
+    model never backs off). Continuation counts are the KN point:
+    a word frequent only inside one collocation gets a low novel-
+    continuation probability that raw frequency interpolation cannot
+    express. One scoring definition
+    (textstats.kn_bigram_logprob_scores); docs under 2 tokens have no
+    bigram and are excluded here (the harness corpus has none).
+
+    Fixture-liveness device (the td_dedup_sentence_spans family —
+    derive the signal deterministically in BOTH engines): the shared
+    fixture vocabulary leaves the backoff ladder nearly dead (6 unseen
+    pairs, 1 unseen context, 0 unseen continuations in 26k positions
+    at sf0.01), so the query appends ' tok<doc_id> kn' to every
+    non-NULL doc — odd doc_ids then inject a context AND a
+    continuation the even-half model has never seen, firing every
+    rung hundreds of times. NULL text stays NULL (Spark `when`
+    mirrors SQL's NULL-propagating ||)."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("text").isNotNull(),
+            F.concat(
+                F.col("text"), F.lit(" tok"), F.col("doc_id"), F.lit(" kn")
+            ),
+        ).alias("text"),
+    )
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    s = textstats.kn_bigram_logprob_scores(d, ref, "doc_id", "text")
+    return s.select(
+        "doc_id", "n_bigrams", F.round("avg_logprob", 6).alias("avg_logprob")
+    ).orderBy("doc_id")
+
+
 def td_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus datasheet: one row of the headline numbers every
     dataset card starts with — doc/token/lang/source counts, exact-dup
@@ -3032,6 +3073,7 @@ SPARK_QUERIES = {
     "td_corpus_report": td_corpus_report,
     "td_priority_dedup": td_priority_dedup,
     "txt_bigram_logprob": txt_bigram_logprob,
+    "txt_kn_logprob": txt_kn_logprob,
     "ds_weighted_sample": ds_weighted_sample,
     "td_quality_classifier": td_quality_classifier,
     "td_logreg_quality": td_logreg_quality,
@@ -6095,6 +6137,55 @@ ORACLE_SQL = {
         JOIN uni c2 ON big.w2 = c2.tok
         CROSS JOIN tot
         GROUP BY doc_id ORDER BY doc_id
+    """,
+    # interpolated Kneser-Ney bigram LM (fit on even doc_ids, scores
+    # all docs): the model tables are marginals of the bigram-TYPE
+    # table; the probability expression mirrors the Spark operator's
+    # operation order term by term (greatest/coalesce/casts), the
+    # backoff ladder is the same CASE, and the per-position ln is
+    # ROUND 9 → DECIMAL sum (the family discipline)
+    "txt_kn_logprob": """
+        WITH w AS (
+            SELECT doc_id,
+                   string_split(text || ' tok' || CAST(doc_id AS VARCHAR)
+                                || ' kn', ' ') AS w
+            FROM documents
+        ), big AS (
+            SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+                SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                    i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS u
+                FROM w WHERE len(w) >= 2)
+        ), bf AS (
+            SELECT w1, w2, COUNT(*) AS cb FROM big
+            WHERE doc_id % 2 = 0 GROUP BY w1, w2
+        ), ctx AS (
+            SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1,
+                   COUNT(*) AS n1f
+            FROM bf GROUP BY w1
+        ), cont AS (
+            SELECT w2, COUNT(*) AS n1c FROM bf GROUP BY w2
+        ), btot AS (
+            SELECT COUNT(*) AS b FROM bf
+        ), scored AS (
+            SELECT big.doc_id,
+                   CASE WHEN ctx.c1 IS NOT NULL THEN
+                       (GREATEST(CAST(COALESCE(bf.cb, 0) - 0.75 AS DOUBLE),
+                                 0.0)
+                        + 0.75 * ctx.n1f
+                          * (CAST(COALESCE(cont.n1c, 1) AS DOUBLE) / b))
+                       / CAST(ctx.c1 AS DOUBLE)
+                   ELSE CAST(COALESCE(cont.n1c, 1) AS DOUBLE) / b
+                   END AS pr
+            FROM big
+            LEFT JOIN bf USING (w1, w2)
+            LEFT JOIN ctx USING (w1)
+            LEFT JOIN cont USING (w2)
+            CROSS JOIN btot
+        )
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               ROUND(CAST(SUM(CAST(ROUND(ln(pr), 9) AS DECIMAL(28,9)))
+                     AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+        FROM scored GROUP BY doc_id ORDER BY doc_id
     """,
     # datasheet: quality formula mirrors td_curate's scored CTE; every
     # SUM over integers CAST to BIGINT (pandas HUGEINT hazard)

@@ -3072,3 +3072,49 @@ def test_logreg_steps_accumulate(spark):
     m1, m2, m4 = (bias_magnitude(s) for s in (1, 2, 4))
     assert m2 > m1 * 1.5, (m1, m2)
     assert m4 > m2 * 1.3, (m2, m4)
+
+
+def test_kn_bigram_logprob_hand_computed(spark):
+    """Interpolated KN on a tiny hand-computable corpus: every rung of
+    the backoff ladder checked against closed-form arithmetic —
+    seen pair (discounted + continuation mass), unseen pair under a
+    seen context (discount mass only), unseen context (continuation
+    distribution), unseen continuation (1/B floor) — plus the
+    exclusion rules (single-token and NULL-text docs are absent)."""
+    import math
+
+    ref = spark.createDataFrame(
+        [(0, "a b a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    docs = ref.unionByName(
+        spark.createDataFrame(
+            [(1, "a b x d"), (3, "solo"), (5, None)],
+            "doc_id long, text string",
+        )
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in textstats.kn_bigram_logprob_scores(
+            docs, ref, "doc_id", "text"
+        ).collect()
+    }
+    # model tables from ref: bf {(a,b):2,(b,a):1,(b,c):2,(c,d):1}, B=4
+    # ctx: a(c1=2,n1f=1) b(c1=3,n1f=2) c(c1=1,n1f=1); cont: all 1 -> pc=1/4
+    def lp(p):
+        return round(math.log(p), 9)
+
+    # doc 1 "a b x d": seen pair, unseen pair w/ seen ctx, unseen ctx
+    p_ab = (max(2 - 0.75, 0.0) + 0.75 * 1 * 0.25) / 2  # 0.71875
+    p_bx = (0.0 + 0.75 * 2 * 0.25) / 3  # unseen continuation floor 1/4
+    p_xd = 0.25  # unseen context -> p_cont(d)
+    exp1 = (lp(p_ab) + lp(p_bx) + lp(p_xd)) / 3
+    n, got = out[1]
+    assert n == 3
+    assert abs(got - exp1) < 1e-9, (got, exp1)
+    # self-scored reference doc: all pairs seen, exact arithmetic
+    p_bc = (max(2 - 0.75, 0.0) + 0.75 * 2 * 0.25) / 3
+    p_cd = (max(1 - 0.75, 0.0) + 0.75 * 1 * 0.25) / 1
+    exp2 = (lp(p_bc) + lp(p_cd)) / 2
+    assert abs(out[2][1] - exp2) < 1e-9
+    # exclusions: no bigram -> absent
+    assert 3 not in out and 5 not in out
