@@ -256,6 +256,12 @@ def main(argv: list[str] | None = None) -> int:
                     "n-gram log-ratio table fit on the clean reference "
                     "(quality-seed target) with the keep threshold at "
                     "the reference's (1-FRACTION) weight quantile")
+    fm.add_argument("--lm", choices=["unigram", "kn"], default="unigram",
+                    help="LM family for the frozen outlier cut: "
+                    "'unigram' (frequency table) or 'kn' (interpolated "
+                    "Kneser-Ney bigram, the CCNet/KenLM estimator — "
+                    "freezes the bigram type table; not yet available "
+                    "with --lang-aware)")
     fm.add_argument("--classifier", choices=["logreg", "nb", "both"],
                     default=None,
                     help="also freeze a quality classifier: 'logreg' "
@@ -751,7 +757,7 @@ def main(argv: list[str] | None = None) -> int:
         heldout = spark.read.parquet(args.heldout)
         model = FrozenCurationModel(spark, args.model)
         res = fit_reference_model(
-            model, ref, heldout, drop_fraction=args.lm_drop,
+            model, ref, heldout, drop_fraction=args.lm_drop, lm=args.lm,
             dsir_keep_fraction=args.dsir_keep,
             classifier=args.classifier,
             classifier_n_buckets=args.classifier_buckets,

@@ -73,6 +73,9 @@ class FrozenCurationModel(JsonMetaStore):
         self.dsir_lr = VersionedTable(spark, os.path.join(root, "dsir_lr"))
         self.logreg = VersionedTable(spark, os.path.join(root, "logreg"))
         self.nb = VersionedTable(spark, os.path.join(root, "nb"))
+        self.kn_bigrams = VersionedTable(
+            spark, os.path.join(root, "kn_bigrams")
+        )
 
     def exists(self) -> bool:
         # dsir_lr is optional (fit with dsir_keep_fraction=None has no
@@ -170,6 +173,7 @@ def fit_reference_model(
     id_col: str = "doc_id",
     text_col: str = "text",
     drop_fraction: float = 0.05,
+    lm: str = "unigram",
     decont_n: int = 13,
     dsir_keep_fraction: float | None = None,
     dsir_n_buckets: int = 1024,
@@ -218,6 +222,14 @@ def fit_reference_model(
     LM stage through unscored."""
     if not (0.0 <= drop_fraction < 1.0):
         raise ValueError(f"drop_fraction must be in [0, 1), got {drop_fraction}")
+    if lm not in ("unigram", "kn"):
+        raise ValueError(f"lm must be 'unigram' or 'kn', got {lm!r}")
+    if lm == "kn" and lang_aware:
+        raise ValueError(
+            "lm='kn' is not yet available with lang_aware=True — the "
+            "per-language KN tables are a follow-up; fit per-language "
+            "unigram models or a global KN model"
+        )
     if dsir_keep_fraction is not None and not (0.0 < dsir_keep_fraction <= 1.0):
         raise ValueError(
             f"dsir_keep_fraction must be in (0, 1], got {dsir_keep_fraction}"
@@ -294,10 +306,51 @@ def fit_reference_model(
                 "reference corpus is empty after scrub+gate — no unigram "
                 "distribution to freeze; widen the gate or fix the input"
             )
-        scores = _frozen_lm_scores(clean, stored_freq, total, id_col, text_col)
-        thr = scores.agg(
-            F.expr(f"percentile(avg_logprob, {drop_fraction})").alias("thr")
-        ).collect()[0]["thr"]
+        if lm == "kn":
+            # CCNet production parity: the LM cut scores under an
+            # interpolated Kneser-Ney bigram model (the KenLM
+            # estimator) instead of the unigram distribution. ONE
+            # artifact freezes — the bigram TYPE table; context
+            # totals, continuation counts, and the type total are its
+            # marginals and re-derive deterministically at apply time
+            # (kn_bigram_score_from_types, the same scoring definition
+            # the oracle-checked txt_kn_logprob uses). The unigram
+            # table above still freezes: batch_drift's KL runs on it
+            # and it documents the reference vocabulary. The threshold
+            # is the reference's own drop_fraction percentile of KN
+            # scores — calibrated on the SAME stored table every
+            # future batch will read.
+            from ..operators.textstats import (
+                kn_bigram_score_from_types,
+                kn_bigram_types,
+            )
+
+            ckn = model.kn_bigrams.overwrite(
+                kn_bigram_types(clean, text_col)
+            )
+            stored_kn = model.kn_bigrams.read(ckn.version)
+            kn_scores = kn_bigram_score_from_types(
+                clean, stored_kn, id_col, text_col
+            )
+            thr = kn_scores.agg(
+                F.expr(f"percentile(avg_logprob, {drop_fraction})").alias(
+                    "thr"
+                )
+            ).collect()[0]["thr"]
+            if thr is None:
+                raise ValueError(
+                    "reference corpus has no multi-token documents — "
+                    "no KN bigram distribution to freeze"
+                )
+        else:
+            scores = _frozen_lm_scores(
+                clean, stored_freq, total, id_col, text_col
+            )
+            thr = scores.agg(
+                F.expr(f"percentile(avg_logprob, {drop_fraction})").alias(
+                    "thr"
+                )
+            ).collect()[0]["thr"]
     grams = (
         heldout_docs.where(F.size(F.split(F.col(text_col), " ")) >= decont_n)
         .select(F.explode(shingles(F.col(text_col), decont_n)).alias("_gram"))
@@ -306,6 +359,7 @@ def fit_reference_model(
     c2 = model.heldout_grams.overwrite(grams)
     meta = {
         "total_tokens": int(total),
+        "lm": lm,
         "lm_threshold": float(thr) if thr is not None else None,
         "drop_fraction": drop_fraction,
         "decont_n": decont_n,
@@ -313,6 +367,8 @@ def fit_reference_model(
         "unigram_version": c1.version,
         "heldout_grams_version": c2.version,
     }
+    if lm == "kn":
+        meta["kn_bigrams_version"] = ckn.version
     if lang_aware:
         meta.update(
             {
@@ -545,7 +601,31 @@ def curate_batch(
             scrub_stage(batch, text_col), text_col, **meta["gate_kwargs"]
         )
         thr = meta["lm_threshold"]
-        if thr is not None:
+        if thr is not None and meta.get("lm", "unigram") == "kn":
+            # frozen KN cut: marginals re-derive from the STORED type
+            # table (deterministic — same scoring definition as the
+            # fit's calibration pass). DROP-list semantics: a doc the
+            # model cannot score (under 2 tokens — absent from the
+            # score table) passes through, the unscorable-rows
+            # invariant the unigram path gets from its explicit
+            # passthrough split.
+            from ..operators.textstats import kn_bigram_score_from_types
+
+            drop = (
+                kn_bigram_score_from_types(
+                    gated.where(
+                        F.col(id_col).isNotNull()
+                        & F.col(text_col).isNotNull()
+                    ),
+                    model.kn_bigrams.read(meta.get("kn_bigrams_version")),
+                    id_col,
+                    text_col,
+                )
+                .where(F.col("avg_logprob") < F.lit(thr))
+                .select(id_col)
+            )
+            gated = gated.join(drop, id_col, "left_anti")
+        elif thr is not None:
             unscorable = F.col(id_col).isNull() | F.col(text_col).isNull()
             passthrough = gated.where(unscorable)
             scorable = gated.where(~unscorable)

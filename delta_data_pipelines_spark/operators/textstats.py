@@ -724,29 +724,59 @@ def kn_bigram_logprob_scores(
     Docs with fewer than 2 tokens have no bigram and are absent from
     the output (callers pass them through, as lm_filter_stage does
     for unscorables). Output: (id_col, n_bigrams, avg_logprob double,
-    UNROUNDED)."""
+    UNROUNDED).
+
+    Split into fit (`kn_bigram_types`) + score
+    (`kn_bigram_score_from_types`) so the frozen-curation lifecycle
+    can persist the TYPE table and score future batches through the
+    SAME definition — the marginals re-derive deterministically from
+    the frozen table, so only one artifact needs freezing."""
+    return kn_bigram_score_from_types(
+        docs, kn_bigram_types(ref, text_col), id_col, text_col, discount
+    )
+
+
+def kn_bigram_types(ref: DataFrame, text_col: str = "text") -> DataFrame:
+    """The KN model's ONE artifact: the reference bigram-TYPE table
+    (w1, w2, cb). Context totals, forward/backward continuation
+    counts, and the type total are all marginals of this table —
+    see kn_bigram_logprob_scores for the estimator."""
+    return (
+        _word_pairs(ref, text_col)
+        .groupBy("_w1", "_w2")
+        .agg(F.count("*").alias("_cb"))
+    )
+
+
+def _word_pairs(frame: DataFrame, text_col: str, *keep) -> DataFrame:
+    w = F.split(F.col(text_col), " ")
+    pairs = F.zip_with(
+        w,
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(1))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        frame.select(*keep, F.explode(pairs).alias("_p"))
+        .where(F.col("_p.w2").isNotNull())
+        .select(
+            *keep,
+            F.col("_p.w1").alias("_w1"),
+            F.col("_p.w2").alias("_w2"),
+        )
+    )
+
+
+def kn_bigram_score_from_types(
+    docs: DataFrame,
+    bf: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Score ``docs`` under a (possibly stored) KN bigram-type table —
+    the scoring half of kn_bigram_logprob_scores (see its docstring
+    for the estimator, the backoff ladder, and the float discipline)."""
     D = F.lit(discount)
-
-    def _pairs(frame: DataFrame, *keep):
-        w = F.split(F.col(text_col), " ")
-        pairs = F.zip_with(
-            w,
-            F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(1))),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-        )
-        return (
-            frame.select(*keep, F.explode(pairs).alias("_p"))
-            .where(F.col("_p.w2").isNotNull())
-            .select(
-                *keep,
-                F.col("_p.w1").alias("_w1"),
-                F.col("_p.w2").alias("_w2"),
-            )
-        )
-
-    # reference bigram-type table: (w1, w2, c) — every other model
-    # table is a marginal of THIS table, never of the raw token stream
-    bf = _pairs(ref).groupBy("_w1", "_w2").agg(F.count("*").alias("_cb"))
     ctx = bf.groupBy("_w1").agg(
         F.sum("_cb").alias("_c1"),          # c(w1): context total
         F.count("*").alias("_n1f"),         # N1+(w1·): distinct continuations
@@ -754,7 +784,7 @@ def kn_bigram_logprob_scores(
     cont = bf.groupBy("_w2").agg(F.count("*").alias("_n1c"))  # N1+(·w2)
     btot = bf.agg(F.count("*").alias("_b"))  # B: distinct bigram types
 
-    big = _pairs(docs, id_col)
+    big = _word_pairs(docs, text_col, id_col)
     pc = F.coalesce(F.col("_n1c"), F.lit(1)).cast("double") / F.col("_b")
     p_seen_ctx = (
         F.greatest(F.coalesce(F.col("_cb"), F.lit(0)) - D, F.lit(0.0))
