@@ -714,3 +714,16 @@ def test_classifier_agreement_scans_corpus_once(spark, registry):
         assert "InMemoryTableScan" in plan, (q, plan)
         assert "CartesianProduct" not in plan, (q, plan)
         assert "EvalPython" not in plan, (q, plan)
+
+
+def test_kn_logprob_plan_shape(spark, registry):
+    """txt_kn_logprob: no window, no Python, the only cross is the
+    broadcast 1-row type-count join (B), and the model-side groupBys
+    are partial-agg (map-side combine) — the vocabulary joins stay
+    hash joins, never a data-by-data product."""
+    plan = plan_of(spark, registry, "txt_kn_logprob")
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan  # 1 node x2 prints
+    assert "partial_count" in plan, plan
