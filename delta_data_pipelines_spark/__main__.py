@@ -260,8 +260,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="LM family for the frozen outlier cut: "
                     "'unigram' (frequency table) or 'kn' (interpolated "
                     "Kneser-Ney bigram, the CCNet/KenLM estimator — "
-                    "freezes the bigram type table; not yet available "
-                    "with --lang-aware)")
+                    "freezes the bigram type table; with --lang-aware "
+                    "the table and floors are per-language: one KenLM "
+                    "per language, the CCNet production shape)")
     fm.add_argument("--classifier", choices=["logreg", "nb", "both"],
                     default=None,
                     help="also freeze a quality classifier: 'logreg' "

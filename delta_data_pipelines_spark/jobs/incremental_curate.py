@@ -224,12 +224,6 @@ def fit_reference_model(
         raise ValueError(f"drop_fraction must be in [0, 1), got {drop_fraction}")
     if lm not in ("unigram", "kn"):
         raise ValueError(f"lm must be 'unigram' or 'kn', got {lm!r}")
-    if lm == "kn" and lang_aware:
-        raise ValueError(
-            "lm='kn' is not yet available with lang_aware=True — the "
-            "per-language KN tables are a follow-up; fit per-language "
-            "unigram models or a global KN model"
-        )
     if dsir_keep_fraction is not None and not (0.0 < dsir_keep_fraction <= 1.0):
         raise ValueError(
             f"dsir_keep_fraction must be in (0, 1], got {dsir_keep_fraction}"
@@ -283,9 +277,37 @@ def fit_reference_model(
         totals_df = model.spark.createDataFrame(
             list(lang_totals.items()), "lang string, total long"
         )
-        scores = _frozen_lang_lm_scores(
-            clean, stored_freq, totals_df, id_col, text_col, routed
-        )
+        if lm == "kn":
+            # per-language KN — CCNet's actual production shape (one
+            # KenLM per language): the frozen artifact is the
+            # (lang, w1, w2) type table; each language's floor is its
+            # own drop_fraction percentile of KN scores under the
+            # STORED table. The per-language unigram table above
+            # still freezes (drift + vocabulary artifact).
+            from ..operators.textstats import (
+                kn_bigram_score_from_types,
+                kn_bigram_types,
+            )
+
+            ckn = model.kn_bigrams.overwrite(
+                kn_bigram_types(
+                    clean.withColumn("_kn_lang", F.col(routed)),
+                    text_col,
+                    lang_col="_kn_lang",
+                )
+            )
+            stored_kn = model.kn_bigrams.read(ckn.version)
+            scores = kn_bigram_score_from_types(
+                clean.withColumn("_kn_lang", F.col(routed)),
+                stored_kn,
+                id_col,
+                text_col,
+                lang_col="_kn_lang",
+            ).withColumnRenamed("_kn_lang", "lang")
+        else:
+            scores = _frozen_lang_lm_scores(
+                clean, stored_freq, totals_df, id_col, text_col, routed
+            )
         lang_thresholds = {
             r["lang"]: float(r["thr"])
             for r in scores.groupBy("lang")
@@ -576,14 +598,30 @@ def curate_batch(
         thr_df = spark.createDataFrame(
             list(meta["lang_thresholds"].items()), "lang string, thr double"
         )
-        scores = _frozen_lang_lm_scores(
-            scorable,
-            model.unigram.read(meta.get("unigram_version")),
-            totals_df,
-            id_col,
-            text_col,
-            routed,
-        )
+        if meta.get("lm", "unigram") == "kn":
+            # per-language KN cut: marginals re-derive from the STORED
+            # (lang, w1, w2) type table — one scoring definition with
+            # the fit's calibration pass; docs in a language the table
+            # never saw are absent from the score frame and pass
+            # through via the drop-list anti-join
+            from ..operators.textstats import kn_bigram_score_from_types
+
+            scores = kn_bigram_score_from_types(
+                scorable.withColumn("_kn_lang", F.col(routed)),
+                model.kn_bigrams.read(meta.get("kn_bigrams_version")),
+                id_col,
+                text_col,
+                lang_col="_kn_lang",
+            ).withColumnRenamed("_kn_lang", "lang")
+        else:
+            scores = _frozen_lang_lm_scores(
+                scorable,
+                model.unigram.read(meta.get("unigram_version")),
+                totals_df,
+                id_col,
+                text_col,
+                routed,
+            )
         # drop = scored strictly below ITS language's frozen floor; a
         # language with no frozen threshold/model (unseen on the
         # reference) never lands in drop, so its docs pass through —

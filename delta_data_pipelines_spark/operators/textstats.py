@@ -736,14 +736,20 @@ def kn_bigram_logprob_scores(
     )
 
 
-def kn_bigram_types(ref: DataFrame, text_col: str = "text") -> DataFrame:
+def kn_bigram_types(
+    ref: DataFrame, text_col: str = "text", lang_col: str | None = None
+) -> DataFrame:
     """The KN model's ONE artifact: the reference bigram-TYPE table
     (w1, w2, cb). Context totals, forward/backward continuation
     counts, and the type total are all marginals of this table —
-    see kn_bigram_logprob_scores for the estimator."""
+    see kn_bigram_logprob_scores for the estimator. With ``lang_col``
+    the table is per-language ((lang, w1, w2, cb) — the CCNet
+    production shape: one KenLM per language) and every marginal
+    keys on the language too."""
+    keys = [lang_col] if lang_col else []
     return (
-        _word_pairs(ref, text_col)
-        .groupBy("_w1", "_w2")
+        _word_pairs(ref, text_col, *keys)
+        .groupBy(*keys, "_w1", "_w2")
         .agg(F.count("*").alias("_cb"))
     )
 
@@ -772,32 +778,57 @@ def kn_bigram_score_from_types(
     id_col: str = "doc_id",
     text_col: str = "text",
     discount: float = 0.75,
+    lang_col: str | None = None,
 ) -> DataFrame:
     """Score ``docs`` under a (possibly stored) KN bigram-type table —
     the scoring half of kn_bigram_logprob_scores (see its docstring
-    for the estimator, the backoff ladder, and the float discipline)."""
+    for the estimator, the backoff ladder, and the float discipline).
+
+    With ``lang_col`` (table fit per-language): every join keys on
+    the language too, the type total becomes an O(languages)
+    broadcast table, the output carries the language, and a doc in a
+    language the table has never seen is ABSENT from the output
+    (callers pass it through — the unigram lang path's
+    unseen-language invariant)."""
     D = F.lit(discount)
-    ctx = bf.groupBy("_w1").agg(
+    kl = [lang_col] if lang_col else []
+    ctx = bf.groupBy(*kl, "_w1").agg(
         F.sum("_cb").alias("_c1"),          # c(w1): context total
         F.count("*").alias("_n1f"),         # N1+(w1·): distinct continuations
     )
-    cont = bf.groupBy("_w2").agg(F.count("*").alias("_n1c"))  # N1+(·w2)
-    btot = bf.agg(F.count("*").alias("_b"))  # B: distinct bigram types
+    cont = bf.groupBy(*kl, "_w2").agg(
+        F.count("*").alias("_n1c")          # N1+(·w2)
+    )
+    # B: distinct bigram types (per language when routed)
+    btot = (
+        bf.groupBy(*kl).agg(F.count("*").alias("_b"))
+        if kl
+        else bf.agg(F.count("*").alias("_b"))
+    )
 
-    big = _word_pairs(docs, text_col, id_col)
+    big = _word_pairs(docs, text_col, id_col, *kl)
     pc = F.coalesce(F.col("_n1c"), F.lit(1)).cast("double") / F.col("_b")
     p_seen_ctx = (
         F.greatest(F.coalesce(F.col("_cb"), F.lit(0)) - D, F.lit(0.0))
         + D * F.col("_n1f") * pc
     ) / F.col("_c1")
     p = F.when(F.col("_c1").isNotNull(), p_seen_ctx).otherwise(pc)
+    joined = (
+        big.join(bf, kl + ["_w1", "_w2"], "left")
+        .join(ctx, kl + ["_w1"], "left")
+        .join(cont, kl + ["_w2"], "left")
+    )
+    if kl:
+        joined = joined.join(F.broadcast(btot), kl, "left").where(
+            F.col("_b").isNotNull()  # unseen language: unscorable
+        )
+    else:
+        joined = joined.crossJoin(F.broadcast(btot))
     return (
-        big.join(bf, ["_w1", "_w2"], "left")
-        .join(ctx, "_w1", "left")
-        .join(cont, "_w2", "left")
-        .crossJoin(F.broadcast(btot))
-        .withColumn("_lp", F.round(F.log(p), 9).cast("decimal(28,9)"))
-        .groupBy(id_col)
+        joined.withColumn(
+            "_lp", F.round(F.log(p), 9).cast("decimal(28,9)")
+        )
+        .groupBy(id_col, *kl)
         .agg(
             F.count("*").alias("n_bigrams"),
             (F.sum("_lp").cast("double") / F.count("*")).alias("avg_logprob"),

@@ -1988,14 +1988,6 @@ def test_frozen_kn_lm_filter(spark, tmp_path):
     drift = batch_drift(batch, model)
     assert isinstance(drift, dict) and drift
 
-    with _pytest.raises(ValueError, match="lang_aware"):
-        fit_reference_model(
-            FrozenCurationModel(spark, str(tmp_path / "badkn")),
-            ref,
-            heldout,
-            lm="kn",
-            lang_aware=True,
-        )
     with _pytest.raises(ValueError, match="lm must be"):
         fit_reference_model(
             FrozenCurationModel(spark, str(tmp_path / "badlm")),
@@ -2003,6 +1995,65 @@ def test_frozen_kn_lm_filter(spark, tmp_path):
             heldout,
             lm="trigram",
         )
+
+
+def test_frozen_lang_aware_kn_lm_filter(spark, tmp_path):
+    """fit_reference_model(lang_aware=True, lm='kn') — CCNet's real
+    shape, one KenLM per language: freezes ONE (lang, w1, w2) type
+    table and per-language KN floors; curate_batch cuts a batch doc
+    scoring under ITS language's floor without touching the other
+    language, passes an unseen-language doc through the LM stage
+    unscored, and replays identically."""
+    from delta_data_pipelines_spark.jobs.incremental_curate import (
+        FrozenCurationModel,
+        curate_batch,
+        fit_reference_model,
+    )
+
+    stops = ["the", "of", "and", "to", "a", "in", "is", "it"]
+    es_stops = ["el", "la", "de", "que", "y"]
+    ref_rows = [
+        (i, " ".join(f"{stops[j % 8]} w{i}_{j}" for j in range(32)))
+        for i in range(1, 13)
+    ]
+    ref_rows += [
+        (100 + i, " ".join(f"{es_stops[j % 5]} v{i}_{j}" for j in range(12)))
+        for i in range(1, 13)
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    heldout = spark.createDataFrame(
+        [(9000, " ".join(f"h{j}" for j in range(20)))],
+        "doc_id long, text string",
+    )
+    model = FrozenCurationModel(spark, str(tmp_path / "fzlkn"))
+    meta = fit_reference_model(
+        model, ref, heldout, drop_fraction=0.05, lang_aware=True, lm="kn"
+    )
+    assert meta["lm"] == "kn" and meta["lang_aware"] is True
+    assert set(meta["lang_thresholds"]) == {"en", "es"}
+    assert set(model.kn_bigrams.read().columns) == {
+        "_kn_lang", "_w1", "_w2", "_cb"
+    }
+
+    batch_rows = [
+        # healthy per-language docs built from reference BIGRAMS
+        (201, " ".join(f"{stops[j % 8]} w1_{j}" for j in range(32))),
+        (202, " ".join(f"{es_stops[j % 5]} v1_{j}" for j in range(12))),
+        # es-routed doc whose bigrams the es model never saw -> every
+        # position bottoms out at the continuation floor, far under
+        # the es floor calibrated on reference-vocab docs
+        (203, " ".join(es_stops) + " " + " ".join(es_stops) + " "
+              + " ".join(f"zq{j}x" for j in range(40))),
+        # unseen language: no (lang=fr) rows in the type table
+        (204, "le la et les des " * 4 + "bonjour monde voila alors donc"),
+    ]
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in curate_batch(batch, model).collect()}
+    assert 201 in kept and 202 in kept
+    assert 203 not in kept          # under es's frozen KN floor
+    assert 204 in kept              # unseen language: passes unscored
+    again = {r["doc_id"] for r in curate_batch(batch, model).collect()}
+    assert again == kept
 
 
 def test_frozen_ensemble_classifier_filter(spark, tmp_path):
