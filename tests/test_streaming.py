@@ -1098,6 +1098,78 @@ def test_incremental_curation_converges_to_frozen_batch(spark, tmp_path):
     assert heldout_long and not (got & heldout_long)
 
 
+def test_incremental_curation_full_stack_converges(spark, tmp_path):
+    """The FULL frozen stack — per-language-free KN bigram LM cut,
+    DSIR weight floor, NB+logreg ensemble classifier (AND policy),
+    decontamination — composed in ONE model and applied per
+    micro-batch must converge to the one-shot batch run of the same
+    frozen stages + batch near-dup collapse. This is the composition
+    proof for the r13 additions: column contracts and passthrough
+    invariants hold when every optional stage is on simultaneously."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.jobs.incremental_curate import (
+        FrozenCurationModel,
+        curate_batch,
+        fit_reference_model,
+        run_incremental_curation,
+    )
+    from delta_data_pipelines_spark.operators import dedup
+    from delta_data_pipelines_spark.storage import VersionedTable
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    ref = docs.where(F.col("doc_id") % 3 == 0)
+    heldout = docs.where(F.col("doc_id") % 7 == 0)
+
+    model = FrozenCurationModel(spark, str(tmp_path / "frozen_full"))
+    meta = fit_reference_model(
+        model,
+        ref,
+        heldout,
+        lm="kn",
+        dsir_keep_fraction=0.9,
+        classifier="both",
+        classifier_keep_fraction=0.9,
+        ensemble_policy="and",
+    )
+    assert meta["lm"] == "kn" and meta["classifier"] == "both"
+    assert meta["dsir_threshold"] is not None
+    assert meta["nb_threshold"] is not None
+
+    cleaned = curate_batch(docs, model).localCheckpoint(eager=True)
+    assert cleaned.count() > 0, "full stack emptied the corpus"
+    pairs = dedup.minhash_near_dup_pairs(cleaned, "doc_id", "text", 0.8)
+    clusters = dedup.near_dup_clusters(pairs)
+    expect = {
+        r["doc_id"]
+        for r in cleaned.join(
+            clusters, cleaned.doc_id == clusters.member_id, "left"
+        )
+        .where(
+            F.col("cluster_id").isNull()
+            | (F.col("member_id") == F.col("cluster_id"))
+        )
+        .select("doc_id")
+        .collect()
+    }
+
+    stream = _stream_time_ordered(
+        spark, docs, tmp_path, "icf_docs", slices=3, ts_col="doc_id"
+    )
+    corpus = VersionedTable(spark, str(tmp_path / "icf_corpus"))
+    q = run_incremental_curation(
+        stream,
+        model,
+        str(tmp_path / "icf_state"),
+        corpus,
+        str(tmp_path / "ckpt_icf"),
+    )
+    q.awaitTermination(240)
+    got = {r["doc_id"] for r in corpus.read().select("doc_id").collect()}
+    assert got == expect
+
+
 def test_incremental_ann_ingest_converges_to_batch(spark, tmp_path):
     """Streaming embedding ingest through the ANN append path: after
     draining, a PQ store built on the first slice and streamed the
