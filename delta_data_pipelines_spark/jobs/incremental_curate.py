@@ -592,9 +592,6 @@ def curate_batch(
         passthrough = gated.where(unscorable)
         scorable = gated.where(~unscorable)
         spark = batch.sparkSession
-        totals_df = spark.createDataFrame(
-            list(meta["lang_totals"].items()), "lang string, total long"
-        )
         thr_df = spark.createDataFrame(
             list(meta["lang_thresholds"].items()), "lang string, thr double"
         )
@@ -614,6 +611,9 @@ def curate_batch(
                 lang_col="_kn_lang",
             ).withColumnRenamed("_kn_lang", "lang")
         else:
+            totals_df = spark.createDataFrame(
+                list(meta["lang_totals"].items()), "lang string, total long"
+            )
             scores = _frozen_lang_lm_scores(
                 scorable,
                 model.unigram.read(meta.get("unigram_version")),

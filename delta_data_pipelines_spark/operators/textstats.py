@@ -633,21 +633,7 @@ def bigram_logprob_scores(
 
     Output: (id_col, n_bigrams, avg_logprob double, UNROUNDED).
     """
-    w = F.split(F.col(text_col), " ")
-    pairs = F.zip_with(
-        w,
-        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(1))),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    big = (
-        df.select(id_col, F.explode(pairs).alias("_p"))
-        .where(F.col("_p.w2").isNotNull())
-        .select(
-            id_col,
-            F.col("_p.w1").alias("_w1"),
-            F.col("_p.w2").alias("_w2"),
-        )
-    )
+    big = _word_pairs(df, text_col, id_col)
     bf = big.groupBy("_w1", "_w2").agg(F.count("*").alias("_cb"))
     toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("_tok"))
     uni = toks.groupBy("_tok").agg(F.count("*").alias("_c"))

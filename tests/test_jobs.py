@@ -1913,10 +1913,12 @@ def test_frozen_kn_lm_filter(spark, tmp_path):
     scores; curate_batch recomputes the marginals from the STORED
     table and drops strictly-below-floor docs: replays identical,
     the dropped set matches a direct kn_bigram_score_from_types
-    threshold on the same gated frame, docs the model cannot score
-    (under 2 tokens) pass the LM stage through, the unigram table
-    still freezes (batch_drift keeps working), and lm='kn' with
-    lang_aware raises."""
+    threshold on the same gated frame, a gate-surviving doc the
+    model cannot score (under 2 tokens) passes the LM stage through
+    (exercised with a min_tokens=1 gate), the unigram table still
+    freezes (batch_drift keeps working), and an unknown lm name
+    raises. (lang_aware + kn is SUPPORTED — see
+    test_frozen_lang_aware_kn_lm_filter.)"""
     import pytest as _pytest
 
     from delta_data_pipelines_spark.catalog import read_table
@@ -1966,23 +1968,25 @@ def test_frozen_kn_lm_filter(spark, tmp_path):
     assert below, "drop_fraction=0.2 should cut part of the batch"
     assert not (set(out1) & below)
 
-    # a doc the KN model cannot score passes the LM stage through:
-    # craft a batch row that survives the gate but has... the gate
-    # needs >= 10 tokens, so single-token docs never reach the LM
-    # stage here; instead verify via the drop-list semantics that a
-    # NULL-id row (unjoinable) is not dropped by the anti-join
-    from pyspark.sql import Row
-
-    nullid = spark.createDataFrame(
-        [Row(doc_id=None, text=None)],
-        schema=batch.schema,
+    # a gate-surviving doc the KN model cannot score must pass the LM
+    # stage through (drop-list semantics): fit a second model whose
+    # gate admits short docs, then feed a single-token doc — it has
+    # no bigram, is absent from the score frame, and must be KEPT
+    model_short = FrozenCurationModel(spark, str(tmp_path / "fzkn1"))
+    meta_short = fit_reference_model(
+        model_short, ref, heldout, lm="kn", drop_fraction=0.2,
+        min_tokens=1, quality_floor=0.0,
     )
-    out_null = curate_batch(batch.unionByName(nullid), model)
-    # NULL-text row dies at the GATE (NULL comparisons), not the LM
-    # stage; the kept set is unchanged
-    assert sorted(
-        r["doc_id"] for r in out_null.collect()
-    ) == out1
+    assert meta_short["lm_threshold"] is not None
+    one_tok = spark.createDataFrame(
+        [(9001, "solo")], "doc_id long, text string"
+    )
+    out_short = {
+        r["doc_id"]
+        for r in curate_batch(batch.unionByName(one_tok), model_short)
+        .collect()
+    }
+    assert 9001 in out_short, "unscorable doc must pass the KN stage"
 
     # unigram artifact still present and serving drift
     drift = batch_drift(batch, model)
