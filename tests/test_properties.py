@@ -916,3 +916,73 @@ def test_gopher_repetition_devices_match_python_model(spark, texts, n):
         assert abs(got[i][0] - top) < 1e-8, (s, n, got[i][0], top)
         assert abs(got[i][1] - top) < 1e-8, (s, n, got[i][1], top)
         assert abs(got[i][2] - cov) < 1e-8, (s, n, got[i][2], cov)
+
+
+WORD = st.sampled_from(["a", "b", "c", "d", "ab"])
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(WORD, min_size=0, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_kn_bigram_matches_python_model(spark, texts):
+    """Interpolated-KN parity against a pure-Python model over
+    generated corpora: fit on the even-index docs (+ one pinned doc so
+    the type table is never empty), score everything, and compare
+    n_bigrams and avg_logprob per doc to 1e-9 — exercising seen pairs,
+    discount-only pairs, unseen contexts, and unseen continuations as
+    hypothesis shrinks the vocabulary overlap."""
+    import math
+    from collections import Counter
+
+    from delta_data_pipelines_spark.operators.textstats import (
+        kn_bigram_logprob_scores,
+    )
+
+    texts = ["a b c"] + texts  # pinned at index 0 (even -> always in ref)
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref_rows = [(i, t) for i, t in rows if i % 2 == 0]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+
+    def pairs(t):
+        w = t.split(" ")
+        return list(zip(w, w[1:]))
+
+    D = 0.75
+    bf = Counter()
+    for _, t in ref_rows:
+        bf.update(pairs(t))
+    c1, n1f, cont = Counter(), Counter(), Counter()
+    for (w1, w2), c in bf.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        cont[w2] += 1
+    B = len(bf)
+    expect = {}
+    for i, t in rows:
+        ps = pairs(t)
+        if not ps:
+            continue
+        s = 0
+        for w1, w2 in ps:
+            pc = cont.get(w2, 1) / B
+            if w1 in c1:
+                p = (max(bf.get((w1, w2), 0) - D, 0.0) + D * n1f[w1] * pc) / c1[w1]
+            else:
+                p = pc
+            s += round(math.log(p), 9)
+        expect[i] = (len(ps), s / len(ps))
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in kn_bigram_logprob_scores(docs, ref, "doc_id", "text").collect()
+    }
+    assert set(got) == set(expect)
+    for i, (n, lp) in expect.items():
+        assert got[i][0] == n, (i, got[i], n)
+        assert abs(got[i][1] - lp) < 1e-9, (i, got[i][1], lp)
