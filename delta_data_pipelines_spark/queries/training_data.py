@@ -2875,6 +2875,70 @@ def td_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def td_logreg_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sweep over the trained LOGREG quality classifier —
+    td_classifier_pr_curve's linear-model twin, completing the audit
+    symmetry (every calibration artifact the NB filter publishes, the
+    logreg filter publishes too; td_classifier_ensemble then compares
+    the two at their operating points). Same single-pass shape: all
+    15 counters (tp/fp/fn × 5 thresholds) are conditional aggregates
+    in ONE single-row agg over the scored-and-labeled frame, stacked
+    to rows — never one pass per threshold. Thresholds span the
+    lr_score range ([−0.01, 0.41] at sf0.01; the 64-bucket decimal
+    weight sums are small by construction)."""
+    from ..operators.textstats import logreg_score, logreg_train, quality_score
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (quality_score(F.col("text")) >= 0.5).alias("_lbl")
+    )
+    weights = logreg_train(d, "_lbl", "doc_id", "text", n_buckets=64, steps=2)
+    s = (
+        logreg_score(d, weights, "doc_id", "text", 64)
+        .join(d.select("doc_id", "_lbl"), "doc_id")
+        .where(F.col("_lbl").isNotNull())
+    )
+    thresholds = [0.0, 0.1, 0.2, 0.3, 0.4]
+    lbl = F.col("_lbl")
+    aggs = []
+    for i, t in enumerate(thresholds):
+        pos = F.col("lr_score") >= F.lit(t)
+        aggs += [
+            F.count_if(pos & lbl).alias(f"_tp{i}"),
+            F.count_if(pos & ~lbl).alias(f"_fp{i}"),
+            F.count_if(~pos & lbl).alias(f"_fn{i}"),
+        ]
+    stacked = ", ".join(
+        f"CAST({t} AS DOUBLE), _tp{i}, _fp{i}, _fn{i}"
+        for i, t in enumerate(thresholds)
+    )
+    return (
+        s.agg(*aggs)
+        .selectExpr(
+            f"stack({len(thresholds)}, {stacked}) as (threshold, tp, fp, fn)"
+        )
+        .select(
+            "threshold",
+            (F.col("tp") + F.col("fp")).alias("n_pred_pos"),
+            F.round(
+                F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)).cast("double"),
+                9,
+            ).alias("precision_"),
+            F.round(
+                F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)).cast("double"),
+                9,
+            ).alias("recall_"),
+            F.round(
+                (2 * F.col("tp"))
+                / F.nullif(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0)).cast(
+                    "double"
+                ),
+                9,
+            ).alias("f1"),
+        )
+        .orderBy("threshold")
+    )
+
+
 def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-Marginal-Relevance diversified top-5 for the probe set
     vec_id < 10 (λ=0.7, candidate pool 20) — the retrieval that
@@ -3084,6 +3148,7 @@ SPARK_QUERIES = {
     "td_source_drift": td_source_drift,
     "td_filter_agreement": td_filter_agreement,
     "td_classifier_pr_curve": td_classifier_pr_curve,
+    "td_logreg_pr_curve": td_logreg_pr_curve,
     "td_classifier_auc": td_classifier_auc,
     "sim_mmr_topk": sim_mmr_topk,
     "sim_jl_audit": sim_jl_audit,
@@ -5451,6 +5516,45 @@ ORACLE_SQL = {
             UNION ALL SELECT CAST(0.0 AS DOUBLE), tp2, fp2, fn2 FROM agg
             UNION ALL SELECT CAST(1.0 AS DOUBLE), tp3, fp3, fn3 FROM agg
             UNION ALL SELECT CAST(2.0 AS DOUBLE), tp4, fp4, fn4 FROM agg
+        )
+        SELECT threshold, tp + fp AS n_pred_pos,
+               ROUND(tp / CAST(NULLIF(tp + fp, 0) AS DOUBLE), 9) AS precision_,
+               ROUND(tp / CAST(NULLIF(tp + fn, 0) AS DOUBLE), 9) AS recall_,
+               ROUND(2 * tp / CAST(NULLIF(2 * tp + fp + fn, 0) AS DOUBLE), 9) AS f1
+        FROM rows_ ORDER BY threshold
+    """,
+    # logreg PR twin: shared _LOGREG_SCORED_CTES chain; lbl comes from
+    # the chain's own lrlab CTE (same expression as the NB chain's lab)
+    "td_logreg_pr_curve": f"""
+        WITH {_LOGREG_SCORED_CTES}, sc AS (
+            SELECT l.pos AS lbl, CAST(s.s AS DOUBLE) AS score
+            FROM lrscored s JOIN lrlab l USING (doc_id)
+            WHERE l.pos IS NOT NULL
+        ), agg AS (
+            SELECT
+                COUNT(*) FILTER (score >= 0.0 AND lbl) AS tp0,
+                COUNT(*) FILTER (score >= 0.0 AND NOT lbl) AS fp0,
+                COUNT(*) FILTER (score < 0.0 AND lbl) AS fn0,
+                COUNT(*) FILTER (score >= 0.1 AND lbl) AS tp1,
+                COUNT(*) FILTER (score >= 0.1 AND NOT lbl) AS fp1,
+                COUNT(*) FILTER (score < 0.1 AND lbl) AS fn1,
+                COUNT(*) FILTER (score >= 0.2 AND lbl) AS tp2,
+                COUNT(*) FILTER (score >= 0.2 AND NOT lbl) AS fp2,
+                COUNT(*) FILTER (score < 0.2 AND lbl) AS fn2,
+                COUNT(*) FILTER (score >= 0.3 AND lbl) AS tp3,
+                COUNT(*) FILTER (score >= 0.3 AND NOT lbl) AS fp3,
+                COUNT(*) FILTER (score < 0.3 AND lbl) AS fn3,
+                COUNT(*) FILTER (score >= 0.4 AND lbl) AS tp4,
+                COUNT(*) FILTER (score >= 0.4 AND NOT lbl) AS fp4,
+                COUNT(*) FILTER (score < 0.4 AND lbl) AS fn4
+            FROM sc
+        ), rows_ AS (
+            SELECT CAST(0.0 AS DOUBLE) AS threshold,
+                   tp0 AS tp, fp0 AS fp, fn0 AS fn FROM agg
+            UNION ALL SELECT CAST(0.1 AS DOUBLE), tp1, fp1, fn1 FROM agg
+            UNION ALL SELECT CAST(0.2 AS DOUBLE), tp2, fp2, fn2 FROM agg
+            UNION ALL SELECT CAST(0.3 AS DOUBLE), tp3, fp3, fn3 FROM agg
+            UNION ALL SELECT CAST(0.4 AS DOUBLE), tp4, fp4, fn4 FROM agg
         )
         SELECT threshold, tp + fp AS n_pred_pos,
                ROUND(tp / CAST(NULLIF(tp + fp, 0) AS DOUBLE), 9) AS precision_,
