@@ -51,8 +51,14 @@ def main(argv: list[str] | None = None) -> int:
                     "tokenizer pieces (train-tokenizer output) instead "
                     "of whitespace tokens")
     cc.add_argument("--lm-drop", type=float, default=None,
-                    help="drop the bottom FRACTION by mean unigram "
+                    help="drop the bottom FRACTION by mean LM "
                     "log-prob after the heuristic gate (CCNet-style)")
+    cc.add_argument("--lm", choices=["unigram", "kn"], default="unigram",
+                    help="with --lm-drop: the scoring model — "
+                    "'unigram' (corpus frequency) or 'kn' "
+                    "(self-fit interpolated Kneser-Ney bigram, the "
+                    "KenLM estimator; ignored with --lang-aware, "
+                    "whose per-language cut is unigram)")
     cc.add_argument("--lang-aware", action="store_true",
                     help="route the quality gate (and --lm-drop) per "
                     "language: each doc is gated by its language's "
@@ -546,7 +552,8 @@ def main(argv: list[str] | None = None) -> int:
             table, docs, funnel=args.funnel,
             scrub=not args.no_scrub, pack_ctx=args.pack_ctx,
             pack_bins_ctx=args.pack_bins,
-            lm_drop_fraction=args.lm_drop, dup_weights=args.dup_weights,
+            lm_drop_fraction=args.lm_drop, lm=args.lm,
+            dup_weights=args.dup_weights,
             decontaminate=args.decontaminate,
             max_passage_dup=args.max_passage_dup,
             dedup_passages=args.dedup_passages,

@@ -387,6 +387,7 @@ def lm_filter_stage(
     text_col: str = "text",
     drop_fraction: float = 0.05,
     materialize: bool = True,
+    lm: str = "unigram",
 ) -> DataFrame:
     """CCNet-style language-model filter: score every doc by its mean
     unigram log-prob under the corpus's own unigram distribution and
@@ -411,6 +412,8 @@ def lm_filter_stage(
     """
     if not (0.0 <= drop_fraction < 1.0):
         raise ValueError(f"drop_fraction must be in [0, 1), got {drop_fraction}")
+    if lm not in ("unigram", "kn"):
+        raise ValueError(f"lm must be 'unigram' or 'kn', got {lm!r}")
     if drop_fraction == 0.0:
         return docs
     from ..operators.textstats import unigram_logprob_scores
@@ -428,11 +431,37 @@ def lm_filter_stage(
     # the LM explode splits on single spaces, and "end.\nstart" must
     # not score as one rare fused token; the published column re-
     # enters untouched via the semi-join
+    normalized = scorable.select(
+        id_col,
+        F.translate(F.col(text_col), "\n", " ").alias(text_col),
+    )
+    if lm == "kn":
+        # self-fit interpolated Kneser-Ney bigram (the batch pipeline
+        # derives every model from the corpus being curated, so the
+        # reference IS the corpus — no backoff fires, but the
+        # discount + continuation weighting reorders the tail vs raw
+        # unigram frequency: collocation-locked tokens stop inflating
+        # their documents' scores). Docs the model cannot score
+        # (under 2 tokens) are absent from the score frame and pass
+        # through via drop-list semantics — the frozen path's rule.
+        from ..operators.textstats import kn_bigram_logprob_scores
+
+        scores = kn_bigram_logprob_scores(
+            normalized, normalized, id_col, text_col
+        ).select(id_col, F.col("avg_logprob").alias("_avg_lp"))
+        thr = scores.agg(
+            F.expr(f"percentile(_avg_lp, {drop_fraction})").alias("_thr")
+        )
+        drop_ids = (
+            scores.crossJoin(F.broadcast(thr))
+            .where(F.col("_avg_lp") < F.col("_thr"))
+            .select(id_col)
+        )
+        return scorable.join(drop_ids, id_col, "left_anti").unionByName(
+            passthrough
+        )
     scores = unigram_logprob_scores(
-        scorable.select(
-            id_col,
-            F.translate(F.col(text_col), "\n", " ").alias(text_col),
-        ),
+        normalized,
         id_col,
         text_col,
     ).select(id_col, F.col("avg_logprob").alias("_avg_lp"))
@@ -792,6 +821,7 @@ def curate_corpus(
     pack_bins_ctx: int | None = None,
     compression_bounds: tuple[float, float] | None = None,
     lm_drop_fraction: float | None = None,
+    lm: str = "unigram",
     dup_weights: bool = False,
     decontaminate: bool = False,
     max_passage_dup: float | None = None,
@@ -944,7 +974,9 @@ def curate_corpus(
                 lm_drop_fraction,
             )
         else:
-            gated = lm_filter_stage(gated, id_col, text_col, lm_drop_fraction)
+            gated = lm_filter_stage(
+                gated, id_col, text_col, lm_drop_fraction, lm=lm
+            )
         gated = _tick(gated, "lm_cut")
     if dsir_select is not None:
         gated = _tick(

@@ -225,6 +225,31 @@ def test_lm_filter_passes_null_text_and_id_rows_through(spark):
     assert len(out) == 10
 
 
+def test_lm_filter_kn_mode(spark):
+    """lm='kn' scores under a self-fit interpolated-KN bigram model:
+    the token-salad outlier is still cut, healthy docs kept, a doc the
+    model cannot score (single token) passes through via the
+    drop-list semantics, NULL rows pass through, and an unknown lm
+    name raises."""
+    import pytest as _pytest
+
+    from delta_data_pipelines_spark.jobs.curate_corpus import lm_filter_stage
+
+    common = "the quick brown fox jumps over the lazy dog again today"
+    rows = [(i, common) for i in range(1, 9)]
+    rows.append((99, "zq9 xv7 qqj kkz wfx ppy mzt ggv hhb jjr"))
+    rows.append((50, "solo"))      # no bigram: unscorable, passes
+    rows.append((100, None))       # NULL text: passes
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lm_filter_stage(docs, drop_fraction=0.2, lm="kn").collect()
+    kept = {r["doc_id"] for r in out}
+    assert 99 not in kept          # rare-bigram outlier cut
+    assert set(range(1, 9)) <= kept
+    assert 50 in kept and 100 in kept
+    with _pytest.raises(ValueError, match="lm must be"):
+        lm_filter_stage(docs, drop_fraction=0.2, lm="trigram")
+
+
 def test_lm_filter_zero_fraction_is_identity_and_validates(spark):
     import pytest as _pytest
 
