@@ -96,15 +96,13 @@ _PRIORITY = [
     "st_windowed_counts", "t_asof_join", "t_asof_join_tolerance",
     "t_range_join", "tpch_q1", "tpch_q10", "tpch_q3", "tpch_q4",
     "tpch_q5",
-    # last green r5 (x5)
-    "f_translate",
-    # NEW r13: interpolated Kneser-Ney bigram LM (the CCNet/KenLM
+    # NEW r13: the interpolated Kneser-Ney family (the CCNet/KenLM
     # estimator; fit on the even half, every backoff rung live via
-    # the deterministic tok<doc_id> augmentation) and the logreg PR
-    # sweep (td_classifier_pr_curve's linear twin) — dd_cluster
-    # (r6 x5) and txt_topk_per_source (r5 x5), the least-stale
-    # fillers, yielded the seats
-    "txt_kn_logprob", "td_logreg_pr_curve",
+    # the deterministic tok<doc_id> augmentation) at orders 1 and 2,
+    # and the logreg PR sweep (td_classifier_pr_curve's linear twin)
+    # — dd_cluster (r6 x5), txt_topk_per_source (r5 x5) and
+    # f_translate (r5 x5), the least-stale fillers, yielded the seats
+    "txt_kn_logprob", "txt_kn3_logprob", "td_logreg_pr_curve",
 ]
 
 

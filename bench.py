@@ -230,6 +230,9 @@ SHELF: list[str] = [
     # vocabulary-sized marginal groupBys, then a corpus explode +
     # three vocabulary joins; ~1.4s standalone at sf0.1
     "txt_kn_logprob",
+    # r13: trigram KN (order-2 twin — one trigram explode + five
+    # vocabulary joins; ~2.4s standalone at sf0.1)
+    "txt_kn3_logprob",
     # r13: logreg PR sweep — td_classifier_pr_curve's linear twin
     # (one logreg train + score pass, 15 conditional counters in a
     # single-row agg, stacked)

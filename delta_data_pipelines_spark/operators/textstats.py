@@ -822,6 +822,144 @@ def kn_bigram_score_from_types(
     )
 
 
+def _word_triples(frame: DataFrame, text_col: str, *keep) -> DataFrame:
+    """One row per trigram position. The word array is STAGED in its
+    own select and the transform lambda reads the attribute (the
+    passage_segments_from_words rule: lambda bodies get no codegen
+    subexpression elimination — an inline split(text) would re-run
+    once per element). The ``when`` guard keeps the generated
+    sequence ascending: for under-3-token docs sequence(1, n-2)
+    DESCENDS in Spark, it is not empty."""
+    staged = frame.select(*keep, F.split(F.col(text_col), " ").alias("_wd"))
+    w = F.col("_wd")
+    n = F.size(w)
+    trips = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("w1"),
+                F.element_at(w, i + 1).alias("w2"),
+                F.element_at(w, i + 2).alias("w3"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+    )
+    return staged.select(*keep, F.explode(trips).alias("_t")).select(
+        *keep,
+        F.col("_t.w1").alias("_w1"),
+        F.col("_t.w2").alias("_w2"),
+        F.col("_t.w3").alias("_w3"),
+    )
+
+
+def kn_trigram_types(ref: DataFrame, text_col: str = "text") -> DataFrame:
+    """The trigram-KN model's ONE artifact: the reference trigram-TYPE
+    table (w1, w2, w3, cb). BOTH lower orders are marginals of this
+    table — the bigram level uses Chen & Goodman's MODIFIED counts
+    (how many distinct w1 precede each (w2, w3) = this table's row
+    count per (w2, w3)), so nothing else needs freezing."""
+    return (
+        _word_triples(ref, text_col)
+        .groupBy("_w1", "_w2", "_w3")
+        .agg(F.count("*").alias("_cb"))
+    )
+
+
+def kn_trigram_score_from_types(
+    docs: DataFrame,
+    bf3: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-doc mean interpolated KNESER-NEY TRIGRAM log-prob — the
+    order-2 extension of kn_bigram_logprob_scores showing the
+    estimator's recursion (Chen & Goodman 1998 eq. 4.25; KenLM runs
+    this to order 4): the trigram level discounts RAW counts, the
+    bigram level discounts MODIFIED (continuation) counts, and the
+    base case is the unigram continuation distribution —
+
+        p3(w3|w1,w2) = (max(c(w1w2w3) − D, 0)
+                        + D·N1+(w1w2·)·p2(w3|w2)) / c(w1w2)
+        p2(w3|w2)    = (max(N1+(·w2w3) − D, 0)
+                        + D·N1+(w2·*)·pc(w3)) / N1+(·w2·)
+        pc(w3)       = N1+(··w3-contexts) / |distinct (w2,w3) types|
+
+    Backoff ladder (each rung deterministic, mirrored in any oracle):
+    unseen (w1,w2) context → p2 directly; unseen w2 context at the
+    bigram level → pc directly; unseen w3 → pc floor 1/B2 (the
+    singleton-continuation convention of the bigram scorer).
+
+    Every model table is a marginal of the trigram TYPE table ``bf3``
+    (the one frozen artifact): ctx3 = its (w1,w2) sums/counts, the
+    modified bigram table bn = its (w2,w3) row counts, ctx2/cont =
+    bn's marginals, B2 = bn's row count. Scale shape: one corpus
+    trigram explode + five vocabulary joins (AQE broadcasts while
+    they fit) + one 1-row broadcast + a per-doc partial agg — linear,
+    no windows. Docs with fewer than 3 tokens have no trigram and are
+    absent from the output (callers pass them through). Output:
+    (id_col, n_trigrams, avg_logprob double, UNROUNDED)."""
+    D = F.lit(discount)
+    ctx3 = bf3.groupBy("_w1", "_w2").agg(
+        F.sum("_cb").alias("_c12"),     # c(w1,w2): trigram-context total
+        F.count("*").alias("_n1f3"),    # N1+(w1,w2,·)
+    )
+    # modified bigram level: one row per (w2, w3) with its distinct-
+    # left-context count (bf3 rows are distinct types, so count(*)
+    # per (w2, w3) IS N1+(·,w2,w3))
+    bn = bf3.groupBy("_w2", "_w3").agg(F.count("*").alias("_cn23"))
+    ctx2 = bn.groupBy("_w2").agg(
+        F.sum("_cn23").alias("_c2n"),   # N1+(·,w2,·): bigram-level total
+        F.count("*").alias("_n1f2"),    # N1+(w2,·): distinct w3 after w2
+    )
+    cont = bn.groupBy("_w3").agg(F.count("*").alias("_n1c3"))  # N1+(·w3)
+    btot = bn.agg(F.count("*").alias("_b2"))  # B2: distinct (w2,w3) types
+
+    trip = _word_triples(docs, text_col, id_col)
+    pc = F.coalesce(F.col("_n1c3"), F.lit(1)).cast("double") / F.col("_b2")
+    p2_seen = (
+        F.greatest(F.coalesce(F.col("_cn23"), F.lit(0)) - D, F.lit(0.0))
+        + D * F.col("_n1f2") * pc
+    ) / F.col("_c2n")
+    p2 = F.when(F.col("_c2n").isNotNull(), p2_seen).otherwise(pc)
+    p3_seen = (
+        F.greatest(F.coalesce(F.col("_cb"), F.lit(0)) - D, F.lit(0.0))
+        + D * F.col("_n1f3") * p2
+    ) / F.col("_c12")
+    p3 = F.when(F.col("_c12").isNotNull(), p3_seen).otherwise(p2)
+    return (
+        trip.join(bf3, ["_w1", "_w2", "_w3"], "left")
+        .join(ctx3, ["_w1", "_w2"], "left")
+        .join(bn, ["_w2", "_w3"], "left")
+        .join(ctx2, ["_w2"], "left")
+        .join(cont, ["_w3"], "left")
+        .crossJoin(F.broadcast(btot))
+        .withColumn("_lp", F.round(F.log(p3), 9).cast("decimal(28,9)"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            (F.sum("_lp").cast("double") / F.count("*")).alias("avg_logprob"),
+        )
+    )
+
+
+def kn_trigram_logprob_scores(
+    docs: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Fit-on-ref + score-docs composition of the trigram KN pair —
+    the train/score split that makes every backoff rung reachable
+    (see kn_trigram_score_from_types for the estimator)."""
+    return kn_trigram_score_from_types(
+        docs, kn_trigram_types(ref, text_col), id_col, text_col, discount
+    )
+
+
 def nb_train(
     docs: DataFrame,
     label_col: str,

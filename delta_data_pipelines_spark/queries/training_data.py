@@ -1856,6 +1856,35 @@ def txt_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def txt_kn3_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM LM score per document — the
+    order-2 member of the KN family (txt_kn_logprob is order 1),
+    showing the estimator's recursion the way KenLM runs it: the
+    trigram level discounts raw counts, the bigram level discounts
+    MODIFIED (distinct-left-context) counts, the base case is the
+    continuation distribution. Same train/score split (fit on even
+    doc_ids) and the same tok<doc_id> liveness augmentation, so every
+    rung of the two-level backoff ladder fires on the fixture. One
+    scoring definition (textstats.kn_trigram_logprob_scores); docs
+    under 3 tokens have no trigram and are excluded (the augmentation
+    guarantees 3+ tokens for every non-NULL doc, so only NULL text is
+    actually absent here)."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("text").isNotNull(),
+            F.concat(
+                F.col("text"), F.lit(" tok"), F.col("doc_id"), F.lit(" kn")
+            ),
+        ).alias("text"),
+    )
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    s = textstats.kn_trigram_logprob_scores(d, ref, "doc_id", "text")
+    return s.select(
+        "doc_id", "n_trigrams", F.round("avg_logprob", 6).alias("avg_logprob")
+    ).orderBy("doc_id")
+
+
 def td_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus datasheet: one row of the headline numbers every
     dataset card starts with — doc/token/lang/source counts, exact-dup
@@ -3138,6 +3167,7 @@ SPARK_QUERIES = {
     "td_priority_dedup": td_priority_dedup,
     "txt_bigram_logprob": txt_bigram_logprob,
     "txt_kn_logprob": txt_kn_logprob,
+    "txt_kn3_logprob": txt_kn3_logprob,
     "ds_weighted_sample": ds_weighted_sample,
     "td_quality_classifier": td_quality_classifier,
     "td_logreg_quality": td_logreg_quality,
@@ -6287,6 +6317,80 @@ ORACLE_SQL = {
             CROSS JOIN btot
         )
         SELECT doc_id, COUNT(*) AS n_bigrams,
+               ROUND(CAST(SUM(CAST(ROUND(ln(pr), 9) AS DECIMAL(28,9)))
+                     AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    # trigram KN (order-2 of the family): every model table is a
+    # marginal of the trigram-TYPE table; the bigram level uses
+    # MODIFIED counts (bn = distinct-left-context counts = type-table
+    # row counts per (w2,w3)); both CASE ladders and every cast
+    # mirror the Spark operator's operation order term by term
+    "txt_kn3_logprob": """
+        WITH w AS (
+            SELECT doc_id,
+                   string_split(text || ' tok' || CAST(doc_id AS VARCHAR)
+                                || ' kn', ' ') AS w
+            FROM documents
+        ), trip AS (
+            SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3 FROM (
+                SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                    i -> struct_pack(w1 := w[i], w2 := w[i+1],
+                                     w3 := w[i+2]))) AS u
+                FROM w WHERE len(w) >= 3)
+        ), bf3 AS (
+            SELECT w1, w2, w3, COUNT(*) AS cb FROM trip
+            WHERE doc_id % 2 = 0 GROUP BY w1, w2, w3
+        ), ctx3 AS (
+            SELECT w1, w2, CAST(SUM(cb) AS BIGINT) AS c12,
+                   COUNT(*) AS n1f3
+            FROM bf3 GROUP BY w1, w2
+        ), bn AS (
+            SELECT w2, w3, COUNT(*) AS cn23 FROM bf3 GROUP BY w2, w3
+        ), ctx2 AS (
+            SELECT w2, CAST(SUM(cn23) AS BIGINT) AS c2n,
+                   COUNT(*) AS n1f2
+            FROM bn GROUP BY w2
+        ), cont AS (
+            SELECT w3, COUNT(*) AS n1c3 FROM bn GROUP BY w3
+        ), btot AS (
+            SELECT COUNT(*) AS b2 FROM bn
+        ), scored AS (
+            SELECT trip.doc_id,
+                   CASE WHEN ctx3.c12 IS NOT NULL THEN
+                       (GREATEST(CAST(COALESCE(bf3.cb, 0) - 0.75 AS DOUBLE),
+                                 0.0)
+                        + 0.75 * ctx3.n1f3 *
+                          (CASE WHEN ctx2.c2n IS NOT NULL THEN
+                              (GREATEST(CAST(COALESCE(bn.cn23, 0) - 0.75
+                                        AS DOUBLE), 0.0)
+                               + 0.75 * ctx2.n1f2
+                                 * (CAST(COALESCE(cont.n1c3, 1) AS DOUBLE)
+                                    / b2))
+                              / CAST(ctx2.c2n AS DOUBLE)
+                          ELSE CAST(COALESCE(cont.n1c3, 1) AS DOUBLE) / b2
+                          END))
+                       / CAST(ctx3.c12 AS DOUBLE)
+                   ELSE
+                       CASE WHEN ctx2.c2n IS NOT NULL THEN
+                           (GREATEST(CAST(COALESCE(bn.cn23, 0) - 0.75
+                                     AS DOUBLE), 0.0)
+                            + 0.75 * ctx2.n1f2
+                              * (CAST(COALESCE(cont.n1c3, 1) AS DOUBLE)
+                                 / b2))
+                           / CAST(ctx2.c2n AS DOUBLE)
+                       ELSE CAST(COALESCE(cont.n1c3, 1) AS DOUBLE) / b2
+                       END
+                   END AS pr
+            FROM trip
+            LEFT JOIN bf3 USING (w1, w2, w3)
+            LEFT JOIN ctx3 USING (w1, w2)
+            LEFT JOIN bn USING (w2, w3)
+            LEFT JOIN ctx2 USING (w2)
+            LEFT JOIN cont USING (w3)
+            CROSS JOIN btot
+        )
+        SELECT doc_id, COUNT(*) AS n_trigrams,
                ROUND(CAST(SUM(CAST(ROUND(ln(pr), 9) AS DECIMAL(28,9)))
                      AS DOUBLE) / COUNT(*), 6) AS avg_logprob
         FROM scored GROUP BY doc_id ORDER BY doc_id

@@ -3118,3 +3118,57 @@ def test_kn_bigram_logprob_hand_computed(spark):
     assert abs(out[2][1] - exp2) < 1e-9
     # exclusions: no bigram -> absent
     assert 3 not in out and 5 not in out
+
+
+def test_kn_trigram_logprob_hand_computed(spark):
+    """Trigram KN on a hand-computable corpus: the two-level backoff
+    recursion checked rung by rung against closed-form arithmetic —
+    seen trigram, unseen trigram under a seen (w1,w2) context, unseen
+    (w1,w2) context (falls to the modified-count bigram level), unseen
+    w2 context (falls to the continuation distribution), unseen w3
+    (the 1/B2 floor) — plus the under-3-token exclusion."""
+    import math
+
+    ref = spark.createDataFrame(
+        [(0, "a b c a b d"), (2, "b c a")], "doc_id long, text string"
+    )
+    docs = ref.unionByName(
+        spark.createDataFrame(
+            [(1, "a b c x"), (3, "z z a b c"), (5, "a b"), (7, None)],
+            "doc_id long, text string",
+        )
+    )
+    out = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_logprob"])
+        for r in textstats.kn_trigram_logprob_scores(
+            docs, ref, "doc_id", "text"
+        ).collect()
+    }
+
+    def lp(p):
+        return round(math.log(p), 9)
+
+    # model: bf3 {(a,b,c):1,(b,c,a):2,(c,a,b):1,(a,b,d):1}; bn all 1,
+    # B2=4, pc=1/4 each; ctx3 (a,b):(2,2) (b,c):(2,1) (c,a):(1,1);
+    # ctx2 b:(2,2) c:(1,1) a:(1,1)
+    p2_c_b = (max(1 - 0.75, 0.0) + 0.75 * 2 * 0.25) / 2          # 0.3125
+    p3_abc = (max(1 - 0.75, 0.0) + 0.75 * 2 * p2_c_b) / 2        # 0.359375
+    p2_x_c = (0.0 + 0.75 * 1 * 0.25) / 1                          # floor pc
+    p3_bcx = (0.0 + 0.75 * 1 * p2_x_c) / 2
+    exp1 = (lp(p3_abc) + lp(p3_bcx)) / 2
+    n, got = out[1]
+    assert n == 2
+    assert abs(got - exp1) < 1e-9, (got, exp1)
+
+    p3_zza = 0.25                                                 # pc(a)
+    p2_b_a = (max(1 - 0.75, 0.0) + 0.75 * 1 * 0.25) / 1          # 0.4375
+    exp3 = (lp(p3_zza) + lp(p2_b_a) + lp(p3_abc)) / 3
+    assert abs(out[3][1] - exp3) < 1e-9, (out[3][1], exp3)
+
+    # self-scored reference doc 2 "b c a": one trigram, all seen
+    p2_a_c = (max(1 - 0.75, 0.0) + 0.75 * 1 * 0.25) / 1
+    p3_bca = (max(2 - 0.75, 0.0) + 0.75 * 1 * p2_a_c) / 2
+    assert abs(out[2][1] - lp(p3_bca)) < 1e-9
+
+    # exclusions: under 3 tokens / NULL text -> absent
+    assert 5 not in out and 7 not in out

@@ -986,3 +986,81 @@ def test_kn_bigram_matches_python_model(spark, texts):
     for i, (n, lp) in expect.items():
         assert got[i][0] == n, (i, got[i], n)
         assert abs(got[i][1] - lp) < 1e-9, (i, got[i][1], lp)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(WORD, min_size=0, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_kn_trigram_matches_python_model(spark, texts):
+    """Trigram-KN parity against a pure-Python model: the two-level
+    backoff (raw counts at the trigram level, MODIFIED continuation
+    counts at the bigram level, continuation distribution at the
+    base) compared per doc to 1e-9 over generated corpora."""
+    import math
+    from collections import Counter
+
+    from delta_data_pipelines_spark.operators.textstats import (
+        kn_trigram_logprob_scores,
+    )
+
+    texts = ["a b c d"] + texts  # pinned at index 0 -> ref never empty
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref_rows = [(i, t) for i, t in rows if i % 2 == 0]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+
+    def trips(t):
+        w = t.split(" ")
+        return list(zip(w, w[1:], w[2:]))
+
+    D = 0.75
+    bf3 = Counter()
+    for _, t in ref_rows:
+        bf3.update(trips(t))
+    c12, n1f3 = Counter(), Counter()
+    bn = Counter()
+    for (w1, w2, w3), c in bf3.items():
+        c12[(w1, w2)] += c
+        n1f3[(w1, w2)] += 1
+        bn[(w2, w3)] += 1
+    c2n, n1f2, cont = Counter(), Counter(), Counter()
+    for (w2, w3), c in bn.items():
+        c2n[w2] += c
+        n1f2[w2] += 1
+        cont[w3] += 1
+    B2 = len(bn)
+    expect = {}
+    for i, t in rows:
+        ts = trips(t)
+        if not ts:
+            continue
+        s = 0
+        for w1, w2, w3 in ts:
+            pc = cont.get(w3, 1) / B2
+            if w2 in c2n:
+                p2 = (max(bn.get((w2, w3), 0) - D, 0.0) + D * n1f2[w2] * pc) / c2n[w2]
+            else:
+                p2 = pc
+            if (w1, w2) in c12:
+                p3 = (
+                    max(bf3.get((w1, w2, w3), 0) - D, 0.0)
+                    + D * n1f3[(w1, w2)] * p2
+                ) / c12[(w1, w2)]
+            else:
+                p3 = p2
+            s += round(math.log(p3), 9)
+        expect[i] = (len(ts), s / len(ts))
+
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_logprob"])
+        for r in kn_trigram_logprob_scores(docs, ref, "doc_id", "text").collect()
+    }
+    assert set(got) == set(expect)
+    for i, (n, lp) in expect.items():
+        assert got[i][0] == n, (i, got[i], n)
+        assert abs(got[i][1] - lp) < 1e-9, (i, got[i][1], lp)
