@@ -53,12 +53,14 @@ def main(argv: list[str] | None = None) -> int:
     cc.add_argument("--lm-drop", type=float, default=None,
                     help="drop the bottom FRACTION by mean LM "
                     "log-prob after the heuristic gate (CCNet-style)")
-    cc.add_argument("--lm", choices=["unigram", "kn"], default="unigram",
+    cc.add_argument("--lm", choices=["unigram", "kn", "kn3"],
+                    default="unigram",
                     help="with --lm-drop: the scoring model — "
-                    "'unigram' (corpus frequency) or 'kn' "
-                    "(self-fit interpolated Kneser-Ney bigram, the "
-                    "KenLM estimator; ignored with --lang-aware, "
-                    "whose per-language cut is unigram)")
+                    "'unigram' (corpus frequency), 'kn' (self-fit "
+                    "interpolated Kneser-Ney bigram, the KenLM "
+                    "estimator) or 'kn3' (trigram, two-level "
+                    "recursion); ignored with --lang-aware, whose "
+                    "per-language cut is unigram")
     cc.add_argument("--lang-aware", action="store_true",
                     help="route the quality gate (and --lm-drop) per "
                     "language: each doc is gated by its language's "
@@ -262,7 +264,8 @@ def main(argv: list[str] | None = None) -> int:
                     "n-gram log-ratio table fit on the clean reference "
                     "(quality-seed target) with the keep threshold at "
                     "the reference's (1-FRACTION) weight quantile")
-    fm.add_argument("--lm", choices=["unigram", "kn"], default="unigram",
+    fm.add_argument("--lm", choices=["unigram", "kn", "kn3"],
+                    default="unigram",
                     help="LM family for the frozen outlier cut: "
                     "'unigram' (frequency table) or 'kn' (interpolated "
                     "Kneser-Ney bigram, the CCNet/KenLM estimator — "

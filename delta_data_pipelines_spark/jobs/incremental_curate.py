@@ -76,6 +76,9 @@ class FrozenCurationModel(JsonMetaStore):
         self.kn_bigrams = VersionedTable(
             spark, os.path.join(root, "kn_bigrams")
         )
+        self.kn_trigrams = VersionedTable(
+            spark, os.path.join(root, "kn_trigrams")
+        )
 
     def exists(self) -> bool:
         # dsir_lr is optional (fit with dsir_keep_fraction=None has no
@@ -222,8 +225,15 @@ def fit_reference_model(
     LM stage through unscored."""
     if not (0.0 <= drop_fraction < 1.0):
         raise ValueError(f"drop_fraction must be in [0, 1), got {drop_fraction}")
-    if lm not in ("unigram", "kn"):
-        raise ValueError(f"lm must be 'unigram' or 'kn', got {lm!r}")
+    if lm not in ("unigram", "kn", "kn3"):
+        raise ValueError(
+            f"lm must be 'unigram', 'kn' or 'kn3', got {lm!r}"
+        )
+    if lm == "kn3" and lang_aware:
+        raise ValueError(
+            "lm='kn3' is not yet available with lang_aware=True — use "
+            "lm='kn' for per-language models"
+        )
     if dsir_keep_fraction is not None and not (0.0 < dsir_keep_fraction <= 1.0):
         raise ValueError(
             f"dsir_keep_fraction must be in (0, 1], got {dsir_keep_fraction}"
@@ -282,8 +292,13 @@ def fit_reference_model(
             # KenLM per language): the frozen artifact is the
             # (lang, w1, w2) type table; each language's floor is its
             # own drop_fraction percentile of KN scores under the
-            # STORED table. The per-language unigram table above
-            # still freezes (drift + vocabulary artifact).
+            # STORED table, calibrated on the gated HELD-OUT docs
+            # (the in-sample-bias rule — see the non-lang KN branch;
+            # a language present in the reference but absent from the
+            # heldout gets no floor and passes the LM stage through,
+            # the unseen-language invariant extended to calibration).
+            # The per-language unigram table above still freezes
+            # (drift + vocabulary artifact).
             from ..operators.textstats import (
                 kn_bigram_score_from_types,
                 kn_bigram_types,
@@ -297,8 +312,14 @@ def fit_reference_model(
                 )
             )
             stored_kn = model.kn_bigrams.read(ckn.version)
+            cal = lang_quality_gate(
+                scrub_stage(heldout_docs, text_col),
+                text_col,
+                lang_col=lang_col,
+                gates=lang_gates,
+            )
             scores = kn_bigram_score_from_types(
-                clean.withColumn("_kn_lang", F.col(routed)),
+                cal.withColumn("_kn_lang", F.col(routed)),
                 stored_kn,
                 id_col,
                 text_col,
@@ -328,32 +349,54 @@ def fit_reference_model(
                 "reference corpus is empty after scrub+gate — no unigram "
                 "distribution to freeze; widen the gate or fix the input"
             )
-        if lm == "kn":
+        if lm in ("kn", "kn3"):
             # CCNet production parity: the LM cut scores under an
-            # interpolated Kneser-Ney bigram model (the KenLM
-            # estimator) instead of the unigram distribution. ONE
-            # artifact freezes — the bigram TYPE table; context
-            # totals, continuation counts, and the type total are its
-            # marginals and re-derive deterministically at apply time
-            # (kn_bigram_score_from_types, the same scoring definition
-            # the oracle-checked txt_kn_logprob uses). The unigram
-            # table above still freezes: batch_drift's KL runs on it
-            # and it documents the reference vocabulary. The threshold
-            # is the reference's own drop_fraction percentile of KN
-            # scores — calibrated on the SAME stored table every
-            # future batch will read.
+            # interpolated Kneser-Ney model (the KenLM estimator —
+            # bigram at lm='kn', trigram with the two-level recursion
+            # at lm='kn3') instead of the unigram distribution. ONE
+            # artifact freezes per order — the n-gram TYPE table;
+            # every marginal re-derives deterministically at apply
+            # time through the same scoring definition the
+            # oracle-checked txt_kn_logprob / txt_kn3_logprob queries
+            # use. The unigram table above still freezes: batch_drift's
+            # KL runs on it and it documents the reference vocabulary.
+            #
+            # The floor is calibrated on the HELD-OUT docs (scrubbed
+            # and gated like any batch), NOT on the reference's own
+            # scores: a KN model scores its own training text with
+            # every n-gram seen, so an in-sample percentile is biased
+            # optimistic — mildly at order 0 (the unigram path keeps
+            # in-sample calibration), fatally by order 2, where
+            # in-sample calibration put ~100% of genuinely novel text
+            # under the floor (the kn3 lesson this round). Held-out
+            # scores have the same unseen-n-gram profile future
+            # batches will have.
             from ..operators.textstats import (
                 kn_bigram_score_from_types,
                 kn_bigram_types,
+                kn_trigram_score_from_types,
+                kn_trigram_types,
             )
 
-            ckn = model.kn_bigrams.overwrite(
-                kn_bigram_types(clean, text_col)
+            cal = quality_gate(
+                scrub_stage(heldout_docs, text_col), text_col, **gate_kwargs
             )
-            stored_kn = model.kn_bigrams.read(ckn.version)
-            kn_scores = kn_bigram_score_from_types(
-                clean, stored_kn, id_col, text_col
-            )
+            if lm == "kn3":
+                ckn = model.kn_trigrams.overwrite(
+                    kn_trigram_types(clean, text_col)
+                )
+                kn_scores = kn_trigram_score_from_types(
+                    cal, model.kn_trigrams.read(ckn.version),
+                    id_col, text_col,
+                )
+            else:
+                ckn = model.kn_bigrams.overwrite(
+                    kn_bigram_types(clean, text_col)
+                )
+                kn_scores = kn_bigram_score_from_types(
+                    cal, model.kn_bigrams.read(ckn.version),
+                    id_col, text_col,
+                )
             thr = kn_scores.agg(
                 F.expr(f"percentile(avg_logprob, {drop_fraction})").alias(
                     "thr"
@@ -361,8 +404,9 @@ def fit_reference_model(
             ).collect()[0]["thr"]
             if thr is None:
                 raise ValueError(
-                    "reference corpus has no multi-token documents — "
-                    "no KN bigram distribution to freeze"
+                    "heldout corpus is empty after scrub+gate — cannot "
+                    "calibrate the KN floor on held-out scores; pass a "
+                    "larger heldout_docs"
                 )
         else:
             scores = _frozen_lm_scores(
@@ -391,6 +435,8 @@ def fit_reference_model(
     }
     if lm == "kn":
         meta["kn_bigrams_version"] = ckn.version
+    elif lm == "kn3":
+        meta["kn_trigrams_version"] = ckn.version
     if lang_aware:
         meta.update(
             {
@@ -639,7 +685,7 @@ def curate_batch(
             scrub_stage(batch, text_col), text_col, **meta["gate_kwargs"]
         )
         thr = meta["lm_threshold"]
-        if thr is not None and meta.get("lm", "unigram") == "kn":
+        if thr is not None and meta.get("lm", "unigram") in ("kn", "kn3"):
             # frozen KN cut: marginals re-derive from the STORED type
             # table (deterministic — same scoring definition as the
             # fit's calibration pass). DROP-list semantics: a doc the
@@ -647,19 +693,30 @@ def curate_batch(
             # score table) passes through, the unscorable-rows
             # invariant the unigram path gets from its explicit
             # passthrough split.
-            from ..operators.textstats import kn_bigram_score_from_types
+            from ..operators.textstats import (
+                kn_bigram_score_from_types,
+                kn_trigram_score_from_types,
+            )
 
-            drop = (
-                kn_bigram_score_from_types(
-                    gated.where(
-                        F.col(id_col).isNotNull()
-                        & F.col(text_col).isNotNull()
-                    ),
+            kn_scorable = gated.where(
+                F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+            )
+            if meta["lm"] == "kn3":
+                kn_scores = kn_trigram_score_from_types(
+                    kn_scorable,
+                    model.kn_trigrams.read(meta.get("kn_trigrams_version")),
+                    id_col,
+                    text_col,
+                )
+            else:
+                kn_scores = kn_bigram_score_from_types(
+                    kn_scorable,
                     model.kn_bigrams.read(meta.get("kn_bigrams_version")),
                     id_col,
                     text_col,
                 )
-                .where(F.col("avg_logprob") < F.lit(thr))
+            drop = (
+                kn_scores.where(F.col("avg_logprob") < F.lit(thr))
                 .select(id_col)
             )
             gated = gated.join(drop, id_col, "left_anti")

@@ -241,13 +241,14 @@ def test_lm_filter_kn_mode(spark):
     rows.append((50, "solo"))      # no bigram: unscorable, passes
     rows.append((100, None))       # NULL text: passes
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    out = lm_filter_stage(docs, drop_fraction=0.2, lm="kn").collect()
-    kept = {r["doc_id"] for r in out}
-    assert 99 not in kept          # rare-bigram outlier cut
-    assert set(range(1, 9)) <= kept
-    assert 50 in kept and 100 in kept
+    for mode in ("kn", "kn3"):
+        out = lm_filter_stage(docs, drop_fraction=0.2, lm=mode).collect()
+        kept = {r["doc_id"] for r in out}
+        assert 99 not in kept, mode      # rare-n-gram outlier cut
+        assert set(range(1, 9)) <= kept, mode
+        assert 50 in kept and 100 in kept, mode
     with _pytest.raises(ValueError, match="lm must be"):
-        lm_filter_stage(docs, drop_fraction=0.2, lm="trigram")
+        lm_filter_stage(docs, drop_fraction=0.2, lm="4gram")
 
 
 def test_lm_filter_zero_fraction_is_identity_and_validates(spark):
@@ -2017,12 +2018,49 @@ def test_frozen_kn_lm_filter(spark, tmp_path):
     drift = batch_drift(batch, model)
     assert isinstance(drift, dict) and drift
 
+    # kn3: the trigram artifact freezes and applies with the same
+    # drop-list semantics; the dropped set matches the direct
+    # stored-table threshold
+    from delta_data_pipelines_spark.operators.textstats import (
+        kn_trigram_score_from_types,
+    )
+
+    model3 = FrozenCurationModel(spark, str(tmp_path / "fzkn3"))
+    meta3 = fit_reference_model(
+        model3, ref, heldout, lm="kn3", drop_fraction=0.2
+    )
+    assert meta3["lm"] == "kn3" and model3.kn_trigrams.exists()
+    out3a = sorted(
+        r["doc_id"] for r in curate_batch(batch, model3).collect()
+    )
+    out3b = sorted(
+        r["doc_id"] for r in curate_batch(batch, model3).collect()
+    )
+    assert out3a == out3b and out3a
+    below3 = {
+        r["doc_id"]
+        for r in kn_trigram_score_from_types(
+            gated, model3.kn_trigrams.read(), "doc_id", "text"
+        )
+        .where(F.col("avg_logprob") < F.lit(meta3["lm_threshold"]))
+        .collect()
+    }
+    assert below3 and not (set(out3a) & below3)
+
     with _pytest.raises(ValueError, match="lm must be"):
         fit_reference_model(
             FrozenCurationModel(spark, str(tmp_path / "badlm")),
             ref,
             heldout,
-            lm="trigram",
+            lm="4gram",
+        )
+    with _pytest.raises(ValueError, match="kn3"):
+        fit_reference_model(
+            FrozenCurationModel(spark, str(tmp_path / "badkn3")),
+            ref,
+            heldout,
+            lm="kn3",
+            lang_aware=True,
         )
 
 
@@ -2052,6 +2090,20 @@ def test_frozen_lang_aware_kn_lm_filter(spark, tmp_path):
     ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
     heldout = spark.createDataFrame(
         [(9000, " ".join(f"h{j}" for j in range(20)))],
+        "doc_id long, text string",
+    )
+    # KN floors calibrate on the gated HELDOUT (the in-sample-bias
+    # rule), so the heldout needs gate-passing en and es docs that
+    # score at in-vocabulary levels: reuse the i=2 REFERENCE texts
+    # verbatim — every bigram seen (floors sit at healthy levels, so
+    # the novel-vocab outlier falls below), and their 13-grams are
+    # disjoint from the i=1 batch docs (v2_*/w2_* vs v1_*/w1_*
+    # vocabularies), so decontamination cannot cut the healthy batch
+    heldout = spark.createDataFrame(
+        [
+            (9001, " ".join(f"{stops[j % 8]} w2_{j}" for j in range(32))),
+            (9002, " ".join(f"{es_stops[j % 5]} v2_{j}" for j in range(12))),
+        ],
         "doc_id long, text string",
     )
     model = FrozenCurationModel(spark, str(tmp_path / "fzlkn"))

@@ -721,9 +721,11 @@ def test_kn_logprob_plan_shape(spark, registry):
     broadcast 1-row type-count join (B), and the model-side groupBys
     are partial-agg (map-side combine) — the vocabulary joins stay
     hash joins, never a data-by-data product."""
-    plan = plan_of(spark, registry, "txt_kn_logprob")
-    assert "Window" not in plan, plan
-    assert "EvalPython" not in plan, plan
-    assert "CartesianProduct" not in plan, plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan  # 1 node x2 prints
-    assert "partial_count" in plan, plan
+    for q in ("txt_kn_logprob", "txt_kn3_logprob"):
+        plan = plan_of(spark, registry, q)
+        assert "Window" not in plan, (q, plan)
+        assert "EvalPython" not in plan, (q, plan)
+        assert "CartesianProduct" not in plan, (q, plan)
+        # 1 node (the broadcast 1-row type-count join) x2 prints
+        assert plan.count("BroadcastNestedLoopJoin") <= 2, (q, plan)
+        assert "partial_count" in plan, (q, plan)
