@@ -267,11 +267,14 @@ def main(argv: list[str] | None = None) -> int:
     fm.add_argument("--lm", choices=["unigram", "kn", "kn3"],
                     default="unigram",
                     help="LM family for the frozen outlier cut: "
-                    "'unigram' (frequency table) or 'kn' (interpolated "
+                    "'unigram' (frequency table), 'kn' (interpolated "
                     "Kneser-Ney bigram, the CCNet/KenLM estimator — "
                     "freezes the bigram type table; with --lang-aware "
                     "the table and floors are per-language: one KenLM "
-                    "per language, the CCNet production shape)")
+                    "per language, the CCNet production shape) or "
+                    "'kn3' (trigram, two-level recursion; global "
+                    "models only — not yet with --lang-aware). KN "
+                    "floors calibrate on the gated HELDOUT docs")
     fm.add_argument("--classifier", choices=["logreg", "nb", "both"],
                     default=None,
                     help="also freeze a quality classifier: 'logreg' "

@@ -317,6 +317,8 @@ def fit_reference_model(
                 text_col,
                 lang_col=lang_col,
                 gates=lang_gates,
+            ).where(
+                F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
             )
             scores = kn_bigram_score_from_types(
                 cal.withColumn("_kn_lang", F.col(routed)),
@@ -340,6 +342,21 @@ def fit_reference_model(
             .collect()
             if r["thr"] is not None
         }
+        if lm == "kn":
+            # held-out calibration must cover every language the
+            # reference froze a model for: a modeled language with no
+            # floor would silently make its LM stage a permanent
+            # no-op (this is NOT the unseen-language invariant — the
+            # language IS seen and modeled; only calibration data is
+            # missing). Fail the BUILD job loudly instead.
+            uncal = sorted(set(lang_totals) - set(lang_thresholds))
+            if uncal:
+                raise ValueError(
+                    "held-out calibration produced no KN floor for "
+                    f"modeled language(s) {uncal} — the gated heldout "
+                    "has no scorable docs in them; pass a heldout "
+                    "covering every reference language"
+                )
         thr = None
         total = sum(lang_totals.values())
     else:
@@ -378,24 +395,34 @@ def fit_reference_model(
                 kn_trigram_types,
             )
 
+            # calibration population matches the apply side exactly:
+            # curate_batch filters NULL id/text before KN scoring, so
+            # the fit must too — otherwise NULL-id heldout rows pool
+            # into one pseudo-doc that skews the percentile
             cal = quality_gate(
                 scrub_stage(heldout_docs, text_col), text_col, **gate_kwargs
-            )
+            ).where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
             if lm == "kn3":
                 ckn = model.kn_trigrams.overwrite(
                     kn_trigram_types(clean, text_col)
                 )
+                stored_types = model.kn_trigrams.read(ckn.version)
                 kn_scores = kn_trigram_score_from_types(
-                    cal, model.kn_trigrams.read(ckn.version),
-                    id_col, text_col,
+                    cal, stored_types, id_col, text_col
                 )
             else:
                 ckn = model.kn_bigrams.overwrite(
                     kn_bigram_types(clean, text_col)
                 )
+                stored_types = model.kn_bigrams.read(ckn.version)
                 kn_scores = kn_bigram_score_from_types(
-                    cal, model.kn_bigrams.read(ckn.version),
-                    id_col, text_col,
+                    cal, stored_types, id_col, text_col
+                )
+            if stored_types.limit(1).count() == 0:
+                raise ValueError(
+                    "reference corpus has no n-grams at the requested "
+                    "order after scrub+gate — no KN distribution to "
+                    "freeze; widen the gate or fix the input"
                 )
             thr = kn_scores.agg(
                 F.expr(f"percentile(avg_logprob, {drop_fraction})").alias(

@@ -2088,10 +2088,6 @@ def test_frozen_lang_aware_kn_lm_filter(spark, tmp_path):
         for i in range(1, 13)
     ]
     ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
-    heldout = spark.createDataFrame(
-        [(9000, " ".join(f"h{j}" for j in range(20)))],
-        "doc_id long, text string",
-    )
     # KN floors calibrate on the gated HELDOUT (the in-sample-bias
     # rule), so the heldout needs gate-passing en and es docs that
     # score at in-vocabulary levels: reuse the i=2 REFERENCE texts
