@@ -54,55 +54,54 @@ def _modules():
 # green in CORRECTNESS_r01.json) and keep running in the local mirror
 # (tools/check.py), which checks all of them.
 _PRIORITY = [
-    # r13 window (VERDICT r12 ask #2): keep the flagship 3; give the
-    # three r12 first-rows their SECOND driver rounds (the logreg
-    # pair's values changed late in r12 via the GD fix, and
-    # td_classifier_agreement's plan changed this round — persist,
-    # hash-neutral by mirror — so a second green row proves them
-    # stable); keep txt_main_content for its second consecutive green
-    # on the r12-changed values (the unigram-pair precedent); seat
-    # the NEW r13 ensemble-gate audit (first row); seat the four
-    # verdict-named next-stalest x2 veterans (yielded their r12
-    # seats); fill the remaining 38 seats with the stalest by
-    # (last-green round) per the ledger — the 12 last green in r4
-    # (the f_* scalar batch + the tpch tail), f_regex_extract_cast,
-    # the 22 last green in r5 (the a_* grouping family, the st_*
-    # streaming twins, the temporal joins, the tpch head), the two
-    # r5 x5 veterans, and dd_cluster (r6). Everything rotated out
-    # holds >=2 greens on unchanged code and stays mirror-checked
-    # every round by tools/check.py.
+    # r14 window (VERDICT r13 ask #1): keep the flagship 3; give the
+    # four r13 first-rows their SECOND driver rounds (the KN pair's
+    # oracles mirror a five-rung backoff ladder term by term and
+    # deserve the stability proof; the ensemble + logreg-PR pair also
+    # changed code this round — shared-staging scores + persist, both
+    # hash-neutral by mirror); re-seat td_classifier_agreement and
+    # td_classifier_pr_curve for the same code-changed reason; seat
+    # the two NEW r14 queries (the per-language KN oracle —
+    # production CCNet shape, r13 ask #3 — and the ensemble audit at
+    # the FROZEN calibrated operating point, ask #5); fill the
+    # remaining 39 seats strictly stalest-first per the recounted
+    # ledger: the two r5 x5 veterans, the nine r6 x5/x6 veterans,
+    # the r8 pair, the r9 batch, the four r10 x2 rows, and the r10
+    # x3 sim/sk families (includes sk_heavy_hitters — the round's
+    # remeasure watch gets a fresh driver reading too). Everything
+    # rotated out holds >=2 greens on unchanged code and stays
+    # mirror-checked every round by tools/check.py.
     # flagship
     "search_index_full", "search_index_incremental", "search_index_fetch_by_id",
-    # r12 first-rows, second rounds
-    "txt_gopher_lines", "td_logreg_quality", "td_classifier_agreement",
-    # second consecutive green on the r12-changed values
-    "txt_main_content",
-    # NEW r13: ensemble-gate audit (NB+logreg AND/OR confusion vs the
-    # seed labels — the curate classifier="both" decision table)
-    "td_classifier_ensemble",
-    # next-stalest x2 veterans (yielded their seats in r12)
-    "txt_vocab_topk", "txt_unigram_logprob", "txt_tfidf_top_term",
-    "txt_repetition",
-    # stalest x3 veterans: last green r4
-    "f_age_build_year", "f_case_buckets", "f_json_struct",
-    "f_toman_parse", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q16",
-    "tpch_q18", "tpch_q19", "tpch_q22", "tpch_q6",
-    "f_regex_extract_cast",
-    # stalest x4 veterans: last green r5
-    "a_counters", "a_cube", "a_dynamic_pivot", "a_rollup",
-    "f_date_arithmetic", "f_enum_normalize", "f_json_navigation",
-    "f_relative_dates", "f_string_ops", "st_dedup",
-    "st_running_totals", "st_session_windows", "st_sliding_counts",
-    "st_windowed_counts", "t_asof_join", "t_asof_join_tolerance",
-    "t_range_join", "tpch_q1", "tpch_q10", "tpch_q3", "tpch_q4",
-    "tpch_q5",
-    # NEW r13: the interpolated Kneser-Ney family (the CCNet/KenLM
-    # estimator; fit on the even half, every backoff rung live via
-    # the deterministic tok<doc_id> augmentation) at orders 1 and 2,
-    # and the logreg PR sweep (td_classifier_pr_curve's linear twin)
-    # — dd_cluster (r6 x5), txt_topk_per_source (r5 x5) and
-    # f_translate (r5 x5), the least-stale fillers, yielded the seats
-    "txt_kn_logprob", "txt_kn3_logprob", "td_logreg_pr_curve",
+    # r13 first-rows, second rounds (KN pair unchanged; ensemble +
+    # logreg PR re-prove changed staging/persist)
+    "txt_kn_logprob", "txt_kn3_logprob", "td_classifier_ensemble",
+    "td_logreg_pr_curve",
+    # code-changed this round: shared verdict staging / persist
+    "td_classifier_agreement", "td_classifier_pr_curve",
+    # NEW r14: per-language KN (one KenLM per language) and the
+    # calibrated-operating-point ensemble audit
+    "txt_kn_lang_logprob", "td_ensemble_calibrated",
+    # stalest x5 veterans: last green r5
+    "f_translate", "txt_topk_per_source",
+    # stalest veterans: last green r6
+    "dd_cluster", "dd_embedding_blocked", "tpch_q2",
+    "w_batch_ids_global", "w_row_number_seq_scalable", "dd_minhash",
+    "sim_brute_topk", "sim_ivf_topk", "txt_profile",
+    # last green r8
+    "dd_containment", "td_curate",
+    # last green r9
+    "t_rolling_wau", "td_chunk_manifest", "td_pack_sequences",
+    "ds_interleave", "st_interval_join",
+    # last green r10, two rows held
+    "dd_exact_substring", "dd_exact_substring_spans", "mm_phash_dedup",
+    "sim_ivf_recall_curve",
+    # last green r10, three rows held: the sim/sk families
+    "dd_simhash", "ds_dsir_sample", "f_url_dedup", "sim_ivf_serve",
+    "sim_ivfpq_serve", "sim_jl_audit", "sim_lsh_topk", "sim_mmr_topk",
+    "sim_pq_adc_topk", "sim_pq_codes", "sim_pq_recall_audit",
+    "sim_pq_serve", "sk_cm_counts", "sk_exact_quantiles",
+    "sk_heavy_hitters", "sk_hll_distinct", "sk_source_overlap",
 ]
 
 

@@ -171,6 +171,9 @@ HEADLINE = [
     # changed-code re-baselining rule)
     "txt_gopher_lines",
     "td_logreg_quality",
+    # r13 shelf, promoted (unchanged code): the KN LM pair
+    "txt_kn_logprob",
+    "txt_kn3_logprob",
 ]
 
 # RETIRED from the driver headline loop (r11 verdict ask #7): a query
@@ -217,26 +220,25 @@ HEADLINE = [q for q in HEADLINE if q not in RETIRED]
 # (short by construction) so the NEXT round's compare knows what to
 # exclude without needing this source file.
 SHELF: list[str] = [
-    # re-baselining (r13 code change): the agreement audit's labeled
-    # frame is now persisted across its four consumers — one corpus
-    # scan instead of four; expect ~3.4s at sf0.1 (was 4.0)
+    # re-baselining (r14 code change): the shared classifier staging
+    # (_trained_classifier_verdicts) now carries raw scores alongside
+    # the boolean verdicts (the calibrated audit rides it) — plan
+    # unchanged after column pruning, but the changed-code rule
+    # re-seats both consumers one more round
     "td_classifier_agreement",
-    # r13: ensemble-gate audit — the same two trained classifiers as
-    # the agreement audit (shared persisted labeled frame) + one
-    # 4-way stack unpivot to a 4-row confusion/precision/recall table
     "td_classifier_ensemble",
-    # r13: interpolated Kneser-Ney bigram LM (train/score split) —
-    # one reference bigram explode -> type-table groupBy + two
-    # vocabulary-sized marginal groupBys, then a corpus explode +
-    # three vocabulary joins; ~1.4s standalone at sf0.1
-    "txt_kn_logprob",
-    # r13: trigram KN (order-2 twin — one trigram explode + five
-    # vocabulary joins; ~2.4s standalone at sf0.1)
-    "txt_kn3_logprob",
-    # r13: logreg PR sweep — td_classifier_pr_curve's linear twin
-    # (one logreg train + score pass, 15 conditional counters in a
-    # single-row agg, stacked)
+    # re-baselining (r14 code change): the PR sweep's labeled frame
+    # is now persisted across its three consumers (train, score,
+    # label join — the r13 verdict advisory)
     "td_logreg_pr_curve",
+    # r14: per-language interpolated KN bigram LM (one KenLM per
+    # language — every marginal keys on lang; the type total is an
+    # O(languages) broadcast)
+    "txt_kn_lang_logprob",
+    # r14: ensemble audit at the FROZEN calibrated operating point
+    # (percentile floors broadcast back over the shared persisted
+    # verdict frame)
+    "td_ensemble_calibrated",
 ]
 HEADLINE = HEADLINE + SHELF
 if os.environ.get("SPARK_GRAFT_BENCH_FULL"):

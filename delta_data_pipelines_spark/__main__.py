@@ -269,12 +269,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="LM family for the frozen outlier cut: "
                     "'unigram' (frequency table), 'kn' (interpolated "
                     "Kneser-Ney bigram, the CCNet/KenLM estimator — "
-                    "freezes the bigram type table; with --lang-aware "
-                    "the table and floors are per-language: one KenLM "
-                    "per language, the CCNet production shape) or "
-                    "'kn3' (trigram, two-level recursion; global "
-                    "models only — not yet with --lang-aware). KN "
-                    "floors calibrate on the gated HELDOUT docs")
+                    "freezes the bigram type table) or 'kn3' (trigram, "
+                    "two-level recursion). With --lang-aware the type "
+                    "table and floors are per-language at either "
+                    "order: one KenLM per language, the CCNet "
+                    "production shape. KN floors calibrate on the "
+                    "gated HELDOUT docs")
     fm.add_argument("--classifier", choices=["logreg", "nb", "both"],
                     default=None,
                     help="also freeze a quality classifier: 'logreg' "

@@ -169,6 +169,35 @@ def _frozen_lang_lm_scores(
     )
 
 
+def _kn_text_view(df: DataFrame, text_col: str, *keep: str) -> DataFrame:
+    """Line-break-normalized KN input view — ``lm_filter_stage``'s
+    rule applied to the frozen path: the KN explode splits on single
+    spaces, so "end.\\nstart" must not fit or score as one rare fused
+    token. Only the columns the KN pair needs ride through (the
+    published text column re-enters untouched downstream). Fit and
+    apply both route through this helper, so the frozen type tables
+    and every score see the same normalization."""
+    return df.select(
+        *keep, F.translate(F.col(text_col), "\n", " ").alias(text_col)
+    )
+
+
+def _read_nonempty_kn(table: VersionedTable, version, what: str) -> DataFrame:
+    """Read a stored KN type table, raising if it is empty — an empty
+    or corrupted artifact at apply time would otherwise yield a
+    0-row join, NULL avg_logprob for every doc, and a frozen LM cut
+    that silently became a no-op (the fit-time guard only covers the
+    fit path)."""
+    df = table.read(version)
+    if df.limit(1).count() == 0:
+        raise ValueError(
+            f"stored {what} type table is empty — the frozen KN cut "
+            "would silently become a no-op (every doc unscorable); "
+            "refit with fit_reference_model or restore the artifact"
+        )
+    return df
+
+
 def fit_reference_model(
     model: FrozenCurationModel,
     reference_docs: DataFrame,
@@ -229,11 +258,6 @@ def fit_reference_model(
         raise ValueError(
             f"lm must be 'unigram', 'kn' or 'kn3', got {lm!r}"
         )
-    if lm == "kn3" and lang_aware:
-        raise ValueError(
-            "lm='kn3' is not yet available with lang_aware=True — use "
-            "lm='kn' for per-language models"
-        )
     if dsir_keep_fraction is not None and not (0.0 < dsir_keep_fraction <= 1.0):
         raise ValueError(
             f"dsir_keep_fraction must be in (0, 1], got {dsir_keep_fraction}"
@@ -287,11 +311,12 @@ def fit_reference_model(
         totals_df = model.spark.createDataFrame(
             list(lang_totals.items()), "lang string, total long"
         )
-        if lm == "kn":
+        if lm in ("kn", "kn3"):
             # per-language KN — CCNet's actual production shape (one
-            # KenLM per language): the frozen artifact is the
-            # (lang, w1, w2) type table; each language's floor is its
-            # own drop_fraction percentile of KN scores under the
+            # KenLM per language, bigram at lm='kn', trigram with the
+            # two-level recursion at lm='kn3'): the frozen artifact is
+            # the (lang, …grams) type table; each language's floor is
+            # its own drop_fraction percentile of KN scores under the
             # STORED table, calibrated on the gated HELD-OUT docs
             # (the in-sample-bias rule — see the non-lang KN branch;
             # a language present in the reference but absent from the
@@ -302,16 +327,29 @@ def fit_reference_model(
             from ..operators.textstats import (
                 kn_bigram_score_from_types,
                 kn_bigram_types,
+                kn_trigram_score_from_types,
+                kn_trigram_types,
             )
 
-            ckn = model.kn_bigrams.overwrite(
-                kn_bigram_types(
-                    clean.withColumn("_kn_lang", F.col(routed)),
+            types_fn, score_fn, kn_table = (
+                (kn_trigram_types, kn_trigram_score_from_types,
+                 model.kn_trigrams)
+                if lm == "kn3"
+                else (kn_bigram_types, kn_bigram_score_from_types,
+                      model.kn_bigrams)
+            )
+            ckn = kn_table.overwrite(
+                types_fn(
+                    _kn_text_view(
+                        clean.withColumn("_kn_lang", F.col(routed)),
+                        text_col,
+                        "_kn_lang",
+                    ),
                     text_col,
                     lang_col="_kn_lang",
                 )
             )
-            stored_kn = model.kn_bigrams.read(ckn.version)
+            stored_kn = kn_table.read(ckn.version)
             cal = lang_quality_gate(
                 scrub_stage(heldout_docs, text_col),
                 text_col,
@@ -320,8 +358,13 @@ def fit_reference_model(
             ).where(
                 F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
             )
-            scores = kn_bigram_score_from_types(
-                cal.withColumn("_kn_lang", F.col(routed)),
+            scores = score_fn(
+                _kn_text_view(
+                    cal.withColumn("_kn_lang", F.col(routed)),
+                    text_col,
+                    id_col,
+                    "_kn_lang",
+                ),
                 stored_kn,
                 id_col,
                 text_col,
@@ -342,20 +385,34 @@ def fit_reference_model(
             .collect()
             if r["thr"] is not None
         }
-        if lm == "kn":
+        if lm in ("kn", "kn3"):
             # held-out calibration must cover every language the
             # reference froze a model for: a modeled language with no
             # floor would silently make its LM stage a permanent
             # no-op (this is NOT the unseen-language invariant — the
             # language IS seen and modeled; only calibration data is
-            # missing). Fail the BUILD job loudly instead.
-            uncal = sorted(set(lang_totals) - set(lang_thresholds))
+            # missing). Fail the BUILD job loudly instead. The
+            # required set is the languages IN THE TYPE TABLE, not
+            # every unigram-modeled language: a reference language
+            # whose docs are all shorter than the order's minimum has
+            # no n-gram types at that order, so no heldout could ever
+            # calibrate it — it is KN-unmodeled and passes the LM
+            # stage through at apply time (absent from the score
+            # frame), the unseen-language invariant.
+            kn_langs = {
+                r[0]
+                for r in stored_kn.select("_kn_lang").distinct().collect()
+            }
+            uncal = sorted(
+                (set(lang_totals) & kn_langs) - set(lang_thresholds)
+            )
             if uncal:
                 raise ValueError(
                     "held-out calibration produced no KN floor for "
                     f"modeled language(s) {uncal} — the gated heldout "
                     "has no scorable docs in them; pass a heldout "
-                    "covering every reference language"
+                    "covering every reference language modeled at "
+                    "this n-gram order"
                 )
         thr = None
         total = sum(lang_totals.values())
@@ -399,12 +456,21 @@ def fit_reference_model(
             # curate_batch filters NULL id/text before KN scoring, so
             # the fit must too — otherwise NULL-id heldout rows pool
             # into one pseudo-doc that skews the percentile
-            cal = quality_gate(
-                scrub_stage(heldout_docs, text_col), text_col, **gate_kwargs
-            ).where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+            cal = _kn_text_view(
+                quality_gate(
+                    scrub_stage(heldout_docs, text_col),
+                    text_col,
+                    **gate_kwargs,
+                ).where(
+                    F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+                ),
+                text_col,
+                id_col,
+            )
+            fit_view = _kn_text_view(clean, text_col)
             if lm == "kn3":
                 ckn = model.kn_trigrams.overwrite(
-                    kn_trigram_types(clean, text_col)
+                    kn_trigram_types(fit_view, text_col)
                 )
                 stored_types = model.kn_trigrams.read(ckn.version)
                 kn_scores = kn_trigram_score_from_types(
@@ -412,7 +478,7 @@ def fit_reference_model(
                 )
             else:
                 ckn = model.kn_bigrams.overwrite(
-                    kn_bigram_types(clean, text_col)
+                    kn_bigram_types(fit_view, text_col)
                 )
                 stored_types = model.kn_bigrams.read(ckn.version)
                 kn_scores = kn_bigram_score_from_types(
@@ -623,6 +689,11 @@ def fit_reference_model(
             )
         if classifier == "both":
             meta["ensemble_policy"] = ensemble_policy
+        # every consumer has collected by here (thresholds) or written
+        # to storage (weight tables) — release the staged frame so
+        # repeated fits in one long-lived session don't accumulate
+        # cached relations
+        labeled.unpersist()
     model._write_meta(meta)
     return meta
 
@@ -668,17 +739,39 @@ def curate_batch(
         thr_df = spark.createDataFrame(
             list(meta["lang_thresholds"].items()), "lang string, thr double"
         )
-        if meta.get("lm", "unigram") == "kn":
+        if meta.get("lm", "unigram") in ("kn", "kn3"):
             # per-language KN cut: marginals re-derive from the STORED
-            # (lang, w1, w2) type table — one scoring definition with
+            # (lang, …grams) type table — one scoring definition with
             # the fit's calibration pass; docs in a language the table
             # never saw are absent from the score frame and pass
             # through via the drop-list anti-join
-            from ..operators.textstats import kn_bigram_score_from_types
+            from ..operators.textstats import (
+                kn_bigram_score_from_types,
+                kn_trigram_score_from_types,
+            )
 
-            scores = kn_bigram_score_from_types(
-                scorable.withColumn("_kn_lang", F.col(routed)),
-                model.kn_bigrams.read(meta.get("kn_bigrams_version")),
+            if meta["lm"] == "kn3":
+                score_fn = kn_trigram_score_from_types
+                stored = _read_nonempty_kn(
+                    model.kn_trigrams,
+                    meta.get("kn_trigrams_version"),
+                    "per-language KN trigram",
+                )
+            else:
+                score_fn = kn_bigram_score_from_types
+                stored = _read_nonempty_kn(
+                    model.kn_bigrams,
+                    meta.get("kn_bigrams_version"),
+                    "per-language KN bigram",
+                )
+            scores = score_fn(
+                _kn_text_view(
+                    scorable.withColumn("_kn_lang", F.col(routed)),
+                    text_col,
+                    id_col,
+                    "_kn_lang",
+                ),
+                stored,
                 id_col,
                 text_col,
                 lang_col="_kn_lang",
@@ -725,20 +818,32 @@ def curate_batch(
                 kn_trigram_score_from_types,
             )
 
-            kn_scorable = gated.where(
-                F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+            kn_scorable = _kn_text_view(
+                gated.where(
+                    F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+                ),
+                text_col,
+                id_col,
             )
             if meta["lm"] == "kn3":
                 kn_scores = kn_trigram_score_from_types(
                     kn_scorable,
-                    model.kn_trigrams.read(meta.get("kn_trigrams_version")),
+                    _read_nonempty_kn(
+                        model.kn_trigrams,
+                        meta.get("kn_trigrams_version"),
+                        "KN trigram",
+                    ),
                     id_col,
                     text_col,
                 )
             else:
                 kn_scores = kn_bigram_score_from_types(
                     kn_scorable,
-                    model.kn_bigrams.read(meta.get("kn_bigrams_version")),
+                    _read_nonempty_kn(
+                        model.kn_bigrams,
+                        meta.get("kn_bigrams_version"),
+                        "KN bigram",
+                    ),
                     id_col,
                     text_col,
                 )

@@ -854,15 +854,21 @@ def _word_triples(frame: DataFrame, text_col: str, *keep) -> DataFrame:
     )
 
 
-def kn_trigram_types(ref: DataFrame, text_col: str = "text") -> DataFrame:
+def kn_trigram_types(
+    ref: DataFrame, text_col: str = "text", lang_col: str | None = None
+) -> DataFrame:
     """The trigram-KN model's ONE artifact: the reference trigram-TYPE
     table (w1, w2, w3, cb). BOTH lower orders are marginals of this
     table — the bigram level uses Chen & Goodman's MODIFIED counts
     (how many distinct w1 precede each (w2, w3) = this table's row
-    count per (w2, w3)), so nothing else needs freezing."""
+    count per (w2, w3)), so nothing else needs freezing. With
+    ``lang_col`` the table is per-language ((lang, w1, w2, w3, cb) —
+    one KenLM per language, the bigram table's CCNet production
+    shape at order 2) and every marginal keys on the language too."""
+    keys = [lang_col] if lang_col else []
     return (
-        _word_triples(ref, text_col)
-        .groupBy("_w1", "_w2", "_w3")
+        _word_triples(ref, text_col, *keys)
+        .groupBy(*keys, "_w1", "_w2", "_w3")
         .agg(F.count("*").alias("_cb"))
     )
 
@@ -873,6 +879,7 @@ def kn_trigram_score_from_types(
     id_col: str = "doc_id",
     text_col: str = "text",
     discount: float = 0.75,
+    lang_col: str | None = None,
 ) -> DataFrame:
     """Per-doc mean interpolated KNESER-NEY TRIGRAM log-prob — the
     order-2 extension of kn_bigram_logprob_scores showing the
@@ -900,24 +907,39 @@ def kn_trigram_score_from_types(
     they fit) + one 1-row broadcast + a per-doc partial agg — linear,
     no windows. Docs with fewer than 3 tokens have no trigram and are
     absent from the output (callers pass them through). Output:
-    (id_col, n_trigrams, avg_logprob double, UNROUNDED)."""
+    (id_col, n_trigrams, avg_logprob double, UNROUNDED).
+
+    With ``lang_col`` (table fit per-language): every marginal and
+    every join keys on the language too, B2 becomes an O(languages)
+    broadcast table, the output carries the language, and a doc in a
+    language the table has never seen is ABSENT from the output
+    (callers pass it through — the bigram scorer's unseen-language
+    invariant at order 2)."""
     D = F.lit(discount)
-    ctx3 = bf3.groupBy("_w1", "_w2").agg(
+    kl = [lang_col] if lang_col else []
+    ctx3 = bf3.groupBy(*kl, "_w1", "_w2").agg(
         F.sum("_cb").alias("_c12"),     # c(w1,w2): trigram-context total
         F.count("*").alias("_n1f3"),    # N1+(w1,w2,·)
     )
     # modified bigram level: one row per (w2, w3) with its distinct-
     # left-context count (bf3 rows are distinct types, so count(*)
     # per (w2, w3) IS N1+(·,w2,w3))
-    bn = bf3.groupBy("_w2", "_w3").agg(F.count("*").alias("_cn23"))
-    ctx2 = bn.groupBy("_w2").agg(
+    bn = bf3.groupBy(*kl, "_w2", "_w3").agg(F.count("*").alias("_cn23"))
+    ctx2 = bn.groupBy(*kl, "_w2").agg(
         F.sum("_cn23").alias("_c2n"),   # N1+(·,w2,·): bigram-level total
         F.count("*").alias("_n1f2"),    # N1+(w2,·): distinct w3 after w2
     )
-    cont = bn.groupBy("_w3").agg(F.count("*").alias("_n1c3"))  # N1+(·w3)
-    btot = bn.agg(F.count("*").alias("_b2"))  # B2: distinct (w2,w3) types
+    cont = bn.groupBy(*kl, "_w3").agg(
+        F.count("*").alias("_n1c3")
+    )  # N1+(·w3)
+    # B2: distinct (w2,w3) types (per language when routed)
+    btot = (
+        bn.groupBy(*kl).agg(F.count("*").alias("_b2"))
+        if kl
+        else bn.agg(F.count("*").alias("_b2"))
+    )
 
-    trip = _word_triples(docs, text_col, id_col)
+    trip = _word_triples(docs, text_col, id_col, *kl)
     pc = F.coalesce(F.col("_n1c3"), F.lit(1)).cast("double") / F.col("_b2")
     p2_seen = (
         F.greatest(F.coalesce(F.col("_cn23"), F.lit(0)) - D, F.lit(0.0))
@@ -929,15 +951,24 @@ def kn_trigram_score_from_types(
         + D * F.col("_n1f3") * p2
     ) / F.col("_c12")
     p3 = F.when(F.col("_c12").isNotNull(), p3_seen).otherwise(p2)
+    joined = (
+        trip.join(bf3, kl + ["_w1", "_w2", "_w3"], "left")
+        .join(ctx3, kl + ["_w1", "_w2"], "left")
+        .join(bn, kl + ["_w2", "_w3"], "left")
+        .join(ctx2, kl + ["_w2"], "left")
+        .join(cont, kl + ["_w3"], "left")
+    )
+    if kl:
+        joined = joined.join(F.broadcast(btot), kl, "left").where(
+            F.col("_b2").isNotNull()  # unseen language: unscorable
+        )
+    else:
+        joined = joined.crossJoin(F.broadcast(btot))
     return (
-        trip.join(bf3, ["_w1", "_w2", "_w3"], "left")
-        .join(ctx3, ["_w1", "_w2"], "left")
-        .join(bn, ["_w2", "_w3"], "left")
-        .join(ctx2, ["_w2"], "left")
-        .join(cont, ["_w3"], "left")
-        .crossJoin(F.broadcast(btot))
-        .withColumn("_lp", F.round(F.log(p3), 9).cast("decimal(28,9)"))
-        .groupBy(id_col)
+        joined.withColumn(
+            "_lp", F.round(F.log(p3), 9).cast("decimal(28,9)")
+        )
+        .groupBy(id_col, *kl)
         .agg(
             F.count("*").alias("n_trigrams"),
             (F.sum("_lp").cast("double") / F.count("*")).alias("avg_logprob"),

@@ -1885,6 +1885,50 @@ def txt_kn3_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def txt_kn_lang_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-LANGUAGE interpolated Kneser-Ney bigram LM score — the
+    CCNet production shape (one KenLM per language) made
+    driver-checkable: the bigram-TYPE table is fit per language on
+    the even doc_id half (textstats.kn_bigram_types(lang_col=...)),
+    every marginal — context totals, continuation counts, the type
+    total B — keys on the language, and each document scores ONLY
+    under its own language's model. The fixture's real ``lang``
+    column routes (deterministic in both engines — no lang-id
+    heuristic in the oracle path), and the tok<doc_id> liveness
+    augmentation fires every backoff rung within every language
+    (per-language models are smaller, so unseen pairs/contexts are
+    even more frequent than in the global txt_kn_logprob).
+
+    Scale shape: the per-language type total becomes an O(languages)
+    broadcast instead of a global 1-row cross join; everything else
+    is the global scorer's linear shape with the language added to
+    each join key. Output: (doc_id, lang, n_bigrams, avg_logprob)."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("text").isNotNull(),
+            F.concat(
+                F.col("text"), F.lit(" tok"), F.col("doc_id"), F.lit(" kn")
+            ),
+        ).alias("text"),
+    )
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    s = textstats.kn_bigram_score_from_types(
+        d,
+        textstats.kn_bigram_types(ref, "text", lang_col="lang"),
+        "doc_id",
+        "text",
+        lang_col="lang",
+    )
+    return s.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    ).orderBy("doc_id")
+
+
 def td_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus datasheet: one row of the headline numbers every
     dataset card starts with — doc/token/lang/source counts, exact-dup
@@ -2513,7 +2557,12 @@ def _trained_classifier_verdicts(
     td_source_drift discipline) and the per-doc boolean verdicts of
     the two trained scorers, `(_nb, _lr)` keyed by doc_id. One
     definition so the label expression, the persist, and the 64/2
-    fit hyperparameters cannot drift between the two audits."""
+    fit hyperparameters cannot drift between the two audits.
+
+    The persist is released by the caller's session-level cache reset
+    (bench._reset_session_state between bench queries; tools/check.py
+    clearCache between mirror queries) — the returned frames are lazy,
+    so this helper cannot unpersist before the consumer collects."""
     from pyspark.storagelevel import StorageLevel
 
     from ..operators.textstats import (
@@ -2535,11 +2584,15 @@ def _trained_classifier_verdicts(
     )
     nbw, prior = nb_train(d, "_lbl")
     nb = nb_score(d, nbw, prior).select(
-        "doc_id", F.col("pred_pos").alias("_nb")
+        "doc_id",
+        F.col("pred_pos").alias("_nb"),
+        F.col("nb_score").alias("_nb_score"),
     )
     lrw = logreg_train(d, "_lbl", "doc_id", "text", n_buckets=64, steps=2)
     lr = logreg_score(d, lrw, "doc_id", "text", 64).select(
-        "doc_id", F.col("pred_pos").alias("_lr")
+        "doc_id",
+        F.col("pred_pos").alias("_lr"),
+        F.col("lr_score").alias("_lr_score"),
     )
     return d, nb, lr
 
@@ -2630,6 +2683,97 @@ def td_classifier_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "stack(4, 'ensemble_and', _and, 'ensemble_or', _or, "
             "'logreg', _lr, 'nb', _nb) AS (scorer, pred)"
+        ),
+    )
+    tp = F.count_if(F.col("pred") & F.col("_lbl"))
+    fp = F.count_if(F.col("pred") & ~F.col("_lbl"))
+    fn = F.count_if(~F.col("pred") & F.col("_lbl"))
+    tn = F.count_if(~F.col("pred") & ~F.col("_lbl"))
+    return (
+        long.groupBy("scorer")
+        .agg(
+            F.count("*").alias("n_docs"),
+            tp.alias("n_tp"),
+            fp.alias("n_fp"),
+            fn.alias("n_fn"),
+            tn.alias("n_tn"),
+        )
+        .select(
+            "scorer",
+            "n_docs",
+            "n_tp",
+            "n_fp",
+            "n_fn",
+            "n_tn",
+            F.round(
+                F.col("n_tp")
+                / F.nullif(
+                    (F.col("n_tp") + F.col("n_fp")).cast("double"),
+                    F.lit(0.0),
+                ),
+                9,
+            ).alias("precision"),
+            F.round(
+                F.col("n_tp")
+                / F.nullif(
+                    (F.col("n_tp") + F.col("n_fn")).cast("double"),
+                    F.lit(0.0),
+                ),
+                9,
+            ).alias("recall"),
+        )
+        .orderBy("scorer")
+    )
+
+
+def td_ensemble_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble-gate audit at the CALIBRATED operating point — the
+    confusion table of the gate that ACTUALLY runs in production:
+    td_classifier_ensemble confuses on each scorer's raw default
+    threshold (``pred_pos``), but ``fit_reference_model`` freezes
+    percentile-calibrated floors (each scorer's keep set is the
+    corpus's best-scoring ``keep_fraction``, never the raw sign — a
+    hard cut degenerates to drop-all/keep-all whenever the features
+    can't separate the seed labels) and ``curate_batch`` keeps
+    ``score >= floor``. This query applies the SAME percentile
+    arithmetic (keep_fraction = 0.5, the fit default: floor =
+    percentile(score, 0.5), rounded to 9 dp — the cross-engine
+    determinism seam; nb_score is already on a 9-dp grid and
+    lr_score is an exact decimal cast, so the quantized floor
+    compares identically in both engines) and reports each component
+    and both ensemble policies against the shared seed labels.
+
+    Scale shape: both scorers ride the ONE persisted labeled frame
+    (`_trained_classifier_verdicts`); the floors are a 1-row
+    aggregate broadcast-cross-joined back (the lm_filter_stage
+    percentile discipline); then the ensemble audit's stack unpivot
+    and 4-group aggregate — output O(scorers), never O(docs)."""
+    d, nb, lr = _trained_classifier_verdicts(spark, sf_dir)
+    scored = d.select("doc_id", "_lbl").join(nb, "doc_id").join(lr, "doc_id")
+    floors = scored.agg(
+        F.round(F.expr("percentile(_nb_score, 0.5)"), 9).alias("_nbf"),
+        F.round(F.expr("percentile(_lr_score, 0.5)"), 9).alias("_lrf"),
+    )
+    per = (
+        scored.crossJoin(F.broadcast(floors))
+        .select(
+            "_lbl",
+            (F.col("_nb_score") >= F.col("_nbf")).alias("_nbk"),
+            (F.col("_lr_score") >= F.col("_lrf")).alias("_lrk"),
+        )
+        .select(
+            "_lbl",
+            "_nbk",
+            "_lrk",
+            (F.col("_nbk") & F.col("_lrk")).alias("_and"),
+            (F.col("_nbk") | F.col("_lrk")).alias("_or"),
+        )
+    )
+    long = per.select(
+        "_lbl",
+        F.expr(
+            "stack(4, 'ensemble_and', _and, 'ensemble_or', _or, "
+            "'logreg_cal', _lrk, 'nb_cal', _nbk) AS (scorer, pred)"
         ),
     )
     tp = F.count_if(F.col("pred") & F.col("_lbl"))
@@ -2850,11 +2994,23 @@ def td_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-free pass over td_quality_classifier's machinery: all 15
     counters (tp/fp/fn × 5 thresholds) are conditional aggregates in
     a single-row agg over the scored-and-labeled frame, stacked to
-    rows — never one pass per threshold."""
+    rows — never one pass per threshold. The labeled frame feeds
+    THREE consumers (train, score, label join) and is staged with
+    persist — the _trained_classifier_verdicts discipline — so the
+    plan holds one documents scan; the session-level cache reset
+    between queries releases it."""
+    from pyspark.storagelevel import StorageLevel
+
     from ..operators.textstats import nb_score, nb_train, quality_score
 
-    d = read_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", (quality_score(F.col("text")) >= 0.5).alias("_lbl")
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "text",
+            (quality_score(F.col("text")) >= 0.5).alias("_lbl"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     weights, prior = nb_train(d, "_lbl")
     s = (
@@ -2914,11 +3070,23 @@ def td_logreg_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     in ONE single-row agg over the scored-and-labeled frame, stacked
     to rows — never one pass per threshold. Thresholds span the
     lr_score range ([−0.01, 0.41] at sf0.01; the 64-bucket decimal
-    weight sums are small by construction)."""
+    weight sums are small by construction). The labeled frame feeds
+    THREE consumers (train, score, label join) and is staged with
+    persist — the _trained_classifier_verdicts discipline — so the
+    plan holds one documents scan; the session-level cache reset
+    between queries releases it."""
+    from pyspark.storagelevel import StorageLevel
+
     from ..operators.textstats import logreg_score, logreg_train, quality_score
 
-    d = read_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", (quality_score(F.col("text")) >= 0.5).alias("_lbl")
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "text",
+            (quality_score(F.col("text")) >= 0.5).alias("_lbl"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     weights = logreg_train(d, "_lbl", "doc_id", "text", n_buckets=64, steps=2)
     s = (
@@ -3167,12 +3335,14 @@ SPARK_QUERIES = {
     "td_priority_dedup": td_priority_dedup,
     "txt_bigram_logprob": txt_bigram_logprob,
     "txt_kn_logprob": txt_kn_logprob,
+    "txt_kn_lang_logprob": txt_kn_lang_logprob,
     "txt_kn3_logprob": txt_kn3_logprob,
     "ds_weighted_sample": ds_weighted_sample,
     "td_quality_classifier": td_quality_classifier,
     "td_logreg_quality": td_logreg_quality,
     "td_classifier_agreement": td_classifier_agreement,
     "td_classifier_ensemble": td_classifier_ensemble,
+    "td_ensemble_calibrated": td_ensemble_calibrated,
     "td_dsir_weights": td_dsir_weights,
     "ds_dsir_sample": ds_dsir_sample,
     "td_source_drift": td_source_drift,
@@ -5504,6 +5674,52 @@ ORACLE_SQL = {
                    AS recall
         FROM cells ORDER BY scorer
     """,
+    # the ensemble audit at the FROZEN calibrated operating point:
+    # floors = quantile_cont(score, 0.5) rounded to 9 dp (the
+    # fit_reference_model percentile arithmetic at the default
+    # keep_fraction; scores are 9-dp-grid/decimal so the quantized
+    # floor compares identically across engines), keeps = score >=
+    # floor exactly as curate_batch applies them
+    "td_ensemble_calibrated": f"""
+        WITH {_NB_SCORED_CTES}, {_LOGREG_SCORED_CTES},
+        nbsc AS (
+            SELECT s.doc_id,
+                   ROUND(CAST(s.s AS DOUBLE) + p.lp, 9) AS nbs
+            FROM scored s CROSS JOIN prior p
+        ), lrsc AS (
+            SELECT doc_id, CAST(s AS DOUBLE) AS lrs FROM lrscored
+        ), j AS (
+            SELECT l.pos AS lbl, nbs, lrs
+            FROM lab l JOIN nbsc USING (doc_id) JOIN lrsc USING (doc_id)
+        ), fl AS (
+            SELECT ROUND(quantile_cont(nbs, 0.5), 9) AS nbf,
+                   ROUND(quantile_cont(lrs, 0.5), 9) AS lrf
+            FROM j
+        ), per AS (
+            SELECT lbl, (nbs >= nbf) AS nbk, (lrs >= lrf) AS lrk,
+                   (nbs >= nbf AND lrs >= lrf) AS and_k,
+                   (nbs >= nbf OR lrs >= lrf) AS or_k
+            FROM j CROSS JOIN fl
+        ), long AS (
+            SELECT lbl, 'ensemble_and' AS scorer, and_k AS pred FROM per
+            UNION ALL SELECT lbl, 'ensemble_or', or_k FROM per
+            UNION ALL SELECT lbl, 'logreg_cal', lrk FROM per
+            UNION ALL SELECT lbl, 'nb_cal', nbk FROM per
+        ), cells AS (
+            SELECT scorer, COUNT(*) AS n_docs,
+                   COUNT(*) FILTER (pred AND lbl) AS n_tp,
+                   COUNT(*) FILTER (pred AND NOT lbl) AS n_fp,
+                   COUNT(*) FILTER (NOT pred AND lbl) AS n_fn,
+                   COUNT(*) FILTER (NOT pred AND NOT lbl) AS n_tn
+            FROM long GROUP BY scorer
+        )
+        SELECT scorer, n_docs, n_tp, n_fp, n_fn, n_tn,
+               ROUND(n_tp / NULLIF(CAST(n_tp + n_fp AS DOUBLE), 0.0), 9)
+                   AS precision,
+               ROUND(n_tp / NULLIF(CAST(n_tp + n_fn AS DOUBLE), 0.0), 9)
+                   AS recall
+        FROM cells ORDER BY scorer
+    """,
     # linear (logistic) sibling of the NB classifier: shared CTE
     # chain (_LOGREG_SCORED_CTES — also consumed by the agreement
     # audit, the shared-fragment discipline)
@@ -6320,6 +6536,54 @@ ORACLE_SQL = {
                ROUND(CAST(SUM(CAST(ROUND(ln(pr), 9) AS DECIMAL(28,9)))
                      AS DOUBLE) / COUNT(*), 6) AS avg_logprob
         FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    # per-language KN (CCNet's one-KenLM-per-language shape): the
+    # global bigram oracle with the language added to every CTE and
+    # join key; the type total B is per-language (JOIN btot USING
+    # (lang) — inner, mirroring the scorer's unseen-language filter)
+    "txt_kn_lang_logprob": """
+        WITH w AS (
+            SELECT doc_id, lang,
+                   string_split(text || ' tok' || CAST(doc_id AS VARCHAR)
+                                || ' kn', ' ') AS w
+            FROM documents
+        ), big AS (
+            SELECT doc_id, lang, u.w1 AS w1, u.w2 AS w2 FROM (
+                SELECT doc_id, lang,
+                       unnest(list_transform(range(1, len(w)),
+                    i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS u
+                FROM w WHERE len(w) >= 2)
+        ), bf AS (
+            SELECT lang, w1, w2, COUNT(*) AS cb FROM big
+            WHERE doc_id % 2 = 0 GROUP BY lang, w1, w2
+        ), ctx AS (
+            SELECT lang, w1, CAST(SUM(cb) AS BIGINT) AS c1,
+                   COUNT(*) AS n1f
+            FROM bf GROUP BY lang, w1
+        ), cont AS (
+            SELECT lang, w2, COUNT(*) AS n1c FROM bf GROUP BY lang, w2
+        ), btot AS (
+            SELECT lang, COUNT(*) AS b FROM bf GROUP BY lang
+        ), scored AS (
+            SELECT big.doc_id, big.lang,
+                   CASE WHEN ctx.c1 IS NOT NULL THEN
+                       (GREATEST(CAST(COALESCE(bf.cb, 0) - 0.75 AS DOUBLE),
+                                 0.0)
+                        + 0.75 * ctx.n1f
+                          * (CAST(COALESCE(cont.n1c, 1) AS DOUBLE) / b))
+                       / CAST(ctx.c1 AS DOUBLE)
+                   ELSE CAST(COALESCE(cont.n1c, 1) AS DOUBLE) / b
+                   END AS pr
+            FROM big
+            LEFT JOIN bf USING (lang, w1, w2)
+            LEFT JOIN ctx USING (lang, w1)
+            LEFT JOIN cont USING (lang, w2)
+            JOIN btot USING (lang)
+        )
+        SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+               ROUND(CAST(SUM(CAST(ROUND(ln(pr), 9) AS DECIMAL(28,9)))
+                     AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+        FROM scored GROUP BY doc_id, lang ORDER BY doc_id
     """,
     # trigram KN (order-2 of the family): every model table is a
     # marginal of the trigram-TYPE table; the bigram level uses

@@ -2054,14 +2054,6 @@ def test_frozen_kn_lm_filter(spark, tmp_path):
             heldout,
             lm="4gram",
         )
-    with _pytest.raises(ValueError, match="kn3"):
-        fit_reference_model(
-            FrozenCurationModel(spark, str(tmp_path / "badkn3")),
-            ref,
-            heldout,
-            lm="kn3",
-            lang_aware=True,
-        )
 
 
 def test_frozen_lang_aware_kn_lm_filter(spark, tmp_path):
@@ -2131,6 +2123,260 @@ def test_frozen_lang_aware_kn_lm_filter(spark, tmp_path):
     assert 204 in kept              # unseen language: passes unscored
     again = {r["doc_id"] for r in curate_batch(batch, model).collect()}
     assert again == kept
+
+
+def test_frozen_lang_aware_kn3_lm_filter(spark, tmp_path):
+    """fit_reference_model(lang_aware=True, lm='kn3') — the per-
+    language matrix point at trigram order: freezes ONE
+    (lang, w1, w2, w3) type table and per-language KN floors
+    calibrated on the gated HELD-OUT docs; curate_batch cuts a batch
+    doc scoring under ITS language's floor via the full two-level
+    recursion, passes an unseen-language doc through unscored, and
+    replays identically."""
+    from delta_data_pipelines_spark.jobs.incremental_curate import (
+        FrozenCurationModel,
+        curate_batch,
+        fit_reference_model,
+    )
+
+    stops = ["the", "of", "and", "to", "a", "in", "is", "it"]
+    es_stops = ["el", "la", "de", "que", "y"]
+    ref_rows = [
+        (i, " ".join(f"{stops[j % 8]} w{i}_{j}" for j in range(32)))
+        for i in range(1, 13)
+    ]
+    ref_rows += [
+        (100 + i, " ".join(f"{es_stops[j % 5]} v{i}_{j}" for j in range(12)))
+        for i in range(1, 13)
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    # heldout reuses the i=2 reference texts verbatim (the bigram
+    # test's device): every trigram seen -> healthy floors; 13-grams
+    # disjoint from the i=1 batch docs so decontamination can't cut
+    heldout = spark.createDataFrame(
+        [
+            (9001, " ".join(f"{stops[j % 8]} w2_{j}" for j in range(32))),
+            (9002, " ".join(f"{es_stops[j % 5]} v2_{j}" for j in range(12))),
+        ],
+        "doc_id long, text string",
+    )
+    model = FrozenCurationModel(spark, str(tmp_path / "fzlkn3"))
+    meta = fit_reference_model(
+        model, ref, heldout, drop_fraction=0.05, lang_aware=True, lm="kn3"
+    )
+    assert meta["lm"] == "kn3" and meta["lang_aware"] is True
+    assert set(meta["lang_thresholds"]) == {"en", "es"}
+    assert "kn_trigrams_version" in meta
+    assert set(model.kn_trigrams.read().columns) == {
+        "_kn_lang", "_w1", "_w2", "_w3", "_cb"
+    }
+
+    batch_rows = [
+        # healthy per-language docs built from reference TRIGRAMS
+        (201, " ".join(f"{stops[j % 8]} w1_{j}" for j in range(32))),
+        (202, " ".join(f"{es_stops[j % 5]} v1_{j}" for j in range(12))),
+        # es-routed doc whose trigrams the es model never saw ->
+        # every position bottoms out at the continuation floor
+        (203, " ".join(es_stops) + " " + " ".join(es_stops) + " "
+              + " ".join(f"zq{j}x" for j in range(40))),
+        # unseen language: no (lang=fr) rows in the type table
+        (204, "le la et les des " * 4 + "bonjour monde voila alors donc"),
+    ]
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in curate_batch(batch, model).collect()}
+    assert 201 in kept and 202 in kept
+    assert 203 not in kept          # under es's frozen KN3 floor
+    assert 204 in kept              # unseen language: passes unscored
+    again = {r["doc_id"] for r in curate_batch(batch, model).collect()}
+    assert again == kept
+
+
+def test_frozen_lang_kn_heldout_floor_raise_both_orders(spark, tmp_path):
+    """A MODELED language with no held-out floor fails the build
+    loudly at BOTH KN orders (the r13 in-sample-bias lesson made
+    load-bearing): reference has en+es n-grams, heldout covers only
+    en -> fit_reference_model raises naming es. A reference language
+    with NO n-grams at the order (single-token docs) is exempt — it
+    is KN-unmodeled, so the fit succeeds and its batch docs pass the
+    LM stage through (the unseen-language invariant)."""
+    import pytest as _pytest
+
+    from delta_data_pipelines_spark.jobs.incremental_curate import (
+        FrozenCurationModel,
+        curate_batch,
+        fit_reference_model,
+    )
+
+    stops = ["the", "of", "and", "to", "a", "in", "is", "it"]
+    es_stops = ["el", "la", "de", "que", "y"]
+    ref_rows = [
+        (i, " ".join(f"{stops[j % 8]} w{i}_{j}" for j in range(32)))
+        for i in range(1, 13)
+    ]
+    ref_rows += [
+        (100 + i, " ".join(f"{es_stops[j % 5]} v{i}_{j}" for j in range(12)))
+        for i in range(1, 13)
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    heldout_en_only = spark.createDataFrame(
+        [(9001, " ".join(f"{stops[j % 8]} w2_{j}" for j in range(32)))],
+        "doc_id long, text string",
+    )
+    for order in ("kn", "kn3"):
+        with _pytest.raises(ValueError, match="no KN floor.*es"):
+            fit_reference_model(
+                FrozenCurationModel(spark, str(tmp_path / f"miss_{order}")),
+                ref,
+                heldout_en_only,
+                drop_fraction=0.05,
+                lang_aware=True,
+                lm=order,
+            )
+
+    # exemption: es docs are single-token -> no bigram types -> es is
+    # KN-unmodeled; explicit routing column + min_tokens=1 es gate so
+    # the docs survive the gate and es DOES get unigram totals
+    gates = {
+        "en": (10, 10000, 1.0, 1.0, 0.0),
+        "es": (1, 10000, 1.0, 1.0, 0.0),
+        "default": (10, 10000, 1.0, 1.0, 0.0),
+    }
+    ref2_rows = [
+        (i, " ".join(f"{stops[j % 8]} w{i}_{j}" for j in range(32)), "en")
+        for i in range(1, 13)
+    ]
+    ref2_rows += [(100 + i, f"hola{i}", "es") for i in range(1, 13)]
+    ref2 = spark.createDataFrame(
+        ref2_rows, "doc_id long, text string, mylang string"
+    )
+    heldout2 = spark.createDataFrame(
+        [(9001, " ".join(f"{stops[j % 8]} w2_{j}" for j in range(32)), "en")],
+        "doc_id long, text string, mylang string",
+    )
+    model = FrozenCurationModel(spark, str(tmp_path / "exempt"))
+    meta = fit_reference_model(
+        model,
+        ref2,
+        heldout2,
+        drop_fraction=0.05,
+        lang_aware=True,
+        lm="kn",
+        lang_col="mylang",
+        lang_gates=gates,
+    )
+    assert "es" in meta["lang_totals"]          # unigram-modeled
+    assert "es" not in meta["lang_thresholds"]  # KN-unmodeled: exempt
+    batch = spark.createDataFrame(
+        [
+            (201, " ".join(f"{stops[j % 8]} w1_{j}" for j in range(32)),
+             "en"),
+            (202, "adios", "es"),  # es: no KN model -> passes through
+        ],
+        "doc_id long, text string, mylang string",
+    )
+    kept = {r["doc_id"] for r in curate_batch(batch, model).collect()}
+    assert kept == {201, 202}
+
+
+def test_frozen_kn_newline_normalization(spark, tmp_path):
+    """The frozen KN path fits and scores a line-break-normalized
+    view (lm_filter_stage's fused-token rule, r13 advisory): the
+    stored type table contains no token with an embedded newline,
+    and a batch doc scores identically whether its words are
+    separated by spaces or newlines."""
+    from delta_data_pipelines_spark.jobs.incremental_curate import (
+        FrozenCurationModel,
+        _kn_text_view,
+        fit_reference_model,
+    )
+    from delta_data_pipelines_spark.operators.textstats import (
+        kn_bigram_score_from_types,
+    )
+
+    stops = ["the", "of", "and", "to", "a", "in", "is", "it"]
+    # reference text uses NEWLINE separators at every 4th boundary —
+    # an unnormalized fit would bake fused "x\ny" tokens
+    ref = spark.createDataFrame(
+        [
+            (
+                i,
+                "\n".join(
+                    " ".join(f"{stops[(4 * b + j) % 8]} w{i}_{4 * b + j}"
+                             for j in range(4))
+                    for b in range(8)
+                ),
+            )
+            for i in range(1, 13)
+        ],
+        "doc_id long, text string",
+    )
+    heldout = spark.createDataFrame(
+        [(9001, " ".join(f"{stops[j % 8]} w2_{j}" for j in range(32)))],
+        "doc_id long, text string",
+    )
+    model = FrozenCurationModel(spark, str(tmp_path / "fznl"))
+    meta = fit_reference_model(
+        model, ref, heldout, lm="kn", drop_fraction=0.05
+    )
+    assert meta["lm_threshold"] is not None
+    fused = (
+        model.kn_bigrams.read()
+        .where(
+            F.col("_w1").contains("\n") | F.col("_w2").contains("\n")
+        )
+        .count()
+    )
+    assert fused == 0, "type table must not bake fused newline tokens"
+
+    # same doc, spaces vs newlines: identical score through the
+    # frozen scoring view
+    text_sp = " ".join(f"{stops[j % 8]} w1_{j}" for j in range(32))
+    pair = spark.createDataFrame(
+        [(1, text_sp), (2, text_sp.replace(" ", "\n"))],
+        "doc_id long, text string",
+    )
+    scores = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in kn_bigram_score_from_types(
+            _kn_text_view(pair, "text", "doc_id"),
+            model.kn_bigrams.read(),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert scores[1] == scores[2]
+
+
+def test_frozen_kn_empty_stored_table_raises(spark, tmp_path):
+    """An empty stored KN type table at apply time raises instead of
+    silently no-opping the frozen LM cut (r13 advisory: a 0-row type
+    table makes every doc unscorable -> nothing ever drops)."""
+    import pytest as _pytest
+
+    from delta_data_pipelines_spark.catalog import read_table
+    from delta_data_pipelines_spark.jobs.incremental_curate import (
+        FrozenCurationModel,
+        curate_batch,
+        fit_reference_model,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    heldout = docs.where(F.col("doc_id") % 19 == 0)
+    model = FrozenCurationModel(spark, str(tmp_path / "fzempty"))
+    fit_reference_model(model, ref, heldout, lm="kn", drop_fraction=0.2)
+    # corrupt the artifact: overwrite with a 0-row table of the same
+    # schema (a failed upstream write's shape)
+    empty = model.kn_bigrams.read().limit(0)
+    model.kn_bigrams.overwrite(empty)
+    meta = model.meta()
+    meta["kn_bigrams_version"] = None  # read latest (the empty one)
+    model._write_meta(meta)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    with _pytest.raises(ValueError, match="empty"):
+        curate_batch(batch, model).collect()
 
 
 def test_frozen_ensemble_classifier_filter(spark, tmp_path):

@@ -708,7 +708,15 @@ def test_classifier_agreement_scans_corpus_once(spark, registry):
     the quality_score label expression per consumer: 3 avoidable
     full-corpus scans at 100 TB (r12 verdict finding #2, measured
     4.03s -> 3.35s at sf0.1)."""
-    for q in ("td_classifier_agreement", "td_classifier_ensemble"):
+    for q in (
+        "td_classifier_agreement",
+        "td_classifier_ensemble",
+        # the PR curves share the discipline: train + score + label
+        # join all read the one persisted labeled frame (r13 verdict
+        # finding #2)
+        "td_classifier_pr_curve",
+        "td_logreg_pr_curve",
+    ):
         plan = plan_of(spark, registry, q)
         assert plan.count("documents.parquet") <= 1, (q, plan)
         assert "InMemoryTableScan" in plan, (q, plan)

@@ -96,6 +96,13 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             continue
+        finally:
+            # queries that stage multi-consumer frames (the
+            # _trained_classifier_verdicts persist) rely on a
+            # session-level cache reset between queries — bench's
+            # _reset_session_state does this for bench; mirror it so a
+            # full-registry run doesn't accumulate cached relations
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"SKIP {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             n_skip += 1
