@@ -2748,8 +2748,20 @@ def td_ensemble_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate broadcast-cross-joined back (the lm_filter_stage
     percentile discipline); then the ensemble audit's stack unpivot
     and 4-group aggregate — output O(scorers), never O(docs)."""
+    from pyspark.storagelevel import StorageLevel
+
     d, nb, lr = _trained_classifier_verdicts(spark, sf_dir)
-    scored = d.select("doc_id", "_lbl").join(nb, "doc_id").join(lr, "doc_id")
+    # the scored frame has TWO consumers (the floors aggregate and the
+    # confusion pass) — without staging, both scorer chains re-plan and
+    # the corpus scores twice; persist the narrow doc-keyed frame once
+    # (released by the session-level cache reset, like the labeled
+    # frame underneath it)
+    scored = (
+        d.select("doc_id", "_lbl")
+        .join(nb, "doc_id")
+        .join(lr, "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     floors = scored.agg(
         F.round(F.expr("percentile(_nb_score, 0.5)"), 9).alias("_nbf"),
         F.round(F.expr("percentile(_lr_score, 0.5)"), 9).alias("_lrf"),

@@ -257,3 +257,88 @@ def test_published_recipe_end_to_end(spark, crawl, tmp_path, capsys):
     assert report["n_tokens"] > 0
 
     print(f"E2E-RECIPE wall={wall:.1f}s funnel={json.dumps(funnel)}")
+
+
+def test_published_recipe_kn3_funnel(spark, crawl, tmp_path, capsys):
+    """Second pinned funnel (r13 verdict ask #9): the SAME recipe
+    chain under the GLOBAL quality gate with the trigram-KN LM cut
+    (``--lm kn3``) — proving the Kneser-Ney gate composes with every
+    stage under one CLI call exactly the way the per-language unigram
+    gate does in the main funnel. Only the gate/LM rows may differ:
+    the global gate replaces per-language thresholds and the cut
+    scores under the self-fit interpolated KN3 (the held-out-
+    calibrated FROZEN KN gate is e2e-exercised by the incremental
+    convergence tests in test_streaming.py; the batch pipeline is
+    self-fit by design). Counts pinned — a drift means stage
+    semantics changed, not noise. The packing stage adds no funnel
+    row, so the tokenizer stage is omitted here (the main funnel
+    pins it)."""
+    from delta_data_pipelines_spark.__main__ import main
+
+    out = str(tmp_path / "published_kn3")
+    t0 = time.perf_counter()
+    rc = main(
+        [
+            "curate-corpus",
+            "--warc-in",
+            crawl["glob"],
+            "--blocklist",
+            crawl["blocklist"],
+            "--main-content",
+            "--c4",
+            "--lm-drop",
+            "0.1",
+            "--lm",
+            "kn3",
+            "--dsir-select",
+            "2500",
+            "--sentence-spans",
+            "3",
+            "--exact-substr",
+            "25",
+            "--decontaminate",
+            "--no-scrub",
+            "--funnel",
+            "--out",
+            out,
+        ]
+    )
+    wall = time.perf_counter() - t0
+    assert rc == 0
+    res = _job_line(capsys)
+    funnel = res["funnel"]
+    assert list(funnel) == [
+        "input",
+        "blocklist",
+        "c4_clean",
+        "quality_gate",
+        "lm_cut",
+        "dsir_select",
+        "dedup",
+        "sentence_spans",
+        "exact_substr",
+        "decontaminate",
+    ]
+    counts = list(funnel.values())
+    assert counts == sorted(counts, reverse=True), funnel
+    # pre-gate stages identical to the main funnel (same fixture)
+    assert funnel["input"] == 5000
+    assert funnel["blocklist"] == 4800
+    assert funnel["c4_clean"] == 4335
+    # global Gopher gate (vs 2992 under the per-language thresholds)
+    assert funnel["quality_gate"] == 2924
+    # self-fit trigram-KN cut at drop_fraction 0.1 over the gated set
+    assert funnel["lm_cut"] == 2631
+    assert funnel["dsir_select"] == 2500
+    assert funnel["dedup"] == 2380
+    # rewrite stages drop no whole docs on this corpus (the main
+    # funnel's reasoning: random-word text shares no 21-word span or
+    # 13-gram across docs)
+    assert (
+        funnel["sentence_spans"]
+        == funnel["exact_substr"]
+        == funnel["decontaminate"]
+        == res["rows_out"]
+        == 2380
+    )
+    print(f"E2E-KN3 wall={wall:.1f}s funnel={json.dumps(funnel)}")
