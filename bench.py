@@ -171,9 +171,12 @@ HEADLINE = [
     # changed-code re-baselining rule)
     "txt_gopher_lines",
     "td_logreg_quality",
-    # r13 shelf, promoted (unchanged code): the KN LM pair
+    # r13 shelf, promoted (unchanged code): the bigram KN LM
+    # (txt_kn3_logprob stays on the shelf one more round: its scorer
+    # kn_trigram_score_from_types was restructured in r14 for the
+    # lang_col branch, so its baseline re-seats per the changed-code
+    # rule)
     "txt_kn_logprob",
-    "txt_kn3_logprob",
 ]
 
 # RETIRED from the driver headline loop (r11 verdict ask #7): a query
@@ -231,6 +234,10 @@ SHELF: list[str] = [
     # is now persisted across its three consumers (train, score,
     # label join — the r13 verdict advisory)
     "td_logreg_pr_curve",
+    # re-baselining (r14 code change): kn_trigram_score_from_types
+    # restructured for the per-language branch (global plan
+    # unchanged in principle — re-seat to prove it)
+    "txt_kn3_logprob",
     # r14: per-language interpolated KN bigram LM (one KenLM per
     # language — every marginal keys on lang; the type total is an
     # O(languages) broadcast)

@@ -182,19 +182,33 @@ def _kn_text_view(df: DataFrame, text_col: str, *keep: str) -> DataFrame:
     )
 
 
+# (table root, version) pairs whose non-emptiness has been verified —
+# a PINNED version of an immutable versioned table cannot become empty
+# between micro-batches, so the eager probe runs once per artifact,
+# not once per batch
+_KN_NONEMPTY_SEEN: set[tuple[str, str]] = set()
+
+
 def _read_nonempty_kn(table: VersionedTable, version, what: str) -> DataFrame:
     """Read a stored KN type table, raising if it is empty — an empty
     or corrupted artifact at apply time would otherwise yield a
     0-row join, NULL avg_logprob for every doc, and a frozen LM cut
     that silently became a no-op (the fit-time guard only covers the
-    fit path)."""
+    fit path). The 1-row probe is memoized per (table, version): a
+    pinned version is immutable, so a streaming loop pays it once.
+    An UNPINNED read (version None → latest) re-probes every call."""
     df = table.read(version)
+    key = (table.root, str(version))
+    if version is not None and key in _KN_NONEMPTY_SEEN:
+        return df
     if df.limit(1).count() == 0:
         raise ValueError(
             f"stored {what} type table is empty — the frozen KN cut "
             "would silently become a no-op (every doc unscorable); "
             "refit with fit_reference_model or restore the artifact"
         )
+    if version is not None:
+        _KN_NONEMPTY_SEEN.add(key)
     return df
 
 
@@ -403,6 +417,17 @@ def fit_reference_model(
                 r[0]
                 for r in stored_kn.select("_kn_lang").distinct().collect()
             }
+            if not kn_langs:
+                # mirror the non-lang branch's fit-time guard: a KN
+                # model with zero types in EVERY language is not an
+                # all-exempt model, it is no model — and curate_batch
+                # would correctly refuse the empty stored table
+                raise ValueError(
+                    "reference corpus has no n-grams at the requested "
+                    "order in any language after scrub+gate — no KN "
+                    "distribution to freeze; widen the gates or fix "
+                    "the input"
+                )
             uncal = sorted(
                 (set(lang_totals) & kn_langs) - set(lang_thresholds)
             )
@@ -530,6 +555,14 @@ def fit_reference_model(
         meta["kn_bigrams_version"] = ckn.version
     elif lm == "kn3":
         meta["kn_trigrams_version"] = ckn.version
+    if lm in ("kn", "kn3"):
+        # frozen KN inputs are line-break normalized (the
+        # lm_filter_stage rule) from this fit version on; the flag is
+        # the frozen-meta contract that keeps PRE-normalization
+        # artifacts replay-identical — curate_batch only normalizes
+        # when the model's own fit did, so a keep set can never shift
+        # under a code upgrade (the frozen-meta rule)
+        meta["kn_text_normalized"] = True
     if lang_aware:
         meta.update(
             {
@@ -764,13 +797,13 @@ def curate_batch(
                     meta.get("kn_bigrams_version"),
                     "per-language KN bigram",
                 )
+            kn_in = scorable.withColumn("_kn_lang", F.col(routed))
+            if meta.get("kn_text_normalized"):
+                # only normalize when the model's own fit did — a
+                # pre-normalization artifact must replay identically
+                kn_in = _kn_text_view(kn_in, text_col, id_col, "_kn_lang")
             scores = score_fn(
-                _kn_text_view(
-                    scorable.withColumn("_kn_lang", F.col(routed)),
-                    text_col,
-                    id_col,
-                    "_kn_lang",
-                ),
+                kn_in,
                 stored,
                 id_col,
                 text_col,
@@ -818,13 +851,13 @@ def curate_batch(
                 kn_trigram_score_from_types,
             )
 
-            kn_scorable = _kn_text_view(
-                gated.where(
-                    F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
-                ),
-                text_col,
-                id_col,
+            kn_scorable = gated.where(
+                F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
             )
+            if meta.get("kn_text_normalized"):
+                # only normalize when the model's own fit did — a
+                # pre-normalization artifact must replay identically
+                kn_scorable = _kn_text_view(kn_scorable, text_col, id_col)
             if meta["lm"] == "kn3":
                 kn_scores = kn_trigram_score_from_types(
                     kn_scorable,

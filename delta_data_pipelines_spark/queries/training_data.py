@@ -2685,6 +2685,16 @@ def td_classifier_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'logreg', _lr, 'nb', _nb) AS (scorer, pred)"
         ),
     )
+    return _ensemble_confusion(long)
+
+
+def _ensemble_confusion(long: DataFrame) -> DataFrame:
+    """Shared (scorer, pred, _lbl) → confusion/precision/recall tail
+    of the two ensemble audits (td_classifier_ensemble,
+    td_ensemble_calibrated) — one definition for the cross-engine
+    determinism seam (exact BIGINT cells, the two float divisions
+    written identically in both oracles) so a fix to one audit
+    cannot silently diverge the other."""
     tp = F.count_if(F.col("pred") & F.col("_lbl"))
     fp = F.count_if(F.col("pred") & ~F.col("_lbl"))
     fn = F.count_if(~F.col("pred") & F.col("_lbl"))
@@ -2788,45 +2798,7 @@ def td_ensemble_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'logreg_cal', _lrk, 'nb_cal', _nbk) AS (scorer, pred)"
         ),
     )
-    tp = F.count_if(F.col("pred") & F.col("_lbl"))
-    fp = F.count_if(F.col("pred") & ~F.col("_lbl"))
-    fn = F.count_if(~F.col("pred") & F.col("_lbl"))
-    tn = F.count_if(~F.col("pred") & ~F.col("_lbl"))
-    return (
-        long.groupBy("scorer")
-        .agg(
-            F.count("*").alias("n_docs"),
-            tp.alias("n_tp"),
-            fp.alias("n_fp"),
-            fn.alias("n_fn"),
-            tn.alias("n_tn"),
-        )
-        .select(
-            "scorer",
-            "n_docs",
-            "n_tp",
-            "n_fp",
-            "n_fn",
-            "n_tn",
-            F.round(
-                F.col("n_tp")
-                / F.nullif(
-                    (F.col("n_tp") + F.col("n_fp")).cast("double"),
-                    F.lit(0.0),
-                ),
-                9,
-            ).alias("precision"),
-            F.round(
-                F.col("n_tp")
-                / F.nullif(
-                    (F.col("n_tp") + F.col("n_fn")).cast("double"),
-                    F.lit(0.0),
-                ),
-                9,
-            ).alias("recall"),
-        )
-        .orderBy("scorer")
-    )
+    return _ensemble_confusion(long)
 
 
 def td_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

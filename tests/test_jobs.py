@@ -2346,6 +2346,39 @@ def test_frozen_kn_newline_normalization(spark, tmp_path):
     }
     assert scores[1] == scores[2]
 
+    # frozen-meta contract: the fit records that it normalized, and a
+    # PRE-normalization artifact (flag absent/false) must replay
+    # UN-normalized — curate_batch only normalizes when the model's
+    # own fit did, so a code upgrade can never shift a frozen model's
+    # keep set. With the flag stripped, the newline variant's fused
+    # tokens are all-unseen bigrams and fall under the floor, while
+    # the space variant (all bigrams seen) stays above it.
+    from delta_data_pipelines_spark.jobs.incremental_curate import (
+        curate_batch,
+    )
+
+    assert model.meta()["kn_text_normalized"] is True
+    # newline INSIDE each (stop, word) pair: unnormalized space-split
+    # fuses the pair into one token, leaving 31 all-unseen bigrams
+    # (a full replace would yield ONE token → no bigram → passthrough)
+    text_nl = " ".join(f"{stops[j % 8]}\nw1_{j}" for j in range(32))
+    pair_batch = spark.createDataFrame(
+        [(9101, text_sp), (9102, text_nl)],
+        "doc_id long, text string",
+    )
+    kept_norm = {
+        r["doc_id"] for r in curate_batch(pair_batch, model).collect()
+    }
+    assert kept_norm == {9101, 9102}  # normalized: identical scores
+    legacy = model.meta()
+    legacy["kn_text_normalized"] = False
+    model._write_meta(legacy)
+    kept_legacy = {
+        r["doc_id"] for r in curate_batch(pair_batch, model).collect()
+    }
+    assert 9101 in kept_legacy
+    assert 9102 not in kept_legacy  # fused tokens, scored as fit them
+
 
 def test_frozen_kn_empty_stored_table_raises(spark, tmp_path):
     """An empty stored KN type table at apply time raises instead of
