@@ -238,10 +238,11 @@ SHELF: list[str] = [
     # restructured for the per-language branch (global plan
     # unchanged in principle — re-seat to prove it)
     "txt_kn3_logprob",
-    # r14: per-language interpolated KN bigram LM (one KenLM per
-    # language — every marginal keys on lang; the type total is an
-    # O(languages) broadcast)
+    # r14: per-language interpolated KN LM at both orders (one KenLM
+    # per language — every marginal keys on lang; the type total is
+    # an O(languages) broadcast)
     "txt_kn_lang_logprob",
+    "txt_kn3_lang_logprob",
     # r14: ensemble audit at the FROZEN calibrated operating point
     # (percentile floors broadcast back over the shared persisted
     # verdict frame)

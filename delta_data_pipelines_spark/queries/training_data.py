@@ -1929,6 +1929,50 @@ def txt_kn_lang_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def txt_kn3_lang_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-LANGUAGE interpolated Kneser-Ney TRIGRAM LM score — the
+    order-2 member of the per-language family (txt_kn_lang_logprob is
+    order 1): one KenLM per language with the FULL two-level
+    recursion, every marginal — trigram contexts, the MODIFIED
+    distinct-left-context bigram table, its contexts/continuations,
+    the type total B2 — keyed on the language. The fixture's real
+    ``lang`` column routes and the tok<doc_id> augmentation fires all
+    five backoff rungs within every language (per-language trigram
+    models are the sparsest in the family, so the ladder is livelier
+    than anywhere else). Matches `fit_reference_model(lm="kn3",
+    lang_aware=True)`'s scoring definition exactly — this query is
+    the driver-checkable twin of that production path.
+
+    Scale shape: the global kn3 scorer's linear shape (one corpus
+    trigram explode + five vocabulary joins + per-doc partial agg)
+    with the language in every join key and B2 as an O(languages)
+    broadcast. Output: (doc_id, lang, n_trigrams, avg_logprob)."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("text").isNotNull(),
+            F.concat(
+                F.col("text"), F.lit(" tok"), F.col("doc_id"), F.lit(" kn")
+            ),
+        ).alias("text"),
+    )
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    s = textstats.kn_trigram_score_from_types(
+        d,
+        textstats.kn_trigram_types(ref, "text", lang_col="lang"),
+        "doc_id",
+        "text",
+        lang_col="lang",
+    )
+    return s.select(
+        "doc_id",
+        "lang",
+        "n_trigrams",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    ).orderBy("doc_id")
+
+
 def td_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus datasheet: one row of the headline numbers every
     dataset card starts with — doc/token/lang/source counts, exact-dup
@@ -3320,6 +3364,7 @@ SPARK_QUERIES = {
     "txt_bigram_logprob": txt_bigram_logprob,
     "txt_kn_logprob": txt_kn_logprob,
     "txt_kn_lang_logprob": txt_kn_lang_logprob,
+    "txt_kn3_lang_logprob": txt_kn3_lang_logprob,
     "txt_kn3_logprob": txt_kn3_logprob,
     "ds_weighted_sample": ds_weighted_sample,
     "td_quality_classifier": td_quality_classifier,
@@ -6642,6 +6687,81 @@ ORACLE_SQL = {
                ROUND(CAST(SUM(CAST(ROUND(ln(pr), 9) AS DECIMAL(28,9)))
                      AS DOUBLE) / COUNT(*), 6) AS avg_logprob
         FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    # per-language trigram KN (one KenLM per language at order 2):
+    # the global kn3 oracle with the language added to every CTE and
+    # join key; B2 is per-language (JOIN btot USING (lang) — inner,
+    # mirroring the scorer's unseen-language filter)
+    "txt_kn3_lang_logprob": """
+        WITH w AS (
+            SELECT doc_id, lang,
+                   string_split(text || ' tok' || CAST(doc_id AS VARCHAR)
+                                || ' kn', ' ') AS w
+            FROM documents
+        ), trip AS (
+            SELECT doc_id, lang, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3 FROM (
+                SELECT doc_id, lang,
+                       unnest(list_transform(range(1, len(w) - 1),
+                    i -> struct_pack(w1 := w[i], w2 := w[i+1],
+                                     w3 := w[i+2]))) AS u
+                FROM w WHERE len(w) >= 3)
+        ), bf3 AS (
+            SELECT lang, w1, w2, w3, COUNT(*) AS cb FROM trip
+            WHERE doc_id % 2 = 0 GROUP BY lang, w1, w2, w3
+        ), ctx3 AS (
+            SELECT lang, w1, w2, CAST(SUM(cb) AS BIGINT) AS c12,
+                   COUNT(*) AS n1f3
+            FROM bf3 GROUP BY lang, w1, w2
+        ), bn AS (
+            SELECT lang, w2, w3, COUNT(*) AS cn23 FROM bf3
+            GROUP BY lang, w2, w3
+        ), ctx2 AS (
+            SELECT lang, w2, CAST(SUM(cn23) AS BIGINT) AS c2n,
+                   COUNT(*) AS n1f2
+            FROM bn GROUP BY lang, w2
+        ), cont AS (
+            SELECT lang, w3, COUNT(*) AS n1c3 FROM bn GROUP BY lang, w3
+        ), btot AS (
+            SELECT lang, COUNT(*) AS b2 FROM bn GROUP BY lang
+        ), scored AS (
+            SELECT trip.doc_id, trip.lang,
+                   CASE WHEN ctx3.c12 IS NOT NULL THEN
+                       (GREATEST(CAST(COALESCE(bf3.cb, 0) - 0.75 AS DOUBLE),
+                                 0.0)
+                        + 0.75 * ctx3.n1f3 *
+                          (CASE WHEN ctx2.c2n IS NOT NULL THEN
+                              (GREATEST(CAST(COALESCE(bn.cn23, 0) - 0.75
+                                        AS DOUBLE), 0.0)
+                               + 0.75 * ctx2.n1f2
+                                 * (CAST(COALESCE(cont.n1c3, 1) AS DOUBLE)
+                                    / b2))
+                              / CAST(ctx2.c2n AS DOUBLE)
+                          ELSE CAST(COALESCE(cont.n1c3, 1) AS DOUBLE) / b2
+                          END))
+                       / CAST(ctx3.c12 AS DOUBLE)
+                   ELSE
+                       CASE WHEN ctx2.c2n IS NOT NULL THEN
+                           (GREATEST(CAST(COALESCE(bn.cn23, 0) - 0.75
+                                     AS DOUBLE), 0.0)
+                            + 0.75 * ctx2.n1f2
+                              * (CAST(COALESCE(cont.n1c3, 1) AS DOUBLE)
+                                 / b2))
+                           / CAST(ctx2.c2n AS DOUBLE)
+                       ELSE CAST(COALESCE(cont.n1c3, 1) AS DOUBLE) / b2
+                       END
+                   END AS pr
+            FROM trip
+            LEFT JOIN bf3 USING (lang, w1, w2, w3)
+            LEFT JOIN ctx3 USING (lang, w1, w2)
+            LEFT JOIN bn USING (lang, w2, w3)
+            LEFT JOIN ctx2 USING (lang, w2)
+            LEFT JOIN cont USING (lang, w3)
+            JOIN btot USING (lang)
+        )
+        SELECT doc_id, lang, COUNT(*) AS n_trigrams,
+               ROUND(CAST(SUM(CAST(ROUND(ln(pr), 9) AS DECIMAL(28,9)))
+                     AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+        FROM scored GROUP BY doc_id, lang ORDER BY doc_id
     """,
     # datasheet: quality formula mirrors td_curate's scored CTE; every
     # SUM over integers CAST to BIGINT (pandas HUGEINT hazard)
