@@ -64,7 +64,7 @@ _PRIORITY = [
     # the two NEW r14 queries (the per-language KN oracle —
     # production CCNet shape, r13 ask #3 — and the ensemble audit at
     # the FROZEN calibrated operating point, ask #5); fill the
-    # remaining 38 seats strictly stalest-first per the recounted
+    # remaining 37 seats strictly stalest-first per the recounted
     # ledger: the two r5 x5 veterans, the nine r6 x5/x6 veterans,
     # the r8 pair, the r9 batch, the four r10 x2 rows, and the r10
     # x3 sim/sk families (includes sk_heavy_hitters — the round's
@@ -80,10 +80,12 @@ _PRIORITY = [
     # code-changed this round: shared verdict staging / persist
     "td_classifier_agreement", "td_classifier_pr_curve",
     # NEW r14: per-language KN at both orders (one KenLM per
-    # language) and the calibrated-operating-point ensemble audit
-    # (sk_source_overlap, the last r10 x3 filler, yielded the third
-    # seat and stays mirror-checked)
-    "txt_kn_lang_logprob", "txt_kn3_lang_logprob", "td_ensemble_calibrated",
+    # language), the 4-gram KN completing the KenLM ladder, and the
+    # calibrated-operating-point ensemble audit (sk_source_overlap
+    # and sk_hll_distinct, the last r10 x3 fillers, yielded seats
+    # and stay mirror-checked)
+    "txt_kn_lang_logprob", "txt_kn3_lang_logprob", "txt_kn4_logprob",
+    "td_ensemble_calibrated",
     # stalest x5 veterans: last green r5
     "f_translate", "txt_topk_per_source",
     # stalest veterans: last green r6
@@ -103,7 +105,7 @@ _PRIORITY = [
     "sim_ivfpq_serve", "sim_jl_audit", "sim_lsh_topk", "sim_mmr_topk",
     "sim_pq_adc_topk", "sim_pq_codes", "sim_pq_recall_audit",
     "sim_pq_serve", "sk_cm_counts", "sk_exact_quantiles",
-    "sk_heavy_hitters", "sk_hll_distinct",
+    "sk_heavy_hitters",
 ]
 
 

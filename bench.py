@@ -243,6 +243,9 @@ SHELF: list[str] = [
     # an O(languages) broadcast)
     "txt_kn_lang_logprob",
     "txt_kn3_lang_logprob",
+    # r14: 4-gram KN — the ladder's top (KenLM's production order;
+    # one 4-gram explode + seven vocabulary joins, window-free)
+    "txt_kn4_logprob",
     # r14: ensemble audit at the FROZEN calibrated operating point
     # (percentile floors broadcast back over the shared persisted
     # verdict frame)

@@ -53,13 +53,13 @@ def main(argv: list[str] | None = None) -> int:
     cc.add_argument("--lm-drop", type=float, default=None,
                     help="drop the bottom FRACTION by mean LM "
                     "log-prob after the heuristic gate (CCNet-style)")
-    cc.add_argument("--lm", choices=["unigram", "kn", "kn3"],
+    cc.add_argument("--lm", choices=["unigram", "kn", "kn3", "kn4"],
                     default="unigram",
                     help="with --lm-drop: the scoring model — "
                     "'unigram' (corpus frequency), 'kn' (self-fit "
                     "interpolated Kneser-Ney bigram, the KenLM "
-                    "estimator) or 'kn3' (trigram, two-level "
-                    "recursion); ignored with --lang-aware, whose "
+                    "estimator), 'kn3' (trigram) or 'kn4' (4-gram, "
+                    "KenLM's production order); ignored with --lang-aware, whose "
                     "per-language cut is unigram")
     cc.add_argument("--lang-aware", action="store_true",
                     help="route the quality gate (and --lm-drop) per "
@@ -264,15 +264,15 @@ def main(argv: list[str] | None = None) -> int:
                     "n-gram log-ratio table fit on the clean reference "
                     "(quality-seed target) with the keep threshold at "
                     "the reference's (1-FRACTION) weight quantile")
-    fm.add_argument("--lm", choices=["unigram", "kn", "kn3"],
+    fm.add_argument("--lm", choices=["unigram", "kn", "kn3", "kn4"],
                     default="unigram",
                     help="LM family for the frozen outlier cut: "
                     "'unigram' (frequency table), 'kn' (interpolated "
                     "Kneser-Ney bigram, the CCNet/KenLM estimator — "
-                    "freezes the bigram type table) or 'kn3' (trigram, "
-                    "two-level recursion). With --lang-aware the type "
-                    "table and floors are per-language at either "
-                    "order: one KenLM per language, the CCNet "
+                    "freezes the bigram type table), 'kn3' (trigram) or "
+                    "'kn4' (4-gram, KenLM's production order). With "
+                    "--lang-aware the type table and floors are "
+                    "per-language at any order: one KenLM per language, the CCNet "
                     "production shape. KN floors calibrate on the "
                     "gated HELDOUT docs")
     fm.add_argument("--classifier", choices=["logreg", "nb", "both"],

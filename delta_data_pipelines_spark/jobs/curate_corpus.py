@@ -412,9 +412,9 @@ def lm_filter_stage(
     """
     if not (0.0 <= drop_fraction < 1.0):
         raise ValueError(f"drop_fraction must be in [0, 1), got {drop_fraction}")
-    if lm not in ("unigram", "kn", "kn3"):
+    if lm not in ("unigram", "kn", "kn3", "kn4"):
         raise ValueError(
-            f"lm must be 'unigram', 'kn' or 'kn3', got {lm!r}"
+            f"lm must be 'unigram', 'kn', 'kn3' or 'kn4', got {lm!r}"
         )
     if drop_fraction == 0.0:
         return docs
@@ -437,26 +437,28 @@ def lm_filter_stage(
         id_col,
         F.translate(F.col(text_col), "\n", " ").alias(text_col),
     )
-    if lm in ("kn", "kn3"):
+    if lm in ("kn", "kn3", "kn4"):
         # self-fit interpolated Kneser-Ney — bigram at 'kn', trigram
-        # with the two-level recursion at 'kn3' (the batch pipeline
-        # derives every model from the corpus being curated, so the
-        # reference IS the corpus — no backoff fires, but the
-        # discount + continuation weighting reorders the tail vs raw
-        # unigram frequency: collocation-locked tokens stop inflating
-        # their documents' scores). Docs the model cannot score
-        # (under the order's minimum token count) are absent from the
-        # score frame and pass through via drop-list semantics — the
+        # at 'kn3', 4-gram at 'kn4' (the batch pipeline derives every
+        # model from the corpus being curated, so the reference IS
+        # the corpus — no backoff fires, but the discount +
+        # continuation weighting reorders the tail vs raw unigram
+        # frequency: collocation-locked tokens stop inflating their
+        # documents' scores). Docs the model cannot score (under the
+        # order's minimum token count) are absent from the score
+        # frame and pass through via drop-list semantics — the
         # frozen path's rule.
         from ..operators.textstats import (
             kn_bigram_logprob_scores,
+            kn_quadgram_logprob_scores,
             kn_trigram_logprob_scores,
         )
 
-        kn_scores_fn = (
-            kn_trigram_logprob_scores if lm == "kn3"
-            else kn_bigram_logprob_scores
-        )
+        kn_scores_fn = {
+            "kn": kn_bigram_logprob_scores,
+            "kn3": kn_trigram_logprob_scores,
+            "kn4": kn_quadgram_logprob_scores,
+        }[lm]
         scores = kn_scores_fn(
             normalized, normalized, id_col, text_col
         ).select(id_col, F.col("avg_logprob").alias("_avg_lp"))

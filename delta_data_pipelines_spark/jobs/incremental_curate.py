@@ -79,6 +79,9 @@ class FrozenCurationModel(JsonMetaStore):
         self.kn_trigrams = VersionedTable(
             spark, os.path.join(root, "kn_trigrams")
         )
+        self.kn_quadgrams = VersionedTable(
+            spark, os.path.join(root, "kn_quadgrams")
+        )
 
     def exists(self) -> bool:
         # dsir_lr is optional (fit with dsir_keep_fraction=None has no
@@ -189,6 +192,33 @@ def _kn_text_view(df: DataFrame, text_col: str, *keep: str) -> DataFrame:
 _KN_NONEMPTY_SEEN: set[tuple[str, str]] = set()
 
 
+_KN_LMS = ("kn", "kn3", "kn4")
+
+
+def _kn_dispatch(model: "FrozenCurationModel", lm: str):
+    """(types_fn, score_fn, table, meta_version_key, label) for a KN
+    order — the ONE place the lm-name → artifact mapping lives, so
+    fit, batch apply, and the lang-aware paths can never disagree on
+    which table an order freezes to."""
+    from ..operators.textstats import (
+        kn_bigram_score_from_types,
+        kn_bigram_types,
+        kn_quadgram_score_from_types,
+        kn_quadgram_types,
+        kn_trigram_score_from_types,
+        kn_trigram_types,
+    )
+
+    return {
+        "kn": (kn_bigram_types, kn_bigram_score_from_types,
+               model.kn_bigrams, "kn_bigrams_version", "KN bigram"),
+        "kn3": (kn_trigram_types, kn_trigram_score_from_types,
+                model.kn_trigrams, "kn_trigrams_version", "KN trigram"),
+        "kn4": (kn_quadgram_types, kn_quadgram_score_from_types,
+                model.kn_quadgrams, "kn_quadgrams_version", "KN 4-gram"),
+    }[lm]
+
+
 def _read_nonempty_kn(table: VersionedTable, version, what: str) -> DataFrame:
     """Read a stored KN type table, raising if it is empty — an empty
     or corrupted artifact at apply time would otherwise yield a
@@ -268,9 +298,9 @@ def fit_reference_model(
     LM stage through unscored."""
     if not (0.0 <= drop_fraction < 1.0):
         raise ValueError(f"drop_fraction must be in [0, 1), got {drop_fraction}")
-    if lm not in ("unigram", "kn", "kn3"):
+    if lm != "unigram" and lm not in _KN_LMS:
         raise ValueError(
-            f"lm must be 'unigram', 'kn' or 'kn3', got {lm!r}"
+            f"lm must be 'unigram', 'kn', 'kn3' or 'kn4', got {lm!r}"
         )
     if dsir_keep_fraction is not None and not (0.0 < dsir_keep_fraction <= 1.0):
         raise ValueError(
@@ -325,33 +355,20 @@ def fit_reference_model(
         totals_df = model.spark.createDataFrame(
             list(lang_totals.items()), "lang string, total long"
         )
-        if lm in ("kn", "kn3"):
+        if lm in _KN_LMS:
             # per-language KN — CCNet's actual production shape (one
-            # KenLM per language, bigram at lm='kn', trigram with the
-            # two-level recursion at lm='kn3'): the frozen artifact is
-            # the (lang, …grams) type table; each language's floor is
-            # its own drop_fraction percentile of KN scores under the
-            # STORED table, calibrated on the gated HELD-OUT docs
-            # (the in-sample-bias rule — see the non-lang KN branch;
-            # a language present in the reference but absent from the
+            # KenLM per language, at any of the engine's three
+            # orders): the frozen artifact is the (lang, …grams) type
+            # table; each language's floor is its own drop_fraction
+            # percentile of KN scores under the STORED table,
+            # calibrated on the gated HELD-OUT docs (the
+            # in-sample-bias rule — see the non-lang KN branch; a
+            # language present in the reference but absent from the
             # heldout gets no floor and passes the LM stage through,
             # the unseen-language invariant extended to calibration).
             # The per-language unigram table above still freezes
             # (drift + vocabulary artifact).
-            from ..operators.textstats import (
-                kn_bigram_score_from_types,
-                kn_bigram_types,
-                kn_trigram_score_from_types,
-                kn_trigram_types,
-            )
-
-            types_fn, score_fn, kn_table = (
-                (kn_trigram_types, kn_trigram_score_from_types,
-                 model.kn_trigrams)
-                if lm == "kn3"
-                else (kn_bigram_types, kn_bigram_score_from_types,
-                      model.kn_bigrams)
-            )
+            types_fn, score_fn, kn_table, _, _ = _kn_dispatch(model, lm)
             ckn = kn_table.overwrite(
                 types_fn(
                     _kn_text_view(
@@ -399,7 +416,7 @@ def fit_reference_model(
             .collect()
             if r["thr"] is not None
         }
-        if lm in ("kn", "kn3"):
+        if lm in _KN_LMS:
             # held-out calibration must cover every language the
             # reference froze a model for: a modeled language with no
             # floor would silently make its LM stage a permanent
@@ -448,11 +465,11 @@ def fit_reference_model(
                 "reference corpus is empty after scrub+gate — no unigram "
                 "distribution to freeze; widen the gate or fix the input"
             )
-        if lm in ("kn", "kn3"):
+        if lm in _KN_LMS:
             # CCNet production parity: the LM cut scores under an
             # interpolated Kneser-Ney model (the KenLM estimator —
-            # bigram at lm='kn', trigram with the two-level recursion
-            # at lm='kn3') instead of the unigram distribution. ONE
+            # bigram at lm='kn', trigram at lm='kn3', 4-gram at
+            # lm='kn4') instead of the unigram distribution. ONE
             # artifact freezes per order — the n-gram TYPE table;
             # every marginal re-derives deterministically at apply
             # time through the same scoring definition the
@@ -470,13 +487,6 @@ def fit_reference_model(
             # under the floor (the kn3 lesson this round). Held-out
             # scores have the same unseen-n-gram profile future
             # batches will have.
-            from ..operators.textstats import (
-                kn_bigram_score_from_types,
-                kn_bigram_types,
-                kn_trigram_score_from_types,
-                kn_trigram_types,
-            )
-
             # calibration population matches the apply side exactly:
             # curate_batch filters NULL id/text before KN scoring, so
             # the fit must too — otherwise NULL-id heldout rows pool
@@ -493,22 +503,10 @@ def fit_reference_model(
                 id_col,
             )
             fit_view = _kn_text_view(clean, text_col)
-            if lm == "kn3":
-                ckn = model.kn_trigrams.overwrite(
-                    kn_trigram_types(fit_view, text_col)
-                )
-                stored_types = model.kn_trigrams.read(ckn.version)
-                kn_scores = kn_trigram_score_from_types(
-                    cal, stored_types, id_col, text_col
-                )
-            else:
-                ckn = model.kn_bigrams.overwrite(
-                    kn_bigram_types(fit_view, text_col)
-                )
-                stored_types = model.kn_bigrams.read(ckn.version)
-                kn_scores = kn_bigram_score_from_types(
-                    cal, stored_types, id_col, text_col
-                )
+            types_fn, score_fn, kn_table, _, _ = _kn_dispatch(model, lm)
+            ckn = kn_table.overwrite(types_fn(fit_view, text_col))
+            stored_types = kn_table.read(ckn.version)
+            kn_scores = score_fn(cal, stored_types, id_col, text_col)
             if stored_types.limit(1).count() == 0:
                 raise ValueError(
                     "reference corpus has no n-grams at the requested "
@@ -551,11 +549,8 @@ def fit_reference_model(
         "unigram_version": c1.version,
         "heldout_grams_version": c2.version,
     }
-    if lm == "kn":
-        meta["kn_bigrams_version"] = ckn.version
-    elif lm == "kn3":
-        meta["kn_trigrams_version"] = ckn.version
-    if lm in ("kn", "kn3"):
+    if lm in _KN_LMS:
+        meta[_kn_dispatch(model, lm)[3]] = ckn.version
         # frozen KN inputs are line-break normalized (the
         # lm_filter_stage rule) from this fit version on; the flag is
         # the frozen-meta contract that keeps PRE-normalization
@@ -772,31 +767,18 @@ def curate_batch(
         thr_df = spark.createDataFrame(
             list(meta["lang_thresholds"].items()), "lang string, thr double"
         )
-        if meta.get("lm", "unigram") in ("kn", "kn3"):
+        if meta.get("lm", "unigram") in _KN_LMS:
             # per-language KN cut: marginals re-derive from the STORED
             # (lang, …grams) type table — one scoring definition with
             # the fit's calibration pass; docs in a language the table
             # never saw are absent from the score frame and pass
             # through via the drop-list anti-join
-            from ..operators.textstats import (
-                kn_bigram_score_from_types,
-                kn_trigram_score_from_types,
+            _, score_fn, kn_table, vkey, label = _kn_dispatch(
+                model, meta["lm"]
             )
-
-            if meta["lm"] == "kn3":
-                score_fn = kn_trigram_score_from_types
-                stored = _read_nonempty_kn(
-                    model.kn_trigrams,
-                    meta.get("kn_trigrams_version"),
-                    "per-language KN trigram",
-                )
-            else:
-                score_fn = kn_bigram_score_from_types
-                stored = _read_nonempty_kn(
-                    model.kn_bigrams,
-                    meta.get("kn_bigrams_version"),
-                    "per-language KN bigram",
-                )
+            stored = _read_nonempty_kn(
+                kn_table, meta.get(vkey), f"per-language {label}"
+            )
             kn_in = scorable.withColumn("_kn_lang", F.col(routed))
             if meta.get("kn_text_normalized"):
                 # only normalize when the model's own fit did — a
@@ -838,19 +820,14 @@ def curate_batch(
             scrub_stage(batch, text_col), text_col, **meta["gate_kwargs"]
         )
         thr = meta["lm_threshold"]
-        if thr is not None and meta.get("lm", "unigram") in ("kn", "kn3"):
+        if thr is not None and meta.get("lm", "unigram") in _KN_LMS:
             # frozen KN cut: marginals re-derive from the STORED type
             # table (deterministic — same scoring definition as the
             # fit's calibration pass). DROP-list semantics: a doc the
-            # model cannot score (under 2 tokens — absent from the
-            # score table) passes through, the unscorable-rows
-            # invariant the unigram path gets from its explicit
-            # passthrough split.
-            from ..operators.textstats import (
-                kn_bigram_score_from_types,
-                kn_trigram_score_from_types,
-            )
-
+            # model cannot score (under the order's minimum token
+            # count — absent from the score table) passes through,
+            # the unscorable-rows invariant the unigram path gets
+            # from its explicit passthrough split.
             kn_scorable = gated.where(
                 F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
             )
@@ -858,28 +835,15 @@ def curate_batch(
                 # only normalize when the model's own fit did — a
                 # pre-normalization artifact must replay identically
                 kn_scorable = _kn_text_view(kn_scorable, text_col, id_col)
-            if meta["lm"] == "kn3":
-                kn_scores = kn_trigram_score_from_types(
-                    kn_scorable,
-                    _read_nonempty_kn(
-                        model.kn_trigrams,
-                        meta.get("kn_trigrams_version"),
-                        "KN trigram",
-                    ),
-                    id_col,
-                    text_col,
-                )
-            else:
-                kn_scores = kn_bigram_score_from_types(
-                    kn_scorable,
-                    _read_nonempty_kn(
-                        model.kn_bigrams,
-                        meta.get("kn_bigrams_version"),
-                        "KN bigram",
-                    ),
-                    id_col,
-                    text_col,
-                )
+            _, score_fn, kn_table, vkey, label = _kn_dispatch(
+                model, meta["lm"]
+            )
+            kn_scores = score_fn(
+                kn_scorable,
+                _read_nonempty_kn(kn_table, meta.get(vkey), label),
+                id_col,
+                text_col,
+            )
             drop = (
                 kn_scores.where(F.col("avg_logprob") < F.lit(thr))
                 .select(id_col)

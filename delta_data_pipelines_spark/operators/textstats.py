@@ -991,6 +991,188 @@ def kn_trigram_logprob_scores(
     )
 
 
+def _word_quads(frame: DataFrame, text_col: str, *keep) -> DataFrame:
+    """One row per 4-gram position — the `_word_triples` stager one
+    order up (staged array attribute into the transform lambda; the
+    `when` guard keeps sequence(1, n-3) from descending on short
+    docs)."""
+    staged = frame.select(*keep, F.split(F.col(text_col), " ").alias("_wd"))
+    w = F.col("_wd")
+    n = F.size(w)
+    quads = F.when(
+        n >= 4,
+        F.transform(
+            F.sequence(F.lit(1), n - 3),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("w1"),
+                F.element_at(w, i + 1).alias("w2"),
+                F.element_at(w, i + 2).alias("w3"),
+                F.element_at(w, i + 3).alias("w4"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<w1:string,w2:string,w3:string,w4:string>>"
+        )
+    )
+    return staged.select(*keep, F.explode(quads).alias("_q")).select(
+        *keep,
+        F.col("_q.w1").alias("_w1"),
+        F.col("_q.w2").alias("_w2"),
+        F.col("_q.w3").alias("_w3"),
+        F.col("_q.w4").alias("_w4"),
+    )
+
+
+def kn_quadgram_types(
+    ref: DataFrame, text_col: str = "text", lang_col: str | None = None
+) -> DataFrame:
+    """The 4-gram-KN model's ONE artifact: the reference 4-gram-TYPE
+    table (w1, w2, w3, w4, cb). ALL three lower orders are marginals
+    of this table (Chen & Goodman's modified counts at every level
+    below the top), so nothing else needs freezing. With ``lang_col``
+    the table and every marginal key on the language."""
+    keys = [lang_col] if lang_col else []
+    return (
+        _word_quads(ref, text_col, *keys)
+        .groupBy(*keys, "_w1", "_w2", "_w3", "_w4")
+        .agg(F.count("*").alias("_cb"))
+    )
+
+
+def kn_quadgram_score_from_types(
+    docs: DataFrame,
+    bf4: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    lang_col: str | None = None,
+) -> DataFrame:
+    """Per-doc mean interpolated KNESER-NEY 4-GRAM log-prob — the
+    order-3 member completing the engine's KenLM ladder (KenLM's
+    production default order for the CCNet filter; Chen & Goodman
+    1998 eq. 4.25 with constant D, the kn2/kn3 convention), showing
+    the recursion at full depth: the 4-gram level discounts RAW
+    counts and every lower level discounts the next level's MODIFIED
+    (distinct-left-context) counts —
+
+        p4(w4|w1w2w3) = (max(c(w1..w4) − D, 0)
+                         + D·N1+(w1w2w3·)·p3'(w4|w2w3)) / c(w1w2w3)
+        p3'(w4|w2w3)  = (max(N1+(·w2w3w4) − D, 0)
+                         + D·N1+(w2w3·*)·p2'(w4|w3)) / N1+(·w2w3·)
+        p2'(w4|w3)    = (max(N1+(··w3w4) − D, 0)
+                         + D·N1+(w3·**)·pc(w4)) / N1+(··w3·)
+        pc(w4)        = N1+(···w4-contexts) / |distinct (w3,w4) types|
+
+    Backoff ladder (each rung deterministic, mirrored in any oracle):
+    unseen (w1,w2,w3) context → p3' directly; unseen (w2,w3) → p2';
+    unseen w3 → pc; unseen w4 → pc floor 1/B3 (the singleton-
+    continuation convention of the lower-order scorers).
+
+    Every model table is a marginal of the 4-gram TYPE table ``bf4``
+    (the one frozen artifact): ctx4 = its (w1,w2,w3) sums/counts,
+    bn3 = its (w2,w3,w4) row counts (N1+(·w2w3w4)), ctx3/bn2/ctx2/
+    cont = bn3's cascading marginals, B3 = bn2's row count. Scale
+    shape: one corpus 4-gram explode + seven vocabulary joins (AQE
+    broadcasts while they fit) + one broadcast total + a per-doc
+    partial agg — linear, window-free. Docs with fewer than 4 tokens
+    have no 4-gram and are absent from the output (callers pass them
+    through). With ``lang_col``: every marginal and join keys on the
+    language, B3 is an O(languages) broadcast, unseen-language docs
+    are absent (the family's unseen-language invariant). Output:
+    (id_col, n_quadgrams, avg_logprob double, UNROUNDED)."""
+    D = F.lit(discount)
+    kl = [lang_col] if lang_col else []
+    ctx4 = bf4.groupBy(*kl, "_w1", "_w2", "_w3").agg(
+        F.sum("_cb").alias("_c123"),    # c(w1,w2,w3): 4-gram-context total
+        F.count("*").alias("_n1f4"),    # N1+(w1,w2,w3,·)
+    )
+    # modified trigram level: one row per (w2,w3,w4) with its
+    # distinct-left-context count (bf4 rows are distinct types)
+    bn3 = bf4.groupBy(*kl, "_w2", "_w3", "_w4").agg(
+        F.count("*").alias("_cn234")
+    )
+    ctx3 = bn3.groupBy(*kl, "_w2", "_w3").agg(
+        F.sum("_cn234").alias("_c23n"),  # N1+(·,w2,w3,·)
+        F.count("*").alias("_n1f3n"),    # N1+(w2,w3,·): distinct w4
+    )
+    # modified bigram level: distinct (w2) contexts per (w3,w4)
+    bn2 = bn3.groupBy(*kl, "_w3", "_w4").agg(
+        F.count("*").alias("_cn34")
+    )
+    ctx2 = bn2.groupBy(*kl, "_w3").agg(
+        F.sum("_cn34").alias("_c3n"),    # N1+(·,·,w3,·)
+        F.count("*").alias("_n1f2n"),    # N1+(w3,·): distinct w4 after w3
+    )
+    cont = bn2.groupBy(*kl, "_w4").agg(
+        F.count("*").alias("_n1c4")      # N1+(··,·w4)
+    )
+    # B3: distinct (w3,w4) types (per language when routed)
+    btot = (
+        bn2.groupBy(*kl).agg(F.count("*").alias("_b3"))
+        if kl
+        else bn2.agg(F.count("*").alias("_b3"))
+    )
+
+    quad = _word_quads(docs, text_col, id_col, *kl)
+    pc = F.coalesce(F.col("_n1c4"), F.lit(1)).cast("double") / F.col("_b3")
+    p2_seen = (
+        F.greatest(F.coalesce(F.col("_cn34"), F.lit(0)) - D, F.lit(0.0))
+        + D * F.col("_n1f2n") * pc
+    ) / F.col("_c3n")
+    p2 = F.when(F.col("_c3n").isNotNull(), p2_seen).otherwise(pc)
+    p3_seen = (
+        F.greatest(F.coalesce(F.col("_cn234"), F.lit(0)) - D, F.lit(0.0))
+        + D * F.col("_n1f3n") * p2
+    ) / F.col("_c23n")
+    p3 = F.when(F.col("_c23n").isNotNull(), p3_seen).otherwise(p2)
+    p4_seen = (
+        F.greatest(F.coalesce(F.col("_cb"), F.lit(0)) - D, F.lit(0.0))
+        + D * F.col("_n1f4") * p3
+    ) / F.col("_c123")
+    p4 = F.when(F.col("_c123").isNotNull(), p4_seen).otherwise(p3)
+    joined = (
+        quad.join(bf4, kl + ["_w1", "_w2", "_w3", "_w4"], "left")
+        .join(ctx4, kl + ["_w1", "_w2", "_w3"], "left")
+        .join(bn3, kl + ["_w2", "_w3", "_w4"], "left")
+        .join(ctx3, kl + ["_w2", "_w3"], "left")
+        .join(bn2, kl + ["_w3", "_w4"], "left")
+        .join(ctx2, kl + ["_w3"], "left")
+        .join(cont, kl + ["_w4"], "left")
+    )
+    if kl:
+        joined = joined.join(F.broadcast(btot), kl, "left").where(
+            F.col("_b3").isNotNull()  # unseen language: unscorable
+        )
+    else:
+        joined = joined.crossJoin(F.broadcast(btot))
+    return (
+        joined.withColumn(
+            "_lp", F.round(F.log(p4), 9).cast("decimal(28,9)")
+        )
+        .groupBy(id_col, *kl)
+        .agg(
+            F.count("*").alias("n_quadgrams"),
+            (F.sum("_lp").cast("double") / F.count("*")).alias("avg_logprob"),
+        )
+    )
+
+
+def kn_quadgram_logprob_scores(
+    docs: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Fit-on-ref + score-docs composition of the 4-gram KN pair —
+    the train/score split that makes every backoff rung reachable
+    (see kn_quadgram_score_from_types for the estimator)."""
+    return kn_quadgram_score_from_types(
+        docs, kn_quadgram_types(ref, text_col), id_col, text_col, discount
+    )
+
+
 def nb_train(
     docs: DataFrame,
     label_col: str,

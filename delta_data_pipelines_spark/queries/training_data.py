@@ -1973,6 +1973,39 @@ def txt_kn3_lang_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def txt_kn4_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney 4-GRAM LM score per document — the
+    order-3 member completing the perplexity ladder (unigram →
+    λ-bigram → KN2 → KN3 → THIS), at KenLM's production default
+    order for the CCNet filter: the 4-gram level discounts raw
+    counts and EVERY lower level discounts the next level's MODIFIED
+    (distinct-left-context) counts, three levels deep. Same
+    train/score split (fit on even doc_ids) and the same tok<doc_id>
+    liveness augmentation — at order 3 the fixture's ladder is the
+    liveliest in the family (most positions back off at least one
+    level). One scoring definition
+    (textstats.kn_quadgram_logprob_scores); docs under 4 tokens have
+    no 4-gram and are excluded (the augmentation guarantees 4+
+    tokens for every non-NULL doc with 2+ original tokens; only NULL
+    text is actually absent on the fixture)."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("text").isNotNull(),
+            F.concat(
+                F.col("text"), F.lit(" tok"), F.col("doc_id"), F.lit(" kn")
+            ),
+        ).alias("text"),
+    )
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    s = textstats.kn_quadgram_logprob_scores(d, ref, "doc_id", "text")
+    return s.select(
+        "doc_id",
+        "n_quadgrams",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+    ).orderBy("doc_id")
+
+
 def td_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus datasheet: one row of the headline numbers every
     dataset card starts with — doc/token/lang/source counts, exact-dup
@@ -3365,6 +3398,7 @@ SPARK_QUERIES = {
     "txt_kn_logprob": txt_kn_logprob,
     "txt_kn_lang_logprob": txt_kn_lang_logprob,
     "txt_kn3_lang_logprob": txt_kn3_lang_logprob,
+    "txt_kn4_logprob": txt_kn4_logprob,
     "txt_kn3_logprob": txt_kn3_logprob,
     "ds_weighted_sample": ds_weighted_sample,
     "td_quality_classifier": td_quality_classifier,
@@ -4106,6 +4140,25 @@ _LANG_GATE_SQL = f"""
               AND quality >= min_quality
         )
 """
+
+# the 4-gram KN probability ladder, composed bottom-up so each level
+# appears ONCE in source (the expansion inlines P2 four times and P3
+# twice — exactly the nesting the Spark scorer's `when` chain builds);
+# every cast and operation order mirrors kn_quadgram_score_from_types
+# term by term
+_KN4_PC = "CAST(COALESCE(cont.n1c4, 1) AS DOUBLE) / b3"
+_KN4_P2 = f"""CASE WHEN ctx2.c3n IS NOT NULL THEN
+                  (GREATEST(CAST(COALESCE(bn2.cn34, 0) - 0.75
+                            AS DOUBLE), 0.0)
+                   + 0.75 * ctx2.n1f2n * ({_KN4_PC}))
+                  / CAST(ctx2.c3n AS DOUBLE)
+              ELSE {_KN4_PC} END"""
+_KN4_P3 = f"""CASE WHEN ctx3.c23n IS NOT NULL THEN
+                  (GREATEST(CAST(COALESCE(bn3.cn234, 0) - 0.75
+                            AS DOUBLE), 0.0)
+                   + 0.75 * ctx3.n1f3n * ({_KN4_P2}))
+                  / CAST(ctx3.c23n AS DOUBLE)
+              ELSE {_KN4_P2} END"""
 
 ORACLE_SQL = {
     # thresholds written as the same float sums Python accumulates
@@ -6684,6 +6737,70 @@ ORACLE_SQL = {
             CROSS JOIN btot
         )
         SELECT doc_id, COUNT(*) AS n_trigrams,
+               ROUND(CAST(SUM(CAST(ROUND(ln(pr), 9) AS DECIMAL(28,9)))
+                     AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    # 4-gram KN (order-3, the ladder's top): every model table is a
+    # marginal of the 4-gram-TYPE table; bn3/bn2 are the MODIFIED
+    # distinct-left-context cascades; the probability ladder is
+    # composed from the module-level _KN4_P3/_KN4_P2/_KN4_PC pieces
+    "txt_kn4_logprob": f"""
+        WITH w AS (
+            SELECT doc_id,
+                   string_split(text || ' tok' || CAST(doc_id AS VARCHAR)
+                                || ' kn', ' ') AS w
+            FROM documents
+        ), quad AS (
+            SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3,
+                   u.w4 AS w4 FROM (
+                SELECT doc_id, unnest(list_transform(range(1, len(w) - 2),
+                    i -> struct_pack(w1 := w[i], w2 := w[i+1],
+                                     w3 := w[i+2], w4 := w[i+3]))) AS u
+                FROM w WHERE len(w) >= 4)
+        ), bf4 AS (
+            SELECT w1, w2, w3, w4, COUNT(*) AS cb FROM quad
+            WHERE doc_id % 2 = 0 GROUP BY w1, w2, w3, w4
+        ), ctx4 AS (
+            SELECT w1, w2, w3, CAST(SUM(cb) AS BIGINT) AS c123,
+                   COUNT(*) AS n1f4
+            FROM bf4 GROUP BY w1, w2, w3
+        ), bn3 AS (
+            SELECT w2, w3, w4, COUNT(*) AS cn234 FROM bf4
+            GROUP BY w2, w3, w4
+        ), ctx3 AS (
+            SELECT w2, w3, CAST(SUM(cn234) AS BIGINT) AS c23n,
+                   COUNT(*) AS n1f3n
+            FROM bn3 GROUP BY w2, w3
+        ), bn2 AS (
+            SELECT w3, w4, COUNT(*) AS cn34 FROM bn3 GROUP BY w3, w4
+        ), ctx2 AS (
+            SELECT w3, CAST(SUM(cn34) AS BIGINT) AS c3n,
+                   COUNT(*) AS n1f2n
+            FROM bn2 GROUP BY w3
+        ), cont AS (
+            SELECT w4, COUNT(*) AS n1c4 FROM bn2 GROUP BY w4
+        ), btot AS (
+            SELECT COUNT(*) AS b3 FROM bn2
+        ), scored AS (
+            SELECT quad.doc_id,
+                   CASE WHEN ctx4.c123 IS NOT NULL THEN
+                       (GREATEST(CAST(COALESCE(bf4.cb, 0) - 0.75
+                                 AS DOUBLE), 0.0)
+                        + 0.75 * ctx4.n1f4 * ({_KN4_P3}))
+                       / CAST(ctx4.c123 AS DOUBLE)
+                   ELSE {_KN4_P3} END AS pr
+            FROM quad
+            LEFT JOIN bf4 USING (w1, w2, w3, w4)
+            LEFT JOIN ctx4 USING (w1, w2, w3)
+            LEFT JOIN bn3 USING (w2, w3, w4)
+            LEFT JOIN ctx3 USING (w2, w3)
+            LEFT JOIN bn2 USING (w3, w4)
+            LEFT JOIN ctx2 USING (w3)
+            LEFT JOIN cont USING (w4)
+            CROSS JOIN btot
+        )
+        SELECT doc_id, COUNT(*) AS n_quadgrams,
                ROUND(CAST(SUM(CAST(ROUND(ln(pr), 9) AS DECIMAL(28,9)))
                      AS DOUBLE) / COUNT(*), 6) AS avg_logprob
         FROM scored GROUP BY doc_id ORDER BY doc_id

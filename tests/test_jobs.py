@@ -241,14 +241,14 @@ def test_lm_filter_kn_mode(spark):
     rows.append((50, "solo"))      # no bigram: unscorable, passes
     rows.append((100, None))       # NULL text: passes
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    for mode in ("kn", "kn3"):
+    for mode in ("kn", "kn3", "kn4"):
         out = lm_filter_stage(docs, drop_fraction=0.2, lm=mode).collect()
         kept = {r["doc_id"] for r in out}
         assert 99 not in kept, mode      # rare-n-gram outlier cut
         assert set(range(1, 9)) <= kept, mode
         assert 50 in kept and 100 in kept, mode
     with _pytest.raises(ValueError, match="lm must be"):
-        lm_filter_stage(docs, drop_fraction=0.2, lm="4gram")
+        lm_filter_stage(docs, drop_fraction=0.2, lm="5gram")
 
 
 def test_lm_filter_zero_fraction_is_identity_and_validates(spark):
@@ -2047,6 +2047,35 @@ def test_frozen_kn_lm_filter(spark, tmp_path):
     }
     assert below3 and not (set(out3a) & below3)
 
+    # kn4: the 4-gram artifact freezes and applies with the same
+    # drop-list semantics through the shared _kn_dispatch seam
+    from delta_data_pipelines_spark.operators.textstats import (
+        kn_quadgram_score_from_types,
+    )
+
+    model4 = FrozenCurationModel(spark, str(tmp_path / "fzkn4"))
+    meta4 = fit_reference_model(
+        model4, ref, heldout, lm="kn4", drop_fraction=0.2
+    )
+    assert meta4["lm"] == "kn4" and model4.kn_quadgrams.exists()
+    assert "kn_quadgrams_version" in meta4
+    out4a = sorted(
+        r["doc_id"] for r in curate_batch(batch, model4).collect()
+    )
+    out4b = sorted(
+        r["doc_id"] for r in curate_batch(batch, model4).collect()
+    )
+    assert out4a == out4b and out4a
+    below4 = {
+        r["doc_id"]
+        for r in kn_quadgram_score_from_types(
+            gated, model4.kn_quadgrams.read(), "doc_id", "text"
+        )
+        .where(F.col("avg_logprob") < F.lit(meta4["lm_threshold"]))
+        .collect()
+    }
+    assert below4 and not (set(out4a) & below4)
+
     with _pytest.raises(ValueError, match="lm must be"):
         fit_reference_model(
             FrozenCurationModel(spark, str(tmp_path / "badlm")),
@@ -2222,7 +2251,7 @@ def test_frozen_lang_kn_heldout_floor_raise_both_orders(spark, tmp_path):
         [(9001, " ".join(f"{stops[j % 8]} w2_{j}" for j in range(32)))],
         "doc_id long, text string",
     )
-    for order in ("kn", "kn3"):
+    for order in ("kn", "kn3", "kn4"):
         with _pytest.raises(ValueError, match="no KN floor.*es"):
             fit_reference_model(
                 FrozenCurationModel(spark, str(tmp_path / f"miss_{order}")),

@@ -3172,3 +3172,76 @@ def test_kn_trigram_logprob_hand_computed(spark):
 
     # exclusions: under 3 tokens / NULL text -> absent
     assert 5 not in out and 7 not in out
+
+
+def test_kn_quadgram_hand_computed(spark):
+    """4-gram KN rung checks on a hand-computable corpus: seen
+    4-gram, unseen 4-gram under a seen (w1,w2,w3) context, unseen
+    top context (falls to the modified trigram level), unseen (w2,w3)
+    (falls to the modified bigram level), unseen w3 (continuation
+    distribution), unseen w4 (the 1/B3 floor) — plus the
+    under-4-token and NULL exclusions."""
+    import math
+
+    ref = spark.createDataFrame(
+        [(0, "a b c d a b c e")], "doc_id long, text string"
+    )
+    docs = ref.unionByName(
+        spark.createDataFrame(
+            [(1, "a b c d x"), (3, "z z z a b c d"), (5, "a b c"),
+             (7, None)],
+            "doc_id long, text string",
+        )
+    )
+    out = {
+        r["doc_id"]: (r["n_quadgrams"], r["avg_logprob"])
+        for r in textstats.kn_quadgram_logprob_scores(
+            docs, ref, "doc_id", "text"
+        ).collect()
+    }
+
+    def lp(p):
+        return round(math.log(p), 9)
+
+    D = 0.75
+    # ref 4-grams (each once): abcd bcda cdab dabc abce
+    # bn3 rows (w2w3w4): bcd cda dab abc bce -> all 1; bn2 (w3w4):
+    # cd da ab bc ce -> all 1; B3=5
+    # cont n1c4: d,a,b,c,e -> 1 each; ctx2 c3n/n1f2n: c:(2,2)
+    # [cd,ce], d:(1,1), a:(1,1), b:(1,1)
+    # ctx3 (w2w3): bc:(2,2) [bcd,bce], cd:(1,1), da:(1,1), ab:(1,1)
+    # ctx4 (w1w2w3): abc:(2,2) [abcd,abce], bcd:(1,1), cda:(1,1),
+    # dab:(1,1)
+    pc = 1 / 5
+    # doc 1 "a b c d x": quads abcd (seen), bcdx (unseen w4=x)
+    p2_d_c = (max(1 - D, 0.0) + D * 2 * pc) / 2
+    p3_cd = (max(1 - D, 0.0) + D * 2 * p2_d_c) / 2   # (b,c) ctx, bcd seen
+    p4_abcd = (max(1 - D, 0.0) + D * 2 * p3_cd) / 2  # abc ctx
+    pc_x = 1 / 5                                      # unseen w4 floor
+    p2_x_d = (0.0 + D * 1 * pc_x) / 1                 # ctx d seen, dx unseen
+    p3_cdx = (0.0 + D * 1 * p2_x_d) / 1               # (c,d) ctx, cdx unseen
+    p4_bcdx = (0.0 + D * 1 * p3_cdx) / 1              # bcd ctx seen
+    exp1 = (lp(p4_abcd) + lp(p4_bcdx)) / 2
+    assert out[1][0] == 2
+    assert abs(out[1][1] - exp1) < 1e-9, (out[1][1], exp1)
+
+    # doc 3 "z z z a b c d": zzza (all ctx unseen -> pc(a)), zzab
+    # (top+trigram ctx unseen, (z,a)? -> w3=a seen ctx2: p2 level),
+    # zabc (ctx unseen at top, (a,b) seen at trigram level), abcd seen
+    p4_zzza = pc                                       # w3=z unseen -> pc(a)
+    p2_b_a = (max(1 - D, 0.0) + D * 1 * pc) / 1        # (a,b) in bn2
+    p4_zzab = p2_b_a                                   # (z,a) unseen ctx3
+    p3_abc = (max(1 - D, 0.0) + D * 1 * p2_c_b_val(D, pc)) / 1
+    p4_zabc = p3_abc                                   # (z,a,b) unseen ctx4
+    exp3 = (lp(p4_zzza) + lp(p4_zzab) + lp(p4_zabc) + lp(p4_abcd)) / 4
+    assert out[3][0] == 4
+    assert abs(out[3][1] - exp3) < 1e-9, (out[3][1], exp3)
+
+    # exclusions: under 4 tokens / NULL text -> absent
+    assert 5 not in out and 7 not in out
+
+
+def p2_c_b_val(D, pc):
+    """p2'(c|b) for the hand corpus: (b,c) seen in bn2 (count 1),
+    ctx2 b:(1,1)."""
+    return (max(1 - D, 0.0) + D * 1 * pc) / 1

@@ -1064,3 +1064,100 @@ def test_kn_trigram_matches_python_model(spark, texts):
     for i, (n, lp) in expect.items():
         assert got[i][0] == n, (i, got[i], n)
         assert abs(got[i][1] - lp) < 1e-9, (i, got[i][1], lp)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(WORD, min_size=0, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_kn_quadgram_matches_python_model(spark, texts):
+    """4-gram-KN parity against a pure-Python model: the three-level
+    backoff (raw counts at the 4-gram level, MODIFIED distinct-left-
+    context counts cascading through the trigram and bigram levels,
+    continuation distribution at the base) compared per doc to 1e-9
+    over generated corpora — every rung reachable because the scored
+    half includes odd-index docs the model never saw."""
+    import math
+    from collections import Counter
+
+    from delta_data_pipelines_spark.operators.textstats import (
+        kn_quadgram_logprob_scores,
+    )
+
+    texts = ["a b c d a"] + texts  # pinned at index 0 -> ref never empty
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref_rows = [(i, t) for i, t in rows if i % 2 == 0]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+
+    def quads(t):
+        w = t.split(" ")
+        return list(zip(w, w[1:], w[2:], w[3:]))
+
+    D = 0.75
+    bf4 = Counter()
+    for _, t in ref_rows:
+        bf4.update(quads(t))
+    c123, n1f4 = Counter(), Counter()
+    bn3 = Counter()
+    for (w1, w2, w3, w4), c in bf4.items():
+        c123[(w1, w2, w3)] += c
+        n1f4[(w1, w2, w3)] += 1
+        bn3[(w2, w3, w4)] += 1
+    c23n, n1f3n = Counter(), Counter()
+    bn2 = Counter()
+    for (w2, w3, w4), c in bn3.items():
+        c23n[(w2, w3)] += c
+        n1f3n[(w2, w3)] += 1
+        bn2[(w3, w4)] += 1
+    c3n, n1f2n, cont = Counter(), Counter(), Counter()
+    for (w3, w4), c in bn2.items():
+        c3n[w3] += c
+        n1f2n[w3] += 1
+        cont[w4] += 1
+    B3 = len(bn2)
+    expect = {}
+    for i, t in rows:
+        qs = quads(t)
+        if not qs:
+            continue
+        s = 0
+        for w1, w2, w3, w4 in qs:
+            pc = cont.get(w4, 1) / B3
+            if w3 in c3n:
+                p2 = (
+                    max(bn2.get((w3, w4), 0) - D, 0.0) + D * n1f2n[w3] * pc
+                ) / c3n[w3]
+            else:
+                p2 = pc
+            if (w2, w3) in c23n:
+                p3 = (
+                    max(bn3.get((w2, w3, w4), 0) - D, 0.0)
+                    + D * n1f3n[(w2, w3)] * p2
+                ) / c23n[(w2, w3)]
+            else:
+                p3 = p2
+            if (w1, w2, w3) in c123:
+                p4 = (
+                    max(bf4.get((w1, w2, w3, w4), 0) - D, 0.0)
+                    + D * n1f4[(w1, w2, w3)] * p3
+                ) / c123[(w1, w2, w3)]
+            else:
+                p4 = p3
+            s += round(math.log(p4), 9)
+        expect[i] = (len(qs), s / len(qs))
+
+    got = {
+        r["doc_id"]: (r["n_quadgrams"], r["avg_logprob"])
+        for r in kn_quadgram_logprob_scores(
+            docs, ref, "doc_id", "text"
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for i, (n, lp) in expect.items():
+        assert got[i][0] == n, (i, got[i], n)
+        assert abs(got[i][1] - lp) < 1e-9, (i, got[i][1], lp)
