@@ -412,7 +412,9 @@ def lm_filter_stage(
     """
     if not (0.0 <= drop_fraction < 1.0):
         raise ValueError(f"drop_fraction must be in [0, 1), got {drop_fraction}")
-    if lm not in ("unigram", "kn", "kn3", "kn4"):
+    from ..operators.textstats import KN_SCORERS
+
+    if lm != "unigram" and lm not in KN_SCORERS:
         raise ValueError(
             f"lm must be 'unigram', 'kn', 'kn3' or 'kn4', got {lm!r}"
         )
@@ -437,7 +439,7 @@ def lm_filter_stage(
         id_col,
         F.translate(F.col(text_col), "\n", " ").alias(text_col),
     )
-    if lm in ("kn", "kn3", "kn4"):
+    if lm in KN_SCORERS:
         # self-fit interpolated Kneser-Ney — bigram at 'kn', trigram
         # at 'kn3', 4-gram at 'kn4' (the batch pipeline derives every
         # model from the corpus being curated, so the reference IS
@@ -448,17 +450,7 @@ def lm_filter_stage(
         # order's minimum token count) are absent from the score
         # frame and pass through via drop-list semantics — the
         # frozen path's rule.
-        from ..operators.textstats import (
-            kn_bigram_logprob_scores,
-            kn_quadgram_logprob_scores,
-            kn_trigram_logprob_scores,
-        )
-
-        kn_scores_fn = {
-            "kn": kn_bigram_logprob_scores,
-            "kn3": kn_trigram_logprob_scores,
-            "kn4": kn_quadgram_logprob_scores,
-        }[lm]
+        kn_scores_fn = KN_SCORERS[lm][2]
         scores = kn_scores_fn(
             normalized, normalized, id_col, text_col
         ).select(id_col, F.col("avg_logprob").alias("_avg_lp"))

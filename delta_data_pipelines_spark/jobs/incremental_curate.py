@@ -197,26 +197,20 @@ _KN_LMS = ("kn", "kn3", "kn4")
 
 def _kn_dispatch(model: "FrozenCurationModel", lm: str):
     """(types_fn, score_fn, table, meta_version_key, label) for a KN
-    order — the ONE place the lm-name → artifact mapping lives, so
-    fit, batch apply, and the lang-aware paths can never disagree on
-    which table an order freezes to."""
-    from ..operators.textstats import (
-        kn_bigram_score_from_types,
-        kn_bigram_types,
-        kn_quadgram_score_from_types,
-        kn_quadgram_types,
-        kn_trigram_score_from_types,
-        kn_trigram_types,
-    )
+    order — the estimator functions come from the shared
+    ``textstats.KN_SCORERS`` mapping (one source of truth with the
+    batch pipeline's self-fit cut); only the model-table/meta-key
+    layer lives here, so fit, batch apply, and the lang-aware paths
+    can never disagree on which table an order freezes to."""
+    from ..operators.textstats import KN_SCORERS
 
-    return {
-        "kn": (kn_bigram_types, kn_bigram_score_from_types,
-               model.kn_bigrams, "kn_bigrams_version", "KN bigram"),
-        "kn3": (kn_trigram_types, kn_trigram_score_from_types,
-                model.kn_trigrams, "kn_trigrams_version", "KN trigram"),
-        "kn4": (kn_quadgram_types, kn_quadgram_score_from_types,
-                model.kn_quadgrams, "kn_quadgrams_version", "KN 4-gram"),
+    types_fn, score_fn, _ = KN_SCORERS[lm]
+    table, vkey, label = {
+        "kn": (model.kn_bigrams, "kn_bigrams_version", "KN bigram"),
+        "kn3": (model.kn_trigrams, "kn_trigrams_version", "KN trigram"),
+        "kn4": (model.kn_quadgrams, "kn_quadgrams_version", "KN 4-gram"),
     }[lm]
+    return types_fn, score_fn, table, vkey, label
 
 
 def _read_nonempty_kn(table: VersionedTable, version, what: str) -> DataFrame:

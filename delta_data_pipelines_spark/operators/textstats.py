@@ -1173,6 +1173,22 @@ def kn_quadgram_logprob_scores(
     )
 
 
+# lm-name → (types_fn, score_from_types_fn, logprob_scores_fn) — the
+# ONE place the KN order names map to their estimator functions.
+# curate_corpus.lm_filter_stage (self-fit cut) and
+# incremental_curate._kn_dispatch (frozen lifecycle, which layers the
+# model-table/meta-key mapping on top) both read this, so the batch
+# and frozen pipelines can never disagree on supported orders.
+KN_SCORERS = {
+    "kn": (kn_bigram_types, kn_bigram_score_from_types,
+           kn_bigram_logprob_scores),
+    "kn3": (kn_trigram_types, kn_trigram_score_from_types,
+            kn_trigram_logprob_scores),
+    "kn4": (kn_quadgram_types, kn_quadgram_score_from_types,
+            kn_quadgram_logprob_scores),
+}
+
+
 def nb_train(
     docs: DataFrame,
     label_col: str,

@@ -2220,9 +2220,9 @@ def test_frozen_lang_aware_kn3_lm_filter(spark, tmp_path):
     assert again == kept
 
 
-def test_frozen_lang_kn_heldout_floor_raise_both_orders(spark, tmp_path):
+def test_frozen_lang_kn_heldout_floor_raise_all_orders(spark, tmp_path):
     """A MODELED language with no held-out floor fails the build
-    loudly at BOTH KN orders (the r13 in-sample-bias lesson made
+    loudly at ALL KN orders (kn/kn3/kn4) (the r13 in-sample-bias lesson made
     load-bearing): reference has en+es n-grams, heldout covers only
     en -> fit_reference_model raises naming es. A reference language
     with NO n-grams at the order (single-token docs) is exempt — it

@@ -3231,7 +3231,8 @@ def test_kn_quadgram_hand_computed(spark):
     p4_zzza = pc                                       # w3=z unseen -> pc(a)
     p2_b_a = (max(1 - D, 0.0) + D * 1 * pc) / 1        # (a,b) in bn2
     p4_zzab = p2_b_a                                   # (z,a) unseen ctx3
-    p3_abc = (max(1 - D, 0.0) + D * 1 * p2_c_b_val(D, pc)) / 1
+    p2_c_b = (max(1 - D, 0.0) + D * 1 * pc) / 1       # (b,c) in bn2
+    p3_abc = (max(1 - D, 0.0) + D * 1 * p2_c_b) / 1
     p4_zabc = p3_abc                                   # (z,a,b) unseen ctx4
     exp3 = (lp(p4_zzza) + lp(p4_zzab) + lp(p4_zabc) + lp(p4_abcd)) / 4
     assert out[3][0] == 4
@@ -3239,9 +3240,3 @@ def test_kn_quadgram_hand_computed(spark):
 
     # exclusions: under 4 tokens / NULL text -> absent
     assert 5 not in out and 7 not in out
-
-
-def p2_c_b_val(D, pc):
-    """p2'(c|b) for the hand corpus: (b,c) seen in bn2 (count 1),
-    ctx2 b:(1,1)."""
-    return (max(1 - D, 0.0) + D * 1 * pc) / 1
