@@ -244,7 +244,8 @@ SHELF: list[str] = [
     "txt_kn_lang_logprob",
     "txt_kn3_lang_logprob",
     # r14: 4-gram KN — the ladder's top (KenLM's production order;
-    # one 4-gram explode + seven vocabulary joins, window-free)
+    # one 4-gram explode + seven vocabulary joins, window-free;
+    # ~3.6s standalone at sf0.1, load-gated N=3)
     "txt_kn4_logprob",
     # r14: ensemble audit at the FROZEN calibrated operating point
     # (percentile floors broadcast back over the shared persisted
