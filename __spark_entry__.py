@@ -61,9 +61,10 @@ _PRIORITY = [
     # changed code this round — shared-staging scores + persist, both
     # hash-neutral by mirror); re-seat td_classifier_agreement and
     # td_classifier_pr_curve for the same code-changed reason; seat
-    # the two NEW r14 queries (the per-language KN oracle —
-    # production CCNet shape, r13 ask #3 — and the ensemble audit at
-    # the FROZEN calibrated operating point, ask #5); fill the
+    # the FOUR NEW r14 queries (the per-language KN oracles at both
+    # orders — production CCNet shape, r13 ask #3 — the 4-gram KN
+    # completing the KenLM ladder, and the ensemble audit at the
+    # FROZEN calibrated operating point, ask #5); fill the
     # remaining 37 seats strictly stalest-first per the recounted
     # ledger: the two r5 x5 veterans, the nine r6 x5/x6 veterans,
     # the r8 pair, the r9 batch, the four r10 x2 rows, and the r10

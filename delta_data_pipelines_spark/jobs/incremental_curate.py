@@ -219,8 +219,12 @@ def _read_nonempty_kn(table: VersionedTable, version, what: str) -> DataFrame:
     0-row join, NULL avg_logprob for every doc, and a frozen LM cut
     that silently became a no-op (the fit-time guard only covers the
     fit path). The 1-row probe is memoized per (table, version): a
-    pinned version is immutable, so a streaming loop pays it once.
-    An UNPINNED read (version None → latest) re-probes every call."""
+    pinned version is immutable by the VersionedTable write-once
+    contract, so a streaming loop pays it once — external corruption
+    of an already-verified version's files mid-session is outside
+    that contract and NOT re-detected (restoring an artifact means
+    committing a NEW version, which re-probes). An UNPINNED read
+    (version None → latest) re-probes every call."""
     df = table.read(version)
     key = (table.root, str(version))
     if version is not None and key in _KN_NONEMPTY_SEEN:
@@ -362,7 +366,7 @@ def fit_reference_model(
             # the unseen-language invariant extended to calibration).
             # The per-language unigram table above still freezes
             # (drift + vocabulary artifact).
-            types_fn, score_fn, kn_table, _, _ = _kn_dispatch(model, lm)
+            types_fn, score_fn, kn_table, kn_vkey, _ = _kn_dispatch(model, lm)
             ckn = kn_table.overwrite(
                 types_fn(
                     _kn_text_view(
@@ -497,7 +501,7 @@ def fit_reference_model(
                 id_col,
             )
             fit_view = _kn_text_view(clean, text_col)
-            types_fn, score_fn, kn_table, _, _ = _kn_dispatch(model, lm)
+            types_fn, score_fn, kn_table, kn_vkey, _ = _kn_dispatch(model, lm)
             ckn = kn_table.overwrite(types_fn(fit_view, text_col))
             stored_types = kn_table.read(ckn.version)
             kn_scores = score_fn(cal, stored_types, id_col, text_col)
@@ -544,7 +548,7 @@ def fit_reference_model(
         "heldout_grams_version": c2.version,
     }
     if lm in _KN_LMS:
-        meta[_kn_dispatch(model, lm)[3]] = ckn.version
+        meta[kn_vkey] = ckn.version
         # frozen KN inputs are line-break normalized (the
         # lm_filter_stage rule) from this fit version on; the flag is
         # the frozen-meta contract that keeps PRE-normalization

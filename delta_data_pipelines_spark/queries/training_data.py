@@ -2639,7 +2639,11 @@ def _trained_classifier_verdicts(
     The persist is released by the caller's session-level cache reset
     (bench._reset_session_state between bench queries; tools/check.py
     clearCache between mirror queries) — the returned frames are lazy,
-    so this helper cannot unpersist before the consumer collects."""
+    so this helper cannot unpersist before the consumer collects. A
+    harness with NO reset (the driver's correctness loop) accumulates
+    one cached relation per persisting query, bounded and KB-scale at
+    the correctness sf (0.01); MEMORY_AND_DISK degrades by eviction,
+    never fails, and timing-grade runs all route through bench."""
     from pyspark.storagelevel import StorageLevel
 
     from ..operators.textstats import (
