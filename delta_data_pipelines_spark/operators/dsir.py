@@ -182,6 +182,17 @@ def dsir_score(
         id_col,
         F.explode(buckets_from_words(F.col("_w"), n_buckets)).alias("bucket"),
     )
+    return _score_from_feats(df, feats, lr, id_col)
+
+
+def _score_from_feats(
+    df: DataFrame, feats: DataFrame, lr: DataFrame, id_col: str
+) -> DataFrame:
+    """The scoring tail shared by ``dsir_score`` and the staged
+    one-explode ``dsir_weights_flagged``: broadcast-join the
+    ``(bucket, lr)`` table to the feature rows, DECIMAL(28,9)-sum per
+    doc, left-join the weights back onto the id spine so featureless
+    docs pass through at weight 0 (the curate-stage invariant)."""
     scored = (
         feats.join(F.broadcast(lr), "bucket")
         .groupBy(id_col)
@@ -224,19 +235,37 @@ def dsir_weights_flagged(
     """``dsir_weights`` for the common in-corpus target: the target is
     ``raw.where(target_flag)`` (e.g. the heuristic-quality seed set).
     Same numbers as the two-frame form — bucket counts, round-9 lns,
-    round-9 log-ratio, DECIMAL(28,9) doc sums — but BOTH models come
-    out of ONE exploded pass (conditional count on the flag) instead
-    of two, so the corpus explodes twice total (model fit + scoring)
-    rather than three times: 4 parquet scans / 8 exchanges vs the
-    two-frame form's 6 / 14. At 100 TB the saved scans are remote
-    I/O; at local sf0.1 (page-cached parquet, explode-dominated) the
-    two forms measure within ~20% of each other. A NULL flag counts
-    as not-target, matching ``where(flag)``'s NULL-drops semantics.
+    round-9 log-ratio, DECIMAL(28,9) doc sums — but the corpus
+    explodes ONCE total: the (id, flag, bucket) feature frame is
+    staged (persist — the multi-consumer discipline; the local
+    stand-in for writing it to a table) and feeds BOTH the
+    conditional-count model fit and the scoring join. The two-frame
+    form explodes three times (target fit, raw fit, scoring) and the
+    r13 one-pass-fit form still twice; at 100 TB each saved explode
+    is a full corpus pass. A NULL flag counts as not-target, matching
+    ``where(flag)``'s NULL-drops semantics; the flag expression is
+    evaluated exactly once per doc (below the explode — the
+    ExtractGenerator rule, see dsir_log_ratio_flagged)."""
+    from pyspark.storagelevel import StorageLevel
 
-    The scoring pass carries no flag (only the model fit needs it),
-    so the flag expression is evaluated exactly once per doc."""
-    lr = dsir_log_ratio_flagged(raw, target_flag, text_col, n_buckets)
-    return dsir_score(raw, lr, id_col, text_col, n_buckets)
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    pre = raw.select(
+        F.col(id_col),
+        target_flag.alias("_t"),
+        words_nonempty(F.col(text_col)).alias("_w"),
+    )
+    feats = pre.select(
+        id_col,
+        "_t",
+        F.explode(buckets_from_words(F.col("_w"), n_buckets)).alias("bucket"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    counts = feats.groupBy("bucket").agg(
+        F.count("*").alias("_rc"),
+        F.count_if(F.coalesce(F.col("_t"), F.lit(False))).alias("_tc"),
+    )
+    lr = _lr_from_flag_counts(raw.sparkSession, counts, n_buckets)
+    return _score_from_feats(raw, feats, lr, id_col)
 
 
 def dsir_log_ratio_flagged(
@@ -267,7 +296,18 @@ def dsir_log_ratio_flagged(
         F.count("*").alias("_rc"),
         F.count_if(F.coalesce(F.col("_t"), F.lit(False))).alias("_tc"),
     )
-    full = raw.sparkSession.range(n_buckets).withColumnRenamed("id", "bucket")
+    return _lr_from_flag_counts(raw.sparkSession, counts, n_buckets)
+
+
+def _lr_from_flag_counts(
+    spark, counts: DataFrame, n_buckets: int
+) -> DataFrame:
+    """(bucket, _rc, _tc) → the full ``n_buckets``-row (bucket, lr)
+    log-ratio table — the smoothing/rounding arithmetic shared by
+    ``dsir_log_ratio_flagged`` and the staged one-explode
+    ``dsir_weights_flagged`` (one definition so the two paths cannot
+    drift numerically)."""
+    full = spark.range(n_buckets).withColumnRenamed("id", "bucket")
     zero = F.lit(0).cast("long")
 
     def _smoothed(c: Column, n: Column) -> Column:

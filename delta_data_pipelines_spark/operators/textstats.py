@@ -716,7 +716,15 @@ def kn_bigram_logprob_scores(
     (`kn_bigram_score_from_types`) so the frozen-curation lifecycle
     can persist the TYPE table and score future batches through the
     SAME definition — the marginals re-derive deterministically from
-    the frozen table, so only one artifact needs freezing."""
+    the frozen table, so only one artifact needs freezing.
+
+    Deliberately NOT persisted: the initial plan shows the reference
+    explode + type shuffle once per marginal, but AQE's runtime
+    exchange reuse dedupes those identical shuffle subtrees, so the
+    reference actually explodes once — persisting the type table was
+    MEASURED SLOWER at sf0.1 (1.18→1.85 s: cache materialization
+    cost on top of work the reuse already saved; r14 optimization
+    round)."""
     return kn_bigram_score_from_types(
         docs, kn_bigram_types(ref, text_col), id_col, text_col, discount
     )
@@ -923,7 +931,11 @@ def kn_trigram_score_from_types(
     )
     # modified bigram level: one row per (w2, w3) with its distinct-
     # left-context count (bf3 rows are distinct types, so count(*)
-    # per (w2, w3) IS N1+(·,w2,w3))
+    # per (w2, w3) IS N1+(·,w2,w3)). bn feeds four consumers but is
+    # deliberately NOT persisted: its partial-agg exchange is
+    # identical across consumers, so AQE exchange reuse dedupes it
+    # at runtime — a persist only adds cache-materialization cost
+    # (measured 2× slower at sf0.1, r14 optimization round)
     bn = bf3.groupBy(*kl, "_w2", "_w3").agg(F.count("*").alias("_cn23"))
     ctx2 = bn.groupBy(*kl, "_w2").agg(
         F.sum("_cn23").alias("_c2n"),   # N1+(·,w2,·): bigram-level total
@@ -985,7 +997,10 @@ def kn_trigram_logprob_scores(
 ) -> DataFrame:
     """Fit-on-ref + score-docs composition of the trigram KN pair —
     the train/score split that makes every backoff rung reachable
-    (see kn_trigram_score_from_types for the estimator)."""
+    (see kn_trigram_score_from_types for the estimator). Deliberately
+    NOT persisted: AQE exchange reuse already dedupes the identical
+    type-table shuffles at runtime — persisting measured 2× slower
+    at sf0.1 (see kn_bigram_logprob_scores)."""
     return kn_trigram_score_from_types(
         docs, kn_trigram_types(ref, text_col), id_col, text_col, discount
     )
@@ -1088,7 +1103,12 @@ def kn_quadgram_score_from_types(
         F.count("*").alias("_n1f4"),    # N1+(w1,w2,w3,·)
     )
     # modified trigram level: one row per (w2,w3,w4) with its
-    # distinct-left-context count (bf4 rows are distinct types)
+    # distinct-left-context count (bf4 rows are distinct types).
+    # bn3/bn2 feed multiple consumers but are deliberately NOT
+    # persisted: their partial-agg exchanges are identical across
+    # consumers, so AQE exchange reuse dedupes them at runtime — a
+    # persist only adds cache-materialization cost (measured ~40%
+    # slower at sf0.1, r14 optimization round)
     bn3 = bf4.groupBy(*kl, "_w2", "_w3", "_w4").agg(
         F.count("*").alias("_cn234")
     )
@@ -1167,7 +1187,10 @@ def kn_quadgram_logprob_scores(
 ) -> DataFrame:
     """Fit-on-ref + score-docs composition of the 4-gram KN pair —
     the train/score split that makes every backoff rung reachable
-    (see kn_quadgram_score_from_types for the estimator)."""
+    (see kn_quadgram_score_from_types for the estimator).
+    Deliberately NOT persisted: AQE exchange reuse already dedupes
+    the identical type-table shuffles at runtime — persisting
+    measured ~40% slower at sf0.1 (see kn_bigram_logprob_scores)."""
     return kn_quadgram_score_from_types(
         docs, kn_quadgram_types(ref, text_col), id_col, text_col, discount
     )
@@ -1189,11 +1212,40 @@ KN_SCORERS = {
 }
 
 
+def nb_tokens(
+    docs: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ONE token explode a paired nb_train + nb_score can share:
+    ``(id_col, _pos nullable, _tok)`` over text-non-null docs, empty
+    tokens dropped. Callers that run train AND score on the same
+    corpus stage this once (persist — the _trained_classifier_verdicts
+    multi-consumer discipline) and pass it to both via ``tokens=``;
+    without it each half re-explodes the corpus (2 full text passes
+    per train/score pair — the dominant cost at 100 TB, where one
+    documents pass is the cost unit). ``_pos`` carries the label
+    nullable: nb_train filters ``_pos IS NOT NULL`` (exactly its
+    pre-explode filter — a row-level predicate commutes with
+    explode), nb_score ignores it."""
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(label_col).alias("_pos"),
+            F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
+        )
+        .where(F.col("_tok") != "")
+    )
+
+
 def nb_train(
     docs: DataFrame,
     label_col: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train a naive-Bayes text classifier in ONE corpus pass —
     the quality-classifier filter of the GPT-3/CCNet pipelines
@@ -1214,14 +1266,19 @@ def nb_train(
 
     Scale shape: one explode + two grouped aggregations; the weight
     table is vocabulary-sized (broadcast at score time). NULL-text or
-    NULL-label docs contribute nothing to either class.
+    NULL-label docs contribute nothing to either class. With
+    ``tokens=`` (a staged :func:`nb_tokens` frame) the explode is the
+    caller's — train and score then share one corpus pass.
     """
-    toks = docs.where(
-        F.col(label_col).isNotNull() & F.col(text_col).isNotNull()
-    ).select(
-        F.col(label_col).alias("_pos"),
-        F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
-    ).where(F.col("_tok") != "")
+    if tokens is not None:
+        toks = tokens.where(F.col("_pos").isNotNull()).select("_pos", "_tok")
+    else:
+        toks = docs.where(
+            F.col(label_col).isNotNull() & F.col(text_col).isNotNull()
+        ).select(
+            F.col(label_col).alias("_pos"),
+            F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
+        ).where(F.col("_tok") != "")
     counts = toks.groupBy("_tok").agg(
         F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("_cp"),
         F.sum(F.when(~F.col("_pos"), 1).otherwise(0)).alias("_cn"),
@@ -1284,6 +1341,7 @@ def nb_score(
     prior: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Score docs under a trained NB model: per-doc sum of its tokens'
     log-odds (decimal — order-free) plus the class prior; positive
@@ -1291,10 +1349,14 @@ def nb_score(
     both-classes-unseen Laplace terms cancel only approximately, so
     the conventional choice is to skip them — documented, determinate,
     and identical in the oracle). Output: (id, n_scored_tokens,
-    nb_score double, pred_pos boolean)."""
-    toks = docs.where(F.col(text_col).isNotNull()).select(
-        id_col, F.explode(F.split(F.col(text_col), " ")).alias("token")
-    ).where(F.col("token") != "")
+    nb_score double, pred_pos boolean). With ``tokens=`` (a staged
+    :func:`nb_tokens` frame) the explode is the caller's."""
+    if tokens is not None:
+        toks = tokens.select(id_col, F.col("_tok").alias("token"))
+    else:
+        toks = docs.where(F.col(text_col).isNotNull()).select(
+            id_col, F.explode(F.split(F.col(text_col), " ")).alias("token")
+        ).where(F.col("token") != "")
     scored = (
         toks.join(weights, "token", "left")
         .groupBy(id_col)
@@ -1353,6 +1415,39 @@ def logreg_features(
     return base.select(*cols, F.explode(buckets).alias("_bucket"))
 
 
+def logreg_features_staged(
+    docs: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """The ONE feature explode a paired logreg_train + logreg_score
+    can share: ``(id, _y nullable, _bucket)`` over ALL text-non-null
+    docs (the score population), ``_y`` NULL where the label is NULL
+    (train filters those rows out — exactly its pre-explode filter;
+    a row-level predicate commutes with explode). Callers stage this
+    once (persist) and pass it to both halves via ``feats=``; without
+    it each half re-runs the per-token md5 bucket fold over the whole
+    corpus (2 full featurize passes per train/score pair)."""
+    from .sampling import md5_hash64
+
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    buckets = F.array_append(
+        F.array_distinct(
+            F.transform(w, lambda t: F.pmod(md5_hash64(t), F.lit(n_buckets)))
+        ),
+        F.lit(-1).cast("bigint"),
+    )
+    return docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.when(F.col(label_col), F.lit(1.0)).otherwise(
+            F.when(~F.col(label_col), F.lit(0.0))
+        ).alias("_y"),
+        F.explode(buckets).alias("_bucket"),
+    )
+
+
 def logreg_train(
     docs: DataFrame,
     label_col: str,
@@ -1361,6 +1456,7 @@ def logreg_train(
     n_buckets: int = 64,
     steps: int = 2,
     lr: float = 0.5,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Train a LINEAR (logistic-regression) text quality classifier —
     the fastText-shaped filter of the CCNet/LLaMA pipelines (hash
@@ -1382,28 +1478,33 @@ def logreg_train(
     Scale shape: ONE feature explode staged for all steps (persist —
     vocabulary-bounded bucket space, corpus-bounded rows), then per
     step one (doc) partial-agg shuffle for scores and one (bucket)
-    partial-agg shuffle for gradients; the weight table is
-    O(n_buckets) and broadcasts everywhere. Returns (bucket, weight)
-    with bucket -1 = bias."""
+    partial-agg shuffle for gradients — step 1's gradient needs NO
+    doc-keyed shuffle or join at all (w = 0 ⇒ resid = 0.5 − y, a
+    per-feature-row expression); the weight table is O(n_buckets)
+    and broadcasts everywhere. With ``feats=`` (a staged
+    :func:`logreg_features_staged` frame, persisted by the caller and
+    shared with logreg_score) the explode is the caller's and the
+    internal persist is skipped. Returns (bucket, weight) with
+    bucket -1 = bias."""
     from pyspark.storagelevel import StorageLevel
 
-    feats = logreg_features(
-        docs, id_col, text_col, n_buckets, label_col=label_col
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if feats is not None:
+        feats = feats.where(F.col("_y").isNotNull())
+    else:
+        feats = logreg_features(
+            docs, id_col, text_col, n_buckets, label_col=label_col
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     nd = feats.select(id_col).distinct().agg(F.count("*").alias("_nd"))
 
     def new_weights(
-        resid_df: DataFrame, prev: DataFrame | None
+        grads: DataFrame, prev: DataFrame | None
     ) -> DataFrame:
-        """One GD update: w ← w_prev − lr·∇/n. Every bucket with a
-        feature row gets a gradient row, and prev (from the same
-        feature set) covers the same buckets — the left join +
-        coalesce(0) is for step 1's implicit w = 0."""
-        grads = (
-            feats.join(resid_df, id_col)
-            .groupBy("_bucket")
-            .agg(F.sum(F.col("_resid").cast("decimal(28,6)")).alias("_gr"))
-        ).crossJoin(F.broadcast(nd))
+        """One GD update: w ← w_prev − lr·∇/n over a per-bucket
+        gradient-sum frame. Every bucket with a feature row gets a
+        gradient row, and prev (from the same feature set) covers the
+        same buckets — the left join + coalesce(0) is for step 1's
+        implicit w = 0."""
+        grads = grads.crossJoin(F.broadcast(nd))
         if prev is not None:
             grads = grads.join(F.broadcast(prev), "_bucket", "left")
         else:
@@ -1417,11 +1518,20 @@ def logreg_train(
             ).alias("_wt"),
         )
 
-    # step 1 closed form: z = 0, p = 0.5 exactly
+    # step 1 closed form: z = 0, p = 0.5 exactly — so the per-doc
+    # residual is 0.5 − y, a value each FEATURE ROW already carries
+    # (_y rides the staged explode). Summing it per bucket directly
+    # skips the old groupBy(id).first(resid) + corpus-sized join
+    # staging: one less doc-keyed shuffle of the exploded frame and
+    # one less join per fit, same decimal sums of the same multiset
+    # (decimal addition is associative, so aggregation order cannot
+    # change the result).
     weights = new_weights(
-        feats.select(id_col, (F.lit(0.5) - F.col("_y")).alias("_resid"))
-        .groupBy(id_col)
-        .agg(F.first("_resid").alias("_resid")),
+        feats.groupBy("_bucket").agg(
+            F.sum(
+                (F.lit(0.5) - F.col("_y")).cast("decimal(28,6)")
+            ).alias("_gr")
+        ),
         None,
     ).localCheckpoint(eager=True)
     for _ in range(steps - 1):
@@ -1450,7 +1560,12 @@ def logreg_train(
                 - F.col("_y")
             ).alias("_resid"),
         )
-        weights = new_weights(resid, weights).localCheckpoint(eager=True)
+        grads = (
+            feats.join(resid, id_col)
+            .groupBy("_bucket")
+            .agg(F.sum(F.col("_resid").cast("decimal(28,6)")).alias("_gr"))
+        )
+        weights = new_weights(grads, weights).localCheckpoint(eager=True)
     return weights.select(
         F.col("_bucket").alias("bucket"), F.col("_wt").alias("weight")
     )
@@ -1462,13 +1577,20 @@ def logreg_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 64,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Score docs under trained linear weights: per-doc DECIMAL sum of
     its feature buckets' weights (bias included); positive score →
     positive class. ``n_buckets`` must match the fit (the frozen-meta
     rule — callers persisting a model pin it alongside the weights).
-    Output: (id, n_features, lr_score double, pred_pos boolean)."""
-    feats = logreg_features(docs, id_col, text_col, n_buckets)
+    With ``feats=`` (a staged :func:`logreg_features_staged` frame,
+    shared with the paired logreg_train) the per-token md5 featurize
+    pass is the caller's. Output: (id, n_features, lr_score double,
+    pred_pos boolean)."""
+    if feats is not None:
+        feats = feats.select(id_col, "_bucket")
+    else:
+        feats = logreg_features(docs, id_col, text_col, n_buckets)
     return (
         feats.join(F.broadcast(weights), feats["_bucket"] == weights["bucket"], "left")
         .groupBy(id_col)

@@ -1914,6 +1914,11 @@ def txt_kn_lang_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     ref = d.where(F.col("doc_id") % 2 == 0)
+    # the type table feeds every marginal the scorer derives but is
+    # deliberately NOT persisted: AQE exchange reuse dedupes the
+    # identical type shuffles at runtime, and persisting measured
+    # 1.17→2.03 s at sf0.1 (r14 optimization round — cache
+    # materialization cost on top of work the reuse already saved)
     s = textstats.kn_bigram_score_from_types(
         d,
         textstats.kn_bigram_types(ref, "text", lang_col="lang"),
@@ -1958,6 +1963,10 @@ def txt_kn3_lang_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     ref = d.where(F.col("doc_id") % 2 == 0)
+    # like the bigram lang query, the type table is deliberately NOT
+    # persisted: AQE exchange reuse dedupes the identical type
+    # shuffles at runtime, and persisting measured 1.89→2.68 s at
+    # sf0.1 (r14 optimization round)
     s = textstats.kn_trigram_score_from_types(
         d,
         textstats.kn_trigram_types(ref, "text", lang_col="lang"),
@@ -2582,15 +2591,28 @@ def td_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     output's pred_pos column is the classifier's corpus filter; at
     scale the weights table is vocabulary-sized and broadcast, so the
     scoring pass is one explode + one broadcast join + a partial-agg
-    groupBy — linear, shuffle-light, no UDF anywhere."""
-    from ..operators.textstats import nb_score, nb_train, quality_score
+    groupBy — linear, shuffle-light, no UDF anywhere. Train and
+    score share ONE staged token explode (nb_tokens, persisted — the
+    _trained_classifier_verdicts multi-consumer discipline), and the
+    labeled frame is persisted so the quality_score label expression
+    runs once, not once per consumer (explode + prior)."""
+    from pyspark.storagelevel import StorageLevel
 
-    d = read_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", (quality_score(F.col("text")) >= 0.5).alias("_lbl")
+    from ..operators.textstats import nb_score, nb_tokens, nb_train, quality_score
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "text",
+            (quality_score(F.col("text")) >= 0.5).alias("_lbl"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    weights, prior = nb_train(d, "_lbl")
+    toks = nb_tokens(d, "_lbl").persist(StorageLevel.MEMORY_AND_DISK)
+    weights, prior = nb_train(d, "_lbl", tokens=toks)
     return (
-        nb_score(d, weights, prior)
+        nb_score(d, weights, prior, tokens=toks)
         .select("doc_id", "n_scored_tokens", "nb_score", "pred_pos")
         .orderBy("doc_id")
     )
@@ -2615,13 +2637,27 @@ def td_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # _spread: the per-token md5 bucket fold and the quality signals
     # run on the scan partitioning, and the sf parquet is ONE split
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators.textstats import logreg_features_staged
+
     d = dedup._spread(read_table(spark, sf_dir, "documents")).select(
         "doc_id", "text", (quality_score(F.col("text")) >= 0.5).alias("_lbl")
     )
+    # ONE md5 featurize pass shared by train and score (persist — the
+    # _trained_classifier_verdicts multi-consumer discipline); before
+    # the staging, train and score each re-ran the per-token bucket
+    # fold over the whole corpus
+    feats = logreg_features_staged(
+        d, "_lbl", "doc_id", "text", n_buckets=64
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     weights = logreg_train(
-        d, "_lbl", "doc_id", "text", n_buckets=64, steps=2, lr=0.5
+        d, "_lbl", "doc_id", "text", n_buckets=64, steps=2, lr=0.5,
+        feats=feats,
     )
-    return logreg_score(d, weights, "doc_id", "text", 64).orderBy("doc_id")
+    return logreg_score(
+        d, weights, "doc_id", "text", 64, feats=feats
+    ).orderBy("doc_id")
 
 
 def _trained_classifier_verdicts(
@@ -2647,9 +2683,11 @@ def _trained_classifier_verdicts(
     from pyspark.storagelevel import StorageLevel
 
     from ..operators.textstats import (
+        logreg_features_staged,
         logreg_score,
         logreg_train,
         nb_score,
+        nb_tokens,
         nb_train,
         quality_score,
     )
@@ -2663,14 +2701,25 @@ def _trained_classifier_verdicts(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    nbw, prior = nb_train(d, "_lbl")
-    nb = nb_score(d, nbw, prior).select(
+    # each scorer pair used to re-explode the (cached) corpus per
+    # half — nb_train + nb_score each a token explode, logreg_train +
+    # logreg_score each a per-token md5 featurize pass. Stage each
+    # explode ONCE (persist) and share it across its pair: 4 corpus
+    # explodes per audit → 2, the same discipline one level down.
+    toks = nb_tokens(d, "_lbl").persist(StorageLevel.MEMORY_AND_DISK)
+    feats = logreg_features_staged(
+        d, "_lbl", "doc_id", "text", n_buckets=64
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nbw, prior = nb_train(d, "_lbl", tokens=toks)
+    nb = nb_score(d, nbw, prior, tokens=toks).select(
         "doc_id",
         F.col("pred_pos").alias("_nb"),
         F.col("nb_score").alias("_nb_score"),
     )
-    lrw = logreg_train(d, "_lbl", "doc_id", "text", n_buckets=64, steps=2)
-    lr = logreg_score(d, lrw, "doc_id", "text", 64).select(
+    lrw = logreg_train(
+        d, "_lbl", "doc_id", "text", n_buckets=64, steps=2, feats=feats
+    )
+    lr = logreg_score(d, lrw, "doc_id", "text", 64, feats=feats).select(
         "doc_id",
         F.col("pred_pos").alias("_lr"),
         F.col("lr_score").alias("_lr_score"),
@@ -3066,7 +3115,7 @@ def td_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     between queries releases it."""
     from pyspark.storagelevel import StorageLevel
 
-    from ..operators.textstats import nb_score, nb_train, quality_score
+    from ..operators.textstats import nb_score, nb_tokens, nb_train, quality_score
 
     d = (
         read_table(spark, sf_dir, "documents")
@@ -3077,9 +3126,12 @@ def td_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    weights, prior = nb_train(d, "_lbl")
+    # train + score share one staged token explode (persist) instead
+    # of re-exploding the cached corpus per half
+    toks = nb_tokens(d, "_lbl").persist(StorageLevel.MEMORY_AND_DISK)
+    weights, prior = nb_train(d, "_lbl", tokens=toks)
     s = (
-        nb_score(d, weights, prior)
+        nb_score(d, weights, prior, tokens=toks)
         .join(d.select("doc_id", "_lbl"), "doc_id")
         .where(F.col("_lbl").isNotNull())
     )
@@ -3142,7 +3194,12 @@ def td_logreg_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     between queries releases it."""
     from pyspark.storagelevel import StorageLevel
 
-    from ..operators.textstats import logreg_score, logreg_train, quality_score
+    from ..operators.textstats import (
+        logreg_features_staged,
+        logreg_score,
+        logreg_train,
+        quality_score,
+    )
 
     d = (
         read_table(spark, sf_dir, "documents")
@@ -3153,9 +3210,16 @@ def td_logreg_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    weights = logreg_train(d, "_lbl", "doc_id", "text", n_buckets=64, steps=2)
+    # train + score share one staged md5 featurize pass (persist)
+    # instead of re-running it over the cached corpus per half
+    feats = logreg_features_staged(
+        d, "_lbl", "doc_id", "text", n_buckets=64
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    weights = logreg_train(
+        d, "_lbl", "doc_id", "text", n_buckets=64, steps=2, feats=feats
+    )
     s = (
-        logreg_score(d, weights, "doc_id", "text", 64)
+        logreg_score(d, weights, "doc_id", "text", 64, feats=feats)
         .join(d.select("doc_id", "_lbl"), "doc_id")
         .where(F.col("_lbl").isNotNull())
     )
@@ -3273,15 +3337,27 @@ def td_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     one aggregate. Rank sums are kept ×2 in DECIMAL(38,0) so every
     intermediate is an exact integer (avg ranks are halves); the one
     double division happens last."""
-    from ..operators import ranking
-    from ..operators.textstats import nb_score, nb_train, quality_score
+    from pyspark.storagelevel import StorageLevel
 
-    d = read_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", (quality_score(F.col("text")) >= 0.5).alias("_lbl")
+    from ..operators import ranking
+    from ..operators.textstats import nb_score, nb_tokens, nb_train, quality_score
+
+    # the labeled frame feeds THREE consumers (train, score, label
+    # join) and train + score share one staged token explode — the
+    # _trained_classifier_verdicts discipline
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "text",
+            (quality_score(F.col("text")) >= 0.5).alias("_lbl"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    weights, prior = nb_train(d, "_lbl")
+    toks = nb_tokens(d, "_lbl").persist(StorageLevel.MEMORY_AND_DISK)
+    weights, prior = nb_train(d, "_lbl", tokens=toks)
     s = (
-        nb_score(d, weights, prior)
+        nb_score(d, weights, prior, tokens=toks)
         .join(d.select("doc_id", "_lbl"), "doc_id")
         .where(F.col("_lbl").isNotNull())
     )

@@ -448,13 +448,18 @@ def test_dsir_weights_flag_stays_below_generate(spark, registry):
     marker `64.0` (the quality score's length-cap divisor) must not
     appear in any Project above a Generate. The log-ratio table join
     must be broadcast (1024 rows), and the corpus must explode exactly
-    twice (model fit + scoring)."""
+    ONCE — the r14 staging shares one persisted (id, flag, bucket)
+    feature frame between the model fit and the scoring join (it was
+    2 explodes before: fit + score)."""
     plan = plan_of(spark, registry, "td_dsir_weights")
     assert "CartesianProduct" not in plan, plan
     # formatted mode prints each node twice (tree + detail): count
     # unique Generate node ids
     gens = set(re.findall(r"\((\d+)\) Generate", plan))
-    assert len(gens) == 2, plan
+    assert len(gens) == 1, plan
+    # and the staged feature frame is actually cached (both the fit
+    # aggregation and the scoring join read the InMemoryRelation)
+    assert "InMemoryTableScan" in plan, plan
     # the quality flag must sit BELOW the counts-pass Generate (one
     # Project detail carries the marker `64.0`, the quality score's
     # length-cap divisor); every Project detail above a Generate in
