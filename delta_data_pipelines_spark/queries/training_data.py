@@ -461,9 +461,12 @@ def td_lang_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = langcurate.lang_lm_tail_cut(scores, "doc_id", tail=0.1)
     gate_counts = kept.groupBy("lang").agg(F.count("*").alias("n_gate_kept"))
     fin_counts = final.groupBy("lang").agg(F.count("*").alias("n_final"))
+    # the three count frames are O(languages) rows at any corpus
+    # size: broadcast the joined sides so the funnel report never
+    # sort-merge-shuffles its per-language aggregates
     return (
-        all_counts.join(gate_counts, "lang", "left")
-        .join(fin_counts, "lang", "left")
+        all_counts.join(F.broadcast(gate_counts), "lang", "left")
+        .join(F.broadcast(fin_counts), "lang", "left")
         .select(
             "lang",
             "n_docs",
@@ -2377,8 +2380,16 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cid")
         .limit(16)
     )
-    cells = similarity.ivf_assign(corpus, cent, "vec_id").select(
-        F.col("vec_id").alias("neighbor_id"), "_v", "cid"
+    from pyspark.storagelevel import StorageLevel
+
+    # cells is the corpus-sized 16-way centroid assignment with TWO
+    # consumers (the candidate join and the per-cell size agg): stage
+    # it (persist — the multi-consumer discipline) so the centroid
+    # scoring pass runs once
+    cells = (
+        similarity.ivf_assign(corpus, cent, "vec_id")
+        .select(F.col("vec_id").alias("neighbor_id"), "_v", "cid")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     csz = cells.groupBy("cid").agg(F.count("*").alias("csz"))
     q = corpus.where(F.col("vec_id") < 10).select(
@@ -2397,8 +2408,13 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.lit(x) for x in (1, 2, 4, 8)])).alias("nprobe")
     )
     qcells = qrank.join(F.broadcast(nps), F.col("_rn") <= F.col("nprobe"))
+    # the probed-cells frame is |queries| x sum(nprobe) rows — bounded
+    # small by the probe-set contract at any corpus size — while
+    # `cells` is the corpus: broadcast qcells so the corpus side is
+    # never shuffled by cid (deliberate join strategy; the static
+    # plan read SortMergeJoin and relied on AQE to maybe convert)
     scored = (
-        qcells.join(cells, "cid")
+        F.broadcast(qcells).join(cells, "cid")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "_s", F.round(similarity.cosine(F.col("_qv"), F.col("_v")), 9)
@@ -2415,13 +2431,16 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = similarity.brute_force_topk(
         e, e.where(F.col("vec_id") < 10), k=5
     ).select("query_id", "neighbor_id")
+    # brute is |queries| x k rows and csz |cells| rows — broadcast
+    # both so neither semi-join nor the candidate-size join shuffles
+    # its probe-derived left side
     hits = (
-        topk.join(brute, ["query_id", "neighbor_id"], "left_semi")
+        topk.join(F.broadcast(brute), ["query_id", "neighbor_id"], "left_semi")
         .groupBy("nprobe")
         .agg(F.count("*").alias("_h"))
     )
     cand = (
-        qcells.join(csz, "cid")
+        qcells.join(F.broadcast(csz), "cid")
         .groupBy("nprobe")
         .agg(F.sum("csz").alias("_cs"))
     )
@@ -2429,8 +2448,8 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     nq = q.agg(F.count("*").alias("_nq"))
     nn = corpus.agg(F.count("*").alias("_N"))
     return (
-        nps.join(hits, "nprobe", "left")
-        .join(cand, "nprobe", "left")
+        nps.join(F.broadcast(hits), "nprobe", "left")
+        .join(F.broadcast(cand), "nprobe", "left")
         .crossJoin(F.broadcast(nq))
         .crossJoin(F.broadcast(nn))
         .select(
