@@ -155,6 +155,12 @@ def interleave_by_weight(
     from .ranking import global_rank_by_range, grouped_rank_by_range
 
     ranked = grouped_rank_by_range(df, source_col, id_col, n_parts)
+    # deliberately NOT staged between the two ranks: unlike
+    # td_curriculum_order (expensive quality fold upstream, measured
+    # 2.60 -> 1.39 s with its stages), this chain is md5-cheap and
+    # AQE exchange reuse already dedupes the second rank's
+    # boundary-sampling pass — a persist here MEASURED ~7% slower at
+    # sf0.1 (0.98 -> 1.05 s, r14 round)
     keyed = (
         ranked.withColumnRenamed("group_rank", "k")
         .withColumn("_vtime", F.col("k") / F.col(weight_col))
