@@ -418,19 +418,65 @@ def ivf_assign(
     vec_col: str = "_v",
 ) -> DataFrame:
     """Assign every vector to its max-cosine centroid (ties → smaller
-    centroid id). One narrow pass: vectors × broadcast(centroids) +
-    per-vector argmax window."""
-    c = centroids.select(
-        F.col("cid"), F.col("cv")
+    centroid id). MAP-ONLY: the centroids collapse to ONE cid-sorted
+    array row (broadcast), and the per-vector argmax is a fold over
+    that array — no explode to k× rows, no row_number window, no
+    shuffle. The previous shape (vectors × broadcast(centroids) +
+    argmax window) shuffled the k·|corpus| scored frame — carrying
+    BOTH the vector and the centroid on every row — just to pick a
+    per-vector max (r14 optimization round, guide §2.4: remove
+    shuffles outright; td_cluster_balance 3.12 → measured-after
+    below, and every IVF build/serve assignment shares the saving).
+
+    Value-identical to the window pick `_sim DESC NULLS LAST, cid
+    ASC`: the fold walks centroids in ascending-cid order, a NULL
+    cosine (zero-norm side — `cosine`'s nullif denominator) never
+    overwrites, ties keep the earlier (smaller) cid, and an all-NULL
+    vector takes the smallest cid (the init), exactly as NULLS LAST
+    ordering did. The per-vector norm is staged once per row instead
+    of re-derived per centroid — same nullif(norm·norm) denominator
+    expression, so identical doubles."""
+    carr = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("cid"), F.col("cv"), norm(F.col("cv")).alias("_nc"))
+            )
+        ).alias("_cs")
     )
-    scored = vectors.join(F.broadcast(c)).withColumn(
-        "_sim", cosine(F.col(vec_col), F.col("cv"))
+    cs = F.col("_cs")
+    # two levels so each cosine is evaluated ONCE: lambda bodies get no
+    # codegen CSE (the repo-wide staging rule), and a fold step that
+    # both tests and carries `s` would re-run the O(dim) dot per
+    # reference. Level 1 materializes (sim, cid) per centroid; level 2
+    # folds over field accesses only.
+    sims = F.transform(
+        cs,
+        lambda c: F.struct(
+            (
+                dot(F.col(vec_col), c["cv"])
+                / F.nullif(F.col("_nv") * c["_nc"], F.lit(0.0))
+            ).alias("sim"),
+            c["cid"].alias("cid"),
+        ),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cid"))
+    init = F.struct(
+        F.lit(None).cast("double").alias("sim"),
+        F.try_element_at(cs, F.lit(1))["cid"].alias("cid"),
+    )
+
+    def step(acc, c):
+        take = c["sim"].isNotNull() & (
+            acc["sim"].isNull() | (c["sim"] > acc["sim"])
+        )
+        return F.when(take, c).otherwise(acc)
+
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, vec_col, "cid")
+        vectors.withColumn("_nv", norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(carr))
+        # empty-centroid edge: the old cross join emitted nothing;
+        # keep that contract (with >=1 centroid every vector has a row)
+        .where(F.size(cs) >= 1)
+        .select(id_col, vec_col, F.aggregate(sims, init, step)["cid"].alias("cid"))
     )
 
 

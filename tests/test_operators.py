@@ -1197,6 +1197,46 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert evens == {0} and odds == {1}
 
 
+def test_ivf_assign_tie_null_semantics_and_no_shuffle(spark):
+    """The r14 map-only ivf_assign (fold over a broadcast centroid
+    array) must reproduce the old window pick `_sim DESC NULLS LAST,
+    cid ASC` exactly: equal-cosine ties take the SMALLER cid, a
+    zero-norm vector (all cosines NULL) takes the SMALLEST cid, and a
+    mixed vector ignores NULL-sim centroids. And it must stay
+    map-only: no Exchange in the assignment plan (the old shape
+    shuffled the k×|corpus| scored frame through a row_number
+    window)."""
+    from delta_data_pipelines_spark.operators.similarity import ivf_assign
+
+    cent = spark.createDataFrame(
+        [(3, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 1.0]), (9, [0.0, 0.0])],
+        "cid long, cv array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (10, [0.0, 2.0]),   # ties between cid 1 and 2 -> smaller (1)
+            (11, [2.0, 0.0]),   # unique best -> 3
+            (12, [0.0, 0.0]),   # zero norm: every cosine NULL -> smallest cid (1)
+        ],
+        "vec_id long, _v array<double>",
+    )
+    got = {r["vec_id"]: r["cid"] for r in ivf_assign(vecs, cent).collect()}
+    assert got == {10: 1, 11: 3, 12: 1}
+    # zero-norm CENTROID (cid 9) must never win over a real-sim one
+    assert got[11] == 3
+    # map-only: the assignment subplan has no Exchange besides the
+    # 1-row centroid aggregation (which is an agg on a 4-row frame,
+    # tolerated) — assert the corpus side never hash-partitions on the
+    # vector id the way the old window did
+    plan = ivf_assign(vecs, cent)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "hashpartitioning(vec_id" not in plan
+
+    # empty centroids keep the old cross-join contract: no output rows
+    empty = cent.where("cid < 0")
+    assert ivf_assign(vecs, empty).count() == 0
+
+
 def test_pq_codes_shape_range_and_m1_degenerates_to_kmeans(spark):
     """PQ structural invariants on the harness embeddings: every
     vector gets exactly m codes, each in [0, k); and with m=1 the
