@@ -550,20 +550,29 @@ def passage_dup_stats(
 
     Two document-frequency shapes, same result:
 
-    - ``df_mode="join"`` (default): groupBy the exploded grams for
-      their df, join it back, aggregate per doc. TWO consumers of the
-      explode — so the grams are persisted once and the result is
-      materialized-and-released (the dd_* staging precedent: eager
-      localCheckpoint, then unpersist, so bench loops don't accumulate
-      cache; on a cluster this staging is a written table) — but the
-      join is the 100 TB-SAFE shape: a boilerplate gram appearing in
-      10^9 docs is an AQE skew-join split, not a single straggler
-      task. NOTE this mode executes eagerly, like the dd_* operators.
+    - ``df_mode="join"`` (default, misnomer kept for API stability):
+      since each (doc, gram) row is unique, a gram with df == 1 has
+      exactly ONE owning doc — ``min(id)`` of its single row — so
+      per-doc dup counts come from TWO aggregations and a doc-keyed
+      join of DOC-SIZED frames: ``n_dup = n_passages − n_solo`` where
+      ``n_solo`` counts the doc's df-1 grams via the gram table's
+      ``(df, owner)`` columns. The corpus-sized gram frame is never
+      joined back (the r13 shape shuffled every (doc, gram) row a
+      second time through a gram-keyed join just to re-attach its own
+      count — r14 optimization round, guide §8: decide on the small
+      table, never re-shuffle the big one). Both aggregations are
+      partial-agg friendly (the doc-keyed one collapses map-side to
+      one row per doc per task); a boilerplate gram is one combiner
+      row, so the hot-key skew the join mode guarded against cannot
+      occur at all. The explode has two consumers, so it is persisted
+      once and the result materialized-and-released (the dd_* staging
+      precedent; on a cluster this staging is a written table). NOTE
+      this mode executes eagerly, like the dd_* operators.
     - ``df_mode="window"``: ``count(*) over (partition by gram)`` — a
-      single explode and one less shuffle, measured ~1.9x faster at
-      sf0.1, but a hot gram's window partition lands in ONE task
-      (windows have no skew mitigation). Right when shingle df is
-      known to be bounded (deduplicated or sampled corpora).
+      single explode and one shuffle, but a hot gram's window
+      partition lands in ONE task (windows have no skew mitigation).
+      Right when shingle df is known to be bounded (deduplicated or
+      sampled corpora).
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -575,20 +584,45 @@ def passage_dup_stats(
     grams = docs.select(
         id_col, F.explode(shingles(F.col(text_col), n)).alias("_g")
     )
-    staged = None
     if df_mode == "window":
         with_df = grams.withColumn(
             "_df", F.count("*").over(Window.partitionBy("_g"))
         )
-    else:
-        staged = grams.persist(StorageLevel.MEMORY_AND_DISK)
-        dfc = staged.groupBy("_g").agg(F.count("*").alias("_df"))
-        with_df = staged.join(dfc, "_g")
+        return (
+            with_df.groupBy(id_col)
+            .agg(
+                F.count("*").alias("n_passages"),
+                F.sum(F.when(F.col("_df") > 1, 1).otherwise(0)).alias("n_dup"),
+            )
+            .select(
+                id_col,
+                "n_passages",
+                "n_dup",
+                F.round(F.col("n_dup") / F.col("n_passages"), 9).alias(
+                    "dup_frac"
+                ),
+            )
+        )
+    from .dedup import _materialize_and_release
+
+    staged = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    # min over a df-1 gram's single row IS its owner, including a NULL
+    # id (min of {NULL} is NULL; the null-safe join below re-attaches
+    # it to the NULL doc group exactly as the old gram join did)
+    per_gram = staged.groupBy("_g").agg(
+        F.count("*").alias("_df"), F.min(id_col).alias("_owner")
+    )
+    solo = (
+        per_gram.where(F.col("_df") == 1)
+        .groupBy("_owner")
+        .agg(F.count("*").alias("_n_solo"))
+    )
+    n_pass = staged.groupBy(id_col).agg(F.count("*").alias("n_passages"))
     out = (
-        with_df.groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_passages"),
-            F.sum(F.when(F.col("_df") > 1, 1).otherwise(0)).alias("n_dup"),
+        n_pass.join(solo, F.col(id_col).eqNullSafe(F.col("_owner")), "left")
+        .withColumn(
+            "n_dup",
+            F.col("n_passages") - F.coalesce(F.col("_n_solo"), F.lit(0)),
         )
         .select(
             id_col,
@@ -597,11 +631,7 @@ def passage_dup_stats(
             F.round(F.col("n_dup") / F.col("n_passages"), 9).alias("dup_frac"),
         )
     )
-    if staged is not None:
-        from .dedup import _materialize_and_release
-
-        out = _materialize_and_release(out, staged)
-    return out
+    return _materialize_and_release(out, staged)
 
 
 def bigram_logprob_scores(
@@ -1984,7 +2014,16 @@ def dedup_sentence_spans(
         .where(F.col("_c") > 1)
         .select("h", "_keep")
     )
-    victims = (
+    # deleted positions AS A PER-DOC SET (collect_set dedups exactly
+    # like the old row-level distinct): victims are span-occurrence-
+    # bounded, so this aggregate is small, and carrying the set lets
+    # the rebuild run MAP-SIDE off the cached sentence arrays — the
+    # old shape posexploded every sentence back out, anti-joined the
+    # corpus-sentence-sized frame on (id, position), and collect_list-
+    # regrouped it per doc: three corpus-scale exchanges that existed
+    # only to re-derive what `_sents` already holds (r14 optimization
+    # round, guide §2.4)
+    vic = (
         spans.join(dup, "h")
         .where(
             ~(
@@ -1998,34 +2037,37 @@ def dedup_sentence_spans(
                 F.sequence(F.col("start"), F.col("start") + F.lit(span - 1))
             ).alias("_sidx"),
         )
-        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("_sidx").alias("_del"))
     )
-    sent_rows = sents.select(
-        id_col, F.posexplode(F.col("_sents")).alias("_i0", "_sentence")
-    ).select(id_col, (F.col("_i0") + 1).alias("_sidx"), "_sentence")
-    kept = sent_rows.join(victims, [id_col, "_sidx"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("_sidx", "_sentence"))
-                ),
-                lambda x: x["_sentence"],
-            ),
-            " ",
-        ).alias("_text"),
-        F.count("*").alias("_nk"),
-    )
+    # rebuild from the CACHED arrays: keep sentences whose 1-based
+    # position is not deleted; order is the array's own. A doc with no
+    # victims joins NULL _del (contains -> NULL -> kept); a fully-
+    # deleted doc rebuilds to "" exactly as the old left-join/coalesce
+    # did. n_removed stays BIGINT (the old int-minus-count type).
+    dl = F.col("_del")
     out = (
-        sents.select(id_col, ns.alias("n_sentences"))
-        .join(rebuilt, id_col, "left")
+        sents.join(vic, id_col, "left")
         .select(
             id_col,
-            F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
-            "n_sentences",
-            (
-                F.col("n_sentences") - F.coalesce(F.col("_nk"), F.lit(0))
-            ).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.zip_with(
+                            F.col("_sents"),
+                            F.sequence(F.lit(1), F.greatest(ns, F.lit(1))),
+                            lambda s, i: F.struct(s.alias("s"), i.alias("i")),
+                        ),
+                        lambda e: ~F.coalesce(
+                            F.array_contains(dl, e["i"]), F.lit(False)
+                        ),
+                    ),
+                    lambda e: e["s"],
+                ),
+                " ",
+            ).alias(text_col),
+            ns.alias("n_sentences"),
+            F.coalesce(F.size(dl), F.lit(0)).cast("long").alias("n_removed"),
         )
         .unionByName(nulls)
     )
