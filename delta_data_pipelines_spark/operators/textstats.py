@@ -1777,6 +1777,87 @@ def _zlib_stats(t) -> tuple:
     return (len(raw), len(comp), ratio)
 
 
+def gopher_repetition_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """INTEGER counters behind the Gopher within-doc repetition suite
+    (top-n-gram multiplicity and gram count for n=2,3,4; duplicated-
+    n-gram covered-position count for n=3,4), Arrow-batched — the
+    compute-only twin of the pure-expression helpers
+    (:func:`top_ngram_ratio_from_words` / :func:`dup_ngram_coverage`).
+
+    Why it exists (r14 optimization round, guide §4.2): the expression
+    form is map-only but runs three gram builds + three struct sorts +
+    five folds per row through Spark's INTERPRETED higher-order-
+    function path (HOFs get no whole-stage codegen). Counting the same
+    integers with one ``Counter`` pass per gram order inside an
+    Arrow batch measured ~2× faster at sf0.1. ONLY integers cross the
+    Python boundary back: every ratio/round stays a Spark expression
+    on exact counts, so the float surface is bit-identical to the
+    expression path (a pytest cross-checks the two on the harness
+    corpus).
+
+    Token/gram definitions mirror the expression path exactly:
+    ``split(text, " ")`` keeps empty tokens (Python ``str.split(" ")``
+    and Java regex split with -1 limit agree, including the
+    trailing-empty and empty-string cases); grams are space-joined
+    slices; coverage is the interval UNION of duplicated-gram
+    occurrences (ascending starts, same integer fold). NULL text maps
+    to NULL ``n_tokens`` and zero counters — the expression path's
+    when/otherwise branches.
+
+    Output: (id, n_tokens int, t2 int, g2 int, t3 int, g3 int,
+    t4 int, g4 int, cov3 int, cov4 int).
+    """
+    from collections.abc import Iterator
+    from collections import Counter
+
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+        "n_tokens int, t2 int, g2 int, t3 int, g3 int, t4 int, g4 int, "
+        "cov3 int, cov4 int"
+    )
+
+    def _counts(t):
+        if t is None:
+            return (None, 0, 0, 0, 0, 0, 0, 0, 0)
+        ws = t.split(" ")
+        nt = len(ws)
+        out = [nt]
+        covs = []
+        for n in (2, 3, 4):
+            if nt >= n:
+                grams = [" ".join(ws[i : i + n]) for i in range(nt - n + 1)]
+            else:
+                grams = []
+            cnt = Counter(grams)
+            out.append(max(cnt.values(), default=0))
+            out.append(len(grams))
+            if n >= 3:
+                cov = 0
+                end = 0
+                for i, g in enumerate(grams):
+                    if cnt[g] > 1:
+                        s = i + 1
+                        cov += max(0, (s + n - 1) - max(s, end + 1) + 1)
+                        end = max(end, s + n - 1)
+                covs.append(cov)
+        return tuple(out) + tuple(covs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["n_tokens", "t2", "g2", "t3", "g3", "t4", "g4", "cov3", "cov4"]
+        for pdf in batches:
+            rows = [_counts(t) for t in pdf[text_col]]
+            out = pdf[[id_col]].copy()
+            for j, c in enumerate(cols):
+                out[c] = pd.array([r[j] for r in rows], dtype="Int32")
+            yield out
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
 def compression_signal(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -258,42 +258,33 @@ def txt_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     which would serialize the whole pass onto one core (no-op at
     scale, where the scan already yields thousands of splits)."""
     d = dedup._spread(read_table(spark, sf_dir, "documents"))
-    s1 = d.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
-    w = F.col("_w")
-    s2 = s1.select(
-        "doc_id",
-        F.size(w).alias("n_tokens"),
-        textstats.top_ngram_ratio_from_words(w, 2).alias("_t2"),
-        textstats.sorted_grams_with_pos(w, 3).alias("_s3"),
-        textstats.sorted_grams_with_pos(w, 4).alias("_s4"),
-    )
-    # the struct sorts serve double duty: dup starts AND the n=3,4
-    # top ratios (gram-major order), so no second gram build + sort
-    s3 = s2.select(
-        "doc_id",
-        "n_tokens",
-        "_t2",
-        textstats.top_ngram_ratio_from_sorted_structs(F.col("_s3")).alias(
-            "_t3"
-        ),
-        textstats.top_ngram_ratio_from_sorted_structs(F.col("_s4")).alias(
-            "_t4"
-        ),
-        textstats.dup_ngram_starts(F.col("_s3")).alias("_d3"),
-        textstats.dup_ngram_starts(F.col("_s4")).alias("_d4"),
-    )
-    return s3.select(
+    # r14: the five signals' INTEGER counters come from one Arrow
+    # batch pass (textstats.gopher_repetition_counts — Counter beats
+    # the interpreted HOF gram-build/sort/fold battery ~2× at sf0.1;
+    # measured 2.33 → see OPTIMIZATION_r14.md); every ratio below is
+    # the SAME Spark expression on the same exact ints as the
+    # expression path (int / nullif(int, 0)::double, coalesce 0.0,
+    # round 9), so the hash surface is unchanged — a pytest
+    # cross-checks the two implementations on the harness corpus
+    c = textstats.gopher_repetition_counts(d, "doc_id", "text")
+
+    def _ratio(top, den):
+        return F.coalesce(
+            F.col(top) / F.nullif(den, F.lit(0)).cast("double"), F.lit(0.0)
+        )
+
+    return c.select(
         "doc_id",
         "n_tokens",
-        F.round("_t2", 9).alias("top_2gram_ratio"),
-        F.round("_t3", 9).alias("top_3gram_ratio"),
-        F.round("_t4", 9).alias("top_4gram_ratio"),
-        F.round(
-            textstats.dup_ngram_coverage(F.col("_d3"), 3, F.col("n_tokens")), 9
-        ).alias("dup_3gram_coverage"),
-        F.round(
-            textstats.dup_ngram_coverage(F.col("_d4"), 4, F.col("n_tokens")), 9
-        ).alias("dup_4gram_coverage"),
+        F.round(_ratio("t2", F.col("g2")), 9).alias("top_2gram_ratio"),
+        F.round(_ratio("t3", F.col("g3")), 9).alias("top_3gram_ratio"),
+        F.round(_ratio("t4", F.col("g4")), 9).alias("top_4gram_ratio"),
+        F.round(_ratio("cov3", F.col("n_tokens")), 9).alias(
+            "dup_3gram_coverage"
+        ),
+        F.round(_ratio("cov4", F.col("n_tokens")), 9).alias(
+            "dup_4gram_coverage"
+        ),
     ).orderBy("doc_id")
 
 
@@ -2200,6 +2191,12 @@ def txt_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
     ).where(F.col("w") != "")
+    # vocab feeds THREE consumers (piece inventory, substring
+    # enumeration, viterbi base spine) but is deliberately NOT
+    # persisted: its groupBy("w") exchange is identical under all
+    # three, so AQE runtime exchange reuse already dedupes the corpus
+    # explode — persisting MEASURED 2× SLOWER at sf0.1 (1.29 → 2.64 s
+    # standalone; the KN type-table lesson again, r14 round)
     vocab = words.groupBy("w").agg(F.count("*").alias("n"))
     pieces = unigram.piece_logprobs(
         unigram.unigram_candidates(

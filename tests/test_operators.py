@@ -1040,6 +1040,87 @@ def test_kmv_small_group_is_exact(spark):
         sketches.kmv_distinct(df, ["g"], "v", k=1)
 
 
+def test_gopher_repetition_counts_match_expression_path(spark):
+    """The Arrow-batched integer counters (r14 fast path behind
+    txt_gopher_repetition) must equal the pure-expression helpers on
+    the harness corpus PLUS the edge zoo: NULL text, empty string,
+    multi-space runs, trailing space, short docs below each gram
+    order, and an overlapping-duplicate doc where the interval union
+    matters. Integer equality here implies bit-identical ratios, since
+    both paths divide the same ints in the same Spark expressions."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.operators import textstats
+
+    edge = spark.createDataFrame(
+        [
+            (9001, None),
+            (9002, ""),
+            (9003, "a  b   a  b"),
+            (9004, "one two "),
+            (9005, "x"),
+            (9006, "x y"),
+            (9007, "a b c a b c a b c d"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).unionByName(edge)
+
+    got = {
+        r["doc_id"]: r
+        for r in textstats.gopher_repetition_counts(docs).collect()
+    }
+
+    w = F.col("_w")
+    s1 = docs.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+    s2 = s1.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        textstats.sorted_grams_with_pos(w, 2).alias("_s2"),
+        textstats.sorted_grams_with_pos(w, 3).alias("_s3"),
+        textstats.sorted_grams_with_pos(w, 4).alias("_s4"),
+    )
+    ref_rows = s2.select(
+        "doc_id",
+        "n_tokens",
+        textstats._max_equal_run(
+            F.transform(F.col("_s2"), lambda x: x["g"])
+        ).alias("t2"),
+        F.size("_s2").alias("g2"),
+        textstats._max_equal_run(
+            F.transform(F.col("_s3"), lambda x: x["g"])
+        ).alias("t3"),
+        F.size("_s3").alias("g3"),
+        textstats._max_equal_run(
+            F.transform(F.col("_s4"), lambda x: x["g"])
+        ).alias("t4"),
+        F.size("_s4").alias("g4"),
+        textstats.dup_ngram_starts(F.col("_s3")).alias("_d3"),
+        textstats.dup_ngram_starts(F.col("_s4")).alias("_d4"),
+    ).collect()
+
+    def _cov(starts, n):
+        cov, end = 0, 0
+        for s in starts:
+            cov += max(0, (s + n - 1) - max(s, end + 1) + 1)
+            end = max(end, s + n - 1)
+        return cov
+
+    assert len(ref_rows) == len(got)
+    for r in ref_rows:
+        g = got[r["doc_id"]]
+        if r["n_tokens"] is None:
+            assert g["n_tokens"] is None
+            continue
+        assert g["n_tokens"] == r["n_tokens"], r["doc_id"]
+        for c in ("t2", "g2", "t3", "g3", "t4", "g4"):
+            assert g[c] == r[c], (r["doc_id"], c, g[c], r[c])
+        assert g["cov3"] == _cov(r["_d3"], 3), r["doc_id"]
+        assert g["cov4"] == _cov(r["_d4"], 4), r["doc_id"]
+
+
 def test_passage_dup_stats_modes_agree_and_detect_planted_dup(spark):
     """Both df shapes (skew-safe join, single-explode window) must
     produce identical stats; a doc duplicated verbatim scores
