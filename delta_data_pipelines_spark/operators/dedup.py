@@ -364,6 +364,11 @@ def containment_pairs(
         id_col,
         F.transform(shingles(F.col(text_col)), lambda x: F.xxhash64(x)).alias("_hs"),
     )
+    # ex feeds two consumers (the df groupBy and the order-attach join)
+    # but is deliberately NOT persisted: caching the corpus-gram explode
+    # MEASURED SLOWER at sf0.1 (2.56 → 2.70 s median with a 7 s spill
+    # outlier, r14 optimization round) — the explode recompute off the
+    # page-cached scan is cheaper than materializing gram rows
     ex = sh.select(id_col, F.explode("_hs").alias("_h"))
     dfreq = ex.groupBy("_h").agg(F.count("*").alias("_df"))
     if max_df is not None:

@@ -302,7 +302,14 @@ def txt_gopher_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl text passes ``split(text, '\\n')`` into the same
     ``*_from_lines`` operators. Map-only per-row folds over ONE
     _spread() scan: no explode, no shuffle, no UDF — char totals ride
-    one array_join length, the top line one sorted-run fold."""
+    one array_join length, the top line one sorted-run fold.
+
+    Measured negative (r14 optimization round): an Arrow-batched
+    integer-counter twin (the gopher_repetition_counts device) ran
+    ~11% SLOWER back-to-back at sf0.1 (1.15 → 1.28 s) — these line
+    signals are one distinct + one fold over ~n/2 lines, too cheap
+    to buy back the JVM→Python text transfer, unlike the n-gram
+    suite's three sorts + five folds. Expression path stays."""
     d = dedup._spread(read_table(spark, sf_dir, "documents"))
     s1 = d.select(
         "doc_id",
