@@ -181,25 +181,45 @@ def _candidates(banded: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
 
     ``max_bucket`` drops degenerate buckets (boilerplate collapsing
     millions of docs into one band value) before the quadratic
-    self-join — the guard that keeps this runnable at 100 TB.
-    """
-    bucket_w = Window.partitionBy("band_id", "band_hash")
-    banded = banded.withColumn("_n", F.count("*").over(bucket_w)).where(
-        F.col("_n") <= max_bucket
+    pair expansion — the guard that keeps this runnable at 100 TB.
+
+    One groupBy collects each surviving bucket's ids and the i<j
+    pairs expand IN-ARRAY (id-sorted slice per element, ≤ cap²/2
+    structs per bucket row — bounded by the same guard that made the
+    old shape safe). The previous shape shuffled the band table
+    through a bucket-count window and then AGAIN through a
+    (band, hash)-keyed self-join — two extra corpus-band-sized
+    exchanges to enumerate pairs the bucket row already holds (r14
+    optimization round, guide §2.4). The cap check counts ALL bucket
+    rows (count(*), exactly the old window count — collect_list alone
+    would skip NULL ids and move the boundary)."""
+    grouped = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(
+            F.count("*").alias("_n"),
+            F.collect_list(id_col).alias("_ids"),
+        )
+        .where(F.col("_n") <= max_bucket)
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # the sort is staged as a COLUMN before the pair lambda: the slice
+    # below references it once per element, and lambda bodies get no
+    # codegen CSE (an inline array_sort there re-sorts per element)
+    staged = grouped.select(F.array_sort(F.col("_ids")).alias("_srt"))
+    srt = F.col("_srt")
+    pairs = F.flatten(
+        F.transform(
+            srt,
+            lambda a, i: F.transform(
+                F.slice(
+                    srt, i + 2, F.greatest(F.size(srt) - i - 1, F.lit(0))
+                ),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        staged.select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.id_a"), F.col("_p.id_b"))
         .distinct()
     )
 

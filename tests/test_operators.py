@@ -310,6 +310,49 @@ def test_lsh_bucket_deterministic(spark):
     assert all(0 <= r["b"] < 256 for r in b1)
 
 
+def test_lsh_candidates_match_self_join_reference(spark):
+    """The in-array pair expansion must enumerate exactly the i<j pairs
+    the old (band,hash)-keyed self-join produced, with the cap counting
+    ALL bucket rows: a bucket at the cap survives whole, one past the
+    cap drops whole, and a NULL id counts toward the cap without ever
+    appearing in a pair (NULL < x is never true in the join form)."""
+    rows = (
+        # bucket exactly at cap (3 ids) -> all 3 pairs
+        [(0, 11, i) for i in (1, 2, 3)]
+        # bucket past cap (4 rows incl. NULL id) -> dropped whole
+        + [(0, 22, i) for i in (4, 5, 6)] + [(0, 22, None)]
+        # NULL id inside a surviving bucket: counts for cap, no pairs
+        + [(1, 33, 7), (1, 33, None), (1, 33, 8)]
+        # singleton bucket -> no pairs
+        + [(2, 44, 9)]
+    )
+    banded = spark.createDataFrame(rows, "band_id int, band_hash long, doc_id int")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup._candidates(banded, "doc_id", max_bucket=3).collect()
+    }
+    a, b = banded.alias("a"), banded.alias("b")
+    from pyspark.sql import Window
+
+    capped = banded.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("band_id", "band_hash"))
+    ).where(F.col("_n") <= 3)
+    ref = {
+        (r["id_a"], r["id_b"])
+        for r in capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+        .collect()
+    }
+    assert got == ref == {(1, 2), (1, 3), (2, 3), (7, 8)}
+
+
 def test_textstats_profile(spark, corpus):
     out = textstats.text_profile(corpus, "doc_id", "text").collect()
     row = {r["doc_id"]: r for r in out}
