@@ -658,20 +658,73 @@ def kmeans_centroids(
     return _centroid_means(assign)
 
 
-def _pq_assign(sub: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
-    """Per-subspace nearest-codeword assignment: sub-vectors ×
-    broadcast codebook (m·k rows) + per-(vector, subspace) argmax
-    window. Ties → smaller code, matching ivf_assign."""
-    scored = sub.join(F.broadcast(cent), "sub_id").withColumn(
-        "_sim", cosine(F.col("_sv"), F.col("_cv"))
+def _nearest_code(sub: DataFrame, cent: DataFrame) -> DataFrame:
+    """MAP-ONLY nearest-codeword pick: the codebook collapses to ONE
+    code-sorted array row per sub_id (broadcast), and the per-(vector,
+    subspace) argmax is a fold over that array — the ``ivf_assign``
+    shape with ``sub_id`` as the broadcast-join key (r14 optimization
+    round, guide §2.4). The previous shape joined sub-vectors × the
+    m·k-row codebook (a k× row explosion carrying the sub-vector on
+    every row) and shuffled it through a row_number window just to
+    pick a per-(vector, subspace) max.
+
+    Value-identical to the window pick `_sim DESC NULLS LAST, code
+    ASC`: the fold walks codewords in ascending-code order, a NULL
+    cosine never overwrites, ties keep the earlier (smaller) code,
+    an all-NULL sub-vector takes the smallest code, and a sub_id
+    absent from the codebook emits nothing (the old inner join).
+    The per-sub-vector norm is staged once per row; the codeword
+    norm once per codebook entry — same ``dot/nullif(norm·norm)``
+    expression order as ``cosine``, so identical doubles.
+
+    Returns ``sub``'s rows plus ``_win`` struct<sim:double, code> of
+    the winning codeword."""
+    carr = cent.groupBy("sub_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("code"), F.col("_cv"), norm(F.col("_cv")).alias("_nc")
+                )
+            )
+        ).alias("_cs")
     )
-    w = Window.partitionBy(id_col, "sub_id").orderBy(
-        F.col("_sim").desc(), F.col("code")
+    cs = F.col("_cs")
+    # two levels so each cosine is evaluated ONCE: lambda bodies get no
+    # codegen CSE (the repo-wide staging rule) — see ivf_assign.
+    sims = F.transform(
+        cs,
+        lambda c: F.struct(
+            (
+                dot(F.col("_sv"), c["_cv"])
+                / F.nullif(F.col("_ns") * c["_nc"], F.lit(0.0))
+            ).alias("sim"),
+            c["code"].alias("code"),
+        ),
     )
+    init = F.struct(
+        F.lit(None).cast("double").alias("sim"),
+        F.try_element_at(cs, F.lit(1))["code"].alias("code"),
+    )
+
+    def step(acc, c):
+        take = c["sim"].isNotNull() & (
+            acc["sim"].isNull() | (c["sim"] > acc["sim"])
+        )
+        return F.when(take, c).otherwise(acc)
+
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, "sub_id", "_sv", "code")
+        sub.withColumn("_ns", norm(F.col("_sv")))
+        .join(F.broadcast(carr), "sub_id")
+        .withColumn("_win", F.aggregate(sims, init, step))
+        .drop("_ns", "_cs")
+    )
+
+
+def _pq_assign(sub: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+    """Per-subspace nearest-codeword assignment — map-only via
+    :func:`_nearest_code`. Ties → smaller code, matching ivf_assign."""
+    return _nearest_code(sub, cent).select(
+        id_col, "sub_id", "_sv", F.col("_win")["code"].alias("code")
     )
 
 
@@ -824,18 +877,11 @@ def pq_encode(
     baseline, the codebook no longer spans the data and a refit is
     due."""
     sub = _subspace_slices(vectors, id_col, vec_col, m, "_sv")
-    scored = sub.join(F.broadcast(codebook), "sub_id").withColumn(
-        "_sim", cosine(F.col("_sv"), F.col("_cv"))
-    )
-    w = Window.partitionBy(id_col, "sub_id").orderBy(
-        F.col("_sim").desc(), F.col("code")
-    )
-    cols = [id_col, "sub_id", "code"] + (["_sim"] if keep_sim else [])
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(*cols)
-    )
+    win = _nearest_code(sub, codebook)
+    cols = [F.col(id_col), F.col("sub_id"), F.col("_win")["code"].alias("code")]
+    if keep_sim:
+        cols.append(F.col("_win")["sim"].alias("_sim"))
+    return win.select(*cols)
 
 
 def pq_adc_topk(

@@ -1361,6 +1361,53 @@ def test_ivf_assign_tie_null_semantics_and_no_shuffle(spark):
     assert ivf_assign(vecs, empty).count() == 0
 
 
+def test_pq_nearest_code_tie_null_semantics_and_no_window(spark):
+    """The r14 map-only PQ assignment (fold over a per-sub_id
+    broadcast codeword array) must reproduce the old window pick
+    `_sim DESC NULLS LAST, code ASC` exactly, per subspace: ties →
+    smaller code, all-NULL sub-vector → smallest code, a zero-norm
+    codeword never wins, an absent sub_id emits nothing (the old
+    inner join), and keep_sim carries the winner's cosine. And it
+    must stay window-free: the old shape shuffled the k×|corpus|
+    scored frame through a row_number window per (vector, subspace)."""
+    from delta_data_pipelines_spark.operators.similarity import pq_encode
+
+    cb = spark.createDataFrame(
+        [
+            # sub_id 0: codes 1 and 2 tie on direction, 3 orthogonal
+            (0, 3, [1.0, 0.0]),
+            (0, 1, [0.0, 1.0]),
+            (0, 2, [0.0, 2.0]),
+            (0, 9, [0.0, 0.0]),  # zero-norm codeword: NULL cosine
+            # sub_id 1 deliberately ABSENT from the codebook
+        ],
+        "sub_id int, code long, _cv array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (10, [0.0, 2.0, 5.0, 5.0]),  # sub 0 ties 1 vs 2 -> 1; sub 1 absent
+            (11, [2.0, 0.0, 5.0, 5.0]),  # sub 0 unique best -> 3
+            (12, [0.0, 0.0, 5.0, 5.0]),  # sub 0 zero norm: all NULL -> code 1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = pq_encode(vecs, cb, m=2, keep_sim=True).collect()
+    # absent sub_id 1: no rows for it at all
+    assert {r["sub_id"] for r in rows} == {0}
+    got = {r["vec_id"]: r["code"] for r in rows}
+    assert got == {10: 1, 11: 3, 12: 1}
+    sims = {r["vec_id"]: r["_sim"] for r in rows}
+    assert sims[10] == 1.0 and sims[11] == 1.0 and sims[12] is None
+    plan = (
+        pq_encode(vecs, cb, m=2, keep_sim=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "hashpartitioning(vec_id" not in plan
+
+
 def test_pq_codes_shape_range_and_m1_degenerates_to_kmeans(spark):
     """PQ structural invariants on the harness embeddings: every
     vector gets exactly m codes, each in [0, k); and with m=1 the
