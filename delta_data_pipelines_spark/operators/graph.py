@@ -81,7 +81,15 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # out-strength is LOOP-INVARIANT: attach it to the edge row once
+    # (one extra eager job) instead of re-joining e ⋈ outw inside every
+    # round — the old shape paid an edge-sized join per iteration for a
+    # value that never changes (r14 optimization round, guide §2.4).
+    # The division stays in the loop, split across the SAME cast chain
+    # (_r · _w_double / _ow_double, left-to-right), so every round's
+    # doubles are bit-identical to the old two-join form.
     outw = e.groupBy("_src").agg(F.sum("_w").alias("_ow"))
+    ew = e.join(outw, "_src").localCheckpoint(eager=True)
     n1 = nodes.agg(F.count("*").alias("_n"))
     base = (F.lit(1.0) - F.lit(damping)) / F.col("_n")
     ranks = nodes.crossJoin(F.broadcast(n1)).select(
@@ -89,8 +97,7 @@ def pagerank(
     )
     for i in range(n_iter):
         contrib = (
-            ranks.join(e, ranks["node"] == e["_src"])
-            .join(outw, "_src")
+            ranks.join(ew, ranks["node"] == ew["_src"])
             .select(
                 F.col("_dst").alias("node"),
                 (
