@@ -748,15 +748,25 @@ def kn_bigram_logprob_scores(
     SAME definition — the marginals re-derive deterministically from
     the frozen table, so only one artifact needs freezing.
 
-    Deliberately NOT persisted: the initial plan shows the reference
-    explode + type shuffle once per marginal, but AQE's runtime
-    exchange reuse dedupes those identical shuffle subtrees, so the
-    reference actually explodes once — persisting the type table was
-    MEASURED SLOWER at sf0.1 (1.18→1.85 s: cache materialization
-    cost on top of work the reuse already saved; r14 optimization
-    round)."""
+    The type table is localCheckpointed (eager): the scorer consumes
+    it through FOUR subtrees (pair join + two marginals + the total),
+    and Spark 4.1.2 does NOT reuse the identical exchanges — the
+    executed plan re-ran the reference explode once per consumer
+    (verified: 0 ReusedExchange, one scan per instance; the earlier
+    "AQE exchange reuse dedupes these" reading was wrong — the
+    recompute was merely hidden by concurrent stage execution at
+    bench scale). `.persist()` measured SLOWER at sf0.1 (1.18→1.85 s:
+    cache-manager materialization serializes what concurrency hid),
+    but the checkpoint truncates the re-planned subtree outright —
+    and it matches the production posture, where the type table is
+    the STORED artifact the frozen lifecycle reads back
+    (r14 optimization round)."""
     return kn_bigram_score_from_types(
-        docs, kn_bigram_types(ref, text_col), id_col, text_col, discount
+        docs,
+        kn_bigram_types(ref, text_col).localCheckpoint(eager=True),
+        id_col,
+        text_col,
+        discount,
     )
 
 
@@ -962,10 +972,13 @@ def kn_trigram_score_from_types(
     # modified bigram level: one row per (w2, w3) with its distinct-
     # left-context count (bf3 rows are distinct types, so count(*)
     # per (w2, w3) IS N1+(·,w2,w3)). bn feeds four consumers but is
-    # deliberately NOT persisted: its partial-agg exchange is
-    # identical across consumers, so AQE exchange reuse dedupes it
-    # at runtime — a persist only adds cache-materialization cost
-    # (measured 2× slower at sf0.1, r14 optimization round)
+    # deliberately NOT staged: each consumer re-aggregates it from
+    # the type table — which callers materialize (localCheckpoint in
+    # the fit+score compositions; a STORED table in the frozen
+    # lifecycle) — so the recompute is one map-side partial agg per
+    # consumer, and staging bn itself measured slower at sf0.1
+    # (persist 2×; an extra eager checkpoint flat-to-slower — the
+    # kn4 marginal-ladder A/B, r14 optimization round)
     bn = bf3.groupBy(*kl, "_w2", "_w3").agg(F.count("*").alias("_cn23"))
     ctx2 = bn.groupBy(*kl, "_w2").agg(
         F.sum("_cn23").alias("_c2n"),   # N1+(·,w2,·): bigram-level total
@@ -1027,12 +1040,18 @@ def kn_trigram_logprob_scores(
 ) -> DataFrame:
     """Fit-on-ref + score-docs composition of the trigram KN pair —
     the train/score split that makes every backoff rung reachable
-    (see kn_trigram_score_from_types for the estimator). Deliberately
-    NOT persisted: AQE exchange reuse already dedupes the identical
-    type-table shuffles at runtime — persisting measured 2× slower
-    at sf0.1 (see kn_bigram_logprob_scores)."""
+    (see kn_trigram_score_from_types for the estimator). The type
+    table is localCheckpointed (eager): Spark 4.1.2 does not reuse
+    the identical exchanges, so an unstaged table re-runs the
+    reference explode once per consuming subtree (see
+    kn_bigram_logprob_scores for the verified account — `.persist()`
+    measured slower here, the checkpoint does not)."""
     return kn_trigram_score_from_types(
-        docs, kn_trigram_types(ref, text_col), id_col, text_col, discount
+        docs,
+        kn_trigram_types(ref, text_col).localCheckpoint(eager=True),
+        id_col,
+        text_col,
+        discount,
     )
 
 
@@ -1135,10 +1154,12 @@ def kn_quadgram_score_from_types(
     # modified trigram level: one row per (w2,w3,w4) with its
     # distinct-left-context count (bf4 rows are distinct types).
     # bn3/bn2 feed multiple consumers but are deliberately NOT
-    # persisted: their partial-agg exchanges are identical across
-    # consumers, so AQE exchange reuse dedupes them at runtime — a
-    # persist only adds cache-materialization cost (measured ~40%
-    # slower at sf0.1, r14 optimization round)
+    # staged: each consumer re-aggregates them from the type table —
+    # which callers materialize (localCheckpoint in the fit+score
+    # composition; a STORED table in the frozen lifecycle) — so the
+    # recompute is map-side partial aggs per consumer, and staging
+    # the marginals themselves measured flat-to-slower at sf0.1
+    # (the kn4 marginal-ladder A/B, r14 optimization round)
     bn3 = bf4.groupBy(*kl, "_w2", "_w3", "_w4").agg(
         F.count("*").alias("_cn234")
     )
@@ -1217,12 +1238,24 @@ def kn_quadgram_logprob_scores(
 ) -> DataFrame:
     """Fit-on-ref + score-docs composition of the 4-gram KN pair —
     the train/score split that makes every backoff rung reachable
-    (see kn_quadgram_score_from_types for the estimator).
-    Deliberately NOT persisted: AQE exchange reuse already dedupes
-    the identical type-table shuffles at runtime — persisting
-    measured ~40% slower at sf0.1 (see kn_bigram_logprob_scores)."""
+    (see kn_quadgram_score_from_types for the estimator). The type
+    table is localCheckpointed (eager): at order 3 the scorer
+    consumes it through EIGHT subtrees (the bn3/bn2 cascade), and
+    Spark 4.1.2 does not reuse the identical exchanges — the
+    unstaged plan executed 18 scans / 18 explodes for one query
+    (verified, 0 ReusedExchange). The checkpoint measured 3.9 → 3.1 s
+    at sf0.1 AND removes seven reference-corpus re-explodes at scale;
+    `.persist()` had measured slower (see kn_bigram_logprob_scores
+    for the corrected account). Checkpointing the bn3/bn2 marginals
+    TOO measured flat-to-slower (their recompute off the materialized
+    type table is map-side cheap; each extra eager job costs more
+    than it saves)."""
     return kn_quadgram_score_from_types(
-        docs, kn_quadgram_types(ref, text_col), id_col, text_col, discount
+        docs,
+        kn_quadgram_types(ref, text_col).localCheckpoint(eager=True),
+        id_col,
+        text_col,
+        discount,
     )
 
 

@@ -1929,14 +1929,19 @@ def txt_kn_lang_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     ref = d.where(F.col("doc_id") % 2 == 0)
-    # the type table feeds every marginal the scorer derives but is
-    # deliberately NOT persisted: AQE exchange reuse dedupes the
-    # identical type shuffles at runtime, and persisting measured
-    # 1.17→2.03 s at sf0.1 (r14 optimization round — cache
-    # materialization cost on top of work the reuse already saved)
+    # the type table feeds every marginal the scorer derives, and
+    # Spark 4.1.2 does NOT reuse the identical exchanges (verified:
+    # 0 ReusedExchange; each consumer re-ran the reference explode —
+    # the earlier "AQE dedupes these" reading was wrong, the
+    # recompute was hidden by concurrent stages at bench scale), so
+    # it is localCheckpointed — the production posture too, where
+    # the per-language table is the frozen STORED artifact.
+    # `.persist()` had measured slower (1.17→2.03 s: cache-manager
+    # materialization serializes what concurrency hid).
     s = textstats.kn_bigram_score_from_types(
         d,
-        textstats.kn_bigram_types(ref, "text", lang_col="lang"),
+        textstats.kn_bigram_types(ref, "text", lang_col="lang")
+        .localCheckpoint(eager=True),
         "doc_id",
         "text",
         lang_col="lang",
@@ -1978,13 +1983,16 @@ def txt_kn3_lang_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     ref = d.where(F.col("doc_id") % 2 == 0)
-    # like the bigram lang query, the type table is deliberately NOT
-    # persisted: AQE exchange reuse dedupes the identical type
-    # shuffles at runtime, and persisting measured 1.89→2.68 s at
-    # sf0.1 (r14 optimization round)
+    # like the bigram lang query, the type table is localCheckpointed:
+    # Spark 4.1.2 does not reuse the identical exchanges, so unstaged
+    # it re-runs the reference explode once per consuming subtree
+    # (see txt_kn_lang_logprob for the verified account; `.persist()`
+    # had measured slower — 1.89→2.68 s — because cache-manager
+    # materialization serializes what concurrent stages hid)
     s = textstats.kn_trigram_score_from_types(
         d,
-        textstats.kn_trigram_types(ref, "text", lang_col="lang"),
+        textstats.kn_trigram_types(ref, "text", lang_col="lang")
+        .localCheckpoint(eager=True),
         "doc_id",
         "text",
         lang_col="lang",
