@@ -980,7 +980,14 @@ def remove_exact_substrings(
     L = int(min_len)
     base = docs.select(id_col, text_col)
     w = _word_arrays(base, id_col, text_col)
-    starts = _window_starts(w, id_col, L)
+    # starts feeds TWO consumers (the dup count and the semi-join
+    # probe), and Spark 4.1.2 does not reuse their identical
+    # subtrees — unstaged, the window enumeration + per-window md5
+    # (the op's dominant per-row work) ran twice. Checkpointing
+    # measured 2.82 → 1.85 s at sf0.1 (interleaved A/B, r14 round);
+    # the streaming twin (streaming/exact_substr.py) already stages
+    # the same frame for the same reason.
+    starts = _window_starts(w, id_col, L).localCheckpoint(eager=True)
     dup = (
         starts.groupBy("_h")
         .agg(F.count("*").alias("_c"))
@@ -1117,7 +1124,8 @@ def exact_substring_spans(
     L = int(min_len)
     base = docs.select(id_col, text_col)
     w = _word_arrays(base, id_col, text_col)
-    starts = _window_starts(w, id_col, L)
+    # two consumers, staged once — see remove_exact_substrings
+    starts = _window_starts(w, id_col, L).localCheckpoint(eager=True)
     dup = (
         starts.groupBy("_h")
         .agg(F.count("*").alias("_c"))

@@ -2207,12 +2207,20 @@ def txt_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
     ).where(F.col("w") != "")
     # vocab feeds THREE consumers (piece inventory, substring
-    # enumeration, viterbi base spine) but is deliberately NOT
-    # persisted: its groupBy("w") exchange is identical under all
-    # three, so AQE runtime exchange reuse already dedupes the corpus
-    # explode — persisting MEASURED 2× SLOWER at sf0.1 (1.29 → 2.64 s
-    # standalone; the KN type-table lesson again, r14 round)
-    vocab = words.groupBy("w").agg(F.count("*").alias("n"))
+    # enumeration, viterbi base spine) and Spark 4.1.2 does NOT reuse
+    # their identical exchanges (the corrected KN finding: 0
+    # ReusedExchange — each consumer re-runs the corpus explode,
+    # merely hidden by concurrent stages at bench scale, which is
+    # also why `.persist()` measured 2× slower, 1.29 → 2.64 s). The
+    # localCheckpoint is flat locally (2.67 vs 2.73 s interleaved
+    # A/B) and removes two full corpus explodes at scale — the
+    # vocabulary is the tokenizer's stored artifact in production
+    # anyway (jobs.tokenizer).
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     pieces = unigram.piece_logprobs(
         unigram.unigram_candidates(
             vocab, word_col="w", n_col="n", max_len=4, min_count=50
