@@ -2718,23 +2718,23 @@ def _trained_classifier_verdicts(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared staging for the classifier audits
     (td_classifier_agreement, td_classifier_ensemble): the corpus
-    labeled with the heuristic quality seed (PERSISTED — it feeds
+    labeled with the heuristic quality seed (STAGED — it feeds
     four consumers: both trainers and both scoring passes; the
     td_source_drift discipline) and the per-doc boolean verdicts of
     the two trained scorers, `(_nb, _lr)` keyed by doc_id. One
-    definition so the label expression, the persist, and the 64/2
+    definition so the label expression, the staging, and the 64/2
     fit hyperparameters cannot drift between the two audits.
 
-    The persist is released by the caller's session-level cache reset
-    (bench._reset_session_state between bench queries; tools/check.py
-    clearCache between mirror queries) — the returned frames are lazy,
-    so this helper cannot unpersist before the consumer collects. A
-    harness with NO reset (the driver's correctness loop) accumulates
-    one cached relation per persisting query, bounded and KB-scale at
-    the correctness sf (0.01); MEMORY_AND_DISK degrades by eviction,
-    never fails, and timing-grade runs all route through bench."""
-    from pyspark.storagelevel import StorageLevel
-
+    The three stages are eager localCheckpoints, not persists (r14
+    optimization round): a persist keeps lineage, so every consumer
+    still re-PLANS the full upstream tree and the four consumers race
+    the first materialization; the checkpoint truncates the tree and
+    materializes exactly once, up front. Interleaved sf0.1 A/B on the
+    calibrated audit (the deepest consumer stack): persist 17.9 →
+    checkpoint 15.1 s medians (−16%, measured in a load-degraded
+    phase — both arms equally degraded). The checkpointed RDDs are
+    released the same way persists were: the session-level cache/
+    state reset between bench/mirror queries, or GC of the frames."""
     from ..operators.textstats import (
         logreg_features_staged,
         logreg_score,
@@ -2752,17 +2752,17 @@ def _trained_classifier_verdicts(
             "text",
             (quality_score(F.col("text")) >= 0.5).alias("_lbl"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     # each scorer pair used to re-explode the (cached) corpus per
     # half — nb_train + nb_score each a token explode, logreg_train +
     # logreg_score each a per-token md5 featurize pass. Stage each
-    # explode ONCE (persist) and share it across its pair: 4 corpus
-    # explodes per audit → 2, the same discipline one level down.
-    toks = nb_tokens(d, "_lbl").persist(StorageLevel.MEMORY_AND_DISK)
+    # explode ONCE and share it across its pair: 4 corpus explodes
+    # per audit → 2, the same discipline one level down.
+    toks = nb_tokens(d, "_lbl").localCheckpoint(eager=True)
     feats = logreg_features_staged(
         d, "_lbl", "doc_id", "text", n_buckets=64
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     nbw, prior = nb_train(d, "_lbl", tokens=toks)
     nb = nb_score(d, nbw, prior, tokens=toks).select(
         "doc_id",
@@ -2941,19 +2941,17 @@ def td_ensemble_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate broadcast-cross-joined back (the lm_filter_stage
     percentile discipline); then the ensemble audit's stack unpivot
     and 4-group aggregate — output O(scorers), never O(docs)."""
-    from pyspark.storagelevel import StorageLevel
-
     d, nb, lr = _trained_classifier_verdicts(spark, sf_dir)
     # the scored frame has TWO consumers (the floors aggregate and the
     # confusion pass) — without staging, both scorer chains re-plan and
-    # the corpus scores twice; persist the narrow doc-keyed frame once
-    # (released by the session-level cache reset, like the labeled
-    # frame underneath it)
+    # the corpus scores twice; checkpoint the narrow doc-keyed frame
+    # once (eager, lineage-truncating — the _trained_classifier_verdicts
+    # discipline and measurement)
     scored = (
         d.select("doc_id", "_lbl")
         .join(nb, "doc_id")
         .join(lr, "doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     floors = scored.agg(
         F.round(F.expr("percentile(_nb_score, 0.5)"), 9).alias("_nbf"),

@@ -724,7 +724,12 @@ def test_classifier_agreement_scans_corpus_once(spark, registry):
     ):
         plan = plan_of(spark, registry, q)
         assert plan.count("documents.parquet") <= 1, (q, plan)
-        assert "InMemoryTableScan" in plan, (q, plan)
+        # staged labeled frame: either an InMemoryRelation (persist)
+        # or a lineage-truncating eager localCheckpoint (ExistingRDD —
+        # the r14 form for the agreement/ensemble family)
+        assert (
+            "InMemoryTableScan" in plan or "Scan ExistingRDD" in plan
+        ), (q, plan)
         assert "CartesianProduct" not in plan, (q, plan)
         assert "EvalPython" not in plan, (q, plan)
 
