@@ -431,7 +431,8 @@ def td_lang_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle and one per-language window over doc-level rows. The
     signal pass (lang-id + the four gate signals — the expensive
     per-row folds) runs ONCE: ``flag_col`` keeps every row with a
-    boolean verdict and the frame is staged with persist (the
+    boolean verdict and the frame is staged once (eager
+    localCheckpoint — the
     td_source_drift multi-consumer discipline), so the totals, the
     kept set, and both LM passes all read the staged rows instead of
     re-deriving the signals per consumer; the scan is _spread() so the
@@ -447,12 +448,11 @@ def td_lang_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the production run by the documents sitting exactly on a
     language's decile boundary. Read the funnel as the exact-rank
     audit, not a replay of the job."""
-    from pyspark.storagelevel import StorageLevel
 
     d = dedup._spread(read_table(spark, sf_dir, "documents"))
     flagged = langcurate.lang_gate(
         d, "doc_id", "text", keep_cols=("text",), flag_col="_keep"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     all_counts = flagged.groupBy("lang").agg(F.count("*").alias("n_docs"))
     kept = flagged.where(F.col("_keep")).select("doc_id", "lang", "text")
     scores = langcurate.lang_lm_scores(kept, "doc_id", "text", "lang")
@@ -1539,7 +1539,6 @@ def td_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines), the doc count is a 1-row broadcast."""
     from ..operators import ranking
 
-    from pyspark.storagelevel import StorageLevel
 
     d = read_table(spark, sf_dir, "documents")
     scores = textstats.unigram_logprob_scores(d, "doc_id", "text")
@@ -1550,7 +1549,7 @@ def td_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = scores.withColumn(
         "_okey",
         F.struct((-F.col("avg_logprob")).alias("neg"), "doc_id"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     ranked = ranking.global_rank_by_range(keyed, "_okey").drop("_okey")
     # count from the base table, not from `scores` — re-aggregating the
     # scoring frame would embed the token-level shuffle a second time.
@@ -1606,7 +1605,6 @@ def td_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     over (decile, md5, id); n is a 1-row broadcast; the decile index
     is integer arithmetic (``(rank-1)*10 div (n-1)``) so no float
     boundary can disagree between engines."""
-    from pyspark.storagelevel import StorageLevel
 
     from ..operators import ranking
 
@@ -1618,7 +1616,7 @@ def td_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2.60 -> 1.39 s at sf0.1 with the two stages; r14 round)
     scored = d.select(
         "doc_id", textstats.quality_score(F.col("text")).alias("q")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     # unscorable docs (NULL/empty text -> NULL q) rank as the LOWEST
     # quality via coalesce(q, -1) — pinned explicitly because Spark's
     # ascending struct sort puts NULLs first while the oracle's ORDER
@@ -1643,7 +1641,7 @@ def td_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int"),
         )
         .drop("global_rank", "_n")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     h = F.md5(F.concat(F.lit("cur1:"), F.col("doc_id").cast("string")))
     keyed2 = dec.withColumn(
@@ -2414,7 +2412,6 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cid")
         .limit(16)
     )
-    from pyspark.storagelevel import StorageLevel
 
     # cells is the corpus-sized 16-way centroid assignment with TWO
     # consumers (the candidate join and the per-cell size agg): stage
@@ -2423,7 +2420,7 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         similarity.ivf_assign(corpus, cent, "vec_id")
         .select(F.col("vec_id").alias("neighbor_id"), "_v", "cid")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     csz = cells.groupBy("cid").agg(F.count("*").alias("csz"))
     q = corpus.where(F.col("vec_id") < 10).select(
@@ -2645,11 +2642,10 @@ def td_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the weights table is vocabulary-sized and broadcast, so the
     scoring pass is one explode + one broadcast join + a partial-agg
     groupBy — linear, shuffle-light, no UDF anywhere. Train and
-    score share ONE staged token explode (nb_tokens, persisted — the
+    score share ONE staged token explode (nb_tokens, checkpointed — the
     _trained_classifier_verdicts multi-consumer discipline), and the
     labeled frame is persisted so the quality_score label expression
     runs once, not once per consumer (explode + prior)."""
-    from pyspark.storagelevel import StorageLevel
 
     from ..operators.textstats import nb_score, nb_tokens, nb_train, quality_score
 
@@ -2660,9 +2656,9 @@ def td_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
             (quality_score(F.col("text")) >= 0.5).alias("_lbl"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    toks = nb_tokens(d, "_lbl").persist(StorageLevel.MEMORY_AND_DISK)
+    toks = nb_tokens(d, "_lbl").localCheckpoint(eager=True)
     weights, prior = nb_train(d, "_lbl", tokens=toks)
     return (
         nb_score(d, weights, prior, tokens=toks)
@@ -2690,7 +2686,6 @@ def td_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # _spread: the per-token md5 bucket fold and the quality signals
     # run on the scan partitioning, and the sf parquet is ONE split
-    from pyspark.storagelevel import StorageLevel
 
     from ..operators.textstats import logreg_features_staged
 
@@ -2703,7 +2698,7 @@ def td_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold over the whole corpus
     feats = logreg_features_staged(
         d, "_lbl", "doc_id", "text", n_buckets=64
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     weights = logreg_train(
         d, "_lbl", "doc_id", "text", n_buckets=64, steps=2, lr=0.5,
         feats=feats,
@@ -2794,7 +2789,7 @@ def td_classifier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins + per-doc partial aggs; the audit joins two doc-keyed
     score tables and aggregates to one row. The labeled frame has
     FOUR consumers (nb_train, nb_score, logreg_train, logreg_score),
-    so it is staged once with persist — the td_source_drift
+    so it is staged once (eager localCheckpoint) — the td_source_drift
     multi-consumer discipline; without it the final plan re-reads the
     documents scan and recomputes the full quality_score label
     expression per consumer (3 avoidable corpus scans at 100 TB).
@@ -2843,7 +2838,7 @@ def td_classifier_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHAT each policy's disagreement costs in precision vs recall.
 
     Scale shape: both scorers are the shared explode +
-    broadcast-weight joins + per-doc partial aggs over ONE persisted
+    broadcast-weight joins + per-doc partial aggs over ONE staged
     labeled frame (`_trained_classifier_verdicts`, shared with the
     agreement audit); the per-doc verdicts join doc-keyed, then ONE
     stack unpivot feeds a 4-group aggregate — output is O(scorers),
@@ -2936,7 +2931,7 @@ def td_ensemble_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares identically in both engines) and reports each component
     and both ensemble policies against the shared seed labels.
 
-    Scale shape: both scorers ride the ONE persisted labeled frame
+    Scale shape: both scorers ride the ONE staged labeled frame
     (`_trained_classifier_verdicts`); the floors are a 1-row
     aggregate broadcast-cross-joined back (the lm_filter_stage
     percentile discipline); then the ensemble audit's stack unpivot
@@ -3035,10 +3030,10 @@ def td_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, token) table is the only vocabulary-sized shuffle. The
     (source, token) table feeds FOUR consumers (corpus counts, source
     totals, grand total, and the scoring join), so it is staged once
-    with persist — the local stand-in for writing it to a table, the
+    once (eager localCheckpoint) — the local stand-in for writing it
+    to a table, the
     same discipline as the minhash/containment joins — instead of
     re-exploding the corpus per consumer."""
-    from pyspark.storagelevel import StorageLevel
 
     d = read_table(spark, sf_dir, "documents")
     st = (
@@ -3049,7 +3044,7 @@ def td_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("token") != "")
         .groupBy("source", "token")
         .agg(F.count("*").alias("o"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     ct = st.groupBy("token").agg(F.sum("o").alias("c"))
     ns = st.groupBy("source").agg(F.sum("o").alias("n_s"))
@@ -3160,11 +3155,11 @@ def td_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters (tp/fp/fn × 5 thresholds) are conditional aggregates in
     a single-row agg over the scored-and-labeled frame, stacked to
     rows — never one pass per threshold. The labeled frame feeds
-    THREE consumers (train, score, label join) and is staged with
-    persist — the _trained_classifier_verdicts discipline — so the
+    THREE consumers (train, score, label join) and is staged once
+    (eager localCheckpoint — the _trained_classifier_verdicts
+    discipline) so the
     plan holds one documents scan; the session-level cache reset
     between queries releases it."""
-    from pyspark.storagelevel import StorageLevel
 
     from ..operators.textstats import nb_score, nb_tokens, nb_train, quality_score
 
@@ -3175,11 +3170,11 @@ def td_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
             (quality_score(F.col("text")) >= 0.5).alias("_lbl"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     # train + score share one staged token explode (persist) instead
     # of re-exploding the cached corpus per half
-    toks = nb_tokens(d, "_lbl").persist(StorageLevel.MEMORY_AND_DISK)
+    toks = nb_tokens(d, "_lbl").localCheckpoint(eager=True)
     weights, prior = nb_train(d, "_lbl", tokens=toks)
     s = (
         nb_score(d, weights, prior, tokens=toks)
@@ -3239,11 +3234,11 @@ def td_logreg_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     to rows — never one pass per threshold. Thresholds span the
     lr_score range ([−0.01, 0.41] at sf0.01; the 64-bucket decimal
     weight sums are small by construction). The labeled frame feeds
-    THREE consumers (train, score, label join) and is staged with
-    persist — the _trained_classifier_verdicts discipline — so the
+    THREE consumers (train, score, label join) and is staged once
+    (eager localCheckpoint — the _trained_classifier_verdicts
+    discipline) so the
     plan holds one documents scan; the session-level cache reset
     between queries releases it."""
-    from pyspark.storagelevel import StorageLevel
 
     from ..operators.textstats import (
         logreg_features_staged,
@@ -3259,13 +3254,13 @@ def td_logreg_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
             (quality_score(F.col("text")) >= 0.5).alias("_lbl"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     # train + score share one staged md5 featurize pass (persist)
     # instead of re-running it over the cached corpus per half
     feats = logreg_features_staged(
         d, "_lbl", "doc_id", "text", n_buckets=64
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     weights = logreg_train(
         d, "_lbl", "doc_id", "text", n_buckets=64, steps=2, feats=feats
     )
@@ -3388,7 +3383,6 @@ def td_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     one aggregate. Rank sums are kept ×2 in DECIMAL(38,0) so every
     intermediate is an exact integer (avg ranks are halves); the one
     double division happens last."""
-    from pyspark.storagelevel import StorageLevel
 
     from ..operators import ranking
     from ..operators.textstats import nb_score, nb_tokens, nb_train, quality_score
@@ -3403,9 +3397,9 @@ def td_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
             (quality_score(F.col("text")) >= 0.5).alias("_lbl"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    toks = nb_tokens(d, "_lbl").persist(StorageLevel.MEMORY_AND_DISK)
+    toks = nb_tokens(d, "_lbl").localCheckpoint(eager=True)
     weights, prior = nb_train(d, "_lbl", tokens=toks)
     s = (
         nb_score(d, weights, prior, tokens=toks)
