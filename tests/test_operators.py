@@ -1164,6 +1164,76 @@ def test_gopher_repetition_counts_match_expression_path(spark):
         assert g["cov4"] == _cov(r["_d4"], 4), r["doc_id"]
 
 
+def test_gopher_gate_counts_match_expression_path(spark):
+    """The Arrow-batched gate counters (r14 fast path behind
+    td_gopher_filter) must equal the pure-expression helpers on the
+    harness corpus PLUS the edge zoo — including a NON-ASCII doc,
+    which both paths must count as punctuation ([^A-Za-z0-9\\s] in
+    Java regex terms), and a tab/newline doc pinning the Java \\s
+    class [ \\t\\n\\x0B\\f\\r]. Integer equality implies bit-identical
+    ratios, since the query divides the same ints in the same Spark
+    expressions."""
+    from pyspark.sql import functions as F
+
+    from delta_data_pipelines_spark.operators import textstats
+
+    edge = spark.createDataFrame(
+        [
+            (9001, None),
+            (9002, ""),
+            (9003, "a  b   a  b"),
+            (9004, "one two "),
+            (9005, "x"),
+            (9006, "the of THE to to"),
+            (9007, "héllo wörld, 敏捷的狐狸!"),
+            (9008, "tab\there\nnewline\x0bvt\fff\rcr"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).unionByName(edge)
+
+    got = {
+        r["doc_id"]: r
+        for r in textstats.gopher_gate_counts(docs).collect()
+    }
+
+    t = F.col("text")
+    w = F.split(t, " ")
+    stripped = F.regexp_replace(t, r"[^A-Za-z0-9\s]", "")
+    ref_rows = docs.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        textstats._max_equal_run(
+            F.array_sort(textstats.bigrams(t))
+        ).alias("top_bg"),
+        F.size(textstats.bigrams(t)).alias("n_bg"),
+        F.size(
+            F.filter(w, lambda x: x.isin(*textstats.STOPWORDS))
+        ).alias("sw_hits"),
+        F.length(t).alias("text_len"),
+        F.length(stripped).alias("kept_chars"),
+    ).collect()
+
+    assert len(ref_rows) == len(got)
+    for r in ref_rows:
+        g = got[r["doc_id"]]
+        if r["n_tokens"] is None:
+            for c in (
+                "n_tokens", "n_distinct", "top_bg", "n_bg",
+                "sw_hits", "text_len", "kept_chars",
+            ):
+                assert g[c] is None, (r["doc_id"], c)
+            continue
+        for c in (
+            "n_tokens", "n_distinct", "top_bg", "n_bg",
+            "sw_hits", "text_len", "kept_chars",
+        ):
+            assert g[c] == r[c], (r["doc_id"], c, g[c], r[c])
+
+
 def test_passage_dup_stats_modes_agree_and_detect_planted_dup(spark):
     """Both df shapes (skew-safe join, single-explode window) must
     produce identical stats; a doc duplicated verbatim scores
