@@ -1880,7 +1880,12 @@ def txt_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuation the even-half model has never seen, firing every
     rung hundreds of times. NULL text stays NULL (Spark `when`
     mirrors SQL's NULL-propagating ||)."""
-    d = read_table(spark, sf_dir, "documents").select(
+    # _spread: the corpus-side gram explode + vocabulary joins +
+    # partial agg are all map-side work on the scan partitioning, and
+    # the sf parquet is ONE split — unspread, the whole scoring chain
+    # ran on one core (kn3 3.47→3.10, kn4 4.30→3.81 s interleaved
+    # A/B at sf0.1; r14 round, the txt_gopher_repetition lesson)
+    d = dedup._spread(read_table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.when(
             F.col("text").isNotNull(),
@@ -1909,7 +1914,12 @@ def txt_kn3_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     under 3 tokens have no trigram and are excluded (the augmentation
     guarantees 3+ tokens for every non-NULL doc, so only NULL text is
     actually absent here)."""
-    d = read_table(spark, sf_dir, "documents").select(
+    # _spread: the corpus-side gram explode + vocabulary joins +
+    # partial agg are all map-side work on the scan partitioning, and
+    # the sf parquet is ONE split — unspread, the whole scoring chain
+    # ran on one core (kn3 3.47→3.10, kn4 4.30→3.81 s interleaved
+    # A/B at sf0.1; r14 round, the txt_gopher_repetition lesson)
+    d = dedup._spread(read_table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.when(
             F.col("text").isNotNull(),
@@ -1943,7 +1953,9 @@ def txt_kn_lang_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast instead of a global 1-row cross join; everything else
     is the global scorer's linear shape with the language added to
     each join key. Output: (doc_id, lang, n_bigrams, avg_logprob)."""
-    d = read_table(spark, sf_dir, "documents").select(
+    # _spread: see txt_kn_logprob — the single-split scan serializes
+    # the per-language scoring chain onto one core otherwise
+    d = dedup._spread(read_table(spark, sf_dir, "documents")).select(
         "doc_id",
         "lang",
         F.when(
@@ -1997,7 +2009,9 @@ def txt_kn3_lang_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigram explode + five vocabulary joins + per-doc partial agg)
     with the language in every join key and B2 as an O(languages)
     broadcast. Output: (doc_id, lang, n_trigrams, avg_logprob)."""
-    d = read_table(spark, sf_dir, "documents").select(
+    # _spread: see txt_kn_logprob — the single-split scan serializes
+    # the per-language scoring chain onto one core otherwise
+    d = dedup._spread(read_table(spark, sf_dir, "documents")).select(
         "doc_id",
         "lang",
         F.when(
@@ -2045,7 +2059,12 @@ def txt_kn4_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     no 4-gram and are excluded (the augmentation guarantees 4+
     tokens for every non-NULL doc with 2+ original tokens; only NULL
     text is actually absent on the fixture)."""
-    d = read_table(spark, sf_dir, "documents").select(
+    # _spread: the corpus-side gram explode + vocabulary joins +
+    # partial agg are all map-side work on the scan partitioning, and
+    # the sf parquet is ONE split — unspread, the whole scoring chain
+    # ran on one core (kn3 3.47→3.10, kn4 4.30→3.81 s interleaved
+    # A/B at sf0.1; r14 round, the txt_gopher_repetition lesson)
+    d = dedup._spread(read_table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.when(
             F.col("text").isNotNull(),
