@@ -1551,7 +1551,14 @@ def td_passage_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic. Docs under 8 tokens fall back to their whole-text
     shingle (dedup.shingles' documented fallback), so they still
     carry an exact-dup signal."""
-    d = read_table(spark, sf_dir, "documents")
+    # _spread: the distinct-shingle explode is per-row expression work
+    # off a one-split parquet — unspread it ran on one core (3.21 →
+    # 1.92 s interleaved A/B at sf0.1, r14 round). The ExactSubstr
+    # twin measured the OPPOSITE (2.10 → 3.20: its window frame is
+    # eagerly checkpointed, so the round-robin shuffle of the corpus
+    # text costs more than the already-staged enumeration saves) and
+    # stays unspread; txt_main_content measured flat (3.37 vs 3.33).
+    d = dedup._spread(read_table(spark, sf_dir, "documents"))
     return textstats.passage_dup_stats(d, "doc_id", "text", n=8).orderBy("doc_id")
 
 
