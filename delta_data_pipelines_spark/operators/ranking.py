@@ -125,7 +125,13 @@ def global_cumsum_by_range(
     local = parts.withColumn(
         "_cum_local", F.coalesce(F.sum(val).over(w_local), F.lit(0))
     )
-    totals = local.groupBy("_pid").agg(F.sum(val).alias("_tot"))
+    # totals off `parts`, not `local` — the b6212b5 rank fix applied
+    # to the cumsum twin (r15): the window adds a column, not rows,
+    # and SUM(val) per partition doesn't need the sorted output, so
+    # totalling the windowed frame re-ran the per-partition SORT under
+    # the r14 non-reuse finding. Interleaved A/B on td_pack_sequences:
+    # 1.55 → 1.33 s median (tools/ab_r15.py, plans/r15/ab_flagged.json).
+    totals = parts.groupBy("_pid").agg(F.sum(val).alias("_tot"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn(
         "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))

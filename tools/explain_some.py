@@ -1,5 +1,5 @@
 """Dump .explain("formatted") for named registry queries to
-plans/r14/<query>_<suffix>.txt — the optimization round's
+plans/$PLANS_DIR/<query>_<suffix>.txt (default r15) — the optimization round's
 before/after plan evidence.
 
     python tools/explain_some.py before q1 q2 ...
@@ -33,7 +33,7 @@ def main() -> int:
     registry = entry.queries()
     here = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r14",
+        "plans", os.environ.get("PLANS_DIR", "r15"),
     )
     os.makedirs(here, exist_ok=True)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
