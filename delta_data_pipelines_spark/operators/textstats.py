@@ -1346,6 +1346,15 @@ def nb_train(
         F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("_cp"),
         F.sum(F.when(~F.col("_pos"), 1).otherwise(0)).alias("_cn"),
     )
+    # the per-token count table has TWO consumers (the totals
+    # aggregate below and the weight projection) and Spark 4.1.2
+    # reuses no identical exchanges (the r14 non-reuse finding), so
+    # the un-staged form ran the corpus token aggregation twice per
+    # fit. The table is vocabulary-sized: one eager checkpoint job =
+    # one corpus pass, both consumers read the small RDD. (r15; at
+    # production scale this is the model table the fit would write to
+    # storage anyway.)
+    counts = counts.localCheckpoint(eager=True)
     tot = counts.agg(
         F.sum("_cp").alias("_np"),
         F.sum("_cn").alias("_nn"),
@@ -1539,16 +1548,17 @@ def logreg_train(
     p = 0.5 exactly).
 
     Scale shape: ONE feature explode staged for all steps (persist —
-    vocabulary-bounded bucket space, corpus-bounded rows), then per
-    step one (doc) partial-agg shuffle for scores and one (bucket)
-    partial-agg shuffle for gradients — step 1's gradient needs NO
-    doc-keyed shuffle or join at all (w = 0 ⇒ resid = 0.5 − y, a
-    per-feature-row expression); the weight table is O(n_buckets)
-    and broadcasts everywhere. With ``feats=`` (a staged
-    :func:`logreg_features_staged` frame, persisted by the caller and
-    shared with logreg_score) the explode is the caller's and the
-    internal persist is skipped. Returns (bucket, weight) with
-    bucket -1 = bias."""
+    vocabulary-bounded bucket space, corpus-bounded rows). Step 1 is
+    a single feats pass (w = 0 ⇒ resid = 0.5 − y, a per-feature-row
+    expression, folded with the train-doc count into one O(n_buckets)
+    aggregate). Each later step is ALSO a single feats pass: the
+    doc-keyed score groupBy carries each doc's bucket list, and the
+    gradient explodes that list — no join back to the exploded frame.
+    The weight table is O(n_buckets) and broadcasts everywhere. With
+    ``feats=`` (a staged :func:`logreg_features_staged` frame,
+    persisted by the caller and shared with logreg_score) the explode
+    is the caller's and the internal persist is skipped. Returns
+    (bucket, weight) with bucket -1 = bias."""
     from pyspark.storagelevel import StorageLevel
 
     if feats is not None:
@@ -1557,7 +1567,30 @@ def logreg_train(
         feats = logreg_features(
             docs, id_col, text_col, n_buckets, label_col=label_col
         ).persist(StorageLevel.MEMORY_AND_DISK)
-    nd = feats.select(id_col).distinct().agg(F.count("*").alias("_nd"))
+    # step-1 gradient and the train-doc count in ONE feats pass (r15):
+    # w = 0 ⇒ p = 0.5 exactly, so the residual (0.5 − y) is a
+    # per-feature-row expression, and the doc count is the bias rows'
+    # count — every featurized doc carries exactly one bucket −1 row
+    # and pmod() never yields −1, so count(bias rows) = count(train
+    # docs with features) = the old `select(id).distinct().count`
+    # for unique-id corpora (the operator's contract; a duplicated id
+    # now counts per row, where distinct counted it once). The old
+    # form paid a corpus-sized distinct shuffle for _nd and — under
+    # the r14 non-reuse finding — re-ran it inside EVERY weight
+    # checkpoint job. The fused per-bucket frame is O(n_buckets);
+    # checkpoint it once so the _nd lookup and the step-1 update read
+    # the small RDD instead of re-aggregating the corpus.
+    g1 = (
+        feats.groupBy("_bucket")
+        .agg(
+            F.sum(
+                (F.lit(0.5) - F.col("_y")).cast("decimal(28,6)")
+            ).alias("_gr"),
+            F.count("*").alias("_c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nd = g1.where(F.col("_bucket") == -1).select(F.col("_c").alias("_nd"))
 
     def new_weights(
         grads: DataFrame, prev: DataFrame | None
@@ -1581,24 +1614,27 @@ def logreg_train(
             ).alias("_wt"),
         )
 
-    # step 1 closed form: z = 0, p = 0.5 exactly — so the per-doc
-    # residual is 0.5 − y, a value each FEATURE ROW already carries
-    # (_y rides the staged explode). Summing it per bucket directly
-    # skips the old groupBy(id).first(resid) + corpus-sized join
-    # staging: one less doc-keyed shuffle of the exploded frame and
-    # one less join per fit, same decimal sums of the same multiset
-    # (decimal addition is associative, so aggregation order cannot
-    # change the result).
+    # step 1 closed form: z = 0, p = 0.5 exactly — the per-bucket
+    # residual sums were folded into the g1 pass above (one feats
+    # pass for gradient + doc count), same decimal sums of the same
+    # multiset (decimal addition is associative, so aggregation order
+    # cannot change the result).
     weights = new_weights(
-        feats.groupBy("_bucket").agg(
-            F.sum(
-                (F.lit(0.5) - F.col("_y")).cast("decimal(28,6)")
-            ).alias("_gr")
-        ),
+        g1.select("_bucket", "_gr"),
         None,
     ).localCheckpoint(eager=True)
     for _ in range(steps - 1):
-        z = (
+        # later steps fuse the score pass and the gradient pass into
+        # ONE feats pass (r15): the per-doc groupBy carries the doc's
+        # bucket list alongside its weight sum, so the gradient is an
+        # explode of that list — the old shape joined the exploded
+        # feats frame BACK to the doc-keyed residuals (a second
+        # corpus-explode-sized shuffle + a second feats scan per
+        # step, never reused under the r14 finding). Buckets are
+        # distinct per doc by construction, so the exploded
+        # (bucket, resid) multiset — and its order-free decimal sums
+        # — are exactly the old join's.
+        zb = (
             feats.join(F.broadcast(weights), "_bucket", "left")
             .groupBy(id_col, "_y")
             .agg(
@@ -1606,11 +1642,12 @@ def logreg_train(
                     F.coalesce(F.col("_wt"), F.lit(0.0)).cast(
                         "decimal(28,6)"
                     )
-                ).alias("_z")
+                ).alias("_z"),
+                F.collect_list("_bucket").alias("_bks"),
             )
         )
-        resid = z.select(
-            id_col,
+        resid = zb.select(
+            F.explode("_bks").alias("_bucket"),
             (
                 F.round(
                     F.lit(1.0)
@@ -1623,10 +1660,8 @@ def logreg_train(
                 - F.col("_y")
             ).alias("_resid"),
         )
-        grads = (
-            feats.join(resid, id_col)
-            .groupBy("_bucket")
-            .agg(F.sum(F.col("_resid").cast("decimal(28,6)")).alias("_gr"))
+        grads = resid.groupBy("_bucket").agg(
+            F.sum(F.col("_resid").cast("decimal(28,6)")).alias("_gr")
         )
         weights = new_weights(grads, weights).localCheckpoint(eager=True)
     return weights.select(
