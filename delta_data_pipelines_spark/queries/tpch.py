@@ -642,35 +642,60 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Waiting suppliers (q21): suppliers whose line was the ONLY late
     line in a multi-supplier finished order. "Late" reuses the q4
     adaptation (shipped > order date + 60 days, INTERVAL arithmetic on
-    the full timestamp). EXISTS(another supplier in the order) is a
-    LEFT SEMI self-join; NOT EXISTS(another LATE supplier) a LEFT
-    ANTI — both on l_orderkey, never correlated per row."""
+    the full timestamp). EXISTS(another supplier in the order) and
+    NOT EXISTS(another LATE supplier) are decided on per-order
+    min/max-supplier aggregates (one partial-agg pass each) instead
+    of fact-fact semi/anti self-joins — the r15 rewrite; equivalence
+    argument at the aggregates below, proven against the oracle's
+    EXISTS form."""
     o = read_table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
     l = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    late = l.join(o, l.l_orderkey == o.o_orderkey).where(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    ).select("l_orderkey", "l_suppkey")
-    others = l.select(
-        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
-    )
-    late_others = late.select(
-        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
-    )
-    waiting = (
-        late.join(
-            others,
-            (F.col("_ok2") == F.col("l_orderkey")) & (F.col("_sk2") != F.col("l_suppkey")),
-            "left_semi",
+    # `late` feeds TWO consumers (the waiting rows and the per-order
+    # late-supplier aggregate) and Spark 4.1.2 reuses no identical
+    # exchanges (the r14 finding), so the un-staged form ran the
+    # lineitem × orders join twice; stage it once (r15).
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         )
-        .join(
-            late_others,
-            (F.col("_ok3") == F.col("l_orderkey")) & (F.col("_sk3") != F.col("l_suppkey")),
-            "left_anti",
+        .select("l_orderkey", "l_suppkey")
+        .localCheckpoint(eager=True)
+    )
+    # EXISTS(another supplier in the order) ⇔ the order's lines carry
+    # ≥ 2 distinct suppliers ⇔ min(l_suppkey) ≠ max(l_suppkey) — a
+    # single partial-agg pass over lineitem instead of shuffling every
+    # (orderkey, suppkey) row into a fact-fact semi SMJ (guide §2.3
+    # aggregate-before-shuffle / §8 decide-with-small-rows). Likewise
+    # NOT EXISTS(another LATE supplier) ⇔ the order's LATE lines all
+    # share one supplier ⇔ min = max over the staged late rows. Both
+    # rewrites assume non-NULL l_suppkey (TPC-H's contract; the
+    # original `<>` predicate and the oracle's EXISTS agree only under
+    # that) and keep duplicate late lines intact — the aggregates are
+    # one row per orderkey, so the semi joins multiply nothing.
+    multi = (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("_mn"), F.max("l_suppkey").alias("_mx")
         )
+        .where(F.col("_mn") != F.col("_mx"))
+        .select("l_orderkey")
+    )
+    solo_late = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("_mn"), F.max("l_suppkey").alias("_mx")
+        )
+        .where(F.col("_mn") == F.col("_mx"))
+        .select("l_orderkey")
+    )
+    waiting = late.join(multi, "l_orderkey", "left_semi").join(
+        solo_late, "l_orderkey", "left_semi"
     )
     s = read_table(spark, sf_dir, "supplier")
     return (
