@@ -435,7 +435,10 @@ def ivf_assign(
     vector takes the smallest cid (the init), exactly as NULLS LAST
     ordering did. The per-vector norm is staged once per row instead
     of re-derived per centroid — same nullif(norm·norm) denominator
-    expression, so identical doubles."""
+    expression, so identical doubles. (Scope: NaN-free vectors — the
+    fold's strict `>` never lets a NaN cosine displace a finite one,
+    where the window's `_sim DESC` ordered NaN above every double;
+    see `_nearest_code`.)"""
     carr = centroids.agg(
         F.array_sort(
             F.collect_list(
@@ -676,6 +679,15 @@ def _nearest_code(sub: DataFrame, cent: DataFrame) -> DataFrame:
     The per-sub-vector norm is staged once per row; the codeword
     norm once per codebook entry — same ``dot/nullif(norm·norm)``
     expression order as ``cosine``, so identical doubles.
+
+    NaN caveat (scoping the claim above): the fold's strict
+    ``c.sim > acc.sim`` never lets a NaN similarity displace a finite
+    one, while the replaced window's ``_sim DESC`` sort ordered NaN
+    ABOVE every double — so for a vector/codeword containing NaN or
+    Inf components the two forms can pick different codes. This
+    matches ``ivf_assign``'s fold (the intended semantics) and is
+    unreachable for finite fixtures; the value-identical claim holds
+    for NaN-free inputs.
 
     Returns ``sub``'s rows plus ``_win`` struct<sim:double, code> of
     the winning codeword."""
