@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .staging import stage
+
 # MinHash geometry: k = bands * rows_per_band. With 16 bands of 4 rows,
 # P(candidate | jaccard=j) = 1-(1-j^4)^16 — ~0.65 at j=0.5, >0.9996 at
 # j=0.8: tuned for a 0.8 near-dup threshold.
@@ -37,21 +39,28 @@ SHINGLE_SIZE = 3
 
 
 def _materialize_and_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
-    """Materialize ``out`` with an eager localCheckpoint, then unpersist
-    the staged intermediates it was built from.
+    """Materialize ``out`` (conf-gated staging: eager localCheckpoint
+    locally, written table with ``spark.delta_pipelines.staging.dir``
+    set — the fault-tolerant production form), then release the staged
+    intermediates it was built from.
 
     A bare ``.persist()`` pins blocks in the CacheManager for the whole
     session (repeated invocations — exactly what bench loops do —
-    accumulate cache without bound). localCheckpoint severs the lineage
-    so the intermediates are safe to release immediately, and its blocks
-    are reclaimed by the ContextCleaner once the result is dereferenced.
-    On a real cluster the equivalent staging step writes the pair table
-    to storage instead (localCheckpoint is not fault-tolerant — a lost
-    executor cannot recompute truncated lineage).
+    accumulate cache without bound). Materializing ``out`` severs the
+    lineage so the intermediates are safe to release immediately; the
+    checkpoint's own blocks are reclaimed by the ContextCleaner once
+    the result is dereferenced (and don't exist at all in the
+    written-table form). ``cached`` frames may be persist()ed OR
+    eagerly localCheckpointed — :func:`staging.release_staged` handles
+    both (r14 VERDICT #6: the release hook now covers the checkpoint
+    mechanism too, so operator-internal staging can use whichever
+    primitive measures faster without leaking executor storage).
     """
-    result = out.localCheckpoint(eager=True)
+    from .staging import release_staged
+
+    result = out.transform(stage, "staged")
     for df in cached:
-        df.unpersist()
+        release_staged(df)
     return result
 
 
@@ -756,7 +765,7 @@ def _tracked_local_checkpoint(df: DataFrame) -> tuple[DataFrame, list[int]]:
     that is executor storage held hostage to GC timing."""
     sc = df.sparkSession.sparkContext
     before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-    out = df.localCheckpoint(eager=True)
+    out = df.transform(stage, "staged")
     after = sc._jsc.getPersistentRDDs().keySet().toArray()
     return out, [i for i in after if i not in before]
 
@@ -987,7 +996,7 @@ def remove_exact_substrings(
     # measured 2.82 → 1.85 s at sf0.1 (interleaved A/B, r14 round);
     # the streaming twin (streaming/exact_substr.py) already stages
     # the same frame for the same reason.
-    starts = _window_starts(w, id_col, L).localCheckpoint(eager=True)
+    starts = _window_starts(w, id_col, L).transform(stage, "staged")
     dup = (
         starts.groupBy("_h")
         .agg(F.count("*").alias("_c"))
@@ -1125,7 +1134,7 @@ def exact_substring_spans(
     base = docs.select(id_col, text_col)
     w = _word_arrays(base, id_col, text_col)
     # two consumers, staged once — see remove_exact_substrings
-    starts = _window_starts(w, id_col, L).localCheckpoint(eager=True)
+    starts = _window_starts(w, id_col, L).transform(stage, "staged")
     dup = (
         starts.groupBy("_h")
         .agg(F.count("*").alias("_c"))

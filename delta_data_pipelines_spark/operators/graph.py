@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .staging import stage
+
 
 def pagerank(
     edges: DataFrame,
@@ -74,12 +76,12 @@ def pagerank(
         F.col(src_col).alias("_src"),
         F.col(dst_col).alias("_dst"),
         w.alias("_w"),
-    ).localCheckpoint(eager=True)
+    ).transform(stage, "staged")
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(stage, "staged")
     )
     # out-strength is LOOP-INVARIANT: attach it to the edge row once
     # (one extra eager job) instead of re-joining e ⋈ outw inside every
@@ -89,7 +91,7 @@ def pagerank(
     # (_r · _w_double / _ow_double, left-to-right), so every round's
     # doubles are bit-identical to the old two-join form.
     outw = e.groupBy("_src").agg(F.sum("_w").alias("_ow"))
-    ew = e.join(outw, "_src").localCheckpoint(eager=True)
+    ew = e.join(outw, "_src").transform(stage, "staged")
     n1 = nodes.agg(F.count("*").alias("_n"))
     base = (F.lit(1.0) - F.lit(damping)) / F.col("_n")
     ranks = nodes.crossJoin(F.broadcast(n1)).select(
@@ -124,5 +126,5 @@ def pagerank(
             )
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(stage, "staged")
     return ranks.select("node", F.col("_r").alias("pagerank"))

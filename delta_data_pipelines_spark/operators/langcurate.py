@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import textstats
+from .staging import stage
 
 # (min_tokens, max_tokens, max_dup_ratio, max_top_bigram, min_quality)
 # The non-English rows relax the quality floor (its stopword component
@@ -223,8 +224,6 @@ def lang_lm_scores(
     either way, so scores (and the td_lang_keep_rate oracle hash) are
     unchanged. No language's model sees another's tokens and nothing
     touches the driver. Output: (id, lang, n_tokens, avg_logprob)."""
-    from pyspark.storagelevel import StorageLevel
-
     toks = df.select(
         id_col,
         F.col(lang_col).alias("_lang"),
@@ -234,11 +233,17 @@ def lang_lm_scores(
     # score join): unstaged, each would replay the corpus explode +
     # grouped count (measured: the td_lang_keep_rate pass went 2.2s
     # -> ~3s when this was first rewritten without the stage). The
-    # table is vocabulary-sized — persist is the operator-local
-    # stand-in for staging it to a table (MinHash-sig precedent).
-    freq = toks.groupBy("_lang", "_tok").agg(
-        F.count("*").alias("_tf")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # table is vocabulary-sized; r15 moved the persist to the staged
+    # eager checkpoint (the r14 non-reuse finding: a persist keeps
+    # lineage, so the totals' broadcast build and the score join race
+    # the first materialization and can both replay the explode; the
+    # checkpoint materializes exactly once, and the staging.dir conf
+    # swaps in the written-table form — this IS the frozen per-lang
+    # LM table the curation jobs store).
+    freq = stage(
+        toks.groupBy("_lang", "_tok").agg(F.count("*").alias("_tf")),
+        "lang_freq",
+    )
     lang_totals = freq.groupBy("_lang").agg(F.sum("_tf").alias("_total"))
     totals = freq.join(F.broadcast(lang_totals), "_lang")
     return (

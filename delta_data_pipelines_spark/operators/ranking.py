@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .staging import stage_rank_parts
+
 
 def global_rank_by_range(df: DataFrame, key: str, n_parts: int = 32) -> DataFrame:
     """Exact 1-based global rank over a unique ``key``, scalably.
@@ -27,8 +29,10 @@ def global_rank_by_range(df: DataFrame, key: str, n_parts: int = 32) -> DataFram
 
     Returns ``df`` plus a ``global_rank`` column.
     """
-    parts = df.repartitionByRange(n_parts, key).withColumn(
-        "_pid", F.spark_partition_id()
+    parts = stage_rank_parts(
+        df.repartitionByRange(n_parts, key).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     w_local = Window.partitionBy("_pid").orderBy(key)
     local = parts.withColumn("_rn", F.row_number().over(w_local))
@@ -69,9 +73,11 @@ def grouped_rank_by_range(
 
     Returns ``df`` plus ``group_rank``.
     """
-    parts = df.repartitionByRange(
-        n_parts, F.col(group), F.col(key)
-    ).withColumn("_pid", F.spark_partition_id())
+    parts = stage_rank_parts(
+        df.repartitionByRange(
+            n_parts, F.col(group), F.col(key)
+        ).withColumn("_pid", F.spark_partition_id())
+    )
     w_local = Window.partitionBy("_pid", group).orderBy(key)
     local = parts.withColumn("_rn", F.row_number().over(w_local))
     # counts off `parts`, not `local` — see global_rank_by_range: the
@@ -114,8 +120,10 @@ def global_cumsum_by_range(
     Returns ``df`` plus ``cum_before`` — the sum of ``val`` over all
     strictly earlier keys (0 for the first row).
     """
-    parts = df.repartitionByRange(n_parts, key).withColumn(
-        "_pid", F.spark_partition_id()
+    parts = stage_rank_parts(
+        df.repartitionByRange(n_parts, key).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     w_local = (
         Window.partitionBy("_pid")

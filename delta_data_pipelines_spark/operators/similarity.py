@@ -17,6 +17,8 @@ import pandas as pd  # module-level: pandas_udf resolves the (stringified
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .staging import stage
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -327,7 +329,7 @@ def mmr_topk(
             # 1..r-1 recursively and optimizer+codegen time blows up
             # (~40s for k=5 at sf0.01 vs ~4s with the barrier); the
             # checkpointed frame is one row per query — tiny
-            .localCheckpoint(eager=True)
+            .transform(stage, "staged")
         )
         picked = pick if picked is None else picked.unionByName(pick)
         remaining = remaining.join(
@@ -624,7 +626,7 @@ def _kmeans_final_assign(
         raise ValueError(f"k and n_iter must be >= 1, got k={k} n_iter={n_iter}")
     vecs = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
     if checkpoint_rounds:
-        vecs = vecs.localCheckpoint(eager=True)
+        vecs = vecs.transform(stage, "staged")
     # seed from the k actual lowest ids, not `id < k` — the latter
     # silently yields < k centroids on sparse/offset id spaces (same
     # contract as pq_index's seed; identical on dense 0-based ids).
@@ -639,7 +641,7 @@ def _kmeans_final_assign(
     for _ in range(n_iter - 1):
         cent = _centroid_means(assign)
         if checkpoint_rounds:
-            cent = cent.localCheckpoint(eager=True)
+            cent = cent.transform(stage, "staged")
         assign = ivf_assign(vecs, cent, id_col)
     return assign
 

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .staging import stage
+
 # Marker stopwords per language for the n-gram-free heuristic. Small on
 # purpose: the heuristic's contract is determinism + cheapness, not SOTA.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -763,7 +765,7 @@ def kn_bigram_logprob_scores(
     (r14 optimization round)."""
     return kn_bigram_score_from_types(
         docs,
-        kn_bigram_types(ref, text_col).localCheckpoint(eager=True),
+        stage(kn_bigram_types(ref, text_col), "kn2_types"),
         id_col,
         text_col,
         discount,
@@ -1048,7 +1050,7 @@ def kn_trigram_logprob_scores(
     measured slower here, the checkpoint does not)."""
     return kn_trigram_score_from_types(
         docs,
-        kn_trigram_types(ref, text_col).localCheckpoint(eager=True),
+        stage(kn_trigram_types(ref, text_col), "kn3_types"),
         id_col,
         text_col,
         discount,
@@ -1252,7 +1254,7 @@ def kn_quadgram_logprob_scores(
     than it saves)."""
     return kn_quadgram_score_from_types(
         docs,
-        kn_quadgram_types(ref, text_col).localCheckpoint(eager=True),
+        stage(kn_quadgram_types(ref, text_col), "kn4_types"),
         id_col,
         text_col,
         discount,
@@ -1354,7 +1356,7 @@ def nb_train(
     # one corpus pass, both consumers read the small RDD. (r15; at
     # production scale this is the model table the fit would write to
     # storage anyway.)
-    counts = counts.localCheckpoint(eager=True)
+    counts = stage(counts, "nb_counts")
     tot = counts.agg(
         F.sum("_cp").alias("_np"),
         F.sum("_cn").alias("_nn"),

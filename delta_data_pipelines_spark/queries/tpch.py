@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.staging import stage
+
 from ..catalog import read_table
 
 
@@ -665,7 +667,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         )
         .select("l_orderkey", "l_suppkey")
-        .localCheckpoint(eager=True)
+        .transform(stage, "staged")
     )
     # EXISTS(another supplier in the order) ⇔ the order's lines carry
     # ≥ 2 distinct suppliers ⇔ min(l_suppkey) ≠ max(l_suppkey) — a

@@ -22,6 +22,7 @@ from ..operators import (
     multimodal,
     sampling,
     similarity,
+    staging,
     textstats,
 )
 
@@ -479,26 +480,34 @@ def td_lang_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dedup._spread(read_table(spark, sf_dir, "documents"))
     flagged = langcurate.lang_gate(
         d, "doc_id", "text", keep_cols=("text",), flag_col="_keep"
-    ).localCheckpoint(eager=True)
-    all_counts = flagged.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    ).transform(staging.stage, "staged")
+    # the total and gate-kept counts are ONE aggregate over the staged
+    # frame (r15): the old two-pass form (groupBy per stage + a
+    # broadcast join to recombine) read `flagged` twice and paid a
+    # join for numbers one count_if carries — identical values, since
+    # count_if(_keep) per lang IS the kept-set count and a lang with
+    # zero kept rows yields 0 exactly where the old left-join coalesce
+    # did.
+    counts = flagged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(F.col("_keep")).alias("n_gate_kept"),
+    )
     kept = flagged.where(F.col("_keep")).select("doc_id", "lang", "text")
     scores = langcurate.lang_lm_scores(kept, "doc_id", "text", "lang")
     final = langcurate.lang_lm_tail_cut(scores, "doc_id", tail=0.1)
-    gate_counts = kept.groupBy("lang").agg(F.count("*").alias("n_gate_kept"))
     fin_counts = final.groupBy("lang").agg(F.count("*").alias("n_final"))
-    # the three count frames are O(languages) rows at any corpus
-    # size: broadcast the joined sides so the funnel report never
+    # the count frames are O(languages) rows at any corpus size:
+    # broadcast the joined side so the funnel report never
     # sort-merge-shuffles its per-language aggregates
     return (
-        all_counts.join(F.broadcast(gate_counts), "lang", "left")
-        .join(F.broadcast(fin_counts), "lang", "left")
+        counts.join(F.broadcast(fin_counts), "lang", "left")
         .select(
             "lang",
             "n_docs",
-            F.coalesce("n_gate_kept", F.lit(0)).alias("n_gate_kept"),
+            "n_gate_kept",
             F.coalesce("n_final", F.lit(0)).alias("n_final"),
             F.round(
-                F.coalesce("n_gate_kept", F.lit(0)) / F.col("n_docs"), 9
+                F.col("n_gate_kept") / F.col("n_docs"), 9
             ).alias("gate_keep_rate"),
             F.round(
                 F.coalesce("n_final", F.lit(0)) / F.col("n_docs"), 9
@@ -1583,7 +1592,7 @@ def td_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = scores.withColumn(
         "_okey",
         F.struct((-F.col("avg_logprob")).alias("neg"), "doc_id"),
-    ).localCheckpoint(eager=True)
+    ).transform(staging.stage, "staged")
     ranked = ranking.global_rank_by_range(keyed, "_okey").drop("_okey")
     # count from the base table, not from `scores` — re-aggregating the
     # scoring frame would embed the token-level shuffle a second time.
@@ -1650,7 +1659,7 @@ def td_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2.60 -> 1.39 s at sf0.1 with the two stages; r14 round)
     scored = d.select(
         "doc_id", textstats.quality_score(F.col("text")).alias("q")
-    ).localCheckpoint(eager=True)
+    ).transform(staging.stage, "staged")
     # unscorable docs (NULL/empty text -> NULL q) rank as the LOWEST
     # quality via coalesce(q, -1) — pinned explicitly because Spark's
     # ascending struct sort puts NULLs first while the oracle's ORDER
@@ -1675,7 +1684,7 @@ def td_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int"),
         )
         .drop("global_rank", "_n")
-        .localCheckpoint(eager=True)
+        .transform(staging.stage, "staged")
     )
     h = F.md5(F.concat(F.lit("cur1:"), F.col("doc_id").cast("string")))
     keyed2 = dec.withColumn(
@@ -1985,7 +1994,7 @@ def txt_kn_lang_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = textstats.kn_bigram_score_from_types(
         d,
         textstats.kn_bigram_types(ref, "text", lang_col="lang")
-        .localCheckpoint(eager=True),
+        .transform(staging.stage, "staged"),
         "doc_id",
         "text",
         lang_col="lang",
@@ -2038,7 +2047,7 @@ def txt_kn3_lang_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = textstats.kn_trigram_score_from_types(
         d,
         textstats.kn_trigram_types(ref, "text", lang_col="lang")
-        .localCheckpoint(eager=True),
+        .transform(staging.stage, "staged"),
         "doc_id",
         "text",
         lang_col="lang",
@@ -2270,7 +2279,7 @@ def txt_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         words.groupBy("w")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
+        .transform(staging.stage, "staged")
     )
     pieces = unigram.piece_logprobs(
         unigram.unigram_candidates(
@@ -2473,7 +2482,7 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         similarity.ivf_assign(corpus, cent, "vec_id")
         .select(F.col("vec_id").alias("neighbor_id"), "_v", "cid")
-        .localCheckpoint(eager=True)
+        .transform(staging.stage, "staged")
     )
     csz = cells.groupBy("cid").agg(F.count("*").alias("csz"))
     q = corpus.where(F.col("vec_id") < 10).select(
@@ -2709,9 +2718,9 @@ def td_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
             (quality_score(F.col("text")) >= 0.5).alias("_lbl"),
         )
-        .localCheckpoint(eager=True)
+        .transform(staging.stage, "staged")
     )
-    toks = nb_tokens(d, "_lbl").localCheckpoint(eager=True)
+    toks = nb_tokens(d, "_lbl").transform(staging.stage, "staged")
     weights, prior = nb_train(d, "_lbl", tokens=toks)
     return (
         nb_score(d, weights, prior, tokens=toks)
@@ -2751,7 +2760,7 @@ def td_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold over the whole corpus
     feats = logreg_features_staged(
         d, "_lbl", "doc_id", "text", n_buckets=64
-    ).localCheckpoint(eager=True)
+    ).transform(staging.stage, "staged")
     weights = logreg_train(
         d, "_lbl", "doc_id", "text", n_buckets=64, steps=2, lr=0.5,
         feats=feats,
@@ -2800,17 +2809,17 @@ def _trained_classifier_verdicts(
             "text",
             (quality_score(F.col("text")) >= 0.5).alias("_lbl"),
         )
-        .localCheckpoint(eager=True)
+        .transform(staging.stage, "staged")
     )
     # each scorer pair used to re-explode the (cached) corpus per
     # half — nb_train + nb_score each a token explode, logreg_train +
     # logreg_score each a per-token md5 featurize pass. Stage each
     # explode ONCE and share it across its pair: 4 corpus explodes
     # per audit → 2, the same discipline one level down.
-    toks = nb_tokens(d, "_lbl").localCheckpoint(eager=True)
+    toks = nb_tokens(d, "_lbl").transform(staging.stage, "staged")
     feats = logreg_features_staged(
         d, "_lbl", "doc_id", "text", n_buckets=64
-    ).localCheckpoint(eager=True)
+    ).transform(staging.stage, "staged")
     nbw, prior = nb_train(d, "_lbl", tokens=toks)
     nb = nb_score(d, nbw, prior, tokens=toks).select(
         "doc_id",
@@ -2999,7 +3008,7 @@ def td_ensemble_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "_lbl")
         .join(nb, "doc_id")
         .join(lr, "doc_id")
-        .localCheckpoint(eager=True)
+        .transform(staging.stage, "staged")
     )
     floors = scored.agg(
         F.round(F.expr("percentile(_nb_score, 0.5)"), 9).alias("_nbf"),
@@ -3097,7 +3106,7 @@ def td_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("token") != "")
         .groupBy("source", "token")
         .agg(F.count("*").alias("o"))
-        .localCheckpoint(eager=True)
+        .transform(staging.stage, "staged")
     )
     ct = st.groupBy("token").agg(F.sum("o").alias("c"))
     ns = st.groupBy("source").agg(F.sum("o").alias("n_s"))
@@ -3223,11 +3232,11 @@ def td_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
             (quality_score(F.col("text")) >= 0.5).alias("_lbl"),
         )
-        .localCheckpoint(eager=True)
+        .transform(staging.stage, "staged")
     )
     # train + score share one staged token explode (persist) instead
     # of re-exploding the cached corpus per half
-    toks = nb_tokens(d, "_lbl").localCheckpoint(eager=True)
+    toks = nb_tokens(d, "_lbl").transform(staging.stage, "staged")
     weights, prior = nb_train(d, "_lbl", tokens=toks)
     s = (
         nb_score(d, weights, prior, tokens=toks)
@@ -3307,13 +3316,13 @@ def td_logreg_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
             (quality_score(F.col("text")) >= 0.5).alias("_lbl"),
         )
-        .localCheckpoint(eager=True)
+        .transform(staging.stage, "staged")
     )
     # train + score share one staged md5 featurize pass (persist)
     # instead of re-running it over the cached corpus per half
     feats = logreg_features_staged(
         d, "_lbl", "doc_id", "text", n_buckets=64
-    ).localCheckpoint(eager=True)
+    ).transform(staging.stage, "staged")
     weights = logreg_train(
         d, "_lbl", "doc_id", "text", n_buckets=64, steps=2, feats=feats
     )
@@ -3450,9 +3459,9 @@ def td_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
             (quality_score(F.col("text")) >= 0.5).alias("_lbl"),
         )
-        .localCheckpoint(eager=True)
+        .transform(staging.stage, "staged")
     )
-    toks = nb_tokens(d, "_lbl").localCheckpoint(eager=True)
+    toks = nb_tokens(d, "_lbl").transform(staging.stage, "staged")
     weights, prior = nb_train(d, "_lbl", tokens=toks)
     s = (
         nb_score(d, weights, prior, tokens=toks)

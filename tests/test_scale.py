@@ -508,3 +508,96 @@ def test_lang_curation_scales_with_replicated_corpus(spark):
     )
     # every kept original keeps ALL 5 replicas (floor is scale-free)
     assert per_orig_kept.where(F.col("n") != 5).count() == 0
+
+
+def test_stage_rank_parts_conf_gate(spark, tmp_path):
+    """The r15 conf-gated rank staging (VERDICT r14 #5 / ADVICE #1):
+    conf OFF (the driver's bench session) leaves the plan byte-
+    identical to the unstaged form; rank.stageParts=true pins the
+    range boundaries with ONE range exchange in the executed plan and
+    identical output; staging.dir switches to the written-table form,
+    also output-identical, with the staged parquet on disk."""
+    from delta_data_pipelines_spark.operators.ranking import (
+        global_rank_by_range,
+    )
+
+    df = spark.range(0, 500).select(
+        (F.col("id") * 37 % 1000).alias("key")
+    ).distinct()
+    base = global_rank_by_range(df, "key", n_parts=4)
+    expect = sorted(
+        (r["key"], r["global_rank"]) for r in base.collect()
+    )
+    plan_off = _plan(base)
+    assert "Scan ExistingRDD" not in plan_off  # conf off: unstaged
+
+    try:
+        spark.conf.set("spark.delta_pipelines.rank.stageParts", "true")
+        staged = global_rank_by_range(df, "key", n_parts=4)
+        got = sorted((r["key"], r["global_rank"]) for r in staged.collect())
+        assert got == expect
+        plan_on = _plan(staged)
+        # the checkpointed frame replaces the duplicated range
+        # exchange: the executed plan reads the RDD, with NO range
+        # exchange left inside it
+        assert "Scan ExistingRDD" in plan_on
+        assert plan_on.count("rangepartitioning") == 0, plan_on
+    finally:
+        spark.conf.unset("spark.delta_pipelines.rank.stageParts")
+
+    try:
+        spark.conf.set(
+            "spark.delta_pipelines.staging.dir", str(tmp_path / "stg")
+        )
+        written = global_rank_by_range(df, "key", n_parts=4)
+        got = sorted((r["key"], r["global_rank"]) for r in written.collect())
+        assert got == expect
+        stg = list((tmp_path / "stg").glob("rank_parts-*"))
+        assert stg, "staged table not written"
+    finally:
+        spark.conf.unset("spark.delta_pipelines.staging.dir")
+
+
+def test_stage_written_form_matches_checkpoint(spark, tmp_path):
+    """operators.staging.stage: the written-table form returns the
+    same rows as the default checkpoint form (the production posture
+    swap is output-invisible)."""
+    from delta_data_pipelines_spark.operators.staging import stage
+
+    df = spark.range(0, 100).select(
+        "id", (F.col("id") % 7).alias("g")
+    )
+    ck = stage(df, "t")
+    assert sorted(tuple(r) for r in ck.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    try:
+        spark.conf.set(
+            "spark.delta_pipelines.staging.dir", str(tmp_path / "s2")
+        )
+        wr = stage(df, "t")
+        assert sorted(tuple(r) for r in wr.collect()) == sorted(
+            tuple(r) for r in df.collect()
+        )
+        assert list((tmp_path / "s2").glob("t-*"))
+    finally:
+        spark.conf.unset("spark.delta_pipelines.staging.dir")
+
+
+def test_release_staged_drops_checkpoint_blocks(spark):
+    """release_staged (r15): the release hook covers BOTH staging
+    primitives — persist() entries and eager localCheckpoints (whose
+    backing RDD sits outside the CacheManager) — so operator-internal
+    staging leaks no executor storage whichever primitive it uses."""
+    from delta_data_pipelines_spark.operators.staging import release_staged
+
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()
+    ck = spark.range(0, 100).localCheckpoint(eager=True)
+    assert jsc.getPersistentRDDs().size() == base + 1
+    release_staged(ck)
+    assert jsc.getPersistentRDDs().size() == base
+    pk = spark.range(0, 100).persist()
+    pk.count()
+    release_staged(pk)
+    assert jsc.getPersistentRDDs().size() == base
