@@ -177,6 +177,18 @@ HEADLINE = [
     # lang_col branch, so its baseline re-seats per the changed-code
     # rule)
     "txt_kn_logprob",
+    # r14 shelf, promoted (r14 verdict ask #8): the classifier audits,
+    # the logreg PR sweep, the full KN ladder, and the calibrated
+    # ensemble enter the stable core — their r14 baselines stand and
+    # this round's classifier restructure must show in the compare.
+    "td_classifier_agreement",
+    "td_classifier_ensemble",
+    "td_logreg_pr_curve",
+    "txt_kn3_logprob",
+    "txt_kn_lang_logprob",
+    "txt_kn3_lang_logprob",
+    "txt_kn4_logprob",
+    "td_ensemble_calibrated",
 ]
 
 # RETIRED from the driver headline loop (r11 verdict ask #7): a query
@@ -223,34 +235,12 @@ HEADLINE = [q for q in HEADLINE if q not in RETIRED]
 # (short by construction) so the NEXT round's compare knows what to
 # exclude without needing this source file.
 SHELF: list[str] = [
-    # re-baselining (r14 code change): the shared classifier staging
-    # (_trained_classifier_verdicts) now carries raw scores alongside
-    # the boolean verdicts (the calibrated audit rides it) — plan
-    # unchanged after column pruning, but the changed-code rule
-    # re-seats both consumers one more round
-    "td_classifier_agreement",
-    "td_classifier_ensemble",
-    # re-baselining (r14 code change): the PR sweep's labeled frame
-    # is now persisted across its three consumers (train, score,
-    # label join — the r13 verdict advisory)
-    "td_logreg_pr_curve",
-    # re-baselining (r14 code change): kn_trigram_score_from_types
-    # restructured for the per-language branch (global plan
-    # unchanged in principle — re-seat to prove it)
-    "txt_kn3_logprob",
-    # r14: per-language interpolated KN LM at both orders (one KenLM
-    # per language — every marginal keys on lang; the type total is
-    # an O(languages) broadcast)
-    "txt_kn_lang_logprob",
-    "txt_kn3_lang_logprob",
-    # r14: 4-gram KN — the ladder's top (KenLM's production order;
-    # one 4-gram explode + seven vocabulary joins, window-free;
-    # ~3.6s standalone at sf0.1, load-gated N=3)
-    "txt_kn4_logprob",
-    # r14: ensemble audit at the FROZEN calibrated operating point
-    # (percentile floors broadcast back over the shared persisted
-    # verdict frame)
-    "td_ensemble_calibrated",
+    # r15: EMPTY — no new queries this round, and the 8 r14-shelved
+    # entries (classifier audits, PR curve, KN family, calibrated
+    # ensemble) promote into the stable core per the r14 verdict ask
+    # #8: their r14 re-baselines stand, and this round's classifier
+    # restructure must show in the compare, not hide behind another
+    # re-shelving.
 ]
 HEADLINE = HEADLINE + SHELF
 if os.environ.get("SPARK_GRAFT_BENCH_FULL"):

@@ -1620,11 +1620,14 @@ def logreg_train(
     # residual sums were folded into the g1 pass above (one feats
     # pass for gradient + doc count), same decimal sums of the same
     # multiset (decimal addition is associative, so aggregation order
-    # cannot change the result).
-    weights = new_weights(
-        g1.select("_bucket", "_gr"),
-        None,
-    ).localCheckpoint(eager=True)
+    # cannot change the result). The weight frames themselves are NOT
+    # checkpointed (r15): with g1 staged, every weights plan is an
+    # O(n_buckets) projection over the checkpointed RDD — re-running
+    # it per consumer costs microseconds, while each eager checkpoint
+    # job cost a fixed ~0.2 s at sf0.1 (two jobs per fit). Before g1
+    # existed the checkpoint truncated a corpus-sized plan; that
+    # reason is gone.
+    weights = new_weights(g1.select("_bucket", "_gr"), None)
     for _ in range(steps - 1):
         # later steps fuse the score pass and the gradient pass into
         # ONE feats pass (r15): the per-doc groupBy carries the doc's
@@ -1665,7 +1668,12 @@ def logreg_train(
         grads = resid.groupBy("_bucket").agg(
             F.sum(F.col("_resid").cast("decimal(28,6)")).alias("_gr")
         )
-        weights = new_weights(grads, weights).localCheckpoint(eager=True)
+        # each step's grads subtree contains one full feats pass, and
+        # the NEXT step (or the caller's score) re-plans it per
+        # consumer under non-reuse — stage the O(n_buckets) result,
+        # exactly like g1 (the weight projection above it stays lazy).
+        grads = grads.localCheckpoint(eager=True)
+        weights = new_weights(grads, weights)
     return weights.select(
         F.col("_bucket").alias("bucket"), F.col("_wt").alias("weight")
     )
@@ -2020,9 +2028,11 @@ def gopher_gate_counts(
                 out[c] = pd.array([r[j] for r in rows], dtype="Int32")
             yield out
 
-    return df.select(*passthrough, text_col).mapInPandas(
-        run, schema=out_schema
-    )
+    # text_col may itself ride in keep_cols (the classifier label
+    # staging carries the text forward for the token/feature passes) —
+    # select it once
+    sel = [*passthrough] + ([text_col] if text_col not in passthrough else [])
+    return df.select(*sel).mapInPandas(run, schema=out_schema)
 
 
 def compression_signal(

@@ -2802,6 +2802,14 @@ def _trained_classifier_verdicts(
         quality_score,
     )
 
+    # negative result (r15): recomposing the label from
+    # gopher_gate_counts' Arrow integers (the td_gopher_filter
+    # pattern) measured SLOWER here — 0.84 → 1.04 s interleaved for
+    # the staged frame — because the label pass must carry the TEXT
+    # through the Python boundary both ways (the gate query only
+    # carries source); quality_score alone is too cheap to buy the
+    # round-trip. Labels verified identical; the expression fold
+    # stays.
     d = (
         dedup._spread(read_table(spark, sf_dir, "documents"))
         .select(
