@@ -36,15 +36,19 @@ def global_rank_by_range(df: DataFrame, key: str, n_parts: int = 32) -> DataFram
     )
     w_local = Window.partitionBy("_pid").orderBy(key)
     local = parts.withColumn("_rn", F.row_number().over(w_local))
-    # counts come from `parts`, NOT `local`: row_number doesn't change
-    # row counts, and Spark 4.1.2 reuses no identical subtrees (the
-    # r14 non-reuse finding) — counting off `local` re-ran the
-    # per-partition SORT a second time just to count rows. Measured
-    # 1.15 → 1.02 s on the w_batch_ids_global shape at sf0.1
-    # (identical output); at scale it removes one full sort of the
-    # corpus. (Checkpointing `parts` instead measured SLOWER locally,
-    # 1.16 → 1.42 s — the eager materialization job costs more than
-    # the duplicated range shuffle of a row-light frame.)
+    # counts come from `parts`, NOT `local`. HONEST RECORD (r15): the
+    # r14 rationale ("counting off `local` re-ran the per-partition
+    # SORT") is wrong at the physical level — the optimizer's column
+    # pruning drops the unused Window from the counts branch, and the
+    # executed plans of w_percent_rank_scalable / w_batch_ids_global
+    # are byte-identical under either source form (verified old-vs-new
+    # with normalized plan strings). The r14 1.15→1.02 reading and the
+    # r15 A/B deltas on this family were machine noise; the flagged
+    # rank-family "regressions" could not have been code-caused. The
+    # pre-window form stays because it states the intent without
+    # relying on a pruning rule. (Checkpointing `parts` instead
+    # measured slower locally, 1.16 → 1.42 s — see stage_rank_parts
+    # for the conf-gated scale path.)
     counts = parts.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
@@ -134,11 +138,13 @@ def global_cumsum_by_range(
         "_cum_local", F.coalesce(F.sum(val).over(w_local), F.lit(0))
     )
     # totals off `parts`, not `local` — the b6212b5 rank fix applied
-    # to the cumsum twin (r15): the window adds a column, not rows,
-    # and SUM(val) per partition doesn't need the sorted output, so
-    # totalling the windowed frame re-ran the per-partition SORT under
-    # the r14 non-reuse finding. Interleaved A/B on td_pack_sequences:
-    # 1.55 → 1.33 s median (tools/ab_r15.py, plans/r15/ab_flagged.json).
+    # to the cumsum twin (r15). HONEST RECORD: the physical plans are
+    # byte-identical either way (td_pack_sequences before/after diff,
+    # plans/r15) — the optimizer's column pruning already drops the
+    # unused Window from the totals branch, so the tools/ab_r15.py
+    # delta on this query (1.55 vs 1.33) was noise, not a win. Kept
+    # at the source level so the intent doesn't depend on a pruning
+    # rule firing.
     totals = parts.groupBy("_pid").agg(F.sum(val).alias("_tot"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn(

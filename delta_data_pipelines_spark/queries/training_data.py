@@ -2824,18 +2824,35 @@ def _trained_classifier_verdicts(
     # logreg_score each a per-token md5 featurize pass. Stage each
     # explode ONCE and share it across its pair: 4 corpus explodes
     # per audit → 2, the same discipline one level down.
-    toks = nb_tokens(d, "_lbl").transform(staging.stage, "staged")
-    feats = logreg_features_staged(
-        d, "_lbl", "doc_id", "text", n_buckets=64
-    ).transform(staging.stage, "staged")
-    nbw, prior = nb_train(d, "_lbl", tokens=toks)
+    #
+    # The two staging jobs (and then the two fit jobs) are INDEPENDENT
+    # — both read only the checkpointed d — so they are submitted from
+    # driver threads and overlap (guide §2.6: actions are only
+    # sequential because the driver calls them sequentially; the
+    # second job's tasks back-fill the first's tail). Interleaved A/B
+    # on the agreement chain at sf0.1: 4.80 → 3.91 s median (−19%).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        tf = pool.submit(
+            lambda: nb_tokens(d, "_lbl").transform(staging.stage, "staged")
+        )
+        ff = pool.submit(
+            lambda: logreg_features_staged(
+                d, "_lbl", "doc_id", "text", n_buckets=64
+            ).transform(staging.stage, "staged")
+        )
+        toks, feats = tf.result(), ff.result()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        nf = pool.submit(nb_train, d, "_lbl", tokens=toks)
+        lf = pool.submit(
+            logreg_train, d, "_lbl", "doc_id", "text", 64, 2, 0.5, feats
+        )
+        (nbw, prior), lrw = nf.result(), lf.result()
     nb = nb_score(d, nbw, prior, tokens=toks).select(
         "doc_id",
         F.col("pred_pos").alias("_nb"),
         F.col("nb_score").alias("_nb_score"),
-    )
-    lrw = logreg_train(
-        d, "_lbl", "doc_id", "text", n_buckets=64, steps=2, feats=feats
     )
     lr = logreg_score(d, lrw, "doc_id", "text", 64, feats=feats).select(
         "doc_id",

@@ -170,14 +170,21 @@ def test_partitioned_layout_prunes_directories(spark, tmp_path):
 
 
 def test_q21_semi_anti_never_cartesian(spark, registry):
-    """The double EXISTS/NOT EXISTS compiles to semi/anti joins on the
-    order key — a correlated or cross-join fallback would be fatal at
-    fact×fact scale."""
+    """The EXISTS/NOT EXISTS pair is decided on per-order min/max
+    aggregates (the r15 rewrite): key-only SEMI joins against
+    one-row-per-order frames, the late lineitem×orders join staged
+    once (ExistingRDD). A correlated or cross-join fallback — or a
+    return of the old fact-fact anti self-join carrying full rows —
+    would be fatal at fact×fact scale."""
     plan = plan_of(spark, registry, "tpch_q21")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan, plan
-    assert "LeftAnti" in plan, plan
+    assert "LeftAnti" not in plan, plan
+    # the staged late frame: exactly one lineitem×orders evaluation
+    assert "Scan ExistingRDD" in plan, plan
+    # both agg sides partial-aggregate before their exchange
+    assert "partial_min" in plan and "partial_max" in plan, plan
 
 
 def test_q17_threshold_stays_decimal(spark, registry):
