@@ -19,6 +19,16 @@ fingerprint).
     python tools/scaling_sidecar.py [out.json]
     SPARK_GRAFT_SIDECAR_DIR=/tmp/sf1_synth SPARK_GRAFT_SIDECAR_RUNS=2 \
         python tools/scaling_sidecar.py plans/r15/scaling_sf1.json
+
+Caveat on pair-based dedup ops (measured, r15): the replicas are
+near-duplicates of each other BY CONSTRUCTION (one divergent tail
+token), so candidate-pair workloads (dd_containment, dd_minhash) see
+their near-dup density multiplied along with the corpus — their
+blow-up at 10× (dd_containment 3.2 s → 142 s) measures the
+downstream-of-LSH pair volume of a pathologically duplicated corpus,
+NOT core-scaling of the operator. Read those entries as an
+adversarial-density stress result and exclude them from scaling
+ratios.
 """
 
 from __future__ import annotations
@@ -32,7 +42,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
-REPLICAS = 10
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SIDECAR_REPLICAS", "10"))
 OFFSET = 10_000_000
 
 # the 10 most expensive headline queries of the r15 baseline
@@ -153,6 +163,10 @@ def time_queries(cpus: str, sf_dir: str, runs: int) -> dict:
 
 
 def main() -> int:
+    global QUERIES
+    qs = os.environ.get("SPARK_GRAFT_SIDECAR_QUERIES")
+    if qs:
+        QUERIES = qs.split(",")
     out_path = sys.argv[1] if len(sys.argv) > 1 else "plans/r15/scaling_sf1.json"
     synth_dir = os.environ.get("SPARK_GRAFT_SIDECAR_DIR", "/tmp/sf1_synth")
     runs = int(os.environ.get("SPARK_GRAFT_SIDECAR_RUNS", "2"))
@@ -173,6 +187,7 @@ def main() -> int:
     rec = {
         "metric": "sf1_synth_scaling",
         "replicas": REPLICAS,
+        "queries_env": os.environ.get("SPARK_GRAFT_SIDECAR_QUERIES"),
         "src": SRC,
         "runs": runs,
         "sec_32core": t32,
